@@ -1,13 +1,32 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-module registries. Each module pairs every query
+  * with a DuckDB-runnable oracle SQL (where SQL-expressible), so the
+  * driver's t2 correctness gate covers the whole operator inventory.
+  */
 object SparkEntry {
+  private val modules: Seq[QueryModule] = Seq(
+    QueryModule(operators.Relational.queries, operators.Relational.oracleSql)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.queries("q01_pricing_summary")(
+      spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = modules.flatMap(_.oracle).toMap
 }
+
+final case class QueryModule(
+  queries: Map[String, (SparkSession, String) => DataFrame],
+  oracle: Map[String, String])

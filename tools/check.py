@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name>/ parquet (Spark result), runs the paired
+oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same sfDir
+tables, sorts columns by name, and compares values exactly. Dev-only
+tool (duckdb/pandas are driver-side deps, not library deps).
+"""
+import sys, json, math, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        # unify int widths / nullable ints
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    return df
+
+
+def compare(name, spark_df, duck_df):
+    a, b = normalize(spark_df), normalize(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"FAIL cols spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"FAIL rows spark={len(a)} duck={len(b)}"
+    problems = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = av.astype("float64"); bv = bv.astype("float64")
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                problems.append(f"col {c}: {int(neq.sum())} diffs, first@{i}: {av[i]!r} vs {bv[i]!r} (absdiff {abs(av[i]-bv[i]) if not (math.isnan(av[i]) or math.isnan(bv[i])) else 'nan'})")
+        else:
+            av = av.astype(object).where(~pd.isna(av), None)
+            bv = bv.astype(object).where(~pd.isna(bv), None)
+            neq = av.combine(bv, lambda x, y: x != y)
+            if neq.any():
+                i = neq.idxmax()
+                problems.append(f"col {c}: {int(neq.sum())} diffs, first@{i}: {av[i]!r} vs {bv[i]!r}")
+    return "PASS" if not problems else "FAIL " + "; ".join(problems[:3])
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    produced = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if not p.endswith(".json")}
+    for name in sorted(produced):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            results[name] = "FAIL no spark output"
+            continue
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(spark_df)}"
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"FAIL oracle error: {e}"
+            continue
+        results[name] = compare(name, spark_df, duck_df)
+    npass = sum(1 for v in results.values() if v == "PASS")
+    for k, v in sorted(results.items()):
+        print(f"{k:35s} {v}")
+    print(f"== {npass}/{len([k for k in results if results[k] != 'NO-ORACLE' or True])} listed, {npass} PASS, "
+          f"{sum(1 for v in results.values() if v.startswith('FAIL'))} FAIL, "
+          f"{sum(1 for v in results.values() if v.startswith('NO-ORACLE'))} no-oracle")
+
+
+if __name__ == "__main__":
+    main()
