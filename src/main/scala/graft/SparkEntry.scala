@@ -10,7 +10,10 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    QueryModule(operators.Relational.queries, operators.Relational.oracleSql)
+    QueryModule(operators.Relational.queries, operators.Relational.oracleSql),
+    QueryModule(operators.Windows.queries, operators.Windows.oracleSql),
+    QueryModule(operators.SetOps.queries, operators.SetOps.oracleSql),
+    QueryModule(operators.Scalars.queries, operators.Scalars.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface: date/time, string, math, conditional/null,
+  * array, and JSON functions — all Spark built-ins (codegen'd; no UDFs,
+  * per SURVEY §2.2's "Functions, not UDFs" rule).
+  *
+  * Cross-engine determinism: only functions with bit-identical semantics
+  * in DuckDB are oracle-checked (sqrt is IEEE-exact; exp/ln are libm-
+  * dependent and excluded from hash-checked outputs). Float folds over
+  * arrays fix the accumulation order (left fold from 0.0) so Spark and
+  * the oracle perform the identical IEEE operation sequence.
+  */
+object Scalars {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_scalar_datetime" -> { (s, d) =>
+      import s.implicits._
+      T.orders(s, d)
+        .filter($"o_orderkey" % 20 === 0)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("yr"),
+          month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("dy"),
+          quarter($"o_orderdate").as("qtr"),
+          dayofweek($"o_orderdate").as("dow"),
+          date_trunc("month", $"o_orderdate").as("month_start"),
+          datediff($"o_orderdate", lit("1995-01-01").cast("timestamp")).as("days_since"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("plus30"),
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+        .orderBy($"o_orderkey")
+    },
+
+    "q24_scalar_string" -> { (s, d) =>
+      import s.implicits._
+      T.part(s, d)
+        .select(
+          $"p_partkey",
+          length($"p_name").as("name_len"),
+          upper($"p_brand").as("brand_up"),
+          lower($"p_type").as("type_lo"),
+          substring($"p_name", 1, 6).as("name_pfx"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+          lpad($"p_size".cast("string"), 4, "0").as("size_pad"),
+          regexp_replace($"p_name", " ", "_").as("name_us"),
+          regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+          $"p_name".contains("widget").as("is_widget"),
+          split($"p_name", " ").as("name_words"))
+        .orderBy($"p_partkey")
+    },
+
+    "q25_scalar_math" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_orderkey" % 50 === 0)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          abs($"l_quantity" - 25.0).as("abs_dev"),
+          floor($"l_extendedprice").as("price_floor"),
+          ceil($"l_extendedprice").as("price_ceil"),
+          sqrt($"l_quantity").as("qty_sqrt"),
+          ($"l_quantity" * $"l_quantity").as("qty_sq"),
+          ($"l_orderkey" % 7).as("key_mod7"),
+          signum($"l_discount" - 0.05).as("disc_sign"),
+          greatest($"l_quantity", lit(10.0)).as("qty_hi"),
+          least($"l_quantity", lit(10.0)).as("qty_lo"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    "q26_scalar_conditional" -> { (s, d) =>
+      import s.implicits._
+      T.events(s, d)
+        .select(
+          $"event_id",
+          when($"value" < 50, "low").when($"value" < 150, "mid")
+            .otherwise("high").as("band"),
+          coalesce(nullif($"event_type", lit("error")), lit("ERR")).as("type_or_err"),
+          greatest($"value", lit(100.0)).as("val_hi"),
+          least($"value", lit(100.0)).as("val_lo"),
+          ($"value" > 100 && $"event_type" === "purchase").as("big_purchase"),
+          isnull(nullif($"event_type", lit("click"))).as("is_click"))
+        .orderBy($"event_id")
+    },
+
+    "q27_scalar_array" -> { (s, d) =>
+      import s.implicits._
+      T.embeddings(s, d)
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          element_at($"embedding", 1).cast("double").as("e0"),
+          expr("""aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+                 |          CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)""".stripMargin)
+            .as("l2sq"),
+          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))").as("head4"),
+          expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))").as("vmax"),
+          expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))").as("vmin"))
+        .orderBy($"vec_id")
+    },
+
+    "q28_scalar_json" -> { (s, d) =>
+      import s.implicits._
+      T.events(s, d)
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.k").cast("int").as("k_int"),
+          (get_json_object($"props", "$.k").cast("int") > 50).as("k_big"))
+        .orderBy($"event_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q23_scalar_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dy,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q24_scalar_string" ->
+      """SELECT p_partkey,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  upper(p_brand) AS brand_up,
+        |  lower(p_type) AS type_lo,
+        |  substring(p_name, 1, 6) AS name_pfx,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  contains(p_name, 'widget') AS is_widget,
+        |  string_split(p_name, ' ') AS name_words
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q25_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS abs_dev,
+        |  floor(l_extendedprice) AS price_floor,
+        |  ceil(l_extendedprice) AS price_ceil,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_quantity * l_quantity AS qty_sq,
+        |  l_orderkey % 7 AS key_mod7,
+        |  CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+        |       WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign,
+        |  greatest(l_quantity, 10.0) AS qty_hi,
+        |  least(l_quantity, 10.0) AS qty_lo
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q26_scalar_conditional" ->
+      """SELECT event_id,
+        |  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  COALESCE(NULLIF(event_type, 'error'), 'ERR') AS type_or_err,
+        |  greatest(value, 100.0) AS val_hi,
+        |  least(value, 100.0) AS val_lo,
+        |  value > 100 AND event_type = 'purchase' AS big_purchase,
+        |  NULLIF(event_type, 'click') IS NULL AS is_click
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q27_scalar_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS e0,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |    (a, x) -> a + x * x) AS l2sq,
+        |  list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE)) AS head4,
+        |  list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmax,
+        |  list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmin
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q28_scalar_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS INT) > 50 AS k_big
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{Dets, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** Set operations: union all / union distinct / intersect / except /
+  * distinct projection (the SURVEY §2.2 set-op targets; O9's sink dedup is
+  * `except` on keys).
+  *
+  * Scale notes: UNION ALL is a zero-shuffle concatenation of partitions;
+  * the distinct variants hash-shuffle on the full row — at 100 TB prefer
+  * pre-projecting to the minimal column set (done here) so the shuffle
+  * carries keys, not payloads. INTERSECT/EXCEPT plan as aggregate+join in
+  * Spark; both sides here are pre-aggregated key sets.
+  */
+object SetOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // UNION ALL with provenance tag.
+    "q18_union_all" -> { (s, d) =>
+      import s.implicits._
+      val o = T.orders(s, d)
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey", lit("urgent").as("src"))
+      val big = o.filter($"o_totalprice" > 250000)
+        .select($"o_orderkey", lit("big").as("src"))
+      urgent.union(big).orderBy($"o_orderkey", $"src")
+    },
+
+    // UNION (distinct): same sides, duplicates collapsed.
+    "q19_union_distinct" -> { (s, d) =>
+      import s.implicits._
+      val o = T.orders(s, d)
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      val big = o.filter($"o_totalprice" > 250000).select($"o_orderkey")
+      urgent.union(big).distinct().orderBy($"o_orderkey")
+    },
+
+    // INTERSECT: customers active in both 1996 and 1997.
+    "q20_intersect" -> { (s, d) =>
+      import s.implicits._
+      def activeIn(y: Int) = T.orders(s, d)
+        .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+                $"o_orderdate" <  lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      activeIn(1996).intersect(activeIn(1997)).orderBy($"o_custkey")
+    },
+
+    // EXCEPT: active in 1996 but not 1997.
+    "q21_except" -> { (s, d) =>
+      import s.implicits._
+      def activeIn(y: Int) = T.orders(s, d)
+        .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+                $"o_orderdate" <  lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      activeIn(1996).except(activeIn(1997)).orderBy($"o_custkey")
+    },
+
+    // DISTINCT projection (exact dedup on a key subset).
+    "q22_distinct_projection" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_suppkey", $"l_returnflag", $"l_linestatus")
+        .distinct()
+        .orderBy($"l_suppkey", $"l_returnflag", $"l_linestatus")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q18_union_all" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'big' AS src FROM orders WHERE o_totalprice > 250000
+        |) ORDER BY o_orderkey, src""".stripMargin,
+
+    "q19_union_distinct" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_orderkey FROM orders WHERE o_totalprice > 250000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q20_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q21_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q22_distinct_projection" ->
+      """SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_returnflag, l_linestatus""".stripMargin
+  )
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Dets, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Dets._
+
+/** Window-function surface: ranking, analytic (lag/lead), rows/range
+  * frames, running totals, distribution functions.
+  *
+  * Scale notes: a window = one shuffle on partitionBy keys + an in-partition
+  * sort. Each query partitions by a real entity key (custkey/suppkey/user_id)
+  * so state per partition stays bounded at 100 TB (no global, key-less
+  * windows — those serialize onto one task). Every orderBy is tie-broken to
+  * a total order: window semantics over duplicate sort keys are otherwise
+  * nondeterministic under shuffle, on any cluster size.
+  */
+object Windows {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // row_number / rank / dense_rank: top-3 orders per customer.
+    "q11_window_rank" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn", $"rk", $"drk")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // lag/lead deltas per user over the event sequence.
+    "q12_window_lag_lead" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      T.events(s, d)
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("next_value", lead($"value", 1).over(w))
+        .withColumn("delta", $"value" - lag($"value", 1).over(w))
+        .select($"user_id", $"event_id", $"value", $"prev_value", $"next_value", $"delta")
+        .orderBy($"user_id", $"event_id")
+    },
+
+    // ROWS frame: trailing-7-rows moving sum/avg per supplier.
+    "q13_window_rows_frame" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(-6, 0)
+      T.lineitem(s, d)
+        .withColumn("mov_sum_qty", sum(dec($"l_quantity")).over(w).cast("double"))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
+                $"mov_sum_qty", $"mov_n")
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+    },
+
+    // RANGE frame over a numeric ordering: orders within 10k price below.
+    "q14_window_range_frame" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+        .rangeBetween(-10000, 0)
+      T.orders(s, d)
+        .withColumn("n_in_band", count(lit(1)).over(w))
+        .withColumn("band_total", sum(dec($"o_totalprice")).over(w).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"n_in_band", $"band_total")
+        .orderBy($"o_custkey", $"o_totalprice", $"o_orderkey")
+    },
+
+    // Running (cumulative) revenue per customer across order history.
+    "q15_window_running_total" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      T.orders(s, d)
+        .withColumn("cum_spend", sum(dec($"o_totalprice")).over(w).cast("double"))
+        .withColumn("order_seq", row_number().over(
+          Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"cum_spend", $"order_seq")
+        .orderBy($"o_custkey", $"order_seq")
+    },
+
+    // Distribution functions: quartiles + percent_rank + cume_dist.
+    "q16_window_distribution" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      T.lineitem(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter($"l_orderkey" % 100 === 0)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+                $"l_extendedprice", $"quartile", $"pct_rank", $"cume")
+        .orderBy($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    },
+
+    // first/last value over a bounded frame per user.
+    "q17_window_first_last" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.events(s, d)
+        .withColumn("first_type", first($"event_type").over(w))
+        .withColumn("last_type", last($"event_type").over(w))
+        .withColumn("n_events", count(lit(1)).over(w))
+        .filter($"event_id" % 10 === 0)
+        .select($"user_id", $"event_id", $"event_type",
+                $"first_type", $"last_type", $"n_events")
+        .orderBy($"user_id", $"event_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q11_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q12_window_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q13_window_rows_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mov_sum_qty,
+        |  COUNT(*) OVER w AS mov_n
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q14_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_in_band,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS band_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
+
+    "q15_window_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_spend,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q16_window_distribution" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  quartile, pct_rank, cume FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    ntile(4) OVER w AS quartile,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |) WHERE l_orderkey % 100 = 0
+        |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "q17_window_first_last" ->
+      """SELECT user_id, event_id, event_type,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  COUNT(*) OVER w AS n_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |QUALIFY event_id % 10 = 0
+        |ORDER BY user_id, event_id""".stripMargin
+  )
+}

@@ -17,6 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -24,6 +25,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         # unify int widths / nullable ints
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+        elif df[c].dtype == object:
+            # array columns -> tuples so equality is scalar
+            df[c] = df[c].apply(
+                lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
+                if isinstance(v, (list, np.ndarray)) else v)
     return df
 
 
