@@ -13,7 +13,9 @@ object SparkEntry {
     QueryModule(operators.Relational.queries, operators.Relational.oracleSql),
     QueryModule(operators.Windows.queries, operators.Windows.oracleSql),
     QueryModule(operators.SetOps.queries, operators.SetOps.oracleSql),
-    QueryModule(operators.Scalars.queries, operators.Scalars.oracleSql)
+    QueryModule(operators.Scalars.queries, operators.Scalars.oracleSql),
+    QueryModule(operators.TemporalJoins.queries, operators.TemporalJoins.oracleSql),
+    QueryModule(weather.WeatherPipeline.queries, weather.WeatherPipeline.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

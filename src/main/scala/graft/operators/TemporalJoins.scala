@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series joins Spark lacks as built-ins: as-of join and bounded
+  * range (interval) join, composed from equi-joins + windows so Catalyst
+  * keeps full pushdown/codegen (SURVEY §2.2 "Joins" build target;
+  * preference (a) of the custom-operator ladder).
+  *
+  * Scale design:
+  *  - As-of: the naive formulation (theta-join on user + p.ts <= c.ts,
+  *    keep latest) explodes to |clicks_u| x |purchases_u| pairs per user.
+  *    Implemented instead as union + partitioned sort + last_value carry-
+  *    forward: one shuffle on user_id, linear state, no pair explosion —
+  *    the classic distributed as-of that survives 100 TB and skewed users.
+  *  - Range join: equi-join on (user, time_bucket) with the probe side
+  *    exploded to the two candidate buckets, then exact interval filter.
+  *    Turns an O(n^2) theta-join into a co-partitioned hash join whose
+  *    fan-out is bounded by bucket width / interval ratio.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the latest right row with
+    * right.ts <= left.ts, per key. Union-based carry-forward: tag sides,
+    * sort by (key, ts, side-priority), propagate the last seen right row.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               rightCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.withColumn("_side", lit(0))
+    val leftCols = left.columns
+    // align schemas: left cols + right payload cols, nulls where absent
+    val allCols = (leftCols ++ rightCols).distinct
+    def aligned(df: DataFrame) = df.select(
+      (Seq(col(key), col(tsCol), col("_side")) ++
+        allCols.filterNot(c => c == key || c == tsCol).map(c =>
+          if (df.columns.contains(c)) col(c) else lit(null).as(c))): _*)
+    val unioned = aligned(l).unionByName(aligned(r))
+    // right rows sort before left rows at equal ts => "<=" semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightCols.filterNot(c => c == key || c == tsCol)
+      .foldLeft(unioned)((df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carriedTs = carried.withColumn("_asof_ts",
+      last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    carriedTs.filter(col("_side") === 1).drop("_side")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of: for each click, the user's latest purchase at-or-before it.
+    // Right side deduped to unique (user, ts) first — deterministic under
+    // second-truncation ties, and what an as-of reference table should be.
+    "q29_asof_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      val wDedup = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .withColumn("_rn", row_number().over(wDedup)).filter($"_rn" === 1)
+        .select($"user_id", $"ts", $"value".as("purchase_value"))
+      asofJoin(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+        .select($"event_id", $"user_id", $"ts",
+                $"purchase_value", $"_asof_ts".as("purchase_ts"))
+        .orderBy($"event_id")
+    },
+
+    // Range join: for each error event, count same-user events in the
+    // preceding 10 minutes — bucketed equi-join, not a theta-join.
+    "q30_range_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+      val bucketSec = 600L
+      val probe = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts",
+                (unix_timestamp($"ts") / bucketSec).cast("long").as("b0"))
+        .withColumn("bucket", explode(array($"b0" - 1, $"b0"))).drop("b0")
+      val build = ev.select($"user_id".as("b_user"), $"ts".as("b_ts"),
+          (unix_timestamp($"ts") / bucketSec).cast("long").as("bucket"))
+      probe.join(build,
+          probe("user_id") === $"b_user" && probe("bucket") === build("bucket") &&
+          $"b_ts" >= probe("ts") - expr("INTERVAL 10 MINUTES") &&
+          $"b_ts" < probe("ts"))
+        .groupBy($"event_id", probe("user_id"), probe("ts"))
+        .agg(count(lit(1)).as("n_prior_10m"))
+        .orderBy($"event_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q29_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts, event_type, value
+        |  FROM events),
+        |p AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  p.value AS purchase_value, p.ts AS purchase_ts
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q30_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts, event_type
+        |  FROM events)
+        |SELECT e.event_id, e.user_id, e.ts, COUNT(*) AS n_prior_10m
+        |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+        |JOIN ev b ON b.user_id = e.user_id
+        |  AND b.ts >= e.ts - INTERVAL 10 MINUTE AND b.ts < e.ts
+        |GROUP BY e.event_id, e.user_id, e.ts
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

@@ -1,0 +1,208 @@
+package graft.weather
+
+import graft.{Dets, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dets._
+
+/** Faithful Spark re-statement of the reference pipeline's semantics
+  * (sf27sf27/weather-etl, SURVEY.md §2.1), generalized over the `events`
+  * table: `ts` plays the reference's `date` cursor/key column.
+  *
+  * Reference citations (see /root/reference):
+  *  - O3 time grid:       lambda_function.py:106-111 (half-open 15-min grid)
+  *  - O5 cursor read:     lambda_function.py:75-86  (MAX(date) pushed down)
+  *  - O6 future filter:   lambda_function.py:129-132 (date <= now)
+  *  - O7 cursor filter:   lambda_function.py:127-145 (date > cursor, None
+  *                        cursor -> pass-through)
+  *  - O8 NaN -> NULL:     lambda_function.py:167-173
+  *  - O9 idempotent upsert: lambda_function.py:148-190 (ON CONFLICT DO
+  *                        NOTHING == left-anti join + append, first write wins)
+  *  - O11 result envelope: lambda_function.py:228-238
+  *
+  * Scale notes: the cursor read is metadata-only on Parquet (footer
+  * min/max stats answer agg(max) without scanning data). The anti-join
+  * upsert broadcasts whichever side is small — in steady state the
+  * incoming batch is tiny vs the sink, so it's a broadcast-anti against
+  * the batch with the sink streamed, never a full shuffle of the sink.
+  * At 100 TB the sink would be partitioned by date so the anti-join
+  * prunes to the overlapping partitions (the reference's `past_days=1`
+  * lookback bounds overlap to one day).
+  */
+object WeatherPipeline {
+  /** Fixed "now" and cursor so results are deterministic & oracle-checkable
+    * (events.ts spans 2024-01-01 .. 2024-01-30).
+    */
+  private val NOW = "2024-01-21 00:00:00"
+  private val CURSOR = "2024-01-10 00:00:00"
+  private val BATCH_LOOKBACK = "2024-01-08 00:00:00" // cursor - 2 days
+
+  /** O3: dense half-open 15-min UTC grid [start, end), as a single-column
+    * DataFrame. `sequence` is inclusive, so generate to end and filter —
+    * same rows the reference's `inclusive="left"` date_range yields.
+    */
+  def timeGrid(spark: SparkSession, start: String, end: String): DataFrame = {
+    spark.range(1).select(
+      explode(sequence(
+        lit(start).cast("timestamp"),
+        lit(end).cast("timestamp"),
+        expr("INTERVAL 15 MINUTES"))).as("ts"))
+      .filter(col("ts") < lit(end).cast("timestamp"))
+  }
+
+  /** O6+O7: future filter then strictly-after-cursor filter; None cursor
+    * passes through (reference: lambda_function.py:134-136).
+    */
+  def filterNewRecords(df: DataFrame, tsCol: String, now: Column,
+                       cursor: Option[Column]): DataFrame = {
+    val noFuture = df.filter(col(tsCol) <= now)
+    cursor.fold(noFuture)(c => noFuture.filter(col(tsCol) > c))
+  }
+
+  /** O8: collapse NaN into NULL per measure column (the reference's sink
+    * encoding; Spark distinguishes NaN from NULL, the reference doesn't).
+    */
+  def nanToNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, when(isnan(col(c)), lit(null)).otherwise(col(c))))
+
+  /** O9: idempotent upsert = within-batch dedup (first by total order,
+    * reference keeps first written) + left-anti join against sink keys +
+    * append. Returns the rows that would be appended.
+    */
+  def upsertNew(batch: DataFrame, sink: DataFrame, key: String): DataFrame = {
+    val deduped = batch.withColumn("_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col(key))))
+      .filter(col("_rn") === 1).drop("_rn")
+    deduped.join(sink.select(col(key)), Seq(key), "left_anti")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3 — the reference's exact grid: past_days=1 + forecast_days=1 at
+    // 15 min = 192 slots, half-open.
+    "w01_time_grid" -> { (s, _) =>
+      timeGrid(s, "2024-01-14 00:00:00", "2024-01-16 00:00:00").orderBy("ts")
+    },
+
+    // O6 — future filter at a fixed NOW over the events stream.
+    "w02_future_filter" -> { (s, d) =>
+      import s.implicits._
+      T.events(s, d)
+        .filter($"ts" <= lit(NOW).cast("timestamp"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), max(date_trunc("second", $"ts")).as("max_ts"))
+        .orderBy($"event_type")
+    },
+
+    // O7 — strictly-after-cursor filter (cursor present branch).
+    "w03_cursor_filter" -> { (s, d) =>
+      import s.implicits._
+      filterNewRecords(T.events(s, d), "ts",
+          lit(NOW).cast("timestamp"), Some(lit(CURSOR).cast("timestamp")))
+        .select($"event_id", date_trunc("second", $"ts").as("ts_s"),
+                $"user_id", $"event_type")
+        .orderBy($"event_id")
+    },
+
+    // O8 — NaN->NULL: synthesize NaN (reference gets them from the API),
+    // collapse, count both sides to prove the encoding.
+    "w04_nan_to_null" -> { (s, d) =>
+      import s.implicits._
+      val withNan = T.events(s, d)
+        .withColumn("measure",
+          when($"value" < 50, lit(Double.NaN)).otherwise($"value"))
+      nanToNull(withNan, Seq("measure"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"),
+             count($"measure").as("n_present"),
+             sum(when($"measure".isNull, 1L).otherwise(0L)).as("n_null"),
+             dsum(coalesce($"measure", lit(0.0))).as("sum_present"))
+        .orderBy($"event_type")
+    },
+
+    // O9 — idempotent upsert: sink = history to CURSOR; batch = overlapping
+    // lookback window (reference over-fetches past_days=1). Net-new = batch
+    // anti sink. Result: per-type count of appended rows + new cursor.
+    "w05_upsert_antijoin" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d)
+      val sink = ev.filter($"ts" <= lit(CURSOR).cast("timestamp"))
+      val batch = ev.filter($"ts" > lit(BATCH_LOOKBACK).cast("timestamp") &&
+                            $"ts" <= lit(NOW).cast("timestamp"))
+      upsertNew(batch, sink, "event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_inserted"),
+             max(date_trunc("second", $"ts")).as("new_cursor"))
+        .orderBy($"event_type")
+    },
+
+    // O5+O11 — result envelope: fetched / inserted / cursor echo as a
+    // single row (the lambda's JSON body, as a relation).
+    "w06_result_envelope" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d)
+      val sink = ev.filter($"ts" <= lit(CURSOR).cast("timestamp"))
+      val batch = ev.filter($"ts" > lit(BATCH_LOOKBACK).cast("timestamp") &&
+                            $"ts" <= lit(NOW).cast("timestamp"))
+      val inserted = upsertNew(batch, sink, "event_id")
+      batch.agg(count(lit(1)).as("records_fetched"))
+        .crossJoin(inserted.agg(
+          count(lit(1)).as("records_inserted"),
+          max(date_trunc("second", col("ts"))).as("latest_cursor")))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "w01_time_grid" ->
+      """SELECT range AS ts
+        |FROM range(TIMESTAMP '2024-01-14 00:00:00',
+        |           TIMESTAMP '2024-01-16 00:00:00', INTERVAL 15 MINUTE)
+        |ORDER BY ts""".stripMargin,
+
+    "w02_future_filter" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  max(date_trunc('second', CAST(ts AS TIMESTAMP))) AS max_ts
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$NOW'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w03_cursor_filter" ->
+      s"""SELECT event_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
+         |  user_id, event_type
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '$NOW'
+         |  AND CAST(ts AS TIMESTAMP) >  TIMESTAMP '$CURSOR'
+         |ORDER BY event_id""".stripMargin,
+
+    "w04_nan_to_null" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN value >= 50 THEN value END) AS n_present,
+        |  SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS n_null,
+        |  CAST(SUM(CAST(CASE WHEN value >= 50 THEN value ELSE 0.0 END
+        |       AS DECIMAL(18,4))) AS DOUBLE) AS sum_present
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w05_upsert_antijoin" ->
+      s"""SELECT event_type, COUNT(*) AS n_inserted,
+         |  max(date_trunc('second', CAST(ts AS TIMESTAMP))) AS new_cursor
+         |FROM events
+         |WHERE CAST(ts AS TIMESTAMP) >  TIMESTAMP '$CURSOR'
+         |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '$NOW'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w06_result_envelope" ->
+      s"""SELECT
+         |  (SELECT COUNT(*) FROM events
+         |   WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$BATCH_LOOKBACK'
+         |     AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '$NOW') AS records_fetched,
+         |  (SELECT COUNT(*) FROM events
+         |   WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$CURSOR'
+         |     AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '$NOW') AS records_inserted,
+         |  (SELECT max(date_trunc('second', CAST(ts AS TIMESTAMP))) FROM events
+         |   WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '$CURSOR'
+         |     AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '$NOW') AS latest_cursor""".stripMargin
+  )
+}
