@@ -15,7 +15,11 @@ object SparkEntry {
     QueryModule(operators.SetOps.queries, operators.SetOps.oracleSql),
     QueryModule(operators.Scalars.queries, operators.Scalars.oracleSql),
     QueryModule(operators.TemporalJoins.queries, operators.TemporalJoins.oracleSql),
-    QueryModule(weather.WeatherPipeline.queries, weather.WeatherPipeline.oracleSql)
+    QueryModule(weather.WeatherPipeline.queries, weather.WeatherPipeline.oracleSql),
+    QueryModule(datapipe.Dedup.queries, datapipe.Dedup.oracleSql),
+    QueryModule(datapipe.Similarity.queries, datapipe.Similarity.oracleSql),
+    QueryModule(datapipe.TextAnalysis.queries, datapipe.TextAnalysis.oracleSql),
+    QueryModule(datapipe.Multimodal.queries, datapipe.Multimodal.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

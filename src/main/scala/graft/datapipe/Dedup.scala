@@ -1,0 +1,273 @@
+package graft.datapipe
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and character-n-gram Jaccard. All hash arithmetic uses the
+  * portable md5-based 60-bit hash (graft.Dets.phash) reduced mod 2^31, so
+  * the DuckDB oracle reproduces every bucket and signature bit-for-bit.
+  *
+  * The corpus is `documents` unioned with deterministic perturbed/exact
+  * copies (doc_id offset by 1e6/2e6) so the testdata provably contains
+  * near-duplicates for the operators to find.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup: hash-groupBy on a 128-bit content hash — one shuffle of
+  *    (hash, id), never of document bodies.
+  *  - MinHash LSH: per-doc signature (K=16) computed in a single scan
+  *    (one md5 per shingle, reused across the K permutations); banding
+  *    (4 bands x 4 rows) turns all-pairs O(n^2) into an equi-join on
+  *    band keys; only candidate pairs pay the exact-Jaccard verify.
+  *  - SimHash: linear scan to a 16-bit fingerprint; candidate pairs via
+  *    equality on the top byte (a real deployment rotates bands / uses
+  *    multiple tables to recover recall), verified by Hamming distance.
+  *  - N-gram Jaccard: pair generation blocked on (lang, source, length
+  *    bucket) so the quadratic term is bounded per block.
+  */
+object Dedup {
+  private val P = 2147483647L // 2^31 - 1
+  private val AB: Seq[(Long, Long)] = Seq(
+    (7L, 13L), (29L, 71L), (53L, 101L), (97L, 31L),
+    (193L, 67L), (389L, 173L), (769L, 257L), (1543L, 389L),
+    (3079L, 521L), (6151L, 769L), (12289L, 1031L), (24593L, 1543L),
+    (49157L, 2063L), (98317L, 3089L), (196613L, 4127L), (393241L, 6151L))
+  private val BANDS = 4
+  private val ROWS = 4 // K = BANDS * ROWS = 16
+
+  /** Spark SQL fragment: portable 60-bit hash of expr (see Dets.phashSql). */
+  private def hS(e: String) =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** The test corpus: originals + perturbed near-copies + exact copies. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = T.documents(s, d).select($"doc_id", $"text", $"lang", $"source")
+    docs
+      .unionByName(docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+                concat($"text", lit(" near duplicate suffix")).as("text"),
+                $"lang", $"source"))
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text", $"lang", $"source"))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text, lang, source FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text || ' near duplicate suffix', lang, source
+      |FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000, text, lang, source
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** MinHash signature + shingle set per doc (Spark side). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val sigExpr = "array(" + AB.map { case (a, b) =>
+      s"array_min(transform(mhbase, m -> ($a * m + $b) % $P))"
+    }.mkString(", ") + ")"
+    corpus(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(0, size(words) - 3),
+          |  i -> concat_ws(' ', element_at(words, i + 1),
+          |                 element_at(words, i + 2), element_at(words, i + 3))))"""
+          .stripMargin))
+      .withColumn("mhbase", expr(s"transform(shingles, s -> ${hS("s")} % $P)"))
+      .withColumn("sig", expr(sigExpr))
+      .select(col("doc_id"), col("sig"), col("shingles"))
+  }
+
+  /** DuckDB mirror of [[signatures]]. */
+  private def signaturesSql: String = {
+    val sigExpr = "[" + AB.map { case (a, b) =>
+      s"list_min(list_transform(mhbase, m -> ($a * m + $b) % $P))"
+    }.mkString(", ") + "]"
+    s"""corpus AS ($corpusSql),
+       |worded AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |shingled AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(words) - 2),
+       |    i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS shingles
+       |  FROM worded),
+       |based AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(shingles,
+       |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P) AS mhbase
+       |  FROM shingled),
+       |sigs AS (SELECT doc_id, shingles, $sigExpr AS sig FROM based)""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by full-content hash, keep canonical min id.
+    "d01_exact_dedup" -> { (s, d) =>
+      import s.implicits._
+      corpus(s, d)
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .filter($"n_copies" > 1)
+        .select($"canonical_id", $"content_hash", $"n_copies")
+        .orderBy($"canonical_id")
+    },
+
+    // MinHash + LSH banding: candidates from band-key equi-join, verified
+    // with exact shingle Jaccard.
+    "d02_minhash_lsh" -> { (s, d) =>
+      import s.implicits._
+      val sig = signatures(s, d).cache()
+      val bandKeys = (0 until BANDS).map { k =>
+        val parts = (1 to ROWS).map(j => s"element_at(sig, ${k * ROWS + j})")
+        expr(s"concat_ws('_', '$k', ${parts.mkString(", ")})")
+      }
+      val bands = sig.select(col("doc_id"),
+          explode(array(bandKeys: _*)).as("band_key"))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      pairs
+        .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1"),
+                         col("shingles").as("sh1")), Seq("d1"))
+        .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2"),
+                         col("shingles").as("sh2")), Seq("d2"))
+        .withColumn("est_jaccard", expr(
+          "size(filter(sequence(1, 16), j -> element_at(sig1, j) = element_at(sig2, j))) / 16.0"))
+        .withColumn("inter", expr("size(array_intersect(sh1, sh2))"))
+        .withColumn("jaccard",
+          expr("inter / (size(sh1) + size(sh2) - inter)"))
+        .filter($"jaccard" >= 0.5)
+        .select($"d1", $"d2", $"est_jaccard", $"jaccard")
+        .orderBy($"d1", $"d2")
+    },
+
+    // SimHash: 16-bit frequency-weighted fingerprint; pairs blocked on the
+    // top byte, verified by Hamming distance <= 3.
+    "d03_simhash" -> { (s, d) =>
+      import s.implicits._
+      val fp = corpus(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 1)
+        .withColumn("ms", expr(s"transform(words, w -> ${hS("w")} % 1073741824)"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
+            |  IF(2 * size(filter(ms, m -> (shiftright(m, j) & 1) = 1)) >= size(ms),
+            |     CAST(round(pow(2, j)) AS BIGINT), 0L))""".stripMargin))
+        .select($"doc_id", $"simhash",
+                expr("shiftright(simhash, 8)").as("block"))
+      fp.as("x").join(fp.as("y"),
+          col("x.block") === col("y.block") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .withColumn("hamming",
+          expr("bit_count(x.simhash ^ y.simhash)"))
+        .filter(col("hamming") <= 3)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+                col("x.simhash").as("simhash1"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Character-4-gram Jaccard with blocked pair generation.
+    "d04_ngram_jaccard" -> { (s, d) =>
+      import s.implicits._
+      val grams = corpus(s, d)
+        .withColumn("n_chars", length($"text"))
+        .filter($"n_chars" >= 4)
+        .withColumn("grams", expr(
+          "array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))"))
+        .select($"doc_id", $"lang", $"source",
+                ($"n_chars".cast("long") / 64L).cast("long").as("lenb"), $"grams")
+      grams.as("x").join(grams.as("y"),
+          col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
+        .withColumn("inter", expr("size(array_intersect(x.grams, y.grams))"))
+        .withColumn("jaccard",
+          expr("inter / (size(x.grams) + size(y.grams) - inter)"))
+        .filter(col("jaccard") >= 0.85)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""WITH corpus AS ($corpusSql)
+         |SELECT min(doc_id) AS canonical_id, md5(text) AS content_hash,
+         |  COUNT(*) AS n_copies
+         |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+         |ORDER BY canonical_id""".stripMargin,
+
+    "d02_minhash_lsh" -> {
+      val bandKeys = (0 until BANDS).map { k =>
+        val parts = (1 to ROWS).map(j => s"sig[${k * ROWS + j}]")
+        s"concat_ws('_', '$k', ${parts.mkString(", ")})"
+      }
+      s"""WITH $signaturesSql,
+         |bands AS (
+         |  SELECT doc_id, unnest([${bandKeys.mkString(", ")}]) AS band_key
+         |  FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+         |SELECT d1, d2,
+         |  len(list_filter(range(1, 17), j -> s1.sig[j] = s2.sig[j])) / 16.0
+         |    AS est_jaccard,
+         |  len(list_filter(s1.shingles, g -> list_contains(s2.shingles, g)))
+         |    / (len(s1.shingles) + len(s2.shingles)
+         |       - len(list_filter(s1.shingles, g -> list_contains(s2.shingles, g))))
+         |    AS jaccard
+         |FROM pairs
+         |JOIN sigs s1 ON s1.doc_id = d1
+         |JOIN sigs s2 ON s2.doc_id = d2
+         |WHERE len(list_filter(s1.shingles, g -> list_contains(s2.shingles, g)))
+         |    / (len(s1.shingles) + len(s2.shingles)
+         |       - len(list_filter(s1.shingles, g -> list_contains(s2.shingles, g))))
+         |    >= 0.5
+         |ORDER BY d1, d2""".stripMargin
+    },
+
+    "d03_simhash" ->
+      s"""WITH corpus AS ($corpusSql),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 1073741824)
+         |      AS ms
+         |  FROM corpus WHERE len(string_split(text, ' ')) >= 1),
+         |fp AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, 16), j ->
+         |      CASE WHEN 2 * len(list_filter(ms, m -> (m >> j) & 1 = 1)) >= len(ms)
+         |           THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END)) AS simhash
+         |  FROM hashed)
+         |SELECT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS simhash1,
+         |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |FROM fp x JOIN fp y
+         |  ON (x.simhash >> 8) = (y.simhash >> 8) AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
+
+    "d04_ngram_jaccard" ->
+      s"""WITH corpus AS ($corpusSql),
+         |grams AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(length(text) // 64 AS BIGINT) AS lenb,
+         |    list_distinct(list_transform(range(1, length(text) - 2),
+         |      i -> substring(text, i, 4))) AS grams
+         |  FROM corpus WHERE length(text) >= 4)
+         |SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |  len(list_filter(x.grams, g -> list_contains(y.grams, g)))
+         |    / (len(x.grams) + len(y.grams)
+         |       - len(list_filter(x.grams, g -> list_contains(y.grams, g)))) AS jaccard
+         |FROM grams x JOIN grams y
+         |  ON x.lang = y.lang AND x.source = y.source AND x.lenb = y.lenb
+         |  AND x.doc_id < y.doc_id
+         |WHERE len(list_filter(x.grams, g -> list_contains(y.grams, g)))
+         |    / (len(x.grams) + len(y.grams)
+         |       - len(list_filter(x.grams, g -> list_contains(y.grams, g)))) >= 0.85
+         |ORDER BY d1, d2""".stripMargin
+  )
+}

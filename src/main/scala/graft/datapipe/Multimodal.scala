@@ -1,0 +1,94 @@
+package graft.datapipe
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads with typed metadata,
+  * batch-shaped decode / feature-extract / frame-sample operators.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic stub ([[StubDecoder]]); everything Spark-
+  * side is real and tested: the schema (binary payload + metadata struct),
+  * the mapPartitions batching (the Scala analog of `mapInPandas` — one
+  * decoder instance per partition, streamed row batches, no per-row init),
+  * and the partitioning contract (payloads stay columnar-compressed in
+  * Parquet; feature extraction is map-only so 100 TB of assets never
+  * shuffles — only extracted features, ~1e3x smaller, move).
+  */
+object Multimodal {
+
+  /** A multimodal asset row: payload is opaque bytes + typed metadata. */
+  final case class Asset(asset_id: Long, payload: Array[Byte], mime: String,
+                         lang: String, n_chars: Long)
+
+  /** Extracted features (what a real image/audio model would emit). */
+  final case class AssetFeatures(asset_id: Long, n_bytes: Int, mime: String,
+                                 fake_class: Int, sample_offsets: Seq[Long])
+
+  /** STUB — stands in for an image/audio decoder (libs absent in this
+    * container). Deterministic: class = first-8-bytes sum mod 256;
+    * "frame sample" = 5 evenly spaced byte offsets. A real deployment
+    * swaps `decode` for e.g. JPEG decode + model inference; the
+    * mapPartitions harness around it is unchanged.
+    */
+  object StubDecoder {
+    def decode(a: Asset): AssetFeatures = {
+      val head = a.payload.take(8).map(_ & 0xff).sum % 256
+      val n = a.payload.length
+      val step = math.max(n / 5, 1)
+      AssetFeatures(a.asset_id, n, a.mime, head,
+        (0 until 5).map(i => math.min(i.toLong * step, math.max(n - 1, 0))))
+    }
+  }
+
+  /** The real plumbing: batch decode via mapPartitions — decoder init once
+    * per partition (like a model load), rows streamed through it.
+    */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition init would go here (decoder/model handle)
+      it.map(StubDecoder.decode)
+    }
+  }
+
+  /** Build an asset table from documents (text bytes as stand-in payload). */
+  def assets(s: SparkSession, d: String): Dataset[Asset] = {
+    import s.implicits._
+    T.documents(s, d)
+      .select(col("doc_id").as("asset_id"),
+              encode(col("text"), "UTF-8").as("payload"),
+              lit("text/plain").as("mime"), col("lang"), col("n_chars"))
+      .as[Asset]
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Oracle-checkable slice of the pipeline: payload sizing + the stub
+    // feature computations re-expressed as pure SQL (byte lengths, evenly
+    // spaced sample offsets). Mirrors what extractFeatures emits.
+    "m01_binary_features" -> { (s, d) =>
+      import s.implicits._
+      extractFeatures(assets(s, d)).toDF()
+        .select($"asset_id", $"n_bytes", $"mime", $"fake_class",
+                $"sample_offsets")
+        .orderBy($"asset_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // ASCII corpus => octet_length(text) == payload bytes; the stub class
+    // is the sum of the first 8 bytes mod 256, offsets are i*(n/5) capped.
+    "m01_binary_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  'text/plain' AS mime,
+        |  CAST(list_sum(list_transform(range(1, least(octet_length(encode(text)), 8) + 1),
+        |    i -> ascii(substring(text, i, 1)))) % 256 AS INT) AS fake_class,
+        |  list_transform(range(0, 5), i -> CAST(
+        |    least(i * greatest(octet_length(encode(text)) // 5, 1),
+        |          greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT))
+        |    AS sample_offsets
+        |FROM documents ORDER BY asset_id""".stripMargin
+  )
+}

@@ -1,0 +1,147 @@
+package graft.datapipe
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (array<float>, dim 64).
+  *
+  * s01 is the exact brute-force baseline: score every row against the
+  * query vector, TakeOrderedAndProject keeps top-k with per-partition
+  * heaps — O(n) scan, no shuffle of vectors, embarrassingly parallel at
+  * 100 TB (each executor scans its partitions and emits k candidates).
+  *
+  * s02 is the scale path: sign-bucket LSH (axis-aligned hyperplanes on the
+  * first 8 dims -> 256 buckets). Probing only the query's bucket cuts the
+  * scanned fraction to ~1/256 at the cost of recall; a production variant
+  * uses random hyperplanes / multiple tables (or IVF centroids) — same
+  * plan shape: partition-prunable equi-join on bucket id, then local top-k.
+  *
+  * Cosine folds fix the IEEE accumulation order (left fold from 0.0,
+  * elements cast to double) so Spark and the DuckDB oracle produce
+  * bit-identical scores — which also makes top-k ordering deterministic.
+  * d05-style all-pairs near-dup lives here too (blocked by label).
+  */
+object Similarity {
+  private val QID = 0L // query vector: vec_id 0
+
+  /** Spark SQL: dot product of two array<double> exprs, fixed fold order. */
+  private def dot(a: String, b: String) =
+    s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+       |  (acc, j) -> acc + CAST(element_at($a, j) AS DOUBLE)
+       |                  * CAST(element_at($b, j) AS DOUBLE))""".stripMargin
+
+  /** DuckDB mirror of [[dot]]. */
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, 65),
+       |    j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact top-10 by cosine against vec_id 0.
+    "s01_topk_cosine" -> { (s, d) =>
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val q = broadcast(emb.filter($"vec_id" === QID)
+        .select($"embedding".as("q_emb")))
+      emb.filter($"vec_id" =!= QID)
+        .crossJoin(q)
+        .withColumn("cosine", expr(
+          s"""${dot("embedding", "q_emb")} /
+             |(sqrt(${dot("embedding", "embedding")}) *
+             | sqrt(${dot("q_emb", "q_emb")}))""".stripMargin))
+        .select($"vec_id", $"label", $"cosine")
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(10)
+    },
+
+    // LSH-bucketed ANN: probe only the query's sign bucket, local top-5.
+    "s02_ann_lsh_bucket" -> { (s, d) =>
+      import s.implicits._
+      val bucketExpr = expr(
+        """aggregate(sequence(0, 7), 0,
+          |  (acc, j) -> acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0,
+          |                       CAST(round(pow(2, j)) AS INT), 0))""".stripMargin)
+      val emb = T.embeddings(s, d).withColumn("bucket", bucketExpr)
+      val q = broadcast(emb.filter($"vec_id" === QID)
+        .select($"embedding".as("q_emb"), $"bucket".as("q_bucket")))
+      emb.filter($"vec_id" =!= QID)
+        .join(q, $"bucket" === $"q_bucket")
+        .withColumn("cosine", expr(
+          s"""${dot("embedding", "q_emb")} /
+             |(sqrt(${dot("embedding", "embedding")}) *
+             | sqrt(${dot("q_emb", "q_emb")}))""".stripMargin))
+        .select($"vec_id", $"label", $"bucket", $"cosine")
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(5)
+    },
+
+    // All-pairs near-duplicate embeddings (cosine >= 0.999), blocked by
+    // label; corpus includes exact copies (vec_id + 1e6) as planted dups.
+    "d05_embedding_neardup" -> { (s, d) =>
+      import s.implicits._
+      val base = T.embeddings(s, d)
+      val emb = base.unionByName(
+          base.filter($"vec_id" % 10 === 0)
+            .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label"))
+      emb.as("x").join(emb.as("y"),
+          col("x.label") === col("y.label") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cosine", expr(
+          s"""${dot("x.embedding", "y.embedding")} /
+             |(sqrt(${dot("x.embedding", "x.embedding")}) *
+             | sqrt(${dot("y.embedding", "y.embedding")}))""".stripMargin))
+        .filter($"cosine" >= 0.999)
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+                col("x.label").as("label"), col("cosine"))
+        .orderBy(col("v1"), col("v2"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s01_topk_cosine" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $QID)
+         |SELECT e.vec_id, e.label,
+         |  ${dotSql("e.embedding", "q.q_emb")} /
+         |  (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |   sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |FROM embeddings e, q
+         |WHERE e.vec_id <> $QID
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    "s02_ann_lsh_bucket" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding,
+         |    list_sum(list_transform(range(0, 8), j ->
+         |      CASE WHEN CAST(embedding[j + 1] AS DOUBLE) > 0.0
+         |           THEN CAST(round(pow(2, j)) AS INT) ELSE 0 END)) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = $QID)
+         |SELECT e.vec_id, e.label, CAST(e.bucket AS INT) AS bucket,
+         |  ${dotSql("e.embedding", "q.q_emb")} /
+         |  (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |   sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |FROM b e, q
+         |WHERE e.vec_id <> $QID AND e.bucket = q.q_bucket
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 5""".stripMargin,
+
+    "d05_embedding_neardup" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding, label FROM embeddings
+         |  WHERE vec_id % 10 = 0)
+         |SELECT x.vec_id AS v1, y.vec_id AS v2, x.label AS label,
+         |  ${dotSql("x.embedding", "y.embedding")} /
+         |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |   sqrt(${dotSql("y.embedding", "y.embedding")})) AS cosine
+         |FROM emb x JOIN emb y ON x.label = y.label AND x.vec_id < y.vec_id
+         |WHERE ${dotSql("x.embedding", "y.embedding")} /
+         |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |   sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.999
+         |ORDER BY v1, v2""".stripMargin
+  )
+}

@@ -1,0 +1,150 @@
+package graft.datapipe
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (lexicon-overlap heuristic), quality scoring, token counting, and
+  * document fingerprinting. All single-scan, shuffle-free per-row
+  * transforms (the 100 TB-friendly shape: map-only, codegen'd, no UDFs)
+  * except the fingerprint clustering window.
+  */
+object TextAnalysis {
+  /** Tiny per-language lexicons (n-gram/stopword profiles in a real
+    * system). Alphabetical order doubles as the argmax tie-break.
+    */
+  private val LEX: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "scan", "merge", "column"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "value", "vector"),
+    "fr" -> Seq("join", "sort", "key", "filter"),
+    "zh" -> Seq("spark", "batch", "stream", "window"))
+
+  private def lexArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language ID: frequency-weighted lexicon overlap, argmax with
+    // alphabetical tie-break; compared against the labeled lang.
+    "t01_langid" -> { (s, d) =>
+      import s.implicits._
+      val withScores = LEX.foldLeft(
+        T.documents(s, d).withColumn("words", split($"text", " "))) {
+        case (df, (lang, ws)) =>
+          df.withColumn(s"score_$lang",
+            expr(s"size(filter(words, w -> array_contains(array(${lexArr(ws)}), w)))"))
+      }
+      val m = greatest(LEX.map { case (l, _) => col(s"score_$l") }: _*)
+      val predicted = LEX.foldRight(lit("??")) { case ((lang, _), el) =>
+        when(col(s"score_$lang") === m, lang).otherwise(el)
+      }
+      withScores
+        .withColumn("predicted", predicted)
+        .select($"doc_id", $"lang", $"predicted",
+                ($"predicted" === $"lang").as("agrees"),
+                col("score_de"), col("score_en"), col("score_es"),
+                col("score_fr"), col("score_zh"))
+        .orderBy($"doc_id")
+    },
+
+    // Quality score: type-token ratio, stopword ratio, length saturation.
+    "t02_quality_score" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("words", split($"text", " "))
+        .withColumn("n_words", size($"words").cast("long"))
+        .filter($"n_words" >= 1)
+        .withColumn("ttr",
+          expr("size(array_distinct(words))") / $"n_words")
+        .withColumn("stop_ratio",
+          expr("size(filter(words, w -> w = 'the' OR w = 'a'))") / $"n_words")
+        .withColumn("len_sat", least($"n_words" / 100.0, lit(1.0)))
+        .select($"doc_id", $"lang", $"n_words", $"ttr", $"stop_ratio", $"len_sat",
+                ($"ttr" * 0.4 + (lit(1.0) - $"stop_ratio") * 0.3 +
+                 $"len_sat" * 0.3).as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // Token counting: whitespace, regex (BPE-ish word/number/symbol), and
+    // the chars/3.5 heuristic estimate.
+    "t03_token_count" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id",
+          size(split($"text", " ")).as("ws_tokens"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+            .as("re_tokens"),
+          ceil(length($"text") / 3.5).cast("long").as("est_bpe_tokens"),
+          length($"text").as("n_chars"))
+        .orderBy($"doc_id")
+    },
+
+    // Fingerprint: md5 over the sorted distinct word set (bag-of-words
+    // canonical form); window counts docs sharing a fingerprint.
+    "t04_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("fp",
+          md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")))
+        .withColumn("n_same", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+        .select($"doc_id", $"fp", $"n_same")
+        .orderBy($"doc_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t01_langid" -> {
+      val scoreCols = LEX.map { case (lang, ws) =>
+        s"len(list_filter(string_split(text, ' '), w -> list_contains([${lexArr(ws)}], w))) AS score_$lang"
+      }.mkString(",\n  ")
+      val m = "greatest(" + LEX.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+      val predicted = "CASE " + LEX.map { case (l, _) =>
+        s"WHEN score_$l = $m THEN '$l'"
+      }.mkString(" ") + " ELSE '??' END"
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |  $scoreCols
+         |  FROM documents)
+         |SELECT doc_id, lang, $predicted AS predicted,
+         |  ($predicted) = lang AS agrees,
+         |  CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
+         |  CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
+         |  CAST(score_zh AS INT) AS score_zh
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "t02_quality_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS words,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |r AS (
+        |  SELECT doc_id, lang, n_words,
+        |    len(list_distinct(words)) / n_words AS ttr,
+        |    len(list_filter(words, w -> w = 'the' OR w = 'a')) / n_words AS stop_ratio,
+        |    least(n_words / 100.0, 1.0) AS len_sat
+        |  FROM w)
+        |SELECT doc_id, lang, n_words, ttr, stop_ratio, len_sat,
+        |  ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + len_sat * 0.3 AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+        |    AS re_tokens,
+        |  CAST(ceil(length(text) / 3.5) AS BIGINT) AS est_bpe_tokens,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |      AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
+        |FROM fps ORDER BY doc_id""".stripMargin
+  )
+}
