@@ -19,7 +19,9 @@ object SparkEntry {
     QueryModule(datapipe.Dedup.queries, datapipe.Dedup.oracleSql),
     QueryModule(datapipe.Similarity.queries, datapipe.Similarity.oracleSql),
     QueryModule(datapipe.TextAnalysis.queries, datapipe.TextAnalysis.oracleSql),
-    QueryModule(datapipe.Multimodal.queries, datapipe.Multimodal.oracleSql)
+    QueryModule(datapipe.Multimodal.queries, datapipe.Multimodal.oracleSql),
+    QueryModule(operators.AdvancedAggs.queries, operators.AdvancedAggs.oracleSql),
+    QueryModule(streaming.Streaming.queries, streaming.Streaming.oracleSql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

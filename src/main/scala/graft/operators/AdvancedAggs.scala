@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.{Dets, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Dets._
+
+/** Advanced aggregation surface: rollup / cube / grouping sets, pivot,
+  * exact-decimal moment statistics, HAVING, subquery predicates, and
+  * approximate sketches.
+  *
+  * Scale notes: rollup/cube plan as a single Expand + hash aggregate —
+  * one shuffle regardless of grouping-set count. Moment statistics
+  * (stddev/corr) are re-derived from exact decimal power sums instead of
+  * float merge formulas: the result is bit-identical across partition
+  * counts — i.e., re-running on 10 vs 1000 executors gives the same
+  * bytes, which float stddev does not. Sketch aggs (HLL, KLL) are
+  * mergeable partial aggregates: constant-size state per partition, the
+  * only aggregation family that stays cheap on 100 TB group-bys.
+  */
+object AdvancedAggs {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_rollup" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"),
+             grouping_id().as("gid"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    "q32_cube" -> { (s, d) =>
+      import s.implicits._
+      T.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"),
+             grouping_id().as("gid"))
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+                 $"o_orderpriority".asc_nulls_first)
+    },
+
+    "q33_grouping_sets" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"),
+             grouping_id().as("gid"))
+        .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // Pivot: per linestatus, quantity sums pivoted by return flag.
+    "q34_pivot" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec($"l_quantity")).cast("double"))
+        .orderBy($"l_linestatus")
+    },
+
+    // Moment stats from exact decimal power sums: deterministic stddev /
+    // variance / correlation (bit-identical at any partition count).
+    "q35_stats_moments" -> { (s, d) =>
+      import s.implicits._
+      val x = dec($"l_extendedprice")
+      val y = dec($"l_quantity")
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * x).cast("decimal(38,8)")).as("sxx"),
+          sum((y * y).cast("decimal(38,8)")).as("syy"),
+          sum((x * y).cast("decimal(38,8)")).as("sxy"))
+        .select($"l_returnflag", $"n",
+          ($"sx".cast("double") / $"n").as("mean_price"),
+          round(sqrt(($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
+            / ($"n" - 1)), 6).as("stddev_price"),
+          round((($"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double") / $"n"))
+            / (sqrt($"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double") / $"n")
+             * sqrt($"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double") / $"n")), 6)
+            .as("corr_price_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont: sorted-order interpolation, deterministic).
+    "q36_percentiles" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        .orderBy($"l_returnflag")
+    },
+
+    // HAVING: post-aggregation predicate.
+    "q37_having" -> { (s, d) =>
+      import s.implicits._
+      T.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+        .filter($"n_orders" >= 25)
+        .orderBy($"o_custkey")
+    },
+
+    // IN / scalar subquery predicates via the SQL API.
+    "q38_subqueries" -> { (s, d) =>
+      T.orders(s, d).createOrReplaceTempView("v_orders")
+      T.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM v_orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM v_customer WHERE c_acctbal > 9000)
+          |  AND o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM v_orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Approximate sketches: HLL distinct + KLL-ish percentile. Engine-
+    // specific sketch values -> no SQL oracle (driver rows-only check);
+    // accuracy asserted in ScalaTest against exact counterparts.
+    "q39_approx_sketches" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q31_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 3
+        |       WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q32_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  CASE WHEN o_orderstatus IS NULL AND o_orderpriority IS NULL THEN 3
+        |       WHEN o_orderstatus IS NULL THEN 2
+        |       WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q33_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 2 END AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS "A",
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS "N",
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q35_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sx,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sy,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+        |        * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxx,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+        |        * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS syy,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+        |        * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) / n AS mean_price,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |       / (n - 1)), 6) AS stddev_price,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |  / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |   * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6)
+        |    AS corr_price_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q36_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q37_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q38_subqueries" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |  AND o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
+    // q39_approx_sketches: intentionally no oracle (sketch values are
+    // engine-specific); driver records rows-only check.
+  )
+}
