@@ -30,10 +30,11 @@ object Streaming {
     * future/cursor filter -> watermark + dedup -> per-type counts.
     * Returns the started query writing to a memory sink named `sinkName`.
     */
-  def ingestStream(s: SparkSession, dir: String, sinkName: String) = {
-    val schema = T.events(s, dir).schema
-    val stream = s.readStream.schema(schema)
-      .parquet(s"$dir")                       // file source: one file = one micro-batch
+  def ingestStream(s: SparkSession, path: String, sinkName: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(path).schema // ts arrives as long (nanos)
+    val stream = s.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     stream
       .withWatermark("ts", "1 day")           // past_days=1 lookback
       .dropDuplicates("event_id")             // exactly-once-per-key == O9

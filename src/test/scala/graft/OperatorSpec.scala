@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Operator-level unit tests on crafted micro-data (as-of join, dedup
+  * recall on planted duplicates, similarity sanity, approx accuracy).
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    val clicks = Seq((1L, ts("2024-01-01 10:00:00"), 100L),
+                     (1L, ts("2024-01-01 12:00:00"), 101L),
+                     (2L, ts("2024-01-01 09:00:00"), 102L))
+      .toDF("user_id", "ts", "event_id")
+    val purchases = Seq((1L, ts("2024-01-01 09:30:00"), 5.0),
+                        (1L, ts("2024-01-01 11:00:00"), 7.0),
+                        (3L, ts("2024-01-01 08:00:00"), 9.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val out = TemporalJoins.asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("purchase_value"))
+      .select($"event_id", $"purchase_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(100L) === Some(5.0))  // 09:30 is latest <= 10:00
+    assert(out(101L) === Some(7.0))  // 11:00 is latest <= 12:00
+    assert(out(102L) === None)       // user 2 has no purchase
+  }
+
+  test("as-of join: right row at exactly left ts is included (<= semantics)") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
+    val r = Seq((1L, ts("2024-01-01 10:00:00"), 42.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val out = TemporalJoins.asofJoin(l, r, "user_id", "ts", Seq("purchase_value"))
+      .select($"purchase_value").as[Option[Double]].collect()
+    assert(out.toSeq === Seq(Some(42.0)))
+  }
+
+  test("exact dedup finds every planted exact copy") {
+    val out = datapipe.Dedup.queries("d01_exact_dedup")(spark, sf)
+    val canon = out.select($"canonical_id").as[Long].collect().toSet
+    val docs = Tables.documents(spark, sf).select($"doc_id").as[Long]
+      .collect().filter(_ % 7 == 0).toSet
+    // every doc with a planted copy (doc_id % 7 == 0) must appear as canonical
+    assert(docs.subsetOf(canon))
+  }
+
+  test("minhash LSH recovers planted near-duplicates with high recall") {
+    val pairs = datapipe.Dedup.queries("d02_minhash_lsh")(spark, sf)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val planted = Tables.documents(spark, sf).select($"doc_id").as[Long]
+      .collect().filter(_ % 10 == 0)
+      .map(id => (id, id + 1000000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8")
+  }
+
+  test("embedding near-dup finds all planted exact vector copies") {
+    val pairs = datapipe.Similarity.queries("d05_embedding_neardup")(spark, sf)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    val planted = Tables.embeddings(spark, sf).select($"vec_id").as[Long]
+      .collect().filter(_ % 10 == 0)
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.subsetOf(pairs))
+  }
+
+  test("brute-force top-k cosine: scores in [-1,1], sorted descending") {
+    val rows = datapipe.Similarity.queries("s01_topk_cosine")(spark, sf)
+      .select($"cosine").as[Double].collect()
+    assert(rows.length === 10)
+    assert(rows.forall(c => c >= -1.0001 && c <= 1.0001))
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+  }
+
+  test("LSH ANN results are a subset of brute-force universe with same scores") {
+    val ann = datapipe.Similarity.queries("s02_ann_lsh_bucket")(spark, sf)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toMap
+    val bf = datapipe.Similarity.queries("s01_topk_cosine")(spark, sf)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toMap
+    ann.foreach { case (id, c) =>
+      bf.get(id).foreach(c2 => assert(math.abs(c - c2) < 1e-12))
+    }
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val approx = operators.AdvancedAggs.queries("q39_approx_sketches")(spark, sf)
+      .select($"l_returnflag", $"approx_orders").as[(String, Long)].collect().toMap
+    val exact = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .select($"l_returnflag", $"n").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.1, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("multimodal: mapPartitions feature extraction is deterministic & sized") {
+    val feats = datapipe.Multimodal.extractFeatures(
+      datapipe.Multimodal.assets(spark, sf)).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.n_bytes > 0 && f.fake_class >= 0 && f.fake_class < 256))
+    assert(feats.forall(_.sample_offsets.length == 5))
+    val again = datapipe.Multimodal.extractFeatures(
+      datapipe.Multimodal.assets(spark, sf)).collect()
+    assert(feats.map(_.fake_class).toSeq === again.map(_.fake_class).toSeq)
+  }
+}

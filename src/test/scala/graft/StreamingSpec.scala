@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming path: the ingest stream over the events parquet
+  * must agree with the equivalent batch computation (batch-equivalence is
+  * the verification strategy — the DuckDB oracle is batch-only).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest (watermark + dedup + hourly counts) equals batch") {
+    // file streaming source requires a directory; stage the parquet there
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = streaming.Streaming.ingestStream(spark, dir.toString, "stream_sink")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sink")
+        .select($"window.start".as("win_start"), $"event_type", $"n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = Tables.events(spark, sf)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("win_start"), $"event_type", $"n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("session_window end = last event + gap (streaming construct, batch run)") {
+    val out = streaming.Streaming.queries("q42_session_window")(spark, sf)
+    val bad = out.filter($"sess_end" < $"sess_start" + expr("INTERVAL 30 MINUTES"))
+    assert(bad.count() === 0)
+  }
+}
