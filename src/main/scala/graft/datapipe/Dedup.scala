@@ -158,6 +158,7 @@ object Dedup {
             |     CAST(round(pow(2, j)) AS BIGINT), 0L))""".stripMargin))
         .select($"doc_id", $"simhash",
                 expr("shiftright(simhash, 8)").as("block"))
+        .cache() // self-joined below: compute the fingerprint scan once
       fp.as("x").join(fp.as("y"),
           col("x.block") === col("y.block") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -169,20 +170,30 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
     },
 
-    // Character-4-gram Jaccard with blocked pair generation.
+    // Character-4-gram Jaccard with blocked pair generation. Gram sets are
+    // pre-hashed to sorted long arrays so the per-pair intersection is a
+    // codegen'd linear merge (SortedIntersectCount) instead of an
+    // interpreted array_intersect — the pair-verify loop is the quadratic
+    // hot path. 60-bit gram hashes: collision odds ~2^-43 per doc pair,
+    // far below fp noise; the string-based oracle stays exact.
     "d04_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
+      import graft.functions.SortedIntersectCount.sorted_intersect_count
       val grams = corpus(s, d)
         .withColumn("n_chars", length($"text"))
         .filter($"n_chars" >= 4)
         .withColumn("grams", expr(
-          "array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))"))
+          s"""array_sort(array_distinct(transform(
+             |  sequence(1, length(text) - 3),
+             |  i -> ${hS("substring(text, i, 4)")})))""".stripMargin))
         .select($"doc_id", $"lang", $"source",
                 ($"n_chars".cast("long") / 64L).cast("long").as("lenb"), $"grams")
+        .cache() // self-joined below: compute the gram sets once
       grams.as("x").join(grams.as("y"),
           col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
           col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
-        .withColumn("inter", expr("size(array_intersect(x.grams, y.grams))"))
+        .withColumn("inter",
+          sorted_intersect_count(col("x.grams"), col("y.grams")))
         .withColumn("jaccard",
           expr("inter / (size(x.grams) + size(y.grams) - inter)"))
         .filter(col("jaccard") >= 0.85)

@@ -1,6 +1,7 @@
 package graft.datapipe
 
 import graft.{Tables => T}
+import graft.functions.CosineSim.cosine_sim
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -47,10 +48,7 @@ object Similarity {
         .select($"embedding".as("q_emb")))
       emb.filter($"vec_id" =!= QID)
         .crossJoin(q)
-        .withColumn("cosine", expr(
-          s"""${dot("embedding", "q_emb")} /
-             |(sqrt(${dot("embedding", "embedding")}) *
-             | sqrt(${dot("q_emb", "q_emb")}))""".stripMargin))
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
         .select($"vec_id", $"label", $"cosine")
         .orderBy($"cosine".desc, $"vec_id")
         .limit(10)
@@ -68,10 +66,7 @@ object Similarity {
         .select($"embedding".as("q_emb"), $"bucket".as("q_bucket")))
       emb.filter($"vec_id" =!= QID)
         .join(q, $"bucket" === $"q_bucket")
-        .withColumn("cosine", expr(
-          s"""${dot("embedding", "q_emb")} /
-             |(sqrt(${dot("embedding", "embedding")}) *
-             | sqrt(${dot("q_emb", "q_emb")}))""".stripMargin))
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
         .select($"vec_id", $"label", $"bucket", $"cosine")
         .orderBy($"cosine".desc, $"vec_id")
         .limit(5)
@@ -88,10 +83,7 @@ object Similarity {
       emb.as("x").join(emb.as("y"),
           col("x.label") === col("y.label") &&
           col("x.vec_id") < col("y.vec_id"))
-        .withColumn("cosine", expr(
-          s"""${dot("x.embedding", "y.embedding")} /
-             |(sqrt(${dot("x.embedding", "x.embedding")}) *
-             | sqrt(${dot("y.embedding", "y.embedding")}))""".stripMargin))
+        .withColumn("cosine", cosine_sim(col("x.embedding"), col("y.embedding")))
         .filter($"cosine" >= 0.999)
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
                 col("x.label").as("label"), col("cosine"))
