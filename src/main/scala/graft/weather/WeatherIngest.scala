@@ -1,0 +1,101 @@
+package graft.weather
+
+import graft.Dets._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline end-to-end on Spark (EP1/EP2, SURVEY §3):
+  * connect -> guard -> cursor -> extract -> transform -> load -> report,
+  * over the WeatherGridSource "API" and a Parquet sink.
+  *
+  * Reference mapping (lambda_function.py):
+  *  - guard (:55-72):   sink path must exist — fail fast, never create
+  *  - cursor (:75-86):  agg(max(ts)) on the sink — metadata-only on
+  *                      Parquet (footer stats), the pushed-down MAX
+  *  - extract (:89-124): WeatherGridSource scan with ts-range pushdown
+  *                      bounded by past_days/forecast_days
+  *  - transform (:127-145): future filter + strictly-after-cursor filter
+  *  - NaN->NULL (:167-173): measure encoding at the sink boundary
+  *  - load (:176-186):  within-batch dedup + left-anti vs sink + append
+  *                      (ON CONFLICT (date) DO NOTHING)
+  *  - report (:228-238): IngestResult envelope; errors -> IngestError
+  *                      (:240-248)
+  */
+object WeatherIngest {
+  import graft.sources.WeatherGridSource.MEASURES
+
+  final case class IngestResult(statusCode: Int, recordsFetched: Long,
+                                recordsInserted: Long,
+                                latestCursor: Option[java.sql.Timestamp],
+                                error: Option[String] = None)
+
+  /** O2: bounded-retry wrapper for the extract boundary (reference: 5
+    * retries, backoff 0.2 — retry_requests/__init__.py:40-87). Spark-side
+    * reads are lazy, so the retry wraps the materializing action.
+    */
+  def withRetry[T](retries: Int = 5, backoffMs: Long = 200)(f: => T): T = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= retries) {
+      try return f
+      catch { case e: Throwable =>
+        lastErr = e; attempt += 1
+        if (attempt <= retries) Thread.sleep(backoffMs * (1L << (attempt - 1)))
+      }
+    }
+    throw lastErr
+  }
+
+  /** O10: existence guard — abort, never auto-create (lambda_function.py:55-72). */
+  def sinkExists(spark: SparkSession, path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+
+  /** O5: cursor = MAX(ts) over the sink; Parquet footer stats make this
+    * metadata-only (no data scan) — the Spark analog of running MAX in
+    * the database.
+    */
+  def latestCursor(spark: SparkSession, path: String): Option[java.sql.Timestamp] =
+    Option(spark.read.parquet(path).agg(max("ts")).first().getTimestamp(0))
+
+  /** Extract: read the source bounded to [now - pastDays, now + forecastDays). */
+  def fetch(spark: SparkSession, now: String, pastDays: Int, forecastDays: Int,
+            locations: Int): DataFrame = {
+    val nowTs = java.time.LocalDateTime.parse(now.replace(' ', 'T'))
+    spark.read.format("graft.sources.WeatherGridSource")
+      .option("start", nowTs.minusDays(pastDays).toString.replace('T', ' '))
+      .option("end", nowTs.plusDays(forecastDays).toString.replace('T', ' '))
+      .option("locations", locations)
+      .load()
+  }
+
+  /** One scheduled run (the lambda_handler body). `now` is explicit for
+    * determinism/testing; production passes the trigger time.
+    */
+  def run(spark: SparkSession, sinkPath: String, now: String,
+          pastDays: Int = 1, forecastDays: Int = 1,
+          locations: Int = 1): IngestResult = {
+    try {
+      if (!sinkExists(spark, sinkPath))
+        return IngestResult(500, 0, 0, None,
+          Some(s"sink $sinkPath does not exist — create it first"))
+      val cursor = latestCursor(spark, sinkPath)
+      val raw = fetch(spark, now, pastDays, forecastDays, locations)
+      val noFuture = raw.filter(col("ts") <= lit(now).cast("timestamp"))
+      val fresh = cursor.fold(noFuture)(c => noFuture.filter(col("ts") > lit(c)))
+      val encoded = MEASURES.foldLeft(fresh)((df, m) =>
+        df.withColumn(m, when(isnan(col(m)), lit(null)).otherwise(col(m))))
+      val sink = spark.read.parquet(sinkPath)
+      val toInsert = WeatherPipeline.upsertNew(
+        encoded, sink, Seq("location_id", "ts")).cache()
+      val fetched = withRetry()(raw.count())
+      val inserted = toInsert.count()
+      if (inserted > 0)
+        toInsert.write.mode(SaveMode.Append).parquet(sinkPath)
+      val newCursor = latestCursor(spark, sinkPath)
+      toInsert.unpersist()
+      IngestResult(200, fetched, inserted, newCursor)
+    } catch {
+      case e: Throwable => IngestResult(500, 0, 0, None, Some(e.getMessage))
+    }
+  }
+}

@@ -71,12 +71,17 @@ object WeatherPipeline {
     * reference keeps first written) + left-anti join against sink keys +
     * append. Returns the rows that would be appended.
     */
-  def upsertNew(batch: DataFrame, sink: DataFrame, key: String): DataFrame = {
+  def upsertNew(batch: DataFrame, sink: DataFrame, key: String): DataFrame =
+    upsertNew(batch, sink, Seq(key))
+
+  /** Composite-key variant (multi-location: (location_id, ts)). */
+  def upsertNew(batch: DataFrame, sink: DataFrame, keys: Seq[String]): DataFrame = {
+    val kCols = keys.map(col)
     val deduped = batch.withColumn("_rn",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key)).orderBy(col(key))))
+          .partitionBy(kCols: _*).orderBy(kCols: _*)))
       .filter(col("_rn") === 1).drop("_rn")
-    deduped.join(sink.select(col(key)), Seq(key), "left_anti")
+    deduped.join(sink.select(kCols: _*), keys, "left_anti")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

