@@ -122,6 +122,19 @@ object AdvancedAggs {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // Custom TypedImperativeAggregate: deterministic bottom-k (KMV)
+    // sketch over the portable hash — O(k) mergeable state, same result
+    // at any parallelism, and (unlike HLL) oracle-reproducible.
+    "q43_bottomk_sketch" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.BottomKAgg.bottom_k
+      T.documents(s, d)
+        .groupBy($"lang")
+        .agg(bottom_k(Dets.phash($"text"), 8).as("sketch"),
+             count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    },
+
     // Approximate sketches: HLL distinct + KLL-ish percentile. Engine-
     // specific sketch values -> no SQL oracle (driver rows-only check);
     // accuracy asserted in ScalaTest against exact counterparts.
@@ -216,7 +229,14 @@ object AdvancedAggs {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |  AND o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q43_bottomk_sketch" ->
+      s"""SELECT lang,
+         |  list_slice(list_sort(list_distinct(
+         |    list(${graft.Dets.phashSql("text")}))), 1, 8) AS sketch,
+         |  COUNT(*) AS n_docs
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     // q39_approx_sketches: intentionally no oracle (sketch values are
     // engine-specific); driver records rows-only check.
   )
