@@ -65,7 +65,7 @@ object Dets {
     * (not for exact identity — pair it with a verify step).
     */
   def phash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.PortableHashExpr.graft_phash(c)
 
   /** SQL fragment computing phash(expr) in DuckDB. */
   def phashSql(expr: String): String =

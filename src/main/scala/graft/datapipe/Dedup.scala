@@ -36,9 +36,11 @@ object Dedup {
   private val BANDS = 4
   private val ROWS = 4 // K = BANDS * ROWS = 16
 
-  /** Spark SQL fragment: portable 60-bit hash of expr (see Dets.phashSql). */
-  private def hS(e: String) =
-    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  /** Spark SQL fragment: portable 60-bit hash of expr — the codegen'd
+    * PortableHashExpr, registered as `graft_phash` (bit-identical to
+    * Dets.phashSql's md5-hex form the oracle uses).
+    */
+  private def hS(e: String) = s"graft_phash($e)"
 
   /** The test corpus: originals + perturbed near-copies + exact copies. */
   private def corpus(s: SparkSession, d: String): DataFrame = {
@@ -64,6 +66,7 @@ object Dedup {
 
   /** MinHash signature + shingle set per doc (Spark side). */
   private def signatures(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
     val sigExpr = "array(" + AB.map { case (a, b) =>
       s"array_min(transform(mhbase, m -> ($a * m + $b) % $P))"
     }.mkString(", ") + ")"
@@ -148,6 +151,7 @@ object Dedup {
     // top byte, verified by Hamming distance <= 3.
     "d03_simhash" -> { (s, d) =>
       import s.implicits._
+      graft.GraftExtensions.register(s)
       val fp = corpus(s, d)
         .withColumn("words", split(col("text"), " "))
         .filter(size(col("words")) >= 1)
@@ -179,6 +183,7 @@ object Dedup {
     "d04_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
       import graft.functions.SortedIntersectCount.sorted_intersect_count
+      graft.GraftExtensions.register(s)
       val grams = corpus(s, d)
         .withColumn("n_chars", length($"text"))
         .filter($"n_chars" >= 4)
