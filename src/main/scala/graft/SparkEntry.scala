@@ -21,6 +21,7 @@ object SparkEntry {
     QueryModule(datapipe.TextAnalysis.queries, datapipe.TextAnalysis.oracleSql),
     QueryModule(datapipe.Multimodal.queries, datapipe.Multimodal.oracleSql),
     QueryModule(operators.AdvancedAggs.queries, operators.AdvancedAggs.oracleSql),
+    QueryModule(operators.Nested.queries, operators.Nested.oracleSql),
     QueryModule(streaming.Streaming.queries, streaming.Streaming.oracleSql)
   )
 
