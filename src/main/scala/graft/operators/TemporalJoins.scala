@@ -70,6 +70,23 @@ object TemporalJoins {
         .orderBy($"event_id")
     },
 
+    // Same as-of semantics through the native custom operator
+    // (graft.plans.AsOfJoinExec: LogicalPlan + Strategy + BinaryExecNode,
+    // partitioned sort-merge with carry-forward) — the ladder-(c) path.
+    "q46_asof_join_native" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id")
+      val wDedup = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .withColumn("_rn", row_number().over(wDedup)).filter($"_rn" === 1)
+        .select($"user_id", $"ts", $"value".as("purchase_value"))
+      graft.plans.AsOfJoin.asofJoin(clicks, purchases, "user_id", "ts")
+        .select($"event_id", $"user_id", $"ts", $"purchase_value")
+        .orderBy($"event_id")
+    },
+
     // Range join: for each error event, count same-user events in the
     // preceding 10 minutes — bucketed equi-join, not a theta-join.
     "q30_range_join" -> { (s, d) =>
@@ -102,6 +119,18 @@ object TemporalJoins {
         |                                 ORDER BY event_id DESC) = 1)
         |SELECT c.event_id, c.user_id, c.ts,
         |  p.value AS purchase_value, p.ts AS purchase_ts
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q46_asof_join_native" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts, event_type, value
+        |  FROM events),
+        |p AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, c.user_id, c.ts, p.value AS purchase_value
         |FROM (SELECT * FROM ev WHERE event_type = 'click') c
         |ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,

@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graft.DatasetBridge
+
+/** Native as-of join: for each left row, attach the latest right row with
+  * `right.ts <= left.ts` within the same key — the full custom-operator
+  * ladder (SURVEY §7 / brief option (c)): LogicalPlan node -> Strategy ->
+  * BinaryExecNode, registered via `spark.experimental.extraStrategies`.
+  *
+  * Physical algorithm: both children hash-clustered on the key and sorted
+  * by (key, ts) — Spark's EnsureRequirements inserts the exchanges/sorts —
+  * then a single linear merge per partition carries the most recent right
+  * row forward. One shuffle per side, O(1) state per key, zero pair
+  * explosion: the plan shape that survives 100 TB and skewed keys, in
+  * contrast to the theta-join + ranking formulation (O(|L_k| x |R_k|)
+  * intermediate pairs per key).
+  *
+  * Constraints (documented, enforced at construction): key is LongType,
+  * ts is TimestampType (both non-null); right rows with duplicate
+  * (key, ts) should be pre-deduped for deterministic output.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        keyName: String, tsName: String) extends BinaryNode {
+  private def rightPayload: Seq[Attribute] =
+    right.output.filterNot(a => a.name == keyName || a.name == tsName)
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+  // key/ts are referenced by NAME, invisible to the optimizer — declare
+  // every child column referenced so ColumnPruning can't drop them.
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan = copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, key, ts) =>
+      AsOfJoinExec(planLater(l), planLater(r), key, ts) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        keyName: String, tsName: String) extends BinaryExecNode {
+
+  private def attr(side: SparkPlan, name: String): Attribute =
+    side.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name missing in ${side.output}"))
+
+  private def rightPayload: Seq[Attribute] =
+    right.output.filterNot(a => a.name == keyName || a.name == tsName)
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(attr(left, keyName))),
+    ClusteredDistribution(Seq(attr(right, keyName))))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(attr(left, keyName), Ascending),
+        SortOrder(attr(left, tsName), Ascending)),
+    Seq(SortOrder(attr(right, keyName), Ascending),
+        SortOrder(attr(right, tsName), Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyIdx = left.output.indexWhere(_.name == keyName)
+    val lTsIdx = left.output.indexWhere(_.name == tsName)
+    val rKeyIdx = right.output.indexWhere(_.name == keyName)
+    val rTsIdx = right.output.indexWhere(_.name == tsName)
+    val rPayloadIdx = right.output.zipWithIndex
+      .filterNot { case (a, _) => a.name == keyName || a.name == tsName }
+      .map(_._2).toArray
+    val outAttrs = output
+    val nPayload = rPayloadIdx.length
+    val rightFull = right.output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullPayload = new GenericInternalRow(nPayload)
+      val rBuf = rIter.buffered
+      // payload of the carried right row (copied: sort output rows are reused)
+      var carriedKey = 0L
+      var carried: InternalRow = null
+
+      def payloadOf(r: InternalRow): InternalRow = {
+        val vals = new Array[Any](nPayload)
+        var i = 0
+        while (i < nPayload) {
+          val idx = rPayloadIdx(i)
+          val a = rightFull(idx)
+          vals(i) = if (r.isNullAt(idx)) null else r.get(idx, a.dataType)
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+
+      lIter.map { l =>
+        val lk = l.getLong(lKeyIdx)
+        val lt = l.getLong(lTsIdx)
+        // advance right to the last row with (key < lk) or (key == lk && ts <= lt)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val r = rBuf.head
+          val rk = r.getLong(rKeyIdx)
+          if (rk < lk || (rk == lk && r.getLong(rTsIdx) <= lt)) {
+            if (rk == lk) { carried = payloadOf(r); carriedKey = rk }
+            rBuf.next()
+          } else advancing = false
+        }
+        val payload =
+          if (carried != null && carriedKey == lk) carried else nullPayload
+        proj(joined(l, payload))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
+}
+
+object AsOfJoin {
+  /** Column-API entry point. Registers the strategy (idempotent) and
+    * builds the logical node from the analyzed child plans.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, ts: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    DatasetBridge.ofRows(spark,
+      AsOfJoinPlan(DatasetBridge.analyzed(left), DatasetBridge.analyzed(right),
+                   key, ts))
+  }
+}

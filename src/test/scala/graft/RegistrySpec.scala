@@ -29,7 +29,8 @@ class RegistrySpec extends SparkSpec {
       operators.TemporalJoins.queries, weather.WeatherPipeline.queries,
       datapipe.Dedup.queries, datapipe.Similarity.queries,
       datapipe.TextAnalysis.queries, datapipe.Multimodal.queries,
-      operators.AdvancedAggs.queries, streaming.Streaming.queries)
+      operators.AdvancedAggs.queries, operators.Nested.queries,
+      streaming.Streaming.queries)
     assert(mods.map(_.size).sum === SparkEntry.queries.size)
   }
 }

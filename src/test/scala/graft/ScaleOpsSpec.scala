@@ -35,6 +35,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a.values.forall(s => s == s.sorted && s.size <= 8))
   }
 
+  test("native AsOfJoinExec equals the composed as-of formulation") {
+    val native = operators.TemporalJoins.queries("q46_asof_join_native")(spark, sf)
+      .select($"event_id", $"purchase_value")
+      .as[(Long, Option[Double])].collect().toMap
+    val composed = operators.TemporalJoins.queries("q29_asof_join")(spark, sf)
+      .select($"event_id", $"purchase_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(native === composed)
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window counts") {
     val evs = Tables.events(spark, sf)
       .select($"user_id", date_trunc("second", $"ts").as("ts"), $"value")
