@@ -92,11 +92,13 @@ object AdvancedAggs {
       import s.implicits._
       T.lineitem(s, d)
         .groupBy($"l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        // one percentile(array(...)) call = one sorted-counts buffer per
+        // group instead of four
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))")
+          .as("ps"))
+        .select($"l_returnflag",
+          element_at($"ps", 1).as("p25"), element_at($"ps", 2).as("p50"),
+          element_at($"ps", 3).as("p75"), element_at($"ps", 4).as("p90"))
         .orderBy($"l_returnflag")
     },
 

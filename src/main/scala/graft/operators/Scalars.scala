@@ -105,11 +105,14 @@ object Scalars {
     "q28_scalar_json" -> { (s, d) =>
       import s.implicits._
       T.events(s, d)
+        // single from_json parse, fields projected from the struct
+        // (get_json_object would re-parse the document per extraction)
+        .withColumn("j", from_json($"props", "k INT"))
         .select(
           $"event_id",
-          get_json_object($"props", "$.k").as("k_str"),
-          get_json_object($"props", "$.k").cast("int").as("k_int"),
-          (get_json_object($"props", "$.k").cast("int") > 50).as("k_big"))
+          $"j.k".cast("string").as("k_str"),
+          $"j.k".as("k_int"),
+          ($"j.k" > 50).as("k_big"))
         .orderBy($"event_id")
     }
   )
