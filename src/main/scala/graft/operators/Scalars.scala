@@ -107,7 +107,10 @@ object Scalars {
       T.events(s, d)
         // single from_json parse, fields projected from the struct
         // (get_json_object would re-parse the document per extraction)
-        .withColumn("j", from_json($"props", "k INT"))
+        .withColumn("j", from_json($"props",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))))
         .select(
           $"event_id",
           $"j.k".cast("string").as("k_str"),
