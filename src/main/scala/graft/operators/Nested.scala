@@ -33,6 +33,36 @@ object Nested {
         .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
         .filter($"pos" < 10)
         .orderBy($"doc_id", $"pos")
+    },
+
+    // Map functions: build, access, introspect — outputs are the extracted
+    // scalars (map cell layout is engine-specific; its *contents* are not).
+    "q47_map_functions" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("m", map(
+          lit("lang"), $"lang",
+          lit("src"), $"source",
+          lit("len"), $"n_chars".cast("string")))
+        .select($"doc_id",
+          element_at($"m", "lang").as("m_lang"),
+          element_at($"m", "src").as("m_src"),
+          element_at($"m", "len").cast("long").as("m_len"),
+          size($"m").as("m_size"),
+          array_contains(map_keys($"m"), "lang").as("has_lang"))
+        .orderBy($"doc_id")
+    },
+
+    // Salted skew join: the hot-key mitigation, oracle = the plain join
+    // (salting must be semantically invisible).
+    "q48_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val probe = T.events(s, d).select($"event_id", $"user_id", $"value")
+      val build = T.events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("user_events"))
+      SkewJoin.saltedJoin(probe, build, "user_id", salts = 7)
+        .select($"event_id", $"user_id", $"user_events")
+        .orderBy($"event_id")
     }
   )
 
@@ -50,6 +80,18 @@ object Nested {
         |    i -> struct_pack(pos := i, word := words[i+1]))) AS u
         |  FROM (SELECT doc_id, string_split(text, ' ') AS words
         |        FROM documents WHERE doc_id % 25 = 0))
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q47_map_functions" ->
+      """SELECT doc_id, lang AS m_lang, source AS m_src, n_chars AS m_len,
+        |  3 AS m_size, TRUE AS has_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q48_salted_join" ->
+      """SELECT e.event_id, e.user_id, b.user_events
+        |FROM events e
+        |JOIN (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY 1) b
+        |  ON e.user_id = b.user_id
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -1,0 +1,62 @@
+package graft
+
+/** Plan-quality regression tests: the physical-plan properties the 100 TB
+  * design depends on must survive refactors — pushdown reaching the
+  * Parquet scan, dimension broadcasts, top-k as TakeOrderedAndProject,
+  * and whole-stage codegen over the hot expressions.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  /** Plan after execution — AQE has finalized, codegen spans visible. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates and projection push into the Parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    // toString truncates the filter list — match the stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filters not pushed")
+    // pruned read schema: 6 columns, not the full 11
+    assert(!p.contains("l_tax"), "projection not pruned — reads unused columns")
+  }
+
+  test("q03/q08: dimension joins broadcast") {
+    assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q08_multiway_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q10: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), "no partial aggregation in:\n" + p.take(800))
+  }
+
+  test("d05: codegen'd cosine runs inside WholeStageCodegen") {
+    val p = finalPlan("d05_embedding_neardup")
+    assert(p.contains("cosinesim") || p.contains("CosineSim"),
+      "custom expression missing from plan")
+    // compact notation: "*(n)" prefixes whole-stage-codegen'd operators
+    assert(p.contains("*(") && p.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("cosinesim")),
+      "cosine expression not inside a codegen stage:\n" + p.take(1200))
+  }
+
+  test("q46: native as-of join plans with clustered exchanges and sorts") {
+    val p = plan("q46_asof_join_native")
+    assert(p.contains("AsOfJoin"), "custom exec node missing")
+    assert(p.contains("Exchange hashpartitioning"), "children not hash-clustered")
+    assert(p.contains("Sort ["), "children not sorted for merge")
+  }
+}
