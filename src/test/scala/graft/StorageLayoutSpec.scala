@@ -28,7 +28,19 @@ class StorageLayoutSpec extends SparkSpec {
 
   test("bucketed tables: equi-join on the bucket key plans without exchange") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
-    // warehouse conf is static and can't move per-test
+    // warehouse conf is static and can't move per-test. A previous JVM's
+    // orphaned table dirs conflict with the fresh in-memory catalog:
+    // drop + delete locations first.
+    Seq("ev_bucketed_a", "ev_bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"value")
     ev.write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
       .saveAsTable("ev_bucketed_a")
