@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Numerics contract: accumulates dot/norms as doubles in index order —
   * the exact IEEE operation sequence of the documented left-fold — so
   * results are bit-identical to the `aggregate(...)` formulation and the
-  * DuckDB oracle (`Similarity.dotSql`).
+  * DuckDB oracle (`Similarity.dotSql`) on well-formed (equal-dimension)
+  * inputs. Edge semantics, by design: mismatched lengths score the common
+  * prefix (min length); a zero vector yields NaN (0/0) — validate
+  * dimensions upstream when the corpus may contain malformed rows.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -24,6 +24,11 @@ object SkewJoin {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full outer would emit each unmatched build row once PER SALT
+    // (the build side is replicated) — only probe-preserving types are sound
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"saltedJoin supports probe-preserving join types only, got $joinType")
     // deterministic per-row salt: stable under retries/re-runs
     val salted = probe.withColumn("_salt",
       pmod(hash(probe.columns.map(col).toSeq: _*), lit(salts)))

@@ -29,26 +29,32 @@ object TemporalJoins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                rightCols: Seq[String]): DataFrame = {
+    val payload = rightCols.filterNot(c => c == key || c == tsCol)
+    // internal prefix isolates right payload from same-named left columns —
+    // otherwise the ignoreNulls carry-forward would pick up the left rows'
+    // own values and every left row would "match" itself
+    val pfx = "_asof_r_"
     val l = left.withColumn("_side", lit(1))
     val r = right.withColumn("_side", lit(0))
-    val leftCols = left.columns
-    // align schemas: left cols + right payload cols, nulls where absent
-    val allCols = (leftCols ++ rightCols).distinct
-    def aligned(df: DataFrame) = df.select(
+    def aligned(df: DataFrame, isRight: Boolean) = df.select(
       (Seq(col(key), col(tsCol), col("_side")) ++
-        allCols.filterNot(c => c == key || c == tsCol).map(c =>
-          if (df.columns.contains(c)) col(c) else lit(null).as(c))): _*)
-    val unioned = aligned(l).unionByName(aligned(r))
+        left.columns.filterNot(c => c == key || c == tsCol).map(c =>
+          if (!isRight && df.columns.contains(c)) col(c) else lit(null).as(c)) ++
+        payload.map(c =>
+          if (isRight) col(c).as(pfx + c) else lit(null).as(pfx + c))): _*)
+    val unioned = aligned(l, isRight = false)
+      .unionByName(aligned(r, isRight = true))
     // right rows sort before left rows at equal ts => "<=" semantics
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.filterNot(c => c == key || c == tsCol)
-      .foldLeft(unioned)((df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = payload.foldLeft(unioned)((df, c) =>
+      df.withColumn(pfx + c, last(col(pfx + c), ignoreNulls = true).over(w)))
     val carriedTs = carried.withColumn("_asof_ts",
       last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
-    carriedTs.filter(col("_side") === 1).drop("_side")
+    payload.foldLeft(carriedTs.filter(col("_side") === 1).drop("_side")) {
+      (df, c) => df.withColumnRenamed(pfx + c, c)
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

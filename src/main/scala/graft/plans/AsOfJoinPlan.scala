@@ -101,7 +101,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         while (i < nPayload) {
           val idx = rPayloadIdx(i)
           val a = rightFull(idx)
-          vals(i) = if (r.isNullAt(idx)) null else r.get(idx, a.dataType)
+          // deep copy: sorter/spill readers reuse row buffers, so
+          // UTF8String/ArrayData references would be overwritten later
+          vals(i) =
+            if (r.isNullAt(idx)) null
+            else InternalRow.copyValue(r.get(idx, a.dataType))
           i += 1
         }
         new GenericInternalRow(vals)

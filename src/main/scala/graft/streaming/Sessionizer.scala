@@ -3,16 +3,19 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Custom stateful streaming operator: gap-based sessionization via
-  * `flatMapGroupsWithState` — the escape hatch for per-key streaming
-  * logic `session_window` can't express (e.g. emitting per-session
-  * aggregates with custom close rules). State per key is one open
-  * session (O(1)); the watermark/timeout closes idle sessions, so the
-  * state store stays bounded by live keys — the 100 TB-safe shape.
+/** Custom stateful sessionization via `flatMapGroupsWithState` — the
+  * escape hatch for per-key logic `session_window` can't express (e.g.
+  * per-session aggregates with custom close rules). State per key is one
+  * open session (O(1)).
   *
-  * Works identically over a bounded Dataset (batch mode runs each group
-  * once with no state carry-over), which is how the unit test checks the
-  * session arithmetic against the declarative `session_window` operator.
+  * This implementation targets BATCH mode (each group runs once, so the
+  * trailing open session is emitted at the end), which is how the unit
+  * test checks the session arithmetic against the declarative
+  * `session_window` operator. A continuous-streaming deployment must NOT
+  * emit the open session per micro-batch: it would wire
+  * `GroupStateTimeout.EventTimeTimeout` + `state.setTimeoutTimestamp`,
+  * emit a session only when its timeout fires, and let the watermark
+  * expire idle keys so the state store stays bounded by live keys.
   */
 object Sessionizer {
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

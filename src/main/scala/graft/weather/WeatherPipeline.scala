@@ -74,12 +74,20 @@ object WeatherPipeline {
   def upsertNew(batch: DataFrame, sink: DataFrame, key: String): DataFrame =
     upsertNew(batch, sink, Seq(key))
 
-  /** Composite-key variant (multi-location: (location_id, ts)). */
+  /** Composite-key variant (multi-location: (location_id, ts)).
+    *
+    * Within-batch survivor: a distributed batch has no "first row" (the
+    * reference's insert order doesn't exist under shuffle), so the
+    * deterministic analog of first-write-wins is a total order — survivor
+    * = lexicographically smallest row over ALL columns, stable across
+    * runs and partitionings.
+    */
   def upsertNew(batch: DataFrame, sink: DataFrame, keys: Seq[String]): DataFrame = {
     val kCols = keys.map(col)
+    val tieBreak = batch.columns.filterNot(keys.contains).map(col)
     val deduped = batch.withColumn("_rn",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(kCols: _*).orderBy(kCols: _*)))
+          .partitionBy(kCols: _*).orderBy((kCols ++ tieBreak): _*)))
       .filter(col("_rn") === 1).drop("_rn")
     deduped.join(sink.select(kCols: _*), keys, "left_anti")
   }

@@ -26,10 +26,25 @@ class IngestSpec extends SparkSpec {
   }
 
   test("source: ts-range pushdown prunes generated slots") {
+    // results stay correct regardless (Spark re-applies the filter);
+    // assert the PRUNING itself on the ScanBuilder directly
+    import graft.sources.{WeatherGridScanBuilder, WeatherGridSource}
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    val interval = 900L * 1000000L
+    val builder = new WeatherGridScanBuilder(
+      WeatherGridSource.parseTs("2024-01-01 00:00:00"),
+      WeatherGridSource.parseTs("2024-01-03 00:00:00"), interval, 2)
+    val remaining = builder.pushFilters(Array(GreaterThanOrEqual("ts",
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))))
+    assert(remaining.length === 1, "filters must also be re-applied by Spark")
+    assert(builder.pushedFilters().length === 1, "filter not accepted for pushdown")
+    val scan = builder.build()
+    assert(scan.description().contains(
+      WeatherGridSource.parseTs("2024-01-02 00:00:00").toString),
+      s"scan range not narrowed: ${scan.description()}")
+    // and end-to-end: the filtered read returns exactly the last day
     val filtered = readGrid(2).filter($"ts" >= "2024-01-02 00:00:00")
     assert(filtered.count() === 2L * 96)
-    val pushed = filtered.queryExecution.executedPlan.toString
-    assert(pushed.contains("PushedFilters") || filtered.count() == 2L * 96)
   }
 
   test("source: deterministic values with NaN holes") {

@@ -67,7 +67,9 @@ def main():
     results = {}
     produced = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if not p.endswith(".json")}
     for name in sorted(produced):
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        # sorted: glob order is filesystem order; multi-part outputs would
+        # otherwise concatenate out of the query's ORDER BY order
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             results[name] = "FAIL no spark output"
             continue
