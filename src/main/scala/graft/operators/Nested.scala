@@ -63,6 +63,31 @@ object Nested {
       SkewJoin.saltedJoin(probe, build, "user_id", salts = 7)
         .select($"event_id", $"user_id", $"user_events")
         .orderBy($"event_id")
+    },
+
+    // Theta join = cross join + non-equi predicate (SURVEY §2.2 joins row).
+    // Kept to dimension-sized inputs: an unconstrained theta join is a
+    // Cartesian product and must never touch a fact table at scale.
+    "q49_theta_join" -> { (s, d) =>
+      import s.implicits._
+      val n1 = T.nation(s, d).select($"n_name".as("name_a"), $"n_regionkey".as("reg_a"))
+      val n2 = T.nation(s, d).select($"n_name".as("name_b"), $"n_regionkey".as("reg_b"))
+      n1.crossJoin(n2)
+        .filter($"reg_a" === $"reg_b" && $"name_a" < $"name_b")
+        .select($"reg_a".as("regionkey"), $"name_a", $"name_b")
+        .orderBy($"regionkey", $"name_a", $"name_b")
+    },
+
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM) vs plain equality.
+    "q50_nullsafe_predicates" -> { (s, d) =>
+      import s.implicits._
+      T.events(s, d)
+        .withColumn("maybe_type", nullif($"event_type", lit("error")))
+        .select($"event_id",
+          ($"maybe_type" <=> lit("click")).as("nullsafe_click"),
+          ($"maybe_type" <=> lit(null)).as("is_masked"),
+          ($"maybe_type" === lit("click")).as("plain_click"))
+        .orderBy($"event_id")
     }
   )
 
@@ -92,6 +117,19 @@ object Nested {
         |FROM events e
         |JOIN (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY 1) b
         |  ON e.user_id = b.user_id
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q49_theta_join" ->
+      """SELECT a.n_regionkey AS regionkey, a.n_name AS name_a, b.n_name AS name_b
+        |FROM nation a, nation b
+        |WHERE a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+        |ORDER BY regionkey, name_a, name_b""".stripMargin,
+
+    "q50_nullsafe_predicates" ->
+      """SELECT event_id,
+        |  NULLIF(event_type, 'error') IS NOT DISTINCT FROM 'click' AS nullsafe_click,
+        |  NULLIF(event_type, 'error') IS NOT DISTINCT FROM NULL AS is_masked,
+        |  NULLIF(event_type, 'error') = 'click' AS plain_click
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

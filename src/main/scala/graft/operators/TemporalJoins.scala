@@ -52,8 +52,13 @@ object TemporalJoins {
       df.withColumn(pfx + c, last(col(pfx + c), ignoreNulls = true).over(w)))
     val carriedTs = carried.withColumn("_asof_ts",
       last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    // expose payload under its own name; on collision with a left column,
+    // suffix "_right" (pandas merge_asof convention) — never ambiguous,
+    // never silently dropping the left's data
     payload.foldLeft(carriedTs.filter(col("_side") === 1).drop("_side")) {
-      (df, c) => df.withColumnRenamed(pfx + c, c)
+      (df, c) =>
+        val out = if (left.columns.contains(c)) c + "_right" else c
+        df.withColumnRenamed(pfx + c, out)
     }
   }
 

@@ -35,6 +35,32 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a.values.forall(s => s == s.sorted && s.size <= 8))
   }
 
+  test("saltedJoin rejects non-probe-preserving join types") {
+    val df = Tables.events(spark, sf).select($"event_id", $"user_id")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, "user_id", salts = 3, joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, "user_id", salts = 3, joinType = "right")
+    }
+  }
+
+  test("asofJoin is safe when left and right share a payload column name") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // left ALSO has a 'purchase_value' column — must not pollute the carry
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 100L, 999.0))
+      .toDF("user_id", "ts", "event_id", "purchase_value")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 5.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val out = operators.TemporalJoins.asofJoin(l, r, "user_id", "ts",
+        Seq("purchase_value"))
+      .select($"event_id", $"purchase_value", $"purchase_value_right")
+      .as[(Long, Double, Double)].collect()
+    // left's own column intact; right's carried value under _right suffix
+    assert(out.toSeq === Seq((100L, 999.0, 5.0)))
+  }
+
   test("native AsOfJoinExec equals the composed as-of formulation") {
     val native = operators.TemporalJoins.queries("q46_asof_join_native")(spark, sf)
       .select($"event_id", $"purchase_value")
