@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Streaming form of the weather-grid source: a `MicroBatchStream` whose
+  * offset is the global slot index — the Spark-native restatement of the
+  * reference's cursor-based micro-batch loop (SURVEY O5/O12: CloudWatch
+  * cron + MAX(date) cursor == trigger + offset log). Each trigger emits at
+  * most `maxSlotsPerTrigger` new slots across all locations; the offset
+  * checkpoint IS the cursor, so restart-resume comes from Spark's offset
+  * log instead of a SELECT MAX over the sink.
+  */
+class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
+                                  locations: Int, maxSlotsPerTrigger: Long)
+    extends MicroBatchStream {
+
+  private val totalSlots: Long = math.max((end - start) / interval, 0L) +
+    (if ((end - start) % interval > 0) 1L else 0L)
+
+  private case class SlotOffset(slot: Long) extends Offset {
+    override def json(): String = slot.toString
+  }
+
+  // Rate limiting: each latestOffset() call (one per trigger) advances the
+  // reported horizon by at most maxSlotsPerTrigger. Capping inside
+  // planInputPartitions instead would silently skip slots (Spark
+  // checkpoints the full latestOffset), and keying off commit() stalls:
+  // the engine checks latestOffset before committing the previous batch.
+  @volatile private var horizon: Long = 0L
+
+  override def initialOffset(): Offset = SlotOffset(0L)
+  override def deserializeOffset(json: String): Offset = SlotOffset(json.toLong)
+  override def latestOffset(): Offset = {
+    horizon = math.min(horizon + maxSlotsPerTrigger, totalSlots)
+    SlotOffset(horizon)
+  }
+
+  override def planInputPartitions(s: Offset, e: Offset): Array[InputPartition] = {
+    val from = s.asInstanceOf[SlotOffset].slot
+    val until = math.min(e.asInstanceOf[SlotOffset].slot, totalSlots)
+    (0 until locations).map(l =>
+      WeatherGridRangePartition(l.toLong, start + from * interval,
+        start + until * interval): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WeatherGridRangeReaderFactory(interval)
+
+  override def commit(offset: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class WeatherGridRangePartition(loc: Long, fromTs: Long, untilTs: Long)
+    extends InputPartition
+
+class WeatherGridRangeReaderFactory(interval: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[WeatherGridRangePartition]
+    new PartitionReader[InternalRow] {
+      private var ts = part.fromTs - interval
+      override def next(): Boolean = { ts += interval; ts < part.untilTs }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](2 + WeatherGridSource.MEASURES.size)
+        vals(0) = part.loc
+        vals(1) = ts
+        var m = 0
+        while (m < WeatherGridSource.MEASURES.size) {
+          vals(2 + m) = WeatherGridSource.value(part.loc, ts, m)
+          m += 1
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -74,9 +74,10 @@ class WeatherGridTable(options: CaseInsensitiveStringMap)
   override def name(): String = "weather_grid"
   override def schema(): StructType = WeatherGridSource.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val interval = options.getOrDefault("interval_s", "900").toLong * 1000000L
+    val maxSlots = options.getOrDefault("maxSlotsPerTrigger", "96").toLong
     // The real API's slots sit on absolute clock boundaries regardless of
     // the request window — anchor the grid to epoch multiples of interval
     // (first slot = smallest aligned ts >= start).
@@ -87,7 +88,8 @@ class WeatherGridTable(options: CaseInsensitiveStringMap)
       aligned,
       WeatherGridSource.parseTs(options.getOrDefault("end", "2024-01-03 00:00:00")),
       interval,
-      options.getOrDefault("locations", "1").toInt)
+      options.getOrDefault("locations", "1").toInt,
+      maxSlots)
   }
 }
 
@@ -95,7 +97,8 @@ class WeatherGridTable(options: CaseInsensitiveStringMap)
   * a filter excludes are never produced (the API-side cut).
   */
 class WeatherGridScanBuilder(var start: Long, var end: Long,
-                             interval: Long, locations: Int)
+                             interval: Long, locations: Int,
+                             maxSlotsPerTrigger: Long = 96L)
     extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
 
@@ -129,13 +132,19 @@ class WeatherGridScanBuilder(var start: Long, var end: Long,
   }
 
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new WeatherGridScan(start, end, interval, locations)
+  override def build(): Scan =
+    new WeatherGridScan(start, end, interval, locations, maxSlotsPerTrigger)
 }
 
-class WeatherGridScan(start: Long, end: Long, interval: Long, locations: Int)
+class WeatherGridScan(start: Long, end: Long, interval: Long, locations: Int,
+                      maxSlotsPerTrigger: Long = 96L)
     extends Scan with Batch {
   override def readSchema(): StructType = WeatherGridSource.SCHEMA
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WeatherGridMicroBatchStream(start, end, interval, locations,
+      maxSlotsPerTrigger)
   override def description(): String =
     s"weather_grid [$start, $end) step=$interval locs=$locations"
 

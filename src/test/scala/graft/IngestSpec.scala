@@ -96,6 +96,32 @@ class IngestSpec extends SparkSpec {
     assert(stored.filter($"temperature_2m".isNull).count() > 0)
   }
 
+  test("source streams as micro-batches with slot-index offsets") {
+    val q = spark.readStream.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-01 00:00:00")
+      .option("end", "2024-01-03 00:00:00")
+      .option("locations", 3)
+      .option("maxSlotsPerTrigger", 48) // 192 slots -> >= 4 micro-batches
+      .load()
+      .writeStream.format("memory").queryName("grid_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("grid_stream").count()
+      assert(n === 3L * 192, s"streamed $n rows")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        "expected multiple rate-limited micro-batches")
+      // streamed content == batch content
+      val streamed = spark.table("grid_stream")
+        .selectExpr("location_id", "ts", "temperature_2m")
+        .collect().map(_.toString).sorted
+      val batch = readGrid(3)
+        .selectExpr("location_id", "ts", "temperature_2m")
+        .collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("retry helper: retries then succeeds") {
     var calls = 0
     val out = WeatherIngest.withRetry(retries = 3, backoffMs = 1) {
