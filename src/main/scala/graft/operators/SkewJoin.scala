@@ -27,7 +27,8 @@ object SkewJoin {
     // right/full outer would emit each unmatched build row once PER SALT
     // (the build side is replicated) — only probe-preserving types are sound
     val jt = joinType.toLowerCase.replace("_", "")
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+                "semi", "anti").contains(jt),
       s"saltedJoin supports probe-preserving join types only, got $joinType")
     // deterministic per-row salt: stable under retries/re-runs
     val salted = probe.withColumn("_salt",

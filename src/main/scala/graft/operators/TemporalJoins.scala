@@ -53,11 +53,12 @@ object TemporalJoins {
     val carriedTs = carried.withColumn("_asof_ts",
       last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w))
     // expose payload under its own name; on collision with a left column,
-    // suffix "_right" (pandas merge_asof convention) — never ambiguous,
-    // never silently dropping the left's data
+    // suffix "_right" (pandas merge_asof convention), repeating until free
+    // so the output is never ambiguous and never drops the left's data
     payload.foldLeft(carriedTs.filter(col("_side") === 1).drop("_side")) {
       (df, c) =>
-        val out = if (left.columns.contains(c)) c + "_right" else c
+        var out = c
+        while (left.columns.contains(out)) out += "_right"
         df.withColumnRenamed(pfx + c, out)
     }
   }

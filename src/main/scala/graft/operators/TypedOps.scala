@@ -16,8 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object TypedOps {
 
-  final case class LineSlim(l_returnflag: String, l_quantity: Double,
-                            l_extendedprice: Double)
+  final case class LineSlim(l_returnflag: String, l_quantity: Double)
 
   /** Exact decimal sum of quantity: mergeable, order-independent. */
   object QtySum extends Aggregator[LineSlim, java.math.BigDecimal, Double] {
@@ -37,7 +36,7 @@ object TypedOps {
     "q51_typed_aggregator" -> { (s, d) =>
       import s.implicits._
       T.lineitem(s, d)
-        .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+        .select($"l_returnflag", $"l_quantity")
         .as[LineSlim]
         .groupByKey(_.l_returnflag)
         .agg(QtySum.toColumn.name("sum_qty"))

@@ -32,7 +32,14 @@ class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
   @volatile private var horizon: Long = 0L
 
   override def initialOffset(): Offset = SlotOffset(0L)
-  override def deserializeOffset(json: String): Offset = SlotOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    // restart path: checkpointed offsets arrive here — clamp the horizon
+    // up so latestOffset never regresses below processed slots (a fresh
+    // instance starting at 0 would re-emit them as duplicates)
+    val slot = json.toLong
+    if (slot > horizon) horizon = slot
+    SlotOffset(slot)
+  }
   override def latestOffset(): Offset = {
     horizon = math.min(horizon + maxSlotsPerTrigger, totalSlots)
     SlotOffset(horizon)
@@ -40,6 +47,7 @@ class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
 
   override def planInputPartitions(s: Offset, e: Offset): Array[InputPartition] = {
     val from = s.asInstanceOf[SlotOffset].slot
+    if (from > horizon) horizon = from // belt-and-braces restart clamp
     val until = math.min(e.asInstanceOf[SlotOffset].slot, totalSlots)
     (0 until locations).map(l =>
       WeatherGridRangePartition(l.toLong, start + from * interval,

@@ -103,7 +103,8 @@ class WeatherGridScanBuilder(var start: Long, var end: Long,
   private var pushed: Array[Filter] = Array.empty
 
   private def micros(v: Any): Option[Long] = v match {
-    case t: java.sql.Timestamp => Some(t.getTime * 1000L)
+    case t: java.sql.Timestamp => // full micro precision: getTime is ms-only
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
     case i: java.time.Instant =>
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None

@@ -84,7 +84,11 @@ object WeatherPipeline {
     */
   def upsertNew(batch: DataFrame, sink: DataFrame, keys: Seq[String]): DataFrame = {
     val kCols = keys.map(col)
-    val tieBreak = batch.columns.filterNot(keys.contains).map(col)
+    // tie-break on orderable non-key columns only (maps aren't orderable)
+    val tieBreak = batch.schema.fields
+      .filterNot(f => keys.contains(f.name))
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
     val deduped = batch.withColumn("_rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(kCols: _*).orderBy((kCols ++ tieBreak): _*)))

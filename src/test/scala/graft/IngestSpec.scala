@@ -35,7 +35,7 @@ class IngestSpec extends SparkSpec {
       WeatherGridSource.parseTs("2024-01-01 00:00:00"),
       WeatherGridSource.parseTs("2024-01-03 00:00:00"), interval, 2)
     val remaining = builder.pushFilters(Array(GreaterThanOrEqual("ts",
-      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))))
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-02T00:00:00Z")))))
     assert(remaining.length === 1, "filters must also be re-applied by Spark")
     assert(builder.pushedFilters().length === 1, "filter not accepted for pushdown")
     val scan = builder.build()
