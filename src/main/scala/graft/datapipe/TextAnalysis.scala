@@ -79,6 +79,22 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Deterministic stratified sampling: keep a per-stratum fraction by
+    // thresholding the portable hash of the key — reproducible across
+    // runs/cluster sizes and joinable (the same doc always samples the
+    // same way), unlike rng-based sample(). The standard downsampling
+    // primitive for training-data pipelines.
+    "t05_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val rate = when($"lang" === "en", 20).otherwise(50) // percent kept
+      T.documents(s, d)
+        .filter(graft.Dets.phash(concat(lit("sample:"), $"doc_id".cast("string")))
+          % 100 < rate)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy($"lang")
+    },
+
     // Fingerprint: md5 over the sorted distinct word set (bag-of-words
     // canonical form); window counts docs sharing a fingerprint.
     "t04_fingerprint" -> { (s, d) =>
@@ -137,6 +153,13 @@ object TextAnalysis {
         |  CAST(ceil(length(text) / 3.5) AS BIGINT) AS est_bpe_tokens,
         |  CAST(length(text) AS INT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t05_stratified_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_kept
+         |FROM documents
+         |WHERE ${graft.Dets.phashSql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+         |      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t04_fingerprint" ->
       """WITH fps AS (
