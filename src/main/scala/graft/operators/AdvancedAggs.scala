@@ -124,6 +124,50 @@ object AdvancedAggs {
           |ORDER BY o_orderkey""".stripMargin)
     },
 
+    // Correlated scalar subquery: each order vs its customer's own average.
+    "q52_correlated_subquery" -> { (s, d) =>
+      T.orders(s, d).createOrReplaceTempView("v_orders2")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM v_orders2 o
+          |WHERE o_totalprice > 1.8 *
+          |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |          / COUNT(*)
+          |   FROM v_orders2 i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // FILTER clause on aggregates (conditional aggregation, SQL form).
+    "q53_agg_filter_clause" -> { (s, d) =>
+      T.lineitem(s, d).createOrReplaceTempView("v_lineitem2")
+      s.sql(
+        """SELECT l_returnflag,
+          |  COUNT(*) AS n_all,
+          |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+          |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+          |FROM v_lineitem2
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // Transcendental scalar functions: libm results differ across runtimes
+    // in the last ulp, so this is deliberately rows-only (no SQL oracle) —
+    // accuracy is asserted in ScalaTest against known identities instead.
+    "q54_scalar_transcendental" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_orderkey" % 200 === 0)
+        .select($"l_orderkey", $"l_linenumber",
+          exp($"l_discount").as("e_disc"),
+          log($"l_extendedprice").as("ln_price"),
+          log10($"l_extendedprice").as("log10_price"),
+          sin($"l_quantity").as("sin_qty"),
+          cos($"l_quantity").as("cos_qty"),
+          atan2($"l_quantity", $"l_extendedprice").as("angle"),
+          sinh($"l_discount").as("sinh_disc"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
     // Custom TypedImperativeAggregate: deterministic bottom-k (KMV)
     // sketch over the portable hash — O(k) mergeable state, same result
     // at any parallelism, and (unlike HLL) oracle-reproducible.
@@ -232,6 +276,25 @@ object AdvancedAggs {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |  AND o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q52_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.8 *
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |          / COUNT(*)
+        |   FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q53_agg_filter_clause" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q54_scalar_transcendental: rows-only by design (libm divergence).
 
     "q43_bottomk_sketch" ->
       s"""SELECT lang,

@@ -97,6 +97,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("transcendental functions satisfy identities (rows-only query q54)") {
+    val rows = operators.AdvancedAggs.queries("q54_scalar_transcendental")(spark, sf)
+      .selectExpr("sin_qty * sin_qty + cos_qty * cos_qty AS one",
+                  "e_disc", "ln_price", "log10_price")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // sin^2 + cos^2 = 1
+      assert(r.getDouble(1) >= 1.0)                  // exp(discount >= 0) >= 1
+      assert(math.abs(r.getDouble(2) / math.log(10) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("multimodal: mapPartitions feature extraction is deterministic & sized") {
     val feats = datapipe.Multimodal.extractFeatures(
       datapipe.Multimodal.assets(spark, sf)).collect()

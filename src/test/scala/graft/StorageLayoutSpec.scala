@@ -26,6 +26,22 @@ class StorageLayoutSpec extends SparkSpec {
     assert(read.count() === expected && expected > 0)
   }
 
+  test("dynamic partition pruning: selective dim filter prunes fact partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, sf)
+      .withColumn("event_date", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.events(spark, sf)
+      .select(to_date($"ts").as("event_date"), $"event_type").distinct()
+      .filter($"event_type" === "purchase" && dayofmonth($"event_date") === 3)
+    val joined = fact.join(dim, Seq("event_date"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      "no dynamic partition pruning in plan:\n" + plan.take(800))
+    assert(joined.count() > 0)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans without exchange") {
     // default warehouse dir (./spark-warehouse, gitignored) — the
     // warehouse conf is static and can't move per-test. A previous JVM's
