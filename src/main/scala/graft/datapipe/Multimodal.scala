@@ -53,6 +53,21 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: binary -> binary map with a deterministic stride sample
+    * (a real deployment swaps in an image scaler). Demonstrates the
+    * payload-transform plumbing: map-only, binary in/out, metadata
+    * updated — 100 TB of assets re-encode without any shuffle.
+    */
+  def resize(assets: Dataset[Asset], factor: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    require(factor >= 1)
+    assets.mapPartitions(_.map { a =>
+      val resized = a.payload.grouped(factor).map(_.head).toArray
+      a.copy(payload = resized, mime = a.mime + s";resized=1/$factor",
+             n_chars = resized.length.toLong)
+    })
+  }
+
   /** Build an asset table from documents (text bytes as stand-in payload). */
   def assets(s: SparkSession, d: String): Dataset[Asset] = {
     import s.implicits._

@@ -72,6 +72,41 @@ object Similarity {
         .limit(5)
     },
 
+    // IVF-style ANN: a coarse quantizer (8 centroids = exact-decimal
+    // per-dimension means over deterministic seed cells; production trains
+    // them with k-means — same plan shape), vectors assigned to their
+    // NEAREST centroid (posting lists), query probes only its centroid's
+    // list. Scale path: posting lists are partition-prunable by centroid
+    // id; nprobe>1 = union of a few lists. Complements s02's LSH variant.
+    "s03_ann_ivf" -> { (s, d) =>
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      // per-dimension exact mean per seed cell, as float arrays
+      val centroids = broadcast(
+        emb.select(($"vec_id" % 8).as("cell"),
+                   posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"cell", $"pos")
+          .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+            .cast("float").as("m"))
+          .groupBy($"cell")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+            .as("centroid")))
+      // assign every vector to its nearest centroid
+      val assigned = emb.crossJoin(centroids)
+        .withColumn("c_cos", cosine_sim($"embedding", $"centroid"))
+        .groupBy($"vec_id")
+        .agg(expr("max_by(cell, c_cos)").as("home_cell"),
+             first($"embedding").as("embedding"), first($"label").as("label"))
+      val q = broadcast(assigned.filter($"vec_id" === QID)
+        .select($"embedding".as("q_emb"), $"home_cell".as("q_cell")))
+      assigned.filter($"vec_id" =!= QID)
+        .join(q, $"home_cell" === $"q_cell")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .select($"vec_id", $"label", $"home_cell".cast("int").as("cell"), $"cosine")
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(5)
+    },
+
     // All-pairs near-duplicate embeddings (cosine >= 0.999), blocked by
     // label; corpus includes exact copies (vec_id + 1e6) as planted dups.
     "d05_embedding_neardup" -> { (s, d) =>
@@ -117,6 +152,38 @@ object Similarity {
          |   sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
          |FROM b e, q
          |WHERE e.vec_id <> $QID AND e.bucket = q.q_bucket
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 5""".stripMargin,
+
+    "s03_ann_ivf" ->
+      s"""WITH means AS (
+         |  SELECT vec_id % 8 AS cell, i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8))) AS DOUBLE)
+         |         / COUNT(*) AS REAL) AS m
+         |  FROM embeddings, range(1, 65) t(i)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell, list(m ORDER BY pos) AS centroid
+         |  FROM means GROUP BY cell),
+         |assigned AS (
+         |  SELECT e.vec_id,
+         |    arg_max(c.cell,
+         |      ${dotSql("e.embedding", "c.centroid")} /
+         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |       sqrt(${dotSql("c.centroid", "c.centroid")}))) AS home_cell
+         |  FROM embeddings e, cent c
+         |  GROUP BY e.vec_id),
+         |q AS (
+         |  SELECT e.embedding AS q_emb, a.home_cell AS q_cell
+         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  WHERE a.vec_id = $QID)
+         |SELECT e.vec_id, e.label, CAST(a.home_cell AS INT) AS cell,
+         |  ${dotSql("e.embedding", "q.q_emb")} /
+         |  (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |   sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |FROM assigned a
+         |JOIN embeddings e ON e.vec_id = a.vec_id, q
+         |WHERE a.vec_id <> $QID AND a.home_cell = q.q_cell
          |ORDER BY cosine DESC, e.vec_id
          |LIMIT 5""".stripMargin,
 

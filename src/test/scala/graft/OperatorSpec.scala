@@ -110,6 +110,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: resize stub shrinks payloads deterministically, map-only") {
+    val a = datapipe.Multimodal.assets(spark, sf)
+    val r = datapipe.Multimodal.resize(a, 4).collect()
+    val orig = a.collect().map(x => x.asset_id -> x.payload.length).toMap
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val n = orig(x.asset_id)
+      assert(x.payload.length === (n + 3) / 4) // ceil(n/4) stride sample
+      assert(x.mime.endsWith(";resized=1/4"))
+    }
+  }
+
   test("multimodal: mapPartitions feature extraction is deterministic & sized") {
     val feats = datapipe.Multimodal.extractFeatures(
       datapipe.Multimodal.assets(spark, sf)).collect()
