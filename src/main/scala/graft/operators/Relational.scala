@@ -55,7 +55,10 @@ object Relational {
                 $"l_quantity" < 24 && $"l_discount" >= 0.05 && $"l_discount" <= 0.07)
         .select($"l_orderkey", $"l_linenumber", $"l_quantity",
                 $"l_extendedprice", $"l_discount")
-        .orderBy($"l_orderkey", $"l_linenumber")
+        // (orderkey, linenumber) is NOT unique in the generated data —
+        // tie-break on the measures for a total order
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+                 $"l_extendedprice", $"l_discount")
     },
 
     // Broadcast hash join: customer is the small build side.
@@ -187,7 +190,7 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount""".stripMargin,
 
     "q03_join_broadcast" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -68,7 +68,7 @@ object Scalars {
           signum($"l_discount" - 0.05).as("disc_sign"),
           greatest($"l_quantity", lit(10.0)).as("qty_hi"),
           least($"l_quantity", lit(10.0)).as("qty_lo"))
-        .orderBy($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber", $"qty_sq", $"price_floor")
     },
 
     "q26_scalar_conditional" -> { (s, d) =>
@@ -163,7 +163,7 @@ object Scalars {
         |  greatest(l_quantity, 10.0) AS qty_hi,
         |  least(l_quantity, 10.0) AS qty_lo
         |FROM lineitem WHERE l_orderkey % 50 = 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty_sq, price_floor""".stripMargin,
 
     "q26_scalar_conditional" ->
       """SELECT event_id,

@@ -48,15 +48,18 @@ object Windows {
     // ROWS frame: trailing-7-rows moving sum/avg per supplier.
     "q13_window_rows_frame" -> { (s, d) =>
       import s.implicits._
+      // (orderkey, linenumber) is NOT unique in the generated data;
+      // l_quantity tie-break makes the frame order total
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
         .rowsBetween(-6, 0)
       T.lineitem(s, d)
         .withColumn("mov_sum_qty", sum(dec($"l_quantity")).over(w).cast("double"))
         .withColumn("mov_n", count(lit(1)).over(w))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
                 $"mov_sum_qty", $"mov_n")
-        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+                 $"l_quantity")
     },
 
     // RANGE frame over a numeric ordering: orders within 10k price below.
@@ -89,7 +92,7 @@ object Windows {
     "q16_window_distribution" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber", $"l_quantity")
       T.lineitem(s, d)
         .withColumn("quartile", ntile(4).over(w))
         .withColumn("pct_rank", percent_rank().over(w))
@@ -97,7 +100,8 @@ object Windows {
         .filter($"l_orderkey" % 100 === 0)
         .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
                 $"l_extendedprice", $"quartile", $"pct_rank", $"cume")
-        .orderBy($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+                 $"l_linenumber", $"pct_rank")
     },
 
     // first/last value over a bounded frame per user.
@@ -141,9 +145,9 @@ object Windows {
         |  COUNT(*) OVER w AS mov_n
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q14_window_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -172,9 +176,9 @@ object Windows {
         |    cume_dist() OVER w AS cume
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_returnflag
-        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_quantity)
         |) WHERE l_orderkey % 100 = 0
-        |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber, pct_rank""".stripMargin,
 
     "q17_window_first_last" ->
       """SELECT user_id, event_id, event_type,
