@@ -64,12 +64,15 @@ object Dedup {
       |SELECT doc_id + 2000000, text, lang, source
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
-  /** MinHash signature + shingle set per doc (Spark side). */
+  /** MinHash signature + shingle set per doc (Spark side). The K=16
+    * permutation minima come from one fused codegen'd pass
+    * (MinHashSigs) instead of 16 interpreted array_min(transform(..))
+    * calls; values are identical (same (a*m+b)%p arithmetic; shingle
+    * sets are non-empty by the >=3-words filter).
+    */
   private def signatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHashSigs.minhash_sigs
     graft.GraftExtensions.register(s)
-    val sigExpr = "array(" + AB.map { case (a, b) =>
-      s"array_min(transform(mhbase, m -> ($a * m + $b) % $P))"
-    }.mkString(", ") + ")"
     corpus(s, d)
       .withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
@@ -79,7 +82,7 @@ object Dedup {
           |                 element_at(words, i + 2), element_at(words, i + 3))))"""
           .stripMargin))
       .withColumn("mhbase", expr(s"transform(shingles, s -> ${hS("s")} % $P)"))
-      .withColumn("sig", expr(sigExpr))
+      .withColumn("sig", minhash_sigs(col("mhbase"), AB.map(_._1), AB.map(_._2), P))
       .select(col("doc_id"), col("sig"), col("shingles"))
   }
 
