@@ -26,13 +26,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
   private val QID = 0L // query vector: vec_id 0
 
-  /** Spark SQL: dot product of two array<double> exprs, fixed fold order. */
-  private def dot(a: String, b: String) =
-    s"""aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
-       |  (acc, j) -> acc + CAST(element_at($a, j) AS DOUBLE)
-       |                  * CAST(element_at($b, j) AS DOUBLE))""".stripMargin
-
-  /** DuckDB mirror of [[dot]]. */
+  /** DuckDB-side dot product with the fixed left-fold order that
+    * graft.functions.CosineSim replicates (Spark-side cosines all go
+    * through that codegen'd expression).
+    */
   private def dotSql(a: String, b: String) =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |  list_transform(range(1, 65),
