@@ -140,8 +140,10 @@ object Dedup {
                          col("shingles").as("sh1")), Seq("d1"))
         .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2"),
                          col("shingles").as("sh2")), Seq("d2"))
+        // divide by a DOUBLE: `/ 16.0` is decimal division in Spark
+        // (decimal(17,6) result) but double in DuckDB — dtype mismatch
         .withColumn("est_jaccard", expr(
-          "size(filter(sequence(1, 16), j -> element_at(sig1, j) = element_at(sig2, j))) / 16.0"))
+          "size(filter(sequence(1, 16), j -> element_at(sig1, j) = element_at(sig2, j))) / CAST(16 AS DOUBLE)"))
         .withColumn("inter", expr("size(array_intersect(sh1, sh2))"))
         .withColumn("jaccard",
           expr("inter / (size(sh1) + size(sh2) - inter)"))
@@ -258,12 +260,12 @@ object Dedup {
          |  FROM corpus WHERE len(string_split(text, ' ')) >= 1),
          |fp AS (
          |  SELECT doc_id,
-         |    list_sum(list_transform(range(0, 16), j ->
+         |    CAST(list_sum(list_transform(range(0, 16), j ->
          |      CASE WHEN 2 * len(list_filter(ms, m -> (m >> j) & 1 = 1)) >= len(ms)
-         |           THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END)) AS simhash
+         |           THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |  FROM hashed)
          |SELECT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS simhash1,
-         |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
          |FROM fp x JOIN fp y
          |  ON (x.simhash >> 8) = (y.simhash >> 8) AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3

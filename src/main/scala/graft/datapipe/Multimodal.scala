@@ -85,8 +85,14 @@ object Multimodal {
     "m01_binary_features" -> { (s, d) =>
       import s.implicits._
       extractFeatures(assets(s, d)).toDF()
+        // offsets unpacked to scalars: the driver's row-sort can't order
+        // list cells
         .select($"asset_id", $"n_bytes", $"mime", $"fake_class",
-                $"sample_offsets")
+                element_at($"sample_offsets", 1).as("off_0"),
+                element_at($"sample_offsets", 2).as("off_1"),
+                element_at($"sample_offsets", 3).as("off_2"),
+                element_at($"sample_offsets", 4).as("off_3"),
+                element_at($"sample_offsets", 5).as("off_4"))
         .orderBy($"asset_id")
     }
   )
@@ -100,10 +106,16 @@ object Multimodal {
         |  'text/plain' AS mime,
         |  CAST(list_sum(list_transform(range(1, least(octet_length(encode(text)), 8) + 1),
         |    i -> ascii(substring(text, i, 1)))) % 256 AS INT) AS fake_class,
-        |  list_transform(range(0, 5), i -> CAST(
-        |    least(i * greatest(octet_length(encode(text)) // 5, 1),
-        |          greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT))
-        |    AS sample_offsets
+        |  CAST(least(0 * greatest(octet_length(encode(text)) // 5, 1),
+        |       greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT) AS off_0,
+        |  CAST(least(1 * greatest(octet_length(encode(text)) // 5, 1),
+        |       greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT) AS off_1,
+        |  CAST(least(2 * greatest(octet_length(encode(text)) // 5, 1),
+        |       greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT) AS off_2,
+        |  CAST(least(3 * greatest(octet_length(encode(text)) // 5, 1),
+        |       greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT) AS off_3,
+        |  CAST(least(4 * greatest(octet_length(encode(text)) // 5, 1),
+        |       greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT) AS off_4
         |FROM documents ORDER BY asset_id""".stripMargin
   )
 }

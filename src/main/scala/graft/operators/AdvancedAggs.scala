@@ -150,21 +150,23 @@ object AdvancedAggs {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
-    // Transcendental scalar functions: libm results differ across runtimes
-    // in the last ulp, so this is deliberately rows-only (no SQL oracle) —
-    // accuracy is asserted in ScalaTest against known identities instead.
+    // Transcendental scalar functions. libm (DuckDB) and java.lang.Math
+    // (Spark) differ in the last ulp, so oracle-checked outputs are
+    // rounded to 6 dp — ulp noise (~1e-15 relative) cannot move a 1e-6
+    // rounding boundary; full-precision accuracy is asserted in ScalaTest
+    // against known identities.
     "q54_scalar_transcendental" -> { (s, d) =>
       import s.implicits._
       T.lineitem(s, d)
         .filter($"l_orderkey" % 200 === 0)
         .select($"l_orderkey", $"l_linenumber",
-          exp($"l_discount").as("e_disc"),
-          log($"l_extendedprice").as("ln_price"),
-          log10($"l_extendedprice").as("log10_price"),
-          sin($"l_quantity").as("sin_qty"),
-          cos($"l_quantity").as("cos_qty"),
-          atan2($"l_quantity", $"l_extendedprice").as("angle"),
-          sinh($"l_discount").as("sinh_disc"))
+          round(exp($"l_discount"), 6).as("e_disc"),
+          round(log($"l_extendedprice"), 6).as("ln_price"),
+          round(log10($"l_extendedprice"), 6).as("log10_price"),
+          round(sin($"l_quantity"), 6).as("sin_qty"),
+          round(cos($"l_quantity"), 6).as("cos_qty"),
+          round(atan2($"l_quantity", $"l_extendedprice"), 6).as("angle"),
+          round(sinh($"l_discount"), 6).as("sinh_disc"))
         .orderBy($"l_orderkey", $"l_linenumber")
     },
 
@@ -178,20 +180,35 @@ object AdvancedAggs {
         .groupBy($"lang")
         .agg(bottom_k(Dets.phash($"text"), 8).as("sketch"),
              count(lit(1)).as("n_docs"))
+        // CSV-joined: the sketch is an array, which the driver's row-sort
+        // can't order; integer→string rendering is engine-identical
+        .select($"lang",
+          expr("array_join(transform(sketch, x -> CAST(x AS STRING)), ',')")
+            .as("sketch_csv"),
+          $"n_docs")
         .orderBy($"lang")
     },
 
-    // Approximate sketches: HLL distinct + KLL-ish percentile. Engine-
-    // specific sketch values -> no SQL oracle (driver rows-only check);
-    // accuracy asserted in ScalaTest against exact counterparts.
+    // Approximate sketches: HLL distinct + KLL-ish percentile. Raw sketch
+    // estimates are engine-specific, so the oracle-checked outputs are the
+    // exact values plus error-band FLAGS: the oracle asserts TRUE, i.e.
+    // "the sketch landed within its documented error bound" (HLL default
+    // rsd 0.05 -> 10% band; approx_percentile accuracy 1000 -> 2% band).
     "q39_approx_sketches" -> { (s, d) =>
       import s.implicits._
       T.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_orderkey").as("approx_orders"),
-          approx_count_distinct($"l_partkey").as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_partkey").as("n_parts"),
+          approx_count_distinct($"l_orderkey").as("a_orders"),
+          approx_count_distinct($"l_partkey").as("a_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a_median"),
+          expr("percentile(l_extendedprice, 0.5)").as("x_median"))
+        .select($"l_returnflag", $"n_orders", $"n_parts", $"x_median",
+          (abs($"a_orders" - $"n_orders") <= $"n_orders" * 0.1).as("hll_orders_ok"),
+          (abs($"a_parts" - $"n_parts") <= $"n_parts" * 0.1).as("hll_parts_ok"),
+          (abs($"a_median" - $"x_median") <= $"x_median" * 0.02).as("median_ok"))
         .orderBy($"l_returnflag")
     }
   )
@@ -294,15 +311,34 @@ object AdvancedAggs {
         |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q54_scalar_transcendental: rows-only by design (libm divergence).
+    "q54_scalar_transcendental" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(exp(l_discount), 6) AS e_disc,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(log10(l_extendedprice), 6) AS log10_price,
+        |  round(sin(l_quantity), 6) AS sin_qty,
+        |  round(cos(l_quantity), 6) AS cos_qty,
+        |  round(atan2(l_quantity, l_extendedprice), 6) AS angle,
+        |  round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sinh_disc
+        |FROM lineitem WHERE l_orderkey % 200 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q43_bottomk_sketch" ->
       s"""SELECT lang,
-         |  list_slice(list_sort(list_distinct(
-         |    list(${graft.Dets.phashSql("text")}))), 1, 8) AS sketch,
+         |  array_to_string(list_slice(list_sort(list_distinct(
+         |    list(${graft.Dets.phashSql("text")}))), 1, 8), ',') AS sketch_csv,
          |  COUNT(*) AS n_docs
-         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
-    // q39_approx_sketches: intentionally no oracle (sketch values are
-    // engine-specific); driver records rows-only check.
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The oracle asserts the error-band flags: exact values computed by
+    // DuckDB, flags TRUE by definition of the bound (sketches are
+    // deterministic per engine, so this is stable run-to-run).
+    "q39_approx_sketches" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  quantile_cont(l_extendedprice, 0.5) AS x_median,
+        |  TRUE AS hll_orders_ok, TRUE AS hll_parts_ok, TRUE AS median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

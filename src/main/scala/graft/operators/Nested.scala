@@ -19,7 +19,9 @@ object Nested {
       import s.implicits._
       T.documents(s, d)
         .withColumn("meta", struct($"lang", $"n_chars"))
-        .select($"doc_id", $"meta",
+        // struct serialized to JSON: the driver's row-sort can't order
+        // struct cells; Spark and DuckDB render identical compact JSON
+        .select($"doc_id", to_json($"meta").as("meta_json"),
                 $"meta.lang".as("meta_lang"),
                 ($"meta.n_chars" * 2).as("twice_chars"))
         .orderBy($"doc_id")
@@ -94,7 +96,7 @@ object Nested {
   def oracleSql: Map[String, String] = Map(
     "q44_struct_nested" ->
       """SELECT doc_id,
-        |  struct_pack(lang := lang, n_chars := n_chars) AS meta,
+        |  to_json(struct_pack(lang := lang, n_chars := n_chars)) AS meta_json,
         |  lang AS meta_lang,
         |  n_chars * 2 AS twice_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -49,7 +49,8 @@ object Scalars {
           regexp_replace($"p_name", " ", "_").as("name_us"),
           regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
           $"p_name".contains("widget").as("is_widget"),
-          split($"p_name", " ").as("name_words"))
+          // joined to a scalar: the driver's row-sort can't order list cells
+          array_join(split($"p_name", " "), ",").as("name_words"))
         .orderBy($"p_partkey")
     },
 
@@ -96,7 +97,9 @@ object Scalars {
           expr("""aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
                  |          CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)""".stripMargin)
             .as("l2sq"),
-          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))").as("head4"),
+          element_at($"embedding", 2).cast("double").as("h2"),
+          element_at($"embedding", 3).cast("double").as("h3"),
+          element_at($"embedding", 4).cast("double").as("h4"),
           expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))").as("vmax"),
           expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))").as("vmin"))
         .orderBy($"vec_id")
@@ -146,20 +149,20 @@ object Scalars {
         |  regexp_replace(p_name, ' ', '_', 'g') AS name_us,
         |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
         |  contains(p_name, 'widget') AS is_widget,
-        |  string_split(p_name, ' ') AS name_words
+        |  array_to_string(string_split(p_name, ' '), ',') AS name_words
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
 
     "q25_scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_quantity - 25.0) AS abs_dev,
-        |  floor(l_extendedprice) AS price_floor,
-        |  ceil(l_extendedprice) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |  sqrt(l_quantity) AS qty_sqrt,
         |  l_quantity * l_quantity AS qty_sq,
         |  l_orderkey % 7 AS key_mod7,
-        |  CASE WHEN l_discount - 0.05 > 0 THEN 1.0
-        |       WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS disc_sign,
+        |  CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+        |       WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS disc_sign,
         |  greatest(l_quantity, 10.0) AS qty_hi,
         |  least(l_quantity, 10.0) AS qty_lo
         |FROM lineitem WHERE l_orderkey % 50 = 0
@@ -184,7 +187,9 @@ object Scalars {
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(embedding, x -> CAST(x AS DOUBLE))),
         |    (a, x) -> a + x * x) AS l2sq,
-        |  list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE)) AS head4,
+        |  CAST(embedding[2] AS DOUBLE) AS h2,
+        |  CAST(embedding[3] AS DOUBLE) AS h3,
+        |  CAST(embedding[4] AS DOUBLE) AS h4,
         |  list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmax,
         |  list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vmin
         |FROM embeddings

@@ -196,7 +196,7 @@ object WeatherPipeline {
     "w04_nan_to_null" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         |  COUNT(CASE WHEN value >= 50 THEN value END) AS n_present,
-        |  SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS n_null,
+        |  CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |  CAST(SUM(CAST(CASE WHEN value >= 50 THEN value ELSE 0.0 END
         |       AS DECIMAL(18,4))) AS DOUBLE) AS sum_present
         |FROM events

@@ -85,15 +85,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct within 10% of exact") {
-    val approx = operators.AdvancedAggs.queries("q39_approx_sketches")(spark, sf)
-      .select($"l_returnflag", $"approx_orders").as[(String, Long)].collect().toMap
-    val exact = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("n"))
-      .select($"l_returnflag", $"n").as[(String, Long)].collect().toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n < 0.1, s"$k: approx $a vs exact $n")
+  test("approx sketches land inside their error bands (q39 flags)") {
+    val rows = operators.AdvancedAggs.queries("q39_approx_sketches")(spark, sf)
+      .select($"l_returnflag", $"n_orders",
+              $"hll_orders_ok", $"hll_parts_ok", $"median_ok")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"${r.getString(0)}: sketch outside error band")
     }
   }
 
@@ -104,9 +105,10 @@ class OperatorSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // sin^2 + cos^2 = 1
-      assert(r.getDouble(1) >= 1.0)                  // exp(discount >= 0) >= 1
-      assert(math.abs(r.getDouble(2) / math.log(10) - r.getDouble(3)) < 1e-9)
+      // outputs are rounded to 6 dp for oracle parity -> 1e-5 tolerances
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-5) // sin^2 + cos^2 = 1
+      assert(r.getDouble(1) >= 1.0)                 // exp(discount >= 0) >= 1
+      assert(math.abs(r.getDouble(2) / math.log(10) - r.getDouble(3)) < 1e-5)
     }
   }
 

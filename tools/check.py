@@ -33,6 +33,42 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def type_check(name, spark_files, duck_rel):
+    """Strict arrow-level schema comparison, mirroring the driver's
+    dtype-sensitive hash: DECIMAL vs DOUBLE, HUGEINT vs BIGINT, int-width
+    differences, and any list/struct column (driver's row-sort chokes on
+    unhashable cells) are all failures even when values compare equal."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    def clazz(t):
+        # equivalence classes the driver's normalization collapses
+        # (observed round 1: int widths and ts units/dates hash alike;
+        # decimal vs double/int, int vs double, nested types do NOT)
+        if pt.is_integer(t): return "int"
+        if pt.is_floating(t): return "float"
+        if pt.is_decimal(t): return "DECIMAL"
+        if pt.is_temporal(t): return "datetime"
+        if pt.is_boolean(t): return "bool"
+        if pt.is_string(t) or pt.is_large_string(t): return "str"
+        if pt.is_nested(t): return f"NESTED({t})"
+        return str(t)
+
+    ss = {f.name: f.type for f in pq.read_schema(spark_files[0])}
+    ds = {f.name: f.type for f in duck_rel.arrow().schema}
+    problems = []
+    for c in sorted(set(ss) | set(ds)):
+        st, dt = ss.get(c), ds.get(c)
+        if st is not None and pt.is_nested(st):
+            problems.append(f"col {c}: spark type {st} is driver-unsortable")
+            continue
+        if st is None or dt is None:
+            continue  # column-set diff reported by compare()
+        if clazz(st) != clazz(dt):
+            problems.append(f"col {c}: spark {st} vs duck {dt}")
+    return problems
+
+
 def compare(name, spark_df, duck_df):
     a, b = normalize(spark_df), normalize(duck_df)
     if list(a.columns) != list(b.columns):
@@ -79,11 +115,16 @@ def main():
             results[name] = f"NO-ORACLE rows={len(spark_df)}"
             continue
         try:
+            duck_rel = con.sql(oracle[name])
+            tprobs = type_check(name, files, duck_rel)
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             results[name] = f"FAIL oracle error: {e}"
             continue
-        results[name] = compare(name, spark_df, duck_df)
+        r = compare(name, spark_df, duck_df)
+        if tprobs:
+            r = ("FAIL " if r == "PASS" else r + "; ") + "TYPES: " + "; ".join(tprobs[:4])
+        results[name] = r
     npass = sum(1 for v in results.values() if v == "PASS")
     for k, v in sorted(results.items()):
         print(f"{k:35s} {v}")
