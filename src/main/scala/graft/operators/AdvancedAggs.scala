@@ -196,15 +196,23 @@ object AdvancedAggs {
     // rsd 0.05 -> 10% band; approx_percentile accuracy 1000 -> 2% band).
     "q39_approx_sketches" -> { (s, d) =>
       import s.implicits._
-      T.lineitem(s, d)
+      // exact distincts and sketch aggs computed in SEPARATE aggregations:
+      // multi-column countDistinct plans an Expand (row multiplication)
+      // and, combined with object-hash sketch aggregates, degrades the
+      // whole agg to sort-based — split + broadcast-join on the 3-row
+      // group key keeps both sides hash-aggregated
+      val exact = T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("n_orders"),
+             countDistinct($"l_partkey").as("n_parts"))
+      val sketches = T.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          countDistinct($"l_orderkey").as("n_orders"),
-          countDistinct($"l_partkey").as("n_parts"),
           approx_count_distinct($"l_orderkey").as("a_orders"),
           approx_count_distinct($"l_partkey").as("a_parts"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a_median"),
           expr("percentile(l_extendedprice, 0.5)").as("x_median"))
+      exact.join(broadcast(sketches), Seq("l_returnflag"))
         .select($"l_returnflag", $"n_orders", $"n_parts", $"x_median",
           (abs($"a_orders" - $"n_orders") <= $"n_orders" * 0.1).as("hll_orders_ok"),
           (abs($"a_parts" - $"n_parts") <= $"n_parts" * 0.1).as("hll_parts_ok"),
