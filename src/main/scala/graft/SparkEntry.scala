@@ -22,6 +22,7 @@ object SparkEntry {
     QueryModule(datapipe.Multimodal.queries, datapipe.Multimodal.oracleSql),
     QueryModule(operators.AdvancedAggs.queries, operators.AdvancedAggs.oracleSql),
     QueryModule(operators.Nested.queries, operators.Nested.oracleSql),
+    QueryModule(operators.Extras.queries, operators.Extras.oracleSql),
     QueryModule(operators.TypedOps.queries, operators.TypedOps.oracleSql),
     QueryModule(streaming.Streaming.queries, streaming.Streaming.oracleSql)
   )

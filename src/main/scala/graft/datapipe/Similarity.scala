@@ -104,6 +104,28 @@ object Similarity {
         .limit(5)
     },
 
+    // Per-label centroids (distributed vector mean): posexplode to
+    // (label, pos, v) — narrow rows with map-side partial aggregation,
+    // so the shuffle carries |labels| x dim rows, not vectors. The
+    // building block for k-means / IVF training at 100 TB. Exact
+    // decimal sums keep the means bit-identical to the oracle.
+    "s04_label_centroids" -> { (s, d) =>
+      import s.implicits._
+      T.embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+        .filter($"pos" < 8) // demo output: first 8 dims per label
+        .groupBy($"label", $"pos")
+        // elements quantized to 1e-8 by EXPLICIT round(v*1e8): Spark's
+        // double->decimal cast rounds the exact binary expansion while
+        // DuckDB rounds the double product, which disagree on ~0.1% of
+        // float32 values — round(v*1e8) is the identical IEEE operation
+        // sequence on both engines, and integer sums are order-exact
+        .agg((sum(round($"v".cast("double") * 1e8).cast("long"))
+                .cast("double") / count(lit(1)) / 1e8).as("m"),
+             count(lit(1)).as("n_vecs"))
+        .orderBy($"label", $"pos")
+    },
+
     // All-pairs near-duplicate embeddings (cosine >= 0.999), blocked by
     // label; corpus includes exact copies (vec_id + 1e6) as planted dups.
     "d05_embedding_neardup" -> { (s, d) =>
@@ -183,6 +205,14 @@ object Similarity {
          |WHERE a.vec_id <> $QID AND a.home_cell = q.q_cell
          |ORDER BY cosine DESC, e.vec_id
          |LIMIT 5""".stripMargin,
+
+    "s04_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e8) AS BIGINT))
+        |       AS DOUBLE) / COUNT(*) / 1e8 AS m,
+        |  COUNT(*) AS n_vecs
+        |FROM embeddings, range(1, 9) t(i)
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
 
     "d05_embedding_neardup" ->
       s"""WITH emb AS (

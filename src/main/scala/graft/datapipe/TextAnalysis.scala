@@ -95,6 +95,31 @@ object TextAnalysis {
         .orderBy($"lang")
     },
 
+    // Corpus n-gram statistics: explode word bigrams, count per (lang,
+    // bigram), keep top-5 per lang by a ranking window. The scalable
+    // shape for corpus stats at 100 TB: partial (map-side) counting
+    // before the shuffle, then a per-key top-k — never a global sort.
+    "t06_ngram_topk" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bigrams = T.documents(s, d)
+        .withColumn("words", split($"text", " "))
+        .filter(size($"words") >= 2)
+        .select($"lang", explode(expr(
+          """transform(sequence(0, size(words) - 2),
+            |  i -> concat_ws('_', element_at(words, i + 1),
+            |                 element_at(words, i + 2)))""".stripMargin))
+          .as("bigram"))
+      bigrams
+        .groupBy($"lang", $"bigram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")))
+        .filter($"rk" <= 5)
+        .select($"lang", $"rk", $"bigram", $"n")
+        .orderBy($"lang", $"rk")
+    },
+
     // Fingerprint: md5 over the sorted distinct word set (bag-of-words
     // canonical form); window counts docs sharing a fingerprint.
     "t04_fingerprint" -> { (s, d) =>
@@ -160,6 +185,21 @@ object TextAnalysis {
          |WHERE ${graft.Dets.phashSql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
          |      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t06_ngram_topk" ->
+      """WITH bigrams AS (
+        |  SELECT lang, unnest(list_transform(range(0, len(words) - 1),
+        |    i -> words[i+1] || '_' || words[i+2])) AS bigram
+        |  FROM (SELECT lang, string_split(text, ' ') AS words FROM documents)
+        |  WHERE len(words) >= 2),
+        |counted AS (
+        |  SELECT lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY lang, bigram),
+        |ranked AS (
+        |  SELECT lang, bigram, n, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rk
+        |  FROM counted)
+        |SELECT lang, rk, bigram, n FROM ranked WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
 
     "t04_fingerprint" ->
       """WITH fps AS (

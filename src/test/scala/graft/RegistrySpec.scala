@@ -30,6 +30,7 @@ class RegistrySpec extends SparkSpec {
       datapipe.Dedup.queries, datapipe.Similarity.queries,
       datapipe.TextAnalysis.queries, datapipe.Multimodal.queries,
       operators.AdvancedAggs.queries, operators.Nested.queries,
+      operators.Extras.queries,
       operators.TypedOps.queries, streaming.Streaming.queries)
     assert(mods.map(_.size).sum === SparkEntry.queries.size)
   }
