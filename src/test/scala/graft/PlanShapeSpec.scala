@@ -59,4 +59,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"), "children not hash-clustered")
     assert(p.contains("Sort ["), "children not sorted for merge")
   }
+
+  test("q55: unpivot is map-only before its final sort (no mid-plan shuffle)") {
+    val p = plan("q55_unpivot")
+    // exactly one exchange: the rangepartitioning for the output ORDER BY
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"expected only the final sort exchange:\n${p.take(1200)}")
+    assert(p.contains("Expand") || p.contains("Generate"),
+      "unpivot not planned as row expansion")
+  }
+
+  test("t06/s04: exploded corpus stats partial-aggregate before the shuffle") {
+    assert(plan("t06_ngram_topk").contains("partial_"),
+      "bigram counts not map-side combined")
+    assert(plan("s04_label_centroids").contains("partial_"),
+      "centroid sums not map-side combined")
+  }
+
+  test("q39: split keeps both aggregations hash-based (no Expand+sort-agg)") {
+    val p = plan("q39_approx_sketches")
+    assert(!p.contains("SortAggregate"),
+      "sketch aggregation degraded to sort-based:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), "group-key join not broadcast")
+  }
 }
