@@ -187,15 +187,16 @@ object Dedup {
     // far below fp noise; the string-based oracle stays exact.
     "d04_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
+      import graft.functions.GramPHashes.gram_phashes
       import graft.functions.SortedIntersectCount.sorted_intersect_count
       graft.GraftExtensions.register(s)
       val grams = corpus(s, d)
         .withColumn("n_chars", length($"text"))
         .filter($"n_chars" >= 4)
-        .withColumn("grams", expr(
-          s"""array_sort(array_distinct(transform(
-             |  sequence(1, length(text) - 3),
-             |  i -> ${hS("substring(text, i, 4)")})))""".stripMargin))
+        // fused pass (GramPHashes): hash+sort+dedup every 4-gram in one
+        // codegen'd loop — the declarative transform() chain evaluates
+        // its lambdas interpreted, ~10x the cost of the md5 itself
+        .withColumn("grams", gram_phashes($"text", 4))
         .select($"doc_id", $"lang", $"source",
                 ($"n_chars".cast("long") / 64L).cast("long").as("lenb"), $"grams")
         .cache() // self-joined below: compute the gram sets once

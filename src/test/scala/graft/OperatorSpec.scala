@@ -112,6 +112,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("gram_phashes equals the declarative transform chain bit-for-bit") {
+    import graft.functions.GramPHashes.gram_phashes
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf).filter($"n_chars" >= 4)
+      .select($"doc_id", $"text")
+      // non-ASCII row exercises the code-point fallback path
+      .unionByName(Seq((-1L, "héllo wörld")).toDF("doc_id", "text"))
+    val diff = docs
+      .withColumn("fused", gram_phashes($"text", 4))
+      .withColumn("declared", expr(
+        """array_sort(array_distinct(transform(
+          |  sequence(1, length(text) - 3),
+          |  i -> graft_phash(substring(text, i, 4)))))""".stripMargin))
+      .filter($"fused" =!= $"declared")
+    assert(diff.count() === 0)
+  }
+
   test("multimodal: resize stub shrinks payloads deterministically, map-only") {
     val a = datapipe.Multimodal.assets(spark, sf)
     val r = datapipe.Multimodal.resize(a, 4).collect()
