@@ -46,7 +46,50 @@ object Streaming {
       .start()
   }
 
+  /** Stream-stream interval join (click→purchase attribution): both sides
+    * watermarked, join condition time-bounded so each side's buffered
+    * state is evictable — the canonical Structured Streaming two-stream
+    * join shape. Returns the started query (memory sink, AvailableNow
+    * processes the whole input then stops — deterministic for tests).
+    */
+  def attributionStream(s: SparkSession, path: String, sinkName: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(path).schema
+    def side(tpe: String, pfx: String) =
+      s.readStream.schema(rawSchema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
+                col("value").as(s"${pfx}_value"))
+        .withWatermark(s"${pfx}_ts", "1 hour")
+    side("click", "c")
+      .join(side("purchase", "p"),
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Batch statement of [[attributionStream]]'s join (same condition,
+    // aggregated per user) — what the DuckDB oracle can check; the
+    // streaming path is asserted row-identical in StreamingSpec.
+    "q57_interval_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+                $"value".as("p_value"))
+      clicks.join(purchases,
+          expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+        .groupBy($"c_user".as("user_id"))
+        .agg(count(lit(1)).as("n_attr"), dsum($"p_value").as("attr_value"))
+        .orderBy($"user_id")
+    },
+
     // Tumbling 1-hour windows (streaming construct, batch-checked).
     "q40_tumbling_window" -> { (s, d) =>
       import s.implicits._
@@ -82,6 +125,19 @@ object Streaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q57_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+        |  FROM events)
+        |SELECT c.user_id AS user_id, COUNT(*) AS n_attr,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS attr_value
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
+
     "q40_tumbling_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,
         |  COUNT(*) AS n,

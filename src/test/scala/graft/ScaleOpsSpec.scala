@@ -71,6 +71,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(native === composed)
   }
 
+  test("AQE splits skewed partitions at runtime (skew=true in final plan)") {
+    // manual salting (q48) is one answer to skew; AQE's OptimizeSkewedJoin
+    // is the zero-code answer — verify it engages on a skewed sort-merge
+    // join with test-scale thresholds
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of rows share one key -> one giant partition after the shuffle
+      val skewed = spark.range(200000)
+        .select(when($"id" % 10 < 9, 0L).otherwise($"id").as("k"),
+                concat(lit("padpadpadpadpadpadpad-"), $"id").as("payload"))
+      val dim = spark.range(200000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = skewed.join(dim, Seq("k"))
+      // collect() drives THIS DataFrame's QueryExecution (count() would
+      // spawn a separate one, leaving this plan isFinalPlan=false)
+      assert(joined.collect().length === 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the skewed join:\n" + finalPlan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window counts") {
     val evs = Tables.events(spark, sf)
       .select($"user_id", date_trunc("second", $"ts").as("ts"), $"value")
