@@ -64,26 +64,26 @@ object Dedup {
       |SELECT doc_id + 2000000, text, lang, source
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
-  /** MinHash signature + shingle set per doc (Spark side). The K=16
-    * permutation minima come from one fused codegen'd pass
-    * (MinHashSigs) instead of 16 interpreted array_min(transform(..))
-    * calls; values are identical (same (a*m+b)%p arithmetic; shingle
-    * sets are non-empty by the >=3-words filter).
+  /** MinHash signature + hashed shingle set per doc (Spark side). Two
+    * fused codegen'd passes: WordShinglePHashes turns the text into the
+    * sorted distinct 60-bit hashes of its 3-word shingles (shingle
+    * strings never materialize — a k-word shingle is a byte range of the
+    * text), and MinHashSigs derives all K=16 permutation minima in one
+    * loop. Values identical to the declarative split/transform chain
+    * (same md5 arithmetic over the same shingle bytes); the >=1-hash
+    * filter is the old >=3-words filter (a k-shingle exists iff the doc
+    * has >= k words).
     */
   private def signatures(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHashSigs.minhash_sigs
+    import graft.functions.WordShinglePHashes.word_shingle_phashes
     graft.GraftExtensions.register(s)
     corpus(s, d)
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3)
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(0, size(words) - 3),
-          |  i -> concat_ws(' ', element_at(words, i + 1),
-          |                 element_at(words, i + 2), element_at(words, i + 3))))"""
-          .stripMargin))
-      .withColumn("mhbase", expr(s"transform(shingles, s -> ${hS("s")} % $P)"))
+      .withColumn("hset", word_shingle_phashes(col("text"), 3))
+      .filter(size(col("hset")) >= 1)
+      .withColumn("mhbase", expr(s"transform(hset, h -> h % $P)"))
       .withColumn("sig", minhash_sigs(col("mhbase"), AB.map(_._1), AB.map(_._2), P))
-      .select(col("doc_id"), col("sig"), col("shingles"))
+      .select(col("doc_id"), col("sig"), col("hset"))
   }
 
   /** DuckDB mirror of [[signatures]]. */
@@ -100,11 +100,14 @@ object Dedup {
        |    i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS shingles
        |  FROM worded),
        |based AS (
-       |  SELECT doc_id, shingles,
-       |    list_transform(shingles,
-       |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P) AS mhbase
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(shingles,
+       |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)))) AS hset
        |  FROM shingled),
-       |sigs AS (SELECT doc_id, shingles, $sigExpr AS sig FROM based)""".stripMargin
+       |mh AS (
+       |  SELECT doc_id, hset, list_transform(hset, h -> h % $P) AS mhbase
+       |  FROM based),
+       |sigs AS (SELECT doc_id, hset, $sigExpr AS sig FROM mh)""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -137,16 +140,21 @@ object Dedup {
         .distinct()
       pairs
         .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1"),
-                         col("shingles").as("sh1")), Seq("d1"))
+                         col("hset").as("hs1")), Seq("d1"))
         .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2"),
-                         col("shingles").as("sh2")), Seq("d2"))
+                         col("hset").as("hs2")), Seq("d2"))
         // divide by a DOUBLE: `/ 16.0` is decimal division in Spark
         // (decimal(17,6) result) but double in DuckDB — dtype mismatch
         .withColumn("est_jaccard", expr(
           "size(filter(sequence(1, 16), j -> element_at(sig1, j) = element_at(sig2, j))) / CAST(16 AS DOUBLE)"))
-        .withColumn("inter", expr("size(array_intersect(sh1, sh2))"))
+        // exact Jaccard over the sorted 60-bit shingle hashes: codegen'd
+        // linear merge; only hashes (8B/shingle) cross the shuffle, never
+        // shingle strings. Collision odds ~2^-43 per pair (d04 precedent)
+        .withColumn("inter",
+          graft.functions.SortedIntersectCount
+            .sorted_intersect_count(col("hs1"), col("hs2")))
         .withColumn("jaccard",
-          expr("inter / (size(sh1) + size(sh2) - inter)"))
+          expr("inter / (size(hs1) + size(hs2) - inter)"))
         .filter($"jaccard" >= 0.5)
         .select($"d1", $"d2", $"est_jaccard", $"jaccard")
         .orderBy($"d1", $"d2")
@@ -237,16 +245,16 @@ object Dedup {
          |SELECT d1, d2,
          |  len(list_filter(range(1, 17), j -> s1.sig[j] = s2.sig[j])) / 16.0
          |    AS est_jaccard,
-         |  len(list_filter(s1.shingles, g -> list_contains(s2.shingles, g)))
-         |    / (len(s1.shingles) + len(s2.shingles)
-         |       - len(list_filter(s1.shingles, g -> list_contains(s2.shingles, g))))
+         |  len(list_filter(s1.hset, g -> list_contains(s2.hset, g)))
+         |    / (len(s1.hset) + len(s2.hset)
+         |       - len(list_filter(s1.hset, g -> list_contains(s2.hset, g))))
          |    AS jaccard
          |FROM pairs
          |JOIN sigs s1 ON s1.doc_id = d1
          |JOIN sigs s2 ON s2.doc_id = d2
-         |WHERE len(list_filter(s1.shingles, g -> list_contains(s2.shingles, g)))
-         |    / (len(s1.shingles) + len(s2.shingles)
-         |       - len(list_filter(s1.shingles, g -> list_contains(s2.shingles, g))))
+         |WHERE len(list_filter(s1.hset, g -> list_contains(s2.hset, g)))
+         |    / (len(s1.hset) + len(s2.hset)
+         |       - len(list_filter(s1.hset, g -> list_contains(s2.hset, g))))
          |    >= 0.5
          |ORDER BY d1, d2""".stripMargin
     },

@@ -117,4 +117,86 @@ object GramPHashes {
 
   def gram_phashes(c: Column, n: Int): Column =
     ColumnBridge.column(GramPHashes(ColumnBridge.expression(c), n))
+
+  private[functions] def digestFor(): java.security.MessageDigest = digest.get()
+
+  private[functions] def hash60Of(d: Array[Byte]): Long = hash60(d)
+}
+
+/** Sorted distinct portable hashes of every k-word shingle (consecutive
+  * words joined by a single space), fused into one codegen'd pass.
+  * Because `split(text, ' ')` segments on single spaces, the k-word
+  * shingle `concat_ws(' ', w_i..w_{i+k-1})` is exactly the byte range of
+  * the original text between the enclosing word boundaries — and 0x20
+  * never occurs inside a UTF-8 multibyte sequence, so byte scanning is
+  * correct for all inputs (empty words included). Bit-identical to the
+  * declarative distinct-shingle transform + graft_phash chain.
+  */
+case class WordShinglePHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be positive")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_phashes expects string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    WordShinglePHashes.eval(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShinglePHashes.eval($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): WordShinglePHashes =
+    copy(child = c)
+  override def prettyName: String = "word_shingle_phashes"
+}
+
+object WordShinglePHashes {
+  def eval(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    // word start offsets (words = segments between single spaces)
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1) // sentinel: starts(n) = len+1
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(nWords) = bytes.length + 1
+    val count = math.max(nWords - k + 1, 0)
+    val out = new Array[Long](count)
+    val md = GramPHashes.digestFor()
+    val buf = new Array[Byte](16)
+    i = 0
+    while (i < count) {
+      val from = starts(i)
+      val until = starts(i + k) - 1 // exclusive: char before next word start
+      md.reset()
+      md.update(bytes, from, until - from)
+      md.digest(buf, 0, 16)
+      out(i) = GramPHashes.hash60Of(buf)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var n = 0
+    i = 0
+    while (i < out.length) {
+      if (n == 0 || out(i) != out(n - 1)) { out(n) = out(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  def word_shingle_phashes(c: Column, k: Int): Column =
+    ColumnBridge.column(WordShinglePHashes(ColumnBridge.expression(c), k))
 }

@@ -30,4 +30,29 @@ class FormatsSpec extends SparkSpec {
     assert(back.orderBy($"doc_id").collect().toSeq ===
            docs.orderBy($"doc_id").collect().toSeq)
   }
+
+  test("ORC round-trip preserves types and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter($"n_chars" > 100)
+    assert(back.orderBy($"doc_id").collect().toSeq ===
+           docs.filter($"n_chars" > 100).orderBy($"doc_id").collect().toSeq)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars)"),
+      "ORC scan did not receive the pushed filter:\n" + plan.take(600))
+  }
+
+  test("text source reads raw lines; binaryFile exposes payload bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_text").toString
+    docs.select(concat_ws(",", $"doc_id", $"lang").as("value"))
+      .write.mode("overwrite").text(dir)
+    val lines = spark.read.text(dir)
+    assert(lines.count() === docs.count())
+    assert(lines.schema.map(_.name) === Seq("value"))
+    // binaryFile: the multimodal ingest path for opaque assets
+    val bin = spark.read.format("binaryFile").load(dir)
+      .select($"path", $"length", $"content")
+    assert(bin.count() >= 1)
+    assert(bin.schema("content").dataType === BinaryType)
+  }
 }

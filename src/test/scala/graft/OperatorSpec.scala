@@ -129,6 +129,28 @@ class OperatorSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("word_shingle_phashes equals the declarative shingle chain bit-for-bit") {
+    import graft.functions.WordShinglePHashes.word_shingle_phashes
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      // edge rows: consecutive/leading/trailing spaces, non-ASCII words
+      .unionByName(Seq(
+        (-1L, "a  b c d"), (-2L, " x y z "), (-3L, "héllo wörld déjà vu"))
+        .toDF("doc_id", "text"))
+    val diff = docs
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 3)
+      .withColumn("fused", word_shingle_phashes($"text", 3))
+      .withColumn("declared", expr(
+        """array_sort(array_distinct(transform(
+          |  array_distinct(transform(sequence(0, size(words) - 3),
+          |    i -> concat_ws(' ', element_at(words, i + 1),
+          |                   element_at(words, i + 2), element_at(words, i + 3)))),
+          |  s -> graft_phash(s))))""".stripMargin))
+      .filter($"fused" =!= $"declared")
+    assert(diff.count() === 0)
+  }
+
   test("multimodal: resize stub shrinks payloads deterministically, map-only") {
     val a = datapipe.Multimodal.assets(spark, sf)
     val r = datapipe.Multimodal.resize(a, 4).collect()
