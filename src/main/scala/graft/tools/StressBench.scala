@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness: materializes K×-scaled copies of the fact
+  * tables (lineitem/orders/events/documents — the axes that actually
+  * grow at 100 TB; dimensions stay 1×, as they do in production) and
+  * times representative operators at each K. The point is the CURVE:
+  * scan-aggregations, windows, as-of joins, and upserts must scale
+  * ~linearly in fact rows; dedup pair OUTPUT grows quadratically with
+  * the duplication rate by construction (K mutually-near-duplicate
+  * copies of every document), which is the workload's nature, not a
+  * plan defect — the harness reports both so the distinction is visible.
+  *
+  * Key shifting keeps the FK graph consistent: lineitem and orders shift
+  * orderkey by the same stride, so scaled facts join 1× dims exactly as
+  * 100 TB facts join their dimension tables. Usage:
+  *   runMain graft.tools.StressBench [sfDir] [scales csv] [queries csv]
+  */
+object StressBench {
+  private val SHIFT = 100000000L // above any base key and corpus offset
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,4,16").split(",").map(_.trim.toInt)
+    val defaultQs = "q01_pricing_summary,q08_multiway_join,q13_window_rows_frame," +
+      "q29_asof_join,q46_asof_join_native,q40_tumbling_window,w05_upsert_antijoin," +
+      "d01_exact_dedup,d02_minhash_lsh,d04_ngram_jaccard"
+    val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def scaled(k: Int): String = {
+      val dir = s"/tmp/graft_stress/k$k"
+      val marker = new java.io.File(s"$dir/_done")
+      if (!marker.exists()) {
+        def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+          (0 until k).map(i => f(df, i)).reduce(_ unionByName _)
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        copies(li, (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + i * SHIFT))
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        copies(ord, (d, i) => d.withColumn("o_orderkey", col("o_orderkey") + i * SHIFT))
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        val ev = spark.read.parquet(s"$sfDir/events.parquet") // ts as raw nanos long
+        copies(ev, (d, i) => d.withColumn("event_id", col("event_id") + i * SHIFT))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        copies(docs, (d, i) =>
+            if (i == 0) d
+            else d.withColumn("doc_id", col("doc_id") + i * SHIFT)
+                  .withColumn("text", concat(col("text"), lit(s" c$i"))))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings"))
+          spark.read.parquet(s"$sfDir/$t.parquet")
+            .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+        marker.createNewFile()
+      }
+      dir
+    }
+
+    // warmup
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    println(f"${"query"}%-26s ${scales.map(k => f"k=$k%-9d").mkString}")
+    for (name <- qs) {
+      val row = scales.map { k =>
+        val dir = scaled(k)
+        val t0 = System.nanoTime()
+        val n =
+          try {
+            val df = SparkEntry.queries(name)(spark, dir)
+            df.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"$name k=$k failed: ${e.getMessage.take(100)}"); -1.0
+          }
+        spark.catalog.clearCache()
+        f"$n%-9.2f "
+      }
+      println(f"$name%-26s ${row.mkString}")
+    }
+    spark.stop()
+  }
+}
