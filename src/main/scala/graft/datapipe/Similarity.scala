@@ -126,6 +126,47 @@ object Similarity {
         .orderBy($"label", $"pos")
     },
 
+    // Iterative spherical k-means (2 unrolled Lloyd iterations, K=8):
+    // deterministic seed cells (vec_id % 8) -> exact-integer centroid
+    // means -> cosine argmax re-assignment, twice. The whole chain stays
+    // bit-reproducible across engines AND cluster sizes: centroids are
+    // order-free integer sums (round(v*1e8)) surfaced as float32, so the
+    // cosines every assignment compares are bit-identical. The canonical
+    // iterative-training loop on DataFrames — at 100 TB each iteration is
+    // one narrow posexplode-aggregate (centroids, |K|·dim rows out) and
+    // one map-only assignment vs broadcast centroids; deep loops would
+    // add localCheckpoint() to truncate lineage.
+    "s05_kmeans_iter" -> { (s, d) =>
+      import s.implicits._
+      val emb = T.embeddings(s, d).select($"vec_id", $"embedding")
+
+      def centroids(assigned: DataFrame): DataFrame =
+        broadcast(assigned
+          .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"cell", $"pos")
+          .agg((sum(round($"v".cast("double") * 1e8).cast("long")).cast("double")
+                  / count(lit(1)) / 1e8).cast("float").as("m"))
+          .groupBy($"cell")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+            .as("centroid")))
+
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(cents)
+          .withColumn("cos", cosine_sim($"embedding", $"centroid"))
+          .groupBy($"vec_id")
+          .agg(expr("max_by(cell, cos)").as("cell"),
+               first($"embedding").as("embedding"))
+
+      var a: DataFrame = emb.withColumn("cell", $"vec_id" % 8)
+      for (_ <- 1 to 2) a = assign(centroids(a))
+      a.join(centroids(a).select($"cell",
+               element_at($"centroid", 1).as("c0")), Seq("cell"))
+        .groupBy($"cell", $"c0")
+        .agg(count(lit(1)).as("n_members"))
+        .select($"cell", $"n_members", $"c0")
+        .orderBy($"cell")
+    },
+
     // All-pairs near-duplicate embeddings (cosine >= 0.999), blocked by
     // label; corpus includes exact copies (vec_id + 1e6) as planted dups.
     "d05_embedding_neardup" -> { (s, d) =>
@@ -205,6 +246,38 @@ object Similarity {
          |WHERE a.vec_id <> $QID AND a.home_cell = q.q_cell
          |ORDER BY cosine DESC, e.vec_id
          |LIMIT 5""".stripMargin,
+
+    "s05_kmeans_iter" -> {
+      def cos(a: String, b: String) =
+        s"""${dotSql(a, b)} /
+           |(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))""".stripMargin
+      // one Lloyd iteration: centroids of `prev`, then cosine-argmax
+      def iter(j: Int, prev: String) =
+        s"""m$j AS (
+           |  SELECT a.cell, i - 1 AS pos,
+           |    CAST(CAST(SUM(CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1e8)
+           |                       AS BIGINT)) AS DOUBLE)
+           |         / COUNT(*) / 1e8 AS REAL) AS m
+           |  FROM $prev a JOIN embeddings e USING (vec_id), range(1, 65) t(i)
+           |  GROUP BY 1, 2),
+           |cent$j AS (SELECT cell, list(m ORDER BY pos) AS centroid
+           |           FROM m$j GROUP BY cell),
+           |a$j AS (
+           |  SELECT e.vec_id, arg_max(c.cell, ${cos("e.embedding", "c.centroid")})
+           |    AS cell
+           |  FROM embeddings e, cent$j c GROUP BY e.vec_id)""".stripMargin
+      s"""WITH a0 AS (SELECT vec_id, vec_id % 8 AS cell FROM embeddings),
+         |${iter(1, "a0")},
+         |${iter(2, "a1")},
+         |mf AS (
+         |  SELECT a.cell, CAST(CAST(SUM(CAST(round(CAST(e.embedding[1] AS DOUBLE)
+         |                                          * 1e8) AS BIGINT)) AS DOUBLE)
+         |       / COUNT(*) / 1e8 AS REAL) AS c0
+         |  FROM a2 a JOIN embeddings e USING (vec_id) GROUP BY a.cell)
+         |SELECT a.cell, COUNT(*) AS n_members, mf.c0
+         |FROM a2 a JOIN mf ON mf.cell = a.cell
+         |GROUP BY a.cell, mf.c0 ORDER BY a.cell""".stripMargin
+    },
 
     "s04_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
