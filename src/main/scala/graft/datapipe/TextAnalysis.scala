@@ -120,6 +120,35 @@ object TextAnalysis {
         .orderBy($"lang", $"rk")
     },
 
+    // Heavy hitters per language via the Misra–Gries sketch (k=64
+    // counters, O(k) state, constant-size shuffle). The surviving item
+    // set beyond the guarantee depends on merge order, so the checked
+    // claim IS the guarantee: every word with exact count > N/(k+1)
+    // must appear in the sketch (oracle asserts TRUE) alongside the
+    // exact totals. The 100 TB shape: per-partition partials, no
+    // (lang, word) shuffle for the sketch side at all.
+    "t07_heavy_hitters" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.FreqItemsAgg.freq_items
+      val words = T.documents(s, d)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+      val sketch = words.groupBy($"lang")
+        .agg(freq_items($"word", 64).as("items"),
+             count(lit(1)).as("n_words"))
+      val heavy = words.groupBy($"lang", $"word")
+        .agg(count(lit(1)).as("cnt"))
+        .join(sketch.select($"lang", $"n_words"), Seq("lang"))
+        .filter($"cnt" > $"n_words" / lit(65.0))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_heavy"), collect_list($"word").as("heavy"))
+      sketch.join(heavy, Seq("lang"), "left")
+        .select($"lang", $"n_words",
+          coalesce($"n_heavy", lit(0L)).as("n_heavy"),
+          coalesce(expr("size(array_except(heavy, items)) = 0"), lit(true))
+            .as("all_heavy_found"))
+        .orderBy($"lang")
+    },
+
     // Fingerprint: md5 over the sorted distinct word set (bag-of-words
     // canonical form); window counts docs sharing a fingerprint.
     "t04_fingerprint" -> { (s, d) =>
@@ -185,6 +214,23 @@ object TextAnalysis {
          |WHERE ${graft.Dets.phashSql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
          |      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Exact totals + TRUE for the flag: the Misra–Gries guarantee (any
+    // item with count > N/(k+1) survives every merge order) makes the
+    // containment deterministically true.
+    "t07_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tot AS (SELECT lang, COUNT(*) AS n_words FROM words GROUP BY lang),
+        |cnts AS (SELECT lang, word, COUNT(*) AS cnt FROM words GROUP BY lang, word),
+        |heavy AS (
+        |  SELECT c.lang, COUNT(*) AS n_heavy
+        |  FROM cnts c JOIN tot t USING (lang)
+        |  WHERE c.cnt > t.n_words / CAST(65 AS DOUBLE) GROUP BY c.lang)
+        |SELECT t.lang, t.n_words, COALESCE(h.n_heavy, 0) AS n_heavy,
+        |  TRUE AS all_heavy_found
+        |FROM tot t LEFT JOIN heavy h USING (lang)
+        |ORDER BY lang""".stripMargin,
 
     "t06_ngram_topk" ->
       """WITH bigrams AS (

@@ -71,6 +71,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(native === composed)
   }
 
+  test("Misra–Gries guarantee holds at any parallelism") {
+    import graft.functions.FreqItemsAgg.freq_items
+    val words = Tables.documents(spark, sf)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+    val heavy = words.groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+    for (parts <- Seq(1, 13)) {
+      val sk = words.repartition(parts).groupBy($"lang")
+        .agg(freq_items($"word", 64).as("items"), count(lit(1)).as("n"))
+      val missing = heavy.join(sk, Seq("lang"))
+        .filter($"cnt" > $"n" / lit(65.0))
+        .filter(!array_contains($"items", $"word"))
+      assert(missing.count() === 0, s"parts=$parts: heavy item missing from sketch")
+    }
+  }
+
   test("AQE splits skewed partitions at runtime (skew=true in final plan)") {
     // manual salting (q48) is one answer to skew; AQE's OptimizeSkewedJoin
     // is the zero-code answer — verify it engages on a skewed sort-merge
