@@ -42,8 +42,11 @@ object Dedup {
     */
   private def hS(e: String) = s"graft_phash($e)"
 
-  /** The test corpus: originals + perturbed near-copies + exact copies. */
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  /** The test corpus: originals + perturbed near-copies + exact copies.
+    * graft-visible so dev tooling (graft.tools.Profile) profiles the
+    * exact corpus the queries run on.
+    */
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = T.documents(s, d).select($"doc_id", $"text", $"lang", $"source")
     docs

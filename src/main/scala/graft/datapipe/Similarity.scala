@@ -112,8 +112,10 @@ object Similarity {
     "s04_label_centroids" -> { (s, d) =>
       import s.implicits._
       T.embeddings(s, d)
-        .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-        .filter($"pos" < 8) // demo output: first 8 dims per label
+        // slice BEFORE exploding: a pos-filter after posexplode cannot
+        // push below the Generate, so it would expand all 64 dims to
+        // discard 56
+        .select($"label", posexplode(slice($"embedding", 1, 8)).as(Seq("pos", "v")))
         .groupBy($"label", $"pos")
         // elements quantized to 1e-8 by EXPLICIT round(v*1e8): Spark's
         // double->decimal cast rounds the exact binary expansion while

@@ -138,7 +138,10 @@ object TextAnalysis {
       val heavy = words.groupBy($"lang", $"word")
         .agg(count(lit(1)).as("cnt"))
         .join(sketch.select($"lang", $"n_words"), Seq("lang"))
-        .filter($"cnt" > $"n_words" / lit(65.0))
+        // exact integer arithmetic: cnt > N/65 as cnt*65 > N — a count
+        // EQUAL to the rational N/65 is outside the MG guarantee, and
+        // double division could misclassify it as heavy
+        .filter($"cnt" * 65 > $"n_words")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_heavy"), collect_list($"word").as("heavy"))
       sketch.join(heavy, Seq("lang"), "left")
@@ -226,7 +229,7 @@ object TextAnalysis {
         |heavy AS (
         |  SELECT c.lang, COUNT(*) AS n_heavy
         |  FROM cnts c JOIN tot t USING (lang)
-        |  WHERE c.cnt > t.n_words / CAST(65 AS DOUBLE) GROUP BY c.lang)
+        |  WHERE c.cnt * 65 > t.n_words GROUP BY c.lang)
         |SELECT t.lang, t.n_words, COALESCE(h.n_heavy, 0) AS n_heavy,
         |  TRUE AS all_heavy_found
         |FROM tot t LEFT JOIN heavy h USING (lang)

@@ -33,11 +33,11 @@ case class GramPHashes(child: Expression, n: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
-    GramPHashes.eval(v.asInstanceOf[UTF8String], n)
+    GramPHashes.compute(v.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GramPHashes.eval($c, $n);")
+      s"${ev.value} = graft.functions.GramPHashes.compute($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): GramPHashes =
     copy(child = c)
@@ -50,7 +50,7 @@ object GramPHashes {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def eval(s: UTF8String, n: Int): ArrayData = {
+  def compute(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     var ascii = true
     var i = 0
@@ -146,11 +146,11 @@ case class WordShinglePHashes(child: Expression, k: Int) extends UnaryExpression
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
-    WordShinglePHashes.eval(v.asInstanceOf[UTF8String], k)
+    WordShinglePHashes.compute(v.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WordShinglePHashes.eval($c, $k);")
+      s"${ev.value} = graft.functions.WordShinglePHashes.compute($c, $k);")
 
   override protected def withNewChildInternal(c: Expression): WordShinglePHashes =
     copy(child = c)
@@ -158,7 +158,7 @@ case class WordShinglePHashes(child: Expression, k: Int) extends UnaryExpression
 }
 
 object WordShinglePHashes {
-  def eval(s: UTF8String, k: Int): ArrayData = {
+  def compute(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
     // word start offsets (words = segments between single spaces)
     var nWords = 1

@@ -32,14 +32,14 @@ case class MinHashSigs(child: Expression, a: Array[Long], b: Array[Long], p: Lon
 
   override def nullSafeEval(v: Any): Any = {
     val ms = v.asInstanceOf[ArrayData]
-    MinHashSigs.eval(ms, a, b, p)
+    MinHashSigs.compute(ms, a, b, p)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("mhA", a, "long[]")
     val bRef = ctx.addReferenceObj("mhB", b, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashSigs.eval($c, $aRef, $bRef, ${p}L);")
+      s"${ev.value} = graft.functions.MinHashSigs.compute($c, $aRef, $bRef, ${p}L);")
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSigs =
@@ -48,7 +48,7 @@ case class MinHashSigs(child: Expression, a: Array[Long], b: Array[Long], p: Lon
 }
 
 object MinHashSigs {
-  def eval(ms: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+  def compute(ms: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
     val k = a.length
     val out = Array.fill(k)(Long.MaxValue)
     val n = ms.numElements()

@@ -153,8 +153,9 @@ object AdvancedAggs {
     // Transcendental scalar functions. libm (DuckDB) and java.lang.Math
     // (Spark) differ in the last ulp, so oracle-checked outputs are
     // rounded to 6 dp — ulp noise (~1e-15 relative) cannot move a 1e-6
-    // rounding boundary; full-precision accuracy is asserted in ScalaTest
-    // against known identities.
+    // rounding boundary. Full-precision accuracy is asserted separately
+    // in OperatorSpec, which recomputes the UNROUNDED expressions from
+    // lineitem and checks identities at 1e-12.
     "q54_scalar_transcendental" -> { (s, d) =>
       import s.implicits._
       T.lineitem(s, d)

@@ -20,8 +20,11 @@ object Nested {
       T.documents(s, d)
         .withColumn("meta", struct($"lang", $"n_chars"))
         // struct serialized to JSON: the driver's row-sort can't order
-        // struct cells; Spark and DuckDB render identical compact JSON
-        .select($"doc_id", to_json($"meta").as("meta_json"),
+        // struct cells; Spark and DuckDB render identical compact JSON.
+        // ignoreNullFields=false pins parity: Spark would otherwise OMIT
+        // null fields where DuckDB emits "field":null
+        .select($"doc_id",
+          to_json($"meta", Map("ignoreNullFields" -> "false")).as("meta_json"),
                 $"meta.lang".as("meta_lang"),
                 ($"meta.n_chars" * 2).as("twice_chars"))
         .orderBy($"doc_id")

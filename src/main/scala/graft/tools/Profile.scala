@@ -26,15 +26,7 @@ object Profile {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select($"doc_id", $"text", $"lang", $"source")
-    val corpus = docs
-      .unionByName(docs.filter($"doc_id" % 10 === 0)
-        .select(($"doc_id" + 1000000L).as("doc_id"),
-                concat($"text", lit(" near duplicate suffix")).as("text"),
-                $"lang", $"source"))
-      .unionByName(docs.filter($"doc_id" % 7 === 0)
-        .select(($"doc_id" + 2000000L).as("doc_id"), $"text", $"lang", $"source"))
+    val corpus = graft.datapipe.Dedup.corpus(spark, sfDir)
 
     // d04 stage 1: gram hashing only
     time("d04 grams only") {

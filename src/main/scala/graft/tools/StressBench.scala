@@ -40,7 +40,10 @@ object StressBench {
     spark.sparkContext.setLogLevel("WARN")
 
     def scaled(k: Int): String = {
-      val dir = s"/tmp/graft_stress/k$k"
+      // cache key includes the base dataset — reusing sf0.1-derived data
+      // for a different sfDir would silently measure the wrong inputs
+      val base = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = s"/tmp/graft_stress/$base/k$k"
       val marker = new java.io.File(s"$dir/_done")
       if (!marker.exists()) {
         def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =

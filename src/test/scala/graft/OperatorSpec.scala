@@ -98,17 +98,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("transcendental functions satisfy identities (rows-only query q54)") {
-    val rows = operators.AdvancedAggs.queries("q54_scalar_transcendental")(spark, sf)
-      .selectExpr("sin_qty * sin_qty + cos_qty * cos_qty AS one",
-                  "e_disc", "ln_price", "log10_price")
+  test("transcendental functions satisfy identities at full precision") {
+    // q54's OUTPUTS are 6-dp-rounded for oracle parity, so recompute the
+    // unrounded expressions here — a last-ulp regression must fail THIS
+    val rows = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" % 200 === 0)
+      .selectExpr("sin(l_quantity) * sin(l_quantity) " +
+                    "+ cos(l_quantity) * cos(l_quantity) AS one",
+                  "exp(l_discount) AS e_disc",
+                  "ln(l_extendedprice) AS ln_price",
+                  "log10(l_extendedprice) AS log10_price")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // outputs are rounded to 6 dp for oracle parity -> 1e-5 tolerances
-      assert(math.abs(r.getDouble(0) - 1.0) < 1e-5) // sin^2 + cos^2 = 1
-      assert(r.getDouble(1) >= 1.0)                 // exp(discount >= 0) >= 1
-      assert(math.abs(r.getDouble(2) / math.log(10) - r.getDouble(3)) < 1e-5)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // sin^2 + cos^2 = 1
+      assert(r.getDouble(1) >= 1.0)                  // exp(discount >= 0) >= 1
+      assert(math.abs(r.getDouble(2) / math.log(10) - r.getDouble(3)) < 1e-12)
     }
   }
 
@@ -149,6 +154,28 @@ class OperatorSpec extends SparkSpec {
           |  s -> graft_phash(s))))""".stripMargin))
       .filter($"fused" =!= $"declared")
     assert(diff.count() === 0)
+  }
+
+  test("custom expressions compile under codegen (no janino fallback)") {
+    // GenerateMutableProjection.generate THROWS on codegen compile
+    // failure, unlike query execution which falls back to interpreted
+    // eval silently (regression: companion helpers named `eval` get no
+    // static forwarder — the instance Expression.eval shadows them — so
+    // the generated Java failed to resolve and every stage fell back)
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.types._
+    val str = BoundReference(0, StringType, nullable = true)
+    val longs = BoundReference(1, ArrayType(LongType, containsNull = false), nullable = true)
+    val floats = BoundReference(2, ArrayType(FloatType), nullable = true)
+    val proj = GenerateMutableProjection.generate(Seq(
+      functions.GramPHashes(str, 4),
+      functions.WordShinglePHashes(str, 3),
+      functions.MinHashSigs(longs, Array(7L, 29L), Array(13L, 71L), 2147483647L),
+      functions.PortableHashExpr(str),
+      functions.CosineSim(floats, floats),
+      functions.SortedIntersectCount(longs, longs)))
+    assert(proj != null)
   }
 
   test("multimodal: resize stub shrinks payloads deterministically, map-only") {

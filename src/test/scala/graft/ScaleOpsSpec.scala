@@ -80,7 +80,7 @@ class ScaleOpsSpec extends SparkSpec {
       val sk = words.repartition(parts).groupBy($"lang")
         .agg(freq_items($"word", 64).as("items"), count(lit(1)).as("n"))
       val missing = heavy.join(sk, Seq("lang"))
-        .filter($"cnt" > $"n" / lit(65.0))
+        .filter($"cnt" * 65 > $"n")
         .filter(!array_contains($"items", $"word"))
       assert(missing.count() === 0, s"parts=$parts: heavy item missing from sketch")
     }

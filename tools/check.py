@@ -20,6 +20,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
     df = df[sorted(df.columns)].reset_index(drop=True)
     for c in df.columns:
+        if df[c].dtype == object:
+            # arrow date32 -> datetime.date objects (fetchdf coerced these;
+            # to_pandas does not) — same "datetime" class as timestamps
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], __import__("datetime").date) \
+               and not isinstance(nn.iloc[0], __import__("datetime").datetime):
+                df[c] = pd.to_datetime(df[c])
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         # unify int widths / nullable ints
@@ -33,7 +40,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def type_check(name, spark_files, duck_rel):
+def type_check(name, spark_files, duck_tbl):
     """Strict arrow-level schema comparison, mirroring the driver's
     dtype-sensitive hash: DECIMAL vs DOUBLE, HUGEINT vs BIGINT, int-width
     differences, and any list/struct column (driver's row-sort chokes on
@@ -55,7 +62,7 @@ def type_check(name, spark_files, duck_rel):
         return str(t)
 
     ss = {f.name: f.type for f in pq.read_schema(spark_files[0])}
-    ds = {f.name: f.type for f in duck_rel.arrow().schema}
+    ds = {f.name: f.type for f in duck_tbl.schema}
     problems = []
     for c in sorted(set(ss) | set(ds)):
         st, dt = ss.get(c), ds.get(c)
@@ -115,9 +122,11 @@ def main():
             results[name] = f"NO-ORACLE rows={len(spark_df)}"
             continue
         try:
-            duck_rel = con.sql(oracle[name])
-            tprobs = type_check(name, files, duck_rel)
-            duck_df = con.execute(oracle[name]).fetchdf()
+            # single execution: schema and values both come from one
+            # arrow materialization (the dedup/kmeans oracles are heavy)
+            duck_tbl = con.sql(oracle[name]).arrow()
+            tprobs = type_check(name, files, duck_tbl)
+            duck_df = duck_tbl.to_pandas()
         except Exception as e:
             results[name] = f"FAIL oracle error: {e}"
             continue
