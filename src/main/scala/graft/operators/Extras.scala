@@ -30,6 +30,44 @@ object Extras {
         .orderBy($"l_orderkey", $"l_linenumber", $"measure", $"val")
     },
 
+    // EXISTS / NOT EXISTS correlated subqueries (planned as semi/anti
+    // joins — same scale shape as q05/q06, stated in SQL).
+    "q58_exists_subquery" -> { (s, d) =>
+      T.customer(s, d).createOrReplaceTempView("v_customer_e")
+      T.orders(s, d).createOrReplaceTempView("v_orders_e")
+      s.sql(
+        """SELECT c.c_custkey, c.c_name
+          |FROM v_customer_e c
+          |WHERE EXISTS (
+          |    SELECT 1 FROM v_orders_e o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM v_orders_e o
+          |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 5000)
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    // Window navigation with null handling: nth_value, and lead/first
+    // with IGNORE NULLS (the gap-filling idiom for sparse time series).
+    "q59_window_ignore_nulls" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.events(s, d)
+        .withColumn("purchase_val",
+          when($"event_type" === "purchase", $"value")) // null otherwise
+        .withColumn("second_type", nth_value($"event_type", 2).over(wAll))
+        .withColumn("next_purchase",
+          lead($"purchase_val", 1, null, ignoreNulls = true).over(w))
+        .withColumn("first_purchase",
+          first($"purchase_val", ignoreNulls = true).over(wAll))
+        .filter($"event_id" % 20 === 0)
+        .select($"user_id", $"event_id", $"second_type",
+                $"next_purchase", $"first_purchase")
+        .orderBy($"user_id", $"event_id")
+    },
+
     // LATERAL correlated aggregate subquery (SQL surface; Catalyst
     // decorrelates it into an aggregate + left outer join).
     "q56_lateral_agg" -> { (s, d) =>
@@ -61,6 +99,41 @@ object Extras {
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |  FROM lineitem WHERE l_orderkey % 100 = 0)
         |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin,
+
+    "q58_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 5000)
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    // DuckDB has no IGNORE NULLS clause; "next/first non-null" is
+    // min_by(val, order) FILTER (val IS NOT NULL) over the matching
+    // frame (event_id is unique, so min_by is unambiguous).
+    "q59_window_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS purchase_val
+        |  FROM events),
+        |win AS (
+        |  SELECT user_id, event_id,
+        |    nth_value(event_type, 2) OVER wall AS second_type,
+        |    min_by(purchase_val, event_id) FILTER (purchase_val IS NOT NULL)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_purchase,
+        |    min_by(purchase_val, event_id) FILTER (purchase_val IS NOT NULL)
+        |      OVER wall AS first_purchase
+        |  FROM e
+        |  WINDOW wall AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, second_type, next_purchase, first_purchase
+        |FROM win WHERE event_id % 20 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // The lateral aggregate without GROUP BY yields exactly one row per
     // outer row (NULL max / 0 count when no orders) == left join on the
