@@ -40,9 +40,11 @@ object StressBench {
     spark.sparkContext.setLogLevel("WARN")
 
     def scaled(k: Int): String = {
-      // cache key includes the base dataset — reusing sf0.1-derived data
-      // for a different sfDir would silently measure the wrong inputs
-      val base = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      // cache key includes an injective digest of the base dataset path —
+      // reusing data derived from a different sfDir would silently
+      // measure the wrong inputs
+      val base = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val dir = s"/tmp/graft_stress/$base/k$k"
       val marker = new java.io.File(s"$dir/_done")
       if (!marker.exists()) {

@@ -115,6 +115,10 @@ class OperatorSpec extends SparkSpec {
       assert(r.getDouble(1) >= 1.0)                  // exp(discount >= 0) >= 1
       assert(math.abs(r.getDouble(2) / math.log(10) - r.getDouble(3)) < 1e-12)
     }
+    // and the q54 query itself still executes with sane rounded outputs
+    val q54 = operators.AdvancedAggs.queries("q54_scalar_transcendental")(spark, sf)
+      .selectExpr("sin_qty * sin_qty + cos_qty * cos_qty AS one").collect()
+    assert(q54.nonEmpty && q54.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-5))
   }
 
   test("gram_phashes equals the declarative transform chain bit-for-bit") {

@@ -9,6 +9,7 @@ tables, sorts columns by name, and compares values exactly. Dev-only
 tool (duckdb/pandas are driver-side deps, not library deps).
 """
 import sys, json, math, glob
+import datetime
 import duckdb
 import pandas as pd
 
@@ -24,8 +25,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             # arrow date32 -> datetime.date objects (fetchdf coerced these;
             # to_pandas does not) — same "datetime" class as timestamps
             nn = df[c].dropna()
-            if len(nn) and isinstance(nn.iloc[0], __import__("datetime").date) \
-               and not isinstance(nn.iloc[0], __import__("datetime").datetime):
+            if len(nn) and isinstance(nn.iloc[0], datetime.date) \
+               and not isinstance(nn.iloc[0], datetime.datetime):
                 df[c] = pd.to_datetime(df[c])
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
@@ -137,7 +138,7 @@ def main():
     npass = sum(1 for v in results.values() if v == "PASS")
     for k, v in sorted(results.items()):
         print(f"{k:35s} {v}")
-    print(f"== {npass}/{len([k for k in results if results[k] != 'NO-ORACLE' or True])} listed, {npass} PASS, "
+    print(f"== {npass}/{len(results)} listed, {npass} PASS, "
           f"{sum(1 for v in results.values() if v.startswith('FAIL'))} FAIL, "
           f"{sum(1 for v in results.values() if v.startswith('NO-ORACLE'))} no-oracle")
 
