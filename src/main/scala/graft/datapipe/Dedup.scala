@@ -221,6 +221,35 @@ object Dedup {
         .filter(col("jaccard") >= 0.85)
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("jaccard"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // Dedup clustering: connected components over the verified near-dup
+    // pairs via iterative min-label propagation — the transitive-closure
+    // step that turns pairwise matches into dedup groups. 3 FIXED rounds
+    // (cluster diameter here <= 2): fixed rounds keep the computation a
+    // deterministic function, identical to the oracle's unrolled SQL.
+    // Scale shape per round: one join of labels to edges + one min-agg —
+    // O(E) shuffled per round, the standard large-graph CC loop (a deep
+    // graph would add localCheckpoint() every few rounds).
+    "d06_dedup_clusters" -> { (s, d) =>
+      import s.implicits._
+      val pairs = queries("d04_ngram_jaccard")(s, d).select($"d1", $"d2").cache()
+      val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
+        .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
+      var labels = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
+      for (_ <- 1 to 3) {
+        val nbrMin = edges
+          .join(labels.select($"doc_id".as("b"), $"lbl".as("nlbl")), Seq("b"))
+          .groupBy($"a").agg(min($"nlbl").as("nmin"))
+        labels = labels
+          .join(nbrMin.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+          .select($"doc_id", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+      }
+      val clustered = labels.groupBy($"lbl")
+        .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
+      labels.join(clustered, Seq("lbl"))
+        .select($"doc_id", $"lbl".as("cluster_id"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -283,24 +312,54 @@ object Dedup {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY d1, d2""".stripMargin,
 
-    "d04_ngram_jaccard" ->
-      s"""WITH corpus AS ($corpusSql),
-         |grams AS (
-         |  SELECT doc_id, lang, source,
-         |    CAST(length(text) // 64 AS BIGINT) AS lenb,
-         |    list_distinct(list_transform(range(1, length(text) - 2),
-         |      i -> substring(text, i, 4))) AS grams
-         |  FROM corpus WHERE length(text) >= 4)
-         |SELECT x.doc_id AS d1, y.doc_id AS d2,
-         |  len(list_filter(x.grams, g -> list_contains(y.grams, g)))
-         |    / (len(x.grams) + len(y.grams)
-         |       - len(list_filter(x.grams, g -> list_contains(y.grams, g)))) AS jaccard
-         |FROM grams x JOIN grams y
-         |  ON x.lang = y.lang AND x.source = y.source AND x.lenb = y.lenb
-         |  AND x.doc_id < y.doc_id
-         |WHERE len(list_filter(x.grams, g -> list_contains(y.grams, g)))
-         |    / (len(x.grams) + len(y.grams)
-         |       - len(list_filter(x.grams, g -> list_contains(y.grams, g)))) >= 0.85
-         |ORDER BY d1, d2""".stripMargin
+    "d04_ngram_jaccard" -> s"""WITH $d04PairsSql
+         |SELECT d1, d2, jaccard FROM d04pairs ORDER BY d1, d2""".stripMargin,
+
+    // 3 fixed label-propagation rounds, unrolled. Fixed round count (not
+    // convergence detection) keeps both engines computing the identical
+    // function; near-dup clusters here have diameter <= 2, so 3 rounds
+    // reach the true components.
+    "d06_dedup_clusters" -> {
+      def round(j: Int) =
+        s"""l$j AS (
+           |  SELECT l.doc_id, least(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+           |  FROM l${j - 1} l
+           |  LEFT JOIN edges e ON e.a = l.doc_id
+           |  LEFT JOIN l${j - 1} n ON n.doc_id = e.b
+           |  GROUP BY l.doc_id, l.lbl)""".stripMargin
+      s"""WITH $d04PairsSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM d04pairs
+         |  UNION ALL SELECT d2, d1 FROM d04pairs),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |${round(1)}, ${round(2)}, ${round(3)}
+         |SELECT doc_id, lbl AS cluster_id FROM l3
+         |WHERE lbl IN (SELECT lbl FROM l3 GROUP BY lbl HAVING COUNT(*) > 1)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
+
+  /** d04's candidate+verify pipeline as a reusable CTE chain ending in
+    * `d04pairs(d1, d2, jaccard)` (also defines `corpus`).
+    */
+  private def d04PairsSql: String =
+    s"""corpus AS ($corpusSql),
+       |grams AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(length(text) // 64 AS BIGINT) AS lenb,
+       |    list_distinct(list_transform(range(1, length(text) - 2),
+       |      i -> substring(text, i, 4))) AS grams
+       |  FROM corpus WHERE length(text) >= 4),
+       |d04pairs AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |    len(list_filter(x.grams, g -> list_contains(y.grams, g)))
+       |      / (len(x.grams) + len(y.grams)
+       |         - len(list_filter(x.grams, g -> list_contains(y.grams, g)))) AS jaccard
+       |  FROM grams x JOIN grams y
+       |    ON x.lang = y.lang AND x.source = y.source AND x.lenb = y.lenb
+       |    AND x.doc_id < y.doc_id
+       |  WHERE len(list_filter(x.grams, g -> list_contains(y.grams, g)))
+       |      / (len(x.grams) + len(y.grams)
+       |         - len(list_filter(x.grams, g -> list_contains(y.grams, g)))) >= 0.85)"""
+      .stripMargin
 }
