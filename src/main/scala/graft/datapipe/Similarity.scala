@@ -169,6 +169,32 @@ object Similarity {
         .orderBy($"cell")
     },
 
+    // Int8 scalar quantization (the standard embedding-compression step
+    // for ANN serving — 4x smaller than float32): per-vector affine
+    // [min,max] -> [0,255] codes, with the reconstruction-error bound
+    // checked row-by-row. Map-only, and every output is an order-free
+    // reduction (min/max/integer sum) of per-element IEEE ops, so the
+    // oracle matches bit-for-bit.
+    "s06_scalar_quantization" -> { (s, d) =>
+      import s.implicits._
+      T.embeddings(s, d)
+        .withColumn("xs", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("lo", expr("array_min(xs)"))
+        .withColumn("hi", expr("array_max(xs)"))
+        .withColumn("scale",
+          expr("IF(hi = lo, CAST(1.0 AS DOUBLE), (hi - lo) / 255)"))
+        .withColumn("codes",
+          expr("transform(xs, x -> CAST(round((x - lo) / scale) AS INT))"))
+        .withColumn("err", expr(
+          "array_max(transform(sequence(1, size(xs)), i -> " +
+            "abs(lo + element_at(codes, i) * scale - element_at(xs, i))))"))
+        .select($"vec_id", $"lo", $"hi",
+          expr("CAST(aggregate(codes, 0L, (a, c) -> a + c) AS BIGINT)")
+            .as("code_sum"),
+          ($"err" <= $"scale" * 0.5 + lit(1e-12)).as("err_in_bound"))
+        .orderBy($"vec_id")
+    },
+
     // All-pairs near-duplicate embeddings (cosine >= 0.999), blocked by
     // label; corpus includes exact copies (vec_id + 1e6) as planted dups.
     "d05_embedding_neardup" -> { (s, d) =>
@@ -280,6 +306,27 @@ object Similarity {
          |FROM a2 a JOIN mf ON mf.cell = a.cell
          |GROUP BY a.cell, mf.c0 ORDER BY a.cell""".stripMargin
     },
+
+    "s06_scalar_quantization" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, xs, list_min(xs) AS lo, list_max(xs) AS hi,
+        |    CASE WHEN list_max(xs) = list_min(xs) THEN CAST(1.0 AS DOUBLE)
+        |         ELSE (list_max(xs) - list_min(xs)) / 255 END AS scale
+        |  FROM q),
+        |c AS (
+        |  SELECT vec_id, xs, lo, hi, scale,
+        |    list_transform(xs, x -> CAST(round((x - lo) / scale) AS INT)) AS codes
+        |  FROM p)
+        |SELECT vec_id, lo, hi,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  list_max(list_transform(range(1, len(xs) + 1), i ->
+        |    abs(lo + codes[i] * scale - xs[i]))) <= scale * 0.5 + 1e-12
+        |    AS err_in_bound
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "s04_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
