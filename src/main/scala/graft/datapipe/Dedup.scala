@@ -238,16 +238,22 @@ object Dedup {
         .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
       var labels = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
       for (_ <- 1 to 3) {
-        val nbrMin = edges
-          .join(labels.select($"doc_id".as("b"), $"lbl".as("nlbl")), Seq("b"))
-          .groupBy($"a").agg(min($"nlbl").as("nmin"))
-        labels = labels
-          .join(nbrMin.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
-          .select($"doc_id", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+        // min over {own label} ∪ {neighbor labels} — one join + one agg
+        // per round (the LEFT JOIN + least() formulation costs a second
+        // join's worth of stages for identical results)
+        val nbr = edges
+          .join(labels.select($"doc_id".as("b"), $"lbl"), Seq("b"))
+          .select($"a".as("doc_id"), $"lbl")
+        labels = nbr.unionByName(labels)
+          .groupBy($"doc_id").agg(min($"lbl").as("lbl"))
       }
-      val clustered = labels.groupBy($"lbl")
+      // cache the converged labels: both the cluster-size filter and the
+      // final join consume them, and each would otherwise re-run the
+      // whole 3-round join lineage
+      val converged = labels.cache()
+      val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
-      labels.join(clustered, Seq("lbl"))
+      converged.join(broadcast(clustered), Seq("lbl"))
         .select($"doc_id", $"lbl".as("cluster_id"))
         .orderBy($"doc_id")
     }
