@@ -117,6 +117,20 @@ object Windows {
         .select($"user_id", $"event_id", $"event_type",
                 $"first_type", $"last_type", $"n_events")
         .orderBy($"user_id", $"event_id")
+    },
+
+    // Aggregate functions as window functions: rolling exact median
+    // (robust smoothing for noisy time series) over a trailing frame.
+    "q60_rolling_median" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(-10, Window.currentRow)
+      T.events(s, d)
+        .withColumn("med", expr("percentile(value, 0.5)").over(w))
+        .withColumn("rolling_n", count(lit(1)).over(w))
+        .filter($"event_id" % 25 === 0)
+        .select($"user_id", $"event_id", $"value", $"med", $"rolling_n")
+        .orderBy($"user_id", $"event_id")
     }
   )
 
@@ -189,6 +203,17 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |QUALIFY event_id % 10 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // Spark `percentile` == DuckDB `quantile_cont` bit-for-bit.
+    "q60_rolling_median" ->
+      """SELECT user_id, event_id, value,
+        |  quantile_cont(value, 0.5) OVER w AS med,
+        |  COUNT(*) OVER w AS rolling_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+        |QUALIFY event_id % 25 = 0
         |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -76,6 +76,30 @@ class PlanShapeSpec extends SparkSpec {
       "centroid sums not map-side combined")
   }
 
+  test("runtime Bloom-filter join pruning injects on a selective join side") {
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force shuffle join
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val big = Tables.lineitem(spark, sf)
+      val selective = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 300000) // few survivors
+      val joined = big.join(selective,
+        big("l_orderkey") === selective("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        "no runtime bloom filter injected:\n" + plan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q39: split keeps both aggregations hash-based (no Expand+sort-agg)") {
     val p = plan("q39_approx_sketches")
     assert(!p.contains("SortAggregate"),
