@@ -197,30 +197,7 @@ object Dedup {
     // hot path. 60-bit gram hashes: collision odds ~2^-43 per doc pair,
     // far below fp noise; the string-based oracle stays exact.
     "d04_ngram_jaccard" -> { (s, d) =>
-      import s.implicits._
-      import graft.functions.GramPHashes.gram_phashes
-      import graft.functions.SortedIntersectCount.sorted_intersect_count
-      graft.GraftExtensions.register(s)
-      val grams = corpus(s, d)
-        .withColumn("n_chars", length($"text"))
-        .filter($"n_chars" >= 4)
-        // fused pass (GramPHashes): hash+sort+dedup every 4-gram in one
-        // codegen'd loop — the declarative transform() chain evaluates
-        // its lambdas interpreted, ~10x the cost of the md5 itself
-        .withColumn("grams", gram_phashes($"text", 4))
-        .select($"doc_id", $"lang", $"source",
-                ($"n_chars".cast("long") / 64L).cast("long").as("lenb"), $"grams")
-        .cache() // self-joined below: compute the gram sets once
-      grams.as("x").join(grams.as("y"),
-          col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-          col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
-        .withColumn("inter",
-          sorted_intersect_count(col("x.grams"), col("y.grams")))
-        .withColumn("jaccard",
-          expr("inter / (size(x.grams) + size(y.grams) - inter)"))
-        .filter(col("jaccard") >= 0.85)
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("jaccard"))
-        .orderBy(col("d1"), col("d2"))
+      d04Pairs(s, d).orderBy(col("d1"), col("d2"))
     },
 
     // Dedup clustering: connected components over the verified near-dup
@@ -233,7 +210,9 @@ object Dedup {
     // graph would add localCheckpoint() every few rounds).
     "d06_dedup_clusters" -> { (s, d) =>
       import s.implicits._
-      val pairs = queries("d04_ngram_jaccard")(s, d).select($"d1", $"d2").cache()
+      // pre-orderBy pairs: caching d04's sorted output would materialize
+      // a global sort the propagation immediately destroys
+      val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
         .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
       var labels = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
@@ -344,6 +323,39 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin
     }
   )
+
+  /** d04's candidate+verify pipeline (unsorted): character-4-gram Jaccard
+    * with blocked pair generation. Gram sets are pre-hashed to sorted long
+    * arrays by the fused GramPHashes pass (the declarative transform()
+    * chain evaluates its lambdas interpreted, ~10x the md5 itself), so the
+    * per-pair intersection is a codegen'd linear merge
+    * (SortedIntersectCount) — the pair-verify loop is the quadratic hot
+    * path. 60-bit gram hashes: collision odds ~2^-43 per doc pair, far
+    * below fp noise; the string-based oracle stays exact. Shared by d04
+    * (which adds the output sort) and d06 (which must NOT pay for it).
+    */
+  private def d04Pairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GramPHashes.gram_phashes
+    import graft.functions.SortedIntersectCount.sorted_intersect_count
+    graft.GraftExtensions.register(s)
+    val grams = corpus(s, d)
+      .withColumn("n_chars", length(col("text")))
+      .filter(col("n_chars") >= 4)
+      .withColumn("grams", gram_phashes(col("text"), 4))
+      .select(col("doc_id"), col("lang"), col("source"),
+              (col("n_chars").cast("long") / 64L).cast("long").as("lenb"),
+              col("grams"))
+      .cache() // self-joined below: compute the gram sets once
+    grams.as("x").join(grams.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+        col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter",
+        sorted_intersect_count(col("x.grams"), col("y.grams")))
+      .withColumn("jaccard",
+        expr("inter / (size(x.grams) + size(y.grams) - inter)"))
+      .filter(col("jaccard") >= 0.85)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("jaccard"))
+  }
 
   /** d04's candidate+verify pipeline as a reusable CTE chain ending in
     * `d04pairs(d1, d2, jaccard)` (also defines `corpus`).

@@ -178,6 +178,10 @@ object Similarity {
     "s06_scalar_quantization" -> { (s, d) =>
       import s.implicits._
       T.embeddings(s, d)
+        // explicit domain: a zero-length array would make Spark's
+        // sequence(1, 0) yield [1, 0] and element_at(codes, 0) throw,
+        // while the oracle's range(1, 1) is empty — restrict both sides
+        .filter(size($"embedding") > 0)
         .withColumn("xs", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("lo", expr("array_min(xs)"))
         .withColumn("hi", expr("array_max(xs)"))
@@ -311,7 +315,7 @@ object Similarity {
       """WITH q AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
-        |  FROM embeddings),
+        |  FROM embeddings WHERE len(embedding) > 0),
         |p AS (
         |  SELECT vec_id, xs, list_min(xs) AS lo, list_max(xs) AS hi,
         |    CASE WHEN list_max(xs) = list_min(xs) THEN CAST(1.0 AS DOUBLE)
