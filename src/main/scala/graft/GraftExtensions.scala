@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BottomKAgg, CosineSim, PortableHashExpr, SortedIntersectCount}
+import graft.functions.{BottomKAgg, CosineSim, NearestCentroid, PortableHashExpr, SortedIntersectCount}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graft.FunctionBridge
 
@@ -26,6 +26,7 @@ object GraftExtensions {
                  => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "graft_phash" -> (es => PortableHashExpr(es.head)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "nearest_centroid" -> (es => NearestCentroid(es(0), es(1))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "bottom_k" -> (es => BottomKAgg(es(0),
       es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())

@@ -2,6 +2,7 @@ package graft.datapipe
 
 import graft.{Tables => T}
 import graft.functions.CosineSim.cosine_sim
+import graft.functions.NearestCentroid.nearest_centroid
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,6 +27,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
   private val QID = 0L // query vector: vec_id 0
 
+  /** Sign-LSH bucket: axis-aligned hyperplane signs on the first 8 dims
+    * -> 256 buckets. Shared by s02 (ANN probe) and d05 (second blocking
+    * key).
+    */
+  private val signBucket = expr(
+    """aggregate(sequence(0, 7), 0,
+      |  (acc, j) -> acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0,
+      |                       CAST(round(pow(2, j)) AS INT), 0))""".stripMargin)
+
+  /** DuckDB mirror of [[signBucket]] over column `embedding`. */
+  private val signBucketSql =
+    """list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN CAST(embedding[j + 1] AS DOUBLE) > 0.0
+      |           THEN CAST(round(pow(2, j)) AS INT) ELSE 0 END))""".stripMargin
+
   /** DuckDB-side dot product with the fixed left-fold order that
     * graft.functions.CosineSim replicates (Spark-side cosines all go
     * through that codegen'd expression).
@@ -35,6 +51,45 @@ object Similarity {
        |  list_transform(range(1, 65),
        |    j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE))),
        |  (acc, x) -> acc + x)""".stripMargin
+
+  /** Collapse per-cell centroid rows into ONE row holding the sorted
+    * (cell, centroid) struct array. Broadcast-crossJoined to the vectors,
+    * this makes centroid assignment map-only: each row computes a fused
+    * codegen'd argmax ([[graft.functions.NearestCentroid]]) against the
+    * broadcast array — no fan-out, no re-shuffle of embedding payloads.
+    * array_sort fixes the struct order (collect_list is order-free), which
+    * [[graft.functions.NearestCentroid]]'s first-wins tie-break needs for
+    * determinism.
+    */
+  private def centroidRow(perCell: DataFrame): DataFrame =
+    perCell.agg(
+      expr("array_sort(collect_list(struct(cell, centroid)))").as("cents"))
+
+  /** Map-only assignment of every vector to its nearest centroid: one
+    * broadcast row of centroids, one codegen'd per-row argmax. The
+    * embeddings side keeps its scan partitioning untouched
+    * (PlanShapeSpec pins the no-Exchange shape).
+    */
+  private[graft] def assignCells(emb: DataFrame, centsRow: DataFrame,
+                                 cellName: String): DataFrame =
+    emb.crossJoin(broadcast(centsRow))
+      .withColumn(cellName, nearest_centroid(col("embedding"), col("cents")))
+      .drop("cents")
+
+  /** DuckDB mirror of the assignment: deterministic argmax via
+    * ROW_NUMBER ordered by (cosine DESC, cell ASC) — identical tie-break
+    * to NearestCentroid's first-wins scan over cell-sorted centroids.
+    */
+  private def assignSql(centTbl: String): String =
+    s"""SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${dotSql("e.embedding", "c.centroid")} /
+       |        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+       |         sqrt(${dotSql("c.centroid", "c.centroid")})) DESC,
+       |      c.cell ASC) AS rn
+       |  FROM embeddings e, $centTbl c)
+       |WHERE rn = 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 by cosine against vec_id 0.
@@ -54,11 +109,7 @@ object Similarity {
     // LSH-bucketed ANN: probe only the query's sign bucket, local top-5.
     "s02_ann_lsh_bucket" -> { (s, d) =>
       import s.implicits._
-      val bucketExpr = expr(
-        """aggregate(sequence(0, 7), 0,
-          |  (acc, j) -> acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0,
-          |                       CAST(round(pow(2, j)) AS INT), 0))""".stripMargin)
-      val emb = T.embeddings(s, d).withColumn("bucket", bucketExpr)
+      val emb = T.embeddings(s, d).withColumn("bucket", signBucket)
       val q = broadcast(emb.filter($"vec_id" === QID)
         .select($"embedding".as("q_emb"), $"bucket".as("q_bucket")))
       emb.filter($"vec_id" =!= QID)
@@ -79,7 +130,7 @@ object Similarity {
       import s.implicits._
       val emb = T.embeddings(s, d)
       // per-dimension exact mean per seed cell, as float arrays
-      val centroids = broadcast(
+      val centroids =
         emb.select(($"vec_id" % 8).as("cell"),
                    posexplode($"embedding").as(Seq("pos", "v")))
           .groupBy($"cell", $"pos")
@@ -87,13 +138,9 @@ object Similarity {
             .cast("float").as("m"))
           .groupBy($"cell")
           .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-            .as("centroid")))
-      // assign every vector to its nearest centroid
-      val assigned = emb.crossJoin(centroids)
-        .withColumn("c_cos", cosine_sim($"embedding", $"centroid"))
-        .groupBy($"vec_id")
-        .agg(expr("max_by(cell, c_cos)").as("home_cell"),
-             first($"embedding").as("embedding"), first($"label").as("label"))
+            .as("centroid"))
+      // map-only nearest-centroid assignment vs ONE broadcast centroid row
+      val assigned = assignCells(emb, centroidRow(centroids), "home_cell")
       val q = broadcast(assigned.filter($"vec_id" === QID)
         .select($"embedding".as("q_emb"), $"home_cell".as("q_cell")))
       assigned.filter($"vec_id" =!= QID)
@@ -133,36 +180,35 @@ object Similarity {
     // means -> cosine argmax re-assignment, twice. The whole chain stays
     // bit-reproducible across engines AND cluster sizes: centroids are
     // order-free integer sums (round(v*1e8)) surfaced as float32, so the
-    // cosines every assignment compares are bit-identical. The canonical
+    // cosines every assignment compares are bit-identical, and argmax
+    // ties break deterministically (smallest cell — NearestCentroid's
+    // first-wins scan over cell-sorted centroids). The canonical
     // iterative-training loop on DataFrames — at 100 TB each iteration is
     // one narrow posexplode-aggregate (centroids, |K|·dim rows out) and
-    // one map-only assignment vs broadcast centroids; deep loops would
-    // add localCheckpoint() to truncate lineage.
+    // one MAP-ONLY assignment vs one broadcast centroid row (no fan-out,
+    // no re-shuffle of embedding payloads); deep loops would add
+    // localCheckpoint() to truncate lineage.
     "s05_kmeans_iter" -> { (s, d) =>
       import s.implicits._
       val emb = T.embeddings(s, d).select($"vec_id", $"embedding")
 
       def centroids(assigned: DataFrame): DataFrame =
-        broadcast(assigned
+        assigned
           .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
           .groupBy($"cell", $"pos")
           .agg((sum(round($"v".cast("double") * 1e8).cast("long")).cast("double")
                   / count(lit(1)) / 1e8).cast("float").as("m"))
           .groupBy($"cell")
           .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-            .as("centroid")))
+            .as("centroid"))
 
       def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(cents)
-          .withColumn("cos", cosine_sim($"embedding", $"centroid"))
-          .groupBy($"vec_id")
-          .agg(expr("max_by(cell, cos)").as("cell"),
-               first($"embedding").as("embedding"))
+        assignCells(emb, centroidRow(cents), "cell")
 
       var a: DataFrame = emb.withColumn("cell", $"vec_id" % 8)
       for (_ <- 1 to 2) a = assign(centroids(a))
-      a.join(centroids(a).select($"cell",
-               element_at($"centroid", 1).as("c0")), Seq("cell"))
+      a.join(broadcast(centroids(a).select($"cell",
+               element_at($"centroid", 1).as("c0"))), Seq("cell"))
         .groupBy($"cell", $"c0")
         .agg(count(lit(1)).as("n_members"))
         .select($"cell", $"n_members", $"c0")
@@ -199,16 +245,25 @@ object Similarity {
         .orderBy($"vec_id")
     },
 
-    // All-pairs near-duplicate embeddings (cosine >= 0.999), blocked by
-    // label; corpus includes exact copies (vec_id + 1e6) as planted dups.
+    // Near-duplicate embeddings (cosine >= 0.999), blocked on
+    // (label, sign-LSH bucket); corpus includes exact copies
+    // (vec_id + 1e6) as planted dups. The second key bounds within-block
+    // pair growth: label alone degenerates to all-pairs under one hot
+    // label, while conjoining the s02 sign bucket caps a block at
+    // ~|label|/256 — near-identical vectors (cosine >= 0.999) agree on
+    // every decisive sign, and exact copies agree on all, so planted dups
+    // always share a bucket. Production recall knob: probe neighboring
+    // buckets (flip low-|v| signs) exactly like multi-probe LSH.
     "d05_embedding_neardup" -> { (s, d) =>
       import s.implicits._
       val base = T.embeddings(s, d)
       val emb = base.unionByName(
           base.filter($"vec_id" % 10 === 0)
             .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label"))
+        .withColumn("bucket", signBucket)
       emb.as("x").join(emb.as("y"),
           col("x.label") === col("y.label") &&
+          col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
         .withColumn("cosine", cosine_sim(col("x.embedding"), col("y.embedding")))
         .filter($"cosine" >= 0.999)
@@ -233,9 +288,7 @@ object Similarity {
     "s02_ann_lsh_bucket" ->
       s"""WITH b AS (
          |  SELECT vec_id, label, embedding,
-         |    list_sum(list_transform(range(0, 8), j ->
-         |      CASE WHEN CAST(embedding[j + 1] AS DOUBLE) > 0.0
-         |           THEN CAST(round(pow(2, j)) AS INT) ELSE 0 END)) AS bucket
+         |    $signBucketSql AS bucket
          |  FROM embeddings),
          |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = $QID)
          |SELECT e.vec_id, e.label, CAST(e.bucket AS INT) AS bucket,
@@ -258,13 +311,7 @@ object Similarity {
          |  SELECT cell, list(m ORDER BY pos) AS centroid
          |  FROM means GROUP BY cell),
          |assigned AS (
-         |  SELECT e.vec_id,
-         |    arg_max(c.cell,
-         |      ${dotSql("e.embedding", "c.centroid")} /
-         |      (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-         |       sqrt(${dotSql("c.centroid", "c.centroid")}))) AS home_cell
-         |  FROM embeddings e, cent c
-         |  GROUP BY e.vec_id),
+         |  SELECT vec_id, cell AS home_cell FROM (${assignSql("cent")}) z),
          |q AS (
          |  SELECT e.embedding AS q_emb, a.home_cell AS q_cell
          |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
@@ -280,10 +327,8 @@ object Similarity {
          |LIMIT 5""".stripMargin,
 
     "s05_kmeans_iter" -> {
-      def cos(a: String, b: String) =
-        s"""${dotSql(a, b)} /
-           |(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))""".stripMargin
-      // one Lloyd iteration: centroids of `prev`, then cosine-argmax
+      // one Lloyd iteration: centroids of `prev`, then deterministic
+      // cosine-argmax (ROW_NUMBER tie-break == NearestCentroid first-wins)
       def iter(j: Int, prev: String) =
         s"""m$j AS (
            |  SELECT a.cell, i - 1 AS pos,
@@ -294,10 +339,7 @@ object Similarity {
            |  GROUP BY 1, 2),
            |cent$j AS (SELECT cell, list(m ORDER BY pos) AS centroid
            |           FROM m$j GROUP BY cell),
-           |a$j AS (
-           |  SELECT e.vec_id, arg_max(c.cell, ${cos("e.embedding", "c.centroid")})
-           |    AS cell
-           |  FROM embeddings e, cent$j c GROUP BY e.vec_id)""".stripMargin
+           |a$j AS (${assignSql(s"cent$j")})""".stripMargin
       s"""WITH a0 AS (SELECT vec_id, vec_id % 8 AS cell FROM embeddings),
          |${iter(1, "a0")},
          |${iter(2, "a1")},
@@ -342,15 +384,18 @@ object Similarity {
 
     "d05_embedding_neardup" ->
       s"""WITH emb AS (
-         |  SELECT vec_id, embedding, label FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000000, embedding, label FROM embeddings
-         |  WHERE vec_id % 10 = 0)
+         |  SELECT vec_id, embedding, label, $signBucketSql AS bucket
+         |  FROM (
+         |    SELECT vec_id, embedding, label FROM embeddings
+         |    UNION ALL
+         |    SELECT vec_id + 1000000, embedding, label FROM embeddings
+         |    WHERE vec_id % 10 = 0))
          |SELECT x.vec_id AS v1, y.vec_id AS v2, x.label AS label,
          |  ${dotSql("x.embedding", "y.embedding")} /
          |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
          |   sqrt(${dotSql("y.embedding", "y.embedding")})) AS cosine
-         |FROM emb x JOIN emb y ON x.label = y.label AND x.vec_id < y.vec_id
+         |FROM emb x JOIN emb y ON x.label = y.label AND x.bucket = y.bucket
+         |  AND x.vec_id < y.vec_id
          |WHERE ${dotSql("x.embedding", "y.embedding")} /
          |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
          |   sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.999

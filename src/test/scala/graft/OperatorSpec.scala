@@ -172,14 +172,36 @@ class OperatorSpec extends SparkSpec {
     val str = BoundReference(0, StringType, nullable = true)
     val longs = BoundReference(1, ArrayType(LongType, containsNull = false), nullable = true)
     val floats = BoundReference(2, ArrayType(FloatType), nullable = true)
+    val cents = BoundReference(3, ArrayType(StructType(Seq(
+      StructField("cell", LongType, nullable = false),
+      StructField("centroid", ArrayType(FloatType)))), containsNull = false),
+      nullable = true)
     val proj = GenerateMutableProjection.generate(Seq(
       functions.GramPHashes(str, 4),
       functions.WordShinglePHashes(str, 3),
       functions.MinHashSigs(longs, Array(7L, 29L), Array(13L, 71L), 2147483647L),
       functions.PortableHashExpr(str),
       functions.CosineSim(floats, floats),
-      functions.SortedIntersectCount(longs, longs)))
+      functions.SortedIntersectCount(longs, longs),
+      functions.NearestCentroid(floats, cents)))
     assert(proj != null)
+  }
+
+  test("nearest_centroid: argmax ties break to the first (smallest) cell") {
+    GraftExtensions.register(spark)
+    // two identical centroids (cells 3 and 7) -> tie resolves to cell 3;
+    // clear winner (cell 1) beats both when distinct
+    val r = spark.range(1).select(
+      expr("""nearest_centroid(
+             |  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+             |  array(named_struct('cell', 3L, 'centroid', CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)),
+             |        named_struct('cell', 7L, 'centroid', CAST(array(0.0, 1.0) AS ARRAY<FLOAT>))))""".stripMargin).as("tie"),
+      expr("""nearest_centroid(
+             |  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+             |  array(named_struct('cell', 3L, 'centroid', CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)),
+             |        named_struct('cell', 1L, 'centroid', CAST(array(1.0, 0.1) AS ARRAY<FLOAT>))))""".stripMargin).as("win"))
+      .as[(Long, Long)].head()
+    assert(r === ((3L, 1L)))
   }
 
   test("multimodal: resize stub shrinks payloads deterministically, map-only") {

@@ -100,6 +100,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("s03/s05: centroid assignment is map-only — no shuffle of embeddings") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    // centroids as a literal one-row frame: the assignment stage under
+    // test is exactly what s03/s05 run after their (separately shuffled)
+    // centroid aggregation
+    val centsRow = spark.range(1).select(expr(
+      """array(
+        |  named_struct('cell', 0L, 'centroid', CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)),
+        |  named_struct('cell', 1L, 'centroid', CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)))"""
+        .stripMargin).as("cents"))
+    val assigned = datapipe.Similarity.assignCells(emb, centsRow, "cell")
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition").foreach { shuffle =>
+      assert(!p.contains(shuffle),
+        s"assignment stage shuffles ($shuffle):\n" + p.take(1200))
+    }
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid row not broadcast:\n" + p.take(1200))
+    assert(p.contains("nearest_centroid") || p.contains("NearestCentroid"),
+      "fused argmax expression missing:\n" + p.take(1200))
+  }
+
   test("q39: split keeps both aggregations hash-based (no Expand+sort-agg)") {
     val p = plan("q39_approx_sketches")
     assert(!p.contains("SortAggregate"),
