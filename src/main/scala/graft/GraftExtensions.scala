@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BottomKAgg, CosineSim, NearestCentroid, PortableHashExpr, SortedIntersectCount}
+import graft.functions.{BottomKAgg, CosineSim, NearestCentroid, PortableHashExpr, SimHashFp, SortedIntersectCount}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graft.FunctionBridge
 
@@ -27,6 +27,8 @@ object GraftExtensions {
     "graft_phash" -> (es => PortableHashExpr(es.head)),
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
     "nearest_centroid" -> (es => NearestCentroid(es(0), es(1))),
+    "simhash_fp" -> (es => SimHashFp(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "bottom_k" -> (es => BottomKAgg(es(0),
       es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())

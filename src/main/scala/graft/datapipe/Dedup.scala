@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *    (one md5 per shingle, reused across the K permutations); banding
   *    (4 bands x 4 rows) turns all-pairs O(n^2) into an equi-join on
   *    band keys; only candidate pairs pay the exact-Jaccard verify.
-  *  - SimHash: linear scan to a 16-bit fingerprint; candidate pairs via
-  *    equality on the top byte (a real deployment rotates bands / uses
-  *    multiple tables to recover recall), verified by Hamming distance.
+  *  - SimHash: one fused scan to a 32-bit fingerprint; candidate pairs
+  *    via 4 disjoint 8-bit bands unioned (pigeonhole: Hamming <= 3 cannot
+  *    miss all 4 bands — guaranteed recall), verified by Hamming distance.
   *  - N-gram Jaccard: pair generation blocked on (lang, source, length
   *    bucket) so the quadratic term is bounded per block.
   */
@@ -163,31 +163,29 @@ object Dedup {
         .orderBy($"d1", $"d2")
     },
 
-    // SimHash: 16-bit frequency-weighted fingerprint; pairs blocked on the
-    // top byte, verified by Hamming distance <= 3.
+    // SimHash: 32-bit frequency-weighted fingerprint (one fused codegen'd
+    // pass per doc), candidate pairs from 4 DISJOINT 8-bit bands unioned
+    // (the d02 banding pattern), verified by Hamming distance <= 3.
+    // Recall is GUARANTEED, not probabilistic: <= 3 differing bits cannot
+    // touch all 4 disjoint bands, so every qualifying pair shares at
+    // least one band key — the multi-index Hamming scheme. Scale shape:
+    // band population is n/256 per band value (vs one fixed band whose
+    // blocks grow linearly and miss cross-block pairs); a 100 TB corpus
+    // widens to a 64-bit fingerprint with more/wider bands, same plan.
     "d03_simhash" -> { (s, d) =>
       import s.implicits._
-      graft.GraftExtensions.register(s)
+      import graft.functions.SimHashFp.simhash_fp
       val fp = corpus(s, d)
-        .withColumn("words", split(col("text"), " "))
-        .filter(size(col("words")) >= 1)
-        .withColumn("ms", expr(s"transform(words, w -> ${hS("w")} % 1073741824)"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 15), 0L, (acc, j) -> acc +
-            |  IF(2 * size(filter(ms, m -> (shiftright(m, j) & 1) = 1)) >= size(ms),
-            |     CAST(round(pow(2, j)) AS BIGINT), 0L))""".stripMargin))
-        .select($"doc_id", $"simhash",
-                expr("shiftright(simhash, 8)").as("block"))
-        .cache() // self-joined below: compute the fingerprint scan once
-      fp.as("x").join(fp.as("y"),
-          col("x.block") === col("y.block") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .withColumn("hamming",
-          expr("bit_count(x.simhash ^ y.simhash)"))
+        .withColumn("simhash", simhash_fp(col("text"), 32))
+        .select($"doc_id", $"simhash")
+        .cache() // candidates + both verify joins consume it
+      simhashCandidates(fp)
+        .join(fp.select($"doc_id".as("d1"), $"simhash".as("simhash1")), Seq("d1"))
+        .join(fp.select($"doc_id".as("d2"), $"simhash".as("simhash2")), Seq("d2"))
+        .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)"))
         .filter(col("hamming") <= 3)
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-                col("x.simhash").as("simhash1"), col("hamming"))
-        .orderBy(col("d1"), col("d2"))
+        .select($"d1", $"d2", $"simhash1", $"hamming")
+        .orderBy($"d1", $"d2")
     },
 
     // Character-4-gram Jaccard with blocked pair generation. Gram sets are
@@ -281,20 +279,26 @@ object Dedup {
          |hashed AS (
          |  SELECT doc_id,
          |    list_transform(string_split(text, ' '),
-         |      w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) % 1073741824)
-         |      AS ms
-         |  FROM corpus WHERE len(string_split(text, ' ')) >= 1),
+         |      w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS ms
+         |  FROM corpus),
          |fp AS (
          |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 16), j ->
+         |    CAST(list_sum(list_transform(range(0, 32), j ->
          |      CASE WHEN 2 * len(list_filter(ms, m -> (m >> j) & 1 = 1)) >= len(ms)
          |           THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
-         |  FROM hashed)
-         |SELECT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS simhash1,
-         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-         |FROM fp x JOIN fp y
-         |  ON (x.simhash >> 8) = (y.simhash >> 8) AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |  FROM hashed),
+         |bands AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, 4),
+         |    k -> concat_ws('_', k, (simhash >> CAST(k * 8 AS INT)) & 255))) AS band_key
+         |  FROM fp),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, f1.simhash AS simhash1,
+         |  CAST(bit_count(xor(f1.simhash, f2.simhash)) AS INT) AS hamming
+         |FROM pairs JOIN fp f1 ON f1.doc_id = d1 JOIN fp f2 ON f2.doc_id = d2
+         |WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
          |ORDER BY d1, d2""".stripMargin,
 
     "d04_ngram_jaccard" -> s"""WITH $d04PairsSql
@@ -323,6 +327,24 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin
     }
   )
+
+  /** SimHash candidate pairs from 4 disjoint 8-bit bands of a 32-bit
+    * fingerprint: explode (band_id, band_value) keys, equi-join, distinct.
+    * Any two fingerprints within Hamming distance 3 share at least one of
+    * the 4 disjoint bands (pigeonhole), so the candidate set provably
+    * contains every verifiable pair — OperatorSpec pins this recall
+    * guarantee on adversarial bit patterns.
+    */
+  private[graft] def simhashCandidates(fp: DataFrame): DataFrame = {
+    val bands = fp.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, 3), k -> concat_ws('_', k, shiftright(simhash, k * 8) & 255))"))
+      .as("band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
 
   /** d04's candidate+verify pipeline (unsorted): character-4-gram Jaccard
     * with blocked pair generation. Gram sets are pre-hashed to sorted long

@@ -47,9 +47,18 @@ object PortableHashExpr {
 
   /** First 15 hex digits of md5 == (big-endian first 8 bytes) >>> 4. */
   def hash60(s: UTF8String): Long = {
+    val b = s.getBytes
+    hash60Bytes(b, 0, b.length)
+  }
+
+  /** [[hash60]] over a byte range — lets callers hash token slices
+    * without materializing substrings ([[SimHashFp]]).
+    */
+  def hash60Bytes(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = digest.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     val be = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
              ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
              ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |

@@ -183,8 +183,53 @@ class OperatorSpec extends SparkSpec {
       functions.PortableHashExpr(str),
       functions.CosineSim(floats, floats),
       functions.SortedIntersectCount(longs, longs),
-      functions.NearestCentroid(floats, cents)))
+      functions.NearestCentroid(floats, cents),
+      functions.SimHashFp(str, 32)))
     assert(proj != null)
+  }
+
+  test("simhash_fp equals the declarative phash+majority chain bit-for-bit") {
+    GraftExtensions.register(spark)
+    val diff = datapipe.Dedup.corpus(spark, sf)
+      .withColumn("fused", functions.SimHashFp.simhash_fp($"text", 32))
+      .withColumn("declared", expr(
+        """aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
+          |  IF(2 * size(filter(transform(split(text, ' '), w -> graft_phash(w)),
+          |                     m -> (shiftright(m, j) & 1) = 1))
+          |       >= size(split(text, ' ')),
+          |     CAST(round(pow(2, j)) AS BIGINT), 0L))""".stripMargin))
+      .filter($"fused" =!= $"declared")
+    assert(diff.count() === 0)
+  }
+
+  test("simhash multi-band blocking: guaranteed recall at Hamming <= 3") {
+    // adversarial pattern: 3 flipped bits spread over 3 DIFFERENT bands
+    // (31, 23, 15) — the old single top-band block would separate these
+    // docs, the 4-disjoint-band scheme must pair them via band 0
+    val fps = Seq(
+      (1L, 0L),                                  // base
+      (2L, (1L << 31) | (1L << 23) | (1L << 15)), // hamming 3, bands 3/2/1 hit
+      (3L, (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24)) // hamming 4, all bands hit
+    ).toDF("doc_id", "simhash")
+    val cands = datapipe.Dedup.simhashCandidates(fps)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), "hamming-3 pair missed by banding")
+    assert(!cands.contains((1L, 3L)),
+      "pair differing in all 4 bands must not be a candidate")
+    // exhaustive pigeonhole check over random <=3-bit perturbations
+    val rnd = new scala.util.Random(7)
+    val base = rnd.nextLong() & 0xffffffffL
+    val perturbed = (0 until 50).map { i =>
+      val k = 1 + rnd.nextInt(3)
+      val bits = rnd.shuffle((0 until 32).toList).take(k)
+      (100L + i, bits.foldLeft(base)((f, b) => f ^ (1L << b)))
+    }
+    val all = (Seq((99L, base)) ++ perturbed).toDF("doc_id", "simhash")
+    val found = datapipe.Dedup.simhashCandidates(all)
+      .as[(Long, Long)].collect().toSet
+    perturbed.foreach { case (id, _) =>
+      assert(found.contains((99L, id)), s"pair (99, $id) missed")
+    }
   }
 
   test("nearest_centroid: argmax ties break to the first (smallest) cell") {
