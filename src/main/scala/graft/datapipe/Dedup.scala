@@ -36,6 +36,13 @@ object Dedup {
   private val BANDS = 4
   private val ROWS = 4 // K = BANDS * ROWS = 16
 
+  /** Round budget shared by d06's Spark loop and its unrolled oracle SQL:
+    * Spark iterates to fixpoint and ASSERTS it converged within this many
+    * rounds; the oracle unrolls exactly this many (extra rounds past the
+    * fixpoint are no-ops), so both engines compute the identical function.
+    */
+  private[graft] val CC_ROUND_BUDGET = 6
+
   /** Spark SQL fragment: portable 60-bit hash of expr — the codegen'd
     * PortableHashExpr, registered as `graft_phash` (bit-identical to
     * Dets.phashSql's md5-hex form the oracle uses).
@@ -200,12 +207,15 @@ object Dedup {
 
     // Dedup clustering: connected components over the verified near-dup
     // pairs via iterative min-label propagation — the transitive-closure
-    // step that turns pairwise matches into dedup groups. 3 FIXED rounds
-    // (cluster diameter here <= 2): fixed rounds keep the computation a
-    // deterministic function, identical to the oracle's unrolled SQL.
-    // Scale shape per round: one join of labels to edges + one min-agg —
-    // O(E) shuffled per round, the standard large-graph CC loop (a deep
-    // graph would add localCheckpoint() every few rounds).
+    // step that turns pairwise matches into dedup groups. Iterates to
+    // FIXPOINT (convergence detected by the monotone label checksum) with
+    // a hard budget of CC_ROUND_BUDGET rounds: a deeper-than-expected
+    // cluster chain fails loudly instead of silently under-merging, and
+    // the oracle's unrolled SQL (same budget, trailing rounds no-ops)
+    // stays the identical function. Scale shape per round: one join of
+    // labels to edges + one min-agg — O(E) shuffled per round, the
+    // standard large-graph CC loop; localCheckpoint each round truncates
+    // the otherwise-quadratic lineage.
     "d06_dedup_clusters" -> { (s, d) =>
       import s.implicits._
       // pre-orderBy pairs: caching d04's sorted output would materialize
@@ -213,21 +223,11 @@ object Dedup {
       val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
         .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
-      var labels = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
-      for (_ <- 1 to 3) {
-        // min over {own label} ∪ {neighbor labels} — one join + one agg
-        // per round (the LEFT JOIN + least() formulation costs a second
-        // join's worth of stages for identical results)
-        val nbr = edges
-          .join(labels.select($"doc_id".as("b"), $"lbl"), Seq("b"))
-          .select($"a".as("doc_id"), $"lbl")
-        labels = nbr.unionByName(labels)
-          .groupBy($"doc_id").agg(min($"lbl").as("lbl"))
-      }
-      // cache the converged labels: both the cluster-size filter and the
-      // final join consume them, and each would otherwise re-run the
-      // whole 3-round join lineage
-      val converged = labels.cache()
+      val seed = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
+      val converged = connectedComponents(seed, edges, CC_ROUND_BUDGET)
+      // converged is checkpointed (lineage truncated), so the pair
+      // pipeline's cache can be dropped before the consumer materializes
+      pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
       converged.join(broadcast(clustered), Seq("lbl"))
@@ -304,10 +304,10 @@ object Dedup {
     "d04_ngram_jaccard" -> s"""WITH $d04PairsSql
          |SELECT d1, d2, jaccard FROM d04pairs ORDER BY d1, d2""".stripMargin,
 
-    // 3 fixed label-propagation rounds, unrolled. Fixed round count (not
-    // convergence detection) keeps both engines computing the identical
-    // function; near-dup clusters here have diameter <= 2, so 3 rounds
-    // reach the true components.
+    // CC_ROUND_BUDGET label-propagation rounds, unrolled. The Spark side
+    // iterates to fixpoint and asserts convergence within the same
+    // budget, so trailing oracle rounds are no-ops and both engines
+    // compute the identical function.
     "d06_dedup_clusters" -> {
       def round(j: Int) =
         s"""l$j AS (
@@ -316,17 +316,62 @@ object Dedup {
            |  LEFT JOIN edges e ON e.a = l.doc_id
            |  LEFT JOIN l${j - 1} n ON n.doc_id = e.b
            |  GROUP BY l.doc_id, l.lbl)""".stripMargin
+      val rounds = (1 to CC_ROUND_BUDGET).map(round).mkString(",\n")
       s"""WITH $d04PairsSql,
          |edges AS (
          |  SELECT d1 AS a, d2 AS b FROM d04pairs
          |  UNION ALL SELECT d2, d1 FROM d04pairs),
          |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
-         |${round(1)}, ${round(2)}, ${round(3)}
-         |SELECT doc_id, lbl AS cluster_id FROM l3
-         |WHERE lbl IN (SELECT lbl FROM l3 GROUP BY lbl HAVING COUNT(*) > 1)
+         |$rounds
+         |SELECT doc_id, lbl AS cluster_id FROM l$CC_ROUND_BUDGET
+         |WHERE lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
+         |              GROUP BY lbl HAVING COUNT(*) > 1)
          |ORDER BY doc_id""".stripMargin
     }
   )
+
+  /** Connected components by min-label propagation, iterated to fixpoint.
+    *
+    * Each round: min over {own label} ∪ {neighbor labels} — one join +
+    * one agg (the LEFT JOIN + least() formulation costs a second join's
+    * worth of stages for identical results). Labels only ever decrease,
+    * so the exact decimal SUM(lbl) is a monotone checksum: one round with
+    * an unchanged checksum IS the fixpoint (decimal(38,0) keeps the test
+    * exact at any corpus size — no long overflow, no fp drift).
+    * localCheckpoint per round truncates lineage (round r would otherwise
+    * re-run rounds 1..r-1) and doubles as the materialization the
+    * convergence check needs anyway.
+    *
+    * Throws if the graph has not converged within `maxRounds` — callers
+    * pair the budget with an equally-unrolled oracle, and a
+    * deeper-than-budgeted graph must fail loudly rather than silently
+    * under-merge (the failure mode of a fixed round count).
+    */
+  private[graft] def connectedComponents(seed: DataFrame, edges: DataFrame,
+                                         maxRounds: Int): DataFrame = {
+    def checksum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    var labels = seed
+    var prev = checksum(seed)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("b"), col("lbl")), Seq("b"))
+        .select(col("a").as("doc_id"), col("lbl"))
+      labels = nbr.unionByName(labels)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val cur = checksum(labels)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      round += 1
+    }
+    require(converged,
+      s"label propagation did not converge within $maxRounds rounds — " +
+        "raise the round budget (and the oracle's unroll) together")
+    labels
+  }
 
   /** SimHash candidate pairs from 4 disjoint 8-bit bands of a 32-bit
     * fingerprint: explode (band_id, band_value) keys, equi-join, distinct.

@@ -232,6 +232,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge on a diameter-4 chain (3 fixed rounds would under-merge)") {
+    // path graph 1-2-3-4-5: min-label propagation needs 4 rounds to pull
+    // label 1 to node 5, +1 round to observe the fixpoint — a fixed
+    // 3-round loop leaves node 5 in a phantom second cluster
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
+    val seed = (1L to 5L).toDF("doc_id").withColumn("lbl", $"doc_id")
+    val labels = datapipe.Dedup.connectedComponents(seed, sym, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // an insufficient budget fails loudly instead of under-merging
+    intercept[IllegalArgumentException] {
+      datapipe.Dedup.connectedComponents(seed, sym, 3)
+    }
+  }
+
   test("nearest_centroid: argmax ties break to the first (smallest) cell") {
     GraftExtensions.register(spark)
     // two identical centroids (cells 3 and 7) -> tie resolves to cell 3;
