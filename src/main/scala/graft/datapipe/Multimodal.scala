@@ -7,14 +7,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads with typed metadata,
   * batch-shaped decode / feature-extract / frame-sample operators.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic stub ([[StubDecoder]]); everything Spark-
-  * side is real and tested: the schema (binary payload + metadata struct),
-  * the mapPartitions batching (the Scala analog of `mapInPandas` — one
-  * decoder instance per partition, streamed row batches, no per-row init),
-  * and the partitioning contract (payloads stay columnar-compressed in
-  * Parquet; feature extraction is map-only so 100 TB of assets never
-  * shuffles — only extracted features, ~1e3x smaller, move).
+  * Two decode paths prove the plumbing at different depths:
+  *  - m01 ([[StubDecoder]]): byte-level features over arbitrary payloads —
+  *    the shape a swapped-in audio/video codec would take.
+  *  - m02 ([[ImageCodec]]): a REAL image codec — `javax.imageio` PNG
+  *    encode/decode (in the JDK, no external deps) over deterministic
+  *    synthetic images, with a nearest-neighbor resize on the decoded
+  *    pixels and a second encode→decode round trip. The DuckDB oracle
+  *    recomputes every feature from the pixel formula, so a codec bug
+  *    anywhere in the chain fails the hash gate.
+  *
+  * Everything Spark-side is shared and real: the schema (binary payload +
+  * typed metadata), the mapPartitions batching (the Scala analog of
+  * `mapInPandas` — one decoder instance per partition, streamed row
+  * batches, no per-row init), and the partitioning contract (payloads stay
+  * columnar-compressed in Parquet; feature extraction is map-only so
+  * 100 TB of assets never shuffles — only extracted features, ~1e3x
+  * smaller, move).
   */
 object Multimodal {
 
@@ -68,6 +77,118 @@ object Multimodal {
     })
   }
 
+  /** A decoded-image feature row ([[ImageCodec]] path): original dims +
+    * gray-sum, then the same after a real NN half-resize and a second
+    * PNG round trip.
+    */
+  final case class ImageFeatures(asset_id: Long, width: Int, height: Int,
+                                 px_sum: Long, r_width: Int, r_height: Int,
+                                 r_sum: Long)
+
+  /** REAL image codec on the JDK's `javax.imageio` (PNG is lossless, so
+    * the pixel formula survives encode→decode bit-exactly). Deterministic
+    * synthetic images: gray(x, y) = (7x + 13y + id) mod 256, dims derived
+    * from the id — every feature is integer arithmetic the oracle can
+    * recompute in SQL.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    def pixel(id: Long, x: Int, y: Int): Int =
+      ((x * 7L + y * 13L + id) % 256L).toInt
+
+    def dims(id: Long): (Int, Int) =
+      ((4 + id % 5).toInt, (3 + id % 4).toInt)
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Synthesize + PNG-encode the image for an asset id. */
+    def synthPng(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pixel(id, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    def decode(bytes: Array[Byte]): BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+    /** Nearest-neighbor half-resize on REAL decoded pixels: out(x, y) =
+      * in(2x, 2y), out dims = ceil(in/2) — deterministic integer
+      * sampling (AWT's filtered scalers are platform-dependent; NN is
+      * reproducible everywhere, and the oracle mirrors it as the
+      * even-coordinate pixel subset).
+      */
+    def halveNN(img: BufferedImage): BufferedImage = {
+      val w = (img.getWidth + 1) / 2
+      val h = (img.getHeight + 1) / 2
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y, img.getRGB(2 * x, 2 * y))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Sum of the gray channel over all pixels. */
+    def graySum(img: BufferedImage): Long = {
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          s += (img.getRGB(x, y) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      s
+    }
+  }
+
+  /** Real PNG payloads, one per document id — encoded on the executors
+    * (map-only; at 100 TB the payloads would already sit in Parquet
+    * binary columns and this stage is just the scan).
+    */
+  def imageAssets(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, ImageCodec.synthPng(id))))
+  }
+
+  /** The real decode kernel through the same mapPartitions harness as
+    * [[extractFeatures]]: PNG-decode each payload, NN-half-resize the
+    * decoded pixels, re-encode + re-decode the result (full
+    * encode→decode→transform→encode→decode chain), emit integer features.
+    */
+  def imageFeatures(assets: Dataset[(Long, Array[Byte])]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { case (id, payload) =>
+      val img = ImageCodec.decode(payload)
+      val half = ImageCodec.decode(ImageCodec.encodePng(ImageCodec.halveNN(img)))
+      ImageFeatures(id, img.getWidth, img.getHeight, ImageCodec.graySum(img),
+        half.getWidth, half.getHeight, ImageCodec.graySum(half))
+    })
+  }
+
   /** Build an asset table from documents (text bytes as stand-in payload). */
   def assets(s: SparkSession, d: String): Dataset[Asset] = {
     import s.implicits._
@@ -94,6 +215,15 @@ object Multimodal {
                 element_at($"sample_offsets", 4).as("off_3"),
                 element_at($"sample_offsets", 5).as("off_4"))
         .orderBy($"asset_id")
+    },
+
+    // Real-codec slice: every value below went through javax.imageio PNG
+    // encode→decode (and the r_* columns through a second round trip on
+    // resized pixels); the oracle recomputes them from the pixel formula,
+    // so the hash gate verifies the actual codec, not a stub.
+    "m02_image_features" -> { (s, d) =>
+      import s.implicits._
+      imageFeatures(imageAssets(s, d)).toDF().orderBy($"asset_id")
     }
   )
 
@@ -116,6 +246,26 @@ object Multimodal {
         |       greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT) AS off_3,
         |  CAST(least(4 * greatest(octet_length(encode(text)) // 5, 1),
         |       greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT) AS off_4
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // gray(x, y) = (7x + 13y + id) % 256 over dims (4 + id%5, 3 + id%4);
+    // the NN half-resize keeps exactly the even-coordinate pixels.
+    "m02_image_features" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h,
+        |    tx.x, ty.y,
+        |    (tx.x * 7 + ty.y * 13 + doc_id) % 256 AS v
+        |  FROM documents, range(0, 8) tx(x), range(0, 6) ty(y)
+        |  WHERE tx.x < 4 + doc_id % 5 AND ty.y < 3 + doc_id % 4)
+        |SELECT doc_id AS asset_id, w AS width, h AS height,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum,
+        |  CAST((w + 1) // 2 AS INT) AS r_width,
+        |  CAST((h + 1) // 2 AS INT) AS r_height,
+        |  CAST(SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN v ELSE 0 END)
+        |       AS BIGINT) AS r_sum
+        |FROM px
+        |GROUP BY doc_id, w, h
+        |ORDER BY asset_id""".stripMargin
   )
 }

@@ -266,6 +266,24 @@ class OperatorSpec extends SparkSpec {
     assert(r === ((3L, 1L)))
   }
 
+  test("multimodal: PNG round trip is lossless and NN resize samples even pixels") {
+    import datapipe.Multimodal.ImageCodec
+    val id = 42L
+    val img = ImageCodec.decode(ImageCodec.synthPng(id))
+    val (w, h) = ImageCodec.dims(id)
+    assert((img.getWidth, img.getHeight) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xff) === ImageCodec.pixel(id, x, y),
+        s"decoded pixel ($x, $y) diverged from the formula")
+    // odd dims: 7x5 -> 4x3, sampling (0,2,4,6) x (0,2,4)
+    val odd = ImageCodec.decode(ImageCodec.synthPng(3L)) // dims (7, 6)
+    val half = ImageCodec.halveNN(odd)
+    assert((half.getWidth, half.getHeight) ===
+      (((odd.getWidth + 1) / 2, (odd.getHeight + 1) / 2)))
+    for (y <- 0 until half.getHeight; x <- 0 until half.getWidth)
+      assert(half.getRGB(x, y) === odd.getRGB(2 * x, 2 * y))
+  }
+
   test("multimodal: resize stub shrinks payloads deterministically, map-only") {
     val a = datapipe.Multimodal.assets(spark, sf)
     val r = datapipe.Multimodal.resize(a, 4).collect()
