@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *    (one md5 per shingle, reused across the K permutations); banding
   *    (4 bands x 4 rows) turns all-pairs O(n^2) into an equi-join on
   *    band keys; only candidate pairs pay the exact-Jaccard verify.
-  *  - SimHash: one fused scan to a 32-bit fingerprint; candidate pairs
-  *    via 4 disjoint 8-bit bands unioned (pigeonhole: Hamming <= 3 cannot
-  *    miss all 4 bands — guaranteed recall), verified by Hamming distance.
+  *  - SimHash: one fused scan to a 60-bit fingerprint; candidate pairs
+  *    via 4 disjoint 15-bit bands unioned (pigeonhole: Hamming <= 3
+  *    cannot miss all 4 bands — guaranteed recall), verified by Hamming
+  *    distance. Band width grows with log n, the blocking scale knob.
   *  - N-gram Jaccard: pair generation blocked on (lang, source, length
   *    bucket) so the quadratic term is bounded per block.
   */
@@ -170,20 +171,22 @@ object Dedup {
         .orderBy($"d1", $"d2")
     },
 
-    // SimHash: 32-bit frequency-weighted fingerprint (one fused codegen'd
-    // pass per doc), candidate pairs from 4 DISJOINT 8-bit bands unioned
+    // SimHash: 60-bit frequency-weighted fingerprint (one fused codegen'd
+    // pass per doc), candidate pairs from 4 DISJOINT 15-bit bands unioned
     // (the d02 banding pattern), verified by Hamming distance <= 3.
     // Recall is GUARANTEED, not probabilistic: <= 3 differing bits cannot
     // touch all 4 disjoint bands, so every qualifying pair shares at
-    // least one band key — the multi-index Hamming scheme. Scale shape:
-    // band population is n/256 per band value (vs one fixed band whose
-    // blocks grow linearly and miss cross-block pairs); a 100 TB corpus
-    // widens to a 64-bit fingerprint with more/wider bands, same plan.
+    // least one band key — the multi-index Hamming scheme. Band WIDTH is
+    // the corpus-size knob: 2^15 values per band keeps expected block
+    // population n/32768 (StressBench measured 8-bit bands quadratic at
+    // 16x — fixed 256-value bands saturate); a 100 TB corpus widens the
+    // fingerprint (concatenate independent salted hashes) and the bands
+    // so 2^width keeps pace with n, same plan shape.
     "d03_simhash" -> { (s, d) =>
       import s.implicits._
       import graft.functions.SimHashFp.simhash_fp
       val fp = corpus(s, d)
-        .withColumn("simhash", simhash_fp(col("text"), 32))
+        .withColumn("simhash", simhash_fp(col("text"), 60))
         .select($"doc_id", $"simhash")
         .cache() // candidates + both verify joins consume it
       simhashCandidates(fp)
@@ -283,13 +286,13 @@ object Dedup {
          |  FROM corpus),
          |fp AS (
          |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 32), j ->
+         |    CAST(list_sum(list_transform(range(0, 60), j ->
          |      CASE WHEN 2 * len(list_filter(ms, m -> (m >> j) & 1 = 1)) >= len(ms)
          |           THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |  FROM hashed),
          |bands AS (
          |  SELECT doc_id, unnest(list_transform(range(0, 4),
-         |    k -> concat_ws('_', k, (simhash >> CAST(k * 8 AS INT)) & 255))) AS band_key
+         |    k -> concat_ws('_', k, (simhash >> CAST(k * 15 AS INT)) & 32767))) AS band_key
          |  FROM fp),
          |pairs AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
@@ -373,16 +376,18 @@ object Dedup {
     labels
   }
 
-  /** SimHash candidate pairs from 4 disjoint 8-bit bands of a 32-bit
+  /** SimHash candidate pairs from 4 disjoint 15-bit bands of a 60-bit
     * fingerprint: explode (band_id, band_value) keys, equi-join, distinct.
     * Any two fingerprints within Hamming distance 3 share at least one of
     * the 4 disjoint bands (pigeonhole), so the candidate set provably
     * contains every verifiable pair — OperatorSpec pins this recall
-    * guarantee on adversarial bit patterns.
+    * guarantee on adversarial bit patterns. 15-bit bands keep the
+    * expected block population at n/32768 per band value (the width must
+    * grow with log n; fixed byte-wide bands measured quadratic at 16x).
     */
   private[graft] def simhashCandidates(fp: DataFrame): DataFrame = {
     val bands = fp.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, 3), k -> concat_ws('_', k, shiftright(simhash, k * 8) & 255))"))
+      "transform(sequence(0, 3), k -> concat_ws('_', k, shiftright(simhash, k * 15) & 32767))"))
       .as("band_key"))
     bands.as("x").join(bands.as("y"),
         col("x.band_key") === col("y.band_key") &&

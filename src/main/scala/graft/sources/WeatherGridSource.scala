@@ -44,6 +44,11 @@ class WeatherGridSource extends TableProvider {
 }
 
 object WeatherGridSource {
+  /** Test hook: partition readers opened (local-mode single JVM) — lets
+    * IngestSpec assert one source scan per ingest run.
+    */
+  private[graft] val readerOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Reference sink schema: date key + 8 measures in request order
     * (lambda_function.py:155-165), plus location_id for the multi-location
     * generalization (WeatherApiResponse.LocationId).
@@ -162,6 +167,7 @@ case class WeatherGridPartition(loc: Long) extends InputPartition
 class WeatherGridReaderFactory(start: Long, end: Long, interval: Long)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    WeatherGridSource.readerOpens.incrementAndGet() // test hook: scans-per-run
     val loc = p.asInstanceOf[WeatherGridPartition].loc
     new PartitionReader[InternalRow] {
       private var ts = start - interval

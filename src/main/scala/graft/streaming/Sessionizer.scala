@@ -8,22 +8,47 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per-session aggregates with custom close rules). State per key is one
   * open session (O(1)).
   *
-  * This implementation targets BATCH mode (each group runs once, so the
-  * trailing open session is emitted at the end), which is how the unit
-  * test checks the session arithmetic against the declarative
-  * `session_window` operator. A continuous-streaming deployment must NOT
-  * emit the open session per micro-batch: it would wire
-  * `GroupStateTimeout.EventTimeTimeout` + `state.setTimeoutTimestamp`,
-  * emit a session only when its timeout fires, and let the watermark
-  * expire idle keys so the state store stays bounded by live keys.
+  * Two variants share the fold:
+  *  - [[sessionize]] targets BATCH mode (each group runs once, so the
+  *    trailing open session is emitted at the end) — how the unit test
+  *    checks the session arithmetic against the declarative
+  *    `session_window` operator.
+  *  - [[sessionizeStream]] is the production continuous-streaming mode:
+  *    `GroupStateTimeout.EventTimeTimeout` + `state.setTimeoutTimestamp`
+  *    hold the open session in the state store and emit it only when the
+  *    event-time watermark passes its close time (last event + gap), so
+  *    nothing is emitted per micro-batch prematurely and expired keys
+  *    leave the store — state stays bounded by live keys.
   */
 object Sessionizer {
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n: Long, total: Double)
-  private final case class Open(start: Long, last: Long, n: Long, total: Double)
+  // public: the streaming state-store encoder codegen needs constructor
+  // access (batch mode never serializes state, so private worked there)
+  final case class Open(start: Long, last: Long, n: Long, total: Double)
 
   val GapMs: Long = 30 * 60 * 1000L
+
+  /** Fold a time-sorted event batch into (closed sessions, open session),
+    * resuming from prior state — shared by the batch and streaming modes.
+    */
+  private def foldSessions(user: Long, evs: Iterator[Ev],
+                           prior: Option[Open]): (Vector[Session], Option[Open]) = {
+    // sort within group (bounded per user), fold into sessions
+    val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+    sorted.foldLeft((Vector.empty[Session], prior)) {
+      case ((done, cur), e) =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(o) if t - o.last <= GapMs =>
+            (done, Some(o.copy(last = t, n = o.n + 1, total = o.total + e.value)))
+          case Some(o) =>
+            (done :+ toSession(user, o), Some(Open(t, t, 1, e.value)))
+          case None => (done, Some(Open(t, t, 1, e.value)))
+        }
+    }
+  }
 
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -31,23 +56,42 @@ object Sessionizer {
       .flatMapGroupsWithState[Open, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[Open]) =>
-          // sort within group (bounded per user), fold into sessions
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
-          val (closed, open) = sorted.foldLeft(
-            (Vector.empty[Session], state.getOption)) {
-            case ((done, cur), e) =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(o) if t - o.last <= GapMs =>
-                  (done, Some(o.copy(last = t, n = o.n + 1, total = o.total + e.value)))
-                case Some(o) =>
-                  (done :+ toSession(user, o), Some(Open(t, t, 1, e.value)))
-                case None => (done, Some(Open(t, t, 1, e.value)))
-              }
-          }
+          val (closed, open) = foldSessions(user, evs, state.getOption)
           open.foreach(state.update)
           // batch mode: groups are complete, emit the trailing session too
           (closed ++ open.map(toSession(user, _))).iterator
+      }
+  }
+
+  /** Production streaming mode: open sessions live in the state store and
+    * emit when the event-time watermark passes last + gap. Callers set the
+    * watermark upstream (`withWatermark("ts", ...)`); the allowed lateness
+    * delays session emission by the same amount, the standard trade.
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Open, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Open]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's close time: emit + drop
+            // the key from the store (bounded state)
+            val out = state.getOption.map(toSession(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            val (closed, open) = foldSessions(user, evs, state.getOption)
+            open.foreach { o =>
+              state.update(o)
+              // fire when the watermark passes the session close; clamp
+              // above the current watermark (a timeout in the past is
+              // rejected) so a straggler session emits next micro-batch
+              state.setTimeoutTimestamp(
+                math.max(o.last + GapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
       }
   }
 

@@ -27,7 +27,8 @@ object StressBench {
     val scales = args.lift(1).getOrElse("1,4,16").split(",").map(_.trim.toInt)
     val defaultQs = "q01_pricing_summary,q08_multiway_join,q13_window_rows_frame," +
       "q29_asof_join,q46_asof_join_native,q40_tumbling_window,w05_upsert_antijoin," +
-      "d01_exact_dedup,d02_minhash_lsh,d04_ngram_jaccard"
+      "d01_exact_dedup,d02_minhash_lsh,d03_simhash,d04_ngram_jaccard," +
+      "d05_embedding_neardup,s03_ann_ivf,s05_kmeans_iter"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
@@ -65,7 +66,19 @@ object StressBench {
             else d.withColumn("doc_id", col("doc_id") + i * SHIFT)
                   .withColumn("text", concat(col("text"), lit(s" c$i"))))
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings"))
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        copies(emb, (d, i) =>
+            if (i == 0) d
+            else d.withColumn("vec_id", col("vec_id") + i * SHIFT)
+              // flip one dimension's sign per copy: keeps copies out of
+              // each other's cosine>=0.999 neighborhoods (a plain copy
+              // would make the near-dup OUTPUT quadratic in k and mask
+              // the plan's scaling) while preserving norms and the value
+              // distribution the blocking keys see
+              .withColumn("embedding",
+                expr(s"transform(embedding, (v, j) -> IF(j = ${i % 64}, -v, v))")))
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        for (t <- Seq("region", "nation", "customer", "supplier", "part"))
           spark.read.parquet(s"$sfDir/$t.parquet")
             .write.mode("overwrite").parquet(s"$dir/$t.parquet")
         marker.createNewFile()

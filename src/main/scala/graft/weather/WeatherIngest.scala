@@ -79,7 +79,11 @@ object WeatherIngest {
         return IngestResult(500, 0, 0, None,
           Some(s"sink $sinkPath does not exist — create it first"))
       val cursor = latestCursor(spark, sinkPath)
-      val raw = fetch(spark, now, pastDays, forecastDays, locations)
+      // cache the extract: the fetched-count action below is the ONE
+      // source scan per run (the reference fetches once, too) — the
+      // downstream dedup/append pipeline reads the cached blocks
+      val raw = fetch(spark, now, pastDays, forecastDays, locations).cache()
+      val fetched = withRetry()(raw.count())
       val noFuture = raw.filter(col("ts") <= lit(now).cast("timestamp"))
       val fresh = cursor.fold(noFuture)(c => noFuture.filter(col("ts") > lit(c)))
       val encoded = MEASURES.foldLeft(fresh)((df, m) =>
@@ -87,12 +91,15 @@ object WeatherIngest {
       val sink = spark.read.parquet(sinkPath)
       val toInsert = WeatherPipeline.upsertNew(
         encoded, sink, Seq("location_id", "ts")).cache()
-      val fetched = withRetry()(raw.count())
       val inserted = toInsert.count()
       if (inserted > 0)
-        toInsert.write.mode(SaveMode.Append).parquet(sinkPath)
+        // retry covers the load boundary as well as the extract: toInsert
+        // is cached (frozen), so a retried append rewrites identical rows
+        // after the all-or-nothing job commit aborted
+        withRetry()(toInsert.write.mode(SaveMode.Append).parquet(sinkPath))
       val newCursor = latestCursor(spark, sinkPath)
       toInsert.unpersist()
+      raw.unpersist()
       IngestResult(200, fetched, inserted, newCursor)
     } catch {
       case e: Throwable => IngestResult(500, 0, 0, None, Some(e.getMessage))

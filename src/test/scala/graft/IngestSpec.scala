@@ -87,6 +87,18 @@ class IngestSpec extends SparkSpec {
     assert(r4.recordsInserted === 2)
   }
 
+  test("pipeline: one ingest run scans the source exactly once") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink1s").toString
+    readGrid(2).limit(0).write.mode("overwrite").parquet(sink)
+    sources.WeatherGridSource.readerOpens.set(0)
+    val r = WeatherIngest.run(spark, sink, "2024-01-02 00:00:00", locations = 2)
+    assert(r.statusCode === 200)
+    // 2 locations = 2 partition readers; any re-scan would double this
+    // (the fetched-count used to re-extract the whole source)
+    assert(sources.WeatherGridSource.readerOpens.get() === 2L,
+      "ingest must extract once: fetched-count + dedup share the cached scan")
+  }
+
   test("pipeline: NaN measures land as NULL in the sink") {
     val sink = java.nio.file.Files.createTempDirectory("graft_sink2").toString
     readGrid(1).limit(0).write.mode("overwrite").parquet(sink)

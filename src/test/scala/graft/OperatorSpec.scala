@@ -191,9 +191,9 @@ class OperatorSpec extends SparkSpec {
   test("simhash_fp equals the declarative phash+majority chain bit-for-bit") {
     GraftExtensions.register(spark)
     val diff = datapipe.Dedup.corpus(spark, sf)
-      .withColumn("fused", functions.SimHashFp.simhash_fp($"text", 32))
+      .withColumn("fused", functions.SimHashFp.simhash_fp($"text", 60))
       .withColumn("declared", expr(
-        """aggregate(sequence(0, 31), 0L, (acc, j) -> acc +
+        """aggregate(sequence(0, 59), 0L, (acc, j) -> acc +
           |  IF(2 * size(filter(transform(split(text, ' '), w -> graft_phash(w)),
           |                     m -> (shiftright(m, j) & 1) = 1))
           |       >= size(split(text, ' ')),
@@ -204,12 +204,12 @@ class OperatorSpec extends SparkSpec {
 
   test("simhash multi-band blocking: guaranteed recall at Hamming <= 3") {
     // adversarial pattern: 3 flipped bits spread over 3 DIFFERENT bands
-    // (31, 23, 15) — the old single top-band block would separate these
-    // docs, the 4-disjoint-band scheme must pair them via band 0
+    // (59, 44, 29) — a single-band block would separate these docs, the
+    // 4-disjoint-band scheme must pair them via band 0
     val fps = Seq(
       (1L, 0L),                                  // base
-      (2L, (1L << 31) | (1L << 23) | (1L << 15)), // hamming 3, bands 3/2/1 hit
-      (3L, (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24)) // hamming 4, all bands hit
+      (2L, (1L << 59) | (1L << 44) | (1L << 29)), // hamming 3, bands 3/2/1 hit
+      (3L, (1L << 0) | (1L << 15) | (1L << 30) | (1L << 45)) // hamming 4, all bands hit
     ).toDF("doc_id", "simhash")
     val cands = datapipe.Dedup.simhashCandidates(fps)
       .as[(Long, Long)].collect().toSet
@@ -218,10 +218,10 @@ class OperatorSpec extends SparkSpec {
       "pair differing in all 4 bands must not be a candidate")
     // exhaustive pigeonhole check over random <=3-bit perturbations
     val rnd = new scala.util.Random(7)
-    val base = rnd.nextLong() & 0xffffffffL
+    val base = rnd.nextLong() >>> 4 // 60-bit
     val perturbed = (0 until 50).map { i =>
       val k = 1 + rnd.nextInt(3)
-      val bits = rnd.shuffle((0 until 32).toList).take(k)
+      val bits = rnd.shuffle((0 until 60).toList).take(k)
       (100L + i, bits.foldLeft(base)((f, b) => f ^ (1L << b)))
     }
     val all = (Seq((99L, base)) ++ perturbed).toDF("doc_id", "simhash")

@@ -61,4 +61,43 @@ class StreamingSpec extends SparkSpec {
     val bad = out.filter($"sess_end" < $"sess_start" + expr("INTERVAL 30 MINUTES"))
     assert(bad.count() === 0)
   }
+
+  test("event-time sessionizer: sessions emit on watermark expiry, state drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.Sessionizer
+    import streaming.Sessionizer.Ev
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = Sessionizer.sessionizeStream(
+      input.toDS().withWatermark("ts", "10 minutes").as[Ev])
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // one session for user 1; nothing may emit while the watermark is
+      // still behind its close time
+      input.addData(Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+                    Ev(1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() === 0,
+        "open session emitted before watermark expiry")
+      // a later event (user 2) pushes the watermark to 12:50, past user
+      // 1's close (10:40) -> user 1's session emits via timeout; user 2's
+      // stays open
+      input.addData(Ev(2L, ts("2024-01-01 13:00:00"), 5.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_stream")
+        .as[Sessionizer.Session].collect()
+      assert(emitted.map(_.user_id).toSeq === Seq(1L))
+      assert(emitted.head.start === ts("2024-01-01 10:00:00"))
+      assert(emitted.head.end === ts("2024-01-01 10:40:00")) // last + 30 min gap
+      assert(emitted.head.n === 2 && emitted.head.total === 3.0)
+      // push the watermark past user 2's close as well -> its session
+      // emits too, proving the timed-out key was the only state left
+      input.addData(Ev(3L, ts("2024-01-01 16:00:00"), 7.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_stream").as[Sessionizer.Session].collect()
+      assert(all.map(_.user_id).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
 }

@@ -62,7 +62,12 @@ def type_check(name, spark_files, duck_tbl):
         if pt.is_nested(t): return f"NESTED({t})"
         return str(t)
 
-    ss = {f.name: f.type for f in pq.read_schema(spark_files[0])}
+    schemas = [pq.read_schema(f) for f in spark_files]
+    if any(not s.equals(schemas[0]) for s in schemas[1:]):
+        # stale mixed outputs would otherwise validate file[0]'s schema
+        # against values concatenated from every file
+        return [f"part files disagree on schema ({len(spark_files)} files)"]
+    ss = {f.name: f.type for f in schemas[0]}
     ds = {f.name: f.type for f in duck_tbl.schema}
     problems = []
     for c in sorted(set(ss) | set(ds)):
