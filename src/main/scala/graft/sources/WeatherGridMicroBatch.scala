@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.StructType
   * log instead of a SELECT MAX over the sink.
   */
 class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
-                                  locations: Int, maxSlotsPerTrigger: Long)
+                                  locations: Int, maxSlotsPerTrigger: Long,
+                                  schema: StructType = WeatherGridSource.SCHEMA)
     extends MicroBatchStream {
 
   private val totalSlots: Long = math.max((end - start) / interval, 0L) +
@@ -55,7 +56,7 @@ class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WeatherGridRangeReaderFactory(interval)
+    new WeatherGridRangeReaderFactory(interval, schema)
 
   override def commit(offset: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -64,24 +65,15 @@ class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
 case class WeatherGridRangePartition(loc: Long, fromTs: Long, untilTs: Long)
     extends InputPartition
 
-class WeatherGridRangeReaderFactory(interval: Long)
+class WeatherGridRangeReaderFactory(interval: Long, schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[WeatherGridRangePartition]
+    val gen = new WeatherGridSource.RowGen(schema)
     new PartitionReader[InternalRow] {
       private var ts = part.fromTs - interval
       override def next(): Boolean = { ts += interval; ts < part.untilTs }
-      override def get(): InternalRow = {
-        val vals = new Array[Any](2 + WeatherGridSource.MEASURES.size)
-        vals(0) = part.loc
-        vals(1) = ts
-        var m = 0
-        while (m < WeatherGridSource.MEASURES.size) {
-          vals(2 + m) = WeatherGridSource.value(part.loc, ts, m)
-          m += 1
-        }
-        InternalRow.fromSeq(vals.toIndexedSeq)
-      }
+      override def get(): InternalRow = gen.row(part.loc, ts)
       override def close(): Unit = ()
     }
   }

@@ -17,27 +17,44 @@ import scala.jdk.CollectionConverters._
   * is one InputPartition per location — 10k locations = 10k parallel
   * tasks, the natural 100 TB sharding for a fleet-scale scrape.
   *
+  * The wire model is generic, not 8 hard-coded measures: the response
+  * carries time-axis groups (Current/Minutely15/Hourly/SixHourly/Daily —
+  * openmeteo_sdk/WeatherApiResponse.py:95-142) and a Variable enum
+  * (Variable.py:5-170). This source mirrors that space with two options:
+  * `axis` picks the grid cadence (minutely_15 | hourly | six_hourly |
+  * daily; `interval_s` overrides for a custom cadence — `current` is just
+  * a one-slot window), and `variables` is the requested variable list
+  * (CSV, any names — request order = column order, exactly like the
+  * reference's params dict, lambda_function.py:27-36). A variable's
+  * synthetic series is keyed by its NAME, so the same variable returns
+  * the same series regardless of which other variables are requested —
+  * the real API's behavior.
+  *
   * No network in this environment, so the "API" is a deterministic
   * synthetic generator with the reference's exact shape: half-open
-  * [start, end) grid at interval_s (lambda_function.py:106-111), the 8
-  * minutely_15 variables in request order (lambda_function.py:27-36),
+  * [start, end) grid at the axis cadence (lambda_function.py:106-111),
   * float measures with NaN holes (the wire format's missing-value
   * encoding, VariableWithValues.py:58-62).
   *
-  * Scan-level pushdown: ts range predicates narrow the generated grid
-  * (SupportsPushDownFilters) — the analog of the reference passing
-  * `past_days`/`forecast_days` to the API instead of filtering locally.
+  * Scan-level pushdown, both kinds:
+  *  - ts range predicates narrow the generated grid
+  *    (SupportsPushDownFilters) — the analog of passing
+  *    `past_days`/`forecast_days` to the API instead of filtering locally;
+  *  - column pruning reaches the generator
+  *    (SupportsPushDownRequiredColumns) — unrequested variables are never
+  *    computed, the analog of not asking the API for them.
   *
   * Usage:
   * {{{
   * spark.read.format("graft.sources.WeatherGridSource")
   *   .option("start", "2024-01-01 00:00:00").option("end", "2024-01-03 00:00:00")
-  *   .option("locations", 4).option("interval_s", 900).load()
+  *   .option("locations", 4).option("axis", "hourly")
+  *   .option("variables", "temperature_2m,cloud_cover").load()
   * }}}
   */
 class WeatherGridSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WeatherGridSource.SCHEMA
+    WeatherGridSource.schemaFor(WeatherGridSource.variablesOf(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new WeatherGridTable(new CaseInsensitiveStringMap(properties))
@@ -49,39 +66,96 @@ object WeatherGridSource {
     */
   private[graft] val readerOpens = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Reference sink schema: date key + 8 measures in request order
-    * (lambda_function.py:155-165), plus location_id for the multi-location
-    * generalization (WeatherApiResponse.LocationId).
+  /** Reference request variables in request order (lambda_function.py:27-36)
+    * — the default `variables` list, and the reference sink's measure
+    * columns (lambda_function.py:155-165).
     */
   val MEASURES: Seq[String] = Seq(
     "temperature_2m", "relative_humidity_2m", "apparent_temperature", "rain",
     "sunshine_duration", "precipitation", "dew_point_2m", "wind_speed_10m")
-  val SCHEMA: StructType = StructType(
+
+  /** Wire-model time-axis groups → grid cadence in seconds
+    * (WeatherApiResponse.py:95-142; `current` is a cadence-less point
+    * read — model it as a one-slot [start, end) window instead).
+    */
+  val AXES: Map[String, Long] = Map(
+    "minutely_15" -> 900L, "hourly" -> 3600L,
+    "six_hourly" -> 21600L, "daily" -> 86400L)
+
+  def schemaFor(variables: Seq[String]): StructType = StructType(
     StructField("location_id", LongType, nullable = false) +:
     StructField("ts", TimestampType, nullable = false) +:
-    MEASURES.map(StructField(_, DoubleType, nullable = true)))
+    variables.map(StructField(_, DoubleType, nullable = true)))
+
+  val SCHEMA: StructType = schemaFor(MEASURES)
+
+  private[sources] def variablesOf(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("variables"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(MEASURES)
+
+  private[sources] def intervalMicrosOf(options: CaseInsensitiveStringMap): Long = {
+    val axisDefault = AXES.getOrElse(
+      options.getOrDefault("axis", "minutely_15"), 900L)
+    options.getOrDefault("interval_s", axisDefault.toString).toLong * 1000000L
+  }
 
   def parseTs(s: String): Long = // micros since epoch, input UTC
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 
-  /** Deterministic measure value; NaN holes every 50th slot/measure. */
-  def value(loc: Long, slotMicros: Long, m: Int): Double = {
+  /** Stable per-variable series key: the portable 60-bit hash of the
+    * variable NAME — request-order independent, JVM independent.
+    */
+  def varKey(name: String): Long =
+    graft.functions.PortableHashExpr.hash60Bytes(
+      name.getBytes("UTF-8"), 0, name.getBytes("UTF-8").length)
+
+  /** Deterministic measure value; NaN holes every 50th slot/variable. */
+  def value(loc: Long, slotMicros: Long, key: Long): Double = {
     val h = java.lang.Long.rotateLeft(
-      (loc * 0x9e3779b97f4a7c15L) ^ (slotMicros / 1000000L) ^ (m * 0x85ebca6bL), 17)
+      (loc * 0x9e3779b97f4a7c15L) ^ (slotMicros / 1000000L) ^ key, 17)
     if (math.floorMod(h, 50L) == 0L) Double.NaN
     else math.floorMod(h, 20000L) / 100.0 - 50.0
+  }
+
+  /** Row emitter for a pruned schema: precomputes per-field generators
+    * (location_id / ts / name-keyed variable) once per reader, not per
+    * row. Shared by the batch and micro-batch readers.
+    */
+  private[sources] final class RowGen(schema: StructType) {
+    // key >= 0: variable series key (varKey is 60-bit, never negative);
+    // -1: location_id; -2: ts
+    private val keys: Array[Long] = schema.fields.map(_.name match {
+      case "location_id" => -1L
+      case "ts" => -2L
+      case v => varKey(v)
+    })
+    def row(loc: Long, ts: Long): InternalRow = {
+      val vals = new Array[Any](keys.length)
+      var i = 0
+      while (i < keys.length) {
+        vals(i) = keys(i) match {
+          case -1L => loc
+          case -2L => ts
+          case k => value(loc, ts, k)
+        }
+        i += 1
+      }
+      InternalRow.fromSeq(vals.toIndexedSeq)
+    }
   }
 }
 
 class WeatherGridTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String = "weather_grid"
-  override def schema(): StructType = WeatherGridSource.SCHEMA
+  override def schema(): StructType =
+    WeatherGridSource.schemaFor(WeatherGridSource.variablesOf(options))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
-    val interval = options.getOrDefault("interval_s", "900").toLong * 1000000L
+    val interval = WeatherGridSource.intervalMicrosOf(options)
     val maxSlots = options.getOrDefault("maxSlotsPerTrigger", "96").toLong
     // The real API's slots sit on absolute clock boundaries regardless of
     // the request window — anchor the grid to epoch multiples of interval
@@ -94,18 +168,24 @@ class WeatherGridTable(options: CaseInsensitiveStringMap)
       WeatherGridSource.parseTs(options.getOrDefault("end", "2024-01-03 00:00:00")),
       interval,
       options.getOrDefault("locations", "1").toInt,
-      maxSlots)
+      maxSlots,
+      WeatherGridSource.variablesOf(options))
   }
 }
 
 /** Pushdown: ts bounds tighten [start, end) before generation — rows that
-  * a filter excludes are never produced (the API-side cut).
+  * a filter excludes are never produced (the API-side cut) — and column
+  * pruning reaches the generator: unrequested variables are never
+  * computed (the don't-ask-the-API-for-them cut).
   */
 class WeatherGridScanBuilder(var start: Long, var end: Long,
                              interval: Long, locations: Int,
-                             maxSlotsPerTrigger: Long = 96L)
-    extends ScanBuilder with SupportsPushDownFilters {
+                             maxSlotsPerTrigger: Long = 96L,
+                             variables: Seq[String] = WeatherGridSource.MEASURES)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
+  private var readSchema: StructType = WeatherGridSource.schemaFor(variables)
 
   private def micros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => // full micro precision: getTime is ms-only
@@ -138,51 +218,50 @@ class WeatherGridScanBuilder(var start: Long, var end: Long,
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    readSchema = requiredSchema
+
   override def build(): Scan =
-    new WeatherGridScan(start, end, interval, locations, maxSlotsPerTrigger)
+    new WeatherGridScan(start, end, interval, locations, maxSlotsPerTrigger,
+      readSchema)
 }
 
 class WeatherGridScan(start: Long, end: Long, interval: Long, locations: Int,
-                      maxSlotsPerTrigger: Long = 96L)
+                      maxSlotsPerTrigger: Long = 96L,
+                      schema: StructType = WeatherGridSource.SCHEMA)
     extends Scan with Batch {
-  override def readSchema(): StructType = WeatherGridSource.SCHEMA
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WeatherGridMicroBatchStream(start, end, interval, locations,
-      maxSlotsPerTrigger)
+      maxSlotsPerTrigger, schema)
   override def description(): String =
-    s"weather_grid [$start, $end) step=$interval locs=$locations"
+    s"weather_grid [$start, $end) step=$interval locs=$locations " +
+      s"cols=${schema.fieldNames.mkString(",")}"
 
   // one partition per location: the reference's per-invocation unit
   override def planInputPartitions(): Array[InputPartition] =
     (0 until locations).map(l => WeatherGridPartition(l.toLong): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WeatherGridReaderFactory(start, end, interval)
+    new WeatherGridReaderFactory(start, end, interval, schema)
 }
 
 case class WeatherGridPartition(loc: Long) extends InputPartition
 
-class WeatherGridReaderFactory(start: Long, end: Long, interval: Long)
+class WeatherGridReaderFactory(start: Long, end: Long, interval: Long,
+                               schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     WeatherGridSource.readerOpens.incrementAndGet() // test hook: scans-per-run
     val loc = p.asInstanceOf[WeatherGridPartition].loc
+    val gen = new WeatherGridSource.RowGen(schema)
     new PartitionReader[InternalRow] {
       private var ts = start - interval
       override def next(): Boolean = { ts += interval; ts < end } // half-open
-      override def get(): InternalRow = {
-        val vals = new Array[Any](2 + WeatherGridSource.MEASURES.size)
-        vals(0) = loc
-        vals(1) = ts
-        var m = 0
-        while (m < WeatherGridSource.MEASURES.size) {
-          vals(2 + m) = WeatherGridSource.value(loc, ts, m)
-          m += 1
-        }
-        InternalRow.fromSeq(vals.toIndexedSeq)
-      }
+      override def get(): InternalRow = gen.row(loc, ts)
       override def close(): Unit = ()
     }
   }

@@ -47,6 +47,45 @@ class IngestSpec extends SparkSpec {
     assert(filtered.count() === 2L * 96)
   }
 
+  test("source: generic wire model — axis cadence + variable list options") {
+    // hourly axis: 2 days -> 48 slots; requested variables become columns
+    // in request order, like the reference's params dict
+    val hourly = spark.read.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-01 00:00:00")
+      .option("end", "2024-01-03 00:00:00")
+      .option("axis", "hourly")
+      .option("variables", "cloud_cover,temperature_2m")
+      .load()
+    assert(hourly.columns.toSeq ===
+      Seq("location_id", "ts", "cloud_cover", "temperature_2m"))
+    assert(hourly.count() === 48)
+    // a variable's series is keyed by NAME: the same variable requested
+    // in a different list (and order) returns the same values
+    val t1 = hourly.select($"ts", $"temperature_2m").collect()
+      .map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    val t2 = spark.read.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-01 00:00:00")
+      .option("end", "2024-01-03 00:00:00")
+      .option("axis", "hourly")
+      .option("variables", "temperature_2m")
+      .load().select($"ts", $"temperature_2m").collect()
+      .map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+    assert(t1.keySet === t2.keySet)
+    t1.foreach { case (ts, v) =>
+      assert(v.isNaN && t2(ts).isNaN || v === t2(ts),
+        s"series for temperature_2m depends on the request list at $ts")
+    }
+  }
+
+  test("source: column pruning reaches the generator (ReadSchema narrowed)") {
+    val pruned = readGrid(1).select($"ts", $"rain")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("rain"), s"scan lost the requested column: $scanLine")
+    assert(!scanLine.contains("temperature_2m"),
+      s"unrequested variables still generated: $scanLine")
+  }
+
   test("source: deterministic values with NaN holes") {
     val a = readGrid(1).collect()
     val b = readGrid(1).collect()
