@@ -94,6 +94,11 @@ object Multimodal {
   object ImageCodec {
     import java.awt.image.BufferedImage
 
+    // ImageIO defaults to a DISK-backed stream cache (a temp file per
+    // encode/decode) — in-memory streams are ~5x faster for these small
+    // payloads and need no scratch dir on executors. Once per JVM.
+    private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
     def pixel(id: Long, x: Int, y: Int): Int =
       ((x * 7L + y * 13L + id) % 256L).toInt
 
@@ -101,6 +106,7 @@ object Multimodal {
       ((4 + id % 5).toInt, (3 + id % 4).toInt)
 
     def encodePng(img: BufferedImage): Array[Byte] = {
+      noDiskCache
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
@@ -123,8 +129,10 @@ object Multimodal {
       encodePng(img)
     }
 
-    def decode(bytes: Array[Byte]): BufferedImage =
+    def decode(bytes: Array[Byte]): BufferedImage = {
+      noDiskCache
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    }
 
     /** Nearest-neighbor half-resize on REAL decoded pixels: out(x, y) =
       * in(2x, 2y), out dims = ceil(in/2) — deterministic integer

@@ -119,6 +119,24 @@ object Windows {
         .orderBy($"user_id", $"event_id")
     },
 
+    // Time-interval RANGE frame: trailing 1-hour count/sum per user —
+    // the event-time sliding aggregate q14's numeric range frame can't
+    // express. Ordered on epoch SECONDS (identical integers on both
+    // engines); RANGE includes equal-key peers identically everywhere.
+    "q61_window_time_range" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"tsec").rangeBetween(-3600, Window.currentRow)
+      T.events(s, d)
+        .withColumn("ts_s", date_trunc("second", $"ts"))
+        .withColumn("tsec", unix_timestamp($"ts_s"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(dec($"value")).over(w).cast("double"))
+        .filter($"event_id" % 20 === 0)
+        .select($"user_id", $"event_id", $"ts_s", $"n_1h", $"sum_1h")
+        .orderBy($"user_id", $"event_id")
+    },
+
     // Aggregate functions as window functions: rolling exact median
     // (robust smoothing for noisy time series) over a trailing frame.
     "q60_rolling_median" -> { (s, d) =>
@@ -203,6 +221,18 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |QUALIFY event_id % 10 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q61_window_time_range" ->
+      """SELECT user_id, event_id,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |QUALIFY event_id % 20 = 0
         |ORDER BY user_id, event_id""".stripMargin,
 
     // Spark `percentile` == DuckDB `quantile_cont` bit-for-bit.
