@@ -208,6 +208,28 @@ object Dedup {
       d04Pairs(s, d).orderBy(col("d1"), col("d2"))
     },
 
+    // Edit-distance near-dup (typo/OCR-noise dedup — catches what
+    // set-based Jaccard misses when edits are WITHIN tokens): d04's
+    // (lang, source, length-bucket) blocking, then Levenshtein over the
+    // 40-char prefix as the verify. Prefix-bounded distance keeps the
+    // per-pair cost O(40^2) regardless of document length; production
+    // escalates prefix-hit pairs to a banded/thresholded full-text pass
+    // (Spark's levenshtein(l, r, threshold) early-exits the DP).
+    "d07_edit_distance" -> { (s, d) =>
+      import s.implicits._
+      val docs = corpus(s, d)
+        .withColumn("lenb", (length($"text").cast("long") / 64L).cast("long"))
+        .withColumn("pfx", substring($"text", 1, 40))
+        .select($"doc_id", $"lang", $"source", $"lenb", $"pfx")
+      docs.as("x").join(docs.as("y"),
+          col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
+        .withColumn("editdist", levenshtein(col("x.pfx"), col("y.pfx")))
+        .filter($"editdist" <= 5)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), $"editdist")
+        .orderBy($"d1", $"d2")
+    },
+
     // Dedup clustering: connected components over the verified near-dup
     // pairs via iterative min-label propagation — the transitive-closure
     // step that turns pairwise matches into dedup groups. Iterates to
@@ -306,6 +328,21 @@ object Dedup {
 
     "d04_ngram_jaccard" -> s"""WITH $d04PairsSql
          |SELECT d1, d2, jaccard FROM d04pairs ORDER BY d1, d2""".stripMargin,
+
+    "d07_edit_distance" ->
+      s"""WITH corpus AS ($corpusSql),
+         |docs AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(length(text) // 64 AS BIGINT) AS lenb,
+         |    substring(text, 1, 40) AS pfx
+         |  FROM corpus)
+         |SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |  CAST(levenshtein(x.pfx, y.pfx) AS INT) AS editdist
+         |FROM docs x JOIN docs y
+         |  ON x.lang = y.lang AND x.source = y.source AND x.lenb = y.lenb
+         |  AND x.doc_id < y.doc_id
+         |WHERE levenshtein(x.pfx, y.pfx) <= 5
+         |ORDER BY d1, d2""".stripMargin,
 
     // CC_ROUND_BUDGET label-propagation rounds, unrolled. The Spark side
     // iterates to fixpoint and asserts convergence within the same

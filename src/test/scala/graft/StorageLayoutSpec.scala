@@ -9,6 +9,42 @@ import org.apache.spark.sql.functions._
 class StorageLayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("DSv2 sink: write round-trips through the two-phase commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2sink").toString
+    val src = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+    src.write.format("graft.sources.ParquetBatchSink")
+      .option("path", dir).mode("append").save()
+    // staging swept, only committed part files remain
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.forall(_.endsWith(".parquet")), files.mkString(","))
+    assert(!files.exists(_.startsWith("_staging")), "staging dir not swept")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === src.count())
+    val a = src.orderBy($"event_id").collect().map(_.toString)
+    val b = back.orderBy($"event_id").collect().map(_.toString)
+    assert(a.sameElements(b), "round-trip changed rows")
+  }
+
+  test("DSv2 sink: job abort leaves the sink untouched") {
+    import graft.sources.{ParquetBatchWrite, ParquetSinkCommit}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2abort").toString
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val write = new ParquetBatchWrite(schema, dir, "q-abort-test")
+    val factory = write.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 0L)
+    w.write(InternalRow(1L))
+    val msg = w.commit().asInstanceOf[ParquetSinkCommit]
+    assert(new java.io.File(s"$dir/_staging_q-abort-test/${msg.file}").exists(),
+      "task commit must leave the staged file for the job commit")
+    write.abort(Array(msg)) // driver decides the job failed
+    val left = new java.io.File(dir).listFiles()
+    assert(left == null || left.isEmpty,
+      s"aborted job leaked files: ${left.map(_.getName).mkString(",")}")
+  }
+
   test("partitioned sink: date filter prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.events(spark, sf)
