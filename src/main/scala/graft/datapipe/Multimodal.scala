@@ -172,6 +172,55 @@ object Multimodal {
     }
   }
 
+  /** Decoded-waveform feature row ([[PcmCodec]] path): all-integer
+    * features so the oracle is exact.
+    */
+  final case class AudioFeatures(asset_id: Long, n_samples: Int, peak: Int,
+                                 zero_crossings: Int, energy: Long)
+
+  /** REAL audio-payload decode: 16-bit little-endian PCM in a binary
+    * column, decoded on the executors via ByteBuffer — the wire format of
+    * WAV data chunks. Samples are deterministic integers
+    * (v_i = (7·id + 13·i) mod 201 − 100), so every feature is integer
+    * arithmetic the oracle recomputes exactly.
+    */
+  object PcmCodec {
+    def nSamples(id: Long): Int = (64 + (id % 5) * 16).toInt
+
+    def sample(id: Long, i: Int): Int =
+      (((id * 7L + i * 13L) % 201L) - 100L).toInt
+
+    /** Synthesize the 16-bit LE PCM payload for an asset id. */
+    def synthPcm(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val bb = java.nio.ByteBuffer.allocate(2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { bb.putShort(sample(id, i).toShort); i += 1 }
+      bb.array()
+    }
+
+    def decode(payload: Array[Byte]): Array[Int] = {
+      val sb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+      Array.tabulate(sb.limit())(sb.get(_).toInt)
+    }
+
+    def features(id: Long, payload: Array[Byte]): AudioFeatures = {
+      val v = decode(payload)
+      var peak = 0; var zc = 0; var energy = 0L
+      var i = 0
+      while (i < v.length) {
+        val a = math.abs(v(i))
+        if (a > peak) peak = a
+        if (i > 0 && v(i - 1) * v(i) < 0) zc += 1
+        energy += v(i).toLong * v(i)
+        i += 1
+      }
+      AudioFeatures(id, v.length, peak, zc, energy)
+    }
+  }
+
   /** Real PNG payloads, one per document id — encoded on the executors
     * (map-only; at 100 TB the payloads would already sit in Parquet
     * binary columns and this stage is just the scan).
@@ -232,6 +281,19 @@ object Multimodal {
     "m02_image_features" -> { (s, d) =>
       import s.implicits._
       imageFeatures(imageAssets(s, d)).toDF().orderBy($"asset_id")
+    },
+
+    // Audio-payload slice: binary 16-bit LE PCM decoded per row
+    // (ByteBuffer — the WAV data-chunk wire format), integer waveform
+    // features the oracle recomputes from the sample formula. Map-only:
+    // payloads never shuffle, only the ~30 B feature rows do.
+    "m03_audio_features" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          PcmCodec.features(id, PcmCodec.synthPcm(id))
+        })
+        .toDF().orderBy($"asset_id")
     }
   )
 
@@ -274,6 +336,25 @@ object Multimodal {
         |       AS BIGINT) AS r_sum
         |FROM px
         |GROUP BY doc_id, w, h
+        |ORDER BY asset_id""".stripMargin,
+
+    // v_i = (7*id + 13*i) % 201 - 100 over n = 64 + (id%5)*16 samples;
+    // strict sign-product test for zero crossings.
+    "m03_audio_features" ->
+      """WITH s AS (
+        |  SELECT doc_id, t.i,
+        |    (doc_id * 7 + t.i * 13) % 201 - 100 AS v
+        |  FROM documents, range(0, 128) t(i)
+        |  WHERE t.i < 64 + (doc_id % 5) * 16)
+        |SELECT doc_id AS asset_id,
+        |  CAST(COUNT(*) AS INT) AS n_samples,
+        |  CAST(MAX(abs(v)) AS INT) AS peak,
+        |  CAST(SUM(CASE WHEN i > 0
+        |    AND v * ((doc_id * 7 + (i - 1) * 13) % 201 - 100) < 0
+        |    THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy
+        |FROM s
+        |GROUP BY doc_id
         |ORDER BY asset_id""".stripMargin
   )
 }

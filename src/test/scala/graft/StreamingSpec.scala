@@ -62,6 +62,67 @@ class StreamingSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("RocksDB state store: same results as the default store (scale path)") {
+    // at 100 TB the state store must spill off-heap — RocksDB is the
+    // provider for that; results must not depend on the store backend
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = streaming.Streaming.ingestStream(spark, dir.toString, "rocks_sink")
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("rocks_sink")
+          .select($"window.start".as("ws"), $"event_type", $"n")
+          .as[(java.sql.Timestamp, String, Long)].collect().toSet
+        val batch = Tables.events(spark, sf)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select($"window.start".as("ws"), $"event_type", $"n")
+          .as[(java.sql.Timestamp, String, Long)].collect().toSet
+        assert(streamed === batch)
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark: dups suppressed, state evicted after horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = input.toDS().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("ddww_sink")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")),
+                    (1L, ts("2024-01-01 10:01:00")), // dup within watermark
+                    (2L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("ddww_sink").count() === 2) // one per id
+      // 3 hours later the watermark has LONG passed id 1's expiry — its
+      // dedup state was evicted, so the key may legitimately re-emit
+      // (bounded state: the store holds only the watermark horizon)
+      input.addData((1L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 13:00:30"))) // dup in NEW horizon
+      q.processAllAvailable()
+      val ids = spark.table("ddww_sink").as[(Long, java.sql.Timestamp)]
+        .collect().toSeq.sorted
+      assert(ids.count(_._1 == 1L) === 2, s"expected re-emission after eviction: $ids")
+      assert(ids.count(_._1 == 2L) === 1)
+    } finally q.stop()
+  }
+
   test("event-time sessionizer: sessions emit on watermark expiry, state drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import streaming.Sessionizer
