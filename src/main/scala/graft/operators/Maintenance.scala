@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Table-maintenance operators a 100 TB parquet lake needs continuously:
+  * small-files compaction and sort-clustered rewrites for data skipping.
+  *
+  * Streaming ingest (micro-batch appends) and fine-grained upserts leave
+  * thousands of KB-sized part files per partition; scans then pay one
+  * task + one footer read per file and lose row-group-statistics
+  * locality. Compaction rewrites a directory into ~targetBytes files;
+  * clustering additionally range-partitions + sorts by a key so parquet
+  * row-group min/max statistics become selective (the poor man's
+  * Z-order for one key — scans with a pushed filter on that key skip
+  * whole row groups / files).
+  */
+object Maintenance {
+
+  final case class CompactionStats(filesBefore: Int, filesAfter: Int,
+                                   rows: Long)
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+
+  /** Rewrite `dir` into ceil(totalBytes / targetBytes) files (possibly
+    * sorted by `clusterBy`), atomically-ish: write to a sibling temp dir,
+    * then swap. Local-FS moves stand in for the object-store rename a
+    * cluster deployment would route through its committer.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Option[String] = None): CompactionStats = {
+    import org.apache.spark.sql.functions.col
+    val before = parquetFiles(dir)
+    val totalBytes = before.map(_.length).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val shaped = clusterBy match {
+      // range-partition THEN sort within: each output file owns a
+      // contiguous key range and its row groups carry tight min/max
+      case Some(k) => df.repartitionByRange(nFiles, col(k))
+        .sortWithinPartitions(col(k))
+      case None => df.repartition(nFiles)
+    }
+    val tmp = dir + "_compact_tmp"
+    shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: clear originals, move compacted files in, drop temp dir
+    before.foreach(_.delete())
+    parquetFiles(tmp).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dir, f.getName))
+    }
+    Option(new java.io.File(tmp).listFiles()).foreach(_.foreach(_.delete()))
+    new java.io.File(tmp).delete()
+    CompactionStats(before.length, parquetFiles(dir).length, rows)
+  }
+}

@@ -45,6 +45,62 @@ class StorageLayoutSpec extends SparkSpec {
       s"aborted job leaked files: ${left.map(_.getName).mkString(",")}")
   }
 
+  test("compaction: small files rewritten to target size, rows preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Tables.events(spark, sf).repartition(40) // simulate micro-batch litter
+      .write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).orderBy($"event_id").collect()
+    val stats = operators.Maintenance.compact(spark, dir,
+      targetBytes = 512L * 1024 * 1024)
+    assert(stats.filesBefore === 40)
+    assert(stats.filesAfter === 1, s"expected 1 compacted file: $stats")
+    val after = spark.read.parquet(dir).orderBy($"event_id").collect()
+    assert(after.sameElements(before), "compaction changed the data")
+  }
+
+  test("sort-clustered rewrite: row-group stats become selective for key filters") {
+    import scala.jdk.CollectionConverters._
+    // how many row groups a pushed user_id=7 filter must read: a row
+    // group is skippable iff its footer [min,max] excludes the key
+    def groupsContaining(dir: String, key: Long): (Int, Int) = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      var total = 0; var containing = 0
+      files.foreach { f =>
+        val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration(false)))
+        try rdr.getFooter.getBlocks.asScala.foreach { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "user_id").get.getStatistics
+          total += 1
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long]
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long]
+          if (mn <= key && key <= mx) containing += 1
+        } finally rdr.close()
+      }
+      (containing, total)
+    }
+    val base = Tables.events(spark, sf)
+    val unsorted = java.nio.file.Files.createTempDirectory("graft_uns").toString
+    base.repartition(8).write.mode("overwrite").parquet(unsorted)
+    val clustered = java.nio.file.Files.createTempDirectory("graft_cls").toString
+    base.repartition(8).write.mode("overwrite").parquet(clustered)
+    operators.Maintenance.compact(spark, clustered,
+      targetBytes = 24L * 1024, clusterBy = Some("user_id"))
+    val (uc, ut) = groupsContaining(unsorted, 7L)
+    val (cc, ct) = groupsContaining(clustered, 7L)
+    // random layout: every row group spans the whole key range — zero
+    // skipping; clustered: the key lives in a small fraction of groups
+    assert(uc === ut, s"random layout unexpectedly skippable ($uc/$ut)")
+    assert(ct > 1 && cc <= math.max(1, ct / 4),
+      s"clustered layout not selective: $cc of $ct row groups contain the key")
+    // and the data is intact
+    assert(spark.read.parquet(clustered).count() === base.count())
+  }
+
   test("partitioned sink: date filter prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.events(spark, sf)
