@@ -106,7 +106,7 @@ class ParquetBatchWrite(schema: StructType, path: String, queryId: String)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
-    new ParquetSinkWriterFactory(schema, staging)
+    new ParquetSinkWriterFactory(schema, staging, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -131,17 +131,21 @@ class ParquetBatchWrite(schema: StructType, path: String, queryId: String)
 
 case class ParquetSinkCommit(file: String) extends WriterCommitMessage
 
-class ParquetSinkWriterFactory(schema: StructType, staging: String)
+class ParquetSinkWriterFactory(schema: StructType, staging: String,
+                               queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ParquetSinkDataWriter(schema, staging, partitionId, taskId)
+    new ParquetSinkDataWriter(schema, staging, partitionId, taskId, queryId)
 }
 
 /** Task-level writer: streams rows into one staged parquet file. */
 class ParquetSinkDataWriter(schema: StructType, staging: String,
-                            partitionId: Int, taskId: Long)
+                            partitionId: Int, taskId: Long, queryId: String)
     extends DataWriter[InternalRow] {
-  private val fileName = f"part-p$partitionId%05d-t$taskId.parquet"
+  // queryId in the name: (partition, task) ids repeat across jobs, and a
+  // later append's job-commit move would silently REPLACE an earlier
+  // append's identically-named file
+  private val fileName = f"part-p$partitionId%05d-t$taskId-$queryId.parquet"
   private val msgType = ParquetBatchSink.parquetType(schema)
   private val factory = new SimpleGroupFactory(msgType)
   private val writer: ParquetWriter[Group] = {

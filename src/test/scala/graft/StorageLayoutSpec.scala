@@ -26,6 +26,18 @@ class StorageLayoutSpec extends SparkSpec {
     assert(a.sameElements(b), "round-trip changed rows")
   }
 
+  test("DSv2 sink: successive appends accumulate (no file-name collisions)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2app").toString
+    val src = Tables.nation(spark, sf).select($"n_nationkey", $"n_name")
+    src.write.format("graft.sources.ParquetBatchSink")
+      .option("path", dir).mode("append").save()
+    src.write.format("graft.sources.ParquetBatchSink")
+      .option("path", dir).mode("append").save()
+    // (partition, task) ids repeat across jobs — only per-job-unique file
+    // names keep the second commit from replacing the first job's files
+    assert(spark.read.parquet(dir).count() === 2 * src.count())
+  }
+
   test("DSv2 sink: job abort leaves the sink untouched") {
     import graft.sources.{ParquetBatchWrite, ParquetSinkCommit}
     import org.apache.spark.sql.catalyst.InternalRow
