@@ -88,7 +88,15 @@ object WeatherIngest {
       val fresh = cursor.fold(noFuture)(c => noFuture.filter(col("ts") > lit(c)))
       val encoded = MEASURES.foldLeft(fresh)((df, m) =>
         df.withColumn(m, when(isnan(col(m)), lit(null)).otherwise(col(m))))
+      // anti-join side pruned to the extract window: ts is part of the
+      // upsert key, so sink rows before the window can never match — the
+      // filter pushes to the parquet scan (and prunes partitions on a
+      // date-partitioned sink), keeping the per-run join cost bounded by
+      // the window instead of the sink's full history
+      val windowLo = java.time.LocalDateTime.parse(now.replace(' ', 'T'))
+        .minusDays(pastDays).toString.replace('T', ' ')
       val sink = spark.read.parquet(sinkPath)
+        .filter(col("ts") >= lit(windowLo).cast("timestamp"))
       val toInsert = WeatherPipeline.upsertNew(
         encoded, sink, Seq("location_id", "ts")).cache()
       val inserted = toInsert.count()
