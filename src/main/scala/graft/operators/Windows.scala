@@ -119,6 +119,35 @@ object Windows {
         .orderBy($"user_id", $"event_id")
     },
 
+    // q16's distribution functions, DISTRIBUTED: Window.partitionBy on a
+    // 3-value key serializes each group onto one task (3 x 33 TB tasks at
+    // 100 TB); this computes the identical ntile/percent_rank/cume_dist
+    // via DistributedRank — range-repartition + broadcast prefix offsets,
+    // so no group ever gathers on one executor. Same oracle as q16.
+    "q62_distribution_scalable" -> { (s, d) =>
+      import s.implicits._
+      import DistributedRank._
+      val ranked = withRankStats(
+        T.lineitem(s, d).select($"l_returnflag", $"l_orderkey",
+          $"l_linenumber", $"l_extendedprice", $"l_quantity"),
+        Seq("l_returnflag"),
+        Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber", $"l_quantity"),
+        nParts = 32)
+      // with the tie-broken total order, rank == row_number == SQL rank,
+      // so the distribution functions are arithmetic on (_rank0, _gn)
+      ranked
+        .withColumn("quartile", ntileFromRank(4, $"_rank0", $"_gn"))
+        .withColumn("pct_rank",
+          when($"_gn" > 1, $"_rank0".cast("double") / ($"_gn" - 1))
+            .otherwise(0.0))
+        .withColumn("cume", ($"_rank0" + 1).cast("double") / $"_gn")
+        .filter($"l_orderkey" % 100 === 0)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+                $"l_extendedprice", $"quartile", $"pct_rank", $"cume")
+        .orderBy($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+                 $"l_linenumber", $"pct_rank")
+    },
+
     // Time-interval RANGE frame: trailing 1-hour count/sum per user —
     // the event-time sliding aggregate q14's numeric range frame can't
     // express. Ordered on epoch SECONDS (identical integers on both
@@ -222,6 +251,21 @@ object Windows {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |QUALIFY event_id % 10 = 0
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // identical semantics to q16 (the distributed formulation must compute
+    // the very same function) — same oracle text
+    "q62_distribution_scalable" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  quartile, pct_rank, cume FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    ntile(4) OVER w AS quartile,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber, l_quantity)
+        |) WHERE l_orderkey % 100 = 0
+        |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber, pct_rank""".stripMargin,
 
     "q61_window_time_range" ->
       """SELECT user_id, event_id,

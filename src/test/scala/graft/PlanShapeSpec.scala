@@ -125,6 +125,14 @@ class PlanShapeSpec extends SparkSpec {
       "fused argmax expression missing:\n" + p.take(1200))
   }
 
+  test("q62: distribution functions run without a Window operator (no one-task groups)") {
+    val p = plan("q62_distribution_scalable")
+    assert(!p.contains("Window ["),
+      "q62 must not fall back to Window.partitionBy on the 3-value key:\n" + p.take(800))
+    assert(p.contains("rangepartitioning"),
+      "expected a range repartition to own the total order:\n" + p.take(800))
+  }
+
   test("q39: split keeps both aggregations hash-based (no Expand+sort-agg)") {
     val p = plan("q39_approx_sketches")
     assert(!p.contains("SortAggregate"),
