@@ -152,6 +152,36 @@ object TextAnalysis {
         .orderBy($"lang")
     },
 
+    // TF-IDF: the canonical corpus-relevance score. Two narrow
+    // aggregations (term frequency per doc, document frequency per term)
+    // joined back on the term — shuffles carry (word, counts), never
+    // text. N arrives via a broadcast 1-row corpus-count join (no driver
+    // scalar in the plan, so the query stays one lazy DAG). ln() is
+    // transcendental: scores rounded to 6 dp on both engines (library
+    // convention — libm ulp noise can't move a 1e-6 boundary). Top-3
+    // terms per sampled doc via a per-doc ranking window.
+    "t08_tfidf" -> { (s, d) =>
+      import s.implicits._
+      val terms = T.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+      val tf = terms.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      val df_ = terms.select($"doc_id", $"w").distinct()
+        .groupBy($"w").agg(count(lit(1)).as("df"))
+      val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"w")
+      tf.join(df_, Seq("w"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(
+          $"tf" * log(($"n_docs" + 1).cast("double") / ($"df" + 1)), 6))
+        .filter($"doc_id" % 50 === 0)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"w", $"tf", $"df", $"tfidf")
+        .orderBy($"doc_id", $"rk")
+    },
+
     // Fingerprint: md5 over the sorted distinct word set (bag-of-words
     // canonical form); window counts docs sharing a fingerprint.
     "t04_fingerprint" -> { (s, d) =>
@@ -257,6 +287,30 @@ object TextAnalysis {
         |      AS fp
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
-        |FROM fps ORDER BY doc_id""".stripMargin
+        |FROM fps ORDER BY doc_id""".stripMargin,
+
+    "t08_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t AS (SELECT * FROM terms WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, w FROM t) GROUP BY w),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6)
+        |      AS tfidf
+        |  FROM tf JOIN df ON tf.w = df.w, n
+        |  WHERE tf.doc_id % 50 = 0),
+        |ranked AS (
+        |  SELECT doc_id, w, tf, df, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, w) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, w, tf, df, tfidf
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
   )
 }
