@@ -152,6 +152,38 @@ object TextAnalysis {
         .orderBy($"lang")
     },
 
+    // Composite cleaning pass — the realistic end-to-end pipeline a
+    // training-data user runs: quality scoring + length gate +
+    // deterministic sampling fused into ONE scan (every per-doc column
+    // is map-only; only the tiny per-lang report aggregates). Reuses
+    // t02's exact quality formula and t05's hash-threshold sampling, so
+    // every predicate is engine-exact.
+    "t09_clean_pipeline" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("words", split($"text", " "))
+        .withColumn("n_words", size($"words").cast("long"))
+        .filter($"n_words" >= 1)
+        .withColumn("ttr", expr("size(array_distinct(words))") / $"n_words")
+        .withColumn("stop_ratio",
+          expr("size(filter(words, w -> w = 'the' OR w = 'a'))") / $"n_words")
+        .withColumn("len_sat", least($"n_words" / 100.0, lit(1.0)))
+        .withColumn("quality",
+          $"ttr" * 0.4 + (lit(1.0) - $"stop_ratio") * 0.3 + $"len_sat" * 0.3)
+        .withColumn("q_ok", $"quality" >= 0.5)
+        .withColumn("len_ok", $"n_words".between(5, 2000))
+        .withColumn("sampled",
+          graft.Dets.phash(concat(lit("sample:"), $"doc_id".cast("string")))
+            % 100 < 30)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!$"q_ok", 1L).otherwise(0L)).as("n_q_fail"),
+          sum(when(!$"len_ok", 1L).otherwise(0L)).as("n_len_fail"),
+          sum(when($"q_ok" && $"len_ok" && $"sampled", 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy($"lang")
+    },
+
     // TF-IDF: the canonical corpus-relevance score. Two narrow
     // aggregations (term frequency per doc, document frequency per term)
     // joined back on the term — shuffles carry (word, counts), never
@@ -288,6 +320,31 @@ object TextAnalysis {
         |  FROM documents)
         |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
         |FROM fps ORDER BY doc_id""".stripMargin,
+
+    "t09_clean_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    len(list_distinct(string_split(text, ' ')))
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+         |    len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         |    least(len(string_split(text, ' ')) / 100.0, 1.0) AS len_sat
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 1),
+         |flags AS (
+         |  SELECT lang,
+         |    (ttr * 0.4 + (1.0 - stop_ratio) * 0.3 + len_sat * 0.3) >= 0.5 AS q_ok,
+         |    n_words BETWEEN 5 AND 2000 AS len_ok,
+         |    ${graft.Dets.phashSql("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+         |      < 30 AS sampled
+         |  FROM scored)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_q_fail,
+         |  CAST(SUM(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_fail,
+         |  CAST(SUM(CASE WHEN q_ok AND len_ok AND sampled THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_kept
+         |FROM flags GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t08_tfidf" ->
       """WITH terms AS (
