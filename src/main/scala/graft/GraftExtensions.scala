@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BottomKAgg, CosineSim, NearestCentroid, PortableHashExpr, SimHashFp, SortedIntersectCount}
+import graft.functions.{BottomKAgg, CosineSim, NearestCentroid, PortableHashExpr, SimHashFp, SortedIntersectCount, WinnowFingerprints}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graft.FunctionBridge
 
@@ -29,6 +29,9 @@ object GraftExtensions {
     "nearest_centroid" -> (es => NearestCentroid(es(0), es(1))),
     "simhash_fp" -> (es => SimHashFp(es(0),
       es(1).eval().asInstanceOf[Number].intValue())),
+    "winnow_fps" -> (es => WinnowFingerprints(es(0),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue())),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "bottom_k" -> (es => BottomKAgg(es(0),
       es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())

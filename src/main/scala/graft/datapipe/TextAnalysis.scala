@@ -214,6 +214,24 @@ object TextAnalysis {
         .orderBy($"doc_id", $"rk")
     },
 
+    // Rolling-hash winnowing fingerprints (the MOSS scheme): Rabin–Karp
+    // rolling hash over 8-byte grams, minimum per 8-wide window, distinct
+    // sorted set per document — any shared substring >= 15 bytes yields a
+    // shared fingerprint. One fused codegen pass (WinnowFingerprints);
+    // map-only, emits O(n/w) longs per doc.
+    "t10_winnow_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.WinnowFingerprints.winnow_fps
+      T.documents(s, d)
+        .filter(length($"text") >= 15) // need >= k + w - 1 bytes
+        .withColumn("fps", winnow_fps($"text", 8, 8))
+        .select($"doc_id", size($"fps").as("n_fps"),
+          element_at($"fps", 1).as("fp_min"),
+          // order-free checksum of the set (scalarized for the driver)
+          expr("aggregate(fps, 0L, (a, x) -> a ^ x)").as("fp_xor"))
+        .orderBy($"doc_id")
+    },
+
     // Fingerprint: md5 over the sorted distinct word set (bag-of-words
     // canonical form); window counts docs sharing a fingerprint.
     "t04_fingerprint" -> { (s, d) =>
@@ -311,6 +329,31 @@ object TextAnalysis {
         |  FROM counted)
         |SELECT lang, rk, bigram, n FROM ranked WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+
+    // polynomial gram hash recomputed from scratch per gram (the rolling
+    // recurrence is algebraically identical mod M)
+    "t10_winnow_fingerprint" -> {
+      val M = graft.functions.WinnowFingerprints.M
+      val terms = (0 until 8).map { j =>
+        val p = BigInt(graft.functions.WinnowFingerprints.B).pow(7 - j)
+          .mod(BigInt(M))
+        s"CAST(ascii(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * $p"
+      }.mkString(" +\n         ")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, length(text) - 6), i ->
+         |      ($terms) % $M) AS grams
+         |  FROM documents WHERE length(text) >= 15),
+         |m AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(range(1, len(grams) - 6),
+         |      i -> list_min(grams[CAST(i AS INT):CAST(i + 7 AS INT)])))) AS fps
+         |  FROM g)
+         |SELECT doc_id, CAST(len(fps) AS INT) AS n_fps, fps[1] AS fp_min,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+         |              (a, x) -> xor(a, x)) AS fp_xor
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "t04_fingerprint" ->
       """WITH fps AS (

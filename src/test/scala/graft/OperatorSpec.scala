@@ -184,8 +184,45 @@ class OperatorSpec extends SparkSpec {
       functions.CosineSim(floats, floats),
       functions.SortedIntersectCount(longs, longs),
       functions.NearestCentroid(floats, cents),
-      functions.SimHashFp(str, 32)))
+      functions.SimHashFp(str, 32),
+      functions.WinnowFingerprints(str, 8, 8)))
     assert(proj != null)
+  }
+
+  test("winnow_fps: rolling recurrence equals the from-scratch polynomial chain") {
+    GraftExtensions.register(spark)
+    val terms = (0 until 8).map { j =>
+      val p = BigInt(functions.WinnowFingerprints.B).pow(7 - j)
+        .mod(BigInt(functions.WinnowFingerprints.M))
+      s"CAST(ascii(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${p}L"
+    }.mkString(" + ")
+    // sample: the from-scratch chain interprets 8 lambdas per gram — the
+    // point is bit-parity, not corpus coverage
+    val diff = datapipe.Dedup.corpus(spark, sf)
+      .filter(length($"text") >= 15 && $"doc_id" % 25 === 0)
+      .withColumn("fused", functions.WinnowFingerprints.winnow_fps($"text", 8, 8))
+      .withColumn("grams", expr(
+        s"transform(sequence(1, length(text) - 7), i -> ($terms) % ${functions.WinnowFingerprints.M}L)"))
+      .withColumn("declared", expr(
+        "array_sort(array_distinct(transform(sequence(1, size(grams) - 7), " +
+          "i -> array_min(slice(grams, i, 8)))))"))
+      .filter($"fused" =!= $"declared")
+    assert(diff.count() === 0)
+  }
+
+  test("winnowing: exact copies share the full fingerprint set (planted dups)") {
+    import graft.functions.WinnowFingerprints.winnow_fps
+    val fps = datapipe.Dedup.corpus(spark, sf)
+      .filter(length($"text") >= 15)
+      .withColumn("fps", winnow_fps($"text", 8, 8))
+      .select($"doc_id", $"fps")
+    // corpus plants exact copies at doc_id + 2e6 for doc_id % 7 == 0
+    val pairs = fps.as("x").join(fps.as("y"),
+        col("y.doc_id") === col("x.doc_id") + 2000000L &&
+        col("x.doc_id") % 7 === 0)
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("x.fps") =!= col("y.fps")).count() === 0,
+      "an exact copy must fingerprint identically")
   }
 
   test("simhash_fp equals the declarative phash+majority chain bit-for-bit") {
