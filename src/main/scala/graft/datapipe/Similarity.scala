@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * Cosine folds fix the IEEE accumulation order (left fold from 0.0,
   * elements cast to double) so Spark and the DuckDB oracle produce
   * bit-identical scores — which also makes top-k ordering deterministic.
-  * d05-style all-pairs near-dup lives here too (blocked by label).
+  * d05-style near-dup lives here too (blocked on label × sign bucket).
   */
 object Similarity {
   private val QID = 0L // query vector: vec_id 0
