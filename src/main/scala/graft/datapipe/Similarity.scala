@@ -77,19 +77,28 @@ object Similarity {
       .drop("cents")
 
   /** DuckDB mirror of the assignment: deterministic argmax via
-    * ROW_NUMBER ordered by (cosine DESC, cell ASC) — identical tie-break
-    * to NearestCentroid's first-wins scan over cell-sorted centroids.
+    * ROW_NUMBER ordered by (isnan ASC, cosine DESC, cell ASC) — identical
+    * tie-break to NearestCentroid's first-wins scan over cell-sorted
+    * centroids. The leading isnan key matches the Spark side's "NaN never
+    * wins" rule: DuckDB's DESC order would otherwise sort a NaN cosine
+    * (collapsed zero-norm centroid) above every real value, while
+    * NearestCentroid's `>` comparison never selects one; an all-NaN row
+    * falls through to the smallest cell on both engines.
     */
-  private def assignSql(centTbl: String): String =
+  private def assignSql(centTbl: String): String = {
+    val cosExpr =
+      s"""${dotSql("e.embedding", "c.centroid")} /
+         |        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |         sqrt(${dotSql("c.centroid", "c.centroid")}))""".stripMargin
     s"""SELECT vec_id, cell FROM (
        |  SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (
        |      PARTITION BY e.vec_id
-       |      ORDER BY ${dotSql("e.embedding", "c.centroid")} /
-       |        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-       |         sqrt(${dotSql("c.centroid", "c.centroid")})) DESC,
+       |      ORDER BY isnan($cosExpr) ASC,
+       |      $cosExpr DESC,
        |      c.cell ASC) AS rn
        |  FROM embeddings e, $centTbl c)
        |WHERE rn = 1""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 by cosine against vec_id 0.
@@ -250,10 +259,14 @@ object Similarity {
     // (vec_id + 1e6) as planted dups. The second key bounds within-block
     // pair growth: label alone degenerates to all-pairs under one hot
     // label, while conjoining the s02 sign bucket caps a block at
-    // ~|label|/256 — near-identical vectors (cosine >= 0.999) agree on
-    // every decisive sign, and exact copies agree on all, so planted dups
-    // always share a bucket. Production recall knob: probe neighboring
-    // buckets (flip low-|v| signs) exactly like multi-probe LSH.
+    // ~|label|/256. Exact copies agree on every sign, so the planted dups
+    // always share a bucket; a merely near-identical pair (cosine >=
+    // 0.999) CAN land in different buckets when one of the 8 hashed
+    // coordinates sits near zero and flips sign — a real recall loss vs
+    // label-only blocking. The recovery knob is multi-probe: also probe
+    // the buckets reached by flipping the lowest-|v| signs (d11 below
+    // implements probe-P); both engines block identically either way, so
+    // hash parity is unaffected.
     "d05_embedding_neardup" -> { (s, d) =>
       import s.implicits._
       val base = T.embeddings(s, d)

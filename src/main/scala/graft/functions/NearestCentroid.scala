@@ -66,10 +66,18 @@ case class NearestCentroid(left: Expression, right: Expression)
 }
 
 object NearestCentroid {
-  /** Argmax-cosine over the centroid structs; first entry wins ties. */
+  /** Argmax-cosine over the centroid structs; first entry wins ties.
+    * NaN cosines (a zero-norm embedding or a collapsed zero centroid)
+    * never win: `cos > bestCos` is false for NaN, and bestCell starts at
+    * the FIRST (smallest, by the caller's array_sort) cell, so an
+    * all-NaN row degrades to the smallest cell deterministically. The
+    * oracle mirrors this with an `isnan` sort key ahead of the cosine
+    * (DuckDB would otherwise sort NaN above every real value in DESC
+    * order and pick a collapsed centroid Spark never picks).
+    */
   def assign(emb: ArrayData, cents: ArrayData): Long = {
     val k = cents.numElements()
-    var bestCell = -1L
+    var bestCell = if (k > 0) cents.getStruct(0, 2).getLong(0) else -1L
     var bestCos = Double.NegativeInfinity
     var c = 0
     while (c < k) {
@@ -86,7 +94,7 @@ object NearestCentroid {
         i += 1
       }
       val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (c == 0 || cos > bestCos) { bestCos = cos; bestCell = cell }
+      if (cos > bestCos) { bestCos = cos; bestCell = cell } // NaN never wins
       c += 1
     }
     bestCell

@@ -32,6 +32,38 @@ import org.apache.spark.sql.types.LongType
   */
 object DistributedRank {
 
+  private val Sep = 0.toChar // field separator
+  private val Nul = 1.toChar // NULL marker (a bare marker, never escaped)
+  private val Esc = 2.toChar // escape prefix for Sep/Nul/Esc inside values
+
+  /** Unambiguous render of a group-key Row: fields joined by Sep, with
+    * Sep/Nul/Esc escaped inside rendered values and NULL rendered as a
+    * bare Nul marker. Distinct rows can never render to the same key --
+    * ("a","b") vs ("ab","") and ("a<Sep>b") vs ("a","b") all differ --
+    * unlike a plain `mkString`, which would silently merge two groups'
+    * offsets and totals.
+    */
+  def renderKey(r: Row): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < r.length) {
+      if (i > 0) sb.append(Sep)
+      if (r.isNullAt(i)) sb.append(Nul)
+      else {
+        val s = String.valueOf(r.get(i))
+        var j = 0
+        while (j < s.length) {
+          val c = s.charAt(j)
+          if (c == Sep || c == Nul || c == Esc) sb.append(Esc)
+          sb.append(c)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Returns `df` with two extra columns: `_rank0` (zero-based exact rank
     * of the row within its group under the total (order) sort) and `_gn`
     * (the group's total row count).
@@ -43,7 +75,7 @@ object DistributedRank {
     val sorted = df.repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .cache() // both passes must see identical partitioning
-    def keyOf(r: Row): String = r.mkString("")
+    def keyOf(r: Row): String = DistributedRank.renderKey(r)
 
     // pass 1: per-(partition, group) counts — small control data
     val counts = sorted

@@ -26,8 +26,16 @@ object Maintenance {
 
   /** Rewrite `dir` into ceil(totalBytes / targetBytes) files (possibly
     * sorted by `clusterBy`), atomically-ish: write to a sibling temp dir,
-    * then swap. Local-FS moves stand in for the object-store rename a
-    * cluster deployment would route through its committer.
+    * move the ORIGINALS to a sibling backup dir, move the compacted files
+    * in, and only then drop the backup. A crash mid-swap therefore never
+    * loses data — the originals survive in `<dir>_compact_bak` until the
+    * compacted files are all in place — and the swap touches exactly the
+    * file list captured up front, so a file appended after the capture is
+    * left alone (it simply misses this compaction round; concurrent
+    * appends DURING the swap window are unsupported, as with any
+    * non-transactional table format). Local-FS moves stand in for the
+    * object-store rename a cluster deployment would route through its
+    * committer.
     */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
@@ -47,12 +55,20 @@ object Maintenance {
     }
     val tmp = dir + "_compact_tmp"
     shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap: clear originals, move compacted files in, drop temp dir
-    before.foreach(_.delete())
+    // swap: park the originals in a backup dir (recoverable until the
+    // compacted files are in place), move compacted files in, THEN drop
+    // the backup — only the `before` list is ever touched
+    val bak = java.nio.file.Paths.get(dir + "_compact_bak")
+    java.nio.file.Files.createDirectories(bak)
+    before.foreach { f =>
+      java.nio.file.Files.move(f.toPath, bak.resolve(f.getName))
+    }
     parquetFiles(tmp).foreach { f =>
       java.nio.file.Files.move(f.toPath,
         java.nio.file.Paths.get(dir, f.getName))
     }
+    Option(bak.toFile.listFiles()).foreach(_.foreach(_.delete()))
+    bak.toFile.delete()
     Option(new java.io.File(tmp).listFiles()).foreach(_.foreach(_.delete()))
     new java.io.File(tmp).delete()
     CompactionStats(before.length, parquetFiles(dir).length, rows)

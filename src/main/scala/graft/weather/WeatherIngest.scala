@@ -29,21 +29,40 @@ object WeatherIngest {
                                 latestCursor: Option[java.sql.Timestamp],
                                 error: Option[String] = None)
 
+  /** Transient-fault test, the Spark analog of the reference's retry
+    * allowlist (HTTP 500/502/504 + connection errors only —
+    * retry_requests/__init__.py:44): transport/executor faults retry,
+    * deterministic failures (analysis errors, bad SQL, missing columns)
+    * surface immediately. Spark wraps task failures, so the whole cause
+    * chain is scanned.
+    */
+  def isTransient(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case _: java.io.IOException                   => true // connection reset, FS hiccup
+      case _: java.util.concurrent.TimeoutException => true
+      // FetchFailedException is private[spark] — match by name
+      case t if t.getClass.getName.endsWith("FetchFailedException") => true
+      case _ => false
+    }
+
   /** O2: bounded-retry wrapper for the extract boundary (reference: 5
     * retries, backoff 0.2 — retry_requests/__init__.py:40-87). Spark-side
-    * reads are lazy, so the retry wraps the materializing action.
+    * reads are lazy, so the retry wraps the materializing action. Only
+    * `transient` failures are retried — everything else rethrows on the
+    * first attempt, matching the reference's status-code allowlist.
     */
-  def withRetry[T](retries: Int = 5, backoffMs: Long = 200)(f: => T): T = {
+  def withRetry[T](retries: Int = 5, backoffMs: Long = 200,
+                   transient: Throwable => Boolean = isTransient)(f: => T): T = {
     var attempt = 0
-    var lastErr: Throwable = null
-    while (attempt <= retries) {
+    while (true) {
       try return f
       catch { case e: Throwable =>
-        lastErr = e; attempt += 1
-        if (attempt <= retries) Thread.sleep(backoffMs * (1L << (attempt - 1)))
+        attempt += 1
+        if (attempt > retries || !transient(e)) throw e
+        Thread.sleep(backoffMs * (1L << (attempt - 1)))
       }
     }
-    throw lastErr
+    sys.error("unreachable")
   }
 
   /** O10: existence guard — abort, never auto-create (lambda_function.py:55-72). */

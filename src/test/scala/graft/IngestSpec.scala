@@ -173,12 +173,39 @@ class IngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("retry helper: retries then succeeds") {
+  test("retry helper: transient failures retry then succeed") {
     var calls = 0
     val out = WeatherIngest.withRetry(retries = 3, backoffMs = 1) {
       calls += 1
-      if (calls < 3) sys.error("flaky") else 42
+      if (calls < 3) throw new java.io.IOException("connection reset") else 42
     }
     assert(out === 42 && calls === 3)
+  }
+
+  test("retry helper: deterministic failures surface on attempt 1 (reference allowlist)") {
+    // the reference retries only HTTP 500/502/504 + connection errors
+    // (retry_requests/__init__.py:44); a deterministic error must not
+    // burn five backoff retries before surfacing
+    var calls = 0
+    val e = intercept[IllegalArgumentException] {
+      WeatherIngest.withRetry(retries = 5, backoffMs = 1) {
+        calls += 1
+        throw new IllegalArgumentException("no such column")
+      }
+    }
+    assert(e.getMessage === "no such column" && calls === 1)
+  }
+
+  test("retry helper: wrapped transient cause (Spark-style) still retries") {
+    // Spark wraps task failures — the transient test scans the cause chain
+    var calls = 0
+    val out = WeatherIngest.withRetry(retries = 3, backoffMs = 1) {
+      calls += 1
+      if (calls < 2)
+        throw new RuntimeException("job aborted",
+          new java.io.IOException("fetch timed out"))
+      else "ok"
+    }
+    assert(out === "ok" && calls === 2)
   }
 }

@@ -343,4 +343,42 @@ class OperatorSpec extends SparkSpec {
       datapipe.Multimodal.assets(spark, sf)).collect()
     assert(feats.map(_.fake_class).toSeq === again.map(_.fake_class).toSeq)
   }
+
+  test("DistributedRank: ambiguous multi-column groups do not collide") {
+    import graft.operators.DistributedRank
+    // ("a","b") and ("ab","") would render identically under a plain
+    // mkString key; the escaped render must keep them distinct groups
+    val df = Seq(
+      ("a",  "b", 1), ("a",  "b", 2), ("a",  "b", 3),
+      ("ab", "",  10), ("ab", "", 20),
+      ("a",  null.asInstanceOf[String], 7) // null field vs the string "null"
+    ).toDF("g1", "g2", "v")
+    val ranked = DistributedRank.withRankStats(
+      df, Seq("g1", "g2"), Seq(col("v")), nParts = 3)
+      .select("g1", "g2", "v", "_rank0", "_gn").collect()
+      .map(r => ((Option(r.getString(0)).orNull, Option(r.getString(1)).orNull),
+                 r.getInt(2), r.getLong(3), r.getLong(4)))
+    val byGroup = ranked.groupBy(_._1)
+    assert(byGroup(("a", "b")).map(x => (x._2, x._3)).sorted.toSeq ===
+      Seq((1, 0L), (2, 1L), (3, 2L)))
+    assert(byGroup(("a", "b")).forall(_._4 === 3L), "group size of (a,b) is 3")
+    assert(byGroup(("ab", "")).map(x => (x._2, x._3)).sorted.toSeq ===
+      Seq((10, 0L), (20, 1L)))
+    assert(byGroup(("ab", "")).forall(_._4 === 2L), "group size of (ab,) is 2")
+    assert(byGroup(("a", null)).map(x => (x._2, x._3)).toSeq === Seq((7, 0L)))
+    assert(byGroup(("a", null)).forall(_._4 === 1L))
+  }
+
+  test("DistributedRank.renderKey is injective on adversarial rows") {
+    import graft.operators.DistributedRank.renderKey
+    import org.apache.spark.sql.Row
+    val sep = 0.toChar.toString; val nul = 1.toChar.toString
+    val rows = Seq(
+      Row("a", "b"), Row("ab", ""), Row("", "ab"), Row("a" + sep, "b"),
+      Row("a", sep + "b"), Row(null, "b"), Row(nul, "b"), Row("null", null),
+      Row(null, null), Row("", ""), Row(sep, ""), Row("", sep))
+    val keys = rows.map(renderKey)
+    assert(keys.distinct.size === rows.size,
+      s"collision among: ${keys.map(_.map(c => if (c < ' ') f"<${c.toInt}>" else c.toString).mkString).mkString(" | ")}")
+  }
 }
