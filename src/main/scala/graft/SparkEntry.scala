@@ -17,6 +17,7 @@ object SparkEntry {
     QueryModule(operators.TemporalJoins.queries, operators.TemporalJoins.oracleSql),
     QueryModule(weather.WeatherPipeline.queries, weather.WeatherPipeline.oracleSql),
     QueryModule(datapipe.Dedup.queries, datapipe.Dedup.oracleSql),
+    QueryModule(datapipe.IncrementalDedup.queries, datapipe.IncrementalDedup.oracleSql),
     QueryModule(datapipe.Similarity.queries, datapipe.Similarity.oracleSql),
     QueryModule(datapipe.TextAnalysis.queries, datapipe.TextAnalysis.oracleSql),
     QueryModule(datapipe.Multimodal.queries, datapipe.Multimodal.oracleSql),

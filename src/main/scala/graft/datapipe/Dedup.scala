@@ -85,16 +85,67 @@ object Dedup {
     * filter is the old >=3-words filter (a k-shingle exists iff the doc
     * has >= k words).
     */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(corpus(s, d))
+
+  /** [[signatures]] over an arbitrary (doc_id, text, ...) frame — the
+    * fingerprint schema (doc_id, sig, hset) is also what
+    * [[IncrementalDedup]] persists as its cross-run store.
+    */
+  private[datapipe] def signaturesOf(docs: DataFrame): DataFrame = {
     import graft.functions.MinHashSigs.minhash_sigs
     import graft.functions.WordShinglePHashes.word_shingle_phashes
-    graft.GraftExtensions.register(s)
-    corpus(s, d)
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs
       .withColumn("hset", word_shingle_phashes(col("text"), 3))
       .filter(size(col("hset")) >= 1)
       .withColumn("mhbase", expr(s"transform(hset, h -> h % $P)"))
       .withColumn("sig", minhash_sigs(col("mhbase"), AB.map(_._1), AB.map(_._2), P))
       .select(col("doc_id"), col("sig"), col("hset"))
+  }
+
+  /** The 4 LSH band keys of a MinHash signature column `sig`, as one
+    * array expression (explode to get (doc_id, band_key) rows). Shared by
+    * d02 and the incremental store.
+    */
+  private[datapipe] def bandKeyArray: org.apache.spark.sql.Column = {
+    val keys = (0 until BANDS).map { k =>
+      val parts = (1 to ROWS).map(j => s"element_at(sig, ${k * ROWS + j})")
+      expr(s"concat_ws('_', '$k', ${parts.mkString(", ")})")
+    }
+    array(keys: _*)
+  }
+
+  /** DuckDB mirror of [[bandKeyArray]] (a list literal to unnest). */
+  private[datapipe] def bandKeysSql: String =
+    "[" + (0 until BANDS).map { k =>
+      val parts = (1 to ROWS).map(j => s"sig[${k * ROWS + j}]")
+      s"concat_ws('_', '$k', ${parts.mkString(", ")})"
+    }.mkString(", ") + "]"
+
+  /** DuckDB CTE chain computing (doc_id, hset, sig) from the docs CTE
+    * `src`, every CTE name prefixed with `p` so two chains can coexist in
+    * one query (IncrementalDedup runs one per batch). Mirrors
+    * [[signaturesOf]] exactly — same shingling, same md5 arithmetic.
+    */
+  private[datapipe] def sigCtesSql(src: String, p: String): String = {
+    val sigExpr = "[" + AB.map { case (a, b) =>
+      s"list_min(list_transform(mhbase, m -> ($a * m + $b) % $P))"
+    }.mkString(", ") + "]"
+    s"""${p}worded AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM $src
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |${p}based AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(
+       |      list_transform(range(0, len(words) - 2),
+       |        i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]),
+       |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)))) AS hset
+       |  FROM ${p}worded),
+       |${p}sigs AS (
+       |  SELECT doc_id, hset, $sigExpr AS sig
+       |  FROM (SELECT doc_id, hset, list_transform(hset, h -> h % $P) AS mhbase
+       |        FROM ${p}based) z)""".stripMargin
   }
 
   /** DuckDB mirror of [[signatures]]. */
@@ -138,12 +189,8 @@ object Dedup {
     "d02_minhash_lsh" -> { (s, d) =>
       import s.implicits._
       val sig = signatures(s, d).cache()
-      val bandKeys = (0 until BANDS).map { k =>
-        val parts = (1 to ROWS).map(j => s"element_at(sig, ${k * ROWS + j})")
-        expr(s"concat_ws('_', '$k', ${parts.mkString(", ")})")
-      }
       val bands = sig.select(col("doc_id"),
-          explode(array(bandKeys: _*)).as("band_key"))
+          explode(bandKeyArray).as("band_key"))
       val pairs = bands.as("x").join(bands.as("y"),
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -274,13 +321,9 @@ object Dedup {
          |ORDER BY canonical_id""".stripMargin,
 
     "d02_minhash_lsh" -> {
-      val bandKeys = (0 until BANDS).map { k =>
-        val parts = (1 to ROWS).map(j => s"sig[${k * ROWS + j}]")
-        s"concat_ws('_', '$k', ${parts.mkString(", ")})"
-      }
       s"""WITH $signaturesSql,
          |bands AS (
-         |  SELECT doc_id, unnest([${bandKeys.mkString(", ")}]) AS band_key
+         |  SELECT doc_id, unnest($bandKeysSql) AS band_key
          |  FROM sigs),
          |pairs AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
