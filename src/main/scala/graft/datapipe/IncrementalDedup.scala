@@ -111,17 +111,35 @@ object IncrementalDedup {
     * a left-anti on doc_id vs the store means a retried or duplicate run
     * inserts zero rows (and re-ingested docs report dup_store — they
     * match their own stored fingerprint).
+    *
+    * doc_ids are immutable once stored: the store keeps the FIRST
+    * fingerprint ever appended under an id. A batch doc reusing a stored
+    * id with DIFFERENT content would otherwise be silently judged
+    * against the stale fingerprint, so it is surfaced as a fourth status
+    * 'id_conflict' (matched_id = NULL) and its fingerprint is NOT
+    * appended — the operator decides whether to re-key or overwrite.
     */
   def ingestBatch(batch: DataFrame, storePath: String): DataFrame = {
     val spark = batch.sparkSession
     val storeFp = spark.read.parquet(storePath)
     val incFp = Dedup.signaturesOf(batch).cache()
+    val conflicts = incFp.select(col("doc_id"), col("sig"))
+      .join(storeFp.select(col("doc_id"), col("sig").as("store_sig")), "doc_id")
+      .filter(col("sig") =!= col("store_sig"))
+      .select(col("doc_id"), lit(true).as("id_conflict"))
     // localCheckpoint, not cache: the decision plan READS the store this
     // method is about to append to, and a cached plan can silently
     // recompute (block eviction, executor loss) against the mutated store
     // — checkpointing truncates the lineage so the returned frame is
     // fixed at pre-append state
-    val dec = decisions(storeFp, incFp, batch).localCheckpoint()
+    val dec = decisions(storeFp, incFp, batch)
+      .join(conflicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("id_conflict"), lit("id_conflict"))
+          .otherwise(col("status")).as("status"),
+        when(col("id_conflict"), lit(null).cast("long"))
+          .otherwise(col("matched_id")).as("matched_id"))
+      .localCheckpoint()
     val novel = incFp
       .join(dec.filter(col("status") === "kept"), Seq("doc_id"), "left_semi")
       .join(storeFp.select("doc_id"), Seq("doc_id"), "left_anti")

@@ -33,14 +33,28 @@ object Maintenance {
     * file list captured up front, so a file appended after the capture is
     * left alone (it simply misses this compaction round; concurrent
     * appends DURING the swap window are unsupported, as with any
-    * non-transactional table format). Local-FS moves stand in for the
-    * object-store rename a cluster deployment would route through its
-    * committer.
+    * non-transactional table format). If a prior run crashed mid-swap,
+    * the next compact() refuses to start while its backup dir is
+    * non-empty — the stranded originals are never deleted by a run that
+    * did not park them. Local-FS moves stand in for the object-store
+    * rename a cluster deployment would route through its committer.
     */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Option[String] = None): CompactionStats = {
     import org.apache.spark.sql.functions.col
+    // A non-empty backup dir means a PRIOR compact() crashed mid-swap and
+    // its originals are stranded there; `dir` may hold a partial mix of
+    // original and compacted files, so no automated merge is safe (moving
+    // the bak files back could double rows already swapped in). Abort and
+    // leave the bak untouched — this run must never delete files it did
+    // not park itself.
+    val stalePath = java.nio.file.Paths.get(dir + "_compact_bak")
+    val stale = Option(stalePath.toFile.listFiles()).getOrElse(Array.empty)
+    require(stale.isEmpty,
+      s"compact($dir): stale backup ${stalePath} holds ${stale.length} " +
+        "file(s) from a crashed prior compaction; reconcile manually " +
+        "(restore or discard the backup) before compacting again")
     val before = parquetFiles(dir)
     val totalBytes = before.map(_.length).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -36,14 +36,27 @@ object WeatherIngest {
     * surface immediately. Spark wraps task failures, so the whole cause
     * chain is scanned.
     */
-  def isTransient(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+  def isTransient(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toList
+    // Deterministic IOException subclasses veto retry no matter how deep
+    // they sit: a missing path or corrupt footer fails identically on
+    // every attempt, and retrying burns the whole backoff budget before
+    // surfacing — the opposite of the reference's status-code allowlist
+    // (500/502/504 only, never 404).
+    val deterministic = chain.exists {
+      case _: java.io.FileNotFoundException            => true
+      case _: java.nio.file.NoSuchFileException        => true
+      case _: java.nio.file.FileAlreadyExistsException => true
+      case _ => false
+    }
+    !deterministic && chain.exists {
       case _: java.io.IOException                   => true // connection reset, FS hiccup
       case _: java.util.concurrent.TimeoutException => true
       // FetchFailedException is private[spark] — match by name
       case t if t.getClass.getName.endsWith("FetchFailedException") => true
       case _ => false
     }
+  }
 
   /** O2: bounded-retry wrapper for the extract boundary (reference: 5
     * retries, backoff 0.2 — retry_requests/__init__.py:40-87). Spark-side

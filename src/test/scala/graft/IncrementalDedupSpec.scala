@@ -64,6 +64,28 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(d20 === ("dup_store", 20L))
   }
 
+  test("reused doc_id with different content reports id_conflict, stale fp kept out") {
+    val store = freshStore()
+    IncrementalDedup.buildStore(docsDf(1L -> longA, 2L -> longB), store)
+    // id 1 reused for COMPLETELY different text: judging it against the
+    // stale stored fingerprint would silently report 'kept' while future
+    // near-dups of the new text go undetected — surface it instead
+    val dec = IncrementalDedup.ingestBatch(
+      docsDf(1L -> "entirely new content under a recycled identifier today",
+             3L -> (longB + " small suffix")), store)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(dec(1L) === ("id_conflict", -1L))
+    assert(dec(3L) === ("dup_store", 2L))
+    // neither the conflicting fp nor the dup was appended
+    assert(spark.read.parquet(store).count() === 2)
+    // same id + same content is NOT a conflict — it reports dup_store
+    // against its own fingerprint (idempotent re-ingest)
+    val dec2 = IncrementalDedup.ingestBatch(docsDf(1L -> longA), store)
+      .collect().head
+    assert(dec2.getString(1) === "dup_store" && dec2.getLong(2) === 1L)
+  }
+
   test("a doc too short to fingerprint is kept, not dropped") {
     val store = freshStore()
     IncrementalDedup.buildStore(docsDf(1L -> longA), store)

@@ -196,6 +196,30 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage === "no such column" && calls === 1)
   }
 
+  test("retry helper: deterministic IOExceptions fail fast, even wrapped") {
+    // FileNotFound / NoSuchFile are IOExceptions but deterministic — a
+    // missing path is still missing on attempt 5. They must veto retry
+    // even when a generic IOException wraps them higher in the chain.
+    var calls = 0
+    intercept[java.io.IOException] {
+      WeatherIngest.withRetry(retries = 5, backoffMs = 1) {
+        calls += 1
+        throw new java.io.IOException("read failed",
+          new java.io.FileNotFoundException("/no/such/path"))
+      }
+    }
+    assert(calls === 1, s"FileNotFound burned $calls attempts")
+    calls = 0
+    intercept[RuntimeException] {
+      WeatherIngest.withRetry(retries = 5, backoffMs = 1) {
+        calls += 1
+        throw new RuntimeException("job aborted",
+          new java.nio.file.NoSuchFileException("/gone.parquet"))
+      }
+    }
+    assert(calls === 1, s"NoSuchFile burned $calls attempts")
+  }
+
   test("retry helper: wrapped transient cause (Spark-style) still retries") {
     // Spark wraps task failures — the transient test scans the cause chain
     var calls = 0

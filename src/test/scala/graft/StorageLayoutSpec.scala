@@ -70,6 +70,28 @@ class StorageLayoutSpec extends SparkSpec {
     assert(after.sameElements(before), "compaction changed the data")
   }
 
+  test("compaction: refuses to run over a crashed prior swap's backup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbak").toString
+    Tables.nation(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    // simulate a crash mid-swap: a prior run parked an original in bak
+    val bak = new java.io.File(dir + "_compact_bak")
+    bak.mkdirs()
+    val stranded = new java.io.File(bak, "part-orig-00000.parquet")
+    java.nio.file.Files.write(stranded.toPath, Array[Byte](1, 2, 3))
+    val e = intercept[IllegalArgumentException] {
+      operators.Maintenance.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("stale backup"), e.getMessage)
+    // the stranded original — possibly the only copy of its rows — must
+    // survive an aborted run untouched
+    assert(stranded.exists() && stranded.length() === 3)
+    stranded.delete(); bak.delete()
+    // once the operator clears the backup, compaction proceeds normally
+    val stats = operators.Maintenance.compact(spark, dir)
+    assert(stats.filesBefore === 4 && stats.filesAfter >= 1)
+  }
+
   test("sort-clustered rewrite: row-group stats become selective for key filters") {
     import scala.jdk.CollectionConverters._
     // how many row groups a pushed user_id=7 filter must read: a row
