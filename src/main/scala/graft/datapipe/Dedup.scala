@@ -37,6 +37,24 @@ object Dedup {
   private val BANDS = 4
   private val ROWS = 4 // K = BANDS * ROWS = 16
 
+  /** SimHash band-width clamp: 4 disjoint bands of bw bits each must fit
+    * the 60-bit fingerprint (bw <= 15), and sub-4-bit bands block nothing.
+    * The width itself is CORPUS-ADAPTIVE — see [[simhashBandWidth]].
+    */
+  private val MIN_BW = 4
+  private val MAX_BW = 15
+
+  /** Corpus-adaptive SimHash band width: clamp(floor(log2 n) + 1, 4, 15).
+    * 2^bw band values keep the expected block population n/2^bw roughly
+    * constant as the corpus grows — the knob StressBench measured going
+    * quadratic when fixed (8-bit bands saturate at 16x). floor(log2)+1 is
+    * engine-exact for integer n: log2 of a power of two is exact in IEEE
+    * double on both engines, and any other integer is > 1 ulp away from
+    * an integer log, so the floor never straddles a rounding difference.
+    */
+  private def bwExpr(n: String) =
+    s"least($MAX_BW, greatest($MIN_BW, CAST(floor(log2(CAST($n AS DOUBLE))) AS INT) + 1))"
+
   /** Round budget shared by d06's Spark loop and its unrolled oracle SQL:
     * Spark iterates to fixpoint and ASSERTS it converged within this many
     * rounds; the oracle unrolls exactly this many (extra rounds past the
@@ -219,22 +237,28 @@ object Dedup {
     },
 
     // SimHash: 60-bit frequency-weighted fingerprint (one fused codegen'd
-    // pass per doc), candidate pairs from 4 DISJOINT 15-bit bands unioned
+    // pass per doc), candidate pairs from 4 DISJOINT bands unioned
     // (the d02 banding pattern), verified by Hamming distance <= 3.
     // Recall is GUARANTEED, not probabilistic: <= 3 differing bits cannot
     // touch all 4 disjoint bands, so every qualifying pair shares at
-    // least one band key — the multi-index Hamming scheme. Band WIDTH is
-    // the corpus-size knob: 2^15 values per band keeps expected block
-    // population n/32768 (StressBench measured 8-bit bands quadratic at
-    // 16x — fixed 256-value bands saturate); a 100 TB corpus widens the
-    // fingerprint (concatenate independent salted hashes) and the bands
-    // so 2^width keeps pace with n, same plan shape.
+    // least one band key (bits above 4*bw are uncovered, which only ADDS
+    // candidates, never loses them). Band WIDTH is corpus-ADAPTIVE:
+    // bw = clamp(floor(log2 n)+1, 4, 15) derived in-plan from one count
+    // and broadcast to every row (no driver scalar, no recompile per
+    // corpus) — 2^bw band values keep the expected block population
+    // n/2^bw flat as the corpus grows, the knob StressBench measured
+    // going quadratic when fixed. A 100 TB corpus widens the fingerprint
+    // (concatenate independent salted hashes) past bw=15, same plan shape.
     "d03_simhash" -> { (s, d) =>
       import s.implicits._
       import graft.functions.SimHashFp.simhash_fp
-      val fp = corpus(s, d)
+      val base = corpus(s, d)
+      val bwRow = base.agg(count(lit(1)).as("n"))
+        .select(expr(bwExpr("n")).as("bw"))
+      val fp = base
         .withColumn("simhash", simhash_fp(col("text"), 60))
         .select($"doc_id", $"simhash")
+        .crossJoin(broadcast(bwRow))
         .cache() // candidates + both verify joins consume it
       simhashCandidates(fp)
         .join(fp.select($"doc_id".as("d1"), $"simhash".as("simhash1")), Seq("d1"))
@@ -267,18 +291,28 @@ object Dedup {
     // otherwise, so the filtered output is identical to the oracle's
     // unthresholded `levenshtein <= 5`.
     "d07_edit_distance" -> { (s, d) =>
+      d07Pairs(s, d).orderBy(col("d1"), col("d2"))
+    },
+
+    // Canonical-output mode for d07: the verified edit-distance pairs are
+    // quadratic on planted-dup corpora BY CONSTRUCTION (a k-clique emits
+    // k(k-1)/2 pairs), so the scale-safe consumable is (doc_id,
+    // canonical_id) — LINEAR in the corpus — via the same min-label
+    // propagation d06 runs over d04's pairs. The pair frame stays an
+    // intermediate that never leaves the shuffle.
+    "d11_editdist_clusters" -> { (s, d) =>
       import s.implicits._
-      val docs = corpus(s, d)
-        .withColumn("lenb", (length($"text").cast("long") / 64L).cast("long"))
-        .withColumn("pfx", substring($"text", 1, 40))
-        .select($"doc_id", $"lang", $"source", $"lenb", $"pfx")
-      docs.as("x").join(docs.as("y"),
-          col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-          col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
-        .withColumn("editdist", levenshtein(col("x.pfx"), col("y.pfx"), 5))
-        .filter($"editdist" >= 0) // -1 = distance above the threshold
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), $"editdist")
-        .orderBy($"d1", $"d2")
+      val pairs = d07Pairs(s, d).select($"d1", $"d2").cache()
+      val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
+        .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
+      val seed = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
+      val converged = connectedComponents(seed, edges, CC_ROUND_BUDGET)
+      pairs.unpersist()
+      val clustered = converged.groupBy($"lbl")
+        .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
+      converged.join(broadcast(clustered), Seq("lbl"))
+        .select($"doc_id", $"lbl".as("canonical_id"))
+        .orderBy($"doc_id")
     },
 
     // Dedup clustering: connected components over the verified near-dup
@@ -348,6 +382,7 @@ object Dedup {
 
     "d03_simhash" ->
       s"""WITH corpus AS ($corpusSql),
+         |bwv AS (SELECT ${bwExpr("COUNT(*)")} AS bw FROM corpus),
          |hashed AS (
          |  SELECT doc_id,
          |    list_transform(string_split(text, ' '),
@@ -361,8 +396,9 @@ object Dedup {
          |  FROM hashed),
          |bands AS (
          |  SELECT doc_id, unnest(list_transform(range(0, 4),
-         |    k -> concat_ws('_', k, (simhash >> CAST(k * 15 AS INT)) & 32767))) AS band_key
-         |  FROM fp),
+         |    k -> concat_ws('_', k, (simhash >> CAST(k * bw AS INT))
+         |                           & ((CAST(1 AS BIGINT) << bw) - 1)))) AS band_key
+         |  FROM fp, bwv),
          |pairs AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM bands x JOIN bands y
@@ -395,27 +431,46 @@ object Dedup {
     // iterates to fixpoint and asserts convergence within the same
     // budget, so trailing oracle rounds are no-ops and both engines
     // compute the identical function.
-    "d06_dedup_clusters" -> {
-      def round(j: Int) =
-        s"""l$j AS (
-           |  SELECT l.doc_id, least(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
-           |  FROM l${j - 1} l
-           |  LEFT JOIN edges e ON e.a = l.doc_id
-           |  LEFT JOIN l${j - 1} n ON n.doc_id = e.b
-           |  GROUP BY l.doc_id, l.lbl)""".stripMargin
-      val rounds = (1 to CC_ROUND_BUDGET).map(round).mkString(",\n")
+    "d06_dedup_clusters" ->
       s"""WITH $d04PairsSql,
          |edges AS (
          |  SELECT d1 AS a, d2 AS b FROM d04pairs
          |  UNION ALL SELECT d2, d1 FROM d04pairs),
          |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
-         |$rounds
+         |$ccRoundsSql
          |SELECT doc_id, lbl AS cluster_id FROM l$CC_ROUND_BUDGET
          |WHERE lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
+         |ORDER BY doc_id""".stripMargin,
+
+    // d06's unrolled propagation over d07's edge set.
+    "d11_editdist_clusters" ->
+      s"""WITH $d07PairsSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM d07pairs
+         |  UNION ALL SELECT d2, d1 FROM d07pairs),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |$ccRoundsSql
+         |SELECT doc_id, lbl AS canonical_id FROM l$CC_ROUND_BUDGET
+         |WHERE lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
+         |              GROUP BY lbl HAVING COUNT(*) > 1)
          |ORDER BY doc_id""".stripMargin
-    }
   )
+
+  /** The CC_ROUND_BUDGET unrolled min-label-propagation rounds over CTEs
+    * `edges(a, b)` and `l0(doc_id, lbl)`, ending in `l$CC_ROUND_BUDGET`.
+    * Shared by the d06 and d11 oracles.
+    */
+  private def ccRoundsSql: String = {
+    def round(j: Int) =
+      s"""l$j AS (
+         |  SELECT l.doc_id, least(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+         |  FROM l${j - 1} l
+         |  LEFT JOIN edges e ON e.a = l.doc_id
+         |  LEFT JOIN l${j - 1} n ON n.doc_id = e.b
+         |  GROUP BY l.doc_id, l.lbl)""".stripMargin
+    (1 to CC_ROUND_BUDGET).map(round).mkString(",\n")
+  }
 
   /** Connected components by min-label propagation, iterated to fixpoint.
     *
@@ -460,18 +515,20 @@ object Dedup {
     labels
   }
 
-  /** SimHash candidate pairs from 4 disjoint 15-bit bands of a 60-bit
-    * fingerprint: explode (band_id, band_value) keys, equi-join, distinct.
-    * Any two fingerprints within Hamming distance 3 share at least one of
-    * the 4 disjoint bands (pigeonhole), so the candidate set provably
-    * contains every verifiable pair — OperatorSpec pins this recall
-    * guarantee on adversarial bit patterns. 15-bit bands keep the
-    * expected block population at n/32768 per band value (the width must
-    * grow with log n; fixed byte-wide bands measured quadratic at 16x).
+  /** SimHash candidate pairs from 4 disjoint bw-bit bands of a 60-bit
+    * fingerprint (`fp` carries columns simhash AND bw — see [[bwExpr]]):
+    * explode (band_id, band_value) keys, equi-join, distinct. Any two
+    * fingerprints within Hamming distance 3 share at least one of the 4
+    * disjoint bands (pigeonhole — uncovered high bits only add
+    * candidates), so the candidate set provably contains every verifiable
+    * pair — OperatorSpec pins this recall guarantee on adversarial bit
+    * patterns. The width must grow with log n; fixed byte-wide bands
+    * measured quadratic at 16x.
     */
   private[graft] def simhashCandidates(fp: DataFrame): DataFrame = {
     val bands = fp.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, 3), k -> concat_ws('_', k, shiftright(simhash, k * 15) & 32767))"))
+      "transform(sequence(0, 3), k -> concat_ws('_', k, " +
+        "shiftright(simhash, k * bw) & (shiftleft(CAST(1 AS BIGINT), bw) - 1)))"))
       .as("band_key"))
     bands.as("x").join(bands.as("y"),
         col("x.band_key") === col("y.band_key") &&
@@ -490,6 +547,42 @@ object Dedup {
     * below fp noise; the string-based oracle stays exact. Shared by d04
     * (which adds the output sort) and d06 (which must NOT pay for it).
     */
+  /** d07's candidate+verify pipeline (unsorted): (lang, source,
+    * length-bucket) blocking + thresholded banded Levenshtein over the
+    * 40-char prefix. Shared by d07 (adds the output sort) and d11 (feeds
+    * the pairs to connected components instead).
+    */
+  private def d07Pairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = corpus(s, d)
+      .withColumn("lenb", (length($"text").cast("long") / 64L).cast("long"))
+      .withColumn("pfx", substring($"text", 1, 40))
+      .select($"doc_id", $"lang", $"source", $"lenb", $"pfx")
+    docs.as("x").join(docs.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+        col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("editdist", levenshtein(col("x.pfx"), col("y.pfx"), 5))
+      .filter($"editdist" >= 0) // -1 = distance above the threshold
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), $"editdist")
+  }
+
+  /** d07's pipeline as a CTE chain ending in `d07pairs(d1, d2)` (also
+    * defines `corpus`) — the d11 oracle's edge source.
+    */
+  private def d07PairsSql: String =
+    s"""corpus AS ($corpusSql),
+       |d07docs AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(length(text) // 64 AS BIGINT) AS lenb,
+       |    substring(text, 1, 40) AS pfx
+       |  FROM corpus),
+       |d07pairs AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM d07docs x JOIN d07docs y
+       |    ON x.lang = y.lang AND x.source = y.source AND x.lenb = y.lenb
+       |    AND x.doc_id < y.doc_id
+       |  WHERE levenshtein(x.pfx, y.pfx) <= 5)""".stripMargin
+
   private def d04Pairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GramPHashes.gram_phashes
     import graft.functions.SortedIntersectCount.sorted_intersect_count

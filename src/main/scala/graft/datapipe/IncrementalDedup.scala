@@ -123,9 +123,16 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val storeFp = spark.read.parquet(storePath)
     val incFp = Dedup.signaturesOf(batch).cache()
-    val conflicts = incFp.select(col("doc_id"), col("sig"))
+    // Conflict check runs on ALL batch doc_ids, not just fingerprinted
+    // ones: a too-short doc (< 3 words, so signaturesOf drops it) reusing
+    // a stored id is still a content change — its null sig never equals
+    // the stored one (stored rows always carry a sig), so the null-safe
+    // compare surfaces it instead of silently reporting 'kept' while the
+    // stale stored fingerprint survives.
+    val conflicts = batch.select(col("doc_id"))
+      .join(incFp.select(col("doc_id"), col("sig")), Seq("doc_id"), "left")
       .join(storeFp.select(col("doc_id"), col("sig").as("store_sig")), "doc_id")
-      .filter(col("sig") =!= col("store_sig"))
+      .filter(!(col("sig") <=> col("store_sig")))
       .select(col("doc_id"), lit(true).as("id_conflict"))
     // localCheckpoint, not cache: the decision plan READS the store this
     // method is about to append to, and a cached plan can silently

@@ -42,6 +42,28 @@ object Similarity {
       |      CASE WHEN CAST(embedding[j + 1] AS DOUBLE) > 0.0
       |           THEN CAST(round(pow(2, j)) AS INT) ELSE 0 END))""".stripMargin
 
+  /** Multi-probe bucket list for a vector: its sign bucket PLUS the `p`
+    * buckets reached by flipping the signs of the p smallest-|component|
+    * hashed dims — the dims most likely to flip under tiny perturbation,
+    * i.e. exactly where single-bucket probing loses near-boundary
+    * neighbors. Deterministic tie-break: (|v| asc, dim asc) on both
+    * engines. p = 0 degenerates to plain single-bucket blocking.
+    */
+  private def probeBuckets(e: String, b: String, p: Int) = expr(
+    s"""concat(array($b), transform(slice(transform(array_sort(
+       |  transform(sequence(0, 7),
+       |    j -> struct(abs(CAST(element_at($e, j + 1) AS DOUBLE)) AS a, j AS j))),
+       |  x -> x.j), 1, $p), j -> CAST($b ^ shiftleft(1, j) AS INT)))""".stripMargin)
+
+  /** DuckDB mirror of [[probeBuckets]] over columns `$e`/`$b` — a list to
+    * unnest.
+    */
+  private def probeBucketsSql(e: String, b: String, p: Int) =
+    s"""list_prepend($b, list_transform(
+       |    list_transform(list_sort(list_transform(range(0, 8),
+       |      j -> {'a': abs(CAST($e[j + 1] AS DOUBLE)), 'j': j})), x -> x.j)[1:$p],
+       |    j -> CAST(xor($b, (1 << CAST(j AS INT))) AS INT)))""".stripMargin
+
   /** DuckDB-side dot product with the fixed left-fold order that
     * graft.functions.CosineSim replicates (Spark-side cosines all go
     * through that codegen'd expression).
@@ -100,6 +122,57 @@ object Similarity {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** d10's pair pipeline over an arbitrary (vec_id, embedding, label)
+    * frame: multi-probe sign-LSH blocking (probe-`p` on BOTH sides, so a
+    * near-boundary flip on either vector still collides — probe(x) vs
+    * base(y) unioned with base(x) vs probe(y) by symmetry of the exploded
+    * join), label-conjunct like d05, exact-cosine verify. Exposed to
+    * OperatorSpec, which pins that p=1 finds a planted boundary-straddling
+    * pair p=0 provably misses.
+    */
+  private[graft] def multiProbePairs(emb0: DataFrame, p: Int,
+                                     threshold: Double): DataFrame = {
+    val emb = emb0.withColumn("bucket", signBucket)
+    val probes = emb.select(col("vec_id"), col("label"),
+      explode(probeBuckets("embedding", "bucket", p)).as("bkey"))
+    val bases = emb.select(col("vec_id").as("y_id"),
+      col("label").as("y_label"), col("bucket").as("bkey"))
+    val cand = probes.join(bases, probes("bkey") === bases("bkey") &&
+        col("label") === col("y_label") && col("vec_id") =!= col("y_id"))
+      .select(least(col("vec_id"), col("y_id")).as("v1"),
+              greatest(col("vec_id"), col("y_id")).as("v2"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+                       col("label")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+            Seq("v2"))
+      .withColumn("cosine", cosine_sim(col("e1"), col("e2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("v1"), col("v2"), col("label"), col("cosine"))
+  }
+
+  /** d10's corpus: embeddings plus planted NEAR-BOUNDARY dups — each copy
+    * negates its source's single smallest-|v| coordinate among the 8
+    * hashed dims, so the pair's cosine stays near 1 (the flipped term is
+    * the smallest contributor) while its sign bucket provably differs in
+    * exactly that bit: the case single-bucket blocking (d05) structurally
+    * misses and probe-1 recovers.
+    */
+  private def d10Corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = T.embeddings(s, d).select($"vec_id", $"embedding", $"label")
+    base.unionByName(base.filter($"vec_id" % 17 === 0)
+      .withColumn("jmin", expr(
+        "element_at(transform(array_sort(transform(sequence(0, 7), " +
+          "j -> struct(abs(CAST(element_at(embedding, j + 1) AS DOUBLE)) AS a, " +
+          "j AS j))), x -> x.j), 1)"))
+      .select(($"vec_id" + 3000000L).as("vec_id"),
+        expr("transform(embedding, (v, i) -> IF(i = jmin, -v, v))")
+          .as("embedding"),
+        $"label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-10 by cosine against vec_id 0.
     "s01_topk_cosine" -> { (s, d) =>
@@ -127,6 +200,38 @@ object Similarity {
         .select($"vec_id", $"label", $"bucket", $"cosine")
         .orderBy($"cosine".desc, $"vec_id")
         .limit(5)
+    },
+
+    // Multi-probe LSH ANN: s02 plus probe-2 — the query also scans the 2
+    // buckets reached by flipping its smallest-|component| signs, the
+    // standard recall-recovery knob for sign LSH (probing the buckets a
+    // near-boundary neighbor most plausibly landed in). Cost: 3/256 of
+    // the corpus scanned instead of 1/256, still partition-prunable by
+    // bucket; the probe list is computed once on the 1-row broadcast
+    // query side, never per candidate.
+    "s07_ann_multiprobe" -> { (s, d) =>
+      import s.implicits._
+      val emb = T.embeddings(s, d).withColumn("bucket", signBucket)
+      val q = broadcast(emb.filter($"vec_id" === QID)
+        .select($"embedding".as("q_emb"), $"bucket".as("q_bucket"))
+        .select($"q_emb",
+          explode(probeBuckets("q_emb", "q_bucket", 2)).as("probe_bucket")))
+      emb.filter($"vec_id" =!= QID)
+        .join(q, $"bucket" === $"probe_bucket")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .select($"vec_id", $"label", $"bucket", $"cosine")
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(5)
+    },
+
+    // d05 with multi-probe blocking over a corpus of planted NEAR-BOUNDARY
+    // dups (smallest-hashed-coordinate sign flips): probe-1 on both sides
+    // recovers the cross-bucket pairs single-bucket d05 structurally
+    // misses. Threshold 0.995, not 0.999: the flip itself costs
+    // 2*v_min^2/|v|^2 of cosine, small but nonzero.
+    "d10_neardup_multiprobe" -> { (s, d) =>
+      multiProbePairs(d10Corpus(s, d), 1, 0.995)
+        .orderBy(col("v1"), col("v2"))
     },
 
     // IVF-style ANN: a coarse quantizer (8 centroids = exact-decimal
@@ -264,9 +369,9 @@ object Similarity {
     // 0.999) CAN land in different buckets when one of the 8 hashed
     // coordinates sits near zero and flips sign — a real recall loss vs
     // label-only blocking. The recovery knob is multi-probe: also probe
-    // the buckets reached by flipping the lowest-|v| signs (d11 below
-    // implements probe-P); both engines block identically either way, so
-    // hash parity is unaffected.
+    // the buckets reached by flipping the lowest-|v| signs (d10 above
+    // implements probe-P on both sides, s07 on the query side); both
+    // engines block identically either way, so hash parity is unaffected.
     "d05_embedding_neardup" -> { (s, d) =>
       import s.implicits._
       val base = T.embeddings(s, d)
@@ -312,6 +417,63 @@ object Similarity {
          |WHERE e.vec_id <> $QID AND e.bucket = q.q_bucket
          |ORDER BY cosine DESC, e.vec_id
          |LIMIT 5""".stripMargin,
+
+    "s07_ann_multiprobe" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding,
+         |    $signBucketSql AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = $QID),
+         |probes AS (
+         |  SELECT q_emb, unnest(${probeBucketsSql("q_emb", "q_bucket", 2)}) AS probe_bucket
+         |  FROM q)
+         |SELECT e.vec_id, e.label, CAST(e.bucket AS INT) AS bucket,
+         |  ${dotSql("e.embedding", "q.q_emb")} /
+         |  (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |   sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |FROM b e JOIN probes q ON e.bucket = q.probe_bucket
+         |WHERE e.vec_id <> $QID
+         |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 5""".stripMargin,
+
+    "d10_neardup_multiprobe" ->
+      s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
+         |plants AS (
+         |  SELECT vec_id + 3000000 AS vec_id,
+         |    list_transform(range(1, 65), i ->
+         |      CASE WHEN i - 1 = jmin THEN -embedding[CAST(i AS INT)]
+         |           ELSE embedding[CAST(i AS INT)] END) AS embedding,
+         |    label
+         |  FROM (
+         |    SELECT vec_id, embedding, label,
+         |      list_transform(list_sort(list_transform(range(0, 8),
+         |        j -> {'a': abs(CAST(embedding[j + 1] AS DOUBLE)), 'j': j})),
+         |        x -> x.j)[1] AS jmin
+         |    FROM base WHERE vec_id % 17 = 0) z),
+         |emb AS (
+         |  SELECT vec_id, embedding, label, $signBucketSql AS bucket
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM plants) u),
+         |probes AS (
+         |  SELECT vec_id, label,
+         |    unnest(${probeBucketsSql("embedding", "bucket", 1)}) AS bkey
+         |  FROM emb),
+         |bases AS (SELECT vec_id AS y_id, label AS y_label, bucket AS bkey FROM emb),
+         |cand AS (
+         |  SELECT DISTINCT least(p.vec_id, b.y_id) AS v1,
+         |                  greatest(p.vec_id, b.y_id) AS v2
+         |  FROM probes p JOIN bases b
+         |    ON p.bkey = b.bkey AND p.label = b.y_label AND p.vec_id <> b.y_id)
+         |SELECT c.v1, c.v2, x.label AS label,
+         |  ${dotSql("x.embedding", "y.embedding")} /
+         |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |   sqrt(${dotSql("y.embedding", "y.embedding")})) AS cosine
+         |FROM cand c
+         |JOIN emb x ON x.vec_id = c.v1
+         |JOIN emb y ON y.vec_id = c.v2
+         |WHERE ${dotSql("x.embedding", "y.embedding")} /
+         |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |   sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.995
+         |ORDER BY v1, v2""".stripMargin,
 
     "s03_ann_ivf" ->
       s"""WITH means AS (

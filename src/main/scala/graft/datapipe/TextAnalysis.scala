@@ -23,6 +23,57 @@ object TextAnalysis {
 
   private def lexArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** d09's corpus: documents plus planted SHARED-SUBSTRING docs — each
+    * copies only the first 60 chars of its source and pads with 40 unique
+    * filler tokens, so the pair's global overlap is LOW (word-shingle and
+    * char-gram Jaccard both far under d02/d04's thresholds — pinned in
+    * OperatorSpec) while the shared 60-byte span guarantees shared winnow
+    * fingerprints (any common substring >= k + w - 1 = 39 bytes does).
+    */
+  private[graft] def d09Corpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = T.documents(s, d).select($"doc_id", $"text")
+    docs.unionByName(docs.filter($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        expr("concat(substring(text, 1, 60), ' ', concat_ws(' ', " +
+          "transform(sequence(1, 40), i -> " +
+          "concat('filler', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))))")
+          .as("text")))
+  }
+
+  private val d09CorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 3000000, substring(text, 1, 60) || ' ' ||
+      |  array_to_string(list_transform(range(1, 41),
+      |    i -> 'filler' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
+      |FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** DuckDB CTE chain computing winnow fingerprint sets
+    * `${p}m(doc_id, fps)` (k-byte grams, 8-wide windows) from docs
+    * CTE/table `src` — the polynomial gram hash recomputed from scratch
+    * per gram (the rolling recurrence is algebraically identical mod M).
+    * Shared by the t10 (k=8) and d09 (k=32) oracles.
+    */
+  private def winnowCtesSql(src: String, p: String, k: Int): String = {
+    val M = graft.functions.WinnowFingerprints.M
+    val terms = (0 until k).map { j =>
+      val pw = BigInt(graft.functions.WinnowFingerprints.B).pow(k - 1 - j)
+        .mod(BigInt(M))
+      s"CAST(ascii(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * $pw"
+    }.mkString(" +\n         ")
+    s"""${p}g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(text) - ${k - 2}), i ->
+       |      ($terms) % $M) AS grams
+       |  FROM $src WHERE length(text) >= ${k + 7}),
+       |${p}m AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(range(1, len(grams) - 6),
+       |      i -> list_min(grams[CAST(i AS INT):CAST(i + 7 AS INT)])))) AS fps
+       |  FROM ${p}g)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language ID: frequency-weighted lexicon overlap, argmax with
     // alphabetical tie-break; compared against the labeled lang.
@@ -232,6 +283,36 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Winnowing near-dup JOIN — the shared-substring detector d02/d04
+    // cannot be: it catches doc pairs whose GLOBAL overlap is tiny but
+    // share one long span (>= k + w - 1 = 39 bytes guarantees >= 1
+    // shared winnow fingerprint). k = 32, not t10's 8: a gram must span
+    // enough tokens to be DISCRIMINATIVE — 8-byte grams of ordinary text
+    // are corpus-common, so every fingerprint hits the stop-fp cap and
+    // recall collapses (measured: 11/39 plants at k=8 vs 39/39 at k=32).
+    // Explode (doc_id, fp), drop STOP fingerprints (document frequency
+    // > 8 — boilerplate spans are hot join keys that carry no pair
+    // information; the cap bounds per-key fanout to C(8,2) = 28 pairs,
+    // the blocking knob), equi-join on fp, count shared fingerprints per
+    // pair, threshold. The shuffle carries only (fp, doc_id) longs —
+    // never text.
+    "d09_winnow_neardup" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.WinnowFingerprints.winnow_fps
+      val fps = d09Corpus(s, d)
+        .filter(length($"text") >= 39) // need >= k + w - 1 bytes
+        .select($"doc_id", explode(winnow_fps($"text", 32, 8)).as("fp"))
+      val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 8).select($"fp")
+      val kept = fps.join(rare, Seq("fp"))
+      kept.as("x").join(kept.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .orderBy($"d1", $"d2")
+    },
+
     // Fingerprint: md5 over the sorted distinct word set (bag-of-words
     // canonical form); window counts docs sharing a fingerprint.
     "t04_fingerprint" -> { (s, d) =>
@@ -330,30 +411,24 @@ object TextAnalysis {
         |SELECT lang, rk, bigram, n FROM ranked WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
 
-    // polynomial gram hash recomputed from scratch per gram (the rolling
-    // recurrence is algebraically identical mod M)
-    "t10_winnow_fingerprint" -> {
-      val M = graft.functions.WinnowFingerprints.M
-      val terms = (0 until 8).map { j =>
-        val p = BigInt(graft.functions.WinnowFingerprints.B).pow(7 - j)
-          .mod(BigInt(M))
-        s"CAST(ascii(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * $p"
-      }.mkString(" +\n         ")
-      s"""WITH g AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, length(text) - 6), i ->
-         |      ($terms) % $M) AS grams
-         |  FROM documents WHERE length(text) >= 15),
-         |m AS (
-         |  SELECT doc_id,
-         |    list_sort(list_distinct(list_transform(range(1, len(grams) - 6),
-         |      i -> list_min(grams[CAST(i AS INT):CAST(i + 7 AS INT)])))) AS fps
-         |  FROM g)
+    "t10_winnow_fingerprint" ->
+      s"""WITH ${winnowCtesSql("documents", "", 8)}
          |SELECT doc_id, CAST(len(fps) AS INT) AS n_fps, fps[1] AS fp_min,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
          |              (a, x) -> xor(a, x)) AS fp_xor
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "d09_winnow_neardup" ->
+      s"""WITH d09corpus AS ($d09CorpusSql),
+         |${winnowCtesSql("d09corpus", "", 32)},
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+         |rare AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 8),
+         |kept AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp))
+         |SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_shared
+         |FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 3
+         |ORDER BY d1, d2""".stripMargin,
 
     "t04_fingerprint" ->
       """WITH fps AS (

@@ -30,24 +30,50 @@ object Sessionizer {
 
   val GapMs: Long = 30 * 60 * 1000L
 
-  /** Fold a time-sorted event batch into (closed sessions, open session),
-    * resuming from prior state — shared by the batch and streaming modes.
+  /** Fold an event batch into (closed sessions, open session), resuming
+    * from prior state — shared by the batch and streaming modes.
+    *
+    * ORDER-INDEPENDENT interval merge, not sort-then-fold: each event is
+    * the interval [t, t+gap); disjoint session intervals live in a
+    * TreeMap keyed by start, and an arriving event joins its floor
+    * session (t within gap of its last), absorbs any successor sessions
+    * it now bridges, or opens a new one — O(log S) per event. This
+    * bounds a HOT KEY's memory at Θ(live sessions), the information-
+    * theoretic floor (the output is that large), instead of the previous
+    * sort's Θ(events in the batch): sessionization is a union of
+    * intervals, so no order needs reconstructing. Aggregates (n, total)
+    * are commutative sums, so the result is identical to the sorted fold
+    * — StreamingSpec pins equivalence against `session_window`, and a
+    * shuffled-input spec pins order independence.
     */
   private def foldSessions(user: Long, evs: Iterator[Ev],
                            prior: Option[Open]): (Vector[Session], Option[Open]) = {
-    // sort within group (bounded per user), fold into sessions
-    val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
-    sorted.foldLeft((Vector.empty[Session], prior)) {
-      case ((done, cur), e) =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(o) if t - o.last <= GapMs =>
-            (done, Some(o.copy(last = t, n = o.n + 1, total = o.total + e.value)))
-          case Some(o) =>
-            (done :+ toSession(user, o), Some(Open(t, t, 1, e.value)))
-          case None => (done, Some(Open(t, t, 1, e.value)))
-        }
+    val m = new java.util.TreeMap[Long, Open]()
+    prior.foreach(o => m.put(o.start, o))
+    evs.foreach { e =>
+      var cur = Open(e.ts.getTime, e.ts.getTime, 1, e.value)
+      val p = m.floorEntry(cur.start)
+      if (p != null && cur.start - p.getValue.last <= GapMs) {
+        val po = p.getValue
+        m.remove(p.getKey)
+        cur = Open(po.start, math.max(po.last, cur.last), po.n + cur.n,
+          po.total + cur.total)
+      }
+      var s = m.ceilingEntry(cur.start)
+      while (s != null && s.getValue.start - cur.last <= GapMs) {
+        val so = s.getValue
+        m.remove(s.getKey)
+        cur = Open(cur.start, math.max(cur.last, so.last), cur.n + so.n,
+          cur.total + so.total)
+        s = m.ceilingEntry(cur.start)
+      }
+      m.put(cur.start, cur)
     }
+    val all = Vector.newBuilder[Open]
+    m.values.forEach(o => all += o)
+    val sessions = all.result()
+    if (sessions.isEmpty) (Vector.empty, None)
+    else (sessions.init.map(toSession(user, _)), Some(sessions.last))
   }
 
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {

@@ -86,6 +86,19 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(dec2.getString(1) === "dup_store" && dec2.getLong(2) === 1L)
   }
 
+  test("a SHORT doc reusing a stored id is still an id_conflict") {
+    val store = freshStore()
+    IncrementalDedup.buildStore(docsDf(1L -> longA), store)
+    // "no words" is < 3 words, so it carries no fingerprint — the conflict
+    // check must run on batch doc_ids, not fingerprinted ones, or this doc
+    // would report 'kept' while the stale stored fp for id 1 survives
+    val dec = IncrementalDedup.ingestBatch(docsDf(1L -> "no words"), store)
+      .collect()
+    assert(dec.length === 1 && dec.head.getString(1) === "id_conflict")
+    assert(dec.head.isNullAt(2))
+    assert(spark.read.parquet(store).count() === 1) // store unchanged
+  }
+
   test("a doc too short to fingerprint is kept, not dropped") {
     val store = freshStore()
     IncrementalDedup.buildStore(docsDf(1L -> longA), store)

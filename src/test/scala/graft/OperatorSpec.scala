@@ -247,7 +247,7 @@ class OperatorSpec extends SparkSpec {
       (1L, 0L),                                  // base
       (2L, (1L << 59) | (1L << 44) | (1L << 29)), // hamming 3, bands 3/2/1 hit
       (3L, (1L << 0) | (1L << 15) | (1L << 30) | (1L << 45)) // hamming 4, all bands hit
-    ).toDF("doc_id", "simhash")
+    ).toDF("doc_id", "simhash").withColumn("bw", lit(15))
     val cands = datapipe.Dedup.simhashCandidates(fps)
       .as[(Long, Long)].collect().toSet
     assert(cands.contains((1L, 2L)), "hamming-3 pair missed by banding")
@@ -262,11 +262,61 @@ class OperatorSpec extends SparkSpec {
       (100L + i, bits.foldLeft(base)((f, b) => f ^ (1L << b)))
     }
     val all = (Seq((99L, base)) ++ perturbed).toDF("doc_id", "simhash")
+      .withColumn("bw", lit(15))
     val found = datapipe.Dedup.simhashCandidates(all)
       .as[(Long, Long)].collect().toSet
     perturbed.foreach { case (id, _) =>
       assert(found.contains((99L, id)), s"pair (99, $id) missed")
     }
+  }
+
+  test("winnow join catches shared-span pairs that sit below d02/d04 thresholds") {
+    GraftExtensions.register(spark)
+    val found = datapipe.TextAnalysis.queries("d09_winnow_neardup")(spark, sf)
+      .filter($"d2" === $"d1" + 3000000L).select($"d1").as[Long].collect().toSet
+    assert(found.nonEmpty, "no planted shared-span pair found by d09")
+    // the planted pairs' GLOBAL overlap is provably below both dedup bars:
+    // word-3-shingle Jaccard < 0.5 (d02) and char-4-gram Jaccard < 0.85
+    // (d04) — only the shared 60-byte span links them
+    def shingles(c: String) =
+      s"array_distinct(transform(sequence(0, size(split($c, ' ')) - 3), i -> " +
+        s"concat_ws(' ', element_at(split($c, ' '), i + 1), " +
+        s"element_at(split($c, ' '), i + 2), element_at(split($c, ' '), i + 3))))"
+    def grams(c: String) =
+      s"array_distinct(transform(sequence(1, length($c) - 3), i -> substring($c, i, 4)))"
+    def jac(f: String => String) =
+      s"size(array_intersect(${f("t1")}, ${f("t2")})) / " +
+        s"CAST(size(array_distinct(concat(${f("t1")}, ${f("t2")}))) AS DOUBLE)"
+    val corpus = datapipe.TextAnalysis.d09Corpus(spark, sf)
+    val checked = corpus.as("x").join(corpus.as("y"),
+        col("y.doc_id") === col("x.doc_id") + 3000000L)
+      .select(col("x.doc_id").as("d1"), col("x.text").as("t1"),
+              col("y.text").as("t2"))
+      .filter($"d1".isin(found.toSeq: _*))
+      .withColumn("sj", expr(jac(shingles)))
+      .withColumn("gj", expr(jac(grams)))
+      .select($"d1", $"sj", $"gj").collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getDouble(1) < 0.5, s"doc ${r.getLong(0)}: shingle jaccard not low")
+      assert(r.getDouble(2) < 0.85, s"doc ${r.getLong(0)}: gram jaccard not low")
+    }
+  }
+
+  test("multi-probe LSH finds a near-boundary pair single-bucket probing misses") {
+    // two near-identical vectors straddling hyperplane 0: sign of dim 0
+    // differs, so their sign buckets differ in exactly bit 0 and plain
+    // bucket-equality blocking (p = 0) can never pair them; dim 0 is also
+    // the smallest-|v| hashed dim, so probe-1 flips it and recovers the pair
+    val base = Array(0.001f, 1f, -1f, 1f, -1f, 1f, 1f, -1f) ++ Array.fill(56)(0.5f)
+    val flipped = base.clone(); flipped(0) = -0.001f
+    val df = Seq((1L, base.toSeq, 0), (2L, flipped.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(datapipe.Similarity.multiProbePairs(df, 0, 0.995).count() === 0,
+      "p=0 must miss the cross-bucket pair")
+    val p1 = datapipe.Similarity.multiProbePairs(df, 1, 0.995)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    assert(p1 === Set((1L, 2L)), "p=1 must recover the cross-bucket pair")
   }
 
   test("connected components converge on a diameter-4 chain (3 fixed rounds would under-merge)") {

@@ -22,16 +22,12 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("query names are unique across modules") {
-    // Map construction would silently drop duplicates; detect via size sum
-    val mods = Seq(
-      operators.Relational.queries, operators.Windows.queries,
-      operators.SetOps.queries, operators.Scalars.queries,
-      operators.TemporalJoins.queries, weather.WeatherPipeline.queries,
-      datapipe.Dedup.queries, datapipe.Similarity.queries,
-      datapipe.TextAnalysis.queries, datapipe.Multimodal.queries,
-      operators.AdvancedAggs.queries, operators.Nested.queries,
-      operators.Extras.queries,
-      operators.TypedOps.queries, streaming.Streaming.queries)
-    assert(mods.map(_.size).sum === SparkEntry.queries.size)
+    // Map construction would silently drop duplicates; assert uniqueness on
+    // the authoritative module list itself (SparkEntry.modules) so the test
+    // cannot drift when a module is added.
+    val allNames = SparkEntry.modules.flatMap(_.queries.keys)
+    val dups = allNames.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names across modules: $dups")
+    assert(allNames.size === SparkEntry.queries.size)
   }
 }

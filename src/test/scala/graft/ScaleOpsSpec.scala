@@ -119,6 +119,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("sessionizer interval-merge fold is order-independent on a skewed hot key") {
+    // one user, 100 bursts of 500 events, delivered SHUFFLED: the
+    // interval-merge fold (state = live sessions, not buffered events)
+    // must reconstruct exactly the 100 sessions a sorted fold would
+    val base = 1700000000000L
+    val bursts = (0 until 100).flatMap { b =>
+      val t0 = base + b.toLong * (Sessionizer.GapMs * 2)
+      (0 until 500).map(i =>
+        Sessionizer.Ev(7L, new java.sql.Timestamp(t0 + i), 1.0))
+    }
+    val shuffled = new scala.util.Random(11).shuffle(bursts)
+    val out = Sessionizer.sessionize(shuffled.toDS()).collect()
+    assert(out.length === 100)
+    assert(out.forall(s => s.n === 500 && s.total === 500.0))
+    assert(out.map(_.start.getTime).sorted.toSeq ===
+      (0 until 100).map(b => base + b.toLong * (Sessionizer.GapMs * 2)))
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window counts") {
     val evs = Tables.events(spark, sf)
       .select($"user_id", date_trunc("second", $"ts").as("ts"), $"value")
