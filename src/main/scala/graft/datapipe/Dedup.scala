@@ -52,7 +52,7 @@ object Dedup {
     * double on both engines, and any other integer is > 1 ulp away from
     * an integer log, so the floor never straddles a rounding difference.
     */
-  private def bwExpr(n: String) =
+  private[graft] def bwExpr(n: String) =
     s"least($MAX_BW, greatest($MIN_BW, CAST(floor(log2(CAST($n AS DOUBLE))) AS INT) + 1))"
 
   /** Round budget shared by d06's Spark loop and its unrolled oracle SQL:

@@ -34,7 +34,12 @@ import scala.jdk.CollectionConverters._
   * synthetic generator with the reference's exact shape: half-open
   * [start, end) grid at the axis cadence (lambda_function.py:106-111),
   * float measures with NaN holes (the wire format's missing-value
-  * encoding, VariableWithValues.py:58-62).
+  * encoding, VariableWithValues.py:58-62). The batch read path goes
+  * through the reference's WIRE FRAMING, not straight to rows: the
+  * response body is length-prefixed columnar frames with the in-stream
+  * "Unexpected" error magic (openmeteo_requests/Client.py:31-43),
+  * decoded by [[WireFraming]] — option `inject_wire_error` exercises the
+  * error path end-to-end.
   *
   * Scan-level pushdown, both kinds:
   *  - ts range predicates narrow the generated grid
@@ -169,7 +174,8 @@ class WeatherGridTable(options: CaseInsensitiveStringMap)
       interval,
       options.getOrDefault("locations", "1").toInt,
       maxSlots,
-      WeatherGridSource.variablesOf(options))
+      WeatherGridSource.variablesOf(options),
+      options.getOrDefault("inject_wire_error", "false").toBoolean)
   }
 }
 
@@ -181,7 +187,8 @@ class WeatherGridTable(options: CaseInsensitiveStringMap)
 class WeatherGridScanBuilder(var start: Long, var end: Long,
                              interval: Long, locations: Int,
                              maxSlotsPerTrigger: Long = 96L,
-                             variables: Seq[String] = WeatherGridSource.MEASURES)
+                             variables: Seq[String] = WeatherGridSource.MEASURES,
+                             injectWireError: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -224,12 +231,13 @@ class WeatherGridScanBuilder(var start: Long, var end: Long,
 
   override def build(): Scan =
     new WeatherGridScan(start, end, interval, locations, maxSlotsPerTrigger,
-      readSchema)
+      readSchema, injectWireError)
 }
 
 class WeatherGridScan(start: Long, end: Long, interval: Long, locations: Int,
                       maxSlotsPerTrigger: Long = 96L,
-                      schema: StructType = WeatherGridSource.SCHEMA)
+                      schema: StructType = WeatherGridSource.SCHEMA,
+                      injectWireError: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -246,22 +254,66 @@ class WeatherGridScan(start: Long, end: Long, interval: Long, locations: Int,
     (0 until locations).map(l => WeatherGridPartition(l.toLong): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WeatherGridReaderFactory(start, end, interval, schema)
+    new WeatherGridReaderFactory(start, end, interval, schema, injectWireError)
 }
 
 case class WeatherGridPartition(loc: Long) extends InputPartition
 
+/** The batch reader goes through BYTES, exactly like the reference client:
+  * the synthetic "server" encodes the location's [start, end) grid as
+  * length-prefixed columnar frames ([[WireFraming.encodeResponse]] — 256
+  * slots per frame, the batched-response shape), and the reader walks
+  * [[WireFraming.decode]]'s frame iterator, surfacing the in-stream error
+  * magic as a failed task. Pushdown still happens SERVER-side: the frames
+  * only ever contain the pruned window and the pruned variable list.
+  * Values are the same deterministic generator as always, so the framing
+  * layer changes no query result (IngestSpec pins byte-path parity).
+  */
 class WeatherGridReaderFactory(start: Long, end: Long, interval: Long,
-                               schema: StructType)
+                               schema: StructType,
+                               injectWireError: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     WeatherGridSource.readerOpens.incrementAndGet() // test hook: scans-per-run
     val loc = p.asInstanceOf[WeatherGridPartition].loc
-    val gen = new WeatherGridSource.RowGen(schema)
+    val varNames = schema.fields.map(_.name)
+      .filter(n => n != "location_id" && n != "ts").toSeq
+    // -1 = location_id, -2 = ts, >= 0 = index into the frame's series
+    val kinds: Array[Int] = schema.fields.map(_.name match {
+      case "location_id" => -1
+      case "ts" => -2
+      case n => varNames.indexOf(n)
+    })
+    val frames = WireFraming.decode(WireFraming.encodeResponse(
+      loc, start, end, interval, varNames, 256, injectWireError))
     new PartitionReader[InternalRow] {
-      private var ts = start - interval
-      override def next(): Boolean = { ts += interval; ts < end } // half-open
-      override def get(): InternalRow = gen.row(loc, ts)
+      private var msg: WireFraming.GridMessage = null
+      private var idx = 0
+      override def next(): Boolean = {
+        if (msg != null && idx + 1 < msg.nSlots) { idx += 1; true }
+        else {
+          msg = null
+          while (msg == null && frames.hasNext) {
+            val m = WireFraming.parseMessage(frames.next())
+            if (m.nSlots > 0) { msg = m; idx = 0 }
+          }
+          msg != null
+        }
+      }
+      override def get(): InternalRow = {
+        val ts = msg.startMicros + idx * msg.intervalMicros
+        val vals = new Array[Any](kinds.length)
+        var i = 0
+        while (i < kinds.length) {
+          vals(i) = kinds(i) match {
+            case -1 => loc
+            case -2 => ts
+            case v => msg.series(v)(idx)
+          }
+          i += 1
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
       override def close(): Unit = ()
     }
   }

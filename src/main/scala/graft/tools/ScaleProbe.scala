@@ -1,0 +1,134 @@
+package graft.tools
+
+import graft.datapipe.{Dedup, IncrementalDedup}
+import graft.operators.DistributedRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted scale probes for the three designs whose 100 TB behavior is a
+  * CLAIM in code comments — this tool is the measurement behind each
+  * claim (dev-only; run ad hoc, results recorded in ARCHITECTURE.md):
+  *
+  *  1. d08 store-size curve: ingest one FIXED batch against fingerprint
+  *     stores of growing size. The band-key candidate join must make
+  *     per-run cost scale with |batch| x candidates, NOT |store| — the
+  *     curve over 1x/4x/16x stores should be near-flat.
+  *  2. q62 group-cardinality curve: DistributedRank's pass-1 collects
+  *     O(partitions x groups) control rows to the driver. Time the rank
+  *     over growing group counts to find where "small control data"
+  *     stops being true (the operator exists for LOW-cardinality groups;
+  *     q16's window path covers high cardinality).
+  *  3. d03 adaptive band width: candidate-pair count per document under
+  *     the corpus-adaptive width vs a FIXED width as the corpus scales.
+  *     Fixed-width blocks saturate (candidates/doc grows ~linearly in
+  *     corpus size => quadratic total); the adaptive width must hold
+  *     candidates/doc roughly flat.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [section csv: store,rank,simhash]
+  */
+object ScaleProbe {
+  private val SHIFT = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sections = args.lift(1).getOrElse("store,rank,simhash")
+      .split(",").map(_.trim).toSet
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+
+    /** k shifted+perturbed copies of the corpus — copies are NOT mutual
+      * near-dups (distinct suffix per copy), so growth measures the PLAN,
+      * not a quadratic output.
+      */
+    def scaledDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) docs
+        else docs.select(($"doc_id" + i * SHIFT).as("doc_id"),
+          concat($"text", lit(s" s$i")).as("text"))
+      }.reduce(_ unionByName _)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    if (sections("store")) {
+      println("== d08 store-size curve (fixed batch, growing store) ==")
+      println(f"${"store_k"}%-8s ${"store_rows"}%-11s ${"ingest_s"}%-9s decisions")
+      // the fixed incoming batch: near-dup + novel mix derived from base
+      val batch = docs.filter($"doc_id" % 10 === 1)
+        .select(($"doc_id" + 7 * SHIFT).as("doc_id"),
+                concat($"text", lit(" near duplicate suffix")).as("text"))
+      for (k <- Seq(1, 4, 16)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_storescale_k$k").toString + "/store"
+        IncrementalDedup.buildStore(scaledDocs(k), dir)
+        val storeRows = spark.read.parquet(dir).count()
+        val (n, t) = timed(IncrementalDedup.ingestBatch(batch, dir).count())
+        println(f"$k%-8d $storeRows%-11d $t%-9.2f $n")
+      }
+    }
+
+    if (sections("rank")) {
+      println("== q62 group-cardinality curve (DistributedRank pass-1 collect) ==")
+      println(f"${"groups"}%-9s ${"rows"}%-9s ${"ctrl_rows"}%-10s time_s")
+      val rows = 1000000L
+      for (g <- Seq(10L, 1000L, 100000L)) {
+        val df = spark.range(rows)
+          .select(($"id" % g).as("g"), $"id".as("o"))
+        val (_, t) = timed {
+          DistributedRank.withRankStats(df, Seq("g"), Seq(col("o")), 32)
+            .write.format("noop").mode("overwrite").save()
+        }
+        // pass-1 control volume: at most one row per (partition, group);
+        // range partitioning makes a group span ~1-2 partitions, so the
+        // practical bound is ~groups + partitions
+        println(f"$g%-9d $rows%-9d ${math.min(32 * g, g + 32)}%-10d $t%.2f")
+      }
+    }
+
+    if (sections("simhash")) {
+      println("== d03 candidate growth: adaptive vs fixed band width ==")
+      println(f"${"k"}%-4s ${"docs"}%-8s ${"bw_adapt"}%-9s ${"waste/doc adapt"}%-16s ${"waste/doc bw=8"}%-15s")
+      import graft.functions.SimHashFp.simhash_fp
+      for (k <- Seq(1, 4, 16)) {
+        val corpus = scaledDocs(k)
+        val nDocs = corpus.count()
+        val fp0 = corpus.withColumn("simhash", simhash_fp($"text", 60))
+          .select($"doc_id", $"simhash")
+        def wastePerDoc(bwCol: DataFrame): Double = {
+          val fp = fp0.crossJoin(broadcast(bwCol)).cache()
+          // the blocking-quality metric is WASTED verify work: candidate
+          // pairs that then FAIL the hamming<=3 verify. Pairs that pass
+          // are output (they grow with genuine corpus density no matter
+          // how you block); waste is what the band width controls.
+          val c = Dedup.simhashCandidates(fp)
+            .join(fp.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
+            .join(fp.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
+            .filter(expr("bit_count(h1 ^ h2) > 3")).count()
+          fp.unpersist()
+          c.toDouble / nDocs
+        }
+        val adaptiveBw = corpus.agg(count(lit(1)).as("n"))
+          .select(expr(Dedup.bwExpr("n")).as("bw"))
+        val bwVal = adaptiveBw.first().getInt(0)
+        val a = wastePerDoc(adaptiveBw)
+        val f8 = wastePerDoc(spark.range(1).select(lit(8).as("bw")))
+        println(f"$k%-4d $nDocs%-8d $bwVal%-9d $a%-16.2f $f8%-15.2f")
+      }
+    }
+
+    spark.stop()
+  }
+}

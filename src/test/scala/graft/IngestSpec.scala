@@ -47,6 +47,51 @@ class IngestSpec extends SparkSpec {
     assert(filtered.count() === 2L * 96)
   }
 
+  test("wire framing: multi-frame round trip is lossless") {
+    import graft.sources.WireFraming
+    val msgs = Seq(Array[Byte](1, 2, 3), Array.empty[Byte],
+      Array.tabulate(300)(_.toByte))
+    val decoded = WireFraming.decode(WireFraming.encode(msgs)).toSeq
+    assert(decoded.map(_.toSeq) === msgs.map(_.toSeq))
+  }
+
+  test("wire framing: in-stream error magic surfaces the server message") {
+    import graft.sources.WireFraming
+    val body = WireFraming.encode(Seq(Array[Byte](9, 9))) ++
+      WireFraming.encodeError("Unexpected rate limit, slow down")
+    val it = WireFraming.decode(body)
+    assert(it.next().toSeq === Seq[Byte](9, 9))
+    val e = intercept[WireFraming.WireError](it.next())
+    assert(e.getMessage.startsWith("Unexpected rate limit"))
+    // a truncated frame is a loud error, not a silent short read
+    val trunc = WireFraming.encode(Seq(Array[Byte](1, 2, 3))).dropRight(1)
+    intercept[WireFraming.WireError](WireFraming.decode(trunc).toSeq)
+  }
+
+  test("wire framing: multi-frame scan end-to-end; injected error fails the read") {
+    // 4 days x 96 slots = 384 slots > 256/frame -> 2 frames per location
+    val wide = spark.read.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-01 00:00:00")
+      .option("end", "2024-01-05 00:00:00")
+      .option("locations", 2)
+      .load()
+    assert(wide.count() === 2L * 384)
+    assert(wide.select($"ts").distinct().count() === 384)
+    // fault injection: the in-stream error must fail the scan with the
+    // server's message, not truncate it into a silent partial result
+    val bad = spark.read.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-01 00:00:00")
+      .option("end", "2024-01-05 00:00:00")
+      .option("inject_wire_error", "true")
+      .load()
+    val e = intercept[Exception](bad.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("Unexpected weather API error")),
+      s"error message lost: ${e.getMessage}")
+  }
+
   test("source: generic wire model — axis cadence + variable list options") {
     // hourly axis: 2 days -> 48 slots; requested variables become columns
     // in request order, like the reference's params dict
