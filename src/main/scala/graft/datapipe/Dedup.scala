@@ -51,9 +51,12 @@ object Dedup {
     * engine-exact for integer n: log2 of a power of two is exact in IEEE
     * double on both engines, and any other integer is > 1 ulp away from
     * an integer log, so the floor never straddles a rounding difference.
+    * greatest(n, 1) guards the n=0 corpus: Spark log2(0) is NULL (and
+    * greatest skips it) while DuckDB raises — clamping the ARGUMENT keeps
+    * both engines at bw=4 with an empty result.
     */
   private[graft] def bwExpr(n: String) =
-    s"least($MAX_BW, greatest($MIN_BW, CAST(floor(log2(CAST($n AS DOUBLE))) AS INT) + 1))"
+    s"least($MAX_BW, greatest($MIN_BW, CAST(floor(log2(CAST(greatest($n, 1) AS DOUBLE))) AS INT) + 1))"
 
   /** Round budget shared by d06's Spark loop and its unrolled oracle SQL:
     * Spark iterates to fixpoint and ASSERTS it converged within this many

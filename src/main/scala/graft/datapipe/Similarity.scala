@@ -440,7 +440,7 @@ object Similarity {
       s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
          |plants AS (
          |  SELECT vec_id + 3000000 AS vec_id,
-         |    list_transform(range(1, 65), i ->
+         |    list_transform(range(1, len(embedding) + 1), i ->
          |      CASE WHEN i - 1 = jmin THEN -embedding[CAST(i AS INT)]
          |           ELSE embedding[CAST(i AS INT)] END) AS embedding,
          |    label

@@ -12,14 +12,35 @@ import org.apache.spark.sql.types.StructType
   * most `maxSlotsPerTrigger` new slots across all locations; the offset
   * checkpoint IS the cursor, so restart-resume comes from Spark's offset
   * log instead of a SELECT MAX over the sink.
+  *
+  * The per-trigger readers are the SAME wire-framed path the batch scan
+  * uses ([[WeatherGridSource.wireReader]]): the production loop (O1+O12,
+  * deploy.sh:36-37 + lambda_function.py:89-124) exercises frame decode —
+  * including the in-stream error magic — on every micro-batch, not just
+  * on full-table reads. A wire error fails the trigger before its offset
+  * commits, so the restarted query re-reads the range exactly once
+  * (StreamingSpec pins fail-then-recover).
   */
 class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
                                   locations: Int, maxSlotsPerTrigger: Long,
-                                  schema: StructType = WeatherGridSource.SCHEMA)
+                                  schema: StructType = WeatherGridSource.SCHEMA,
+                                  monthly: Boolean = false)
     extends MicroBatchStream {
 
-  private val totalSlots: Long = math.max((end - start) / interval, 0L) +
-    (if ((end - start) % interval > 0) 1L else 0L)
+  // monthly slots are calendar points, not an arithmetic grid — enumerate
+  // them once (months are O(window/30d): tiny) so offsets can stay indices
+  private lazy val months: Array[Long] =
+    WeatherGridSource.monthSlots(start, end).toArray
+
+  private val totalSlots: Long =
+    if (monthly) WeatherGridSource.monthSlots(start, end).size.toLong
+    else math.max((end - start) / interval, 0L) +
+      (if ((end - start) % interval > 0) 1L else 0L)
+
+  /** Slot index -> the half-open ts bound it cuts at. */
+  private def slotTs(slot: Long): Long =
+    if (monthly) { if (slot >= months.length) end else months(slot.toInt) }
+    else start + slot * interval
 
   private case class SlotOffset(slot: Long) extends Offset {
     override def json(): String = slot.toString
@@ -51,12 +72,12 @@ class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
     if (from > horizon) horizon = from // belt-and-braces restart clamp
     val until = math.min(e.asInstanceOf[SlotOffset].slot, totalSlots)
     (0 until locations).map(l =>
-      WeatherGridRangePartition(l.toLong, start + from * interval,
-        start + until * interval): InputPartition).toArray
+      WeatherGridRangePartition(l.toLong, slotTs(from),
+        slotTs(until)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WeatherGridRangeReaderFactory(interval, schema)
+    new WeatherGridRangeReaderFactory(interval, schema, monthly)
 
   override def commit(offset: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -65,16 +86,15 @@ class WeatherGridMicroBatchStream(start: Long, end: Long, interval: Long,
 case class WeatherGridRangePartition(loc: Long, fromTs: Long, untilTs: Long)
     extends InputPartition
 
-class WeatherGridRangeReaderFactory(interval: Long, schema: StructType)
+class WeatherGridRangeReaderFactory(interval: Long, schema: StructType,
+                                    monthly: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[WeatherGridRangePartition]
-    val gen = new WeatherGridSource.RowGen(schema)
-    new PartitionReader[InternalRow] {
-      private var ts = part.fromTs - interval
-      override def next(): Boolean = { ts += interval; ts < part.untilTs }
-      override def get(): InternalRow = gen.row(part.loc, ts)
-      override def close(): Unit = ()
-    }
+    // fault hook: consume one pending injection (test-only, local mode)
+    val inject = WeatherGridSource.streamWireErrors
+      .getAndUpdate(n => math.max(0, n - 1)) > 0
+    WeatherGridSource.wireReader(part.loc, part.fromTs, part.untilTs,
+      interval, monthly, schema, inject)
   }
 }

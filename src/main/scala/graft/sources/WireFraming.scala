@@ -16,9 +16,20 @@ import java.nio.charset.StandardCharsets.UTF_8
   * the reference's FlatBuffers table, which is not a public dependency of
   * this build): little-endian
   * `[long location][long startMicros][long intervalMicros]
-  *  [int nSlots][int nVars][nVars x nSlots doubles]`,
+  *  [int nSlots][int nVars]
+  *  [float latitude][float longitude][float elevation][ubyte model]
+  *  [nVars x nSlots doubles]`,
   * variables in REQUEST order exactly like the reference's response
-  * (lambda_function.py:27-36 — request order = column order).
+  * (lambda_function.py:27-36 — request order = column order). The four
+  * metadata scalars mirror the reference response's per-location header
+  * (openmeteo_sdk/WeatherApiResponse.py:32-71: Latitude/Longitude/
+  * Elevation as Float32, Model as Uint8).
+  *
+  * Both directions STREAM: the server emits frames one at a time
+  * ([[encodeResponseChunks]]) and the client decodes from an arbitrary
+  * chunk iterator with memory bounded by one frame ([[decodeChunks]]) —
+  * an eager whole-body materialization would make per-task memory grow
+  * with the scan window, at odds with fleet-scale scans.
   */
 object WireFraming {
   /** LE int of ASCII "Unex" — every server error message begins with
@@ -27,9 +38,12 @@ object WireFraming {
     */
   val ErrorMagic: Int = 0x78656E55
 
+  /** Fixed frame-header size: 3 longs + 2 ints + 3 floats + 1 byte. */
+  val HeaderBytes: Int = 8 * 3 + 4 * 2 + 4 * 3 + 1
+
   final class WireError(message: String) extends RuntimeException(message)
 
-  /** Frame a message sequence into one wire body. */
+  /** Frame a message sequence into one wire body (test/one-shot form). */
   def encode(messages: Seq[Array[Byte]]): Array[Byte] = {
     val buf = ByteBuffer.allocate(messages.map(_.length + 4).sum)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -47,77 +61,139 @@ object WireFraming {
     message.getBytes(UTF_8)
   }
 
-  /** Lazily walk the frames of a wire body. Throws [[WireError]] with the
-    * embedded message when the error magic appears in place of a length
-    * prefix, and on truncated frames.
+  /** Lazily walk the frames of a wire body arriving as ARBITRARY byte
+    * chunks (the streaming-HTTP read path). Buffered bytes never exceed
+    * one frame plus one chunk, regardless of how many frames the body
+    * holds. Throws [[WireError]] when the error magic appears in place of
+    * a length prefix (the remainder of the stream is the message) and on
+    * truncated frames.
     */
-  def decode(data: Array[Byte]): Iterator[Array[Byte]] =
+  def decodeChunks(chunks: Iterator[Array[Byte]]): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
-      private var pos = 0
-      override def hasNext: Boolean = pos < data.length
+      private var buf: Array[Byte] = Array.emptyByteArray
+      private var pos = 0 // consumed prefix of buf
+      private def avail: Int = buf.length - pos
+      private def pull(): Boolean =
+        if (!chunks.hasNext) false
+        else {
+          val c = chunks.next()
+          if (avail == 0) buf = c
+          else { // compact: drop the consumed prefix, append the chunk
+            val nb = new Array[Byte](avail + c.length)
+            System.arraycopy(buf, pos, nb, 0, avail)
+            System.arraycopy(c, 0, nb, avail, c.length)
+            buf = nb
+          }
+          pos = 0
+          true
+        }
+      private def ensure(n: Int): Boolean = {
+        while (avail < n && pull()) {}
+        avail >= n
+      }
+      override def hasNext: Boolean = ensure(1)
       override def next(): Array[Byte] = {
-        if (pos + 4 > data.length)
-          throw new WireError(s"truncated length prefix at byte $pos")
-        val len = ByteBuffer.wrap(data, pos, 4)
+        if (!ensure(4))
+          throw new WireError(s"truncated length prefix ($avail bytes left)")
+        val len = ByteBuffer.wrap(buf, pos, 4)
           .order(ByteOrder.LITTLE_ENDIAN).getInt
-        if (len == ErrorMagic)
-          throw new WireError(new String(data, pos, data.length - pos, UTF_8))
-        if (len < 0 || pos + 4 + len > data.length)
-          throw new WireError(s"truncated frame at byte $pos (len=$len)")
-        val out = java.util.Arrays.copyOfRange(data, pos + 4, pos + 4 + len)
+        if (len == ErrorMagic) {
+          while (pull()) {} // the REST of the stream is the error text
+          throw new WireError(new String(buf, pos, avail, UTF_8))
+        }
+        if (len < 0 || !ensure(4 + len))
+          throw new WireError(s"truncated frame (len=$len, $avail bytes left)")
+        val out = java.util.Arrays.copyOfRange(buf, pos + 4, pos + 4 + len)
         pos += 4 + len
         out
       }
     }
 
+  /** Whole-body decode (test/one-shot form) — same semantics, one chunk. */
+  def decode(data: Array[Byte]): Iterator[Array[Byte]] =
+    decodeChunks(Iterator.single(data))
+
   /** One decoded columnar grid message: `series(v)(i)` is variable v's
-    * value at slot i, variables in request order.
+    * value at slot i, variables in request order; lat/lon/elevation/model
+    * are the response-level location metadata scalars.
     */
   final case class GridMessage(loc: Long, startMicros: Long,
                                intervalMicros: Long, nSlots: Int,
+                               latitude: Float, longitude: Float,
+                               elevation: Float, model: Int,
                                series: Array[Array[Double]])
 
-  /** Server side: the [start, end) grid for one location as framed
-    * columnar messages of at most `slotsPerMessage` slots each — the
-    * multi-message body shape of the reference's batched responses.
-    * Values come from the same deterministic generator the source has
-    * always used ([[WeatherGridSource.value]]), so going through bytes
-    * changes no query result.
+  /** One framed (length-prefixed) message: `slotTs(i)` is slot i's
+    * timestamp in micros — callers pass an arithmetic grid (fixed-interval
+    * axes) or a calendar point (monthly). Values come from the same
+    * deterministic generator the source has always used
+    * ([[WeatherGridSource.value]]), so going through bytes changes no
+    * query result.
     */
-  def encodeResponse(loc: Long, start: Long, end: Long, interval: Long,
-                     variables: Seq[String], slotsPerMessage: Int,
-                     injectError: Boolean = false): Array[Byte] = {
+  private def frameChunk(loc: Long, msgStart: Long, interval: Long,
+                         nSlots: Int, slotTs: Int => Long,
+                         keys: Seq[Long]): Array[Byte] = {
+    val payload = HeaderBytes + keys.size * nSlots * 8
+    val buf = ByteBuffer.allocate(4 + payload).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(payload)
+    buf.putLong(loc).putLong(msgStart).putLong(interval)
+      .putInt(nSlots).putInt(keys.size)
+    buf.putFloat(WeatherGridSource.latitude(loc))
+      .putFloat(WeatherGridSource.longitude(loc))
+      .putFloat(WeatherGridSource.elevation(loc))
+      .put(WeatherGridSource.modelId(loc).toByte)
+    keys.foreach { k =>
+      var i = 0
+      while (i < nSlots) {
+        buf.putDouble(WeatherGridSource.value(loc, slotTs(i), k))
+        i += 1
+      }
+    }
+    buf.array()
+  }
+
+  private def withInjectedError(frames: Iterator[Array[Byte]],
+                                inject: Boolean): Iterator[Array[Byte]] =
+    if (!inject) frames
+    else // a valid first frame (if any), then the raw error text where the
+         // next frame should start — the fault-injection shape the error-
+         // path tests exercise end-to-end
+      frames.take(1) ++ Iterator.single(encodeError(
+        "Unexpected weather API error: synthetic fault injection"))
+
+  /** Server side, streaming: the [start, end) fixed-interval grid for one
+    * location as a LAZY iterator of wire chunks, one length-prefixed
+    * columnar frame of at most `slotsPerMessage` slots each — the
+    * multi-message body shape of the reference's batched responses, with
+    * per-task memory bounded by ONE frame regardless of the scan window.
+    */
+  def encodeResponseChunks(loc: Long, start: Long, end: Long, interval: Long,
+                           variables: Seq[String], slotsPerMessage: Int,
+                           injectError: Boolean = false): Iterator[Array[Byte]] = {
     val keys = variables.map(WeatherGridSource.varKey)
     val totalSlots = math.max(0L, (end - start + interval - 1) / interval)
-    val messages = (0L until totalSlots by slotsPerMessage.toLong).map { s0 =>
-      val n = math.min(slotsPerMessage.toLong, totalSlots - s0).toInt
-      val msgStart = start + s0 * interval
-      val buf = ByteBuffer.allocate(32 + variables.size * n * 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      buf.putLong(loc).putLong(msgStart).putLong(interval)
-        .putInt(n).putInt(variables.size)
-      keys.foreach { k =>
-        var i = 0
-        while (i < n) {
-          buf.putDouble(WeatherGridSource.value(loc, msgStart + i * interval, k))
-          i += 1
-        }
+    val frames = (0L until totalSlots by slotsPerMessage.toLong).iterator
+      .map { s0 =>
+        val n = math.min(slotsPerMessage.toLong, totalSlots - s0).toInt
+        val msgStart = start + s0 * interval
+        frameChunk(loc, msgStart, interval, n,
+          i => msgStart + i * interval, keys)
       }
-      buf.array()
-    }
-    val body = encode(messages)
-    if (!injectError) body
-    else {
-      // fault injection for the error-path test: a valid first frame (if
-      // any), then the raw error text where the next frame should start
-      val cut = if (messages.isEmpty) 0 else 4 + messages.head.length
-      val err = encodeError(
-        "Unexpected weather API error: synthetic fault injection")
-      val out = new Array[Byte](cut + err.length)
-      System.arraycopy(body, 0, out, 0, cut)
-      System.arraycopy(err, 0, out, cut, err.length)
-      out
-    }
+    withInjectedError(frames, injectError)
+  }
+
+  /** Server side, monthly axis: calendar-month slots have no fixed
+    * `intervalMicros` (the one axis the interval knob cannot express —
+    * openmeteo_sdk/VariablesWithMonth.py carries Year/Month instead of a
+    * time step), so each month is its own single-slot frame whose
+    * msgStart IS the slot timestamp.
+    */
+  def encodeMonthlyChunks(loc: Long, months: Iterator[Long],
+                          variables: Seq[String],
+                          injectError: Boolean = false): Iterator[Array[Byte]] = {
+    val keys = variables.map(WeatherGridSource.varKey)
+    val frames = months.map(m => frameChunk(loc, m, 0L, 1, _ => m, keys))
+    withInjectedError(frames, injectError)
   }
 
   /** Parse one frame payload back into a [[GridMessage]]. */
@@ -125,7 +201,9 @@ object WireFraming {
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     val loc = buf.getLong; val start = buf.getLong; val interval = buf.getLong
     val nSlots = buf.getInt; val nVars = buf.getInt
-    if (payload.length != 32 + nVars.toLong * nSlots * 8)
+    val lat = buf.getFloat; val lon = buf.getFloat; val elev = buf.getFloat
+    val model = buf.get() & 0xFF // uint8, like the reference's Model field
+    if (payload.length != HeaderBytes + nVars.toLong * nSlots * 8)
       throw new WireError(
         s"grid message size mismatch: ${payload.length} bytes for " +
           s"$nVars vars x $nSlots slots")
@@ -136,6 +214,6 @@ object WireFraming {
       while (i < nSlots) { series(v)(i) = buf.getDouble; i += 1 }
       v += 1
     }
-    GridMessage(loc, start, interval, nSlots, series)
+    GridMessage(loc, start, interval, nSlots, lat, lon, elev, model, series)
   }
 }

@@ -25,10 +25,23 @@ object Sessionizer {
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n: Long, total: Double)
   // public: the streaming state-store encoder codegen needs constructor
-  // access (batch mode never serializes state, so private worked there)
-  final case class Open(start: Long, last: Long, n: Long, total: Double)
+  // access (batch mode never serializes state, so private worked there).
+  // totalScaled holds the session's value sum in 1e-4 quanta: long
+  // addition is associative, so the merged total is independent of the
+  // TreeMap merge order (a Double accumulator is not — FP addition
+  // reorders under shuffle).
+  final case class Open(start: Long, last: Long, n: Long, totalScaled: Long)
 
   val GapMs: Long = 30 * 60 * 1000L
+
+  /** A value in 1e-4 quanta — the DECIMAL(18,4) convention every oracle
+    * sum in this repo uses (graft.Dets.dsum): HALF_UP on the exact binary
+    * expansion, identical to Spark's double→decimal(18,4) cast.
+    */
+  private def scaled(v: Double): Long =
+    new java.math.BigDecimal(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
 
   /** Fold an event batch into (closed sessions, open session), resuming
     * from prior state — shared by the batch and streaming modes.
@@ -41,30 +54,33 @@ object Sessionizer {
     * bounds a HOT KEY's memory at Θ(live sessions), the information-
     * theoretic floor (the output is that large), instead of the previous
     * sort's Θ(events in the batch): sessionization is a union of
-    * intervals, so no order needs reconstructing. Aggregates (n, total)
-    * are commutative sums, so the result is identical to the sorted fold
-    * — StreamingSpec pins equivalence against `session_window`, and a
-    * shuffled-input spec pins order independence.
+    * intervals, so no order needs reconstructing. Aggregates are
+    * ASSOCIATIVE sums — n as a long, total as the scaled long (see
+    * [[Open]]; a Double accumulator would drift with merge order) — so
+    * the result is bit-identical to the sorted fold: ScaleOpsSpec pins
+    * equivalence against `session_window` including the decimal total,
+    * and a shuffled-input spec pins order independence on FP-inexact
+    * values.
     */
   private def foldSessions(user: Long, evs: Iterator[Ev],
                            prior: Option[Open]): (Vector[Session], Option[Open]) = {
     val m = new java.util.TreeMap[Long, Open]()
     prior.foreach(o => m.put(o.start, o))
     evs.foreach { e =>
-      var cur = Open(e.ts.getTime, e.ts.getTime, 1, e.value)
+      var cur = Open(e.ts.getTime, e.ts.getTime, 1, scaled(e.value))
       val p = m.floorEntry(cur.start)
       if (p != null && cur.start - p.getValue.last <= GapMs) {
         val po = p.getValue
         m.remove(p.getKey)
         cur = Open(po.start, math.max(po.last, cur.last), po.n + cur.n,
-          po.total + cur.total)
+          po.totalScaled + cur.totalScaled)
       }
       var s = m.ceilingEntry(cur.start)
       while (s != null && s.getValue.start - cur.last <= GapMs) {
         val so = s.getValue
         m.remove(s.getKey)
         cur = Open(cur.start, math.max(cur.last, so.last), cur.n + so.n,
-          cur.total + so.total)
+          cur.totalScaled + so.totalScaled)
         s = m.ceilingEntry(cur.start)
       }
       m.put(cur.start, cur)
@@ -123,5 +139,8 @@ object Sessionizer {
 
   private def toSession(user: Long, o: Open): Session =
     Session(user, new java.sql.Timestamp(o.start),
-      new java.sql.Timestamp(o.last + GapMs), o.n, o.total)
+      new java.sql.Timestamp(o.last + GapMs), o.n,
+      // decimal(·,4) → double exactly as Spark casts it (one rounding);
+      // toDouble/1e4 would double-round past 2^53
+      java.math.BigDecimal.valueOf(o.totalScaled, 4).doubleValue())
 }

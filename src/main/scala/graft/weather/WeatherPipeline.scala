@@ -155,6 +155,31 @@ object WeatherPipeline {
         .orderBy($"event_type")
     },
 
+    // O3 generalized — the wire model's Monthly axis (VariablesWithMonth:
+    // calendar-month steps, the one cadence a fixed interval cannot
+    // express) plus the response-header metadata scalars surfaced as
+    // columns (Latitude/Longitude/Elevation/Model —
+    // openmeteo_sdk/WeatherApiResponse.py:32-71,135-142). Floats cast to
+    // double for the oracle's type-class parity; values are exact
+    // quarter-quanta so the cast is lossless.
+    "w07_monthly_grid" -> { (s, _) =>
+      import s.implicits._
+      s.read.format("graft.sources.WeatherGridSource")
+        .option("start", "2024-01-15 00:00:00")
+        .option("end", "2025-01-01 00:00:00")
+        .option("locations", 3)
+        .option("axis", "monthly")
+        .option("metadata", "true")
+        .option("variables", "temperature_2m")
+        .load()
+        .select($"location_id", $"ts",
+          $"latitude".cast("double").as("latitude"),
+          $"longitude".cast("double").as("longitude"),
+          $"elevation".cast("double").as("elevation"),
+          $"model")
+        .orderBy($"location_id", $"ts")
+    },
+
     // O5+O11 — result envelope: fetched / inserted / cursor echo as a
     // single row (the lambda's JSON body, as a relation).
     "w06_result_envelope" -> { (s, d) =>
@@ -209,6 +234,26 @@ object WeatherPipeline {
          |WHERE CAST(ts AS TIMESTAMP) >  TIMESTAMP '$CURSOR'
          |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '$NOW'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Mirrors the generator's metadata formulas (quarter-quanta: n*0.25 is
+    // exact in float32 AND float64, so double arithmetic here equals the
+    // wire's Float32 values bit-for-bit) and the calendar-month axis.
+    "w07_monthly_grid" ->
+      """WITH months AS (
+        |  SELECT range AS ts
+        |  FROM range(TIMESTAMP '2024-02-01 00:00:00',
+        |             TIMESTAMP '2025-01-01 00:00:00', INTERVAL 1 MONTH)),
+        |locs AS (SELECT range AS location_id FROM range(0, 3))
+        |SELECT location_id, ts,
+        |  CAST((location_id * 7919) % 720 AS DOUBLE) * 0.25 - 90.0 AS latitude,
+        |  CAST((location_id * 104729) % 1440 AS DOUBLE) * 0.25 - 180.0 AS longitude,
+        |  CAST((location_id * 613) % 32000 AS DOUBLE) * 0.25 AS elevation,
+        |  CASE (location_id % 5) + 1
+        |    WHEN 1 THEN 'best_match' WHEN 2 THEN 'gfs_seamless'
+        |    WHEN 3 THEN 'gfs_global' WHEN 4 THEN 'gfs_hrrr'
+        |    ELSE 'meteofrance_seamless' END AS model
+        |FROM locs, months
+        |ORDER BY location_id, ts""".stripMargin,
 
     "w06_result_envelope" ->
       s"""SELECT

@@ -122,6 +122,47 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("source: monthly axis steps by calendar month, metadata columns surfaced") {
+    import graft.sources.WeatherGridSource
+    val df = spark.read.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-15 00:00:00") // mid-month: aligns UP to Feb 1
+      .option("end", "2025-01-01 00:00:00")
+      .option("locations", 2)
+      .option("axis", "monthly")
+      .option("metadata", "true")
+      .option("variables", "temperature_2m,rain")
+      .load()
+    assert(df.columns.toSeq === Seq("location_id", "ts", "latitude",
+      "longitude", "elevation", "model", "temperature_2m", "rain"))
+    // calendar steps (28..31 days apart) — no fixed interval_s expresses this
+    val ts = df.filter($"location_id" === 1).select($"ts".cast("long"))
+      .as[Long].collect().sorted.toSeq
+    assert(ts === (2 to 12).map(m =>
+      WeatherGridSource.parseTs(f"2024-$m%02d-01 00:00:00") / 1000000L))
+    // metadata mirrors the per-location response header scalars
+    val meta = df.filter($"location_id" === 1)
+      .select($"latitude", $"longitude", $"elevation", $"model")
+      .distinct().collect()
+    assert(meta.length === 1, "metadata must be constant per location")
+    assert(meta.head.getFloat(0) === WeatherGridSource.latitude(1L))
+    assert(meta.head.getFloat(1) === WeatherGridSource.longitude(1L))
+    assert(meta.head.getFloat(2) === WeatherGridSource.elevation(1L))
+    assert(meta.head.getString(3) === "gfs_seamless") // Model id 2 = 1 % 5 + 1
+    // monthly ALSO streams: same offsets-as-slot-indices contract
+    val q = spark.readStream.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-15 00:00:00")
+      .option("end", "2025-01-01 00:00:00")
+      .option("locations", 2)
+      .option("axis", "monthly")
+      .option("maxSlotsPerTrigger", 4)
+      .load()
+      .writeStream.format("memory").queryName("monthly_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("monthly_stream").count() === 2L * 11)
+    } finally q.stop()
+  }
+
   test("source: column pruning reaches the generator (ReadSchema narrowed)") {
     val pruned = readGrid(1).select($"ts", $"rain")
     val scanLine = pruned.queryExecution.executedPlan.toString

@@ -123,6 +123,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("micro-batch wire error fails the trigger; restart re-reads exactly once") {
+    // the micro-batch path goes through the SAME wire framing as the batch
+    // scan: an in-stream error magic must fail the trigger BEFORE its
+    // offset commits, and a restarted query must re-read the range with no
+    // gaps and no duplicates (the FileStreamSink manifest excludes the
+    // failed trigger's orphan files)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wire_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_wire_out").toString
+    def startQ() = spark.readStream.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-01 00:00:00")
+      .option("end", "2024-01-02 00:00:00")
+      .option("locations", 1)
+      .option("maxSlotsPerTrigger", 48)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    sources.WeatherGridSource.streamWireErrors.set(1)
+    val q1 = startQ()
+    val e = intercept[Exception] { q1.processAllAvailable() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("Unexpected weather API error")),
+      s"server error message lost: ${e.getMessage}")
+    q1.stop()
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.count() === 96, "1 day of 15-min slots, exactly once")
+      assert(got.select($"ts").distinct().count() === 96)
+    } finally q2.stop()
+  }
+
   test("event-time sessionizer: sessions emit on watermark expiry, state drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import streaming.Sessionizer
