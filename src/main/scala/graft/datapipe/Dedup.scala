@@ -284,15 +284,16 @@ object Dedup {
 
     // Edit-distance near-dup (typo/OCR-noise dedup — catches what
     // set-based Jaccard misses when edits are WITHIN tokens): d04's
-    // (lang, source, length-bucket) blocking, then THRESHOLDED
-    // Levenshtein over the 40-char prefix as the verify.
-    // levenshtein(l, r, k) runs the banded DP — O(k·n) cells with early
-    // exit instead of the full O(n²) table (StressBench measured the
-    // unthresholded form 14x slower at 16x corpus: the verify is the
-    // quadratic pair hot path, so per-pair constant factors ARE the
-    // scale budget). It returns the exact distance when <= k and -1
-    // otherwise, so the filtered output is identical to the oracle's
-    // unthresholded `levenshtein <= 5`.
+    // (lang, source, length-bucket) blocking, a length-delta pre-prune
+    // (|len diff| > 5 already exceeds the threshold — those pairs never
+    // reach the DP), then THRESHOLDED Levenshtein over the FULL text as
+    // the verify. levenshtein(l, r, k) runs the banded DP — O(k·n) cells
+    // with early exit instead of the full O(n²) table (StressBench
+    // measured the unthresholded form 14x slower at 16x corpus: the
+    // verify is the quadratic pair hot path, so per-pair constant
+    // factors ARE the scale budget). It returns the exact distance when
+    // <= k and -1 otherwise, so the filtered output is identical to the
+    // oracle's unthresholded `levenshtein <= 5`.
     "d07_edit_distance" -> { (s, d) =>
       d07Pairs(s, d).orderBy(col("d1"), col("d2"))
     },
@@ -420,14 +421,14 @@ object Dedup {
          |docs AS (
          |  SELECT doc_id, lang, source,
          |    CAST(length(text) // 64 AS BIGINT) AS lenb,
-         |    substring(text, 1, 40) AS pfx
+         |    length(text) AS n_chars, text
          |  FROM corpus)
          |SELECT x.doc_id AS d1, y.doc_id AS d2,
-         |  CAST(levenshtein(x.pfx, y.pfx) AS INT) AS editdist
+         |  CAST(levenshtein(x.text, y.text) AS INT) AS editdist
          |FROM docs x JOIN docs y
          |  ON x.lang = y.lang AND x.source = y.source AND x.lenb = y.lenb
-         |  AND x.doc_id < y.doc_id
-         |WHERE levenshtein(x.pfx, y.pfx) <= 5
+         |  AND x.doc_id < y.doc_id AND abs(x.n_chars - y.n_chars) <= 5
+         |WHERE levenshtein(x.text, y.text) <= 5
          |ORDER BY d1, d2""".stripMargin,
 
     // CC_ROUND_BUDGET label-propagation rounds, unrolled. The Spark side
@@ -552,19 +553,26 @@ object Dedup {
     */
   /** d07's candidate+verify pipeline (unsorted): (lang, source,
     * length-bucket) blocking + thresholded banded Levenshtein over the
-    * 40-char prefix. Shared by d07 (adds the output sort) and d11 (feeds
-    * the pairs to connected components instead).
+    * FULL text, pre-pruned by the length delta (|len(x) - len(y)| > k
+    * already implies distance > k, so those pairs never reach the DP).
+    * The banded `levenshtein(l, r, k)` keeps per-pair cost O(k·n) with
+    * early exit — the verify is the quadratic pair hot path, so per-pair
+    * constants ARE the scale budget; a 40-char-prefix verify (the earlier
+    * form) under-reports distance on documents that share a prefix but
+    * diverge after it. Shared by d07 (adds the output sort) and d11
+    * (feeds the pairs to connected components instead).
     */
   private def d07Pairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = corpus(s, d)
-      .withColumn("lenb", (length($"text").cast("long") / 64L).cast("long"))
-      .withColumn("pfx", substring($"text", 1, 40))
-      .select($"doc_id", $"lang", $"source", $"lenb", $"pfx")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .withColumn("lenb", ($"n_chars" / 64L).cast("long"))
+      .select($"doc_id", $"lang", $"source", $"lenb", $"n_chars", $"text")
     docs.as("x").join(docs.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-        col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
-      .withColumn("editdist", levenshtein(col("x.pfx"), col("y.pfx"), 5))
+        col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id") &&
+        abs(col("x.n_chars") - col("y.n_chars")) <= 5)
+      .withColumn("editdist", levenshtein(col("x.text"), col("y.text"), 5))
       .filter($"editdist" >= 0) // -1 = distance above the threshold
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), $"editdist")
   }
@@ -577,14 +585,14 @@ object Dedup {
        |d07docs AS (
        |  SELECT doc_id, lang, source,
        |    CAST(length(text) // 64 AS BIGINT) AS lenb,
-       |    substring(text, 1, 40) AS pfx
+       |    length(text) AS n_chars, text
        |  FROM corpus),
        |d07pairs AS (
        |  SELECT x.doc_id AS d1, y.doc_id AS d2
        |  FROM d07docs x JOIN d07docs y
        |    ON x.lang = y.lang AND x.source = y.source AND x.lenb = y.lenb
-       |    AND x.doc_id < y.doc_id
-       |  WHERE levenshtein(x.pfx, y.pfx) <= 5)""".stripMargin
+       |    AND x.doc_id < y.doc_id AND abs(x.n_chars - y.n_chars) <= 5
+       |  WHERE levenshtein(x.text, y.text) <= 5)""".stripMargin
 
   private def d04Pairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.GramPHashes.gram_phashes

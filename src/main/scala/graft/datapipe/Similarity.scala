@@ -27,20 +27,29 @@ import org.apache.spark.sql.functions._
 object Similarity {
   private val QID = 0L // query vector: vec_id 0
 
-  /** Sign-LSH bucket: axis-aligned hyperplane signs on the first 8 dims
-    * -> 256 buckets. Shared by s02 (ANN probe) and d05 (second blocking
-    * key).
+  /** Sign-LSH bucket over 8 dims starting at `off`: axis-aligned
+    * hyperplane signs -> 256 buckets. Different offsets are INDEPENDENT
+    * hash tables (disjoint hyperplane sets) — the multi-table
+    * OR-construction s08 unions. off=0 is shared by s02 (ANN probe) and
+    * d05 (second blocking key).
     */
-  private val signBucket = expr(
-    """aggregate(sequence(0, 7), 0,
-      |  (acc, j) -> acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0,
-      |                       CAST(round(pow(2, j)) AS INT), 0))""".stripMargin)
+  private def signBucketFrom(off: Int) = {
+    val idx = if (off == 0) "j + 1" else s"j + ${off + 1}"
+    expr(
+      s"""aggregate(sequence(0, 7), 0,
+         |  (acc, j) -> acc + IF(CAST(element_at(embedding, $idx) AS DOUBLE) > 0.0,
+         |                       CAST(round(pow(2, j)) AS INT), 0))""".stripMargin)
+  }
+  private val signBucket = signBucketFrom(0)
 
-  /** DuckDB mirror of [[signBucket]] over column `embedding`. */
-  private val signBucketSql =
-    """list_sum(list_transform(range(0, 8), j ->
-      |      CASE WHEN CAST(embedding[j + 1] AS DOUBLE) > 0.0
-      |           THEN CAST(round(pow(2, j)) AS INT) ELSE 0 END))""".stripMargin
+  /** DuckDB mirror of [[signBucketFrom]] over column `embedding`. */
+  private def signBucketSqlFrom(off: Int): String = {
+    val idx = if (off == 0) "j + 1" else s"j + ${off + 1}"
+    s"""list_sum(list_transform(range(0, 8), j ->
+       |      CASE WHEN CAST(embedding[$idx] AS DOUBLE) > 0.0
+       |           THEN CAST(round(pow(2, j)) AS INT) ELSE 0 END))""".stripMargin
+  }
+  private val signBucketSql = signBucketSqlFrom(0)
 
   /** Multi-probe bucket list for a vector: its sign bucket PLUS the `p`
     * buckets reached by flipping the signs of the p smallest-|component|
@@ -220,6 +229,35 @@ object Similarity {
         .join(q, $"bucket" === $"probe_bucket")
         .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
         .select($"vec_id", $"label", $"bucket", $"cosine")
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(5)
+    },
+
+    // Multi-TABLE LSH ANN (OR-construction): L = 2 independent hash
+    // tables — disjoint hyperplane sets (dims 0..7 and 8..15) — each
+    // probed at the query's bucket, candidate lists unioned. The standard
+    // recall knob COMPLEMENTARY to s07's multi-probe: probes explore
+    // CORRELATED buckets of one table (recovering near-boundary flips of
+    // its own hyperplanes), while a second table re-rolls ALL the
+    // hyperplanes, so a neighbor far from table 1's query bucket can
+    // still collide in table 2. Cost: ~L/256 of the corpus scanned
+    // (vs 3/256 for probe-2), each table's probe an equi-join that stays
+    // partition-prunable by its own bucket id; the union dedups only the
+    // candidate rows (~2/256 of the corpus), never the full relation.
+    "s08_ann_multitable" -> { (s, d) =>
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+        .withColumn("b1", signBucketFrom(0))
+        .withColumn("b2", signBucketFrom(8))
+      val q = broadcast(emb.filter($"vec_id" === QID)
+        .select($"embedding".as("q_emb"), $"b1".as("q_b1"), $"b2".as("q_b2")))
+      val base = emb.filter($"vec_id" =!= QID)
+      val t1 = base.join(q, $"b1" === $"q_b1")
+      val t2 = base.join(q, $"b2" === $"q_b2")
+      t1.unionByName(t2)
+        .dropDuplicates("vec_id") // rows are identical per vec_id
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .select($"vec_id", $"label", $"cosine")
         .orderBy($"cosine".desc, $"vec_id")
         .limit(5)
     },
@@ -434,6 +472,26 @@ object Similarity {
          |FROM b e JOIN probes q ON e.bucket = q.probe_bucket
          |WHERE e.vec_id <> $QID
          |ORDER BY cosine DESC, e.vec_id
+         |LIMIT 5""".stripMargin,
+
+    "s08_ann_multitable" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${signBucketSqlFrom(0)} AS b1,
+         |    ${signBucketSqlFrom(8)} AS b2
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS q_emb, b1 AS q_b1, b2 AS q_b2
+         |      FROM b WHERE vec_id = $QID),
+         |cand AS (
+         |  SELECT e.vec_id, e.label, e.embedding, q.q_emb
+         |  FROM b e, q
+         |  WHERE e.vec_id <> $QID AND (e.b1 = q.q_b1 OR e.b2 = q.q_b2))
+         |SELECT vec_id, label,
+         |  ${dotSql("embedding", "q_emb")} /
+         |  (sqrt(${dotSql("embedding", "embedding")}) *
+         |   sqrt(${dotSql("q_emb", "q_emb")})) AS cosine
+         |FROM cand
+         |ORDER BY cosine DESC, vec_id
          |LIMIT 5""".stripMargin,
 
     "d10_neardup_multiprobe" ->

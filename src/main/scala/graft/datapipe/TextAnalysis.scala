@@ -49,6 +49,46 @@ object TextAnalysis {
       |    i -> 'filler' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
       |FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
+  /** Corpus-adaptive stop-fingerprint cap for d09:
+    * greatest(8, floor(log2 n) + 1). A boilerplate fingerprint's document
+    * frequency grows linearly with the corpus, so any FIXED cap either
+    * drops informative fps on small corpora or admits quadratic hot keys
+    * on large ones; a log-n cap keeps per-key join fanout at
+    * C(cap, 2) = O(log² n) while genuinely-rare fps always survive.
+    * Derived IN-PLAN from one COUNT broadcast to the df filter — no
+    * driver scalar (the d03 bwExpr pattern, Dedup.scala). floor(log2) on
+    * integers is engine-exact (Dedup.bwExpr's argument), and
+    * greatest(n, 1) keeps the empty corpus defined on both engines.
+    */
+  private[graft] def d09CapExpr(n: String) =
+    s"greatest(8, CAST(floor(log2(CAST(greatest($n, 1) AS DOUBLE))) AS INT) + 1)"
+
+  /** d09's candidate pipeline over an arbitrary (doc_id, text) frame:
+    * explode winnow fingerprints (k=32, w=8), drop stop fps (df above
+    * `capRow`'s single `cap` column — boilerplate spans are hot join keys
+    * that carry no pair information), equi-join on fp, count shared fps
+    * per pair. The shuffle carries only (fp, doc_id) longs — never text.
+    * `capRow` defaults to [[d09CapExpr]] over the corpus count;
+    * ScaleProbe passes fixed caps to measure what adaptivity buys.
+    */
+  private[graft] def winnowPairs(docs: DataFrame,
+                                 capRowOpt: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.WinnowFingerprints.winnow_fps
+    val capRow = capRowOpt.getOrElse(
+      docs.agg(count(lit(1)).as("n")).select(expr(d09CapExpr("n")).as("cap")))
+    val fps = docs
+      .filter(length(col("text")) >= 39) // need >= k + w - 1 bytes
+      .select(col("doc_id"), explode(winnow_fps(col("text"), 32, 8)).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(capRow))
+      .filter(col("df") <= col("cap")).select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("x").join(kept.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** DuckDB CTE chain computing winnow fingerprint sets
     * `${p}m(doc_id, fps)` (k-byte grams, 8-wide windows) from docs
     * CTE/table `src` — the polynomial gram hash recomputed from scratch
@@ -290,25 +330,14 @@ object TextAnalysis {
     // enough tokens to be DISCRIMINATIVE — 8-byte grams of ordinary text
     // are corpus-common, so every fingerprint hits the stop-fp cap and
     // recall collapses (measured: 11/39 plants at k=8 vs 39/39 at k=32).
-    // Explode (doc_id, fp), drop STOP fingerprints (document frequency
-    // > 8 — boilerplate spans are hot join keys that carry no pair
-    // information; the cap bounds per-key fanout to C(8,2) = 28 pairs,
-    // the blocking knob), equi-join on fp, count shared fingerprints per
-    // pair, threshold. The shuffle carries only (fp, doc_id) longs —
-    // never text.
+    // The stop-fp cap is CORPUS-ADAPTIVE (greatest(8, floor(log2 n)+1),
+    // see [[d09CapExpr]] / [[winnowPairs]]) — a fixed cap was the same
+    // knob shape d03's band width graduated from; ScaleProbe's winnow
+    // section measures wasted verify pairs/doc near-flat under the
+    // adaptive cap vs growing under fixed at 16x.
     "d09_winnow_neardup" -> { (s, d) =>
       import s.implicits._
-      import graft.functions.WinnowFingerprints.winnow_fps
-      val fps = d09Corpus(s, d)
-        .filter(length($"text") >= 39) // need >= k + w - 1 bytes
-        .select($"doc_id", explode(winnow_fps($"text", 32, 8)).as("fp"))
-      val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
-        .filter($"df" <= 8).select($"fp")
-      val kept = fps.join(rare, Seq("fp"))
-      kept.as("x").join(kept.as("y"),
-          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .agg(count(lit(1)).as("n_shared"))
+      winnowPairs(d09Corpus(s, d))
         .filter($"n_shared" >= 3)
         .orderBy($"d1", $"d2")
     },
@@ -421,8 +450,10 @@ object TextAnalysis {
     "d09_winnow_neardup" ->
       s"""WITH d09corpus AS ($d09CorpusSql),
          |${winnowCtesSql("d09corpus", "", 32)},
+         |capv AS (SELECT ${d09CapExpr("COUNT(*)")} AS cap FROM d09corpus),
          |e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
-         |rare AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 8),
+         |rare AS (SELECT fp FROM e GROUP BY fp
+         |         HAVING COUNT(*) <= (SELECT cap FROM capv)),
          |kept AS (SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp))
          |SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_shared
          |FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.datapipe.{Dedup, IncrementalDedup}
+import graft.datapipe.{Dedup, IncrementalDedup, TextAnalysis}
 import graft.operators.DistributedRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,15 +23,20 @@ import org.apache.spark.sql.functions._
   *     Fixed-width blocks saturate (candidates/doc grows ~linearly in
   *     corpus size => quadratic total); the adaptive width must hold
   *     candidates/doc roughly flat.
+  *  4. d09 adaptive stop-fp cap: wasted verify pairs (candidates that
+  *     fail the n_shared >= 3 threshold) per document under the adaptive
+  *     cap vs the old FIXED cap of 8 as the corpus scales — the same
+  *     fixed-knob shape d03's band width graduated from.
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir] [section csv: store,rank,simhash]
+  * Usage: runMain graft.tools.ScaleProbe [sfDir]
+  *                [section csv: store,rank,simhash,winnow]
   */
 object ScaleProbe {
   private val SHIFT = 100000000L
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val sections = args.lift(1).getOrElse("store,rank,simhash")
+    val sections = args.lift(1).getOrElse("store,rank,simhash,winnow")
       .split(",").map(_.trim).toSet
 
     val spark = SparkSession.builder()
@@ -126,6 +131,55 @@ object ScaleProbe {
         val a = wastePerDoc(adaptiveBw)
         val f8 = wastePerDoc(spark.range(1).select(lit(8).as("bw")))
         println(f"$k%-4d $nDocs%-8d $bwVal%-9d $a%-16.2f $f8%-15.2f")
+      }
+    }
+
+    if (sections("winnow")) {
+      println("== d09 stop-fp cap: adaptive vs fixed 8 (plan waste + cluster recall) ==")
+      println(f"${"k"}%-4s ${"docs"}%-8s ${"cap"}%-5s ${"waste/doc A"}%-12s ${"waste/doc F8"}%-13s ${"clus_pairs A"}%-13s clus_pairs F8")
+      // tagged copies: a per-copy token on every 4th word breaks every
+      // shared >= 39-byte span ACROSS copies (untagged runs are ~3 words
+      // < 39 bytes), so pair counts measure the PLAN, not the quadratic
+      // cross-copy output the suffix-scaled corpus would produce — winnow
+      // is BUILT to catch one shared span, unlike d03/d05's global
+      // similarity
+      def taggedDocs(k: Int): DataFrame =
+        (0 until k).map { i =>
+          if (i == 0) docs
+          else docs.select(($"doc_id" + i * SHIFT).as("doc_id"),
+            expr(("array_join(transform(split(text, ' '), " +
+              s"(w, j) -> IF(j % 4 = 0, concat(w, 'c$i'), w)), ' ')")).as("text"))
+        }.reduce(_ unionByName _)
+      // a FIXED-SIZE duplication cluster: the same ~120-byte span planted
+      // into 10 base docs (df = 10 at every scale). At n=500 a df-10 fp
+      // is 2%-of-corpus boilerplate — dropping it is right; at n=8000 it
+      // is clearly meaningful duplication. The adaptive cap crosses 10 as
+      // the corpus grows; a fixed cap of 8 can never see the cluster.
+      val span = " shared audit sentence for the scale probe cluster " +
+        "planted verbatim across ten documents to form one df ten span " +
+        "of winnow fingerprints"
+      for (k <- Seq(1, 4, 16)) {
+        val corpus = taggedDocs(k)
+          .withColumn("text",
+            when($"doc_id" % 50 === 3 && $"doc_id" < SHIFT,
+              concat($"text", lit(span))).otherwise($"text"))
+        val nDocs = corpus.count()
+        def probe(capRow: Option[DataFrame]): (Double, Long) = {
+          val pairs = TextAnalysis.winnowPairs(corpus, capRow).cache()
+          // waste = candidate pairs failing the n_shared >= 3 verify —
+          // what the cap controls; must stay near-flat as the corpus grows
+          val waste = pairs.filter(col("n_shared") < 3).count().toDouble / nDocs
+          val clus = pairs.filter(col("n_shared") >= 3 &&
+            col("d1") % 50 === 3 && col("d2") % 50 === 3 &&
+            col("d1") < SHIFT && col("d2") < SHIFT).count()
+          pairs.unpersist()
+          (waste, clus)
+        }
+        val capVal = corpus.agg(count(lit(1)).as("n"))
+          .select(expr(TextAnalysis.d09CapExpr("n")).as("cap")).first().getInt(0)
+        val (wa, ca) = probe(None)
+        val (wf, cf) = probe(Some(spark.range(1).select(lit(8).as("cap"))))
+        println(f"$k%-4d $nDocs%-8d $capVal%-5d $wa%-12.3f $wf%-13.3f $ca%-13d $cf")
       }
     }
 

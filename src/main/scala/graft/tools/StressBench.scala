@@ -28,7 +28,15 @@ object StressBench {
     val defaultQs = "q01_pricing_summary,q08_multiway_join,q13_window_rows_frame," +
       "q29_asof_join,q46_asof_join_native,q40_tumbling_window,w05_upsert_antijoin," +
       "d01_exact_dedup,d02_minhash_lsh,d03_simhash,d04_ngram_jaccard," +
-      "d05_embedding_neardup,s03_ann_ivf,s05_kmeans_iter"
+      "d05_embedding_neardup,s03_ann_ivf,s05_kmeans_iter," +
+      // round-6/7 additions: winnow join + multi-probe/multi-table ANN +
+      // the cluster collapses (d11 output is LINEAR; d09's pair output is
+      // quadratic on this suffix-scaled corpus BY CONSTRUCTION — copies
+      // share long spans, which is exactly what winnow detects; the
+      // plan-vs-output distinction is ScaleProbe's tagged-corpus winnow
+      // section)
+      "d07_edit_distance,d09_winnow_neardup,d10_neardup_multiprobe," +
+      "d11_editdist_clusters,s07_ann_multiprobe,s08_ann_multitable"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

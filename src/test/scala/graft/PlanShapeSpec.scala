@@ -139,4 +139,48 @@ class PlanShapeSpec extends SparkSpec {
       "sketch aggregation degraded to sort-based:\n" + p.take(1200))
     assert(p.contains("BroadcastHashJoin"), "group-key join not broadcast")
   }
+
+  /** Plain (non-AQE) physical plan, so the node tree is traversable —
+    * AdaptiveSparkPlanExec is a leaf, which hides exchanges from
+    * TreeNode.collect.
+    */
+  private def planTree(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("d09: every shuffle carries only fixed-width numeric columns — never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val exchanges = planTree("d09_winnow_neardup").collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the d09 plan")
+    exchanges.foreach { e =>
+      val bad = e.output.filterNot(a =>
+        a.dataType == LongType || a.dataType == IntegerType)
+      assert(bad.isEmpty, "non-numeric columns cross a d09 shuffle: " +
+        bad.map(a => s"${a.name}:${a.dataType}").mkString(", "))
+    }
+  }
+
+  test("s07: probe explode runs on the broadcast query side, not per corpus row") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val p = planTree("s07_ann_multiprobe")
+    val broadcasts = p.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty, "query side not broadcast")
+    val all = p.collect { case g: GenerateExec => g }
+    val inBroadcast = broadcasts.flatMap(_.collect { case g: GenerateExec => g })
+    assert(all.nonEmpty, "probe explode missing from the plan")
+    assert(all.size === inBroadcast.size,
+      "probe explode planned outside the broadcast side — the probe list " +
+        "must be computed once on the 1-row query, never per candidate")
+  }
 }
