@@ -564,6 +564,7 @@ object Dedup {
     */
   private def d07Pairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import graft.functions.BandedLevenshtein.banded_levenshtein
     val docs = corpus(s, d)
       .withColumn("n_chars", length($"text").cast("long"))
       .withColumn("lenb", ($"n_chars" / 64L).cast("long"))
@@ -572,7 +573,11 @@ object Dedup {
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
         col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id") &&
         abs(col("x.n_chars") - col("y.n_chars")) <= 5)
-      .withColumn("editdist", levenshtein(col("x.text"), col("y.text"), 5))
+      // custom banded DP, not the builtin levenshtein(l, r, 5): Spark's
+      // threshold form pays O(position) charAt per DP cell, ~400µs on the
+      // SIMILAR pairs that are the operator's own output (far pairs
+      // early-exit cheaply) — same contract, measured ~130x on hits
+      .withColumn("editdist", banded_levenshtein(col("x.text"), col("y.text"), 5))
       .filter($"editdist" >= 0) // -1 = distance above the threshold
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), $"editdist")
   }

@@ -56,6 +56,33 @@ object Profile {
         .select($"doc_id", $"mhbase")
     }
     time("d02 full")(graft.datapipe.Dedup.queries("d02_minhash_lsh")(spark, sfDir))
+
+    // d07 stage split: blocked join fanout vs the banded full-text DP
+    val d07docs = corpus
+      .withColumn("n_chars", length($"text").cast("long"))
+      .withColumn("lenb", ($"n_chars" / 64L).cast("long"))
+      .select($"doc_id", $"lang", $"source", $"lenb", $"n_chars", $"text")
+    def d07join = d07docs.as("x").join(d07docs.as("y"),
+      col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+      col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id") &&
+      abs(col("x.n_chars") - col("y.n_chars")) <= 5)
+    time("d07 join only (no DP)") {
+      d07join.select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    }
+    time("d07 join + builtin lev DP") {
+      d07join
+        .withColumn("editdist", levenshtein(col("x.text"), col("y.text"), 5))
+        .filter($"editdist" >= 0)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), $"editdist")
+    }
+    time("d07 join + banded DP expr") {
+      d07join
+        .withColumn("editdist", graft.functions.BandedLevenshtein
+          .banded_levenshtein(col("x.text"), col("y.text"), 5))
+        .filter($"editdist" >= 0)
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), $"editdist")
+    }
+    time("d07 full")(graft.datapipe.Dedup.queries("d07_edit_distance")(spark, sfDir))
     spark.stop()
   }
 }

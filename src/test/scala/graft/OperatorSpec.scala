@@ -185,8 +185,41 @@ class OperatorSpec extends SparkSpec {
       functions.SortedIntersectCount(longs, longs),
       functions.NearestCentroid(floats, cents),
       functions.SimHashFp(str, 32),
-      functions.WinnowFingerprints(str, 8, 8)))
+      functions.WinnowFingerprints(str, 8, 8),
+      functions.BandedLevenshtein(str, str, 5)))
     assert(proj != null)
+  }
+
+  test("banded_levenshtein equals Spark's thresholded levenshtein everywhere") {
+    import functions.BandedLevenshtein.banded_levenshtein
+    // adversarial + random pairs across the contract surface: identical,
+    // 1-edit, k-edit, k+1-edit, length-delta pruned, empty, non-ASCII
+    // (codepoint semantics), and random far pairs
+    val r = new scala.util.Random(13)
+    def rs(n: Int) = (0 until n).map(_ => ('a' + r.nextInt(4)).toChar).mkString
+    val cases = Seq(
+      ("", ""), ("", "abc"), ("abcde", ""),
+      ("same text here", "same text here"),
+      ("käsehöhle", "käsehöhlen"), ("日本語テキスト", "日本語テキスト強"),
+      ("abcdefghij", "abcdefghijklmnop")) ++
+      (0 until 200).map { _ =>
+        val s = rs(30 + r.nextInt(270))
+        val edits = r.nextInt(9)
+        val t = (0 until edits).foldLeft(s) { (acc, _) =>
+          val p = r.nextInt(math.max(acc.length, 1))
+          r.nextInt(3) match {
+            case 0 if acc.nonEmpty => acc.updated(math.min(p, acc.length - 1), 'Z')
+            case 1 => acc.patch(p, "Q", 0)
+            case _ if acc.nonEmpty => acc.patch(math.min(p, acc.length - 1), "", 1)
+            case _ => acc
+          }
+        }
+        (s, t)
+      } ++ (0 until 50).map(_ => (rs(200), rs(200)))
+    val df = cases.toDF("l", "r")
+      .withColumn("fused", banded_levenshtein($"l", $"r", 5))
+      .withColumn("builtin", levenshtein($"l", $"r", 5))
+    assert(df.filter($"fused" =!= $"builtin").count() === 0)
   }
 
   test("winnow_fps: rolling recurrence equals the from-scratch polynomial chain") {
