@@ -79,7 +79,7 @@ object Similarity {
     */
   private def dotSql(a: String, b: String) =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |  list_transform(range(1, 65),
+       |  list_transform(range(1, len($a) + 1),
        |    j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE))),
        |  (acc, x) -> acc + x)""".stripMargin
 
@@ -535,10 +535,13 @@ object Similarity {
 
     "s03_ann_ivf" ->
       s"""WITH means AS (
-         |  SELECT vec_id % 8 AS cell, i - 1 AS pos,
-         |    CAST(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8))) AS DOUBLE)
+         |  SELECT cell, i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
          |         / COUNT(*) AS REAL) AS m
-         |  FROM embeddings, range(1, 65) t(i)
+         |  FROM (SELECT vec_id % 8 AS cell,
+         |          unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v
+         |        FROM embeddings)
          |  GROUP BY 1, 2),
          |cent AS (
          |  SELECT cell, list(m ORDER BY pos) AS centroid
@@ -564,11 +567,13 @@ object Similarity {
       // cosine-argmax (ROW_NUMBER tie-break == NearestCentroid first-wins)
       def iter(j: Int, prev: String) =
         s"""m$j AS (
-           |  SELECT a.cell, i - 1 AS pos,
-           |    CAST(CAST(SUM(CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1e8)
-           |                       AS BIGINT)) AS DOUBLE)
+           |  SELECT a.cell, u.i - 1 AS pos,
+           |    CAST(CAST(SUM(CAST(round(u.v * 1e8) AS BIGINT)) AS DOUBLE)
            |         / COUNT(*) / 1e8 AS REAL) AS m
-           |  FROM $prev a JOIN embeddings e USING (vec_id), range(1, 65) t(i)
+           |  FROM $prev a JOIN (
+           |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           |      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+           |    FROM embeddings) u USING (vec_id)
            |  GROUP BY 1, 2),
            |cent$j AS (SELECT cell, list(m ORDER BY pos) AS centroid
            |           FROM m$j GROUP BY cell),

@@ -1,152 +1,97 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's t2 DuckDB-oracle correctness gate.
+"""Dev-only local mirror of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 check.py [sfDir] [verifyOutDir] [name-prefix ...]
 
-Reads each <outDir>/<name>/ parquet (Spark result), runs the paired
-oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same sfDir
-tables, sorts columns by name, and compares values exactly. Dev-only
-tool (duckdb/pandas are driver-side deps, not library deps).
+Run `graft.Verify` first (sbt "runMain graft.Verify <sfDir> <outDir>"),
+then this script replays each oracle_sql.json entry in DuckDB over the
+same parquet tables and compares rows / schema (sorted column names) /
+value hash (rows sorted, floats rounded to 9 significant digits).
+Queries without an oracle entry get the driver's weaker rows>0 check.
+Dev tool only — the driver runs its own compare.
 """
-import sys, json, math, glob
-import datetime
-import duckdb
-import pandas as pd
+import duckdb, json, sys, hashlib, math, os, datetime
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+prefixes = sys.argv[3:]
 
-
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    import numpy as np
-    df = df[sorted(df.columns)].reset_index(drop=True)
-    for c in df.columns:
-        if df[c].dtype == object:
-            # arrow date32 -> datetime.date objects (fetchdf coerced these;
-            # to_pandas does not) — same "datetime" class as timestamps
-            nn = df[c].dropna()
-            if len(nn) and isinstance(nn.iloc[0], datetime.date) \
-               and not isinstance(nn.iloc[0], datetime.datetime):
-                df[c] = pd.to_datetime(df[c])
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        # unify int widths / nullable ints
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
-        elif df[c].dtype == object:
-            # array columns -> tuples so equality is scalar
-            df[c] = df[c].apply(
-                lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
-                if isinstance(v, (list, np.ndarray)) else v)
-    return df
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 
-def type_check(name, spark_files, duck_tbl):
-    """Strict arrow-level schema comparison, mirroring the driver's
-    dtype-sensitive hash: DECIMAL vs DOUBLE, HUGEINT vs BIGINT, int-width
-    differences, and any list/struct column (driver's row-sort chokes on
-    unhashable cells) are all failures even when values compare equal."""
-    import pyarrow.parquet as pq
-    import pyarrow.types as pt
-
-    def clazz(t):
-        # equivalence classes the driver's normalization collapses
-        # (observed round 1: int widths and ts units/dates hash alike;
-        # decimal vs double/int, int vs double, nested types do NOT)
-        if pt.is_integer(t): return "int"
-        if pt.is_floating(t): return "float"
-        if pt.is_decimal(t): return "DECIMAL"
-        if pt.is_temporal(t): return "datetime"
-        if pt.is_boolean(t): return "bool"
-        if pt.is_string(t) or pt.is_large_string(t): return "str"
-        if pt.is_nested(t): return f"NESTED({t})"
-        return str(t)
-
-    schemas = [pq.read_schema(f) for f in spark_files]
-    if any(not s.equals(schemas[0]) for s in schemas[1:]):
-        # stale mixed outputs would otherwise validate file[0]'s schema
-        # against values concatenated from every file
-        return [f"part files disagree on schema ({len(spark_files)} files)"]
-    ss = {f.name: f.type for f in schemas[0]}
-    ds = {f.name: f.type for f in duck_tbl.schema}
-    problems = []
-    for c in sorted(set(ss) | set(ds)):
-        st, dt = ss.get(c), ds.get(c)
-        if st is not None and pt.is_nested(st):
-            problems.append(f"col {c}: spark type {st} is driver-unsortable")
-            continue
-        if st is None or dt is None:
-            continue  # column-set diff reported by compare()
-        if clazz(st) != clazz(dt):
-            problems.append(f"col {c}: spark {st} vs duck {dt}")
-    return problems
+def norm(v):
+    if v is None:
+        return "NULL"
+    # DATE vs midnight-TIMESTAMP are the same value across engines
+    # (Spark date_trunc returns timestamp, DuckDB's returns date)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat() + " 00:00:00"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
 
 
-def compare(name, spark_df, duck_df):
-    a, b = normalize(spark_df), normalize(duck_df)
-    if list(a.columns) != list(b.columns):
-        return f"FAIL cols spark={list(a.columns)} duck={list(b.columns)}"
-    if len(a) != len(b):
-        return f"FAIL rows spark={len(a)} duck={len(b)}"
-    problems = []
-    for c in a.columns:
-        av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            av = av.astype("float64"); bv = bv.astype("float64")
-            neq = ~((av == bv) | (av.isna() & bv.isna()))
-            if neq.any():
-                i = neq.idxmax()
-                problems.append(f"col {c}: {int(neq.sum())} diffs, first@{i}: {av[i]!r} vs {bv[i]!r} (absdiff {abs(av[i]-bv[i]) if not (math.isnan(av[i]) or math.isnan(bv[i])) else 'nan'})")
-        else:
-            av = av.astype(object).where(~pd.isna(av), None)
-            bv = bv.astype(object).where(~pd.isna(bv), None)
-            neq = av.combine(bv, lambda x, y: x != y)
-            if neq.any():
-                i = neq.idxmax()
-                problems.append(f"col {c}: {int(neq.sum())} diffs, first@{i}: {av[i]!r} vs {bv[i]!r}")
-    return "PASS" if not problems else "FAIL " + "; ".join(problems[:3])
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
-def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    results = {}
-    produced = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if not p.endswith(".json")}
-    for name in sorted(produced):
-        # sorted: glob order is filesystem order; multi-part outputs would
-        # otherwise concatenate out of the query's ORDER BY order
-        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
-        if not files:
-            results[name] = "FAIL no spark output"
-            continue
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
-        if name not in oracle:
-            results[name] = f"NO-ORACLE rows={len(spark_df)}"
-            continue
-        try:
-            # single execution: schema and values both come from one
-            # arrow materialization (the dedup/kmeans oracles are heavy)
-            duck_tbl = con.sql(oracle[name]).arrow()
-            tprobs = type_check(name, files, duck_tbl)
-            duck_df = duck_tbl.to_pandas()
-        except Exception as e:
-            results[name] = f"FAIL oracle error: {e}"
-            continue
-        r = compare(name, spark_df, duck_df)
-        if tprobs:
-            r = ("FAIL " if r == "PASS" else r + "; ") + "TYPES: " + "; ".join(tprobs[:4])
-        results[name] = r
-    npass = sum(1 for v in results.values() if v == "PASS")
-    for k, v in sorted(results.items()):
-        print(f"{k:35s} {v}")
-    print(f"== {npass}/{len(results)} listed, {npass} PASS, "
-          f"{sum(1 for v in results.values() if v.startswith('FAIL'))} FAIL, "
-          f"{sum(1 for v in results.values() if v.startswith('NO-ORACLE'))} no-oracle")
-
-
-if __name__ == "__main__":
-    main()
+fails = 0
+dumped = sorted(d for d in os.listdir(out)
+                if os.path.isdir(os.path.join(out, d)))
+for name in dumped:
+    if prefixes and not any(name.startswith(p) for p in prefixes):
+        continue
+    try:
+        sres = con.execute(
+            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+        scols = [d[0] for d in sres.description]
+        srows = sres.fetchall()
+    except Exception as e:
+        print(f"{name}: SPARK-READ ERR {e}")
+        fails += 1
+        continue
+    if name not in oracle:
+        ok = len(srows) > 0
+        if not ok:
+            fails += 1
+        print(f"{name}: {'NO-ORACLE rows>0 OK' if ok else 'FAIL empty'} "
+              f"rows={len(srows)}")
+        continue
+    try:
+        ores = con.execute(oracle[name])
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+    except Exception as e:
+        print(f"{name}: ORACLE ERR {e}")
+        fails += 1
+        continue
+    rows_ok = len(srows) == len(orows)
+    schema_ok = sorted(scols) == sorted(ocols)
+    hash_ok = schema_ok and canon(scols, srows) == canon(ocols, orows)
+    status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+    if status == "FAIL":
+        fails += 1
+    print(f"{name}: {status} rows={len(srows)}/{len(orows)} "
+          f"schema={schema_ok} hash={hash_ok}")
+    if not schema_ok:
+        print(f"  spark cols: {sorted(scols)}")
+        print(f"  oracle cols: {sorted(ocols)}")
+print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+sys.exit(1 if fails else 0)
