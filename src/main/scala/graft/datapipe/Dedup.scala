@@ -347,6 +347,71 @@ object Dedup {
       converged.join(broadcast(clustered), Seq("lbl"))
         .select($"doc_id", $"lbl".as("cluster_id"))
         .orderBy($"doc_id")
+    },
+
+    // Decontamination — flag training docs sharing any 8-word gram with
+    // the held-out benchmark set (the GPT-3/Llama eval-hygiene pass).
+    // The benchmark n-gram set is SMALL relative to training data (eval
+    // suites stay ~1e5 grams even when training scales to 100 TB), so it
+    // BROADCASTS: the training side is one map-only scan — explode gram
+    // hashes, broadcast-hash-join against the benchmark set — and the
+    // only shuffle is the per-doc hit count over (doc_id, fp) longs.
+    // Planted leaks (16-word benchmark prefixes wrapped in unique
+    // filler) prove recall; chance 8-gram collisions are real
+    // contamination semantics, mirrored exactly by the oracle.
+    "d12_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" % 50 === 0)
+      val leaked = bench.select(($"doc_id" + 5000000L).as("doc_id"),
+        concat(
+          array_join(slice(split($"text", " "), 1, 16), " "),
+          lit(" "),
+          array_join(expr("transform(sequence(1, 24), i -> " +
+            "concat('leak', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))"),
+            " ")).as("text"))
+      val train = docs.filter($"doc_id" % 50 =!= 0).unionByName(leaked)
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("ws", split($"text", " "))
+        .filter(size($"ws") >= 8)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(ws) - 7), i -> " +
+          "graft_phash(concat_ws('_', slice(ws, i, 8))))")).as("fp"))
+        .distinct()
+      val benchFps = grams(bench).select($"fp").distinct()
+      grams(train).join(broadcast(benchFps), Seq("fp"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy($"doc_id")
+    },
+
+    // Chunk-level dedup — RefinedWeb/CCNet's line-level dedup adapted to
+    // unstructured text: split each doc into non-overlapping 10-word
+    // chunks, hash each, count corpus-wide occurrences, and report how
+    // much of each doc is boilerplate seen elsewhere. Catches the
+    // partial-overlap mass (headers, navigation, license blocks) that
+    // whole-doc detectors (d01–d04) only see once the WHOLE doc matches.
+    // The shuffle carries (chunk_fp, doc_id) longs only; the duplicated
+    // fp set (df > 1) joins back on longs — doc text never leaves the
+    // scan.
+    "d13_chunk_dedup" -> { (s, d) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val chunks = corpus(s, d)
+        .withColumn("ws", split($"text", " "))
+        .filter(size($"ws") >= 10)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(ws) div 10 - 1), i -> " +
+          "graft_phash(concat_ws('_', slice(ws, i * 10 + 1, 10))))")).as("fp"))
+      val dup = chunks.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" > 1)
+      chunks.join(dup, Seq("fp"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(when($"df".isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("kept_frac",
+          ($"n_chunks" - $"n_dup_chunks").cast("double") / $"n_chunks")
+        .orderBy($"doc_id")
     }
   )
 
@@ -458,7 +523,55 @@ object Dedup {
          |SELECT doc_id, lbl AS canonical_id FROM l$CC_ROUND_BUDGET
          |WHERE lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "d12_decontaminate" -> {
+      val fpOf = graft.Dets.phashSql(
+        "array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], '_')")
+      def gramsSql(src: String) =
+        s"""SELECT DISTINCT doc_id, $fpOf AS fp
+           |FROM (SELECT doc_id, ws,
+           |        unnest(list_transform(range(1, len(ws) - 6), i -> i)) AS i
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
+           |      WHERE len(ws) >= 8)""".stripMargin
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000,
+         |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
+         |    array_to_string(list_transform(range(1, 25),
+         |      i -> 'leak' || CAST(doc_id AS VARCHAR) || 'x' ||
+         |           CAST(i AS VARCHAR)), ' ')
+         |  FROM bench),
+         |bg AS (SELECT DISTINCT fp FROM (${gramsSql("bench")})),
+         |tg AS (${gramsSql("train")})
+         |SELECT tg.doc_id, COUNT(*) AS n_hits
+         |FROM tg JOIN bg USING (fp)
+         |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "d13_chunk_dedup" -> {
+      val fpOf = graft.Dets.phashSql(
+        "array_to_string(ws[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], '_')")
+      s"""WITH corpus AS ($corpusSql),
+         |chunks AS (
+         |  SELECT doc_id, $fpOf AS fp
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(list_transform(range(0, len(ws) // 10), i -> i)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+         |        WHERE len(ws) >= 10)),
+         |dup AS (SELECT fp FROM chunks GROUP BY fp HAVING COUNT(*) > 1)
+         |SELECT c.doc_id,
+         |  COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(COUNT(*) - SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / COUNT(*) AS kept_frac
+         |FROM chunks c LEFT JOIN dup d USING (fp)
+         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** The CC_ROUND_BUDGET unrolled min-label-propagation rounds over CTEs

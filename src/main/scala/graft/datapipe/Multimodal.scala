@@ -221,6 +221,63 @@ object Multimodal {
     }
   }
 
+  /** Per-video features: evenly spaced frame sample (the clip-preview /
+    * model-input selection step) + a frame-difference motion metric.
+    */
+  final case class VideoFeatures(asset_id: Long, n_frames: Int, width: Int,
+                                 height: Int, f0_sum: Long, f1_sum: Long,
+                                 f2_sum: Long, f3_sum: Long, motion: Long)
+
+  /** Raw-video codec over a header-free grayscale layout: payload =
+    * n_frames consecutive W×H row-major frames, one byte per pixel —
+    * the in-memory shape a real decoder (ffmpeg et al., absent in this
+    * container) emits. The pixel generator is deterministic so the
+    * oracle recomputes every frame sum and the motion metric from the
+    * formula; the decode/sample/feature plumbing is the real thing.
+    */
+  object VideoCodec {
+    val W = 8; val H = 6
+
+    def nFrames(id: Long): Int = (16 + id % 9).toInt
+
+    /** pixel(x, y, f) = (7x + 13y + 31f + id) mod 256 */
+    def synthVideo(id: Long): Array[Byte] = {
+      val n = nFrames(id)
+      val bytes = new Array[Byte](n * W * H)
+      var f = 0; var idx = 0
+      while (f < n) {
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) {
+            bytes(idx) = ((x * 7 + y * 13 + f * 31 + id) % 256).toByte
+            idx += 1; x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      bytes
+    }
+
+    /** Frame-sample: 4 evenly spaced frames (m01's offset rule, on frame
+      * granularity), per-frame pixel sums, motion = Σ |Δ frame sum|.
+      */
+    def features(id: Long, payload: Array[Byte]): VideoFeatures = {
+      val frameBytes = W * H
+      val n = payload.length / frameBytes
+      val step = math.max(n / 4, 1)
+      def frameSum(f: Int): Long = {
+        var s = 0L; var i = f * frameBytes; val end = i + frameBytes
+        while (i < end) { s += (payload(i) & 0xff); i += 1 }
+        s
+      }
+      val sums = (0 until 4).map(i => frameSum(math.min(i * step, n - 1)))
+      val motion = sums.sliding(2).map(p => math.abs(p(1) - p(0))).sum
+      VideoFeatures(id, n, W, H, sums(0), sums(1), sums(2), sums(3), motion)
+    }
+  }
+
   /** Real PNG payloads, one per document id — encoded on the executors
     * (map-only; at 100 TB the payloads would already sit in Parquet
     * binary columns and this stage is just the scan).
@@ -294,6 +351,20 @@ object Multimodal {
           PcmCodec.features(id, PcmCodec.synthPcm(id))
         })
         .toDF().orderBy($"asset_id")
+    },
+
+    // Video-payload slice: header-free raw grayscale frames decoded per
+    // row, 4 evenly spaced frames SAMPLED (the model-input selection
+    // step), per-frame sums + a frame-difference motion metric. Map-only
+    // like m01–m03: frame payloads never shuffle, only the ~50 B feature
+    // rows do.
+    "m04_video_frames" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          VideoCodec.features(id, VideoCodec.synthVideo(id))
+        })
+        .toDF().orderBy($"asset_id")
     }
   )
 
@@ -355,6 +426,37 @@ object Multimodal {
         |  CAST(SUM(v * v) AS BIGINT) AS energy
         |FROM s
         |GROUP BY doc_id
-        |ORDER BY asset_id""".stripMargin
+        |ORDER BY asset_id""".stripMargin,
+
+    // pixel(x, y, f) = (7x + 13y + 31f + id) % 256 over 8x6 frames,
+    // n = 16 + id%9 of them; sampled frame indexes follow m01's evenly-
+    // spaced rule at frame granularity.
+    "m04_video_frames" ->
+      """WITH fs AS (
+        |  SELECT doc_id, f.f,
+        |    CAST(SUM((x.x * 7 + y.y * 13 + f.f * 31 + doc_id) % 256)
+        |         AS BIGINT) AS fsum
+        |  FROM documents, range(0, 25) f(f), range(0, 8) x(x), range(0, 6) y(y)
+        |  WHERE f.f < 16 + doc_id % 9
+        |  GROUP BY doc_id, f.f),
+        |samp AS (
+        |  SELECT d.doc_id, i.i,
+        |    least(i.i * greatest((16 + d.doc_id % 9) // 4, 1),
+        |          16 + d.doc_id % 9 - 1) AS fidx
+        |  FROM documents d, range(0, 4) i(i)),
+        |pv AS (
+        |  SELECT s.doc_id,
+        |    MAX(CASE WHEN s.i = 0 THEN f.fsum END) AS f0_sum,
+        |    MAX(CASE WHEN s.i = 1 THEN f.fsum END) AS f1_sum,
+        |    MAX(CASE WHEN s.i = 2 THEN f.fsum END) AS f2_sum,
+        |    MAX(CASE WHEN s.i = 3 THEN f.fsum END) AS f3_sum
+        |  FROM samp s JOIN fs f ON f.doc_id = s.doc_id AND f.f = s.fidx
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id AS asset_id, CAST(16 + doc_id % 9 AS INT) AS n_frames,
+        |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |  f0_sum, f1_sum, f2_sum, f3_sum,
+        |  CAST(abs(f1_sum - f0_sum) + abs(f2_sum - f1_sum) +
+        |       abs(f3_sum - f2_sum) AS BIGINT) AS motion
+        |FROM pv ORDER BY asset_id""".stripMargin
   )
 }

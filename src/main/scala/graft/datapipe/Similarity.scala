@@ -262,6 +262,46 @@ object Similarity {
         .limit(5)
     },
 
+    // Two-stage retrieval: score EVERY vector against the query on its
+    // int8-quantized form (s06's affine codes — the 4x-smaller index a
+    // serving system actually scans), take the top 3k approximate
+    // candidates, then fetch the exact float32 vectors for ONLY those
+    // 3k and rerank. The standard accuracy-recovery pattern for
+    // quantized ANN at scale: the wide scan touches compressed data
+    // (map-only + TakeOrderedAndProject), the exact fetch is a 3k-row
+    // broadcast join — full-precision embeddings never shuffle. Ties in
+    // both stages break by vec_id, so the candidate cut is a total
+    // order on both engines.
+    "s09_two_stage_rerank" -> { (s, d) =>
+      import s.implicits._
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val recon = emb
+        .withColumn("xs", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("lo", expr("array_min(xs)"))
+        .withColumn("hi", expr("array_max(xs)"))
+        .withColumn("scale",
+          expr("IF(hi = lo, CAST(1.0 AS DOUBLE), (hi - lo) / 255)"))
+        .withColumn("approx_emb", expr(
+          "transform(xs, x -> CAST(lo + CAST(round((x - lo) / scale) AS INT)" +
+          " * scale AS FLOAT))"))
+        .select($"vec_id", $"label", $"approx_emb")
+      val q = broadcast(emb.filter($"vec_id" === QID)
+        .select($"embedding".as("q_emb")))
+      val stage1 = recon.filter($"vec_id" =!= QID)
+        .crossJoin(q)
+        .withColumn("approx_cosine", cosine_sim($"approx_emb", $"q_emb"))
+        .select($"vec_id", $"label", $"approx_cosine")
+        .orderBy($"approx_cosine".desc, $"vec_id")
+        .limit(30)
+      broadcast(stage1)
+        .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+        .crossJoin(q)
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .select($"vec_id", $"label", $"approx_cosine", $"cosine")
+        .orderBy($"cosine".desc, $"vec_id")
+        .limit(10)
+    },
+
     // d05 with multi-probe blocking over a corpus of planted NEAR-BOUNDARY
     // dups (smallest-hashed-coordinate sign flips): probe-1 on both sides
     // recovers the cross-bucket pairs single-bucket d05 structurally
@@ -270,6 +310,36 @@ object Similarity {
     "d10_neardup_multiprobe" -> { (s, d) =>
       multiProbePairs(d10Corpus(s, d), 1, 0.995)
         .orderBy(col("v1"), col("v2"))
+    },
+
+    // SemDeDup (semantic dedup over embeddings): within each cluster,
+    // a vector is REMOVED when a lower-id vector in the same cluster is
+    // semantically identical (cosine >= 0.95) — the keep/remove
+    // RESOLUTION step d05/d10's pair listings stop short of. Domination
+    // by min-id is a one-join, one-aggregate plan (no transitive
+    // closure: the lowest-id member of every duplicate neighborhood
+    // survives by construction). Cluster = the label column here,
+    // standing in for a k-means cell id (chain s05's assignment for
+    // learned cells — same plan shape); at 100 TB the knob is the
+    // CLUSTER COUNT k, which bounds the within-cluster quadratic
+    // exactly as the paper sizes it (k ~ sqrt(n) keeps cells ~sqrt(n)).
+    // Corpus plants exact copies (vec_id % 10 -> +1e6) so removal is
+    // provably non-empty at every scale.
+    "d14_semdedup" -> { (s, d) =>
+      import s.implicits._
+      val base = T.embeddings(s, d)
+      val emb = base.unionByName(
+        base.filter($"vec_id" % 10 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label"))
+      emb.as("x").join(emb.as("y"),
+          col("x.label") === col("y.label") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cosine", cosine_sim(col("x.embedding"), col("y.embedding")))
+        .filter($"cosine" >= 0.95)
+        .groupBy(col("y.vec_id").as("vec_id"), col("y.label").as("label"))
+        .agg(min(col("x.vec_id")).as("keeper_id"),
+             count(lit(1)).as("n_dominators"))
+        .orderBy($"vec_id")
     },
 
     // IVF-style ANN: a coarse quantizer (8 centroids = exact-decimal
@@ -637,6 +707,53 @@ object Similarity {
          |WHERE ${dotSql("x.embedding", "y.embedding")} /
          |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
          |   sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.999
-         |ORDER BY v1, v2""".stripMargin
+         |ORDER BY v1, v2""".stripMargin,
+
+    "s09_two_stage_rerank" ->
+      s"""WITH p AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+         |  FROM embeddings WHERE len(embedding) > 0),
+         |sc AS (
+         |  SELECT vec_id, label, xs, list_min(xs) AS lo,
+         |    CASE WHEN list_max(xs) = list_min(xs) THEN CAST(1.0 AS DOUBLE)
+         |         ELSE (list_max(xs) - list_min(xs)) / 255 END AS scale
+         |  FROM p),
+         |r AS (
+         |  SELECT vec_id, label,
+         |    list_transform(xs, x -> CAST(lo +
+         |      CAST(round((x - lo) / scale) AS INT) * scale AS REAL))
+         |      AS approx_emb
+         |  FROM sc),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $QID),
+         |st1 AS (
+         |  SELECT r.vec_id, r.label,
+         |    ${dotSql("r.approx_emb", "q.q_emb")} /
+         |    (sqrt(${dotSql("r.approx_emb", "r.approx_emb")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS approx_cosine
+         |  FROM r, q WHERE r.vec_id <> $QID
+         |  ORDER BY approx_cosine DESC, r.vec_id LIMIT 30)
+         |SELECT t.vec_id, t.label, t.approx_cosine,
+         |  ${dotSql("e.embedding", "q.q_emb")} /
+         |  (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |   sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |FROM st1 t JOIN embeddings e USING (vec_id), q
+         |ORDER BY cosine DESC, t.vec_id LIMIT 10""".stripMargin,
+
+    "d14_semdedup" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding, label FROM embeddings
+         |  WHERE vec_id % 10 = 0)
+         |SELECT y.vec_id AS vec_id, y.label AS label,
+         |  min(x.vec_id) AS keeper_id, COUNT(*) AS n_dominators
+         |FROM emb x JOIN emb y
+         |  ON x.label = y.label AND x.vec_id < y.vec_id
+         |WHERE ${dotSql("x.embedding", "y.embedding")} /
+         |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |   sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.95
+         |GROUP BY y.vec_id, y.label
+         |ORDER BY vec_id""".stripMargin
   )
 }

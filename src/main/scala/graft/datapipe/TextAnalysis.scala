@@ -353,6 +353,157 @@ object TextAnalysis {
           org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
         .select($"doc_id", $"fp", $"n_same")
         .orderBy($"doc_id")
+    },
+
+    // Gopher-style repetition signals — the standard pre-training quality
+    // gate for boilerplate/keyword-stuffing: within-doc duplicate
+    // word-bigram/-trigram fractions plus the top-word mass. Everything
+    // is map-only in one scan. The top-word count sorts the words and
+    // takes the longest equal-run via run-BOUNDARY positions (filter the
+    // indexes where the word changes, max adjacent difference) —
+    // O(n log n) per doc in pure integer ops, NOT the
+    // count-each-distinct-word shape whose O(n * distinct) cost turns
+    // quadratic on the 100k-token documents where this gate matters
+    // most, and NOT a stateful fold (DuckDB's list_reduce evaluates
+    // struct fields sequentially, so an accumulator read twice sees its
+    // own partial update). All fractions are single integer/integer
+    // divisions (no FP sums), bit-exact across engines and cluster
+    // sizes.
+    "t11_repetition" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("words", split($"text", " "))
+        .withColumn("n_words", size($"words").cast("long"))
+        .filter($"n_words" >= 3)
+        .withColumn("grams2", expr(
+          "transform(sequence(1, size(words) - 1), i -> " +
+          "concat_ws('_', element_at(words, i), element_at(words, i + 1)))"))
+        .withColumn("grams3", expr(
+          "transform(sequence(1, size(words) - 2), i -> concat_ws('_', " +
+          "element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))"))
+        .withColumn("dup_2gram_frac", lit(1.0) -
+          expr("size(array_distinct(grams2))").cast("double") /
+          expr("size(grams2)"))
+        .withColumn("dup_3gram_frac", lit(1.0) -
+          expr("size(array_distinct(grams3))").cast("double") /
+          expr("size(grams3)"))
+        .withColumn("sorted", array_sort($"words"))
+        // 1-based positions where a run ends (ANSI-safe: the neighbor
+        // index is clamped with least(), never out of bounds)
+        .withColumn("ends", expr(
+          "filter(sequence(1, size(sorted)), i -> i = size(sorted) OR " +
+          "element_at(sorted, i) <> element_at(sorted, least(i + 1, size(sorted))))"))
+        .withColumn("top_word_n", expr(
+          "array_max(transform(sequence(1, size(ends)), j -> " +
+          "element_at(ends, j) - IF(j = 1, 0, element_at(ends, j - 1))))"))
+        .withColumn("top_word_frac", $"top_word_n".cast("double") / $"n_words")
+        .select($"doc_id", $"n_words", $"dup_2gram_frac", $"dup_3gram_frac",
+          $"top_word_frac",
+          ($"dup_2gram_frac" > 0.3 || $"top_word_frac" > 0.2).as("repetitive"))
+        .orderBy($"doc_id")
+    },
+
+    // PII scrubbing — redact emails / phones / IPv4s and account for
+    // every redaction, the compliance pass before any corpus ships. The
+    // synthetic corpus carries no PII, so each doc deterministically
+    // injects one of each (plus a second email on every third doc) and
+    // the operator scrubs what was injected; `clean` proves nothing
+    // survives. Patterns stay inside the regex subset Java (Spark) and
+    // RE2 (DuckDB) interpret identically — character classes only, dots
+    // as [.], no escapes whose handling differs between string layers.
+    // Map-only: counts via regexp_extract_all, redaction via global
+    // regexp_replace, one scan end to end.
+    "t12_pii_scrub" -> { (s, d) =>
+      import s.implicits._
+      val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+      val phone = "555-[0-9]{4}"
+      val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      val injected = concat(
+        $"text",
+        lit(" contact u"), $"doc_id".cast("string"),
+        lit("@mail"), ($"doc_id" % 7).cast("string"), lit(".com"),
+        when($"doc_id" % 3 === 0,
+          concat(lit(" cc a"), $"doc_id".cast("string"), lit("@alt.org")))
+          .otherwise(lit("")),
+        lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+        lit("."), (($"doc_id" * 7) % 256).cast("string"))
+      T.documents(s, d)
+        .withColumn("pii_text", injected)
+        .withColumn("n_emails",
+          size(regexp_extract_all($"pii_text", lit(email), lit(0))).cast("long"))
+        .withColumn("n_phones",
+          size(regexp_extract_all($"pii_text", lit(phone), lit(0))).cast("long"))
+        .withColumn("n_ips",
+          size(regexp_extract_all($"pii_text", lit(ip), lit(0))).cast("long"))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(regexp_replace(
+            $"pii_text", email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))
+        .select($"doc_id", $"n_emails", $"n_phones", $"n_ips",
+          md5($"scrubbed").as("scrubbed_md5"),
+          (size(regexp_extract_all($"scrubbed", lit(email), lit(0))) === 0 &&
+           size(regexp_extract_all($"scrubbed", lit(phone), lit(0))) === 0 &&
+           size(regexp_extract_all($"scrubbed", lit(ip), lit(0))) === 0)
+            .as("clean"))
+        .orderBy($"doc_id")
+    },
+
+    // Domain-mix rebalancing — the mixture-weight step of corpus
+    // assembly: compute per-source sampling rates that flatten the
+    // source distribution to uniform, then keep each doc by t05's
+    // deterministic hash threshold. Rates are EXACT integer ppm
+    // (n_tot * 1e6 div (n_sources * n_src), capped at 1e6) derived
+    // IN-PLAN: one tiny per-source count aggregate broadcast back onto
+    // the scan — no driver scalar, no FP rate that could disagree at a
+    // threshold boundary. At 100 TB this is one partial-agg pass over
+    // (source) plus a map-only filter; the doc bodies never shuffle.
+    "t13_domain_mix" -> { (s, d) =>
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      val tot = counts.agg(sum($"n_src").as("n_tot"),
+                           count(lit(1)).as("n_sources"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", least(lit(1000000L),
+          expr("(n_tot * 1000000) div (n_sources * n_src)")))
+        .select($"source", $"n_src", $"rate_ppm")
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(graft.Dets.phash(concat(lit("mix:"), $"doc_id".cast("string")))
+          % 1000000 < $"rate_ppm")
+        .groupBy($"source")
+        .agg(max($"n_src").as("n_before"), max($"rate_ppm").as("rate_ppm"),
+             count(lit(1)).as("n_kept"))
+        .orderBy($"source")
+    },
+
+    // Unigram-LM scoring (the CCNet quality filter): train unigram
+    // probabilities on the corpus itself, score each doc by its average
+    // per-word negative log-likelihood — low = fluent/common, high =
+    // gibberish/rare. Determinism: each word's -ln p is rounded ONCE to
+    // integer micro-nats in the vocab table, so every per-doc sum is
+    // exact integer arithmetic (no FP accumulation order anywhere);
+    // only the final average divides. Scale shape: the vocab table is
+    // tiny next to the corpus (broadcastable at 100 TB), the per-doc
+    // term-frequency aggregate shuffles (doc_id, word, count) — never
+    // text — and N arrives via a broadcast 1-row join.
+    "t14_unigram_nll" -> { (s, d) =>
+      import s.implicits._
+      val words = T.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+      val n = words.agg(count(lit(1)).as("n_tot"))
+      val vocab = words.groupBy($"w").agg(count(lit(1)).as("wc"))
+        .crossJoin(broadcast(n))
+        .select($"w",
+          round(-log($"wc".cast("double") / $"n_tot") * 1e6).cast("long")
+            .as("nll_micro"))
+      val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      tf.join(broadcast(vocab), Seq("w"))
+        .groupBy($"doc_id")
+        .agg(sum($"tf" * $"nll_micro").as("nll_sum"), sum($"tf").as("n_words"))
+        .select($"doc_id", $"n_words",
+          round($"nll_sum".cast("double") / $"n_words" / 1e6, 6).as("avg_nll"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -517,6 +668,108 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, CAST(rk AS INT) AS rk, w, tf, df, tfidf
         |FROM ranked WHERE rk <= 3
-        |ORDER BY doc_id, rk""".stripMargin
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "t11_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, n_words, words,
+        |    list_transform(range(1, len(words)),
+        |      i -> words[i] || '_' || words[i+1]) AS grams2,
+        |    list_transform(range(1, len(words) - 1),
+        |      i -> words[i] || '_' || words[i+1] || '_' || words[i+2]) AS grams3
+        |  FROM w),
+        |e AS (
+        |  SELECT doc_id, n_words, grams2, grams3,
+        |    list_filter(range(1, len(sorted) + 1), i -> i = len(sorted) OR
+        |      sorted[CAST(i AS INT)] <>
+        |      sorted[CAST(least(i + 1, len(sorted)) AS INT)]) AS ends
+        |  FROM (SELECT doc_id, n_words, grams2, grams3,
+        |          list_sort(words) AS sorted FROM g)),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    1.0 - CAST(len(list_distinct(grams2)) AS DOUBLE) / len(grams2)
+        |      AS dup_2gram_frac,
+        |    1.0 - CAST(len(list_distinct(grams3)) AS DOUBLE) / len(grams3)
+        |      AS dup_3gram_frac,
+        |    CAST(list_max(list_transform(range(1, len(ends) + 1),
+        |      j -> ends[CAST(j AS INT)] -
+        |           CASE WHEN j = 1 THEN 0 ELSE ends[CAST(j - 1 AS INT)] END))
+        |      AS DOUBLE) / n_words AS top_word_frac
+        |  FROM e)
+        |SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac, top_word_frac,
+        |  dup_2gram_frac > 0.3 OR top_word_frac > 0.2 AS repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t12_pii_scrub" -> {
+      val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+      val phone = "555-[0-9]{4}"
+      val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+      s"""WITH p AS (
+         |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |    || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+         |    || CASE WHEN doc_id % 3 = 0
+         |            THEN ' cc a' || CAST(doc_id AS VARCHAR) || '@alt.org'
+         |            ELSE '' END
+         |    || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS pii_text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, pii_text,
+         |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$phone', '<PHONE>', 'g'),
+         |      '$ip', '<IP>', 'g') AS scrubbed
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$email')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '$phone')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(pii_text, '$ip')) AS BIGINT) AS n_ips,
+         |  md5(scrubbed) AS scrubbed_md5,
+         |  len(regexp_extract_all(scrubbed, '$email')) = 0
+         |    AND len(regexp_extract_all(scrubbed, '$phone')) = 0
+         |    AND len(regexp_extract_all(scrubbed, '$ip')) = 0 AS clean
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "t13_domain_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(n_src) AS n_tot, COUNT(*) AS n_sources FROM counts),
+         |rates AS (
+         |  SELECT source, n_src,
+         |    CAST(least(1000000, (n_tot * 1000000) // (n_sources * n_src))
+         |         AS BIGINT) AS rate_ppm
+         |  FROM counts, tot),
+         |kept AS (
+         |  SELECT d.source, r.n_src, r.rate_ppm
+         |  FROM documents d JOIN rates r USING (source)
+         |  WHERE ${graft.Dets.phashSql("'mix:' || CAST(doc_id AS VARCHAR)")}
+         |        % 1000000 < r.rate_ppm)
+         |SELECT source, max(n_src) AS n_before, max(rate_ppm) AS rate_ppm,
+         |  COUNT(*) AS n_kept
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "t14_unigram_nll" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT * FROM words WHERE w <> ''),
+        |n AS (SELECT COUNT(*) AS n_tot FROM wf),
+        |vocab AS (
+        |  SELECT w, CAST(round(-ln(CAST(COUNT(*) AS DOUBLE) / n.n_tot) * 1e6)
+        |              AS BIGINT) AS nll_micro
+        |  FROM wf, n GROUP BY w, n.n_tot),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM wf GROUP BY doc_id, w)
+        |SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_words,
+        |  round(CAST(SUM(tf * nll_micro) AS DOUBLE) / SUM(tf) / 1e6, 6)
+        |    AS avg_nll
+        |FROM tf JOIN vocab USING (w)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
   )
 }

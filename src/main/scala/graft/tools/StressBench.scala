@@ -36,7 +36,13 @@ object StressBench {
       // plan-vs-output distinction is ScaleProbe's tagged-corpus winnow
       // section)
       "d07_edit_distance,d09_winnow_neardup,d10_neardup_multiprobe," +
-      "d11_editdist_clusters,s07_ann_multiprobe,s08_ann_multitable"
+      "d11_editdist_clusters,s07_ann_multiprobe,s08_ann_multitable," +
+      // round-7 additions: decontamination (broadcast gram join over the
+      // scaled training side), chunk dedup ((fp, doc_id)-long shuffles),
+      // the map-only text gates, and the quantized two-stage rerank
+      // (embeddings stay 1x, so its curve should be FLAT like s07's)
+      "d12_decontaminate,d13_chunk_dedup,t11_repetition,t12_pii_scrub," +
+      "t13_domain_mix,s09_two_stage_rerank"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -464,4 +464,147 @@ class OperatorSpec extends SparkSpec {
     assert(keys.distinct.size === rows.size,
       s"collision among: ${keys.map(_.map(c => if (c < ' ') f"<${c.toInt}>" else c.toString).mkString).mkString(" | ")}")
   }
+
+  test("d12: every planted leak is flagged; benchmark docs never appear") {
+    val hits = datapipe.Dedup.queries("d12_decontaminate")(spark, sf)
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+    val bench = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")))
+      .as[(Long, Int)].collect().filter(_._1 % 50 == 0)
+    val leakable = bench.filter(_._2 >= 8)
+    assert(leakable.nonEmpty, "fixture has no benchmark docs with >= 8 words")
+    leakable.foreach { case (id, _) =>
+      assert(hits.contains(id + 5000000L), s"planted leak of doc $id missed")
+    }
+    // the held-out set itself is not training data
+    assert(hits.keys.forall(id => id >= 5000000L || id % 50 != 0),
+      "a benchmark doc appeared in the contamination report")
+  }
+
+  test("d13: planted exact copies and their originals keep no chunks") {
+    val kept = datapipe.Dedup.queries("d13_chunk_dedup")(spark, sf)
+      .select($"doc_id", $"kept_frac").as[(Long, Double)].collect().toMap
+    val origs = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")))
+      .as[(Long, Int)].collect()
+      .filter { case (id, n) => id % 7 == 0 && n >= 10 }
+    assert(origs.nonEmpty, "fixture has no copyable docs with >= 10 words")
+    origs.foreach { case (id, _) =>
+      assert(kept(id) === 0.0, s"original $id kept chunks despite exact copy")
+      assert(kept(id + 2000000L) === 0.0, s"copy of $id kept chunks")
+    }
+  }
+
+  test("t11: top-word mass equals the exact per-doc mode count") {
+    val got = datapipe.TextAnalysis.queries("t11_repetition")(spark, sf)
+      .select($"doc_id",
+        round($"top_word_frac" * $"n_words").cast("long").as("top"))
+      .as[(Long, Long)].collect().toMap
+    val truth = Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("m"),
+        sum($"c").as("n"))
+      .filter($"n" >= 3)
+      .select($"doc_id", $"m").as[(Long, Long)].collect().toMap
+    assert(truth.nonEmpty && got.keySet === truth.keySet)
+    truth.foreach { case (id, m) =>
+      assert(got(id) === m, s"doc $id: run-boundary max ${got(id)} != mode $m")
+    }
+  }
+
+  test("t12: every injected PII item is counted and scrubbed") {
+    val rows = datapipe.TextAnalysis.queries("t12_pii_scrub")(spark, sf)
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ips", $"clean")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, e, p, i, clean) =>
+      assert(e === (if (id % 3 == 0) 2L else 1L), s"doc $id email count $e")
+      assert(p === 1L, s"doc $id phone count $p")
+      assert(i === 1L, s"doc $id ip count $i")
+      assert(clean, s"doc $id still contains PII after scrubbing")
+    }
+  }
+
+  test("t13: sampling never exceeds input; saturated rates keep everything") {
+    val rows = datapipe.TextAnalysis.queries("t13_domain_mix")(spark, sf)
+      .select($"source", $"n_before", $"rate_ppm", $"n_kept")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, before, rate, keptN) =>
+      assert(keptN <= before, s"$src kept more docs than it has")
+      if (rate == 1000000L)
+        assert(keptN === before, s"$src rate saturated but docs dropped")
+    }
+  }
+
+  test("t14: per-doc NLL is an exact integer sum inside the vocab bounds") {
+    val rows = datapipe.TextAnalysis.queries("t14_unigram_nll")(spark, sf)
+      .select($"doc_id", $"n_words", $"avg_nll")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // vocab nll range recomputed independently: every per-doc average of
+    // per-word nlls must lie within [min, max] word nll
+    val words = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+    val nTot = words.count().toDouble
+    val counts = words.groupBy($"w").agg(count(lit(1)).as("c"))
+      .select($"c").as[Long].collect()
+    val lo = -math.log(counts.max / nTot)
+    val hi = -math.log(counts.min / nTot)
+    rows.foreach { case (id, n, nll) =>
+      assert(n >= 1, s"doc $id has no words")
+      assert(nll >= lo - 1e-6 && nll <= hi + 1e-6,
+        s"doc $id avg_nll $nll outside vocab range [$lo, $hi]")
+    }
+  }
+
+  test("d14: every planted semantic copy is removed, kept by a lower id") {
+    val out = datapipe.Similarity.queries("d14_semdedup")(spark, sf)
+      .select($"vec_id", $"keeper_id").as[(Long, Long)].collect()
+    val removed = out.map(_._1).toSet
+    val planted = Tables.embeddings(spark, sf).select($"vec_id").as[Long]
+      .collect().filter(_ % 10 == 0).map(_ + 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach(id =>
+      assert(removed.contains(id), s"planted copy $id not removed"))
+    out.foreach { case (v, k) =>
+      assert(k < v, s"removed vec $v kept by a HIGHER id $k")
+    }
+  }
+
+  test("m04: frame sums from the byte decode match the pixel formula") {
+    import graft.datapipe.Multimodal.VideoCodec
+    val rows = datapipe.Multimodal.queries("m04_video_frames")(spark, sf)
+      .select($"asset_id", $"n_frames", $"f0_sum", $"f3_sum", $"motion")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // independent recomputation: straight from the pixel formula, never
+    // touching the payload bytes the operator decoded
+    def pxSum(id: Long, f: Int): Long =
+      (for (y <- 0 until VideoCodec.H; x <- 0 until VideoCodec.W)
+        yield (x * 7 + y * 13 + f * 31 + id) % 256).sum
+    rows.foreach { case (id, n, f0, f3, motion) =>
+      assert(n === VideoCodec.nFrames(id))
+      val step = math.max(n / 4, 1)
+      assert(f0 === pxSum(id, 0), s"asset $id frame-0 sum")
+      assert(f3 === pxSum(id, math.min(3 * step, n - 1)), s"asset $id frame-3 sum")
+      assert(motion >= 0)
+    }
+  }
+
+  test("s09: quantized two-stage rerank agrees with the exact top-10") {
+    val exact = datapipe.Similarity.queries("s01_topk_cosine")(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val two = datapipe.Similarity.queries("s09_two_stage_rerank")(spark, sf)
+      .select($"vec_id", $"approx_cosine", $"cosine")
+      .as[(Long, Double, Double)].collect()
+    assert(two.length === 10)
+    val overlap = two.count(r => exact.contains(r._1))
+    assert(overlap >= 8, s"two-stage top-10 overlaps exact only $overlap/10")
+    two.foreach { case (id, approx, cos) =>
+      assert(math.abs(approx - cos) <= 0.05,
+        s"vec $id: int8 approximation drifted ${math.abs(approx - cos)}")
+    }
+  }
 }

@@ -170,6 +170,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("d12: benchmark n-gram set joins as a broadcast, never a shuffle join") {
+    val p = plan("d12_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark fp set not broadcast:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "training corpus shuffled for the contamination join:\n" + p.take(800))
+  }
+
+  test("s09: both retrieval stages plan as TakeOrderedAndProject") {
+    val p = plan("s09_two_stage_rerank")
+    val n = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(n >= 2, s"expected 2 top-k stages, found $n:\n" + p.take(800))
+    assert(!p.contains("Sort ["), "global sort planned for a top-k stage")
+  }
+
   test("s07: probe explode runs on the broadcast query side, not per corpus row") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec

@@ -59,10 +59,9 @@ for name in dumped:
     if prefixes and not any(name.startswith(p) for p in prefixes):
         continue
     try:
-        sres = con.execute(
-            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
-        scols = [d[0] for d in sres.description]
-        srows = sres.fetchall()
+        srel = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+        scols, stypes = srel.columns, [str(t) for t in srel.types]
+        srows = srel.fetchall()
     except Exception as e:
         print(f"{name}: SPARK-READ ERR {e}")
         fails += 1
@@ -74,16 +73,51 @@ for name in dumped:
         print(f"{name}: {'NO-ORACLE rows>0 OK' if ok else 'FAIL empty'} "
               f"rows={len(srows)}")
         continue
+    nested = [c for c, t in zip(scols, stypes)
+              if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+    if nested:
+        print(f"{name}: FAIL nested output columns the driver cannot "
+              f"row-sort: {nested}")
+        fails += 1
+        continue
     try:
-        ores = con.execute(oracle[name])
-        ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
+        orel = con.sql(oracle[name])
+        ocols, otypes = orel.columns, [str(t) for t in orel.types]
+        orows = orel.fetchall()
     except Exception as e:
         print(f"{name}: ORACLE ERR {e}")
         fails += 1
         continue
     rows_ok = len(srows) == len(orows)
     schema_ok = sorted(scols) == sorted(ocols)
+    # type-CLASS parity by column name (decimal != double != int !=
+    # hugeint): a DuckDB HUGEINT/DECIMAL result vs a Spark BIGINT/DOUBLE
+    # stringifies alike here yet diverges under the driver's dtype-aware
+    # hash — catch it locally. DATE vs midnight-TIMESTAMP is allowed
+    # (one class), matching norm() and the driver.
+    def tclass(t):
+        if t.startswith("DECIMAL"):
+            return "decimal"
+        if t == "HUGEINT":
+            return "hugeint"  # force explicit CASTs on DuckDB sums
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        if t in ("FLOAT", "DOUBLE"):
+            return "float"
+        if t.startswith(("DATE", "TIMESTAMP")):
+            return "datetime"
+        if t == "JSON":
+            return "VARCHAR"  # DuckDB json_* results stringify identically
+        return t
+    if schema_ok:
+        sty = dict(zip(scols, stypes))
+        oty = dict(zip(ocols, otypes))
+        mism = [c for c in scols if tclass(sty[c]) != tclass(oty[c])]
+        if mism:
+            schema_ok = False
+            print(f"{name}: TYPE MISMATCH " + ", ".join(
+                f"{c}: {sty[c]} vs {oty[c]}" for c in mism))
     hash_ok = schema_ok and canon(scols, srows) == canon(ocols, orows)
     status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
     if status == "FAIL":
