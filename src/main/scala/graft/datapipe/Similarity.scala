@@ -312,6 +312,28 @@ object Similarity {
         .orderBy(col("v1"), col("v2"))
     },
 
+    // Batched multi-query ANN — the batch-serving shape: score the whole
+    // query SET (tiny, broadcast) against the corpus in one scan, then
+    // top-5 per query via a ranking window partitioned by query id. One
+    // corpus pass amortized over all queries (vs |Q| separate s01 scans);
+    // the shuffle carries only (q_id, vec_id, label, cosine) — never
+    // embeddings. Parallelism of the rank stage is bounded by |Q|, which
+    // is the batch size a serving tier controls.
+    "s10_batch_ann" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d)
+      val qs = broadcast(emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb")))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      emb.join(qs, $"vec_id" =!= $"q_id")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"q_id", $"rk", $"vec_id", $"label", $"cosine")
+        .orderBy($"q_id", $"rk")
+    },
+
     // SemDeDup (semantic dedup over embeddings): within each cluster,
     // a vector is REMOVED when a lower-id vector in the same cluster is
     // semantically identical (cosine >= 0.95) — the keep/remove
@@ -739,6 +761,25 @@ object Similarity {
          |   sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
          |FROM st1 t JOIN embeddings e USING (vec_id), q
          |ORDER BY cosine DESC, t.vec_id LIMIT 10""".stripMargin,
+
+    "s10_batch_ann" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, e.label,
+         |    ${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM embeddings e JOIN qs q ON e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, label, cosine,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, vec_id, label, cosine
+         |FROM ranked WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
 
     "d14_semdedup" ->
       s"""WITH emb AS (

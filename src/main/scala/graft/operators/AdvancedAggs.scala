@@ -112,6 +112,26 @@ object AdvancedAggs {
         .orderBy($"o_custkey")
     },
 
+    // Equal-width histogram with IN-PLAN bounds: global min/max via one
+    // tiny aggregate broadcast back to the scan (no driver scalar — the
+    // whole thing stays one lazy DAG), bin by identical IEEE arithmetic
+    // on both engines, then a 10-group count/sum. Two passes over the
+    // column at 100 TB (bounds + binning), both full scans with partial
+    // aggregation — the standard profile/dashboard primitive.
+    "q65_histogram" -> { (s, d) =>
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val bounds = li.agg(min($"l_extendedprice").as("lo"),
+                          max($"l_extendedprice").as("hi"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(lit(9L),
+          floor(($"l_extendedprice" - $"lo") * 10.0 / ($"hi" - $"lo")))
+          .cast("int"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+        .orderBy($"bin")
+    },
+
     // IN / scalar subquery predicates via the SQL API.
     "q38_subqueries" -> { (s, d) =>
       T.orders(s, d).createOrReplaceTempView("v_orders")
@@ -303,6 +323,17 @@ object AdvancedAggs {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25
         |ORDER BY o_custkey""".stripMargin,
+
+    "q65_histogram" ->
+      """WITH bounds AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT CAST(least(9, floor((l_extendedprice - lo) * 10.0 / (hi - lo)))
+        |            AS INT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM lineitem, bounds
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q38_subqueries" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

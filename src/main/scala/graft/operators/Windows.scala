@@ -178,6 +178,47 @@ object Windows {
         .filter($"event_id" % 25 === 0)
         .select($"user_id", $"event_id", $"value", $"med", $"rolling_n")
         .orderBy($"user_id", $"event_id")
+    },
+
+    // Keep-latest-per-key (the QUALIFY row_number() = 1 pattern): the
+    // CDC/compaction primitive — latest event per (user, type) by
+    // (ts, event_id) desc. One shuffle on the composite key; ties are
+    // impossible under the event_id tie-break, so the survivor is
+    // deterministic at any cluster size.
+    "q63_keep_latest" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      T.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id",
+          date_trunc("second", $"ts").as("ts_s"), $"value")
+        .orderBy($"user_id", $"event_type")
+    },
+
+    // Gaps-and-islands: burst detection in pure SQL — a new island when
+    // the per-user gap exceeds 1 day, island id by cumulative sum of
+    // the boundary flags, then per-island aggregates. Both windows and
+    // the final groupBy share the user_id partitioning, so Catalyst
+    // reuses ONE exchange end to end (no second shuffle). Gap compares
+    // run on integer epoch seconds — engine-exact.
+    "q64_gaps_islands" -> { (s, d) =>
+      import s.implicits._
+      val wSeq = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+      T.events(s, d)
+        .withColumn("tsec", unix_timestamp(date_trunc("second", $"ts")))
+        .withColumn("gap", $"tsec" - lag($"tsec", 1).over(wSeq))
+        .withColumn("new_island",
+          when($"gap".isNull || $"gap" > 86400, 1L).otherwise(0L))
+        .withColumn("island", sum($"new_island").over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"island")
+        .agg(count(lit(1)).as("n_events"),
+             min($"tsec").as("start_sec"), max($"tsec").as("end_sec"),
+             dsum($"value").as("total"))
+        .filter($"n_events" >= 3)
+        .orderBy($"user_id", $"island")
     }
   )
 
@@ -288,6 +329,41 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
         |QUALIFY event_id % 25 = 0
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q63_keep_latest" ->
+      """SELECT user_id, event_type, event_id,
+        |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q64_gaps_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |         AS BIGINT) AS tsec
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN tsec - lag(tsec) OVER w IS NULL
+        |                   OR tsec - lag(tsec) OVER w > 86400
+        |            THEN 1 ELSE 0 END AS new_island
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |i AS (
+        |  SELECT *, SUM(new_island) OVER (
+        |    PARTITION BY user_id ORDER BY tsec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  COUNT(*) AS n_events,
+        |  CAST(MIN(tsec) AS BIGINT) AS start_sec,
+        |  CAST(MAX(tsec) AS BIGINT) AS end_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM i GROUP BY user_id, island
+        |HAVING COUNT(*) >= 3
+        |ORDER BY user_id, island""".stripMargin
   )
 }

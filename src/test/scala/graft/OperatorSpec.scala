@@ -593,6 +593,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q63: the kept row per key is the true (ts, event_id) argmax") {
+    val kept = operators.Windows.queries("q63_keep_latest")(spark, sf)
+      .select($"user_id", $"event_type", $"event_id")
+      .as[(Long, String, Long)].collect()
+      .map { case (u, t, e) => (u, t) -> e }.toMap
+    val truth = Tables.events(spark, sf)
+      .groupBy($"user_id", $"event_type")
+      .agg(max(struct($"ts", $"event_id")).as("m"))
+      .select($"user_id", $"event_type", $"m.event_id")
+      .as[(Long, String, Long)].collect()
+      .map { case (u, t, e) => (u, t) -> e }.toMap
+    assert(kept === truth)
+  }
+
+  test("q64: islands are disjoint and separated by more than the gap") {
+    val rows = operators.Windows.queries("q64_gaps_islands")(spark, sf)
+      .select($"user_id", $"island", $"start_sec", $"end_sec", $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, i, s0, e0, n) =>
+      assert(s0 <= e0, s"user $u island $i inverted interval")
+      assert(n >= 3)
+    }
+    rows.groupBy(_._1).values.foreach { isl =>
+      isl.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 > a._4 + 86400,
+            s"user ${a._1}: islands ${a._2}/${b._2} not gap-separated")
+        case _ => ()
+      }
+    }
+  }
+
   test("s09: quantized two-stage rerank agrees with the exact top-10") {
     val exact = datapipe.Similarity.queries("s01_topk_cosine")(spark, sf)
       .select($"vec_id").as[Long].collect().toSet

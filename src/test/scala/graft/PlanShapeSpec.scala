@@ -170,6 +170,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q64: both windows and the groupBy reuse ONE user_id hash exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val hashEx = planTree("q64_gaps_islands").collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashEx.size === 1,
+      s"expected one hash exchange (lag + cumsum windows + groupBy share " +
+        s"the user_id clustering), found ${hashEx.size}")
+  }
+
   test("d12: benchmark n-gram set joins as a broadcast, never a shuffle join") {
     val p = plan("d12_decontaminate")
     assert(p.contains("BroadcastHashJoin"),

@@ -55,4 +55,36 @@ class PropertySpec extends SparkSpec {
       assert(out.count() === 200, s"dup factor $k")
     }
   }
+
+  test("∀ id: video decode-and-sample equals the pixel formula (JVM-only)") {
+    import graft.datapipe.Multimodal.VideoCodec._
+    def formulaSum(id: Long, f: Int): Long =
+      (for (y <- 0 until H; x <- 0 until W)
+        yield (x * 7 + y * 13 + f * 31 + id) % 256).sum
+    samples(Gen.choose(0L, 1000000L), 50).foreach { id =>
+      val payload = synthVideo(id)
+      val ft = features(id, payload)
+      assert(payload.length === ft.n_frames * W * H, s"id $id payload size")
+      assert(ft.n_frames >= 16 && ft.n_frames <= 24)
+      val step = math.max(ft.n_frames / 4, 1)
+      val idx = (0 until 4).map(i => math.min(i * step, ft.n_frames - 1))
+      val sums = Seq(ft.f0_sum, ft.f1_sum, ft.f2_sum, ft.f3_sum)
+      idx.zip(sums).foreach { case (f, s) =>
+        assert(s === formulaSum(id, f), s"id $id frame $f")
+      }
+      assert(ft.motion ===
+        sums.sliding(2).map(p => math.abs(p(1) - p(0))).sum)
+    }
+  }
+
+  test("∀ id: PCM roundtrip recovers every sample exactly (JVM-only)") {
+    import graft.datapipe.Multimodal.PcmCodec._
+    samples(Gen.choose(0L, 1000000L), 50).foreach { id =>
+      val decoded = decode(synthPcm(id))
+      assert(decoded.length === nSamples(id))
+      decoded.zipWithIndex.foreach { case (v, i) =>
+        assert(v === sample(id, i), s"id $id sample $i")
+      }
+    }
+  }
 }
