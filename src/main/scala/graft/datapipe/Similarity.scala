@@ -33,7 +33,7 @@ object Similarity {
     * OR-construction s08 unions. off=0 is shared by s02 (ANN probe) and
     * d05 (second blocking key).
     */
-  private def signBucketFrom(off: Int) = {
+  private[graft] def signBucketFrom(off: Int) = {
     val idx = if (off == 0) "j + 1" else s"j + ${off + 1}"
     expr(
       s"""aggregate(sequence(0, 7), 0,

@@ -43,6 +43,68 @@ object Maintenance {
               targetBytes: Long = 128L * 1024 * 1024,
               clusterBy: Option[String] = None): CompactionStats = {
     import org.apache.spark.sql.functions.col
+    swapRewrite(spark, dir, targetBytes) { (df, nFiles) =>
+      clusterBy match {
+        // range-partition THEN sort within: each output file owns a
+        // contiguous key range and its row groups carry tight min/max
+        case Some(k) => df.repartitionByRange(nFiles, col(k))
+          .sortWithinPartitions(col(k))
+        case None => df.repartition(nFiles)
+      }
+    }
+  }
+
+  /** Z-order (Morton-curve) clustered rewrite over TWO keys — what a
+    * single-key sort cannot give: `compact(clusterBy = a)` makes row
+    * groups selective for `a` only, while scans at 100 TB filter on more
+    * than one dimension (time AND entity, say). Each key is normalized
+    * to a 16-bit code via its global [min, max] (one tiny aggregate
+    * broadcast back into the plan), the codes' bits interleave into one
+    * 32-bit z-value, and files are range-partitioned + sorted by it —
+    * so every output file owns a 2-D tile and its row-group min/max
+    * stats are tight on BOTH columns (the Delta/Iceberg OPTIMIZE ZORDER
+    * layout). Linear min/max normalization stands in for the rank-based
+    * code a production rewrite uses under skew — same plan shape, swap
+    * the bounds aggregate for approx quantiles.
+    */
+  def compactZOrder(spark: SparkSession, dir: String,
+                    c1: String, c2: String,
+                    targetBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+    import org.apache.spark.sql.functions._
+    swapRewrite(spark, dir, targetBytes) { (df, nFiles) =>
+      val bounds = df.agg(
+        min(col(c1).cast("double")).as("lo1"),
+        max(col(c1).cast("double")).as("hi1"),
+        min(col(c2).cast("double")).as("lo2"),
+        max(col(c2).cast("double")).as("hi2"))
+      def code(c: String, lo: String, hi: String) =
+        s"CAST(IF($hi = $lo, 0.0, " +
+          s"(CAST($c AS DOUBLE) - $lo) * 65535.0 / ($hi - $lo)) AS INT)"
+      val interleave =
+        """aggregate(sequence(0, 15), 0L, (acc, i) -> acc
+          |  + shiftleft(CAST(shiftright(nx, i) & 1 AS BIGINT),
+          |              CAST(2 * i AS INT))
+          |  + shiftleft(CAST(shiftright(ny, i) & 1 AS BIGINT),
+          |              CAST(2 * i + 1 AS INT)))""".stripMargin
+      df.crossJoin(broadcast(bounds))
+        .withColumn("nx", expr(code(c1, "lo1", "hi1")))
+        .withColumn("ny", expr(code(c2, "lo2", "hi2")))
+        .withColumn("zval", expr(interleave))
+        .repartitionByRange(nFiles, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .drop("nx", "ny", "zval", "lo1", "hi1", "lo2", "hi2")
+    }
+  }
+
+  /** The shared crash-safe rewrite: size the output, apply `shape`,
+    * write to a temp sibling, swap via a backup dir. See [[compact]]'s
+    * original contract — a crash mid-swap never loses data, and a run
+    * never deletes files it did not park itself.
+    */
+  private def swapRewrite(spark: SparkSession, dir: String,
+                          targetBytes: Long)(
+      shape: (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.DataFrame): CompactionStats = {
     // A non-empty backup dir means a PRIOR compact() crashed mid-swap and
     // its originals are stranded there; `dir` may hold a partial mix of
     // original and compacted files, so no automated merge is safe (moving
@@ -60,13 +122,7 @@ object Maintenance {
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir)
     val rows = df.count()
-    val shaped = clusterBy match {
-      // range-partition THEN sort within: each output file owns a
-      // contiguous key range and its row groups carry tight min/max
-      case Some(k) => df.repartitionByRange(nFiles, col(k))
-        .sortWithinPartitions(col(k))
-      case None => df.repartition(nFiles)
-    }
+    val shaped = shape(df, nFiles)
     val tmp = dir + "_compact_tmp"
     shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
     // swap: park the originals in a backup dir (recoverable until the

@@ -28,15 +28,25 @@ import org.apache.spark.sql.functions._
   *     cap vs the old FIXED cap of 8 as the corpus scales — the same
   *     fixed-knob shape d03's band width graduated from.
   *
+  *  5. d14 cluster-count knob: within-cell candidate pairs per vector
+  *     under a FIXED cluster count (the corpus's 10 labels) vs a count
+  *     that grows with the corpus (labels subdivided by sign-LSH bucket,
+  *     the stand-in for re-training k-means at larger k). Fixed k must
+  *     show pairs/vector growing ~linearly (quadratic total); scaled k
+  *     must hold it ~flat. Exact copies always share label AND bucket,
+  *     so the planted-dup recall is unaffected by the subdivision;
+  *     near-boundary NEAR-dups can straddle finer cells — the recall
+  *     caveat shared with every learned-quantizer clustering.
+  *
   * Usage: runMain graft.tools.ScaleProbe [sfDir]
-  *                [section csv: store,rank,simhash,winnow]
+  *                [section csv: store,rank,simhash,winnow,semdedup]
   */
 object ScaleProbe {
   private val SHIFT = 100000000L
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val sections = args.lift(1).getOrElse("store,rank,simhash,winnow")
+    val sections = args.lift(1).getOrElse("store,rank,simhash,winnow,semdedup")
       .split(",").map(_.trim).toSet
 
     val spark = SparkSession.builder()
@@ -180,6 +190,46 @@ object ScaleProbe {
         val (wa, ca) = probe(None)
         val (wf, cf) = probe(Some(spark.range(1).select(lit(8).as("cap"))))
         println(f"$k%-4d $nDocs%-8d $capVal%-5d $wa%-12.3f $wf%-13.3f $ca%-13d $cf")
+      }
+    }
+
+    if (sections("semdedup")) {
+      println("== d14 cluster-count knob: pairs/vector, fixed k vs k ∝ n ==")
+      println(f"${"k"}%-4s ${"vecs"}%-8s ${"cells_fix"}%-10s ${"pairs/vec fix"}%-14s ${"cells_scaled"}%-13s pairs/vec scaled")
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding", $"label")
+      def scaledEmb(k: Int): DataFrame =
+        (0 until k).map { i =>
+          if (i == 0) emb0
+          else emb0.select(($"vec_id" + i * SHIFT).as("vec_id"),
+            expr(s"transform(embedding, (v, j) -> IF(j = ${i % 64}, -v, v))")
+              .as("embedding"),
+            $"label")
+        }.reduce(_ unionByName _)
+      for (k <- Seq(1, 4, 16)) {
+        val base = scaledEmb(k)
+        // d14's corpus shape: planted exact copies (always co-celled
+        // under both schemes — identical vectors hash identically)
+        val corpus = base.unionByName(base.filter($"vec_id" % 10 === 0)
+            .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding",
+              $"label"))
+          .withColumn("bucket", graft.datapipe.Similarity.signBucketFrom(0))
+          .cache()
+        val n = corpus.count()
+        // pairs = sum over cells of c*(c-1)/2 — the within-cell
+        // quadratic the cluster count controls; pure aggregation, no join
+        def pairsPerVec(cellCols: Seq[String]): Double = {
+          val p = corpus.groupBy(cellCols.map(col): _*)
+            .agg(count(lit(1)).as("c"))
+            .agg(sum(expr("c * (c - 1) div 2")).as("p"))
+            .first().getLong(0)
+          p.toDouble / n
+        }
+        val fix = pairsPerVec(Seq("label"))
+        val sc = pairsPerVec(Seq("label", "bucket"))
+        val cellsScaled = corpus.select($"label", $"bucket").distinct().count()
+        println(f"$k%-4d $n%-8d ${10}%-10d $fix%-14.1f $cellsScaled%-13d $sc%.1f")
+        corpus.unpersist()
       }
     }
 

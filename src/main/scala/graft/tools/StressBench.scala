@@ -43,7 +43,8 @@ object StressBench {
       // (embeddings stay 1x, so its curve should be FLAT like s07's)
       "d12_decontaminate,d13_chunk_dedup,t11_repetition,t12_pii_scrub," +
       "t13_domain_mix,s09_two_stage_rerank,d14_semdedup,t14_unigram_nll," +
-      "m04_video_frames"
+      "m04_video_frames,q63_keep_latest,q64_gaps_islands,s10_batch_ann," +
+      "q65_histogram"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -197,4 +197,61 @@ class StorageLayoutSpec extends SparkSpec {
       "bucketed join still shuffles:\n" + plan.take(1000))
     assert(joined.count() === ev.count())
   }
+
+  test("z-order rewrite: row groups are selective on BOTH keys; " +
+       "single-key sort only on its own") {
+    import scala.jdk.CollectionConverters._
+    def groupsContaining(dir: String, colName: String, key: Long): (Int, Int) = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      var total = 0; var containing = 0
+      files.foreach { f =>
+        val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration(false)))
+        try rdr.getFooter.getBlocks.asScala.foreach { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == colName).get.getStatistics
+          total += 1
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long]
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long]
+          if (mn <= key && key <= mx) containing += 1
+        } finally rdr.close()
+      }
+      (containing, total)
+    }
+    // the full 200x200 grid: a and b independent by construction
+    val grid = spark.range(40000).select(
+      ($"id" % 200).as("a"), expr("(id div 200) % 200").as("b"),
+      $"id".as("payload"))
+    def freshDir(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_z").toString
+      grid.repartition(8).write.mode("overwrite").parquet(d)
+      d
+    }
+    val zdir = freshDir()
+    operators.Maintenance.compactZOrder(spark, zdir, "a", "b",
+      targetBytes = 24L * 1024)
+    val sdir = freshDir()
+    operators.Maintenance.compact(spark, sdir,
+      targetBytes = 24L * 1024, clusterBy = Some("a"))
+    val (za, zt) = groupsContaining(zdir, "a", 7L)
+    val (zb, _) = groupsContaining(zdir, "b", 7L)
+    val (sa, st) = groupsContaining(sdir, "a", 7L)
+    val (sb, _) = groupsContaining(sdir, "b", 7L)
+    assert(zt > 4, s"too few row groups ($zt) for a meaningful check")
+    // z-order: a 1-D stripe crosses O(sqrt(files)) 2-D tiles — both
+    // columns must skip most groups
+    assert(za <= zt / 2 && zb <= zt / 2,
+      s"z-order not selective on both keys: a=$za/$zt b=$zb/$zt")
+    // single-key sort: selective on its own key, blind on the other
+    assert(sa <= st / 4, s"single-key sort not selective on a: $sa/$st")
+    assert(sb >= st * 3 / 4,
+      s"expected single-key layout blind on b, got $sb/$st")
+    // and the data survives both rewrites
+    assert(spark.read.parquet(zdir).count() === 40000L)
+    assert(spark.read.parquet(sdir).count() === 40000L)
+  }
 }
