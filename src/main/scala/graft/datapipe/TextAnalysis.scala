@@ -114,7 +114,81 @@ object TextAnalysis {
        |  FROM ${p}g)""".stripMargin
   }
 
+  /** Weighted adjacent-symbol-pair counts over a (seq, freq) frame — the
+    * BPE training statistic. seq is the space-joined symbol sequence.
+    */
+  private def bpePairCounts(wf: DataFrame): DataFrame = wf
+    .withColumn("syms", split(col("seq"), " "))
+    .filter(size(col("syms")) >= 2)
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), i -> " +
+      "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"))
+    .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+
+  /** Apply one greedy left-to-right merge of the 1-row `top` (pair, n)
+    * frame to every sequence. Non-overlapping occurrences merge; for an
+    * equal-symbol pair inside a run (aaa + merge 'a a') greedy takes
+    * positions of EVEN offset from the run start — expressed as "count
+    * of consecutive equal symbols ending at i is odd", an O(len²)
+    * index transform that both engines evaluate identically (sequences
+    * are words, len ≤ ~12). No regex, no stateful fold (DuckDB's
+    * list_reduce evaluates struct fields sequentially — see t11).
+    */
+  private def bpeApplyMerge(wf: DataFrame, top: DataFrame): DataFrame = wf
+    .crossJoin(broadcast(top))
+    .withColumn("pa", expr("element_at(split(pair, ' '), 1)"))
+    .withColumn("pb", expr("element_at(split(pair, ' '), 2)"))
+    .withColumn("syms", split(col("seq"), " "))
+    // boundary indexes are clamped (least/greatest): the adjacent
+    // conjunct already excludes them, but ANSI mode evaluates eagerly
+    .withColumn("m", expr(
+      """transform(sequence(1, size(syms)), i ->
+        |  i < size(syms)
+        |  AND element_at(syms, i) = pa
+        |  AND element_at(syms, least(i + 1, size(syms))) = pb
+        |  AND (pa <> pb OR
+        |       ((i - coalesce(array_max(filter(sequence(1, i),
+        |           j -> element_at(syms, j) <> pa)), 0)) % 2 = 1))""".stripMargin
+        + ")"))
+    .withColumn("seq", expr(
+      """concat_ws(' ', filter(transform(sequence(1, size(syms)), i ->
+        |  CASE WHEN element_at(m, i) THEN concat(pa, pb)
+        |       WHEN i > 1 AND element_at(m, greatest(i - 1, 1))
+        |         THEN CAST(NULL AS STRING)
+        |       ELSE element_at(syms, i) END), x -> x IS NOT NULL))""".stripMargin))
+    .select(col("w"), col("freq"), col("seq"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BPE merge training — the actual tokenizer-training loop, two
+    // unrolled rounds: count corpus-weighted adjacent symbol pairs over
+    // the (distinct word, frequency) view, merge the argmax pair
+    // everywhere, recount. The heavy statistic (pair counts) is one
+    // explode + partial-agg per round over the DISTINCT-WORD table —
+    // thousands of times smaller than the corpus, the same compression
+    // every production BPE trainer exploits — and the merge itself is
+    // map-only. Ties break on the pair string, so the learned merges
+    // are deterministic on both engines at any parallelism.
+    "t15_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      var wf = T.documents(s, d)
+        .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .withColumn("seq", expr("concat_ws(' ', " +
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
+      val out = (1 to 2).map { r =>
+        val top = bpePairCounts(wf).orderBy($"n".desc, $"pair").limit(1)
+        wf = bpeApplyMerge(wf, top)
+        // post-merge corpus stats: each merge of corpus count n removes
+        // exactly n tokens (pinned in OperatorSpec)
+        val stats = wf.select($"freq", explode(split($"seq", " ")).as("sym"))
+          .agg(countDistinct($"sym").as("vocab"),
+               sum($"freq").as("total_tokens"))
+        top.select(lit(r).as("round"), $"pair", $"n")
+          .crossJoin(broadcast(stats))
+      }
+      out.reduce(_ unionByName _).orderBy($"round")
+    },
     // Language ID: frequency-weighted lexicon overlap, argmax with
     // alphabetical tie-break; compared against the labeled lang.
     "t01_langid" -> { (s, d) =>
@@ -507,7 +581,69 @@ object TextAnalysis {
     }
   )
 
+  /** One unrolled BPE round for the oracle: pc$i (pair counts over
+    * wf${i-1}), top$i (argmax merge), wf$i (greedy left-to-right merge
+    * applied) — the DuckDB mirror of [[bpePairCounts]]/[[bpeApplyMerge]].
+    */
+  private def bpeOracleRound(i: Int): String = {
+    val prev = s"wf${i - 1}"
+    s"""pc$i AS (
+       |  SELECT pair, SUM(freq) AS n FROM (
+       |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+       |      i -> syms[CAST(i AS INT)] || ' ' || syms[CAST(i + 1 AS INT)]))
+       |      AS pair
+       |    FROM (SELECT freq, string_split(seq, ' ') AS syms FROM $prev)
+       |    WHERE len(syms) >= 2)
+       |  GROUP BY pair),
+       |top$i AS (SELECT pair, CAST(n AS BIGINT) AS n FROM pc$i
+       |          ORDER BY n DESC, pair LIMIT 1),
+       |wf$i AS (
+       |  SELECT w, freq,
+       |    array_to_string(list_filter(list_transform(range(1, len(syms) + 1),
+       |      i -> CASE WHEN m[CAST(i AS INT)] THEN replace(pair, ' ', '')
+       |                WHEN i > 1 AND m[CAST(greatest(i - 1, 1) AS INT)]
+       |                  THEN NULL
+       |                ELSE syms[CAST(i AS INT)] END),
+       |      x -> x IS NOT NULL), ' ') AS seq
+       |  FROM (
+       |    SELECT w, freq, syms, pair,
+       |      list_transform(range(1, len(syms) + 1), i ->
+       |        i < len(syms)
+       |        AND syms[CAST(i AS INT)] = pa
+       |        AND syms[CAST(least(i + 1, len(syms)) AS INT)] = pb
+       |        AND (pa <> pb OR
+       |             ((i - coalesce(list_max(list_filter(range(1, i + 1),
+       |                 j -> syms[CAST(j AS INT)] <> pa)), 0)) % 2 = 1)))
+       |        AS m
+       |    FROM (SELECT w, freq, string_split(seq, ' ') AS syms, pair,
+       |            string_split(pair, ' ')[1] AS pa,
+       |            string_split(pair, ' ')[2] AS pb
+       |          FROM $prev, top$i)))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "t15_bpe_train" ->
+      s"""WITH wf0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    array_to_string(list_transform(range(1, len(w) + 1),
+         |      i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS seq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |${bpeOracleRound(1)},
+         |${bpeOracleRound(2)},
+         |vs1 AS (SELECT COUNT(DISTINCT s) AS vocab,
+         |          CAST(SUM(freq) AS BIGINT) AS total_tokens
+         |        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS s
+         |              FROM wf1)),
+         |vs2 AS (SELECT COUNT(DISTINCT s) AS vocab,
+         |          CAST(SUM(freq) AS BIGINT) AS total_tokens
+         |        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS s
+         |              FROM wf2))
+         |SELECT 1 AS round, pair, n, vocab, total_tokens FROM top1, vs1
+         |UNION ALL
+         |SELECT 2 AS round, pair, n, vocab, total_tokens FROM top2, vs2
+         |ORDER BY round""".stripMargin,
     "t01_langid" -> {
       val scoreCols = LEX.map { case (lang, ws) =>
         s"len(list_filter(string_split(text, ' '), w -> list_contains([${lexArr(ws)}], w))) AS score_$lang"

@@ -5,7 +5,7 @@ import graft.operators.DistributedRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Targeted scale probes for the three designs whose 100 TB behavior is a
+/** Targeted scale probes for the designs whose 100 TB behavior is a
   * CLAIM in code comments — this tool is the measurement behind each
   * claim (dev-only; run ad hoc, results recorded in ARCHITECTURE.md):
   *

@@ -44,7 +44,7 @@ object StressBench {
       "d12_decontaminate,d13_chunk_dedup,t11_repetition,t12_pii_scrub," +
       "t13_domain_mix,s09_two_stage_rerank,d14_semdedup,t14_unigram_nll," +
       "m04_video_frames,q63_keep_latest,q64_gaps_islands,s10_batch_ann," +
-      "q65_histogram"
+      "q65_histogram,t15_bpe_train"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

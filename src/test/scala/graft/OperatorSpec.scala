@@ -626,6 +626,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("t15: learned merge is the true weighted argmax; token accounting exact") {
+    val rows = datapipe.TextAnalysis.queries("t15_bpe_train")(spark, sf)
+      .select($"round", $"pair", $"n", $"total_tokens")
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 2)
+    // independent recomputation over RAW words — no distinct-word
+    // compression, the path the query never takes
+    val words = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+    val chars = words.agg(sum(length($"w"))).as[Long].head()
+    val top1 = words.filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> " +
+        "concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))")).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"p").limit(1)
+      .as[(String, Long)].head()
+    assert((rows(0)._2, rows(0)._3) === top1)
+    // each applied merge of a two-symbol pair removes exactly one token;
+    // for these learned pairs (distinct symbols) merges == pair count
+    assert(rows(0)._4 === chars - rows(0)._3,
+      "round-1 token accounting drifted")
+    assert(rows(1)._4 === rows(0)._4 - rows(1)._3,
+      "round-2 token accounting drifted")
+  }
+
   test("s09: quantized two-stage rerank agrees with the exact top-10") {
     val exact = datapipe.Similarity.queries("s01_topk_cosine")(spark, sf)
       .select($"vec_id").as[Long].collect().toSet
