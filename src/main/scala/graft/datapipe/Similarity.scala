@@ -116,7 +116,7 @@ object Similarity {
     * NearestCentroid's `>` comparison never selects one; an all-NaN row
     * falls through to the smallest cell on both engines.
     */
-  private def assignSql(centTbl: String): String = {
+  private def assignSql(centTbl: String, srcTbl: String = "embeddings"): String = {
     val cosExpr =
       s"""${dotSql("e.embedding", "c.centroid")} /
          |        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
@@ -127,7 +127,7 @@ object Similarity {
        |      ORDER BY isnan($cosExpr) ASC,
        |      $cosExpr DESC,
        |      c.cell ASC) AS rn
-       |  FROM embeddings e, $centTbl c)
+       |  FROM $srcTbl e, $centTbl c)
        |WHERE rn = 1""".stripMargin
   }
 
@@ -359,6 +359,41 @@ object Similarity {
         .withColumn("cosine", cosine_sim(col("x.embedding"), col("y.embedding")))
         .filter($"cosine" >= 0.95)
         .groupBy(col("y.vec_id").as("vec_id"), col("y.label").as("label"))
+        .agg(min(col("x.vec_id")).as("keeper_id"),
+             count(lit(1)).as("n_dominators"))
+        .orderBy($"vec_id")
+    },
+
+    // d14's documented scale path MADE RUNNABLE: SemDeDup keep/remove
+    // over LEARNED cells — the corpus (with planted copies) trains s03's
+    // coarse quantizer (8 exact-decimal seed-cell centroids), every
+    // vector is assigned map-only to its nearest centroid, and the
+    // within-CELL min-id domination resolves keep/remove. This is the
+    // chain a 100 TB deployment runs with k sized to the corpus
+    // (ScaleProbe's semdedup section measures why); identical vectors
+    // always share a cell (the argmax is deterministic in the vector),
+    // so planted-copy recall survives the learned clustering.
+    "d15_semdedup_cells" -> { (s, d) =>
+      import s.implicits._
+      val base = T.embeddings(s, d)
+      val emb = base.unionByName(
+        base.filter($"vec_id" % 10 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label"))
+      val centroids = emb.select(($"vec_id" % 8).as("cell"),
+          posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("centroid"))
+      val assigned = assignCells(emb, centroidRow(centroids), "cell")
+      assigned.as("x").join(assigned.as("y"),
+          col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cosine", cosine_sim(col("x.embedding"), col("y.embedding")))
+        .filter($"cosine" >= 0.95)
+        .groupBy(col("y.vec_id").as("vec_id"), col("y.cell").cast("int").as("cell"))
         .agg(min(col("x.vec_id")).as("keeper_id"),
              count(lit(1)).as("n_dominators"))
         .orderBy($"vec_id")
@@ -795,6 +830,37 @@ object Similarity {
          |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
          |   sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.95
          |GROUP BY y.vec_id, y.label
+         |ORDER BY vec_id""".stripMargin,
+
+    "d15_semdedup_cells" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding, label FROM embeddings
+         |  WHERE vec_id % 10 = 0),
+         |means AS (
+         |  SELECT cell, i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+         |         / COUNT(*) AS REAL) AS m
+         |  FROM (SELECT vec_id % 8 AS cell,
+         |          unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v
+         |        FROM emb)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell, list(m ORDER BY pos) AS centroid
+         |  FROM means GROUP BY cell),
+         |assigned AS (SELECT vec_id, cell FROM (${assignSql("cent", "emb")}) z),
+         |j AS (
+         |  SELECT a.vec_id, a.cell, e.embedding
+         |  FROM assigned a JOIN emb e USING (vec_id))
+         |SELECT y.vec_id AS vec_id, CAST(y.cell AS INT) AS cell,
+         |  min(x.vec_id) AS keeper_id, COUNT(*) AS n_dominators
+         |FROM j x JOIN j y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |WHERE ${dotSql("x.embedding", "y.embedding")} /
+         |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |   sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.95
+         |GROUP BY y.vec_id, y.cell
          |ORDER BY vec_id""".stripMargin
   )
 }

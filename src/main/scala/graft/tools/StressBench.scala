@@ -44,7 +44,11 @@ object StressBench {
       "d12_decontaminate,d13_chunk_dedup,t11_repetition,t12_pii_scrub," +
       "t13_domain_mix,s09_two_stage_rerank,d14_semdedup,t14_unigram_nll," +
       "m04_video_frames,q63_keep_latest,q64_gaps_islands,s10_batch_ann," +
-      "q65_histogram,t15_bpe_train"
+      "q65_histogram,t15_bpe_train," +
+      // d15 shares d14's fixed-cluster-count 16x quadratic (8 learned
+      // cells here) — the knob and its measurement live in ScaleProbe's
+      // semdedup section / ARCHITECTURE.md
+      "d15_semdedup_cells"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -538,6 +538,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d15: learned-cell SemDeDup still removes every planted copy") {
+    val out = datapipe.Similarity.queries("d15_semdedup_cells")(spark, sf)
+      .select($"vec_id", $"keeper_id").as[(Long, Long)].collect()
+    val removed = out.map(_._1).toSet
+    val planted = Tables.embeddings(spark, sf).select($"vec_id").as[Long]
+      .collect().filter(_ % 10 == 0).map(_ + 1000000L)
+    assert(planted.nonEmpty)
+    // identical vectors share a learned cell (deterministic argmax), so
+    // the clustering cannot cost planted-copy recall
+    planted.foreach(id =>
+      assert(removed.contains(id), s"planted copy $id not removed"))
+    out.foreach { case (v, k) => assert(k < v, s"vec $v kept by higher id $k") }
+  }
+
   test("t14: per-doc NLL is an exact integer sum inside the vocab bounds") {
     val rows = datapipe.TextAnalysis.queries("t14_unigram_nll")(spark, sf)
       .select($"doc_id", $"n_words", $"avg_nll")
