@@ -170,6 +170,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("t11: the repetition gate's scan prunes to (doc_id, text)") {
+    val p = plan("t11_repetition")
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      "map-only gate reads columns it never uses:\n" + p.take(600))
+  }
+
   test("q64: both windows and the groupBy reuse ONE user_id hash exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val hashEx = planTree("q64_gaps_islands").collect {
