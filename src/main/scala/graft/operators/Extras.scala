@@ -15,6 +15,66 @@ import org.apache.spark.sql.functions._
 object Extras {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCD2 merge (slowly-changing-dimension versioning) — the warehouse
+    // upsert that PRESERVES history where O9's upsert discards it: an
+    // update batch closes out the current row (valid_to = T) and opens a
+    // new version (valid_from = T). Three branches over one shared scan:
+    // untouched rows pass (anti-join), touched rows emit both their
+    // closed old version (semi-join) and the new current row. The change
+    // batch is the small side at 100 TB (a day's updates vs the full
+    // dimension), so both membership joins broadcast — one dimension
+    // scan, no dimension shuffle.
+    "q66_scd2_merge" -> { (s, d) =>
+      import s.implicits._
+      val t = 1000L // version timestamp of the update batch
+      val dim = T.customer(s, d)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      val changes = dim.filter($"c_custkey" % 5 === 0)
+        .select($"c_custkey", $"c_name", ($"c_acctbal" + 100.0).as("c_acctbal"))
+      val keys = broadcast(changes.select($"c_custkey"))
+      val untouched = dim.join(keys, Seq("c_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal",
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current"))
+      val closed = dim.join(keys, Seq("c_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name", $"c_acctbal",
+          lit(0L).as("valid_from"), lit(t).as("valid_to"),
+          lit(false).as("is_current"))
+      val opened = changes
+        .select($"c_custkey", $"c_name", $"c_acctbal",
+          lit(t).as("valid_from"), lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current"))
+      untouched.unionByName(closed).unionByName(opened)
+        .orderBy($"c_custkey", $"valid_from")
+    },
+
+    // Funnel analysis — per-user stage progression (view → click →
+    // purchase) from the event stream: one pass collects each user's
+    // FIRST timestamp per stage (pivot-style conditional min — no joins,
+    // no re-scans per stage), then ordered-timestamp conjunctions count
+    // who reached each stage in order. One shuffle on user_id; the
+    // funnel report is a single tiny aggregate.
+    "q67_funnel" -> { (s, d) =>
+      import s.implicits._
+      val stages = T.events(s, d)
+        .withColumn("tsec", unix_timestamp(date_trunc("second", $"ts")))
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"tsec")).as("t_view"),
+             min(when($"event_type" === "click", $"tsec")).as("t_click"),
+             min(when($"event_type" === "purchase", $"tsec")).as("t_purchase"))
+      stages.agg(
+          count(lit(1)).as("n_users"),
+          sum(when($"t_view".isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when($"t_view".isNotNull && $"t_click" >= $"t_view", 1L)
+            .otherwise(0L)).as("n_view_click"),
+          sum(when($"t_view".isNotNull && $"t_click" >= $"t_view" &&
+                   $"t_purchase" >= $"t_click", 1L)
+            .otherwise(0L)).as("n_view_click_purchase"))
+        .select($"n_users", $"n_view", $"n_view_click",
+                $"n_view_click_purchase")
+    },
+
     // Wide→long melt with the DataFrame unpivot API (ids kept, measure
     // name + value columns emitted).
     "q55_unpivot" -> { (s, d) =>
@@ -87,6 +147,47 @@ object Extras {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    "q66_scd2_merge" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+        |  FROM dim WHERE c_custkey % 5 = 0)
+        |SELECT c_custkey, c_name, c_acctbal,
+        |  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |  TRUE AS is_current
+        |FROM dim WHERE c_custkey % 5 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal,
+        |  CAST(0 AS BIGINT), CAST(1000 AS BIGINT), FALSE
+        |FROM dim WHERE c_custkey % 5 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal,
+        |  CAST(1000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM changes
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q67_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN tsec END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN tsec END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN tsec END) AS t_purchase
+        |  FROM (SELECT user_id, event_type,
+        |          CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |               AS BIGINT) AS tsec
+        |        FROM events)
+        |  GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+        |                AND t_purchase >= t_click
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+        |FROM s""".stripMargin,
+
     "q55_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, val FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

@@ -607,6 +607,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q66: SCD2 merge versions every changed key exactly once") {
+    val rows = operators.Extras.queries("q66_scd2_merge")(spark, sf)
+      .select($"c_custkey", $"c_acctbal", $"valid_from",
+        $"valid_to", $"is_current")
+      .as[(Long, Double, Long, Option[Long], Boolean)].collect()
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      // exactly one current version per key, always open-ended
+      val current = vs.filter(_._5)
+      assert(current.length === 1, s"key $k has ${current.length} current rows")
+      assert(current.head._4.isEmpty, s"key $k current row has valid_to")
+      if (k % 5 == 0) {
+        assert(vs.length === 2, s"changed key $k has ${vs.length} versions")
+        val closed = vs.filter(!_._5).head
+        assert(closed._4 === Some(1000L))
+        assert(math.abs(current.head._2 - closed._2 - 100.0) < 1e-9,
+          s"key $k new version does not carry the +100 update")
+      } else assert(vs.length === 1, s"untouched key $k duplicated")
+    }
+  }
+
+  test("q67: the funnel is monotone and its first stage count is exact") {
+    val (nUsers, nView, nVC, nVCP) =
+      operators.Extras.queries("q67_funnel")(spark, sf)
+        .as[(Long, Long, Long, Long)].head()
+    assert(nUsers >= nView && nView >= nVC && nVC >= nVCP && nVCP >= 0,
+      s"funnel not monotone: $nUsers >= $nView >= $nVC >= $nVCP")
+    val viewers = Tables.events(spark, sf)
+      .filter($"event_type" === "view")
+      .select($"user_id").distinct().count()
+    assert(nView === viewers, "stage-1 count disagrees with a direct count")
+  }
+
   test("q63: the kept row per key is the true (ts, event_id) argmax") {
     val kept = operators.Windows.queries("q63_keep_latest")(spark, sf)
       .select($"user_id", $"event_type", $"event_id")
