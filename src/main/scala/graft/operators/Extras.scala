@@ -75,6 +75,87 @@ object Extras {
                 $"n_view_click_purchase")
     },
 
+    // Resample + linear interpolation — the time-series regularization
+    // step (sensor/weather series rarely arrive on the grid the model
+    // wants): per sampled user, an hourly grid spans their event window
+    // and each slot linearly interpolates between the surrounding
+    // events. ONE union + one windowed pass: event rows and grid rows
+    // interleave on (tsec, event_id), carry-forward gives each slot its
+    // predecessor, a mirrored forward frame gives its successor — no
+    // per-slot join, no as-of join per direction. Everything orders on
+    // integer epoch seconds with an event_id tie-break (grid rows sort
+    // AFTER a coincident event, so a slot ON an event takes exactly
+    // that event's value), and the lerp is one identical IEEE
+    // expression on both engines — no sums, so order-free.
+    "q68_resample_interpolate" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = T.events(s, d)
+        .filter($"user_id" % 25 === 0)
+        .withColumn("tsec", unix_timestamp(date_trunc("second", $"ts")))
+        // one deterministic value per (user, second): min-event_id wins
+        .withColumn("rn", row_number().over(Window
+          .partitionBy($"user_id", $"tsec").orderBy($"event_id")))
+        .filter($"rn" === 1)
+        .select($"user_id", $"tsec", $"event_id", $"value")
+      val grid = ev.groupBy($"user_id")
+        .agg(min($"tsec").as("lo"), max($"tsec").as("hi"))
+        // Spark sequence(start, stop) THROWS on start > stop (DuckDB's
+        // range is just empty) — a sub-hour user window is skipped on
+        // both engines explicitly
+        .filter(expr("CAST(ceil(lo / 3600.0) AS BIGINT) * 3600 <= hi"))
+        .select($"user_id", explode(expr(
+          "sequence(CAST(ceil(lo / 3600.0) AS BIGINT) * 3600, hi, 3600)"))
+          .as("tsec"))
+        .select($"user_id", $"tsec",
+          lit(Long.MaxValue).as("event_id"),
+          lit(null).cast("double").as("value"),
+          lit(true).as("is_grid"))
+      val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("is_grid", lit(false))
+        .unionByName(grid)
+        .withColumn("ev_ts",
+          when(!$"is_grid", $"tsec").cast("long"))
+        .withColumn("prev_ts", last($"ev_ts", ignoreNulls = true).over(back))
+        .withColumn("prev_v", last(when(!$"is_grid", $"value"),
+          ignoreNulls = true).over(back))
+        .withColumn("next_ts", first($"ev_ts", ignoreNulls = true).over(fwd))
+        .withColumn("next_v", first(when(!$"is_grid", $"value"),
+          ignoreNulls = true).over(fwd))
+        .filter($"is_grid")
+        .select($"user_id", $"tsec",
+          when($"prev_ts".isNotNull && $"next_ts".isNotNull &&
+               $"next_ts" > $"prev_ts",
+            $"prev_v" + ($"next_v" - $"prev_v") *
+              ($"tsec" - $"prev_ts").cast("double") /
+              ($"next_ts" - $"prev_ts"))
+          .when($"prev_ts".isNotNull && $"next_ts".isNotNull, $"prev_v")
+          .when($"prev_ts".isNotNull, $"prev_v")
+          .otherwise($"next_v").as("value_interp"))
+        .orderBy($"user_id", $"tsec")
+    },
+
+    // Cohort retention — the companion to q67's funnel: users grouped by
+    // their first active epoch-week, counted at each later week offset.
+    // Absolute epoch weeks (tsec div 604800) keep the bucketing free of
+    // any corpus-derived scalar; distinct (user, week) first, so the
+    // count is activity, not event volume. Two narrow shuffles (user_id,
+    // then (cohort, offset)) over long keys only.
+    "q69_retention" -> { (s, d) =>
+      import s.implicits._
+      val uw = T.events(s, d)
+        .withColumn("tsec", unix_timestamp(date_trunc("second", $"ts")))
+        .select($"user_id", expr("tsec div 604800").as("week"))
+        .distinct()
+      val cohorts = uw.groupBy($"user_id").agg(min($"week").as("cohort"))
+      uw.join(cohorts, Seq("user_id"))
+        .groupBy($"cohort", ($"week" - $"cohort").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort", $"week_offset")
+    },
+
     // Wide→long melt with the DataFrame unpivot API (ids kept, measure
     // name + value columns emitted).
     "q55_unpivot" -> { (s, d) =>
@@ -187,6 +268,72 @@ object Extras {
         |                AND t_purchase >= t_click
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
         |FROM s""".stripMargin,
+
+    "q68_resample_interpolate" ->
+      """WITH ev0 AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |         AS BIGINT) AS tsec
+        |  FROM events WHERE user_id % 25 = 0),
+        |ev AS (
+        |  SELECT user_id, tsec, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, tsec
+        |                                 ORDER BY event_id) AS rn
+        |    FROM ev0)
+        |  WHERE rn = 1),
+        |bounds AS (
+        |  SELECT user_id, MIN(tsec) AS lo, MAX(tsec) AS hi
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(range(CAST(ceil(lo / 3600.0) AS BIGINT) * 3600,
+        |                 hi + 1, 3600)) AS tsec
+        |  FROM bounds
+        |  WHERE CAST(ceil(lo / 3600.0) AS BIGINT) * 3600 <= hi),
+        |u AS (
+        |  SELECT user_id, tsec, event_id, value, FALSE AS is_grid FROM ev
+        |  UNION ALL
+        |  SELECT user_id, tsec, 9223372036854775807,
+        |    CAST(NULL AS DOUBLE), TRUE
+        |  FROM grid),
+        |wnd AS (
+        |  SELECT user_id, tsec, is_grid,
+        |    MAX(CASE WHEN NOT is_grid THEN tsec END) OVER back AS prev_ts,
+        |    max_by(CASE WHEN NOT is_grid THEN value END,
+        |           CASE WHEN NOT is_grid THEN tsec END)
+        |      FILTER (NOT is_grid) OVER back AS prev_v,
+        |    MIN(CASE WHEN NOT is_grid THEN tsec END) OVER fwd AS next_ts,
+        |    min_by(CASE WHEN NOT is_grid THEN value END,
+        |           CASE WHEN NOT is_grid THEN tsec END)
+        |      FILTER (NOT is_grid) OVER fwd AS next_v
+        |  FROM u
+        |  WINDOW back AS (PARTITION BY user_id ORDER BY tsec, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fwd AS (PARTITION BY user_id ORDER BY tsec, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, tsec,
+        |  CASE WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL
+        |            AND next_ts > prev_ts
+        |       THEN prev_v + (next_v - prev_v) *
+        |            CAST(tsec - prev_ts AS DOUBLE) / (next_ts - prev_ts)
+        |       WHEN prev_ts IS NOT NULL AND next_ts IS NOT NULL THEN prev_v
+        |       WHEN prev_ts IS NOT NULL THEN prev_v
+        |       ELSE next_v END AS value_interp
+        |FROM wnd WHERE is_grid
+        |ORDER BY user_id, tsec""".stripMargin,
+
+    "q69_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |         AS BIGINT) // 604800 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id)
+        |SELECT c.cohort, uw.week - c.cohort AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort, week_offset""".stripMargin,
 
     "q55_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, val FROM (

@@ -48,7 +48,8 @@ object StressBench {
       // d15 shares d14's fixed-cluster-count 16x quadratic (8 learned
       // cells here) — the knob and its measurement live in ScaleProbe's
       // semdedup section / ARCHITECTURE.md
-      "d15_semdedup_cells,q66_scd2_merge,q67_funnel"
+      "d15_semdedup_cells,q66_scd2_merge,q67_funnel,q68_resample_interpolate," +
+      "q69_retention"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

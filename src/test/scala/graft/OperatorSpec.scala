@@ -640,6 +640,45 @@ class OperatorSpec extends SparkSpec {
     assert(nView === viewers, "stage-1 count disagrees with a direct count")
   }
 
+  test("q68: interpolated slots stay inside each user's value envelope") {
+    val rows = operators.Extras.queries("q68_resample_interpolate")(spark, sf)
+      .select($"user_id", $"tsec", $"value_interp")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, t, _) =>
+      assert(t % 3600 === 0, s"user $u slot $t off the hourly grid")
+    }
+    val env = Tables.events(spark, sf).filter($"user_id" % 25 === 0)
+      .groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (u, t, v) =>
+      val (lo, hi) = env(u)
+      // a convex combination of two observed values cannot escape the
+      // observed envelope
+      assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+        s"user $u slot $t interpolated $v outside [$lo, $hi]")
+    }
+  }
+
+  test("q69: every user is active in their own cohort week") {
+    val rows = operators.Extras.queries("q69_retention")(spark, sf)
+      .select($"cohort", $"week_offset", $"n_users")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val atZero = rows.filter(_._2 == 0L).map(_._3).sum
+    val users = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(atZero === users,
+      s"offset-0 cohort sizes $atZero != $users distinct users")
+    val cohortSize = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (c, o, n) =>
+      assert(n <= cohortSize(c),
+        s"cohort $c offset $o retains $n > cohort size ${cohortSize(c)}")
+    }
+  }
+
   test("q63: the kept row per key is the true (ts, event_id) argmax") {
     val kept = operators.Windows.queries("q63_keep_latest")(spark, sf)
       .select($"user_id", $"event_type", $"event_id")
