@@ -187,6 +187,14 @@ class PlanShapeSpec extends SparkSpec {
         s"the user_id clustering), found ${hashEx.size}")
   }
 
+  test("q66: both SCD2 membership joins broadcast the change batch") {
+    val p = plan("q66_scd2_merge")
+    assert(p.contains("BroadcastHashJoin"),
+      "change-batch membership join not broadcast:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension shuffled for a membership join:\n" + p.take(800))
+  }
+
   test("d12: benchmark n-gram set joins as a broadcast, never a shuffle join") {
     val p = plan("d12_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
