@@ -114,6 +114,35 @@ object TextAnalysis {
        |  FROM ${p}g)""".stripMargin
   }
 
+  /** t09's cleaning chain over any (doc_id, text, lang) frame — batch OR
+    * streaming: every per-doc column is a map-only expression, and the
+    * only stateful step is the tiny per-lang report aggregate (streams
+    * in complete/update mode). The t09 query and StreamingSpec's
+    * batch-equivalence pin both run exactly this function.
+    */
+  private[graft] def cleanPipeline(docs: DataFrame): DataFrame = docs
+    .withColumn("words", split(col("text"), " "))
+    .withColumn("n_words", size(col("words")).cast("long"))
+    .filter(col("n_words") >= 1)
+    .withColumn("ttr", expr("size(array_distinct(words))") / col("n_words"))
+    .withColumn("stop_ratio",
+      expr("size(filter(words, w -> w = 'the' OR w = 'a'))") / col("n_words"))
+    .withColumn("len_sat", least(col("n_words") / 100.0, lit(1.0)))
+    .withColumn("quality",
+      col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+        col("len_sat") * 0.3)
+    .withColumn("q_ok", col("quality") >= 0.5)
+    .withColumn("len_ok", col("n_words").between(5, 2000))
+    .withColumn("sampled",
+      graft.Dets.phash(concat(lit("sample:"), col("doc_id").cast("string")))
+        % 100 < 30)
+    .groupBy(col("lang"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(when(!col("q_ok"), 1L).otherwise(0L)).as("n_q_fail"),
+      sum(when(!col("len_ok"), 1L).otherwise(0L)).as("n_len_fail"),
+      sum(when(col("q_ok") && col("len_ok") && col("sampled"), 1L)
+        .otherwise(0L)).as("n_kept"))
+
   /** Weighted adjacent-symbol-pair counts over a (seq, freq) frame — the
     * BPE training statistic. seq is the space-joined symbol sequence.
     */
@@ -322,31 +351,12 @@ object TextAnalysis {
     // deterministic sampling fused into ONE scan (every per-doc column
     // is map-only; only the tiny per-lang report aggregates). Reuses
     // t02's exact quality formula and t05's hash-threshold sampling, so
-    // every predicate is engine-exact.
+    // every predicate is engine-exact. The chain lives in
+    // [[cleanPipeline]], which also runs UNCHANGED over `readStream`
+    // (map-only gates + one aggregate stream in complete mode —
+    // StreamingSpec pins batch equivalence).
     "t09_clean_pipeline" -> { (s, d) =>
-      import s.implicits._
-      T.documents(s, d)
-        .withColumn("words", split($"text", " "))
-        .withColumn("n_words", size($"words").cast("long"))
-        .filter($"n_words" >= 1)
-        .withColumn("ttr", expr("size(array_distinct(words))") / $"n_words")
-        .withColumn("stop_ratio",
-          expr("size(filter(words, w -> w = 'the' OR w = 'a'))") / $"n_words")
-        .withColumn("len_sat", least($"n_words" / 100.0, lit(1.0)))
-        .withColumn("quality",
-          $"ttr" * 0.4 + (lit(1.0) - $"stop_ratio") * 0.3 + $"len_sat" * 0.3)
-        .withColumn("q_ok", $"quality" >= 0.5)
-        .withColumn("len_ok", $"n_words".between(5, 2000))
-        .withColumn("sampled",
-          graft.Dets.phash(concat(lit("sample:"), $"doc_id".cast("string")))
-            % 100 < 30)
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(!$"q_ok", 1L).otherwise(0L)).as("n_q_fail"),
-          sum(when(!$"len_ok", 1L).otherwise(0L)).as("n_len_fail"),
-          sum(when($"q_ok" && $"len_ok" && $"sampled", 1L).otherwise(0L))
-            .as("n_kept"))
-        .orderBy($"lang")
+      cleanPipeline(T.documents(s, d)).orderBy(col("lang"))
     },
 
     // TF-IDF: the canonical corpus-relevance score. Two narrow

@@ -196,4 +196,29 @@ class StreamingSpec extends SparkSpec {
       assert(all.map(_.user_id).sorted.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming text-cleaning gate: the t09 chain streams unchanged") {
+    // the LLM-pipeline gates are map-only + one aggregate, so the SAME
+    // function behind t09 runs under readStream — micro-batched corpus
+    // ingest produces the batch report bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = datapipe.TextAnalysis.cleanPipeline(stream)
+      .writeStream.format("memory").queryName("t09_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t09_stream")
+        .select($"lang", $"n_docs", $"n_q_fail", $"n_len_fail", $"n_kept")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batch = datapipe.TextAnalysis
+        .queries("t09_clean_pipeline")(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
