@@ -323,14 +323,25 @@ object TextAnalysis {
     // (lang, word) shuffle for the sketch side at all.
     "t07_heavy_hitters" -> { (s, d) =>
       import s.implicits._
-      import graft.functions.FreqItemsAgg.freq_items
-      val words = T.documents(s, d)
+      import graft.functions.FreqItemsAgg.freq_items_weighted
+      // ONE explode + ONE (lang, word) shuffle: both the sketch and the
+      // exact-heavy branch consume the same counted frame, so Catalyst's
+      // ReuseExchange materializes the explode/count once (plan-asserted
+      // in PlanShapeSpec). The sketch takes weighted updates — merging
+      // the summary of cnt copies — so the N/(k+1) guarantee is intact.
+      // The explicit isNotNull matches what the inner join would push
+      // into ITS branch anyway; stating it on the shared frame keeps all
+      // three subtrees canonically identical (pushdown asymmetry is what
+      // defeats ReuseExchange otherwise).
+      val wc = T.documents(s, d)
+        .filter($"lang".isNotNull)
         .select($"lang", explode(split($"text", " ")).as("word"))
-      val sketch = words.groupBy($"lang")
-        .agg(freq_items($"word", 64).as("items"),
-             count(lit(1)).as("n_words"))
-      val heavy = words.groupBy($"lang", $"word")
+        .groupBy($"lang", $"word")
         .agg(count(lit(1)).as("cnt"))
+      val sketch = wc.groupBy($"lang")
+        .agg(freq_items_weighted($"word", $"cnt", 64).as("items"),
+             sum($"cnt").as("n_words"))
+      val heavy = wc
         .join(sketch.select($"lang", $"n_words"), Seq("lang"))
         // exact integer arithmetic: cnt > N/65 as cnt*65 > N — a count
         // EQUAL to the rational N/65 is outside the MG guarantee, and
@@ -373,8 +384,13 @@ object TextAnalysis {
         .select($"doc_id", explode(split($"text", " ")).as("w"))
         .filter($"w" =!= "")
       val tf = terms.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-      val df_ = terms.select($"doc_id", $"w").distinct()
-        .groupBy($"w").agg(count(lit(1)).as("df"))
+      // df derives FROM tf (one row per (doc_id, w), so counting rows
+      // per w == counting distinct docs per w): the explode + (doc_id, w)
+      // shuffle happen once and ReuseExchange shares them between the
+      // join's tf side and this aggregate. N stays a separate documents
+      // scan on purpose — it must count word-less docs too, and a
+      // count(1) scan reads zero data columns.
+      val df_ = tf.groupBy($"w").agg(count(lit(1)).as("df"))
       val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"tfidf".desc, $"w")

@@ -22,12 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (all exact-heavy items ⊆ sketch), not the raw item list.
   */
 case class FreqItemsAgg(child: Expression, k: Int,
+                        weight: Option[Expression] = None,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
   require(k >= 1, "counter capacity must be positive")
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -39,10 +40,26 @@ case class FreqItemsAgg(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val item = v.asInstanceOf[UTF8String].toString
-      val cur = buf.getOrDefault(item, 0L) // counters are >=1: 0 == absent
-      if (cur != 0L) buf.put(item, cur + 1L)
-      else if (buf.size < k) buf.put(item, 1L)
-      else decrementAll(buf, 1L)
+      weight match {
+        case None =>
+          val cur = buf.getOrDefault(item, 0L) // counters are >=1: 0 == absent
+          if (cur != 0L) buf.put(item, cur + 1L)
+          else if (buf.size < k) buf.put(item, 1L)
+          else decrementAll(buf, 1L)
+        case Some(wExpr) =>
+          // Weighted update == merging the summary of w copies of the
+          // item (a one-entry map), so the mergeable-variant bound
+          // applies verbatim: any item with total weight > N/(k+1)
+          // survives, independent of input order.
+          val wv = wExpr.eval(input)
+          if (wv != null) {
+            val w = wv.asInstanceOf[Long]
+            if (w > 0L) {
+              buf.put(item, buf.getOrDefault(item, 0L) + w)
+              trimToK(buf)
+            }
+          }
+      }
     }
     buf
   }
@@ -55,8 +72,14 @@ case class FreqItemsAgg(child: Expression, k: Int,
       val cur = buf.getOrDefault(e.getKey, 0L)
       buf.put(e.getKey, cur + e.getValue)
     }
+    trimToK(buf)
+    buf
+  }
+
+  /** Restores the ≤k-counters invariant: subtract the (k+1)-th largest
+    * count and drop non-positives (Agarwal et al. merge rule). */
+  private def trimToK(buf: java.util.HashMap[String, Long]): Unit = {
     if (buf.size > k) {
-      // subtract the (k+1)-th largest count; drop non-positives
       val counts = new Array[Long](buf.size)
       var i = 0
       val vs = buf.values().iterator()
@@ -65,7 +88,6 @@ case class FreqItemsAgg(child: Expression, k: Int,
       val sub = counts(buf.size - k - 1)
       decrementAll(buf, sub)
     }
-    buf
   }
 
   private def decrementAll(buf: java.util.HashMap[String, Long], by: Long): Unit = {
@@ -123,7 +145,8 @@ case class FreqItemsAgg(child: Expression, k: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FreqItemsAgg =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+         weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
   override def prettyName: String = "freq_items"
 }
 
@@ -131,4 +154,13 @@ object FreqItemsAgg {
   def freq_items(c: Column, k: Int): Column =
     ColumnBridge.column(
       FreqItemsAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Sketch over pre-aggregated (item, count) rows — lets a query
+    * derive the sketch from an existing per-key count frame instead of
+    * re-exploding the corpus. `w` must be LONG; non-positive weights
+    * are ignored. */
+  def freq_items_weighted(c: Column, w: Column, k: Int): Column =
+    ColumnBridge.column(
+      FreqItemsAgg(ColumnBridge.expression(c), k,
+                   Some(ColumnBridge.expression(w))).toAggregateExpression())
 }

@@ -133,6 +133,18 @@ class PlanShapeSpec extends SparkSpec {
       "expected a range repartition to own the total order:\n" + p.take(800))
   }
 
+  test("t07: sketch and exact branches reuse ONE explode/count exchange") {
+    // The corpus explode + (lang, word) count shuffle must be computed
+    // once and shared (AQE ReusedExchange) — the r7 regression was this
+    // exact frame materializing twice. Inspect only the final adaptive
+    // plan; the initial-plan section still shows per-branch explodes.
+    val p = finalPlan("t07_heavy_hitters").split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      "explode/count exchange not reused across branches:\n" + p.take(1500))
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
+      "corpus must be exploded exactly once:\n" + p.take(1500))
+  }
+
   test("q39: split keeps both aggregations hash-based (no Expand+sort-agg)") {
     val p = plan("q39_approx_sketches")
     assert(!p.contains("SortAggregate"),

@@ -86,6 +86,26 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted Misra–Gries over pre-counted rows keeps the guarantee") {
+    // t07 feeds the sketch (word, cnt) pairs from the shared count frame
+    // instead of raw occurrences; a weighted update is a merge of the
+    // summary of cnt copies, so the N/(k+1) containment must still hold
+    // at any parallelism / input order.
+    import graft.functions.FreqItemsAgg.freq_items_weighted
+    val wc = Tables.documents(spark, sf)
+      .select($"lang", explode(split($"text", " ")).as("word"))
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+    for (parts <- Seq(1, 13)) {
+      val sk = wc.repartition(parts).groupBy($"lang")
+        .agg(freq_items_weighted($"word", $"cnt", 64).as("items"),
+             sum($"cnt").as("n"))
+      val missing = wc.join(sk, Seq("lang"))
+        .filter($"cnt" * 65 > $"n")
+        .filter(!array_contains($"items", $"word"))
+      assert(missing.count() === 0, s"parts=$parts: heavy item missing from sketch")
+    }
+  }
+
   test("AQE splits skewed partitions at runtime (skew=true in final plan)") {
     // manual salting (q48) is one answer to skew; AQE's OptimizeSkewedJoin
     // is the zero-code answer — verify it engages on a skewed sort-merge
