@@ -184,11 +184,15 @@ object Windows {
     // CDC/compaction primitive — latest event per (user, type) by
     // (ts, event_id) desc. One shuffle on the composite key; ties are
     // impossible under the event_id tie-break, so the survivor is
-    // deterministic at any cluster size.
+    // deterministic at any cluster size. The ORDER BY runs on the
+    // second-truncated timestamp on BOTH engines: events.ts is
+    // ns-precision parquet that Spark truncates to µs while DuckDB keeps
+    // full ns, so ordering on raw ts could pick different survivors for
+    // sub-µs ties (the q64/q67–q69 precision convention).
     "q63_keep_latest" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"user_id", $"event_type")
-        .orderBy($"ts".desc, $"event_id".desc)
+        .orderBy(date_trunc("second", $"ts").desc, $"event_id".desc)
       T.events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
@@ -336,7 +340,8 @@ object Windows {
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s, value
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id, event_type
-        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |        ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP)) DESC,
+        |                 event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,

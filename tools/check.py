@@ -5,10 +5,14 @@ Usage: python3 check.py [sfDir] [verifyOutDir] [name-prefix ...]
 
 Run `graft.Verify` first (sbt "runMain graft.Verify <sfDir> <outDir>"),
 then this script replays each oracle_sql.json entry in DuckDB over the
-same parquet tables and compares rows / schema (sorted column names) /
-value hash (rows sorted, floats rounded to 9 significant digits).
-Queries without an oracle entry get the driver's weaker rows>0 check.
-Dev tool only — the driver runs its own compare.
+same parquet tables and compares rows / schema (sorted column names,
+type-class parity, single-schema agreement across part files) / value
+hash (rows sorted, floats compared EXACTLY via repr — the graft.Dets
+decimal convention makes results bit-identical, so any float drift is
+a real engine divergence, and the driver's hash is dtype-exact too).
+On a hash mismatch the first few differing canonical rows per side are
+printed. Queries without an oracle entry get the driver's weaker
+rows>0 check. Dev tool only — the driver runs its own compare.
 """
 import duckdb, json, sys, hashlib, math, os, datetime
 
@@ -36,7 +40,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)  # exact: repr round-trips IEEE doubles
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, (list, tuple)):
@@ -46,10 +50,21 @@ def norm(v):
     return str(v)
 
 
-def canon(cols, rows):
+def canon_lines(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
+
+
+def canon(lines):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def diff_preview(slines, olines, n=3):
+    """First n canonical rows present on one side only (sorted lists)."""
+    sset, oset = set(slines), set(olines)
+    s_only = [l for l in slines if l not in oset][:n]
+    o_only = [l for l in olines if l not in sset][:n]
+    return s_only, o_only
 
 
 fails = 0
@@ -62,6 +77,19 @@ for name in dumped:
         srel = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
         scols, stypes = srel.columns, [str(t) for t in srel.types]
         srows = srel.fetchall()
+        # every part file must agree on ONE schema — the driver reads
+        # the directory as a unit and a mixed-schema write is a bug even
+        # when the union happens to scan
+        parts = [f for f in os.listdir(f"{out}/{name}")
+                 if f.endswith(".parquet")]
+        schemas = set()
+        for f in parts:
+            prel = con.sql(f"SELECT * FROM read_parquet('{out}/{name}/{f}') LIMIT 0")
+            schemas.add(tuple(zip(prel.columns, [str(t) for t in prel.types])))
+        if len(schemas) > 1:
+            print(f"{name}: FAIL part files disagree on schema: {schemas}")
+            fails += 1
+            continue
     except Exception as e:
         print(f"{name}: SPARK-READ ERR {e}")
         fails += 1
@@ -118,7 +146,11 @@ for name in dumped:
             schema_ok = False
             print(f"{name}: TYPE MISMATCH " + ", ".join(
                 f"{c}: {sty[c]} vs {oty[c]}" for c in mism))
-    hash_ok = schema_ok and canon(scols, srows) == canon(ocols, orows)
+    hash_ok = schema_ok
+    slines = olines = None
+    if schema_ok:
+        slines, olines = canon_lines(scols, srows), canon_lines(ocols, orows)
+        hash_ok = canon(slines) == canon(olines)
     status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
     if status == "FAIL":
         fails += 1
@@ -127,5 +159,12 @@ for name in dumped:
     if not schema_ok:
         print(f"  spark cols: {sorted(scols)}")
         print(f"  oracle cols: {sorted(ocols)}")
+    elif not hash_ok:
+        s_only, o_only = diff_preview(slines, olines)
+        print(f"  cols (sorted): {sorted(scols)}")
+        for l in s_only:
+            print(f"  spark-only:  {l}")
+        for l in o_only:
+            print(f"  oracle-only: {l}")
 print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
 sys.exit(1 if fails else 0)
