@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Exact global per-group ranking WITHOUT single-task groups — the
   * distributed formulation of `Window.partitionBy(g).orderBy(o)` ranking
@@ -11,13 +12,26 @@ import org.apache.spark.sql.types.LongType
   * serialize each group onto one task (a 3-value grouping key at 100 TB
   * = three 33 TB tasks).
   *
-  * Classic two-pass shape:
+  * Two-pass shape, fully in-plan (no control data ever materializes on
+  * the driver — the r7 review flagged the previous collect() of
+  * O(partitions × groups) rows as an unbounded driver allocation):
   *  1. range-repartition + sort by (group, order) — each partition owns a
   *     contiguous slice of the total order, a group may SPAN partitions;
-  *  2. per-(partition, group) row counts — O(partitions × groups) control
-  *     rows to the driver — prefix-summed into start offsets, broadcast;
-  *  3. map-only second pass: rank = group's offset for this partition +
-  *     running counter. No group ever gathers onto one task.
+  *  2. per-(partition, group) row counts stay a DataFrame; a window over
+  *     that CONTROL frame (partitioned by group, ordered by partition id)
+  *     prefix-sums them into start offsets — each window group holds at
+  *     most `partitions` rows, never data rows;
+  *  3. map-only second pass tags each row with (partition id, index
+  *     within its group run) — pure per-partition bookkeeping — and a
+  *     broadcast hash join on (partition, group) attaches the offsets.
+  *     BHJ streams the data side, so its partitioning and order are
+  *     untouched. rank = offset + run index.
+  *
+  * The only driver-side value is `counts.count()` — ONE long — which
+  * gates the join strategy: past `maxBroadcastControlRows` the control
+  * frame would strain the broadcast path, so the join falls back to a
+  * shuffle merge join of the tagged frame (slower, but bounded memory at
+  * any group cardinality) and says so on stderr.
   *
   * With the library's total-order convention (order columns tie-broken to
   * uniqueness) rank equals SQL rank/row_number, so percent_rank, ntile
@@ -28,7 +42,7 @@ import org.apache.spark.sql.types.LongType
   * one cached sorted frame, so partition ids agree between them.
   *
   * Contract: group columns are simple scalar types (their rendered key
-  * identifies the group across the two passes).
+  * identifies group-run boundaries inside a partition).
   */
 object DistributedRank {
 
@@ -41,7 +55,7 @@ object DistributedRank {
     * bare Nul marker. Distinct rows can never render to the same key --
     * ("a","b") vs ("ab","") and ("a<Sep>b") vs ("a","b") all differ --
     * unlike a plain `mkString`, which would silently merge two groups'
-    * offsets and totals.
+    * run boundaries.
     */
   def renderKey(r: Row): String = {
     val sb = new java.lang.StringBuilder
@@ -69,55 +83,71 @@ object DistributedRank {
     * (the group's total row count).
     */
   def withRankStats(df: DataFrame, groupCols: Seq[String],
-                    orderCols: Seq[Column], nParts: Int): DataFrame = {
-    val spark = df.sparkSession
+                    orderCols: Seq[Column], nParts: Int,
+                    maxBroadcastControlRows: Long = 4L << 20): DataFrame = {
     val sortCols = groupCols.map(col) ++ orderCols
     val sorted = df.repartitionByRange(nParts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .cache() // both passes must see identical partitioning
-    def keyOf(r: Row): String = DistributedRank.renderKey(r)
 
-    // pass 1: per-(partition, group) counts — small control data
+    // pass 1: per-(partition, group) counts — an in-plan control frame
+    // of at most (partitions × groups) rows; with range partitioning a
+    // group spans few partitions, so in practice ~groups + partitions
     val counts = sorted
-      .select(spark_partition_id().as("_pid"),
+      .select(spark_partition_id().as("_cpid"),
               struct(groupCols.map(col): _*).as("_g"))
-      .groupBy("_pid", "_g").count()
-      .collect()
-    val byGroup = counts.groupBy(r => keyOf(r.getStruct(1)))
-    val totals: Map[String, Long] =
-      byGroup.map { case (g, rs) => g -> rs.map(_.getLong(2)).sum }
-    val offsets: Map[(Int, String), Long] = byGroup.flatMap { case (g, rs) =>
-      var acc = 0L
-      rs.sortBy(_.getInt(0)).map { r =>
-        val o = ((r.getInt(0), g), acc); acc += r.getLong(2); o
-      }
-    }
-    val bOff = spark.sparkContext.broadcast(offsets)
-    val bTot = spark.sparkContext.broadcast(totals)
+      .groupBy("_cpid", "_g").count()
+    val wTot = Window.partitionBy(col("_g"))
+    val wRun = wTot.orderBy(col("_cpid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("count")).over(wRun), lit(0L)))
+      .withColumn("_gn", sum(col("count")).over(wTot))
+      .select(col("_cpid"), col("_g"), col("_off"), col("_gn"))
 
-    // pass 2: map-only rank assignment
+    // exact control cardinality (one long to the driver) gates the join
+    // strategy — broadcast when bounded, loud merge-join fallback past
+    // the cap so extreme group cardinality degrades to a shuffle instead
+    // of a driver/executor OOM
+    val ctrlRows = counts.count()
+    val joinable =
+      if (ctrlRows <= maxBroadcastControlRows) broadcast(offsets)
+      else {
+        System.err.println(
+          s"[DistributedRank] control frame has $ctrlRows rows " +
+          s"(> $maxBroadcastControlRows): falling back to a merge join — " +
+          "ranks stay exact, the second pass gains a shuffle")
+        offsets.hint("merge")
+      }
+
+    // pass 2: map-only (partition id, index within the group run)
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
-    val outSchema = sorted.schema
-      .add("_rank0", LongType, nullable = false)
-      .add("_gn", LongType, nullable = false)
+    val tagSchema = sorted.schema
+      .add("_tpid", IntegerType, nullable = false)
+      .add("_ctr", LongType, nullable = false)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(outSchema)
-    sorted.mapPartitions { it =>
+      org.apache.spark.sql.Encoders.row(tagSchema)
+    val tagged = sorted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var curKey: String = null
-      var ctr = 0L; var off = 0L; var tot = 0L
+      var ctr = 0L
       it.map { r =>
-        val g = keyOf(Row.fromSeq(gIdx.map(r.get)))
-        if (g != curKey) {
-          curKey = g; ctr = 0L
-          off = bOff.value.getOrElse((pid, g), 0L)
-          tot = bTot.value(g)
-        }
-        val rank0 = off + ctr
+        val g = renderKey(Row.fromSeq(gIdx.map(r.get)))
+        if (g != curKey) { curKey = g; ctr = 0L }
+        val out = Row.fromSeq(r.toSeq :+ pid :+ ctr)
         ctr += 1
-        Row.fromSeq(r.toSeq :+ rank0 :+ tot)
+        out
       }
     }
+
+    // struct comparison is field-wise null-safe (same key semantics as
+    // the groupBy that built `counts`)
+    val cond = tagged.col("_tpid") === joinable.col("_cpid") &&
+      (struct(gIdx.map(i => tagged.col(sorted.schema(i).name)): _*)
+        <=> joinable.col("_g"))
+    tagged.join(joinable, cond, "inner")
+      .withColumn("_rank0", col("_off") + col("_ctr"))
+      .drop("_tpid", "_ctr", "_cpid", "_g", "_off")
   }
 
   /** SQL ntile(k) from (zero-based rank, group size): the first n%k

@@ -96,7 +96,7 @@ object ScaleProbe {
     }
 
     if (sections("rank")) {
-      println("== q62 group-cardinality curve (DistributedRank pass-1 collect) ==")
+      println("== q62 group-cardinality curve (DistributedRank in-plan control frame) ==")
       println(f"${"groups"}%-9s ${"rows"}%-9s ${"ctrl_rows"}%-10s time_s")
       val rows = 1000000L
       for (g <- Seq(10L, 1000L, 100000L)) {

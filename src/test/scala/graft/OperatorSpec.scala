@@ -452,6 +452,28 @@ class OperatorSpec extends SparkSpec {
     assert(byGroup(("a", null)).forall(_._4 === 1L))
   }
 
+  test("DistributedRank: high-cardinality fallback (merge join) keeps ranks exact") {
+    import graft.operators.DistributedRank
+    // cap forced to 0 → every control row exceeds it → the offsets
+    // attach via the shuffle merge join; ranks must be identical to the
+    // Window reference at any cardinality
+    val df = spark.range(500)
+      .select(($"id" % 7).as("g"), (($"id" * 131) % 499).as("o"))
+    val got = DistributedRank.withRankStats(
+        df, Seq("g"), Seq(col("o")), nParts = 5,
+        maxBroadcastControlRows = 0L)
+      .select("g", "o", "_rank0", "_gn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"o")
+    val want = df
+      .withColumn("_rank0", row_number().over(w).cast("long") - 1)
+      .withColumn("_gn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("DistributedRank.renderKey is injective on adversarial rows") {
     import graft.operators.DistributedRank.renderKey
     import org.apache.spark.sql.Row

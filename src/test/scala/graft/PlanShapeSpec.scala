@@ -125,12 +125,26 @@ class PlanShapeSpec extends SparkSpec {
       "fused argmax expression missing:\n" + p.take(1200))
   }
 
-  test("q62: distribution functions run without a Window operator (no one-task groups)") {
+  test("q62: no Window over DATA rows (one-task groups); control-frame window only") {
     val p = plan("q62_distribution_scalable")
-    assert(!p.contains("Window ["),
-      "q62 must not fall back to Window.partitionBy on the 3-value key:\n" + p.take(800))
+    // prefix offsets are computed by a window over the per-(partition,
+    // group) COUNT frame — every Window node must partition by the
+    // control struct _g, never by the raw 3-value data key (which would
+    // serialize each group onto one task)
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toList
+    assert(winLines.nonEmpty, "expected the control-frame prefix window")
+    winLines.foreach { l =>
+      assert(l.contains("_g#"),
+        "Window over data rows (not the control count frame):\n" + l)
+      assert(!l.contains("l_extendedprice"),
+        "Window orders by data columns — one-task groups are back:\n" + l)
+    }
     assert(p.contains("rangepartitioning"),
       "expected a range repartition to own the total order:\n" + p.take(800))
+    // the offsets must come back via a broadcast join, not a shuffle of
+    // the data frame
+    assert(p.contains("BroadcastHashJoin"),
+      "offset attach is not a broadcast join:\n" + p.take(1200))
   }
 
   test("t07: sketch and exact branches reuse ONE explode/count exchange") {
