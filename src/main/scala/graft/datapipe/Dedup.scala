@@ -37,17 +37,19 @@ object Dedup {
   private val BANDS = 4
   private val ROWS = 4 // K = BANDS * ROWS = 16
 
-  /** SimHash band-width clamp: 4 disjoint bands of bw bits each must fit
-    * the 60-bit fingerprint (bw <= 15), and sub-4-bit bands block nothing.
-    * The width itself is CORPUS-ADAPTIVE — see [[simhashBandWidth]].
+  /** SimHash band-width clamps: sub-4-bit bands block nothing; past 15
+    * bits the 4 disjoint bands no longer fit ONE 60-bit word, so the
+    * fingerprint WIDENS (see [[simhashFps]]) — the cap is 60 (4 words of
+    * 60 bits, one band per word), enough for corpora to 2^59 docs.
     */
   private val MIN_BW = 4
-  private val MAX_BW = 15
+  private val MAX_BW = 60
 
-  /** Corpus-adaptive SimHash band width: clamp(floor(log2 n) + 1, 4, 15).
+  /** Corpus-adaptive SimHash band width: clamp(floor(log2 n) + 1, 4, 60).
     * 2^bw band values keep the expected block population n/2^bw roughly
     * constant as the corpus grows — the knob StressBench measured going
-    * quadratic when fixed (8-bit bands saturate at 16x). floor(log2)+1 is
+    * quadratic when fixed (8-bit bands saturate at 16x, and the old 15-bit
+    * cap saturated the same way one scale later). floor(log2)+1 is
     * engine-exact for integer n: log2 of a power of two is exact in IEEE
     * double on both engines, and any other integer is > 1 ulp away from
     * an integer log, so the floor never straddles a rounding difference.
@@ -57,6 +59,26 @@ object Dedup {
     */
   private[graft] def bwExpr(n: String) =
     s"least($MAX_BW, greatest($MIN_BW, CAST(floor(log2(CAST(greatest($n, 1) AS DOUBLE))) AS INT) + 1))"
+
+  /** Wide-fingerprint frame: (doc_id, fps, bw, bpw) from a (doc_id, text)
+    * frame and a 1-row band-width frame. bpw = bands per word =
+    * floor(60 / bw); the word count 4/bpw (1, 2 or 4) and the band
+    * layout both derive from it in-plan. Band k of 0..3 lives in word
+    * k div bpw at bit offset (k mod bpw) * bw — bands never straddle a
+    * word boundary and stay pairwise DISJOINT at every width, which is
+    * what the Hamming-3 pigeonhole recall proof needs.
+    */
+  private[graft] def simhashFps(docs: DataFrame,
+                                bwFrame: DataFrame): DataFrame = {
+    import graft.functions.SimHashFps.simhash_fps
+    val params = bwFrame
+      .withColumn("bpw", expr("CAST(60 div bw AS INT)"))
+      .withColumn("nw", expr(
+        "CASE WHEN bpw >= 4 THEN 1 WHEN bpw >= 2 THEN 2 ELSE 4 END"))
+    docs.crossJoin(broadcast(params))
+      .withColumn("fps", simhash_fps(col("text"), 60, col("nw")))
+      .select(col("doc_id"), col("fps"), col("bw"), col("bpw"))
+  }
 
   /** Round budget shared by d06's Spark loop and its unrolled oracle SQL:
     * Spark iterates to fixpoint and ASSERTS it converged within this many
@@ -239,36 +261,38 @@ object Dedup {
         .orderBy($"d1", $"d2")
     },
 
-    // SimHash: 60-bit frequency-weighted fingerprint (one fused codegen'd
-    // pass per doc), candidate pairs from 4 DISJOINT bands unioned
-    // (the d02 banding pattern), verified by Hamming distance <= 3.
-    // Recall is GUARANTEED, not probabilistic: <= 3 differing bits cannot
-    // touch all 4 disjoint bands, so every qualifying pair shares at
-    // least one band key (bits above 4*bw are uncovered, which only ADDS
-    // candidates, never loses them). Band WIDTH is corpus-ADAPTIVE:
-    // bw = clamp(floor(log2 n)+1, 4, 15) derived in-plan from one count
+    // SimHash: frequency-weighted fingerprint (one fused codegen'd pass
+    // per doc), candidate pairs from 4 DISJOINT bands unioned (the d02
+    // banding pattern), verified by Hamming distance <= 3 over the FULL
+    // fingerprint. Recall is GUARANTEED, not probabilistic: <= 3
+    // differing bits cannot touch all 4 disjoint bands, so every
+    // qualifying pair shares at least one band key (uncovered bits only
+    // ADD candidates, never lose them). Band WIDTH is corpus-ADAPTIVE:
+    // bw = clamp(floor(log2 n)+1, 4, 60) derived in-plan from one count
     // and broadcast to every row (no driver scalar, no recompile per
     // corpus) — 2^bw band values keep the expected block population
-    // n/2^bw flat as the corpus grows, the knob StressBench measured
-    // going quadratic when fixed. A 100 TB corpus widens the fingerprint
-    // (concatenate independent salted hashes) past bw=15, same plan shape.
+    // n/2^bw flat as the corpus grows. Past bw=15 the four bands no
+    // longer fit one 60-bit word and the FINGERPRINT WIDENS (see
+    // [[simhashFps]]): word 1 is the upper md5 half (free), words 2/3 a
+    // salted digest — same plan shape at every scale, and more bits =
+    // finer similarity resolution (the Hamming-3 criterion tightens as
+    // the corpus grows, which is the right direction for dedup: a
+    // bigger corpus needs a sharper "near").
     "d03_simhash" -> { (s, d) =>
       import s.implicits._
-      import graft.functions.SimHashFp.simhash_fp
       val base = corpus(s, d)
       val bwRow = base.agg(count(lit(1)).as("n"))
         .select(expr(bwExpr("n")).as("bw"))
-      val fp = base
-        .withColumn("simhash", simhash_fp(col("text"), 60))
-        .select($"doc_id", $"simhash")
-        .crossJoin(broadcast(bwRow))
+      val fp = simhashFps(base, bwRow)
         .cache() // candidates + both verify joins consume it
       simhashCandidates(fp)
-        .join(fp.select($"doc_id".as("d1"), $"simhash".as("simhash1")), Seq("d1"))
-        .join(fp.select($"doc_id".as("d2"), $"simhash".as("simhash2")), Seq("d2"))
-        .withColumn("hamming", expr("bit_count(simhash1 ^ simhash2)"))
+        .join(fp.select($"doc_id".as("d1"), $"fps".as("fps1")), Seq("d1"))
+        .join(fp.select($"doc_id".as("d2"), $"fps".as("fps2")), Seq("d2"))
+        .withColumn("hamming", expr(
+          "CAST(aggregate(zip_with(fps1, fps2, (a, b) -> bit_count(a ^ b)), " +
+            "0, (acc, x) -> acc + x) AS INT)"))
         .filter(col("hamming") <= 3)
-        .select($"d1", $"d2", $"simhash1", $"hamming")
+        .select($"d1", $"d2", element_at($"fps1", 1).as("simhash1"), $"hamming")
         .orderBy($"d1", $"d2")
     },
 
@@ -415,6 +439,17 @@ object Dedup {
     }
   )
 
+  /** DuckDB majority vote of one fingerprint word over a token-hash list
+    * column — NULL list (word not in use at this corpus size) stays NULL
+    * instead of voting an all-zero word (CASE WHEN over a NULL comparison
+    * takes the ELSE 0 branch, so the guard must wrap the whole fold).
+    */
+  private def majoritySql(ms: String) =
+    s"""CASE WHEN $ms IS NULL THEN NULL
+       |      ELSE CAST(list_sum(list_transform(range(0, 60), j ->
+       |        CASE WHEN 2 * len(list_filter($ms, m -> (m >> j) & 1 = 1)) >= len($ms)
+       |             THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) END""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
       s"""WITH corpus AS ($corpusSql)
@@ -449,33 +484,53 @@ object Dedup {
          |ORDER BY d1, d2""".stripMargin
     },
 
+    // Wide-fingerprint mirror of [[simhashFps]]: word 0 = md5 hex 1-15,
+    // word 1 = hex 17-31 of the SAME digest, words 2/3 = the halves of
+    // md5('s2:' || w); word count and band layout derive from the same
+    // bw/bpw arithmetic. CASE keeps the unused words NULL (and
+    // majoritySql propagates that NULL rather than voting an all-zero
+    // word) so the sf0.01 oracle (1 word) doesn't pay for four.
     "d03_simhash" ->
       s"""WITH corpus AS ($corpusSql),
-         |bwv AS (SELECT ${bwExpr("COUNT(*)")} AS bw FROM corpus),
+         |p AS (
+         |  SELECT bw, CAST(60 // bw AS INT) AS bpw,
+         |    CASE WHEN 60 // bw >= 4 THEN 1
+         |         WHEN 60 // bw >= 2 THEN 2 ELSE 4 END AS nw
+         |  FROM (SELECT ${bwExpr("COUNT(*)")} AS bw FROM corpus)),
          |hashed AS (
          |  SELECT doc_id,
          |    list_transform(string_split(text, ' '),
-         |      w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS ms
-         |  FROM corpus),
+         |      w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS ms0,
+         |    CASE WHEN p.nw >= 2 THEN list_transform(string_split(text, ' '),
+         |      w -> CAST('0x' || substring(md5(w), 17, 15) AS BIGINT)) END AS ms1,
+         |    CASE WHEN p.nw >= 4 THEN list_transform(string_split(text, ' '),
+         |      w -> CAST('0x' || substring(md5('s2:' || w), 1, 15) AS BIGINT)) END AS ms2,
+         |    CASE WHEN p.nw >= 4 THEN list_transform(string_split(text, ' '),
+         |      w -> CAST('0x' || substring(md5('s2:' || w), 17, 15) AS BIGINT)) END AS ms3
+         |  FROM corpus, p),
          |fp AS (
          |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(range(0, 60), j ->
-         |      CASE WHEN 2 * len(list_filter(ms, m -> (m >> j) & 1 = 1)) >= len(ms)
-         |           THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |    [fpw FOR fpw IN [${majoritySql("ms0")}, ${majoritySql("ms1")},
+         |      ${majoritySql("ms2")}, ${majoritySql("ms3")}]
+         |     IF fpw IS NOT NULL] AS fps
          |  FROM hashed),
          |bands AS (
          |  SELECT doc_id, unnest(list_transform(range(0, 4),
-         |    k -> concat_ws('_', k, (simhash >> CAST(k * bw AS INT))
-         |                           & ((CAST(1 AS BIGINT) << bw) - 1)))) AS band_key
-         |  FROM fp, bwv),
+         |    k -> concat_ws('_', k,
+         |      (fps[CAST(k // bpw AS INT) + 1] >> CAST((k % bpw) * bw AS INT))
+         |      & ((CAST(1 AS BIGINT) << bw) - 1)))) AS band_key
+         |  FROM fp, p),
          |pairs AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM bands x JOIN bands y
          |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
-         |SELECT d1, d2, f1.simhash AS simhash1,
-         |  CAST(bit_count(xor(f1.simhash, f2.simhash)) AS INT) AS hamming
+         |SELECT d1, d2, f1.fps[1] AS simhash1,
+         |  CAST(list_sum(list_transform(range(1, len(f1.fps) + 1),
+         |    i -> bit_count(xor(f1.fps[CAST(i AS INT)], f2.fps[CAST(i AS INT)]))))
+         |    AS INT) AS hamming
          |FROM pairs JOIN fp f1 ON f1.doc_id = d1 JOIN fp f2 ON f2.doc_id = d2
-         |WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 3
+         |WHERE list_sum(list_transform(range(1, len(f1.fps) + 1),
+         |    i -> bit_count(xor(f1.fps[CAST(i AS INT)], f2.fps[CAST(i AS INT)])))) <= 3
          |ORDER BY d1, d2""".stripMargin,
 
     "d04_ngram_jaccard" -> s"""WITH $d04PairsSql
@@ -632,20 +687,25 @@ object Dedup {
     labels
   }
 
-  /** SimHash candidate pairs from 4 disjoint bw-bit bands of a 60-bit
-    * fingerprint (`fp` carries columns simhash AND bw — see [[bwExpr]]):
-    * explode (band_id, band_value) keys, equi-join, distinct. Any two
-    * fingerprints within Hamming distance 3 share at least one of the 4
-    * disjoint bands (pigeonhole — uncovered high bits only add
-    * candidates), so the candidate set provably contains every verifiable
-    * pair — OperatorSpec pins this recall guarantee on adversarial bit
-    * patterns. The width must grow with log n; fixed byte-wide bands
+  /** SimHash candidate pairs from 4 disjoint bw-bit bands of a wide
+    * fingerprint (`fp` carries columns fps, bw AND bpw — see
+    * [[simhashFps]]): explode (band_id, band_value) keys, equi-join,
+    * distinct. Band k reads bits [(k mod bpw)·bw, (k mod bpw + 1)·bw) of
+    * word k div bpw — within one word, so the layout works at any width.
+    * Any two fingerprints within Hamming distance 3 over the
+    * concatenation share at least one of the 4 disjoint bands (pigeonhole
+    * — uncovered bits only add candidates), so the candidate set provably
+    * contains every verifiable pair — OperatorSpec pins this recall
+    * guarantee on adversarial bit patterns at bw=15 and at a widened
+    * bw=30. The width must grow with log n; fixed byte-wide bands
     * measured quadratic at 16x.
     */
   private[graft] def simhashCandidates(fp: DataFrame): DataFrame = {
     val bands = fp.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 3), k -> concat_ws('_', k, " +
-        "shiftright(simhash, k * bw) & (shiftleft(CAST(1 AS BIGINT), bw) - 1)))"))
+        "shiftright(element_at(fps, CAST(k div bpw AS INT) + 1), " +
+        "CAST((k % bpw) * bw AS INT)) " +
+        "& (shiftleft(CAST(1 AS BIGINT), bw) - 1)))"))
       .as("band_key"))
     bands.as("x").join(bands.as("y"),
         col("x.band_key") === col("y.band_key") &&

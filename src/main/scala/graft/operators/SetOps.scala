@@ -65,6 +65,30 @@ object SetOps {
         .select($"l_suppkey", $"l_returnflag", $"l_linestatus")
         .distinct()
         .orderBy($"l_suppkey", $"l_returnflag", $"l_linestatus")
+    },
+
+    // INTERSECT ALL — multiset intersection: a customer with 3 orders in
+    // 1996 and 2 in 1997 appears min(3, 2) = 2 times. Plans as one
+    // count-per-side aggregate + join + replicate-by-min generate: the
+    // shuffle carries (key, two counts), never the duplicated rows.
+    "q70_intersect_all" -> { (s, d) =>
+      import s.implicits._
+      def activeIn(y: Int) = T.orders(s, d)
+        .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+                $"o_orderdate" <  lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      activeIn(1996).intersectAll(activeIn(1997)).orderBy($"o_custkey")
+    },
+
+    // EXCEPT ALL — multiset difference: 3 orders in 1996 minus 2 in 1997
+    // leaves the customer once (max(m1 - m2, 0) copies).
+    "q71_except_all" -> { (s, d) =>
+      import s.implicits._
+      def activeIn(y: Int) = T.orders(s, d)
+        .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+                $"o_orderdate" <  lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      activeIn(1996).exceptAll(activeIn(1997)).orderBy($"o_custkey")
     }
   )
 
@@ -101,6 +125,22 @@ object SetOps {
     "q22_distinct_projection" ->
       """SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus
         |FROM lineitem
-        |ORDER BY l_suppkey, l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_suppkey, l_returnflag, l_linestatus""".stripMargin,
+
+    "q70_intersect_all" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q71_except_all" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |ORDER BY o_custkey""".stripMargin
   )
 }

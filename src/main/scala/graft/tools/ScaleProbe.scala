@@ -116,22 +116,21 @@ object ScaleProbe {
     if (sections("simhash")) {
       println("== d03 candidate growth: adaptive vs fixed band width ==")
       println(f"${"k"}%-4s ${"docs"}%-8s ${"bw_adapt"}%-9s ${"waste/doc adapt"}%-16s ${"waste/doc bw=8"}%-15s")
-      import graft.functions.SimHashFp.simhash_fp
       for (k <- Seq(1, 4, 16)) {
         val corpus = scaledDocs(k)
         val nDocs = corpus.count()
-        val fp0 = corpus.withColumn("simhash", simhash_fp($"text", 60))
-          .select($"doc_id", $"simhash")
         def wastePerDoc(bwCol: DataFrame): Double = {
-          val fp = fp0.crossJoin(broadcast(bwCol)).cache()
+          val fp = Dedup.simhashFps(
+            corpus.select($"doc_id", $"text"), bwCol).cache()
           // the blocking-quality metric is WASTED verify work: candidate
           // pairs that then FAIL the hamming<=3 verify. Pairs that pass
           // are output (they grow with genuine corpus density no matter
           // how you block); waste is what the band width controls.
           val c = Dedup.simhashCandidates(fp)
-            .join(fp.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
-            .join(fp.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
-            .filter(expr("bit_count(h1 ^ h2) > 3")).count()
+            .join(fp.select(col("doc_id").as("d1"), col("fps").as("h1")), "d1")
+            .join(fp.select(col("doc_id").as("d2"), col("fps").as("h2")), "d2")
+            .filter(expr("aggregate(zip_with(h1, h2, (a, b) -> bit_count(a ^ b)), " +
+              "0, (acc, x) -> acc + x) > 3")).count()
           fp.unpersist()
           c.toDouble / nDocs
         }

@@ -280,7 +280,9 @@ class OperatorSpec extends SparkSpec {
       (1L, 0L),                                  // base
       (2L, (1L << 59) | (1L << 44) | (1L << 29)), // hamming 3, bands 3/2/1 hit
       (3L, (1L << 0) | (1L << 15) | (1L << 30) | (1L << 45)) // hamming 4, all bands hit
-    ).toDF("doc_id", "simhash").withColumn("bw", lit(15))
+    ).toDF("doc_id", "simhash")
+      .select($"doc_id", array($"simhash").as("fps"),
+              lit(15).as("bw"), lit(4).as("bpw"))
     val cands = datapipe.Dedup.simhashCandidates(fps)
       .as[(Long, Long)].collect().toSet
     assert(cands.contains((1L, 2L)), "hamming-3 pair missed by banding")
@@ -295,12 +297,71 @@ class OperatorSpec extends SparkSpec {
       (100L + i, bits.foldLeft(base)((f, b) => f ^ (1L << b)))
     }
     val all = (Seq((99L, base)) ++ perturbed).toDF("doc_id", "simhash")
-      .withColumn("bw", lit(15))
+      .select($"doc_id", array($"simhash").as("fps"),
+              lit(15).as("bw"), lit(4).as("bpw"))
     val found = datapipe.Dedup.simhashCandidates(all)
       .as[(Long, Long)].collect().toSet
     perturbed.foreach { case (id, _) =>
       assert(found.contains((99L, id)), s"pair (99, $id) missed")
     }
+  }
+
+  test("widened simhash banding (bw=30, 2 words): recall holds past the 15-bit cap") {
+    // bw=30, bpw=2: bands 0/1 are the halves of word 0, bands 2/3 the
+    // halves of word 1 — disjoint across the 120-bit concatenation, so
+    // <= 3 flipped bits anywhere still leave one band untouched
+    def df(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("doc_id", "w0", "w1")
+      .select($"doc_id", array($"w0", $"w1").as("fps"),
+              lit(30).as("bw"), lit(2).as("bpw"))
+    val base0 = 0x0123456789abcdL // 60-bit
+    val base1 = 0x0fedcba9876543L
+    val probe = df(Seq(
+      (1L, base0, base1),
+      // 3 bits: bands 0 (bit 5), 1 (bit 35), 2 (word-1 bit 10) hit;
+      // band 3 (word-1 high half) untouched
+      (2L, base0 ^ (1L << 5) ^ (1L << 35), base1 ^ (1L << 10)),
+      // 4 bits, one per band: must NOT be a candidate
+      (3L, base0 ^ (1L << 5) ^ (1L << 35), base1 ^ (1L << 10) ^ (1L << 40))))
+    val cands = datapipe.Dedup.simhashCandidates(probe)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), "hamming-3 pair missed at bw=30")
+    assert(!cands.contains((1L, 3L)),
+      "pair differing in all 4 bands must not be a candidate at bw=30")
+    // random <=3-bit perturbations over the full 120-bit concatenation
+    val rnd = new scala.util.Random(11)
+    val perturbed = (0 until 50).map { i =>
+      val k = 1 + rnd.nextInt(3)
+      val bits = rnd.shuffle((0 until 120).toList).take(k)
+      val (p0, p1) = bits.foldLeft((base0, base1)) { case ((a, b), bit) =>
+        if (bit < 60) (a ^ (1L << bit), b) else (a, b ^ (1L << (bit - 60)))
+      }
+      (100L + i, p0, p1)
+    }
+    val found = datapipe.Dedup.simhashCandidates(
+        df(Seq((99L, base0, base1)) ++ perturbed))
+      .as[(Long, Long)].collect().toSet
+    perturbed.foreach { case (id, _, _) =>
+      assert(found.contains((99L, id)), s"pair (99, $id) missed at bw=30")
+    }
+  }
+
+  test("simhash_fps word 0 equals simhash_fp; word 1 is the upper md5 half") {
+    GraftExtensions.register(spark)
+    import graft.functions.SimHashFps.simhash_fps
+    val diff = datapipe.Dedup.corpus(spark, sf)
+      .withColumn("wide", simhash_fps($"text", 60, lit(2)))
+      .withColumn("narrow", functions.SimHashFp.simhash_fp($"text", 60))
+      // word 1 re-derived declaratively from md5 hex digits 17-31
+      .withColumn("hi_declared", expr(
+        """aggregate(sequence(0, 59), 0L, (acc, j) -> acc +
+          |  IF(2 * size(filter(transform(split(text, ' '),
+          |       w -> CAST(conv(substring(md5(w), 17, 15), 16, 10) AS BIGINT)),
+          |     m -> (shiftright(m, j) & 1) = 1)) >= size(split(text, ' ')),
+          |     CAST(round(pow(2, j)) AS BIGINT), 0L))""".stripMargin))
+      .filter(element_at($"wide", 1) =!= $"narrow" ||
+              element_at($"wide", 2) =!= $"hi_declared")
+    assert(diff.count() === 0)
   }
 
   test("winnow join catches shared-span pairs that sit below d02/d04 thresholds") {
