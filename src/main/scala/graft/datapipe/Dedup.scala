@@ -278,21 +278,29 @@ object Dedup {
     // finer similarity resolution (the Hamming-3 criterion tightens as
     // the corpus grows, which is the right direction for dedup: a
     // bigger corpus needs a sharper "near").
+    // The verify runs FUSED into the band join: a wide fingerprint is
+    // two longs, cheap enough to carry through the band shuffle, so the
+    // Hamming filter rejects false candidates inside the join stage —
+    // on a correlated (templated) corpus the candidate set can be 100x
+    // the output (measured 71.8M -> 398k at stress 16x), and the old
+    // candidates->distinct->re-join-fps shape dragged every false pair
+    // through a shuffle and two joins before looking at a bit.
     "d03_simhash" -> { (s, d) =>
       import s.implicits._
       val base = corpus(s, d)
       val bwRow = base.agg(count(lit(1)).as("n"))
         .select(expr(bwExpr("n")).as("bw"))
-      val fp = simhashFps(base, bwRow)
-        .cache() // candidates + both verify joins consume it
-      simhashCandidates(fp)
-        .join(fp.select($"doc_id".as("d1"), $"fps".as("fps1")), Seq("d1"))
-        .join(fp.select($"doc_id".as("d2"), $"fps".as("fps2")), Seq("d2"))
+      val bands = simhashBands(simhashFps(base, bwRow))
+      bands.as("x").join(bands.as("y"),
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
         .withColumn("hamming", expr(
-          "CAST(aggregate(zip_with(fps1, fps2, (a, b) -> bit_count(a ^ b)), " +
-            "0, (acc, x) -> acc + x) AS INT)"))
+          "CAST(aggregate(zip_with(x.fps, y.fps, (a, b) -> bit_count(a ^ b)), " +
+            "0, (acc, v) -> acc + v) AS INT)"))
         .filter(col("hamming") <= 3)
-        .select($"d1", $"d2", element_at($"fps1", 1).as("simhash1"), $"hamming")
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+                element_at(col("x.fps"), 1).as("simhash1"), col("hamming"))
+        .distinct() // a pair can match in several bands — AFTER the verify
         .orderBy($"d1", $"d2")
     },
 
@@ -701,18 +709,24 @@ object Dedup {
     * measured quadratic at 16x.
     */
   private[graft] def simhashCandidates(fp: DataFrame): DataFrame = {
-    val bands = fp.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, 3), k -> concat_ws('_', k, " +
-        "shiftright(element_at(fps, CAST(k div bpw AS INT) + 1), " +
-        "CAST((k % bpw) * bw AS INT)) " +
-        "& (shiftleft(CAST(1 AS BIGINT), bw) - 1)))"))
-      .as("band_key"))
+    val bands = simhashBands(fp)
     bands.as("x").join(bands.as("y"),
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
   }
+
+  /** (doc_id, fps, band_key) — one row per band, fingerprint carried so
+    * consumers can verify INSIDE the band-join stage (see d03).
+    */
+  private[graft] def simhashBands(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("fps"), explode(expr(
+      "transform(sequence(0, 3), k -> concat_ws('_', k, " +
+        "shiftright(element_at(fps, CAST(k div bpw AS INT) + 1), " +
+        "CAST((k % bpw) * bw AS INT)) " +
+        "& (shiftleft(CAST(1 AS BIGINT), bw) - 1)))"))
+      .as("band_key"))
 
   /** d04's candidate+verify pipeline (unsorted): character-4-gram Jaccard
     * with blocked pair generation. Gram sets are pre-hashed to sorted long
