@@ -180,6 +180,30 @@ object WeatherPipeline {
         .orderBy($"location_id", $"ts")
     },
 
+    // The wire model's full enum vocabulary (Variable 165 / Unit 43 /
+    // Aggregation 16 / Probability 39 — graft.sources.WeatherVocab,
+    // verbatim from openmeteo_sdk) joined to the reference request's
+    // measure list under the surface-name rule: a trailing `_<n>m` is
+    // the altitude, the rest the Variable enum name — the decomposition
+    // the response's VariableWithValues header carries per data column.
+    // Both engines run the same regex resolution; the vocabulary rows
+    // themselves are the library's metadata surface.
+    "w08_enum_vocab" -> { (s, _) =>
+      import s.implicits._
+      val vocab = graft.sources.WeatherVocab.ALL.toDF("kind", "id", "name")
+      val measures = graft.sources.WeatherGridSource.MEASURES.toDF("measure")
+        .withColumn("base", regexp_replace($"measure", "_([0-9]+)m$", ""))
+        .withColumn("altitude_m",
+          when(regexp_extract($"measure", "_([0-9]+)m$", 1) === "", lit(-1))
+            .otherwise(regexp_extract($"measure", "_([0-9]+)m$", 1)
+              .cast("int")))
+      vocab.join(measures,
+          vocab("kind") === "variable" && vocab("name") === measures("base"),
+          "left")
+        .select($"kind", $"id", $"name", $"measure", $"altitude_m")
+        .orderBy($"kind", $"id")
+    },
+
     // O5+O11 — result envelope: fetched / inserted / cursor echo as a
     // single row (the lambda's JSON body, as a relation).
     "w06_result_envelope" -> { (s, d) =>
@@ -196,7 +220,32 @@ object WeatherPipeline {
     }
   )
 
+  /** The vocabulary as SQL VALUES — the enum tables are library
+    * constants (wire-id indexed), so the oracle embeds the same rows and
+    * the cross-engine check exercises the regex resolution + join.
+    */
+  private val vocabValuesSql = graft.sources.WeatherVocab.ALL
+    .map { case (k, i, n) => s"('$k', $i, '$n')" }.mkString(", ")
+  private val measureValuesSql = graft.sources.WeatherGridSource.MEASURES
+    .map(m => s"('$m')").mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
+    "w08_enum_vocab" ->
+      s"""WITH vocab(kind, id, name) AS (VALUES $vocabValuesSql),
+         |m0(measure) AS (VALUES $measureValuesSql),
+         |measures AS (
+         |  SELECT measure,
+         |    regexp_replace(measure, '_([0-9]+)m$$', '') AS base,
+         |    CASE WHEN regexp_extract(measure, '_([0-9]+)m$$', 1) = ''
+         |         THEN -1
+         |         ELSE CAST(regexp_extract(measure, '_([0-9]+)m$$', 1) AS INT)
+         |    END AS altitude_m
+         |  FROM m0)
+         |SELECT v.kind, v.id, v.name, m.measure, m.altitude_m
+         |FROM vocab v LEFT JOIN measures m
+         |  ON v.kind = 'variable' AND v.name = m.base
+         |ORDER BY v.kind, v.id""".stripMargin,
+
     "w01_time_grid" ->
       """SELECT range AS ts
         |FROM range(TIMESTAMP '2024-01-14 00:00:00',

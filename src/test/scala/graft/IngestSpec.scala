@@ -306,6 +306,33 @@ class IngestSpec extends SparkSpec {
     assert(calls === 1, s"NoSuchFile burned $calls attempts")
   }
 
+  test("enum vocabulary is complete and the measure resolution rule is total") {
+    import graft.sources.WeatherVocab
+    assert(WeatherVocab.VARIABLES.length === 165)
+    assert(WeatherVocab.UNITS.length === 43)
+    assert(WeatherVocab.AGGREGATIONS.length === 16)
+    assert(WeatherVocab.PROBABILITIES.length === 39)
+    assert(WeatherVocab.VARIABLES.distinct.length === 165, "duplicate names")
+    // spot-pin wire ids against the reference enum (Variable.py:6-170)
+    assert(WeatherVocab.VARIABLES(1) === "apparent_temperature")
+    assert(WeatherVocab.VARIABLES(47) === "temperature")
+    assert(WeatherVocab.VARIABLES(164) === "sea_ice_thickness")
+    assert(WeatherVocab.UNITS(1) === "celsius")
+    assert(WeatherVocab.AGGREGATIONS(15) === "efi")
+    // every reference request measure resolves to a known Variable
+    graft.sources.WeatherGridSource.MEASURES.foreach { m =>
+      val (base, alt) = WeatherVocab.measureToVariable(m)
+      assert(WeatherVocab.VARIABLES.contains(base),
+        s"$m -> $base not in the Variable enum")
+      assert(alt == -1 || alt > 0, s"$m parsed altitude $alt")
+    }
+    assert(WeatherVocab.measureToVariable("temperature_2m") ===
+      ("temperature", 2))
+    assert(WeatherVocab.measureToVariable("wind_speed_10m") ===
+      ("wind_speed", 10))
+    assert(WeatherVocab.measureToVariable("rain") === ("rain", -1))
+  }
+
   test("retry helper: wrapped transient cause (Spark-style) still retries") {
     // Spark wraps task failures — the transient test scans the cause chain
     var calls = 0
