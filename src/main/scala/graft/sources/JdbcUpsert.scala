@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** The reference store's upsert, as a distributed writer: PostgreSQL
+  * `INSERT ... ON CONFLICT (key) DO NOTHING` over batched VALUES with the
+  * inserted rowcount reported back (lambda_function.py:176-191,
+  * psycopg2 `execute_values` + `cur.rowcount`).
+  *
+  * No JDBC driver jar resolves in this environment, so the writer runs
+  * against a narrow session SPI instead of `java.sql.Connection`: a real
+  * deployment adapts a driver connection in ~10 lines (prepare
+  * [[insertSql]], addBatch per row, executeBatch, sum update counts);
+  * the spec plugs an in-memory store that implements the same conflict
+  * and transaction semantics. The SHAPE is the deliverable: one session
+  * per PARTITION (a 1000-executor run opens 1000 connections, not one
+  * driver-side bottleneck), rows streamed in bounded batches (constant
+  * executor memory), NaN → NULL on the way out
+  * (lambda_function.py:170-173), inserted counts accumulated back to the
+  * driver as the `cur.rowcount` analog (:184-186).
+  *
+  * Commit granularity is PER PARTITION — a mid-job failure can leave some
+  * partitions committed (exactly-once needs the idempotence the conflict
+  * key provides, which is WHY the reference uses DO NOTHING; re-running
+  * the job inserts only what's missing).
+  */
+object JdbcUpsert {
+
+  /** One writer session (≈ one connection + transaction). Implementations
+    * must be constructible ON EXECUTORS via a serializable factory.
+    */
+  trait UpsertSession extends AutoCloseable {
+    /** Insert a batch; rows with an existing conflict-key are skipped.
+      * Returns the number of rows actually inserted (psycopg2
+      * `cur.rowcount` after `execute_values`, lambda_function.py:184-186
+      * — conflicts do NOT count).
+      */
+    def insertBatch(rows: Seq[Seq[Any]]): Long
+    def commit(): Unit
+    def rollback(): Unit
+  }
+
+  /** Serializable factory — shipped to executors, one session per
+    * partition. The (table, columns, conflictKey) triple is fixed at
+    * factory construction so the session API stays data-only.
+    */
+  trait SessionFactory extends Serializable {
+    def open(): UpsertSession
+  }
+
+  /** The reference statement, verbatim in shape
+    * (lambda_function.py:176-183) — what a `java.sql.Connection` adapter
+    * prepares (with `?` placeholders substituted for the VALUES stub).
+    */
+  def insertSql(table: String, columns: Seq[String],
+                conflictKey: Seq[String]): String =
+    s"""INSERT INTO $table (
+       |    ${columns.mkString(", ")}
+       |) VALUES %s
+       |ON CONFLICT (${conflictKey.mkString(", ")}) DO NOTHING""".stripMargin
+
+  /** Distributed upsert: `foreachPartition` opens one session, streams the
+    * partition in `batchSize` chunks, commits once per partition, rolls
+    * back on failure. Returns total rows inserted across all partitions.
+    * Double.NaN / Float.NaN render as NULL (the reference's pd.isna
+    * mapping, :170-173 — NaN means "sensor gap", and a NaN would poison
+    * the conflict-key equality a re-run depends on).
+    */
+  def upsert(df: DataFrame, factory: SessionFactory,
+             batchSize: Int = 1000): Long = {
+    require(batchSize > 0, "batchSize must be positive")
+    val acc = df.sparkSession.sparkContext.longAccumulator("rows_inserted")
+    val nCols = df.columns.length
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val sess = factory.open()
+        try {
+          it.grouped(batchSize).foreach { chunk =>
+            val rows = chunk.map { r =>
+              (0 until nCols).map { i =>
+                r.get(i) match {
+                  case null => null
+                  case d: java.lang.Double if d.isNaN => null
+                  case f: java.lang.Float if f.isNaN => null
+                  case v => v
+                }
+              }
+            }
+            acc.add(sess.insertBatch(rows))
+          }
+          sess.commit()
+        } catch {
+          case e: Throwable =>
+            try sess.rollback() finally sess.close()
+            throw e
+        }
+        sess.close()
+      }
+    }
+    acc.value
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.sources.JdbcUpsert
+import graft.sources.JdbcUpsert.{SessionFactory, UpsertSession}
+import org.apache.spark.sql.functions._
+
+/** The JDBC upsert writer shape against an in-memory stub store — the
+  * reference's `INSERT ... ON CONFLICT DO NOTHING` + `cur.rowcount`
+  * semantics (lambda_function.py:176-191) proven without a live
+  * database: conflict-key skips, within-batch dedup, idempotent re-run,
+  * NaN→NULL, per-partition rollback, bounded batch streaming.
+  */
+class JdbcUpsertSpec extends SparkSpec {
+
+  import spark.implicits._
+  import JdbcUpsertSpec._
+
+  private def freshStore(): String = {
+    val name = s"store_${System.nanoTime()}"
+    MemStore.clear(name)
+    name
+  }
+
+  test("insertSql renders the reference statement shape") {
+    val sql = JdbcUpsert.insertSql(
+      "sensor_project.weather_data",
+      Seq("date", "temperature_2m", "rain"), Seq("date"))
+    assert(sql.startsWith("INSERT INTO sensor_project.weather_data"))
+    assert(sql.contains("date, temperature_2m, rain"))
+    assert(sql.contains("VALUES %s"))
+    assert(sql.endsWith("ON CONFLICT (date) DO NOTHING"))
+  }
+
+  test("rowcount counts inserts only; re-run inserts zero (idempotent)") {
+    val store = freshStore()
+    val factory = new MemUpsertFactory(store, keyIdx = Seq(0))
+    // key 10 pre-exists; keys 20/30 are new; 30 appears TWICE in the
+    // batch (within-batch conflict — second row must be skipped)
+    MemStore.table(store).put(Seq(10L), Seq(10L, "old"))
+    val df = Seq((10L, "dup"), (20L, "a"), (30L, "b"), (30L, "b2"))
+      .toDF("k", "v")
+    val inserted = JdbcUpsert.upsert(df, factory)
+    assert(inserted === 2L, "only the two genuinely-new keys count")
+    assert(MemStore.table(store).size() === 3)
+    assert(MemStore.table(store).get(Seq(10L))(1) === "old",
+      "DO NOTHING must not overwrite the existing row")
+    // the reference's idempotence contract: running the same window
+    // again inserts nothing (lambda_function.py:184-186)
+    assert(JdbcUpsert.upsert(df, factory) === 0L)
+    assert(MemStore.table(store).size() === 3)
+  }
+
+  test("NaN values render as NULL (pd.isna mapping)") {
+    val store = freshStore()
+    val factory = new MemUpsertFactory(store, keyIdx = Seq(0))
+    val df = Seq((1L, Double.NaN), (2L, 3.5)).toDF("k", "v")
+    assert(JdbcUpsert.upsert(df, factory) === 2L)
+    assert(MemStore.table(store).get(Seq(1L))(1) === null)
+    assert(MemStore.table(store).get(Seq(2L))(1) === 3.5)
+  }
+
+  test("a failing partition rolls back its own inserts") {
+    val store = freshStore()
+    val factory = new MemUpsertFactory(store, keyIdx = Seq(0),
+      failOnKey = Some(3L))
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "boom"), (4L, "c"))
+      .toDF("k", "v").coalesce(1)
+    intercept[org.apache.spark.SparkException] {
+      JdbcUpsert.upsert(df, factory, batchSize = 2)
+    }
+    assert(MemStore.table(store).isEmpty,
+      "rolled-back session must leave no rows behind")
+  }
+
+  test("partitions stream in bounded batches, one session each") {
+    val store = freshStore()
+    MemStore.resetCounters(store)
+    val factory = new MemUpsertFactory(store, keyIdx = Seq(0))
+    val df = spark.range(10).select($"id".as("k"), lit("v").as("v"))
+      .repartition(2)
+    assert(JdbcUpsert.upsert(df, factory, batchSize = 3) === 10L)
+    assert(MemStore.sessions(store).get() === 2, "one session per partition")
+    // 10 rows over 2 partitions in chunks of 3 → 4 batch calls total
+    // (ceil(a/3) + ceil(b/3) for a+b=10 is 4 for every split)
+    assert(MemStore.batches(store).get() === 4)
+  }
+}
+
+object JdbcUpsertSpec {
+  import java.util.concurrent.{ConcurrentHashMap => CMap}
+  import java.util.concurrent.atomic.AtomicInteger
+
+  /** Shared in-memory store (local-mode executors share the JVM). Keys
+    * are rendered conflict-column tuples; values are full rows.
+    */
+  object MemStore {
+    private val tables = new CMap[String, CMap[Seq[Any], Seq[Any]]]()
+    private val sessionCounts = new CMap[String, AtomicInteger]()
+    private val batchCounts = new CMap[String, AtomicInteger]()
+    def table(name: String): CMap[Seq[Any], Seq[Any]] =
+      tables.computeIfAbsent(name, _ => new CMap[Seq[Any], Seq[Any]]())
+    def sessions(name: String): AtomicInteger =
+      sessionCounts.computeIfAbsent(name, _ => new AtomicInteger)
+    def batches(name: String): AtomicInteger =
+      batchCounts.computeIfAbsent(name, _ => new AtomicInteger)
+    def clear(name: String): Unit = { table(name).clear(); resetCounters(name) }
+    def resetCounters(name: String): Unit = {
+      sessions(name).set(0); batches(name).set(0)
+    }
+  }
+
+  /** Stub session factory: putIfAbsent models the conflict-key skip
+    * (inserts from an open transaction are visible to concurrent
+    * sessions immediately — the serialized-writers simplification);
+    * rollback removes the session's own staged keys.
+    */
+  class MemUpsertFactory(store: String, keyIdx: Seq[Int],
+                         failOnKey: Option[Any] = None)
+      extends SessionFactory {
+    def open(): UpsertSession = {
+      MemStore.sessions(store).incrementAndGet()
+      new UpsertSession {
+        private val t = MemStore.table(store)
+        private val staged = scala.collection.mutable.Buffer[Seq[Any]]()
+        def insertBatch(rows: Seq[Seq[Any]]): Long = {
+          MemStore.batches(store).incrementAndGet()
+          var n = 0L
+          rows.foreach { r =>
+            failOnKey.foreach { bad =>
+              if (r(keyIdx.head) == bad)
+                throw new java.io.IOException(s"injected failure on $bad")
+            }
+            val k = keyIdx.map(r)
+            if (t.putIfAbsent(k, r) == null) { staged += k; n += 1 }
+          }
+          n
+        }
+        def commit(): Unit = staged.clear()
+        def rollback(): Unit = { staged.foreach(t.remove); staged.clear() }
+        def close(): Unit = ()
+      }
+    }
+  }
+}
