@@ -187,36 +187,58 @@ object TextAnalysis {
         |       ELSE element_at(syms, i) END), x -> x IS NOT NULL))""".stripMargin))
     .select(col("w"), col("freq"), col("seq"))
 
+  /** The BPE training loop, round count parameterized: count
+    * corpus-weighted adjacent symbol pairs over the (distinct word,
+    * frequency) view, merge the argmax pair everywhere, recount.
+    *
+    * `eager = false` (the oracle-checked t15 path, 2 rounds) keeps ONE
+    * lazy DAG — no driver scalar, exact parity with the unrolled SQL.
+    * Past a handful of rounds that DAG grows superlinearly: round r's
+    * argmax re-derives rounds 1..r-1, and analysis time follows the
+    * lineage. `eager = true` is the production-trainer mode: each
+    * round's 1-row argmax and each `checkpointEvery`-th merged word
+    * table localCheckpoint() — lineage stays O(checkpointEvery) deep,
+    * so rounds scale linearly (spec'd at rounds = 8).
+    */
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int,
+                              eager: Boolean = false,
+                              checkpointEvery: Int = 4): DataFrame = {
+    var wf = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq", expr("concat_ws(' ', " +
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
+    val out = (1 to rounds).map { r =>
+      var top = bpePairCounts(wf)
+        .orderBy(col("n").desc, col("pair")).limit(1)
+      if (eager) top = top.localCheckpoint() // 1 row — argmax computed once
+      wf = bpeApplyMerge(wf, top)
+      if (eager && r % checkpointEvery == 0)
+        wf = wf.localCheckpoint() // truncate the per-round merge lineage
+      // post-merge corpus stats: each merge of corpus count n removes
+      // exactly n tokens (pinned in OperatorSpec)
+      val stats = wf
+        .select(col("freq"), explode(split(col("seq"), " ")).as("sym"))
+        .agg(countDistinct(col("sym")).as("vocab"),
+             sum(col("freq")).as("total_tokens"))
+      top.select(lit(r).as("round"), col("pair"), col("n"))
+        .crossJoin(broadcast(stats))
+    }
+    out.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BPE merge training — the actual tokenizer-training loop, two
-    // unrolled rounds: count corpus-weighted adjacent symbol pairs over
-    // the (distinct word, frequency) view, merge the argmax pair
-    // everywhere, recount. The heavy statistic (pair counts) is one
-    // explode + partial-agg per round over the DISTINCT-WORD table —
-    // thousands of times smaller than the corpus, the same compression
-    // every production BPE trainer exploits — and the merge itself is
-    // map-only. Ties break on the pair string, so the learned merges
-    // are deterministic on both engines at any parallelism.
+    // unrolled rounds over the DISTINCT-WORD table — thousands of times
+    // smaller than the corpus, the same compression every production
+    // BPE trainer exploits — and the merge itself is map-only. Ties
+    // break on the pair string, so the learned merges are deterministic
+    // on both engines at any parallelism. See [[bpeTrain]] for the
+    // round-parameterized trainer with lineage checkpointing.
     "t15_bpe_train" -> { (s, d) =>
-      import s.implicits._
-      var wf = T.documents(s, d)
-        .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
-        .groupBy($"w").agg(count(lit(1)).as("freq"))
-        .withColumn("seq", expr("concat_ws(' ', " +
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
-      val out = (1 to 2).map { r =>
-        val top = bpePairCounts(wf).orderBy($"n".desc, $"pair").limit(1)
-        wf = bpeApplyMerge(wf, top)
-        // post-merge corpus stats: each merge of corpus count n removes
-        // exactly n tokens (pinned in OperatorSpec)
-        val stats = wf.select($"freq", explode(split($"seq", " ")).as("sym"))
-          .agg(countDistinct($"sym").as("vocab"),
-               sum($"freq").as("total_tokens"))
-        top.select(lit(r).as("round"), $"pair", $"n")
-          .crossJoin(broadcast(stats))
-      }
-      out.reduce(_ unionByName _).orderBy($"round")
+      bpeTrain(T.documents(s, d), rounds = 2)
     },
     // Language ID: frequency-weighted lexicon overlap, argmax with
     // alphabetical tie-break; compared against the labeled lang.

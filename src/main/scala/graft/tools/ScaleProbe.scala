@@ -38,15 +38,22 @@ import org.apache.spark.sql.functions._
   *     near-boundary NEAR-dups can straddle finer cells — the recall
   *     caveat shared with every learned-quantizer clustering.
   *
+  *  6. q48 hot-key salting: wall-time of the salted join vs the plain
+  *     shuffle join (broadcast disabled) as a 50%-hot key scales —
+  *     locates the crossover where the build-side replication pays for
+  *     itself and shows the unsalted join converging to the one hot
+  *     task's time.
+  *
   * Usage: runMain graft.tools.ScaleProbe [sfDir]
-  *                [section csv: store,rank,simhash,winnow,semdedup]
+  *                [section csv: store,rank,simhash,winnow,semdedup,skew]
   */
 object ScaleProbe {
   private val SHIFT = 100000000L
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val sections = args.lift(1).getOrElse("store,rank,simhash,winnow,semdedup")
+    val sections = args.lift(1)
+      .getOrElse("store,rank,simhash,winnow,semdedup,skew")
       .split(",").map(_.trim).toSet
 
     val spark = SparkSession.builder()
@@ -189,6 +196,52 @@ object ScaleProbe {
         val (wa, ca) = probe(None)
         val (wf, cf) = probe(Some(spark.range(1).select(lit(8).as("cap"))))
         println(f"$k%-4d $nDocs%-8d $capVal%-5d $wa%-12.3f $wf%-13.3f $ca%-13d $cf")
+      }
+    }
+
+    if (sections("skew")) {
+      println("== q48 salting vs plain shuffle join under a hot key ==")
+      println("   (50% of probe rows on ONE user; broadcast disabled = the")
+      println("    non-broadcastable build side salting exists for)")
+      println(f"${"k"}%-4s ${"rows"}%-9s ${"plain+aqeskew"}%-14s ${"plain_noskew"}%-13s salted(32)")
+      import graft.operators.SkewJoin
+      val ev0 = graft.Tables.events(spark, sfDir)
+        .select($"event_id", $"user_id", $"value")
+      def scaledEv(k: Int): DataFrame =
+        (0 until k).map { i =>
+          if (i == 0) ev0
+          else ev0.select(($"event_id" + i * SHIFT).as("event_id"),
+                          $"user_id", $"value")
+        }.reduce(_ unionByName _)
+      val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for (k <- Seq(16, 64, 256)) {
+          val probe = scaledEv(k).withColumn("user_id",
+            when($"event_id" % 2 === 0, lit(42L)).otherwise($"user_id"))
+            .localCheckpoint() // isolate join time from the scaling union
+          val n = probe.count()
+          val build = probe.groupBy($"user_id")
+            .agg(count(lit(1)).as("user_events")).localCheckpoint()
+          def run(skewOn: Boolean, salted: Boolean): Double = {
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn)
+            val joined =
+              if (salted) SkewJoin.saltedJoin(probe, build, "user_id", 32)
+              else probe.join(build, Seq("user_id"))
+            val (_, t) = timed {
+              joined.write.format("noop").mode("overwrite").save()
+            }
+            t
+          }
+          val tAqe = run(skewOn = true, salted = false)
+          val tPlain = run(skewOn = false, salted = false)
+          val tSalted = run(skewOn = false, salted = true)
+          println(f"$k%-4d $n%-9d $tAqe%-14.2f $tPlain%-13.2f $tSalted%.2f")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
       }
     }
 

@@ -821,6 +821,36 @@ class OperatorSpec extends SparkSpec {
       "round-2 token accounting drifted")
   }
 
+  test("t15: 8 checkpointed rounds run linearly and keep exact token accounting") {
+    // the eager trainer mode: per-round argmax materialized (1 row),
+    // word table checkpointed every 4 rounds — lineage stays bounded,
+    // so 8 rounds must not blow up analysis or recompute early rounds
+    val t0 = System.nanoTime()
+    val rows = datapipe.TextAnalysis.bpeTrain(
+        Tables.documents(spark, sf), rounds = 8, eager = true)
+      .select($"round", $"pair", $"n", $"vocab", $"total_tokens")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length === 8)
+    // every round's merge count is positive and token totals fall by
+    // EXACTLY the applied merge count, round over round
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 === a._5 - b._3,
+        s"round ${b._1}: tokens ${a._5} -> ${b._5} but n=${b._3}")
+    }
+    assert(rows.forall(_._3 > 0))
+    // the first 2 rounds must equal the oracle-checked lazy path
+    val lazyRows = datapipe.TextAnalysis.queries("t15_bpe_train")(spark, sf)
+      .select($"round", $"pair", $"n", $"vocab", $"total_tokens")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.take(2).toSeq === lazyRows.toSeq,
+      "eager trainer diverged from the oracle-checked path")
+    // loose ceiling only to catch lineage blowup (8 rounds of this
+    // corpus run in a few seconds when checkpointing works; an
+    // unbounded-lineage run is minutes)
+    assert(secs < 120, f"8 rounds took $secs%.0f s — lineage blowup?")
+  }
+
   test("s09: quantized two-stage rerank agrees with the exact top-10") {
     val exact = datapipe.Similarity.queries("s01_topk_cosine")(spark, sf)
       .select($"vec_id").as[Long].collect().toSet
