@@ -89,6 +89,26 @@ object SetOps {
                 $"o_orderdate" <  lit(s"${y + 1}-01-01").cast("timestamp"))
         .select($"o_custkey")
       activeIn(1996).exceptAll(activeIn(1997)).orderBy($"o_custkey")
+    },
+
+    // TABLESAMPLE — the physical sampling operator (SQL
+    // `TABLESAMPLE (10 PERCENT) REPEATABLE(42)`): per-partition seeded
+    // Bernoulli evaluated INSIDE the scan stage, so a 100 TB profile
+    // query reads and filters in one pass with no shuffle (t05's hash
+    // sampling is the content-deterministic alternative; this is the
+    // cheap statistical one). Seeded sampling is deterministic for a
+    // fixed partitioning but engine-specific RNG — no DuckDB oracle can
+    // match it row-for-row, so this entry takes the driver's rows>0
+    // check and SetOpsSampleSpec pins repeatability, fraction bounds,
+    // and the no-shuffle plan INSIDE Spark.
+    "q72_tablesample" -> { (s, d) =>
+      import s.implicits._
+      T.orders(s, d)
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_sampled"),
+             dsum($"o_totalprice").as("sampled_total"))
+        .orderBy($"o_orderpriority")
     }
   )
 

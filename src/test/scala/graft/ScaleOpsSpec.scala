@@ -106,6 +106,30 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q72 TABLESAMPLE: repeatable, in-scan (no pre-shuffle), fraction sane") {
+    val q = operators.SetOps.queries("q72_tablesample")
+    val a = q(spark, sf).collect().map(_.toSeq)
+    val b = q(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq, "seeded sample must be run-repeatable")
+    // the sample evaluates before the aggregation's exchange: the only
+    // shuffles are the groupBy's and the output sort's — none BELOW the
+    // Sample operator
+    val plan = q(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Sample"), "physical Sample operator missing")
+    val sampleDepth = plan.linesIterator.indexWhere(_.contains("Sample"))
+    val below = plan.linesIterator.drop(sampleDepth + 1).toList
+    assert(!below.exists(_.contains("Exchange")),
+      "sampling must run inside the scan stage, not after a shuffle:\n" +
+        below.mkString("\n"))
+    // 10% of orders, binomial: assert within 5 sigma to stay unflaky
+    val total = Tables.orders(spark, sf).count()
+    val sampled = q(spark, sf).agg(sum($"n_sampled")).as[Long].head()
+    val expect = total * 0.1
+    val sigma = math.sqrt(total * 0.1 * 0.9)
+    assert(math.abs(sampled - expect) < 5 * sigma,
+      s"sampled $sampled of $total, expected ~$expect")
+  }
+
   test("AQE splits skewed partitions at runtime (skew=true in final plan)") {
     // manual salting (q48) is one answer to skew; AQE's OptimizeSkewedJoin
     // is the zero-code answer — verify it engages on a skewed sort-merge
