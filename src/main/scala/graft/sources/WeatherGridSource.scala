@@ -119,12 +119,31 @@ object WeatherGridSource {
     StructField("elevation", FloatType, nullable = false),
     StructField("model", StringType, nullable = false))
 
-  def schemaFor(variables: Seq[String], metadata: Boolean = false): StructType =
+  def schemaFor(variables: Seq[String], metadata: Boolean = false): StructType = {
+    // with metadata=true each variable column also carries its wire
+    // header ids as COLUMN metadata (Spark's per-field metadata is the
+    // idiomatic surface for per-column facts — they are constant per
+    // column, so a row-level column would just repeat them)
+    def varField(v: String): StructField =
+      if (!metadata) StructField(v, DoubleType, nullable = true)
+      else {
+        val m = varMeta(v)
+        StructField(v, DoubleType, nullable = true,
+          new MetadataBuilder()
+            .putLong("variable_id", m.variableId.toLong)
+            .putString("variable",
+              WeatherVocab.VARIABLES(m.variableId))
+            .putLong("unit_id", m.unitId.toLong)
+            .putString("unit", WeatherVocab.UNITS(m.unitId))
+            .putLong("aggregation_id", m.aggregationId.toLong)
+            .putLong("altitude_m", m.altitudeM.toLong)
+            .build())
+      }
     StructType(
       StructField("location_id", LongType, nullable = false) +:
       StructField("ts", TimestampType, nullable = false) +:
-      ((if (metadata) META_FIELDS else Seq.empty) ++
-        variables.map(StructField(_, DoubleType, nullable = true))))
+      ((if (metadata) META_FIELDS else Seq.empty) ++ variables.map(varField)))
+  }
 
   val SCHEMA: StructType = schemaFor(MEASURES)
 
@@ -187,6 +206,36 @@ object WeatherGridSource {
   def varKey(name: String): Long =
     graft.functions.PortableHashExpr.hash60Bytes(
       name.getBytes("UTF-8"), 0, name.getBytes("UTF-8").length)
+
+  /** Request-measure default units — the public API's response units for
+    * unit-less requests (temperature/dew point in celsius, precipitation
+    * depths in millimetres, humidity in percent, sunshine in seconds,
+    * wind in km/h). Resolved to Unit enum ids via [[WeatherVocab]].
+    */
+  val MEASURE_UNITS: Map[String, String] = Map(
+    "temperature_2m" -> "celsius",
+    "relative_humidity_2m" -> "percentage",
+    "apparent_temperature" -> "celsius",
+    "rain" -> "millimetre",
+    "sunshine_duration" -> "seconds",
+    "precipitation" -> "millimetre",
+    "dew_point_2m" -> "celsius",
+    "wind_speed_10m" -> "kilometres_per_hour")
+
+  /** Per-variable wire header ids (VariableWithValues mirror): surface
+    * name decomposed by [[WeatherVocab.measureToVariable]], enum names
+    * resolved to wire ids; unknown names map to id 0 ("undefined" /
+    * "none"), like a FlatBuffers default.
+    */
+  def varMeta(name: String): WireFraming.VarMeta = {
+    val (base, alt) = WeatherVocab.measureToVariable(name)
+    WireFraming.VarMeta(
+      variableId = math.max(WeatherVocab.VARIABLES.indexOf(base), 0),
+      unitId = math.max(
+        WeatherVocab.UNITS.indexOf(MEASURE_UNITS.getOrElse(name, "")), 0),
+      aggregationId = 0, // instant series — Aggregation.none
+      altitudeM = alt)
+  }
 
   /** Deterministic measure value; NaN holes every 50th slot/variable. */
   def value(loc: Long, slotMicros: Long, key: Long): Double = {

@@ -18,12 +18,17 @@ import java.nio.charset.StandardCharsets.UTF_8
   * `[long location][long startMicros][long intervalMicros]
   *  [int nSlots][int nVars]
   *  [float latitude][float longitude][float elevation][ubyte model]
+  *  [nVars x ([short variable][ubyte unit][ubyte aggregation]
+  *            [int altitude])]
   *  [nVars x nSlots doubles]`,
   * variables in REQUEST order exactly like the reference's response
   * (lambda_function.py:27-36 — request order = column order). The four
   * metadata scalars mirror the reference response's per-location header
   * (openmeteo_sdk/WeatherApiResponse.py:32-71: Latitude/Longitude/
-  * Elevation as Float32, Model as Uint8).
+  * Elevation as Float32, Model as Uint8), and the per-variable block
+  * mirrors VariableWithValues' column header (Variable/Unit/Aggregation
+  * enum ids + Altitude, openmeteo_sdk/VariableWithValues.py) — the ids
+  * resolve against [[WeatherVocab]] on both ends.
   *
   * Both directions STREAM: the server emits frames one at a time
   * ([[encodeResponseChunks]]) and the client decodes from an arbitrary
@@ -40,6 +45,15 @@ object WireFraming {
 
   /** Fixed frame-header size: 3 longs + 2 ints + 3 floats + 1 byte. */
   val HeaderBytes: Int = 8 * 3 + 4 * 2 + 4 * 3 + 1
+
+  /** Per-variable header block: short + 2 ubytes + int. */
+  val VarMetaBytes: Int = 2 + 1 + 1 + 4
+
+  /** One data column's identity on the wire — VariableWithValues' enum
+    * ids (variable/unit/aggregation + altitude in metres, -1 = none).
+    */
+  final case class VarMeta(variableId: Int, unitId: Int,
+                           aggregationId: Int, altitudeM: Int)
 
   final class WireError(message: String) extends RuntimeException(message)
 
@@ -121,6 +135,7 @@ object WireFraming {
                                intervalMicros: Long, nSlots: Int,
                                latitude: Float, longitude: Float,
                                elevation: Float, model: Int,
+                               varMeta: Array[VarMeta],
                                series: Array[Array[Double]])
 
   /** One framed (length-prefixed) message: `slotTs(i)` is slot i's
@@ -132,8 +147,10 @@ object WireFraming {
     */
   private def frameChunk(loc: Long, msgStart: Long, interval: Long,
                          nSlots: Int, slotTs: Int => Long,
-                         keys: Seq[Long]): Array[Byte] = {
-    val payload = HeaderBytes + keys.size * nSlots * 8
+                         variables: Seq[String]): Array[Byte] = {
+    val keys = variables.map(WeatherGridSource.varKey)
+    val payload = HeaderBytes + variables.size * VarMetaBytes +
+      keys.size * nSlots * 8
     val buf = ByteBuffer.allocate(4 + payload).order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(payload)
     buf.putLong(loc).putLong(msgStart).putLong(interval)
@@ -142,6 +159,11 @@ object WireFraming {
       .putFloat(WeatherGridSource.longitude(loc))
       .putFloat(WeatherGridSource.elevation(loc))
       .put(WeatherGridSource.modelId(loc).toByte)
+    variables.foreach { v =>
+      val m = WeatherGridSource.varMeta(v)
+      buf.putShort(m.variableId.toShort).put(m.unitId.toByte)
+        .put(m.aggregationId.toByte).putInt(m.altitudeM)
+    }
     keys.foreach { k =>
       var i = 0
       while (i < nSlots) {
@@ -170,14 +192,13 @@ object WireFraming {
   def encodeResponseChunks(loc: Long, start: Long, end: Long, interval: Long,
                            variables: Seq[String], slotsPerMessage: Int,
                            injectError: Boolean = false): Iterator[Array[Byte]] = {
-    val keys = variables.map(WeatherGridSource.varKey)
     val totalSlots = math.max(0L, (end - start + interval - 1) / interval)
     val frames = (0L until totalSlots by slotsPerMessage.toLong).iterator
       .map { s0 =>
         val n = math.min(slotsPerMessage.toLong, totalSlots - s0).toInt
         val msgStart = start + s0 * interval
         frameChunk(loc, msgStart, interval, n,
-          i => msgStart + i * interval, keys)
+          i => msgStart + i * interval, variables)
       }
     withInjectedError(frames, injectError)
   }
@@ -191,8 +212,7 @@ object WireFraming {
   def encodeMonthlyChunks(loc: Long, months: Iterator[Long],
                           variables: Seq[String],
                           injectError: Boolean = false): Iterator[Array[Byte]] = {
-    val keys = variables.map(WeatherGridSource.varKey)
-    val frames = months.map(m => frameChunk(loc, m, 0L, 1, _ => m, keys))
+    val frames = months.map(m => frameChunk(loc, m, 0L, 1, _ => m, variables))
     withInjectedError(frames, injectError)
   }
 
@@ -203,10 +223,15 @@ object WireFraming {
     val nSlots = buf.getInt; val nVars = buf.getInt
     val lat = buf.getFloat; val lon = buf.getFloat; val elev = buf.getFloat
     val model = buf.get() & 0xFF // uint8, like the reference's Model field
-    if (payload.length != HeaderBytes + nVars.toLong * nSlots * 8)
+    if (payload.length !=
+        HeaderBytes + nVars.toLong * VarMetaBytes + nVars.toLong * nSlots * 8)
       throw new WireError(
         s"grid message size mismatch: ${payload.length} bytes for " +
           s"$nVars vars x $nSlots slots")
+    val meta = Array.tabulate(nVars) { _ =>
+      VarMeta(buf.getShort.toInt, buf.get() & 0xFF, buf.get() & 0xFF,
+              buf.getInt)
+    }
     val series = Array.ofDim[Double](nVars, nSlots)
     var v = 0
     while (v < nVars) {
@@ -214,6 +239,7 @@ object WireFraming {
       while (i < nSlots) { series(v)(i) = buf.getDouble; i += 1 }
       v += 1
     }
-    GridMessage(loc, start, interval, nSlots, lat, lon, elev, model, series)
+    GridMessage(loc, start, interval, nSlots, lat, lon, elev, model, meta,
+                series)
   }
 }

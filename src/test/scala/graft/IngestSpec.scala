@@ -333,6 +333,48 @@ class IngestSpec extends SparkSpec {
     assert(WeatherVocab.measureToVariable("rain") === ("rain", -1))
   }
 
+  test("wire frames carry per-variable enum ids; schema metadata matches") {
+    import graft.sources.{WeatherGridSource => S, WeatherVocab, WireFraming}
+    // round-trip: server frames -> chunked decode -> parsed header ids
+    val vars = Seq("temperature_2m", "rain", "wind_speed_10m")
+    val msg = WireFraming.parseMessage(
+      WireFraming.decodeChunks(WireFraming.encodeResponseChunks(
+        loc = 7L, start = 0L, end = 3600L * 1000000L * 4,
+        interval = 3600L * 1000000L, variables = vars,
+        slotsPerMessage = 100)).next())
+    assert(msg.varMeta.length === 3)
+    val t = msg.varMeta(0)
+    assert(t.variableId === WeatherVocab.VARIABLES.indexOf("temperature"))
+    assert(t.unitId === WeatherVocab.UNITS.indexOf("celsius"))
+    assert(t.aggregationId === 0 && t.altitudeM === 2)
+    val r = msg.varMeta(1)
+    assert(r.variableId === WeatherVocab.VARIABLES.indexOf("rain"))
+    assert(r.unitId === WeatherVocab.UNITS.indexOf("millimetre"))
+    assert(r.altitudeM === -1)
+    val w = msg.varMeta(2)
+    assert(w.variableId === WeatherVocab.VARIABLES.indexOf("wind_speed"))
+    assert(w.altitudeM === 10)
+    // the DataFrame surface: metadata=true attaches the same ids as
+    // COLUMN metadata on each variable field
+    val df = spark.read.format("graft.sources.WeatherGridSource")
+      .option("start", "2024-01-01 00:00:00")
+      .option("end", "2024-01-01 06:00:00")
+      .option("locations", 1).option("metadata", "true")
+      .option("variables", "temperature_2m,rain").load()
+    val f = df.schema("temperature_2m").metadata
+    assert(f.getLong("variable_id") ===
+      WeatherVocab.VARIABLES.indexOf("temperature").toLong)
+    assert(f.getString("unit") === "celsius")
+    assert(f.getLong("altitude_m") === 2L)
+    assert(df.schema("rain").metadata.getString("unit") === "millimetre")
+    // varMeta totality over the full request list
+    S.MEASURES.foreach { m =>
+      val vm = S.varMeta(m)
+      assert(vm.variableId > 0, s"$m resolved to 'undefined'")
+      assert(vm.unitId > 0, s"$m has no unit mapping")
+    }
+  }
+
   test("retry helper: wrapped transient cause (Spark-style) still retries") {
     // Spark wraps task failures — the transient test scans the cause chain
     var calls = 0
