@@ -87,6 +87,18 @@ object Dedup {
     */
   private[graft] val CC_ROUND_BUDGET = 6
 
+  /** d16's own propagation budget: d03's Hamming-3 pairs chain — on the
+    * templated corpus, runs of docs each within 3 bits of the next form
+    * paths of measured diameter 16 at sf0.1 (vs the dense near-dup
+    * cliques d06/d11 see, diameter ≤ ~3) — and min-label propagation
+    * needs O(diameter) rounds. 24 covers the measured 17-round fixpoint
+    * with headroom; trailing oracle rounds are no-ops. A deployment
+    * whose graphs outgrow any fixed budget switches the LOOP (e.g.
+    * large-star/small-star, O(log n) rounds) without touching the
+    * output contract — CC min-labels are algorithm-independent.
+    */
+  private[graft] val D16_ROUND_BUDGET = 24
+
   /** Spark SQL fragment: portable 60-bit hash of expr — the codegen'd
     * PortableHashExpr, registered as `graft_phash` (bit-identical to
     * Dets.phashSql's md5-hex form the oracle uses).
@@ -287,21 +299,30 @@ object Dedup {
     // through a shuffle and two joins before looking at a bit.
     "d03_simhash" -> { (s, d) =>
       import s.implicits._
-      val base = corpus(s, d)
-      val bwRow = base.agg(count(lit(1)).as("n"))
-        .select(expr(bwExpr("n")).as("bw"))
-      val bands = simhashBands(simhashFps(base, bwRow))
-      bands.as("x").join(bands.as("y"),
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .withColumn("hamming", expr(
-          "CAST(aggregate(zip_with(x.fps, y.fps, (a, b) -> bit_count(a ^ b)), " +
-            "0, (acc, v) -> acc + v) AS INT)"))
-        .filter(col("hamming") <= 3)
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-                element_at(col("x.fps"), 1).as("simhash1"), col("hamming"))
+      d03Pairs(s, d)
         .distinct() // a pair can match in several bands — AFTER the verify
         .orderBy($"d1", $"d2")
+    },
+
+    // Canonical-output mode for d03 (the d11 pattern over SimHash
+    // pairs): verified Hamming pairs are quadratic on planted-dup
+    // corpora by construction, so the scale-safe consumable is
+    // (doc_id, canonical_id) — LINEAR in the corpus — via the same
+    // min-label propagation d06/d11 run. Every pair generator in the
+    // library now has its linear consumable.
+    "d16_simhash_clusters" -> { (s, d) =>
+      import s.implicits._
+      val pairs = d03Pairs(s, d).select($"d1", $"d2").distinct().cache()
+      val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
+        .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
+      val seed = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
+      val converged = connectedComponents(seed, edges, D16_ROUND_BUDGET)
+      pairs.unpersist()
+      val clustered = converged.groupBy($"lbl")
+        .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
+      converged.join(broadcast(clustered), Seq("lbl"))
+        .select($"doc_id", $"lbl".as("canonical_id"))
+        .orderBy($"doc_id")
     },
 
     // Character-4-gram Jaccard with blocked pair generation. Gram sets are
@@ -492,54 +513,26 @@ object Dedup {
          |ORDER BY d1, d2""".stripMargin
     },
 
-    // Wide-fingerprint mirror of [[simhashFps]]: word 0 = md5 hex 1-15,
-    // word 1 = hex 17-31 of the SAME digest, words 2/3 = the halves of
-    // md5('s2:' || w); word count and band layout derive from the same
-    // bw/bpw arithmetic. CASE keeps the unused words NULL (and
-    // majoritySql propagates that NULL rather than voting an all-zero
-    // word) so the sf0.01 oracle (1 word) doesn't pay for four.
+    // Wide-fingerprint mirror of [[simhashFps]] — see [[d03PairsSql]];
+    // the chain is shared with the d16 cluster oracle.
     "d03_simhash" ->
-      s"""WITH corpus AS ($corpusSql),
-         |p AS (
-         |  SELECT bw, CAST(60 // bw AS INT) AS bpw,
-         |    CASE WHEN 60 // bw >= 4 THEN 1
-         |         WHEN 60 // bw >= 2 THEN 2 ELSE 4 END AS nw
-         |  FROM (SELECT ${bwExpr("COUNT(*)")} AS bw FROM corpus)),
-         |hashed AS (
-         |  SELECT doc_id,
-         |    list_transform(string_split(text, ' '),
-         |      w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS ms0,
-         |    CASE WHEN p.nw >= 2 THEN list_transform(string_split(text, ' '),
-         |      w -> CAST('0x' || substring(md5(w), 17, 15) AS BIGINT)) END AS ms1,
-         |    CASE WHEN p.nw >= 4 THEN list_transform(string_split(text, ' '),
-         |      w -> CAST('0x' || substring(md5('s2:' || w), 1, 15) AS BIGINT)) END AS ms2,
-         |    CASE WHEN p.nw >= 4 THEN list_transform(string_split(text, ' '),
-         |      w -> CAST('0x' || substring(md5('s2:' || w), 17, 15) AS BIGINT)) END AS ms3
-         |  FROM corpus, p),
-         |fp AS (
-         |  SELECT doc_id,
-         |    [fpw FOR fpw IN [${majoritySql("ms0")}, ${majoritySql("ms1")},
-         |      ${majoritySql("ms2")}, ${majoritySql("ms3")}]
-         |     IF fpw IS NOT NULL] AS fps
-         |  FROM hashed),
-         |bands AS (
-         |  SELECT doc_id, unnest(list_transform(range(0, 4),
-         |    k -> concat_ws('_', k,
-         |      (fps[CAST(k // bpw AS INT) + 1] >> CAST((k % bpw) * bw AS INT))
-         |      & ((CAST(1 AS BIGINT) << bw) - 1)))) AS band_key
-         |  FROM fp, p),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |  FROM bands x JOIN bands y
-         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
-         |SELECT d1, d2, f1.fps[1] AS simhash1,
-         |  CAST(list_sum(list_transform(range(1, len(f1.fps) + 1),
-         |    i -> bit_count(xor(f1.fps[CAST(i AS INT)], f2.fps[CAST(i AS INT)]))))
-         |    AS INT) AS hamming
-         |FROM pairs JOIN fp f1 ON f1.doc_id = d1 JOIN fp f2 ON f2.doc_id = d2
-         |WHERE list_sum(list_transform(range(1, len(f1.fps) + 1),
-         |    i -> bit_count(xor(f1.fps[CAST(i AS INT)], f2.fps[CAST(i AS INT)])))) <= 3
+      s"""WITH $d03PairsSql
+         |SELECT d1, d2, simhash1, hamming FROM d03pairs
          |ORDER BY d1, d2""".stripMargin,
+
+    // d06's unrolled propagation over d03's verified Hamming pairs —
+    // with d16's own deeper budget (Hamming chains, not cliques).
+    "d16_simhash_clusters" ->
+      s"""WITH $d03PairsSql,
+         |edges AS MATERIALIZED (
+         |  SELECT d1 AS a, d2 AS b FROM d03pairs
+         |  UNION ALL SELECT d2, d1 FROM d03pairs),
+         |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |${ccRoundsSql(D16_ROUND_BUDGET)}
+         |SELECT doc_id, lbl AS canonical_id FROM l$D16_ROUND_BUDGET
+         |WHERE lbl IN (SELECT lbl FROM l$D16_ROUND_BUDGET
+         |              GROUP BY lbl HAVING COUNT(*) > 1)
+         |ORDER BY doc_id""".stripMargin,
 
     "d04_ngram_jaccard" -> s"""WITH $d04PairsSql
          |SELECT d1, d2, jaccard FROM d04pairs ORDER BY d1, d2""".stripMargin,
@@ -569,7 +562,7 @@ object Dedup {
          |  SELECT d1 AS a, d2 AS b FROM d04pairs
          |  UNION ALL SELECT d2, d1 FROM d04pairs),
          |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
-         |$ccRoundsSql
+         |${ccRoundsSql()}
          |SELECT doc_id, lbl AS cluster_id FROM l$CC_ROUND_BUDGET
          |WHERE lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
@@ -582,7 +575,7 @@ object Dedup {
          |  SELECT d1 AS a, d2 AS b FROM d07pairs
          |  UNION ALL SELECT d2, d1 FROM d07pairs),
          |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
-         |$ccRoundsSql
+         |${ccRoundsSql()}
          |SELECT doc_id, lbl AS canonical_id FROM l$CC_ROUND_BUDGET
          |WHERE lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
@@ -637,19 +630,23 @@ object Dedup {
     }
   )
 
-  /** The CC_ROUND_BUDGET unrolled min-label-propagation rounds over CTEs
-    * `edges(a, b)` and `l0(doc_id, lbl)`, ending in `l$CC_ROUND_BUDGET`.
-    * Shared by the d06 and d11 oracles.
+  /** `rounds` unrolled min-label-propagation rounds over CTEs
+    * `edges(a, b)` and `l0(doc_id, lbl)`, ending in `l$rounds`.
+    * Shared by the d06, d11 (CC_ROUND_BUDGET) and d16
+    * (D16_ROUND_BUDGET) oracles.
     */
-  private def ccRoundsSql: String = {
+  // AS MATERIALIZED: each round references the previous TWICE — an
+  // inlining engine would expand the chain exponentially (the 24-round
+  // d16 unroll exhausted file handles re-opening the corpus parquet)
+  private def ccRoundsSql(rounds: Int = CC_ROUND_BUDGET): String = {
     def round(j: Int) =
-      s"""l$j AS (
+      s"""l$j AS MATERIALIZED (
          |  SELECT l.doc_id, least(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
          |  FROM l${j - 1} l
          |  LEFT JOIN edges e ON e.a = l.doc_id
          |  LEFT JOIN l${j - 1} n ON n.doc_id = e.b
          |  GROUP BY l.doc_id, l.lbl)""".stripMargin
-    (1 to CC_ROUND_BUDGET).map(round).mkString(",\n")
+    (1 to rounds).map(round).mkString(",\n")
   }
 
   /** Connected components by min-label propagation, iterated to fixpoint.
@@ -715,6 +712,27 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** d03's fused candidate+verify pipeline (unsorted, pre-distinct):
+    * wide fingerprints, band join with the Hamming filter INSIDE the
+    * join stage. Shared by d03 (adds distinct + sort) and d16 (feeds
+    * the pairs to connected components).
+    */
+  private def d03Pairs(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d)
+    val bwRow = base.agg(count(lit(1)).as("n"))
+      .select(expr(bwExpr("n")).as("bw"))
+    val bands = simhashBands(simhashFps(base, bwRow))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", expr(
+        "CAST(aggregate(zip_with(x.fps, y.fps, (a, b) -> bit_count(a ^ b)), " +
+          "0, (acc, v) -> acc + v) AS INT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+              element_at(col("x.fps"), 1).as("simhash1"), col("hamming"))
   }
 
   /** (doc_id, fps, band_key) — one row per band, fingerprint carried so
@@ -808,6 +826,60 @@ object Dedup {
       .filter(col("jaccard") >= 0.85)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("jaccard"))
   }
+
+  /** d03's pipeline as a reusable CTE chain ending in
+    * `d03pairs(d1, d2, simhash1, hamming)` (also defines `corpus`) —
+    * the wide-fingerprint mirror of [[simhashFps]]: word 0 = md5 hex
+    * 1-15, word 1 = hex 17-31 of the SAME digest, words 2/3 = the
+    * halves of md5('s2:' || w); word count and band layout derive from
+    * the same bw/bpw arithmetic. CASE keeps the unused words NULL (and
+    * [[majoritySql]] propagates that NULL rather than voting an
+    * all-zero word) so the sf0.01 oracle (1 word) doesn't pay for four.
+    * Shared by the d03 and d16 oracles.
+    */
+  private def d03PairsSql: String =
+    s"""corpus AS ($corpusSql),
+       |p AS (
+       |  SELECT bw, CAST(60 // bw AS INT) AS bpw,
+       |    CASE WHEN 60 // bw >= 4 THEN 1
+       |         WHEN 60 // bw >= 2 THEN 2 ELSE 4 END AS nw
+       |  FROM (SELECT ${bwExpr("COUNT(*)")} AS bw FROM corpus)),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS ms0,
+       |    CASE WHEN p.nw >= 2 THEN list_transform(string_split(text, ' '),
+       |      w -> CAST('0x' || substring(md5(w), 17, 15) AS BIGINT)) END AS ms1,
+       |    CASE WHEN p.nw >= 4 THEN list_transform(string_split(text, ' '),
+       |      w -> CAST('0x' || substring(md5('s2:' || w), 1, 15) AS BIGINT)) END AS ms2,
+       |    CASE WHEN p.nw >= 4 THEN list_transform(string_split(text, ' '),
+       |      w -> CAST('0x' || substring(md5('s2:' || w), 17, 15) AS BIGINT)) END AS ms3
+       |  FROM corpus, p),
+       |fp AS (
+       |  SELECT doc_id,
+       |    [fpw FOR fpw IN [${majoritySql("ms0")}, ${majoritySql("ms1")},
+       |      ${majoritySql("ms2")}, ${majoritySql("ms3")}]
+       |     IF fpw IS NOT NULL] AS fps
+       |  FROM hashed),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4),
+       |    k -> concat_ws('_', k,
+       |      (fps[CAST(k // bpw AS INT) + 1] >> CAST((k % bpw) * bw AS INT))
+       |      & ((CAST(1 AS BIGINT) << bw) - 1)))) AS band_key
+       |  FROM fp, p),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |d03pairs AS (
+       |  SELECT d1, d2, f1.fps[1] AS simhash1,
+       |    CAST(list_sum(list_transform(range(1, len(f1.fps) + 1),
+       |      i -> bit_count(xor(f1.fps[CAST(i AS INT)], f2.fps[CAST(i AS INT)]))))
+       |      AS INT) AS hamming
+       |  FROM cand JOIN fp f1 ON f1.doc_id = d1 JOIN fp f2 ON f2.doc_id = d2
+       |  WHERE list_sum(list_transform(range(1, len(f1.fps) + 1),
+       |      i -> bit_count(xor(f1.fps[CAST(i AS INT)], f2.fps[CAST(i AS INT)])))) <= 3)"""
+      .stripMargin
 
   /** d04's candidate+verify pipeline as a reusable CTE chain ending in
     * `d04pairs(d1, d2, jaccard)` (also defines `corpus`).
