@@ -80,10 +80,12 @@ object Dedup {
       .select(col("doc_id"), col("fps"), col("bw"), col("bpw"))
   }
 
-  /** Round budget shared by d06's Spark loop and its unrolled oracle SQL:
-    * Spark iterates to fixpoint and ASSERTS it converged within this many
-    * rounds; the oracle unrolls exactly this many (extra rounds past the
-    * fixpoint are no-ops), so both engines compute the identical function.
+  /** Budget shared by d06's Spark loop and its unrolled oracle SQL. The
+    * oracle unrolls this many single-pull rounds (enough to reach ITS
+    * fixpoint; trailing rounds are no-ops). The Spark loop counts
+    * two-pull CYCLES against the same number and ASSERTS convergence
+    * within it — a strictly weaker requirement, so the bound stays
+    * shared. Both engines compute the identical fixpoint function.
     */
   private[graft] val CC_ROUND_BUDGET = 6
 
@@ -91,8 +93,9 @@ object Dedup {
     * templated corpus, runs of docs each within 3 bits of the next form
     * paths of measured diameter 16 at sf0.1 (vs the dense near-dup
     * cliques d06/d11 see, diameter ≤ ~3) — and min-label propagation
-    * needs O(diameter) rounds. 24 covers the measured 17-round fixpoint
-    * with headroom; trailing oracle rounds are no-ops. A deployment
+    * needs O(diameter) pulls. 24 unrolled oracle rounds cover the
+    * measured 17-pull fixpoint with headroom (trailing rounds no-ops);
+    * the Spark loop needs 9 two-pull cycles. A deployment
     * whose graphs outgrow any fixed budget switches the LOOP (e.g.
     * large-star/small-star, O(log n) rounds) without touching the
     * output contract — CC min-labels are algorithm-independent.
@@ -315,7 +318,11 @@ object Dedup {
       val pairs = d03Pairs(s, d).select($"d1", $"d2").distinct().cache()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
         .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
-      val seed = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
+      // seed only the edge endpoints: an isolated node keeps its own
+      // unique label forever and the >1-member filter drops it, so the
+      // propagation frames shrink from corpus-size to component-size
+      val seed = edges.select($"a".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("lbl"))
       val converged = connectedComponents(seed, edges, D16_ROUND_BUDGET)
       pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
@@ -362,7 +369,11 @@ object Dedup {
       val pairs = d07Pairs(s, d).select($"d1", $"d2").cache()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
         .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
-      val seed = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
+      // seed only the edge endpoints: an isolated node keeps its own
+      // unique label forever and the >1-member filter drops it, so the
+      // propagation frames shrink from corpus-size to component-size
+      val seed = edges.select($"a".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("lbl"))
       val converged = connectedComponents(seed, edges, CC_ROUND_BUDGET)
       pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
@@ -390,7 +401,11 @@ object Dedup {
       val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
         .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
-      val seed = corpus(s, d).select($"doc_id", $"doc_id".as("lbl"))
+      // seed only the edge endpoints: an isolated node keeps its own
+      // unique label forever and the >1-member filter drops it, so the
+      // propagation frames shrink from corpus-size to component-size
+      val seed = edges.select($"a".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("lbl"))
       val converged = connectedComponents(seed, edges, CC_ROUND_BUDGET)
       // converged is checkpointed (lineage truncated), so the pair
       // pipeline's cache can be dropped before the consumer materializes
@@ -651,15 +666,16 @@ object Dedup {
 
   /** Connected components by min-label propagation, iterated to fixpoint.
     *
-    * Each round: min over {own label} ∪ {neighbor labels} — one join +
+    * Each pull: min over {own label} ∪ {neighbor labels} — one join +
     * one agg (the LEFT JOIN + least() formulation costs a second join's
-    * worth of stages for identical results). Labels only ever decrease,
-    * so the exact decimal SUM(lbl) is a monotone checksum: one round with
-    * an unchanged checksum IS the fixpoint (decimal(38,0) keeps the test
-    * exact at any corpus size — no long overflow, no fp drift).
-    * localCheckpoint per round truncates lineage (round r would otherwise
-    * re-run rounds 1..r-1) and doubles as the materialization the
-    * convergence check needs anyway.
+    * worth of stages for identical results); each CYCLE chains two
+    * pulls into one lazy plan before materializing. Labels only ever
+    * decrease, so the exact decimal SUM(lbl) is a monotone checksum:
+    * one cycle with an unchanged checksum IS the fixpoint
+    * (decimal(38,0) keeps the test exact at any corpus size — no long
+    * overflow, no fp drift). localCheckpoint per cycle truncates
+    * lineage (cycle r would otherwise re-run cycles 1..r-1) and doubles
+    * as the materialization the convergence check needs anyway.
     *
     * Throws if the graph has not converged within `maxRounds` — callers
     * pair the budget with an equally-unrolled oracle, and a
@@ -675,20 +691,30 @@ object Dedup {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val nbr = edges
-        .join(labels.select(col("doc_id").as("b"), col("lbl")), Seq("b"))
+      // two propagation pulls per materialization cycle: the per-cycle
+      // fixed cost (checkpoint job + checksum job + scheduling) is the
+      // dominant term on long-diameter graphs — d16's 17-pull fixpoint
+      // measured ~0.45 s/cycle of overhead — so chaining two 1-hop
+      // pulls into one lazy plan halves the cycles for the same pull
+      // count. (Label-value acceleration — pointer jumping,
+      // hash-to-min pushes — was measured on this graph and did NOT
+      // reduce rounds: the planted chains interleave id ranges so a
+      // node's label is usually a nearby local min whose own label
+      // adds nothing. Batching attacks the overhead instead.)
+      def pull(l: DataFrame): DataFrame = edges
+        .join(l.select(col("doc_id").as("b"), col("lbl")), Seq("b"))
         .select(col("a").as("doc_id"), col("lbl"))
-      labels = nbr.unionByName(labels)
+        .unionByName(l)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+      labels = pull(pull(labels)).localCheckpoint()
       val cur = checksum(labels)
       converged = cur.compareTo(prev) == 0
       prev = cur
       round += 1
     }
     require(converged,
-      s"label propagation did not converge within $maxRounds rounds — " +
-        "raise the round budget (and the oracle's unroll) together")
+      s"label propagation did not converge within $maxRounds two-pull " +
+        "cycles — raise the budget (and the oracle's unroll) together")
     labels
   }
 

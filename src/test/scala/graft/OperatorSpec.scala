@@ -413,20 +413,22 @@ class OperatorSpec extends SparkSpec {
     assert(p1 === Set((1L, 2L)), "p=1 must recover the cross-bucket pair")
   }
 
-  test("connected components converge on a diameter-4 chain (3 fixed rounds would under-merge)") {
-    // path graph 1-2-3-4-5: min-label propagation needs 4 rounds to pull
-    // label 1 to node 5, +1 round to observe the fixpoint — a fixed
-    // 3-round loop leaves node 5 in a phantom second cluster
+  test("connected components converge on a diameter-4 chain (a short fixed budget would under-merge)") {
+    // path graph 1-2-3-4-5: min-label propagation needs 4 pulls to move
+    // label 1 to node 5; each budget unit is a 2-pull cycle, and the
+    // fixpoint needs one unchanged cycle to be OBSERVED — so 3 cycles
+    // succeed and a 2-cycle budget must fail loudly rather than leave
+    // node 5 in a phantom second cluster
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("a", "b")
     val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
     val seed = (1L to 5L).toDF("doc_id").withColumn("lbl", $"doc_id")
-    val labels = datapipe.Dedup.connectedComponents(seed, sym, 6)
+    val labels = datapipe.Dedup.connectedComponents(seed, sym, 3)
       .as[(Long, Long)].collect().toMap
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
     // an insufficient budget fails loudly instead of under-merging
     intercept[IllegalArgumentException] {
-      datapipe.Dedup.connectedComponents(seed, sym, 3)
+      datapipe.Dedup.connectedComponents(seed, sym, 2)
     }
   }
 
