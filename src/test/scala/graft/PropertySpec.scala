@@ -77,6 +77,134 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ string pair: banded_levenshtein == naive full-DP distance (JVM-only)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def naive(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // alphabet of 3 keeps distances small enough to exercise BOTH the
+    // <=k path (exact value) and the >k early-exit (-1); include
+    // multi-byte chars to hit the non-ASCII DP path
+    val alpha = Gen.oneOf("a", "b", "é")
+    val strGen = for {
+      n <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(n, alpha)
+    } yield cs.mkString
+    // independent random strings are nearly always far apart, so half
+    // the pairs are a few random edits of the SAME string — those
+    // exercise the exact <=k path, the rest the early exit
+    def mutate(a: String, ops: List[(Int, Int, String)]): String =
+      ops.foldLeft(a) { case (s, (kind, pos, ch)) =>
+        if (s.isEmpty) s + ch
+        else {
+          val p = pos % s.length
+          kind % 3 match {
+            case 0 => s.substring(0, p) + ch + s.substring(p + 1) // subst
+            case 1 => s.substring(0, p) + ch + s.substring(p)     // insert
+            case 2 => s.substring(0, p) + s.substring(p + 1)      // delete
+          }
+        }
+      }
+    val nearGen = for {
+      a <- strGen
+      nOps <- Gen.choose(0, 4)
+      ops <- Gen.listOfN(nOps, for {
+        kind <- Gen.choose(0, 2); pos <- Gen.choose(0, 63); ch <- alpha
+      } yield (kind, pos, ch))
+    } yield (a, mutate(a, ops))
+    val farGen = for { a <- strGen; b <- strGen } yield (a, b)
+    val pairGen = Gen.oneOf(nearGen, farGen)
+    var hits = 0; var exits = 0
+    samples(pairGen, 400).foreach { case (a, b) =>
+      for (k <- Seq(1, 3, 5)) {
+        val got = functions.BandedLevenshtein.compute(
+          UTF8String.fromString(a), UTF8String.fromString(b), k)
+        val want = naive(a, b)
+        if (want <= k) { hits += 1
+          assert(got === want, s"k=$k '$a' vs '$b'")
+        } else { exits += 1
+          assert(got === -1, s"k=$k '$a' vs '$b': want -1 (dist $want), got $got")
+        }
+      }
+    }
+    assert(hits > 100 && exits > 100,
+      s"generator lost its balance: $hits within-band, $exits beyond")
+  }
+
+  test("∀ string: simhash_fps word 0 == simhash_fp at every width (JVM-only)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'f').toSeq :+ ' '))
+    } yield cs.mkString
+    samples(strGen, 300).foreach { s =>
+      val u = UTF8String.fromString(s)
+      val narrow = functions.SimHashFp.compute(u, 60)
+      for (nw <- Seq(1, 2, 4)) {
+        val wide = functions.SimHashFps.compute(u, 60, nw)
+        assert(wide.numElements() === nw, s"'$s' nw=$nw")
+        assert(wide.getLong(0) === narrow,
+          s"'$s' nw=$nw: word 0 diverged from simhash_fp")
+        // every word is a 60-bit value
+        (0 until nw).foreach { w =>
+          assert((wide.getLong(w) >>> 60) === 0L, s"'$s' word $w overflows")
+        }
+      }
+      // words 0/1 of the 4-word fingerprint equal the 2-word one —
+      // widening only APPENDS words, never rewrites existing ones
+      val two = functions.SimHashFps.compute(u, 60, 2)
+      val four = functions.SimHashFps.compute(u, 60, 4)
+      assert(two.getLong(0) === four.getLong(0) &&
+             two.getLong(1) === four.getLong(1), s"'$s' widening rewrote words")
+    }
+  }
+
+  test("∀ weighted stream + merge tree: Misra-Gries containment holds (JVM-only)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 8
+    val agg = functions.FreqItemsAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.StringType, nullable = true),
+      k,
+      Some(org.apache.spark.sql.catalyst.expressions.BoundReference(
+        1, org.apache.spark.sql.types.LongType, nullable = true)))
+    val streamGen = for {
+      n <- Gen.choose(1, 60)
+      items <- Gen.listOfN(n, for {
+        id <- Gen.choose(0, 14)
+        w <- Gen.choose(1L, 9L)
+      } yield (s"w$id", w))
+    } yield items
+    samples(streamGen, 120).foreach { stream =>
+      // random 3-way partition merged pairwise — an arbitrary merge tree
+      val parts = stream.zipWithIndex.groupMap(_._2 % 3)(_._1)
+      val bufs = (0 to 2).map { p =>
+        val b = agg.createAggregationBuffer()
+        parts.getOrElse(p, Nil).foreach { case (item, w) =>
+          agg.update(b, InternalRow(UTF8String.fromString(item),
+                                    java.lang.Long.valueOf(w)))
+        }
+        b
+      }
+      val merged = agg.merge(agg.merge(bufs(0), bufs(1)), bufs(2))
+      val total = stream.map(_._2).sum
+      val exact = stream.groupMapReduce(_._1)(_._2)(_ + _)
+      exact.foreach { case (item, cnt) =>
+        if (cnt * (k + 1) > total)
+          assert(merged.containsKey(item),
+            s"heavy '$item' (cnt $cnt of $total) missing from the sketch")
+      }
+    }
+  }
+
   test("∀ id: PCM roundtrip recovers every sample exactly (JVM-only)") {
     import graft.datapipe.Multimodal.PcmCodec._
     samples(Gen.choose(0L, 1000000L), 50).foreach { id =>
