@@ -114,16 +114,17 @@ object WeatherVocab {
         names.zipWithIndex.map { case (n, i) => (kind, i, n) }
       }
 
-  /** Surface-name decomposition: (`enum name`, `altitude metres or -1`).
+  /** Surface-name decomposition: (`enum name`, `altitude metres or 0`).
     * `temperature_2m` → ("temperature", 2); names without the suffix
-    * (e.g. `rain`) pass through with altitude -1 (the wire's Int32
-    * default; openmeteo_sdk/VariableWithValues.py altitude field).
+    * (e.g. `rain`) pass through with altitude 0 — the FlatBuffers
+    * scalar default the reference returns for an absent field
+    * (openmeteo_sdk/VariableWithValues.py:104-108).
     */
   def measureToVariable(measure: String): (String, Int) = {
     val m = "_([0-9]+)m$".r.findFirstMatchIn(measure)
     m match {
       case Some(mm) => (measure.substring(0, mm.start), mm.group(1).toInt)
-      case None => (measure, -1)
+      case None => (measure, 0)
     }
   }
 }

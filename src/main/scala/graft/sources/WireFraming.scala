@@ -50,7 +50,8 @@ object WireFraming {
   val VarMetaBytes: Int = 2 + 1 + 1 + 4
 
   /** One data column's identity on the wire — VariableWithValues' enum
-    * ids (variable/unit/aggregation + altitude in metres, -1 = none).
+    * ids (variable/unit/aggregation + altitude in metres, 0 = none —
+    * the FlatBuffers scalar default, VariableWithValues.py:104-108).
     */
   final case class VarMeta(variableId: Int, unitId: Int,
                            aggregationId: Int, altitudeM: Int)

@@ -194,7 +194,7 @@ object WeatherPipeline {
       val measures = graft.sources.WeatherGridSource.MEASURES.toDF("measure")
         .withColumn("base", regexp_replace($"measure", "_([0-9]+)m$", ""))
         .withColumn("altitude_m",
-          when(regexp_extract($"measure", "_([0-9]+)m$", 1) === "", lit(-1))
+          when(regexp_extract($"measure", "_([0-9]+)m$", 1) === "", lit(0))
             .otherwise(regexp_extract($"measure", "_([0-9]+)m$", 1)
               .cast("int")))
       vocab.join(measures,
@@ -237,7 +237,7 @@ object WeatherPipeline {
          |  SELECT measure,
          |    regexp_replace(measure, '_([0-9]+)m$$', '') AS base,
          |    CASE WHEN regexp_extract(measure, '_([0-9]+)m$$', 1) = ''
-         |         THEN -1
+         |         THEN 0
          |         ELSE CAST(regexp_extract(measure, '_([0-9]+)m$$', 1) AS INT)
          |    END AS altitude_m
          |  FROM m0)

@@ -324,13 +324,13 @@ class IngestSpec extends SparkSpec {
       val (base, alt) = WeatherVocab.measureToVariable(m)
       assert(WeatherVocab.VARIABLES.contains(base),
         s"$m -> $base not in the Variable enum")
-      assert(alt == -1 || alt > 0, s"$m parsed altitude $alt")
+      assert(alt >= 0, s"$m parsed altitude $alt")
     }
     assert(WeatherVocab.measureToVariable("temperature_2m") ===
       ("temperature", 2))
     assert(WeatherVocab.measureToVariable("wind_speed_10m") ===
       ("wind_speed", 10))
-    assert(WeatherVocab.measureToVariable("rain") === ("rain", -1))
+    assert(WeatherVocab.measureToVariable("rain") === ("rain", 0))
   }
 
   test("wire frames carry per-variable enum ids; schema metadata matches") {
@@ -350,7 +350,7 @@ class IngestSpec extends SparkSpec {
     val r = msg.varMeta(1)
     assert(r.variableId === WeatherVocab.VARIABLES.indexOf("rain"))
     assert(r.unitId === WeatherVocab.UNITS.indexOf("millimetre"))
-    assert(r.altitudeM === -1)
+    assert(r.altitudeM === 0)
     val w = msg.varMeta(2)
     assert(w.variableId === WeatherVocab.VARIABLES.indexOf("wind_speed"))
     assert(w.altitudeM === 10)
