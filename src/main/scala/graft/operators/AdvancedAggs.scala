@@ -158,6 +158,21 @@ object AdvancedAggs {
     },
 
     // FILTER clause on aggregates (conditional aggregation, SQL form).
+    // Grouped string aggregation (LISTAGG / string_agg): the reporting
+    // concatenation. Deterministic on both engines by sorting the
+    // collected set first — an unordered string_agg is partition-order
+    // nondeterministic on ANY engine. The shuffle carries the (small)
+    // distinct name set per group, not concatenated strings.
+    "q73_string_agg" -> { (s, d) =>
+      import s.implicits._
+      T.nation(s, d)
+        .groupBy($"n_regionkey")
+        .agg(
+          concat_ws(",", array_sort(collect_set($"n_name"))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy($"n_regionkey")
+    },
+
     "q53_agg_filter_clause" -> { (s, d) =>
       T.lineitem(s, d).createOrReplaceTempView("v_lineitem2")
       s.sql(
@@ -350,6 +365,13 @@ object AdvancedAggs {
         |          / COUNT(*)
         |   FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q73_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q53_agg_filter_clause" ->
       """SELECT l_returnflag,
