@@ -327,7 +327,11 @@ object Dedup {
       pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
-      converged.join(broadcast(clustered), Seq("lbl"))
+      // semi join, NOT an explicit broadcast: >1-member clusters grow
+      // linearly with the corpus, so a forced broadcast of the id set
+      // would OOM at exactly the scale this linear consumable targets -
+      // AQE still broadcasts it when it measures small
+      converged.join(clustered, Seq("lbl"), "left_semi")
         .select($"doc_id", $"lbl".as("canonical_id"))
         .orderBy($"doc_id")
     },
@@ -378,7 +382,11 @@ object Dedup {
       pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
-      converged.join(broadcast(clustered), Seq("lbl"))
+      // semi join, NOT an explicit broadcast: >1-member clusters grow
+      // linearly with the corpus, so a forced broadcast of the id set
+      // would OOM at exactly the scale this linear consumable targets -
+      // AQE still broadcasts it when it measures small
+      converged.join(clustered, Seq("lbl"), "left_semi")
         .select($"doc_id", $"lbl".as("canonical_id"))
         .orderBy($"doc_id")
     },
@@ -412,7 +420,11 @@ object Dedup {
       pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
-      converged.join(broadcast(clustered), Seq("lbl"))
+      // semi join, NOT an explicit broadcast: >1-member clusters grow
+      // linearly with the corpus, so a forced broadcast of the id set
+      // would OOM at exactly the scale this linear consumable targets -
+      // AQE still broadcasts it when it measures small
+      converged.join(clustered, Seq("lbl"), "left_semi")
         .select($"doc_id", $"lbl".as("cluster_id"))
         .orderBy($"doc_id")
     },
@@ -684,13 +696,24 @@ object Dedup {
     */
   private[graft] def connectedComponents(seed: DataFrame, edges: DataFrame,
                                          maxRounds: Int): DataFrame = {
-    def checksum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    def checksum(labels: DataFrame): java.math.BigDecimal = {
+      val d = labels.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+      // SUM over zero rows is NULL: an edge-free graph (no candidate
+      // pairs at all) must converge to an empty assignment, not NPE
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var labels = seed
     var prev = checksum(seed)
     var round = 0
+    // budget is in PULLS (the oracle's unroll unit). Convergence is
+    // observed at cycle granularity: converged at cycle c means the
+    // fixpoint was reached by pull 2(c-1), so capping cycles at
+    // maxRounds/2 + 1 accepts exactly the fixpoints a maxRounds-pull
+    // oracle unroll also reaches - a deeper graph still fails loudly.
+    val maxCycles = maxRounds / 2 + 1
     var converged = false
-    while (!converged && round < maxRounds) {
+    while (!converged && round < maxCycles) {
       // two propagation pulls per materialization cycle: the per-cycle
       // fixed cost (checkpoint job + checksum job + scheduling) is the
       // dominant term on long-diameter graphs — d16's 17-pull fixpoint
@@ -713,8 +736,8 @@ object Dedup {
       round += 1
     }
     require(converged,
-      s"label propagation did not converge within $maxRounds two-pull " +
-        "cycles — raise the budget (and the oracle's unroll) together")
+      s"label propagation did not converge within $maxRounds pulls " +
+        "(two per cycle) - raise the budget (and the oracle's unroll) together")
     labels
   }
 

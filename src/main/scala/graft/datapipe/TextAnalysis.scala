@@ -351,10 +351,11 @@ object TextAnalysis {
       // ReuseExchange materializes the explode/count once (plan-asserted
       // in PlanShapeSpec). The sketch takes weighted updates — merging
       // the summary of cnt copies — so the N/(k+1) guarantee is intact.
-      // The explicit isNotNull matches what the inner join would push
-      // into ITS branch anyway; stating it on the shared frame keeps all
-      // three subtrees canonically identical (pushdown asymmetry is what
-      // defeats ReuseExchange otherwise).
+      // The operator's contract is heavy hitters PER LANGUAGE, so both
+      // engines filter NULL-lang docs up front (the oracle carries the
+      // same WHERE); stating the filter on the shared frame also keeps
+      // all three subtrees canonically identical (pushdown asymmetry is
+      // what defeats ReuseExchange otherwise).
       val wc = T.documents(s, d)
         .filter($"lang".isNotNull)
         .select($"lang", explode(split($"text", " ")).as("word"))
@@ -748,7 +749,8 @@ object TextAnalysis {
     // containment deterministically true.
     "t07_heavy_hitters" ->
       """WITH words AS (
-        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+        |  WHERE lang IS NOT NULL),
         |tot AS (SELECT lang, COUNT(*) AS n_words FROM words GROUP BY lang),
         |cnts AS (SELECT lang, word, COUNT(*) AS cnt FROM words GROUP BY lang, word),
         |heavy AS (

@@ -32,6 +32,22 @@ case class FreqItemsAgg(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(
+        s"freq_items expects a string item, got " + child.dataType.catalogString)
+    else weight match {
+      // the weighted update casts straight to Long - demand it at
+      // analysis time instead of a mid-job ClassCastException
+      case Some(w) if w.dataType != org.apache.spark.sql.types.LongType =>
+        TypeCheckFailure(
+          s"freq_items weight must be BIGINT, got " + w.dataType.catalogString)
+      case _ => TypeCheckSuccess
+    }
+  }
+
   override def createAggregationBuffer(): java.util.HashMap[String, Long] =
     new java.util.HashMap[String, Long]()
 

@@ -184,15 +184,18 @@ object Windows {
     // CDC/compaction primitive — latest event per (user, type) by
     // (ts, event_id) desc. One shuffle on the composite key; ties are
     // impossible under the event_id tie-break, so the survivor is
-    // deterministic at any cluster size. The ORDER BY runs on the
-    // second-truncated timestamp on BOTH engines: events.ts is
-    // ns-precision parquet that Spark truncates to µs while DuckDB keeps
-    // full ns, so ordering on raw ts could pick different survivors for
-    // sub-µs ties (the q64/q67–q69 precision convention).
+    // deterministic at any cluster size. Precision parity: events.ts is
+    // ns parquet; Spark's load truncates to µs (ts div 1000) and DuckDB's
+    // CAST(ts AS TIMESTAMP) truncates ns→µs identically (verified: a
+    // .999-ns fraction truncates, never rounds), so ordering on the µs
+    // value is engine-exact — and keeps sub-second recency that a
+    // second-truncated ORDER BY would throw away (same-second events
+    // would fall through to the event_id tie-break and could keep the
+    // genuinely EARLIER row).
     "q63_keep_latest" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"user_id", $"event_type")
-        .orderBy(date_trunc("second", $"ts").desc, $"event_id".desc)
+        .orderBy($"ts".desc, $"event_id".desc)
       T.events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
@@ -340,8 +343,7 @@ object Windows {
         |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s, value
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id, event_type
-        |        ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP)) DESC,
-        |                 event_id DESC) AS rn
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,

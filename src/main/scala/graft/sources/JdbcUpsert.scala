@@ -66,6 +66,12 @@ object JdbcUpsert {
     * mapping, :170-173 — NaN means "sensor gap", and a NaN would poison
     * the conflict-key equality a re-run depends on).
     */
+  // Rowcount caveat: accumulator updates count once per SUCCESSFUL task
+  // (Spark's exactly-once guarantee for actions), so a task that dies
+  // AFTER its commit undercounts - the retry re-inserts nothing (the
+  // conflict key skips) and the lost attempt's count is discarded. The
+  // STORE is always correct; treat the returned count as the reference
+  // does its logged rowcount: operational telemetry, not a ledger.
   def upsert(df: DataFrame, factory: SessionFactory,
              batchSize: Int = 1000): Long = {
     require(batchSize > 0, "batchSize must be positive")
@@ -91,7 +97,10 @@ object JdbcUpsert {
           sess.commit()
         } catch {
           case e: Throwable =>
-            try sess.rollback() finally sess.close()
+            // a rollback/close failure on a dead connection must not
+            // REPLACE the root cause - attach it instead
+            try { try sess.rollback() finally sess.close() }
+            catch { case e2: Throwable if e2 ne e => e.addSuppressed(e2) }
             throw e
         }
         sess.close()

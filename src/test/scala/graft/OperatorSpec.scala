@@ -415,21 +415,26 @@ class OperatorSpec extends SparkSpec {
 
   test("connected components converge on a diameter-4 chain (a short fixed budget would under-merge)") {
     // path graph 1-2-3-4-5: min-label propagation needs 4 pulls to move
-    // label 1 to node 5; each budget unit is a 2-pull cycle, and the
-    // fixpoint needs one unchanged cycle to be OBSERVED — so 3 cycles
-    // succeed and a 2-cycle budget must fail loudly rather than leave
-    // node 5 in a phantom second cluster
+    // label 1 to node 5. The budget counts PULLS (the oracle's unroll
+    // unit): 4 succeeds (the loop runs 2-pull cycles and observes the
+    // fixpoint within maxRounds/2 + 1 of them), while a 3-pull budget
+    // must fail loudly rather than leave node 5 in a phantom second
+    // cluster the 3-round oracle unroll would disagree about.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("a", "b")
     val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
     val seed = (1L to 5L).toDF("doc_id").withColumn("lbl", $"doc_id")
-    val labels = datapipe.Dedup.connectedComponents(seed, sym, 3)
+    val labels = datapipe.Dedup.connectedComponents(seed, sym, 4)
       .as[(Long, Long)].collect().toMap
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
     // an insufficient budget fails loudly instead of under-merging
     intercept[IllegalArgumentException] {
-      datapipe.Dedup.connectedComponents(seed, sym, 2)
+      datapipe.Dedup.connectedComponents(seed, sym, 3)
     }
+    // an edge-free graph converges immediately to an empty assignment
+    assert(datapipe.Dedup.connectedComponents(
+      sym.limit(0).select($"a".as("doc_id"), $"a".as("lbl")),
+      sym.limit(0), 4).count() === 0L)
   }
 
   test("nearest_centroid: argmax ties break to the first (smallest) cell") {
