@@ -37,6 +37,12 @@ object Dedup {
   private val BANDS = 4
   private val ROWS = 4 // K = BANDS * ROWS = 16
 
+  /** d17 Bloom sizing: 2^23 bits (1 MB) holds 1M grams at ~2% false
+    * positives. A deployment sizes these to the bench-set cardinality;
+    * fp rate only prices the confirm join, never changes results. */
+  private val BLOOM_ITEMS = 1000000L
+  private val BLOOM_BITS = 8388608L
+
   /** SimHash band-width clamps: sub-4-bit bands block nothing; past 15
     * bits the 4 disjoint bands no longer fit ONE 60-bit word, so the
     * fingerprint WIDENS (see [[simhashFps]]) — the cap is 60 (4 words of
@@ -465,6 +471,58 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // Bloom-prefiltered decontamination — d12's scale path for when the
+    // benchmark gram set outgrows broadcast (multi-suite eval unions,
+    // contamination sweeps against another corpus). The gram set folds
+    // IN-PLAN into one fixed-size Bloom filter via Spark's own
+    // BloomFilterAggregate — the machinery behind runtime row-level
+    // filters — delivered to the training scan as a scalar subquery
+    // (computed once, reused across partitions, never re-planned), and
+    // probed map-side with BloomFilterMightContain: training grams that
+    // miss the filter never cross a shuffle. Bloom filters have NO
+    // false negatives, so the exact confirm join over the survivors is
+    // exactly d12's semantics — false positives only add confirm-join
+    // traffic (~2% at 1M grams in 2^23 bits = 1 MB), never results.
+    // Unlike d12 the bench side never broadcasts whole: the confirm is
+    // a shuffle join of two SMALL sides (survivors ≈ true hits + fp).
+    "d17_bloom_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnBridge
+      graft.GraftExtensions.register(s)
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" % 40 === 0)
+      val leaked = bench.select(($"doc_id" + 7000000L).as("doc_id"),
+        concat(
+          array_join(slice(split($"text", " "), 1, 16), " "),
+          lit(" "),
+          array_join(expr("transform(sequence(1, 24), i -> " +
+            "concat('blm', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))"),
+            " ")).as("text"))
+      val train = docs.filter($"doc_id" % 40 =!= 0).unionByName(leaked)
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("ws", split($"text", " "))
+        .filter(size($"ws") >= 8)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(ws) - 7), i -> " +
+          "graft_phash(concat_ws('_', slice(ws, i, 8))))")).as("fp"))
+        .distinct()
+      val benchFps = grams(bench).select($"fp").distinct()
+      val bloom = benchFps.agg(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64($"fp")),
+          Literal(BLOOM_ITEMS), Literal(BLOOM_BITS)).toAggregateExpression())
+        .as("bf")).scalar()
+      val survivors = grams(train).where(ColumnBridge.column(
+        new BloomFilterMightContain(
+          ColumnBridge.expression(bloom),
+          ColumnBridge.expression(xxhash64($"fp")))))
+      survivors.join(benchFps, Seq("fp"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy($"doc_id")
+    },
+
     // Chunk-level dedup — RefinedWeb/CCNet's line-level dedup adapted to
     // unstructured text: split each doc into non-overlapping 10-word
     // chunks, hash each, count corpus-wide occurrences, and report how
@@ -626,6 +684,37 @@ object Dedup {
          |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
          |    array_to_string(list_transform(range(1, 25),
          |      i -> 'leak' || CAST(doc_id AS VARCHAR) || 'x' ||
+         |           CAST(i AS VARCHAR)), ' ')
+         |  FROM bench),
+         |bg AS (SELECT DISTINCT fp FROM (${gramsSql("bench")})),
+         |tg AS (${gramsSql("train")})
+         |SELECT tg.doc_id, COUNT(*) AS n_hits
+         |FROM tg JOIN bg USING (fp)
+         |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // Bloom prefiltering has no false negatives and every false
+    // positive dies in the exact confirm join, so d17's oracle is the
+    // exact-join SQL — only the fixture (modulus 40, offset 7e6,
+    // 'blm' filler) differs from d12's.
+    "d17_bloom_decontaminate" -> {
+      val fpOf = graft.Dets.phashSql(
+        "array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], '_')")
+      def gramsSql(src: String) =
+        s"""SELECT DISTINCT doc_id, $fpOf AS fp
+           |FROM (SELECT doc_id, ws,
+           |        unnest(list_transform(range(1, len(ws) - 6), i -> i)) AS i
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
+           |      WHERE len(ws) >= 8)""".stripMargin
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000,
+         |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
+         |    array_to_string(list_transform(range(1, 25),
+         |      i -> 'blm' || CAST(doc_id AS VARCHAR) || 'x' ||
          |           CAST(i AS VARCHAR)), ' ')
          |  FROM bench),
          |bg AS (SELECT DISTINCT fp FROM (${gramsSql("bench")})),

@@ -49,7 +49,10 @@ object StressBench {
       // cells here) — the knob and its measurement live in ScaleProbe's
       // semdedup section / ARCHITECTURE.md
       "d15_semdedup_cells,q66_scd2_merge,q67_funnel,q68_resample_interpolate," +
-      "q69_retention"
+      "q69_retention," +
+      // round-8: Bloom decontamination (map-side probe — curve should
+      // track d12's) and the d16 linear consumable over SimHash pairs
+      "d17_bloom_decontaminate,d16_simhash_clusters"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -571,6 +571,22 @@ class OperatorSpec extends SparkSpec {
       "a benchmark doc appeared in the contamination report")
   }
 
+  test("d17: bloom prefilter loses no planted leak; bench docs never appear") {
+    val hits = datapipe.Dedup.queries("d17_bloom_decontaminate")(spark, sf)
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+    val bench = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")))
+      .as[(Long, Int)].collect().filter(_._1 % 40 == 0)
+    val leakable = bench.filter(_._2 >= 8)
+    assert(leakable.nonEmpty, "fixture has no benchmark docs with >= 8 words")
+    leakable.foreach { case (id, _) =>
+      // no false negatives is the Bloom contract the exactness rests on
+      assert(hits.contains(id + 7000000L), s"planted leak of doc $id missed")
+    }
+    assert(hits.keys.forall(id => id >= 7000000L || id % 40 != 0),
+      "a benchmark doc appeared in the contamination report")
+  }
+
   test("d13: planted exact copies and their originals keep no chunks") {
     val kept = datapipe.Dedup.queries("d13_chunk_dedup")(spark, sf)
       .select($"doc_id", $"kept_frac").as[(Long, Double)].collect().toMap

@@ -236,6 +236,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Sort ["), "global sort planned for a top-k stage")
   }
 
+  test("d17: bloom probe filters grams map-side, before any shuffle") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val p = planTree("d17_bloom_decontaminate")
+    val probes = p.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probes.nonEmpty, "bloom might_contain probe missing:\n" + p.toString.take(800))
+    // nothing below the probe may shuffle: a gram that misses the filter
+    // must die in the scan stage, or the prefilter saves no traffic
+    probes.foreach { f =>
+      assert(f.collect { case s: ShuffleExchangeLike => s }.isEmpty,
+        "training grams crossed an exchange before the bloom probe")
+    }
+  }
+
   test("s07: probe explode runs on the broadcast query side, not per corpus row") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
