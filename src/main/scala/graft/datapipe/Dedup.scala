@@ -808,10 +808,15 @@ object Dedup {
       // dominant term on long-diameter graphs — d16's 17-pull fixpoint
       // measured ~0.45 s/cycle of overhead — so chaining two 1-hop
       // pulls into one lazy plan halves the cycles for the same pull
-      // count. (Label-value acceleration — pointer jumping,
-      // hash-to-min pushes — was measured on this graph and did NOT
-      // reduce rounds: the planted chains interleave id ranges so a
-      // node's label is usually a nearby local min whose own label
+      // count. Two is also the CEILING: every pull references the
+      // label frame TWICE (join + union), so b chained pulls expand
+      // the un-checkpointed subtree 2^b ways at the plan level —
+      // b=4 measured 38/56/65 s on d16's 1x/4x/16x StressBench points
+      // vs 13.7/19.5/24.6 at b=2 (exchange reuse does not collapse
+      // the copies under AQE). (Label-value acceleration — pointer
+      // jumping, hash-to-min pushes — was measured on this graph and
+      // did NOT reduce rounds: the planted chains interleave id ranges
+      // so a node's label is usually a nearby local min whose own label
       // adds nothing. Batching attacks the overhead instead.)
       def pull(l: DataFrame): DataFrame = edges
         .join(l.select(col("doc_id").as("b"), col("lbl")), Seq("b"))
