@@ -262,6 +262,65 @@ object AdvancedAggs {
           ($"a_median" >= element_at($"pcts", 1) &&
            $"a_median" <= element_at($"pcts", 3)).as("median_ok"))
         .orderBy($"l_returnflag")
+    },
+
+    // KMV set algebra — distinct-count union/intersection across
+    // segments WITHOUT joining fact scans: each segment folds to an
+    // O(k) bottom-k sketch (one shuffle of 2 KB states), merging two
+    // sketches is array concat+sort+slice on a 3-row frame, and the
+    // estimators are closed-form: D_union = (k-1)·M / kth_min (M = the
+    // 2^60 phash space), D_inter = D_union · ρ where ρ = the fraction
+    // of the merged sketch present in BOTH inputs (membership via the
+    // input sketches is sound: a merged bottom-k value from A must be
+    // in A's own bottom-k). At 100 TB this replaces a fact×fact
+    // distinct join with constant-size state; segment-pair estimates
+    // compose from ONE sketch per segment, so S segments cost S scans'
+    // worth of sketching, not S² joins. The sketch internals (kth_min,
+    // ρ numerator) are hash-deterministic and oracle-checked EXACTLY;
+    // estimator accuracy is asserted as q39-style error-band flags
+    // (k=256 → ~6% σ for union; bands at 20%/35% are >3σ and the
+    // values are deterministic per dataset, so the flags cannot flake).
+    "q74_kmv_set_algebra" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.BottomKAgg.bottom_k
+      val K = 256
+      // orderkey universe: an order appears under a flag iff some line
+      // item carries it, so segments genuinely partially overlap
+      // (J ≈ 0.6) — the regime the intersection estimator exists for
+      val pk = Dets.phash($"l_orderkey".cast("string"))
+      val dpk = T.lineitem(s, d)
+        .select($"l_returnflag".as("seg"), pk.as("pk")).distinct()
+      val sk = T.lineitem(s, d).select($"l_returnflag".as("seg"), pk.as("pk"))
+        .groupBy($"seg").agg(bottom_k($"pk", K).as("sk"))
+      val perSeg = dpk.groupBy($"seg").agg(count(lit(1)).as("n"))
+      val inter = dpk.as("x").join(dpk.as("y"), Seq("pk"))
+        .filter(col("x.seg") < col("y.seg"))
+        .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(perSeg.select($"seg".as("seg_a"), $"n".as("n_a"))), Seq("seg_a"))
+        .join(broadcast(perSeg.select($"seg".as("seg_b"), $"n".as("n_b"))), Seq("seg_b"))
+        .join(broadcast(sk.select($"seg".as("seg_a"), $"sk".as("sk_a"))), Seq("seg_a"))
+        .join(broadcast(sk.select($"seg".as("seg_b"), $"sk".as("sk_b"))), Seq("seg_b"))
+        .withColumn("n_union", $"n_a" + $"n_b" - $"n_inter")
+        .withColumn("mrg",
+          expr(s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $K)"))
+        .withColumn("kth_min",
+          expr(s"IF(size(mrg) >= $K, element_at(mrg, $K), CAST(NULL AS BIGINT))"))
+        .withColumn("rho_k",
+          expr("CAST(size(array_intersect(array_intersect(mrg, sk_a), sk_b)) AS BIGINT)"))
+        .withColumn("est_union", expr(
+          s"IF(kth_min IS NULL, CAST(size(mrg) AS DOUBLE), " +
+          s"CAST(${K - 1} AS DOUBLE) * 1152921504606846976D / kth_min)"))
+        // ρ's denominator is the MERGED sketch size: below k the sketch
+        // is the complete set, so est_union is exact and est_inter
+        // collapses to the exact intersection — no small-corpus bias
+        .withColumn("est_inter",
+          expr("est_union * rho_k / CAST(size(mrg) AS DOUBLE)"))
+        .select($"seg_a", $"seg_b", $"n_union", $"n_inter", $"kth_min", $"rho_k",
+          (abs($"est_union" - $"n_union") <= $"n_union" * 0.2).as("union_ok"),
+          (abs($"est_inter" - $"n_inter") <= $"n_inter" * 0.35).as("inter_ok"))
+        .orderBy($"seg_a", $"seg_b")
     }
   )
 
@@ -409,6 +468,50 @@ object AdvancedAggs {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  quantile_cont(l_extendedprice, 0.5) AS x_median,
         |  TRUE AS hll_orders_ok, TRUE AS hll_parts_ok, TRUE AS median_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The bottom-k sketch is hash-deterministic, so unlike q39's HLL
+    // the oracle reproduces the sketch internals (kth_min, rho_k)
+    // EXACTLY — sort+slice IS the sketch; the estimator flags use the
+    // same double arithmetic on both engines.
+    "q74_kmv_set_algebra" -> {
+      val pk = graft.Dets.phashSql("CAST(l_orderkey AS VARCHAR)")
+      s"""WITH dpk AS (
+         |  SELECT DISTINCT l_returnflag AS seg, $pk AS pk FROM lineitem),
+         |per_seg AS (SELECT seg, COUNT(*) AS n FROM dpk GROUP BY seg),
+         |sk AS (SELECT seg, list_slice(list_sort(list(pk)), 1, 256) AS sk
+         |       FROM dpk GROUP BY seg),
+         |inter AS (
+         |  SELECT x.seg AS seg_a, y.seg AS seg_b, COUNT(*) AS n_inter
+         |  FROM dpk x JOIN dpk y USING (pk)
+         |  WHERE x.seg < y.seg GROUP BY 1, 2),
+         |m AS (
+         |  SELECT i.seg_a, i.seg_b, i.n_inter,
+         |    a.n + b.n - i.n_inter AS n_union,
+         |    sa.sk AS sk_a, sb.sk AS sk_b,
+         |    list_slice(list_sort(list_distinct(sa.sk || sb.sk)), 1, 256) AS mrg
+         |  FROM inter i
+         |  JOIN per_seg a ON a.seg = i.seg_a
+         |  JOIN per_seg b ON b.seg = i.seg_b
+         |  JOIN sk sa ON sa.seg = i.seg_a
+         |  JOIN sk sb ON sb.seg = i.seg_b),
+         |e AS (
+         |  SELECT *,
+         |    CASE WHEN len(mrg) >= 256 THEN mrg[256] ELSE NULL END AS kth_min,
+         |    len(list_filter(mrg, v -> list_contains(sk_a, v)
+         |        AND list_contains(sk_b, v))) AS rho_k
+         |  FROM m),
+         |f AS (
+         |  SELECT *,
+         |    CASE WHEN kth_min IS NULL THEN CAST(len(mrg) AS DOUBLE)
+         |         ELSE CAST(255 AS DOUBLE) * 1152921504606846976 / kth_min
+         |    END AS est_union
+         |  FROM e)
+         |SELECT seg_a, seg_b, n_union, n_inter, kth_min, rho_k,
+         |  abs(est_union - n_union) <= n_union * 0.2 AS union_ok,
+         |  abs(est_union * rho_k / CAST(len(mrg) AS DOUBLE) - n_inter)
+         |    <= n_inter * 0.35 AS inter_ok
+         |FROM f ORDER BY seg_a, seg_b""".stripMargin
+    }
   )
 }
