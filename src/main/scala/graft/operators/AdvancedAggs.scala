@@ -290,8 +290,10 @@ object AdvancedAggs {
       val pk = Dets.phash($"l_orderkey".cast("string"))
       val dpk = T.lineitem(s, d)
         .select($"l_returnflag".as("seg"), pk.as("pk")).distinct()
-      val sk = T.lineitem(s, d).select($"l_returnflag".as("seg"), pk.as("pk"))
-        .groupBy($"seg").agg(bottom_k($"pk", K).as("sk"))
+      // sketch from the distinct frame: KMV state dedups anyway, and
+      // deriving every branch (sketch, per-seg counts, intersection)
+      // from ONE distinct lets ReuseExchange scan lineitem once
+      val sk = dpk.groupBy($"seg").agg(bottom_k($"pk", K).as("sk"))
       val perSeg = dpk.groupBy($"seg").agg(count(lit(1)).as("n"))
       val inter = dpk.as("x").join(dpk.as("y"), Seq("pk"))
         .filter(col("x.seg") < col("y.seg"))
