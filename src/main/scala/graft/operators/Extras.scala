@@ -224,6 +224,61 @@ object Extras {
           |  FROM v_orders_l WHERE o_custkey = c.c_custkey) o
           |WHERE c.c_custkey % 10 = 0
           |ORDER BY c.c_custkey""".stripMargin)
+    },
+
+    // Snapshot reconciliation — the migration-validation op: diff two
+    // table snapshots into a report (added / removed / changed /
+    // unchanged, plus per-column attribution for the changed set).
+    // Scale shape: the diff itself runs NARROW — each side projects to
+    // (key, 60-bit row hash) before the full-outer join, so the shuffle
+    // carries 16 bytes/row regardless of row width — and only the
+    // changed keys (the small fraction reconciliation exists to find)
+    // re-join their wide rows for column attribution via a semi-join
+    // prefilter. Hash equality stands in for row equality at 2^-60
+    // per-pair collision odds (d04 precedent); the oracle compares
+    // columns directly, so a collision would surface as a gate failure.
+    // Fixture: deterministic mutations of orders (drop %13, reprice %7,
+    // reprioritize %19, add %11 under shifted keys).
+    "q75_snapshot_diff" -> { (s, d) =>
+      import s.implicits._
+      val cmpCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val base = T.orders(s, d)
+      val cur = base.filter($"o_orderkey" % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1.0)
+            .otherwise($"o_totalprice"))
+        .withColumn("o_orderpriority",
+          when($"o_orderkey" % 19 === 0, lit("9-RECHECK"))
+            .otherwise($"o_orderpriority"))
+        .unionByName(base.filter($"o_orderkey" % 11 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 9000000L))
+      // per-column NULL sentinel BEFORE concat: concat_ws skips nulls,
+      // which would conflate (NULL,"x") with ("x",NULL)
+      def kh(df: DataFrame): DataFrame = df.select($"o_orderkey".as("k"),
+        graft.Dets.phash(concat_ws("\u0001",
+          cmpCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+          .as("h"))
+      val statuses = kh(base).as("b")
+        .join(kh(cur).as("c"), Seq("k"), "full_outer")
+        .select($"k",
+          when(col("c.h").isNull, "removed")
+            .when(col("b.h").isNull, "added")
+            .when(col("b.h") =!= col("c.h"), "changed")
+            .otherwise("unchanged").as("status"))
+      val counts = statuses.groupBy($"status").agg(count(lit(1)).as("n"))
+      val changedKeys = statuses.filter($"status" === "changed").select($"k")
+      val attribution = base.as("b")
+        .join(changedKeys, col("b.o_orderkey") === $"k", "left_semi")
+        .join(cur.as("c"), col("b.o_orderkey") === col("c.o_orderkey"))
+        .select(cmpCols.map(cn =>
+          (!(col(s"b.$cn") <=> col(s"c.$cn"))).cast("long").as(cn)): _*)
+        .select(cmpCols.map(cn => sum(col(cn)).as(cn)): _*)
+        .select(expr(s"stack(${cmpCols.size}, " +
+          cmpCols.map(cn => s"'changed_$cn', $cn").mkString(", ") +
+          ") AS (status, n)"))
+        .filter($"n" > 0)
+      counts.unionByName(attribution).orderBy($"status")
     }
   )
 
@@ -397,6 +452,58 @@ object Extras {
         |  FROM orders GROUP BY o_custkey) o
         |  ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey % 10 = 0
-        |ORDER BY c.c_custkey""".stripMargin
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    // The oracle compares columns DIRECTLY (IS DISTINCT FROM) where the
+    // Spark side compares 60-bit row hashes — a hash collision would
+    // surface here as a gate failure. Attribution sums run over all
+    // common keys (unchanged keys contribute 0), equal to Spark's
+    // changed-key-prefiltered sums.
+    "q75_snapshot_diff" ->
+      """WITH base AS (SELECT * FROM orders),
+        |cur AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN '9-RECHECK'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 9000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |st AS (
+        |  SELECT CASE WHEN c.o_orderkey IS NULL THEN 'removed'
+        |              WHEN b.o_orderkey IS NULL THEN 'added'
+        |              WHEN b.o_custkey IS DISTINCT FROM c.o_custkey
+        |                OR b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |                OR b.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |                OR b.o_orderdate IS DISTINCT FROM c.o_orderdate
+        |                OR b.o_orderpriority IS DISTINCT FROM c.o_orderpriority
+        |              THEN 'changed' ELSE 'unchanged' END AS status
+        |  FROM base b FULL OUTER JOIN cur c ON b.o_orderkey = c.o_orderkey),
+        |counts AS (SELECT status, COUNT(*) AS n FROM st GROUP BY status),
+        |att AS (
+        |  SELECT s AS status, CAST(n AS BIGINT) AS n FROM (
+        |    SELECT unnest(['changed_o_custkey', 'changed_o_orderstatus',
+        |                   'changed_o_totalprice', 'changed_o_orderdate',
+        |                   'changed_o_orderpriority']) AS s,
+        |      unnest([
+        |        SUM(CASE WHEN b.o_custkey IS DISTINCT FROM c.o_custkey
+        |            THEN 1 ELSE 0 END),
+        |        SUM(CASE WHEN b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |            THEN 1 ELSE 0 END),
+        |        SUM(CASE WHEN b.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |            THEN 1 ELSE 0 END),
+        |        SUM(CASE WHEN b.o_orderdate IS DISTINCT FROM c.o_orderdate
+        |            THEN 1 ELSE 0 END),
+        |        SUM(CASE WHEN b.o_orderpriority IS DISTINCT FROM c.o_orderpriority
+        |            THEN 1 ELSE 0 END)]) AS n
+        |    FROM base b JOIN cur c ON b.o_orderkey = c.o_orderkey)
+        |  WHERE n > 0)
+        |SELECT status, n FROM counts
+        |UNION ALL SELECT status, n FROM att
+        |ORDER BY status""".stripMargin
   )
 }

@@ -252,6 +252,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q75: the snapshot diff joins narrow (key, hash) rows, never wide rows") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    val p = planTree("q75_snapshot_diff")
+    val diffs = p.collect { case j: SortMergeJoinExec if j.joinType == FullOuter => j }
+    assert(diffs.nonEmpty, "full-outer diff join missing:\n" + p.toString.take(800))
+    diffs.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.output.size <= 2,
+          s"diff side shuffles ${side.output.size} columns — the row-width " +
+            "independence of the reconciliation is gone: " + side.output.mkString(", "))
+      }
+    }
+  }
+
   test("s07: probe explode runs on the broadcast query side, not per corpus row") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
