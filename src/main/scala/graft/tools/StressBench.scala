@@ -51,8 +51,11 @@ object StressBench {
       "d15_semdedup_cells,q66_scd2_merge,q67_funnel,q68_resample_interpolate," +
       "q69_retention," +
       // round-8: Bloom decontamination (map-side probe — curve should
-      // track d12's) and the d16 linear consumable over SimHash pairs
-      "d17_bloom_decontaminate,d16_simhash_clusters"
+      // track d12's), the d16 linear consumable over SimHash pairs,
+      // KMV set algebra (constant sketch state), and the narrow-hash
+      // snapshot diff (linear in rows, independent of row width)
+      "d17_bloom_decontaminate,d16_simhash_clusters," +
+      "q74_kmv_set_algebra,q75_snapshot_diff"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
