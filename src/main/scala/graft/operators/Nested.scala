@@ -70,6 +70,26 @@ object Nested {
         .orderBy($"event_id")
     },
 
+    // Skew profile — the diagnostic that DECIDES q48's salting: per-key
+    // group sizes (one narrow (key, count) shuffle), a 1-row global
+    // stats frame broadcast back (no driver scalar), and the top-5
+    // hottest keys via TakeOrderedAndProject — per-partition heaps, no
+    // global sort. share = the fraction of all rows one key carries;
+    // x_mean = how many average-sized groups it equals. At 100 TB this
+    // is the cheap pre-join check that turns "the join hung" into
+    // "key 42 is 400× the mean — salt it or segregate it".
+    "q76_skew_profile" -> { (s, d) =>
+      import s.implicits._
+      val g = T.events(s, d).groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum($"n").as("total"), count(lit(1)).as("n_keys"))
+      g.crossJoin(broadcast(tot))
+        .select($"user_id", $"n",
+          ($"n".cast("double") / $"total").as("share"),
+          (($"n".cast("double") * $"n_keys") / $"total").as("x_mean"))
+        .orderBy($"n".desc, $"user_id")
+        .limit(5)
+    },
+
     // Theta join = cross join + non-equi predicate (SURVEY §2.2 joins row).
     // Kept to dimension-sized inputs: an unconstrained theta join is a
     // Cartesian product and must never touch a fact table at scale.
@@ -129,6 +149,17 @@ object Nested {
         |FROM nation a, nation b
         |WHERE a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
         |ORDER BY regionkey, name_a, name_b""".stripMargin,
+
+    "q76_skew_profile" ->
+      """WITH g AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |             COUNT(*) AS n_keys FROM g)
+        |SELECT g.user_id, g.n,
+        |  CAST(g.n AS DOUBLE) / t.total AS share,
+        |  (CAST(g.n AS DOUBLE) * t.n_keys) / t.total AS x_mean
+        |FROM g, t
+        |ORDER BY g.n DESC, g.user_id
+        |LIMIT 5""".stripMargin,
 
     "q50_nullsafe_predicates" ->
       """SELECT event_id,
