@@ -43,6 +43,75 @@ object Dedup {
   private val BLOOM_ITEMS = 1000000L
   private val BLOOM_BITS = 8388608L
 
+  /** Contamination fixture parameters — d12 and d17 share the same
+    * bench/train/planted-leak construction and 8-word gram extraction
+    * (one Spark builder, one oracle template), differing only here so
+    * their fixtures stay independent. */
+  private case class ContaminationFixture(modulus: Int, offset: Long,
+                                          tag: String)
+  private val D12_FIX = ContaminationFixture(50, 5000000L, "leak")
+  private val D17_FIX = ContaminationFixture(40, 7000000L, "blm")
+
+  /** Bench-gram-fp and train-gram frames for a contamination fixture:
+    * bench = documents with doc_id % modulus == 0; train = the rest
+    * plus one planted leak per bench doc (its 16-word prefix wrapped in
+    * unique filler, id shifted by offset). Grams are distinct 8-word
+    * windows, hashed — only (doc_id, fp) longs ever leave the scan. */
+  private def contaminationGrams(s: SparkSession, d: String,
+      fix: ContaminationFixture): (DataFrame, DataFrame) = {
+    import s.implicits._
+    graft.GraftExtensions.register(s)
+    val docs = T.documents(s, d).select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" % fix.modulus === 0)
+    val leaked = bench.select(($"doc_id" + fix.offset).as("doc_id"),
+      concat(
+        array_join(slice(split($"text", " "), 1, 16), " "),
+        lit(" "),
+        array_join(expr("transform(sequence(1, 24), i -> " +
+          s"concat('${fix.tag}', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))"),
+          " ")).as("text"))
+    val train = docs.filter($"doc_id" % fix.modulus =!= 0).unionByName(leaked)
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 7), i -> " +
+        "graft_phash(concat_ws('_', slice(ws, i, 8))))")).as("fp"))
+      .distinct()
+    (grams(bench).select($"fp").distinct(), grams(train))
+  }
+
+  /** The exact-join contamination oracle for a fixture — shared by d12
+    * and d17 (the Bloom prefilter has no false negatives and false
+    * positives die in the confirm join, so both queries share this
+    * exact semantics). */
+  private def contaminationSql(fix: ContaminationFixture): String = {
+    val fpOf = graft.Dets.phashSql(
+      "array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], '_')")
+    def gramsSql(src: String) =
+      s"""SELECT DISTINCT doc_id, $fpOf AS fp
+         |FROM (SELECT doc_id, ws,
+         |        unnest(list_transform(range(1, len(ws) - 6), i -> i)) AS i
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
+         |      WHERE len(ws) >= 8)""".stripMargin
+    s"""WITH bench AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % ${fix.modulus} = 0),
+       |train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % ${fix.modulus} <> 0
+       |  UNION ALL
+       |  SELECT doc_id + ${fix.offset},
+       |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
+       |    array_to_string(list_transform(range(1, 25),
+       |      i -> '${fix.tag}' || CAST(doc_id AS VARCHAR) || 'x' ||
+       |           CAST(i AS VARCHAR)), ' ')
+       |  FROM bench),
+       |bg AS (SELECT DISTINCT fp FROM (${gramsSql("bench")})),
+       |tg AS (${gramsSql("train")})
+       |SELECT tg.doc_id, COUNT(*) AS n_hits
+       |FROM tg JOIN bg USING (fp)
+       |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** SimHash band-width clamps: sub-4-bit bands block nothing; past 15
     * bits the 4 disjoint bands no longer fit ONE 60-bit word, so the
     * fingerprint WIDENS (see [[simhashFps]]) — the cap is 60 (4 words of
@@ -447,26 +516,8 @@ object Dedup {
     // contamination semantics, mirrored exactly by the oracle.
     "d12_decontaminate" -> { (s, d) =>
       import s.implicits._
-      graft.GraftExtensions.register(s)
-      val docs = T.documents(s, d).select($"doc_id", $"text")
-      val bench = docs.filter($"doc_id" % 50 === 0)
-      val leaked = bench.select(($"doc_id" + 5000000L).as("doc_id"),
-        concat(
-          array_join(slice(split($"text", " "), 1, 16), " "),
-          lit(" "),
-          array_join(expr("transform(sequence(1, 24), i -> " +
-            "concat('leak', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))"),
-            " ")).as("text"))
-      val train = docs.filter($"doc_id" % 50 =!= 0).unionByName(leaked)
-      def grams(df: DataFrame): DataFrame = df
-        .withColumn("ws", split($"text", " "))
-        .filter(size($"ws") >= 8)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(ws) - 7), i -> " +
-          "graft_phash(concat_ws('_', slice(ws, i, 8))))")).as("fp"))
-        .distinct()
-      val benchFps = grams(bench).select($"fp").distinct()
-      grams(train).join(broadcast(benchFps), Seq("fp"))
+      val (benchFps, trainGrams) = contaminationGrams(s, d, D12_FIX)
+      trainGrams.join(broadcast(benchFps), Seq("fp"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy($"doc_id")
     },
@@ -490,31 +541,13 @@ object Dedup {
       import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       import org.apache.spark.sql.graft.ColumnBridge
-      graft.GraftExtensions.register(s)
-      val docs = T.documents(s, d).select($"doc_id", $"text")
-      val bench = docs.filter($"doc_id" % 40 === 0)
-      val leaked = bench.select(($"doc_id" + 7000000L).as("doc_id"),
-        concat(
-          array_join(slice(split($"text", " "), 1, 16), " "),
-          lit(" "),
-          array_join(expr("transform(sequence(1, 24), i -> " +
-            "concat('blm', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))"),
-            " ")).as("text"))
-      val train = docs.filter($"doc_id" % 40 =!= 0).unionByName(leaked)
-      def grams(df: DataFrame): DataFrame = df
-        .withColumn("ws", split($"text", " "))
-        .filter(size($"ws") >= 8)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(ws) - 7), i -> " +
-          "graft_phash(concat_ws('_', slice(ws, i, 8))))")).as("fp"))
-        .distinct()
-      val benchFps = grams(bench).select($"fp").distinct()
+      val (benchFps, trainGrams) = contaminationGrams(s, d, D17_FIX)
       val bloom = benchFps.agg(ColumnBridge.column(
         new BloomFilterAggregate(
           ColumnBridge.expression(xxhash64($"fp")),
           Literal(BLOOM_ITEMS), Literal(BLOOM_BITS)).toAggregateExpression())
         .as("bf")).scalar()
-      val survivors = grams(train).where(ColumnBridge.column(
+      val survivors = trainGrams.where(ColumnBridge.column(
         new BloomFilterMightContain(
           ColumnBridge.expression(bloom),
           ColumnBridge.expression(xxhash64($"fp")))))
@@ -666,63 +699,12 @@ object Dedup {
          |              GROUP BY lbl HAVING COUNT(*) > 1)
          |ORDER BY doc_id""".stripMargin,
 
-    "d12_decontaminate" -> {
-      val fpOf = graft.Dets.phashSql(
-        "array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], '_')")
-      def gramsSql(src: String) =
-        s"""SELECT DISTINCT doc_id, $fpOf AS fp
-           |FROM (SELECT doc_id, ws,
-           |        unnest(list_transform(range(1, len(ws) - 6), i -> i)) AS i
-           |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
-           |      WHERE len(ws) >= 8)""".stripMargin
-      s"""WITH bench AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
-         |train AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 5000000,
-         |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
-         |    array_to_string(list_transform(range(1, 25),
-         |      i -> 'leak' || CAST(doc_id AS VARCHAR) || 'x' ||
-         |           CAST(i AS VARCHAR)), ' ')
-         |  FROM bench),
-         |bg AS (SELECT DISTINCT fp FROM (${gramsSql("bench")})),
-         |tg AS (${gramsSql("train")})
-         |SELECT tg.doc_id, COUNT(*) AS n_hits
-         |FROM tg JOIN bg USING (fp)
-         |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
-    },
+    "d12_decontaminate" -> contaminationSql(D12_FIX),
 
     // Bloom prefiltering has no false negatives and every false
-    // positive dies in the exact confirm join, so d17's oracle is the
-    // exact-join SQL — only the fixture (modulus 40, offset 7e6,
-    // 'blm' filler) differs from d12's.
-    "d17_bloom_decontaminate" -> {
-      val fpOf = graft.Dets.phashSql(
-        "array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], '_')")
-      def gramsSql(src: String) =
-        s"""SELECT DISTINCT doc_id, $fpOf AS fp
-           |FROM (SELECT doc_id, ws,
-           |        unnest(list_transform(range(1, len(ws) - 6), i -> i)) AS i
-           |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
-           |      WHERE len(ws) >= 8)""".stripMargin
-      s"""WITH bench AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
-         |train AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 7000000,
-         |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
-         |    array_to_string(list_transform(range(1, 25),
-         |      i -> 'blm' || CAST(doc_id AS VARCHAR) || 'x' ||
-         |           CAST(i AS VARCHAR)), ' ')
-         |  FROM bench),
-         |bg AS (SELECT DISTINCT fp FROM (${gramsSql("bench")})),
-         |tg AS (${gramsSql("train")})
-         |SELECT tg.doc_id, COUNT(*) AS n_hits
-         |FROM tg JOIN bg USING (fp)
-         |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin
-    },
+    // positive dies in the exact confirm join, so d17 shares d12's
+    // exact-join oracle template — only the fixture differs.
+    "d17_bloom_decontaminate" -> contaminationSql(D17_FIX),
 
     "d13_chunk_dedup" -> {
       val fpOf = graft.Dets.phashSql(
