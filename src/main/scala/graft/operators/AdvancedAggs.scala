@@ -264,6 +264,35 @@ object AdvancedAggs {
         .orderBy($"l_returnflag")
     },
 
+    // Re-aggregatable distincts — the dashboard/cube pattern HLL
+    // sketches exist for: per-day sketches are built once (binary
+    // states a real deployment WRITES to its daily rollup table), and
+    // any coarser rollup — weekly here — merges sketch states instead
+    // of rescanning raw events: count-distinct becomes re-aggregatable
+    // like a sum, which is what makes 100 TB dashboard refreshes
+    // incremental. Spark's DataSketches builtins (hll_sketch_agg /
+    // hll_union_agg / hll_sketch_estimate); sketch bytes are
+    // engine-specific, so the oracle checks exact values plus a
+    // q39-style error-band flag (default lgK=12 → rsd ~1.6%, the 10%
+    // band is >6σ and the estimate is deterministic per dataset).
+    "q77_hll_union" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("day", date_trunc("day", $"ts"))
+      val daily = ev.groupBy($"day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val weekly = daily
+        .withColumn("week", date_trunc("week", $"day"))
+        .groupBy($"week")
+        .agg(count(lit(1)).as("n_days"),
+             expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.withColumn("week", date_trunc("week", $"day"))
+        .groupBy($"week").agg(countDistinct($"user_id").as("exact_users"))
+      exact.join(broadcast(weekly), Seq("week"))
+        .select($"week", $"n_days", $"exact_users",
+          (abs($"est" - $"exact_users") <= $"exact_users" * 0.1).as("est_ok"))
+        .orderBy($"week")
+    },
+
     // KMV set algebra — distinct-count union/intersection across
     // segments WITHOUT joining fact scans: each segment folds to an
     // O(k) bottom-k sketch (one shuffle of 2 KB states), merging two
@@ -471,6 +500,14 @@ object AdvancedAggs {
         |  quantile_cont(l_extendedprice, 0.5) AS x_median,
         |  TRUE AS hll_orders_ok, TRUE AS hll_parts_ok, TRUE AS median_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q77_hll_union" ->
+      """SELECT date_trunc('week', day) AS week,
+        |  COUNT(DISTINCT day) AS n_days,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS est_ok
+        |FROM (SELECT date_trunc('day', ts) AS day, user_id FROM events)
+        |GROUP BY 1 ORDER BY week""".stripMargin,
 
     // The bottom-k sketch is hash-deterministic, so unlike q39's HLL
     // the oracle reproduces the sketch internals (kth_min, rho_k)
