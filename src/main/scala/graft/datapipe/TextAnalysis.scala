@@ -627,6 +627,36 @@ object TextAnalysis {
         .select($"doc_id", $"n_words",
           round($"nll_sum".cast("double") / $"n_words" / 1e6, 6).as("avg_nll"))
         .orderBy($"doc_id")
+    },
+
+    // Strict per-domain cap (t13 flattens the mix by RATE; this caps by
+    // COUNT): keep at most K docs per source, chosen by a deterministic
+    // hash ranking so the kept set is reproducible across runs and
+    // cluster sizes. Scale shape: the ranking window runs over a
+    // 3-narrow-column projection (doc_id, source, rank key) — only
+    // ~24 bytes/row ever shuffles by the skewed domain key, never the
+    // doc bodies — and the surviving (doc_id, rn) set (≤ K × n_domains
+    // rows) joins back to the full table on the uniform doc_id key.
+    // A hot domain costs a big sort of small rows, not a big shuffle
+    // of text.
+    "t16_domain_cap" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cap  = 50
+      val docs = T.documents(s, d)
+      val keep = docs.select($"doc_id", $"source")
+        .withColumn("rk", graft.Dets.phash(
+          concat(lit("cap:"), $"doc_id".cast("string"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"rk", $"doc_id")))
+        .filter($"rn" <= cap)
+        .select($"doc_id", $"rn")
+      docs.join(keep, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"),
+             sum(length($"text")).as("sum_chars"),
+             max($"rn").cast("long").as("max_rank"))
+        .orderBy($"source")
     }
   )
 
@@ -956,6 +986,20 @@ object TextAnalysis {
         |  round(CAST(SUM(tf * nll_micro) AS DOUBLE) / SUM(tf) / 1e6, 6)
         |    AS avg_nll
         |FROM tf JOIN vocab USING (w)
-        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+
+    "t16_domain_cap" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ${graft.Dets.phashSql("'cap:' || CAST(doc_id AS VARCHAR)")},
+         |      doc_id) AS rn
+         |  FROM documents),
+         |kept AS (SELECT doc_id, rn FROM ranked WHERE rn <= 50)
+         |SELECT d.source, COUNT(*) AS n_kept,
+         |  CAST(SUM(LENGTH(d.text)) AS BIGINT) AS sum_chars,
+         |  CAST(MAX(k.rn) AS BIGINT) AS max_rank
+         |FROM documents d JOIN kept k USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

@@ -644,6 +644,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("t16: no source exceeds the cap; under-cap sources keep everything") {
+    val before = Tables.documents(spark, sf).groupBy($"source")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    val rows = datapipe.TextAnalysis.queries("t16_domain_cap")(spark, sf)
+      .select($"source", $"n_kept", $"max_rank")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, keptN, maxRank) =>
+      assert(keptN <= 50L, s"$src kept $keptN docs, above the cap")
+      assert(maxRank === keptN,
+        s"$src rank sequence has gaps: max_rank=$maxRank kept=$keptN")
+      if (before(src) <= 50L)
+        assert(keptN === before(src), s"$src under cap but docs dropped")
+    }
+    // every source in the input survives capping (cap keeps, never empties)
+    assert(rows.map(_._1).toSet === before.keySet)
+  }
+
   test("d15: learned-cell SemDeDup still removes every planted copy") {
     val out = datapipe.Similarity.queries("d15_semdedup_cells")(spark, sf)
       .select($"vec_id", $"keeper_id").as[(Long, Long)].collect()
