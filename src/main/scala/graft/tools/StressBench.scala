@@ -55,7 +55,11 @@ object StressBench {
       // KMV set algebra (constant sketch state), and the narrow-hash
       // snapshot diff (linear in rows, independent of row width)
       "d17_bloom_decontaminate,d16_simhash_clusters," +
-      "q74_kmv_set_algebra,q75_snapshot_diff"
+      "q74_kmv_set_algebra,q75_snapshot_diff," +
+      // round-8 tail: skew profile (narrow per-key counts), HLL union
+      // rollup (constant sketch state per group), per-domain cap (the
+      // ranking window shuffles ~24 B/row, survivors join back narrow)
+      "q76_skew_profile,q77_hll_union,t16_domain_cap"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
