@@ -12,23 +12,29 @@ import java.nio.charset.StandardCharsets.UTF_8
   * prefix. A decoder that sees that magic must surface the rest of the
   * stream as the error message instead of parsing garbage frames.
   *
-  * The payload here is a simple columnar grid message (the stand-in for
-  * the reference's FlatBuffers table, which is not a public dependency of
-  * this build): little-endian
-  * `[long location][long startMicros][long intervalMicros]
-  *  [int nSlots][int nVars]
-  *  [float latitude][float longitude][float elevation][ubyte model]
-  *  [nVars x ([short variable][ubyte unit][ubyte aggregation]
-  *            [int altitude])]
-  *  [nVars x nSlots doubles]`,
-  * variables in REQUEST order exactly like the reference's response
-  * (lambda_function.py:27-36 — request order = column order). The four
-  * metadata scalars mirror the reference response's per-location header
-  * (openmeteo_sdk/WeatherApiResponse.py:32-71: Latitude/Longitude/
-  * Elevation as Float32, Model as Uint8), and the per-variable block
-  * mirrors VariableWithValues' column header (Variable/Unit/Aggregation
-  * enum ids + Altitude, openmeteo_sdk/VariableWithValues.py) — the ids
-  * resolve against [[WeatherVocab]] on both ends.
+  * Each frame's payload is a REAL `WeatherApiResponse` FlatBuffer
+  * ([[FlatBufs]] implements the public wire format), field-for-field on
+  * the reference's generated table layouts:
+  *  - response header: Latitude/Longitude/Elevation Float32, LocationId
+  *    Int64, Model Uint8 (openmeteo_sdk/WeatherApiResponse.py:32-79,
+  *    vtable slots 4/6/8/12/14);
+  *  - fixed-interval axes ride the cadence-matched VariablesWithTime
+  *    arm (`Minutely15` for 900 s — the reference's own request,
+  *    lambda_function.py:107-119 — `Daily` for 86400 s, `Hourly`
+  *    otherwise): Time/TimeEnd epoch seconds Int64, Interval seconds
+  *    Int32, Variables vector (VariablesWithTime.py:31-56, slots
+  *    4/6/8/10);
+  *  - the calendar-month axis rides the `Monthly` VariablesWithMonth arm
+  *    — Year Int16, Month Int8, Count Int32, Variables vector
+  *    (VariablesWithMonth.py:31-56);
+  *  - each data column is a VariableWithValues: Variable/Unit/
+  *    Aggregation Uint8 enum ids + Altitude Int16, Values as a Float32
+  *    vector (VariableWithValues.py:29-114) — ids resolve against
+  *    [[WeatherVocab]] on both ends, and values are f32-quantized on
+  *    the wire exactly as the reference's `ValuesAsNumpy()` float32
+  *    columns are.
+  * Variables appear in REQUEST order exactly like the reference's
+  * response (lambda_function.py:27-36 — request order = column order).
   *
   * Both directions STREAM: the server emits frames one at a time
   * ([[encodeResponseChunks]]) and the client decodes from an arbitrary
@@ -43,11 +49,23 @@ object WireFraming {
     */
   val ErrorMagic: Int = 0x78656E55
 
-  /** Fixed frame-header size: 3 longs + 2 ints + 3 floats + 1 byte. */
-  val HeaderBytes: Int = 8 * 3 + 4 * 2 + 4 * 3 + 1
-
-  /** Per-variable header block: short + 2 ubytes + int. */
-  val VarMetaBytes: Int = 2 + 1 + 1 + 4
+  /** Vtable slots of the openmeteo_sdk tables (the byte offsets the
+    * reference's generated accessors pass to `Offset(...)`).
+    */
+  private object Slots {
+    // WeatherApiResponse.py:32-142
+    val Latitude = 4; val Longitude = 6; val Elevation = 8
+    val LocationId = 12; val Model = 14
+    val Current = 22; val Daily = 24; val Hourly = 26
+    val Minutely15 = 28; val Monthly = 30
+    // VariablesWithTime.py:31-56
+    val Time = 4; val TimeEnd = 6; val Interval = 8; val Variables = 10
+    // VariablesWithMonth.py:31-56 (Variables shares slot 10)
+    val Year = 4; val Month = 6; val Count = 8
+    // VariableWithValues.py:29-114
+    val Variable = 4; val Unit = 6; val Values = 10
+    val Altitude = 14; val Aggregation = 16
+  }
 
   /** One data column's identity on the wire — VariableWithValues' enum
     * ids (variable/unit/aggregation + altitude in metres, 0 = none —
@@ -141,38 +159,79 @@ object WireFraming {
 
   /** One framed (length-prefixed) message: `slotTs(i)` is slot i's
     * timestamp in micros — callers pass an arithmetic grid (fixed-interval
-    * axes) or a calendar point (monthly). Values come from the same
-    * deterministic generator the source has always used
-    * ([[WeatherGridSource.value]]), so going through bytes changes no
-    * query result.
+    * axes) or a calendar point (monthly). Values come from the
+    * deterministic generator ([[WeatherGridSource.value]]) quantized to
+    * Float32 on the wire, the real schema's value type — every consumer
+    * reads through this path, so the quantization is uniform.
     */
+  private def utcOf(micros: Long): java.time.ZonedDateTime =
+    java.time.Instant.ofEpochSecond(micros / 1000000L)
+      .atZone(java.time.ZoneOffset.UTC)
+
   private def frameChunk(loc: Long, msgStart: Long, interval: Long,
                          nSlots: Int, slotTs: Int => Long,
                          variables: Seq[String]): Array[Byte] = {
-    val keys = variables.map(WeatherGridSource.varKey)
-    val payload = HeaderBytes + variables.size * VarMetaBytes +
-      keys.size * nSlots * 8
-    val buf = ByteBuffer.allocate(4 + payload).order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(payload)
-    buf.putLong(loc).putLong(msgStart).putLong(interval)
-      .putInt(nSlots).putInt(keys.size)
-    buf.putFloat(WeatherGridSource.latitude(loc))
-      .putFloat(WeatherGridSource.longitude(loc))
-      .putFloat(WeatherGridSource.elevation(loc))
-      .put(WeatherGridSource.modelId(loc).toByte)
-    variables.foreach { v =>
+    import FlatBufs.{Scalar, Tbl, VecF32, VecTbl}
+    require(msgStart % 1000000L == 0 && interval % 1000000L == 0,
+      s"wire times are epoch seconds; got micros $msgStart/$interval")
+    val varTables = variables.map { v =>
       val m = WeatherGridSource.varMeta(v)
-      buf.putShort(m.variableId.toShort).put(m.unitId.toByte)
-        .put(m.aggregationId.toByte).putInt(m.altitudeM)
+      val k = WeatherGridSource.varKey(v)
+      val values = Array.tabulate(nSlots)(i =>
+        WeatherGridSource.value(loc, slotTs(i), k).toFloat)
+      // default-valued scalars are OMITTED, like generated builders
+      Tbl(Seq(Slots.Variable -> Scalar.u8(m.variableId),
+              Slots.Unit -> Scalar.u8(m.unitId),
+              Slots.Aggregation -> Scalar.u8(m.aggregationId),
+              Slots.Altitude -> Scalar.i16(m.altitudeM),
+              Slots.Values -> VecF32(values))
+        .filter {
+          case (_, Scalar(_, 0L)) => false
+          case _                  => true
+        })
     }
-    keys.foreach { k =>
-      var i = 0
-      while (i < nSlots) {
-        buf.putDouble(WeatherGridSource.value(loc, slotTs(i), k))
-        i += 1
+    // cadence picks the response arm, like the real API: the reference's
+    // 15-minute request reads `Minutely15` (lambda_function.py:107-119)
+    val armSlot = interval / 1000000L match {
+      case 900L   => Slots.Minutely15
+      case 86400L => Slots.Daily
+      case _      => Slots.Hourly
+    }
+    val axis =
+      if (interval > 0L) // fixed-interval grid -> a VariablesWithTime arm
+        armSlot -> Tbl(Seq(
+          Slots.Time -> Scalar.i64(msgStart / 1000000L),
+          Slots.TimeEnd ->
+            Scalar.i64((msgStart + nSlots.toLong * interval) / 1000000L),
+          Slots.Interval -> Scalar.i32((interval / 1000000L).toInt),
+          Slots.Variables -> VecTbl(varTables)))
+      else { // calendar-month frame -> the Monthly arm (Year/Month axis)
+        val zdt = utcOf(msgStart)
+        Slots.Monthly -> Tbl(Seq(
+          Slots.Year -> Scalar.i16(zdt.getYear),
+          Slots.Month -> Scalar.i8(zdt.getMonthValue),
+          Slots.Count -> Scalar.i32(nSlots),
+          Slots.Variables -> VecTbl(varTables)).filter {
+            case (_, Scalar(_, 0L)) => false
+            case _                  => true
+          })
       }
-    }
-    buf.array()
+    val payload = FlatBufs.build(
+      Tbl(Seq(
+        Slots.Latitude -> Scalar.f32(WeatherGridSource.latitude(loc)),
+        Slots.Longitude -> Scalar.f32(WeatherGridSource.longitude(loc)),
+        Slots.Elevation -> Scalar.f32(WeatherGridSource.elevation(loc)),
+        Slots.LocationId -> Scalar.i64(loc),
+        Slots.Model -> Scalar.u8(WeatherGridSource.modelId(loc)),
+        axis).filter {
+          case (_, Scalar(_, 0L)) => false
+          case _                  => true
+        }),
+      sizeHint = 256 + variables.size * (64 + nSlots * 4))
+    val framed = ByteBuffer.allocate(4 + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    framed.putInt(payload.length).put(payload)
+    framed.array()
   }
 
   private def withInjectedError(frames: Iterator[Array[Byte]],
@@ -217,30 +276,69 @@ object WireFraming {
     withInjectedError(frames, injectError)
   }
 
-  /** Parse one frame payload back into a [[GridMessage]]. */
-  def parseMessage(payload: Array[Byte]): GridMessage = {
-    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-    val loc = buf.getLong; val start = buf.getLong; val interval = buf.getLong
-    val nSlots = buf.getInt; val nVars = buf.getInt
-    val lat = buf.getFloat; val lon = buf.getFloat; val elev = buf.getFloat
-    val model = buf.get() & 0xFF // uint8, like the reference's Model field
-    if (payload.length !=
-        HeaderBytes + nVars.toLong * VarMetaBytes + nVars.toLong * nSlots * 8)
-      throw new WireError(
-        s"grid message size mismatch: ${payload.length} bytes for " +
-          s"$nVars vars x $nSlots slots")
-    val meta = Array.tabulate(nVars) { _ =>
-      VarMeta(buf.getShort.toInt, buf.get() & 0xFF, buf.get() & 0xFF,
-              buf.getInt)
+  /** Parse one frame payload — a `WeatherApiResponse` FlatBuffer — back
+    * into a [[GridMessage]]. Values are Float32 on the wire (the
+    * reference reads them as numpy float32, lambda_function.py:112-119)
+    * and widen to double here, so downstream sees f32-quantized doubles
+    * exactly as the reference pipeline does.
+    */
+  def parseMessage(payload: Array[Byte]): GridMessage =
+    try {
+      val root = FlatBufs.root(payload)
+      val loc = root.i64(Slots.LocationId)
+      val lat = root.f32(Slots.Latitude)
+      val lon = root.f32(Slots.Longitude)
+      val elev = root.f32(Slots.Elevation)
+      val model = root.u8(Slots.Model)
+      // the AXIS is authoritative for the slot count — a zero-variable
+      // request (e.g. a pruned-to-nothing COUNT(*) scan) still describes
+      // its time grid, exactly like the reference's Time/TimeEnd pair
+      val (axis, startMicros, intervalMicros, nSlots) =
+        Seq(Slots.Minutely15, Slots.Hourly, Slots.Daily, Slots.Current)
+          .iterator.flatMap(root.table(_)).nextOption() match {
+          case Some(h) =>
+            val interval = h.i32(Slots.Interval)
+            if (interval <= 0)
+              throw new WireError(s"non-positive Interval $interval")
+            val slots =
+              ((h.i64(Slots.TimeEnd) - h.i64(Slots.Time)) / interval).toInt
+            (h, h.i64(Slots.Time) * 1000000L, interval.toLong * 1000000L,
+             slots)
+          case None =>
+            val m = root.table(Slots.Monthly).getOrElse(
+              throw new WireError(
+                "response carries no time-series arm (minutely_15/hourly/" +
+                  "daily/current/monthly all absent)"))
+            val start = java.time.LocalDate
+              .of(m.i16(Slots.Year), m.u8(Slots.Month), 1)
+              .atStartOfDay(java.time.ZoneOffset.UTC)
+              .toInstant.getEpochSecond * 1000000L
+            (m, start, 0L, m.i32(Slots.Count))
+        }
+      if (nSlots < 0)
+        throw new WireError(s"negative slot count $nSlots")
+      val nVars = axis.vecLen(Slots.Variables)
+      val meta = new Array[VarMeta](nVars)
+      val series = new Array[Array[Double]](nVars)
+      var v = 0
+      while (v < nVars) {
+        val t = axis.vecTable(Slots.Variables, v)
+        meta(v) = VarMeta(t.u8(Slots.Variable), t.u8(Slots.Unit),
+                          t.u8(Slots.Aggregation), t.i16(Slots.Altitude))
+        val vals = t.vecF32(Slots.Values)
+        if (vals.length != nSlots)
+          throw new WireError(
+            s"Values length ${vals.length} != axis slot count $nSlots")
+        series(v) = vals.map(_.toDouble)
+        v += 1
+      }
+      GridMessage(loc, startMicros, intervalMicros, nSlots, lat, lon, elev,
+                  model, meta, series)
+    } catch {
+      case e: WireError => throw e
+      case e @ (_: IllegalArgumentException |
+                _: IndexOutOfBoundsException |
+                _: java.time.DateTimeException) =>
+        throw new WireError(s"malformed response buffer: ${e.getMessage}")
     }
-    val series = Array.ofDim[Double](nVars, nSlots)
-    var v = 0
-    while (v < nVars) {
-      var i = 0
-      while (i < nSlots) { series(v)(i) = buf.getDouble; i += 1 }
-      v += 1
-    }
-    GridMessage(loc, start, interval, nSlots, lat, lon, elev, model, meta,
-                series)
-  }
 }
