@@ -657,6 +657,39 @@ object TextAnalysis {
              sum(length($"text")).as("sum_chars"),
              max($"rn").cast("long").as("max_rank"))
         .orderBy($"source")
+    },
+
+    // Sequence packing — the pretraining batcher: tokenize, concatenate
+    // docs (one EOD token each) in doc_id order, slice the token stream
+    // into fixed 512-token training sequences, report per-sequence
+    // composition (doc count, whole-doc count, token fill). The global
+    // token cumsum that defines the slicing is computed DISTRIBUTED
+    // (graft.operators.RunningTotal: range-repartition + O(partitions)
+    // broadcast prefix offsets + map-only accumulate) — the naive
+    // `SUM OVER (ORDER BY ...)` empty-PARTITION-BY window would gather
+    // the whole corpus onto one task. Everything after the cumsum
+    // shuffles only (doc_id, 3 longs): doc bodies never move.
+    "t17_sequence_pack" -> { (s, d) =>
+      import s.implicits._
+      val C = 512L
+      val toks = T.documents(s, d).select($"doc_id",
+        (size(split($"text", " ")) + 1).cast("long").as("tok"))
+      val spans = graft.operators.RunningTotal
+        .inclusivePrefixSum(toks, "doc_id", "tok", nParts = 32)
+        .withColumn("cum_start", $"cum_end" - $"tok")
+        .withColumn("first_seq", expr(s"cum_start div $C"))
+        .withColumn("last_seq", expr(s"(cum_end - 1) div $C"))
+        .withColumn("seq_id", explode(sequence($"first_seq", $"last_seq")))
+      spans.groupBy($"seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least($"cum_end", ($"seq_id" + 1) * C) -
+              greatest($"cum_start", $"seq_id" * C))
+            .cast("long").as("n_tokens"),
+          sum(when($"cum_start" >= $"seq_id" * C &&
+                   $"cum_end" <= ($"seq_id" + 1) * C, 1L).otherwise(0L))
+            .cast("long").as("n_whole_docs"),
+          min($"doc_id").as("head_doc"))
+        .orderBy($"seq_id")
     }
   )
 
@@ -1000,6 +1033,34 @@ object TextAnalysis {
          |  CAST(SUM(LENGTH(d.text)) AS BIGINT) AS sum_chars,
          |  CAST(MAX(k.rn) AS BIGINT) AS max_rank
          |FROM documents d JOIN kept k USING (doc_id)
-         |GROUP BY d.source ORDER BY d.source""".stripMargin
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "t17_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS tok
+        |  FROM documents),
+        |cums AS (
+        |  SELECT doc_id, tok,
+        |    CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_end
+        |  FROM toks),
+        |spans AS (
+        |  SELECT doc_id, tok, cum_end, cum_end - tok AS cum_start,
+        |    (cum_end - tok) // 512 AS first_seq,
+        |    (cum_end - 1) // 512 AS last_seq
+        |  FROM cums),
+        |x AS (
+        |  SELECT *, unnest(range(first_seq, last_seq + 1)) AS seq_id
+        |  FROM spans)
+        |SELECT seq_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(LEAST(cum_end, (seq_id + 1) * 512) -
+        |           GREATEST(cum_start, seq_id * 512)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cum_start >= seq_id * 512
+        |                 AND cum_end <= (seq_id + 1) * 512
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs,
+        |  MIN(doc_id) AS head_doc
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin
   )
 }

@@ -906,4 +906,27 @@ class OperatorSpec extends SparkSpec {
         s"vec $id: int8 approximation drifted ${math.abs(approx - cos)}")
     }
   }
+
+  test("RunningTotal: distributed prefix sum matches the sequential fold") {
+    import graft.operators.RunningTotal
+    val df = spark.range(1000)
+      .select((($"id" * 131) % 997).as("k"), (($"id" % 13) + 1).as("v"))
+      .distinct() // unique order keys, values 1..13
+    val got = RunningTotal.inclusivePrefixSum(df, "k", "v", nParts = 7)
+      .select("k", "v", "cum_end").as[(Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // sequential reference
+    var acc = 0L
+    val want = got.map { case (k, v, _) => acc += v; (k, v, acc) }
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === df.count())
+  }
+
+  test("RunningTotal: more partitions than rows (empty partitions) stays exact") {
+    import graft.operators.RunningTotal
+    val df = Seq((3L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "v")
+    val got = RunningTotal.inclusivePrefixSum(df, "k", "v", nParts = 16)
+      .select("k", "cum_end").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 5L), (2L, 12L), (3L, 22L)))
+  }
 }
