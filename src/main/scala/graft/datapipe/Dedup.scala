@@ -583,6 +583,47 @@ object Dedup {
         .withColumn("kept_frac",
           ($"n_chunks" - $"n_dup_chunks").cast("double") / $"n_chunks")
         .orderBy($"doc_id")
+    },
+
+    // Duplicated-SPAN removal (exact substring dedup, the Lee et al.
+    // "Deduplicating Training Data" consumable): every K-token rolling
+    // gram that appears in >= 2 distinct docs marks its window; per doc,
+    // overlapping/adjacent marked windows merge into MAXIMAL spans
+    // [span_start, span_end) — the actual cut list a pretraining
+    // pipeline applies, where d13's fixed chunks only score docs.
+    // Scale shape: the gram shuffle carries (32-char hash, doc_id, pos)
+    // — never text; distinct-doc counting partial-aggregates map-side;
+    // the island merge is a per-doc window (uniform key, no skew).
+    "d18_span_dedup" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = 15
+      val grams = corpus(s, d)
+        .withColumn("ws", split($"text", " "))
+        .filter(size($"ws") >= K)
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(0, size(ws) - $K), i -> " +
+          s"md5(concat_ws(' ', slice(ws, i + 1, $K))))")))
+        .toDF("doc_id", "pos", "g")
+      val dup = grams.groupBy($"g")
+        .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
+        .select($"g")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      grams.join(dup, Seq("g"), "left_semi")
+        .select($"doc_id", $"pos".cast("long").as("pos"))
+        .withColumn("prev_pos", lag($"pos", 1).over(w))
+        // pos is strictly increasing within a doc, so the previous
+        // window's end is just prev_pos + K — no running max needed
+        .withColumn("ni", when($"prev_pos".isNull || $"pos" > $"prev_pos" + K,
+          1L).otherwise(0L))
+        .withColumn("isl", sum($"ni").over(w))
+        .groupBy($"doc_id", $"isl")
+        .agg(min($"pos").as("span_start"),
+             (max($"pos") + K).as("span_end"),
+             count(lit(1)).as("n_grams"))
+        .select($"doc_id", $"span_start", $"span_end",
+                ($"span_end" - $"span_start").as("span_tokens"), $"n_grams")
+        .orderBy($"doc_id", $"span_start")
     }
   )
 
@@ -725,7 +766,38 @@ object Dedup {
          |       AS DOUBLE) / COUNT(*) AS kept_frac
          |FROM chunks c LEFT JOIN dup d USING (fp)
          |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "d18_span_dedup" ->
+      s"""WITH corpus AS ($corpusSql),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(
+         |      ws[CAST(i + 1 AS INT):CAST(i + 15 AS INT)], ' ')) AS g
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(0, len(ws) - 15 + 1)) AS i
+         |        FROM toks WHERE len(ws) >= 15)),
+         |dup AS (SELECT g FROM grams
+         |        GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+         |marked AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER w IS NULL
+         |           OR pos > lag(pos) OVER w + 15 THEN 1 ELSE 0 END AS ni
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+         |                  ROWS UNBOUNDED PRECEDING) AS isl_id
+         |  FROM marked)
+         |SELECT doc_id,
+         |  MIN(pos) AS span_start,
+         |  MAX(pos) + 15 AS span_end,
+         |  MAX(pos) + 15 - MIN(pos) AS span_tokens,
+         |  COUNT(*) AS n_grams
+         |FROM isl GROUP BY doc_id, isl_id
+         |ORDER BY doc_id, span_start""".stripMargin
   )
 
   /** `rounds` unrolled min-label-propagation rounds over CTEs

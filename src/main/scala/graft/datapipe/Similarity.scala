@@ -3,7 +3,7 @@ package graft.datapipe
 import graft.{Tables => T}
 import graft.functions.CosineSim.cosine_sim
 import graft.functions.NearestCentroid.nearest_centroid
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (array<float>, dim 64).
@@ -72,6 +72,94 @@ object Similarity {
        |    list_transform(list_sort(list_transform(range(0, 8),
        |      j -> {'a': abs(CAST($e[j + 1] AS DOUBLE)), 'j': j})), x -> x.j)[1:$p],
        |    j -> CAST(xor($b, (1 << CAST(j AS INT))) AS INT)))""".stripMargin
+
+  // ----- product quantization (s11/s12) -----
+  // M=4 subspaces, K=8 codewords; all distances integer L2 over
+  // round(x * 1e8) fixed point so neither engine ever compares floats.
+  private val PQ_M = 4
+  private val PQ_K = 8
+
+  /** (vec_id, j, sv): each vector split into its M subvectors. */
+  private def pqSubs(emb: DataFrame): DataFrame = emb
+    .filter(size(col("embedding")) > 0)
+    .select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, $PQ_M - 1), j -> struct(j AS j, " +
+      s"slice(embedding, j * (size(embedding) div $PQ_M) + 1, " +
+      s"size(embedding) div $PQ_M) AS sv))")).as("x"))
+    .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
+
+  /** Adds integer-L2 `d2` between array columns `a` and `b`. */
+  private def intL2(df: DataFrame, a: Column, b: Column): DataFrame = df
+    .withColumn("d2", expr(
+      s"aggregate(zip_with(${a.toString}, ${b.toString}, (a, b) -> " +
+      "CAST(round(CAST(a AS DOUBLE) * 1e8) AS BIGINT) - " +
+      "CAST(round(CAST(b AS DOUBLE) * 1e8) AS BIGINT)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+
+  /** One Lloyd iteration from the deterministic vec_id % K seeding:
+    * (j, code, centroid) with s05's exact-decimal order-free means.
+    */
+  private def pqCodebook(subs: DataFrame): DataFrame = subs
+    .withColumn("code", (col("vec_id") % PQ_K).cast("int"))
+    .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+    .groupBy(col("j"), col("code"), col("pos"))
+    .agg((sum(round(col("v").cast("double") * 1e8).cast("long")).cast("double")
+            / count(lit(1)) / 1e8).cast("float").as("m"))
+    .groupBy(col("j"), col("code"))
+    .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+      .as("centroid"))
+
+  /** (vec_id, j, code, d2): each subvector encoded as its nearest
+    * codeword (ties to the smallest code), with its residual.
+    */
+  private def pqEncode(subs: DataFrame): DataFrame =
+    intL2(subs.join(broadcast(pqCodebook(subs)), Seq("j")),
+        col("sv"), col("centroid"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("j"),
+              col("best.code").as("code"), col("best.d2").as("d2"))
+
+  /** DuckDB-side integer-L2 mirror of [[intL2]]. */
+  private def intL2Sql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(
+       |      list_transform(range(1, len($a) + 1), i ->
+       |        CAST(round(CAST($a[CAST(i AS INT)] AS DOUBLE) * 1e8) AS BIGINT) -
+       |        CAST(round(CAST($b[CAST(i AS INT)] AS DOUBLE) * 1e8) AS BIGINT)),
+       |      x -> x * x)) AS BIGINT)""".stripMargin
+
+  /** The shared s11/s12 oracle CTE chain: subspace split, %K-seeded
+    * exact-decimal codebook, integer-L2 encode (`best`, filter rn = 1).
+    */
+  private def pqOracleCtes =
+    s"""e AS (
+       |  SELECT vec_id, label, embedding
+       |  FROM embeddings WHERE len(embedding) > 0),
+       |subs AS (
+       |  SELECT vec_id, j,
+       |    embedding[CAST(j * (len(embedding) // $PQ_M) + 1 AS INT):
+       |              CAST((j + 1) * (len(embedding) // $PQ_M) AS INT)] AS sv
+       |  FROM (SELECT vec_id, embedding, unnest(range(0, $PQ_M)) AS j FROM e)),
+       |su AS (
+       |  SELECT vec_id, j, unnest(range(1, len(sv) + 1)) AS pos,
+       |    unnest(list_transform(sv, x -> CAST(x AS DOUBLE))) AS v
+       |  FROM subs),
+       |cent AS (
+       |  SELECT j, vec_id % $PQ_K AS code, pos,
+       |    CAST(CAST(SUM(CAST(round(v * 1e8) AS BIGINT)) AS DOUBLE)
+       |         / COUNT(*) / 1e8 AS REAL) AS m
+       |  FROM su GROUP BY 1, 2, 3),
+       |cb AS (
+       |  SELECT j, code, list(m ORDER BY pos) AS centroid
+       |  FROM cent GROUP BY j, code),
+       |scored AS (
+       |  SELECT s.vec_id, s.j, c.code,
+       |    ${intL2Sql("s.sv", "c.centroid")} AS d2
+       |  FROM subs s JOIN cb c USING (j)),
+       |best AS (
+       |  SELECT vec_id, j, code, d2,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+       |  FROM scored)""".stripMargin
 
   /** DuckDB-side dot product with the fixed left-fold order that
     * graft.functions.CosineSim replicates (Spark-side cosines all go
@@ -494,6 +582,65 @@ object Similarity {
         .orderBy($"cell")
     },
 
+    // Product quantization (the IVF-PQ compression path: 64 float32 dims
+    // → 4 byte codes, 64× smaller): split each vector into M=4
+    // subspaces, train a K=8 codebook per subspace (one Lloyd iteration
+    // from the deterministic vec_id % K seeding, s05's exact-decimal
+    // order-free centroid means), then encode every subvector as its
+    // nearest codeword. All distances are INTEGER L2 over
+    // round(x * 1e8) fixed-point — argmin needs no FP comparison on
+    // either engine, ties break to the smallest code. Scale shape: the
+    // codebook is M×K tiny rows (broadcast); training shuffles
+    // (j, code, pos, long) partial sums; encoding fans each vector out
+    // M×K against the broadcast codebook and reduces map-side — the
+    // embedding payload itself is never shuffled.
+    "s11_product_quantization" -> { (s, d) =>
+      import s.implicits._
+      pqEncode(pqSubs(T.embeddings(s, d)))
+        .groupBy($"vec_id")
+        .agg(max(when($"j" === 0, $"code")).as("c0"),
+             max(when($"j" === 1, $"code")).as("c1"),
+             max(when($"j" === 2, $"code")).as("c2"),
+             max(when($"j" === 3, $"code")).as("c3"),
+             (sum($"d2").cast("double") / 1e16).as("recon_d2"))
+        .orderBy($"vec_id")
+    },
+
+    // ADC search over the PQ index — the query path that makes s11 an
+    // ANN engine: the query's distance TABLE to all M×K codewords is
+    // M×K tiny rows (computed once, broadcast); each database vector's
+    // approximate distance is then M integer table lookups summed —
+    // never a touch of the original floats. Exact fixed-point rerank of
+    // the top-30 restores exact order for the final 10 (s09's two-stage
+    // shape). At 100 TB the scan side reads only (vec_id, 4 codes).
+    "s12_pq_adc" -> { (s, d) =>
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val subs = pqSubs(emb)
+      val codes = pqEncode(subs).select($"vec_id", $"j", $"code")
+      // distance table: query subvectors × codebook, integer L2
+      val dt = intL2(
+          pqSubs(emb.filter($"vec_id" === QID)).select($"j", $"sv")
+            .join(pqCodebook(subs), Seq("j")), $"sv", $"centroid")
+        .select($"j", $"code", $"d2".as("dq"))
+      val approx = codes.filter($"vec_id" =!= QID)
+        .join(broadcast(dt), Seq("j", "code"))
+        .groupBy($"vec_id")
+        .agg(sum($"dq").as("adc"))
+        .orderBy($"adc", $"vec_id")
+        .limit(30)
+      val q = broadcast(emb.filter($"vec_id" === QID)
+        .select($"embedding".as("q_emb")))
+      intL2(broadcast(approx)
+          .join(emb.select($"vec_id", $"label", $"embedding"), Seq("vec_id"))
+          .crossJoin(q), $"embedding", $"q_emb")
+        .select($"vec_id", $"label",
+                ($"adc".cast("double") / 1e16).as("adc_d2"),
+                ($"d2".cast("double") / 1e16).as("exact_d2"))
+        .orderBy($"exact_d2", $"vec_id")
+        .limit(10)
+    },
+
     // Int8 scalar quantization (the standard embedding-compression step
     // for ANN serving — 4x smaller than float32): per-vector affine
     // [min,max] -> [0,255] codes, with the reconstruction-error bound
@@ -717,6 +864,37 @@ object Similarity {
          |FROM a2 a JOIN mf ON mf.cell = a.cell
          |GROUP BY a.cell, mf.c0 ORDER BY a.cell""".stripMargin
     },
+
+    "s11_product_quantization" ->
+      s"""WITH $pqOracleCtes
+         |SELECT vec_id,
+         |  CAST(MAX(CASE WHEN j = 0 THEN code END) AS INT) AS c0,
+         |  CAST(MAX(CASE WHEN j = 1 THEN code END) AS INT) AS c1,
+         |  CAST(MAX(CASE WHEN j = 2 THEN code END) AS INT) AS c2,
+         |  CAST(MAX(CASE WHEN j = 3 THEN code END) AS INT) AS c3,
+         |  CAST(SUM(d2) AS DOUBLE) / 1e16 AS recon_d2
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "s12_pq_adc" ->
+      s"""WITH $pqOracleCtes,
+         |qsubs AS (SELECT j, sv FROM subs WHERE vec_id = $QID),
+         |dt AS (
+         |  SELECT c.j, c.code, ${intL2Sql("q.sv", "c.centroid")} AS dq
+         |  FROM qsubs q JOIN cb c USING (j)),
+         |adc AS (
+         |  SELECT b.vec_id, CAST(SUM(d.dq) AS BIGINT) AS adc
+         |  FROM best b JOIN dt d ON b.j = d.j AND b.code = d.code
+         |  WHERE b.rn = 1 AND b.vec_id <> $QID
+         |  GROUP BY b.vec_id
+         |  ORDER BY adc, vec_id LIMIT 30),
+         |qfull AS (SELECT embedding AS q_emb FROM e WHERE vec_id = $QID)
+         |SELECT a.vec_id, f.label,
+         |  CAST(a.adc AS DOUBLE) / 1e16 AS adc_d2,
+         |  CAST(${intL2Sql("f.embedding", "q.q_emb")} AS DOUBLE) / 1e16
+         |    AS exact_d2
+         |FROM adc a JOIN e f USING (vec_id), qfull q
+         |ORDER BY exact_d2, vec_id LIMIT 10""".stripMargin,
 
     "s06_scalar_quantization" ->
       """WITH q AS (

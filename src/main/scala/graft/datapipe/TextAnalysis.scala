@@ -200,15 +200,33 @@ object TextAnalysis {
     * table localCheckpoint() — lineage stays O(checkpointEvery) deep,
     * so rounds scale linearly (spec'd at rounds = 8).
     */
+  /** The (distinct word, corpus frequency, symbol sequence) view both
+    * the trainer and the encoder iterate over — thousands of times
+    * smaller than the corpus.
+    */
+  private[graft] def bpeInitWordFreq(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("w"))
+    .filter(col("w") =!= "")
+    .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    .withColumn("seq", expr("concat_ws(' ', " +
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
+
+  /** The word table after `rounds` greedy merges — the trained
+    * tokenizer's view of the vocabulary, for ENCODING (t18).
+    */
+  private[graft] def bpeMergedWords(docs: DataFrame, rounds: Int): DataFrame = {
+    var wf = bpeInitWordFreq(docs)
+    (1 to rounds).foreach { _ =>
+      val top = bpePairCounts(wf).orderBy(col("n").desc, col("pair")).limit(1)
+      wf = bpeApplyMerge(wf, top)
+    }
+    wf
+  }
+
   private[graft] def bpeTrain(docs: DataFrame, rounds: Int,
                               eager: Boolean = false,
                               checkpointEvery: Int = 4): DataFrame = {
-    var wf = docs
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .withColumn("seq", expr("concat_ws(' ', " +
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
+    var wf = bpeInitWordFreq(docs)
     val out = (1 to rounds).map { r =>
       var top = bpePairCounts(wf)
         .orderBy(col("n").desc, col("pair")).limit(1)
@@ -239,6 +257,30 @@ object TextAnalysis {
     // round-parameterized trainer with lineage checkpointing.
     "t15_bpe_train" -> { (s, d) =>
       bpeTrain(T.documents(s, d), rounds = 2)
+    },
+
+    // BPE ENCODING — t15's complement: apply the trained merge table to
+    // the corpus, per-doc token accounting under the learned tokenizer.
+    // Encoding rides the same distinct-word compression as training:
+    // merges replay ONCE per distinct word, then the (word → token
+    // count) vocabulary — small at any corpus scale relative to the
+    // corpus itself — broadcasts against the exploded corpus, so the
+    // 100 TB side shuffles nothing and never carries symbol sequences.
+    // (Past broadcast size the same join runs as a shuffle join on the
+    // word key; the plan shape is otherwise unchanged.)
+    "t18_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val vocab = bpeMergedWords(docs, rounds = 2)
+        .select($"w", size(split($"seq", " ")).cast("long").as("w_toks"))
+      docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"w_toks").as("n_tokens"))
+        .withColumn("tokens_per_word",
+          $"n_tokens".cast("double") / $"n_words")
+        .orderBy($"doc_id")
     },
     // Language ID: frequency-weighted lexicon overlap, argmax with
     // alphabetical tie-break; compared against the labeled lang.
@@ -690,6 +732,32 @@ object TextAnalysis {
             .cast("long").as("n_whole_docs"),
           min($"doc_id").as("head_doc"))
         .orderBy($"seq_id")
+    },
+
+    // Shard planning — the output writer's bin map: assign docs (in
+    // doc_id order, so shards are contiguous and reproducible at any
+    // parallelism) to fixed-byte output shards via the same distributed
+    // byte cumsum as t17, and report the per-shard manifest (docs,
+    // bytes, fill vs target). A doc belongs to the shard its FIRST
+    // byte lands in — docs are atomic, never split — so a shard can
+    // overfill by at most one doc: the standard contiguous sharding a
+    // petabyte-scale writer uses to turn a 100 TB corpus into ~equal
+    // training files. Only (doc_id, 2 longs) shuffles; bodies stay put.
+    "t19_shard_plan" -> { (s, d) =>
+      import s.implicits._
+      val target = 16384L // bytes per shard
+      val sized = T.documents(s, d).select($"doc_id",
+        (length($"text") + 1).cast("long").as("nb")) // +1 record separator
+      graft.operators.RunningTotal
+        .inclusivePrefixSum(sized, "doc_id", "nb", nParts = 32)
+        .withColumn("shard", expr(s"(cum_end - nb) div $target"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"nb").cast("long").as("bytes"),
+             min($"doc_id").as("first_doc"),
+             max($"doc_id").as("last_doc"))
+        .withColumn("fill", $"bytes".cast("double") / target)
+        .orderBy($"shard")
     }
   )
 
@@ -756,6 +824,28 @@ object TextAnalysis {
          |UNION ALL
          |SELECT 2 AS round, pair, n, vocab, total_tokens FROM top2, vs2
          |ORDER BY round""".stripMargin,
+
+    "t18_bpe_encode" ->
+      s"""WITH wf0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    array_to_string(list_transform(range(1, len(w) + 1),
+         |      i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS seq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |${bpeOracleRound(1)},
+         |${bpeOracleRound(2)},
+         |vocab AS (
+         |  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_toks
+         |  FROM wf2),
+         |dw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) WHERE w <> '')
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(w_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(w_toks) AS DOUBLE) / COUNT(*) AS tokens_per_word
+         |FROM dw JOIN vocab USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t01_langid" -> {
       val scoreCols = LEX.map { case (lang, ws) =>
         s"len(list_filter(string_split(text, ' '), w -> list_contains([${lexArr(ws)}], w))) AS score_$lang"
@@ -1061,6 +1151,23 @@ object TextAnalysis {
         |                 AND cum_end <= (seq_id + 1) * 512
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs,
         |  MIN(doc_id) AS head_doc
-        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "t19_shard_plan" ->
+      """WITH sized AS (
+        |  SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS nb
+        |  FROM documents),
+        |cums AS (
+        |  SELECT doc_id, nb,
+        |    CAST(SUM(nb) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_end
+        |  FROM sized)
+        |SELECT (cum_end - nb) // 16384 AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS bytes,
+        |  MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc,
+        |  CAST(SUM(nb) AS DOUBLE) / 16384 AS fill
+        |FROM cums GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }

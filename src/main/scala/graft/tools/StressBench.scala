@@ -59,7 +59,24 @@ object StressBench {
       // round-8 tail: skew profile (narrow per-key counts), HLL union
       // rollup (constant sketch state per group), per-domain cap (the
       // ranking window shuffles ~24 B/row, survivors join back narrow)
-      "q76_skew_profile,q77_hll_union,t16_domain_cap"
+      "q76_skew_profile,q77_hll_union,t16_domain_cap," +
+      // t17: the global cumsum is O(partitions) control data + map-only
+      // accumulate; everything downstream shuffles (doc_id, 3 longs) —
+      // curve should be linear in docs
+      "t17_sequence_pack," +
+      // d18: span output is LINEAR in docs (islands, never pairs) even on
+      // the mutually-duplicated stress corpus — the curve that separates
+      // it from the pair-emitting detectors d04/d09
+      "d18_span_dedup," +
+      // t18: merge replay is per-DISTINCT-word (sublinear in corpus
+      // growth on a fixed vocabulary); the corpus side is one explode +
+      // broadcast join + narrow agg — linear
+      "t18_bpe_encode," +
+      // t19: same cumsum shape as t17 over bytes instead of tokens
+      "t19_shard_plan," +
+      // s11: embeddings stay 1x in the scaled corpus, so the curve
+      // should be FLAT like s07/s09's
+      "s11_product_quantization,s12_pq_adc"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

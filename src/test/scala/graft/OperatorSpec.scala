@@ -907,6 +907,89 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s11: PQ codes are in-range, non-collapsed, and explain variance") {
+    val rows = datapipe.Similarity.queries("s11_product_quantization")(spark, sf)
+      .select($"vec_id", $"c0", $"c1", $"c2", $"c3", $"recon_d2")
+      .as[(Long, Int, Int, Int, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    val codes = rows.map(r => Seq(r._2, r._3, r._4, r._5))
+    assert(codes.flatten.forall(c => c >= 0 && c < 8))
+    // training from the %8 seeding must not collapse any subspace's
+    // codebook to a single surviving codeword
+    (0 until 4).foreach { j =>
+      assert(codes.map(_(j)).distinct.length > 1, s"subspace $j collapsed")
+    }
+    // reconstruction strictly beats the zero codebook (mean squared
+    // norm). On these isotropic synthetic embeddings that margin is
+    // small by nature — 8 codewords in a 16-dim subspace can't explain
+    // much variance of a random ball — so the pin is strict improvement,
+    // not a variance ratio.
+    val meanErr = rows.map(_._6).sum / rows.length
+    val meanNorm = graft.Tables.embeddings(spark, sf)
+      .select(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .as[Double].collect()
+    assert(meanErr < meanNorm.sum / meanNorm.length,
+      s"PQ reconstruction no better than the zero codebook: $meanErr")
+  }
+
+  test("s12: rerank distances are exact and ADC recalls true neighbors") {
+    val got = datapipe.Similarity.queries("s12_pq_adc")(spark, sf)
+      .select($"vec_id", $"exact_d2").as[(Long, Double)].collect()
+    assert(got.length === 10)
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    // independent brute-force integer-L2: the rerank's exact_d2 must
+    // match to the quantum (1e-16 per fixed-point unit), and the ADC
+    // candidate stage must recall a nontrivial share of the TRUE top-10
+    // (4-byte codes on isotropic vectors: observed 3/10; pin >= 2)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val q = emb(0L)
+    def d2(x: Array[Float]): Long = x.zip(q).map { case (a, b) =>
+      val t = math.round(a.toDouble * 1e8) - math.round(b.toDouble * 1e8); t * t
+    }.sum
+    got.foreach { case (id, e) =>
+      assert(math.abs(e - d2(emb(id)).toDouble / 1e16) < 1e-9, s"vec $id") }
+    val trueTop = emb.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (d2(emb(id)), id)).take(10).toSet
+    assert(got.map(_._1).count(trueTop) >= 2,
+      s"ADC recalled ${got.map(_._1).count(trueTop)}/10 true neighbors")
+  }
+
+  test("t18: encoder token totals reconcile with the trainer's accounting") {
+    // t15 reports corpus total_tokens after each merge round; encoding
+    // the corpus with the same 2-round tokenizer must sum to exactly
+    // the round-2 figure — trainer and encoder agree on every merge
+    val trained = datapipe.TextAnalysis.queries("t15_bpe_train")(spark, sf)
+      .select($"round", $"total_tokens").as[(Int, Long)].collect().toMap
+    val enc = datapipe.TextAnalysis.queries("t18_bpe_encode")(spark, sf)
+      .select($"n_words", $"n_tokens").as[(Long, Long)].collect()
+    assert(enc.map(_._2).sum === trained(2))
+    // every word encodes to >= 1 token, and merges only shrink
+    assert(enc.forall { case (w, t) => t >= w })
+  }
+
+  test("d18: exact-copy docs are covered end-to-end by one maximal span") {
+    val spans = datapipe.Dedup.queries("d18_span_dedup")(spark, sf)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val nWords = datapipe.Dedup.corpus(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // every %7 doc has a verbatim copy at +2000000 — all of its grams are
+    // duplicated, so the island merge must yield exactly [0, n_words)
+    val full = nWords.keys.filter(id => id < 1000000 && id % 7 == 0 &&
+      nWords(id) >= 15)
+    assert(full.nonEmpty)
+    full.foreach { id =>
+      Seq(id, id + 2000000L).foreach { side =>
+        assert(spans(side).map(s => (s._2, s._3)).toSeq ===
+          Seq((0L, nWords(id))),
+          s"doc $side: expected one whole-doc span of ${nWords(id)} tokens")
+      }
+    }
+  }
+
   test("RunningTotal: distributed prefix sum matches the sequential fold") {
     import graft.operators.RunningTotal
     val df = spark.range(1000)
