@@ -303,6 +303,41 @@ object Multimodal {
     })
   }
 
+  /** Average-hash (aHash) over REAL decoded pixels — the perceptual
+    * fingerprint image-dedup pipelines bucket on: bit (x, y) set iff
+    * the gray value exceeds the image mean. The mean comparison is
+    * kept in integers (v * n > sum) so no engine ever divides; these
+    * images are ≤ 8×6 so the raw grid (≤ 48 bits) IS the hash — no
+    * 8×8 resample step needed.
+    */
+  def imagePHash(assets: Dataset[(Long, Array[Byte])]): Dataset[(Long, Int, Int, Long)] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { case (id, payload) =>
+      val img = ImageCodec.decode(payload)
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+        y += 1
+      }
+      var bits = 0L
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if ((img.getRGB(x, y) & 0xFF).toLong * n > sum)
+            bits |= 1L << (y * w + x)
+          x += 1
+        }
+        y += 1
+      }
+      (id, w, h, bits)
+    })
+  }
+
   /** Build an asset table from documents (text bytes as stand-in payload). */
   def assets(s: SparkSession, d: String): Dataset[Asset] = {
     import s.implicits._
@@ -365,6 +400,27 @@ object Multimodal {
           VideoCodec.features(id, VideoCodec.synthVideo(id))
         })
         .toDF().orderBy($"asset_id")
+    },
+
+    // Perceptual image dedup — bucket on the aHash of REAL decoded
+    // pixels ((width, height, ahash) group key), report groups with
+    // >1 member and their canonical (min) id. Planted byte-identical
+    // copies (every %11 image re-registered under +10000) must land in
+    // the same bucket through the actual PNG decode path. Scale shape:
+    // the decode is map-only; what shuffles per image is (id, 2 ints,
+    // 1 long) — a 100 TB image corpus groups on ~20 bytes/row.
+    "m05_image_phash_dedup" -> { (s, d) =>
+      import s.implicits._
+      val base = imageAssets(s, d)
+      val corpus = base.union(
+        base.filter(_._1 % 11 == 0).map { case (id, p) => (id + 10000L, p) })
+      imagePHash(corpus).toDF("asset_id", "width", "height", "ahash")
+        .groupBy($"width", $"height", $"ahash")
+        .agg(min($"asset_id").as("canonical_id"),
+             count(lit(1)).as("n_copies"))
+        .filter($"n_copies" > 1)
+        .select($"canonical_id", $"width", $"height", $"ahash", $"n_copies")
+        .orderBy($"canonical_id")
     }
   )
 
@@ -457,6 +513,34 @@ object Multimodal {
         |  f0_sum, f1_sum, f2_sum, f3_sum,
         |  CAST(abs(f1_sum - f0_sum) + abs(f2_sum - f1_sum) +
         |       abs(f3_sum - f2_sum) AS BIGINT) AS motion
-        |FROM pv ORDER BY asset_id""".stripMargin
+        |FROM pv ORDER BY asset_id""".stripMargin,
+
+    // Pixel-formula mirror of the decode-path aHash: the planted copy
+    // (src's payload under a new id) carries SRC's dims and pixels.
+    "m05_image_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS asset_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id FROM documents WHERE doc_id % 11 = 0),
+        |px AS (
+        |  SELECT i.asset_id,
+        |    CAST(4 + i.src % 5 AS INT) AS w, CAST(3 + i.src % 4 AS INT) AS h,
+        |    tx.x, ty.y, (tx.x * 7 + ty.y * 13 + i.src) % 256 AS v
+        |  FROM ids i, range(0, 8) tx(x), range(0, 6) ty(y)
+        |  WHERE tx.x < 4 + i.src % 5 AND ty.y < 3 + i.src % 4),
+        |st AS (
+        |  SELECT asset_id, w, h, SUM(v) AS s, COUNT(*) AS n
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT p.asset_id, p.w, p.h,
+        |    CAST(SUM(CASE WHEN p.v * st.n > st.s
+        |         THEN CAST(round(pow(2, p.y * p.w + p.x)) AS BIGINT)
+        |         ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px p JOIN st USING (asset_id)
+        |  GROUP BY 1, 2, 3)
+        |SELECT MIN(asset_id) AS canonical_id, w AS width, h AS height,
+        |  ahash, COUNT(*) AS n_copies
+        |FROM bits GROUP BY w, h, ahash HAVING COUNT(*) > 1
+        |ORDER BY canonical_id""".stripMargin
   )
 }

@@ -293,6 +293,50 @@ object AdvancedAggs {
         .orderBy($"week")
     },
 
+    // Re-aggregatable QUANTILE rollup — q77's mergeability story for
+    // percentiles: each day folds `value` into a fixed-64-bin
+    // equi-width histogram (global [lo, hi] is one broadcast row);
+    // weekly percentiles come from MERGED day sketches, and merging is
+    // integer bin-count addition — associative, so the same per-day
+    // partials roll up to week/month/all-time without re-touching
+    // facts. At 100 TB: one fact scan builds the partials, every
+    // rollup after that is arithmetic on (period × 64) integer rows.
+    // All outputs are integer bins or closed-form bin arithmetic — no
+    // FP comparison anywhere, so engine parity is exact; the bin-width
+    // error bound vs the true percentile is pinned in OperatorSpec.
+    "q78_quantile_rollup" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val B = 64
+      val ev = T.events(s, d).withColumn("day", date_trunc("day", $"ts"))
+      val bounds = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+      val daily = ev.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(lit(B - 1),
+          floor(($"value" - $"lo") * B / ($"hi" - $"lo"))).cast("int"))
+        .groupBy($"day", $"bin").agg(count(lit(1)).as("n"))
+      val weekly = daily
+        .withColumn("week", date_trunc("week", $"day"))
+        .groupBy($"week", $"bin")
+        .agg(sum($"n").as("n")) // sketch merge = integer addition
+      val wk = Window.partitionBy($"week").orderBy($"bin")
+      val cum = weekly
+        .withColumn("cum", sum($"n").over(wk))
+        .withColumn("tot", sum($"n").over(Window.partitionBy($"week")))
+      def qbin(q: Double, name: String) = cum
+        .filter($"cum" >= expr(s"CAST(ceil(tot * $q) AS BIGINT)"))
+        .groupBy($"week").agg(min($"bin").as(name))
+      val nd = daily
+        .groupBy(date_trunc("week", $"day").as("week"))
+        .agg(countDistinct($"day").as("n_days"), sum($"n").as("n_events"))
+      qbin(0.5, "p50_bin").join(qbin(0.9, "p90_bin"), Seq("week"))
+        .join(nd, Seq("week"))
+        .crossJoin(broadcast(bounds))
+        .select($"week", $"n_days", $"n_events", $"p50_bin", $"p90_bin",
+          ($"lo" + ($"p50_bin" + 0.5) * ($"hi" - $"lo") / B).as("p50_est"),
+          ($"lo" + ($"p90_bin" + 0.5) * ($"hi" - $"lo") / B).as("p90_est"))
+        .orderBy($"week")
+    },
+
     // KMV set algebra — distinct-count union/intersection across
     // segments WITHOUT joining fact scans: each segment folds to an
     // O(k) bottom-k sketch (one shuffle of 2 KB states), merging two
@@ -508,6 +552,40 @@ object AdvancedAggs {
         |  TRUE AS est_ok
         |FROM (SELECT date_trunc('day', ts) AS day, user_id FROM events)
         |GROUP BY 1 ORDER BY week""".stripMargin,
+
+    "q78_quantile_rollup" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, value
+        |  FROM events),
+        |bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ev),
+        |daily AS (
+        |  SELECT day,
+        |    CAST(least(63, floor((value - lo) * 64 / (hi - lo))) AS INT) AS bin,
+        |    COUNT(*) AS n
+        |  FROM ev, bounds GROUP BY 1, 2),
+        |weekly AS (
+        |  SELECT date_trunc('week', day) AS week, bin,
+        |    CAST(SUM(n) AS BIGINT) AS n
+        |  FROM daily GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT week, bin, n,
+        |    SUM(n) OVER (PARTITION BY week ORDER BY bin
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(n) OVER (PARTITION BY week) AS tot
+        |  FROM weekly),
+        |p50 AS (SELECT week, MIN(bin) AS p50_bin FROM cum
+        |        WHERE cum >= CAST(ceil(tot * 0.5) AS BIGINT) GROUP BY week),
+        |p90 AS (SELECT week, MIN(bin) AS p90_bin FROM cum
+        |        WHERE cum >= CAST(ceil(tot * 0.9) AS BIGINT) GROUP BY week),
+        |nd AS (
+        |  SELECT date_trunc('week', day) AS week,
+        |    COUNT(DISTINCT day) AS n_days, CAST(SUM(n) AS BIGINT) AS n_events
+        |  FROM daily GROUP BY 1)
+        |SELECT week, n_days, n_events, p50_bin, p90_bin,
+        |  lo + (p50_bin + 0.5) * (hi - lo) / 64 AS p50_est,
+        |  lo + (p90_bin + 0.5) * (hi - lo) / 64 AS p90_est
+        |FROM p50 JOIN p90 USING (week) JOIN nd USING (week), bounds
+        |ORDER BY week""".stripMargin,
 
     // The bottom-k sketch is hash-deterministic, so unlike q39's HLL
     // the oracle reproduces the sketch internals (kth_min, rho_k)

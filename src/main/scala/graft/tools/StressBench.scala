@@ -76,7 +76,12 @@ object StressBench {
       "t19_shard_plan," +
       // s11: embeddings stay 1x in the scaled corpus, so the curve
       // should be FLAT like s07/s09's
-      "s11_product_quantization,s12_pq_adc"
+      "s11_product_quantization,s12_pq_adc," +
+      // q78: facts fold to (day × 64) integer partials, rollup is
+      // arithmetic on partials — curve tracks the one fact scan.
+      // m05: map-only decode, ~20 B/image group-by (docs stay 1x here;
+      // the decode kernel itself is the cost)
+      "q78_quantile_rollup,m05_image_phash_dedup"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

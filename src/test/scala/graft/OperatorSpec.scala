@@ -907,6 +907,49 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("m05: every planted byte-identical image copy meets its source") {
+    val groups = datapipe.Multimodal.queries("m05_image_phash_dedup")(spark, sf)
+      .select($"canonical_id", $"n_copies").as[(Long, Long)].collect().toMap
+    // base-corpus hash keys, computed through the same decode kernel
+    val keys = datapipe.Multimodal.imagePHash(
+      datapipe.Multimodal.imageAssets(spark, sf)).collect()
+      .map { case (id, w, h, a) => id -> (w, h, a) }.toMap
+    val planted = keys.keys.filter(_ % 11 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      // the +10000 copy decodes to id's exact pixels, so id's bucket has
+      // >= 2 members; its canonical is the smallest BASE id sharing the
+      // key (copies are +10000, never the min)
+      val canonical = keys.collect { case (i, k) if k == keys(id) => i }.min
+      assert(groups.get(canonical).exists(_ >= 2),
+        s"planted copy of image $id not grouped (canonical $canonical)")
+    }
+  }
+
+  test("q78: merged-sketch percentiles land within half a bin width") {
+    val got = operators.AdvancedAggs.queries("q78_quantile_rollup")(spark, sf)
+      .select($"week".cast("string"), $"p50_est", $"p90_est")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // exact ranked values straight off the facts
+    val byWeek = graft.Tables.events(spark, sf)
+      .select(date_trunc("week", $"ts").cast("string").as("w"), $"value")
+      .as[(String, Double)].collect().groupBy(_._1)
+    val (lo, hi) = {
+      val vs = byWeek.values.flatten.map(_._2)
+      (vs.min, vs.max)
+    }
+    val halfBin = (hi - lo) / 64 / 2
+    got.foreach { case (w, p50, p90) =>
+      val sorted = byWeek(w).map(_._2).sorted
+      def ranked(q: Double) = sorted(math.ceil(sorted.length * q).toInt - 1)
+      assert(math.abs(p50 - ranked(0.5)) <= halfBin * 1.001,
+        s"week $w p50 off by ${math.abs(p50 - ranked(0.5))} (> $halfBin)")
+      assert(math.abs(p90 - ranked(0.9)) <= halfBin * 1.001,
+        s"week $w p90 off by ${math.abs(p90 - ranked(0.9))} (> $halfBin)")
+    }
+  }
+
   test("s11: PQ codes are in-range, non-collapsed, and explain variance") {
     val rows = datapipe.Similarity.queries("s11_product_quantization")(spark, sf)
       .select($"vec_id", $"c0", $"c1", $"c2", $"c3", $"recon_d2")
