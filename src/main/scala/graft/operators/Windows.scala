@@ -148,6 +148,25 @@ object Windows {
                  $"l_linenumber", $"pct_rank")
     },
 
+    // q15's GLOBAL variant, DISTRIBUTED: `SUM OVER (ORDER BY ...)` with
+    // no PARTITION BY plans as a single-task window — the whole table
+    // gathers on one executor at 100 TB. RunningTotal replaces it with
+    // range-repartition + O(partitions) broadcast prefix offsets +
+    // map-only accumulate (q62's recipe, for prefix sums): identical
+    // results, no single-task stage. Exact-decimal cents keep the sum
+    // integer at any parallelism; same oracle as the naive window.
+    "q79_running_total_global" -> { (s, d) =>
+      import s.implicits._
+      val o = T.orders(s, d).select($"o_orderkey",
+        ($"o_totalprice".cast("decimal(18,4)") * 10000).cast("long")
+          .as("cents"))
+      graft.operators.RunningTotal
+        .inclusivePrefixSum(o, "o_orderkey", "cents", nParts = 32,
+          cumCol = "cum_cents")
+        .select($"o_orderkey", $"cents", $"cum_cents")
+        .orderBy($"o_orderkey")
+    },
+
     // Time-interval RANGE frame: trailing 1-hour count/sum per user —
     // the event-time sliding aggregate q14's numeric range frame can't
     // express. Ordered on epoch SECONDS (identical integers on both
@@ -302,6 +321,17 @@ object Windows {
 
     // identical semantics to q16 (the distributed formulation must compute
     // the very same function) — same oracle text
+    "q79_running_total_global" ->
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, cents,
+        |  CAST(SUM(cents) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+        |       AS BIGINT) AS cum_cents
+        |FROM c ORDER BY o_orderkey""".stripMargin,
+
     "q62_distribution_scalable" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
         |  quartile, pct_rank, cume FROM (

@@ -81,7 +81,9 @@ object StressBench {
       // arithmetic on partials — curve tracks the one fact scan.
       // m05: map-only decode, ~20 B/image group-by (docs stay 1x here;
       // the decode kernel itself is the cost)
-      "q78_quantile_rollup,m05_image_phash_dedup"
+      "q78_quantile_rollup,m05_image_phash_dedup," +
+      // q79: RunningTotal under 16x orders — linear, no single-task stage
+      "q79_running_total_global"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
