@@ -591,19 +591,23 @@ object Dedup {
     // overlapping/adjacent marked windows merge into MAXIMAL spans
     // [span_start, span_end) — the actual cut list a pretraining
     // pipeline applies, where d13's fixed chunks only score docs.
-    // Scale shape: the gram shuffle carries (32-char hash, doc_id, pos)
-    // — never text; distinct-doc counting partial-aggregates map-side;
-    // the island merge is a per-doc window (uniform key, no skew).
+    // Scale shape: the gram shuffle carries (8-byte phash, doc_id, pos)
+    // — never text (the 60-bit portable hash halves the shuffle width
+    // vs an md5 hex string, and the dup-marking tolerates its 2^-60
+    // collisions the same way d13's chunk hashes do); distinct-doc
+    // counting partial-aggregates map-side; the island merge is a
+    // per-doc window (uniform key, no skew).
     "d18_span_dedup" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.register(s)
       val K = 15
       val grams = corpus(s, d)
         .withColumn("ws", split($"text", " "))
         .filter(size($"ws") >= K)
         .select($"doc_id", posexplode(expr(
           s"transform(sequence(0, size(ws) - $K), i -> " +
-          s"md5(concat_ws(' ', slice(ws, i + 1, $K))))")))
+          s"graft_phash(concat_ws(' ', slice(ws, i + 1, $K))))")))
         .toDF("doc_id", "pos", "g")
       val dup = grams.groupBy($"g")
         .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
@@ -773,8 +777,8 @@ object Dedup {
          |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
          |grams AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |    md5(array_to_string(
-         |      ws[CAST(i + 1 AS INT):CAST(i + 15 AS INT)], ' ')) AS g
+         |    ${graft.Dets.phashSql(
+               "array_to_string(ws[CAST(i + 1 AS INT):CAST(i + 15 AS INT)], ' ')")} AS g
          |  FROM (SELECT doc_id, ws,
          |          unnest(range(0, len(ws) - 15 + 1)) AS i
          |        FROM toks WHERE len(ws) >= 15)),

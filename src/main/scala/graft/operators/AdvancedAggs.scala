@@ -293,6 +293,35 @@ object AdvancedAggs {
         .orderBy($"week")
     },
 
+    // Incremental aggregate maintenance — the materialized-view delta
+    // fold: a stored per-key partial-aggregate state absorbs a new
+    // batch WITHOUT re-scanning history. Only the batch is re-
+    // aggregated (its partials shuffle); the state joins by key — with
+    // the state bucketed/pre-partitioned on the key (the layout a real
+    // MV store keeps), only delta partials move at 100 TB. Exactness:
+    // counts and DECIMAL(18,4) sums are associative, so fold(state,
+    // delta) == full recompute — which is precisely what the oracle
+    // checks (it recomputes from scratch; the query folds).
+    "q80_incremental_agg" -> { (s, d) =>
+      import s.implicits._
+      val o = T.orders(s, d)
+      val hist  = o.filter($"o_orderkey" % 5 =!= 0) // the stored MV's input
+      val delta = o.filter($"o_orderkey" % 5 === 0) // the new batch
+      def partials(df: DataFrame) = df.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"),
+             sum($"o_totalprice".cast("decimal(18,4)")).as("t"))
+      partials(hist).as("s")
+        .join(partials(delta).as("b"), Seq("o_custkey"), "full_outer")
+        .select($"o_custkey",
+          (coalesce(col("s.n"), lit(0L)) + coalesce(col("b.n"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("s.t"), lit(0).cast("decimal(18,4)")) +
+           coalesce(col("b.t"), lit(0).cast("decimal(18,4)")))
+            .cast("double").as("total"),
+          col("b.n").isNotNull.as("updated"))
+        .orderBy($"o_custkey")
+    },
+
     // Re-aggregatable QUANTILE rollup — q77's mergeability story for
     // percentiles: each day folds `value` into a fixed-64-bin
     // equi-width histogram (global [lo, hi] is one broadcast row);
@@ -552,6 +581,13 @@ object AdvancedAggs {
         |  TRUE AS est_ok
         |FROM (SELECT date_trunc('day', ts) AS day, user_id FROM events)
         |GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // Full recompute from scratch — the query must fold to exactly this.
+    "q80_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  MAX(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) = 1 AS updated
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q78_quantile_rollup" ->
       """WITH ev AS (
