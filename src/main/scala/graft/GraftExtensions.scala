@@ -14,10 +14,15 @@ import org.apache.spark.sql.graft.FunctionBridge
   * sorted_intersect_count(a, b), bottom_k(x, k).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, b) =>
       e.injectFunction(FunctionBridge.injectable(name, b))
     }
+    // the custom-operator ladder's Rule rung: naive global running-total
+    // windows re-plan distributed (see plans.GlobalRunningTotalPlan)
+    e.injectOptimizerRule(_ => graft.plans.RewriteGlobalRunningTotal)
+    e.injectPlannerStrategy(_ => graft.plans.GlobalRunningTotalStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -38,8 +43,19 @@ object GraftExtensions {
   )
 
   /** Idempotent direct registration into a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       FunctionBridge.registerTemp(spark, name, b)
     }
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.RewriteGlobalRunningTotal))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RewriteGlobalRunningTotal
+    if (!spark.experimental.extraStrategies
+          .contains(graft.plans.GlobalRunningTotalStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          graft.plans.GlobalRunningTotalStrategy
+  }
 }

@@ -148,22 +148,30 @@ object Windows {
                  $"l_linenumber", $"pct_rank")
     },
 
-    // q15's GLOBAL variant, DISTRIBUTED: `SUM OVER (ORDER BY ...)` with
-    // no PARTITION BY plans as a single-task window — the whole table
-    // gathers on one executor at 100 TB. RunningTotal replaces it with
-    // range-repartition + O(partitions) broadcast prefix offsets +
-    // map-only accumulate (q62's recipe, for prefix sums): identical
-    // results, no single-task stage. Exact-decimal cents keep the sum
-    // integer at any parallelism; same oracle as the naive window.
+    // q15's GLOBAL variant: `SUM OVER (ORDER BY ...)` with no PARTITION
+    // BY plans as a single-task window — the whole table gathers on one
+    // executor at 100 TB. The code below IS that naive window; the
+    // injected optimizer rule (plans.RewriteGlobalRunningTotal, the
+    // Rule[LogicalPlan] rung of the custom-operator ladder) re-plans it
+    // as GlobalRunningTotalExec: range exchange + O(partitions)
+    // broadcast prefix offsets + map-only accumulate — identical
+    // results, no single-task stage (plan-asserted in PlanShapeSpec).
+    // Exact-decimal cents keep the sum integer at any parallelism;
+    // the oracle runs the same naive window, so the driver's gate
+    // checks the rewrite end-to-end. (graft.operators.RunningTotal is
+    // the same algorithm as a DataFrame helper — t17/t19 use it.)
     "q79_running_total_global" -> { (s, d) =>
       import s.implicits._
-      val o = T.orders(s, d).select($"o_orderkey",
-        ($"o_totalprice".cast("decimal(18,4)") * 10000).cast("long")
-          .as("cents"))
-      graft.operators.RunningTotal
-        .inclusivePrefixSum(o, "o_orderkey", "cents", nParts = 32,
-          cumCol = "cum_cents")
-        .select($"o_orderkey", $"cents", $"cum_cents")
+      graft.GraftExtensions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"o_orderkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      T.orders(s, d)
+        .select($"o_orderkey",
+          coalesce(($"o_totalprice".cast("decimal(18,4)") * 10000)
+            .cast("long"), lit(0L)).as("cents"))
+        .withColumn("cum_cents", sum($"cents").over(w))
         .orderBy($"o_orderkey")
     },
 

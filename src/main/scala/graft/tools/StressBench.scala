@@ -83,7 +83,9 @@ object StressBench {
       // the decode kernel itself is the cost)
       "q78_quantile_rollup,m05_image_phash_dedup," +
       // q79: RunningTotal under 16x orders — linear, no single-task stage
-      "q79_running_total_global"
+      "q79_running_total_global," +
+      // q80: two keyed partial aggs + one keyed join — linear
+      "q80_incremental_agg"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

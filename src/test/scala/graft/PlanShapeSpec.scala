@@ -280,4 +280,42 @@ class PlanShapeSpec extends SparkSpec {
       "probe explode planned outside the broadcast side — the probe list " +
         "must be computed once on the 1-row query, never per candidate")
   }
+
+  test("q79: the naive global running-total window re-plans distributed") {
+    val p = plan("q79_running_total_global")
+    assert(p.contains("GlobalRunningTotal"),
+      "optimizer rule did not fire:\n" + p.take(800))
+    assert(!p.contains("Window"),
+      "single-task Window survived the rewrite:\n" + p.take(800))
+    // exactly one exchange (the range repartition) — the appended column
+    // preserves the child's partitioning, so the final ORDER BY must not
+    // re-shuffle
+    assert("Exchange".r.findAllIn(p).size === 1,
+      "more than one exchange:\n" + p.take(1200))
+  }
+
+  test("q79 rule guards: nullable operands keep the builtin window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // nullable long value: Sum skips nulls (leading nulls -> NULL cum),
+    // which the distributed accumulate does not reproduce — must NOT fire
+    val df = Seq((1L, Some(2L)), (2L, None), (3L, Some(5L)))
+      .toDF("k", "v")
+      .withColumn("cum", sum($"v").over(w))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "rule fired on a nullable operand:\n" + p)
+    assert(!p.contains("GlobalRunningTotal"))
+    // and the rewrite-eligible shape computes identically to the builtin
+    val nn = Seq((3L, 7L), (1L, 2L), (2L, 5L)).toDF("k", "v")
+      .withColumn("cum", sum($"v").over(w))
+      .orderBy($"k")
+    assert(nn.queryExecution.executedPlan.toString
+      .contains("GlobalRunningTotal"))
+    assert(nn.as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 2L, 2L), (2L, 5L, 7L), (3L, 7L, 14L)))
+  }
 }
