@@ -199,7 +199,7 @@ object Dedup {
         .select(($"doc_id" + 2000000L).as("doc_id"), $"text", $"lang", $"source"))
   }
 
-  private val corpusSql =
+  private[datapipe] val corpusSql =
     """SELECT doc_id, text, lang, source FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000, text || ' near duplicate suffix', lang, source

@@ -734,6 +734,63 @@ object TextAnalysis {
         .orderBy($"seq_id")
     },
 
+    // The capstone INTEGRATION op — a real corpus-curation run chaining
+    // four operators end-to-end over the planted-duplicate corpus:
+    // exact dedup (d01's keep-min-per-hash) → quality gate (t02's
+    // formula at 0.64) → per-domain cap (t16's deterministic rank,
+    // K=40) → fixed-byte shard packing (t19) — with per-stage attrition
+    // reported as the manifest. The stage-4 byte cumsum is WRITTEN as
+    // the naive global window; the injected RewriteGlobalRunningTotal
+    // rule re-plans it distributed — operator composition and the
+    // optimizer extension working together, exactly how a user would
+    // run their pipeline on this engine.
+    "t20_curation_pipeline" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.register(s)
+      val docs = Dedup.corpus(s, d)
+      val keep1 = docs.groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val s1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+      val s2 = s1.withColumn("words", split($"text", " "))
+        .withColumn("n_words", size($"words").cast("long"))
+        .filter($"n_words" >= 1)
+        .withColumn("quality",
+          expr("size(array_distinct(words))") / $"n_words" * 0.4 +
+          (lit(1.0) -
+            expr("size(filter(words, w -> w = 'the' OR w = 'a'))") /
+              $"n_words") * 0.3 +
+          least($"n_words" / 100.0, lit(1.0)) * 0.3)
+        .filter($"quality" >= 0.64)
+      val w3 = Window.partitionBy($"source").orderBy(
+        graft.Dets.phash(concat(lit("cur:"), $"doc_id".cast("string"))),
+        $"doc_id")
+      val s3 = s2.withColumn("rn", row_number().over(w3)).filter($"rn" <= 40)
+      val w4 = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val s4 = s3
+        .select($"doc_id",
+          coalesce((length($"text") + 1).cast("long"), lit(0L)).as("nb"))
+        .withColumn("cum", sum($"nb").over(w4)) // rule re-plans this
+        .withColumn("shard", expr("(cum - nb) div 16384"))
+      def stat(df: DataFrame, id: Int, name: String) = df
+        .agg(count(lit(1)).as("n_docs"),
+             sum(length($"text")).cast("long").as("sum_chars"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+                $"n_docs", $"sum_chars")
+      val packed = s4
+        .agg(countDistinct($"shard").as("n_docs"),
+             sum($"nb").cast("long").as("sum_chars"))
+        .select(lit(4).as("stage_id"), lit("packed_shards").as("stage"),
+                $"n_docs", $"sum_chars")
+      stat(docs, 0, "all")
+        .unionByName(stat(s1, 1, "exact_dedup"))
+        .unionByName(stat(s2, 2, "quality_gate"))
+        .unionByName(stat(s3, 3, "domain_cap"))
+        .unionByName(packed)
+        .orderBy($"stage_id")
+    },
+
     // Shard planning — the output writer's bin map: assign docs (in
     // doc_id order, so shards are contiguous and reproducible at any
     // parallelism) to fixed-byte output shards via the same distributed
@@ -1152,6 +1209,46 @@ object TextAnalysis {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs,
         |  MIN(doc_id) AS head_doc
         |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "t20_curation_pipeline" ->
+      s"""WITH corpus AS (${Dedup.corpusSql}),
+         |k1 AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         |s1 AS (SELECT c.* FROM corpus c
+         |       WHERE doc_id IN (SELECT doc_id FROM k1)),
+         |s2 AS (
+         |  SELECT *, string_split(text, ' ') AS words,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |  FROM s1 WHERE len(string_split(text, ' ')) >= 1),
+         |s2q AS (SELECT * FROM (
+         |  SELECT *,
+         |    len(list_distinct(words)) / n_words * 0.4 +
+         |    (1.0 - len(list_filter(words, w -> w = 'the' OR w = 'a'))
+         |       / n_words) * 0.3 +
+         |    least(n_words / 100.0, 1.0) * 0.3 AS quality
+         |  FROM s2) WHERE quality >= 0.64),
+         |s3 AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY
+         |    ${graft.Dets.phashSql("'cur:' || CAST(doc_id AS VARCHAR)")},
+         |    doc_id) AS rn
+         |  FROM s2q) WHERE rn <= 40),
+         |s4 AS (
+         |  SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS nb,
+         |    CAST(SUM(CAST(length(text) + 1 AS BIGINT))
+         |         OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |         AS BIGINT) AS cum
+         |  FROM s3),
+         |s4s AS (SELECT (cum - nb) // 16384 AS shard, nb FROM s4)
+         |SELECT 0 AS stage_id, 'all' AS stage, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars FROM corpus
+         |UNION ALL SELECT 1, 'exact_dedup', COUNT(*),
+         |  CAST(SUM(length(text)) AS BIGINT) FROM s1
+         |UNION ALL SELECT 2, 'quality_gate', COUNT(*),
+         |  CAST(SUM(length(text)) AS BIGINT) FROM s2q
+         |UNION ALL SELECT 3, 'domain_cap', COUNT(*),
+         |  CAST(SUM(length(text)) AS BIGINT) FROM s3
+         |UNION ALL SELECT 4, 'packed_shards', COUNT(DISTINCT shard),
+         |  CAST(SUM(nb) AS BIGINT) FROM s4s
+         |ORDER BY stage_id""".stripMargin,
 
     "t19_shard_plan" ->
       """WITH sized AS (

@@ -85,7 +85,10 @@ object StressBench {
       // q79: RunningTotal under 16x orders — linear, no single-task stage
       "q79_running_total_global," +
       // q80: two keyed partial aggs + one keyed join — linear
-      "q80_incremental_agg"
+      "q80_incremental_agg," +
+      // t20: four chained stages, each linear; the cumsum re-plans
+      // through the injected rule
+      "t20_curation_pipeline"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -294,6 +294,16 @@ class PlanShapeSpec extends SparkSpec {
       "more than one exchange:\n" + p.take(1200))
   }
 
+  test("t20: the pipeline's global cumsum is rewritten, the per-source rank is not") {
+    val p = plan("t20_curation_pipeline")
+    assert(p.contains("GlobalRunningTotal"),
+      "stage-4 cumsum not rewritten:\n" + p.take(800))
+    // the stage-3 ranking window is PARTITIONED (by source) — it must
+    // keep the builtin Window operator
+    assert(p.contains("Window"),
+      "partitioned ranking window missing:\n" + p.take(800))
+  }
+
   test("q79 rule guards: nullable operands keep the builtin window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
