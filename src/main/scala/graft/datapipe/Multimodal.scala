@@ -338,6 +338,29 @@ object Multimodal {
     })
   }
 
+  /** Energy-envelope fingerprint over REAL decoded PCM — m05's audio
+    * sibling: split the waveform into 8 equal windows, bit w set iff
+    * window w's absolute-amplitude sum exceeds the track average
+    * (integer cross-multiply e·W > total — no division). Corpus tracks
+    * have sample counts divisible by 8, so windows partition exactly.
+    */
+  def audioPHash(assets: Dataset[(Long, Array[Byte])]): Dataset[(Long, Int, Long)] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { case (id, payload) =>
+      val v = PcmCodec.decode(payload)
+      val n = v.length; val W = 8; val wlen = n / W
+      val e = new Array[Long](W)
+      var i = 0
+      while (i < n) { e(i / wlen) += math.abs(v(i)); i += 1 }
+      var te = 0L
+      e.foreach(te += _)
+      var bits = 0L
+      var w = 0
+      while (w < W) { if (e(w) * W > te) bits |= 1L << w; w += 1 }
+      (id, n, bits)
+    })
+  }
+
   /** Build an asset table from documents (text bytes as stand-in payload). */
   def assets(s: SparkSession, d: String): Dataset[Asset] = {
     import s.implicits._
@@ -420,6 +443,25 @@ object Multimodal {
              count(lit(1)).as("n_copies"))
         .filter($"n_copies" > 1)
         .select($"canonical_id", $"width", $"height", $"ahash", $"n_copies")
+        .orderBy($"canonical_id")
+    },
+
+    // Audio perceptual dedup — m05's pattern over the PCM decode path:
+    // bucket on (n_samples, energy-envelope hash), canonical-min groups
+    // with >1 member; planted byte-identical tracks (%13 at +20000)
+    // must meet their source. Decode map-only, ~20 B/track shuffles.
+    "m06_audio_phash_dedup" -> { (s, d) =>
+      import s.implicits._
+      val base = T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, PcmCodec.synthPcm(id))))
+      val corpus = base.union(
+        base.filter(_._1 % 13 == 0).map { case (id, p) => (id + 20000L, p) })
+      audioPHash(corpus).toDF("asset_id", "n_samples", "ahash")
+        .groupBy($"n_samples", $"ahash")
+        .agg(min($"asset_id").as("canonical_id"),
+             count(lit(1)).as("n_copies"))
+        .filter($"n_copies" > 1)
+        .select($"canonical_id", $"n_samples", $"ahash", $"n_copies")
         .orderBy($"canonical_id")
     }
   )
@@ -541,6 +583,33 @@ object Multimodal {
         |SELECT MIN(asset_id) AS canonical_id, w AS width, h AS height,
         |  ahash, COUNT(*) AS n_copies
         |FROM bits GROUP BY w, h, ahash HAVING COUNT(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
+
+    // Sample-formula mirror of the PCM energy-envelope hash.
+    "m06_audio_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS asset_id, doc_id AS src FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, doc_id FROM documents WHERE doc_id % 13 = 0),
+        |s AS (
+        |  SELECT i.asset_id, t.i,
+        |    abs((i.src * 7 + t.i * 13) % 201 - 100) AS a,
+        |    64 + (i.src % 5) * 16 AS n
+        |  FROM ids i, range(0, 128) t(i)
+        |  WHERE t.i < 64 + (i.src % 5) * 16),
+        |wi AS (
+        |  SELECT asset_id, n, i // (n // 8) AS w, SUM(a) AS e
+        |  FROM s GROUP BY 1, 2, 3),
+        |tot AS (SELECT asset_id, SUM(e) AS te FROM wi GROUP BY 1),
+        |fp AS (
+        |  SELECT w.asset_id, w.n,
+        |    CAST(SUM(CASE WHEN w.e * 8 > t.te
+        |         THEN CAST(round(pow(2, w.w)) AS BIGINT) ELSE 0 END)
+        |         AS BIGINT) AS ahash
+        |  FROM wi w JOIN tot t USING (asset_id) GROUP BY 1, 2)
+        |SELECT MIN(asset_id) AS canonical_id, CAST(n AS INT) AS n_samples,
+        |  ahash, COUNT(*) AS n_copies
+        |FROM fp GROUP BY n, ahash HAVING COUNT(*) > 1
         |ORDER BY canonical_id""".stripMargin
   )
 }

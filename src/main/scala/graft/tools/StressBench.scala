@@ -88,7 +88,9 @@ object StressBench {
       "q80_incremental_agg," +
       // t20: four chained stages, each linear; the cumsum re-plans
       // through the injected rule
-      "t20_curation_pipeline"
+      "t20_curation_pipeline," +
+      // m06: map-only PCM decode + narrow group-by (docs 1x here)
+      "m06_audio_phash_dedup"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -926,6 +926,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("m06: every planted byte-identical track meets its source") {
+    val groups = datapipe.Multimodal.queries("m06_audio_phash_dedup")(spark, sf)
+      .select($"canonical_id", $"n_copies").as[(Long, Long)].collect().toMap
+    val base = graft.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, datapipe.Multimodal.PcmCodec.synthPcm(id))))
+    val keys = datapipe.Multimodal.audioPHash(base).collect()
+      .map { case (id, n, a) => id -> (n, a) }.toMap
+    val planted = keys.keys.filter(_ % 13 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val canonical = keys.collect { case (i, k) if k == keys(id) => i }.min
+      assert(groups.get(canonical).exists(_ >= 2),
+        s"planted copy of track $id not grouped (canonical $canonical)")
+    }
+  }
+
   test("q78: merged-sketch percentiles land within half a bin width") {
     val got = operators.AdvancedAggs.queries("q78_quantile_rollup")(spark, sf)
       .select($"week".cast("string"), $"p50_est", $"p90_est")
