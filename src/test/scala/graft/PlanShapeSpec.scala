@@ -304,6 +304,29 @@ class PlanShapeSpec extends SparkSpec {
       "partitioned ranking window missing:\n" + p.take(800))
   }
 
+  test("whole registry: no single-task window, no cartesian product") {
+    // the two plan shapes that cannot survive 100 TB: a WindowExec with
+    // an empty partition spec serializes the WHOLE row stream onto one
+    // task (the global window trap — q62/q79 exist precisely to avoid
+    // it; single-partition exchanges of PARTIAL-AGGREGATE frames are
+    // fine and excluded — they carry O(partitions) rows, not the data),
+    // and a CartesianProduct explodes row counts (the intended theta
+    // join q49 plans as a dimension-bounded BroadcastNestedLoopJoin).
+    // Asserted over EVERY registered query's physical plan.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val tree = planTree(name)
+      val globalWindows = tree.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w }
+      val cartesian = tree.collect { case c: CartesianProductExec => c }
+      val bad = (if (globalWindows.nonEmpty) Seq("global WindowExec") else Nil) ++
+        (if (cartesian.nonEmpty) Seq("CartesianProductExec") else Nil)
+      if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q79 rule guards: nullable operands keep the builtin window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
