@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame, RowFrame, UnboundedPreceding, CurrentRow}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -112,25 +112,67 @@ case class GlobalRunningTotalExec(child: SparkPlan,
 }
 
 /** Injected optimizer rule: rewrites the naive single-task global
-  * running-total Window into [[GlobalRunningTotalPlan]], aliasing the
-  * new cum attribute back under the ORIGINAL exprId so parent plans are
-  * untouched.
+  * running-total (and running-count) Window into
+  * [[GlobalRunningTotalPlan]], aliasing the new cum attribute back
+  * under the ORIGINAL exprId so parent plans are untouched.
+  *
+  * Overflow note: the accumulate wraps like Java long addition; a sum
+  * that overflows Long is out of contract for both the builtin window
+  * and this operator (the library's exact-decimal cents convention
+  * bounds magnitudes long before that).
   */
 object RewriteGlobalRunningTotal extends Rule[LogicalPlan] {
+
+  /** The frame shape `ROWS UNBOUNDED PRECEDING .. CURRENT ROW` over a
+    * single global ASC order attribute.
+    */
+  private object GlobalRunningFrame {
+    def unapply(w: WindowSpecDefinition): Option[AttributeReference] = w match {
+      case WindowSpecDefinition(Nil, Seq(SortOrder(o: AttributeReference,
+            Ascending, _, _)),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)) =>
+        Some(o)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // running SUM over a non-nullable long (Sum's leading-null
+    // semantics diverge on nullable operands — those keep the builtin)
     case Window(
           Seq(a @ Alias(
             WindowExpression(
               AggregateExpression(Sum(v: AttributeReference, _), _, false, _, _),
-              WindowSpecDefinition(Nil, Seq(SortOrder(o: AttributeReference,
-                Ascending, _, _)),
-                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+              GlobalRunningFrame(o)),
             _)),
           Nil, _, child, _)
         if v.dataType == LongType && !v.nullable &&
           child.outputSet.contains(v) && child.outputSet.contains(o) =>
       val node = GlobalRunningTotalPlan(child, o, v,
         AttributeReference("_cum", LongType, nullable = false)())
+      Project(child.output :+ Alias(node.cumAttr, a.name)(exprId = a.exprId),
+        node)
+
+    // running COUNT of a non-null literal (count(1)/count(*) form):
+    // the running total of a planted constant-1 column — no null
+    // caveat, count skips nothing
+    case Window(
+          Seq(a @ Alias(
+            WindowExpression(
+              AggregateExpression(
+                Count(Seq(l: org.apache.spark.sql.catalyst.expressions.Literal)),
+                _, false, _, _),
+              GlobalRunningFrame(o)),
+            _)),
+          Nil, _, child, _)
+        if l.value != null && child.outputSet.contains(o) =>
+      val one = Alias(org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        "_one")()
+      val node = GlobalRunningTotalPlan(
+        Project(child.output :+ one, child), o, one.toAttribute,
+        AttributeReference("_cum", LongType, nullable = false)())
+      // drop the planted _one from the output: project back to the
+      // original columns + the aliased count
       Project(child.output :+ Alias(node.cumAttr, a.name)(exprId = a.exprId),
         node)
   }

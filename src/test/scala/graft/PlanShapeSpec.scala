@@ -350,5 +350,14 @@ class PlanShapeSpec extends SparkSpec {
       .contains("GlobalRunningTotal"))
     assert(nn.as[(Long, Long, Long)].collect().toSeq ===
       Seq((1L, 2L, 2L), (2L, 5L, 7L), (3L, 7L, 14L)))
+    // running COUNT rewrites too (no null caveat — count skips nothing)
+    val rc = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("k", "s")
+      .withColumn("pos", count(lit(1)).over(w))
+      .orderBy($"k")
+    assert(rc.queryExecution.executedPlan.toString
+      .contains("GlobalRunningTotal"),
+      "running count not rewritten:\n" + rc.queryExecution.executedPlan)
+    assert(rc.select($"k", $"pos").as[(Long, Long)].collect().toSeq ===
+      Seq((10L, 1L), (20L, 2L), (30L, 3L)))
   }
 }
