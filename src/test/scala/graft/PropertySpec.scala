@@ -215,4 +215,35 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("∀ (rows, partitioning): distributed prefix sum == sequential fold") {
+    // the invariant behind t17/t19/q79/t20: any row multiset, any
+    // partition count — RunningTotal and the rule-rewritten window both
+    // equal the driver-side fold over the sorted rows
+    import org.apache.spark.sql.expressions.Window
+    GraftExtensions.register(spark)
+    val rowsGen = for {
+      n <- Gen.choose(1, 300)
+      ks <- Gen.pick(n, 0 until 1000)
+      vs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield ks.map(_.toLong).zip(vs)
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    samples(Gen.zip(rowsGen, Gen.choose(1, 9)), 5).foreach {
+      case (rows, nParts) =>
+        val sorted = rows.sortBy(_._1)
+        var acc = 0L
+        val want = sorted.map { case (k, v) => acc += v; (k, acc) }
+        val df = rows.toSeq.toDF("k", "v").repartition(nParts)
+        val viaHelper = graft.operators.RunningTotal
+          .inclusivePrefixSum(df, "k", "v", nParts)
+          .select($"k", $"cum_end").as[(Long, Long)].collect()
+          .sortBy(_._1).toSeq
+        assert(viaHelper === want, s"helper diverged at nParts=$nParts")
+        val viaRule = df.withColumn("cum", sum($"v").over(w))
+          .select($"k", $"cum").as[(Long, Long)].collect()
+          .sortBy(_._1).toSeq
+        assert(viaRule === want, s"rule path diverged at nParts=$nParts")
+    }
+  }
 }
