@@ -609,6 +609,9 @@ object Dedup {
           s"transform(sequence(0, size(ws) - $K), i -> " +
           s"graft_phash(concat_ws(' ', slice(ws, i + 1, $K))))")))
         .toDF("doc_id", "pos", "g")
+        .cache() // gram hashing is the dominant cost — computed once,
+                 // read by both the dup aggregate and the probe side
+                 // (Verify clears per-query caches)
       val dup = grams.groupBy($"g")
         .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
         .select($"g")

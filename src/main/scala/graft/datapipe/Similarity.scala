@@ -110,10 +110,12 @@ object Similarity {
       .as("centroid"))
 
   /** (vec_id, j, code, d2): each subvector encoded as its nearest
-    * codeword (ties to the smallest code), with its residual.
+    * codeword (ties to the smallest code), with its residual. The
+    * codebook is passed in so callers that also need it (s12's
+    * distance table) train it ONCE.
     */
-  private def pqEncode(subs: DataFrame): DataFrame =
-    intL2(subs.join(broadcast(pqCodebook(subs)), Seq("j")),
+  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+    intL2(subs.join(broadcast(cb), Seq("j")),
         col("sv"), col("centroid"))
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(col("d2"), col("code"))).as("best"))
@@ -596,7 +598,8 @@ object Similarity {
     // embedding payload itself is never shuffled.
     "s11_product_quantization" -> { (s, d) =>
       import s.implicits._
-      pqEncode(pqSubs(T.embeddings(s, d)))
+      val subs = pqSubs(T.embeddings(s, d))
+      pqEncode(subs, pqCodebook(subs))
         .groupBy($"vec_id")
         .agg(max(when($"j" === 0, $"code")).as("c0"),
              max(when($"j" === 1, $"code")).as("c1"),
@@ -617,11 +620,12 @@ object Similarity {
       import s.implicits._
       val emb = T.embeddings(s, d)
       val subs = pqSubs(emb)
-      val codes = pqEncode(subs).select($"vec_id", $"j", $"code")
+      val cb = pqCodebook(subs) // trained ONCE, feeds encode and the table
+      val codes = pqEncode(subs, cb).select($"vec_id", $"j", $"code")
       // distance table: query subvectors × codebook, integer L2
       val dt = intL2(
           pqSubs(emb.filter($"vec_id" === QID)).select($"j", $"sv")
-            .join(pqCodebook(subs), Seq("j")), $"sv", $"centroid")
+            .join(broadcast(cb), Seq("j")), $"sv", $"centroid")
         .select($"j", $"code", $"d2".as("dq"))
       val approx = codes.filter($"vec_id" =!= QID)
         .join(broadcast(dt), Seq("j", "code"))

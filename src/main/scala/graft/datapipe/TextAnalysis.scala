@@ -212,13 +212,22 @@ object TextAnalysis {
       "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"))
 
   /** The word table after `rounds` greedy merges — the trained
-    * tokenizer's view of the vocabulary, for ENCODING (t18).
+    * tokenizer's view of the vocabulary, for ENCODING (t18). Same
+    * lineage controls as [[bpeTrain]]: `eager = false` keeps one lazy
+    * DAG (the oracle-parity mode, fine for a handful of rounds);
+    * `eager = true` localCheckpoints the argmax and every
+    * `checkpointEvery`-th merged table so deep-round replays stay
+    * O(checkpointEvery) in lineage depth, exactly like the trainer.
     */
-  private[graft] def bpeMergedWords(docs: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeMergedWords(docs: DataFrame, rounds: Int,
+                                    eager: Boolean = false,
+                                    checkpointEvery: Int = 4): DataFrame = {
     var wf = bpeInitWordFreq(docs)
-    (1 to rounds).foreach { _ =>
-      val top = bpePairCounts(wf).orderBy(col("n").desc, col("pair")).limit(1)
+    (1 to rounds).foreach { r =>
+      var top = bpePairCounts(wf).orderBy(col("n").desc, col("pair")).limit(1)
+      if (eager) top = top.localCheckpoint()
       wf = bpeApplyMerge(wf, top)
+      if (eager && r % checkpointEvery == 0) wf = wf.localCheckpoint()
     }
     wf
   }

@@ -339,26 +339,31 @@ object AdvancedAggs {
       val B = 64
       val ev = T.events(s, d).withColumn("day", date_trunc("day", $"ts"))
       val bounds = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+      // ONE fact scan: daily partials cached, then every rollup below is
+      // arithmetic on the (day × 64) frame; both quantiles come from a
+      // single conditional aggregate over the cumulative frame
       val daily = ev.crossJoin(broadcast(bounds))
         .withColumn("bin", least(lit(B - 1),
           floor(($"value" - $"lo") * B / ($"hi" - $"lo"))).cast("int"))
         .groupBy($"day", $"bin").agg(count(lit(1)).as("n"))
+        .cache()
       val weekly = daily
         .withColumn("week", date_trunc("week", $"day"))
         .groupBy($"week", $"bin")
         .agg(sum($"n").as("n")) // sketch merge = integer addition
       val wk = Window.partitionBy($"week").orderBy($"bin")
-      val cum = weekly
+      val qb = weekly
         .withColumn("cum", sum($"n").over(wk))
         .withColumn("tot", sum($"n").over(Window.partitionBy($"week")))
-      def qbin(q: Double, name: String) = cum
-        .filter($"cum" >= expr(s"CAST(ceil(tot * $q) AS BIGINT)"))
-        .groupBy($"week").agg(min($"bin").as(name))
+        .groupBy($"week")
+        .agg(min(when($"cum" >= expr("CAST(ceil(tot * 0.5) AS BIGINT)"),
+               $"bin")).as("p50_bin"),
+             min(when($"cum" >= expr("CAST(ceil(tot * 0.9) AS BIGINT)"),
+               $"bin")).as("p90_bin"))
       val nd = daily
         .groupBy(date_trunc("week", $"day").as("week"))
         .agg(countDistinct($"day").as("n_days"), sum($"n").as("n_events"))
-      qbin(0.5, "p50_bin").join(qbin(0.9, "p90_bin"), Seq("week"))
-        .join(nd, Seq("week"))
+      qb.join(nd, Seq("week"))
         .crossJoin(broadcast(bounds))
         .select($"week", $"n_days", $"n_events", $"p50_bin", $"p90_bin",
           ($"lo" + ($"p50_bin" + 0.5) * ($"hi" - $"lo") / B).as("p50_est"),

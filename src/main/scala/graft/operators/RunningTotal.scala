@@ -34,12 +34,25 @@ object RunningTotal {
     * unique total order (the library's convention), `valueCol`
     * non-null.
     */
+  // at-most-one cached frame alive across calls: the cache below is
+  // load-bearing (both passes must see the SAME range partitioning),
+  // but the returned DataFrame is lazy, so this call can't know when
+  // its cache is safe to drop — instead each call evicts the previous
+  // call's copy, bounding session storage to one frame. (Calls are
+  // sequential in this library; the rule-rewritten exec path has no
+  // cache at all and is the preferred form — see GlobalRunningTotalPlan.)
+  private var previousCache: Option[DataFrame] = None
+
   def inclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          nParts: Int, cumCol: String = "cum_end"): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(nParts, col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .cache() // both passes must see identical partitioning
+    synchronized {
+      previousCache.foreach(_.unpersist(false))
+      previousCache = Some(sorted)
+    }
 
     // pass 1: one row PER PARTITION (cluster-bounded control data)
     val partSums = sorted

@@ -128,9 +128,15 @@ object RewriteGlobalRunningTotal extends Rule[LogicalPlan] {
     */
   private object GlobalRunningFrame {
     def unapply(w: WindowSpecDefinition): Option[AttributeReference] = w match {
+      // the exec's requiredChildOrdering is plain ASC (= NULLS FIRST);
+      // an ASC NULLS LAST order over a NULLABLE key would silently
+      // accumulate null-key rows in a different position than the
+      // builtin window — only accept orders the exec reproduces
       case WindowSpecDefinition(Nil, Seq(SortOrder(o: AttributeReference,
-            Ascending, _, _)),
-            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)) =>
+            Ascending, no, _)),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+          if no == org.apache.spark.sql.catalyst.expressions.NullsFirst ||
+            !o.nullable =>
         Some(o)
       case _ => None
     }

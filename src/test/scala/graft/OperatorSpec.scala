@@ -1052,17 +1052,20 @@ class OperatorSpec extends SparkSpec {
 
   test("RunningTotal: distributed prefix sum matches the sequential fold") {
     import graft.operators.RunningTotal
-    val df = spark.range(1000)
-      .select((($"id" * 131) % 997).as("k"), (($"id" % 13) + 1).as("v"))
-      .distinct() // unique order keys, values 1..13
-    val got = RunningTotal.inclusivePrefixSum(df, "k", "v", nParts = 7)
+    // k = id * 131 mod 9973 (prime > max id) is INJECTIVE on 0..999 —
+    // the operator's unique-total-order contract must hold, or a tie's
+    // accumulation order would be ambiguous and the check circular
+    val rows = (0L until 1000L).map(id => ((id * 131L) % 9973L, (id % 13) + 1))
+    assert(rows.map(_._1).distinct.size === rows.size)
+    val got = RunningTotal
+      .inclusivePrefixSum(rows.toDF("k", "v"), "k", "v", nParts = 7)
       .select("k", "v", "cum_end").as[(Long, Long, Long)].collect()
       .sortBy(_._1)
-    // sequential reference
+    // reference computed INDEPENDENTLY from the input rows
     var acc = 0L
-    val want = got.map { case (k, v, _) => acc += v; (k, v, acc) }
-    assert(got.toSeq === want.toSeq)
-    assert(got.length === df.count())
+    val want = rows.sortBy(_._1).map { case (k, v) => acc += v; (k, v, acc) }
+    assert(got.toSeq === want)
+    assert(got.length === rows.size)
   }
 
   test("RunningTotal: more partitions than rows (empty partitions) stays exact") {

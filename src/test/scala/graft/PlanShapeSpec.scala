@@ -350,6 +350,17 @@ class PlanShapeSpec extends SparkSpec {
       .contains("GlobalRunningTotal"))
     assert(nn.as[(Long, Long, Long)].collect().toSeq ===
       Seq((1L, 2L, 2L), (2L, 5L, 7L), (3L, 7L, 14L)))
+    // ASC NULLS LAST over a NULLABLE key must NOT rewrite: the exec
+    // sorts plain ASC (nulls first), which would move null-key rows to
+    // a different accumulation position than the builtin window
+    val nl = Seq((Some(1L), 2L), (None, 5L), (Some(3L), 7L))
+      .toDF("k", "v")
+      .withColumn("cum", sum($"v").over(
+        Window.orderBy($"k".asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(!nl.queryExecution.executedPlan.toString
+      .contains("GlobalRunningTotal"),
+      "rule fired on ASC NULLS LAST over a nullable key")
     // running COUNT rewrites too (no null caveat — count skips nothing)
     val rc = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("k", "s")
       .withColumn("pos", count(lit(1)).over(w))
