@@ -240,39 +240,78 @@ object Multimodal {
 
     def nFrames(id: Long): Int = (16 + id % 9).toInt
 
-    /** pixel(x, y, f) = (7x + 13y + 31f + id) mod 256 */
+    // same executor-friendly in-memory streams as ImageCodec (ImageIO
+    // defaults to a DISK-backed cache — a temp file per encode/decode)
+    private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    // identity gray palette: indexed pixel bytes ARE the gray values, so
+    // the GIF container round-trips the formula pixels exactly
+    private lazy val grayPalette = {
+      val r = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, r, r, r)
+    }
+
+    /** pixel(x, y, f) = (7x + 13y + 31f + id) mod 256, packaged as a REAL
+      * animated GIF89a (javax.imageio writeToSequence) — a genuine
+      * multi-frame video container, not raw concatenated frames.
+      */
     def synthVideo(id: Long): Array[Byte] = {
+      noDiskCache
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
       val n = nFrames(id)
-      val bytes = new Array[Byte](n * W * H)
-      var f = 0; var idx = 0
+      var f = 0
       while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          W, H, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
         var y = 0
         while (y < H) {
           var x = 0
           while (x < W) {
-            bytes(idx) = ((x * 7 + y * 13 + f * 31 + id) % 256).toByte
-            idx += 1; x += 1
+            img.getRaster.setSample(x, y, 0,
+              ((x * 7 + y * 13 + f * 31 + id) % 256).toInt)
+            x += 1
           }
           y += 1
         }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
         f += 1
       }
-      bytes
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
     }
 
-    /** Frame-sample: 4 evenly spaced frames (m01's offset rule, on frame
-      * granularity), per-frame pixel sums, motion = Σ |Δ frame sum|.
+    /** Frame-sample through the REAL container decode: open the GIF,
+      * count frames, read only the 4 evenly spaced sampled frames
+      * (m01's offset rule on frame granularity — the decoder seeks, it
+      * does not decode the whole clip), per-frame pixel sums, motion =
+      * Σ |Δ frame sum|.
       */
     def features(id: Long, payload: Array[Byte]): VideoFeatures = {
-      val frameBytes = W * H
-      val n = payload.length / frameBytes
+      noDiskCache
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
       val step = math.max(n / 4, 1)
       def frameSum(f: Int): Long = {
-        var s = 0L; var i = f * frameBytes; val end = i + frameBytes
-        while (i < end) { s += (payload(i) & 0xff); i += 1 }
+        val img = reader.read(f)
+        var s = 0L; var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            s += img.getRaster.getSample(x, y, 0); x += 1
+          }
+          y += 1
+        }
         s
       }
       val sums = (0 until 4).map(i => frameSum(math.min(i * step, n - 1)))
+      reader.dispose(); iis.close()
       val motion = sums.sliding(2).map(p => math.abs(p(1) - p(0))).sum
       VideoFeatures(id, n, W, H, sums(0), sums(1), sums(2), sums(3), motion)
     }

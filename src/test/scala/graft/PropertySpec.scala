@@ -64,7 +64,11 @@ class PropertySpec extends SparkSpec {
     samples(Gen.choose(0L, 1000000L), 50).foreach { id =>
       val payload = synthVideo(id)
       val ft = features(id, payload)
-      assert(payload.length === ft.n_frames * W * H, s"id $id payload size")
+      // a REAL GIF89a container, and the decoder's frame count must
+      // equal the synthesizer's
+      assert(new String(payload.take(6), "US-ASCII") === "GIF89a",
+        s"id $id payload is not a GIF container")
+      assert(ft.n_frames === nFrames(id), s"id $id frame count")
       assert(ft.n_frames >= 16 && ft.n_frames <= 24)
       val step = math.max(ft.n_frames / 4, 1)
       val idx = (0 until 4).map(i => math.min(i * step, ft.n_frames - 1))
