@@ -44,8 +44,13 @@ import org.apache.spark.sql.functions._
   *     itself and shows the unsalted join converging to the one hot
   *     task's time.
   *
+  *  7. q79 partition-count curve: the global running total's pass-1
+  *     control data is O(partitions) longs — time the rule-rewritten
+  *     exec and the RunningTotal helper across a 64x partition-count
+  *     sweep; the exec curve must stay flat.
+  *
   * Usage: runMain graft.tools.ScaleProbe [sfDir]
-  *                [section csv: store,rank,simhash,winnow,semdedup,skew]
+  *                [section csv: store,rank,simhash,winnow,semdedup,skew,cumsum]
   */
 object ScaleProbe {
   private val SHIFT = 100000000L
@@ -53,7 +58,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val sections = args.lift(1)
-      .getOrElse("store,rank,simhash,winnow,semdedup,skew")
+      .getOrElse("store,rank,simhash,winnow,semdedup,skew,cumsum")
       .split(",").map(_.trim).toSet
 
     val spark = SparkSession.builder()
@@ -197,6 +202,44 @@ object ScaleProbe {
         val (wf, cf) = probe(Some(spark.range(1).select(lit(8).as("cap"))))
         println(f"$k%-4d $nDocs%-8d $capVal%-5d $wa%-12.3f $wf%-13.3f $ca%-13d $cf")
       }
+    }
+
+    if (sections("cumsum")) {
+      println("== q79 global running total: time vs partition count ==")
+      println("   (the pass-1 control data is O(partitions) longs — the curve")
+      println("    over nParts must stay flat; 'rule' is the naive window")
+      println("    auto-rewritten to GlobalRunningTotalExec)")
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.register(spark)
+      val ev0 = graft.Tables.events(spark, sfDir).select($"event_id", $"value")
+      val big = (0 until 64).map { i =>
+          if (i == 0) ev0
+          else ev0.select(($"event_id" + i * SHIFT).as("event_id"), $"value")
+        }.reduce(_ unionByName _)
+        .select($"event_id",
+          coalesce(($"value".cast("decimal(18,4)") * 10000).cast("long"),
+            lit(0L)).as("cents"))
+        .localCheckpoint() // isolate cumsum time from the scaling union
+      val n = big.count()
+      println(f"${"nParts"}%-8s ${"helper_sec"}%-11s rule_sec   (rows = $n)")
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        for (p <- Seq(32, 128, 512, 2048)) {
+          val (_, th) = timed {
+            graft.operators.RunningTotal
+              .inclusivePrefixSum(big, "event_id", "cents", p)
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.conf.set("spark.sql.shuffle.partitions", p)
+          val w = Window.orderBy($"event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val (_, tr) = timed {
+            big.withColumn("cum", sum($"cents").over(w))
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(f"$p%-8d $th%-11.2f $tr%.2f")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     }
 
     if (sections("skew")) {
