@@ -714,19 +714,27 @@ object TextAnalysis {
     // docs (one EOD token each) in doc_id order, slice the token stream
     // into fixed 512-token training sequences, report per-sequence
     // composition (doc count, whole-doc count, token fill). The global
-    // token cumsum that defines the slicing is computed DISTRIBUTED
-    // (graft.operators.RunningTotal: range-repartition + O(partitions)
-    // broadcast prefix offsets + map-only accumulate) — the naive
-    // `SUM OVER (ORDER BY ...)` empty-PARTITION-BY window would gather
-    // the whole corpus onto one task. Everything after the cumsum
-    // shuffles only (doc_id, 3 longs): doc bodies never move.
+    // token cumsum that defines the slicing is WRITTEN as the naive
+    // `SUM OVER (ORDER BY ...)` empty-PARTITION-BY window — which would
+    // gather the whole corpus onto one task — and the injected
+    // RewriteGlobalRunningTotal rule re-plans it as
+    // GlobalRunningTotalExec: range exchange sized by
+    // spark.sql.shuffle.partitions + O(partitions) broadcast prefix
+    // offsets + map-only accumulate (plan-asserted in PlanShapeSpec).
+    // Everything after the cumsum shuffles only (doc_id, 3 longs):
+    // doc bodies never move.
     "t17_sequence_pack" -> { (s, d) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.register(s)
       val C = 512L
+      val wCum = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val toks = T.documents(s, d).select($"doc_id",
-        (size(split($"text", " ")) + 1).cast("long").as("tok"))
-      val spans = graft.operators.RunningTotal
-        .inclusivePrefixSum(toks, "doc_id", "tok", nParts = 32)
+        coalesce((size(split($"text", " ")) + 1).cast("long"), lit(0L))
+          .as("tok"))
+      val spans = toks
+        .withColumn("cum_end", sum($"tok").over(wCum)) // rule re-plans this
         .withColumn("cum_start", $"cum_end" - $"tok")
         .withColumn("first_seq", expr(s"cum_start div $C"))
         .withColumn("last_seq", expr(s"(cum_end - 1) div $C"))
@@ -809,13 +817,21 @@ object TextAnalysis {
     // overfill by at most one doc: the standard contiguous sharding a
     // petabyte-scale writer uses to turn a 100 TB corpus into ~equal
     // training files. Only (doc_id, 2 longs) shuffles; bodies stay put.
+    // The byte cumsum is the naive global window re-planned by the
+    // injected rule (same exec path as t17/t20 — no pinned partition
+    // count, no cache).
     "t19_shard_plan" -> { (s, d) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.register(s)
       val target = 16384L // bytes per shard
+      val wCum = Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val sized = T.documents(s, d).select($"doc_id",
-        (length($"text") + 1).cast("long").as("nb")) // +1 record separator
-      graft.operators.RunningTotal
-        .inclusivePrefixSum(sized, "doc_id", "nb", nParts = 32)
+        coalesce((length($"text") + 1).cast("long"), lit(0L))
+          .as("nb")) // +1 record separator
+      sized
+        .withColumn("cum_end", sum($"nb").over(wCum)) // rule re-plans this
         .withColumn("shard", expr(s"(cum_end - nb) div $target"))
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"),

@@ -81,12 +81,20 @@ object DistributedRank {
   /** Returns `df` with two extra columns: `_rank0` (zero-based exact rank
     * of the row within its group under the total (order) sort) and `_gn`
     * (the group's total row count).
+    *
+    * `nParts <= 0` (the default) sizes the range exchange from
+    * `spark.sql.shuffle.partitions` — the exchange then scales with
+    * cluster configuration instead of a pinned constant (a fixed 32 at
+    * 100× data is ~3 TB per task, exactly the gathering this operator
+    * exists to avoid).
     */
   def withRankStats(df: DataFrame, groupCols: Seq[String],
-                    orderCols: Seq[Column], nParts: Int,
+                    orderCols: Seq[Column], nParts: Int = -1,
                     maxBroadcastControlRows: Long = 4L << 20): DataFrame = {
+    val np = if (nParts > 0) nParts
+             else df.sparkSession.sessionState.conf.numShufflePartitions
     val sortCols = groupCols.map(col) ++ orderCols
-    val sorted = df.repartitionByRange(nParts, sortCols: _*)
+    val sorted = df.repartitionByRange(np, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .cache() // both passes must see identical partitioning
 

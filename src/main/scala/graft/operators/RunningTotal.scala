@@ -43,10 +43,16 @@ object RunningTotal {
   // cache at all and is the preferred form — see GlobalRunningTotalPlan.)
   private var previousCache: Option[DataFrame] = None
 
+  /** `nParts <= 0` (the default) follows `spark.sql.shuffle.partitions`,
+    * so the range exchange scales with cluster config rather than a
+    * pinned constant.
+    */
   def inclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
-                         nParts: Int, cumCol: String = "cum_end"): DataFrame = {
+                         nParts: Int = -1, cumCol: String = "cum_end"): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(nParts, col(orderCol))
+    val np = if (nParts > 0) nParts
+             else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(np, col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .cache() // both passes must see identical partitioning
     synchronized {
@@ -61,7 +67,7 @@ object RunningTotal {
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
-    val offsets = new Array[Long](nParts)
+    val offsets = new Array[Long](np)
     var acc = 0L
     partSums.foreach { case (pid, s) => offsets(pid) = acc; acc += s }
     val bcOffsets = spark.sparkContext.broadcast(offsets)

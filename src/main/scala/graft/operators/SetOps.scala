@@ -100,7 +100,8 @@ object SetOps {
     // fixed partitioning but engine-specific RNG — no DuckDB oracle can
     // match it row-for-row, so this entry takes the driver's rows>0
     // check and SetOpsSampleSpec pins repeatability, fraction bounds,
-    // and the no-shuffle plan INSIDE Spark.
+    // and the no-shuffle plan INSIDE Spark. (q81 below closes the gap:
+    // the same Sample operator, oracle-checked via its integrity law.)
     "q72_tablesample" -> { (s, d) =>
       import s.implicits._
       T.orders(s, d)
@@ -108,6 +109,33 @@ object SetOps {
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_sampled"),
              dsum($"o_totalprice").as("sampled_total"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // q72's ORACLE-CHECKABLE companion: the Sample operator's integrity
+    // law — sample ∪ its anti-join complement reconstructs the full
+    // table EXACTLY (o_orderkey is unique; the seeded per-partition
+    // Bernoulli is deterministic over the shared scan partitioning, so
+    // both branches evaluate the SAME sample — repeatability pinned in
+    // ScaleOpsSpec). The DuckDB oracle is the plain full-table
+    // aggregate: a row the sampler dropped that the complement missed,
+    // or one duplicated across branches, breaks the hash match — a hard
+    // correctness row for the Sample physical operator that its RNG
+    // output itself cannot have. Scale shape: only (orderkey, priority,
+    // price) enter the anti-join's key shuffle; sort-merge on the
+    // unique key, no broadcast of the 10% sample needed.
+    "q81_sample_integrity" -> { (s, d) =>
+      import s.implicits._
+      val orders = T.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      val sampled = orders
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      val rest = orders.join(sampled.select($"o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+      sampled.unionByName(rest)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             dsum($"o_totalprice").as("total_price"))
         .orderBy($"o_orderpriority")
     }
   )
@@ -161,6 +189,16 @@ object SetOps {
         |EXCEPT ALL
         |SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // q81: sample ∪ complement must equal the FULL table — the oracle is
+    // the plain full-table aggregate, independent of any RNG.
+    "q81_sample_integrity" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

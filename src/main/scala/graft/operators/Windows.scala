@@ -131,8 +131,7 @@ object Windows {
         T.lineitem(s, d).select($"l_returnflag", $"l_orderkey",
           $"l_linenumber", $"l_extendedprice", $"l_quantity"),
         Seq("l_returnflag"),
-        Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber", $"l_quantity"),
-        nParts = 32)
+        Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber", $"l_quantity"))
       // with the tie-broken total order, rank == row_number == SQL rank,
       // so the distribution functions are arithmetic on (_rank0, _gn)
       ranked
@@ -159,7 +158,9 @@ object Windows {
     // Exact-decimal cents keep the sum integer at any parallelism;
     // the oracle runs the same naive window, so the driver's gate
     // checks the rewrite end-to-end. (graft.operators.RunningTotal is
-    // the same algorithm as a DataFrame helper — t17/t19 use it.)
+    // the same algorithm as a DataFrame helper, kept as the documented
+    // fallback for frames the rule's guards reject; t17/t19/t20 all
+    // ride this exec path.)
     "q79_running_total_global" -> { (s, d) =>
       import s.implicits._
       graft.GraftExtensions.register(s)

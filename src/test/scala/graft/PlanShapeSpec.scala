@@ -304,6 +304,37 @@ class PlanShapeSpec extends SparkSpec {
       "partitioned ranking window missing:\n" + p.take(800))
   }
 
+  test("t17/t19: global cumsum rides the rewritten exec path — no cache, no helper") {
+    Seq("t17_sequence_pack", "t19_shard_plan").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("GlobalRunningTotal"),
+        s"$name: optimizer rule did not fire:\n" + p.take(1000))
+      assert(!p.contains("InMemoryTableScan"),
+        s"$name: a cache survives in the plan (helper path?):\n" + p.take(1000))
+    }
+  }
+
+  test("q62/t17/t19: range exchange follows spark.sql.shuffle.partitions") {
+    // the round-8 finding: a pinned nParts=32 would make the range
+    // exchange ~3 TB/task at 100x scale. The exchange must now size from
+    // session config — assert with a distinctive partition count.
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      Seq("q62_distribution_scalable", "t17_sequence_pack",
+          "t19_shard_plan").foreach { name =>
+        val p = plan(name)
+        val rangeLines = p.linesIterator
+          .filter(_.contains("rangepartitioning")).toList
+        assert(rangeLines.nonEmpty,
+          s"$name: no range exchange in plan:\n" + p.take(1000))
+        assert(rangeLines.exists(_.contains(", 17)")),
+          s"$name: range exchange ignores spark.sql.shuffle.partitions:\n" +
+            rangeLines.mkString("\n"))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+
   test("whole registry: no single-task window, no cartesian product") {
     // the two plan shapes that cannot survive 100 TB: a WindowExec with
     // an empty partition spec serializes the WHOLE row stream onto one

@@ -130,6 +130,24 @@ class ScaleOpsSpec extends SparkSpec {
       s"sampled $sampled of $total, expected ~$expect")
   }
 
+  test("q81 sample integrity: sample ∪ complement reconstructs the full table") {
+    // the oracle-checkable companion that gives the Sample operator a
+    // hard correctness row: both branches must evaluate the SAME seeded
+    // sample (determinism over the shared scan partitioning), so their
+    // union aggregates to exactly the full-table numbers
+    val got = operators.SetOps.queries("q81_sample_integrity")(spark, sf)
+    assert(got.queryExecution.executedPlan.toString.contains("Sample"),
+      "physical Sample operator missing from the companion's plan")
+    val want = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           Dets.dsum($"o_totalprice").as("total_price"))
+      .orderBy($"o_orderpriority")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      want.collect().map(_.toSeq).toSeq,
+      "sample ∪ anti-join complement diverged from the full table")
+  }
+
   test("AQE splits skewed partitions at runtime (skew=true in final plan)") {
     // manual salting (q48) is one answer to skew; AQE's OptimizeSkewedJoin
     // is the zero-code answer — verify it engages on a skewed sort-merge
