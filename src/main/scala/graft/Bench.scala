@@ -45,11 +45,20 @@ object Bench {
       spark.catalog.clearCache() // untimed: queries may cache() internally
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // `value` and `queries` cover SUCCEEDED queries only; failures are
+    // listed by name in `failed` (never as -1.0 sentinels inside the map —
+    // round 9 showed consumers summing the map get silently wrong totals,
+    // and a partial run must be visibly partial, not just smaller).
+    val (ok, bad) = results.partition(_._2 >= 0)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum // sentinels excluded
+    val failedArr = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
+    if (bad.nonEmpty)
+      System.err.println(s"[bench] STOP-SHIP: ${bad.size} queries failed: " +
+        bad.map(_._1).mkString(","))
     println(json)
     // sidecar file: stdout tail-capture truncated 26 of 86 query timings
     // in round 2 — the file is the complete record

@@ -31,15 +31,87 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and floor-divide to
-    * micros — the same truncation DuckDB applies casting ns->us, so
-    * time comparisons agree across engines.
+  /** events.ts has shipped under three physical encodings across fixture
+    * generations, so the loader branches on what the file actually contains
+    * rather than assuming one (the reference itself coerces naive cursor
+    * timestamps instead of crashing, lambda_function.py:139-140):
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright unless
+    *    `spark.sql.legacy.parquet.nanosAsLong` is set, so we sniff the
+    *    footer first and set the conf only in that case (it must stay set
+    *    through execution of the lazy plan — a scoped restore would break
+    *    the executor-side read). The raw nanos long is floor-divided to
+    *    micros, the same truncation DuckDB applies casting ns->us.
+    *  - TIMESTAMP_MICROS with isAdjustedToUTC=false: Spark reads
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP is identity under the UTC session
+    *    timezone every entry point sets, and matches what DuckDB sees.
+    *  - TIMESTAMP_MICROS/MILLIS adjusted to UTC: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$d/events.parquet"
+    if (tsStoredAsNanos(s, path))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** Streaming twin of [[events]]: same footer sniff + ts normalization,
+    * over a `readStream` file source at an arbitrary path (streaming
+    * sources need an explicit schema, taken from a one-footer batch read).
+    */
+  def eventsStreamAt(s: SparkSession, path: String): DataFrame = {
+    if (tsStoredAsNanos(s, path))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(path).schema
+    normalizeTs(s.readStream.schema(rawSchema).parquet(path))
+  }
+
+  /** Bring any fixture encoding of `ts` to TIMESTAMP (micros, UTC): raw
+    * long = legacy nanos (floor-divide, same ns->us truncation DuckDB
+    * applies); NTZ = cast (identity under the UTC session timezone);
+    * TIMESTAMP = pass-through. Works on batch and streaming frames alike.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
+  /** Footer sniff: is events.ts physically INT64/TIMESTAMP(NANOS)? Reads
+    * one footer (directory datasets: first part file) — O(1) metadata, no
+    * data IO, safe at any scale. Raw unannotated INT64 is also treated as
+    * the legacy nanos-as-long shape.
+    */
+  private def tsStoredAsNanos(s: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(return false)
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) return false
+      val t = schema.getFields.get(schema.getFieldIndex("ts"))
+      if (!t.isPrimitive) return false
+      t.getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation => ts.getUnit == TimeUnit.NANOS
+        case null =>
+          t.asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+        case _ => false
+      }
+    } finally reader.close()
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

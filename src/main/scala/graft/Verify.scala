@@ -18,12 +18,14 @@ object Verify {
     // dev-only subset filter (comma-separated name prefixes); the driver
     // sets no filter and dumps every query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-      .foreach { case (name, fn) =>
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // queries may cache() internally; don't leak
@@ -43,6 +45,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Round-9 lesson: a query that errors here simply has no parquet dir,
+    // so it vanishes from the driver's correctness file and the round's
+    // pass-rate silently overstates. Make every failure a first-class
+    // artifact (errors.json) and assert the dumped-vs-registered count so
+    // a fixture change can never again hide a fifth of the registry.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val okCount = selected.size - failures.size
+    System.err.println(s"[verify] $okCount/${selected.size} queries dumped" +
+      (if (failures.isEmpty) "" else s"; FAILED: ${failures.keys.mkString(",")}"))
+    if (only.isEmpty && failures.nonEmpty)
+      System.err.println(s"[verify] INVARIANT VIOLATED: ${failures.size} of " +
+        s"${SparkEntry.queries.size} registered queries produced no output — " +
+        "the driver's correctness file will under-count; STOP-SHIP")
     spark.stop()
   }
 }

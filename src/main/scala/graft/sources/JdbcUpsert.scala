@@ -59,6 +59,41 @@ object JdbcUpsert {
        |) VALUES %s
        |ON CONFLICT (${conflictKey.mkString(", ")}) DO NOTHING""".stripMargin
 
+  /** The real-driver adapter the Scaladoc above promises: wraps any
+    * `java.sql.Connection` provider (the interface ships in the JDK's
+    * java.sql module — only the DRIVER jar is absent here) as an
+    * [[UpsertSession]] factory. One connection per partition, autocommit
+    * off, [[insertSql]] prepared with `?` placeholders, addBatch per row,
+    * executeBatch per chunk; `ON CONFLICT DO NOTHING` rows report 0 in
+    * the update counts, so summing positives reproduces psycopg2's
+    * `cur.rowcount` (lambda_function.py:184-186). `connect` must be
+    * serializable (a Scala function literal is) — it runs on executors.
+    */
+  class ConnectionSessionFactory(connect: () => java.sql.Connection,
+      table: String, columns: Seq[String], conflictKey: Seq[String])
+      extends SessionFactory {
+    def open(): UpsertSession = new UpsertSession {
+      private val conn = connect()
+      conn.setAutoCommit(false)
+      private val stmt = conn.prepareStatement(
+        insertSql(table, columns, conflictKey).replace("VALUES %s",
+          columns.map(_ => "?").mkString("VALUES (", ", ", ")")))
+      def insertBatch(rows: Seq[Seq[Any]]): Long = {
+        rows.foreach { r =>
+          r.iterator.zipWithIndex.foreach { case (v, i) =>
+            stmt.setObject(i + 1, v)
+          }
+          stmt.addBatch()
+        }
+        // SUCCESS_NO_INFO (-2) and conflict-skipped rows (0) both count 0
+        stmt.executeBatch().iterator.map(c => if (c > 0) c.toLong else 0L).sum
+      }
+      def commit(): Unit = conn.commit()
+      def rollback(): Unit = conn.rollback()
+      def close(): Unit = try stmt.close() finally conn.close()
+    }
+  }
+
   /** Distributed upsert: `foreachPartition` opens one session, streams the
     * partition in `batchSize` chunks, commits once per partition, rolls
     * back on failure. Returns total rows inserted across all partitions.

@@ -31,11 +31,8 @@ object Streaming {
     * Returns the started query writing to a memory sink named `sinkName`.
     */
   def ingestStream(s: SparkSession, path: String, sinkName: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(path).schema // ts arrives as long (nanos)
-    val stream = s.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    stream
+    T.eventsStreamAt(s, path) // schema-sniffed ts normalization, any fixture
+
       .withWatermark("ts", "1 day")           // past_days=1 lookback
       .dropDuplicates("event_id")             // exactly-once-per-key == O9
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -53,11 +50,8 @@ object Streaming {
     * processes the whole input then stops — deterministic for tests).
     */
   def attributionStream(s: SparkSession, path: String, sinkName: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(path).schema
     def side(tpe: String, pfx: String) =
-      s.readStream.schema(rawSchema).parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      T.eventsStreamAt(s, path)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
                 col("value").as(s"${pfx}_value"))

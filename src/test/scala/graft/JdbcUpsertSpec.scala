@@ -72,6 +72,41 @@ class JdbcUpsertSpec extends SparkSpec {
       "rolled-back session must leave no rows behind")
   }
 
+  test("ConnectionSessionFactory drives a java.sql.Connection end-to-end") {
+    val store = freshStore()
+    MemStore.table(store).put(Seq(10L), Seq(10L, "old"))
+    val factory = new JdbcUpsert.ConnectionSessionFactory(
+      () => FakeJdbc.connection(store, keyIdx = Seq(0)),
+      "sensor_project.weather_data", Seq("k", "v"), Seq("k"))
+    // 30 appears twice: the store's conflict key must skip the second
+    val df = Seq((10L, "dup"), (20L, "a"), (30L, "b"), (30L, "b2"))
+      .toDF("k", "v")
+    assert(JdbcUpsert.upsert(df, factory) === 2L,
+      "executeBatch counts (1 inserted / 0 conflict) must sum like cur.rowcount")
+    assert(MemStore.table(store).size() === 3)
+    assert(MemStore.table(store).get(Seq(10L))(1) === "old")
+    // prepared SQL is the reference statement with ? placeholders
+    val sql = FakeJdbc.lastPrepared(store).getOrElse(fail("nothing prepared"))
+    assert(sql.contains("VALUES (?, ?)"))
+    assert(sql.endsWith("ON CONFLICT (k) DO NOTHING"))
+    // idempotent re-run, same as the SPI path
+    assert(JdbcUpsert.upsert(df, factory) === 0L)
+  }
+
+  test("ConnectionSessionFactory rolls back the connection on failure") {
+    val store = freshStore()
+    val factory = new JdbcUpsert.ConnectionSessionFactory(
+      () => FakeJdbc.connection(store, keyIdx = Seq(0), failOnKey = Some(3L)),
+      "t", Seq("k", "v"), Seq("k"))
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "boom"), (4L, "c"))
+      .toDF("k", "v").coalesce(1)
+    intercept[org.apache.spark.SparkException] {
+      JdbcUpsert.upsert(df, factory, batchSize = 2)
+    }
+    assert(MemStore.table(store).isEmpty,
+      "conn.rollback() must remove the partition's staged rows")
+  }
+
   test("partitions stream in bounded batches, one session each") {
     val store = freshStore()
     MemStore.resetCounters(store)
@@ -106,6 +141,84 @@ object JdbcUpsertSpec {
     def clear(name: String): Unit = { table(name).clear(); resetCounters(name) }
     def resetCounters(name: String): Unit = {
       sessions(name).set(0); batches(name).set(0)
+    }
+  }
+
+  /** Dynamic-Proxy fake of the two java.sql interfaces the adapter
+    * touches, backed by the same MemStore semantics: executeBatch
+    * putIfAbsent-s each batched row (per-row count 1 inserted / 0
+    * conflict, what a real driver returns under ON CONFLICT DO NOTHING),
+    * commit clears the staging list, rollback removes staged keys. A
+    * Proxy keeps the fake ~40 lines instead of stubbing the ~50-method
+    * Connection interface by hand.
+    */
+  object FakeJdbc {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    private val preparedSql = new CMap[String, String]()
+    def lastPrepared(store: String): Option[String] =
+      Option(preparedSql.get(store))
+
+    private def mkProxy[T](cls: Class[T])(
+        h: (Method, Array[AnyRef]) => AnyRef): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+        new InvocationHandler {
+          def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+            h(m, args)
+        }).asInstanceOf[T]
+
+    // default for untracked methods: primitive zero / null
+    private def dflt(m: Method): AnyRef = m.getReturnType match {
+      case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
+      case java.lang.Integer.TYPE => Integer.valueOf(0)
+      case java.lang.Long.TYPE    => java.lang.Long.valueOf(0L)
+      case _                      => null
+    }
+
+    def connection(store: String, keyIdx: Seq[Int],
+                   failOnKey: Option[Any] = None): java.sql.Connection = {
+      val t = MemStore.table(store)
+      val staged = scala.collection.mutable.Buffer[Seq[Any]]()
+
+      def pstmt(): java.sql.PreparedStatement = {
+        val current = scala.collection.mutable.ArrayBuffer[Any]()
+        val batch = scala.collection.mutable.Buffer[Seq[Any]]()
+        mkProxy(classOf[java.sql.PreparedStatement]) { (m, args) =>
+          m.getName match {
+            case "setObject" =>
+              val i = args(0).asInstanceOf[java.lang.Integer].intValue()
+              while (current.size < i) current += null
+              current(i - 1) = args(1)
+              null
+            case "addBatch" =>
+              batch += current.toSeq; current.clear(); null
+            case "executeBatch" =>
+              val counts = batch.map { r =>
+                failOnKey.foreach { bad =>
+                  if (r(keyIdx.head) == bad)
+                    throw new java.sql.SQLException(s"injected failure on $bad")
+                }
+                val k = keyIdx.map(r)
+                if (t.putIfAbsent(k, r) == null) { staged += k; 1 } else 0
+              }.toArray
+              batch.clear()
+              counts
+            case "close" => null
+            case other   => dflt(m)
+          }
+        }
+      }
+
+      mkProxy(classOf[java.sql.Connection]) { (m, args) =>
+        m.getName match {
+          case "setAutoCommit" => null
+          case "prepareStatement" =>
+            preparedSql.put(store, args(0).asInstanceOf[String]); pstmt()
+          case "commit"   => staged.clear(); null
+          case "rollback" => staged.foreach(t.remove); staged.clear(); null
+          case "close"    => null
+          case other      => dflt(m)
+        }
+      }
     }
   }
 

@@ -21,6 +21,17 @@ class RegistrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every query is oracle-checked; q72 is the lone documented exception") {
+    // q72_tablesample: engine-specific RNG is structurally un-oracle-able
+    // (adjudicated in round 8/9 VERDICTs); its Sample operator gets a hard
+    // DuckDB row via q81_sample_integrity instead. ANY other query missing
+    // an oracle would silently downgrade the driver's check to rows-only —
+    // fail here first.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === Set("q72_tablesample"),
+      s"queries without a DuckDB oracle: $noOracle")
+  }
+
   test("query names are unique across modules") {
     // Map construction would silently drop duplicates; assert uniqueness on
     // the authoritative module list itself (SparkEntry.modules) so the test
