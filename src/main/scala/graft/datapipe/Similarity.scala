@@ -620,7 +620,14 @@ object Similarity {
       import s.implicits._
       val emb = T.embeddings(s, d)
       val subs = pqSubs(emb)
-      val cb = pqCodebook(subs) // trained ONCE, feeds encode and the table
+      // trained ONCE and MATERIALIZED once: two consumers (encode + the
+      // distance table) broadcast this frame, and without the checkpoint
+      // each broadcast re-runs the whole training shuffle — the plan shows
+      // two separate BroadcastExchanges, and canonical-subtree reuse can't
+      // collapse them because the downstream projections differ. M×K = 32
+      // rows, so the eager materialization job is free at any corpus size
+      // while the saved re-training shuffle grows with the corpus.
+      val cb = pqCodebook(subs).localCheckpoint()
       val codes = pqEncode(subs, cb).select($"vec_id", $"j", $"code")
       // distance table: query subvectors × codebook, integer L2
       val dt = intL2(
