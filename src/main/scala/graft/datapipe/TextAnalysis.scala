@@ -840,6 +840,82 @@ object TextAnalysis {
              max($"doc_id").as("last_doc"))
         .withColumn("fill", $"bytes".cast("double") / target)
         .orderBy($"shard")
+    },
+
+    // Deterministic seeded corpus shuffle — the training-order step: a
+    // pretraining run must visit documents in a pseudorandom order that
+    // is REPRODUCIBLE across re-runs and cluster sizes (checkpoint
+    // resume, multi-epoch seeds, debugging a loss spike at step N all
+    // depend on it). Shuffle key = 60-bit phash("shuf42:" || doc_id) —
+    // a seeded hash permutation, so no RNG state exists anywhere; the
+    // global position over that order is the naive running COUNT window
+    // re-planned by RewriteGlobalRunningTotal (range exchange +
+    // O(partitions) offsets + map-only accumulate — a 100 TB corpus
+    // shuffles once on an 8-byte key, bodies never move). Output is the
+    // per-batch manifest (B=64 docs/batch): batch composition proves the
+    // permutation is well-mixed (sources interleave) and positions are
+    // exactly 1..n with no dup/gap.
+    "t21_corpus_shuffle" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.register(s)
+      val B = 64L
+      val wPos = Window.orderBy($"shuf_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.documents(s, d).select($"doc_id", $"source")
+        .withColumn("shuf_key", graft.Dets.phash(
+          concat(lit("shuf42:"), $"doc_id".cast("string"))))
+        .withColumn("pos", count(lit(1)).over(wPos)) // rule re-plans this
+        .withColumn("batch_id", expr(s"(pos - 1) div $B"))
+        .groupBy($"batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct($"source").as("n_sources"),
+             sum($"doc_id").cast("long").as("sum_doc_ids"),
+             min_by($"doc_id", $"pos").as("first_doc"))
+        .orderBy($"batch_id")
+    },
+
+    // Token-budget selection — "give me the best N tokens": rank the
+    // corpus by quality (t02/t20's formula), run a global token cumsum
+    // down the ranking, keep documents while the budget lasts. The
+    // data-mix curation step every training run ends with, and the
+    // third distinct use of the running-total exec (t17/t19 order by
+    // doc_id; here the order is a DERIVED ranking). The rule matches a
+    // single ASC order attribute, so the (quality desc, doc_id) ranking
+    // is packed into one unique long: (1e6 - round(quality*1e6)) * 1e10
+    // + doc_id — quality has ~6 meaningful digits, doc_id < 1e10, and
+    // both engines compute the same integer, so the global order is
+    // total and cross-engine exact. Only (doc_id, 2 longs) shuffles.
+    "t22_token_budget" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.register(s)
+      val budget = 20000L
+      val wCum = Window.orderBy($"rank_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.documents(s, d)
+        .withColumn("words", split($"text", " "))
+        .withColumn("n_words", size($"words").cast("long"))
+        .filter($"n_words" >= 1)
+        .withColumn("quality",
+          expr("size(array_distinct(words))") / $"n_words" * 0.4 +
+          (lit(1.0) -
+            expr("size(filter(words, w -> w = 'the' OR w = 'a'))") /
+              $"n_words") * 0.3 +
+          least($"n_words" / 100.0, lit(1.0)) * 0.3)
+        .withColumn("rank_key",
+          (lit(1000000L) - round($"quality" * 1e6).cast("long")) *
+            10000000000L + $"doc_id")
+        .select($"doc_id", $"source", $"rank_key",
+          coalesce($"n_words", lit(0L)).as("tok"))
+        .withColumn("cum_tok", sum($"tok").over(wCum)) // rule re-plans this
+        .filter($"cum_tok" <= budget)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"),
+             sum($"tok").cast("long").as("sum_tokens"),
+             min($"rank_key").as("best_rank"),
+             max($"cum_tok").cast("long").as("last_cum"))
+        .orderBy($"source")
     }
   )
 
@@ -1290,6 +1366,50 @@ object TextAnalysis {
         |  MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc,
         |  CAST(SUM(nb) AS DOUBLE) / 16384 AS fill
-        |FROM cums GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM cums GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "t21_corpus_shuffle" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |    ${graft.Dets.phashSql("'shuf42:' || CAST(doc_id AS VARCHAR)")}
+         |      AS shuf_key
+         |  FROM documents),
+         |positioned AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (ORDER BY shuf_key) AS BIGINT) AS pos
+         |  FROM keyed)
+         |SELECT (pos - 1) // 64 AS batch_id,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT source) AS n_sources,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+         |  arg_min(doc_id, pos) AS first_doc
+         |FROM positioned GROUP BY 1 ORDER BY batch_id""".stripMargin,
+
+    "t22_token_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    string_split(text, ' ') AS words
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |ranked AS (
+        |  SELECT doc_id, source, n_words,
+        |    (1000000 - CAST(round((
+        |      len(list_distinct(words)) / n_words * 0.4 +
+        |      (1.0 - len(list_filter(words, w -> w = 'the' OR w = 'a'))
+        |         / n_words) * 0.3 +
+        |      least(n_words / 100.0, 1.0) * 0.3) * 1e6) AS BIGINT))
+        |      * 10000000000 + doc_id AS rank_key
+        |  FROM scored),
+        |cums AS (
+        |  SELECT doc_id, source, rank_key, n_words AS tok,
+        |    CAST(SUM(n_words) OVER (ORDER BY rank_key ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum_tok
+        |  FROM ranked)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+        |  MIN(rank_key) AS best_rank,
+        |  CAST(MAX(cum_tok) AS BIGINT) AS last_cum
+        |FROM cums WHERE cum_tok <= 20000
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

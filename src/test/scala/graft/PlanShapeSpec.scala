@@ -304,8 +304,13 @@ class PlanShapeSpec extends SparkSpec {
       "partitioned ranking window missing:\n" + p.take(800))
   }
 
-  test("t17/t19: global cumsum rides the rewritten exec path — no cache, no helper") {
-    Seq("t17_sequence_pack", "t19_shard_plan").foreach { name =>
+  test("t17/t19/t21/t22: global cumsum rides the rewritten exec path — no cache, no helper") {
+    // t21 exercises the running-COUNT branch over a hash-permutation
+    // key; t22 the running-SUM branch over a derived ranking key —
+    // together with t17/t19's doc_id orders they cover both rule arms
+    // on both natural and computed order attributes.
+    Seq("t17_sequence_pack", "t19_shard_plan",
+        "t21_corpus_shuffle", "t22_token_budget").foreach { name =>
       val p = plan(name)
       assert(p.contains("GlobalRunningTotal"),
         s"$name: optimizer rule did not fire:\n" + p.take(1000))
