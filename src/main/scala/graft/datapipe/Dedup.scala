@@ -853,6 +853,17 @@ object Dedup {
       // pairs at all) must converge to an empty assignment, not NPE
       if (d == null) java.math.BigDecimal.ZERO else d
     }
+    // The edge set is STATIC across pulls but every pull joins it on `b`
+    // — left to itself each join re-shuffles O(E) edge rows, and a
+    // 17-pull fixpoint on a 100 TB pair graph would shuffle the biggest
+    // frame in the loop 17 times. Shuffle it ONCE onto the join key and
+    // persist the partitioned form (disk-spillable — the edge set of a
+    // planet-scale corpus exceeds executor memory): every subsequent
+    // pull's join reads cached partitions whose outputPartitioning
+    // already satisfies the join requirement, so only the propagated
+    // (a, lbl) stream — which IS the algorithm — moves per pull.
+    val e = edges.repartition(col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = seed
     var prev = checksum(seed)
     var round = 0
@@ -879,7 +890,7 @@ object Dedup {
       // did NOT reduce rounds: the planted chains interleave id ranges
       // so a node's label is usually a nearby local min whose own label
       // adds nothing. Batching attacks the overhead instead.)
-      def pull(l: DataFrame): DataFrame = edges
+      def pull(l: DataFrame): DataFrame = e
         .join(l.select(col("doc_id").as("b"), col("lbl")), Seq("b"))
         .select(col("a").as("doc_id"), col("lbl"))
         .unionByName(l)
@@ -890,6 +901,9 @@ object Dedup {
       prev = cur
       round += 1
     }
+    // labels is localCheckpoint-ed (lineage truncated), so the edge
+    // cache can drop before callers materialize the result
+    e.unpersist(blocking = false)
     require(converged,
       s"label propagation did not converge within $maxRounds pulls " +
         "(two per cycle) - raise the budget (and the oracle's unroll) together")
