@@ -59,6 +59,9 @@ object Bench {
     if (bad.nonEmpty)
       System.err.println(s"[bench] STOP-SHIP: ${bad.size} queries failed: " +
         bad.map(_._1).mkString(","))
+    // exit 0 stays the driver contract (it parses the JSON regardless);
+    // local/CI runs can gate on the exit code instead of parsing `failed`
+    val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
     println(json)
     // sidecar file: stdout tail-capture truncated 26 of 86 query timings
     // in round 2 — the file is the complete record
@@ -68,5 +71,6 @@ object Bench {
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
     spark.stop()
+    if (strict && bad.nonEmpty) sys.exit(1)
   }
 }

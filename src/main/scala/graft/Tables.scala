@@ -93,12 +93,22 @@ object Tables {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      if (fs.getFileStatus(p).isDirectory) {
+        // prefer *.parquet parts, but fall back to ANY visible data file:
+        // non-Spark writers (or renamed parts) drop the suffix, and
+        // missing the sniff on a nanos-encoded directory would fail the
+        // read that the old always-set-conf behavior survived
+        val parts = fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        parts.find(_.getName.endsWith(".parquet"))
+          .orElse(parts.headOption)
           .getOrElse(return false)
-      else p
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      } else p
+    // an unreadable/non-parquet candidate means "not sniffably nanos" —
+    // let the actual load produce the canonical reader error
+    val reader =
+      try ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      catch { case _: Exception => return false }
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       if (!schema.containsField("ts")) return false

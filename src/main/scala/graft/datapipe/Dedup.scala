@@ -874,7 +874,8 @@ object Dedup {
     // oracle unroll also reaches - a deeper graph still fails loudly.
     val maxCycles = maxRounds / 2 + 1
     var converged = false
-    while (!converged && round < maxCycles) {
+    try {
+      while (!converged && round < maxCycles) {
       // two propagation pulls per materialization cycle: the per-cycle
       // fixed cost (checkpoint job + checksum job + scheduling) is the
       // dominant term on long-diameter graphs — d16's 17-pull fixpoint
@@ -900,10 +901,14 @@ object Dedup {
       converged = cur.compareTo(prev) == 0
       prev = cur
       round += 1
+      }
+    } finally {
+      // labels is localCheckpoint-ed (lineage truncated) every cycle, so
+      // the edge cache can drop before callers materialize the result —
+      // and must drop on the exception path too, or a retrying caller
+      // accumulates leaked cached copies of the loop's biggest frame
+      e.unpersist(blocking = false)
     }
-    // labels is localCheckpoint-ed (lineage truncated), so the edge
-    // cache can drop before callers materialize the result
-    e.unpersist(blocking = false)
     require(converged,
       s"label propagation did not converge within $maxRounds pulls " +
         "(two per cycle) - raise the budget (and the oracle's unroll) together")

@@ -74,10 +74,22 @@ object JdbcUpsert {
       extends SessionFactory {
     def open(): UpsertSession = new UpsertSession {
       private val conn = connect()
-      conn.setAutoCommit(false)
-      private val stmt = conn.prepareStatement(
-        insertSql(table, columns, conflictKey).replace("VALUES %s",
-          columns.map(_ => "?").mkString("VALUES (", ", ", ")")))
+      // anything failing between connect() and a usable session must
+      // close the connection HERE: upsert()'s rollback/close path only
+      // guards sessions open() already returned, so a throw from
+      // setAutoCommit/prepareStatement would otherwise leak one
+      // physical connection per task attempt
+      private val stmt =
+        try {
+          conn.setAutoCommit(false)
+          conn.prepareStatement(
+            insertSql(table, columns, conflictKey).replace("VALUES %s",
+              columns.map(_ => "?").mkString("VALUES (", ", ", ")")))
+        } catch { case e: Throwable =>
+          try conn.close()
+          catch { case e2: Throwable if e2 ne e => e.addSuppressed(e2) }
+          throw e
+        }
       def insertBatch(rows: Seq[Seq[Any]]): Long = {
         rows.foreach { r =>
           r.iterator.zipWithIndex.foreach { case (v, i) =>

@@ -50,9 +50,11 @@ object Streaming {
     * processes the whole input then stops — deterministic for tests).
     */
   def attributionStream(s: SparkSession, path: String, sinkName: String) = {
+    // one footer sniff + schema read for both sides (a stream-stream
+    // self-join off the same source frame is the supported shape)
+    val ev = T.eventsStreamAt(s, path)
     def side(tpe: String, pfx: String) =
-      T.eventsStreamAt(s, path)
-        .filter(col("event_type") === tpe)
+      ev.filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
                 col("value").as(s"${pfx}_value"))
         .withWatermark(s"${pfx}_ts", "1 hour")

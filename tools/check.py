@@ -70,6 +70,23 @@ def diff_preview(slines, olines, n=3):
 fails = 0
 dumped = sorted(d for d in os.listdir(out)
                 if os.path.isdir(os.path.join(out, d)))
+
+# Round-9 lesson: a query that errors in Verify leaves no dumped dir and
+# silently vanishes from this loop. Verify now writes errors.json; surface
+# every entry as a first-class FAIL, and (when no prefix filter narrows the
+# run) fail any oracle entry with no dumped dir at all, so dumped-set drift
+# can never read as green.
+err_path = os.path.join(out, "errors.json")
+errored = json.load(open(err_path)) if os.path.exists(err_path) else {}
+for name, msg in sorted(errored.items()):
+    if prefixes and not any(name.startswith(p) for p in prefixes):
+        continue
+    print(f"{name}: FAIL verify error: {msg[:200]}")
+    fails += 1
+if not prefixes:
+    for name in sorted(set(oracle) - set(dumped) - set(errored)):
+        print(f"{name}: FAIL oracle entry has no dumped result dir")
+        fails += 1
 for name in dumped:
     if prefixes and not any(name.startswith(p) for p in prefixes):
         continue
