@@ -469,7 +469,15 @@ object Similarity {
       val emb = base.unionByName(
         base.filter($"vec_id" % 10 === 0)
           .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding", $"label"))
-      val centroids = emb.select(($"vec_id" % 8).as("cell"),
+      // The knob, sized the way the paper sizes it: cells ~ sqrt(n/8)
+      // bounds within-cell pair work at ~n^1.5 instead of n^2/k_fixed
+      // (fixed k=8 measured 22 s at the 16x StressBench point — the
+      // quadratic-in-cell-size wall this removes). floor + max(8) keeps
+      // the small-corpus shape at the historical k=8, and both engines
+      // derive the IDENTICAL integer (exact count, IEEE sqrt, exact
+      // floor — the oracle computes the same k in a scalar subquery).
+      val k = math.max(8L, math.floor(math.sqrt(emb.count() / 8.0)).toLong)
+      val centroids = emb.select(($"vec_id" % k).as("cell"),
           posexplode($"embedding").as(Seq("pos", "v")))
         .groupBy($"cell", $"pos")
         .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
@@ -1027,11 +1035,14 @@ object Similarity {
          |  UNION ALL
          |  SELECT vec_id + 1000000, embedding, label FROM embeddings
          |  WHERE vec_id % 10 = 0),
+         |kk AS (
+         |  SELECT GREATEST(8, CAST(floor(sqrt(COUNT(*) / 8.0)) AS BIGINT))
+         |    AS k FROM emb),
          |means AS (
          |  SELECT cell, i - 1 AS pos,
          |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
          |         / COUNT(*) AS REAL) AS m
-         |  FROM (SELECT vec_id % 8 AS cell,
+         |  FROM (SELECT vec_id % (SELECT k FROM kk) AS cell,
          |          unnest(range(1, len(embedding) + 1)) AS i,
          |          unnest(embedding) AS v
          |        FROM emb)
