@@ -32,6 +32,60 @@ class RegistrySpec extends SparkSpec {
       s"queries without a DuckDB oracle: $noOracle")
   }
 
+  test("table loaders deliver their canonical logical schemas") {
+    // The round-9 incident: the driver regenerated events.parquet with a
+    // different physical ts encoding and the loader shipped the raw type
+    // downstream, failing 29 queries at ANALYSIS time with no test
+    // naming the cause. This pins the loader CONTRACT — whatever the
+    // fixture's physical encoding, Tables.* must normalize to these
+    // logical types — so the next regeneration either normalizes
+    // cleanly or fails right here, naming the table and column.
+    import org.apache.spark.sql.types._
+    val expect: Seq[(String, Map[String, DataType])] = Seq(
+      "events" -> Map("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+      "lineitem" -> Map("l_orderkey" -> LongType,
+        "l_extendedprice" -> DoubleType, "l_quantity" -> DoubleType),
+      "orders" -> Map("o_orderkey" -> LongType,
+        "o_totalprice" -> DoubleType))
+    val problems = expect.flatMap { case (table, cols) =>
+      val schema = Tables.names.find(_ == table)
+        .map(_ => table match {
+          case "events"     => Tables.events(spark, sf)
+          case "documents"  => Tables.documents(spark, sf)
+          case "embeddings" => Tables.embeddings(spark, sf)
+          case "lineitem"   => Tables.lineitem(spark, sf)
+          case "orders"     => Tables.orders(spark, sf)
+        }).get.schema
+      cols.flatMap { case (c, t) =>
+        schema.find(_.name == c) match {
+          case None => Some(s"$table.$c: column missing (fixture drift?)")
+          case Some(f) if !compatible(f.dataType, t) =>
+            Some(s"$table.$c: ${f.dataType} (loader must normalize to $t)")
+          case _ => None
+        }
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
+  // ArrayType containsNull may differ between fixture generations —
+  // element type is what queries depend on
+  private def compatible(actual: org.apache.spark.sql.types.DataType,
+      want: org.apache.spark.sql.types.DataType): Boolean =
+    (actual, want) match {
+      case (a: org.apache.spark.sql.types.ArrayType,
+            w: org.apache.spark.sql.types.ArrayType) =>
+        a.elementType == w.elementType
+      case _ => actual == want
+    }
+
   test("query names are unique across modules") {
     // Map construction would silently drop duplicates; assert uniqueness on
     // the authoritative module list itself (SparkEntry.modules) so the test
