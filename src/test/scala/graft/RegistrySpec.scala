@@ -75,6 +75,29 @@ class RegistrySpec extends SparkSpec {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  test("normalizeTs yields identical instants across all three encodings") {
+    // The round-9 bug class, pinned on VALUES: the same instants stored
+    // as raw nanos longs, as TIMESTAMP_NTZ, and as TIMESTAMP must
+    // normalize to one identical TIMESTAMP column (ns is truncated to
+    // µs, NTZ is reinterpreted under the UTC session tz).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val micros = Seq(1704067200000000L, 1704067201234567L, 0L)
+    val asNanos = micros.map(_ * 1000L + 999L).toDF("ts") // sub-µs truncates
+    val asNtz = micros.toDF("us")
+      .select(timestamp_micros($"us").cast("timestamp_ntz").as("ts"))
+    val asUtc = micros.toDF("us").select(timestamp_micros($"us").as("ts"))
+    val results = Seq(asNanos, asNtz, asUtc).map { df =>
+      val out = Tables.normalizeTs(df)
+      assert(out.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+      out.select(unix_micros($"ts")).as[Long].collect().toSeq.sorted
+    }
+    assert(results(0) === micros.sorted, "nanos path must truncate ns->us")
+    assert(results(1) === micros.sorted, "NTZ path must be identity under UTC")
+    assert(results(2) === micros.sorted, "timestamp path must pass through")
+  }
+
   // ArrayType containsNull may differ between fixture generations —
   // element type is what queries depend on
   private def compatible(actual: org.apache.spark.sql.types.DataType,
