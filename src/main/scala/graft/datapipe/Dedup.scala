@@ -474,9 +474,11 @@ object Dedup {
     // cluster chain fails loudly instead of silently under-merging, and
     // the oracle's unrolled SQL (same budget, trailing rounds no-ops)
     // stays the identical function. Scale shape per round: one join of
-    // labels to edges + one min-agg — O(E) shuffled per round, the
-    // standard large-graph CC loop; localCheckpoint each round truncates
-    // the otherwise-quadratic lineage.
+    // labels to the ONCE-shuffled cached edge partitions + one min-agg —
+    // only the propagated (node, label) stream moves per round (the edge
+    // set crosses the wire once for the whole fixpoint, see
+    // connectedComponents); localCheckpoint each round truncates the
+    // otherwise-quadratic lineage.
     "d06_dedup_clusters" -> { (s, d) =>
       import s.implicits._
       // pre-orderBy pairs: caching d04's sorted output would materialize
