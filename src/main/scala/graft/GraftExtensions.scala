@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BottomKAgg, CosineSim, NearestCentroid, PortableHashExpr, SimHashFp, SortedIntersectCount, WinnowFingerprints}
+import graft.functions.{BottomKAgg, CosineSim, NearestCentroid, PortableHashExpr, SimHashFp, SortedIntersectCount, WinnowFingerprints, WordStats}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.graft.FunctionBridge
 
@@ -38,6 +38,7 @@ object GraftExtensions {
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Number].intValue())),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "word_stats" -> (es => WordStats(es.head)),
     "bottom_k" -> (es => BottomKAgg(es(0),
       es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression())
   )

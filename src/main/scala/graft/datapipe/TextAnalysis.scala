@@ -315,16 +315,21 @@ object TextAnalysis {
     },
 
     // Quality score: type-token ratio, stopword ratio, length saturation.
+    // The (tokens, distinct, stopwords) triple comes from the fused
+    // one-pass WordStats expression instead of split + array_distinct +
+    // an interpreted higher-order filter — three passes and two array
+    // materializations collapsed into one codegen-friendly scan; the
+    // double arithmetic below is unchanged, so scores stay bit-identical
+    // (OperatorSpec pins the expression against the declarative chain).
     "t02_quality_score" -> { (s, d) =>
       import s.implicits._
+      import graft.functions.WordStats.{word_stats, nWords, nDistinct, nStop}
       T.documents(s, d)
-        .withColumn("words", split($"text", " "))
-        .withColumn("n_words", size($"words").cast("long"))
+        .withColumn("ws", word_stats($"text"))
+        .withColumn("n_words", nWords($"ws"))
         .filter($"n_words" >= 1)
-        .withColumn("ttr",
-          expr("size(array_distinct(words))") / $"n_words")
-        .withColumn("stop_ratio",
-          expr("size(filter(words, w -> w = 'the' OR w = 'a'))") / $"n_words")
+        .withColumn("ttr", nDistinct($"ws") / $"n_words")
+        .withColumn("stop_ratio", nStop($"ws") / $"n_words")
         .withColumn("len_sat", least($"n_words" / 100.0, lit(1.0)))
         .select($"doc_id", $"lang", $"n_words", $"ttr", $"stop_ratio", $"len_sat",
                 ($"ttr" * 0.4 + (lit(1.0) - $"stop_ratio") * 0.3 +
@@ -769,14 +774,14 @@ object TextAnalysis {
       val keep1 = docs.groupBy(md5($"text").as("h"))
         .agg(min($"doc_id").as("doc_id")).select($"doc_id")
       val s1 = docs.join(keep1, Seq("doc_id"), "left_semi")
-      val s2 = s1.withColumn("words", split($"text", " "))
-        .withColumn("n_words", size($"words").cast("long"))
+      val s2 = s1
+        .withColumn("ws", graft.functions.WordStats.word_stats($"text"))
+        .withColumn("n_words", graft.functions.WordStats.nWords($"ws"))
         .filter($"n_words" >= 1)
         .withColumn("quality",
-          expr("size(array_distinct(words))") / $"n_words" * 0.4 +
+          graft.functions.WordStats.nDistinct($"ws") / $"n_words" * 0.4 +
           (lit(1.0) -
-            expr("size(filter(words, w -> w = 'the' OR w = 'a'))") /
-              $"n_words") * 0.3 +
+            graft.functions.WordStats.nStop($"ws") / $"n_words") * 0.3 +
           least($"n_words" / 100.0, lit(1.0)) * 0.3)
         .filter($"quality" >= 0.64)
       val w3 = Window.partitionBy($"source").orderBy(
@@ -894,14 +899,13 @@ object TextAnalysis {
       val wCum = Window.orderBy($"rank_key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.documents(s, d)
-        .withColumn("words", split($"text", " "))
-        .withColumn("n_words", size($"words").cast("long"))
+        .withColumn("ws", graft.functions.WordStats.word_stats($"text"))
+        .withColumn("n_words", graft.functions.WordStats.nWords($"ws"))
         .filter($"n_words" >= 1)
         .withColumn("quality",
-          expr("size(array_distinct(words))") / $"n_words" * 0.4 +
+          graft.functions.WordStats.nDistinct($"ws") / $"n_words" * 0.4 +
           (lit(1.0) -
-            expr("size(filter(words, w -> w = 'the' OR w = 'a'))") /
-              $"n_words") * 0.3 +
+            graft.functions.WordStats.nStop($"ws") / $"n_words") * 0.3 +
           least($"n_words" / 100.0, lit(1.0)) * 0.3)
         .withColumn("rank_key",
           (lit(1000000L) - round($"quality" * 1e6).cast("long")) *

@@ -272,6 +272,27 @@ class OperatorSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("word_stats equals the declarative split/distinct/filter chain") {
+    import graft.functions.WordStats.{word_stats, nWords, nDistinct, nStop}
+    // corpus + adversarial token shapes: empty text (one empty token),
+    // leading/trailing/consecutive spaces (empty tokens count and are
+    // ONE distinct value), stopwords at boundaries, multi-byte UTF-8
+    val adversarial = Seq("", "a", "the", " a", "a ", "the  the",
+      "a a the b b", "  ", "über über the a", "a\tb c", "the a the a x")
+      .toDF("text")
+    val corpus = datapipe.Dedup.corpus(spark, sf).select($"text")
+      .unionByName(adversarial)
+    val diff = corpus
+      .withColumn("ws", word_stats($"text"))
+      .withColumn("words", split($"text", " "))
+      .filter(
+        nWords($"ws") =!= size($"words").cast("long") ||
+        nDistinct($"ws") =!= expr("size(array_distinct(words))").cast("long") ||
+        nStop($"ws") =!=
+          expr("size(filter(words, w -> w = 'the' OR w = 'a'))").cast("long"))
+    assert(diff.count() === 0)
+  }
+
   test("simhash multi-band blocking: guaranteed recall at Hamming <= 3") {
     // adversarial pattern: 3 flipped bits spread over 3 DIFFERENT bands
     // (59, 44, 29) — a single-band block would separate these docs, the
