@@ -90,7 +90,10 @@ object StressBench {
       // through the injected rule
       "t20_curation_pipeline," +
       // m06: map-only PCM decode + narrow group-by (docs 1x here)
-      "m06_audio_phash_dedup"
+      "m06_audio_phash_dedup," +
+      // round-10: seeded corpus shuffle + token-budget selection (both
+      // ride the rule-rewritten global cumsum; narrow-key shuffles only)
+      "t21_corpus_shuffle,t22_token_budget"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
