@@ -456,13 +456,14 @@ object Similarity {
 
     // d14's documented scale path MADE RUNNABLE: SemDeDup keep/remove
     // over LEARNED cells — the corpus (with planted copies) trains s03's
-    // coarse quantizer (8 exact-decimal seed-cell centroids), every
-    // vector is assigned map-only to its nearest centroid, and the
-    // within-CELL min-id domination resolves keep/remove. This is the
-    // chain a 100 TB deployment runs with k sized to the corpus
-    // (ScaleProbe's semdedup section measures why); identical vectors
-    // always share a cell (the argmax is deterministic in the vector),
-    // so planted-copy recall survives the learned clustering.
+    // coarse quantizer (k = max(8, floor(sqrt(n/8))) exact-decimal
+    // seed-cell centroids, sized to the corpus in-plan), every vector is
+    // assigned map-only to its nearest centroid, and the within-CELL
+    // min-id domination resolves keep/remove. This is the chain a
+    // 100 TB deployment runs (ScaleProbe's semdedup section measures
+    // why k must grow with n); identical vectors always share a cell
+    // (the argmax is deterministic in the vector), so planted-copy
+    // recall survives the learned clustering.
     "d15_semdedup_cells" -> { (s, d) =>
       import s.implicits._
       val base = T.embeddings(s, d)
@@ -476,8 +477,13 @@ object Similarity {
       // the small-corpus shape at the historical k=8, and both engines
       // derive the IDENTICAL integer (exact count, IEEE sqrt, exact
       // floor — the oracle computes the same k in a scalar subquery).
-      val k = math.max(8L, math.floor(math.sqrt(emb.count() / 8.0)).toLong)
-      val centroids = emb.select(($"vec_id" % k).as("cell"),
+      // k is computed IN-PLAN (1-row broadcast crossJoin), not by an
+      // eager driver-side count: the query stays lazy and the corpus is
+      // not scanned an extra time at DataFrame construction.
+      val kdf = emb.agg(greatest(lit(8L),
+        floor(sqrt(count(lit(1)) / 8.0)).cast("long")).as("k"))
+      val centroids = emb.crossJoin(broadcast(kdf))
+        .select(($"vec_id" % $"k").as("cell"),
           posexplode($"embedding").as(Seq("pos", "v")))
         .groupBy($"cell", $"pos")
         .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))

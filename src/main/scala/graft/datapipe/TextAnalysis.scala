@@ -121,12 +121,15 @@ object TextAnalysis {
     * batch-equivalence pin both run exactly this function.
     */
   private[graft] def cleanPipeline(docs: DataFrame): DataFrame = docs
-    .withColumn("words", split(col("text"), " "))
-    .withColumn("n_words", size(col("words")).cast("long"))
+    // same fused one-pass WordStats as t02/t20/t22 (identical double
+    // arithmetic → identical scores; map-only, so it streams unchanged)
+    .withColumn("ws", graft.functions.WordStats.word_stats(col("text")))
+    .withColumn("n_words", graft.functions.WordStats.nWords(col("ws")))
     .filter(col("n_words") >= 1)
-    .withColumn("ttr", expr("size(array_distinct(words))") / col("n_words"))
+    .withColumn("ttr",
+      graft.functions.WordStats.nDistinct(col("ws")) / col("n_words"))
     .withColumn("stop_ratio",
-      expr("size(filter(words, w -> w = 'the' OR w = 'a'))") / col("n_words"))
+      graft.functions.WordStats.nStop(col("ws")) / col("n_words"))
     .withColumn("len_sat", least(col("n_words") / 100.0, lit(1.0)))
     .withColumn("quality",
       col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +

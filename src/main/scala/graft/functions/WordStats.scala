@@ -1,17 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.functions.{lit, shiftright}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused word statistics for the quality-score formula (t02/t20/t22):
-  * one pass over the text computing (token count, distinct-token count,
-  * stopword count) for the exact token set of `split(text, ' ')` /
-  * DuckDB `string_split` — empty tokens from consecutive/leading/
+/** Fused word statistics for the quality-score formula (t02/t09/t20/
+  * t22): one pass over the text computing (token count, distinct-token
+  * count, stopword count) for the exact token set of `split(text, ' ')`
+  * / DuckDB `string_split` — empty tokens from consecutive/leading/
   * trailing spaces included, same as the declarative chain.
   *
   * Replaces `split` + `size(array_distinct(words))` +
@@ -22,10 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * one suffices. At 100 TB the quality gate is a pure map stage over
   * every document, so per-row constant factors are the scan budget.
   *
-  * The three counts pack into one long (21 bits each — fails loudly
-  * beyond 2^21 tokens/doc rather than silently corrupting), so the
-  * expression stays LongType-codegen-friendly; callers unpack with
-  * codegen'd shift/mask built-ins and feed the IDENTICAL double
+  * Returns a struct of three longs (not a packed word — a fixed-width
+  * packing would cap tokens-per-document and crash on the pathological
+  * megadoc a web-scale corpus always contains); callers read the fields
+  * with codegen'd GetStructField and feed the IDENTICAL double
   * arithmetic the declarative formula used — bit-identical quality
   * scores, same DuckDB oracle.
   */
@@ -38,7 +38,7 @@ case class WordStats(child: Expression) extends UnaryExpression {
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"word_stats expects string, got ${child.dataType.catalogString}")
 
-  override def dataType: DataType = LongType
+  override def dataType: DataType = WordStats.schema
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
@@ -53,14 +53,16 @@ case class WordStats(child: Expression) extends UnaryExpression {
 }
 
 object WordStats {
-  private final val FieldBits = 21
-  private final val FieldMask = (1L << FieldBits) - 1
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
 
   /** One pass: tokens are byte ranges between 0x20 bytes (a space can
     * never occur inside a multi-byte UTF-8 sequence); distinct via exact
     * string equality (HashSet of token slices); stopwords are 'the'/'a'.
     */
-  def compute(s: UTF8String): Long = {
+  def compute(s: UTF8String): InternalRow = {
     val bytes = s.getBytes
     val seen = new java.util.HashSet[UTF8String]()
     var nWords = 0L
@@ -83,18 +85,14 @@ object WordStats {
       }
       i += 1
     }
-    require(nWords <= FieldMask,
-      s"word_stats packs counts into $FieldBits-bit fields; " +
-        s"document has $nWords tokens (> ${FieldMask})")
-    nWords | (nDistinct << FieldBits) | (nStop << (2 * FieldBits))
+    InternalRow(nWords, nDistinct, nStop)
   }
 
   def word_stats(c: Column): Column =
     ColumnBridge.column(WordStats(ColumnBridge.expression(c)))
 
-  /** Unpack helpers — codegen'd shift/mask built-ins. */
-  def nWords(packed: Column): Column = packed.bitwiseAND(lit(FieldMask))
-  def nDistinct(packed: Column): Column =
-    shiftright(packed, FieldBits).bitwiseAND(lit(FieldMask))
-  def nStop(packed: Column): Column = shiftright(packed, 2 * FieldBits)
+  /** Field accessors — codegen'd GetStructField. */
+  def nWords(ws: Column): Column = ws.getField("n_words")
+  def nDistinct(ws: Column): Column = ws.getField("n_distinct")
+  def nStop(ws: Column): Column = ws.getField("n_stop")
 }

@@ -45,9 +45,11 @@ object StressBench {
       "t13_domain_mix,s09_two_stage_rerank,d14_semdedup,t14_unigram_nll," +
       "m04_video_frames,q63_keep_latest,q64_gaps_islands,s10_batch_ann," +
       "q65_histogram,t15_bpe_train," +
-      // d15 shares d14's fixed-cluster-count 16x quadratic (8 learned
-      // cells here) — the knob and its measurement live in ScaleProbe's
-      // semdedup section / ARCHITECTURE.md
+      // d15's cell count is corpus-adaptive since round 10 (k = max(8,
+      // floor(sqrt(n/8))) — curve flat); d14 keeps the fixed label
+      // clustering ON PURPOSE as the documented quadratic contrast —
+      // the knob's measurement lives in ScaleProbe's semdedup section /
+      // ARCHITECTURE.md
       "d15_semdedup_cells,q66_scd2_merge,q67_funnel,q68_resample_interpolate," +
       "q69_retention," +
       // round-8: Bloom decontamination (map-side probe — curve should

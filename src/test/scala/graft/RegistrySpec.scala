@@ -55,14 +55,13 @@ class RegistrySpec extends SparkSpec {
       "orders" -> Map("o_orderkey" -> LongType,
         "o_totalprice" -> DoubleType))
     val problems = expect.flatMap { case (table, cols) =>
-      val schema = Tables.names.find(_ == table)
-        .map(_ => table match {
-          case "events"     => Tables.events(spark, sf)
-          case "documents"  => Tables.documents(spark, sf)
-          case "embeddings" => Tables.embeddings(spark, sf)
-          case "lineitem"   => Tables.lineitem(spark, sf)
-          case "orders"     => Tables.orders(spark, sf)
-        }).get.schema
+      val schema = (table match {
+        case "events"     => Tables.events(spark, sf)
+        case "documents"  => Tables.documents(spark, sf)
+        case "embeddings" => Tables.embeddings(spark, sf)
+        case "lineitem"   => Tables.lineitem(spark, sf)
+        case "orders"     => Tables.orders(spark, sf)
+      }).schema
       cols.flatMap { case (c, t) =>
         schema.find(_.name == c) match {
           case None => Some(s"$table.$c: column missing (fixture drift?)")
