@@ -155,27 +155,40 @@ object Dedup {
       .select(col("doc_id"), col("fps"), col("bw"), col("bpw"))
   }
 
-  /** Budget shared by d06's Spark loop and its unrolled oracle SQL. The
-    * oracle unrolls this many single-pull rounds (enough to reach ITS
-    * fixpoint; trailing rounds are no-ops). The Spark loop counts
-    * two-pull CYCLES against the same number and ASSERTS convergence
-    * within it — a strictly weaker requirement, so the bound stays
-    * shared. Both engines compute the identical fixpoint function.
+  /** d06/d11's ORACLE unroll depth: single-pull min-label-propagation
+    * rounds, enough to reach the fixture graphs' fixpoint (dense
+    * near-dup cliques, diameter ≤ ~3) with headroom — trailing rounds
+    * are no-ops. Since round 11 the Spark loop runs
+    * large-star/small-star (round count ~log diameter, unrelated to
+    * this constant), so the oracle carries its own convergence guard:
+    * [[ccRoundsSql]] unrolls one EXTRA round and the query errors
+    * loudly if that round still changes labels — an under-unrolled
+    * oracle can never silently under-merge against a converged engine.
+    * CC min-labels are algorithm-independent, so both engines still
+    * compute the identical function.
     */
   private[graft] val CC_ROUND_BUDGET = 6
 
-  /** d16's own propagation budget: d03's Hamming-3 pairs chain — on the
+  /** d16's ORACLE unroll depth: d03's Hamming-3 pairs chain — on the
     * templated corpus, runs of docs each within 3 bits of the next form
     * paths of measured diameter 16 at sf0.1 (vs the dense near-dup
     * cliques d06/d11 see, diameter ≤ ~3) — and min-label propagation
     * needs O(diameter) pulls. 24 unrolled oracle rounds cover the
-    * measured 17-pull fixpoint with headroom (trailing rounds no-ops);
-    * the Spark loop needs 9 two-pull cycles. A deployment
-    * whose graphs outgrow any fixed budget switches the LOOP (e.g.
-    * large-star/small-star, O(log n) rounds) without touching the
-    * output contract — CC min-labels are algorithm-independent.
+    * measured 17-pull fixpoint with headroom (trailing rounds no-ops),
+    * and the same +1-round convergence guard as [[CC_ROUND_BUDGET]]
+    * makes any future deeper graph fail the oracle loudly.
     */
   private[graft] val D16_ROUND_BUDGET = 24
+
+  /** The Spark loop's cycle budget (one cycle = large-star +
+    * small-star). Convergence needs ~log2(diameter) cycles + 1
+    * stability-detection cycle — 12 covers a diameter-4000 chain, far
+    * past anything a bounded-Hamming candidate graph produces, while
+    * still failing loudly (instead of looping forever) on a
+    * pathological input. Decoupled from the oracle unroll constants
+    * above: the oracle guards its own convergence now.
+    */
+  private[graft] val CC_STAR_BUDGET = 12
 
   /** Spark SQL fragment: portable 60-bit hash of expr — the codegen'd
     * PortableHashExpr, registered as `graft_phash` (bit-identical to
@@ -392,13 +405,13 @@ object Dedup {
       import s.implicits._
       val pairs = d03Pairs(s, d).select($"d1", $"d2").distinct().cache()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
-        .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
       // seed only the edge endpoints: an isolated node keeps its own
       // unique label forever and the >1-member filter drops it, so the
       // propagation frames shrink from corpus-size to component-size
-      val seed = edges.select($"a".as("doc_id")).distinct()
+      val seed = pairs.select($"d1".as("doc_id"))
+        .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
         .select($"doc_id", $"doc_id".as("lbl"))
-      val converged = connectedComponents(seed, edges, D16_ROUND_BUDGET)
+      val converged = connectedComponents(seed, edges, CC_STAR_BUDGET)
       pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
@@ -447,13 +460,13 @@ object Dedup {
       import s.implicits._
       val pairs = d07Pairs(s, d).select($"d1", $"d2").cache()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
-        .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
       // seed only the edge endpoints: an isolated node keeps its own
       // unique label forever and the >1-member filter drops it, so the
       // propagation frames shrink from corpus-size to component-size
-      val seed = edges.select($"a".as("doc_id")).distinct()
+      val seed = pairs.select($"d1".as("doc_id"))
+        .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
         .select($"doc_id", $"doc_id".as("lbl"))
-      val converged = connectedComponents(seed, edges, CC_ROUND_BUDGET)
+      val converged = connectedComponents(seed, edges, CC_STAR_BUDGET)
       pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
@@ -467,31 +480,32 @@ object Dedup {
     },
 
     // Dedup clustering: connected components over the verified near-dup
-    // pairs via iterative min-label propagation — the transitive-closure
-    // step that turns pairwise matches into dedup groups. Iterates to
-    // FIXPOINT (convergence detected by the monotone label checksum) with
-    // a hard budget of CC_ROUND_BUDGET rounds: a deeper-than-expected
-    // cluster chain fails loudly instead of silently under-merging, and
-    // the oracle's unrolled SQL (same budget, trailing rounds no-ops)
-    // stays the identical function. Scale shape per round: one join of
-    // labels to the ONCE-shuffled cached edge partitions + one min-agg —
-    // only the propagated (node, label) stream moves per round (the edge
-    // set crosses the wire once for the whole fixpoint, see
-    // connectedComponents); localCheckpoint each round truncates the
-    // otherwise-quadratic lineage.
+    // pairs via alternating large-star/small-star — the
+    // transitive-closure step that turns pairwise matches into dedup
+    // groups. Runs to a machine-VERIFIED fixpoint (label constancy
+    // checked against the original edge set) within a hard
+    // CC_STAR_BUDGET cycle budget — a pathological graph fails loudly
+    // instead of silently under-merging. The oracle's unrolled
+    // min-label SQL guards its own convergence (+1 round must be a
+    // no-op or the query errors), so both engines compute the same
+    // algorithm-independent min-label function. Scale shape per cycle:
+    // O(E)-bounded frames keyed on the star center — O(log diameter)
+    // cycles, vs O(diameter) pulls for propagation (see
+    // connectedComponents); localCheckpoint each cycle truncates the
+    // otherwise-geometric lineage.
     "d06_dedup_clusters" -> { (s, d) =>
       import s.implicits._
       // pre-orderBy pairs: caching d04's sorted output would materialize
       // a global sort the propagation immediately destroys
       val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
-        .unionByName(pairs.select($"d2".as("a"), $"d1".as("b")))
       // seed only the edge endpoints: an isolated node keeps its own
       // unique label forever and the >1-member filter drops it, so the
       // propagation frames shrink from corpus-size to component-size
-      val seed = edges.select($"a".as("doc_id")).distinct()
+      val seed = pairs.select($"d1".as("doc_id"))
+        .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
         .select($"doc_id", $"doc_id".as("lbl"))
-      val converged = connectedComponents(seed, edges, CC_ROUND_BUDGET)
+      val converged = connectedComponents(seed, edges, CC_STAR_BUDGET)
       // converged is checkpointed (lineage truncated), so the pair
       // pipeline's cache can be dropped before the consumer materializes
       pairs.unpersist()
@@ -696,9 +710,11 @@ object Dedup {
          |  SELECT d1 AS a, d2 AS b FROM d03pairs
          |  UNION ALL SELECT d2, d1 FROM d03pairs),
          |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM corpus),
-         |${ccRoundsSql(D16_ROUND_BUDGET)}
-         |SELECT doc_id, lbl AS canonical_id FROM l$D16_ROUND_BUDGET
-         |WHERE lbl IN (SELECT lbl FROM l$D16_ROUND_BUDGET
+         |${ccRoundsSql(D16_ROUND_BUDGET + 1)},
+         |${ccGuardSql(D16_ROUND_BUDGET)}
+         |SELECT doc_id, lbl AS canonical_id FROM l$D16_ROUND_BUDGET, ccguard
+         |WHERE ccguard.ok = 1
+         |  AND lbl IN (SELECT lbl FROM l$D16_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
          |ORDER BY doc_id""".stripMargin,
 
@@ -720,19 +736,22 @@ object Dedup {
          |WHERE levenshtein(x.text, y.text) <= 5
          |ORDER BY d1, d2""".stripMargin,
 
-    // CC_ROUND_BUDGET label-propagation rounds, unrolled. The Spark side
-    // iterates to fixpoint and asserts convergence within the same
-    // budget, so trailing oracle rounds are no-ops and both engines
-    // compute the identical function.
+    // CC_ROUND_BUDGET label-propagation rounds, unrolled, +1 guard
+    // round that must be a no-op (ccGuardSql errors the query
+    // otherwise). The Spark side runs large-star/small-star to a
+    // self-verified fixpoint; min-labels are algorithm-independent, so
+    // both engines compute the identical function.
     "d06_dedup_clusters" ->
       s"""WITH $d04PairsSql,
          |edges AS (
          |  SELECT d1 AS a, d2 AS b FROM d04pairs
          |  UNION ALL SELECT d2, d1 FROM d04pairs),
          |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
-         |${ccRoundsSql()}
-         |SELECT doc_id, lbl AS cluster_id FROM l$CC_ROUND_BUDGET
-         |WHERE lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
+         |${ccRoundsSql(CC_ROUND_BUDGET + 1)},
+         |${ccGuardSql(CC_ROUND_BUDGET)}
+         |SELECT doc_id, lbl AS cluster_id FROM l$CC_ROUND_BUDGET, ccguard
+         |WHERE ccguard.ok = 1
+         |  AND lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
          |ORDER BY doc_id""".stripMargin,
 
@@ -743,9 +762,11 @@ object Dedup {
          |  SELECT d1 AS a, d2 AS b FROM d07pairs
          |  UNION ALL SELECT d2, d1 FROM d07pairs),
          |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
-         |${ccRoundsSql()}
-         |SELECT doc_id, lbl AS canonical_id FROM l$CC_ROUND_BUDGET
-         |WHERE lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
+         |${ccRoundsSql(CC_ROUND_BUDGET + 1)},
+         |${ccGuardSql(CC_ROUND_BUDGET)}
+         |SELECT doc_id, lbl AS canonical_id FROM l$CC_ROUND_BUDGET, ccguard
+         |WHERE ccguard.ok = 1
+         |  AND lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
          |ORDER BY doc_id""".stripMargin,
 
@@ -828,92 +849,132 @@ object Dedup {
     (1 to rounds).map(round).mkString(",\n")
   }
 
-  /** Connected components by min-label propagation, iterated to fixpoint.
+  /** Oracle-side convergence guard: one EXTRA propagation round past
+    * the budget `b` must change nothing (F(l_b) = l_b ⟺ l_b is the
+    * fixpoint — one stable step of a deterministic map IS convergence).
+    * If it does, the CAST of a data-dependent string errors the whole
+    * oracle query LOUDLY instead of letting an under-unrolled oracle
+    * silently under-merge. Needed since round 11: the Spark loop runs
+    * large-star/small-star (log-round, self-verified), so engine-side
+    * convergence no longer implies the oracle's fixed unroll reached
+    * ITS fixpoint — the guard restores the loud-failure pairing on the
+    * oracle side. Consumers must unroll [[ccRoundsSql]](b + 1) and
+    * keep `ccguard.ok = 1` in the final WHERE (DuckDB prunes an unused
+    * guard column, never evaluating the CASE).
+    */
+  private def ccGuardSql(b: Int): String =
+    s"""ccguard AS (
+       |  SELECT CASE WHEN cnt = 0 THEN 1
+       |    ELSE CAST(concat('cc oracle unroll not converged, label deltas: ',
+       |                     CAST(cnt AS VARCHAR)) AS INT) END AS ok
+       |  FROM (SELECT COUNT(*) AS cnt FROM
+       |          (SELECT * FROM l${b + 1} EXCEPT SELECT * FROM l$b)))""".stripMargin
+
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — the public web-scale CC algorithm), replacing round-10's
+    * min-label propagation: propagation needs O(diameter) pulls, and
+    * d16's Hamming-chain graphs have diameter that GROWS with corpus
+    * size, while star rounds converge in O(log) independent of chain
+    * length — the difference between 17 shuffle cycles and 4 on the
+    * sf0.1 fixture, and between O(diameter) and O(log n) at 100 TB.
     *
-    * Each pull: min over {own label} ∪ {neighbor labels} — one join +
-    * one agg (the LEFT JOIN + least() formulation costs a second join's
-    * worth of stages for identical results); each CYCLE chains two
-    * pulls into one lazy plan before materializing. Labels only ever
-    * decrease, so the exact decimal SUM(lbl) is a monotone checksum:
-    * one cycle with an unchanged checksum IS the fixpoint
-    * (decimal(38,0) keeps the test exact at any corpus size — no long
-    * overflow, no fp drift). localCheckpoint per cycle truncates
-    * lineage (cycle r would otherwise re-run cycles 1..r-1) and doubles
-    * as the materialization the convergence check needs anyway.
+    * State is one canonical parent-pointer edge frame (u > v). Per
+    * cycle: large-star links every above-u neighbor to
+    * min(Γ(u) ∪ {u}); small-star links u and its below-u neighbors to
+    * their minimum. Both emissions stay inside one neighborhood, so
+    * connectivity is exactly preserved and every frame is bounded by
+    * |E| + |V| rows — no all-pairs blowup at any point.
     *
-    * Throws if the graph has not converged within `maxRounds` — callers
-    * pair the budget with an equally-unrolled oracle, and a
-    * deeper-than-budgeted graph must fail loudly rather than silently
-    * under-merge (the failure mode of a fixed round count).
+    * Convergence is GROUND-TRUTH-checked every cycle: the labels the
+    * current parent pointers imply are joined back to the ORIGINAL
+    * edge set and the loop stops the first cycle no edge straddles two
+    * labels. Labels propagate only along edges, so label-constant
+    * components are labeled by their true minimum — the returned
+    * assignment is machine-VERIFIED exact, independent of round
+    * counts, algorithm choice, or the paper's progress proof. This
+    * also fires a full cycle EARLIER than stability detection (labels
+    * are often correct before the edge frame is literally a star, and
+    * stability needs one extra no-op cycle to observe itself): one
+    * O(E) join per cycle buys back a whole ~4-shuffle cycle at a
+    * ~log2(diameter) cycle count.
+    *
+    * Throws if not converged within `maxCycles` (see
+    * [[CC_STAR_BUDGET]]) — a pathological graph fails loudly rather
+    * than looping. localCheckpoint per cycle truncates the otherwise
+    * geometric lineage and materializes the frame the convergence
+    * check reads anyway. The returned frame is checkpointed, so
+    * callers may drop upstream caches before consuming it.
     */
   private[graft] def connectedComponents(seed: DataFrame, edges: DataFrame,
-                                         maxRounds: Int): DataFrame = {
-    def checksum(labels: DataFrame): java.math.BigDecimal = {
-      val d = labels.agg(sum(col("lbl").cast("decimal(38,0)")))
-        .first().getDecimal(0)
-      // SUM over zero rows is NULL: an edge-free graph (no candidate
-      // pairs at all) must converge to an empty assignment, not NPE
-      if (d == null) java.math.BigDecimal.ZERO else d
+                                         maxCycles: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // canonical parent-pointer orientation: u points at smaller v.
+    // Symmetric/dup inputs collapse here (greatest/least + the v>u
+    // filter in largeStar keep duplicate orientations harmless), and
+    // the frame is materialized once — it is also the ground-truth
+    // edge set the convergence check verifies against.
+    val e0 = edges
+      .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
+      .filter($"u" =!= $"v")
+      .localCheckpoint()
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.unionByName(ed.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u")
+        .agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      // (x, m_u) for every neighbor x above u: x > u >= m_u, so the
+      // output is already canonically oriented and never self-loops
+      sym.filter($"v" > $"u").join(mins, "u")
+        .select($"v".as("u"), $"m".as("v"))
     }
-    // The edge set is STATIC across pulls but every pull joins it on `b`
-    // — left to itself each join re-shuffles O(E) edge rows, and a
-    // 17-pull fixpoint on a 100 TB pair graph would shuffle the biggest
-    // frame in the loop 17 times. Shuffle it ONCE onto the join key and
-    // persist the partitioned form (disk-spillable — the edge set of a
-    // planet-scale corpus exceeds executor memory): every subsequent
-    // pull's join reads cached partitions whose outputPartitioning
-    // already satisfies the join requirement, so only the propagated
-    // (a, lbl) stream — which IS the algorithm — moves per pull.
-    val e = edges.repartition(col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = seed
-    var prev = checksum(seed)
-    var round = 0
-    // budget is in PULLS (the oracle's unroll unit). Convergence is
-    // observed at cycle granularity: converged at cycle c means the
-    // fixpoint was reached by pull 2(c-1), so capping cycles at
-    // maxRounds/2 + 1 accepts exactly the fixpoints a maxRounds-pull
-    // oracle unroll also reaches - a deeper graph still fails loudly.
-    val maxCycles = maxRounds / 2 + 1
+    def smallStar(ed: DataFrame): DataFrame = {
+      val mins = ed.groupBy($"u").agg(min($"v").as("m"))
+      // every below-u parent re-links to u's minimum parent, and u
+      // keeps that minimum — again canonical by construction
+      ed.join(mins, "u").filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .unionByName(mins.select($"u", $"m".as("v")))
+    }
+    // the node roster is re-read by every convergence check and by the
+    // final label extraction: materialize it ONCE (it is O(V), and its
+    // lineage — a distinct over the caller's pair frame — is an O(E)
+    // shuffle that must not replay per cycle)
+    val roster = seed.select($"doc_id").localCheckpoint()
+    // tentative per-node labels implied by a parent-pointer frame
+    def labelsOf(ed: DataFrame): DataFrame = roster
+      .join(ed.groupBy($"u").agg(min($"v").as("p")),
+            $"doc_id" === $"u", "left")
+      .select($"doc_id", least($"doc_id", coalesce($"p", $"doc_id")).as("lbl"))
+    def groundTruthConverged(l: DataFrame): Boolean =
+      e0.join(l.select($"doc_id".as("u"), $"lbl".as("lu")), Seq("u"))
+        .join(l.select($"doc_id".as("v"), $"lbl".as("lv")), Seq("v"))
+        .filter($"lu" =!= $"lv").isEmpty
+    var ed = e0
+    var cycle = 0
     var converged = false
-    try {
-      while (!converged && round < maxCycles) {
-      // two propagation pulls per materialization cycle: the per-cycle
-      // fixed cost (checkpoint job + checksum job + scheduling) is the
-      // dominant term on long-diameter graphs — d16's 17-pull fixpoint
-      // measured ~0.45 s/cycle of overhead — so chaining two 1-hop
-      // pulls into one lazy plan halves the cycles for the same pull
-      // count. Two is also the CEILING: every pull references the
-      // label frame TWICE (join + union), so b chained pulls expand
-      // the un-checkpointed subtree 2^b ways at the plan level —
-      // b=4 measured 38/56/65 s on d16's 1x/4x/16x StressBench points
-      // vs 13.7/19.5/24.6 at b=2 (exchange reuse does not collapse
-      // the copies under AQE). (Label-value acceleration — pointer
-      // jumping, hash-to-min pushes — was measured on this graph and
-      // did NOT reduce rounds: the planted chains interleave id ranges
-      // so a node's label is usually a nearby local min whose own label
-      // adds nothing. Batching attacks the overhead instead.)
-      def pull(l: DataFrame): DataFrame = e
-        .join(l.select(col("doc_id").as("b"), col("lbl")), Seq("b"))
-        .select(col("a").as("doc_id"), col("lbl"))
-        .unionByName(l)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-      labels = pull(pull(labels)).localCheckpoint()
-      val cur = checksum(labels)
-      converged = cur.compareTo(prev) == 0
-      prev = cur
-      round += 1
-      }
-    } finally {
-      // labels is localCheckpoint-ed (lineage truncated) every cycle, so
-      // the edge cache can drop before callers materialize the result —
-      // and must drop on the exception path too, or a retrying caller
-      // accumulates leaked cached copies of the loop's biggest frame
-      e.unpersist(blocking = false)
+    var labels: DataFrame = null
+    // per-cycle job budget is the fixture-scale cost driver (the
+    // frames are small; scheduling is not): one checkpoint job for the
+    // cycle's edge frame, then ONE check job in which the labels
+    // subtree is cache()-ed — the first endpoint join computes and
+    // populates it, the second reads the cache — so the O(V) labels
+    // never pay their own materialization job. An already-converged
+    // input (incl. the edge-free graph) is detected on cycle 1, whose
+    // stars are no-ops.
+    while (!converged && cycle < maxCycles) {
+      ed = smallStar(largeStar(ed)).localCheckpoint()
+      val l = labelsOf(ed).cache()
+      converged = groundTruthConverged(l)
+      if (converged) labels = l else l.unpersist(blocking = false)
+      cycle += 1
     }
     require(converged,
-      s"label propagation did not converge within $maxRounds pulls " +
-        "(two per cycle) - raise the budget (and the oracle's unroll) together")
+      s"large-star/small-star did not converge within $maxCycles cycles " +
+        "- pathological input graph (raise CC_STAR_BUDGET only with cause)")
+    // lineage is two checkpointed frames (roster + final ed); the
+    // cache pins the computed result until the caller consumes it
     labels
   }
 

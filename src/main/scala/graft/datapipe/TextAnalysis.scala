@@ -271,6 +271,20 @@ object TextAnalysis {
       bpeTrain(T.documents(s, d), rounds = 2)
     },
 
+    // The PRODUCTION trainer path, oracle-checked: same loop as t15 but
+    // 4 rounds with `eager = true` — each round's 1-row argmax and
+    // every 4th merged word table localCheckpoint, so lineage depth
+    // stays O(checkpointEvery) where the lazy mode's DAG grows
+    // superlinearly with rounds. t15 pins the lazy/oracle-parity mode
+    // at 2 rounds; this entry closes the previously-open gap between
+    // the oracle depth (2) and the spec'd eager depth (8) by putting
+    // the eager machinery itself under the DuckDB gate at rounds = 4
+    // (the oracle unroll is generated by the same [[bpeTrainOracleSql]]
+    // builder, so both depths run the identical SQL mirror).
+    "t15b_bpe_train_r4" -> { (s, d) =>
+      bpeTrain(T.documents(s, d), rounds = 4, eager = true)
+    },
+
     // BPE ENCODING — t15's complement: apply the trained merge table to
     // the corpus, per-doc token accounting under the learned tokenizer.
     // Encoding rides the same distinct-word compression as training:
@@ -966,29 +980,40 @@ object TextAnalysis {
        |          FROM $prev, top$i)))""".stripMargin
   }
 
+  /** The full t15 training oracle at any unroll depth: wf0 + `rounds`
+    * chained merge rounds + per-round vocab/total stats, one output
+    * row per round. t15 (rounds = 2, the lazy-parity pin) and t15b
+    * (rounds = 4, the eager production path) run the same builder, so
+    * deepening the check never forks the SQL mirror.
+    */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeOracleRound).mkString(",\n")
+    val vsCtes = (1 to rounds).map { i =>
+      s"""vs$i AS (SELECT COUNT(DISTINCT s) AS vocab,
+         |          CAST(SUM(freq) AS BIGINT) AS total_tokens
+         |        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS s
+         |              FROM wf$i))""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to rounds).map { i =>
+      s"SELECT $i AS round, pair, n, vocab, total_tokens FROM top$i, vs$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wf0 AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS seq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$roundCtes,
+       |$vsCtes
+       |$sels
+       |ORDER BY round""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
-    "t15_bpe_train" ->
-      s"""WITH wf0 AS (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
-         |    array_to_string(list_transform(range(1, len(w) + 1),
-         |      i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS seq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE w <> '' GROUP BY w),
-         |${bpeOracleRound(1)},
-         |${bpeOracleRound(2)},
-         |vs1 AS (SELECT COUNT(DISTINCT s) AS vocab,
-         |          CAST(SUM(freq) AS BIGINT) AS total_tokens
-         |        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS s
-         |              FROM wf1)),
-         |vs2 AS (SELECT COUNT(DISTINCT s) AS vocab,
-         |          CAST(SUM(freq) AS BIGINT) AS total_tokens
-         |        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS s
-         |              FROM wf2))
-         |SELECT 1 AS round, pair, n, vocab, total_tokens FROM top1, vs1
-         |UNION ALL
-         |SELECT 2 AS round, pair, n, vocab, total_tokens FROM top2, vs2
-         |ORDER BY round""".stripMargin,
+    "t15_bpe_train" -> bpeTrainOracleSql(2),
+
+    "t15b_bpe_train_r4" -> bpeTrainOracleSql(4),
 
     "t18_bpe_encode" ->
       s"""WITH wf0 AS (

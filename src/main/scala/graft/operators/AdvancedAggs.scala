@@ -395,13 +395,26 @@ object AdvancedAggs {
       // item carries it, so segments genuinely partially overlap
       // (J ≈ 0.6) — the regime the intersection estimator exists for
       val pk = Dets.phash($"l_orderkey".cast("string"))
+      // materialize the distinct (seg, key-hash) frame ONCE: its four
+      // consumers below (sketch ×2 broadcast sides, per-seg counts ×2
+      // broadcast sides, self-join ×2) carry different downstream
+      // projections, so ReuseExchange cannot collapse them and each
+      // broadcast would re-run the fact scan + distinct — six fact
+      // scans per execution (the s12 codebook lesson, same shape).
+      // The frame is narrow (seg + one long) and bounded by the
+      // distinct key count; localCheckpoint distributes it across
+      // executors MEMORY_AND_DISK, so the materialization survives
+      // the same at 100 TB — one fact scan, period.
       val dpk = T.lineitem(s, d)
         .select($"l_returnflag".as("seg"), pk.as("pk")).distinct()
-      // sketch from the distinct frame: KMV state dedups anyway, and
-      // deriving every branch (sketch, per-seg counts, intersection)
-      // from ONE distinct lets ReuseExchange scan lineitem once
+        .localCheckpoint()
+      // the sketches and counts are S-row frames over the checkpointed
+      // keys; checkpointing THEM too makes each broadcast read 3
+      // materialized rows instead of re-running its groupBy
       val sk = dpk.groupBy($"seg").agg(bottom_k($"pk", K).as("sk"))
+        .localCheckpoint()
       val perSeg = dpk.groupBy($"seg").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val inter = dpk.as("x").join(dpk.as("y"), Seq("pk"))
         .filter(col("x.seg") < col("y.seg"))
         .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))

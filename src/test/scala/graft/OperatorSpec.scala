@@ -435,23 +435,37 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("connected components converge on a diameter-4 chain (a short fixed budget would under-merge)") {
-    // path graph 1-2-3-4-5: min-label propagation needs 4 pulls to move
-    // label 1 to node 5. The budget counts PULLS (the oracle's unroll
-    // unit): 4 succeeds (the loop runs 2-pull cycles and observes the
-    // fixpoint within maxRounds/2 + 1 of them), while a 3-pull budget
-    // must fail loudly rather than leave node 5 in a phantom second
-    // cluster the 3-round oracle unroll would disagree about.
+    // path graph 1-2-3-4-5: min-label propagation would need 4 pulls
+    // to move label 1 to node 5; large-star/small-star roughly doubles
+    // the pointed-to distance each cycle and the per-cycle
+    // ground-truth check (implied labels constant across every
+    // original edge) fires the moment labels are correct — cycle 2
+    // here. A 1-cycle budget must fail loudly rather than leave a
+    // phantom second cluster. Accepting symmetric (both-direction)
+    // edges here also pins the canonicalization: the engine callers
+    // pass one orientation, this test passes both.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("a", "b")
     val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
     val seed = (1L to 5L).toDF("doc_id").withColumn("lbl", $"doc_id")
-    val labels = datapipe.Dedup.connectedComponents(seed, sym, 4)
+    val labels = datapipe.Dedup.connectedComponents(seed, sym, 2)
       .as[(Long, Long)].collect().toMap
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
     // an insufficient budget fails loudly instead of under-merging
     intercept[IllegalArgumentException] {
-      datapipe.Dedup.connectedComponents(seed, sym, 3)
+      datapipe.Dedup.connectedComponents(seed, sym, 1)
     }
+    // two components + a long chain: star rounds keep components
+    // separate (no over-merge) while compressing the 8-chain in
+    // O(log) cycles — 3 cycles suffice where propagation needs 7 pulls
+    val twoCC = (Seq((10L, 11L)) ++ (1L to 7L).map(i => (i, i + 1)))
+      .toDF("a", "b")
+    val seed2 = twoCC.select($"a".as("doc_id"))
+      .unionByName(twoCC.select($"b".as("doc_id"))).distinct()
+      .withColumn("lbl", $"doc_id")
+    val l2 = datapipe.Dedup.connectedComponents(seed2, twoCC, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 === ((1L to 8L).map(_ -> 1L) ++ Seq(10L -> 10L, 11L -> 10L)).toMap)
     // an edge-free graph converges immediately to an empty assignment
     assert(datapipe.Dedup.connectedComponents(
       sym.limit(0).select($"a".as("doc_id"), $"a".as("lbl")),
