@@ -64,8 +64,13 @@ object Bench {
     val strict = sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")
     println(json)
     // sidecar file: stdout tail-capture truncated 26 of 86 query timings
-    // in round 2 — the file is the complete record
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // in round 2 — the file is the complete record. A SUBSET run
+    // (SPARK_GRAFT_ONLY set) defaults to BENCH_PARTIAL.json: the
+    // committed BENCH_LOCAL record is full-registry by contract, and a
+    // forgotten filter must not clobber it with a 4-query total
+    val defaultOut =
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")

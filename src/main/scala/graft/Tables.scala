@@ -83,6 +83,17 @@ object Tables {
     * one footer (directory datasets: first part file) — O(1) metadata, no
     * data IO, safe at any scale. Raw unannotated INT64 is also treated as
     * the legacy nanos-as-long shape.
+    *
+    * DOCUMENTED LIMIT: one footer speaks for the directory. A dataset
+    * whose part files MIX ts encodings (conceivable if a regeneration
+    * appended instead of replacing) would have its unsniffed parts
+    * mis-normalized — Spark itself cannot read such a directory under
+    * one schema (the nanos shape surfaces as LongType, the others as
+    * timestamps), so the mixed case fails loudly at load rather than
+    * silently, and the O(1) sniff stays the right trade against
+    * footer-scanning every part of a 100 TB dataset. tools/check.py
+    * additionally enforces single-schema agreement across part files
+    * on every dumped OUTPUT.
     */
   private def tsStoredAsNanos(s: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path

@@ -61,5 +61,10 @@ object Verify {
         s"${SparkEntry.queries.size} registered queries produced no output — " +
         "the driver's correctness file will under-count; STOP-SHIP")
     spark.stop()
+    // exit 0 stays the driver contract (it reads errors.json); local/CI
+    // runs can opt into a hard gate instead of parsing artifacts —
+    // mirrors Bench's SPARK_GRAFT_BENCH_STRICT
+    if (sys.env.get("SPARK_GRAFT_VERIFY_STRICT").contains("1") &&
+        failures.nonEmpty) sys.exit(1)
   }
 }

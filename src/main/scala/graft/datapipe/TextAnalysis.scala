@@ -877,6 +877,19 @@ object TextAnalysis {
     // per-batch manifest (B=64 docs/batch): batch composition proves the
     // permutation is well-mixed (sources interleave) and positions are
     // exactly 1..n with no dup/gap.
+    //
+    // DETERMINISM LIMIT: cross-engine batch-manifest equality relies on
+    // the 60-bit shuf_key being collision-free — equal keys are ordered
+    // arbitrarily by each engine. The birthday bound crosses ~50% at
+    // n ≈ 2^30 docs, and a 100 TB corpus (n ~ 1e11) expects thousands
+    // of collisions, so at that scale manifests are reproducible only
+    // per-engine unless the key is widened (phash gives a second
+    // independent 60-bit word from the same md5 digest — see
+    // FINGERPRINT WIDTH in Dedup — or doc_id itself tiebreaks when the
+    // consumer can sort on (key, doc_id); the rewrite rule matches a
+    // single order attribute, so the widened-key form is the scale
+    // path). Negligible at fixture scale: P(any collision) < 1e-8 at
+    // sf0.1.
     "t21_corpus_shuffle" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window

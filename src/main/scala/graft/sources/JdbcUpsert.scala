@@ -61,17 +61,40 @@ object JdbcUpsert {
 
   /** The real-driver adapter the Scaladoc above promises: wraps any
     * `java.sql.Connection` provider (the interface ships in the JDK's
-    * java.sql module — only the DRIVER jar is absent here) as an
-    * [[UpsertSession]] factory. One connection per partition, autocommit
-    * off, [[insertSql]] prepared with `?` placeholders, addBatch per row,
-    * executeBatch per chunk; `ON CONFLICT DO NOTHING` rows report 0 in
-    * the update counts, so summing positives reproduces psycopg2's
-    * `cur.rowcount` (lambda_function.py:184-186). `connect` must be
-    * serializable (a Scala function literal is) — it runs on executors.
+    * java.sql module) as an [[UpsertSession]] factory. One connection
+    * per partition, autocommit off, [[insertSql]] prepared with `?`
+    * placeholders, addBatch per row, executeBatch per chunk; conflict-
+    * skipped rows report 0 in the update counts, so summing positives
+    * reproduces psycopg2's `cur.rowcount` (lambda_function.py:184-186).
+    * `connect` must be serializable (a Scala function literal is) — it
+    * runs on executors.
+    *
+    * `statementSql` overrides the prepared text for engines that spell
+    * conflict-skip differently (the reference's `ON CONFLICT DO
+    * NOTHING` is PostgreSQL; Apache Derby — the embedded engine the
+    * real-connection spec drives — uses single-row `MERGE ... WHEN NOT
+    * MATCHED THEN INSERT`, same first-write-wins semantics and the
+    * same 0/1 update counts). Defaults to the reference statement.
+    * `paramColumns` maps placeholder positions to row-column indexes
+    * for dialects whose statement repeats a column (Derby's MERGE
+    * binds the conflict key once in ON and once in INSERT: its map for
+    * a (key, value) row is Seq(0, 0, 1)). Defaults to one placeholder
+    * per column in order.
+    *
+    * Drivers running in batch-rewrite mode (e.g. PostgreSQL
+    * `reWriteBatchedInserts=true`) return SUCCESS_NO_INFO (-2) for
+    * every row; silently counting that as 0 would report rowcount 0
+    * despite successful inserts, so the adapter fails LOUDLY instead —
+    * the rowcount analog and rewrite mode are mutually exclusive by
+    * contract, and the caller must disable one deliberately.
     */
   class ConnectionSessionFactory(connect: () => java.sql.Connection,
-      table: String, columns: Seq[String], conflictKey: Seq[String])
+      table: String, columns: Seq[String], conflictKey: Seq[String],
+      statementSql: Option[String] = None,
+      paramColumns: Option[Seq[Int]] = None)
       extends SessionFactory {
+    private val bindOrder: Seq[Int] =
+      paramColumns.getOrElse(columns.indices)
     def open(): UpsertSession = new UpsertSession {
       private val conn = connect()
       // anything failing between connect() and a usable session must
@@ -82,9 +105,9 @@ object JdbcUpsert {
       private val stmt =
         try {
           conn.setAutoCommit(false)
-          conn.prepareStatement(
+          conn.prepareStatement(statementSql.getOrElse(
             insertSql(table, columns, conflictKey).replace("VALUES %s",
-              columns.map(_ => "?").mkString("VALUES (", ", ", ")")))
+              columns.map(_ => "?").mkString("VALUES (", ", ", ")"))))
         } catch { case e: Throwable =>
           try conn.close()
           catch { case e2: Throwable if e2 ne e => e.addSuppressed(e2) }
@@ -92,13 +115,20 @@ object JdbcUpsert {
         }
       def insertBatch(rows: Seq[Seq[Any]]): Long = {
         rows.foreach { r =>
-          r.iterator.zipWithIndex.foreach { case (v, i) =>
-            stmt.setObject(i + 1, v)
+          bindOrder.iterator.zipWithIndex.foreach { case (ci, i) =>
+            stmt.setObject(i + 1, r(ci))
           }
           stmt.addBatch()
         }
-        // SUCCESS_NO_INFO (-2) and conflict-skipped rows (0) both count 0
-        stmt.executeBatch().iterator.map(c => if (c > 0) c.toLong else 0L).sum
+        stmt.executeBatch().iterator.map {
+          case java.sql.Statement.SUCCESS_NO_INFO =>
+            throw new IllegalStateException(
+              "driver returned SUCCESS_NO_INFO for a batched upsert - " +
+                "batch-rewrite modes (e.g. reWriteBatchedInserts) hide " +
+                "per-row counts and are unsupported for the rowcount " +
+                "analog; disable rewrite or drop the count contract")
+          case c => if (c > 0) c.toLong else 0L
+        }.sum
       }
       def commit(): Unit = conn.commit()
       def rollback(): Unit = conn.rollback()
