@@ -399,8 +399,10 @@ object Dedup {
     // pairs): verified Hamming pairs are quadratic on planted-dup
     // corpora by construction, so the scale-safe consumable is
     // (doc_id, canonical_id) — LINEAR in the corpus — via the same
-    // min-label propagation d06/d11 run. Every pair generator in the
-    // library now has its linear consumable.
+    // star-CC d06/d11 run. Every pair generator in the library now has
+    // its linear consumable. d16's graphs are the DEEP case (Hamming
+    // chains, diameter grows with the corpus) — the workload the
+    // log-round star algorithm exists for.
     "d16_simhash_clusters" -> { (s, d) =>
       import s.implicits._
       val pairs = d03Pairs(s, d).select($"d1", $"d2").distinct().cache()
