@@ -250,4 +250,54 @@ class PropertySpec extends SparkSpec {
         assert(viaRule === want, s"rule path diverged at nParts=$nParts")
     }
   }
+
+  test("∀ random graphs: star-CC labels equal reference union-find components") {
+    // the large-star/small-star loop against an in-driver union-find
+    // oracle on arbitrary random graphs — chains, cliques, forests,
+    // self-loops, duplicate and both-orientation edges all fall out of
+    // the generator. Pins the round-11 algorithm swap beyond the
+    // planted-dup fixtures: ANY wrong merge/split on ANY topology
+    // fails here with the seed that produced it.
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(2, 28)            // node universe 0..n-1
+      m <- Gen.choose(0, 40)            // edge count (dups allowed)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield es
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) if a != b =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      case _ => ()
+      }
+      // min-label per component, restricted to edge endpoints (the
+      // engine's seed contract) — find() path-compresses to the root,
+      // and unions always hang the larger root under the smaller, so
+      // the root IS the component minimum
+      edges.iterator.filter(e => e._1 != e._2)
+        .flatMap(e => Iterator(e._1, e._2))
+        .map(x => x -> find(x)).toMap
+    }
+    samples(graphGen, 6).zipWithIndex.foreach { case (edges, i) =>
+      val want = unionFind(edges)
+      val df = edges.toDF("a", "b")
+      val seed = df.select($"a".as("doc_id"))
+        .unionByName(df.select($"b".as("doc_id")))
+        .filter($"doc_id".isNotNull).distinct()
+        .withColumn("lbl", $"doc_id")
+      // seed includes self-loop-only nodes the oracle map omits — they
+      // are singleton components labeled by themselves
+      val got = datapipe.Dedup.connectedComponents(seed, df, 12)
+        .as[(Long, Long)].collect().toMap
+      val wantFull = got.keys.map(k => k -> want.getOrElse(k, k)).toMap
+      assert(got === wantFull, s"sample $i diverged (${edges.size} edges)")
+    }
+  }
 }
