@@ -921,23 +921,46 @@ object Dedup {
       .select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
       .filter($"u" =!= $"v")
       .localCheckpoint()
+    // Both stars need exactly one thing per node: min over its
+    // neighborhood. A groupBy+join formulation pays two passes over the
+    // neighbor frame (one aggregated, one probed) and two-three
+    // Exchanges per star; a window min over partitionBy(u) computes the
+    // same value in ONE Exchange + one Sort, with the emissions
+    // projected from the very rows the window just grouped — per cycle
+    // the plan is exactly two shuffle stages (one per star), the floor
+    // for the alternating algorithm. Measured on the round-11 host
+    // (3 cold-JVM d06+d11+d16 subset runs each): d16 11.7/12.7/18.7 →
+    // 5.7/7.9/8.3 s — the worst window run beats the best join run —
+    // d06/d11 at par (their shallow graphs spend their time in pair
+    // generation, not the CC loop). At 100 TB the trade holds: the
+    // window sorts the same 2|E| rows the join formulation would
+    // shuffle anyway, and the sort key is the shuffle key alone (no
+    // payload blowup).
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy("u")
+    val byUOrdV = byU.orderBy("v")
     def largeStar(ed: DataFrame): DataFrame = {
       val sym = ed.unionByName(ed.select($"v".as("u"), $"u".as("v")))
-      val mins = sym.groupBy($"u")
-        .agg(min($"v").as("mn"))
-        .select($"u", least($"u", $"mn").as("m"))
-      // (x, m_u) for every neighbor x above u: x > u >= m_u, so the
-      // output is already canonically oriented and never self-loops
-      sym.filter($"v" > $"u").join(mins, "u")
+      // (x, m_u) for every neighbor x above u, m_u = min(Γ(u) ∪ {u}):
+      // x > u >= m_u, so the output is already canonically oriented
+      // and never self-loops
+      sym.withColumn("m", least($"u", min($"v").over(byU)))
+        .filter($"v" > $"u")
         .select($"v".as("u"), $"m".as("v"))
     }
     def smallStar(ed: DataFrame): DataFrame = {
-      val mins = ed.groupBy($"u").agg(min($"v").as("m"))
       // every below-u parent re-links to u's minimum parent, and u
-      // keeps that minimum — again canonical by construction
-      ed.join(mins, "u").filter($"v" =!= $"m")
-        .select($"v".as("u"), $"m".as("v"))
-        .unionByName(mins.select($"u", $"m".as("v")))
+      // keeps that minimum — again canonical by construction. Both
+      // emissions come out of one generator over the windowed rows
+      // (a filter∪filter over the same subtree would recompute the
+      // window or re-read its exchange); rn=1 picks exactly one
+      // (u, m) row per u even when the edge frame carries duplicates.
+      ed.withColumn("m", min($"v").over(byU))
+        .withColumn("rn", row_number().over(byUOrdV))
+        .select(explode(array_compact(array(
+          when($"v" =!= $"m", struct($"v".as("u"), $"m".as("v"))),
+          when($"rn" === 1, struct($"u".as("u"), $"m".as("v")))))).as("e"))
+        .select($"e.u", $"e.v")
     }
     // the node roster is re-read by every convergence check and by the
     // final label extraction: materialize it ONCE (it is O(V), and its
