@@ -950,6 +950,53 @@ object TextAnalysis {
              min($"rank_key").as("best_rank"),
              max($"cum_tok").cast("long").as("last_cum"))
         .orderBy($"source")
+    },
+
+    // Linear-classifier INFERENCE over hashed n-gram features — the
+    // fastText-shaped scoring stage every production curation pipeline
+    // runs (CCNet's language filter, the GPT-3/LLaMA quality
+    // classifiers): word unigrams + bigrams are feature-hashed into
+    // D = 65536 buckets, a (j, weight) model table is joined in, and
+    // each doc scores by the mean weight of its features (the sigmoid
+    // is monotone, so thresholding the mean logit IS thresholding the
+    // probability — emitting the logit keeps the output exact where
+    // cross-engine exp() could differ in the last ulp). The model here
+    // is generated deterministically in-plan from the bucket index (a
+    // stand-in for trained weights — the PLAN is the deliverable: a
+    // real model is the same D-row broadcast). Determinism: weights are
+    // integer MILLI-units summed exactly; the one division happens once
+    // per doc at the end, and the keep/cut decision compares the
+    // integer sum against zero. Scale shape:
+    // gram explode and hashing are map-only over the text; the shuffle
+    // carries (doc_id, j) longs — never grams, never text; the model is
+    // O(D) and broadcast; per-doc reduce is a partial-aggregated sum.
+    // At 100 TB this is one narrow shuffle + a map-side join, the same
+    // plan a trained-classifier scoring pass would run.
+    "t23_classifier_score" -> { (s, d) =>
+      import s.implicits._
+      val D = 65536L
+      val weights = s.range(D).select($"id".as("j"),
+        (graft.Dets.phash(concat(lit("w:"), $"id".cast("string"))) % 2001L
+          - 1000L).as("w_milli"))
+      val grams = T.documents(s, d)
+        .select($"doc_id",
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .select($"doc_id", explode(concat($"toks",
+          expr("""zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),
+                           (a, b) -> concat(a, '_', b))"""))).as("g"))
+        .filter($"g".isNotNull)
+        .select($"doc_id",
+          (graft.Dets.phash(concat(lit("f:"), $"g")) % D).as("j"))
+      grams.join(broadcast(weights), Seq("j"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+             sum($"w_milli").as("logit_milli"))
+        .select($"doc_id", $"n_feats",
+          round($"logit_milli".cast("double") / $"n_feats" / 1000.0, 6)
+            .as("mean_logit"),
+          when($"logit_milli" > 0, lit("keep")).otherwise(lit("cut"))
+            .as("label"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1455,6 +1502,33 @@ object TextAnalysis {
         |  MIN(rank_key) AS best_rank,
         |  CAST(MAX(cum_tok) AS BIGINT) AS last_cum
         |FROM cums WHERE cum_tok <= 20000
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "t23_classifier_score" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_concat(toks,
+         |    list_transform(range(1, len(toks)),
+         |      i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i + 1 AS INT)])))
+         |    AS g
+         |  FROM toked),
+         |feats AS (
+         |  SELECT doc_id,
+         |    ${graft.Dets.phashSql("'f:' || g")} % 65536 AS j
+         |  FROM grams),
+         |weights AS (
+         |  SELECT j,
+         |    ${graft.Dets.phashSql("'w:' || CAST(j AS VARCHAR)")} % 2001
+         |      - 1000 AS w_milli
+         |  FROM range(65536) t(j))
+         |SELECT f.doc_id, COUNT(*) AS n_feats,
+         |  round(CAST(SUM(w.w_milli) AS DOUBLE) / COUNT(*) / 1000.0, 6)
+         |    AS mean_logit,
+         |  CASE WHEN SUM(w.w_milli) > 0 THEN 'keep' ELSE 'cut' END AS label
+         |FROM feats f JOIN weights w USING (j)
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
   )
 }

@@ -95,7 +95,11 @@ object StressBench {
       "m06_audio_phash_dedup," +
       // round-10: seeded corpus shuffle + token-budget selection (both
       // ride the rule-rewritten global cumsum; narrow-key shuffles only)
-      "t21_corpus_shuffle,t22_token_budget"
+      "t21_corpus_shuffle,t22_token_budget," +
+      // round-11: classifier inference — gram explode + hash is map-only,
+      // the model join is a broadcast, one (doc_id, partials) shuffle:
+      // curve should be linear in docs like t03's
+      "t23_classifier_score"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

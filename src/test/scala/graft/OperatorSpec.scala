@@ -1110,4 +1110,28 @@ class OperatorSpec extends SparkSpec {
       .select("k", "cum_end").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, 5L), (2L, 12L), (3L, 22L)))
   }
+
+  test("t23: feature count is 2n-1 grams per doc and the label is the sum's sign") {
+    val out = datapipe.TextAnalysis.queries("t23_classifier_score")(spark, sf)
+      .select($"doc_id", $"n_feats", $"mean_logit", $"label")
+      .as[(Long, Long, Double, String)].collect()
+    assert(out.nonEmpty)
+    // independent token count: n tokens yield n unigrams + (n-1) bigrams
+    val nToks = Tables.documents(spark, sf)
+      .select($"doc_id", expr("size(filter(split(text, ' '), x -> x <> ''))")
+        .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, nf, logit, label) =>
+      assert(nf === 2 * nToks(id) - 1, s"doc $id: feats $nf toks ${nToks(id)}")
+      // milli-weights lie in [-1000, 1000], so the mean logit is in [-1, 1]
+      assert(logit >= -1.0 && logit <= 1.0, s"doc $id logit $logit")
+      // label is the integer sum's sign; away from the rounding boundary
+      // the rounded mean must agree with it
+      if (math.abs(logit) > 1e-6)
+        assert((logit > 0) === (label == "keep"), s"doc $id $logit $label")
+      assert(label == "keep" || label == "cut")
+    }
+    // every tokenizable doc scores — the classifier drops nothing silently
+    assert(out.length === nToks.count(_._2 >= 1))
+  }
 }

@@ -202,6 +202,27 @@ class PlanShapeSpec extends SparkSpec {
       "map-only gate reads columns it never uses:\n" + p.take(600))
   }
 
+  test("t23: model join broadcasts; one hash shuffle of narrow longs only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.LongType
+    val tree = planTree("t23_classifier_score")
+    assert(tree.toString.contains("BroadcastHashJoin"),
+      "weight table not broadcast — a D-row model must never shuffle the corpus")
+    val hashEx = tree.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    // exactly the per-doc reduce (the output orderBy adds a range
+    // exchange, which is fine); its rows must be fixed-width partials,
+    // never grams or text
+    assert(hashEx.size === 1,
+      s"expected one hash exchange (per-doc partial-aggregated reduce), " +
+        s"found ${hashEx.size}")
+    val bad = hashEx.head.output.filterNot(_.dataType == LongType)
+    assert(bad.isEmpty, "non-long columns cross the t23 shuffle: " +
+      bad.map(a => s"${a.name}:${a.dataType}").mkString(", "))
+  }
+
   test("q64: both windows and the groupBy reuse ONE user_id hash exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val hashEx = planTree("q64_gaps_islands").collect {
