@@ -308,6 +308,25 @@ object TextAnalysis {
           $"n_tokens".cast("double") / $"n_words")
         .orderBy($"doc_id")
     },
+    // t18's deeper twin, mirroring t15/t15b: the EAGER merge-replay
+    // path (per-round argmax localCheckpoint — the production mode the
+    // rounds=8 spec exercises) under the DuckDB gate at 4 unrolled
+    // rounds, so the encode side's oracle depth matches the training
+    // side's and the checkpoint machinery itself is oracle-checked.
+    "t18b_bpe_encode_r4" -> { (s, d) =>
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val vocab = bpeMergedWords(docs, rounds = 4, eager = true)
+        .select($"w", size(split($"seq", " ")).cast("long").as("w_toks"))
+      docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"w_toks").as("n_tokens"))
+        .withColumn("tokens_per_word",
+          $"n_tokens".cast("double") / $"n_words")
+        .orderBy($"doc_id")
+    },
     // Language ID: frequency-weighted lexicon overlap, argmax with
     // alphabetical tie-break; compared against the labeled lang.
     "t01_langid" -> { (s, d) =>
@@ -1069,33 +1088,42 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
 
+  /** The t18 encode oracle at any unroll depth: the same chained merge
+    * rounds as [[bpeTrainOracleSql]], with the final round's word table
+    * read as the (word → token count) vocabulary.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map(bpeOracleRound).mkString(",\n")
+    s"""WITH wf0 AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS seq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |$roundCtes,
+       |vocab AS (
+       |  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_toks
+       |  FROM wf$rounds),
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) WHERE w <> '')
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(w_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(w_toks) AS DOUBLE) / COUNT(*) AS tokens_per_word
+       |FROM dw JOIN vocab USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "t15_bpe_train" -> bpeTrainOracleSql(2),
 
     "t15b_bpe_train_r4" -> bpeTrainOracleSql(4),
 
-    "t18_bpe_encode" ->
-      s"""WITH wf0 AS (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
-         |    array_to_string(list_transform(range(1, len(w) + 1),
-         |      i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS seq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE w <> '' GROUP BY w),
-         |${bpeOracleRound(1)},
-         |${bpeOracleRound(2)},
-         |vocab AS (
-         |  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_toks
-         |  FROM wf2),
-         |dw AS (
-         |  SELECT doc_id, w FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |    FROM documents) WHERE w <> '')
-         |SELECT doc_id, COUNT(*) AS n_words,
-         |  CAST(SUM(w_toks) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(w_toks) AS DOUBLE) / COUNT(*) AS tokens_per_word
-         |FROM dw JOIN vocab USING (w)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t18_bpe_encode" -> bpeEncodeOracleSql(2),
+
+    "t18b_bpe_encode_r4" -> bpeEncodeOracleSql(4),
     "t01_langid" -> {
       val scoreCols = LEX.map { case (lang, ws) =>
         s"len(list_filter(string_split(text, ' '), w -> list_contains([${lexArr(ws)}], w))) AS score_$lang"

@@ -408,22 +408,28 @@ object AdvancedAggs {
       val dpk = T.lineitem(s, d)
         .select($"l_returnflag".as("seg"), pk.as("pk")).distinct()
         .localCheckpoint()
-      // the sketches and counts are S-row frames over the checkpointed
-      // keys; checkpointing THEM too makes each broadcast read 3
-      // materialized rows instead of re-running its groupBy
-      val sk = dpk.groupBy($"seg").agg(bottom_k($"pk", K).as("sk"))
+      // ONE aggregation pass computes both the sketch and the exact
+      // per-segment count (they share the (seg) grouping — running
+      // them as two groupBys paid a second full pass over dpk and a
+      // second checkpoint job); the result is an S-row frame each
+      // broadcast reads materialized
+      val stats = dpk.groupBy($"seg")
+        .agg(bottom_k($"pk", K).as("sk"), count(lit(1)).as("n"))
         .localCheckpoint()
-      val perSeg = dpk.groupBy($"seg").agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+      // exact pairwise intersections: equi-self-join on the key hash.
+      // (A groupBy-pk collect_list pair generator was measured and
+      // rejected: it plans as ObjectHashAggregate — off codegen — and
+      // reads 0.2-0.4 s SLOWER than the sort-merge join of two long
+      // columns at sf0.1.)
       val inter = dpk.as("x").join(dpk.as("y"), Seq("pk"))
         .filter(col("x.seg") < col("y.seg"))
         .groupBy(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"))
         .agg(count(lit(1)).as("n_inter"))
       inter
-        .join(broadcast(perSeg.select($"seg".as("seg_a"), $"n".as("n_a"))), Seq("seg_a"))
-        .join(broadcast(perSeg.select($"seg".as("seg_b"), $"n".as("n_b"))), Seq("seg_b"))
-        .join(broadcast(sk.select($"seg".as("seg_a"), $"sk".as("sk_a"))), Seq("seg_a"))
-        .join(broadcast(sk.select($"seg".as("seg_b"), $"sk".as("sk_b"))), Seq("seg_b"))
+        .join(broadcast(stats.select($"seg".as("seg_a"), $"n".as("n_a"),
+          $"sk".as("sk_a"))), Seq("seg_a"))
+        .join(broadcast(stats.select($"seg".as("seg_b"), $"n".as("n_b"),
+          $"sk".as("sk_b"))), Seq("seg_b"))
         .withColumn("n_union", $"n_a" + $"n_b" - $"n_inter")
         .withColumn("mrg",
           expr(s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $K)"))
