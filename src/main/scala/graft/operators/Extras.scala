@@ -93,10 +93,15 @@ object Extras {
       val ev = T.events(s, d)
         .filter($"user_id" % 25 === 0)
         .withColumn("tsec", unix_timestamp(date_trunc("second", $"ts")))
-        // one deterministic value per (user, second): min-event_id wins
-        .withColumn("rn", row_number().over(Window
-          .partitionBy($"user_id", $"tsec").orderBy($"event_id")))
-        .filter($"rn" === 1)
+        // one deterministic value per (user, second): min-event_id wins.
+        // As a groupBy (not a ranking window) the dedup PARTIAL-
+        // aggregates map-side, so duplicate seconds collapse before the
+        // shuffle — the exchange carries at most one row per (user,
+        // second) instead of the full event stream, and the window
+        // formulation's full-volume sort disappears entirely
+        .groupBy($"user_id", $"tsec")
+        .agg(min($"event_id").as("event_id"),
+             expr("min_by(value, event_id)").as("value"))
         .select($"user_id", $"tsec", $"event_id", $"value")
       val grid = ev.groupBy($"user_id")
         .agg(min($"tsec").as("lo"), max($"tsec").as("hi"))
