@@ -971,6 +971,38 @@ object TextAnalysis {
         .orderBy($"source")
     },
 
+    // Leakage-free train/eval split — the eval-contamination guard a
+    // training pipeline ends with: documents with IDENTICAL text must
+    // land in the SAME split (a duplicate straddling train and eval
+    // inflates eval scores), so the split decision is made once per
+    // content-hash GROUP (by its min-doc_id representative's seeded
+    // hash, 90/10) and every member inherits it. One window pass over
+    // (doc_id, content-hash) longs computes the representative and the
+    // group size in a single exchange — no join back, no text ever
+    // shuffled; group sizes are duplication multiplicities (small by
+    // nature), so the windowed partitions carry no hub skew. The same
+    // group-atomic pattern extends to near-dup clusters by feeding
+    // d06's CC labels in place of the exact hash.
+    "t24_leakage_free_split" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byH = Window.partitionBy($"h")
+      // the dedup family's corpus view (planted exact copies) — the
+      // operator's reason to exist is those groups
+      Dedup.corpus(s, d)
+        .select($"doc_id", graft.Dets.phash($"text").as("h"))
+        .withColumn("rep", min($"doc_id").over(byH))
+        .withColumn("cnt", count(lit(1)).over(byH))
+        .withColumn("split",
+          when(graft.Dets.phash(concat(lit("split:"), $"rep".cast("string")))
+            % 100 < 90, lit("train")).otherwise(lit("eval")))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct($"h").as("n_groups"),
+             max($"cnt").as("max_group"))
+        .orderBy($"split")
+    },
+
     // Linear-classifier INFERENCE over hashed n-gram features — the
     // fastText-shaped scoring stage every production curation pipeline
     // runs (CCNet's language filter, the GPT-3/LLaMA quality
@@ -1531,6 +1563,27 @@ object TextAnalysis {
         |  CAST(MAX(cum_tok) AS BIGINT) AS last_cum
         |FROM cums WHERE cum_tok <= 20000
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "t24_leakage_free_split" ->
+      s"""WITH corpus AS (
+         |${Dedup.corpusSql}),
+         |hashed AS (
+         |  SELECT doc_id, ${graft.Dets.phashSql("text")} AS h
+         |  FROM corpus),
+         |grouped AS (
+         |  SELECT doc_id, h,
+         |    MIN(doc_id) OVER (PARTITION BY h) AS rep,
+         |    COUNT(*) OVER (PARTITION BY h) AS cnt
+         |  FROM hashed),
+         |assigned AS (
+         |  SELECT *, CASE WHEN
+         |    ${graft.Dets.phashSql("'split:' || CAST(rep AS VARCHAR)")}
+         |      % 100 < 90 THEN 'train' ELSE 'eval' END AS split
+         |  FROM grouped)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT h) AS n_groups,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_group
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
 
     "t23_classifier_score" ->
       s"""WITH toked AS (

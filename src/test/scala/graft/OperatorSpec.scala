@@ -1111,6 +1111,30 @@ class OperatorSpec extends SparkSpec {
     assert(got === Seq((1L, 5L), (2L, 12L), (3L, 22L)))
   }
 
+  test("t24: no duplicate group straddles train and eval, and groups exist") {
+    // recompute the per-doc assignment with the query's own building
+    // blocks and assert the INVARIANT the aggregate output can't show:
+    // every content-hash group maps to exactly one split
+    import org.apache.spark.sql.expressions.Window
+    val assigned = datapipe.Dedup.corpus(spark, sf)
+      .select($"doc_id", graft.Dets.phash($"text").as("h"))
+      .withColumn("rep", min($"doc_id").over(Window.partitionBy($"h")))
+      .withColumn("split",
+        when(graft.Dets.phash(concat(lit("split:"), $"rep".cast("string")))
+          % 100 < 90, lit("train")).otherwise(lit("eval")))
+    val straddlers = assigned.groupBy($"h")
+      .agg(countDistinct($"split").as("ns"), count(lit(1)).as("n"))
+    assert(straddlers.filter($"ns" =!= 1).count() === 0L,
+      "a duplicate group was split across train and eval")
+    // the fixture's planted duplicates make the invariant non-vacuous
+    assert(straddlers.filter($"n" > 1).count() > 0L,
+      "no multi-doc groups in fixture — the leakage pin is vacuous")
+    // and the registry output agrees with an independent total
+    val out = datapipe.TextAnalysis.queries("t24_leakage_free_split")(spark, sf)
+      .select($"split", $"n_docs").as[(String, Long)].collect().toMap
+    assert(out.values.sum === datapipe.Dedup.corpus(spark, sf).count())
+  }
+
   test("t23: feature count is 2n-1 grams per doc and the label is the sum's sign") {
     val out = datapipe.TextAnalysis.queries("t23_classifier_score")(spark, sf)
       .select($"doc_id", $"n_feats", $"mean_logit", $"label")
