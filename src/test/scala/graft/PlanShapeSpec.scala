@@ -223,6 +223,15 @@ class PlanShapeSpec extends SparkSpec {
       bad.map(a => s"${a.name}:${a.dataType}").mkString(", "))
   }
 
+  test("t24: representative + group-size ride ONE window over one hash exchange") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val tree = planTree("t24_leakage_free_split")
+    val windows = tree.collect { case w: WindowExec => w }
+    assert(windows.size === 1,
+      s"rep and cnt must share one WindowExec, found ${windows.size}")
+    assert(windows.head.partitionSpec.nonEmpty, "window must be partitioned")
+  }
+
   test("q64: both windows and the groupBy reuse ONE user_id hash exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val hashEx = planTree("q64_gaps_islands").collect {
