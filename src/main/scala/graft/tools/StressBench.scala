@@ -98,8 +98,9 @@ object StressBench {
       "t21_corpus_shuffle,t22_token_budget," +
       // round-11: classifier inference — gram explode + hash is map-only,
       // the model join is a broadcast, one (doc_id, partials) shuffle:
-      // curve should be linear in docs like t03's
-      "t23_classifier_score"
+      // curve should be linear in docs like t03's. t24: one narrow
+      // window exchange over (doc_id, hash) longs — linear
+      "t23_classifier_score,t24_leakage_free_split"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
