@@ -1048,8 +1048,107 @@ object TextAnalysis {
           when($"logit_milli" > 0, lit("keep")).otherwise(lit("cut"))
             .as("label"))
         .orderBy($"doc_id")
+    },
+
+    // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling" — public): pick the
+    // pool documents that look most like a TARGET domain by the
+    // log-ratio of two hashed-unigram bag-of-words models. Target =
+    // lang 'en' docs; pool = the rest. Words feature-hash into B = 1024
+    // buckets (the paper's trick: a FIXED model dimension regardless of
+    // corpus vocab — the lambda table stays O(B) and broadcastable at
+    // any scale); per-bucket Laplace-smoothed log p_target/p_pool is
+    // rounded ONCE to integer micro-nats, so every per-doc score is an
+    // exact integer sum — only the final average divides (identical
+    // IEEE division from identical longs in both engines). The top-K
+    // selection is a total order (rounded score desc, doc_id) so the
+    // kept set is reproducible, and it plans as TakeOrderedAndProject —
+    // O(K) per partition, never a global sort. Scale shape: two
+    // count-aggregate passes over (bucket) + a map-only rescore whose
+    // shuffle carries (doc_id, j, tf) longs; text never moves.
+    "t25_dsir_resample" -> { (s, d) =>
+      import s.implicits._
+      dsirScores(s, d).orderBy(desc("avg_w"), $"doc_id").limit(100)
+    },
+
+    // Smoothed bigram-LM scoring — t14's unigram filter with one order
+    // of context (the KenLM-lite fluency scorer CCNet-style pipelines
+    // run when unigram NLL is too blunt): train add-one-smoothed
+    // p(w | prev) on the corpus itself, score each doc by its average
+    // bigram NLL. The sentence-start context '<s>' makes every word
+    // carry exactly one bigram, so n_bigrams == n_words and short docs
+    // are not unfairly cheap. Adjacency comes FREE from the token
+    // array (previous = element_at(toks, pos)) — no window, no
+    // self-join, map-only until the count aggregates. Determinism:
+    // per-bigram NLL is rounded ONCE to integer micro-nats (t14's
+    // scheme); per-doc sums are exact integers. Scale shape: the LM
+    // table is O(distinct bigrams) — NOT assumed broadcastable at
+    // 100 TB, so the score join is written hint-free and shuffles on
+    // the uniform (pw, w) key (AQE broadcasts it when it is small, as
+    // at fixture scale); everything upstream is map-side-combined
+    // counts of fixed-width rows.
+    "t26_bigram_nll" -> { (s, d) =>
+      import s.implicits._
+      val big = T.documents(s, d)
+        .select($"doc_id",
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .select($"doc_id", $"toks", posexplode($"toks").as(Seq("p", "w")))
+        .select($"doc_id",
+          when($"p" === 0, lit("<s>"))
+            .otherwise(element_at($"toks", $"p")).as("pw"),
+          $"w")
+      val c2 = big.groupBy($"pw", $"w").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy($"pw").agg(sum($"c2").as("c1"))
+      val v  = big.agg(countDistinct($"w").as("v"))
+      val lm = c2.join(c1, Seq("pw")).crossJoin(broadcast(v))
+        .select($"pw", $"w",
+          round(-log(($"c2" + 1L).cast("double") / ($"c1" + $"v")) * 1e6)
+            .cast("long").as("nll_micro"))
+      big.groupBy($"doc_id", $"pw", $"w").agg(count(lit(1)).as("tf"))
+        .join(lm, Seq("pw", "w"))
+        .groupBy($"doc_id")
+        .agg(sum($"tf").as("n_bigrams"), sum($"tf" * $"nll_micro").as("nll_sum"))
+        .select($"doc_id", $"n_bigrams",
+          round($"nll_sum".cast("double") / $"n_bigrams" / 1e6, 6).as("avg_nll"))
+        .orderBy($"doc_id")
     }
   )
+
+  /** t25's full pool-score frame (every non-target doc, unranked) —
+    * the query ranks it (score desc, doc_id) and keeps the top 100 via
+    * TakeOrderedAndProject; OperatorSpec re-ranks this frame in Scala
+    * and pins the selected set. See the registry entry for the scale
+    * rationale.
+    */
+  private[graft] def dsirScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 1024L
+    val wf = T.documents(s, d)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .select($"doc_id", $"lang",
+        (graft.Dets.phash(concat(lit("d:"), $"w")) % B).as("j"))
+    val tgt  = wf.filter($"lang" === "en")
+    val pool = wf.filter($"lang" =!= "en")
+    val tTot = tgt.agg(count(lit(1)).as("nt"))
+    val rTot = pool.agg(count(lit(1)).as("nr"))
+    // full B-row axis (not just observed buckets): a pool word hashed
+    // into a bucket the target never hit still needs its smoothed lambda
+    val lam = s.range(B).select($"id".as("j"))
+      .join(tgt.groupBy($"j").agg(count(lit(1)).as("ct")), Seq("j"), "left")
+      .join(pool.groupBy($"j").agg(count(lit(1)).as("cr")), Seq("j"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select($"j", round((
+        log((coalesce($"ct", lit(0L)) + 1L).cast("double") / ($"nt" + B)) -
+        log((coalesce($"cr", lit(0L)) + 1L).cast("double") / ($"nr" + B))
+        ) * 1e6).cast("long").as("lam_micro"))
+    pool.groupBy($"doc_id", $"lang", $"j").agg(count(lit(1)).as("tf"))
+      .join(broadcast(lam), Seq("j"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"tf").as("n_words"), sum($"tf" * $"lam_micro").as("w_sum"))
+      .select($"doc_id", $"lang", $"n_words",
+        round($"w_sum".cast("double") / $"n_words" / 1e6, 6).as("avg_w"))
+  }
 
   /** One unrolled BPE round for the oracle: pc$i (pair counts over
     * wf${i-1}), top$i (argmax merge), wf$i (greedy left-to-right merge
@@ -1610,6 +1709,67 @@ object TextAnalysis {
          |    AS mean_logit,
          |  CASE WHEN SUM(w.w_milli) > 0 THEN 'keep' ELSE 'cut' END AS label
          |FROM feats f JOIN weights w USING (j)
-         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    "t25_dsir_resample" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |wf AS (
+         |  SELECT doc_id, lang,
+         |    ${graft.Dets.phashSql("'d:' || w")} % 1024 AS j
+         |  FROM words WHERE w <> ''),
+         |tgt AS (SELECT * FROM wf WHERE lang = 'en'),
+         |pool AS (SELECT * FROM wf WHERE lang <> 'en'),
+         |ttot AS (SELECT COUNT(*) AS nt FROM tgt),
+         |rtot AS (SELECT COUNT(*) AS nr FROM pool),
+         |tcnt AS (SELECT j, COUNT(*) AS ct FROM tgt GROUP BY j),
+         |rcnt AS (SELECT j, COUNT(*) AS cr FROM pool GROUP BY j),
+         |lam AS (
+         |  SELECT b.j,
+         |    CAST(round((ln((COALESCE(ct, 0) + 1.0) / (nt + 1024)) -
+         |                ln((COALESCE(cr, 0) + 1.0) / (nr + 1024))) * 1e6)
+         |         AS BIGINT) AS lam_micro
+         |  FROM (SELECT unnest(range(0, 1024)) AS j) b
+         |  LEFT JOIN tcnt USING (j) LEFT JOIN rcnt USING (j), ttot, rtot),
+         |tf AS (
+         |  SELECT doc_id, lang, j, COUNT(*) AS tf
+         |  FROM pool GROUP BY doc_id, lang, j)
+         |SELECT tf.doc_id, tf.lang, CAST(SUM(tf) AS BIGINT) AS n_words,
+         |  round(CAST(SUM(tf * lam_micro) AS DOUBLE) / SUM(tf) / 1e6, 6)
+         |    AS avg_w
+         |FROM tf JOIN lam USING (j)
+         |GROUP BY tf.doc_id, tf.lang
+         |ORDER BY avg_w DESC, doc_id LIMIT 100""".stripMargin,
+
+    "t26_bigram_nll" ->
+      """WITH arrs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM arrs),
+        |big AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN '<s>'
+        |         ELSE ws[CAST(i - 1 AS INT)] END AS pw,
+        |    ws[CAST(i AS INT)] AS w
+        |  FROM pos),
+        |c2 AS (SELECT pw, w, COUNT(*) AS c2 FROM big GROUP BY pw, w),
+        |c1 AS (SELECT pw, SUM(c2) AS c1 FROM c2 GROUP BY pw),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM big),
+        |lm AS (
+        |  SELECT pw, w,
+        |    CAST(round(-ln((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT)
+        |      AS nll_micro
+        |  FROM c2 JOIN c1 USING (pw), v),
+        |tf AS (
+        |  SELECT doc_id, pw, w, COUNT(*) AS tf
+        |  FROM big GROUP BY doc_id, pw, w)
+        |SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(tf * nll_micro) AS DOUBLE) / SUM(tf) / 1e6, 6)
+        |    AS avg_nll
+        |FROM tf JOIN lm USING (pw, w)
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
   )
 }

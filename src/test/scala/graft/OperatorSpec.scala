@@ -1158,4 +1158,40 @@ class OperatorSpec extends SparkSpec {
     // every tokenizable doc scores — the classifier drops nothing silently
     assert(out.length === nToks.count(_._2 >= 1))
   }
+
+  test("t25: the kept set is the true top-100 of the full pool-score frame") {
+    val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
+      .as[(Long, String, Long, Double)].collect()
+    assert(out.length === 100)
+    assert(out.forall(_._2 != "en"), "an in-target (en) doc leaked into the pool")
+    // the reproducibility contract: (score desc, doc_id asc) total order
+    val key = out.map { case (id, _, _, w) => (-w, id) }
+    assert(key.sameElements(key.sorted), "output not in (avg_w desc, doc_id) order")
+    // re-rank the UNLIMITED score frame in Scala and pin the selection —
+    // TakeOrderedAndProject must agree with a full sort at any parallelism
+    val all = datapipe.TextAnalysis.dsirScores(spark, sf)
+      .as[(Long, String, Long, Double)].collect()
+    val want = all.sortBy { case (id, _, _, w) => (-w, id) }.take(100).toSeq
+    assert(out.toSeq === want, "top-k disagreed with the full ranking")
+    // and the pool frame scores EVERY non-target doc (nothing silently drops)
+    val nPool = Tables.documents(spark, sf).filter($"lang" =!= "en").count()
+    assert(all.length.toLong === nPool)
+  }
+
+  test("t26: each word carries exactly one bigram and NLLs are positive") {
+    val out = datapipe.TextAnalysis.queries("t26_bigram_nll")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val nToks = Tables.documents(spark, sf)
+      .select($"doc_id", expr("size(filter(split(text, ' '), x -> x <> ''))")
+        .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    // the '<s>' start context makes bigram count == word count per doc,
+    // and every tokenizable doc must appear
+    assert(out.length === nToks.count(_._2 >= 1))
+    out.foreach { case (id, nb, nll) =>
+      assert(nb === nToks(id), s"doc $id: bigrams $nb words ${nToks(id)}")
+      // add-one smoothing keeps every p(w|pw) strictly < 1 → NLL > 0
+      assert(nll > 0.0, s"doc $id avg_nll $nll")
+    }
+  }
 }

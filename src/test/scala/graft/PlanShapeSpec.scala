@@ -232,6 +232,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.head.partitionSpec.nonEmpty, "window must be partitioned")
   }
 
+  test("t25: top-100 plans as TakeOrderedAndProject; lambda table broadcasts") {
+    val p = plan("t25_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not global-sort the pool:\n" + p.take(600))
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(B) lambda table must broadcast, never shuffle the corpus side")
+  }
+
+  test("t26: bigram adjacency is array-local — no Window over the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val tree = planTree("t26_bigram_nll")
+    assert(tree.collect { case w: WindowExec => w }.isEmpty,
+      "previous-word must come from the token array, not a window sort")
+  }
+
   test("q64: both windows and the groupBy reuse ONE user_id hash exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val hashEx = planTree("q64_gaps_islands").collect {
