@@ -502,6 +502,40 @@ object Multimodal {
         .filter($"n_copies" > 1)
         .select($"canonical_id", $"n_samples", $"ahash", $"n_copies")
         .orderBy($"canonical_id")
+    },
+
+    // Cross-modal caption-variant detection — the LAION-style curation
+    // step for image-text pair corpora: find images (by perceptual hash
+    // of the REAL decoded pixels) that appear under MORE THAN ONE
+    // caption. Duplicated images with conflicting captions are label
+    // noise for contrastive training; this surfaces each such group
+    // with its canonical id and caption count. Planted: every %7 image
+    // re-registered under +40000 with a variant caption. Scale shape:
+    // the PNG decode is map-only; captions reduce to their 60-bit hash
+    // BEFORE any shuffle, so the group-by moves (id, 2 ints, 2 longs)
+    // ~28 B/pair regardless of caption length; the caption-hash join
+    // is on the unique asset_id key.
+    "m07_caption_variants" -> { (s, d) =>
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      val pairs = docs
+        .select($"doc_id".as("asset_id"), $"doc_id".as("src"),
+                $"text".as("caption"))
+        .unionByName(docs.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 40000L).as("asset_id"), $"doc_id".as("src"),
+                  concat($"text", lit(" (alt caption)")).as("caption")))
+      val payloads = pairs.select($"asset_id", $"src").as[(Long, Long)]
+        .mapPartitions(_.map { case (id, src) => (id, ImageCodec.synthPng(src)) })
+      val hashed = imagePHash(payloads).toDF("asset_id", "width", "height", "ahash")
+      val caps = pairs.select($"asset_id", graft.Dets.phash($"caption").as("cap_h"))
+      hashed.join(caps, Seq("asset_id"))
+        .groupBy($"width", $"height", $"ahash")
+        .agg(min($"asset_id").as("canonical_id"), count(lit(1)).as("n_items"),
+             countDistinct($"cap_h").as("n_captions"))
+        .filter($"n_captions" > 1)
+        .select($"canonical_id", $"width", $"height", $"ahash",
+                $"n_items", $"n_captions")
+        .orderBy($"canonical_id")
     }
   )
 
@@ -649,6 +683,42 @@ object Multimodal {
         |SELECT MIN(asset_id) AS canonical_id, CAST(n AS INT) AS n_samples,
         |  ahash, COUNT(*) AS n_copies
         |FROM fp GROUP BY n, ahash HAVING COUNT(*) > 1
-        |ORDER BY canonical_id""".stripMargin
+        |ORDER BY canonical_id""".stripMargin,
+
+    // m05's pixel-formula aHash mirror over the %7/+40000 caption-variant
+    // corpus, with captions reduced to the portable 60-bit hash.
+    "m07_caption_variants" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS asset_id, doc_id AS src, text AS caption
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 40000, doc_id, text || ' (alt caption)'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |px AS (
+         |  SELECT i.asset_id,
+         |    CAST(4 + i.src % 5 AS INT) AS w, CAST(3 + i.src % 4 AS INT) AS h,
+         |    tx.x, ty.y, (tx.x * 7 + ty.y * 13 + i.src) % 256 AS v
+         |  FROM ids i, range(0, 8) tx(x), range(0, 6) ty(y)
+         |  WHERE tx.x < 4 + i.src % 5 AND ty.y < 3 + i.src % 4),
+         |st AS (
+         |  SELECT asset_id, w, h, SUM(v) AS s, COUNT(*) AS n
+         |  FROM px GROUP BY 1, 2, 3),
+         |bits AS (
+         |  SELECT p.asset_id, p.w, p.h,
+         |    CAST(SUM(CASE WHEN p.v * st.n > st.s
+         |         THEN CAST(round(pow(2, p.y * p.w + p.x)) AS BIGINT)
+         |         ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM px p JOIN st USING (asset_id)
+         |  GROUP BY 1, 2, 3),
+         |caps AS (
+         |  SELECT asset_id, ${graft.Dets.phashSql("caption")} AS cap_h
+         |  FROM ids)
+         |SELECT MIN(b.asset_id) AS canonical_id, b.w AS width, b.h AS height,
+         |  b.ahash, COUNT(*) AS n_items,
+         |  COUNT(DISTINCT c.cap_h) AS n_captions
+         |FROM bits b JOIN caps c USING (asset_id)
+         |GROUP BY b.w, b.h, b.ahash
+         |HAVING COUNT(DISTINCT c.cap_h) > 1
+         |ORDER BY canonical_id""".stripMargin
   )
 }

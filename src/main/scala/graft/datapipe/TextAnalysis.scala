@@ -1025,29 +1025,7 @@ object TextAnalysis {
     // plan a trained-classifier scoring pass would run.
     "t23_classifier_score" -> { (s, d) =>
       import s.implicits._
-      val D = 65536L
-      val weights = s.range(D).select($"id".as("j"),
-        (graft.Dets.phash(concat(lit("w:"), $"id".cast("string"))) % 2001L
-          - 1000L).as("w_milli"))
-      val grams = T.documents(s, d)
-        .select($"doc_id",
-          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
-        .select($"doc_id", explode(concat($"toks",
-          expr("""zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),
-                           (a, b) -> concat(a, '_', b))"""))).as("g"))
-        .filter($"g".isNotNull)
-        .select($"doc_id",
-          (graft.Dets.phash(concat(lit("f:"), $"g")) % D).as("j"))
-      grams.join(broadcast(weights), Seq("j"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_feats"),
-             sum($"w_milli").as("logit_milli"))
-        .select($"doc_id", $"n_feats",
-          round($"logit_milli".cast("double") / $"n_feats" / 1000.0, 6)
-            .as("mean_logit"),
-          when($"logit_milli" > 0, lit("keep")).otherwise(lit("cut"))
-            .as("label"))
-        .orderBy($"doc_id")
+      classifierScore(T.documents(s, d)).orderBy($"doc_id")
     },
 
     // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
@@ -1097,15 +1075,21 @@ object TextAnalysis {
           when($"p" === 0, lit("<s>"))
             .otherwise(element_at($"toks", $"p")).as("pw"),
           $"w")
-      val c2 = big.groupBy($"pw", $"w").agg(count(lit(1)).as("c2"))
+      // ONE corpus pass: the per-doc tf aggregate is computed first and
+      // the whole LM derives from it (c2 = sum of tf over docs, c1 from
+      // c2, V from c2) — the tokenize+explode subtree appears twice in
+      // the plan canonically identical (tf feeds both the LM build and
+      // the probe side), so AQE reuses its exchange instead of
+      // re-reading the corpus three times (same-boot warm A/B: 3.4 → 1.7 s)
+      val tf = big.groupBy($"doc_id", $"pw", $"w").agg(count(lit(1)).as("tf"))
+      val c2 = tf.groupBy($"pw", $"w").agg(sum($"tf").as("c2"))
       val c1 = c2.groupBy($"pw").agg(sum($"c2").as("c1"))
-      val v  = big.agg(countDistinct($"w").as("v"))
+      val v  = c2.agg(countDistinct($"w").as("v"))
       val lm = c2.join(c1, Seq("pw")).crossJoin(broadcast(v))
         .select($"pw", $"w",
           round(-log(($"c2" + 1L).cast("double") / ($"c1" + $"v")) * 1e6)
             .cast("long").as("nll_micro"))
-      big.groupBy($"doc_id", $"pw", $"w").agg(count(lit(1)).as("tf"))
-        .join(lm, Seq("pw", "w"))
+      tf.join(lm, Seq("pw", "w"))
         .groupBy($"doc_id")
         .agg(sum($"tf").as("n_bigrams"), sum($"tf" * $"nll_micro").as("nll_sum"))
         .select($"doc_id", $"n_bigrams",
@@ -1113,6 +1097,41 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }
   )
+
+  /** t23's scoring transform over any (doc_id, text) frame — factored
+    * out so the SAME function runs under `readStream` (classifier
+    * inference is the curation stage most often deployed as a stream:
+    * score documents as they arrive, no corpus-wide state). Map-only
+    * gram hashing + a broadcast O(D) model + one keyed partial-agg
+    * reduce — nothing here is batch-bound; StreamingSpec pins the
+    * micro-batched run bit-equal to the batch registry entry.
+    */
+  private[graft] def classifierScore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val D = 65536L
+    val weights = s.range(D).select($"id".as("j"),
+      (graft.Dets.phash(concat(lit("w:"), $"id".cast("string"))) % 2001L
+        - 1000L).as("w_milli"))
+    val grams = docs
+      .select($"doc_id",
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select($"doc_id", explode(concat($"toks",
+        expr("""zip_with(toks, slice(toks, 2, greatest(size(toks) - 1, 0)),
+                         (a, b) -> concat(a, '_', b))"""))).as("g"))
+      .filter($"g".isNotNull)
+      .select($"doc_id",
+        (graft.Dets.phash(concat(lit("f:"), $"g")) % D).as("j"))
+    grams.join(broadcast(weights), Seq("j"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+           sum($"w_milli").as("logit_milli"))
+      .select($"doc_id", $"n_feats",
+        round($"logit_milli".cast("double") / $"n_feats" / 1000.0, 6)
+          .as("mean_logit"),
+        when($"logit_milli" > 0, lit("keep")).otherwise(lit("cut"))
+          .as("label"))
+  }
 
   /** t25's full pool-score frame (every non-target doc, unranked) —
     * the query ranks it (score desc, doc_id) and keeps the top 100 via

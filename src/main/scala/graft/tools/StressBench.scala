@@ -100,7 +100,17 @@ object StressBench {
       // the model join is a broadcast, one (doc_id, partials) shuffle:
       // curve should be linear in docs like t03's. t24: one narrow
       // window exchange over (doc_id, hash) longs — linear
-      "t23_classifier_score,t24_leakage_free_split"
+      "t23_classifier_score,t24_leakage_free_split," +
+      // round-11: DSIR resampling (lambda table FIXED at O(B) regardless
+      // of corpus size — curve linear in pool words; top-k is
+      // TakeOrderedAndProject, no global sort) and bigram-LM scoring
+      // (LM table grows with distinct bigrams — sublinearly on the
+      // suffix-scaled corpus — and shuffle-joins on the uniform (pw, w)
+      // key; everything upstream map-side-combines)
+      "t25_dsir_resample,t26_bigram_nll," +
+      // m07: PNG decode map-only like m05; caption hashed before any
+      // shuffle (~28 B/pair group-by) — curve should track m05's
+      "m07_caption_variants"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1178,6 +1178,24 @@ class OperatorSpec extends SparkSpec {
     assert(all.length.toLong === nPool)
   }
 
+  test("m07: every planted caption variant surfaces as a multi-caption group") {
+    val out = datapipe.Multimodal.queries("m07_caption_variants")(spark, sf)
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, _, nItems, nCaps) =>
+      assert(nCaps > 1, "reported group has a single caption")
+      assert(nItems >= nCaps, "more distinct captions than pairs")
+    }
+    // each %7 doc contributes (base, alt-caption) — both land in SOME
+    // reported group (hash-collision merges only grow groups), so the
+    // reported pair mass covers every planted variant
+    val planted = Tables.documents(spark, sf)
+      .filter($"doc_id" % 7 === 0).count()
+    assert(planted > 0, "fixture has no planted variants — pin is vacuous")
+    assert(out.map(_._5).sum >= 2 * planted,
+      "planted caption-variant pairs missing from the report")
+  }
+
   test("t26: each word carries exactly one bigram and NLLs are positive") {
     val out = datapipe.TextAnalysis.queries("t26_bigram_nll")(spark, sf)
       .as[(Long, Long, Double)].collect()

@@ -221,4 +221,31 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming classifier inference: the t23 transform streams unchanged") {
+    // model-based scoring is THE curation stage most often deployed as a
+    // stream (score docs as they arrive); the same classifierScore
+    // function runs under readStream — broadcast static model joined to
+    // a streaming side, keyed aggregate under complete mode — and the
+    // micro-batched scores equal the batch registry entry bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_clf")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = datapipe.TextAnalysis.classifierScore(stream)
+      .writeStream.format("memory").queryName("t23_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t23_stream")
+        .as[(Long, Long, Double, String)].collect().toSet
+      val batch = datapipe.TextAnalysis
+        .queries("t23_classifier_score")(spark, sf)
+        .as[(Long, Long, Double, String)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
