@@ -1067,36 +1067,66 @@ object TextAnalysis {
     // counts of fixed-width rows.
     "t26_bigram_nll" -> { (s, d) =>
       import s.implicits._
-      val big = T.documents(s, d)
-        .select($"doc_id",
-          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
-        .select($"doc_id", $"toks", posexplode($"toks").as(Seq("p", "w")))
-        .select($"doc_id",
-          when($"p" === 0, lit("<s>"))
-            .otherwise(element_at($"toks", $"p")).as("pw"),
-          $"w")
-      // ONE corpus pass: the per-doc tf aggregate is computed first and
-      // the whole LM derives from it (c2 = sum of tf over docs, c1 from
-      // c2, V from c2) — the tokenize+explode subtree appears twice in
-      // the plan canonically identical (tf feeds both the LM build and
-      // the probe side), so AQE reuses its exchange instead of
-      // re-reading the corpus three times (same-boot warm A/B: 3.4 → 1.7 s)
-      val tf = big.groupBy($"doc_id", $"pw", $"w").agg(count(lit(1)).as("tf"))
-      val c2 = tf.groupBy($"pw", $"w").agg(sum($"tf").as("c2"))
-      val c1 = c2.groupBy($"pw").agg(sum($"c2").as("c1"))
-      val v  = c2.agg(countDistinct($"w").as("v"))
-      val lm = c2.join(c1, Seq("pw")).crossJoin(broadcast(v))
-        .select($"pw", $"w",
-          round(-log(($"c2" + 1L).cast("double") / ($"c1" + $"v")) * 1e6)
-            .cast("long").as("nll_micro"))
-      tf.join(lm, Seq("pw", "w"))
-        .groupBy($"doc_id")
-        .agg(sum($"tf").as("n_bigrams"), sum($"tf" * $"nll_micro").as("nll_sum"))
-        .select($"doc_id", $"n_bigrams",
-          round($"nll_sum".cast("double") / $"n_bigrams" / 1e6, 6).as("avg_nll"))
-        .orderBy($"doc_id")
+      bigramScores(s, d).orderBy($"doc_id")
+    },
+
+    // Curriculum bucketing — the easy→hard data-ordering step curriculum
+    // pretraining starts from: rank EVERY doc globally by t26's bigram
+    // fluency score and cut the ranking into 4 equal curriculum stages,
+    // reporting each stage's doc count, token mass, and NLL range. The
+    // global quartile is the 100 TB trap (NTILE over an empty PARTITION
+    // BY = the whole corpus sorted on one task); here the rank comes
+    // from DistributedRank — range-repartition + broadcast prefix
+    // offsets, no single-task stage — and ntile is arithmetic on
+    // (rank, n). Only (doc_id, 2 longs, 1 double) ever moves.
+    "t27_curriculum_buckets" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.DistributedRank._
+      val ranked = withRankStats(
+        bigramScores(s, d).withColumn("g", lit(0)),
+        Seq("g"), Seq($"avg_nll", $"doc_id"))
+      ranked.withColumn("bucket", ntileFromRank(4, $"_rank0", $"_gn"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_bigrams").as("sum_tokens"),
+             min($"avg_nll").as("lo_nll"), max($"avg_nll").as("hi_nll"))
+        .orderBy($"bucket")
     }
   )
+
+  /** t26's per-doc score frame (doc_id, n_bigrams, avg_nll), unordered —
+    * shared by the registry entry and t27's curriculum ranking. See the
+    * t26 registry comment for the one-pass/exchange-reuse rationale.
+    */
+  private[graft] def bigramScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = T.documents(s, d)
+      .select($"doc_id",
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("p", "w")))
+      .select($"doc_id",
+        when($"p" === 0, lit("<s>"))
+          .otherwise(element_at($"toks", $"p")).as("pw"),
+        $"w")
+    // ONE corpus pass: the per-doc tf aggregate is computed first and
+    // the whole LM derives from it (c2 = sum of tf over docs, c1 from
+    // c2, V from c2) — the tokenize+explode subtree appears twice in
+    // the plan canonically identical (tf feeds both the LM build and
+    // the probe side), so AQE reuses its exchange instead of
+    // re-reading the corpus three times (same-boot warm A/B: 3.4 → 1.7 s)
+    val tf = big.groupBy($"doc_id", $"pw", $"w").agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy($"pw", $"w").agg(sum($"tf").as("c2"))
+    val c1 = c2.groupBy($"pw").agg(sum($"c2").as("c1"))
+    val v  = c2.agg(countDistinct($"w").as("v"))
+    val lm = c2.join(c1, Seq("pw")).crossJoin(broadcast(v))
+      .select($"pw", $"w",
+        round(-log(($"c2" + 1L).cast("double") / ($"c1" + $"v")) * 1e6)
+          .cast("long").as("nll_micro"))
+    tf.join(lm, Seq("pw", "w"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"), sum($"tf" * $"nll_micro").as("nll_sum"))
+      .select($"doc_id", $"n_bigrams",
+        round($"nll_sum".cast("double") / $"n_bigrams" / 1e6, 6).as("avg_nll"))
+  }
 
   /** t23's scoring transform over any (doc_id, text) frame — factored
     * out so the SAME function runs under `readStream` (classifier
@@ -1762,33 +1792,53 @@ object TextAnalysis {
          |ORDER BY avg_w DESC, doc_id LIMIT 100""".stripMargin,
 
     "t26_bigram_nll" ->
-      """WITH arrs AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM arrs),
-        |big AS (
-        |  SELECT doc_id,
-        |    CASE WHEN i = 1 THEN '<s>'
-        |         ELSE ws[CAST(i - 1 AS INT)] END AS pw,
-        |    ws[CAST(i AS INT)] AS w
-        |  FROM pos),
-        |c2 AS (SELECT pw, w, COUNT(*) AS c2 FROM big GROUP BY pw, w),
-        |c1 AS (SELECT pw, SUM(c2) AS c1 FROM c2 GROUP BY pw),
-        |v AS (SELECT COUNT(DISTINCT w) AS v FROM big),
-        |lm AS (
-        |  SELECT pw, w,
-        |    CAST(round(-ln((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT)
-        |      AS nll_micro
-        |  FROM c2 JOIN c1 USING (pw), v),
-        |tf AS (
-        |  SELECT doc_id, pw, w, COUNT(*) AS tf
-        |  FROM big GROUP BY doc_id, pw, w)
-        |SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-        |  round(CAST(SUM(tf * nll_micro) AS DOUBLE) / SUM(tf) / 1e6, 6)
-        |    AS avg_nll
-        |FROM tf JOIN lm USING (pw, w)
-        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin
+      s"""WITH $bigramScoresSql
+         |SELECT doc_id, n_bigrams, avg_nll FROM scores
+         |ORDER BY doc_id""".stripMargin,
+
+    "t27_curriculum_buckets" ->
+      s"""WITH $bigramScoresSql,
+         |ranked AS (
+         |  SELECT *, ntile(4) OVER (ORDER BY avg_nll, doc_id) AS bucket
+         |  FROM scores)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_tokens,
+         |  MIN(avg_nll) AS lo_nll, MAX(avg_nll) AS hi_nll
+         |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin
   )
+
+  /** DuckDB mirror of [[bigramScores]] as a CTE chain ending in
+    * `scores(doc_id, n_bigrams, avg_nll)` — shared by the t26 and t27
+    * oracles.
+    */
+  private def bigramScoresSql: String =
+    """arrs AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM arrs),
+      |big AS (
+      |  SELECT doc_id,
+      |    CASE WHEN i = 1 THEN '<s>'
+      |         ELSE ws[CAST(i - 1 AS INT)] END AS pw,
+      |    ws[CAST(i AS INT)] AS w
+      |  FROM pos),
+      |c2 AS (SELECT pw, w, COUNT(*) AS c2 FROM big GROUP BY pw, w),
+      |c1 AS (SELECT pw, SUM(c2) AS c1 FROM c2 GROUP BY pw),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM big),
+      |lm AS (
+      |  SELECT pw, w,
+      |    CAST(round(-ln((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT)
+      |      AS nll_micro
+      |  FROM c2 JOIN c1 USING (pw), v),
+      |tf AS (
+      |  SELECT doc_id, pw, w, COUNT(*) AS tf
+      |  FROM big GROUP BY doc_id, pw, w),
+      |scores AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |    round(CAST(SUM(tf * nll_micro) AS DOUBLE) / SUM(tf) / 1e6, 6)
+      |      AS avg_nll
+      |  FROM tf JOIN lm USING (pw, w)
+      |  GROUP BY tf.doc_id)""".stripMargin
 }

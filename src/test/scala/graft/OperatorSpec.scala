@@ -1178,6 +1178,26 @@ class OperatorSpec extends SparkSpec {
     assert(all.length.toLong === nPool)
   }
 
+  test("t27: quartiles tile the corpus evenly with non-overlapping NLL ranges") {
+    val out = datapipe.TextAnalysis.queries("t27_curriculum_buckets")(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    val n = out.map(_._2).sum
+    assert(n === datapipe.TextAnalysis.bigramScores(spark, sf).count())
+    // SQL ntile: first (n mod 4) buckets get the extra row
+    out.foreach { case (b, nd, _, lo, hi) =>
+      val want = n / 4 + (if (b <= n % 4) 1 else 0)
+      assert(nd === want, s"bucket $b has $nd docs, want $want")
+      assert(lo <= hi)
+    }
+    // curriculum stages are ordered: bucket k's hardest doc is no harder
+    // than bucket k+1's easiest (ties across the cut are legal)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._4,
+        s"bucket ${a._1} hi ${a._5} > bucket ${b._1} lo ${b._4}")
+    }
+  }
+
   test("m07: every planted caption variant surfaces as a multi-caption group") {
     val out = datapipe.Multimodal.queries("m07_caption_variants")(spark, sf)
       .as[(Long, Int, Int, Long, Long, Long)].collect()

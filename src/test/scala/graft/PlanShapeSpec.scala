@@ -147,6 +147,24 @@ class PlanShapeSpec extends SparkSpec {
       "offset attach is not a broadcast join:\n" + p.take(1200))
   }
 
+  test("t27: curriculum ranking windows only the control frame, never docs") {
+    // q62's invariant over the composed t27 plan: the global quartile
+    // must come from DistributedRank's control-frame prefix window, not
+    // an empty-PARTITION-BY window over the score rows (the single-task
+    // global sort trap)
+    val p = plan("t27_curriculum_buckets")
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toList
+    assert(winLines.nonEmpty, "expected the control-frame prefix window")
+    winLines.foreach { l =>
+      assert(l.contains("_g#"),
+        "Window over data rows (not the control count frame):\n" + l)
+      assert(!l.contains("avg_nll"),
+        "Window orders by the score column — the one-task global sort is back:\n" + l)
+    }
+    assert(p.contains("rangepartitioning"),
+      "expected a range repartition to own the total order:\n" + p.take(800))
+  }
+
   test("t07: sketch and exact branches reuse ONE explode/count exchange") {
     // The corpus explode + (lang, word) count shuffle must be computed
     // once and shared (AQE ReusedExchange) — the r7 regression was this
