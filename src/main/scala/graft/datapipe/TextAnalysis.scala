@@ -1082,9 +1082,14 @@ object TextAnalysis {
     "t27_curriculum_buckets" -> { (s, d) =>
       import s.implicits._
       import graft.operators.DistributedRank._
-      val ranked = withRankStats(
-        bigramScores(s, d).withColumn("g", lit(0)),
-        Seq("g"), Seq($"avg_nll", $"doc_id"))
+      // materialize the score frame ONCE before ranking: the range
+      // repartition's SAMPLING job would otherwise re-run the whole
+      // bigram-LM pipeline (DistributedRank caches its sorted frame, but
+      // the sampler runs below that cache) — measured 17.7 → 10.2 s at
+      // the 16× stress scale. The checkpointed frame is (doc_id,
+      // 2 longs, 1 double) — linear, narrow, executor-resident.
+      val scores = bigramScores(s, d).withColumn("g", lit(0)).localCheckpoint()
+      val ranked = withRankStats(scores, Seq("g"), Seq($"avg_nll", $"doc_id"))
       ranked.withColumn("bucket", ntileFromRank(4, $"_rank0", $"_gn"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_docs"), sum($"n_bigrams").as("sum_tokens"),

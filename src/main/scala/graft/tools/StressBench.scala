@@ -109,8 +109,10 @@ object StressBench {
       // key; everything upstream map-side-combines)
       "t25_dsir_resample,t26_bigram_nll," +
       // m07: PNG decode map-only like m05; caption hashed before any
-      // shuffle (~28 B/pair group-by) — curve should track m05's
-      "m07_caption_variants"
+      // shuffle (~28 B/pair group-by) — curve should track m05's.
+      // t27: the global quartile rides DistributedRank (range exchange +
+      // control-frame window) — linear, no single-task sort at any k
+      "m07_caption_variants,t27_curriculum_buckets"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
