@@ -1095,6 +1095,41 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), sum($"n_bigrams").as("sum_tokens"),
              min($"avg_nll").as("lo_nll"), max($"avg_nll").as("hi_nll"))
         .orderBy($"bucket")
+    },
+
+    // Cross-document duplication profile — the RefinedWeb/Falcon dedup
+    // DIAGNOSTIC (t11 measures repetition WITHIN a doc; this measures
+    // how much of each doc is shared ACROSS docs): per doc, the
+    // fraction of its distinct 5-word shingles that appear in at least
+    // one other document. The number a curation run reads to decide
+    // how aggressive span-level dedup (d18) needs to be. Runs over the
+    // dedup family's planted-copy corpus so the signal is non-vacuous
+    // (exact copies read 1.0, near-copies just under). Scale shape:
+    // shingles reduce to 60-bit hashes in the projection, so both
+    // aggregates and the join shuffle only (doc_id, hash) longs — text
+    // never moves; the gram doc-frequency table is O(distinct grams)
+    // and joins hint-free on the uniform hash key (AQE broadcasts it
+    // when small). Doc-frequency counts distinct DOCS per gram, so a
+    // doc repeating its own shingle never inflates its score.
+    "t28_crossdoc_grams" -> { (s, d) =>
+      import s.implicits._
+      val grams = Dedup.corpus(s, d)
+        .select($"doc_id",
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .filter(size($"toks") >= 5)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(toks) - 4), " +
+            "i -> concat_ws(' ', slice(toks, i, 5)))")).as("gram"))
+        .select($"doc_id", graft.Dets.phash($"gram").as("gh"))
+        .distinct()
+      val dfreq = grams.groupBy($"gh").agg(count(lit(1)).as("df"))
+      grams.join(dfreq, Seq("gh"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when($"df" > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select($"doc_id", $"n_grams", $"n_shared",
+          round($"n_shared".cast("double") / $"n_grams", 6).as("shared_frac"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1809,7 +1844,28 @@ object TextAnalysis {
          |SELECT bucket, COUNT(*) AS n_docs,
          |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_tokens,
          |  MIN(avg_nll) AS lo_nll, MAX(avg_nll) AS hi_nll
-         |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin
+         |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "t28_crossdoc_grams" ->
+      s"""WITH corpus AS (${Dedup.corpusSql}),
+         |arrs AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM corpus),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+         |    i -> ${graft.Dets.phashSql(
+                  "array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')")}))
+         |    AS gh
+         |  FROM arrs WHERE len(ws) >= 5),
+         |dg AS (SELECT DISTINCT doc_id, gh FROM g),
+         |dfreq AS (SELECT gh, COUNT(*) AS df FROM dg GROUP BY gh)
+         |SELECT dg.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  round(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / COUNT(*), 6) AS shared_frac
+         |FROM dg JOIN dfreq USING (gh)
+         |GROUP BY dg.doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB mirror of [[bigramScores]] as a CTE chain ending in

@@ -112,7 +112,11 @@ object StressBench {
       // shuffle (~28 B/pair group-by) — curve should track m05's.
       // t27: the global quartile rides DistributedRank (range exchange +
       // control-frame window) — linear, no single-task sort at any k
-      "m07_caption_variants,t27_curriculum_buckets"
+      "m07_caption_variants,t27_curriculum_buckets," +
+      // t28: (doc_id, hash)-long shuffles only; pair-free (doc-frequency
+      // join, never a self-join) — near-linear even on the
+      // mutually-duplicated stress corpus where pair emitters go quadratic
+      "t28_crossdoc_grams"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

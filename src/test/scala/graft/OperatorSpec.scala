@@ -1198,6 +1198,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("t28: exact copies read shared_frac 1.0; near-copies sit strictly inside (0,1)") {
+    val out = datapipe.TextAnalysis.queries("t28_crossdoc_grams")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val m = out.map(r => r._1 -> r._4).toMap
+    val baseIds = Tables.documents(spark, sf).select($"doc_id").as[Long].collect()
+    val exact = baseIds.filter(_ % 7 == 0)
+    assert(exact.nonEmpty, "no planted exact copies — pin is vacuous")
+    exact.foreach { id =>
+      // every 5-gram of an exact-copy pair exists on the other side
+      Seq(id, id + 2000000L).foreach(x =>
+        m.get(x).foreach(f => assert(f === 1.0, s"doc $x frac $f")))
+    }
+    // a near-copy shares the base doc's grams but owns the grams that
+    // straddle its distinctive suffix
+    baseIds.filter(_ % 10 == 0).map(_ + 1000000L).foreach(x =>
+      m.get(x).foreach(f =>
+        assert(f > 0.0 && f < 1.0, s"near-copy $x frac $f")))
+  }
+
   test("m07: every planted caption variant surfaces as a multi-caption group") {
     val out = datapipe.Multimodal.queries("m07_caption_variants")(spark, sf)
       .as[(Long, Int, Int, Long, Long, Long)].collect()
