@@ -204,6 +204,47 @@ object WeatherPipeline {
         .orderBy($"kind", $"id")
     },
 
+    // Backfill-range planner — the precise replacement for the
+    // reference's blanket lookback: the lambda re-fetches a FIXED
+    // past_days window every run whether or not the sink already holds
+    // those rows (lambda_function.py past_days request + the
+    // ON CONFLICT DO NOTHING discard), which at scale re-downloads and
+    // re-upserts mostly-present data. This detects exactly which grid
+    // slots are MISSING per location and coalesces consecutive holes
+    // into the [start, end) fetch ranges an ingest run would request —
+    // gaps-and-islands (q64's pattern) over the expected grid. The slot
+    // index is ARITHMETIC ((ts - start) / step — no second window), the
+    // presence predicate is a deterministic hash (a stand-in for the
+    // sink anti-join, keyed on integers so no cross-engine timestamp
+    // rendering is involved), and a planted 12 h outage on location 1
+    // makes multi-slot ranges non-vacuous. Scale shape: grid generation
+    // is map-only; one (location)-partitioned window over (location,
+    // 2 longs); ranges are O(gaps), never O(slots).
+    "w09_backfill_ranges" -> { (s, _) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val start = "2024-01-08 00:00:00"
+      val slots = s.range(3).select($"id".as("location_id"))
+        .crossJoin(timeGrid(s, start, "2024-01-15 00:00:00"))
+        .withColumn("idx", ((unix_timestamp($"ts") -
+          unix_timestamp(lit(start).cast("timestamp"))) / 900L).cast("long"))
+      val missing = slots.filter(
+        graft.Dets.phash(concat(lit("have:"), $"location_id".cast("string"),
+          lit(":"), $"idx".cast("string"))) % 13 === 0 ||
+        ($"location_id" === 1 &&
+         $"ts" >= lit("2024-01-11 06:00:00").cast("timestamp") &&
+         $"ts" <  lit("2024-01-11 18:00:00").cast("timestamp")))
+      missing
+        .withColumn("grp", $"idx" - row_number().over(
+          Window.partitionBy($"location_id").orderBy($"ts")))
+        .groupBy($"location_id", $"grp")
+        .agg(min($"ts").as("range_start"),
+             (max($"ts") + expr("INTERVAL 15 MINUTES")).as("range_end"),
+             count(lit(1)).as("n_slots"))
+        .select($"location_id", $"range_start", $"range_end", $"n_slots")
+        .orderBy($"location_id", $"range_start")
+    },
+
     // O5+O11 — result envelope: fetched / inserted / cursor echo as a
     // single row (the lambda's JSON body, as a relation).
     "w06_result_envelope" -> { (s, d) =>
@@ -303,6 +344,31 @@ object WeatherPipeline {
         |    ELSE 'meteofrance_seamless' END AS model
         |FROM locs, months
         |ORDER BY location_id, ts""".stripMargin,
+
+    "w09_backfill_ranges" ->
+      s"""WITH slots AS (
+         |  SELECT l.range AS location_id, g.range AS ts,
+         |    CAST((epoch(g.range) - epoch(TIMESTAMP '2024-01-08 00:00:00'))
+         |         // 900 AS BIGINT) AS idx
+         |  FROM range(0, 3) l, range(TIMESTAMP '2024-01-08 00:00:00',
+         |    TIMESTAMP '2024-01-15 00:00:00', INTERVAL 15 MINUTE) g),
+         |missing AS (
+         |  SELECT * FROM slots
+         |  WHERE ${graft.Dets.phashSql(
+               "'have:' || CAST(location_id AS VARCHAR) || ':' || " +
+               "CAST(idx AS VARCHAR)")} % 13 = 0
+         |     OR (location_id = 1
+         |         AND ts >= TIMESTAMP '2024-01-11 06:00:00'
+         |         AND ts <  TIMESTAMP '2024-01-11 18:00:00')),
+         |grp AS (
+         |  SELECT *, idx - row_number()
+         |    OVER (PARTITION BY location_id ORDER BY ts) AS g
+         |  FROM missing)
+         |SELECT location_id, MIN(ts) AS range_start,
+         |  MAX(ts) + INTERVAL 15 MINUTE AS range_end,
+         |  COUNT(*) AS n_slots
+         |FROM grp GROUP BY location_id, g
+         |ORDER BY location_id, range_start""".stripMargin,
 
     "w06_result_envelope" ->
       s"""SELECT

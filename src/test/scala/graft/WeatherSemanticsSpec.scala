@@ -67,4 +67,33 @@ class WeatherSemanticsSpec extends SparkSpec {
     val out = WeatherPipeline.upsertNew(batch.limit(0), batch, "ts")
     assert(out.count() === 0)
   }
+
+  test("w09: ranges are maximal, disjoint, and cover the planted outage") {
+    import java.sql.Timestamp
+    val out = WeatherPipeline.queries("w09_backfill_ranges")(spark, sf)
+      .as[(Long, Timestamp, Timestamp, Long)].collect()
+    assert(out.nonEmpty)
+    val step = 900000L // 15 min
+    out.foreach { case (_, s0, e0, n) =>
+      // [start, end) spans exactly n_slots grid steps
+      assert(e0.getTime - s0.getTime === n * step)
+    }
+    out.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2.getTime).sliding(2).foreach {
+        case Array(a, b) =>
+          // maximal coalescing: a PRESENT slot separates consecutive
+          // ranges, so end < next start strictly
+          assert(a._3.getTime < b._2.getTime,
+            s"ranges not disjoint/maximal at ${a._3} vs ${b._2}")
+        case _ =>
+      }
+    }
+    // the planted 12 h outage on location 1 sits inside one range
+    val o1 = Timestamp.valueOf("2024-01-11 06:00:00").getTime
+    val o2 = Timestamp.valueOf("2024-01-11 18:00:00").getTime
+    val covering = out.filter(r => r._1 == 1 &&
+      r._2.getTime <= o1 && r._3.getTime >= o2)
+    assert(covering.length === 1, "planted outage not covered by one range")
+    assert(covering.head._4 >= 48) // >= 12h of 15-min slots
+  }
 }
