@@ -989,6 +989,11 @@ object Dedup {
     // input (incl. the edge-free graph) is detected on cycle 1, whose
     // stars are no-ops.
     while (!converged && cycle < maxCycles) {
+      // (A lazy checkpoint — folding this job into the check job via
+      // eager=false — was measured and rejected: same-boot 3-run A/B on
+      // the d06+d11+d16 subset read 8.2/9.1/8.8 vs eager 7.6/8.9/9.0 —
+      // indistinguishable; the eager job over these O(E)-bounded frames
+      // is not where the cycles go.)
       ed = smallStar(largeStar(ed)).localCheckpoint()
       val l = labelsOf(ed).cache()
       converged = groundTruthConverged(l)
