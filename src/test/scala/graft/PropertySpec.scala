@@ -300,4 +300,31 @@ class PropertySpec extends SparkSpec {
       assert(got === wantFull, s"sample $i diverged (${edges.size} edges)")
     }
   }
+
+  test("∀ (n, k): ntileFromRank tiles exactly like SQL NTILE") {
+    // SQL NTILE(k) over n ranked rows is fully characterized by two
+    // facts: bucket ids are non-decreasing in rank (contiguity), and
+    // the first n % k buckets hold ceil(n/k) rows, the rest floor(n/k).
+    // Asserting both against ranks 0..n-1 pins the arithmetic without
+    // re-deriving the production formula (which would be circular).
+    import graft.operators.DistributedRank.ntileFromRank
+    val ns = samples(Gen.choose(1, 400), 24)
+    val ks = samples(Gen.choose(1, 12), 24)
+    ns.zip(ks).foreach { case (nI, k) =>
+      val n = nI.toLong
+      val rows = (0L until n).toDF("r")
+        .withColumn("b", ntileFromRank(k, $"r", lit(n)))
+        .orderBy($"r").as[(Long, Int)].collect()
+      assert(rows.map(_._2).sameElements(rows.map(_._2).sorted),
+        s"n=$n k=$k: bucket ids not contiguous in rank order")
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val small = n / k; val rem = (n % k).toInt
+      (1 to k).foreach { b =>
+        val want = if (b <= rem) small + 1 else small
+        assert(sizes.getOrElse(b, 0).toLong === want,
+          s"n=$n k=$k bucket $b size ${sizes.getOrElse(b, 0)} want $want")
+      }
+      assert(sizes.keySet.forall(b => b >= 1 && b <= k))
+    }
+  }
 }
