@@ -285,6 +285,17 @@ object TextAnalysis {
       bpeTrain(T.documents(s, d), rounds = 4, eager = true)
     },
 
+    // The FULL spec'd production depth (rounds = 8, eager) under the
+    // DuckDB gate — t15b closed the oracle-depth gap to 4; this closes
+    // it entirely: the depth OperatorSpec exercises is now itself
+    // oracle-checked round-for-round (8 argmax rows out of the same
+    // parameterized SQL unroll). The DuckDB side materializes each
+    // round's word table once (CTEs referenced twice auto-materialize),
+    // so the mirror stays linear in rounds, not 2^rounds.
+    "t15c_bpe_train_r8" -> { (s, d) =>
+      bpeTrain(T.documents(s, d), rounds = 8, eager = true)
+    },
+
     // BPE ENCODING — t15's complement: apply the trained merge table to
     // the corpus, per-doc token accounting under the learned tokenizer.
     // Encoding rides the same distinct-word compression as training:
@@ -1340,6 +1351,8 @@ object TextAnalysis {
     "t15_bpe_train" -> bpeTrainOracleSql(2),
 
     "t15b_bpe_train_r4" -> bpeTrainOracleSql(4),
+
+    "t15c_bpe_train_r8" -> bpeTrainOracleSql(8),
 
     "t18_bpe_encode" -> bpeEncodeOracleSql(2),
 
