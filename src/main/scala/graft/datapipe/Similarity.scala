@@ -424,6 +424,36 @@ object Similarity {
         .orderBy($"q_id", $"rk")
     },
 
+    // FILTERED ANN — the "filtered vector search" production stores
+    // serve (a metadata predicate ANDed into candidate generation, not
+    // applied after the fact): each query vector searches ONLY its own
+    // label's vectors (the tenant/shard filter) within its sign-LSH
+    // bucket (the ANN blocking), top-5 by exact cosine. The filter
+    // composes WITH the bucket as equi-JOIN KEYS — (label, bucket) —
+    // so out-of-label candidates never materialize, score, or shuffle;
+    // post-filtering a label-blind top-k would instead both scan
+    // everything and silently under-fill filtered result lists. Scale
+    // shape: queries broadcast; the corpus side is one scan + a hash
+    // join on (label, bucket); per-query top-k is a window over
+    // candidates only. s10's batch-ANN pattern with the predicate
+    // fused into the join.
+    "s13_filtered_ann" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).withColumn("bucket", signBucket)
+      val qs = broadcast(emb.filter($"vec_id" % 61 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("q_emb"),
+                $"label".as("q_label"), $"bucket".as("q_bucket")))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      emb.join(qs, $"label" === $"q_label" && $"bucket" === $"q_bucket" &&
+                   $"vec_id" =!= $"qid")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"qid", $"q_label".as("label"), $"rnk", $"vec_id", $"cosine")
+        .orderBy($"qid", $"rnk")
+    },
+
     // SemDeDup (semantic dedup over embeddings): within each cluster,
     // a vector is REMOVED when a lower-id vector in the same cluster is
     // semantically identical (cosine >= 0.95) — the keep/remove
@@ -1018,6 +1048,31 @@ object Similarity {
          |SELECT q_id, rk, vec_id, label, cosine
          |FROM ranked WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
+
+    "s13_filtered_ann" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding, label, $signBucketSql AS bucket
+         |  FROM embeddings),
+         |qs AS (
+         |  SELECT vec_id AS qid, embedding AS q_emb, label AS q_label,
+         |    bucket AS q_bucket
+         |  FROM emb WHERE vec_id % 61 = 0),
+         |scored AS (
+         |  SELECT q.qid, q.q_label, e.vec_id,
+         |    ${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM emb e JOIN qs q
+         |    ON e.label = q.q_label AND e.bucket = q.q_bucket
+         |   AND e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, q_label, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT qid, q_label AS label, rnk, vec_id, cosine
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
 
     "d14_semdedup" ->
       s"""WITH emb AS (

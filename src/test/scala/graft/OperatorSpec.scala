@@ -1159,6 +1159,35 @@ class OperatorSpec extends SparkSpec {
     assert(out.length === nToks.count(_._2 >= 1))
   }
 
+  test("s13: every filtered-ANN hit shares the query's label AND bucket") {
+    val out = datapipe.Similarity.queries("s13_filtered_ann")(spark, sf)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // independent re-derivation of label and sign-bucket per vec_id
+    val meta = Tables.embeddings(spark, sf)
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (id, e, l) =>
+        val b = (0 until 8).map(j => if (e(j) > 0.0f) 1 << j else 0).sum
+        id -> (l, b)
+      }.toMap
+    out.foreach { case (qid, label, rnk, vid, _) =>
+      assert(vid !== qid)
+      assert(meta(vid)._1 === label, s"hit $vid outside query $qid's label")
+      assert(meta(vid)._1 === meta(qid)._1)
+      assert(meta(vid)._2 === meta(qid)._2, s"hit $vid outside $qid's bucket")
+      assert(rnk >= 1 && rnk <= 5)
+    }
+    // per query: ranks contiguous from 1, cosine non-increasing in rank
+    out.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5)
+        case _ =>
+      }
+    }
+  }
+
   test("t25: the kept set is the true top-100 of the full pool-score frame") {
     val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
       .as[(Long, String, Long, Double)].collect()
