@@ -165,6 +165,38 @@ class PlanShapeSpec extends SparkSpec {
       "expected a range repartition to own the total order:\n" + p.take(800))
   }
 
+  test("t28: every shuffle carries only fixed-width numeric columns — never grams") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val exchanges = planTree("t28_crossdoc_grams").collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the t28 plan")
+    exchanges.foreach { e =>
+      val bad = e.output.filterNot(a => a.dataType == LongType ||
+        a.dataType == IntegerType || a.dataType == DoubleType)
+      assert(bad.isEmpty, "non-numeric columns cross a t28 shuffle: " +
+        bad.map(a => s"${a.name}:${a.dataType}").mkString(", "))
+    }
+  }
+
+  test("s13: the filtered query set broadcasts; candidates join by (label, bucket)") {
+    val p = plan("s13_filtered_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      "query set must broadcast against the corpus scan:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "filter not fused as equi-join keys — candidate generation is a cross product")
+  }
+
+  test("w09: one partitioned window; ranges never global-sort the grid") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val tree = planTree("w09_backfill_ranges")
+    val windows = tree.collect { case w: WindowExec => w }
+    assert(windows.size === 1, s"expected ONE islands window, got ${windows.size}")
+    assert(windows.head.partitionSpec.nonEmpty,
+      "islands window must partition by location (empty spec = one-task sort)")
+  }
+
   test("t07: sketch and exact branches reuse ONE explode/count exchange") {
     // The corpus explode + (lang, word) count shuffle must be computed
     // once and shared (AQE ReusedExchange) — the r7 regression was this
