@@ -59,6 +59,16 @@ object Dedup {
     * windows, hashed — only (doc_id, fp) longs ever leave the scan. */
   private def contaminationGrams(s: SparkSession, d: String,
       fix: ContaminationFixture): (DataFrame, DataFrame) = {
+    val (bg, tg) = contaminationGramsWithIds(s, d, fix)
+    (bg.select(col("fp")).distinct(), tg)
+  }
+
+  /** [[contaminationGrams]] keeping the bench side's doc ids — d19's
+    * eval-exposure report aggregates BY bench doc, where d12/d17 only
+    * need the fp set. Same fixture, same gram definition.
+    */
+  private def contaminationGramsWithIds(s: SparkSession, d: String,
+      fix: ContaminationFixture): (DataFrame, DataFrame) = {
     import s.implicits._
     graft.GraftExtensions.register(s)
     val docs = T.documents(s, d).select($"doc_id", $"text")
@@ -78,7 +88,7 @@ object Dedup {
         "transform(sequence(1, size(ws) - 7), i -> " +
         "graft_phash(concat_ws('_', slice(ws, i, 8))))")).as("fp"))
       .distinct()
-    (grams(bench).select($"fp").distinct(), grams(train))
+    (grams(bench), grams(train))
   }
 
   /** The exact-join contamination oracle for a fixture — shared by d12
@@ -540,6 +550,39 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // Eval-exposure report — d12's complement, aggregated from the
+    // BENCHMARK side: for each eval doc, how many of its distinct
+    // 8-grams exist in the training corpus, across how many training
+    // docs, and what fraction of the doc that covers. d12 answers
+    // "which training docs must I drop"; this answers the question an
+    // eval audit actually asks — "which of my eval items are
+    // compromised, and how badly" — over the SAME gram join. Scale
+    // shape unchanged: the bench side (now carrying doc ids — still
+    // eval-sized, tiny next to the corpus) broadcasts; the training
+    // side streams through map-side; the aggregate keys on bench doc.
+    // Every bench doc's planted 16-word leak guarantees exposure (its
+    // prefix's distinct grams all exist in training), so the report is
+    // non-vacuous at every scale (spec-pinned).
+    "d19_eval_exposure" -> { (s, d) =>
+      import s.implicits._
+      val (benchGrams, trainGrams) = contaminationGramsWithIds(s, d, D12_FIX)
+      val totals = benchGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = trainGrams.select($"doc_id".as("train_doc"), $"fp")
+        .join(broadcast(benchGrams.select($"doc_id".as("bench_doc"), $"fp")),
+              Seq("fp"))
+        .groupBy($"bench_doc")
+        .agg(countDistinct($"fp").as("n_hit_grams"),
+             countDistinct($"train_doc").as("n_train_docs"))
+      totals.select($"doc_id".as("bench_doc"), $"n_grams")
+        .join(hits, Seq("bench_doc"), "left")
+        .select($"bench_doc", $"n_grams",
+          coalesce($"n_hit_grams", lit(0L)).as("n_hit_grams"),
+          coalesce($"n_train_docs", lit(0L)).as("n_train_docs"),
+          round(coalesce($"n_hit_grams", lit(0L)).cast("double") / $"n_grams",
+                6).as("exposure_frac"))
+        .orderBy($"bench_doc")
+    },
+
     // Bloom-prefiltered decontamination — d12's scale path for when the
     // benchmark gram set outgrows broadcast (multi-suite eval unions,
     // contamination sweeps against another corpus). The gram set folds
@@ -773,6 +816,45 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
 
     "d12_decontaminate" -> contaminationSql(D12_FIX),
+
+    "d19_eval_exposure" -> {
+      val fix = D12_FIX
+      val fpOf = graft.Dets.phashSql(
+        "array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], '_')")
+      def gramsSql(src: String) =
+        s"""SELECT DISTINCT doc_id, $fpOf AS fp
+           |FROM (SELECT doc_id, ws,
+           |        unnest(list_transform(range(1, len(ws) - 6), i -> i)) AS i
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)
+           |      WHERE len(ws) >= 8)""".stripMargin
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % ${fix.modulus} = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % ${fix.modulus} <> 0
+         |  UNION ALL
+         |  SELECT doc_id + ${fix.offset},
+         |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
+         |    array_to_string(list_transform(range(1, 25),
+         |      i -> '${fix.tag}' || CAST(doc_id AS VARCHAR) || 'x' ||
+         |           CAST(i AS VARCHAR)), ' ')
+         |  FROM bench),
+         |bg AS (${gramsSql("bench")}),
+         |tg AS (${gramsSql("train")}),
+         |tot AS (SELECT doc_id AS bench_doc, COUNT(*) AS n_grams
+         |        FROM bg GROUP BY 1),
+         |hits AS (
+         |  SELECT bg.doc_id AS bench_doc,
+         |    COUNT(DISTINCT bg.fp) AS n_hit_grams,
+         |    COUNT(DISTINCT tg.doc_id) AS n_train_docs
+         |  FROM bg JOIN tg USING (fp) GROUP BY 1)
+         |SELECT t.bench_doc, t.n_grams,
+         |  CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+         |  CAST(COALESCE(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+         |  round(CAST(COALESCE(h.n_hit_grams, 0) AS DOUBLE) / t.n_grams, 6)
+         |    AS exposure_frac
+         |FROM tot t LEFT JOIN hits h USING (bench_doc)
+         |ORDER BY bench_doc""".stripMargin
+    },
 
     // Bloom prefiltering has no false negatives and every false
     // positive dies in the exact confirm join, so d17 shares d12's

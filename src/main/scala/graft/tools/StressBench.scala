@@ -116,7 +116,11 @@ object StressBench {
       // t28: (doc_id, hash)-long shuffles only; pair-free (doc-frequency
       // join, never a self-join) — near-linear even on the
       // mutually-duplicated stress corpus where pair emitters go quadratic
-      "t28_crossdoc_grams"
+      "t28_crossdoc_grams," +
+      // s13: embeddings stay 1× in the scaled corpus — curve flat like
+      // s07/s08; the (label, bucket) join keeps candidates per query
+      // constant regardless of fact-table growth
+      "s13_filtered_ann"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1159,6 +1159,24 @@ class OperatorSpec extends SparkSpec {
     assert(out.length === nToks.count(_._2 >= 1))
   }
 
+  test("d19: every bench doc is exposed by its planted leak; fractions consistent") {
+    val out = datapipe.Dedup.queries("d19_eval_exposure")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // one row per bench doc (doc_id % modulus == 0), no drops
+    val nBench = Tables.documents(spark, sf)
+      .filter($"doc_id" % 50 === 0).count()
+    assert(out.length.toLong === nBench)
+    out.foreach { case (id, nGrams, nHit, nTrainDocs, frac) =>
+      // the planted 16-word-prefix leak guarantees exposure; the exact
+      // hit count is the prefix's DISTINCT gram count (repetition can
+      // shrink the window's 9 grams), so pin positivity, not 9
+      assert(nHit >= 1L, s"bench doc $id not exposed despite planted leak")
+      assert(nHit <= nGrams)
+      assert(nTrainDocs >= 1L)
+      assert(math.abs(frac - nHit.toDouble / nGrams) < 1e-6)
+    }
+  }
+
   test("s13: every filtered-ANN hit shares the query's label AND bucket") {
     val out = datapipe.Similarity.queries("s13_filtered_ann")(spark, sf)
       .as[(Long, Int, Long, Long, Double)].collect()
