@@ -120,7 +120,10 @@ object StressBench {
       // s13: embeddings stay 1× in the scaled corpus — curve flat like
       // s07/s08; the (label, bucket) join keeps candidates per query
       // constant regardless of fact-table growth
-      "s13_filtered_ann"
+      "s13_filtered_ann," +
+      // d19: same broadcast gram join as d12 aggregated by bench doc —
+      // curve should track d12's
+      "d19_eval_exposure"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
