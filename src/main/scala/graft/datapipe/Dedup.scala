@@ -550,6 +550,49 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // Cluster-representative selection — the RESOLUTION policy a
+    // production dedup run actually applies: d01/d06 keep the MIN id
+    // per duplicate group, but real pipelines keep the BEST version
+    // (MinHashLSH cluster → retain the highest-quality copy, drop the
+    // rest). Near-dup clusters come from d06's star-CC over d04's
+    // verified pairs; each member is scored by the t02/t20 quality
+    // formula (same fused WordStats pass, identical double
+    // arithmetic), and the representative is the (quality desc,
+    // doc_id) argmax — deterministic under ties. Scale shape: the CC
+    // machinery is d06's (log-round, O(E) frames); the quality pass is
+    // map-only; member scoring joins on the uniform doc_id key; both
+    // the size count and the argmax ride ONE lbl-partitioned exchange.
+    "d20_cluster_representatives" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
+      val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
+      val seed = pairs.select($"d1".as("doc_id"))
+        .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
+        .select($"doc_id", $"doc_id".as("lbl"))
+      val labels = connectedComponents(seed, edges, CC_STAR_BUDGET)
+      pairs.unpersist()
+      val q = corpus(s, d)
+        .withColumn("ws", graft.functions.WordStats.word_stats($"text"))
+        .withColumn("n_words", graft.functions.WordStats.nWords($"ws"))
+        .filter($"n_words" >= 1)
+        .select($"doc_id",
+          (graft.functions.WordStats.nDistinct($"ws") / $"n_words" * 0.4 +
+           (lit(1.0) -
+             graft.functions.WordStats.nStop($"ws") / $"n_words") * 0.3 +
+           least($"n_words" / 100.0, lit(1.0)) * 0.3).as("quality"))
+      val byLbl = Window.partitionBy($"lbl")
+      labels.join(q, Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(byLbl))
+        .filter($"n_members" > 1)
+        .withColumn("rn", row_number().over(
+          byLbl.orderBy(desc("quality"), $"doc_id")))
+        .filter($"rn" === 1)
+        .select($"lbl".as("cluster_id"), $"doc_id".as("rep_doc"),
+                round($"quality", 6).as("rep_quality"), $"n_members")
+        .orderBy($"cluster_id")
+    },
+
     // Eval-exposure report — d12's complement, aggregated from the
     // BENCHMARK side: for each eval doc, how many of its distinct
     // 8-grams exist in the training corpus, across how many training
@@ -799,6 +842,41 @@ object Dedup {
          |  AND lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
          |ORDER BY doc_id""".stripMargin,
+
+    // d06's labels + the t20 quality mirror + a per-cluster argmax.
+    "d20_cluster_representatives" ->
+      s"""WITH $d04PairsSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM d04pairs
+         |  UNION ALL SELECT d2, d1 FROM d04pairs),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |${ccRoundsSql(CC_ROUND_BUDGET + 1)},
+         |${ccGuardSql(CC_ROUND_BUDGET)},
+         |q AS (
+         |  SELECT doc_id,
+         |    len(list_distinct(words)) / n_words * 0.4 +
+         |    (1.0 - len(list_filter(words, w -> w = 'the' OR w = 'a'))
+         |       / n_words) * 0.3 +
+         |    least(n_words / 100.0, 1.0) * 0.3 AS quality
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |        FROM corpus)
+         |  WHERE n_words >= 1),
+         |m AS (
+         |  SELECT l.lbl, l.doc_id, q.quality
+         |  FROM l$CC_ROUND_BUDGET l JOIN q USING (doc_id)),
+         |sized AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY lbl) AS n_members FROM m),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lbl
+         |    ORDER BY quality DESC, doc_id) AS rn
+         |  FROM sized WHERE n_members > 1)
+         |SELECT lbl AS cluster_id, doc_id AS rep_doc,
+         |  round(quality, 6) AS rep_quality,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM r, ccguard
+         |WHERE ccguard.ok = 1 AND rn = 1
+         |ORDER BY cluster_id""".stripMargin,
 
     // d06's unrolled propagation over d07's edge set.
     "d11_editdist_clusters" ->

@@ -123,7 +123,10 @@ object StressBench {
       "s13_filtered_ann," +
       // d19: same broadcast gram join as d12 aggregated by bench doc —
       // curve should track d12's
-      "d19_eval_exposure"
+      "d19_eval_exposure," +
+      // d20: d06's CC cost + a map-only quality pass + one lbl window —
+      // curve should track d06's
+      "d20_cluster_representatives"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

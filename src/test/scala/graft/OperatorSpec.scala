@@ -1159,6 +1159,35 @@ class OperatorSpec extends SparkSpec {
     assert(out.length === nToks.count(_._2 >= 1))
   }
 
+  test("d20: the representative is the true quality argmax of its d06 cluster") {
+    import graft.functions.WordStats
+    val reps = datapipe.Dedup.queries("d20_cluster_representatives")(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(reps.nonEmpty)
+    // members come from the independently-green d06 registry output;
+    // quality recomputed over the same corpus
+    val members = datapipe.Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    val qual = datapipe.Dedup.corpus(spark, sf)
+      .withColumn("ws", WordStats.word_stats($"text"))
+      .withColumn("n_words", WordStats.nWords($"ws"))
+      .filter($"n_words" >= 1)
+      .select($"doc_id",
+        (WordStats.nDistinct($"ws") / $"n_words" * 0.4 +
+         (lit(1.0) - WordStats.nStop($"ws") / $"n_words") * 0.3 +
+         least($"n_words" / 100.0, lit(1.0)) * 0.3).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val byCluster = members.groupBy(_._2)
+    assert(reps.length === byCluster.size, "one representative per d06 cluster")
+    reps.foreach { case (cid, repDoc, _, nMembers) =>
+      val ms = byCluster(cid).map(_._1)
+      assert(ms.length.toLong === nMembers, s"cluster $cid size mismatch")
+      val want = ms.map(id => (id, qual(id))).sortBy { case (id, q) => (-q, id) }
+      assert(repDoc === want.head._1,
+        s"cluster $cid rep $repDoc is not the quality argmax ${want.head}")
+    }
+  }
+
   test("d19: every bench doc is exposed by its planted leak; fractions consistent") {
     val out = datapipe.Dedup.queries("d19_eval_exposure")(spark, sf)
       .as[(Long, Long, Long, Long, Double)].collect()
