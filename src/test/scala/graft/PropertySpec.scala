@@ -310,7 +310,11 @@ class PropertySpec extends SparkSpec {
     import graft.operators.DistributedRank.ntileFromRank
     val ns = samples(Gen.choose(1, 400), 24)
     val ks = samples(Gen.choose(1, 12), 24)
-    ns.zip(ks).foreach { case (nI, k) =>
+    // pin the n < k edge explicitly (floor bucket size 0 — the first
+    // n % k buckets absorb every rank and the zero-size branch must
+    // never evaluate): random sampling can miss it
+    val cases = ns.zip(ks) ++ Seq((3, 7), (1, 12), (12, 12))
+    cases.foreach { case (nI, k) =>
       val n = nI.toLong
       val rows = (0L until n).toDF("r")
         .withColumn("b", ntileFromRank(k, $"r", lit(n)))
