@@ -1108,6 +1108,54 @@ object TextAnalysis {
         .orderBy($"bucket")
     },
 
+    // Per-source quality drift profile — the monitoring report a
+    // production curation run emits per crawl snapshot: for each
+    // source, the quality distribution's mean and spread plus how many
+    // docs sit outside 2 sigma (a domain whose outlier count jumps is
+    // the one whose extraction broke). Determinism is TOTAL: quality is
+    // rounded ONCE to integer micro-units per doc, the moment sums are
+    // exact DECIMAL(38) integers, and the 2-sigma test is evaluated in
+    // the integer domain — (q*n - s1)^2 > 4*(n*s2 - s1^2) multiplies
+    // out every division, so no float ever decides an outlier (a z-test
+    // written in doubles would flip boundary docs between engines).
+    // mean/std are presentation-only derivations of the exact sums.
+    // Scale shape: one map-only score pass; per-source integer partial
+    // aggregates (decimal sums survive 1e11-doc sources within
+    // 38 digits); the O(sources) stats frame broadcasts back for the
+    // outlier recount. Two narrow passes, no window, no self-join.
+    "t29_quality_drift" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.WordStats
+      val q = T.documents(s, d)
+        .withColumn("ws", WordStats.word_stats($"text"))
+        .withColumn("n_words", WordStats.nWords($"ws"))
+        .filter($"n_words" >= 1)
+        .select($"doc_id", $"source",
+          round((WordStats.nDistinct($"ws") / $"n_words" * 0.4 +
+            (lit(1.0) - WordStats.nStop($"ws") / $"n_words") * 0.3 +
+            least($"n_words" / 100.0, lit(1.0)) * 0.3) * 1e6)
+            .cast("long").as("qm"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val stats = q.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(dec($"qm")).as("s1"),
+        sum(dec($"qm") * $"qm").as("s2"))
+      val joined = q.join(broadcast(stats), Seq("source"))
+        .withColumn("lhs", (dec($"qm") * $"n_docs" - $"s1") *
+                           (dec($"qm") * $"n_docs" - $"s1"))
+        .withColumn("rhs", (dec($"n_docs") * $"s2" - $"s1" * $"s1") * 4)
+      joined.groupBy($"source")
+        .agg(max($"n_docs").as("n_docs"), max($"s1").as("m1"),
+             max($"s2").as("m2"),
+             sum(when($"lhs" > $"rhs", 1L).otherwise(0L)).as("n_outliers"))
+        .select($"source", $"n_docs",
+          round($"m1".cast("double") / $"n_docs" / 1e6, 6).as("mean_q"),
+          round(sqrt(($"n_docs" * $"m2" - $"m1" * $"m1").cast("double"))
+            / $"n_docs" / 1e6, 6).as("std_q"),
+          $"n_outliers")
+        .orderBy($"source")
+    },
+
     // Cross-document duplication profile — the RefinedWeb/Falcon dedup
     // DIAGNOSTIC (t11 measures repetition WITHIN a doc; this measures
     // how much of each doc is shared ACROSS docs): per doc, the
@@ -1858,6 +1906,34 @@ object TextAnalysis {
          |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_tokens,
          |  MIN(avg_nll) AS lo_nll, MAX(avg_nll) AS hi_nll
          |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "t29_quality_drift" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(round((len(list_distinct(words)) / n_words * 0.4 +
+        |      (1.0 - len(list_filter(words, w -> w = 'the' OR w = 'a'))
+        |         / n_words) * 0.3 +
+        |      least(n_words / 100.0, 1.0) * 0.3) * 1e6) AS HUGEINT) AS qm
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |        FROM documents)
+        |  WHERE n_words >= 1),
+        |stats AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    SUM(qm) AS s1, SUM(qm * qm) AS s2
+        |  FROM q GROUP BY source),
+        |j AS (
+        |  SELECT q.source, q.qm, s.n_docs, s.s1, s.s2,
+        |    (q.qm * s.n_docs - s.s1) * (q.qm * s.n_docs - s.s1) AS lhs,
+        |    (s.n_docs * s.s2 - s.s1 * s.s1) * 4 AS rhs
+        |  FROM q JOIN stats s USING (source))
+        |SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+        |  round(CAST(MAX(s1) AS DOUBLE) / MAX(n_docs) / 1e6, 6) AS mean_q,
+        |  round(sqrt(CAST(MAX(n_docs) * MAX(s2) - MAX(s1) * MAX(s1)
+        |                  AS DOUBLE)) / MAX(n_docs) / 1e6, 6) AS std_q,
+        |  CAST(SUM(CASE WHEN lhs > rhs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "t28_crossdoc_grams" ->
       s"""WITH corpus AS (${Dedup.corpusSql}),

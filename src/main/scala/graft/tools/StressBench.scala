@@ -126,7 +126,10 @@ object StressBench {
       "d19_eval_exposure," +
       // d20: d06's CC cost + a map-only quality pass + one lbl window —
       // curve should track d06's
-      "d20_cluster_representatives"
+      "d20_cluster_representatives," +
+      // t29: map-only scoring + per-source integer partials — linear,
+      // like t14's
+      "t29_quality_drift"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1274,6 +1274,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("t29: outlier counts match an exact BigInt recomputation; Chebyshev holds") {
+    import graft.functions.WordStats
+    val out = datapipe.TextAnalysis.queries("t29_quality_drift")(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // per-doc micro-quality via the production column, moment algebra
+    // redone independently in BigInt (no Spark, no decimal, no double)
+    val qm = Tables.documents(spark, sf)
+      .withColumn("ws", WordStats.word_stats($"text"))
+      .withColumn("n_words", WordStats.nWords($"ws"))
+      .filter($"n_words" >= 1)
+      .select($"source",
+        round((WordStats.nDistinct($"ws") / $"n_words" * 0.4 +
+          (lit(1.0) - WordStats.nStop($"ws") / $"n_words") * 0.3 +
+          least($"n_words" / 100.0, lit(1.0)) * 0.3) * 1e6)
+          .cast("long").as("qm"))
+      .as[(String, Long)].collect()
+    assert(out.keySet === qm.map(_._1).toSet)
+    qm.groupBy(_._1).foreach { case (src, xs) =>
+      val v = xs.map(x => BigInt(x._2))
+      val n = BigInt(v.length)
+      val s1 = v.sum
+      val s2 = v.map(x => x * x).sum
+      val want = v.count { q => val l = q * n - s1; l * l > (n * s2 - s1 * s1) * 4 }
+      val (_, nDocs, _, stdQ, nOut) = out(src)
+      assert(nDocs === v.length.toLong, s"$src doc count")
+      assert(nOut === want.toLong, s"$src outliers: got $nOut want $want")
+      // Chebyshev at 2 sigma: at most a quarter of the docs qualify
+      assert(nOut * 4 <= nDocs, s"$src violates Chebyshev")
+      assert(stdQ >= 0.0)
+    }
+  }
+
   test("t28: exact copies read shared_frac 1.0; near-copies sit strictly inside (0,1)") {
     val out = datapipe.TextAnalysis.queries("t28_crossdoc_grams")(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
