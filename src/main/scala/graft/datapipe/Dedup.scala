@@ -446,6 +446,87 @@ object Dedup {
       d04Pairs(s, d).orderBy(col("d1"), col("d2"))
     },
 
+    // LSH RECALL/PRECISION EVALUATION — s14's twin for the dedup side:
+    // before trusting banded MinHash at 100 TB, measure what the bands
+    // actually catch. Ground truth is EXACT and COMPLETE for J > 0: any
+    // pair with a shared shingle appears in the shingle-inverted-index
+    // join (a pair with Jaccard >= tau > 0 shares >= 1 shingle by
+    // definition), and because each doc's shingle hashes are DISTINCT,
+    // |intersection| is exactly the pair's match count in that join —
+    // groupBy(d1, d2).count() IS the exact verify, so only (d1, d2)
+    // longs ever shuffle (map-side combined) and the hash-set arrays
+    // never leave the scan side; per-doc set sizes join back as two
+    // narrow columns. (The first cut carried both hsets through the
+    // pair shuffle for a sorted-merge verify — ~100 longs per pair ×
+    // a quadratic pair count OOM'd the 16x stress cell; the count
+    // formulation is the standard exact set-similarity join.)
+    // Candidates are d02's band-key pairs BEFORE
+    // their verify. Per threshold tau: recall = |cand ∩ truth_tau| /
+    // |truth_tau| and precision = same hits / |cand| (a candidate with
+    // J >= tau IS a truth pair — it shares a shingle a fortiori), so
+    // the report is the measured banding S-curve (theory for K=16,
+    // b=4, r=4: P(cand|J) = 1-(1-J^4)^4 ~ 0.23 at J=0.5, 0.87 at 0.8)
+    // next to the candidate bill. The dedup corpus's planted copies are
+    // all J ~ 1 (bands catch those ~always — recall 1.0 tells you
+    // nothing), so the eval corpus ADDS mid-similarity plants: the
+    // first ~60% of every 13th doc's words plus a distinct tail lands
+    // J ~ 0.55-0.65, exactly the region where banding starts dropping
+    // pairs and the measured recall@0.5 separates from recall@0.8.
+    // Scale honesty: the ground-truth join fans out on shingle
+    // doc-frequency (heavy template shingles make it quadratic in the
+    // worst case) — it is the EVAL, priced like s14's brute force: at
+    // 100 TB you run it over a sampled partition or cap shingle df,
+    // trading completeness you can quantify; the fixture corpus is
+    // small enough for the exact form. Only 60-bit hashes and doc_ids
+    // shuffle; checkpointed frames are the tiny verified pair sets, so
+    // neither pass runs twice.
+    "d21_lsh_recall" -> { (s, d) =>
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", $"text", $"lang", $"source")
+      val partial = docs.filter($"doc_id" % 13 === 0)
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 6)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          concat(array_join(
+              expr("slice(w, 1, greatest(3, (size(w) * 6) div 10))"), " "),
+            lit(" mid sim tail pad")).as("text"),
+          $"lang", $"source")
+      val sig = signaturesOf(corpus(s, d).unionByName(partial)).cache()
+      val bands = sig.select(col("doc_id"), explode(bandKeyArray).as("band_key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+        .localCheckpoint()
+      val sizes = sig.select($"doc_id", size($"hset").as("sz"))
+      val sh = sig.select($"doc_id", explode($"hset").as("h"))
+      val truth = sh.as("x").join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("d1"), $"sz".as("s1")), Seq("d1"))
+        .join(sizes.select($"doc_id".as("d2"), $"sz".as("s2")), Seq("d2"))
+        .withColumn("jaccard", expr("inter / (s1 + s2 - inter)"))
+        .filter($"jaccard" >= 0.5)
+        .select($"d1", $"d2", $"jaccard")
+        .localCheckpoint()
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      def row(tau: Double): DataFrame = {
+        val tr = truth.filter($"jaccard" >= tau)
+        val hits = tr.join(cand, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        tr.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(broadcast(hits))
+          .crossJoin(broadcast(nCand))
+          .select(lit(tau).cast("double").as("threshold"),
+            $"n_truth", $"n_cand", $"hits",
+            ($"hits" / $"n_truth".cast("double")).as("recall"),
+            ($"hits" / $"n_cand".cast("double")).as("precision"))
+      }
+      row(0.5).unionByName(row(0.8)).orderBy($"threshold")
+    },
+
     // Edit-distance near-dup (typo/OCR-noise dedup — catches what
     // set-based Jaccard misses when edits are WITHIN tokens): d04's
     // (lang, source, length-bucket) blocking, a length-delta pre-prune
@@ -808,6 +889,57 @@ object Dedup {
 
     "d04_ngram_jaccard" -> s"""WITH $d04PairsSql
          |SELECT d1, d2, jaccard FROM d04pairs ORDER BY d1, d2""".stripMargin,
+
+    "d21_lsh_recall" ->
+      s"""WITH c21 AS (
+         |  $corpusSql
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    array_to_string(words[1:GREATEST(3, (len(words) * 6) // 10)], ' ')
+         |      || ' mid sim tail pad',
+         |    lang, source
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words, lang, source
+         |        FROM documents WHERE doc_id % 13 = 0) pz
+         |  WHERE len(words) >= 6),
+         |${sigCtesSql("c21", "")},
+         |bands AS (
+         |  SELECT doc_id, unnest($bandKeysSql) AS band_key
+         |  FROM sigs),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |sh AS (SELECT doc_id, unnest(hset) AS h FROM sigs),
+         |isect AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(hset) AS sz FROM sigs),
+         |truth AS MATERIALIZED (
+         |  SELECT d1, d2, jaccard FROM (
+         |    SELECT d1, d2, inter / (s1.sz + s2.sz - inter) AS jaccard
+         |    FROM isect
+         |    JOIN sizes s1 ON s1.doc_id = d1
+         |    JOIN sizes s2 ON s2.doc_id = d2) z
+         |  WHERE jaccard >= 0.5),
+         |u AS (
+         |  SELECT CAST(0.5 AS DOUBLE) AS threshold,
+         |    (SELECT COUNT(*) FROM truth WHERE jaccard >= 0.5) AS n_truth,
+         |    (SELECT COUNT(*) FROM cand) AS n_cand,
+         |    (SELECT COUNT(*) FROM truth t JOIN cand c
+         |       ON t.d1 = c.d1 AND t.d2 = c.d2
+         |     WHERE t.jaccard >= 0.5) AS hits
+         |  UNION ALL
+         |  SELECT CAST(0.8 AS DOUBLE) AS threshold,
+         |    (SELECT COUNT(*) FROM truth WHERE jaccard >= 0.8) AS n_truth,
+         |    (SELECT COUNT(*) FROM cand) AS n_cand,
+         |    (SELECT COUNT(*) FROM truth t JOIN cand c
+         |       ON t.d1 = c.d1 AND t.d2 = c.d2
+         |     WHERE t.jaccard >= 0.8) AS hits)
+         |SELECT threshold, n_truth, n_cand, hits,
+         |  hits / CAST(n_truth AS DOUBLE) AS recall,
+         |  hits / CAST(n_cand AS DOUBLE) AS precision
+         |FROM u ORDER BY threshold""".stripMargin,
 
     "d07_edit_distance" ->
       s"""WITH corpus AS ($corpusSql),

@@ -454,6 +454,62 @@ object Similarity {
         .orderBy($"qid", $"rnk")
     },
 
+    // ANN RECALL EVALUATION — the measurement harness every ANN
+    // deployment needs before trusting its index: on a sampled query set
+    // (vec_id % 25), compute the EXACT cosine top-10 (brute force, the
+    // ground truth), generate candidates with the two production
+    // blockings (s02's single sign-bucket probe and s07's probe-2
+    // multi-probe), and report each method's recall@10 next to its
+    // avg candidate-list size — the recall/cost frontier as data, not
+    // guesswork. Scale shape: queries broadcast everywhere; the ground
+    // truth is one corpus scan per query batch (map-only score, then a
+    // window over (q_id, vec_id, cosine) triples — 24 B/row, embeddings
+    // never shuffle) and is localCheckpointed (n_q × 10 rows) so the
+    // two method reports don't recompute the brute-force pass; candidate
+    // generation is the same partition-prunable bucket equi-join the
+    // production path uses. Recall is derived from integer counts via
+    // one double division, so it is cross-engine IEEE-exact.
+    "s14_ann_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+        .withColumn("bucket", signBucket)
+      val qs0 = emb.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+                $"bucket".as("q_bucket"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      val exact10 = emb.join(broadcast(qs0), $"vec_id" =!= $"q_id")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .filter(!isnan($"cosine")) // zero-norm vectors never rank
+        .select($"q_id", $"vec_id", $"cosine")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint() // n_q * 10 rows; brute force runs ONCE
+      val cand1 = emb.join(broadcast(qs0),
+          $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id")
+      // probe-2 bucket list per query (3 DISTINCT buckets by
+      // construction — each flips a different bit — so no dedup join).
+      val probes = qs0.select($"q_id",
+        explode(probeBuckets("q_emb", "q_bucket", 2)).as("pb"))
+      val cand2 = emb.join(broadcast(probes),
+          $"bucket" === $"pb" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id")
+      val nq = qs0.agg(count(lit(1)).as("n_q"))
+      def report(name: String, cand: DataFrame): DataFrame =
+        exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(nq))
+          .select(lit(name).as("method"), $"n_q", $"hits", $"n_cand",
+            ($"hits" / ($"n_q" * 10.0)).as("recall_at_10"),
+            ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
+      report("lsh_bucket", cand1)
+        .unionByName(report("multiprobe_2", cand2))
+        .orderBy($"method")
+    },
+
     // SemDeDup (semantic dedup over embeddings): within each cluster,
     // a vector is REMOVED when a lower-id vector in the same cluster is
     // semantically identical (cosine >= 0.95) — the keep/remove
@@ -1073,6 +1129,52 @@ object Similarity {
          |SELECT qid, q_label AS label, rnk, vec_id, cosine
          |FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+
+    "s14_ann_recall" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, $signBucketSql AS bucket
+         |  FROM embeddings WHERE len(embedding) > 0),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+         |  FROM b WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM b e, q WHERE e.vec_id <> q.q_id),
+         |exact10 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM scored WHERE NOT isnan(cosine)) z
+         |  WHERE rn <= 10),
+         |cand1 AS (
+         |  SELECT q.q_id, e.vec_id FROM b e, q
+         |  WHERE e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+         |probes AS (
+         |  SELECT q_id, unnest(${probeBucketsSql("q_emb", "q_bucket", 2)})
+         |    AS pb FROM q),
+         |cand2 AS (
+         |  SELECT p.q_id, e.vec_id
+         |  FROM b e JOIN probes p ON e.bucket = p.pb
+         |  WHERE e.vec_id <> p.q_id),
+         |u AS (
+         |  SELECT 'lsh_bucket' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10 x JOIN cand1 c
+         |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM cand1) AS n_cand
+         |  UNION ALL
+         |  SELECT 'multiprobe_2' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10 x JOIN cand2 c
+         |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM cand2) AS n_cand)
+         |SELECT method, n_q, hits, n_cand,
+         |  hits / (n_q * 10.0) AS recall_at_10,
+         |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
+         |FROM u ORDER BY method""".stripMargin,
 
     "d14_semdedup" ->
       s"""WITH emb AS (

@@ -129,7 +129,20 @@ object StressBench {
       "d20_cluster_representatives," +
       // t29: map-only scoring + per-source integer partials — linear,
       // like t14's
-      "t29_quality_drift"
+      "t29_quality_drift," +
+      // s14: the ground-truth pass is O(corpus × queries) and the
+      // fixture samples queries by MODULO (a fixed fraction), so the
+      // stress curve is quadratic in k BY CONSTRUCTION — the eval
+      // workload's nature, not a plan defect. At 100 TB the operator's
+      // knob is a FIXED-SIZE query sample (n_q constant), which makes
+      // the same plan linear in corpus rows; the candidate joins are
+      // flat-per-query either way
+      "s14_ann_recall," +
+      // d21: the exact ground-truth inverted-index join fans out on
+      // shingle doc-frequency — super-linear on the mutually-duplicated
+      // stress corpus BY CONSTRUCTION (it is the eval, priced like
+      // s14's brute force; production samples or df-caps it)
+      "d21_lsh_recall"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1235,6 +1235,46 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d21: banding recall is measured against a complete exact ground truth") {
+    val rows = datapipe.Dedup.queries("d21_lsh_recall")(spark, sf)
+      .as[(Double, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq(0.5, 0.8))
+    val Array(lo, hi) = rows
+    assert(lo._3 === hi._3, "candidate set must not depend on the threshold")
+    // threshold monotonicity (structural: truth@0.8 ⊆ truth@0.5)
+    assert(hi._2 <= lo._2 && hi._4 <= lo._4)
+    Seq(lo, hi).foreach { case (_, nTruth, nCand, hits, recall, precision) =>
+      assert(hits <= nTruth && hits <= nCand)
+      assert(recall === hits.toDouble / nTruth)
+      assert(precision === hits.toDouble / nCand)
+    }
+    // the mid-similarity plants put truth pairs in [0.5, 0.8) …
+    assert(lo._2 > hi._2, "no mid-similarity truth pairs — the plant is dead")
+    // … and banding drops some of them: measured recall@0.5 < 1 is the
+    // whole point of the eval (deterministic: hashes, not RNG)
+    assert(lo._4 < lo._2, "bands caught every mid-sim pair — S-curve invisible")
+  }
+
+  test("s14: probe-2 dominates single-bucket on recall AND cost; ratios exact") {
+    val rows = datapipe.Similarity.queries("s14_ann_recall")(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq("lsh_bucket", "multiprobe_2"))
+    val Array(l, m) = rows
+    val nq = Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 25 === 0 && size($"embedding") > 0).count()
+    assert(l._2 === nq && m._2 === nq)
+    // the probe list CONTAINS the query's own bucket, so probe-2's
+    // candidate set is a superset: recall and cost must both dominate
+    assert(m._3 >= l._3, "multi-probe lost ground-truth hits vs its subset")
+    assert(m._4 >= l._4, "multi-probe scanned fewer candidates than its subset")
+    Seq(l, m).foreach { case (_, n, hits, cand, recall, avgCand) =>
+      assert(hits <= 10 * n && hits <= cand)
+      // derived doubles are exactly the integer ratios (one IEEE division)
+      assert(recall === hits.toDouble / (10.0 * n))
+      assert(avgCand === cand.toDouble / n)
+    }
+  }
+
   test("t25: the kept set is the true top-100 of the full pool-score frame") {
     val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
       .as[(Long, String, Long, Double)].collect()

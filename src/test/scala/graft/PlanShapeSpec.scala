@@ -188,6 +188,18 @@ class PlanShapeSpec extends SparkSpec {
       "filter not fused as equi-join keys — candidate generation is a cross product")
   }
 
+  test("s14: candidate generation hash-joins on bucket; no raw cartesian") {
+    // the brute-force ground truth is checkpointed away at build time, so
+    // the surviving plan is the production path: broadcast query set,
+    // bucket equi-joins, and 1-row scalar frames — never a non-broadcast
+    // cartesian product
+    val p = plan("s14_ann_recall")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket candidate joins must broadcast the query set:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "non-broadcast cartesian in the recall harness:\n" + p.take(800))
+  }
+
   test("w09: one partitioned window; ranges never global-sort the grid") {
     import org.apache.spark.sql.execution.window.WindowExec
     val tree = planTree("w09_backfill_ranges")
