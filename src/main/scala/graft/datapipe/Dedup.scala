@@ -527,6 +527,53 @@ object Dedup {
       row(0.5).unionByName(row(0.8)).orderBy($"threshold")
     },
 
+    // CROSS-SOURCE OVERLAP MATRIX — the corpus-composition report a
+    // data-mixing decision needs before weighting sources: for every
+    // source pair, the exact shingle-set Jaccard (how much of source A
+    // is re-printed in source B — syndicated articles, mirrored sites,
+    // shared boilerplate). Naive form is k² corpus self-joins; this
+    // plan touches the corpus ONCE: distinct (shingle-hash, source)
+    // pairs (the only corpus-sized shuffle — 8 B hash + short source
+    // key, map-side combined), then per-shingle source SETS (≤ k
+    // entries each), pair emission ONLY for shingles shared by ≥ 2
+    // sources (sparse by nature — the overwhelmingly common 1-source
+    // shingle emits nothing), and a k²-row report joined from k-row
+    // marginals. At 100 TB the per-shingle set is still bounded by k
+    // (sources, not rows), so everything after the first aggregate is
+    // O(k²) — independent of corpus size. 60-bit shingle hashes: the
+    // d02/d04 collision-odds precedent (~2^-43 per pair) applies.
+    "d22_source_overlap" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.WordShinglePHashes.word_shingle_phashes
+      graft.GraftExtensions.register(s)
+      val hs = T.documents(s, d)
+        .withColumn("hset", word_shingle_phashes($"text", 3))
+        .filter(size($"hset") >= 1)
+        .select($"source", explode($"hset").as("h"))
+        .distinct()
+      val srcSets = hs.groupBy($"h")
+        .agg(sort_array(collect_set($"source")).as("srcs"))
+      // all (a, b) with a < b from the sorted per-shingle source set
+      val inter = srcSets.filter(size($"srcs") >= 2)
+        .select(explode(expr(
+          "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "b -> named_struct('a', a, 'b', b))))")).as("p"))
+        .groupBy($"p.a".as("sa"), $"p.b".as("sb"))
+        .agg(count(lit(1)).as("inter"))
+      val nsrc = hs.groupBy($"source").agg(count(lit(1)).as("n"))
+      val allPairs = nsrc.as("x").join(nsrc.as("y"),
+          col("x.source") < col("y.source")) // k×k, broadcast nested loop
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+                col("x.n").as("n_a"), col("y.n").as("n_b"))
+      allPairs.join(inter,
+          $"source_a" === $"sa" && $"source_b" === $"sb", "left")
+        .withColumn("inter", coalesce($"inter", lit(0L)))
+        .withColumn("jaccard", expr("inter / (n_a + n_b - inter)"))
+        .select($"source_a", $"source_b", $"n_a", $"n_b", $"inter", $"jaccard")
+        .orderBy($"source_a", $"source_b")
+    },
+
     // Edit-distance near-dup (typo/OCR-noise dedup — catches what
     // set-based Jaccard misses when edits are WITHIN tokens): d04's
     // (lang, source, length-bucket) blocking, a length-delta pre-prune
@@ -940,6 +987,40 @@ object Dedup {
          |  hits / CAST(n_truth AS DOUBLE) AS recall,
          |  hits / CAST(n_cand AS DOUBLE) AS precision
          |FROM u ORDER BY threshold""".stripMargin,
+
+    "d22_source_overlap" ->
+      s"""WITH w AS (
+         |  SELECT source, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |hs AS (
+         |  SELECT DISTINCT source,
+         |    unnest(list_transform(list_transform(range(0, len(words) - 2),
+         |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]),
+         |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS h
+         |  FROM w),
+         |srcsets AS (
+         |  SELECT h, list(source ORDER BY source) AS srcs
+         |  FROM hs GROUP BY h),
+         |pe AS (
+         |  SELECT unnest(flatten(list_transform(range(1, len(srcs)),
+         |    i -> list_transform(range(i + 1, len(srcs) + 1),
+         |      j -> {'a': srcs[CAST(i AS INT)],
+         |            'b': srcs[CAST(j AS INT)]})))) AS p
+         |  FROM srcsets WHERE len(srcs) >= 2),
+         |isect AS (
+         |  SELECT p.a AS sa, p.b AS sb, COUNT(*) AS inter
+         |  FROM pe GROUP BY 1, 2),
+         |nsrc AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1),
+         |ap AS (
+         |  SELECT x.source AS source_a, y.source AS source_b,
+         |    x.n AS n_a, y.n AS n_b
+         |  FROM nsrc x JOIN nsrc y ON x.source < y.source)
+         |SELECT source_a, source_b, n_a, n_b,
+         |  COALESCE(i.inter, 0) AS inter,
+         |  COALESCE(i.inter, 0)
+         |    / CAST(n_a + n_b - COALESCE(i.inter, 0) AS DOUBLE) AS jaccard
+         |FROM ap LEFT JOIN isect i ON source_a = i.sa AND source_b = i.sb
+         |ORDER BY source_a, source_b""".stripMargin,
 
     "d07_edit_distance" ->
       s"""WITH corpus AS ($corpusSql),

@@ -142,7 +142,11 @@ object StressBench {
       // shingle doc-frequency — super-linear on the mutually-duplicated
       // stress corpus BY CONSTRUCTION (it is the eval, priced like
       // s14's brute force; production samples or df-caps it)
-      "d21_lsh_recall"
+      "d21_lsh_recall," +
+      // d22: one distinct (hash, source) shuffle, then aggregates
+      // bounded by k sources — curve should be linear in corpus rows
+      // and the report side flat
+      "d22_source_overlap"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1255,6 +1255,28 @@ class OperatorSpec extends SparkSpec {
     assert(lo._4 < lo._2, "bands caught every mid-sim pair — S-curve invisible")
   }
 
+  test("d22: source-overlap matrix is complete and matches a re-derived cell") {
+    val out = datapipe.Dedup.queries("d22_source_overlap")(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val k = Tables.documents(spark, sf).select($"source").distinct().count()
+    assert(out.length.toLong === k * (k - 1) / 2, "matrix not complete")
+    assert(out.forall { case (a, b, _, _, _, _) => a < b })
+    out.foreach { case (_, _, na, nb, inter, j) =>
+      assert(inter <= math.min(na, nb))
+      assert(j === inter.toDouble / (na + nb - inter))
+    }
+    // independent re-derivation of one cell from raw per-source hash sets
+    import graft.functions.WordShinglePHashes.word_shingle_phashes
+    def hashes(src: String): Set[Long] = Tables.documents(spark, sf)
+      .filter($"source" === src)
+      .select(explode(word_shingle_phashes($"text", 3)).as("h"))
+      .distinct().as[Long].collect().toSet
+    val (h0, h1) = (hashes("src0"), hashes("src1"))
+    val row = out.find(r => r._1 == "src0" && r._2 == "src1").get
+    assert(row._3 === h0.size.toLong && row._4 === h1.size.toLong)
+    assert(row._5 === (h0 & h1).size.toLong)
+  }
+
   test("s14: probe-2 dominates single-bucket on recall AND cost; ratios exact") {
     val rows = datapipe.Similarity.queries("s14_ann_recall")(spark, sf)
       .as[(String, Long, Long, Long, Double, Double)].collect()
