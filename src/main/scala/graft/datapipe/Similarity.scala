@@ -510,6 +510,72 @@ object Similarity {
         .orderBy($"method")
     },
 
+    // IVF RECALL EVALUATION — s14's methodology applied to the OTHER
+    // candidate generator: how much of the exact top-10 does probing
+    // nprobe posting lists of s03's coarse quantizer recover, and at
+    // what candidate cost? nprobe is THE serving knob of an IVF index
+    // (FAISS's nprobe) — this measures its recall/cost frontier as
+    // data. Probe lists come from ranking all 8 centroids per query
+    // (one 8-row broadcast explode + a per-query window, identical
+    // tie-break to NearestCentroid: isnan-last, cosine desc, cell
+    // asc), so nprobe_1 is exactly the home cell and nprobe_2 adds
+    // the runner-up; the corpus side joins its ONE precomputed
+    // home_cell against the probe list — posting lists stay
+    // partition-prunable, vectors never shuffle. Ground truth is the
+    // same checkpointed brute-force pass as s14.
+    "s15_ivf_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      // s03's coarse quantizer: 8 exact-decimal seed-cell means
+      // (posexplode drops empty arrays, so training matches s03's)
+      val centroids = T.embeddings(s, d)
+        .select(($"vec_id" % 8).as("cell"),
+                posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("centroid"))
+      val centsRow = centroidRow(centroids)
+      val assigned = assignCells(emb, centsRow, "home_cell")
+      val qs0 = assigned.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val qcells = qs0.crossJoin(broadcast(centsRow))
+        .select($"q_id", $"q_emb", explode($"cents").as("c"))
+        .withColumn("cos", cosine_sim($"q_emb", $"c.centroid"))
+        .withColumn("rn", row_number().over(Window.partitionBy($"q_id")
+          .orderBy(isnan($"cos").asc, $"cos".desc, $"c.cell".asc)))
+        .select($"q_id", $"c.cell".as("pcell"), $"rn")
+      val base = assigned.select($"vec_id", $"home_cell")
+      def cand(maxProbe: Int): DataFrame =
+        base.join(broadcast(qcells.filter($"rn" <= maxProbe)),
+            $"home_cell" === $"pcell" && $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id")
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      val exact10 = emb.join(broadcast(qs0), $"vec_id" =!= $"q_id")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .filter(!isnan($"cosine"))
+        .select($"q_id", $"vec_id", $"cosine")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint() // n_q * 10 rows; brute force runs ONCE
+      val nq = qs0.agg(count(lit(1)).as("n_q"))
+      def report(name: String, cand: DataFrame): DataFrame =
+        exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(nq))
+          .select(lit(name).as("method"), $"n_q", $"hits", $"n_cand",
+            ($"hits" / ($"n_q" * 10.0)).as("recall_at_10"),
+            ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
+      report("ivf_nprobe_1", cand(1))
+        .unionByName(report("ivf_nprobe_2", cand(2)))
+        .orderBy($"method")
+    },
+
     // SemDeDup (semantic dedup over embeddings): within each cluster,
     // a vector is REMOVED when a lower-id vector in the same cluster is
     // semantically identical (cosine >= 0.95) — the keep/remove
@@ -1167,6 +1233,73 @@ object Similarity {
          |    (SELECT COUNT(*) FROM cand1) AS n_cand
          |  UNION ALL
          |  SELECT 'multiprobe_2' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10 x JOIN cand2 c
+         |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM cand2) AS n_cand)
+         |SELECT method, n_q, hits, n_cand,
+         |  hits / (n_q * 10.0) AS recall_at_10,
+         |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
+         |FROM u ORDER BY method""".stripMargin,
+
+    "s15_ivf_recall" ->
+      s"""WITH means AS (
+         |  SELECT cell, i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+         |         / COUNT(*) AS REAL) AS m
+         |  FROM (SELECT vec_id % 8 AS cell,
+         |          unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v
+         |        FROM embeddings)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell, list(m ORDER BY pos) AS centroid
+         |  FROM means GROUP BY cell),
+         |e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |assigned AS (
+         |  SELECT vec_id, cell AS home_cell FROM (${assignSql("cent", "e")}) z),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  WHERE vec_id % 25 = 0),
+         |qc AS (
+         |  SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY isnan(cos) ASC, cos DESC, cell ASC) AS rn
+         |  FROM (
+         |    SELECT q.q_id, c.cell,
+         |      ${dotSql("q.q_emb", "c.centroid")} /
+         |      (sqrt(${dotSql("q.q_emb", "q.q_emb")}) *
+         |       sqrt(${dotSql("c.centroid", "c.centroid")})) AS cos
+         |    FROM q, cent c) z),
+         |cand1 AS (
+         |  SELECT p.q_id, a.vec_id FROM assigned a
+         |  JOIN qc p ON a.home_cell = p.cell AND p.rn = 1
+         |  WHERE a.vec_id <> p.q_id),
+         |cand2 AS (
+         |  SELECT p.q_id, a.vec_id FROM assigned a
+         |  JOIN qc p ON a.home_cell = p.cell AND p.rn <= 2
+         |  WHERE a.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |exact10 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM scored WHERE NOT isnan(cosine)) z
+         |  WHERE rn <= 10),
+         |u AS (
+         |  SELECT 'ivf_nprobe_1' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10 x JOIN cand1 c
+         |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM cand1) AS n_cand
+         |  UNION ALL
+         |  SELECT 'ivf_nprobe_2' AS method,
          |    (SELECT COUNT(*) FROM q) AS n_q,
          |    (SELECT COUNT(*) FROM exact10 x JOIN cand2 c
          |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,

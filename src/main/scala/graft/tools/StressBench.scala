@@ -146,7 +146,11 @@ object StressBench {
       // d22: one distinct (hash, source) shuffle, then aggregates
       // bounded by k sources — curve should be linear in corpus rows
       // and the report side flat
-      "d22_source_overlap"
+      "d22_source_overlap," +
+      // s15: same by-construction quadratic as s14 (fixed-fraction
+      // query sampling × growing corpus); the fixed-size-sample knob
+      // makes it linear at 100 TB
+      "s15_ivf_recall"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1297,6 +1297,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s15: nprobe-2 dominates nprobe-1; both ride the same ground truth") {
+    val rows = datapipe.Similarity.queries("s15_ivf_recall")(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq("ivf_nprobe_1", "ivf_nprobe_2"))
+    val Array(p1, p2) = rows
+    val nq = Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 25 === 0 && size($"embedding") > 0).count()
+    assert(p1._2 === nq && p2._2 === nq)
+    // probe list 2 CONTAINS probe list 1 (rn <= 2 ⊇ rn = 1): candidate
+    // superset, so hits and cost must both dominate
+    assert(p2._3 >= p1._3 && p2._4 >= p1._4)
+    Seq(p1, p2).foreach { case (_, n, hits, cand, recall, avgCand) =>
+      assert(hits <= 10 * n && hits <= cand)
+      assert(recall === hits.toDouble / (10.0 * n))
+      assert(avgCand === cand.toDouble / n)
+    }
+  }
+
   test("t25: the kept set is the true top-100 of the full pool-score frame") {
     val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
       .as[(Long, String, Long, Double)].collect()

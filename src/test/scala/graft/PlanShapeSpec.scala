@@ -200,6 +200,14 @@ class PlanShapeSpec extends SparkSpec {
       "non-broadcast cartesian in the recall harness:\n" + p.take(800))
   }
 
+  test("s15: posting-list probe hash-joins on cell; no raw cartesian") {
+    val p = plan("s15_ivf_recall")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe list must broadcast against the assigned corpus:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "non-broadcast cartesian in the IVF recall harness:\n" + p.take(800))
+  }
+
   test("w09: one partitioned window; ranges never global-sort the grid") {
     import org.apache.spark.sql.execution.window.WindowExec
     val tree = planTree("w09_backfill_ranges")
