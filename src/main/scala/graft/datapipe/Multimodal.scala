@@ -510,7 +510,13 @@ object Multimodal {
     // caption. Duplicated images with conflicting captions are label
     // noise for contrastive training; this surfaces each such group
     // with its canonical id and caption count. Planted: every %7 image
-    // re-registered under +40000 with a variant caption. Scale shape:
+    // re-registered under +4000000 with a variant caption (the dedup
+    // family's disjoint-megabin convention — 1M/2M/3M are taken by the
+    // text corpora; m05/m06's tighter +40000/+20000 offsets are safe
+    // only because their asset streams never mix with doc-id-keyed
+    // frames, while m07 joins caption hashes BY asset_id, where a
+    // doc_id >= 40000 fixture would alias two images under one key).
+    // Scale shape:
     // the PNG decode is map-only; captions reduce to their 60-bit hash
     // BEFORE any shuffle, so the group-by moves (id, 2 ints, 2 longs)
     // ~28 B/pair regardless of caption length; the caption-hash join
@@ -522,7 +528,7 @@ object Multimodal {
         .select($"doc_id".as("asset_id"), $"doc_id".as("src"),
                 $"text".as("caption"))
         .unionByName(docs.filter($"doc_id" % 7 === 0)
-          .select(($"doc_id" + 40000L).as("asset_id"), $"doc_id".as("src"),
+          .select(($"doc_id" + 4000000L).as("asset_id"), $"doc_id".as("src"),
                   concat($"text", lit(" (alt caption)")).as("caption")))
       val payloads = pairs.select($"asset_id", $"src").as[(Long, Long)]
         .mapPartitions(_.map { case (id, src) => (id, ImageCodec.synthPng(src)) })
@@ -685,14 +691,15 @@ object Multimodal {
         |FROM fp GROUP BY n, ahash HAVING COUNT(*) > 1
         |ORDER BY canonical_id""".stripMargin,
 
-    // m05's pixel-formula aHash mirror over the %7/+40000 caption-variant
-    // corpus, with captions reduced to the portable 60-bit hash.
+    // m05's pixel-formula aHash mirror over the %7/+4000000
+    // caption-variant corpus, with captions reduced to the portable
+    // 60-bit hash.
     "m07_caption_variants" ->
       s"""WITH ids AS (
          |  SELECT doc_id AS asset_id, doc_id AS src, text AS caption
          |  FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 40000, doc_id, text || ' (alt caption)'
+         |  SELECT doc_id + 4000000, doc_id, text || ' (alt caption)'
          |  FROM documents WHERE doc_id % 7 = 0),
          |px AS (
          |  SELECT i.asset_id,

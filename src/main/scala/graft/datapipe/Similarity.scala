@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
 object Similarity {
   private val QID = 0L // query vector: vec_id 0
 
+  /** Fixed SIZE of the s14/s15 recall-eval query sample. A fixed
+    * FRACTION (the round-11 `vec_id % 25` fixture) makes the eval's
+    * brute-force ground truth O(corpus × corpus/25) — quadratic in the
+    * stress curve BY CONSTRUCTION; a fixed-size sample is the knob a
+    * 100 TB deployment actually turns (FAISS-style: eval on a held-out
+    * query set of constant size), making the same plan linear in corpus
+    * rows. Sampling is a deterministic hash order (phash(vec_id),
+    * vec_id) + LIMIT — TakeOrderedAndProject on the Spark side, so the
+    * sample costs one narrow top-k scan, never a global sort — and is
+    * unbiased in vec_id (hash order, not id order).
+    */
+  private val NQ = 32
+
+  /** Shared ORDER BY for the fixed-size query sample (DuckDB mirror of
+    * the Spark `orderBy(phash(vec_id), vec_id).limit(NQ)`).
+    */
+  private def sampleOrderSql =
+    s"ORDER BY ${graft.Dets.phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $NQ"
+
   /** Sign-LSH bucket over 8 dims starting at `off`: axis-aligned
     * hyperplane signs -> 256 buckets. Different offsets are INDEPENDENT
     * hash tables (disjoint hyperplane sets) — the multi-table
@@ -455,28 +474,37 @@ object Similarity {
     },
 
     // ANN RECALL EVALUATION — the measurement harness every ANN
-    // deployment needs before trusting its index: on a sampled query set
-    // (vec_id % 25), compute the EXACT cosine top-10 (brute force, the
-    // ground truth), generate candidates with the two production
-    // blockings (s02's single sign-bucket probe and s07's probe-2
-    // multi-probe), and report each method's recall@10 next to its
-    // avg candidate-list size — the recall/cost frontier as data, not
-    // guesswork. Scale shape: queries broadcast everywhere; the ground
-    // truth is one corpus scan per query batch (map-only score, then a
+    // deployment needs before trusting its index: on a FIXED-SIZE query
+    // sample (NQ vectors in deterministic hash order — see [[NQ]] for
+    // why fixed-size, not fixed-fraction), compute the EXACT cosine
+    // top-10 (brute force, the ground truth), generate candidates with
+    // the two production blockings (s02's single sign-bucket probe and
+    // s07's probe-2 multi-probe), and report each method's recall@10
+    // next to its avg candidate-list size — the recall/cost frontier as
+    // data, not guesswork. Scale shape: the NQ-row query frame is
+    // localCheckpointed once and broadcast everywhere; the ground truth
+    // is one corpus scan per query batch (map-only score, then a
     // window over (q_id, vec_id, cosine) triples — 24 B/row, embeddings
-    // never shuffle) and is localCheckpointed (n_q × 10 rows) so the
+    // never shuffle) and is localCheckpointed (≤ n_q × 10 rows) so the
     // two method reports don't recompute the brute-force pass; candidate
     // generation is the same partition-prunable bucket equi-join the
-    // production path uses. Recall is derived from integer counts via
-    // one double division, so it is cross-engine IEEE-exact.
+    // production path uses. Recall divides by the ACTUAL ground-truth
+    // row count (n_truth), not n_q × 10 — a query with fewer than 10
+    // valid neighbors (NaN/zero-norm filtered, tiny corpus slice) must
+    // not deflate a perfect index below 1.0. Recall is derived from
+    // integer counts via one double division, so it is cross-engine
+    // IEEE-exact.
     "s14_ann_recall" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
         .withColumn("bucket", signBucket)
-      val qs0 = emb.filter($"vec_id" % 25 === 0)
+      val qs0 = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
                 $"bucket".as("q_bucket"))
+        .localCheckpoint() // NQ rows; the top-k sample scan runs ONCE
       val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
       val exact10 = emb.join(broadcast(qs0), $"vec_id" =!= $"q_id")
         .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
@@ -485,7 +513,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 10)
         .select($"q_id", $"vec_id")
-        .localCheckpoint() // n_q * 10 rows; brute force runs ONCE
+        .localCheckpoint() // <= n_q * 10 rows; brute force runs ONCE
       val cand1 = emb.join(broadcast(qs0),
           $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id")
@@ -497,13 +525,16 @@ object Similarity {
           $"bucket" === $"pb" && $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id")
       val nq = qs0.agg(count(lit(1)).as("n_q"))
+      val nTruth = exact10.agg(count(lit(1)).as("n_truth"))
       def report(name: String, cand: DataFrame): DataFrame =
         exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
           .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
           .crossJoin(broadcast(nq))
-          .select(lit(name).as("method"), $"n_q", $"hits", $"n_cand",
-            ($"hits" / ($"n_q" * 10.0)).as("recall_at_10"),
+          .crossJoin(broadcast(nTruth))
+          .select(lit(name).as("method"), $"n_q", $"n_truth", $"hits",
+            $"n_cand",
+            ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
             ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
       report("lsh_bucket", cand1)
         .unionByName(report("multiprobe_2", cand2))
@@ -540,8 +571,14 @@ object Similarity {
           .as("centroid"))
       val centsRow = centroidRow(centroids)
       val assigned = assignCells(emb, centsRow, "home_cell")
-      val qs0 = assigned.filter($"vec_id" % 25 === 0)
+      // same fixed-size deterministic-hash query sample as s14 (see
+      // [[NQ]]): drawn from the len>0 frame, so both evals measure the
+      // same query set
+      val qs0 = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        .localCheckpoint() // NQ rows; the top-k sample scan runs ONCE
       val qcells = qs0.crossJoin(broadcast(centsRow))
         .select($"q_id", $"q_emb", explode($"cents").as("c"))
         .withColumn("cos", cosine_sim($"q_emb", $"c.centroid"))
@@ -561,15 +598,18 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 10)
         .select($"q_id", $"vec_id")
-        .localCheckpoint() // n_q * 10 rows; brute force runs ONCE
+        .localCheckpoint() // <= n_q * 10 rows; brute force runs ONCE
       val nq = qs0.agg(count(lit(1)).as("n_q"))
+      val nTruth = exact10.agg(count(lit(1)).as("n_truth"))
       def report(name: String, cand: DataFrame): DataFrame =
         exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("hits"))
           .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
           .crossJoin(broadcast(nq))
-          .select(lit(name).as("method"), $"n_q", $"hits", $"n_cand",
-            ($"hits" / ($"n_q" * 10.0)).as("recall_at_10"),
+          .crossJoin(broadcast(nTruth))
+          .select(lit(name).as("method"), $"n_q", $"n_truth", $"hits",
+            $"n_cand",
+            ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
             ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
       report("ivf_nprobe_1", cand(1))
         .unionByName(report("ivf_nprobe_2", cand(2)))
@@ -1202,7 +1242,7 @@ object Similarity {
          |  FROM embeddings WHERE len(embedding) > 0),
          |q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
-         |  FROM b WHERE vec_id % 25 = 0),
+         |  FROM b $sampleOrderSql),
          |scored AS (
          |  SELECT q.q_id, e.vec_id,
          |    ${dotSql("e.embedding", "q.q_emb")} /
@@ -1228,17 +1268,21 @@ object Similarity {
          |u AS (
          |  SELECT 'lsh_bucket' AS method,
          |    (SELECT COUNT(*) FROM q) AS n_q,
-         |    (SELECT COUNT(*) FROM exact10 x JOIN cand1 c
-         |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM cand1 c
+         |        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)) AS hits,
          |    (SELECT COUNT(*) FROM cand1) AS n_cand
          |  UNION ALL
          |  SELECT 'multiprobe_2' AS method,
          |    (SELECT COUNT(*) FROM q) AS n_q,
-         |    (SELECT COUNT(*) FROM exact10 x JOIN cand2 c
-         |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM cand2 c
+         |        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)) AS hits,
          |    (SELECT COUNT(*) FROM cand2) AS n_cand)
-         |SELECT method, n_q, hits, n_cand,
-         |  hits / (n_q * 10.0) AS recall_at_10,
+         |SELECT method, n_q, n_truth, hits, n_cand,
+         |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
          |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
          |FROM u ORDER BY method""".stripMargin,
 
@@ -1262,7 +1306,7 @@ object Similarity {
          |  SELECT vec_id, cell AS home_cell FROM (${assignSql("cent", "e")}) z),
          |q AS (
          |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
-         |  WHERE vec_id % 25 = 0),
+         |  $sampleOrderSql),
          |qc AS (
          |  SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
          |      ORDER BY isnan(cos) ASC, cos DESC, cell ASC) AS rn
@@ -1295,17 +1339,21 @@ object Similarity {
          |u AS (
          |  SELECT 'ivf_nprobe_1' AS method,
          |    (SELECT COUNT(*) FROM q) AS n_q,
-         |    (SELECT COUNT(*) FROM exact10 x JOIN cand1 c
-         |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM cand1 c
+         |        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)) AS hits,
          |    (SELECT COUNT(*) FROM cand1) AS n_cand
          |  UNION ALL
          |  SELECT 'ivf_nprobe_2' AS method,
          |    (SELECT COUNT(*) FROM q) AS n_q,
-         |    (SELECT COUNT(*) FROM exact10 x JOIN cand2 c
-         |       ON x.q_id = c.q_id AND x.vec_id = c.vec_id) AS hits,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM cand2 c
+         |        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)) AS hits,
          |    (SELECT COUNT(*) FROM cand2) AS n_cand)
-         |SELECT method, n_q, hits, n_cand,
-         |  hits / (n_q * 10.0) AS recall_at_10,
+         |SELECT method, n_q, n_truth, hits, n_cand,
+         |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
          |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
          |FROM u ORDER BY method""".stripMargin,
 

@@ -96,6 +96,79 @@ object WeatherPipeline {
     deduped.join(sink.select(kCols: _*), keys, "left_anti")
   }
 
+  /** w09's fixed expected grid: 3 locations × 7 days of 15-min slots,
+    * each slot carrying its arithmetic index ((ts - start) / step — no
+    * window). Shared by the batch planner and [[backfillStream]].
+    */
+  private[graft] def backfillSlots(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val start = "2024-01-08 00:00:00"
+    s.range(3).select($"id".as("location_id"))
+      .crossJoin(timeGrid(s, start, "2024-01-15 00:00:00"))
+      .withColumn("idx", ((unix_timestamp($"ts") -
+        unix_timestamp(lit(start).cast("timestamp"))) / 900L).cast("long"))
+  }
+
+  /** Gaps-and-islands coalescing of a (location_id, ts, idx) missing-slot
+    * frame into [start, end) fetch ranges — w09's core, factored so the
+    * streaming planner runs the IDENTICAL plan per micro-batch. One
+    * (location)-partitioned window over (location, 2 longs); output is
+    * O(gaps), never O(slots).
+    */
+  private[graft] def coalesceRanges(missing: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    missing
+      .withColumn("grp", col("idx") - row_number().over(
+        Window.partitionBy(col("location_id")).orderBy(col("ts"))))
+      .groupBy(col("location_id"), col("grp"))
+      .agg(min(col("ts")).as("range_start"),
+           (max(col("ts")) + expr("INTERVAL 15 MINUTES")).as("range_end"),
+           count(lit(1)).as("n_slots"))
+      .select(col("location_id"), col("range_start"), col("range_end"),
+              col("n_slots"))
+      .orderBy(col("location_id"), col("range_start"))
+  }
+
+  /** Streaming twin of w09 — the backfill planner as a CONSUMER of the
+    * ingest stream: each micro-batch of arrived observations
+    * (location_id, ts) is appended to the lake-backed sink, then the
+    * batch planner's exact plan (expected grid ANTI-JOIN sink →
+    * [[coalesceRanges]]) recomputes the remaining fetch ranges — the
+    * plan shrinks monotonically as batches close holes (pinned in
+    * StreamingSpec). foreachBatch like d08: the sink is the lake, not
+    * state-store RAM (a state-store formulation would cap the grid at
+    * executor memory, backwards at scale). Plans land in `planPath`
+    * partitioned by batch_id with dynamic overwrite — a retried trigger
+    * REPLACES its own snapshot instead of appending duplicates, and the
+    * per-batch history IS the shrink curve. Sink appends stay idempotent
+    * via the pre-append anti-join against the sink itself.
+    */
+  def backfillStream(stream: DataFrame, sinkPath: String, planPath: String,
+                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val arrived = batch.select(col("location_id"), col("ts"))
+        // idempotent append (retry inserts zero): only rows not already
+        // in the sink land
+        val sink0 =
+          if (new java.io.File(sinkPath).exists) s.read.parquet(sinkPath)
+          else arrived.limit(0)
+        upsertNew(arrived, sink0, Seq("location_id", "ts"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sinkPath)
+        val present = s.read.parquet(sinkPath)
+        coalesceRanges(backfillSlots(s)
+            .join(present, Seq("location_id", "ts"), "left_anti"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(planPath)
+        ()
+      }
+      .start()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3 — the reference's exact grid: past_days=1 + forecast_days=1 at
     // 15 min = 192 slots, half-open.
@@ -222,27 +295,12 @@ object WeatherPipeline {
     // 2 longs); ranges are O(gaps), never O(slots).
     "w09_backfill_ranges" -> { (s, _) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val start = "2024-01-08 00:00:00"
-      val slots = s.range(3).select($"id".as("location_id"))
-        .crossJoin(timeGrid(s, start, "2024-01-15 00:00:00"))
-        .withColumn("idx", ((unix_timestamp($"ts") -
-          unix_timestamp(lit(start).cast("timestamp"))) / 900L).cast("long"))
-      val missing = slots.filter(
+      coalesceRanges(backfillSlots(s).filter(
         graft.Dets.phash(concat(lit("have:"), $"location_id".cast("string"),
           lit(":"), $"idx".cast("string"))) % 13 === 0 ||
         ($"location_id" === 1 &&
          $"ts" >= lit("2024-01-11 06:00:00").cast("timestamp") &&
-         $"ts" <  lit("2024-01-11 18:00:00").cast("timestamp")))
-      missing
-        .withColumn("grp", $"idx" - row_number().over(
-          Window.partitionBy($"location_id").orderBy($"ts")))
-        .groupBy($"location_id", $"grp")
-        .agg(min($"ts").as("range_start"),
-             (max($"ts") + expr("INTERVAL 15 MINUTES")).as("range_end"),
-             count(lit(1)).as("n_slots"))
-        .select($"location_id", $"range_start", $"range_end", $"n_slots")
-        .orderBy($"location_id", $"range_start")
+         $"ts" <  lit("2024-01-11 18:00:00").cast("timestamp"))))
     },
 
     // O5+O11 — result envelope: fetched / inserted / cursor echo as a

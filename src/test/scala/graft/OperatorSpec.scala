@@ -472,6 +472,44 @@ class OperatorSpec extends SparkSpec {
       sym.limit(0), 4).count() === 0L)
   }
 
+  test("salted-CC (skewSalt > 1) matches the window path: labels, cycle budget, loud failure") {
+    // the hub-skew formulation (groupBy min + salted join-back) must be
+    // label-identical to the window path and converge within the SAME
+    // cycle budgets — the emission algebra is shared, only the min
+    // computation differs. Covers: the diameter-4 chain (2 cycles), the
+    // two-component 8-chain (3 cycles), a planted STAR (the shape the
+    // salt exists for — hub 0 with 50 leaves, 1 cycle: already a star),
+    // the loud budget failure, and salt values that do/don't divide the
+    // leaf count (salt 3 exercises uneven bucket fill).
+    for (salt <- Seq(3, 4)) {
+      spark.conf.set("spark.graft.cc.skewSalt", salt.toString)
+      try {
+        val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+        val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
+        val seed = (1L to 5L).toDF("doc_id").withColumn("lbl", $"doc_id")
+        assert(datapipe.Dedup.connectedComponents(seed, sym, 2)
+          .as[(Long, Long)].collect().toMap ===
+          (1L to 5L).map(_ -> 1L).toMap)
+        intercept[IllegalArgumentException] {
+          datapipe.Dedup.connectedComponents(seed, sym, 1)
+        }
+        val twoCC = (Seq((10L, 11L)) ++ (1L to 7L).map(i => (i, i + 1)))
+          .toDF("a", "b")
+        val seed2 = twoCC.select($"a".as("doc_id"))
+          .unionByName(twoCC.select($"b".as("a")).select($"a".as("doc_id")))
+          .distinct().withColumn("lbl", $"doc_id")
+        assert(datapipe.Dedup.connectedComponents(seed2, twoCC, 3)
+          .as[(Long, Long)].collect().toMap ===
+          ((1L to 8L).map(_ -> 1L) ++ Seq(10L -> 10L, 11L -> 10L)).toMap)
+        val star = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+        val seedS = (0L to 50L).toDF("doc_id").withColumn("lbl", $"doc_id")
+        assert(datapipe.Dedup.connectedComponents(seedS, star, 2)
+          .as[(Long, Long)].collect().toMap ===
+          (0L to 50L).map(_ -> 0L).toMap)
+      } finally spark.conf.unset("spark.graft.cc.skewSalt")
+    }
+  }
+
   test("nearest_centroid: argmax ties break to the first (smallest) cell") {
     GraftExtensions.register(spark)
     // two identical centroids (cells 3 and 7) -> tie resolves to cell 3;
@@ -1279,38 +1317,40 @@ class OperatorSpec extends SparkSpec {
 
   test("s14: probe-2 dominates single-bucket on recall AND cost; ratios exact") {
     val rows = datapipe.Similarity.queries("s14_ann_recall")(spark, sf)
-      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
     assert(rows.map(_._1).toSeq === Seq("lsh_bucket", "multiprobe_2"))
     val Array(l, m) = rows
-    val nq = Tables.embeddings(spark, sf)
-      .filter($"vec_id" % 25 === 0 && size($"embedding") > 0).count()
-    assert(l._2 === nq && m._2 === nq)
+    // fixed-SIZE sample: exactly 32 queries regardless of corpus size
+    // (the fixture has > 32 valid vectors), and every query has a full
+    // exact top-10 on this corpus, so n_truth = 10 * n_q here
+    assert(l._2 === 32L && m._2 === 32L)
+    assert(l._3 === 320L && m._3 === 320L)
     // the probe list CONTAINS the query's own bucket, so probe-2's
     // candidate set is a superset: recall and cost must both dominate
-    assert(m._3 >= l._3, "multi-probe lost ground-truth hits vs its subset")
-    assert(m._4 >= l._4, "multi-probe scanned fewer candidates than its subset")
-    Seq(l, m).foreach { case (_, n, hits, cand, recall, avgCand) =>
-      assert(hits <= 10 * n && hits <= cand)
-      // derived doubles are exactly the integer ratios (one IEEE division)
-      assert(recall === hits.toDouble / (10.0 * n))
+    assert(m._4 >= l._4, "multi-probe lost ground-truth hits vs its subset")
+    assert(m._5 >= l._5, "multi-probe scanned fewer candidates than its subset")
+    Seq(l, m).foreach { case (_, n, truth, hits, cand, recall, avgCand) =>
+      assert(hits <= truth && hits <= cand)
+      // derived doubles are exactly the integer ratios (one IEEE
+      // division) — recall divides by the ACTUAL truth count
+      assert(recall === hits.toDouble / truth.toDouble)
       assert(avgCand === cand.toDouble / n)
     }
   }
 
   test("s15: nprobe-2 dominates nprobe-1; both ride the same ground truth") {
     val rows = datapipe.Similarity.queries("s15_ivf_recall")(spark, sf)
-      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
     assert(rows.map(_._1).toSeq === Seq("ivf_nprobe_1", "ivf_nprobe_2"))
     val Array(p1, p2) = rows
-    val nq = Tables.embeddings(spark, sf)
-      .filter($"vec_id" % 25 === 0 && size($"embedding") > 0).count()
-    assert(p1._2 === nq && p2._2 === nq)
+    assert(p1._2 === 32L && p2._2 === 32L) // fixed-size sample, as s14
+    assert(p1._3 === 320L && p2._3 === 320L)
     // probe list 2 CONTAINS probe list 1 (rn <= 2 ⊇ rn = 1): candidate
     // superset, so hits and cost must both dominate
-    assert(p2._3 >= p1._3 && p2._4 >= p1._4)
-    Seq(p1, p2).foreach { case (_, n, hits, cand, recall, avgCand) =>
-      assert(hits <= 10 * n && hits <= cand)
-      assert(recall === hits.toDouble / (10.0 * n))
+    assert(p2._4 >= p1._4 && p2._5 >= p1._5)
+    Seq(p1, p2).foreach { case (_, n, truth, hits, cand, recall, avgCand) =>
+      assert(hits <= truth && hits <= cand)
+      assert(recall === hits.toDouble / truth.toDouble)
       assert(avgCand === cand.toDouble / n)
     }
   }

@@ -123,6 +123,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("w09 streaming twin: per-batch plan shrinks monotonically and matches the batch planner") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_w09s").toString
+    val slots = weather.WeatherPipeline.backfillSlots(spark)
+      .select($"location_id", $"ts").as[(Long, java.sql.Timestamp)].collect()
+    val others = slots.filter(_._1 != 1L).toSeq          // locations 0 and 2
+    val loc1 = slots.filter(_._1 == 1L).sortBy(_._2.getTime)
+    val (h1, h2full) = loc1.splitAt(loc1.length / 2)
+    val h2 = h2full.dropRight(5).toSeq // leave 5 trailing holes open
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = weather.WeatherPipeline.backfillStream(
+      input.toDS().toDF("location_id", "ts"),
+      s"$dir/sink", s"$dir/plan", s"$dir/ckpt")
+    try {
+      input.addData(others: _*); q.processAllAvailable()
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val plans = spark.read.parquet(s"$dir/plan")
+    val totals = plans.groupBy($"batch_id")
+      .agg(sum($"n_slots").as("miss")).orderBy($"batch_id")
+      .as[(Long, Long)].collect()
+    // batch 0 filled locations 0/2 entirely -> location 1's whole week
+    // (672 slots) is the plan; batch 1 closes the first half; batch 2
+    // all but 5 — STRICTLY shrinking, never zero here
+    assert(totals.map(_._1).toSeq === Seq(0L, 1L, 2L), s"got $totals")
+    assert(totals.map(_._2).toSeq === Seq(672L, 672L - h1.length, 5L))
+    // batch equivalence: the last snapshot must be EXACTLY what the
+    // batch planner computes over the final sink state
+    val finalSink = spark.read.parquet(s"$dir/sink")
+    val batchPlan = weather.WeatherPipeline.coalesceRanges(
+      weather.WeatherPipeline.backfillSlots(spark)
+        .join(finalSink, Seq("location_id", "ts"), "left_anti"))
+      .collect().toSeq
+    val streamPlan = plans.filter($"batch_id" === 2L)
+      .select($"location_id", $"range_start", $"range_end", $"n_slots")
+      .orderBy($"location_id", $"range_start").collect().toSeq
+    assert(streamPlan === batchPlan, "stream plan diverged from batch planner")
+    assert(streamPlan.size === 1 && streamPlan.head.getLong(3) === 5L)
+    // sink appends are idempotent: replaying a batch's rows inserts zero
+    val before = finalSink.count()
+    weather.WeatherPipeline.upsertNew(
+      h1.toSeq.toDF("location_id", "ts"), finalSink, Seq("location_id", "ts"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/sink")
+    assert(spark.read.parquet(s"$dir/sink").count() === before)
+  }
+
   test("micro-batch wire error fails the trigger; restart re-reads exactly once") {
     // the micro-batch path goes through the SAME wire framing as the batch
     // scan: an in-stream error magic must fail the trigger BEFORE its
