@@ -1345,38 +1345,43 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val byU = Window.partitionBy("u")
     val byUOrdV = byU.orderBy("v")
-    // Hub-skew knob: spark.graft.cc.skewSalt = S > 1 switches both stars
-    // from the single-window formulation to a salted two-level min —
-    // per-u mins come from groupBy(u) (map-side partial agg compresses a
-    // degree-d hub to one partial per map task, so NO task ever sorts or
-    // aggregates d rows), and the min joins back to the edge rows on
-    // (u, salt(v)) so the hub's d rows spread over S reducers instead of
-    // hashing to one. Default S=1 keeps the window plan: it was measured
-    // faster on fixture-shaped graphs (two shuffle stages per cycle, the
-    // algorithmic floor — see ARCHITECTURE bench notes), and neither
-    // formulation misbehaves until a single component's hub degree
-    // exceeds one task's sort budget (~10⁷ rows at 128 MB partitions) —
-    // the planted-star CCSkewBench cell is the measured crossover. Both
-    // paths share the emission algebra, the convergence check, and every
-    // CC oracle.
-    val skewSalt = spark.conf.getOption("spark.graft.cc.skewSalt")
-      .map(_.toInt).getOrElse(1)
-    def saltedMinJoin(rows: DataFrame, mins: DataFrame): DataFrame = {
-      // rows: (u, v) × mins: (u, m) -> (u, v, m), hub-safe: rows hash by
-      // (u, salt(v)) so a degree-d hub spreads over skewSalt reducers
-      val salted = rows.withColumn("salt",
-        pmod(xxhash64($"v"), lit(skewSalt)).cast("int"))
-      val fanned = mins.select($"u", $"m",
-        explode(array((0 until skewSalt).map(lit): _*)).as("salt"))
-      salted.join(fanned, Seq("u", "salt")).select($"u", $"v", $"m")
+    // Hub-skew knob: spark.graft.cc.hubDegree = T switches both stars
+    // from the single-window formulation to a hub-split two-level min.
+    // The window min's one honest scale caveat is that a node whose
+    // degree exceeds one task's sort budget pays a single-task window
+    // sort; on this path per-u mins come instead from groupBy(u) (the
+    // map-side partial agg compresses the hub key to one partial per map
+    // task) and join back to the edge rows split by hub-ness: the few
+    // nodes with degree > T — at most |E|/T of them, so a tiny frame at
+    // any scale — BROADCAST their (u, m) row and meet their edge rows
+    // map-only (no shuffle can skew), while the rest shuffle-join with
+    // every key's degree <= T by construction. (A salted join-back —
+    // fanning EVERY u's min × S salts — was measured and rejected:
+    // O(V·S) fan rows cost 276 s where this path and the window read
+    // 26 s, planted star H=16e6.) Default (conf unset) keeps the window
+    // plan: two shuffle stages per cycle, the floor, and measured faster
+    // on fixture-shaped graphs — see ARCHITECTURE bench notes for the
+    // planted-star crossover. Both paths share the emission algebra, the
+    // convergence check, and every CC oracle.
+    val hubT = spark.conf.getOption("spark.graft.cc.hubDegree")
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    def hubSplitMinJoin(rows: DataFrame): DataFrame = {
+      // rows: (u, v) -> (u, v, m) with m = min(v) over u's rows
+      val mins = rows.groupBy($"u")
+        .agg(min($"v").as("m"), count(lit(1)).as("deg"))
+      val hubs = broadcast(mins.filter($"deg" > hubT).drop("deg"))
+      val hubRows = rows.join(hubs, Seq("u")) // map-only; immune to skew
+      val rest = rows
+        .join(broadcast(hubs.select($"u")), Seq("u"), "left_anti")
+        .join(mins.drop("deg"), Seq("u")) // all remaining degrees <= T
+      hubRows.unionByName(rest)
     }
     def largeStar(ed: DataFrame): DataFrame = {
       val sym = ed.unionByName(ed.select($"v".as("u"), $"u".as("v")))
-      if (skewSalt > 1)
+      if (hubT != Long.MaxValue)
         // (x, m_u) for x > u with m_u = least(u, min Γ(u)) — same
-        // emission as the window path, min computed skew-free by the
-        // map-side-combined groupBy
-        saltedMinJoin(sym, sym.groupBy($"u").agg(min($"v").as("m")))
+        // emission as the window path, min computed hub-safe
+        hubSplitMinJoin(sym)
           .filter($"v" > $"u")
           .select($"v".as("u"), least($"u", $"m").as("v"))
       else
@@ -1388,12 +1393,12 @@ object Dedup {
           .select($"v".as("u"), $"m".as("v"))
     }
     def smallStar(ed: DataFrame): DataFrame = {
-      if (skewSalt > 1) {
+      if (hubT != Long.MaxValue) {
         // relink rows emit (v, m) for v != m; the one (u, m) row per u
         // comes straight from the mins aggregate (exactly one row per
         // u by construction — no row_number needed on this path)
         val mins = ed.groupBy($"u").agg(min($"v").as("m"))
-        saltedMinJoin(ed, mins)
+        hubSplitMinJoin(ed)
           .filter($"v" =!= $"m")
           .select($"v".as("u"), $"m".as("v"))
           .unionByName(mins.select($"u", $"m".as("v")))

@@ -6,23 +6,23 @@ import org.apache.spark.sql.functions._
 /** Planted-star skew harness for the connected-components loop: ONE hub
   * node with H leaves — the exact shape where the default window-min
   * formulation degrades (every hub row hashes to one task, which then
-  * sorts H rows alone while 31 cores idle) and the salted two-level min
-  * (`spark.graft.cc.skewSalt`) is supposed to win. Measures both
+  * sorts H rows alone while 31 cores idle) and the hub-split two-level
+  * min (`spark.graft.cc.hubDegree`) is supposed to win. Measures both
   * formulations at growing H and verifies the label assignment exactly
   * at every cell (all nodes -> hub's id), so the A/B can never trade
   * correctness for speed. The star converges in one cycle by
   * construction; the harness therefore isolates the per-cycle star cost
-  * (the thing the salt changes) from cycle count (which the salt does
+  * (the thing the split changes) from cycle count (which the split does
   * not touch).
   *
-  * Usage: runMain graft.tools.CCSkewBench [H csv] [salts csv]
-  * Defaults: H = 1e6,4e6,16e6; salts = 1,32.
+  * Usage: runMain graft.tools.CCSkewBench [H csv] [hubDegree csv]
+  * Defaults: H = 1e6,4e6,16e6; thresholds = 0,500000 (0 = window path).
   */
 object CCSkewBench {
   def main(args: Array[String]): Unit = {
     val hs = args.headOption.getOrElse("1000000,4000000,16000000")
       .split(",").map(_.trim.toLong)
-    val salts = args.lift(1).getOrElse("1,32").split(",").map(_.trim.toInt)
+    val salts = args.lift(1).getOrElse("0,500000").split(",").map(_.trim.toLong)
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -42,17 +42,21 @@ object CCSkewBench {
       (seed, edges)
     }
 
+    def setT(t: Long): Unit =
+      if (t <= 0) spark.conf.unset("spark.graft.cc.hubDegree")
+      else spark.conf.set("spark.graft.cc.hubDegree", t.toString)
+
     // warmup: small star on both paths (JIT + codegen)
     for (s <- salts) {
-      spark.conf.set("spark.graft.cc.skewSalt", s.toString)
+      setT(s)
       graft.datapipe.Dedup.connectedComponents(
         star(1000)._1, star(1000)._2, 4).count()
     }
 
-    println(f"${"H"}%-10s ${salts.map(s => f"salt=$s%-9d").mkString}")
+    println(f"${"H"}%-10s ${salts.map(s => f"hubT=$s%-10d").mkString}")
     for (h <- hs) {
       val row = salts.map { s =>
-        spark.conf.set("spark.graft.cc.skewSalt", s.toString)
+        setT(s)
         val (seed, edges) = star(h)
         val t0 = System.nanoTime()
         val labels = graft.datapipe.Dedup.connectedComponents(seed, edges, 4)
@@ -62,7 +66,7 @@ object CCSkewBench {
         val n = labels.count()
         val dt = (System.nanoTime() - t0) / 1e9
         require(bad == 0L && n == h + 1,
-          s"salt=$s H=$h produced $n labels with $bad wrong — correctness bug")
+          s"hubT=$s H=$h produced $n labels with $bad wrong — correctness bug")
         spark.catalog.clearCache()
         f"$dt%-9.2f "
       }

@@ -472,17 +472,18 @@ class OperatorSpec extends SparkSpec {
       sym.limit(0), 4).count() === 0L)
   }
 
-  test("salted-CC (skewSalt > 1) matches the window path: labels, cycle budget, loud failure") {
-    // the hub-skew formulation (groupBy min + salted join-back) must be
-    // label-identical to the window path and converge within the SAME
-    // cycle budgets — the emission algebra is shared, only the min
-    // computation differs. Covers: the diameter-4 chain (2 cycles), the
-    // two-component 8-chain (3 cycles), a planted STAR (the shape the
-    // salt exists for — hub 0 with 50 leaves, 1 cycle: already a star),
-    // the loud budget failure, and salt values that do/don't divide the
-    // leaf count (salt 3 exercises uneven bucket fill).
-    for (salt <- Seq(3, 4)) {
-      spark.conf.set("spark.graft.cc.skewSalt", salt.toString)
+  test("hub-split CC (hubDegree set) matches the window path: labels, cycle budget, loud failure") {
+    // the hub-skew formulation (groupBy min + hub-broadcast/rest-join
+    // split) must be label-identical to the window path and converge
+    // within the SAME cycle budgets — the emission algebra is shared,
+    // only the min computation differs. Covers: the diameter-4 chain
+    // (2 cycles), the two-component 8-chain (3 cycles), a planted STAR
+    // (the shape the split exists for — hub 0 with 50 leaves, 1 cycle:
+    // already a star), the loud budget failure, and thresholds that
+    // route most nodes down the broadcast path (T=1) vs only the true
+    // hub (T=10) — both split ratios must agree.
+    for (hubT <- Seq(1, 10)) {
+      spark.conf.set("spark.graft.cc.hubDegree", hubT.toString)
       try {
         val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
         val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
@@ -506,7 +507,7 @@ class OperatorSpec extends SparkSpec {
         assert(datapipe.Dedup.connectedComponents(seedS, star, 2)
           .as[(Long, Long)].collect().toMap ===
           (0L to 50L).map(_ -> 0L).toMap)
-      } finally spark.conf.unset("spark.graft.cc.skewSalt")
+      } finally spark.conf.unset("spark.graft.cc.hubDegree")
     }
   }
 
