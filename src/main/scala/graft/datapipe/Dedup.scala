@@ -242,6 +242,92 @@ object Dedup {
       |SELECT doc_id + 2000000, text, lang, source
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** d21/d23's eval corpus: [[corpus]] plus MID-similarity plants (the
+    * first ~60% of every 13th doc's words + a distinct tail, J ≈
+    * 0.55-0.65) — the dedup corpus's own planted copies are all J ≈ 1,
+    * where a banding recall of 1.0 and a removal-rate cliff at τ=0.9
+    * are both uninformative; the partials put mass exactly where the
+    * curves bend.
+    */
+  private def evalCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = T.documents(s, d).select($"doc_id", $"text", $"lang", $"source")
+    val partial = docs.filter($"doc_id" % 13 === 0)
+      .withColumn("w", split($"text", " "))
+      .filter(size($"w") >= 6)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        concat(array_join(
+            expr("slice(w, 1, greatest(3, (size(w) * 6) div 10))"), " "),
+          lit(" mid sim tail pad")).as("text"),
+        $"lang", $"source")
+    corpus(s, d).unionByName(partial)
+  }
+
+  /** Exact-Jaccard ground-truth pairs (d1 < d2, J >= 0.5) over the
+    * df-CAPPED shingle space of a signature frame: shingles shared by
+    * more than [[D21_DF_CAP]] docs are dropped BEFORE the pair join
+    * (fan-out bounded at cap per shingle) and sizes are recounted over
+    * the SAME filtered space, so the Jaccard is exact over the filtered
+    * representation — the standard stop-shingle trade, its
+    * completeness cost quantifiable per run. rare's (h, df<=cap) frame
+    * is an aggregate of sh — one extra narrow shuffle, no corpus
+    * re-read. Returned frame is localCheckpointed (tiny), so consumers
+    * never re-run the pair join.
+    */
+  private def cappedTruth(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    val shAll = sig.select($"doc_id", explode($"hset").as("h"))
+    val rare = shAll.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= D21_DF_CAP).select($"h")
+    val sh = shAll.join(rare, Seq("h"), "left_semi")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("d1"), $"sz".as("s1")), Seq("d1"))
+      .join(sizes.select($"doc_id".as("d2"), $"sz".as("s2")), Seq("d2"))
+      .withColumn("jaccard", expr("inter / (s1 + s2 - inter)"))
+      .filter($"jaccard" >= 0.5)
+      .select($"d1", $"d2", $"jaccard")
+      .localCheckpoint()
+  }
+
+  /** DuckDB mirror of [[evalCorpus]] + [[cappedTruth]]: CTE chain ending
+    * in `sigs` (the eval corpus's signatures) and `truth` (df-capped
+    * exact-Jaccard pairs, J >= 0.5, MATERIALIZED). Shared by the d21
+    * and d23 oracles.
+    */
+  private def evalTruthCtesSql: String =
+    s"""c21 AS (
+       |  $corpusSql
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    array_to_string(words[1:GREATEST(3, (len(words) * 6) // 10)], ' ') ||
+       |      ' mid sim tail pad',
+       |    lang, source
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words, lang, source
+       |        FROM documents WHERE doc_id % 13 = 0) pz
+       |  WHERE len(words) >= 6),
+       |${sigCtesSql("c21", "")},
+       |shall AS (SELECT doc_id, unnest(hset) AS h FROM sigs),
+       |rare AS (SELECT h FROM shall GROUP BY h
+       |         HAVING COUNT(*) <= $D21_DF_CAP),
+       |sh AS (SELECT doc_id, h FROM shall
+       |       WHERE EXISTS (SELECT 1 FROM rare r WHERE r.h = shall.h)),
+       |isect AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |truth AS MATERIALIZED (
+       |  SELECT d1, d2, jaccard FROM (
+       |    SELECT d1, d2, inter / (s1.sz + s2.sz - inter) AS jaccard
+       |    FROM isect
+       |    JOIN sizes s1 ON s1.doc_id = d1
+       |    JOIN sizes s2 ON s2.doc_id = d2) z
+       |  WHERE jaccard >= 0.5)""".stripMargin
+
   /** MinHash signature + hashed shingle set per doc (Spark side). Two
     * fused codegen'd passes: WordShinglePHashes turns the text into the
     * sorted distinct 60-bit hashes of its 3-word shingles (shingle
@@ -501,16 +587,7 @@ object Dedup {
     // sets, so neither pass runs twice.
     "d21_lsh_recall" -> { (s, d) =>
       import s.implicits._
-      val docs = T.documents(s, d).select($"doc_id", $"text", $"lang", $"source")
-      val partial = docs.filter($"doc_id" % 13 === 0)
-        .withColumn("w", split($"text", " "))
-        .filter(size($"w") >= 6)
-        .select(($"doc_id" + 3000000L).as("doc_id"),
-          concat(array_join(
-              expr("slice(w, 1, greatest(3, (size(w) * 6) div 10))"), " "),
-            lit(" mid sim tail pad")).as("text"),
-          $"lang", $"source")
-      val sig = signaturesOf(corpus(s, d).unionByName(partial)).cache()
+      val sig = signaturesOf(evalCorpus(s, d)).cache()
       val bands = sig.select(col("doc_id"), explode(bandKeyArray).as("band_key"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_key") === col("y.band_key") &&
@@ -518,26 +595,7 @@ object Dedup {
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
         .localCheckpoint()
-      // df-capped truth space: drop shingles shared by > D21_DF_CAP docs
-      // BEFORE the pair join (the join's fan-out is then <= cap per
-      // shingle); sizes are recounted over the SAME filtered space so
-      // the Jaccard stays internally exact. rare's (h, df<=cap) frame is
-      // an aggregate of sh — one extra narrow shuffle, no corpus re-read.
-      val shAll = sig.select($"doc_id", explode($"hset").as("h"))
-      val rare = shAll.groupBy($"h").agg(count(lit(1)).as("df"))
-        .filter($"df" <= D21_DF_CAP).select($"h")
-      val sh = shAll.join(rare, Seq("h"), "left_semi")
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val truth = sh.as("x").join(sh.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select($"doc_id".as("d1"), $"sz".as("s1")), Seq("d1"))
-        .join(sizes.select($"doc_id".as("d2"), $"sz".as("s2")), Seq("d2"))
-        .withColumn("jaccard", expr("inter / (s1 + s2 - inter)"))
-        .filter($"jaccard" >= 0.5)
-        .select($"d1", $"d2", $"jaccard")
-        .localCheckpoint()
+      val truth = cappedTruth(sig)
       val nCand = cand.agg(count(lit(1)).as("n_cand"))
       def row(tau: Double): DataFrame = {
         val tr = truth.filter($"jaccard" >= tau)
@@ -552,6 +610,36 @@ object Dedup {
             ($"hits" / $"n_cand".cast("double")).as("precision"))
       }
       row(0.5).unionByName(row(0.8)).orderBy($"threshold")
+    },
+
+    // DEDUP-RATE CURVE — the report a data-mixing decision reads BEFORE
+    // choosing a dedup threshold: at each candidate τ, how many exact
+    // ground-truth pairs exist and what fraction of the corpus would a
+    // min-id-keep dedup remove (a doc is removed iff a LOWER-id doc with
+    // J >= τ exists — d14's domination rule, no transitive closure, so
+    // every duplicate neighborhood keeps exactly its minimum). Runs on
+    // the mid-similarity eval corpus so the curve actually bends between
+    // τ=0.5 and 0.9 instead of cliffing at the planted exact copies.
+    // Scale shape: ONE df-capped truth pass ([[cappedTruth]], the
+    // checkpointed frame is O(true pairs)); each τ row is then an
+    // integer aggregate over that tiny frame — the sweep costs one
+    // corpus pass total, not one per threshold. Counts integer; the
+    // fraction is one IEEE division.
+    "d23_dedup_rate_curve" -> { (s, d) =>
+      import s.implicits._
+      val sig = signaturesOf(evalCorpus(s, d)).cache()
+      val truth = cappedTruth(sig)
+      val nDocs = sig.agg(count(lit(1)).as("n_docs"))
+      def row(tau: Double): DataFrame =
+        truth.filter($"jaccard" >= tau)
+          .agg(count(lit(1)).as("n_pairs"),
+               countDistinct($"d2").as("n_removed"))
+          .crossJoin(broadcast(nDocs))
+          .select(lit(tau).cast("double").as("threshold"),
+            $"n_docs", $"n_pairs", $"n_removed",
+            ($"n_removed" / $"n_docs".cast("double")).as("frac_removed"))
+      Seq(0.5, 0.7, 0.8, 0.9).map(row).reduce(_ unionByName _)
+        .orderBy($"threshold")
     },
 
     // CROSS-SOURCE OVERLAP MATRIX — the corpus-composition report a
@@ -965,17 +1053,7 @@ object Dedup {
          |SELECT d1, d2, jaccard FROM d04pairs ORDER BY d1, d2""".stripMargin,
 
     "d21_lsh_recall" ->
-      s"""WITH c21 AS (
-         |  $corpusSql
-         |  UNION ALL
-         |  SELECT doc_id + 3000000,
-         |    array_to_string(words[1:GREATEST(3, (len(words) * 6) // 10)], ' ')
-         |      || ' mid sim tail pad',
-         |    lang, source
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS words, lang, source
-         |        FROM documents WHERE doc_id % 13 = 0) pz
-         |  WHERE len(words) >= 6),
-         |${sigCtesSql("c21", "")},
+      s"""WITH $evalTruthCtesSql,
          |bands AS (
          |  SELECT doc_id, unnest($bandKeysSql) AS band_key
          |  FROM sigs),
@@ -983,23 +1061,6 @@ object Dedup {
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
          |  FROM bands x JOIN bands y
          |    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         |shall AS (SELECT doc_id, unnest(hset) AS h FROM sigs),
-         |rare AS (SELECT h FROM shall GROUP BY h
-         |         HAVING COUNT(*) <= $D21_DF_CAP),
-         |sh AS (SELECT doc_id, h FROM shall
-         |       WHERE EXISTS (SELECT 1 FROM rare r WHERE r.h = shall.h)),
-         |isect AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
-         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |truth AS MATERIALIZED (
-         |  SELECT d1, d2, jaccard FROM (
-         |    SELECT d1, d2, inter / (s1.sz + s2.sz - inter) AS jaccard
-         |    FROM isect
-         |    JOIN sizes s1 ON s1.doc_id = d1
-         |    JOIN sizes s2 ON s2.doc_id = d2) z
-         |  WHERE jaccard >= 0.5),
          |u AS (
          |  SELECT CAST(0.5 AS DOUBLE) AS threshold,
          |    (SELECT COUNT(*) FROM truth WHERE jaccard >= 0.5) AS n_truth,
@@ -1020,6 +1081,23 @@ object Dedup {
          |  hits / CAST(n_truth AS DOUBLE) AS recall,
          |  hits / CAST(n_cand AS DOUBLE) AS precision
          |FROM u ORDER BY threshold""".stripMargin,
+
+    "d23_dedup_rate_curve" -> {
+      val taus = Seq("0.5", "0.7", "0.8", "0.9")
+      val rows = taus.map { t =>
+        s"""  SELECT CAST($t AS DOUBLE) AS threshold,
+           |    (SELECT COUNT(*) FROM sigs) AS n_docs,
+           |    (SELECT COUNT(*) FROM truth WHERE jaccard >= $t) AS n_pairs,
+           |    (SELECT COUNT(DISTINCT d2) FROM truth WHERE jaccard >= $t)
+           |      AS n_removed""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $evalTruthCtesSql,
+         |u AS (
+         |$rows)
+         |SELECT threshold, n_docs, n_pairs, n_removed,
+         |  n_removed / CAST(n_docs AS DOUBLE) AS frac_removed
+         |FROM u ORDER BY threshold""".stripMargin
+    },
 
     "d22_source_overlap" ->
       s"""WITH w AS (

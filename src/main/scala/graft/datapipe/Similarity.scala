@@ -616,6 +616,74 @@ object Similarity {
         .orderBy($"method")
     },
 
+    // PQ/ADC RECALL EVALUATION — completes the recall-eval family
+    // across all three index types (s14: LSH buckets, s15: IVF posting
+    // lists, s16: quantized codes): how much of the EXACT integer-L2
+    // top-10 does the ADC scan's top-C recover, at rerank widths C=30
+    // (s12's production width) and C=100? Unlike s14/s15 the candidate
+    // generator is not a blocking join — ADC scores EVERY vector from
+    // M table lookups — so what's measured is the quantization error's
+    // effect on the top of the list: the number a deployment uses to
+    // size C. Scale shape: the codebook (M×K rows) and per-query
+    // distance tables (NQ×M×K rows) broadcast; the ADC scan fans each
+    // (vec, j, code) row out NQ ways against the broadcast table and
+    // reduces map-side to (q_id, vec_id, long) partials — that O(n·M·
+    // n_q) lookup bill IS ADC's cost model, all map-only; top-C per
+    // query is a ranking window over narrow integer rows. Ground truth
+    // = exact int-L2 brute force (same fixed-point rounding as the
+    // index, so "exact" means exactly what the index approximates),
+    // localCheckpointed once. All counts integer, one IEEE division.
+    "s16_pq_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val subs = pqSubs(emb)
+      val cb = pqCodebook(subs).localCheckpoint() // M×K rows, trained once
+      val codes = pqEncode(subs, cb).select($"vec_id", $"j", $"code")
+      val qs0 = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        .localCheckpoint() // NQ rows; same sample frame as s14/s15
+      val dt = intL2(
+          pqSubs(qs0.select($"q_id".as("vec_id"), $"q_emb".as("embedding")))
+            .join(broadcast(cb), Seq("j")), $"sv", $"centroid")
+        .select($"vec_id".as("q_id"), $"j", $"code", $"d2".as("dq"))
+        .localCheckpoint() // NQ×M×K rows; computed once, broadcast below
+      val adc = codes.join(broadcast(dt), Seq("j", "code"))
+        .filter($"vec_id" =!= $"q_id")
+        .groupBy($"q_id", $"vec_id")
+        .agg(sum($"dq").as("adc"))
+      val wA = Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")
+      val ranked = adc.withColumn("rn", row_number().over(wA))
+        .select($"q_id", $"vec_id", $"rn")
+        .filter($"rn" <= 100)
+        .localCheckpoint() // <= NQ×100 rows; the ADC scan runs ONCE
+      val wE = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      val exact10 = intL2(emb.join(broadcast(qs0), $"vec_id" =!= $"q_id"),
+          $"embedding", $"q_emb")
+        .select($"q_id", $"vec_id", $"d2")
+        .withColumn("rn", row_number().over(wE))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint() // <= n_q × 10 rows; brute force runs ONCE
+      val nq = qs0.agg(count(lit(1)).as("n_q"))
+      val nTruth = exact10.agg(count(lit(1)).as("n_truth"))
+      def report(c: Int): DataFrame = {
+        val cand = ranked.filter($"rn" <= c).select($"q_id", $"vec_id")
+        exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(nq))
+          .crossJoin(broadcast(nTruth))
+          .select(lit(s"adc_top$c").as("method"), $"n_q", $"n_truth",
+            $"hits", $"n_cand",
+            ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+            ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
+      }
+      report(30).unionByName(report(100)).orderBy($"method")
+    },
+
     // SemDeDup (semantic dedup over embeddings): within each cluster,
     // a vector is REMOVED when a lower-id vector in the same cluster is
     // semantically identical (cosine >= 0.95) — the keep/remove
@@ -1352,6 +1420,59 @@ object Similarity {
          |       (SELECT 1 FROM cand2 c
          |        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)) AS hits,
          |    (SELECT COUNT(*) FROM cand2) AS n_cand)
+         |SELECT method, n_q, n_truth, hits, n_cand,
+         |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
+         |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
+         |FROM u ORDER BY method""".stripMargin,
+
+    "s16_pq_recall" ->
+      s"""WITH $pqOracleCtes,
+         |codes AS (SELECT vec_id, j, code FROM best WHERE rn = 1),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  $sampleOrderSql),
+         |dt AS (
+         |  SELECT s.vec_id AS q_id, s.j, c.code,
+         |    ${intL2Sql("s.sv", "c.centroid")} AS dq
+         |  FROM subs s JOIN q ON s.vec_id = q.q_id
+         |  JOIN cb c USING (j)),
+         |adc AS (
+         |  SELECT d.q_id, k.vec_id, SUM(d.dq) AS adc
+         |  FROM codes k JOIN dt d ON k.j = d.j AND k.code = d.code
+         |  WHERE k.vec_id <> d.q_id
+         |  GROUP BY 1, 2),
+         |ranked AS MATERIALIZED (
+         |  SELECT q_id, vec_id, rn FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc, vec_id) AS rn
+         |    FROM adc) z
+         |  WHERE rn <= 100),
+         |exact10 AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e2.vec_id, row_number() OVER (
+         |      PARTITION BY q.q_id
+         |      ORDER BY ${intL2Sql("e2.embedding", "q.q_emb")}, e2.vec_id)
+         |      AS rn
+         |    FROM e e2, q WHERE e2.vec_id <> q.q_id) z
+         |  WHERE rn <= 10),
+         |u AS (
+         |  SELECT 'adc_top30' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM ranked c
+         |        WHERE c.rn <= 30 AND x.q_id = c.q_id
+         |          AND x.vec_id = c.vec_id)) AS hits,
+         |    (SELECT COUNT(*) FROM ranked WHERE rn <= 30) AS n_cand
+         |  UNION ALL
+         |  SELECT 'adc_top100' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM ranked c
+         |        WHERE c.rn <= 100 AND x.q_id = c.q_id
+         |          AND x.vec_id = c.vec_id)) AS hits,
+         |    (SELECT COUNT(*) FROM ranked) AS n_cand)
          |SELECT method, n_q, n_truth, hits, n_cand,
          |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
          |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates

@@ -130,27 +130,33 @@ object StressBench {
       // t29: map-only scoring + per-source integer partials — linear,
       // like t14's
       "t29_quality_drift," +
-      // s14: the ground-truth pass is O(corpus × queries) and the
-      // fixture samples queries by MODULO (a fixed fraction), so the
-      // stress curve is quadratic in k BY CONSTRUCTION — the eval
-      // workload's nature, not a plan defect. At 100 TB the operator's
-      // knob is a FIXED-SIZE query sample (n_q constant), which makes
-      // the same plan linear in corpus rows; the candidate joins are
-      // flat-per-query either way
+      // s14: since round 12 the query sample is FIXED-SIZE (NQ=32,
+      // deterministic hash order) — the ground-truth pass is n_q
+      // corpus scans, so the curve should be LINEAR in corpus rows
+      // (round 11's fixed-fraction sample made it quadratic by
+      // construction; that reading is preserved in ARCHITECTURE's
+      // bench notes as the before)
       "s14_ann_recall," +
-      // d21: the exact ground-truth inverted-index join fans out on
-      // shingle doc-frequency — super-linear on the mutually-duplicated
-      // stress corpus BY CONSTRUCTION (it is the eval, priced like
-      // s14's brute force; production samples or df-caps it)
+      // d21: truth enumeration runs over the df-capped shingle space
+      // since round 12 (df <= 64) — per-shingle fan-out bounded at
+      // cap², so the curve should flatten toward the capped bill on
+      // the mutually-duplicated stress corpus where the uncapped join
+      // was super-linear by construction (the cap doesn't bind at
+      // sf0.01, so the oracle still checks uncapped semantics)
       "d21_lsh_recall," +
       // d22: one distinct (hash, source) shuffle, then aggregates
       // bounded by k sources — curve should be linear in corpus rows
       // and the report side flat
       "d22_source_overlap," +
-      // s15: same by-construction quadratic as s14 (fixed-fraction
-      // query sampling × growing corpus); the fixed-size-sample knob
-      // makes it linear at 100 TB
-      "s15_ivf_recall"
+      // s15: same fixed-size sample as s14 — linear like s14's
+      "s15_ivf_recall," +
+      // round-12: s16 PQ/ADC recall — the ADC scan is O(n·M·n_q) table
+      // lookups, map-only with (q_id, vec_id, long) partials; embeddings
+      // stay 1× in the stress corpus so the curve should be flat like
+      // s11/s12's. d23: ONE df-capped truth pass (d21's cost) + four
+      // integer aggregates over the checkpointed pair frame — curve
+      // should track d21's
+      "s16_pq_recall,d23_dedup_rate_curve"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1356,6 +1356,57 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s16: ADC top-100 dominates top-30; ratios exact; truth full at this corpus") {
+    val rows = datapipe.Similarity.queries("s16_pq_recall")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq("adc_top100", "adc_top30"))
+    val Array(c100, c30) = rows
+    // fixed-size sample; int-L2 truth has no NaN path, so every query
+    // carries a full exact top-10 (corpus >> 10)
+    assert(c30._2 === 32L && c100._2 === 32L)
+    assert(c30._3 === 320L && c100._3 === 320L)
+    // top-30 ⊆ top-100 (one ranking, two cutoffs): hits and cost dominate
+    assert(c100._4 >= c30._4 && c100._5 >= c30._5)
+    // every query has >= 100 ADC-scored candidates at this corpus, so
+    // the candidate bills are exactly n_q × C
+    assert(c30._5 === 32L * 30 && c100._5 === 32L * 100)
+    // ADC must be genuinely informative at C=30: well above the ~6% a
+    // random 30-of-499 subset would recall in expectation (measured
+    // 0.228 at this corpus — a one-Lloyd-iteration K=8 codebook is
+    // coarse, which is exactly the number this eval exists to surface)
+    assert(c30._6 > 0.15, s"ADC top-30 recall ${c30._6} — quantizer broken?")
+    Seq(c30, c100).foreach { case (_, n, truth, hits, cand, recall, avgC) =>
+      assert(hits <= truth && hits <= cand)
+      assert(recall === hits.toDouble / truth.toDouble)
+      assert(avgC === cand.toDouble / n)
+    }
+  }
+
+  test("d23: removal curve is monotone in τ and anchored by the planted copies") {
+    val rows = datapipe.Dedup.queries("d23_dedup_rate_curve")(spark, sf)
+      .as[(Double, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq(0.5, 0.7, 0.8, 0.9))
+    val nDocs = rows.head._2
+    assert(rows.forall(_._2 === nDocs), "denominator must be constant")
+    // pairs and removals can only shrink as τ rises
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sortBy(-_).toSeq)
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sortBy(-_).toSeq)
+    rows.foreach { case (_, nd, pairs, removed, frac) =>
+      assert(removed <= pairs, "each removed doc carries >= 1 pair")
+      assert(removed <= nd)
+      assert(frac === removed.toDouble / nd.toDouble)
+    }
+    // exact copies (+2e6, J=1) survive every threshold: τ=0.9 removal
+    // is at least the plant count; the mid-similarity partials (+3e6,
+    // J≈0.55-0.65) must separate τ=0.5 from τ=0.8
+    val exactPlants = Tables.documents(spark, sf)
+      .filter($"doc_id" % 7 === 0).count()
+    assert(rows.last._4 >= exactPlants,
+      s"τ=0.9 removed ${rows.last._4} < $exactPlants planted exact copies")
+    assert(rows.head._4 > rows(2)._4,
+      "mid-similarity plants must add removals below τ=0.8")
+  }
+
   test("t25: the kept set is the true top-100 of the full pool-score frame") {
     val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
       .as[(Long, String, Long, Double)].collect()
