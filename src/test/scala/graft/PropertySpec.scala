@@ -298,6 +298,16 @@ class PropertySpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       val wantFull = got.keys.map(k => k -> want.getOrElse(k, k)).toMap
       assert(got === wantFull, s"sample $i diverged (${edges.size} edges)")
+      // the hub-split skew path must be label-identical on the SAME
+      // random graph (threshold 2 routes every multi-edge node through
+      // the broadcast branch — maximal divergence from the window path)
+      spark.conf.set("spark.graft.cc.hubDegree", "2")
+      try {
+        val gotSplit = datapipe.Dedup.connectedComponents(seed, df, 12)
+          .as[(Long, Long)].collect().toMap
+        assert(gotSplit === wantFull,
+          s"sample $i: hub-split labels diverge from union-find")
+      } finally spark.conf.unset("spark.graft.cc.hubDegree")
     }
   }
 
