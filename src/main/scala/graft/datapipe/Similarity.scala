@@ -649,7 +649,9 @@ object Similarity {
           pqSubs(qs0.select($"q_id".as("vec_id"), $"q_emb".as("embedding")))
             .join(broadcast(cb), Seq("j")), $"sv", $"centroid")
         .select($"vec_id".as("q_id"), $"j", $"code", $"d2".as("dq"))
-        .localCheckpoint() // NQ×M×K rows; computed once, broadcast below
+        // consumed exactly once (the adc broadcast) — checkpointing it
+        // would be a pure extra job; qs0 is already checkpointed, so
+        // recompute risk is nil
       val adc = codes.join(broadcast(dt), Seq("j", "code"))
         .filter($"vec_id" =!= $"q_id")
         .groupBy($"q_id", $"vec_id")
