@@ -287,9 +287,10 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc_id".as("d1"), $"sz".as("s1")), Seq("d1"))
       .join(sizes.select($"doc_id".as("d2"), $"sz".as("s2")), Seq("d2"))
-      .withColumn("jaccard", expr("inter / (s1 + s2 - inter)"))
+      .withColumn("uni", expr("s1 + s2 - inter"))
+      .withColumn("jaccard", expr("inter / uni"))
       .filter($"jaccard" >= 0.5)
-      .select($"d1", $"d2", $"jaccard")
+      .select($"d1", $"d2", $"inter", $"uni", $"jaccard")
       .localCheckpoint()
   }
 
@@ -321,8 +322,9 @@ object Dedup {
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |truth AS MATERIALIZED (
-       |  SELECT d1, d2, jaccard FROM (
-       |    SELECT d1, d2, inter / (s1.sz + s2.sz - inter) AS jaccard
+       |  SELECT d1, d2, inter, uni, jaccard FROM (
+       |    SELECT d1, d2, inter, s1.sz + s2.sz - inter AS uni,
+       |      inter / (s1.sz + s2.sz - inter) AS jaccard
        |    FROM isect
        |    JOIN sizes s1 ON s1.doc_id = d1
        |    JOIN sizes s2 ON s2.doc_id = d2) z
@@ -640,6 +642,45 @@ object Dedup {
             ($"n_removed" / $"n_docs".cast("double")).as("frac_removed"))
       Seq(0.5, 0.7, 0.8, 0.9).map(row).reduce(_ unionByName _)
         .orderBy($"threshold")
+    },
+
+    // MINHASH ESTIMATOR ERROR — the last unmeasured approximation in the
+    // dedup family: d02 thresholds on the K=16 signature's Jaccard
+    // ESTIMATE (matching-component fraction), d21 measures the BANDING's
+    // recall, but nothing measured the estimator itself. Per true-J band
+    // ([0.5,0.7), [0.7,0.9), [0.9,1.0]): micro-averaged true Jaccard
+    // (Σinter/Σunion — integer sums, one division) vs micro-averaged
+    // estimate (Σmatches/16n), plus the count of pairs whose estimate
+    // misses truth by > 0.25 — at K=16 the per-pair std is
+    // √(J(1-J)/16) ≈ 0.125 at J=0.5, so the tail count is the number
+    // that tells you whether K must grow. Determinism: matches and
+    // inter/uni are integers; est (k/16) is exactly representable;
+    // true J is one division — the |est−J| > 0.25 comparison is
+    // IEEE-identical per pair on both engines, and every aggregate is
+    // an integer sum divided once. Scale shape: one df-capped truth
+    // pass (shared plan with d21/d23), signatures join back on the two
+    // doc-id keys (K longs per row), O(true pairs) everything after.
+    "d24_minhash_estimator_error" -> { (s, d) =>
+      import s.implicits._
+      val sig = signaturesOf(evalCorpus(s, d)).cache()
+      val truth = cappedTruth(sig)
+      val sigs1 = sig.select($"doc_id".as("d1"), $"sig".as("sig1"))
+      val sigs2 = sig.select($"doc_id".as("d2"), $"sig".as("sig2"))
+      truth.join(sigs1, Seq("d1")).join(sigs2, Seq("d2"))
+        .withColumn("matches", expr(
+          "size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))"))
+        .withColumn("j_band",
+          when($"jaccard" >= 0.9, "0.90-1.00")
+            .when($"jaccard" >= 0.7, "0.70-0.90")
+            .otherwise("0.50-0.70"))
+        .groupBy($"j_band")
+        .agg(count(lit(1)).as("n_pairs"),
+             (sum($"inter") / sum($"uni").cast("double"))
+               .as("micro_true_j"),
+             (sum($"matches") / (count(lit(1)) * 16.0)).as("micro_est_j"),
+             sum(when(abs($"matches" / lit(16.0) - $"jaccard") > 0.25, 1L)
+               .otherwise(0L)).as("n_large_err"))
+        .orderBy($"j_band")
     },
 
     // CROSS-SOURCE OVERLAP MATRIX — the corpus-composition report a
@@ -1081,6 +1122,28 @@ object Dedup {
          |  hits / CAST(n_truth AS DOUBLE) AS recall,
          |  hits / CAST(n_cand AS DOUBLE) AS precision
          |FROM u ORDER BY threshold""".stripMargin,
+
+    "d24_minhash_estimator_error" ->
+      s"""WITH $evalTruthCtesSql,
+         |ps AS (
+         |  SELECT t.d1, t.d2, t.inter, t.uni, t.jaccard,
+         |    len(list_filter(range(1, 17),
+         |      i -> s1.sig[CAST(i AS INT)] = s2.sig[CAST(i AS INT)]))
+         |      AS matches
+         |  FROM truth t
+         |  JOIN sigs s1 ON s1.doc_id = t.d1
+         |  JOIN sigs s2 ON s2.doc_id = t.d2),
+         |banded AS (
+         |  SELECT *, CASE WHEN jaccard >= 0.9 THEN '0.90-1.00'
+         |                 WHEN jaccard >= 0.7 THEN '0.70-0.90'
+         |                 ELSE '0.50-0.70' END AS j_band
+         |  FROM ps)
+         |SELECT j_band, COUNT(*) AS n_pairs,
+         |  SUM(inter) / CAST(SUM(uni) AS DOUBLE) AS micro_true_j,
+         |  SUM(matches) / (COUNT(*) * 16.0) AS micro_est_j,
+         |  CAST(SUM(CASE WHEN ABS(matches / 16.0 - jaccard) > 0.25
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_large_err
+         |FROM banded GROUP BY j_band ORDER BY j_band""".stripMargin,
 
     "d23_dedup_rate_curve" -> {
       val taus = Seq("0.5", "0.7", "0.8", "0.9")

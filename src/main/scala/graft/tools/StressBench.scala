@@ -156,7 +156,10 @@ object StressBench {
       // s11/s12's. d23: ONE df-capped truth pass (d21's cost) + four
       // integer aggregates over the checkpointed pair frame — curve
       // should track d21's
-      "s16_pq_recall,d23_dedup_rate_curve"
+      "s16_pq_recall,d23_dedup_rate_curve," +
+      // d24: the same one-truth-pass shape as d23 + a K-long signature
+      // join per true pair — curve should track d21/d23's
+      "d24_minhash_estimator_error"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

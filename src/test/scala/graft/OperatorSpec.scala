@@ -1407,6 +1407,27 @@ class OperatorSpec extends SparkSpec {
       "mid-similarity plants must add removals below τ=0.8")
   }
 
+  test("d24: minhash estimate tracks true Jaccard per band; tails bounded") {
+    val rows = datapipe.Dedup.queries("d24_minhash_estimator_error")(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+    val bands = Seq("0.50-0.70", "0.70-0.90", "0.90-1.00")
+    assert(rows.map(_._1).toSeq.forall(bands.contains))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    // planted exact copies guarantee the top band is populated
+    assert(rows.exists(r => r._1 == "0.90-1.00" && r._2 > 0))
+    rows.foreach { case (band, n, trueJ, estJ, nErr) =>
+      assert(n > 0)
+      // the estimator is unbiased: K=16 gives per-pair std <= 0.125,
+      // and micro-averaging every band's n >= 13 pairs makes a 0.15
+      // corridor > 4 sigma wide — a miss means broken signatures, not
+      // bad luck
+      assert(math.abs(estJ - trueJ) < 0.15, s"$band: est $estJ vs $trueJ")
+      // Hoeffding: P(|est - J| > 0.25) <= exp(-2) ~ 0.135 per pair;
+      // half a band exceeding it would be astronomically unlikely
+      assert(nErr <= n / 2 + 1, s"$band: $nErr/$n large errors")
+    }
+  }
+
   test("t25: the kept set is the true top-100 of the full pool-score frame") {
     val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
       .as[(Long, String, Long, Double)].collect()
