@@ -228,6 +228,12 @@ object Multimodal {
                                  height: Int, f0_sum: Long, f1_sum: Long,
                                  f2_sum: Long, f3_sum: Long, motion: Long)
 
+  /** m08's per-video scene report: cut count, first cut frame (-1 when
+    * none), and the total inter-frame pixel delta (a motion budget).
+    */
+  final case class VideoScenes(asset_id: Long, n_frames: Int, n_cuts: Long,
+                               first_cut: Long, total_delta: Long)
+
   /** Raw-video codec over a header-free grayscale layout: payload =
     * n_frames consecutive W×H row-major frames, one byte per pixel —
     * the in-memory shape a real decoder (ffmpeg et al., absent in this
@@ -314,6 +320,89 @@ object Multimodal {
       reader.dispose(); iis.close()
       val motion = sums.sliding(2).map(p => math.abs(p(1) - p(0))).sum
       VideoFeatures(id, n, W, H, sums(0), sums(1), sums(2), sums(3), motion)
+    }
+
+    /** m08's scene-structured variant of [[synthVideo]]: pixel(x, y, f)
+      * = (7x + 13y + 97·(f div 5) + id) mod 256 — constant within each
+      * 5-frame shot (a static camera), jumping at shot boundaries. Same
+      * real GIF89a container, same identity-palette exact round trip.
+      */
+    def synthVideoScenes(id: Long): Array[Byte] = {
+      noDiskCache
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val n = nFrames(id)
+      var f = 0
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          W, H, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) {
+            img.getRaster.setSample(x, y, 0,
+              ((x * 7 + y * 13 + (f / 5) * 97 + id) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+
+    /** Scene-cut detection through the real container decode: every
+      * frame is decoded IN ORDER (shot detection's cost model — unlike
+      * [[features]]' seek-and-sample, a cut can hide between any two
+      * frames), per-transition sum of |Δ pixel| is compared against
+      * mean-|Δ| > 8 (integer form: sum > 8·W·H — no division), and the
+      * per-video report is (n_frames, n_cuts, first_cut, total_delta).
+      * Only the previous frame's raster is retained — O(W·H) memory
+      * regardless of clip length.
+      */
+    def sceneCuts(id: Long, payload: Array[Byte]): VideoScenes = {
+      noDiskCache
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      def raster(f: Int): Array[Int] = {
+        val img = reader.read(f)
+        val out = new Array[Int](W * H)
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) { out(y * W + x) = img.getRaster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        out
+      }
+      var prev = raster(0)
+      var cuts = 0L
+      var firstCut = -1L
+      var totalDelta = 0L
+      var f = 1
+      while (f < n) {
+        val cur = raster(f)
+        var d = 0L
+        var i = 0
+        while (i < W * H) { d += math.abs(cur(i) - prev(i)); i += 1 }
+        totalDelta += d
+        if (d > 8L * W * H) {
+          cuts += 1
+          if (firstCut < 0) firstCut = f
+        }
+        prev = cur
+        f += 1
+      }
+      reader.dispose(); iis.close()
+      VideoScenes(id, n, cuts, firstCut, totalDelta)
     }
   }
 
@@ -460,6 +549,27 @@ object Multimodal {
       T.documents(s, d).select($"doc_id").as[Long]
         .mapPartitions(_.map { id =>
           VideoCodec.features(id, VideoCodec.synthVideo(id))
+        })
+        .toDF().orderBy($"asset_id")
+    },
+
+    // Scene-cut detection — the shot-segmentation step a video-curation
+    // pipeline runs before sampling training clips (cut-straddling
+    // clips are junk; per-shot sampling needs the boundaries). The
+    // corpus is scene-STRUCTURED video (static 5-frame shots, pixel
+    // content jumping at shot boundaries — [[VideoCodec.synthVideoScenes]],
+    // a real GIF89a container), and detection decodes EVERY frame in
+    // order through the real container reader — shot detection's honest
+    // cost model (a cut can hide between any two frames; m04's
+    // seek-and-sample would miss them), holding only the previous
+    // frame's raster. The cut test is integer (Σ|Δpixel| > 8·W·H — no
+    // division, no float). Scale shape: map-only decode; what shuffles
+    // per video is (id, int, 3 longs) ~28 B regardless of clip length.
+    "m08_scene_cuts" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          VideoCodec.sceneCuts(id, VideoCodec.synthVideoScenes(id))
         })
         .toDF().orderBy($"asset_id")
     },
@@ -690,6 +800,27 @@ object Multimodal {
         |  ahash, COUNT(*) AS n_copies
         |FROM fp GROUP BY n, ahash HAVING COUNT(*) > 1
         |ORDER BY canonical_id""".stripMargin,
+
+    // m08's scene formula mirror: pixel(x, y, f) = (7x + 13y +
+    // 97·(f//5) + id) % 256; per-transition Σ|Δ|, integer cut test.
+    "m08_scene_cuts" ->
+      """WITH tr AS (
+        |  SELECT d.doc_id, f.f,
+        |    CAST(SUM(ABS(
+        |      (x.x * 7 + y.y * 13 + (f.f // 5) * 97 + d.doc_id) % 256 -
+        |      (x.x * 7 + y.y * 13 + ((f.f - 1) // 5) * 97 + d.doc_id) % 256))
+        |      AS BIGINT) AS delta
+        |  FROM documents d, range(1, 25) f(f), range(0, 8) x(x), range(0, 6) y(y)
+        |  WHERE f.f < 16 + d.doc_id % 9
+        |  GROUP BY d.doc_id, f.f)
+        |SELECT doc_id AS asset_id,
+        |  CAST(16 + doc_id % 9 AS INT) AS n_frames,
+        |  CAST(SUM(CASE WHEN delta > 384 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(COALESCE(MIN(CASE WHEN delta > 384 THEN f END), -1) AS BIGINT)
+        |    AS first_cut,
+        |  CAST(SUM(delta) AS BIGINT) AS total_delta
+        |FROM tr GROUP BY doc_id ORDER BY asset_id""".stripMargin,
 
     // m05's pixel-formula aHash mirror over the %7/+4000000
     // caption-variant corpus, with captions reduced to the portable

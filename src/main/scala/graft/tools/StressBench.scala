@@ -159,7 +159,10 @@ object StressBench {
       "s16_pq_recall,d23_dedup_rate_curve," +
       // d24: the same one-truth-pass shape as d23 + a K-long signature
       // join per true pair — curve should track d21/d23's
-      "d24_minhash_estimator_error"
+      "d24_minhash_estimator_error," +
+      // m08: map-only decode-every-frame through the real GIF reader
+      // (docs 1× here — the codec kernel is the cost, curve flat)
+      "m08_scene_cuts"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1519,6 +1519,26 @@ class OperatorSpec extends SparkSpec {
         assert(f > 0.0 && f < 1.0, s"near-copy $x frac $f")))
   }
 
+  test("m08: cuts land exactly on the planted 5-frame shot boundaries") {
+    val out = datapipe.Multimodal.queries("m08_scene_cuts")(spark, sf)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(out.length > 0)
+    out.foreach { case (id, n, cuts, first, total) =>
+      assert(n === (16 + id % 9).toInt)
+      // shots are 5 frames: boundaries at f = 5, 10, 15[, 20] — exactly
+      // (n-1)/5 of them, the first always at 5; within-shot frames are
+      // pixel-identical so EVERY unit of total_delta comes from a cut
+      assert(cuts === (n - 1) / 5, s"id=$id n=$n cuts=$cuts")
+      assert(first === 5L, s"id=$id first=$first")
+      // within-shot frames are pixel-identical, so every unit of
+      // total_delta comes from a boundary transition: each of the
+      // `cuts` boundaries contributed more than the 384 threshold and
+      // at most 48 pixels × 255
+      assert(total > 384L * cuts && total <= 48L * 255 * cuts,
+        s"id=$id: total=$total outside boundary-only range, cuts=$cuts")
+    }
+  }
+
   test("m07: every planted caption variant surfaces as a multi-caption group") {
     val out = datapipe.Multimodal.queries("m07_caption_variants")(spark, sf)
       .as[(Long, Int, Int, Long, Long, Long)].collect()
