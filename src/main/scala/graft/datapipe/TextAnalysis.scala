@@ -1156,6 +1156,67 @@ object TextAnalysis {
         .orderBy($"source")
     },
 
+    // Leave-one-out cross-source LM scoring — the ODD-SOURCE detector a
+    // data-mixing decision runs next to d22's overlap matrix: score
+    // every source's documents under a bigram LM trained on ALL OTHER
+    // sources, next to the same docs under their own source's LM. A
+    // source whose out-of-domain NLL gap spikes is the one whose text
+    // distribution diverges from the rest of the corpus (scraped wrong,
+    // different language register, boilerplate farm). The k LOO models
+    // are NOT k corpus passes: one (source, pw, w) count aggregate
+    // yields every per-source count, and each LOO count is total minus
+    // own — the subtraction trick that makes leave-one-out free at any
+    // k. Smoothing uses the GLOBAL vocabulary for every model, so own
+    // and LOO NLLs are comparable (documented modeling choice).
+    // Determinism: t26's scheme — per-(source, pw, w) NLLs rounded ONCE
+    // to integer micro-nats, per-source sums exact longs, divisions
+    // only in the final projection (the gap derives from the exact
+    // longs, not from the two rounded averages). Scale shape: map-only
+    // tokenize; aggregates over (source, pw, w) fixed-width rows with
+    // map-side combine; the score join is on the same uniform key; the
+    // report is O(sources) rows.
+    "t30_source_loo_nll" -> { (s, d) =>
+      import s.implicits._
+      val big = T.documents(s, d)
+        .select($"doc_id", $"source",
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+        .select($"doc_id", $"source", $"toks",
+          posexplode($"toks").as(Seq("p", "w")))
+        .select($"doc_id", $"source",
+          when($"p" === 0, lit("<s>"))
+            .otherwise(element_at($"toks", $"p")).as("pw"),
+          $"w")
+      val tf = big.groupBy($"doc_id", $"source", $"pw", $"w")
+        .agg(count(lit(1)).as("tf"))
+      val c2s = tf.groupBy($"source", $"pw", $"w").agg(sum($"tf").as("c2s"))
+      val c2  = c2s.groupBy($"pw", $"w").agg(sum($"c2s").as("c2"))
+      val c1s = c2s.groupBy($"source", $"pw").agg(sum($"c2s").as("c1s"))
+      val c1  = c1s.groupBy($"pw").agg(sum($"c1s").as("c1"))
+      val v   = c2.agg(countDistinct($"w").as("v"))
+      val lms = c2s.join(c2, Seq("pw", "w")).join(c1s, Seq("source", "pw"))
+        .join(c1, Seq("pw")).crossJoin(broadcast(v))
+        .select($"source", $"pw", $"w",
+          round(-log(($"c2s" + 1L).cast("double") / ($"c1s" + $"v")) * 1e6)
+            .cast("long").as("own_nll"),
+          round(-log(($"c2" - $"c2s" + 1L).cast("double") /
+                     ($"c1" - $"c1s" + $"v")) * 1e6)
+            .cast("long").as("loo_nll"))
+      tf.join(lms, Seq("source", "pw", "w"))
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+             sum($"tf").as("n_bigrams"),
+             sum($"tf" * $"own_nll").as("own_sum"),
+             sum($"tf" * $"loo_nll").as("loo_sum"))
+        .select($"source", $"n_docs", $"n_bigrams",
+          round($"own_sum".cast("double") / $"n_bigrams" / 1e6, 6)
+            .as("avg_own_nll"),
+          round($"loo_sum".cast("double") / $"n_bigrams" / 1e6, 6)
+            .as("avg_loo_nll"),
+          round(($"loo_sum" - $"own_sum").cast("double") / $"n_bigrams" / 1e6, 6)
+            .as("nll_gap"))
+        .orderBy($"source")
+    },
+
     // Cross-document duplication profile — the RefinedWeb/Falcon dedup
     // DIAGNOSTIC (t11 measures repetition WITHIN a doc; this measures
     // how much of each doc is shared ACROSS docs): per doc, the
@@ -1906,6 +1967,55 @@ object TextAnalysis {
          |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_tokens,
          |  MIN(avg_nll) AS lo_nll, MAX(avg_nll) AS hi_nll
          |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "t30_source_loo_nll" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, ws, unnest(range(1, len(ws) + 1)) AS i
+        |  FROM arrs),
+        |big AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN i = 1 THEN '<s>'
+        |         ELSE ws[CAST(i - 1 AS INT)] END AS pw,
+        |    ws[CAST(i AS INT)] AS w
+        |  FROM pos),
+        |tf AS (
+        |  SELECT doc_id, source, pw, w, COUNT(*) AS tf
+        |  FROM big GROUP BY doc_id, source, pw, w),
+        |c2s AS (SELECT source, pw, w, SUM(tf) AS c2s
+        |        FROM tf GROUP BY source, pw, w),
+        |c2 AS (SELECT pw, w, SUM(c2s) AS c2 FROM c2s GROUP BY pw, w),
+        |c1s AS (SELECT source, pw, SUM(c2s) AS c1s
+        |        FROM c2s GROUP BY source, pw),
+        |c1 AS (SELECT pw, SUM(c1s) AS c1 FROM c1s GROUP BY pw),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM c2),
+        |lms AS (
+        |  SELECT s.source, s.pw, s.w,
+        |    CAST(round(-ln((s.c2s + 1.0) / (c1s.c1s + v.v)) * 1e6)
+        |      AS BIGINT) AS own_nll,
+        |    CAST(round(-ln((c2.c2 - s.c2s + 1.0) / (c1.c1 - c1s.c1s + v.v))
+        |      * 1e6) AS BIGINT) AS loo_nll
+        |  FROM c2s s
+        |  JOIN c2 USING (pw, w)
+        |  JOIN c1s ON c1s.source = s.source AND c1s.pw = s.pw
+        |  JOIN c1 ON c1.pw = s.pw, v),
+        |agg AS (
+        |  SELECT t.source, COUNT(DISTINCT t.doc_id) AS n_docs,
+        |    CAST(SUM(t.tf) AS BIGINT) AS n_bigrams,
+        |    SUM(t.tf * l.own_nll) AS own_sum,
+        |    SUM(t.tf * l.loo_nll) AS loo_sum
+        |  FROM tf t JOIN lms l
+        |    ON l.source = t.source AND l.pw = t.pw AND l.w = t.w
+        |  GROUP BY t.source)
+        |SELECT source, n_docs, n_bigrams,
+        |  round(CAST(own_sum AS DOUBLE) / n_bigrams / 1e6, 6) AS avg_own_nll,
+        |  round(CAST(loo_sum AS DOUBLE) / n_bigrams / 1e6, 6) AS avg_loo_nll,
+        |  round(CAST(loo_sum - own_sum AS DOUBLE) / n_bigrams / 1e6, 6)
+        |    AS nll_gap
+        |FROM agg ORDER BY source""".stripMargin,
 
     "t29_quality_drift" ->
       """WITH q AS (

@@ -162,7 +162,10 @@ object StressBench {
       "d24_minhash_estimator_error," +
       // m08: map-only decode-every-frame through the real GIF reader
       // (docs 1× here — the codec kernel is the cost, curve flat)
-      "m08_scene_cuts"
+      "m08_scene_cuts," +
+      // t30: one (source, pw, w) aggregate + total-minus-own LOO —
+      // sublinear like t26 (distinct bigrams saturate)
+      "t30_source_loo_nll"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1428,6 +1428,48 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("t30: a source's LOO row re-derives exactly from raw text; gaps positive") {
+    val out = datapipe.TextAnalysis.queries("t30_source_loo_nll")(spark, sf)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(out.length > 1)
+    // removing a source's own mass can only make its text less likely
+    // under the remaining corpus — on this corpus every gap is positive
+    assert(out.forall(_._6 > 0), s"non-positive LOO gap: ${out.toSeq}")
+    // full independent re-derivation of one source's row (tokenize,
+    // count, smooth, round — in plain Scala, no Spark)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    val big = docs.flatMap { case (id, src, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      toks.zipWithIndex.map { case (w, i) =>
+        (id, src, if (i == 0) "<s>" else toks(i - 1), w) }
+    }
+    val c2s = big.groupBy(r => (r._2, r._3, r._4)).view.mapValues(_.size.toLong)
+    val c2  = big.groupBy(r => (r._3, r._4)).view.mapValues(_.size.toLong)
+    val c1s = big.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong)
+    val c1  = big.groupBy(_._3).view.mapValues(_.size.toLong)
+    val v   = big.map(_._4).distinct.length.toLong
+    def r0(x: Double): Long = // Spark round(col): BigDecimal HALF_UP
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val src = out.head._1
+    val mine = big.filter(_._2 == src)
+    val nb = mine.length.toLong
+    val ownSum = mine.map(r => r0(-math.log(
+      (c2s((src, r._3, r._4)) + 1.0) / (c1s((src, r._3)) + v)) * 1e6)).sum
+    val looSum = mine.map(r => r0(-math.log(
+      (c2((r._3, r._4)) - c2s((src, r._3, r._4)) + 1.0) /
+      (c1(r._3) - c1s((src, r._3)) + v)) * 1e6)).sum
+    val row = out.find(_._1 == src).get
+    assert(row._2 === mine.map(_._1).distinct.length.toLong)
+    assert(row._3 === nb)
+    assert(row._4 === r6(ownSum.toDouble / nb / 1e6))
+    assert(row._5 === r6(looSum.toDouble / nb / 1e6))
+    assert(row._6 === r6((looSum - ownSum).toDouble / nb / 1e6))
+  }
+
   test("t25: the kept set is the true top-100 of the full pool-score frame") {
     val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
       .as[(Long, String, Long, Double)].collect()
