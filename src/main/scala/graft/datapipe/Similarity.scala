@@ -686,6 +686,65 @@ object Similarity {
       report(30).unionByName(report(100)).orderBy($"method")
     },
 
+    // INDEX LOAD PROFILE — the serving-ops report next to the recall
+    // evals (s14/s15/s16 ask "does the index find things"; s17 asks
+    // "what does a probe COST, and how unevenly"): for each candidate
+    // generator (s02's sign-LSH buckets, s03's IVF cells), the weighted
+    // distribution of per-query candidate-list size — every vector is a
+    // potential query and probes its own bucket, so a bucket of n
+    // contributes n queries of cost n−1 — reported as p50/p95/max
+    // candidates plus the classic imbalance factor (max·buckets/total,
+    // 1.0 = perfectly even). A p95 far above p50 is the tail-latency
+    // smoking gun; imbalance says whether to re-hash or re-train.
+    // Determinism: counts are integers; the percentile is "smallest
+    // candidate count whose cumulative query mass reaches the quantile"
+    // evaluated as integer cross-multiplication (cum·2 ≥ total,
+    // cum·20 ≥ 19·total) — no float ever picks a percentile. Scale
+    // shape: one groupBy(bucket) count per generator (map-side
+    // combined); everything after runs on the O(buckets) control frame
+    // (≤ 256 rows here; bounded by the index's cell count, never the
+    // corpus) — the cumulative window sorts buckets, not vectors.
+    "s17_index_load_profile" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val lshCounts = emb.select(signBucket.cast("long").as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      // s03/s15's exact-decimal seed-cell trainer + map-only assignment
+      val centroids = T.embeddings(s, d)
+        .select(($"vec_id" % 8).as("cell"),
+                posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("centroid"))
+      val ivfCounts = assignCells(emb, centroidRow(centroids), "home_cell")
+        .select($"home_cell".as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      def profile(name: String, counts: DataFrame): DataFrame = {
+        val w = Window.orderBy($"cand", $"k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cc = counts.select($"k", $"n", ($"n" - 1L).as("cand"))
+          .withColumn("cum", sum($"n").over(w))
+        val tot = counts.agg(sum($"n").as("n_vecs"),
+          count(lit(1)).as("n_buckets"), max($"n").as("max_n"))
+        cc.crossJoin(broadcast(tot))
+          .groupBy($"n_buckets", $"n_vecs", $"max_n")
+          .agg(min(when($"cum" * 2 >= $"n_vecs", $"cand")).as("p50_cand"),
+               min(when($"cum" * 20 >= $"n_vecs" * 19, $"cand")).as("p95_cand"),
+               max($"cand").as("max_cand"))
+          .select(lit(name).as("method"), $"n_buckets", $"n_vecs",
+            $"p50_cand", $"p95_cand", $"max_cand",
+            (($"max_n" * $"n_buckets") / $"n_vecs".cast("double"))
+              .as("imbalance"))
+      }
+      profile("lsh_bucket", lshCounts)
+        .unionByName(profile("ivf_cell", ivfCounts))
+        .orderBy($"method")
+    },
+
     // SemDeDup (semantic dedup over embeddings): within each cluster,
     // a vector is REMOVED when a lower-id vector in the same cluster is
     // semantically identical (cosine >= 0.95) — the keep/remove
@@ -1478,6 +1537,69 @@ object Similarity {
          |SELECT method, n_q, n_truth, hits, n_cand,
          |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
          |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
+         |FROM u ORDER BY method""".stripMargin,
+
+    "s17_index_load_profile" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |lshc AS (
+         |  SELECT CAST($signBucketSql AS BIGINT) AS k, COUNT(*) AS n
+         |  FROM e GROUP BY 1),
+         |means AS (
+         |  SELECT cell, i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+         |         / COUNT(*) AS REAL) AS m
+         |  FROM (SELECT vec_id % 8 AS cell,
+         |          unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v
+         |        FROM embeddings)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell, list(m ORDER BY pos) AS centroid
+         |  FROM means GROUP BY cell),
+         |assigned AS (
+         |  SELECT vec_id, cell AS home_cell FROM (${assignSql("cent", "e")}) z),
+         |ivfc AS (SELECT home_cell AS k, COUNT(*) AS n
+         |         FROM assigned GROUP BY 1),
+         |lcc AS (
+         |  SELECT k, n, n - 1 AS cand,
+         |    SUM(n) OVER (ORDER BY n - 1, k ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(n) OVER () AS tot, COUNT(*) OVER () AS nb,
+         |    MAX(n) OVER () AS mx
+         |  FROM lshc),
+         |icc AS (
+         |  SELECT k, n, n - 1 AS cand,
+         |    SUM(n) OVER (ORDER BY n - 1, k ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(n) OVER () AS tot, COUNT(*) OVER () AS nb,
+         |    MAX(n) OVER () AS mx
+         |  FROM ivfc),
+         |u AS (
+         |  SELECT 'lsh_bucket' AS method,
+         |    CAST(MAX(nb) AS BIGINT) AS n_buckets,
+         |    CAST(MAX(tot) AS BIGINT) AS n_vecs,
+         |    CAST(MIN(CASE WHEN cum * 2 >= tot THEN cand END) AS BIGINT)
+         |      AS p50_cand,
+         |    CAST(MIN(CASE WHEN cum * 20 >= tot * 19 THEN cand END) AS BIGINT)
+         |      AS p95_cand,
+         |    CAST(MAX(cand) AS BIGINT) AS max_cand,
+         |    CAST(MAX(mx) * MAX(nb) AS BIGINT) / CAST(MAX(tot) AS DOUBLE)
+         |      AS imbalance
+         |  FROM lcc
+         |  UNION ALL
+         |  SELECT 'ivf_cell' AS method,
+         |    CAST(MAX(nb) AS BIGINT) AS n_buckets,
+         |    CAST(MAX(tot) AS BIGINT) AS n_vecs,
+         |    CAST(MIN(CASE WHEN cum * 2 >= tot THEN cand END) AS BIGINT)
+         |      AS p50_cand,
+         |    CAST(MIN(CASE WHEN cum * 20 >= tot * 19 THEN cand END) AS BIGINT)
+         |      AS p95_cand,
+         |    CAST(MAX(cand) AS BIGINT) AS max_cand,
+         |    CAST(MAX(mx) * MAX(nb) AS BIGINT) / CAST(MAX(tot) AS DOUBLE)
+         |      AS imbalance
+         |  FROM icc)
+         |SELECT method, n_buckets, n_vecs, p50_cand, p95_cand, max_cand,
+         |  imbalance
          |FROM u ORDER BY method""".stripMargin,
 
     "d14_semdedup" ->

@@ -1470,6 +1470,26 @@ class OperatorSpec extends SparkSpec {
     assert(row._6 === r6((looSum - ownSum).toDouble / nb / 1e6))
   }
 
+  test("s17: load profile is internally consistent for both generators") {
+    val rows = datapipe.Similarity.queries("s17_index_load_profile")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq === Seq("ivf_cell", "lsh_bucket"))
+    val Array(ivf, lsh) = rows
+    // both profile the same filtered corpus
+    assert(ivf._3 === lsh._3 && ivf._3 > 0)
+    assert(ivf._2 <= 8 && lsh._2 <= 256) // bounded by index geometry
+    rows.foreach { case (m, nb, nv, p50, p95, mx, imb) =>
+      assert(nb > 0 && p50 <= p95 && p95 <= mx, s"$m: $p50/$p95/$mx")
+      assert(mx < nv, s"$m: a bucket can't exceed the corpus")
+      // max >= mean  =>  imbalance >= 1 (with the n-1 shift, >= ~1)
+      assert(imb >= 1.0 - 1e-9, s"$m: imbalance $imb")
+      // exact integer-ratio reproduction of the imbalance definition
+      assert(imb === (mx + 1L) * nb / nv.toDouble, s"$m: imbalance formula")
+    }
+    // 256-bucket LSH must spread FAR thinner than 8 coarse cells
+    assert(lsh._4 < ivf._4, "LSH p50 candidates should undercut IVF's")
+  }
+
   test("t25: the kept set is the true top-100 of the full pool-score frame") {
     val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
       .as[(Long, String, Long, Double)].collect()
