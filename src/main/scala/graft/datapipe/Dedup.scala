@@ -47,7 +47,7 @@ object Dedup {
     * bench/train/planted-leak construction and 8-word gram extraction
     * (one Spark builder, one oracle template), differing only here so
     * their fixtures stay independent. */
-  private case class ContaminationFixture(modulus: Int, offset: Long,
+  private[graft] case class ContaminationFixture(modulus: Int, offset: Long,
                                           tag: String)
   private val D12_FIX = ContaminationFixture(50, 5000000L, "leak")
   private val D17_FIX = ContaminationFixture(40, 7000000L, "blm")
@@ -69,8 +69,18 @@ object Dedup {
     */
   private def contaminationGramsWithIds(s: SparkSession, d: String,
       fix: ContaminationFixture): (DataFrame, DataFrame) = {
+    val (bench, train) = contaminationCorpus(s, d, fix)
+    (gramFps(bench), gramFps(train))
+  }
+
+  /** The (bench, train) document frames of a contamination fixture —
+    * bench = every modulus-th doc; train = the rest plus one planted
+    * leak per bench doc. graft-visible so StreamingSpec can drive the
+    * streamed gate over EXACTLY the corpus d12's batch oracle checks.
+    */
+  private[graft] def contaminationCorpus(s: SparkSession, d: String,
+      fix: ContaminationFixture = D12_FIX): (DataFrame, DataFrame) = {
     import s.implicits._
-    graft.GraftExtensions.register(s)
     val docs = T.documents(s, d).select($"doc_id", $"text")
     val bench = docs.filter($"doc_id" % fix.modulus === 0)
     val leaked = bench.select(($"doc_id" + fix.offset).as("doc_id"),
@@ -81,14 +91,87 @@ object Dedup {
           s"concat('${fix.tag}', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)))"),
           " ")).as("text"))
     val train = docs.filter($"doc_id" % fix.modulus =!= 0).unionByName(leaked)
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("ws", split($"text", " "))
-      .filter(size($"ws") >= 8)
-      .select($"doc_id", explode(expr(
+    (bench, train)
+  }
+
+  /** Distinct (doc_id, fp) 8-word-gram hashes of a (doc_id, text)
+    * frame — the one gram definition shared by d12/d17/d19 and the
+    * streamed gate. Only (doc_id, fp) longs ever leave the scan. */
+  private[datapipe] def gramFps(df: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    df.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 7), i -> " +
         "graft_phash(concat_ws('_', slice(ws, i, 8))))")).as("fp"))
       .distinct()
-    (grams(bench), grams(train))
+  }
+
+  /** Streaming twin of d12 — the decontamination GATE as a consumer of
+    * a micro-batched training-document stream: docs arrive
+    * continuously, each micro-batch is checked against the FIXED
+    * held-out benchmark gram set, contaminated docs are quarantined
+    * (decision rows only) and clean docs land in the training sink.
+    * The production shape of eval hygiene: the gate sits between crawl
+    * ingest and the training lake, so contamination never reaches a
+    * shuffle or a tokenizer.
+    *
+    * foreachBatch like d08/t23/w09: inside the trigger the micro-batch
+    * is a plain DataFrame running LITERALLY d12's plan — bench gram fps
+    * (computed ONCE, before the stream starts, and localCheckpointed so
+    * no trigger ever re-derives them) broadcast against the batch's
+    * map-side gram scan; the only shuffle is the per-doc hit count over
+    * (doc_id, fp) longs. Eval suites stay ~1e5 grams at any training
+    * scale, so the broadcast holds; a multi-suite union that outgrows
+    * it switches the probe to d17's in-plan Bloom — same gate, same
+    * decisions.
+    *
+    * Decisions (doc_id, n_hits, status) land in `decisionsPath`
+    * partitioned by batch_id with dynamic overwrite — a retried trigger
+    * REPLACES its own snapshot. Clean-doc appends are idempotent via
+    * the pre-append anti-join on doc_id against the sink itself (the O9
+    * upsert pattern; existence via Hadoop's FileSystem so lake paths
+    * answer truthfully) — a replayed or overlapping batch inserts zero
+    * duplicate rows. Batch-equivalence is pinned in StreamingSpec: the
+    * streamed decisions equal d12's batch output bit-for-bit.
+    */
+  def decontaminationStream(stream: DataFrame, benchDocs: DataFrame,
+                            cleanPath: String, decisionsPath: String,
+                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val benchFps = gramFps(benchDocs.select(col("doc_id"), col("text")))
+      .select(col("fp")).distinct().localCheckpoint()
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // the batch is read twice (decision + clean append): pin it so
+        // a source re-read can never let the two disagree
+        val docs = batch.localCheckpoint()
+        val hits = gramFps(docs.select(col("doc_id"), col("text")))
+          .join(broadcast(benchFps), Seq("fp"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        val dec = docs.select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("status",
+            when(col("n_hits") > 0, lit("contaminated")).otherwise(lit("clean")))
+          .localCheckpoint()
+        dec.withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(decisionsPath)
+        val sink0 =
+          if (graft.weather.WeatherIngest.sinkExists(s, cleanPath))
+            s.read.parquet(cleanPath).select(col("doc_id"))
+          else docs.select(col("doc_id")).limit(0)
+        docs.join(dec.filter(col("status") === "clean"),
+            Seq("doc_id"), "left_semi")
+          .join(sink0, Seq("doc_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(cleanPath)
+        ()
+      }
+      .start()
   }
 
   /** The exact-join contamination oracle for a fixture — shared by d12
@@ -200,6 +283,18 @@ object Dedup {
     */
   private[graft] val CC_STAR_BUDGET = 12
 
+  /** Auto hub-split threshold (degree): when `spark.graft.cc.hubDegree`
+    * is UNSET, [[connectedComponents]] probes the graph itself and
+    * switches to the hub-split formulation once any node's degree (or
+    * any tentative component's size — the upper bound on the emergent
+    * star's hub degree) exceeds this. 8e6 sits under the measured
+    * ~10⁷-row single-task sort-budget crossover (CCSkewBench, round 12:
+    * window and hub-split par at H=16e6, 660 vs 141 s at H=64e6) with
+    * margin for payload-heavier rows. Overridable for tests via
+    * `spark.graft.cc.autoHubDegree`.
+    */
+  private[graft] val CC_AUTO_HUB_DEGREE = 8L * 1000 * 1000
+
   /** d21's truth-enumeration doc-frequency cap: shingles appearing in
     * more than this many docs are excluded from the exact-Jaccard
     * ground-truth space (intersections AND sizes — the filtered Jaccard
@@ -274,12 +369,27 @@ object Dedup {
     * re-read. Returned frame is localCheckpointed (tiny), so consumers
     * never re-run the pair join.
     */
-  private def cappedTruth(sig: DataFrame): DataFrame = {
+  private def cappedTruth(sig: DataFrame): DataFrame =
+    cappedTruthOf(cappedShingles(sig))
+
+  /** The df-capped (doc_id, h) shingle frame of a signature frame —
+    * the FILTERED representation [[cappedTruth]]'s exact Jaccard is
+    * defined over. Factored out so d24 can re-derive its MinHash
+    * signatures over the SAME space (estimate and truth must share one
+    * representation, or the reported error conflates K-quantization
+    * with the cap's completeness trade).
+    */
+  private def cappedShingles(sig: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
     val shAll = sig.select($"doc_id", explode($"hset").as("h"))
     val rare = shAll.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" <= D21_DF_CAP).select($"h")
-    val sh = shAll.join(rare, Seq("h"), "left_semi")
+    shAll.join(rare, Seq("h"), "left_semi")
+  }
+
+  /** [[cappedTruth]] from a precomputed [[cappedShingles]] frame. */
+  private def cappedTruthOf(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     sh.as("x").join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -657,15 +767,31 @@ object Dedup {
     // inter/uni are integers; est (k/16) is exactly representable;
     // true J is one division — the |est−J| > 0.25 comparison is
     // IEEE-identical per pair on both engines, and every aggregate is
-    // an integer sum divided once. Scale shape: one df-capped truth
-    // pass (shared plan with d21/d23), signatures join back on the two
-    // doc-id keys (K longs per row), O(true pairs) everything after.
+    // an integer sum divided once. Estimate and truth share ONE space:
+    // the K=16 signatures are re-derived over the df-CAPPED shingle
+    // sets (the same filtered representation cappedTruth's exact J is
+    // defined over), so the reported error is PURE K-quantization even
+    // on duplicated corpora where the cap binds — signatures over the
+    // full set vs truth over the capped set would conflate the two
+    // (non-binding on the oracle corpus, where capped == full and the
+    // signatures are bit-identical to d02's). Scale shape: one
+    // df-capped shingle pass shared by truth and signatures (cached),
+    // the re-minhash is one groupBy over O(capped shingles), capped
+    // signatures join back on the two doc-id keys (K longs per row),
+    // O(true pairs) everything after.
     "d24_minhash_estimator_error" -> { (s, d) =>
       import s.implicits._
+      import graft.functions.MinHashSigs.minhash_sigs
       val sig = signaturesOf(evalCorpus(s, d)).cache()
-      val truth = cappedTruth(sig)
-      val sigs1 = sig.select($"doc_id".as("d1"), $"sig".as("sig1"))
-      val sigs2 = sig.select($"doc_id".as("d2"), $"sig".as("sig2"))
+      val sh = cappedShingles(sig).cache()
+      val truth = cappedTruthOf(sh)
+      val sigC = sh.groupBy($"doc_id")
+        .agg(collect_list($"h").as("hsetC"))
+        .withColumn("mhbase", expr(s"transform(hsetC, h -> h % $P)"))
+        .withColumn("sig",
+          minhash_sigs(col("mhbase"), AB.map(_._1), AB.map(_._2), P))
+      val sigs1 = sigC.select($"doc_id".as("d1"), $"sig".as("sig1"))
+      val sigs2 = sigC.select($"doc_id".as("d2"), $"sig".as("sig2"))
       truth.join(sigs1, Seq("d1")).join(sigs2, Seq("d2"))
         .withColumn("matches", expr(
           "size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))"))
@@ -1123,16 +1249,26 @@ object Dedup {
          |  hits / CAST(n_cand AS DOUBLE) AS precision
          |FROM u ORDER BY threshold""".stripMargin,
 
-    "d24_minhash_estimator_error" ->
+    "d24_minhash_estimator_error" -> {
+      // capped-space signatures: same minhash arithmetic as `sigs`, but
+      // over the df-capped shingle frame `sh` — mirrors the Spark side's
+      // shared-representation contract (see the registry comment).
+      val cSigExpr = "[" + AB.map { case (a, b) =>
+        s"list_min(list_transform(mhbase, m -> ($a * m + $b) % $P))"
+      }.mkString(", ") + "]"
       s"""WITH $evalTruthCtesSql,
+         |csig AS (
+         |  SELECT doc_id, $cSigExpr AS sig
+         |  FROM (SELECT doc_id, list_transform(list(h), m -> m % $P) AS mhbase
+         |        FROM sh GROUP BY doc_id) z),
          |ps AS (
          |  SELECT t.d1, t.d2, t.inter, t.uni, t.jaccard,
          |    len(list_filter(range(1, 17),
          |      i -> s1.sig[CAST(i AS INT)] = s2.sig[CAST(i AS INT)]))
          |      AS matches
          |  FROM truth t
-         |  JOIN sigs s1 ON s1.doc_id = t.d1
-         |  JOIN sigs s2 ON s2.doc_id = t.d2),
+         |  JOIN csig s1 ON s1.doc_id = t.d1
+         |  JOIN csig s2 ON s2.doc_id = t.d2),
          |banded AS (
          |  SELECT *, CASE WHEN jaccard >= 0.9 THEN '0.90-1.00'
          |                 WHEN jaccard >= 0.7 THEN '0.70-0.90'
@@ -1143,7 +1279,8 @@ object Dedup {
          |  SUM(matches) / (COUNT(*) * 16.0) AS micro_est_j,
          |  CAST(SUM(CASE WHEN ABS(matches / 16.0 - jaccard) > 0.25
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_large_err
-         |FROM banded GROUP BY j_band ORDER BY j_band""".stripMargin,
+         |FROM banded GROUP BY j_band ORDER BY j_band""".stripMargin
+    },
 
     "d23_dedup_rate_curve" -> {
       val taus = Seq("0.5", "0.7", "0.8", "0.9")
@@ -1486,8 +1623,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val byU = Window.partitionBy("u")
     val byUOrdV = byU.orderBy("v")
-    // Hub-skew knob: spark.graft.cc.hubDegree = T switches both stars
-    // from the single-window formulation to a hub-split two-level min.
+    // Hub-skew knob: spark.graft.cc.hubDegree = T (numeric) FORCES both
+    // stars from the single-window formulation to a hub-split two-level
+    // min; "window" forces the window formulation; UNSET means AUTO —
+    // the loop probes the graph and switches itself (below).
     // The window min's one honest scale caveat is that a node whose
     // degree exceeds one task's sort budget pays a single-task window
     // sort; on this path per-u mins come instead from groupBy(u) (the
@@ -1504,8 +1643,46 @@ object Dedup {
     // on fixture-shaped graphs — see ARCHITECTURE bench notes for the
     // planted-star crossover. Both paths share the emission algebra, the
     // convergence check, and every CC oracle.
-    val hubT = spark.conf.getOption("spark.graft.cc.hubDegree")
+    //
+    // AUTO mode (conf unset): nobody should have to know their graph is
+    // skewed before running CC on it. Two probes pick the path at run
+    // time, both O(V) map-side-combined aggregates returning ONE long:
+    //  1. before cycle 1, the max symmetric degree of e0 — catches a
+    //     pre-existing hub (the planted-star shape) before any window
+    //     sort ever runs;
+    //  2. per cycle, the max TENTATIVE component size, read from the
+    //     labels frame the convergence check just cached (so the probe
+    //     is a narrow job over cached O(V) rows, not a recompute) — at
+    //     convergence the representative's degree equals its component
+    //     size, so tentative size is the early predictor of the star
+    //     that EMERGES as components contract; the remaining cycles run
+    //     hub-split. Detection can lag a pathological degree jump by
+    //     one cycle (a cycle can square a degree), bounded by one
+    //     below-threshold-squared sort; real graphs grow tentative
+    //     components far faster than degrees.
+    // Fixture-shaped graphs never trip either probe, so the default
+    // plan stays the measured-faster window formulation; once a probe
+    // fires the switch is sticky (stars only contract toward the hub).
+    val hubConf = spark.conf.getOption("spark.graft.cc.hubDegree")
+    val auto = hubConf.isEmpty
+    val autoT = spark.conf.getOption("spark.graft.cc.autoHubDegree")
+      .map(_.toLong).getOrElse(CC_AUTO_HUB_DEGREE)
+    var hubT = hubConf.filter(_ != "window")
       .map(_.toLong).getOrElse(Long.MaxValue)
+    if (auto) {
+      // probe 1: max symmetric degree of the (checkpointed) input frame
+      val maxDeg = e0.select(explode(array($"u", $"v")).as("x"))
+        .groupBy($"x").agg(count(lit(1)).as("deg"))
+        .agg(max($"deg").as("m")).first().getAs[Any]("m") match {
+          case null    => 0L
+          case l: Long => l
+        }
+      if (maxDeg > autoT) {
+        hubT = autoT
+        System.err.println(s"[graft.cc] auto hub-split ON: input max " +
+          s"degree $maxDeg > $autoT")
+      }
+    }
     def hubSplitMinJoin(rows: DataFrame): DataFrame = {
       // rows: (u, v) -> (u, v, m) with m = min(v) over u's rows
       val mins = rows.groupBy($"u")
@@ -1592,6 +1769,21 @@ object Dedup {
       ed = smallStar(largeStar(ed)).localCheckpoint()
       val l = labelsOf(ed).cache()
       converged = groundTruthConverged(l)
+      if (auto && !converged && hubT == Long.MaxValue) {
+        // probe 2: the cache the check just populated makes this a
+        // narrow O(V) job; tentative component size upper-bounds the
+        // emerging representative's degree in the remaining cycles
+        val maxComp = l.groupBy($"lbl").agg(count(lit(1)).as("n"))
+          .agg(max($"n").as("m")).first().getAs[Any]("m") match {
+            case null    => 0L
+            case x: Long => x
+          }
+        if (maxComp > autoT) {
+          hubT = autoT
+          System.err.println(s"[graft.cc] auto hub-split ON at cycle " +
+            s"${cycle + 1}: max tentative component $maxComp > $autoT")
+        }
+      }
       if (converged) labels = l else l.unpersist(blocking = false)
       cycle += 1
     }

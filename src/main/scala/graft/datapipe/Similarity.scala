@@ -703,10 +703,10 @@ object Similarity {
     // shape: one groupBy(bucket) count per generator (map-side
     // combined); everything after runs on the O(buckets) control frame
     // (≤ 256 rows here; bounded by the index's cell count, never the
-    // corpus) — the cumulative window sorts buckets, not vectors.
+    // corpus) — the cumulative mass is a broadcast triangular join over
+    // buckets, not vectors, so no global window ever plans.
     "s17_index_load_profile" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
       val lshCounts = emb.select(signBucket.cast("long").as("k"))
         .groupBy($"k").agg(count(lit(1)).as("n"))
@@ -724,10 +724,24 @@ object Similarity {
         .select($"home_cell".as("k"))
         .groupBy($"k").agg(count(lit(1)).as("n"))
       def profile(name: String, counts: DataFrame): DataFrame = {
-        val w = Window.orderBy($"cand", $"k")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cc = counts.select($"k", $"n", ($"n" - 1L).as("cand"))
-          .withColumn("cum", sum($"n").over(w))
+        // cumulative query mass per distinct candidate cost WITHOUT a
+        // global window (an empty-partition-spec WindowExec is the
+        // registry sweep's forbidden shape, small frame or not): group
+        // the bucket counts by candidate cost, then prefix-sum via a
+        // broadcast triangular self-join (b.cand <= a.cand) — plans as
+        // a BroadcastNestedLoopJoin over the O(buckets) control frame
+        // (<= 256 rows, bounded by index geometry, never the corpus),
+        // the same dimension-bounded shape as the q49 theta join. The
+        // (cand, k) window's within-cand tie-break cannot change any
+        // min(cand | cum >= q) answer, so grouping by cand first is
+        // value-identical to the old running total.
+        val byCand = counts.select(($"n" - 1L).as("cand"), $"n")
+          .groupBy($"cand").agg(sum($"n").as("mass"))
+        val cc = byCand.as("a")
+          .join(broadcast(byCand.select($"cand".as("bcand"),
+            $"mass".as("bmass"))), $"bcand" <= $"cand")
+          .groupBy($"cand")
+          .agg(sum($"bmass").as("cum"))
         val tot = counts.agg(sum($"n").as("n_vecs"),
           count(lit(1)).as("n_buckets"), max($"n").as("max_n"))
         cc.crossJoin(broadcast(tot))

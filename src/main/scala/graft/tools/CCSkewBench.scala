@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
   * not touch).
   *
   * Usage: runMain graft.tools.CCSkewBench [H csv] [hubDegree csv]
-  * Defaults: H = 1e6,4e6,16e6; thresholds = 0,500000 (0 = window path).
+  * Defaults: H = 1e6,4e6,16e6; thresholds = 0,500000,-1
+  * (0 = forced window path, -1 = AUTO (conf unset; the probes decide),
+  * positive = forced hub-split at that degree).
   */
 object CCSkewBench {
   def main(args: Array[String]): Unit = {
     val hs = args.headOption.getOrElse("1000000,4000000,16000000")
       .split(",").map(_.trim.toLong)
-    val salts = args.lift(1).getOrElse("0,500000").split(",").map(_.trim.toLong)
+    val salts = args.lift(1).getOrElse("0,500000,-1")
+      .split(",").map(_.trim.toLong)
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -43,7 +46,8 @@ object CCSkewBench {
     }
 
     def setT(t: Long): Unit =
-      if (t <= 0) spark.conf.unset("spark.graft.cc.hubDegree")
+      if (t < 0) spark.conf.unset("spark.graft.cc.hubDegree") // AUTO
+      else if (t == 0) spark.conf.set("spark.graft.cc.hubDegree", "window")
       else spark.conf.set("spark.graft.cc.hubDegree", t.toString)
 
     // warmup: small star on both paths (JIT + codegen)

@@ -78,9 +78,16 @@ object WeatherIngest {
     sys.error("unreachable")
   }
 
-  /** O10: existence guard — abort, never auto-create (lambda_function.py:55-72). */
-  def sinkExists(spark: SparkSession, path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+  /** O10: existence guard — abort, never auto-create (lambda_function.py:55-72).
+    * Resolved through Hadoop's FileSystem API so lake paths (hdfs://,
+    * s3a://, dbfs:/) answer truthfully — a java.io/java.nio check only
+    * sees the driver's local disk, which on a cluster reads "absent"
+    * for every lake sink and silently defeats the guard.
+    */
+  def sinkExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   /** O5: cursor = MAX(ts) over the sink; Parquet footer stats make this
     * metadata-only (no data scan) — the Spark analog of running MAX in

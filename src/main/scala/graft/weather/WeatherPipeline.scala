@@ -151,9 +151,13 @@ object WeatherPipeline {
         val s = batch.sparkSession
         val arrived = batch.select(col("location_id"), col("ts"))
         // idempotent append (retry inserts zero): only rows not already
-        // in the sink land
+        // in the sink land. Existence goes through Hadoop's FileSystem
+        // (WeatherIngest.sinkExists) — a java.io.File check is local-FS
+        // only, so on a lake path (hdfs://, s3a://) it would always say
+        // "absent", skip the anti-join, and a retried batch would
+        // append duplicates.
         val sink0 =
-          if (new java.io.File(sinkPath).exists) s.read.parquet(sinkPath)
+          if (WeatherIngest.sinkExists(s, sinkPath)) s.read.parquet(sinkPath)
           else arrived.limit(0)
         upsertNew(arrived, sink0, Seq("location_id", "ts"))
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sinkPath)

@@ -511,6 +511,37 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("auto hub-split CC: probes fire on hubs and emergent components, 'window' forces") {
+    // AUTO mode (hubDegree unset) must need NO operator knowledge from
+    // the caller: with the test-scaled auto threshold (autoHubDegree=2),
+    // (a) a planted star trips the INITIAL degree probe before cycle 1,
+    // (b) a degree-2 chain trips the PER-CYCLE tentative-component
+    // probe mid-run (no node ever exceeds degree 2 — only the growing
+    // component can reveal the emerging star), and both finish label-
+    // identical to the window path within the SAME cycle budgets; the
+    // explicit "window" value forces the window formulation end-to-end.
+    spark.conf.set("spark.graft.cc.autoHubDegree", "2")
+    try {
+      val star = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+      val seedS = (0L to 50L).toDF("doc_id").withColumn("lbl", $"doc_id")
+      assert(datapipe.Dedup.connectedComponents(seedS, star, 2)
+        .as[(Long, Long)].collect().toMap ===
+        (0L to 50L).map(_ -> 0L).toMap)
+      val chain = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+      val seedC = (1L to 8L).toDF("doc_id").withColumn("lbl", $"doc_id")
+      assert(datapipe.Dedup.connectedComponents(seedC, chain, 3)
+        .as[(Long, Long)].collect().toMap ===
+        (1L to 8L).map(_ -> 1L).toMap)
+      spark.conf.set("spark.graft.cc.hubDegree", "window")
+      assert(datapipe.Dedup.connectedComponents(seedS, star, 2)
+        .as[(Long, Long)].collect().toMap ===
+        (0L to 50L).map(_ -> 0L).toMap)
+    } finally {
+      spark.conf.unset("spark.graft.cc.autoHubDegree")
+      spark.conf.unset("spark.graft.cc.hubDegree")
+    }
+  }
+
   test("nearest_centroid: argmax ties break to the first (smallest) cell") {
     GraftExtensions.register(spark)
     // two identical centroids (cells 3 and 7) -> tie resolves to cell 3;

@@ -296,4 +296,49 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streamed decontamination gate: decisions equal d12 batch, clean appends idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_d12s").toString
+    // EXACTLY the corpus d12's batch oracle checks: bench + train with
+    // the planted leaks, streamed in two micro-batches, the second
+    // replaying part of the first (a retry/overlap) — the gate must
+    // decide identically and never append a clean doc twice
+    val (bench, train) = datapipe.Dedup.contaminationCorpus(spark, sf)
+    val rows = train.as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = datapipe.Dedup.decontaminationStream(
+      input.toDS().toDF("doc_id", "text"), bench,
+      s"$dir/clean", s"$dir/dec", s"$dir/ckpt")
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData((b2 ++ b1.take(20)).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(s"$dir/dec")
+    // batch ids 0 and 1; the replayed 20 docs decided twice, identically
+    assert(dec.select($"batch_id").distinct().as[Long].collect().toSet
+      === Set(0L, 1L))
+    assert(dec.groupBy($"doc_id")
+      .agg(countDistinct(struct($"n_hits", $"status")).as("variants"))
+      .filter($"variants" > 1).isEmpty)
+    // streamed contaminated decisions == the d12 batch registry output
+    val streamed = dec.filter($"status" === "contaminated")
+      .select($"doc_id", $"n_hits").distinct()
+      .as[(Long, Long)].collect().toSet
+    val batch = datapipe.Dedup.queries("d12_decontaminate")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // clean sink: every train doc not contaminated, each EXACTLY once
+    // despite the replayed rows
+    val clean = spark.read.parquet(s"$dir/clean")
+    assert(clean.count() === clean.select($"doc_id").distinct().count())
+    val cleanIds = clean.select($"doc_id").as[Long].collect().toSet
+    val trainIds = rows.map(_._1).toSet
+    assert(cleanIds === trainIds -- batch.map(_._1))
+    // decisions cover every streamed doc exactly (clean + contaminated)
+    assert(dec.select($"doc_id").distinct().count() === trainIds.size)
+  }
 }
