@@ -115,6 +115,17 @@ object Similarity {
       "CAST(round(CAST(b AS DOUBLE) * 1e8) AS BIGINT)), " +
       "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
 
+  /** array<float> → array<bigint>: the 1e8 fixed point per element, via
+    * Spark's OWN `round` (bit-identical to [[intL2]]'s per-pair cast
+    * chain). Applied ONCE per vector so the codegen'd
+    * [[graft.functions.IntL2]] pair loop never re-rounds — on the
+    * brute-force and encode passes the per-pair rounding was K- or
+    * NQ-fold redundant and the interpreted fold was the measured bill
+    * (s16 exact-truth stage 4.3 s of its 6.9 at sf0.1).
+    */
+  private def roundFx(c: String): Column = expr(
+    s"transform($c, x -> CAST(round(CAST(x AS DOUBLE) * 1e8) AS BIGINT))")
+
   /** One Lloyd iteration from the deterministic vec_id % K seeding:
     * (j, code, centroid) with s05's exact-decimal order-free means.
     */
@@ -131,15 +142,21 @@ object Similarity {
   /** (vec_id, j, code, d2): each subvector encoded as its nearest
     * codeword (ties to the smallest code), with its residual. The
     * codebook is passed in so callers that also need it (s12's
-    * distance table) train it ONCE.
+    * distance table) train it ONCE. Subvectors and centroids are
+    * fixed-point-rounded ONCE (before the K-way codebook fan-out);
+    * the per-candidate distance is the codegen'd IntL2 loop.
     */
-  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
-    intL2(subs.join(broadcast(cb), Seq("j")),
-        col("sv"), col("centroid"))
+  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame = {
+    import graft.functions.IntL2.int_l2
+    subs.withColumn("lsv", roundFx("sv"))
+      .join(broadcast(cb.withColumn("lcentroid", roundFx("centroid"))),
+            Seq("j"))
+      .withColumn("d2", int_l2(col("lsv"), col("lcentroid")))
       .groupBy(col("vec_id"), col("j"))
       .agg(min(struct(col("d2"), col("code"))).as("best"))
       .select(col("vec_id"), col("j"),
               col("best.code").as("code"), col("best.d2").as("d2"))
+  }
 
   /** DuckDB-side integer-L2 mirror of [[intL2]]. */
   private def intL2Sql(a: String, b: String) =
@@ -645,9 +662,11 @@ object Similarity {
         .limit(NQ)
         .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
         .localCheckpoint() // NQ rows; same sample frame as s14/s15
-      val dt = intL2(
-          pqSubs(qs0.select($"q_id".as("vec_id"), $"q_emb".as("embedding")))
-            .join(broadcast(cb), Seq("j")), $"sv", $"centroid")
+      val dt = pqSubs(qs0.select($"q_id".as("vec_id"), $"q_emb".as("embedding")))
+        .withColumn("lsv", roundFx("sv"))
+        .join(broadcast(cb.withColumn("lcentroid", roundFx("centroid"))),
+              Seq("j"))
+        .withColumn("d2", graft.functions.IntL2.int_l2($"lsv", $"lcentroid"))
         .select($"vec_id".as("q_id"), $"j", $"code", $"d2".as("dq"))
         // consumed exactly once (the adc broadcast) — checkpointing it
         // would be a pure extra job; qs0 is already checkpointed, so
@@ -662,8 +681,13 @@ object Similarity {
         .filter($"rn" <= 100)
         .localCheckpoint() // <= NQ×100 rows; the ADC scan runs ONCE
       val wE = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
-      val exact10 = intL2(emb.join(broadcast(qs0), $"vec_id" =!= $"q_id"),
-          $"embedding", $"q_emb")
+      // ground truth: fixed-point arrays computed ONCE per vector (and
+      // once per query before the broadcast), pair loop codegen'd —
+      // the NQ-fold per-pair re-rounding was s16's dominant stage
+      val exact10 = emb.select($"vec_id", roundFx("embedding").as("lv"))
+        .join(broadcast(qs0.select($"q_id", roundFx("q_emb").as("lq"))),
+              $"vec_id" =!= $"q_id")
+        .withColumn("d2", graft.functions.IntL2.int_l2($"lv", $"lq"))
         .select($"q_id", $"vec_id", $"d2")
         .withColumn("rn", row_number().over(wE))
         .filter($"rn" <= 10)
@@ -979,9 +1003,11 @@ object Similarity {
       val cb = pqCodebook(subs).localCheckpoint()
       val codes = pqEncode(subs, cb).select($"vec_id", $"j", $"code")
       // distance table: query subvectors × codebook, integer L2
-      val dt = intL2(
-          pqSubs(emb.filter($"vec_id" === QID)).select($"j", $"sv")
-            .join(broadcast(cb), Seq("j")), $"sv", $"centroid")
+      val dt = pqSubs(emb.filter($"vec_id" === QID)).select($"j", $"sv")
+        .withColumn("lsv", roundFx("sv"))
+        .join(broadcast(cb.withColumn("lcentroid", roundFx("centroid"))),
+              Seq("j"))
+        .withColumn("d2", graft.functions.IntL2.int_l2($"lsv", $"lcentroid"))
         .select($"j", $"code", $"d2".as("dq"))
       val approx = codes.filter($"vec_id" =!= QID)
         .join(broadcast(dt), Seq("j", "code"))

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Fused integer squared-L2 distance over two array<bigint> columns — the
+  * codegen'd hot loop of the PQ family's fixed-point distance convention
+  * (Similarity.intL2: round(x * 1e8) per element, then Σ(aᵢ−bᵢ)²).
+  *
+  * The declarative form — `aggregate(zip_with(a, b, (x,y) -> x-y), 0L,
+  * (acc,v) -> acc + v*v)` — evaluates as interpreted higher-order
+  * functions: per element it allocates lambda bindings and boxes longs,
+  * and the zip_with materializes an intermediate array per pair. On the
+  * brute-force ground-truth passes (NQ × corpus pairs × dim elements)
+  * that interpreter overhead IS the bill — the same shape CosineSim
+  * removed for the cosine family (10.6 → 0.5 s at sf0.1). This emits one
+  * tight fused Java loop; the ROUNDING stays in Spark's own built-in
+  * `round` (applied ONCE per vector upstream, not once per pair), so no
+  * custom code ever touches float→fixed-point semantics.
+  *
+  * Numerics contract: bit-identical to the aggregate(...) left-fold on
+  * the same long arrays — same index order, same (wrapping) 64-bit
+  * arithmetic; with the library's 1e8 fixed point and dims ≤ ~10⁵ the
+  * sum is far below overflow (dim · (2e8)² ≤ 4e16 · dim). Mismatched
+  * lengths or a NULL element yield NULL, exactly as zip_with's
+  * null-padding drives the declarative fold to NULL.
+  */
+case class IntL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_l2 expects array<bigint> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntL2 {
+  /** Column-API entry point: int_l2(a, b). */
+  def int_l2(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntL2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -83,6 +83,77 @@ object Profile {
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), $"editdist")
     }
     time("d07 full")(graft.datapipe.Dedup.queries("d07_edit_distance")(spark, sfDir))
+
+    // ----- s16 stage split (PQ helpers replicated from Similarity;
+    // dev-only — the query itself stays the source of truth) -----
+    val PQ_M = 4
+    val PQ_K = 8
+    val NQ = 32
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(size($"embedding") > 0)
+    def pqSubs(e: org.apache.spark.sql.DataFrame) = e
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, $PQ_M - 1), j -> struct(j AS j, " +
+        s"slice(embedding, j * (size(embedding) div $PQ_M) + 1, " +
+        s"size(embedding) div $PQ_M) AS sv))")).as("x"))
+      .select(col("vec_id"), col("x.j").as("j"), col("x.sv").as("sv"))
+    def intL2(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, centroid, (a, b) -> " +
+        "CAST(round(CAST(a AS DOUBLE) * 1e8) AS BIGINT) - " +
+        "CAST(round(CAST(b AS DOUBLE) * 1e8) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    val subs = pqSubs(emb)
+    val cb = subs
+      .withColumn("code", (col("vec_id") % PQ_K).cast("int"))
+      .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("j"), col("code"), col("pos"))
+      .agg((sum(round(col("v").cast("double") * 1e8).cast("long")).cast("double")
+              / count(lit(1)) / 1e8).cast("float").as("m"))
+      .groupBy(col("j"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("centroid"))
+    time("s16 codebook")(cb)
+    val cbC = cb.localCheckpoint()
+    val codes = intL2(subs.join(broadcast(cbC), Seq("j")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.code").as("code"))
+    time("s16 encode")(codes)
+    val qs0 = emb
+      .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+      .limit(NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .localCheckpoint()
+    val dt = intL2(
+        pqSubs(qs0.select($"q_id".as("vec_id"), $"q_emb".as("embedding")))
+          .join(broadcast(cbC), Seq("j")))
+      .select($"vec_id".as("q_id"), $"j", $"code", $"d2".as("dq"))
+    time("s16 dt")(dt)
+    val codesC = codes.localCheckpoint()
+    val adc = codesC.join(broadcast(dt), Seq("j", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"dq").as("adc"))
+    time("s16 adc scan (codes ckpt)")(adc)
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy($"q_id").orderBy($"adc", $"vec_id")
+    time("s16 adc+rank")(adc.withColumn("rn", row_number().over(wA))
+      .filter($"rn" <= 100).select($"q_id", $"vec_id", $"rn"))
+    time("s16 exact10 brute force") {
+      val wE = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      emb.join(broadcast(qs0), $"vec_id" =!= $"q_id")
+        .withColumn("d2", expr(
+          "aggregate(zip_with(embedding, q_emb, (a, b) -> " +
+          "CAST(round(CAST(a AS DOUBLE) * 1e8) AS BIGINT) - " +
+          "CAST(round(CAST(b AS DOUBLE) * 1e8) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+        .select($"q_id", $"vec_id", $"d2")
+        .withColumn("rn", row_number().over(wE))
+        .filter($"rn" <= 10).select($"q_id", $"vec_id")
+    }
+    time("s16 full")(
+      graft.datapipe.Similarity.queries("s16_pq_recall")(spark, sfDir))
     spark.stop()
   }
 }

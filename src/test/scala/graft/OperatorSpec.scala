@@ -138,6 +138,33 @@ class OperatorSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("int_l2 equals the declarative zip_with/aggregate fold bit-for-bit") {
+    import graft.functions.IntL2.int_l2
+    // the PQ family's fixed-point pair distance: pre-rounded long
+    // arrays from the REAL embeddings (full vectors and a shifted copy
+    // as the counterpart), plus edge rows — mismatched lengths and a
+    // NULL element must yield NULL exactly like the null-padding fold
+    val fx = "transform(embedding, x -> " +
+      "CAST(round(CAST(x AS DOUBLE) * 1e8) AS BIGINT))"
+    val pairs = Tables.embeddings(spark, sf).filter(size($"embedding") > 0)
+      .select(expr(fx).as("a"),
+              expr(s"reverse($fx)").as("b"))
+      .unionByName(Seq(
+        (Seq(1L, 2L, 3L), Seq(1L, 2L)),       // length mismatch
+        (Seq(2000000000L, -2000000000L), Seq(0L, 0L)) // 10x the 1e8 range
+      ).toDF("a", "b"))
+      .unionByName(
+        Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+          .select(expr("array(1L, CAST(NULL AS BIGINT))").as("a"), $"b"))
+    val diff = pairs
+      .withColumn("fused", int_l2($"a", $"b"))
+      .withColumn("declared", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x - y), " +
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      .filter(!($"fused" <=> $"declared"))
+    assert(diff.count() === 0)
+  }
+
   test("word_shingle_phashes equals the declarative shingle chain bit-for-bit") {
     import graft.functions.WordShinglePHashes.word_shingle_phashes
     GraftExtensions.register(spark)
