@@ -178,6 +178,12 @@ object Multimodal {
   final case class AudioFeatures(asset_id: Long, n_samples: Int, peak: Int,
                                  zero_crossings: Int, energy: Long)
 
+  /** m09's per-track VAD report: window/segment counts all integer,
+    * first_active = −1 when the track is all silence. */
+  final case class AudioVad(asset_id: Long, n_samples: Int, n_windows: Int,
+                            n_active: Int, n_segments: Int, longest_run: Int,
+                            first_active: Int)
+
   /** REAL audio-payload decode: 16-bit little-endian PCM in a binary
     * column, decoded on the executors via ByteBuffer — the wire format of
     * WAV data chunks. Samples are deterministic integers
@@ -218,6 +224,66 @@ object Multimodal {
         i += 1
       }
       AudioFeatures(id, v.length, peak, zc, energy)
+    }
+
+    // ----- m09: speech/silence-structured corpus + VAD kernel -----
+
+    /** m09's VAD geometry: 16-sample energy windows, active when
+      * Σ|v| > 128 (mean amplitude > 8 — far above the planted silence
+      * segments' |v| ≤ 2 ceiling of 32, far below any speech window's
+      * ≥ ~600, so the test is margin-robust AND exactly reproducible:
+      * the oracle recomputes the same integer sums). */
+    val VadWin = 16
+    val VadThresh = 128L
+
+    /** Speech/silence-structured PCM ([[synthVideoScenes]]'s audio
+      * sibling): 32-sample segments, segment s of track id is SILENCE
+      * when (id + s) mod 3 = 0 (v = (7id+13i) mod 5 − 2) and speech
+      * otherwise (the standard loud formula). n = 128 + (id mod 4)·32
+      * samples → 4–7 segments, every boundary known in closed form.
+      */
+    def synthPcmSpeech(id: Long): Array[Byte] = {
+      val n = 128 + (id % 4).toInt * 32
+      val bb = java.nio.ByteBuffer.allocate(2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        val seg = i / 32
+        val v =
+          if ((id + seg) % 3 == 0) ((id * 7L + i * 13L) % 5L - 2L).toInt
+          else ((id * 7L + i * 13L) % 201L - 100L).toInt
+        bb.putShort(v.toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** Voice-activity segmentation over REAL decoded PCM: one O(n) pass
+      * holding only the current window's accumulator — per track the
+      * output is 7 small integers regardless of duration. Speech
+      * segments are RUNS of consecutive active windows (count, longest,
+      * first onset) — the clip-boundary report an audio-curation run
+      * samples training utterances from.
+      */
+    def vadSegments(id: Long, payload: Array[Byte]): AudioVad = {
+      val v = decode(payload)
+      val nw = v.length / VadWin
+      var w = 0; var nActive = 0; var nSeg = 0; var longest = 0
+      var run = 0; var first = -1
+      while (w < nw) {
+        var e = 0L
+        var i = w * VadWin
+        val end = i + VadWin
+        while (i < end) { e += math.abs(v(i)); i += 1 }
+        if (e > VadThresh) {
+          nActive += 1; run += 1
+          if (first < 0) first = w
+          if (run == 1) nSeg += 1
+          if (run > longest) longest = run
+        } else run = 0
+        w += 1
+      }
+      AudioVad(id, v.length, nw, nActive, nSeg, longest, first)
     }
   }
 
@@ -574,6 +640,30 @@ object Multimodal {
         .toDF().orderBy($"asset_id")
     },
 
+    // Voice-activity segmentation — m08's audio twin and the step an
+    // audio-curation pipeline runs before sampling training utterances
+    // (silence-straddling clips waste tokens; per-utterance sampling
+    // needs onsets). The corpus is speech/silence-STRUCTURED PCM
+    // ([[PcmCodec.synthPcmSpeech]], 32-sample segments with known
+    // boundaries) decoded through the real 16-bit LE byte path; the
+    // detector is one O(n) pass of 16-sample integer energy windows
+    // (Σ|v| > 128, no float, no division except the final fraction),
+    // reporting active-window runs: count, longest, first onset. Scale
+    // shape: map-only decode; ~32 B/track shuffles regardless of
+    // duration. Spec pins the runs to exactly the planted (id+s) mod 3
+    // segment pattern.
+    "m09_audio_vad" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          PcmCodec.vadSegments(id, PcmCodec.synthPcmSpeech(id))
+        })
+        .toDF()
+        .withColumn("speech_frac",
+          $"n_active".cast("double") / $"n_windows")
+        .orderBy($"asset_id")
+    },
+
     // Perceptual image dedup — bucket on the aHash of REAL decoded
     // pixels ((width, height, ahash) group key), report groups with
     // >1 member and their canonical (min) id. Planted byte-identical
@@ -800,6 +890,42 @@ object Multimodal {
         |  ahash, COUNT(*) AS n_copies
         |FROM fp GROUP BY n, ahash HAVING COUNT(*) > 1
         |ORDER BY canonical_id""".stripMargin,
+
+    // Sample-formula mirror of the VAD kernel: silence/speech branch on
+    // (id + i/32) % 3, 16-sample windows active when SUM(|v|) > 128,
+    // runs via the gaps-islands grouping (w - row_number over active).
+    "m09_audio_vad" ->
+      """WITH s AS (
+        |  SELECT doc_id, t.i,
+        |    CASE WHEN (doc_id + t.i // 32) % 3 = 0
+        |         THEN abs((doc_id * 7 + t.i * 13) % 5 - 2)
+        |         ELSE abs((doc_id * 7 + t.i * 13) % 201 - 100) END AS a
+        |  FROM documents, range(0, 224) t(i)
+        |  WHERE t.i < 128 + (doc_id % 4) * 32),
+        |wi AS (
+        |  SELECT doc_id, i // 16 AS w, (SUM(a) > 128) AS active
+        |  FROM s GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT doc_id,
+        |    w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        |  FROM wi WHERE active),
+        |rl AS (SELECT doc_id, COUNT(*) AS len FROM runs GROUP BY doc_id, grp),
+        |rs AS (SELECT doc_id, COUNT(*) AS n_seg, MAX(len) AS longest
+        |       FROM rl GROUP BY doc_id),
+        |ag AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+        |    CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS INT) AS n_active,
+        |    MIN(CASE WHEN active THEN w END) AS first_w
+        |  FROM wi GROUP BY doc_id)
+        |SELECT ag.doc_id AS asset_id,
+        |  CAST(128 + (ag.doc_id % 4) * 32 AS INT) AS n_samples,
+        |  ag.n_windows, ag.n_active,
+        |  CAST(COALESCE(rs.n_seg, 0) AS INT) AS n_segments,
+        |  CAST(COALESCE(rs.longest, 0) AS INT) AS longest_run,
+        |  CAST(COALESCE(ag.first_w, -1) AS INT) AS first_active,
+        |  ag.n_active / CAST(ag.n_windows AS DOUBLE) AS speech_frac
+        |FROM ag LEFT JOIN rs USING (doc_id)
+        |ORDER BY asset_id""".stripMargin,
 
     // m08's scene formula mirror: pixel(x, y, f) = (7x + 13y +
     // 97·(f//5) + id) % 256; per-transition Σ|Δ|, integer cut test.

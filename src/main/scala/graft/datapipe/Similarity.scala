@@ -783,6 +783,65 @@ object Similarity {
         .orderBy($"method")
     },
 
+    // CENTROID DRIFT / RETRAIN MONITOR — the ops report behind the
+    // "when do I re-train the index" decision s17's load profile begs:
+    // between two Lloyd iterations (s05's exact machinery — same
+    // exact-decimal centroids, same first-wins assignment), per cell:
+    // member counts before/after, how many members DEFECTED, and the
+    // fixed-point L2 distance the centroid itself moved (the codegen
+    // IntL2 over once-rounded arrays — s16's convention). Near-zero
+    // drift and defection = the index is stable, retraining buys
+    // nothing; a cell with high defection is the one whose region the
+    // corpus outgrew. Determinism: counts are integers, drift is
+    // integer fixed-point, one division for the defection fraction; a
+    // cell that loses every member reports drift NULL (the retrain
+    // signal, not a zero). Scale shape: assignments are map-only
+    // (broadcast centroid row + codegen argmax) and re-derive from the
+    // scan rather than checkpointing corpus-sized frames — only the
+    // 8-row centroid frames and the (vec_id, cell) long pairs ever
+    // materialize; the count/defect aggregates shuffle 16 B rows.
+    "s18_centroid_drift" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.IntL2.int_l2
+      val emb = T.embeddings(s, d).select($"vec_id", $"embedding")
+      def centroids(assigned: DataFrame): DataFrame =
+        assigned
+          .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"cell", $"pos")
+          .agg((sum(round($"v".cast("double") * 1e8).cast("long")).cast("double")
+                  / count(lit(1)) / 1e8).cast("float").as("m"))
+          .groupBy($"cell")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+            .as("centroid"))
+      def assign(cents: DataFrame): DataFrame =
+        assignCells(emb, centroidRow(cents), "cell")
+      val a0 = emb.withColumn("cell", $"vec_id" % 8)
+      val c1 = centroids(a0).localCheckpoint() // 8 rows; assign + drift
+      val a1 = assign(c1)
+      val a1n = a1.select($"vec_id", $"cell").localCheckpoint()
+      val c2 = centroids(a1).localCheckpoint()
+      val a2n = assign(c2).select($"vec_id", $"cell").localCheckpoint()
+      val drift = c1.select($"cell", roundFx("centroid").as("l1"))
+        .join(c2.select($"cell", roundFx("centroid").as("l2")),
+              Seq("cell"), "left")
+        .select($"cell", int_l2($"l1", $"l2").as("drift_d2"))
+      val n1 = a1n.groupBy($"cell").agg(count(lit(1)).as("n1"))
+      val n2 = a2n.groupBy($"cell").agg(count(lit(1)).as("n2"))
+      val moved = a1n
+        .join(a2n.select($"vec_id", $"cell".as("cell2")), Seq("vec_id"))
+        .filter($"cell" =!= $"cell2")
+        .groupBy($"cell").agg(count(lit(1)).as("n_moved_out"))
+      drift.join(n1, Seq("cell"), "left").join(n2, Seq("cell"), "left")
+        .join(moved, Seq("cell"), "left")
+        .select($"cell", coalesce($"n1", lit(0L)).as("n1"),
+          coalesce($"n2", lit(0L)).as("n2"),
+          coalesce($"n_moved_out", lit(0L)).as("n_moved_out"),
+          $"drift_d2",
+          (coalesce($"n_moved_out", lit(0L)) / $"n1".cast("double"))
+            .as("frac_moved"))
+        .orderBy($"cell")
+    },
+
     // SemDeDup (semantic dedup over embeddings): within each cluster,
     // a vector is REMOVED when a lower-id vector in the same cluster is
     // semantically identical (cosine >= 0.95) — the keep/remove
@@ -1249,6 +1308,51 @@ object Similarity {
          |SELECT a.cell, COUNT(*) AS n_members, mf.c0
          |FROM a2 a JOIN mf ON mf.cell = a.cell
          |GROUP BY a.cell, mf.c0 ORDER BY a.cell""".stripMargin
+    },
+
+    "s18_centroid_drift" -> {
+      // s05's Lloyd CTEs; drift = fixed-point L2 between cent1/cent2
+      // joined per (cell, pos) — a cell absent from m2 leaves every
+      // term NULL, so SUM reports NULL exactly like the Spark side's
+      // null-intolerant int_l2 on a missing centroid
+      def iter(j: Int, prev: String) =
+        s"""m$j AS (
+           |  SELECT a.cell, u.i - 1 AS pos,
+           |    CAST(CAST(SUM(CAST(round(u.v * 1e8) AS BIGINT)) AS DOUBLE)
+           |         / COUNT(*) / 1e8 AS REAL) AS m
+           |  FROM $prev a JOIN (
+           |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           |      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+           |    FROM embeddings) u USING (vec_id)
+           |  GROUP BY 1, 2),
+           |cent$j AS (SELECT cell, list(m ORDER BY pos) AS centroid
+           |           FROM m$j GROUP BY cell),
+           |a$j AS (${assignSql(s"cent$j")})""".stripMargin
+      s"""WITH a0 AS (SELECT vec_id, vec_id % 8 AS cell FROM embeddings),
+         |${iter(1, "a0")},
+         |${iter(2, "a1")},
+         |dr AS (
+         |  SELECT m1.cell,
+         |    CAST(SUM((CAST(round(CAST(m1.m AS DOUBLE) * 1e8) AS BIGINT) -
+         |         CAST(round(CAST(m2.m AS DOUBLE) * 1e8) AS BIGINT)) *
+         |        (CAST(round(CAST(m1.m AS DOUBLE) * 1e8) AS BIGINT) -
+         |         CAST(round(CAST(m2.m AS DOUBLE) * 1e8) AS BIGINT)))
+         |      AS BIGINT) AS drift_d2
+         |  FROM m1 LEFT JOIN m2 ON m1.cell = m2.cell AND m1.pos = m2.pos
+         |  GROUP BY m1.cell),
+         |c1 AS (SELECT cell, COUNT(*) AS n1 FROM a1 GROUP BY cell),
+         |c2 AS (SELECT cell, COUNT(*) AS n2 FROM a2 GROUP BY cell),
+         |mv AS (
+         |  SELECT a1.cell, COUNT(*) AS n_moved_out
+         |  FROM a1 JOIN a2 USING (vec_id)
+         |  WHERE a1.cell <> a2.cell
+         |  GROUP BY a1.cell)
+         |SELECT d.cell, COALESCE(c1.n1, 0) AS n1, COALESCE(c2.n2, 0) AS n2,
+         |  COALESCE(mv.n_moved_out, 0) AS n_moved_out, d.drift_d2,
+         |  COALESCE(mv.n_moved_out, 0) / CAST(c1.n1 AS DOUBLE) AS frac_moved
+         |FROM dr d LEFT JOIN c1 USING (cell) LEFT JOIN c2 USING (cell)
+         |LEFT JOIN mv USING (cell)
+         |ORDER BY d.cell""".stripMargin
     },
 
     "s11_product_quantization" ->

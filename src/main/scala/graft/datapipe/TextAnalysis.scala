@@ -338,6 +338,38 @@ object TextAnalysis {
           $"n_tokens".cast("double") / $"n_words")
         .orderBy($"doc_id")
     },
+    // TOKENIZER-HEALTH REPORT — the per-source dashboard a tokenizer
+    // owner reads after training (t15) and deploying (t18) the BPE:
+    // fertility (tokens/word — the number that prices every training
+    // run), compression (chars/token), and the fraction of word
+    // occurrences the merge table did not compress AT ALL (w_toks =
+    // char count — the "tokenizer doesn't fit this domain" alarm; the
+    // source whose unmerged fraction sticks out is the one the
+    // training corpus under-represents). Same distinct-word replay +
+    // broadcast-vocab shape as t18: merges replay once per DISTINCT
+    // word, the corpus side is one map-only pass shuffling only
+    // (source, 4 longs) partials. Determinism: four integer sums, one
+    // division each — no float accumulates.
+    "t31_tokenizer_health" -> { (s, d) =>
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val vocab = bpeMergedWords(docs, rounds = 2)
+        .select($"w", size(split($"seq", " ")).cast("long").as("w_toks"))
+      docs.select($"source", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_words"),
+             sum($"w_toks").as("n_tokens"),
+             sum(length($"w").cast("long")).as("n_chars"),
+             sum(when($"w_toks" === length($"w").cast("long"), 1L)
+               .otherwise(0L)).as("n_unmerged"))
+        .select($"source", $"n_words", $"n_tokens", $"n_chars", $"n_unmerged",
+          ($"n_tokens" / $"n_words".cast("double")).as("fertility"),
+          ($"n_chars" / $"n_tokens".cast("double")).as("chars_per_token"),
+          ($"n_unmerged" / $"n_words".cast("double")).as("unmerged_frac"))
+        .orderBy($"source")
+    },
     // Language ID: frequency-weighted lexicon overlap, argmax with
     // alphabetical tie-break; compared against the labeled lang.
     "t01_langid" -> { (s, d) =>
@@ -1466,6 +1498,36 @@ object TextAnalysis {
     "t18_bpe_encode" -> bpeEncodeOracleSql(2),
 
     "t18b_bpe_encode_r4" -> bpeEncodeOracleSql(4),
+
+    "t31_tokenizer_health" -> {
+      val roundCtes = (1 to 2).map(bpeOracleRound).mkString(",\n")
+      s"""WITH wf0 AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    array_to_string(list_transform(range(1, len(w) + 1),
+         |      i -> w[CAST(i AS INT):CAST(i AS INT)]), ' ') AS seq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |$roundCtes,
+         |vocab AS (
+         |  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_toks
+         |  FROM wf2),
+         |dw AS (
+         |  SELECT source, w FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) WHERE w <> '')
+         |SELECT source, COUNT(*) AS n_words,
+         |  CAST(SUM(w_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(CASE WHEN w_toks = len(w) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unmerged,
+         |  CAST(SUM(w_toks) AS DOUBLE) / COUNT(*) AS fertility,
+         |  CAST(SUM(len(w)) AS DOUBLE) / CAST(SUM(w_toks) AS DOUBLE)
+         |    AS chars_per_token,
+         |  CAST(SUM(CASE WHEN w_toks = len(w) THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS unmerged_frac
+         |FROM dw JOIN vocab USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     "t01_langid" -> {
       val scoreCols = LEX.map { case (lang, ws) =>
         s"len(list_filter(string_split(text, ' '), w -> list_contains([${lexArr(ws)}], w))) AS score_$lang"

@@ -1548,6 +1548,45 @@ class OperatorSpec extends SparkSpec {
     assert(lsh._4 < ivf._4, "LSH p50 candidates should undercut IVF's")
   }
 
+  test("s18: drift report conserves members and prices every defection") {
+    val rows = datapipe.Similarity.queries("s18_centroid_drift")(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Double])].collect()
+    assert(rows.map(_._1).toSeq === (0L to 7L), "one row per seeded cell")
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // every vector is assigned in BOTH iterations: the counts conserve
+    assert(rows.map(_._2).sum === nVecs)
+    assert(rows.map(_._3).sum === nVecs)
+    rows.foreach { case (c, n1, _, moved, drift, frac) =>
+      assert(moved <= n1, s"cell $c: more defectors than members")
+      // every cell stays alive on this corpus -> drift is a real value
+      assert(drift.exists(_ >= 0L), s"cell $c: dead-cell NULL drift")
+      assert(frac.exists(f => f >= 0.0 && f <= 1.0))
+      assert(frac.get === moved.toDouble / n1, s"cell $c: frac formula")
+    }
+    // non-vacuity: Lloyd iteration 2 actually moved something somewhere
+    assert(rows.exists(_._4 > 0), "no defections — the monitor sees nothing")
+    assert(rows.exists(_._5.exists(_ > 0L)), "zero drift everywhere")
+  }
+
+  test("t31: per-source tokenizer health reconciles exactly with t18's per-doc encode") {
+    val rows = datapipe.TextAnalysis.queries("t31_tokenizer_health")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nw, nt, nc, nu, fert, cpt, uf) =>
+      assert(nw > 0 && nt >= nw, s"$src: fewer tokens than words")
+      assert(nc >= nt, s"$src: a token never spans less than one char")
+      assert(fert === nt.toDouble / nw && cpt === nc.toDouble / nt
+        && uf === nu.toDouble / nw, s"$src: ratio formulas")
+      assert(uf >= 0.0 && uf <= 1.0)
+    }
+    // same corpus, same rounds-2 vocab => the per-source totals and
+    // t18's per-doc totals are the SAME numbers partitioned two ways
+    val t18 = datapipe.TextAnalysis.queries("t18_bpe_encode")(spark, sf)
+      .agg(sum($"n_words"), sum($"n_tokens")).as[(Long, Long)].first()
+    assert((rows.map(_._2).sum, rows.map(_._3).sum) === t18,
+      "t31/t18 token accounting diverged")
+  }
+
   test("t25: the kept set is the true top-100 of the full pool-score frame") {
     val out = datapipe.TextAnalysis.queries("t25_dsir_resample")(spark, sf)
       .as[(Long, String, Long, Double)].collect()
@@ -1656,6 +1695,30 @@ class OperatorSpec extends SparkSpec {
       // at most 48 pixels × 255
       assert(total > 384L * cuts && total <= 48L * 255 * cuts,
         s"id=$id: total=$total outside boundary-only range, cuts=$cuts")
+    }
+  }
+
+  test("m09: VAD runs match the planted speech/silence segment pattern exactly") {
+    val out = datapipe.Multimodal.queries("m09_audio_vad")(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Int, Int, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, nw, nAct, nSeg, longest, first, frac) =>
+      assert(n === 128 + (id % 4).toInt * 32 && nw === n / 16)
+      // 32-sample segments carry exactly 2 windows each, and a window's
+      // activity equals its segment's planted speech-ness, so every
+      // reported run statistic is derivable from (id + s) % 3 alone
+      val active = (0 until n / 32).map(s => (id + s) % 3 != 0)
+      assert(nAct === 2 * active.count(identity), s"id=$id")
+      var runs = 0; var cur = 0; var mx = 0
+      active.foreach { a =>
+        if (a) { cur += 1; if (cur == 1) runs += 1; if (cur > mx) mx = cur }
+        else cur = 0
+      }
+      assert(nSeg === runs, s"id=$id")
+      assert(longest === 2 * mx, s"id=$id")
+      assert(first ===
+        (if (active.contains(true)) 2 * active.indexOf(true) else -1))
+      assert(frac === nAct.toDouble / nw)
     }
   }
 
