@@ -23,6 +23,7 @@ object SparkEntry {
     QueryModule(datapipe.Dedup.queries, datapipe.Dedup.oracleSql),
     QueryModule(datapipe.IncrementalDedup.queries, datapipe.IncrementalDedup.oracleSql),
     QueryModule(datapipe.Similarity.queries, datapipe.Similarity.oracleSql),
+    QueryModule(datapipe.VectorIndex.queries, datapipe.VectorIndex.oracleSql),
     QueryModule(datapipe.TextAnalysis.queries, datapipe.TextAnalysis.oracleSql),
     QueryModule(datapipe.Multimodal.queries, datapipe.Multimodal.oracleSql),
     QueryModule(operators.AdvancedAggs.queries, operators.AdvancedAggs.oracleSql),

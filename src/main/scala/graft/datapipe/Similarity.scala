@@ -218,7 +218,21 @@ object Similarity {
     * [[graft.functions.NearestCentroid]]'s first-wins tie-break needs for
     * determinism.
     */
-  private def centroidRow(perCell: DataFrame): DataFrame =
+  /** One Lloyd step's centroids from an assigned (cell, embedding)
+    * frame — s05's exact-decimal convention (per-position fixed-point
+    * long sums divided once, order-free), shared by s05/s18/s19.
+    */
+  private[datapipe] def lloydCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(round(col("v").cast("double") * 1e8).cast("long")).cast("double")
+              / count(lit(1)) / 1e8).cast("float").as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("centroid"))
+
+  private[datapipe] def centroidRow(perCell: DataFrame): DataFrame =
     perCell.agg(
       expr("array_sort(collect_list(struct(cell, centroid)))").as("cents"))
 
@@ -242,7 +256,7 @@ object Similarity {
     * NearestCentroid's `>` comparison never selects one; an all-NaN row
     * falls through to the smallest cell on both engines.
     */
-  private def assignSql(centTbl: String, srcTbl: String = "embeddings"): String = {
+  private[datapipe] def assignSql(centTbl: String, srcTbl: String = "embeddings"): String = {
     val cosExpr =
       s"""${dotSql("e.embedding", "c.centroid")} /
          |        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
@@ -804,22 +818,13 @@ object Similarity {
       import s.implicits._
       import graft.functions.IntL2.int_l2
       val emb = T.embeddings(s, d).select($"vec_id", $"embedding")
-      def centroids(assigned: DataFrame): DataFrame =
-        assigned
-          .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
-          .groupBy($"cell", $"pos")
-          .agg((sum(round($"v".cast("double") * 1e8).cast("long")).cast("double")
-                  / count(lit(1)) / 1e8).cast("float").as("m"))
-          .groupBy($"cell")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-            .as("centroid"))
       def assign(cents: DataFrame): DataFrame =
         assignCells(emb, centroidRow(cents), "cell")
       val a0 = emb.withColumn("cell", $"vec_id" % 8)
-      val c1 = centroids(a0).localCheckpoint() // 8 rows; assign + drift
+      val c1 = lloydCentroids(a0).localCheckpoint() // 8 rows; assign + drift
       val a1 = assign(c1)
       val a1n = a1.select($"vec_id", $"cell").localCheckpoint()
-      val c2 = centroids(a1).localCheckpoint()
+      val c2 = lloydCentroids(a1).localCheckpoint()
       val a2n = assign(c2).select($"vec_id", $"cell").localCheckpoint()
       val drift = c1.select($"cell", roundFx("centroid").as("l1"))
         .join(c2.select($"cell", roundFx("centroid").as("l2")),
@@ -992,23 +997,11 @@ object Similarity {
     "s05_kmeans_iter" -> { (s, d) =>
       import s.implicits._
       val emb = T.embeddings(s, d).select($"vec_id", $"embedding")
-
-      def centroids(assigned: DataFrame): DataFrame =
-        assigned
-          .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
-          .groupBy($"cell", $"pos")
-          .agg((sum(round($"v".cast("double") * 1e8).cast("long")).cast("double")
-                  / count(lit(1)) / 1e8).cast("float").as("m"))
-          .groupBy($"cell")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
-            .as("centroid"))
-
       def assign(cents: DataFrame): DataFrame =
         assignCells(emb, centroidRow(cents), "cell")
-
       var a: DataFrame = emb.withColumn("cell", $"vec_id" % 8)
-      for (_ <- 1 to 2) a = assign(centroids(a))
-      a.join(broadcast(centroids(a).select($"cell",
+      for (_ <- 1 to 2) a = assign(lloydCentroids(a))
+      a.join(broadcast(lloydCentroids(a).select($"cell",
                element_at($"centroid", 1).as("c0"))), Seq("cell"))
         .groupBy($"cell", $"c0")
         .agg(count(lit(1)).as("n_members"))

@@ -1,0 +1,177 @@
+package graft.datapipe
+
+import graft.{Tables => T}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index lifecycle — the serving-side shape of s03/s15's
+  * coarse quantizer, [[IncrementalDedup]]'s pattern applied to ANN:
+  * an index is TRAINED once (centroids frozen) and then INGESTS new
+  * vectors continuously; retraining is a deliberate, monitored event
+  * (s18's drift report is the trigger), not something every batch pays.
+  *
+  * The store holds two frames under one root:
+  *   `<path>/centroids` — (cell, centroid float array), K tiny rows;
+  *   `<path>/assign`    — (vec_id, cell), one row per ingested vector.
+  *
+  * Ingestion is MAP-ONLY: the frozen centroid row broadcasts and each
+  * new vector pays one codegen'd argmax ([[graft.functions.NearestCentroid]]
+  * via Similarity.assignCells) — no shuffle of embedding payloads, no
+  * touch of the existing assignment rows. Appends are idempotent behind
+  * a left-anti on vec_id (the O9 upsert pattern): a retried or
+  * overlapping batch inserts zero rows. At 100 TB the assign frame is
+  * the only thing that grows, it carries 16 B/vector, and a posting-list
+  * consumer reads it partitioned/clustered by cell
+  * (Maintenance.compact's clusterBy) so cell probes prune row groups.
+  *
+  * Centroid training uses Similarity.lloydCentroids — s05's
+  * exact-decimal convention — from the deterministic vec_id % 8
+  * seeding, so the whole lifecycle is oracle-reproducible.
+  */
+object VectorIndex {
+  private val K = 8
+
+  /** Frozen-centroid assignment of a (vec_id, embedding) frame. */
+  private def assignAgainst(emb: DataFrame, cents: DataFrame): DataFrame =
+    Similarity.assignCells(emb, Similarity.centroidRow(cents), "cell")
+      .select(col("vec_id"), col("cell"))
+
+  /** Train centroids on a seed frame: one Lloyd step from %K seeding. */
+  private[datapipe] def trainCentroids(seed: DataFrame): DataFrame =
+    Similarity.lloydCentroids(seed.withColumn("cell", col("vec_id") % K))
+
+  // ===== physical store API =====
+
+  /** Create/replace the index at `path` from a seed corpus: train the
+    * centroids, assign every seed vector, write both frames. */
+  def buildIndex(emb: DataFrame, path: String): Unit = {
+    val cents = trainCentroids(emb).localCheckpoint()
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    assignAgainst(emb, cents)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/assign")
+  }
+
+  /** Ingest a batch against the FROZEN stored centroids and append its
+    * assignments idempotently (left-anti on vec_id — a retried batch
+    * inserts zero; a re-ingested vector keeps its first assignment,
+    * which is also its current one: centroids are frozen). Returns the
+    * batch's (vec_id, cell) decisions — checkpointed pre-append, so the
+    * returned frame can never silently recompute against the mutated
+    * store. */
+  def addBatch(batch: DataFrame, path: String): DataFrame = {
+    val s = batch.sparkSession
+    val cents = s.read.parquet(s"$path/centroids")
+    val dec = assignAgainst(batch, cents).localCheckpoint()
+    dec.join(s.read.parquet(s"$path/assign").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(s"$path/assign")
+    dec
+  }
+
+  /** Streaming twin of [[addBatch]] — ANN ingestion as it actually
+    * deploys: vectors arrive continuously, every micro-batch is
+    * assigned map-only against the frozen broadcast centroids and
+    * appended idempotently. foreachBatch like d08/w09/the d12 gate:
+    * the index lives in the lake (posting lists at corpus scale), not
+    * in state-store RAM. Per-batch decisions land in `decisionsPath`
+    * partitioned by batch_id with dynamic overwrite — a retried
+    * trigger replaces its own snapshot; store appends stay idempotent
+    * via [[addBatch]]'s anti-join. */
+  def indexStream(stream: DataFrame, path: String, decisionsPath: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        addBatch(batch, path)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(decisionsPath)
+        ()
+      }
+      .start()
+
+  // ===== oracle-checked query =====
+
+  /** Deterministic two-phase split of `embeddings`: the index is built
+    * from vec_id % 3 != 0 (train + assign); the batch vec_id % 3 == 0
+    * arrives later and is assigned against the FROZEN centroids. */
+  private def seedSet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.embeddings(s, d).select($"vec_id", $"embedding")
+      .filter($"vec_id" % 3 =!= 0)
+  }
+
+  private def batchSet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.embeddings(s, d).select($"vec_id", $"embedding")
+      .filter($"vec_id" % 3 === 0)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-cell occupancy report after an incremental ingest — the
+    // capacity-planning view an index operator watches: how the new
+    // mass distributes over the frozen cells (a cell absorbing a far
+    // larger share of NEW vectors than of seed vectors is the one the
+    // corpus drifted toward — the same signal s18 reads from centroid
+    // movement, here from the serving side without any retrain).
+    // Query form is side-effect-free (both assignment frames derive
+    // in-plan, so the oracle replays them); the physical parquet round
+    // trip of the SAME assignment function is buildIndex/addBatch,
+    // pinned by VectorIndexSpec (build → add → re-add inserts zero,
+    // decisions equal this query's cells). Scale shape: train shuffles
+    // (cell, pos, long) partials on the seed only; BOTH assignment
+    // passes are map-only against the broadcast centroid row; the
+    // report aggregates (cell) longs — K rows out.
+    "s19_incremental_index" -> { (s, d) =>
+      import s.implicits._
+      val cents = trainCentroids(seedSet(s, d)).localCheckpoint()
+      val cRow = Similarity.centroidRow(cents)
+      val nSeed = Similarity.assignCells(seedSet(s, d), cRow, "cell")
+        .groupBy($"cell").agg(count(lit(1)).as("n_seed"))
+      val nNew = Similarity.assignCells(batchSet(s, d), cRow, "cell")
+        .groupBy($"cell").agg(count(lit(1)).as("n_new"))
+      cents.select($"cell")
+        .join(nSeed, Seq("cell"), "left")
+        .join(nNew, Seq("cell"), "left")
+        .select($"cell",
+          coalesce($"n_seed", lit(0L)).as("n_seed"),
+          coalesce($"n_new", lit(0L)).as("n_new"))
+        .withColumn("n_total", $"n_seed" + $"n_new")
+        .withColumn("new_frac", $"n_new" / $"n_total".cast("double"))
+        .orderBy($"cell")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s19_incremental_index" ->
+      s"""WITH seedemb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+         |batchemb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+         |m AS (
+         |  SELECT a.cell, u.i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(round(u.v * 1e8) AS BIGINT)) AS DOUBLE)
+         |         / COUNT(*) / 1e8 AS REAL) AS m
+         |  FROM (SELECT vec_id, vec_id % $K AS cell FROM seedemb) a JOIN (
+         |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         |      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |    FROM seedemb) u USING (vec_id)
+         |  GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid
+         |         FROM m GROUP BY cell),
+         |aseed AS (${Similarity.assignSql("cent", "seedemb")}),
+         |abatch AS (${Similarity.assignSql("cent", "batchemb")}),
+         |ns AS (SELECT cell, COUNT(*) AS n_seed FROM aseed GROUP BY cell),
+         |nn AS (SELECT cell, COUNT(*) AS n_new FROM abatch GROUP BY cell)
+         |SELECT c.cell, COALESCE(ns.n_seed, 0) AS n_seed,
+         |  COALESCE(nn.n_new, 0) AS n_new,
+         |  COALESCE(ns.n_seed, 0) + COALESCE(nn.n_new, 0) AS n_total,
+         |  COALESCE(nn.n_new, 0) /
+         |    CAST(COALESCE(ns.n_seed, 0) + COALESCE(nn.n_new, 0) AS DOUBLE)
+         |    AS new_frac
+         |FROM cent c LEFT JOIN ns USING (cell) LEFT JOIN nn USING (cell)
+         |ORDER BY c.cell""".stripMargin
+  )
+}

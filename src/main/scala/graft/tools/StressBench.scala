@@ -165,7 +165,17 @@ object StressBench {
       "m08_scene_cuts," +
       // t30: one (source, pw, w) aggregate + total-minus-own LOO —
       // sublinear like t26 (distinct bigrams saturate)
-      "t30_source_loo_nll"
+      "t30_source_loo_nll," +
+      // round-13: m09 audio VAD — map-only PCM decode, ~32 B/track
+      // shuffles; kernel-priced like m06/m08, curve tracks docs. s18
+      // centroid drift — embeddings stay 1×, two map-only assignment
+      // passes + 16 B control shuffles: flat like s05. t31 tokenizer
+      // health — t18's distinct-word replay + one map-only corpus
+      // pass into (source, 4 longs) partials: curve tracks t18's
+      "m09_audio_vad,s18_centroid_drift,t31_tokenizer_health," +
+      // s19: embeddings 1× — train on the seed slice + two map-only
+      // broadcast-argmax assignment passes, K-row report: flat
+      "s19_incremental_index"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -141,6 +141,37 @@ class PropertySpec extends SparkSpec {
       s"generator lost its balance: $hits within-band, $exits beyond")
   }
 
+  test("∀ long-array pair: int_l2 == sequential fold of squared diffs (JVM-only)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // element range = 2× the 1e8 fixed-point ceiling the PQ family
+    // feeds it, so the property covers the whole production domain;
+    // two-thirds same-length pairs (the real case), the rest exercise
+    // the NULL-on-mismatch contract
+    val elem = Gen.choose(-200000000L, 200000000L)
+    val arrGen = for {
+      n <- Gen.choose(0, 65); xs <- Gen.listOfN(n, elem)
+    } yield xs
+    val pairGen = for {
+      a <- arrGen
+      sameLen <- Gen.oneOf(true, true, false)
+      b <- if (sameLen) Gen.listOfN(a.length, elem) else arrGen
+    } yield (a, b)
+    var same = 0; var diff = 0
+    samples(pairGen, 300).foreach { case (a, b) =>
+      val got = functions.IntL2(
+        Literal.create(a, ArrayType(LongType, false)),
+        Literal.create(b, ArrayType(LongType, false))).eval()
+      val want: Any =
+        if (a.length != b.length) { diff += 1; null }
+        else { same += 1
+          a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum }
+      assert(got === want, s"${a.take(3)}.. vs ${b.take(3)}..")
+    }
+    assert(same > 100 && diff > 20,
+      s"generator lost its balance: $same same-length, $diff mismatched")
+  }
+
   test("∀ string: simhash_fps word 0 == simhash_fp at every width (JVM-only)") {
     import org.apache.spark.unsafe.types.UTF8String
     val strGen = for {

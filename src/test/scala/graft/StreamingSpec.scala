@@ -341,4 +341,41 @@ class StreamingSpec extends SparkSpec {
     // decisions cover every streamed doc exactly (clean + contaminated)
     assert(dec.select($"doc_id").distinct().count() === trainIds.size)
   }
+
+  test("streamed index ingestion: frozen-centroid adds match the store, replays insert zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxs").toString
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val seed = emb.filter($"vec_id" % 3 =!= 0)
+    datapipe.VectorIndex.buildIndex(seed, dir)
+    val nSeed = spark.read.parquet(s"$dir/assign").count()
+    val rows = emb.filter($"vec_id" % 3 === 0)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = datapipe.VectorIndex.indexStream(
+      input.toDS().toDF("vec_id", "embedding"),
+      dir, s"$dir/dec", s"$dir/ckpt")
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      // second trigger replays 10 of the first batch's vectors —
+      // an overlap/retry; the anti-join must insert zero for them
+      input.addData((b2 ++ b1.take(10)).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val assign = spark.read.parquet(s"$dir/assign")
+    assert(assign.count() === nSeed + rows.length,
+      "replayed vectors were re-inserted")
+    assert(assign.select($"vec_id").distinct().count() === nSeed + rows.length)
+    // every per-batch decision equals what the store recorded — the
+    // stream IS addBatch, batch by batch
+    val dec = spark.read.parquet(s"$dir/dec")
+    assert(dec.select($"batch_id").distinct().as[Long].collect().toSet
+      === Set(0L, 1L))
+    val diverged = dec.select($"vec_id", $"cell")
+      .join(assign.select($"vec_id", $"cell".as("stored")), Seq("vec_id"))
+      .filter($"cell" =!= $"stored")
+    assert(diverged.isEmpty)
+    assert(dec.select($"vec_id").distinct().count() === rows.length)
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical round trip of the persisted IVF index (s19's store form):
+  * the side-effect-free query is the oracle-checked twin; this pins the
+  * parquet lifecycle — build, incremental add, idempotent retry — to
+  * the same assignments.
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("index lifecycle: build -> add -> re-add inserts zero; store equals the pure query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val seed = emb.filter($"vec_id" % 3 =!= 0)
+    val batch = emb.filter($"vec_id" % 3 === 0)
+    datapipe.VectorIndex.buildIndex(seed, dir)
+    val nSeed = spark.read.parquet(s"$dir/assign").count()
+    assert(nSeed === seed.count(), "build must assign every seed vector")
+    assert(spark.read.parquet(s"$dir/centroids").count() === 8L)
+    val dec = datapipe.VectorIndex.addBatch(batch, dir)
+    val total = nSeed + batch.count()
+    assert(spark.read.parquet(s"$dir/assign").count() === total)
+    // retry: the anti-join makes the append idempotent — zero inserts
+    datapipe.VectorIndex.addBatch(batch, dir)
+    val after = spark.read.parquet(s"$dir/assign")
+    assert(after.count() === total, "re-add inserted duplicate assignments")
+    assert(after.select($"vec_id").distinct().count() === total)
+    // the store's per-cell occupancy IS the pure query's n_total
+    val q = datapipe.VectorIndex.queries("s19_incremental_index")(spark, sf)
+      .select($"cell", $"n_total").as[(Long, Long)].collect().toMap
+      .filter(_._2 > 0)
+    val st = after.groupBy($"cell").count().as[(Long, Long)].collect().toMap
+    assert(st === q, "store occupancy diverged from the oracle-checked query")
+    // batch decisions: one frozen-centroid assignment per batch vector,
+    // and exactly what the store recorded for those ids
+    assert(dec.count() === batch.count())
+    val mismatch = dec.join(after.select($"vec_id", $"cell".as("stored")),
+        Seq("vec_id"))
+      .filter($"cell" =!= $"stored")
+    assert(mismatch.isEmpty, "returned decisions diverged from the store")
+  }
+}
