@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.datapipe.{Dedup, IncrementalDedup, TextAnalysis}
+import graft.datapipe.{Dedup, IncrementalDedup, TextAnalysis, VectorIndex}
 import graft.operators.DistributedRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
   *     sweep; the exec curve must stay flat.
   *
   * Usage: runMain graft.tools.ScaleProbe [sfDir]
-  *                [section csv: store,rank,simhash,winnow,semdedup,skew,cumsum]
+  *                [section csv: store,vindex,rank,simhash,winnow,semdedup,skew,cumsum]
   */
 object ScaleProbe {
   private val SHIFT = 100000000L
@@ -58,7 +58,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val sections = args.lift(1)
-      .getOrElse("store,rank,simhash,winnow,semdedup,skew,cumsum")
+      .getOrElse("store,vindex,rank,simhash,winnow,semdedup,skew,cumsum")
       .split(",").map(_.trim).toSet
 
     val spark = SparkSession.builder()
@@ -103,6 +103,34 @@ object ScaleProbe {
         IncrementalDedup.buildStore(scaledDocs(k), dir)
         val storeRows = spark.read.parquet(dir).count()
         val (n, t) = timed(IncrementalDedup.ingestBatch(batch, dir).count())
+        println(f"$k%-8d $storeRows%-11d $t%-9.2f $n")
+      }
+    }
+
+    if (sections("vindex")) {
+      // s19's production question: does ingesting one FIXED batch stay
+      // cheap as the index grows? Assignment is map-only against the
+      // K-row broadcast centroids (store-size-independent); the only
+      // store-coupled term is the idempotency anti-join's column-pruned
+      // scan of the assign frame's single long column (partition-pruned
+      // further in production when assign is laid out by ingest date) —
+      // so the curve should be near-flat with a shallow scan slope.
+      println("== s19 store-size curve (fixed batch, growing index) ==")
+      println(f"${"store_k"}%-8s ${"store_rows"}%-11s ${"ingest_s"}%-9s assigned")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      def scaledEmb(k: Int): DataFrame =
+        (0 until k).map { i =>
+          if (i == 0) emb
+          else emb.select(($"vec_id" + i * SHIFT).as("vec_id"), $"embedding")
+        }.reduce(_ unionByName _)
+      val batch = emb.select(($"vec_id" + 99 * SHIFT).as("vec_id"), $"embedding")
+      for (k <- Seq(1, 4, 16, 64)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_vidxscale_k$k").toString + "/idx"
+        VectorIndex.buildIndex(scaledEmb(k), dir)
+        val storeRows = spark.read.parquet(s"$dir/assign").count()
+        val (n, t) = timed(VectorIndex.addBatch(batch, dir).count())
         println(f"$k%-8d $storeRows%-11d $t%-9.2f $n")
       }
     }
