@@ -68,6 +68,60 @@ object VectorIndex {
     dec
   }
 
+  /** Delete vectors from the index — the right-to-be-forgotten path a
+    * training-data deployment cannot skip (takedowns, GDPR erasure,
+    * contamination purges). Deletion is TOMBSTONES, not rewrites: the
+    * assign frame is append-only at corpus scale, so deletes land as an
+    * idempotent append to `<path>/tombstones` (anti-join — a retried
+    * delete inserts zero) and readers subtract via [[liveAssign]].
+    * Ids need not exist in the index; a tombstone for an absent id is
+    * harmless and covers the not-yet-ingested case (delete-before-add:
+    * the tombstone still wins at read time). Deletion is FINAL until
+    * [[compact]]: re-ingesting a tombstoned vector is blocked from the
+    * live view (the anti-join keeps its assign row, the tombstone
+    * keeps it dead) — revival requires compact-then-add, a deliberate
+    * operator action, exactly the conservative default an erasure
+    * obligation wants.
+    */
+  def removeBatch(ids: DataFrame, path: String): Unit = {
+    val s = ids.sparkSession
+    val dec = ids.select(col("vec_id")).distinct().localCheckpoint()
+    val t0 =
+      if (graft.weather.WeatherIngest.sinkExists(s, s"$path/tombstones"))
+        s.read.parquet(s"$path/tombstones")
+      else dec.limit(0)
+    dec.join(t0, Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+  }
+
+  /** The index's live (vec_id, cell) view: assignments minus
+    * tombstones — what every probe consumes. One anti-join on the
+    * single long key; with no tombstone frame, the assign frame
+    * passes through untouched. */
+  def liveAssign(s: SparkSession, path: String): DataFrame = {
+    val assign = s.read.parquet(s"$path/assign")
+    if (graft.weather.WeatherIngest.sinkExists(s, s"$path/tombstones"))
+      assign.join(s.read.parquet(s"$path/tombstones"),
+        Seq("vec_id"), "left_anti")
+    else assign
+  }
+
+  /** Fold tombstones into the assign frame (the GC pass a deployment
+    * schedules off-peak once dead fraction crosses a threshold —
+    * s20's report is the trigger): rewrite assign to the live view,
+    * then empty the tombstone frame. Both frames are localCheckpointed
+    * BEFORE their own paths are overwritten — a lazily-planned
+    * overwrite of the frame it reads would corrupt the store. */
+  def compact(s: SparkSession, path: String): Unit = {
+    val live = liveAssign(s, path).localCheckpoint()
+    live.write.mode(SaveMode.Overwrite).parquet(s"$path/assign")
+    if (graft.weather.WeatherIngest.sinkExists(s, s"$path/tombstones")) {
+      val empty = s.read.parquet(s"$path/tombstones")
+        .limit(0).localCheckpoint()
+      empty.write.mode(SaveMode.Overwrite).parquet(s"$path/tombstones")
+    }
+  }
+
   /** Streaming twin of [[addBatch]] — ANN ingestion as it actually
     * deploys: vectors arrive continuously, every micro-batch is
     * assigned map-only against the frozen broadcast centroids and
@@ -141,6 +195,39 @@ object VectorIndex {
         .withColumn("n_total", $"n_seed" + $"n_new")
         .withColumn("new_frac", $"n_new" / $"n_total".cast("double"))
         .orderBy($"cell")
+    },
+
+    // Tombstone/GC report — the view that schedules [[compact]]: after
+    // the s19 lifecycle (seed build + batch add) a delete list arrives
+    // (every vec_id % 5 == 0 — overlapping both ingest phases, the
+    // realistic shape of a takedown that doesn't care when a vector
+    // arrived); per cell the report reads total/dead/live counts and
+    // the live fraction — the cell whose dead mass is largest is where
+    // compaction pays first, and the corpus-wide dead fraction is the
+    // GC trigger. Query form is side-effect-free (one aggregate over
+    // the in-plan union of both assignment passes; the tombstone test
+    // is an integer predicate, no join needed when the delete rule is
+    // expressible — the PHYSICAL tombstone anti-join round trip is
+    // pinned in VectorIndexSpec); scale shape: the same two map-only
+    // assignment passes as s19 + one (cell) aggregate of longs.
+    "s20_index_tombstones" -> { (s, d) =>
+      import s.implicits._
+      val cents = trainCentroids(seedSet(s, d)).localCheckpoint()
+      val cRow = Similarity.centroidRow(cents)
+      val assigned = Similarity.assignCells(seedSet(s, d), cRow, "cell")
+        .unionByName(Similarity.assignCells(batchSet(s, d), cRow, "cell"))
+        .select($"vec_id", $"cell")
+      val counts = assigned.groupBy($"cell")
+        .agg(count(lit(1)).as("n_total"),
+             sum(when($"vec_id" % 5 === 0, 1L).otherwise(0L)).as("n_dead"))
+      cents.select($"cell")
+        .join(counts, Seq("cell"), "left")
+        .select($"cell",
+          coalesce($"n_total", lit(0L)).as("n_total"),
+          coalesce($"n_dead", lit(0L)).as("n_dead"))
+        .withColumn("n_live", $"n_total" - $"n_dead")
+        .withColumn("live_frac", $"n_live" / $"n_total".cast("double"))
+        .orderBy($"cell")
     }
   )
 
@@ -172,6 +259,38 @@ object VectorIndex {
          |    CAST(COALESCE(ns.n_seed, 0) + COALESCE(nn.n_new, 0) AS DOUBLE)
          |    AS new_frac
          |FROM cent c LEFT JOIN ns USING (cell) LEFT JOIN nn USING (cell)
+         |ORDER BY c.cell""".stripMargin,
+
+    "s20_index_tombstones" ->
+      s"""WITH seedemb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+         |batchemb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+         |m AS (
+         |  SELECT a.cell, u.i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(round(u.v * 1e8) AS BIGINT)) AS DOUBLE)
+         |         / COUNT(*) / 1e8 AS REAL) AS m
+         |  FROM (SELECT vec_id, vec_id % $K AS cell FROM seedemb) a JOIN (
+         |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         |      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |    FROM seedemb) u USING (vec_id)
+         |  GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid
+         |         FROM m GROUP BY cell),
+         |aseed AS (${Similarity.assignSql("cent", "seedemb")}),
+         |abatch AS (${Similarity.assignSql("cent", "batchemb")}),
+         |au AS (SELECT * FROM aseed UNION ALL SELECT * FROM abatch),
+         |cc AS (
+         |  SELECT cell, COUNT(*) AS n_total,
+         |    CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dead
+         |  FROM au GROUP BY cell)
+         |SELECT c.cell, COALESCE(cc.n_total, 0) AS n_total,
+         |  COALESCE(cc.n_dead, 0) AS n_dead,
+         |  COALESCE(cc.n_total, 0) - COALESCE(cc.n_dead, 0) AS n_live,
+         |  (COALESCE(cc.n_total, 0) - COALESCE(cc.n_dead, 0))
+         |    / CAST(COALESCE(cc.n_total, 0) AS DOUBLE) AS live_frac
+         |FROM cent c LEFT JOIN cc USING (cell)
          |ORDER BY c.cell""".stripMargin
   )
 }

@@ -174,8 +174,10 @@ object StressBench {
       // pass into (source, 4 longs) partials: curve tracks t18's
       "m09_audio_vad,s18_centroid_drift,t31_tokenizer_health," +
       // s19: embeddings 1× — train on the seed slice + two map-only
-      // broadcast-argmax assignment passes, K-row report: flat
-      "s19_incremental_index"
+      // broadcast-argmax assignment passes, K-row report: flat.
+      // s20: s19's passes + one integer predicate in the aggregate —
+      // identical curve
+      "s19_incremental_index,s20_index_tombstones"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

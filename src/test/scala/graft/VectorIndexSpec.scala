@@ -41,4 +41,40 @@ class VectorIndexSpec extends SparkSpec {
       .filter($"cell" =!= $"stored")
     assert(mismatch.isEmpty, "returned decisions diverged from the store")
   }
+
+  test("delete lifecycle: tombstones hide, deletes are final until compact, GC revives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxd").toString
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    datapipe.VectorIndex.buildIndex(emb, dir)
+    val total = emb.count()
+    val deadIds = emb.filter($"vec_id" % 5 === 0).select($"vec_id")
+    val nDead = deadIds.count()
+    assert(nDead > 0, "fixture has no delete candidates — pin is vacuous")
+    datapipe.VectorIndex.removeBatch(deadIds, dir)
+    // live view hides exactly the tombstoned ids; assign is untouched
+    assert(spark.read.parquet(s"$dir/assign").count() === total)
+    val live = datapipe.VectorIndex.liveAssign(spark, dir)
+    assert(live.count() === total - nDead)
+    assert(live.filter($"vec_id" % 5 === 0).isEmpty)
+    // retried delete inserts zero tombstones; deleting an ABSENT id is
+    // harmless and idempotent too
+    datapipe.VectorIndex.removeBatch(deadIds, dir)
+    assert(spark.read.parquet(s"$dir/tombstones").count() === nDead)
+    val ghost = spark.range(1, 2).select(lit(999999999L).as("vec_id"))
+    datapipe.VectorIndex.removeBatch(ghost, dir)
+    datapipe.VectorIndex.removeBatch(ghost, dir)
+    assert(spark.read.parquet(s"$dir/tombstones").count() === nDead + 1)
+    // deletion is FINAL until compact: re-adding a tombstoned vector
+    // does not resurrect it in the live view
+    datapipe.VectorIndex.addBatch(emb.filter($"vec_id" % 5 === 0), dir)
+    assert(datapipe.VectorIndex.liveAssign(spark, dir).count()
+      === total - nDead)
+    // compact folds tombstones in: live set preserved, tombstones empty
+    datapipe.VectorIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/assign").count() === total - nDead)
+    assert(spark.read.parquet(s"$dir/tombstones").isEmpty)
+    // ... and only now does a deliberate re-add revive the vectors
+    datapipe.VectorIndex.addBatch(emb.filter($"vec_id" % 5 === 0), dir)
+    assert(datapipe.VectorIndex.liveAssign(spark, dir).count() === total)
+  }
 }
