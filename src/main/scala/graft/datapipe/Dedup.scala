@@ -107,6 +107,21 @@ object Dedup {
       .distinct()
   }
 
+  /** POSITIONAL (doc_id, i, fp) 8-word-gram hashes — [[gramFps]] keeping
+    * every window position (no dedup): d25's span arithmetic needs to
+    * know WHERE a gram matched, not just that it did. */
+  private def gramFpsPos(df: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    df.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 7), i -> struct(i AS i, " +
+          "graft_phash(concat_ws('_', slice(ws, i, 8))) AS fp))")).as("g"))
+      .select(col("doc_id"), col("n_words"),
+              col("g.i").cast("long").as("i"), col("g.fp").as("fp"))
+  }
+
   /** Streaming twin of d12 — the decontamination GATE as a consumer of
     * a micro-batched training-document stream: docs arrive
     * continuously, each micro-batch is checked against the FIXED
@@ -1036,6 +1051,51 @@ object Dedup {
         .orderBy($"bench_doc")
     },
 
+    // SPAN-LEVEL DECONTAMINATION — d12's surgical alternative: d12
+    // says which training docs to DROP; this says which word RANGES to
+    // CUT so the rest of the doc survives (the span-removal policy
+    // production eval hygiene actually ships — dropping a whole
+    // document for one leaked paragraph wastes the other 99%). Every
+    // 8-gram hit at position i taints words [i, i+7]; overlapping
+    // taint intervals merge into spans (new span exactly when a hit
+    // starts past the running max end — touching-but-disjoint
+    // intervals stay separate, so span lengths sum to the exact union
+    // coverage with no double count). Per doc: span count, covered
+    // words, longest span, covered fraction — covered_frac near 1 says
+    // drop (d12's verdict), small says cut. Determinism: positions and
+    // span bounds are integers, one division. Scale shape: the
+    // positional gram scan is map-only and the broadcast bench-set
+    // semi-join filters it BEFORE any shuffle — only HIT positions
+    // (doc_id, 2 longs) reach the per-doc window, and contaminated
+    // docs are the rare case by construction, so the keyed window's
+    // partitions stay span-sized at any corpus scale.
+    "d25_decontaminate_spans" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (bench, train) = contaminationCorpus(s, d, D12_FIX)
+      val benchFps = gramFps(bench).select($"fp").distinct()
+      val hits = gramFpsPos(train)
+        .join(broadcast(benchFps), Seq("fp"), "left_semi")
+        .select($"doc_id", $"n_words", $"i", ($"i" + 7L).as("e"))
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      val prevEnd = max($"e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = hits
+        .withColumn("ns",
+          when(prevEnd.isNull || $"i" > prevEnd, 1L).otherwise(0L))
+        .withColumn("span_id", sum($"ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"doc_id", $"n_words", $"span_id")
+        .agg(min($"i").as("sp_s"), max($"e").as("sp_e"))
+      spans.groupBy($"doc_id", $"n_words")
+        .agg(count(lit(1)).as("n_spans"),
+             sum($"sp_e" - $"sp_s" + 1L).as("covered_words"),
+             max($"sp_e" - $"sp_s" + 1L).as("max_span"))
+        .withColumn("covered_frac",
+          $"covered_words" / $"n_words".cast("double"))
+        .orderBy($"doc_id")
+    },
+
     // Bloom-prefiltered decontamination — d12's scale path for when the
     // benchmark gram set outgrows broadcast (multi-suite eval unions,
     // contamination sweeps against another corpus). The gram set folds
@@ -1456,6 +1516,63 @@ object Dedup {
          |    AS exposure_frac
          |FROM tot t LEFT JOIN hits h USING (bench_doc)
          |ORDER BY bench_doc""".stripMargin
+    },
+
+    "d25_decontaminate_spans" -> {
+      val fix = D12_FIX
+      val fpOf = graft.Dets.phashSql(
+        "array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], '_')")
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % ${fix.modulus} = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % ${fix.modulus} <> 0
+         |  UNION ALL
+         |  SELECT doc_id + ${fix.offset},
+         |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
+         |    array_to_string(list_transform(range(1, 25),
+         |      i -> '${fix.tag}' || CAST(doc_id AS VARCHAR) || 'x' ||
+         |           CAST(i AS VARCHAR)), ' ')
+         |  FROM bench),
+         |bg AS (
+         |  SELECT DISTINCT $fpOf AS fp
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(list_transform(range(1, len(ws) - 6), i -> i)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM bench)
+         |        WHERE len(ws) >= 8)),
+         |tgp AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(i AS BIGINT) AS i, CAST(i + 7 AS BIGINT) AS e,
+         |    $fpOf AS fp
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(list_transform(range(1, len(ws) - 6), i -> i)) AS i
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train)
+         |        WHERE len(ws) >= 8)),
+         |hits AS (
+         |  SELECT doc_id, n_words, i, e FROM tgp
+         |  WHERE EXISTS (SELECT 1 FROM bg WHERE bg.fp = tgp.fp)),
+         |marked AS (
+         |  SELECT doc_id, n_words, i, e,
+         |    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |      OR i > MAX(e) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS ns
+         |  FROM hits),
+         |numbered AS (
+         |  SELECT doc_id, n_words, i, e,
+         |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM marked),
+         |spans AS (
+         |  SELECT doc_id, n_words, span_id,
+         |    MIN(i) AS sp_s, MAX(e) AS sp_e
+         |  FROM numbered GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_words, COUNT(*) AS n_spans,
+         |  CAST(SUM(sp_e - sp_s + 1) AS BIGINT) AS covered_words,
+         |  CAST(MAX(sp_e - sp_s + 1) AS BIGINT) AS max_span,
+         |  CAST(SUM(sp_e - sp_s + 1) AS DOUBLE) / n_words AS covered_frac
+         |FROM spans GROUP BY doc_id, n_words
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Bloom prefiltering has no false negatives and every false

@@ -177,7 +177,11 @@ object StressBench {
       // broadcast-argmax assignment passes, K-row report: flat.
       // s20: s19's passes + one integer predicate in the aggregate —
       // identical curve
-      "s19_incremental_index,s20_index_tombstones"
+      "s19_incremental_index,s20_index_tombstones," +
+      // d25: positional gram scan is map-only and the broadcast bench
+      // semi-join filters BEFORE the shuffle — only hit positions reach
+      // the keyed window; curve should track d12's
+      "d25_decontaminate_spans"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

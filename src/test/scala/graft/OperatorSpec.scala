@@ -1698,6 +1698,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d25: planted leaks read exactly one 16-word head span; doc set equals d12's") {
+    val out = datapipe.Dedup.queries("d25_decontaminate_spans")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // d25 and d12 flag the SAME docs (>= 1 bench-gram hit) — only the
+    // report differs (spans vs hit counts)
+    val d12docs = datapipe.Dedup.queries("d12_decontaminate")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet === d12docs)
+    out.foreach { case (id, nw, ns, cov, mx, frac) =>
+      assert(ns >= 1 && cov >= 8 && cov <= nw && mx <= cov, s"doc $id")
+      assert(frac === cov.toDouble / nw, s"doc $id: frac formula")
+    }
+    // every planted leak whose bench source has >= 16 words is 16 bench
+    // words + 24 unique filler: exactly ONE span, words [1, 16]
+    val m = out.map(r => r._1 -> r).toMap
+    val planted = Tables.documents(spark, sf)
+      .filter($"doc_id" % 50 === 0)
+      .filter(size(split($"text", " ")) >= 16)
+      .select($"doc_id" + 5000000L).as[Long].collect()
+    assert(planted.nonEmpty, "no planted leaks — pin is vacuous")
+    planted.foreach { id =>
+      val (_, nw, ns, cov, mx, frac) = m(id)
+      assert(nw === 40L && ns === 1L && cov === 16L && mx === 16L,
+        s"leak $id: ($nw, $ns, $cov, $mx)")
+      assert(frac === 0.4)
+    }
+  }
+
   test("m09: VAD runs match the planted speech/silence segment pattern exactly") {
     val out = datapipe.Multimodal.queries("m09_audio_vad")(spark, sf)
       .as[(Long, Int, Int, Int, Int, Int, Int, Double)].collect()
