@@ -160,8 +160,11 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // the batch is read twice (decision + clean append): pin it so
-        // a source re-read can never let the two disagree
-        val docs = batch.localCheckpoint()
+        // a source re-read can never let the two disagree; within-batch
+        // duplicate doc_ids collapse to one verdict/one clean row first
+        // (the O9 within-batch dedup precedent — the sink-level
+        // anti-join cannot see two copies arriving together)
+        val docs = batch.dropDuplicates("doc_id").localCheckpoint()
         val hits = gramFps(docs.select(col("doc_id"), col("text")))
           .join(broadcast(benchFps), Seq("fp"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
@@ -1205,6 +1208,74 @@ object Dedup {
         .select($"doc_id", $"span_start", $"span_end",
                 ($"span_end" - $"span_start").as("span_tokens"), $"n_grams")
         .orderBy($"doc_id", $"span_start")
+    },
+
+    // CROSS-SNAPSHOT (directional) DEDUP — the CCNet/CommonCrawl shape
+    // the symmetric family (d01–d06) doesn't cover: a NEW crawl
+    // increment is classified against the FROZEN old corpus (keep old,
+    // verdict new) instead of deduping a single pool against itself.
+    // New snapshot fixture: exact re-crawls (%7, +2e6), boilerplate
+    // near-copies (%10 + suffix, +1e6), and genuinely novel docs
+    // (%9==4 word-reversed, +4e6 — reversal shares no 3-shingles, so
+    // novelty is structural, not probabilistic). Three layers, each
+    // directional: (1) exact — one md5 equi-join against the old
+    // side's (hash, min id) — at 100 TB the old corpus reduces to
+    // 8 B/doc before any join; (2) near — d02's band-keyed candidate
+    // generation new×old (never old×old: the big quadratic side is
+    // never paired with itself), verified by exact capped Jaccard over
+    // sorted 60-bit shingle hashes, best match per new doc by
+    // (J desc, old_id); (3) everything else is novel. A banding miss
+    // (a true near pair sharing no band) degrades near→novel
+    // DETERMINISTICALLY — the oracle mirrors the same banding, so the
+    // verdict is still bit-exact; OperatorSpec pins the planted
+    // classes (all %7 exact, all reversed novel, ≥80% of suffix
+    // plants near).
+    "d26_snapshot_dedup" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val old = T.documents(s, d).select($"doc_id", $"text")
+      val nw = old.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+        .unionByName(old.filter($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+                  concat($"text", lit(" near duplicate suffix")).as("text")))
+        .unionByName(old.filter($"doc_id" % 9 === 4)
+          .select(($"doc_id" + 4000000L).as("doc_id"),
+                  array_join(reverse(split($"text", " ")), " ").as("text")))
+      val exact = nw.select($"doc_id", md5($"text").as("h"))
+        .join(old.groupBy(md5($"text").as("h"))
+                .agg(min($"doc_id").as("exact_match")), Seq("h"))
+        .select($"doc_id", $"exact_match")
+      val sigO = signaturesOf(old).cache()
+      val sigN = signaturesOf(nw).cache()
+      val bandsO = sigO.select($"doc_id".as("old_id"),
+        explode(bandKeyArray).as("band_key"))
+      val bandsN = sigN.select($"doc_id", explode(bandKeyArray).as("band_key"))
+      val best = bandsN.join(bandsO, Seq("band_key"))
+        .select($"doc_id", $"old_id").distinct()
+        .join(sigN.select($"doc_id", $"hset".as("hs1")), Seq("doc_id"))
+        .join(sigO.select($"doc_id".as("old_id"), $"hset".as("hs2")),
+          Seq("old_id"))
+        .withColumn("inter", graft.functions.SortedIntersectCount
+          .sorted_intersect_count($"hs1", $"hs2"))
+        .withColumn("jaccard", expr("inter / (size(hs1) + size(hs2) - inter)"))
+        .filter($"jaccard" >= 0.5)
+        .withColumn("rn", row_number().over(Window.partitionBy($"doc_id")
+          .orderBy($"jaccard".desc, $"old_id".asc)))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"old_id".as("near_match"), $"jaccard")
+      nw.select($"doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(best, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"exact_match".isNotNull, lit("exact_dup"))
+            .when($"near_match".isNotNull, lit("near_dup"))
+            .otherwise(lit("novel")).as("status"),
+          when($"exact_match".isNotNull, $"exact_match")
+            .otherwise($"near_match").as("match_id"),
+          when($"exact_match".isNotNull, lit(1.0))
+            .otherwise($"jaccard").as("jaccard"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -1630,7 +1701,58 @@ object Dedup {
          |  MAX(pos) + 15 - MIN(pos) AS span_tokens,
          |  COUNT(*) AS n_grams
          |FROM isl GROUP BY doc_id, isl_id
-         |ORDER BY doc_id, span_start""".stripMargin
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "d26_snapshot_dedup" ->
+      s"""WITH old AS (SELECT doc_id, text FROM documents),
+         |nw AS (
+         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' near duplicate suffix'
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000,
+         |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+         |  FROM documents WHERE doc_id % 9 = 4),
+         |${sigCtesSql("old", "o")},
+         |${sigCtesSql("nw", "n")},
+         |exact AS (
+         |  SELECT n.doc_id, MIN(o.doc_id) AS exact_match
+         |  FROM nw n JOIN old o ON md5(n.text) = md5(o.text)
+         |  GROUP BY n.doc_id),
+         |ob AS (SELECT doc_id AS old_id, unnest($bandKeysSql) AS band_key
+         |       FROM osigs),
+         |nb AS (SELECT doc_id, unnest($bandKeysSql) AS band_key
+         |       FROM nsigs),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id, ob.old_id
+         |  FROM nb JOIN ob USING (band_key)),
+         |ver AS (
+         |  SELECT c.doc_id, c.old_id,
+         |    len(list_filter(s1.hset, g -> list_contains(s2.hset, g)))
+         |      / (len(s1.hset) + len(s2.hset)
+         |         - len(list_filter(s1.hset, g -> list_contains(s2.hset, g))))
+         |      AS jaccard
+         |  FROM cand c JOIN nsigs s1 ON c.doc_id = s1.doc_id
+         |              JOIN osigs s2 ON c.old_id = s2.doc_id),
+         |best AS (
+         |  SELECT doc_id, old_id AS near_match, jaccard FROM (
+         |    SELECT doc_id, old_id, jaccard, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY jaccard DESC, old_id) AS rn
+         |    FROM ver WHERE jaccard >= 0.5) z
+         |  WHERE rn = 1)
+         |SELECT n.doc_id,
+         |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+         |       WHEN b.near_match IS NOT NULL THEN 'near_dup'
+         |       ELSE 'novel' END AS status,
+         |  CASE WHEN e.exact_match IS NOT NULL THEN e.exact_match
+         |       ELSE b.near_match END AS match_id,
+         |  CASE WHEN e.exact_match IS NOT NULL THEN CAST(1 AS DOUBLE)
+         |       ELSE b.jaccard END AS jaccard
+         |FROM nw n LEFT JOIN exact e ON n.doc_id = e.doc_id
+         |          LEFT JOIN best b ON n.doc_id = b.doc_id
+         |ORDER BY n.doc_id""".stripMargin
   )
 
   /** `rounds` unrolled min-label-propagation rounds over CTEs

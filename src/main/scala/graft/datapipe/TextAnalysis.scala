@@ -370,6 +370,87 @@ object TextAnalysis {
           ($"n_unmerged" / $"n_words".cast("double")).as("unmerged_frac"))
         .orderBy($"source")
     },
+    // RULE-BASED QUALITY FILTER — the C4/Gopher-style boolean rule
+    // battery that runs BEFORE any learned scoring (t02 ranks; this
+    // GATES): five hard rules, each an integer cross-multiplication so
+    // the verdict can never disagree with the oracle at a float
+    // boundary. r_short (< 15 words), r_longwords (mean word length
+    // > 5.0 ⇔ 10·Σlen > 50·n), r_repeat (top word > 1/8 of the doc ⇔
+    // 8·max > n), r_lowttr (type-token ratio < 0.4 ⇔ 5·distinct <
+    // 2·n), r_nostop (zero stopwords — C4's "must contain a terminal
+    // word" analog). Scale shape: one explode into a two-stage
+    // (doc_id, w) count aggregate — the same (doc_id, word, count)
+    // partial-agg shuffle as t14, never the text — then every rule and
+    // the verdict fold out of the five per-doc longs map-side.
+    // Non-vacuity (each rule fires somewhere AND not everywhere, at
+    // sf0.001/0.01/0.1) is pinned in OperatorSpec.
+    "t32_quality_rules" -> { (s, d) =>
+      import s.implicits._
+      val STOP = Seq("a", "the")
+      val wc = T.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      wc.groupBy($"doc_id")
+        .agg(sum($"c").as("n_words"),
+             count(lit(1)).as("n_distinct"),
+             max($"c").as("max_c"),
+             sum($"c" * length($"w")).as("sum_wchars"),
+             sum(when($"w".isin(STOP: _*), $"c").otherwise(0L)).as("n_stop"))
+        .select($"doc_id", $"n_words", $"n_distinct", $"max_c",
+          ($"n_words" < 15).as("r_short"),
+          ($"sum_wchars" * 10 > $"n_words" * 50).as("r_longwords"),
+          ($"max_c" * 8 > $"n_words").as("r_repeat"),
+          ($"n_distinct" * 5 < $"n_words" * 2).as("r_lowttr"),
+          ($"n_stop" === 0).as("r_nostop"))
+        .withColumn("n_failed",
+          ($"r_short".cast("int") + $"r_longwords".cast("int") +
+           $"r_repeat".cast("int") + $"r_lowttr".cast("int") +
+           $"r_nostop".cast("int")).cast("long"))
+        .withColumn("keep", $"n_failed" === 0L)
+        .orderBy($"doc_id")
+    },
+    // SAMPLING-TEMPERATURE MIXTURE — the multi-source mixture-weight
+    // table (the Pile/LLaMA recipe): at temperature α each source's
+    // sampling weight ∝ (its token share)^α — α=1 is natural
+    // proportions, α→0 flattens toward uniform (t13 is exactly the
+    // α=0 endpoint; t16 caps by count; this is the tunable middle).
+    // Determinism across engines: n^α for α ∈ {0.25, 0.5, 0.75} is
+    // composed ONLY of IEEE-correctly-rounded ops (sqrt and multiply:
+    // n^.5 = sqrt(n), n^.25 = sqrt(sqrt(n)), n^.75 = sqrt(n·sqrt(n)))
+    // — never pow(), whose libm vs java.lang.Math last-ulp drift would
+    // break the hash gate — then rounded ONCE to integer micro-units,
+    // so the normalizing sums are exact integer arithmetic in any
+    // order. Epochs = how many times a source is re-read under a
+    // one-total-corpus token budget at α=0.5: weight·N/n — the
+    // repetition-count column a mixture owner actually reads (a small
+    // source upweighted past ~4 epochs is the memorization flag).
+    // Scale shape: one (source, long) partial-agg pass over the corpus
+    // — k rows out; everything after is O(k).
+    "t33_mixture_temperature" -> { (s, d) =>
+      import s.implicits._
+      val n = T.documents(s, d)
+        .select($"source", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"source").agg(count(lit(1)).as("n_words"))
+      val sc = n.select($"source", $"n_words",
+          round(sqrt(sqrt($"n_words".cast("double"))) * 1e6).cast("long")
+            .as("u25"),
+          round(sqrt($"n_words".cast("double")) * 1e6).cast("long").as("u50"),
+          round(sqrt($"n_words".cast("double") *
+            sqrt($"n_words".cast("double"))) * 1e6).cast("long").as("u75"))
+      val tot = sc.agg(sum($"n_words").as("n_tot"), sum($"u25").as("t25"),
+                       sum($"u50").as("t50"), sum($"u75").as("t75"))
+      sc.crossJoin(broadcast(tot))
+        .select($"source", $"n_words",
+          ($"n_words" / $"n_tot".cast("double")).as("share"),
+          ($"u25" / $"t25".cast("double")).as("w_a25"),
+          ($"u50" / $"t50".cast("double")).as("w_a50"),
+          ($"u75" / $"t75".cast("double")).as("w_a75"),
+          ($"u50" * $"n_tot" / ($"t50" * $"n_words").cast("double"))
+            .as("epochs_a50"))
+        .orderBy($"source")
+    },
     // Language ID: frequency-weighted lexicon overlap, argmax with
     // alphabetical tie-break; compared against the labeled lang.
     "t01_langid" -> { (s, d) =>
@@ -1528,6 +1609,68 @@ object TextAnalysis {
          |FROM dw JOIN vocab USING (w)
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    "t32_quality_rules" ->
+      """WITH wc AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_words,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(MAX(c) AS BIGINT) AS max_c,
+        |    CAST(SUM(c * len(w)) AS BIGINT) AS sum_wchars,
+        |    CAST(SUM(CASE WHEN w IN ('a', 'the') THEN c ELSE 0 END)
+        |         AS BIGINT) AS n_stop
+        |  FROM wc GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, n_words, n_distinct, max_c,
+        |    n_words < 15 AS r_short,
+        |    sum_wchars * 10 > n_words * 50 AS r_longwords,
+        |    max_c * 8 > n_words AS r_repeat,
+        |    n_distinct * 5 < n_words * 2 AS r_lowttr,
+        |    n_stop = 0 AS r_nostop
+        |  FROM st)
+        |SELECT doc_id, n_words, n_distinct, max_c,
+        |  r_short, r_longwords, r_repeat, r_lowttr, r_nostop,
+        |  CAST(CASE WHEN r_short THEN 1 ELSE 0 END
+        |     + CASE WHEN r_longwords THEN 1 ELSE 0 END
+        |     + CASE WHEN r_repeat THEN 1 ELSE 0 END
+        |     + CASE WHEN r_lowttr THEN 1 ELSE 0 END
+        |     + CASE WHEN r_nostop THEN 1 ELSE 0 END AS BIGINT) AS n_failed,
+        |  NOT (r_short OR r_longwords OR r_repeat OR r_lowttr OR r_nostop)
+        |    AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "t33_mixture_temperature" ->
+      """WITH n AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY source),
+        |sc AS (
+        |  SELECT source, n_words,
+        |    CAST(round(sqrt(sqrt(CAST(n_words AS DOUBLE))) * 1e6)
+        |         AS BIGINT) AS u25,
+        |    CAST(round(sqrt(CAST(n_words AS DOUBLE)) * 1e6)
+        |         AS BIGINT) AS u50,
+        |    CAST(round(sqrt(CAST(n_words AS DOUBLE) *
+        |           sqrt(CAST(n_words AS DOUBLE))) * 1e6)
+        |         AS BIGINT) AS u75
+        |  FROM n),
+        |tot AS (
+        |  SELECT CAST(SUM(n_words) AS BIGINT) AS n_tot,
+        |    CAST(SUM(u25) AS BIGINT) AS t25,
+        |    CAST(SUM(u50) AS BIGINT) AS t50,
+        |    CAST(SUM(u75) AS BIGINT) AS t75
+        |  FROM sc)
+        |SELECT source, n_words,
+        |  n_words / CAST(n_tot AS DOUBLE) AS share,
+        |  u25 / CAST(t25 AS DOUBLE) AS w_a25,
+        |  u50 / CAST(t50 AS DOUBLE) AS w_a50,
+        |  u75 / CAST(t75 AS DOUBLE) AS w_a75,
+        |  u50 * n_tot / CAST(t50 * n_words AS DOUBLE) AS epochs_a50
+        |FROM sc, tot ORDER BY source""".stripMargin,
     "t01_langid" -> {
       val scoreCols = LEX.map { case (lang, ws) =>
         s"len(list_filter(string_split(text, ' '), w -> list_contains([${lexArr(ws)}], w))) AS score_$lang"

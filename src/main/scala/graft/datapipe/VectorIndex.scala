@@ -54,14 +54,19 @@ object VectorIndex {
   /** Ingest a batch against the FROZEN stored centroids and append its
     * assignments idempotently (left-anti on vec_id — a retried batch
     * inserts zero; a re-ingested vector keeps its first assignment,
-    * which is also its current one: centroids are frozen). Returns the
-    * batch's (vec_id, cell) decisions — checkpointed pre-append, so the
-    * returned frame can never silently recompute against the mutated
-    * store. */
+    * which is also its current one: centroids are frozen). Within-batch
+    * duplicates collapse to one decision per vec_id BEFORE the
+    * anti-join (the O9 within-batch `dropDuplicates("date")` precedent;
+    * the store invariant is one assign row per id, and the store-level
+    * anti-join alone cannot see two copies arriving in the same batch).
+    * Returns the batch's (vec_id, cell) decisions — checkpointed
+    * pre-append, so the returned frame can never silently recompute
+    * against the mutated store. */
   def addBatch(batch: DataFrame, path: String): DataFrame = {
     val s = batch.sparkSession
     val cents = s.read.parquet(s"$path/centroids")
-    val dec = assignAgainst(batch, cents).localCheckpoint()
+    val dec = assignAgainst(batch, cents)
+      .dropDuplicates("vec_id").localCheckpoint()
     dec.join(s.read.parquet(s"$path/assign").select(col("vec_id")),
         Seq("vec_id"), "left_anti")
       .write.mode(SaveMode.Append).parquet(s"$path/assign")
@@ -108,18 +113,32 @@ object VectorIndex {
 
   /** Fold tombstones into the assign frame (the GC pass a deployment
     * schedules off-peak once dead fraction crosses a threshold —
-    * s20's report is the trigger): rewrite assign to the live view,
-    * then empty the tombstone frame. Both frames are localCheckpointed
-    * BEFORE their own paths are overwritten — a lazily-planned
-    * overwrite of the frame it reads would corrupt the store. */
+    * s20's report is the trigger): materialize the live view at a
+    * SIBLING path, swap it over assign with two FileSystem renames,
+    * then drop the tombstone frame. The write never targets a path the
+    * plan reads, and no step relies on executor-local checkpoint
+    * blocks, so at every instant at least one complete durable copy of
+    * the live view exists on storage: during the temp write the old
+    * assign is untouched; between the renames BOTH `assign.old` and
+    * the temp copy are durable (recovery from a crash in that window =
+    * rename either back); after the swap the new assign is durable. A
+    * crash before the final tombstone delete leaves tombstones whose
+    * assign rows are already gone — [[liveAssign]]'s anti-join ignores
+    * them and the next compact clears them. A leftover temp/old dir
+    * from a crashed run is cleared up front. */
   def compact(s: SparkSession, path: String): Unit = {
-    val live = liveAssign(s, path).localCheckpoint()
-    live.write.mode(SaveMode.Overwrite).parquet(s"$path/assign")
-    if (graft.weather.WeatherIngest.sinkExists(s, s"$path/tombstones")) {
-      val empty = s.read.parquet(s"$path/tombstones")
-        .limit(0).localCheckpoint()
-      empty.write.mode(SaveMode.Overwrite).parquet(s"$path/tombstones")
-    }
+    import org.apache.hadoop.fs.Path
+    val assign = new Path(s"$path/assign")
+    val tmp = new Path(s"$path/assign.compacting")
+    val old = new Path(s"$path/assign.old")
+    val tombs = new Path(s"$path/tombstones")
+    val fs = assign.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(tmp, true); fs.delete(old, true)
+    liveAssign(s, path).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.rename(assign, old)
+    fs.rename(tmp, assign)
+    fs.delete(old, true)
+    fs.delete(tombs, true)
   }
 
   /** Streaming twin of [[addBatch]] — ANN ingestion as it actually

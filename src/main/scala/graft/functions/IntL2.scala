@@ -25,10 +25,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Numerics contract: bit-identical to the aggregate(...) left-fold on
   * the same long arrays — same index order, same (wrapping) 64-bit
-  * arithmetic; with the library's 1e8 fixed point and dims ≤ ~10⁵ the
-  * sum is far below overflow (dim · (2e8)² ≤ 4e16 · dim). Mismatched
-  * lengths or a NULL element yield NULL, exactly as zip_with's
-  * null-padding drives the declarative fold to NULL.
+  * arithmetic. Overflow bound: the sum stays exact only while
+  * dim · max(aᵢ−bᵢ)² < 2⁶³ ≈ 9.2e18. At the library's 1e8 fixed point
+  * that means elements in [−1, 1] (diff ≤ 2e8, term ≤ 4e16) are safe to
+  * dim ≈ 230, and the testdata embeddings (unit-scale floats, dim 64)
+  * sit well inside it; wider inputs must keep dim · maxdiff² below
+  * 2⁶³ or the Spark side WRAPS silently while the DuckDB intL2Sql
+  * oracle raises a BIGINT out-of-range error — an engine-parity break,
+  * not just a wrong distance. Mismatched lengths or a NULL element
+  * yield NULL, exactly as zip_with's null-padding drives the
+  * declarative fold to NULL.
   */
 case class IntL2(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -1785,4 +1785,99 @@ class OperatorSpec extends SparkSpec {
       assert(nll > 0.0, s"doc $id avg_nll $nll")
     }
   }
+
+  test("t32: every rule flag equals a Scala recomputation; each rule fires and none is universal") {
+    val out = datapipe.TextAnalysis.queries("t32_quality_rules")(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean,
+           Boolean, Long, Boolean)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out.length === docs.size)
+    out.foreach { case (id, nw, nd, mx, rs, rl, rr, rt, rn, nf, keep) =>
+      val ws = docs(id).split(" ").filter(_.nonEmpty)
+      val c = ws.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+      val (n, dist, mc) = (ws.length.toLong, c.size.toLong, c.values.max)
+      val sumCh = ws.map(_.length.toLong).sum
+      val stop = c.getOrElse("a", 0L) + c.getOrElse("the", 0L)
+      assert((nw, nd, mx) === ((n, dist, mc)), s"doc $id counts")
+      assert(rs === (n < 15) && rl === (sumCh * 10 > n * 50) &&
+             rr === (mc * 8 > n) && rt === (dist * 5 < n * 2) &&
+             rn === (stop == 0L), s"doc $id flags")
+      val flags = Seq(rs, rl, rr, rt, rn)
+      assert(nf === flags.count(identity).toLong && keep === (nf == 0L),
+        s"doc $id verdict")
+    }
+    // every rule must decide something on this corpus, and no rule may
+    // decide everything — otherwise the battery is untested decoration
+    val cols = Seq[((Long, Long, Long, Long, Boolean, Boolean, Boolean,
+      Boolean, Boolean, Long, Boolean)) => Boolean](
+      _._5, _._6, _._7, _._8, _._9)
+    cols.zip(Seq("r_short", "r_longwords", "r_repeat", "r_lowttr",
+                 "r_nostop")).foreach { case (f, name) =>
+      val k = out.count(f)
+      assert(k > 0 && k < out.length, s"$name vacuous: fires $k/${out.length}")
+    }
+    assert(out.exists(_._11) && out.exists(!_._11), "verdict vacuous")
+  }
+
+  test("t33: temperature ordering — lower alpha flattens the mixture toward uniform") {
+    val out = datapipe.TextAnalysis.queries("t33_mixture_temperature")(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    assert(out.length >= 2)
+    val nTot = out.map(_._2).sum
+    // each weight column normalizes to 1 (integer-unit normalization:
+    // only the final divisions are float)
+    Seq[((String, Long, Double, Double, Double, Double, Double)) => Double](
+      _._3, _._4, _._5, _._6).foreach { f =>
+      assert(math.abs(out.map(f).sum - 1.0) < 1e-9, "weights don't normalize")
+    }
+    // epochs = weight * N / n, exactly as documented
+    out.foreach { case (src, n, share, _, w50, _, ep) =>
+      assert(math.abs(share - n.toDouble / nTot) < 1e-12, s"$src share")
+      assert(math.abs(ep - w50 * nTot / n) < 1e-9, s"$src epochs")
+    }
+    // the flattening law: the max/min weight ratio is monotone in alpha
+    // ((n_a/n_b)^alpha is increasing in alpha for n_a > n_b)
+    def spread(f: ((String, Long, Double, Double, Double, Double, Double))
+        => Double) = out.map(f).max / out.map(f).min
+    val Seq(s25, s50, s75, s100) =
+      Seq[((String, Long, Double, Double, Double, Double, Double)) => Double](
+        _._4, _._5, _._6, _._3).map(spread)
+    assert(s25 <= s50 + 1e-9 && s50 <= s75 + 1e-9 && s75 <= s100 + 1e-9,
+      s"spread not monotone in alpha: $s25 $s50 $s75 $s100")
+    assert(s100 > 1.0, "corpus has a flat mixture — ordering pin is vacuous")
+  }
+
+  test("d26: planted snapshot classes — exact re-crawls, boilerplate near-dups, reversed novels") {
+    val out = datapipe.Dedup.queries("d26_snapshot_dedup")(spark, sf)
+      .as[(Long, String, Option[Long], Option[Double])].collect()
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val exp = texts.keys.filter(_ % 7 == 0).map(_ + 2000000L).toSet ++
+      texts.keys.filter(_ % 10 == 0).map(_ + 1000000L).toSet ++
+      texts.keys.filter(_ % 9 == 4).map(_ + 4000000L).toSet
+    assert(out.map(_._1).toSet === exp, "new-snapshot doc set")
+    val byClass = out.groupBy(_._1 / 1000000L)
+    // exact re-crawls: always detected (md5 layer needs no banding luck),
+    // and the matched old doc carries byte-identical text
+    byClass(2L).foreach { case (id, st, m, j) =>
+      assert(st === "exact_dup" && j === Some(1.0), s"$id")
+      assert(m.exists(o => texts(o) == texts(id - 2000000L)), s"$id match text")
+    }
+    // reversed docs: structurally novel — no 3-shingle survives reversal
+    byClass(4L).foreach { case (id, st, m, j) =>
+      assert(st === "novel" && m.isEmpty && j.isEmpty, s"$id")
+    }
+    // suffix plants: never exact; banding recall may drop a few to
+    // novel (deterministically — the oracle mirrors the banding), but
+    // the family must overwhelmingly land near_dup with J >= 0.5
+    val near = byClass(1L)
+    assert(near.forall(_._2 != "exact_dup"), "a suffix plant matched exactly")
+    val hit = near.filter(_._2 == "near_dup")
+    assert(hit.length * 5 >= near.length * 4,
+      s"banding recall collapsed: ${hit.length}/${near.length}")
+    hit.foreach { case (id, _, m, j) =>
+      assert(j.exists(_ >= 0.5) && m.nonEmpty, s"$id")
+    }
+  }
 }

@@ -69,12 +69,32 @@ class VectorIndexSpec extends SparkSpec {
     datapipe.VectorIndex.addBatch(emb.filter($"vec_id" % 5 === 0), dir)
     assert(datapipe.VectorIndex.liveAssign(spark, dir).count()
       === total - nDead)
-    // compact folds tombstones in: live set preserved, tombstones empty
+    // compact folds tombstones in: live set preserved, tombstone frame
+    // dropped entirely (liveAssign passes assign through with no
+    // anti-join), no swap-machinery leftovers
     datapipe.VectorIndex.compact(spark, dir)
     assert(spark.read.parquet(s"$dir/assign").count() === total - nDead)
-    assert(spark.read.parquet(s"$dir/tombstones").isEmpty)
+    assert(!weather.WeatherIngest.sinkExists(spark, s"$dir/tombstones"))
+    assert(!weather.WeatherIngest.sinkExists(spark, s"$dir/assign.compacting"))
+    assert(!weather.WeatherIngest.sinkExists(spark, s"$dir/assign.old"))
     // ... and only now does a deliberate re-add revive the vectors
     datapipe.VectorIndex.addBatch(emb.filter($"vec_id" % 5 === 0), dir)
     assert(datapipe.VectorIndex.liveAssign(spark, dir).count() === total)
+  }
+
+  test("addBatch collapses within-batch duplicate vec_ids to one assign row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxu").toString
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    datapipe.VectorIndex.buildIndex(emb.filter($"vec_id" % 3 =!= 0), dir)
+    val n0 = spark.read.parquet(s"$dir/assign").count()
+    val batch = emb.filter($"vec_id" % 3 === 0)
+    val nB = batch.count()
+    // the same micro-batch carries every vector twice — the store-level
+    // anti-join alone cannot see that; within-batch dedup must
+    val dec = datapipe.VectorIndex.addBatch(batch.unionAll(batch), dir)
+    assert(dec.count() === nB, "decisions must be one row per vec_id")
+    val after = spark.read.parquet(s"$dir/assign")
+    assert(after.count() === n0 + nB, "duplicate rows reached the store")
+    assert(after.select($"vec_id").distinct().count() === n0 + nB)
   }
 }
