@@ -170,7 +170,85 @@ object Multimodal {
       }
       s
     }
+
+    /** Planted-border geometry for an asset id (letterbox fixture):
+      * content cw×ch framed by black margins of per-side thickness
+      * derived from the id — every combination of zero and non-zero
+      * sides occurs across a corpus. */
+    def borderGeom(id: Long): (Int, Int, Int, Int, Int, Int) =
+      ((id % 3).toInt, ((id + 1) % 3).toInt,         // top, bottom
+       (id % 2).toInt, ((id + 1) % 2).toInt,         // left, right
+       (6 + id % 5).toInt, (5 + id % 4).toInt)       // content w, h
+
+    /** Content pixel (content-relative coords) — range [1, 199], so no
+      * content row or column can ever read as border-black (0). */
+    def contentPixel(id: Long, x: Int, y: Int): Int =
+      (1 + (x * 7L + y * 13L + id) % 199L).toInt
+
+    /** Synthesize + PNG-encode the letterboxed image for an asset id. */
+    def synthBorderedPng(id: Long): Array[Byte] = {
+      val (bt, bb, bl, br, cw, ch) = borderGeom(id)
+      val w = bl + cw + br
+      val h = bt + ch + bb
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v =
+            if (y < bt || y >= bt + ch || x < bl || x >= bl + cw) 0
+            else contentPixel(id, x - bl, y - bt)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** Detect the constant-black margins of a decoded image by scanning
+      * full rows/columns inward from each edge, then report the content
+      * box and its gray sum. O(W·H), single pass per edge; guards stop
+      * a pathological all-black frame from double-counting. */
+    def borderFeatures(id: Long, payload: Array[Byte]): BorderFeatures = {
+      val img = decode(payload)
+      val w = img.getWidth; val h = img.getHeight
+      def rowBlack(y: Int): Boolean = {
+        var x = 0
+        while (x < w) { if ((img.getRGB(x, y) & 0xff) != 0) return false; x += 1 }
+        true
+      }
+      def colBlack(x: Int): Boolean = {
+        var y = 0
+        while (y < h) { if ((img.getRGB(x, y) & 0xff) != 0) return false; y += 1 }
+        true
+      }
+      var top = 0
+      while (top < h && rowBlack(top)) top += 1
+      var bottom = 0
+      while (bottom < h - top && rowBlack(h - 1 - bottom)) bottom += 1
+      var left = 0
+      while (left < w && colBlack(left)) left += 1
+      var right = 0
+      while (right < w - left && colBlack(w - 1 - right)) right += 1
+      val cw = w - left - right
+      val ch = h - top - bottom
+      var s = 0L
+      var y = top
+      while (y < top + ch) {
+        var x = left
+        while (x < left + cw) { s += (img.getRGB(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      BorderFeatures(id, w, h, top, bottom, left, right, cw, ch,
+        w.toLong * h - cw.toLong * ch, s)
+    }
   }
+
+  /** m10's report row: detected margins + content box of one image. */
+  final case class BorderFeatures(asset_id: Long, width: Int, height: Int,
+      top: Int, bottom: Int, left: Int, right: Int, content_w: Int,
+      content_h: Int, border_px: Long, content_sum: Long)
 
   /** Decoded-waveform feature row ([[PcmCodec]] path): all-integer
     * features so the oracle is exact.
@@ -664,6 +742,30 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Letterbox/pillarbox border detection — the crop step image
+    // curation runs before training (black margins burn resolution and
+    // teach the model the frame, not the content): per image, scan the
+    // REAL decoded pixels inward from each edge for constant-black
+    // rows/columns, report the per-side margins, the surviving content
+    // box, and its gray sum (the content-sum pin proves the detected
+    // box is exactly the planted one — a one-pixel-off crop changes the
+    // sum). Planted geometry varies every side independently, including
+    // zeros, so the detector is exercised on every margin combination.
+    // Scale shape: map-only decode+scan like m02–m09; ~40 B/image
+    // shuffles for the final sort, payloads never move.
+    "m10_border_detect" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          ImageCodec.borderFeatures(id, ImageCodec.synthBorderedPng(id))
+        })
+        .toDF()
+        .withColumn("content_frac",
+          ($"content_w" * $"content_h").cast("double") /
+            ($"width" * $"height"))
+        .orderBy($"asset_id")
+    },
+
     // Perceptual image dedup — bucket on the aHash of REAL decoded
     // pixels ((width, height, ahash) group key), report groups with
     // >1 member and their canonical (min) id. Planted byte-identical
@@ -926,6 +1028,38 @@ object Multimodal {
         |  ag.n_active / CAST(ag.n_windows AS DOUBLE) AS speech_frac
         |FROM ag LEFT JOIN rs USING (doc_id)
         |ORDER BY asset_id""".stripMargin,
+
+    // m10: the oracle recomputes margins + content box purely from the
+    // planted geometry formulas and the content-pixel formula — a
+    // detector that mis-locates any edge by one pixel changes
+    // content_sum and fails the hash.
+    "m10_border_detect" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(doc_id % 3 AS INT) AS top, CAST((doc_id + 1) % 3 AS INT) AS bottom,
+        |    CAST(doc_id % 2 AS INT) AS lft, CAST((doc_id + 1) % 2 AS INT) AS rgt,
+        |    CAST(6 + doc_id % 5 AS INT) AS cw, CAST(5 + doc_id % 4 AS INT) AS ch
+        |  FROM documents),
+        |cs AS (
+        |  SELECT p.asset_id,
+        |    CAST(SUM(1 + (tx.x * 7 + ty.y * 13 + p.asset_id) % 199) AS BIGINT)
+        |      AS content_sum
+        |  FROM p, range(0, 10) tx(x), range(0, 8) ty(y)
+        |  WHERE tx.x < p.cw AND ty.y < p.ch
+        |  GROUP BY p.asset_id)
+        |SELECT p.asset_id,
+        |  CAST(p.lft + p.cw + p.rgt AS INT) AS width,
+        |  CAST(p.top + p.ch + p.bottom AS INT) AS height,
+        |  p.top, p.bottom, p.lft AS "left", p.rgt AS "right",
+        |  p.cw AS content_w, p.ch AS content_h,
+        |  CAST((p.lft + p.cw + p.rgt) * (p.top + p.ch + p.bottom)
+        |       - p.cw * p.ch AS BIGINT) AS border_px,
+        |  cs.content_sum,
+        |  CAST(p.cw * p.ch AS DOUBLE) /
+        |    ((p.lft + p.cw + p.rgt) * (p.top + p.ch + p.bottom))
+        |    AS content_frac
+        |FROM p JOIN cs USING (asset_id)
+        |ORDER BY p.asset_id""".stripMargin,
 
     // m08's scene formula mirror: pixel(x, y, f) = (7x + 13y +
     // 97·(f//5) + id) % 256; per-transition Σ|Δ|, integer cut test.

@@ -46,6 +46,22 @@ object Similarity {
   private def sampleOrderSql =
     s"ORDER BY ${graft.Dets.phashSql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $NQ"
 
+  /** s21's Johnson-Lindenstrauss sign matrix: RP_D rows of 64 ±1
+    * entries unrolled from a fixed 64-bit LCG — a frozen compile-time
+    * CONSTANT (model weights, not data), embedded as literals in both
+    * engines so neither ever hashes at runtime. ±1 (Rademacher) signs
+    * satisfy the JL lemma like Gaussians do, and keep every projection
+    * an exact integer dot product.
+    */
+  private val RP_D = 16
+  private[graft] val RP_SIGNS: Array[Array[Long]] = {
+    var st = 0x106689D45497239BL
+    Array.fill(RP_D, 64) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      if (((st >>> 33) & 1L) == 0L) 1L else -1L
+    }
+  }
+
   /** Sign-LSH bucket over 8 dims starting at `off`: axis-aligned
     * hyperplane signs -> 256 buckets. Different offsets are INDEPENDENT
     * hash tables (disjoint hyperplane sets) — the multi-table
@@ -717,6 +733,77 @@ object Similarity {
           .crossJoin(broadcast(nq))
           .crossJoin(broadcast(nTruth))
           .select(lit(s"adc_top$c").as("method"), $"n_q", $"n_truth",
+            $"hits", $"n_cand",
+            ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+            ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
+      }
+      report(30).unionByName(report(100)).orderBy($"method")
+    },
+
+    // RANDOM-PROJECTION RECALL — the dim-REDUCTION axis of the eval
+    // family (s14 measures LSH hashing, s15 coarse quantization, s16
+    // subspace quantization; s21 measures what plain Johnson-
+    // Lindenstrauss reduction costs): embeddings project 64→16 dims
+    // through a frozen ±1 sign matrix, candidates rank by integer L2
+    // in the REDUCED space (4× fewer multiplies per pair, 4× smaller
+    // vectors crossing any shuffle), and top-30/top-100 candidate sets
+    // are scored against the full-dimension exact top-10. Numerics:
+    // the sign matrix is a pure compile-time constant (LCG-derived,
+    // embedded as literals in BOTH engines — no runtime hashing);
+    // projections are exact integer dot products of once-rounded 1e6
+    // fixed-point components, sized so dim·maxdiff² stays ~100× under
+    // 2⁶³ (the IntL2 overflow contract) even at worst case. Scale
+    // shape: projection is map-only; the candidate pass is the
+    // NQ-sampled brute-force scan of the other evals but at quarter
+    // width; both ranked frames checkpoint once.
+    "s21_rp_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      def proj(df: DataFrame): DataFrame = df
+        .withColumn("fx", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+        .withColumn("proj", array((0 until RP_D).map { j =>
+          expr(s"aggregate(zip_with(fx, array(${RP_SIGNS(j).mkString(",")}), " +
+            "(x, s) -> x * s), CAST(0 AS BIGINT), (a, v) -> a + v)")
+        }: _*))
+      val qs0 = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        .localCheckpoint() // NQ rows; the s14/s15/s16 sample frame
+      val qproj = proj(qs0.select($"q_id".as("vec_id"),
+          $"q_emb".as("embedding")))
+        .select($"vec_id".as("q_id"), $"proj".as("qp"))
+      val wP = Window.partitionBy($"q_id").orderBy($"pd2", $"vec_id")
+      val ranked = proj(emb).select($"vec_id", $"proj")
+        .join(broadcast(qproj), $"vec_id" =!= $"q_id")
+        .withColumn("pd2", graft.functions.IntL2.int_l2($"proj", $"qp"))
+        .select($"q_id", $"vec_id", $"pd2")
+        .withColumn("rn", row_number().over(wP))
+        .filter($"rn" <= 100)
+        .select($"q_id", $"vec_id", $"rn")
+        .localCheckpoint() // <= NQ×100 rows; the reduced scan runs ONCE
+      val wE = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      val exact10 = emb.select($"vec_id", roundFx("embedding").as("lv"))
+        .join(broadcast(qs0.select($"q_id", roundFx("q_emb").as("lq"))),
+              $"vec_id" =!= $"q_id")
+        .withColumn("d2", graft.functions.IntL2.int_l2($"lv", $"lq"))
+        .select($"q_id", $"vec_id", $"d2")
+        .withColumn("rn", row_number().over(wE))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint() // <= NQ×10 rows; full-dim truth runs ONCE
+      val nq = qs0.agg(count(lit(1)).as("n_q"))
+      val nTruth = exact10.agg(count(lit(1)).as("n_truth"))
+      def report(c: Int): DataFrame = {
+        val cand = ranked.filter($"rn" <= c).select($"q_id", $"vec_id")
+        exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(nq))
+          .crossJoin(broadcast(nTruth))
+          .select(lit(s"rp16_top$c").as("method"), $"n_q", $"n_truth",
             $"hits", $"n_cand",
             ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
             ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
@@ -1675,6 +1762,72 @@ object Similarity {
          |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
          |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
          |FROM u ORDER BY method""".stripMargin,
+
+    "s21_rp_recall" -> {
+      def projTerm(j: Int) = {
+        val lits = "[" + RP_SIGNS(j).mkString(",") + "]"
+        s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+          s"fx[CAST(i AS INT)] * ($lits)[CAST(i AS INT)])) AS BIGINT)"
+      }
+      val projList =
+        "[" + (0 until RP_D).map(projTerm).mkString(",\n") + "]"
+      def longL2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+          s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
+          s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  $sampleOrderSql),
+         |ef AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS fx
+         |  FROM e),
+         |qf AS (
+         |  SELECT q_id, list_transform(q_emb,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS fx
+         |  FROM q),
+         |pe AS (SELECT vec_id, $projList AS proj FROM ef),
+         |pq AS (SELECT q_id, $projList AS qp FROM qf),
+         |ranked AS (
+         |  SELECT q_id, vec_id, rn FROM (
+         |    SELECT pq.q_id, pe.vec_id,
+         |      row_number() OVER (PARTITION BY pq.q_id
+         |        ORDER BY ${longL2("pe.proj", "pq.qp")}, pe.vec_id) AS rn
+         |    FROM pe, pq WHERE pe.vec_id <> pq.q_id) z
+         |  WHERE rn <= 100),
+         |exact10 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${intL2Sql("e.embedding", "q.q_emb")}, e.vec_id) AS rn
+         |    FROM e, q WHERE e.vec_id <> q.q_id) z
+         |  WHERE rn <= 10),
+         |u AS (
+         |  SELECT 'rp16_top30' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM ranked c
+         |        WHERE c.rn <= 30 AND x.q_id = c.q_id
+         |          AND x.vec_id = c.vec_id)) AS hits,
+         |    (SELECT COUNT(*) FROM ranked WHERE rn <= 30) AS n_cand
+         |  UNION ALL
+         |  SELECT 'rp16_top100' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM ranked c
+         |        WHERE c.rn <= 100 AND x.q_id = c.q_id
+         |          AND x.vec_id = c.vec_id)) AS hits,
+         |    (SELECT COUNT(*) FROM ranked) AS n_cand)
+         |SELECT method, n_q, n_truth, hits, n_cand,
+         |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
+         |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
+         |FROM u ORDER BY method""".stripMargin
+    },
 
     "s17_index_load_profile" ->
       s"""WITH e AS (

@@ -284,8 +284,63 @@ object Extras {
           ") AS (status, n)"))
         .filter($"n" > 0)
       counts.unionByName(attribution).orderBy($"status")
+    },
+
+    // CO-LOCATED (bucketed) JOIN — the ingest-time layout decision that
+    // removes the shuffle from a 100 TB fact-to-fact join entirely:
+    // both sides are written `bucketBy(8, key).sortBy(key)` so every
+    // bucket pair is co-located and the sort-merge join needs NO
+    // Exchange on either side (PlanShapeSpec pins the join subtree
+    // exchange-free and the whole query to ONE post-join aggregate
+    // exchange). The MERGE hint keeps Catalyst from broadcasting the
+    // small fixture side — at real scale neither fact side broadcasts,
+    // so the hinted plan IS the production plan. The query pays the
+    // bucketed write each run to stay reproducible from a cold session;
+    // in a deployment the layout is written once at ingest and
+    // amortized over every downstream join. Parallelism contract:
+    // bucket count (8), not cpu count, fixes the scan partitioning, so
+    // results and plan are cluster-size-invariant by construction.
+    "q82_bucketed_join" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.SaveMode
+      // drop catalog entries AND stale physical locations: a fresh
+      // session's in-memory catalog has forgotten the tables, but the
+      // warehouse dirs survive and CTAS refuses a non-empty location
+      Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+      }
+      T.lineitem(s, d)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .write.format("parquet").mode(SaveMode.Overwrite)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt_lineitem")
+      T.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+        .write.format("parquet").mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt_orders")
+      bucketedJoinFrame(s)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+             graft.Dets.dsumDec(
+               graft.Dets.dec($"l_extendedprice") *
+                 (lit(1) - graft.Dets.dec($"l_discount")))
+               .as("revenue"))
+        .orderBy($"o_orderpriority")
     }
   )
+
+  /** The exchange-free join subtree of q82 over the session's bucketed
+    * tables — factored out so PlanShapeSpec can assert the join plan
+    * in isolation. */
+  private[graft] def bucketedJoinFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.table("graft_bkt_lineitem").hint("merge")
+      .join(s.table("graft_bkt_orders").hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -509,6 +564,15 @@ object Extras {
         |  WHERE n > 0)
         |SELECT status, n FROM counts
         |UNION ALL SELECT status, n FROM att
-        |ORDER BY status""".stripMargin
+        |ORDER BY status""".stripMargin,
+
+    "q82_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -181,7 +181,27 @@ object StressBench {
       // d25: positional gram scan is map-only and the broadcast bench
       // semi-join filters BEFORE the shuffle — only hit positions reach
       // the keyed window; curve should track d12's
-      "d25_decontaminate_spans"
+      "d25_decontaminate_spans," +
+      // round-14: t32 rule battery — one explode into a two-stage
+      // (doc_id, w) count agg, rules fold map-side: linear like t14's.
+      // t33 — one (source, long) partial-agg pass, O(k) after: linear
+      // scan cost, flat report
+      "t32_quality_rules,t33_mixture_temperature," +
+      // d26: directional new×old banding — both snapshots derive from
+      // documents, so candidates grow linearly (suffix-scaled copies
+      // don't band-collide across copies); the md5 layer is one
+      // (hash, min-id) equi-join — curve should track d02's shape at
+      // lower constant (new side is ~1/4 of the corpus)
+      "d26_snapshot_dedup," +
+      // q82: the bucketed write is the bill (two linear passes through
+      // the scaled facts); the join itself stays exchange-free at
+      // every K — the curve prices layout amortization honestly
+      "q82_bucketed_join," +
+      // m10: map-only decode+edge-scan like m02/m05 (docs scale, the
+      // codec kernel is the cost) — linear in docs.
+      // s21: embeddings stay 1× — projection map-only, candidate scan
+      // NQ-sampled like s14/s16: flat
+      "m10_border_detect,s21_rp_recall"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

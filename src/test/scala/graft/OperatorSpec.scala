@@ -1880,4 +1880,51 @@ class OperatorSpec extends SparkSpec {
       assert(j.exists(_ >= 0.5) && m.nonEmpty, s"$id")
     }
   }
+
+  test("m10: detected margins and content box equal the planted geometry for every image") {
+    val out = datapipe.Multimodal.queries("m10_border_detect")(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int, Long, Long, Double)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, t, b, l, r, cw, ch, bpx, csum, frac) =>
+      val (et, eb, el, er, ecw, ech) =
+        datapipe.Multimodal.ImageCodec.borderGeom(id)
+      assert((t, b, l, r) === ((et, eb, el, er)), s"id=$id margins")
+      assert((cw, ch) === ((ecw, ech)) && w === el + ecw + er &&
+             h === et + ech + eb, s"id=$id box")
+      val expSum = (for (y <- 0 until ech; x <- 0 until ecw)
+        yield datapipe.Multimodal.ImageCodec.contentPixel(id, x, y).toLong).sum
+      assert(csum === expSum && bpx === w.toLong * h - cw.toLong * ch,
+        s"id=$id content")
+      assert(frac === cw.toDouble * ch / (w * h), s"id=$id frac")
+    }
+    // every side must hit zero AND non-zero margins across the corpus —
+    // otherwise the edge scans are only half-exercised
+    Seq[((Long, Int, Int, Int, Int, Int, Int, Int, Int, Long, Long, Double))
+        => Int](_._4, _._5, _._6, _._7).foreach { f =>
+      assert(out.exists(f(_) == 0) && out.exists(f(_) > 0),
+        "a margin side never varies — detector half-exercised")
+    }
+  }
+
+  test("s21: reduced-space recall is lossy but real, and monotone in candidate depth") {
+    val out = datapipe.Similarity.queries("s21_rp_recall")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val t30 = out("rp16_top30"); val t100 = out("rp16_top100")
+    assert(t30._2 === 32L && t100._2 === 32L)
+    assert(t30._3 === t100._3, "truth set differs between depths")
+    assert(t30._4 <= t100._4, "hits not monotone in candidate depth")
+    assert(t30._5 === 32L * 30 && t100._5 === 32L * 100)
+    // the projection must carry signal (recall > chance) yet the eval
+    // must measure LOSS (recall < 1) — both ends non-vacuous
+    assert(t100._6 > 0.2 && t100._6 < 1.0, s"recall@100 ${t100._6}")
+    assert(t30._6 > 0.0 && t30._6 <= t100._6)
+    // the sign matrix is a frozen constant: 16×64 Rademacher rows
+    val sg = datapipe.Similarity.RP_SIGNS
+    assert(sg.length === 16 && sg.forall(_.length === 64))
+    assert(sg.flatten.forall(v => v == 1L || v == -1L))
+    val ones = sg.flatten.count(_ == 1L)
+    assert(ones > 400 && ones < 624, s"sign matrix degenerate: $ones/1024")
+  }
 }

@@ -38,6 +38,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
   }
 
+  test("q82: bucketed fact-fact join carries NO exchange below the sort-merge join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // building the plan also materializes the bucketed layout
+    val tree = planTree("q82_bucketed_join")
+    val smj = tree.collect { case j: SortMergeJoinExec => j }
+    assert(smj.size === 1, "bucketed join did not plan as sort-merge:\n" +
+      tree.toString.take(600))
+    assert(smj.head.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      "exchange below the co-located join — bucketing not engaged:\n" +
+        smj.head.toString.take(600))
+    assert(smj.head.toString.contains("SelectedBucketsCount"),
+      "scan is not bucket-aware:\n" + smj.head.toString.take(600))
+    // above the join: exactly the post-join aggregate + output sort
+    val above = tree.collect { case e: ShuffleExchangeLike => e }
+    assert(above.size === 2,
+      s"expected agg + sort exchanges only, found ${above.size}")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_"), "no partial aggregation in:\n" + p.take(800))
