@@ -171,6 +171,58 @@ object Multimodal {
       s
     }
 
+    /** m11 pyramid-fixture dims — larger than [[dims]] so two box-
+      * downsample levels stay non-trivial (L0 16..22 × 12..16,
+      * L1 8..11 × 6..8, L2 4..5 × 3..4). */
+    def pyrDims(id: Long): (Int, Int) =
+      ((16 + id % 7).toInt, (12 + id % 5).toInt)
+
+    /** Synthesize + PNG-encode the pyramid fixture image (same pixel
+      * formula as [[synthPng]], [[pyrDims]] geometry). */
+    def synthPyrPng(id: Long): Array[Byte] = {
+      val (w, h) = pyrDims(id)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pixel(id, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** 2×2 box-filter downsample on REAL decoded pixels: out(x, y) =
+      * floor-average of the 2×2 input block, out dims = floor(in/2) —
+      * an odd trailing row/column is cropped so every output pixel
+      * averages a FULL block and the integer semantics stay exact for
+      * the oracle. Unlike [[halveNN]] (point sampling) this is the
+      * anti-aliased resize a training-data pipeline actually ships.
+      */
+    def boxHalve(img: BufferedImage): BufferedImage = {
+      val w = img.getWidth / 2
+      val h = img.getHeight / 2
+      require(w > 0 && h > 0, s"boxHalve below 2x2: ${img.getWidth}x${img.getHeight}")
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((img.getRGB(2 * x, 2 * y) & 0xff) +
+                   (img.getRGB(2 * x + 1, 2 * y) & 0xff) +
+                   (img.getRGB(2 * x, 2 * y + 1) & 0xff) +
+                   (img.getRGB(2 * x + 1, 2 * y + 1) & 0xff)) / 4
+          out.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Planted-border geometry for an asset id (letterbox fixture):
       * content cw×ch framed by black margins of per-side thickness
       * derived from the id — every combination of zero and non-zero
@@ -249,6 +301,12 @@ object Multimodal {
   final case class BorderFeatures(asset_id: Long, width: Int, height: Int,
       top: Int, bottom: Int, left: Int, right: Int, content_w: Int,
       content_h: Int, border_px: Long, content_sum: Long)
+
+  /** m11's report row: dims + gray sum at each pyramid level. */
+  final case class PyramidFeatures(asset_id: Long,
+      width0: Int, height0: Int, sum0: Long,
+      width1: Int, height1: Int, sum1: Long,
+      width2: Int, height2: Int, sum2: Long)
 
   /** Decoded-waveform feature row ([[PcmCodec]] path): all-integer
     * features so the oracle is exact.
@@ -766,6 +824,32 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Mipmap/pyramid build — the multi-resolution preprocessing a vision
+    // training pipeline runs at ingest (thumbnails for dedup, low-res
+    // levels for curriculum / progressive training): two 2×2 box-filter
+    // downsample levels through the REAL PNG codec, each level's dims +
+    // gray sum reported. The box filter is floor-average with odd-edge
+    // crop, so every value is exact integer arithmetic the oracle
+    // recomputes from the planted pixel formula — a one-pixel shift or
+    // an off-by-one crop at EITHER level changes a sum and fails the
+    // hash. Scale shape: map-only decode+pool like m02–m10; payloads
+    // never shuffle, ~56 B/image of level stats move to the final sort.
+    "m11_image_pyramid" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val l0 = ImageCodec.decode(ImageCodec.synthPyrPng(id))
+          val l1 = ImageCodec.boxHalve(l0)
+          val l2 = ImageCodec.boxHalve(l1)
+          PyramidFeatures(id,
+            l0.getWidth, l0.getHeight, ImageCodec.graySum(l0),
+            l1.getWidth, l1.getHeight, ImageCodec.graySum(l1),
+            l2.getWidth, l2.getHeight, ImageCodec.graySum(l2))
+        })
+        .toDF()
+        .orderBy($"asset_id")
+    },
+
     // Perceptual image dedup — bucket on the aHash of REAL decoded
     // pixels ((width, height, ahash) group key), report groups with
     // >1 member and their canonical (min) id. Planted byte-identical
@@ -1059,6 +1143,50 @@ object Multimodal {
         |    ((p.lft + p.cw + p.rgt) * (p.top + p.ch + p.bottom))
         |    AS content_frac
         |FROM p JOIN cs USING (asset_id)
+        |ORDER BY p.asset_id""".stripMargin,
+
+    // m11: the oracle recomputes both pooled levels from the planted
+    // pixel formula — L1 cells as floor-averaged 2×2 blocks of the
+    // formula, L2 as floor-averaged 2×2 blocks of L1 (crop bounds
+    // mirrored exactly), so any resize defect at either level diverges.
+    "m11_image_pyramid" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(16 + doc_id % 7 AS INT) AS w0,
+        |    CAST(12 + doc_id % 5 AS INT) AS h0
+        |  FROM documents),
+        |l1 AS (
+        |  SELECT p.asset_id, p.w0, p.h0, xs.x, ys.y,
+        |    (( (2*xs.x*7     + 2*ys.y*13     + p.asset_id) % 256
+        |     + ((2*xs.x+1)*7 + 2*ys.y*13     + p.asset_id) % 256
+        |     + (2*xs.x*7     + (2*ys.y+1)*13 + p.asset_id) % 256
+        |     + ((2*xs.x+1)*7 + (2*ys.y+1)*13 + p.asset_id) % 256) // 4) AS v
+        |  FROM p, range(0, 11) xs(x), range(0, 8) ys(y)
+        |  WHERE xs.x < p.w0 // 2 AND ys.y < p.h0 // 2),
+        |s0 AS (
+        |  SELECT p.asset_id,
+        |    CAST(SUM((xs.x*7 + ys.y*13 + p.asset_id) % 256) AS BIGINT) AS sum0
+        |  FROM p, range(0, 22) xs(x), range(0, 16) ys(y)
+        |  WHERE xs.x < p.w0 AND ys.y < p.h0
+        |  GROUP BY 1),
+        |s1 AS (
+        |  SELECT asset_id, CAST(SUM(v) AS BIGINT) AS sum1 FROM l1 GROUP BY 1),
+        |l2 AS (
+        |  SELECT asset_id, x // 2 AS x2, y // 2 AS y2,
+        |    CAST(SUM(v) // 4 AS BIGINT) AS v
+        |  FROM l1
+        |  WHERE x < 2 * ((w0 // 2) // 2) AND y < 2 * ((h0 // 2) // 2)
+        |  GROUP BY 1, 2, 3),
+        |s2 AS (
+        |  SELECT asset_id, CAST(SUM(v) AS BIGINT) AS sum2 FROM l2 GROUP BY 1)
+        |SELECT p.asset_id,
+        |  p.w0 AS width0, p.h0 AS height0, s0.sum0,
+        |  CAST(p.w0 // 2 AS INT) AS width1,
+        |  CAST(p.h0 // 2 AS INT) AS height1, s1.sum1,
+        |  CAST(p.w0 // 2 // 2 AS INT) AS width2,
+        |  CAST(p.h0 // 2 // 2 AS INT) AS height2, s2.sum2
+        |FROM p JOIN s0 USING (asset_id) JOIN s1 USING (asset_id)
+        |  JOIN s2 USING (asset_id)
         |ORDER BY p.asset_id""".stripMargin,
 
     // m08's scene formula mirror: pixel(x, y, f) = (7x + 13y +

@@ -811,6 +811,51 @@ object Similarity {
       report(30).unionByName(report(100)).orderBy($"method")
     },
 
+    // KNN LABEL EVAL — the supervised readout of the similarity stack:
+    // embeddings carry labels, so "do near neighbors share the query's
+    // label" is measurable end-to-end (the leave-one-out kNN-classifier
+    // accuracy every embedding-quality dashboard reports). One NQ-sampled
+    // exact int-L2 top-10 pass (the s01/s16 truth shape: queries
+    // broadcast, corpus scanned once, per-partition heaps) feeds all
+    // three k's; the majority vote (ties to the smaller label) is a
+    // keyed aggregate + keyed window over NQ×10 rows — control-frame
+    // sized, never corpus-sized. Scale shape: linear in corpus rows at
+    // fixed NQ, like s14/s16.
+    "s22_knn_label_eval" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val qs = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+                $"label".as("q_label"))
+        .localCheckpoint() // NQ rows; the shared eval sample frame
+      val w = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      val top10 = emb.select($"vec_id", $"label", roundFx("embedding").as("lv"))
+        .join(broadcast(qs.select($"q_id", roundFx("q_emb").as("lq"))),
+              $"vec_id" =!= $"q_id")
+        .withColumn("d2", graft.functions.IntL2.int_l2($"lv", $"lq"))
+        .select($"q_id", $"vec_id", $"label", $"d2")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .localCheckpoint() // NQ×10 rows; brute force runs ONCE for all k
+      def acc(k: Int): DataFrame = {
+        val wV = Window.partitionBy($"q_id").orderBy($"votes".desc, $"label")
+        val pred = top10.filter($"rn" <= k)
+          .groupBy($"q_id", $"label").agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wV))
+          .filter($"vr" === 1)
+          .select($"q_id", $"label".as("pred"))
+        pred.join(broadcast(qs.select($"q_id", $"q_label")), Seq("q_id"))
+          .agg(count(lit(1)).as("n_q"),
+               sum(when($"pred" === $"q_label", 1L).otherwise(0L)).as("hits"))
+          .select(lit(s"knn_k$k").as("method"), $"n_q", $"hits",
+            ($"hits" / $"n_q".cast("double")).as("accuracy"))
+      }
+      acc(1).unionByName(acc(5)).unionByName(acc(10)).orderBy($"method")
+    },
+
     // INDEX LOAD PROFILE — the serving-ops report next to the recall
     // evals (s14/s15/s16 ask "does the index find things"; s17 asks
     // "what does a probe COST, and how unevenly"): for each candidate
@@ -1828,6 +1873,38 @@ object Similarity {
          |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
          |FROM u ORDER BY method""".stripMargin
     },
+
+    "s22_knn_label_eval" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |  FROM e $sampleOrderSql),
+         |top10 AS (
+         |  SELECT q_id, vec_id, label, rn FROM (
+         |    SELECT q.q_id, e.vec_id, e.label,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${intL2Sql("e.embedding", "q.q_emb")}, e.vec_id) AS rn
+         |    FROM e, q WHERE e.vec_id <> q.q_id) z
+         |  WHERE rn <= 10),
+         |pred AS (
+         |  SELECT k, q_id, label AS pred FROM (
+         |    SELECT ks.k, t.q_id, t.label, COUNT(*) AS votes,
+         |      row_number() OVER (PARTITION BY ks.k, t.q_id
+         |        ORDER BY COUNT(*) DESC, t.label) AS vr
+         |    FROM top10 t, (VALUES (1), (5), (10)) ks(k)
+         |    WHERE t.rn <= ks.k
+         |    GROUP BY ks.k, t.q_id, t.label) z
+         |  WHERE vr = 1)
+         |SELECT 'knn_k' || CAST(p.k AS VARCHAR) AS method,
+         |  COUNT(*) AS n_q,
+         |  CAST(SUM(CASE WHEN p.pred = q.q_label THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS hits,
+         |  SUM(CASE WHEN p.pred = q.q_label THEN 1 ELSE 0 END)
+         |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM pred p JOIN q USING (q_id)
+         |GROUP BY p.k ORDER BY method""".stripMargin,
 
     "s17_index_load_profile" ->
       s"""WITH e AS (

@@ -329,6 +329,50 @@ object Extras {
                  (lit(1) - graft.Dets.dec($"l_discount")))
                .as("revenue"))
         .orderBy($"o_orderpriority")
+    },
+
+    // STATIC PARTITION PRUNING — the other half of the ingest-layout
+    // story (q82 co-locates the join; q83 makes the SCAN pay only for
+    // the slice it needs): events land partitioned by
+    // (event_type, event_date), so a "clicks in this week" query
+    // resolves both predicates against directory METADATA — 7 of
+    // ~150 partitions are listed, zero bytes of the rest are read, and
+    // no row-level filter survives into the scan (PlanShapeSpec pins
+    // partitionFilters non-empty and dataFilters EMPTY). At 100 TB this
+    // is the difference between a full-corpus scan and reading one
+    // day-slice; the layout is the same one every log pipeline writes.
+    "q83_partition_pruned_scan" -> { (s, d) =>
+      import s.implicits._
+      val ev = s.read.parquet(partitionedEventsLayout(s, d))
+      prunedClickWeek(ev)
+        .groupBy($"event_date")
+        .agg(count(lit(1)).as("n_events"),
+             graft.Dets.dsumDec(graft.Dets.dec($"value")).as("total_value"))
+        .orderBy($"event_date")
+    },
+
+    // DYNAMIC PARTITION PRUNING (runtime filter) — the partition values
+    // worth reading are only known AT RUNTIME: the "hot days" are the
+    // top-3 days by error count, discovered by a subquery over the same
+    // layout. Catalyst inserts a DynamicPruningExpression into the fact
+    // scan's partition filters (pinned in PlanShapeSpec): the broadcast
+    // of the 3-row dim side is REUSED as a runtime partition filter, so
+    // the click scan lists and reads only those 3 days' directories —
+    // the star-schema pattern ("facts for the dim rows that survived a
+    // selective filter") that static pruning can never express. At
+    // 100 TB the fact side never materializes outside the hot slice.
+    "q84_runtime_filtered_scan" -> { (s, d) =>
+      import s.implicits._
+      val ev = s.read.parquet(partitionedEventsLayout(s, d))
+      val hot = ev.filter($"event_type" === "error")
+        .groupBy($"event_date").agg(count(lit(1)).as("n_err"))
+        .orderBy($"n_err".desc, $"event_date").limit(3)
+      ev.filter($"event_type" === "click")
+        .join(broadcast(hot), Seq("event_date"))
+        .groupBy($"event_date", $"n_err")
+        .agg(count(lit(1)).as("n_clicks"),
+             graft.Dets.dsumDec(graft.Dets.dec($"value")).as("click_value"))
+        .orderBy($"event_date")
     }
   )
 
@@ -340,6 +384,44 @@ object Extras {
     s.table("graft_bkt_lineitem").hint("merge")
       .join(s.table("graft_bkt_orders").hint("merge"),
         $"l_orderkey" === $"o_orderkey")
+  }
+
+  /** q83's pruned scan subtree — factored out so PlanShapeSpec can
+    * inspect the scan node's partition/data filter split in isolation. */
+  private[graft] def prunedClickWeek(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.filter($"event_type" === "click" &&
+        $"event_date".between(lit("2024-01-10").cast("date"),
+                              lit("2024-01-16").cast("date")))
+  }
+
+  /** Write-once-per-JVM (event_type, event_date)-partitioned copy of the
+    * events table under the session warehouse — the ingest-time layout
+    * q83/q84 scan. The first caller in a JVM pays the write (overwriting
+    * any stale dir from a previous process); subsequent queries reuse it,
+    * which is exactly the production amortization: the layout is written
+    * once at ingest and every downstream query prunes against it. The
+    * dir name carries a digest of the source sf dir so different scale
+    * factors in one JVM (StressBench) get disjoint layouts. */
+  private val partLayoutsWritten = scala.collection.mutable.Set[String]()
+  private[graft] def partitionedEventsLayout(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val dir = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/graft_part_events_$tag"
+    partLayoutsWritten.synchronized {
+      if (!partLayoutsWritten.contains(dir)) {
+        T.events(s, d)
+          .select($"event_id", $"user_id", $"value", $"ts",
+            to_date($"ts").as("event_date"), $"event_type")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("event_type", "event_date")
+          .parquet(dir)
+        partLayoutsWritten += dir
+      }
+    }
+    dir
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -573,6 +655,31 @@ object Extras {
         |    AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // q83: the oracle scans the RAW events table with the same
+    // predicates — the partitioned layout must be a pure re-arrangement
+    // (any row lost or duplicated by the write/prune path fails the hash)
+    "q83_partition_pruned_scan" ->
+      """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_runtime_filtered_scan" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, event_type, value
+        |  FROM events),
+        |hot AS (
+        |  SELECT event_date, COUNT(*) AS n_err FROM ev
+        |  WHERE event_type = 'error'
+        |  GROUP BY 1 ORDER BY n_err DESC, event_date LIMIT 3)
+        |SELECT e.event_date, h.n_err, COUNT(*) AS n_clicks,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
+        |FROM ev e JOIN hot h USING (event_date)
+        |WHERE e.event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 }

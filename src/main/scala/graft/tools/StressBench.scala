@@ -201,7 +201,17 @@ object StressBench {
       // codec kernel is the cost) — linear in docs.
       // s21: embeddings stay 1× — projection map-only, candidate scan
       // NQ-sampled like s14/s16: flat
-      "m10_border_detect,s21_rp_recall"
+      "m10_border_detect,s21_rp_recall," +
+      // q83/q84: the partitioned layout write is linear in events and
+      // paid ONCE per JVM (first of the two queries bills it); the
+      // pruned scans read a fixed day-slice — q84's fact read is bounded
+      // by the 3 hot days at every K, so past the write the curve is
+      // the layout story itself
+      "q83_partition_pruned_scan,q84_runtime_filtered_scan," +
+      // s22: one NQ-sampled brute-force top-10 pass (s14/s16 shape) +
+      // control-frame vote aggregates: linear in corpus, flat-ish report.
+      // m11: map-only decode+pool like m02/m10 — linear in docs
+      "s22_knn_label_eval,m11_image_pyramid"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

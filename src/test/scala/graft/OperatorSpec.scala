@@ -1927,4 +1927,44 @@ class OperatorSpec extends SparkSpec {
     val ones = sg.flatten.count(_ == 1L)
     assert(ones > 400 && ones < 624, s"sign matrix degenerate: $ones/1024")
   }
+
+  test("m11: every pyramid level matches the exact floor-average recompute") {
+    val out = datapipe.Multimodal.queries("m11_image_pyramid")(spark, sf)
+      .as[(Long, Int, Int, Long, Int, Int, Long, Int, Int, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w0, h0, s0, w1, h1, s1, w2, h2, s2) =>
+      val (ew, eh) = datapipe.Multimodal.ImageCodec.pyrDims(id)
+      assert((w0, h0) === ((ew, eh)), s"id=$id L0 dims")
+      assert((w1, h1) === ((ew / 2, eh / 2)) &&
+             (w2, h2) === ((ew / 2 / 2, eh / 2 / 2)), s"id=$id pooled dims")
+      def px(x: Int, y: Int) = datapipe.Multimodal.ImageCodec.pixel(id, x, y)
+      val v1 = Array.tabulate(w1, h1)((x, y) =>
+        (px(2 * x, 2 * y) + px(2 * x + 1, 2 * y) +
+         px(2 * x, 2 * y + 1) + px(2 * x + 1, 2 * y + 1)) / 4)
+      val v2 = Array.tabulate(w2, h2)((x, y) =>
+        (v1(2 * x)(2 * y) + v1(2 * x + 1)(2 * y) +
+         v1(2 * x)(2 * y + 1) + v1(2 * x + 1)(2 * y + 1)) / 4)
+      val e0 = (for (y <- 0 until h0; x <- 0 until w0) yield px(x, y).toLong).sum
+      assert(s0 === e0 && s1 === v1.flatten.map(_.toLong).sum &&
+             s2 === v2.flatten.map(_.toLong).sum, s"id=$id sums")
+    }
+  }
+
+  test("s22: one prediction per (k, query); accuracy is hits over the fixed sample") {
+    val out = datapipe.Similarity.queries("s22_knn_label_eval")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq("knn_k1", "knn_k10", "knn_k5"))
+    out.foreach { case (m, nq, hits, acc) =>
+      assert(nq === 32L, s"$m n_q")
+      assert(hits >= 0L && hits <= nq, s"$m hits=$hits")
+      assert(acc === hits.toDouble / nq, s"$m accuracy inconsistent")
+    }
+  }
+
+  test("q84: the runtime filter admits exactly the top-3 error days") {
+    val out = operators.Extras.queries("q84_runtime_filtered_scan")(spark, sf)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    assert(out.length === 3, s"expected 3 hot days, got ${out.length}")
+    assert(out.map(_._2).forall(_ > 0L) && out.map(_._3).forall(_ > 0L))
+  }
 }

@@ -57,6 +57,30 @@ class PlanShapeSpec extends SparkSpec {
       s"expected agg + sort exchanges only, found ${above.size}")
   }
 
+  test("q83: both predicates resolve as partition filters — no row-level filter survives") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // building the frame also writes the partitioned layout
+    val ev = spark.read.parquet(
+      operators.Extras.partitionedEventsLayout(spark, sf))
+    val tree = operators.Extras.prunedClickWeek(ev)
+      .queryExecution.executedPlan
+    val scans = tree.collect { case sc: FileSourceScanExec => sc }
+    assert(scans.size === 1, tree.toString.take(400))
+    val sc = scans.head
+    val pf = sc.partitionFilters.map(_.sql).mkString(";")
+    assert(pf.contains("event_type") && pf.contains("event_date"),
+      s"predicates not pruned at partition level: $pf")
+    assert(sc.dataFilters.isEmpty,
+      "row-level filter survived a metadata-resolvable predicate: " +
+        sc.dataFilters.map(_.sql).mkString(";"))
+  }
+
+  test("q84: fact scan carries a DynamicPruningExpression (runtime partition filter)") {
+    val p = plan("q84_runtime_filtered_scan")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no runtime partition filter in the fact scan:\n" + p.take(1200))
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_"), "no partial aggregation in:\n" + p.take(800))
