@@ -1276,6 +1276,55 @@ object Dedup {
           when($"exact_match".isNotNull, lit(1.0))
             .otherwise($"jaccard").as("jaccard"))
         .orderBy($"doc_id")
+    },
+
+    // PREFIX DEDUP — template re-render detection (the RefinedWeb/CCNet
+    // failure mode MinHash under-weights: a crawler re-fetches the same
+    // page head with a fresh tail — boilerplate heads, rotated footers,
+    // appended comments — so global-shingle Jaccard dilutes as the tail
+    // grows while the PREFIX match stays perfect). Block on the exact
+    // first-8-token key (one narrow shuffle; production hashes this key,
+    // the fixture keeps it readable), take the min-id doc per block as
+    // canonical, and verify every other member with the EXACT
+    // longest-common-prefix against the canonical — dup iff the LCP
+    // covers max(8, half its tokens), so a shared 8-gram head alone
+    // cannot convict a mostly-different doc. Planted variants (%7=3,
+    // +1e7: head kept to max(8, ceil(n/2)) tokens + 12 filler) convict
+    // exactly when the kept head covers half the variant (source ≥ 23
+    // tokens) — both convicted and acquitted cases occur, and natural
+    // exact-dup families surface with full-length LCPs. Scale shape:
+    // blocked pair generation like d02 (never all-pairs); the LCP verify
+    // is per-pair linear in tokens within collision buckets only.
+    "d27_prefix_dedup" -> { (s, d) =>
+      import s.implicits._
+      val base = T.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .filter(size($"ws") >= 8)
+      val variants = base.filter($"doc_id" % 7 === 3)
+        .select(($"doc_id" + 10000000L).as("doc_id"),
+          expr("concat(slice(ws, 1, greatest(8, CAST(ceil(size(ws) / 2.0) AS INT))), " +
+               "transform(sequence(1, 12), i -> concat('zzre', CAST(i AS STRING))))")
+            .as("ws"))
+      val keyed = base.unionByName(variants)
+        .withColumn("pkey", expr("array_join(slice(ws, 1, 8), ' ')"))
+      // canonical per block in ONE aggregate (min_by rides along with
+      // the min — no rep self-join, and it partial-aggregates map-side)
+      val repWs = keyed.groupBy($"pkey")
+        .agg(min($"doc_id").as("rep_id"), expr("min_by(ws, doc_id)").as("rep_ws"))
+      keyed.join(repWs, Seq("pkey"))
+        .filter($"doc_id" =!= $"rep_id")
+        // array_position yields 0 (not NULL) when no mismatch exists —
+        // equal-length identical docs must fall through to the full
+        // length via nullif (unequal-length prefixes already hit the
+        // zip_with null padding, which <=> counts as a mismatch)
+        .withColumn("lcp", coalesce(
+          expr("nullif(array_position(" +
+               "zip_with(ws, rep_ws, (a, b) -> a <=> b), false), 0)") - 1,
+          least(size($"ws"), size($"rep_ws")).cast("long")))
+        .filter($"lcp" >= greatest(lit(8L),
+          expr("CAST(ceil(size(ws) / 2.0) AS BIGINT)")))
+        .select($"rep_id", $"doc_id", $"lcp", size($"ws").as("n_tokens"))
+        .orderBy($"rep_id", $"doc_id")
     }
   )
 
@@ -1752,7 +1801,45 @@ object Dedup {
          |       ELSE b.jaccard END AS jaccard
          |FROM nw n LEFT JOIN exact e ON n.doc_id = e.doc_id
          |          LEFT JOIN best b ON n.doc_id = b.doc_id
-         |ORDER BY n.doc_id""".stripMargin
+         |ORDER BY n.doc_id""".stripMargin,
+
+    // d27: the oracle rebuilds the planted variants, blocks on the same
+    // literal 8-token prefix, and recomputes the exact LCP with an
+    // index transform (truncation to the shorter list made explicit) —
+    // the Spark zip_with pads the shorter side with nulls, which the
+    // null-safe equality turns into the same first-mismatch position.
+    "d27_prefix_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |var AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    list_concat(
+        |      ws[1:GREATEST(8, CAST(ceil(len(ws) / 2.0) AS INT))],
+        |      list_transform(range(1, 13),
+        |        i -> 'zzre' || CAST(i AS VARCHAR))) AS ws
+        |  FROM base WHERE doc_id % 7 = 3),
+        |keyed AS (
+        |  SELECT doc_id, ws, array_to_string(ws[1:8], ' ') AS pkey
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM var)),
+        |reps AS (SELECT pkey, MIN(doc_id) AS rep_id FROM keyed GROUP BY 1),
+        |repws AS (
+        |  SELECT r.pkey, r.rep_id, k.ws AS rep_ws
+        |  FROM reps r JOIN keyed k ON k.doc_id = r.rep_id AND k.pkey = r.pkey)
+        |SELECT rep_id, doc_id,
+        |  -- DuckDB list_position yields 0 (not NULL) on no-match, so an
+        |  -- all-equal prefix must fall through via nullif, mirroring
+        |  -- Spark's NULL-on-absent array_position
+        |  CAST(coalesce(
+        |    nullif(list_position(list_transform(
+        |      range(1, least(len(ws), len(rep_ws)) + 1),
+        |      i -> ws[CAST(i AS INT)] = rep_ws[CAST(i AS INT)]), false), 0) - 1,
+        |    least(len(ws), len(rep_ws))) AS BIGINT) AS lcp,
+        |  CAST(len(ws) AS INT) AS n_tokens
+        |FROM keyed k JOIN repws w USING (pkey)
+        |WHERE k.doc_id <> w.rep_id
+        |  AND lcp >= GREATEST(8, CAST(ceil(len(ws) / 2.0) AS BIGINT))
+        |ORDER BY rep_id, doc_id""".stripMargin
   )
 
   /** `rounds` unrolled min-label-propagation rounds over CTEs

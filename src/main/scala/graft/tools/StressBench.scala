@@ -211,7 +211,11 @@ object StressBench {
       // s22: one NQ-sampled brute-force top-10 pass (s14/s16 shape) +
       // control-frame vote aggregates: linear in corpus, flat-ish report.
       // m11: map-only decode+pool like m02/m10 — linear in docs
-      "s22_knn_label_eval,m11_image_pyramid"
+      "s22_knn_label_eval,m11_image_pyramid," +
+      // d27: one narrow shuffle on the 8-token prefix key; LCP verify
+      // only inside collision buckets — curve should track d01's
+      // hash-groupBy shape, not a pair-join's
+      "d27_prefix_dedup"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1961,6 +1961,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d27: planted template re-renders convict iff the kept head covers half the variant") {
+    val out = datapipe.Dedup.queries("d27_prefix_dedup")(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    val dupIds = out.map(_._2).toSet
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .as[(Long, Int)].collect()
+    var convicted = 0; var acquitted = 0
+    toks.filter { case (id, n) => id % 7 == 3 && n >= 8 }.foreach {
+      case (id, n) =>
+        val p = math.max(8, (n + 1) / 2) // kept head
+        val m = p + 12                   // variant length
+        val convicts = p >= math.max(8, (m + 1) / 2)
+        assert(dupIds.contains(id + 10000000L) === convicts,
+          s"src=$id n=$n p=$p")
+        if (convicts) convicted += 1 else acquitted += 1
+    }
+    assert(convicted > 0 && acquitted > 0,
+      s"one-sided fixture: $convicted convicted, $acquitted acquitted")
+    // every reported LCP at least covers the blocking prefix
+    assert(out.forall(_._3 >= 8L))
+  }
+
   test("q84: the runtime filter admits exactly the top-3 error days") {
     val out = operators.Extras.queries("q84_runtime_filtered_scan")(spark, sf)
       .as[(java.sql.Date, Long, Long, Double)].collect()

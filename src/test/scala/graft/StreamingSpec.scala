@@ -378,4 +378,58 @@ class StreamingSpec extends SparkSpec {
     assert(diverged.isEmpty)
     assert(dec.select($"vec_id").distinct().count() === rows.length)
   }
+
+  test("streamed perceptual asset dedup (persistent hash store) equals m05's batch report") {
+    val root = java.nio.file.Files.createTempDirectory("graft_m05s")
+    val inDir = root.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    // m05's corpus (base + %11 byte-identical copies at +10000), staged
+    // as three ascending-id files so arrival order = id order (first-
+    // seen-wins = min-id canonical) and the planted copies land in a
+    // LATER batch than their sources — cross-batch store state is the
+    // thing under test
+    val base = datapipe.Multimodal.imageAssets(spark, sf)
+    val corpus = base.union(
+      base.filter(_._1 % 11 == 0).map { case (id, p) => (id + 10000L, p) })
+      .toDF("asset_id", "payload")
+    val rows = corpus.orderBy($"asset_id").collect()
+    val third = (rows.length + 2) / 3
+    rows.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = root.resolve(s"tmp$i")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toSeq, 1), corpus.schema)
+        .write.parquet(tmp.toString)
+      val part = {
+        val st = java.nio.file.Files.list(tmp)
+        try st.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally st.close()
+      }
+      val dst = inDir.resolve(f"chunk$i%03d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(60000L * (i + 1))
+    }
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val q = datapipe.Multimodal.assetDedupStream(stream,
+      s"$root/store", s"$root/decisions", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val decisions = spark.read.parquet(s"$root/decisions")
+    assert(decisions.select($"batch_id").distinct().count() === 3)
+    // at least one duplicate must be decided in a LATER batch than its
+    // canonical's unique decision — otherwise the store never carried
+    // state across a trigger and the test is vacuous
+    val later = decisions.as("d").filter($"d.status" === "duplicate")
+      .join(decisions.as("u").filter($"u.status" === "unique"),
+        $"d.canonical_id" === $"u.asset_id" && $"d.batch_id" > $"u.batch_id")
+    assert(later.count() > 0, "no cross-batch duplicate — state not exercised")
+    val streamed = decisions
+      .groupBy($"canonical_id", $"width", $"height", $"ahash")
+      .agg(count(lit(1)).as("n_copies"))
+      .filter($"n_copies" > 1)
+      .select($"canonical_id", $"width", $"height", $"ahash", $"n_copies")
+      .as[(Long, Int, Int, Long, Long)].collect().toSet
+    val batch = datapipe.Multimodal.queries("m05_image_phash_dedup")(spark, sf)
+      .as[(Long, Int, Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }
