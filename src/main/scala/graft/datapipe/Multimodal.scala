@@ -348,6 +348,21 @@ object Multimodal {
       Array.tabulate(sb.limit())(sb.get(_).toInt)
     }
 
+    /** 2:1 decimation on REAL decoded samples: out(i) = floor-average of
+      * the adjacent input pair via arithmetic shift ((a+b) >> 1 floors
+      * for ANY sign — plain /2 truncates toward zero on negatives and
+      * would diverge from the oracle's floor()). Corpus sample counts
+      * are even, so pairs partition exactly. The m11 box filter's audio
+      * sibling: the anti-aliased sample-rate halving a speech pipeline
+      * runs before feature extraction.
+      */
+    def decimate2(v: Array[Int]): Array[Int] = {
+      val out = new Array[Int](v.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = (v(2 * i) + v(2 * i + 1)) >> 1; i += 1 }
+      out
+    }
+
     def features(id: Long, payload: Array[Byte]): AudioFeatures = {
       val v = decode(payload)
       var peak = 0; var zc = 0; var energy = 0L
@@ -913,6 +928,33 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Audio sample-rate halving — m11's audio sibling (the resample a
+    // speech pipeline runs before feature extraction): 2:1 floor-average
+    // decimation on REAL decoded PCM, with integer summaries of the
+    // decimated waveform — peak, Σ|v|, and a position-weighted checksum
+    // (Σ v_i·((i mod 7)+1)) that pins every output sample's VALUE AND
+    // POSITION, so an off-by-one in the pair alignment fails the hash.
+    // Map-only decode+decimate like m03/m06/m09; ~44 B/track shuffles.
+    "m12_audio_decimate" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val v = PcmCodec.decode(PcmCodec.synthPcm(id))
+          val o = PcmCodec.decimate2(v)
+          var peak = 0; var sa = 0L; var ws = 0L; var i = 0
+          while (i < o.length) {
+            val a = math.abs(o(i))
+            if (a > peak) peak = a
+            sa += a
+            ws += o(i).toLong * ((i % 7) + 1)
+            i += 1
+          }
+          (id, v.length, o.length, peak, sa, ws)
+        })
+        .toDF("asset_id", "n_in", "n_out", "peak", "sum_abs", "wsum")
+        .orderBy($"asset_id")
+    },
+
     // Perceptual image dedup — bucket on the aHash of REAL decoded
     // pixels ((width, height, ahash) group key), report groups with
     // >1 member and their canonical (min) id. Planted byte-identical
@@ -1251,6 +1293,28 @@ object Multimodal {
         |FROM p JOIN s0 USING (asset_id) JOIN s1 USING (asset_id)
         |  JOIN s2 USING (asset_id)
         |ORDER BY p.asset_id""".stripMargin,
+
+    // m12: the oracle recomputes every decimated sample from the PCM
+    // formula with floor((s(2i)+s(2i+1))/2) — the arithmetic-shift
+    // floor on the Spark side must equal it for negative pairs too.
+    "m12_audio_decimate" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(64 + (doc_id % 5) * 16 AS INT) AS n
+        |  FROM documents),
+        |o AS (
+        |  SELECT p.asset_id, t.i,
+        |    CAST(floor((((p.asset_id * 7 + (2 * t.i) * 13) % 201 - 100)
+        |       + ((p.asset_id * 7 + (2 * t.i + 1) * 13) % 201 - 100)) / 2.0)
+        |      AS BIGINT) AS v
+        |  FROM p, range(0, 64) t(i)
+        |  WHERE t.i < p.n // 2)
+        |SELECT p.asset_id, p.n AS n_in, CAST(p.n // 2 AS INT) AS n_out,
+        |  CAST(MAX(ABS(o.v)) AS INT) AS peak,
+        |  CAST(SUM(ABS(o.v)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(o.v * ((o.i % 7) + 1)) AS BIGINT) AS wsum
+        |FROM p JOIN o USING (asset_id)
+        |GROUP BY p.asset_id, p.n ORDER BY p.asset_id""".stripMargin,
 
     // m08's scene formula mirror: pixel(x, y, f) = (7x + 13y +
     // 97·(f//5) + id) % 256; per-transition Σ|Δ|, integer cut test.

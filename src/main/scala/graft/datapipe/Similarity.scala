@@ -856,6 +856,69 @@ object Similarity {
       acc(1).unionByName(acc(5)).unionByName(acc(10)).orderBy($"method")
     },
 
+    // MMR DIVERSITY RE-RANK — the selection step retrieval runs AFTER
+    // similarity scoring (RAG context assembly, dedup-aware curation):
+    // of each query's top-20 nearest, pick 5 by Maximal Marginal
+    // Relevance (Carbonell & Goldstein '98) so near-duplicate
+    // candidates don't crowd out coverage. At lambda = 0.5 the MMR
+    // argmax reduces to maximizing (min distance to already-picked −
+    // distance to query) — PURE INTEGER on the 1e8 fixed point, no
+    // float ever ranks; ties to the smaller vec_id. The 4 greedy
+    // rounds unroll over CONTROL frames only: the NQ×20 candidate set
+    // and its NQ×380 pairwise-distance table are checkpointed once
+    // (one corpus scan + one control-frame self-join), every round is
+    // a keyed min + keyed argmax window over those. Scale shape:
+    // linear in corpus at fixed NQ (the scan), constant after.
+    "s23_mmr_rerank" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.IntL2.int_l2
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val qs = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      val wQ = Window.partitionBy($"q_id").orderBy($"d2q", $"vec_id")
+      val cand = emb.select($"vec_id", roundFx("embedding").as("lv"))
+        .join(broadcast(qs.select($"q_id", roundFx("q_emb").as("lq"))),
+              $"vec_id" =!= $"q_id")
+        .withColumn("d2q", int_l2($"lv", $"lq"))
+        .withColumn("rn", row_number().over(wQ))
+        .filter($"rn" <= 20)
+        .select($"q_id", $"vec_id", $"d2q", $"lv")
+        .localCheckpoint() // NQ×20; the one corpus scan
+      val pair = cand.select($"q_id", $"vec_id".as("c"), $"lv".as("la"))
+        .join(cand.select($"q_id", $"vec_id".as("o"), $"lv".as("lb")),
+              Seq("q_id"))
+        .filter($"c" =!= $"o")
+        .withColumn("dc", int_l2($"la", $"lb"))
+        .select($"q_id", $"c", $"o", $"dc")
+        .localCheckpoint() // NQ×380 control frame
+      var selected = cand
+        .withColumn("rn", row_number().over(wQ)).filter($"rn" === 1)
+        .select($"q_id", $"vec_id", lit(1).as("pick"))
+        .localCheckpoint()
+      for (t <- 2 to 5) {
+        val wS = Window.partitionBy($"q_id")
+          .orderBy(($"mind" - $"d2q").desc, $"vec_id")
+        val minToSel = pair
+          .join(selected.select($"q_id", $"vec_id".as("o")), Seq("q_id", "o"))
+          .groupBy($"q_id", $"c").agg(min($"dc").as("mind"))
+          .withColumnRenamed("c", "vec_id")
+        val next = cand
+          .join(selected.select($"q_id", $"vec_id"), Seq("q_id", "vec_id"),
+                "left_anti")
+          .join(minToSel, Seq("q_id", "vec_id"))
+          .withColumn("rn", row_number().over(wS)).filter($"rn" === 1)
+          .select($"q_id", $"vec_id", lit(t).as("pick"))
+        selected = selected.unionByName(next).localCheckpoint()
+      }
+      selected.join(cand.select($"q_id", $"vec_id", $"d2q"),
+          Seq("q_id", "vec_id"))
+        .select($"q_id", $"pick", $"vec_id", $"d2q")
+        .orderBy($"q_id", $"pick")
+    },
+
     // INDEX LOAD PROFILE — the serving-ops report next to the recall
     // evals (s14/s15/s16 ask "does the index find things"; s17 asks
     // "what does a probe COST, and how unevenly"): for each candidate
@@ -1905,6 +1968,67 @@ object Similarity {
          |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
          |FROM pred p JOIN q USING (q_id)
          |GROUP BY p.k ORDER BY method""".stripMargin,
+
+    // s23: the greedy MMR rounds unroll as MATERIALIZED CTEs (each step
+    // references its predecessor more than once — inlining would blow
+    // up the chain exponentially, the d06-round lesson); lambda = 0.5
+    // reduces the argmax to integer (mind - d2q), ties to vec_id.
+    "s23_mmr_rerank" -> {
+      def step(t: Int) = {
+        val prev = s"sel${t - 1}"
+        s"""m$t AS MATERIALIZED (
+           |  SELECT p.q_id, p.c AS vec_id, MIN(p.dc) AS mind
+           |  FROM pair p JOIN $prev s ON p.q_id = s.q_id AND p.o = s.vec_id
+           |  GROUP BY 1, 2),
+           |p$t AS MATERIALIZED (
+           |  SELECT q_id, vec_id, $t AS pick FROM (
+           |    SELECT c.q_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY c.q_id
+           |        ORDER BY (m.mind - c.d2q) DESC, c.vec_id) AS rn
+           |    FROM cand c JOIN m$t m USING (q_id, vec_id)
+           |    WHERE NOT EXISTS (SELECT 1 FROM $prev s
+           |      WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)) z
+           |  WHERE rn = 1),
+           |sel$t AS MATERIALIZED (
+           |  SELECT q_id, vec_id, pick FROM $prev
+           |  UNION ALL SELECT q_id, vec_id, pick FROM p$t)""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  $sampleOrderSql),
+         |c0 AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${intL2Sql("e.embedding", "q.q_emb")} AS d2q
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |cand AS MATERIALIZED (
+         |  SELECT q_id, vec_id, d2q FROM (
+         |    SELECT q_id, vec_id, d2q, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2q, vec_id) AS rn FROM c0) z
+         |  WHERE rn <= 20),
+         |ce AS MATERIALIZED (
+         |  SELECT c.q_id, c.vec_id, e.embedding
+         |  FROM cand c JOIN e ON e.vec_id = c.vec_id),
+         |pair AS MATERIALIZED (
+         |  SELECT a.q_id, a.vec_id AS c, b.vec_id AS o,
+         |    ${intL2Sql("a.embedding", "b.embedding")} AS dc
+         |  FROM ce a JOIN ce b
+         |    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT q_id, vec_id, 1 AS pick FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY d2q, vec_id) AS rn FROM cand) z
+         |  WHERE rn = 1),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |${step(5)}
+         |SELECT s.q_id, CAST(s.pick AS INT) AS pick, s.vec_id, c.d2q
+         |FROM sel5 s JOIN cand c USING (q_id, vec_id)
+         |ORDER BY s.q_id, s.pick""".stripMargin
+    },
 
     "s17_index_load_profile" ->
       s"""WITH e AS (

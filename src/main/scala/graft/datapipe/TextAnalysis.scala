@@ -1363,6 +1363,56 @@ object TextAnalysis {
         .select($"doc_id", $"n_grams", $"n_shared",
           round($"n_shared".cast("double") / $"n_grams", 6).as("shared_frac"))
         .orderBy($"doc_id")
+    },
+
+    // SPAN-CORRUPTION PLAN — the T5/UL2 masked-span objective's data
+    // prep: which token ranges each document masks, decided by a
+    // DETERMINISTIC per-position hash (phash(doc_id:i) % 20 == 0 →
+    // ~5% span starts of length 3 → ~15% of tokens masked, the T5
+    // recipe) so the plan is reproducible across re-runs, shards, and
+    // engines — no RNG state to ship. Overlapping spans merge into
+    // exact-union islands (d25's running-max-end pass — lengths sum to
+    // coverage, no double count); per doc: merged span count, masked
+    // tokens, masked fraction, longest span, first start; docs the hash
+    // never selects report explicit zeros. Scale shape: the position
+    // explode is map-only (like d25's gram scan), only selected starts
+    // (doc_id, 2 longs) reach the keyed window, report is one keyed
+    // aggregate + broadcast-joinable back to the corpus.
+    "t34_span_corruption" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = T.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      val starts = base
+        .select($"doc_id", $"n", explode(expr("sequence(1, n)")).as("i"))
+        .filter(pmod(graft.Dets.phash(
+          concat($"doc_id".cast("string"), lit(":"), $"i".cast("string"))),
+          lit(20L)) === 0)
+        .withColumn("e", least($"i" + 2L, $"n"))
+      val w = Window.partitionBy($"doc_id").orderBy($"i")
+      val prevEnd = max($"e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      val agg = starts
+        .withColumn("ns",
+          when(prevEnd.isNull || $"i" > prevEnd, 1L).otherwise(0L))
+        .withColumn("span_id", sum($"ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"doc_id", $"span_id")
+        .agg(min($"i").as("sp_s"), max($"e").as("sp_e"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+             sum($"sp_e" - $"sp_s" + 1L).as("masked_tokens"),
+             max($"sp_e" - $"sp_s" + 1L).as("longest_span"),
+             min($"sp_s").as("first_start"))
+      base.join(agg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n".as("n_tokens"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"masked_tokens", lit(0L)).as("masked_tokens"),
+          (coalesce($"masked_tokens", lit(0L)) / $"n".cast("double"))
+            .as("masked_frac"),
+          coalesce($"longest_span", lit(0L)).as("longest_span"),
+          coalesce($"first_start", lit(0L)).as("first_start"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -2269,7 +2319,55 @@ object TextAnalysis {
          |  round(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |        / COUNT(*), 6) AS shared_frac
          |FROM dg JOIN dfreq USING (gh)
-         |GROUP BY dg.doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY dg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // t34: the oracle replays the same deterministic hash over every
+    // position and the same island merge — the plan must be identical
+    // byte for byte, because a training run shards it by REPLAYING it.
+    "t34_span_corruption" -> {
+      val h = graft.Dets.phashSql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, n, unnest(range(1, n + 1)) AS i FROM base),
+         |starts AS (
+         |  SELECT doc_id, n, i, least(i + 2, n) AS e FROM pos
+         |  WHERE $h % 20 = 0),
+         |flags AS (
+         |  SELECT doc_id, i, e,
+         |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           IS NULL
+         |         OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM starts),
+         |sp AS (
+         |  SELECT doc_id, i, e,
+         |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM flags),
+         |spans AS (
+         |  SELECT doc_id, span_id, MIN(i) AS s, MAX(e) AS e
+         |  FROM sp GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(e - s + 1) AS BIGINT) AS masked_tokens,
+         |    CAST(MAX(e - s + 1) AS BIGINT) AS longest_span,
+         |    CAST(MIN(s) AS BIGINT) AS first_start
+         |  FROM spans GROUP BY 1)
+         |SELECT b.doc_id, b.n AS n_tokens,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.masked_tokens, 0) AS masked_tokens,
+         |  coalesce(a.masked_tokens, 0) / CAST(b.n AS DOUBLE) AS masked_frac,
+         |  coalesce(a.longest_span, 0) AS longest_span,
+         |  coalesce(a.first_start, 0) AS first_start
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    }
   )
 
   /** DuckDB mirror of [[bigramScores]] as a CTE chain ending in

@@ -215,7 +215,13 @@ object StressBench {
       // d27: one narrow shuffle on the 8-token prefix key; LCP verify
       // only inside collision buckets — curve should track d01's
       // hash-groupBy shape, not a pair-join's
-      "d27_prefix_dedup"
+      "d27_prefix_dedup," +
+      // t34: map-only position explode, selected starts (doc_id, 2
+      // longs) to a keyed window — tracks d25's curve.
+      // m12: map-only PCM decode + decimate like m03/m06 — flat.
+      // s23: one NQ-sampled corpus scan + constant control-frame greedy
+      // rounds — flat like s14/s22
+      "t34_span_corruption,m12_audio_decimate,s23_mmr_rerank"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1985,6 +1985,114 @@ class OperatorSpec extends SparkSpec {
     assert(out.forall(_._3 >= 8L))
   }
 
+  test("t34: the span plan replays exactly from the deterministic hash; zeros explicit") {
+    def ph(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val exp = docs.map { case (id, text) =>
+      val n = text.split(" ", -1).length
+      var spans = List.empty[(Int, Int)]
+      (1 to n).filter(i => ph(s"$id:$i") % 20 == 0).foreach { i =>
+        val e = math.min(i + 2, n)
+        spans = spans match {
+          case (s0, e0) :: tail if i <= e0 => (s0, math.max(e0, e)) :: tail
+          case _                           => (i, e) :: spans
+        }
+      }
+      val sp = spans.reverse
+      id -> ((n.toLong, sp.length.toLong,
+        sp.map(x => (x._2 - x._1 + 1).toLong).sum,
+        if (sp.isEmpty) 0L else sp.map(x => (x._2 - x._1 + 1).toLong).max,
+        if (sp.isEmpty) 0L else sp.head._1.toLong))
+    }.toMap
+    val out = datapipe.TextAnalysis.queries("t34_span_corruption")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect()
+    assert(out.length === exp.size)
+    out.foreach { case (id, n, ns, mt, frac, ls, fs) =>
+      assert((n, ns, mt, ls, fs) === exp(id), s"doc=$id")
+      assert(frac === mt.toDouble / n, s"doc=$id frac")
+    }
+    // the fixture must exercise merged spans AND explicit zero rows,
+    // and land near the T5 ~15% target in aggregate
+    assert(out.exists(_._3 === 0L) && out.exists(r => r._6 > 3L))
+    val rate = out.map(_._4).sum.toDouble / out.map(_._2).sum
+    assert(rate > 0.08 && rate < 0.25, s"global mask rate $rate")
+  }
+
+  test("m12: decimated waveform features equal the exact floor-average recompute") {
+    import datapipe.Multimodal.PcmCodec
+    val out = datapipe.Multimodal.queries("m12_audio_decimate")(spark, sf)
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nin, nout, peak, sa, ws) =>
+      val n = PcmCodec.nSamples(id)
+      val o = Array.tabulate(n / 2)(i =>
+        (PcmCodec.sample(id, 2 * i) + PcmCodec.sample(id, 2 * i + 1)) >> 1)
+      assert(nin === n && nout === n / 2, s"id=$id dims")
+      assert(peak === o.map(math.abs).max &&
+             sa === o.map(x => math.abs(x).toLong).sum, s"id=$id amp")
+      assert(ws === o.zipWithIndex
+        .map { case (v, i) => v.toLong * ((i % 7) + 1) }.sum, s"id=$id wsum")
+    }
+    // odd negative pair sums must occur, or the >>1-vs-floor pin is vacuous
+    assert(out.exists { case (id, _, _, _, _, _) =>
+      val n = PcmCodec.nSamples(id)
+      (0 until n / 2).exists { i =>
+        val s = PcmCodec.sample(id, 2 * i) + PcmCodec.sample(id, 2 * i + 1)
+        s < 0 && s % 2 != 0
+      }
+    }, "no odd negative pair sum in the corpus — floor semantics untested")
+  }
+
+  test("s23: greedy MMR replays exactly in plain Scala; picks distinct per query") {
+    def ph(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def fx(x: Float): Long = BigDecimal(x.toDouble * 1e8)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val embs = Tables.embeddings(spark, sf)
+      .filter(size($"embedding") > 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(fx) }.sortBy(_._1)
+    val byId = embs.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val qids = embs.map(_._1).sortBy(id => (ph(id.toString), id)).take(32)
+    val exp = qids.flatMap { q =>
+      val cand = embs.filter(_._1 != q)
+        .map { case (id, v) => (id, d2(v, byId(q))) }
+        .sortBy { case (id, dd) => (dd, id) }.take(20)
+      var sel = List(cand.head._1)
+      (2 to 5).foreach { _ =>
+        val pick = cand.filterNot(c => sel.contains(c._1))
+          .map { case (id, dq) =>
+            val mind = sel.map(s => d2(byId(id), byId(s))).min
+            (id, mind - dq)
+          }
+          .sortBy { case (id, sc) => (-sc, id) }.head._1
+        sel = sel :+ pick
+      }
+      sel.zipWithIndex.map { case (id, i) =>
+        (q, i + 1, id, cand.find(_._1 == id).get._2)
+      }
+    }
+    val out = datapipe.Similarity.queries("s23_mmr_rerank")(spark, sf)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.toSeq.sorted === exp.toSeq.sorted)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).distinct.length === 5, s"q=$q repeats a pick")
+    }
+  }
+
   test("q84: the runtime filter admits exactly the top-3 error days") {
     val out = operators.Extras.queries("q84_runtime_filtered_scan")(spark, sf)
       .as[(java.sql.Date, Long, Long, Double)].collect()
