@@ -1325,6 +1325,50 @@ object Dedup {
           expr("CAST(ceil(size(ws) / 2.0) AS BIGINT)")))
         .select($"rep_id", $"doc_id", $"lcp", size($"ws").as("n_tokens"))
         .orderBy($"rep_id", $"doc_id")
+    },
+
+    // CLUSTER-AWARE SPLIT — t24's leakage-free split upgraded from
+    // exact-dup groups to NEAR-dup clusters (the Dolma/FineWeb rule:
+    // if train and eval each keep one member of a near-dup pair, the
+    // eval set is contaminated even though no byte is shared): the
+    // assignment unit is the d06 connected component (d04's verified
+    // pairs → star-CC label; singletons are their own unit), the whole
+    // unit lands on one side via the t24 hash rule (phash(split:lbl)
+    // % 100 < 90 → train), and the report PROVES the property it
+    // exists for — cross_split_pairs counts verified near-dup pairs
+    // straddling the split and must be 0 BY CONSTRUCTION (a doc-level
+    // hash split leaks here; the oracle and spec both pin the zero).
+    // Scale shape: d06's CC machinery (log-round, O(E) frames) + one
+    // map-only hash assignment + two narrow aggregates; the leak audit
+    // joins pairs to two (doc_id, split) projections on the uniform id
+    // key.
+    "d28_cluster_split" -> { (s, d) =>
+      import s.implicits._
+      val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
+      val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
+      val seed = pairs.select($"d1".as("doc_id"))
+        .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
+        .select($"doc_id", $"doc_id".as("lbl"))
+      val converged = connectedComponents(seed, edges, CC_STAR_BUDGET)
+      val assigned = corpus(s, d).select($"doc_id")
+        .join(converged, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"lbl", $"doc_id").as("grp"))
+        .withColumn("split",
+          when(graft.Dets.phash(concat(lit("split:"), $"grp".cast("string")))
+            % 100 < 90, lit("train")).otherwise(lit("eval")))
+        .localCheckpoint() // read thrice: audit (×2 sides) + report
+      val cross = pairs
+        .join(assigned.select($"doc_id".as("d1"), $"split".as("s1")), Seq("d1"))
+        .join(assigned.select($"doc_id".as("d2"), $"split".as("s2")), Seq("d2"))
+        .agg(coalesce(sum(when($"s1" =!= $"s2", 1L).otherwise(0L)), lit(0L))
+          .as("cross_split_pairs"))
+        .localCheckpoint()
+      pairs.unpersist()
+      assigned.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct($"grp").as("n_groups"))
+        .crossJoin(broadcast(cross)) // 1-row audit frame
+        .orderBy($"split")
     }
   )
 
@@ -1839,7 +1883,35 @@ object Dedup {
         |FROM keyed k JOIN repws w USING (pkey)
         |WHERE k.doc_id <> w.rep_id
         |  AND lcp >= GREATEST(8, CAST(ceil(len(ws) / 2.0) AS BIGINT))
-        |ORDER BY rep_id, doc_id""".stripMargin
+        |ORDER BY rep_id, doc_id""".stripMargin,
+
+    // d28: d06's unrolled CC labels + the t24 hash split on the label +
+    // the straddling-pair audit — the oracle proves the same zero.
+    "d28_cluster_split" ->
+      s"""WITH $d04PairsSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM d04pairs
+         |  UNION ALL SELECT d2, d1 FROM d04pairs),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |${ccRoundsSql(CC_ROUND_BUDGET + 1)},
+         |${ccGuardSql(CC_ROUND_BUDGET)},
+         |assigned AS (
+         |  SELECT doc_id, lbl AS grp,
+         |    CASE WHEN ${graft.Dets.phashSql("'split:' || CAST(lbl AS VARCHAR)")}
+         |           % 100 < 90
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM l$CC_ROUND_BUDGET, ccguard WHERE ccguard.ok = 1),
+         |crossp AS (
+         |  SELECT CAST(coalesce(SUM(CASE WHEN a.split <> b.split
+         |             THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_pairs
+         |  FROM d04pairs p JOIN assigned a ON p.d1 = a.doc_id
+         |                  JOIN assigned b ON p.d2 = b.doc_id)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+         |  crossp.cross_split_pairs
+         |FROM assigned, crossp
+         |GROUP BY split, crossp.cross_split_pairs
+         |ORDER BY split""".stripMargin
   )
 
   /** `rounds` unrolled min-label-propagation rounds over CTEs

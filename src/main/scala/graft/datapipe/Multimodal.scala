@@ -302,6 +302,62 @@ object Multimodal {
       top: Int, bottom: Int, left: Int, right: Int, content_w: Int,
       content_h: Int, border_px: Long, content_sum: Long)
 
+  /** m13: from-scratch PNG CHUNK layer — the container-metadata step of
+    * image curation (EXIF/XMP handling: read provenance tags, verify
+    * integrity) done at the byte level, not through a decoder. PNG's
+    * public layout: 8-byte signature, then chunks of
+    * (4-byte big-endian length, 4-byte type, data, 4-byte CRC32 over
+    * type+data). [[withTextChunk]] splices a `tEXt` (keyword\0value)
+    * chunk directly after IHDR with a correctly computed CRC;
+    * [[walk]] re-parses the REAL ImageIO-encoded bytes chunk by chunk,
+    * re-verifying every CRC and reading width/height straight from
+    * IHDR's data bytes — so the spec's corruption test (flip one byte
+    * anywhere) must flip `crc_all_ok`.
+    */
+  object PngChunks {
+    private def readInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    def withTextChunk(png: Array[Byte], keyword: String,
+                      value: String): Array[Byte] = {
+      val data = keyword.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+        value.getBytes("ISO-8859-1")
+      val typ = "tEXt".getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(data)
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ).put(data).putInt(crc.getValue.toInt)
+      val ihdrLen = readInt(png, 8)
+      val at = 8 + 12 + ihdrLen // end of IHDR chunk
+      png.take(at) ++ bb.array() ++ png.drop(at)
+    }
+
+    final case class PngMeta(asset_id: Long, width: Int, height: Int,
+        source_tag: String, n_text: Int, crc_all_ok: Boolean)
+
+    def walk(id: Long, png: Array[Byte]): PngMeta = {
+      var off = 8; var w = 0; var h = 0; var nText = 0
+      var ok = true; var tag = ""
+      while (off + 12 <= png.length) {
+        val len = readInt(png, off)
+        val typ = new String(png, off + 4, 4, "ISO-8859-1")
+        val crc = new java.util.zip.CRC32()
+        crc.update(png, off + 4, 4 + len)
+        ok &= crc.getValue.toInt == readInt(png, off + 8 + len)
+        if (typ == "IHDR") { w = readInt(png, off + 8); h = readInt(png, off + 12) }
+        if (typ == "tEXt") {
+          nText += 1
+          val data = png.slice(off + 8, off + 8 + len)
+          val z = data.indexOf(0.toByte)
+          tag = new String(data.drop(z + 1), "ISO-8859-1")
+        }
+        off += 12 + len
+      }
+      PngMeta(id, w, h, tag, nText, ok)
+    }
+  }
+
   /** m11's report row: dims + gray sum at each pyramid level. */
   final case class PyramidFeatures(asset_id: Long,
       width0: Int, height0: Int, sum0: Long,
@@ -928,6 +984,29 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Container-metadata extraction — the provenance/integrity step of
+    // image curation (read the source tag a crawler stamped, verify the
+    // container wasn't truncated or bit-flipped) done AT THE BYTE LEVEL:
+    // a provenance tEXt chunk is spliced into each real ImageIO PNG
+    // (CRC computed from scratch), then the walker re-parses the bytes
+    // chunk by chunk — every CRC re-verified, dims read straight from
+    // IHDR's data — without ever invoking a decoder. The oracle knows
+    // only the planted formulas, so width/height prove the IHDR parse
+    // reads ImageIO's actual bytes and source_tag proves the tEXt
+    // round-trip; the spec's corruption test pins the CRC check
+    // non-vacuously. Map-only like every m-op; ~30 B/asset shuffles.
+    "m13_png_metadata" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val png = PngChunks.withTextChunk(
+            ImageCodec.synthPyrPng(id), "Source", s"src${id % 20}")
+          PngChunks.walk(id, png)
+        })
+        .toDF()
+        .orderBy($"asset_id")
+    },
+
     // Audio sample-rate halving — m11's audio sibling (the resample a
     // speech pipeline runs before feature extraction): 2:1 floor-average
     // decimation on REAL decoded PCM, with integer summaries of the
@@ -1293,6 +1372,19 @@ object Multimodal {
         |FROM p JOIN s0 USING (asset_id) JOIN s1 USING (asset_id)
         |  JOIN s2 USING (asset_id)
         |ORDER BY p.asset_id""".stripMargin,
+
+    // m13: the oracle knows ONLY the planted formulas — matching width/
+    // height proves the walker parsed IHDR's real bytes; source_tag
+    // proves the spliced tEXt chunk round-tripped; crc_all_ok proves
+    // every CRC (ImageIO's and the from-scratch one) re-verified.
+    "m13_png_metadata" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(16 + doc_id % 7 AS INT) AS width,
+        |  CAST(12 + doc_id % 5 AS INT) AS height,
+        |  'src' || CAST(doc_id % 20 AS VARCHAR) AS source_tag,
+        |  CAST(1 AS INT) AS n_text,
+        |  true AS crc_all_ok
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     // m12: the oracle recomputes every decimated sample from the PCM
     // formula with floor((s(2i)+s(2i+1))/2) — the arithmetic-shift

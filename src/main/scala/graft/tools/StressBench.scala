@@ -221,7 +221,12 @@ object StressBench {
       // m12: map-only PCM decode + decimate like m03/m06 — flat.
       // s23: one NQ-sampled corpus scan + constant control-frame greedy
       // rounds — flat like s14/s22
-      "t34_span_corruption,m12_audio_decimate,s23_mmr_rerank"
+      "t34_span_corruption,m12_audio_decimate,s23_mmr_rerank," +
+      // m13: map-only encode+splice+walk, ~30 B/asset — flat like m02
+      "m13_png_metadata," +
+      // d28: d06's CC machinery + a map-only hash assignment + the
+      // narrow pair audit — curve should track d06's
+      "d28_cluster_split"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2093,6 +2093,50 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("m13: chunk walk reads real bytes — corruption flips the CRC verdict") {
+    import datapipe.Multimodal.{ImageCodec, PngChunks}
+    val out = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)
+      .as[(Long, Int, Int, String, Int, Boolean)].collect()
+    assert(out.nonEmpty && out.forall(_._6), "a CRC failed on clean input")
+    out.foreach { case (id, w, h, tag, nt, _) =>
+      val (ew, eh) = ImageCodec.pyrDims(id)
+      assert((w, h) === ((ew, eh)) && tag === s"src${id % 20}" && nt === 1,
+        s"id=$id")
+    }
+    // the spliced container still decodes through the real reader
+    val png = PngChunks.withTextChunk(
+      ImageCodec.synthPyrPng(7L), "Source", "src7")
+    val img = ImageCodec.decode(png)
+    assert((img.getWidth, img.getHeight) === ImageCodec.pyrDims(7L))
+    // flip one byte in the tail (IDAT data/CRC region) -> must be caught
+    val bad = png.clone()
+    bad(bad.length - 20) = (bad(bad.length - 20) ^ 0x40).toByte
+    assert(!PngChunks.walk(7L, bad).crc_all_ok, "corruption not detected")
+  }
+
+  test("d28: near-dup pairs never straddle the split; a doc-level split would leak") {
+    val out = datapipe.Dedup.queries("d28_cluster_split")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq("eval", "train"))
+    assert(out.forall(_._4 === 0L), "a near-dup pair straddles the split")
+    assert(out.forall(r => r._2 > 0 && r._3 > 0), "one side empty")
+    assert(out.exists(r => r._2 > r._3), "no multi-member cluster assigned")
+    // counter-factual: the same corpus split at DOC level (t24's hash on
+    // the doc id instead of the cluster label) WOULD leak — the fixture
+    // must be able to tell the two policies apart
+    def ph(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val clusters = datapipe.Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    val docLevelLeaks = clusters.groupBy(_._2).exists { case (_, ms) =>
+      ms.map(m => ph(s"split:${m._1}") % 100 < 90).toSet.size == 2
+    }
+    assert(docLevelLeaks, "fixture cannot distinguish cluster- from doc-level split")
+  }
+
   test("q84: the runtime filter admits exactly the top-3 error days") {
     val out = operators.Extras.queries("q84_runtime_filtered_scan")(spark, sf)
       .as[(java.sql.Date, Long, Long, Double)].collect()
