@@ -919,6 +919,84 @@ object Similarity {
         .orderBy($"q_id", $"pick")
     },
 
+    // SCALAR-QUANTIZATION RECALL — the last unmeasured compression axis
+    // of the eval family (s14: LSH hashing, s15: coarse quantization,
+    // s16: subspace quantization, s21: dim reduction; s24 measures what
+    // uniform 8-BIT RESOLUTION costs): every component quantizes to a
+    // symmetric int8 code c = round(127·x/maxabs) against ONE global
+    // scale (the FAISS SQ8-uniform layout — a 4× memory-bandwidth cut
+    // per scan vs float32, and because the scale is shared, code-space
+    // L2 ranks identically to dequantized L2 with zero per-pair float
+    // work), candidates rank by integer L2 over codes, and top-30/100
+    // are scored against the full-precision exact top-10. Numerics:
+    // components round once to 1e6 fixed point (s21's grid), the global
+    // maxabs is an integer max, and the code is integer round-half-up on
+    // |x| with the sign reapplied — no float touches quantization or
+    // ranking on either engine, so the s06-style per-vector float scale
+    // (whose cross-vector distances would need float dequantization)
+    // is deliberately NOT the eval's layout. Scale shape: maxabs is one
+    // map-side-combined max broadcast back; coding is map-only; the
+    // candidate pass is the NQ-sampled brute scan of the other evals at
+    // one-quarter memory traffic; both ranked frames checkpoint once.
+    "s24_sq_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val fx = emb.withColumn("fx", expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"))
+      // global symmetric scale: one integer max over all |components|
+      // (greatest(…, 1) guards an all-zero corpus from DIV 0)
+      val mRow = fx.agg(greatest(
+        max(expr("array_max(transform(fx, x -> abs(x)))")), lit(1L)).as("m"))
+      def sq(df: DataFrame): DataFrame = df.crossJoin(broadcast(mRow))
+        .withColumn("codes", expr(
+          """transform(fx, x -> IF(x >= 0, (254 * x + m) DIV (2 * m),
+            |                      -((254 * -x + m) DIV (2 * m))))""".stripMargin))
+      val qs0 = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        .localCheckpoint() // NQ rows; the s14/s15/s16/s21 sample frame
+      val qc = sq(qs0.select($"q_id",
+          expr("transform(q_emb, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+            .as("fx")))
+        .select($"q_id", $"codes".as("qcodes"))
+      val wC = Window.partitionBy($"q_id").orderBy($"cd2", $"vec_id")
+      val ranked = sq(fx).select($"vec_id", $"codes")
+        .join(broadcast(qc), $"vec_id" =!= $"q_id")
+        .withColumn("cd2", graft.functions.IntL2.int_l2($"codes", $"qcodes"))
+        .select($"q_id", $"vec_id", $"cd2")
+        .withColumn("rn", row_number().over(wC))
+        .filter($"rn" <= 100)
+        .select($"q_id", $"vec_id", $"rn")
+        .localCheckpoint() // <= NQ×100 rows; the code scan runs ONCE
+      val wE = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      val exact10 = emb.select($"vec_id", roundFx("embedding").as("lv"))
+        .join(broadcast(qs0.select($"q_id", roundFx("q_emb").as("lq"))),
+              $"vec_id" =!= $"q_id")
+        .withColumn("d2", graft.functions.IntL2.int_l2($"lv", $"lq"))
+        .select($"q_id", $"vec_id", $"d2")
+        .withColumn("rn", row_number().over(wE))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint() // <= NQ×10 rows; full-precision truth runs ONCE
+      val nq = qs0.agg(count(lit(1)).as("n_q"))
+      val nTruth = exact10.agg(count(lit(1)).as("n_truth"))
+      def report(c: Int): DataFrame = {
+        val cand = ranked.filter($"rn" <= c).select($"q_id", $"vec_id")
+        exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(nq))
+          .crossJoin(broadcast(nTruth))
+          .select(lit(s"sq8_top$c").as("method"), $"n_q", $"n_truth",
+            $"hits", $"n_cand",
+            ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+            ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
+      }
+      report(30).unionByName(report(100)).orderBy($"method")
+    },
+
     // INDEX LOAD PROFILE — the serving-ops report next to the recall
     // evals (s14/s15/s16 ask "does the index find things"; s17 asks
     // "what does a probe COST, and how unevenly"): for each candidate
@@ -2028,6 +2106,75 @@ object Similarity {
          |SELECT s.q_id, CAST(s.pick AS INT) AS pick, s.vec_id, c.d2q
          |FROM sel5 s JOIN cand c USING (q_id, vec_id)
          |ORDER BY s.q_id, s.pick""".stripMargin
+    },
+
+    // s24: the same 1e6 grid, one integer global maxabs, symmetric
+    // round-half-up int8 codes, integer L2 in code space — both engines
+    // quantize and rank without a single float.
+    "s24_sq_recall" -> {
+      def longL2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+          s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
+          s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      val codeExpr = "list_transform(fx, x -> CASE WHEN x >= 0 " +
+        "THEN (254 * x + m) // (2 * m) " +
+        "ELSE -((254 * (-x) + m) // (2 * m)) END)"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  $sampleOrderSql),
+         |ef AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS fx
+         |  FROM e),
+         |qf AS (
+         |  SELECT q_id, list_transform(q_emb,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS fx
+         |  FROM q),
+         |mm AS (
+         |  SELECT greatest(MAX(list_max(list_transform(fx, x -> abs(x)))),
+         |                  1) AS m
+         |  FROM ef),
+         |ce AS (SELECT vec_id, $codeExpr AS codes FROM ef, mm),
+         |cq AS (SELECT q_id, $codeExpr AS qcodes FROM qf, mm),
+         |ranked AS (
+         |  SELECT q_id, vec_id, rn FROM (
+         |    SELECT cq.q_id, ce.vec_id,
+         |      row_number() OVER (PARTITION BY cq.q_id
+         |        ORDER BY ${longL2("ce.codes", "cq.qcodes")}, ce.vec_id) AS rn
+         |    FROM ce, cq WHERE ce.vec_id <> cq.q_id) z
+         |  WHERE rn <= 100),
+         |exact10 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${intL2Sql("e.embedding", "q.q_emb")}, e.vec_id) AS rn
+         |    FROM e, q WHERE e.vec_id <> q.q_id) z
+         |  WHERE rn <= 10),
+         |u AS (
+         |  SELECT 'sq8_top30' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM ranked c
+         |        WHERE c.rn <= 30 AND x.q_id = c.q_id
+         |          AND x.vec_id = c.vec_id)) AS hits,
+         |    (SELECT COUNT(*) FROM ranked WHERE rn <= 30) AS n_cand
+         |  UNION ALL
+         |  SELECT 'sq8_top100' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM ranked c
+         |        WHERE c.rn <= 100 AND x.q_id = c.q_id
+         |          AND x.vec_id = c.vec_id)) AS hits,
+         |    (SELECT COUNT(*) FROM ranked) AS n_cand)
+         |SELECT method, n_q, n_truth, hits, n_cand,
+         |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
+         |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
+         |FROM u ORDER BY method""".stripMargin
     },
 
     "s17_index_load_profile" ->

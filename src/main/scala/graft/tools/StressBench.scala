@@ -226,7 +226,10 @@ object StressBench {
       "m13_png_metadata," +
       // d28: d06's CC machinery + a map-only hash assignment + the
       // narrow pair audit — curve should track d06's
-      "d28_cluster_split"
+      "d28_cluster_split," +
+      // s24: embeddings stay 1× — one integer max broadcast, map-only
+      // coding, NQ-sampled code scan: flat like s21
+      "s24_sq_recall"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1928,6 +1928,45 @@ class OperatorSpec extends SparkSpec {
     assert(ones > 400 && ones < 624, s"sign matrix degenerate: $ones/1024")
   }
 
+  test("s24: int8 codes are lossy at the component level yet lossless at rerank width") {
+    val out = datapipe.Similarity.queries("s24_sq_recall")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val t30 = out("sq8_top30"); val t100 = out("sq8_top100")
+    assert(t30._2 === 32L && t100._2 === 32L)
+    assert(t30._3 === t100._3, "truth set differs between depths")
+    assert(t30._4 <= t100._4, "hits not monotone in candidate depth")
+    assert(t30._5 === 32L * 30 && t100._5 === 32L * 100)
+    // SQ8's headline: 8 bits against one global scale costs nothing at
+    // rerank width on this corpus — but only because the resolution is
+    // adequate, which the first-principles recompute below makes
+    // non-vacuous (the codes really do discard information)
+    assert(t30._6 > 0.9 && t30._6 <= t100._6 && t100._6 <= 1.0)
+    // quantizer from first principles: 1e6 grid, integer global maxabs,
+    // symmetric round-half-up — codes within ±127, reconstruction
+    // within the half-step bound, the negative round-UP branch (the
+    // sign-reapplication subtlety) actually exercised, and at least one
+    // component not exactly representable (the eval measures something)
+    val fxAll = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding").as[Array[Float]].collect()
+      .filter(_.nonEmpty)
+      .map(_.map(x => math.round(x.toDouble * 1e6)))
+    val m = math.max(fxAll.iterator.flatten.map(math.abs).max, 1L)
+    var negUp = false; var lossy = false
+    fxAll.foreach(_.foreach { x =>
+      val a = math.abs(x)
+      val c0 = (254 * a + m) / (2 * m)
+      val code = if (x >= 0) c0 else -c0
+      assert(math.abs(code) <= 127, s"code $code out of int8 range")
+      assert(math.abs(254 * x - 2 * m * code) <= m,
+        s"reconstruction bound violated at x=$x m=$m")
+      if (x < 0 && (254 * a) % (2 * m) >= m) negUp = true
+      if (254 * x != 2 * m * code) lossy = true
+    })
+    assert(negUp, "no negative component takes the round-up branch")
+    assert(lossy, "quantizer is exact on every component — eval vacuous")
+  }
+
   test("m11: every pyramid level matches the exact floor-average recompute") {
     val out = datapipe.Multimodal.queries("m11_image_pyramid")(spark, sf)
       .as[(Long, Int, Int, Long, Int, Int, Long, Int, Int, Long)].collect()
