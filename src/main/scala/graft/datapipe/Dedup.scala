@@ -1369,6 +1369,46 @@ object Dedup {
              countDistinct($"grp").as("n_groups"))
         .crossJoin(broadcast(cross)) // 1-row audit frame
         .orderBy($"split")
+    },
+
+    // SOFT DEDUP — the REWEIGHTING alternative to removal (SoftDedup /
+    // data-mixing practice: dropping all-but-one of a near-dup cluster
+    // throws away formatting diversity; keeping everything over-samples
+    // the duplicated content; the middle path keeps every doc but
+    // down-weights cluster members to 1/|cluster|, so each cluster
+    // contributes ~one doc of sampling mass). Weights are integer parts
+    // per million (1e6 DIV csize) so both engines agree exactly — no
+    // float rationals. The per-source report prices the deflation:
+    // nominal docs/chars vs effective (weighted) mass, plus how many
+    // docs sit in multi-member clusters — the number a mixture designer
+    // reads before setting source sampling rates (a source whose mass
+    // is mostly self-copies contributes far less unique signal than its
+    // row count claims). Scale shape: d06's CC machinery (log-round,
+    // O(E) frames) + ONE groupBy(grp) size count (uniform key,
+    // map-side combined) + a shuffle join back on grp + one per-source
+    // aggregate; weights never materialize per-pair.
+    "d29_soft_dedup" -> { (s, d) =>
+      import s.implicits._
+      val pairs = d04Pairs(s, d).select($"d1", $"d2")
+      val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
+      val seed = pairs.select($"d1".as("doc_id"))
+        .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
+        .select($"doc_id", $"doc_id".as("lbl"))
+      val converged = connectedComponents(seed, edges, CC_STAR_BUDGET)
+      val assigned = corpus(s, d)
+        .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
+        .join(converged, Seq("doc_id"), "left")
+        .select($"doc_id", $"source", $"n_chars",
+                coalesce($"lbl", $"doc_id").as("grp"))
+      val sizes = assigned.groupBy($"grp").agg(count(lit(1)).as("csize"))
+      assigned.join(sizes, Seq("grp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when($"csize" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+             sum($"n_chars").as("n_chars"),
+             sum(expr("1000000 DIV csize")).as("eff_docs_ppm"),
+             sum(expr("n_chars * (1000000 DIV csize)")).as("eff_chars_ppm"))
+        .orderBy($"source")
     }
   )
 
@@ -1911,7 +1951,35 @@ object Dedup {
          |  crossp.cross_split_pairs
          |FROM assigned, crossp
          |GROUP BY split, crossp.cross_split_pairs
-         |ORDER BY split""".stripMargin
+         |ORDER BY split""".stripMargin,
+
+    // d29: the same unrolled CC labels; weights as integer parts per
+    // million (1e6 // csize) — both engines floor-divide, no float.
+    "d29_soft_dedup" ->
+      s"""WITH $d04PairsSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM d04pairs
+         |  UNION ALL SELECT d2, d1 FROM d04pairs),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |${ccRoundsSql(CC_ROUND_BUDGET + 1)},
+         |${ccGuardSql(CC_ROUND_BUDGET)},
+         |assigned AS (
+         |  SELECT c.doc_id, c.source,
+         |    CAST(length(c.text) AS BIGINT) AS n_chars, l.lbl AS grp
+         |  FROM corpus c JOIN l$CC_ROUND_BUDGET l ON c.doc_id = l.doc_id,
+         |       ccguard WHERE ccguard.ok = 1),
+         |sizes AS (
+         |  SELECT grp, COUNT(*) AS csize FROM assigned GROUP BY grp)
+         |SELECT a.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(SUM(a.n_chars) AS BIGINT) AS n_chars,
+         |  CAST(SUM(1000000 // s.csize) AS BIGINT) AS eff_docs_ppm,
+         |  CAST(SUM(a.n_chars * (1000000 // s.csize)) AS BIGINT)
+         |    AS eff_chars_ppm
+         |FROM assigned a JOIN sizes s USING (grp)
+         |GROUP BY a.source
+         |ORDER BY a.source""".stripMargin
   )
 
   /** `rounds` unrolled min-label-propagation rounds over CTEs

@@ -229,7 +229,10 @@ object StressBench {
       "d28_cluster_split," +
       // s24: embeddings stay 1× — one integer max broadcast, map-only
       // coding, NQ-sampled code scan: flat like s21
-      "s24_sq_recall"
+      "s24_sq_recall," +
+      // d29: d06's CC + one groupBy(grp) size + a shuffle join back on
+      // grp + per-source aggregate — curve tracks d06/d28's
+      "d29_soft_dedup"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2176,6 +2176,35 @@ class OperatorSpec extends SparkSpec {
     assert(docLevelLeaks, "fixture cannot distinguish cluster- from doc-level split")
   }
 
+  test("d29: per-source effective mass equals the 1/|cluster| recompute exactly") {
+    val out = datapipe.Dedup.queries("d29_soft_dedup")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // first principles: d06's multi-member clusters + singleton self-
+    // groups; weight = 1e6 DIV csize in the same integer arithmetic
+    val cluster = datapipe.Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val docs = datapipe.Dedup.corpus(spark, sf)
+      .select($"doc_id", $"source", length($"text").cast("long"))
+      .as[(Long, String, Long)].collect()
+    val csize = docs.groupBy(d => cluster.getOrElse(d._1, d._1))
+      .map { case (g, ms) => g -> ms.length.toLong }
+    val expected = docs.groupBy(_._2).map { case (src, ms) =>
+      val w = ms.map(m => 1000000L / csize(cluster.getOrElse(m._1, m._1)))
+      src -> ((src, ms.length.toLong,
+        ms.count(m => csize(cluster.getOrElse(m._1, m._1)) > 1).toLong,
+        ms.map(_._3).sum, w.sum,
+        ms.zip(w).map { case (m, wi) => m._3 * wi }.sum))
+    }
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (src, e) => assert(out(src) === e, s"src=$src") }
+    // deflation is real and the floor-loss path is exercised
+    assert(out.values.exists(r => r._3 > 0 && r._5 < r._2 * 1000000L),
+      "no source deflates — reweighting vacuous")
+    assert(csize.values.exists(_ >= 3L),
+      "no cluster of size >= 3 — the 1e6 DIV 3 floor path never runs")
+  }
+
   test("q84: the runtime filter admits exactly the top-3 error days") {
     val out = operators.Extras.queries("q84_runtime_filtered_scan")(spark, sf)
       .as[(java.sql.Date, Long, Long, Double)].collect()
