@@ -1007,6 +1007,53 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Loudness normalization + clipping audit — the gain-staging step
+    // audio curation runs before training (tracks arrive at wildly
+    // different levels; the model should learn content, not recording
+    // gain). PEAK normalization can never clip (the gain is bounded by
+    // the peak itself), so the op that needs an audit is LOUDNESS
+    // normalization: gain = target mean-|v| over the track's actual
+    // mean-|v| in Q8 fixed point, applied per sample and clamped to
+    // int16 (SYMMETRIC ±32767 — the asymmetric −32768 rail would make
+    // a fully-clipped negative peak read one LSB louder than the
+    // positive full scale) — samples above the crest the gain was not
+    // sized for clip,
+    // and the per-track clip count is the audit a pipeline alerts on.
+    // Rounding is symmetric TRUNCATION toward zero (Scala Long '/',
+    // DuckDB '//' — gain scaling must not introduce a DC offset; the
+    // m12 floor-average is the POOLING convention, not the gain one).
+    // All integer on both engines; map-only like every m-op, ~40
+    // B/track shuffles.
+    "m14_audio_normalize" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val v = PcmCodec.decode(PcmCodec.synthPcm(id))
+          var peakIn = 0; var sa = 0L; var i = 0
+          while (i < v.length) {
+            val a = math.abs(v(i)); if (a > peakIn) peakIn = a
+            sa += a; i += 1
+          }
+          // Q8 gain to a mean-|v| target of 20000 (guard an all-zero
+          // track from DIV 0); deliberately NOT peak-derived, so the
+          // clip audit measures something
+          val g = 20000L * 256 * v.length / math.max(sa, 1L)
+          var nClip = 0; var peakOut = 0L; var sao = 0L
+          i = 0
+          while (i < v.length) {
+            val y0 = v(i).toLong * g / 256 // symmetric trunc = DuckDB //
+            val y = math.max(-32767L, math.min(32767L, y0))
+            if (y != y0) nClip += 1
+            val ay = math.abs(y); if (ay > peakOut) peakOut = ay
+            sao += ay; i += 1
+          }
+          (id, v.length, peakIn, sa, g, nClip, peakOut, sao)
+        })
+        .toDF("asset_id", "n_samples", "peak_in", "sum_abs_in", "gain_q8",
+              "n_clipped", "peak_out", "sum_abs_out")
+        .orderBy($"asset_id")
+    },
+
     // Audio sample-rate halving — m11's audio sibling (the resample a
     // speech pipeline runs before feature extraction): 2:1 floor-average
     // decimation on REAL decoded PCM, with integer summaries of the
@@ -1385,6 +1432,53 @@ object Multimodal {
         |  CAST(1 AS INT) AS n_text,
         |  true AS crc_all_ok
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // m14: the oracle recomputes every gained sample from the PCM
+    // formula with symmetric truncation ((v·g) // 256 — DuckDB '//'
+    // truncates toward zero exactly like Scala Long division, which is
+    // the point: floor would diverge on negative odd products), then
+    // clamps and counts clips independently.
+    "m14_audio_normalize" ->
+      """WITH sv AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(64 + (doc_id % 5) * 16 AS INT) AS n,
+        |    unnest(range(0, 64 + (doc_id % 5) * 16)) AS i
+        |  FROM documents),
+        |vv AS (
+        |  SELECT asset_id, n,
+        |    CAST(((7 * asset_id + 13 * i) % 201) - 100 AS BIGINT) AS v
+        |  FROM sv),
+        |pre AS (
+        |  SELECT asset_id, MAX(n) AS n, MAX(abs(v)) AS peak_in,
+        |    CAST(SUM(abs(v)) AS BIGINT) AS sum_abs_in
+        |  FROM vv GROUP BY asset_id),
+        |gg AS (
+        |  SELECT asset_id, n, peak_in, sum_abs_in,
+        |    (CAST(20000 AS BIGINT) * 256 * n)
+        |      // greatest(sum_abs_in, 1) AS gain_q8
+        |  FROM pre),
+        |post AS (
+        |  SELECT v.asset_id,
+        |    SUM(CASE WHEN (v.v * g.gain_q8) // 256 > 32767
+        |               OR (v.v * g.gain_q8) // 256 < -32767
+        |             THEN 1 ELSE 0 END) AS n_clipped,
+        |    MAX(abs(LEAST(CAST(32767 AS BIGINT),
+        |      GREATEST(CAST(-32767 AS BIGINT),
+        |        (v.v * g.gain_q8) // 256)))) AS peak_out,
+        |    SUM(abs(LEAST(CAST(32767 AS BIGINT),
+        |      GREATEST(CAST(-32767 AS BIGINT),
+        |        (v.v * g.gain_q8) // 256)))) AS sum_abs_out
+        |  FROM vv v JOIN gg g USING (asset_id)
+        |  GROUP BY v.asset_id)
+        |SELECT g.asset_id, g.n AS n_samples,
+        |  CAST(g.peak_in AS INT) AS peak_in,
+        |  CAST(g.sum_abs_in AS BIGINT) AS sum_abs_in,
+        |  CAST(g.gain_q8 AS BIGINT) AS gain_q8,
+        |  CAST(p.n_clipped AS INT) AS n_clipped,
+        |  CAST(p.peak_out AS BIGINT) AS peak_out,
+        |  CAST(p.sum_abs_out AS BIGINT) AS sum_abs_out
+        |FROM gg g JOIN post p USING (asset_id)
+        |ORDER BY g.asset_id""".stripMargin,
 
     // m12: the oracle recomputes every decimated sample from the PCM
     // formula with floor((s(2i)+s(2i+1))/2) — the arithmetic-shift

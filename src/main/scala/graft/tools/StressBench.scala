@@ -232,7 +232,9 @@ object StressBench {
       "s24_sq_recall," +
       // d29: d06's CC + one groupBy(grp) size + a shuffle join back on
       // grp + per-source aggregate — curve tracks d06/d28's
-      "d29_soft_dedup"
+      "d29_soft_dedup," +
+      // m14: map-only PCM decode + two integer passes — flat like m12
+      "m14_audio_normalize"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2087,6 +2087,40 @@ class OperatorSpec extends SparkSpec {
     }, "no odd negative pair sum in the corpus — floor semantics untested")
   }
 
+  test("m14: gain, clip count, and post-gain stats equal the exact integer recompute") {
+    import datapipe.Multimodal.PcmCodec
+    val out = datapipe.Multimodal.queries("m14_audio_normalize")(spark, sf)
+      .as[(Long, Int, Int, Long, Long, Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    var posClip = false; var negClip = false; var truncCase = false
+    out.foreach { case (id, n, peakIn, sa, g, nClip, peakOut, sao) =>
+      val v = Array.tabulate(PcmCodec.nSamples(id))(PcmCodec.sample(id, _))
+      assert(n === v.length && peakIn === v.map(math.abs).max &&
+             sa === v.map(x => math.abs(x).toLong).sum, s"id=$id pre")
+      val eg = 20000L * 256 * v.length / math.max(sa, 1L)
+      assert(g === eg && g > 256, s"id=$id gain") // > 256 = amplification
+      val ys = v.map { x =>
+        val y0 = x.toLong * g / 256
+        math.max(-32767L, math.min(32767L, y0))
+      }
+      val clips = v.count { x =>
+        val y0 = x.toLong * g / 256; y0 > 32767 || y0 < -32767
+      }
+      assert(nClip === clips && peakOut === ys.map(math.abs).max &&
+             sao === ys.map(math.abs).sum, s"id=$id post")
+      v.foreach { x =>
+        val y0 = x.toLong * g / 256
+        if (y0 > 32767) posClip = true
+        if (y0 < -32767) negClip = true
+        // a negative product not divisible by 256: floor would differ
+        // from the symmetric truncation both engines use
+        if (x < 0 && (x.toLong * g) % 256 != 0) truncCase = true
+      }
+    }
+    assert(posClip && negClip, "clipping never hit one of the rails")
+    assert(truncCase, "no negative non-divisible product — trunc-vs-floor untested")
+  }
+
   test("s23: greedy MMR replays exactly in plain Scala; picks distinct per query") {
     def ph(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
