@@ -857,15 +857,9 @@ object TextAnalysis {
     // of text.
     "t16_domain_cap" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val cap  = 50
       val docs = T.documents(s, d)
-      val keep = docs.select($"doc_id", $"source")
-        .withColumn("rk", graft.Dets.phash(
-          concat(lit("cap:"), $"doc_id".cast("string"))))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"source").orderBy($"rk", $"doc_id")))
-        .filter($"rn" <= cap)
+      val keep = domainCapKeep(docs.select($"doc_id", $"source"), cap)
         .select($"doc_id", $"rn")
       docs.join(keep, Seq("doc_id"))
         .groupBy($"source")
@@ -1459,6 +1453,94 @@ object TextAnalysis {
     * reduce — nothing here is batch-bound; StreamingSpec pins the
     * micro-batched run bit-equal to the batch registry entry.
     */
+  /** t16's selection rule, shared with the streaming twin: rank docs
+    * per source by the deterministic hash (phash("cap:" + doc_id),
+    * doc_id) and keep the first `cap` — selection is a pure function of
+    * the doc SET, never of arrival order, which is what makes the cap
+    * streamable with exact batch equality.
+    */
+  private[graft] def domainCapKeep(docs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("rk", graft.Dets.phash(
+        concat(lit("cap:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+      .filter(col("rn") <= cap)
+  }
+
+  /** Streaming twin of t16 — the per-source cap as a quota actually
+    * ships: docs arrive in micro-batches and the provisional
+    * top-`cap`-by-hash set per source persists across triggers in a
+    * parquet state store. Each batch reduces its docs to (doc_id,
+    * source, chars, rk) — text never persists — unions the store,
+    * re-ranks per source, keeps `cap`, and swaps the store durably
+    * (sibling write + two renames, the compact() pattern: a full copy
+    * exists at every instant). A later lower-hash doc EVICTS an
+    * earlier admission — the revisable-cap semantics a first-come
+    * quota cannot have without over-admitting — so the final state
+    * equals the batch t16 selection for ANY batch split, which
+    * StreamingSpec pins (with a required eviction). State is
+    * O(sources × cap) control-sized rows at any corpus scale; the
+    * replay-safety is the dropDuplicates on doc_id (a retried trigger
+    * re-unions the same rows into the same state).
+    */
+  def domainCapStream(stream: DataFrame, storePath: String,
+                      checkpointDir: String, cap: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val incoming = batch
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("chars"))
+          .withColumn("rk", graft.Dets.phash(
+            concat(lit("cap:"), col("doc_id").cast("string"))))
+        import org.apache.hadoop.fs.Path
+        val state = new Path(s"$storePath/state")
+        val tmp = new Path(s"$storePath/state.next")
+        val old = new Path(s"$storePath/state.old")
+        val fs = state.getFileSystem(s.sessionState.newHadoopConf())
+        val store0 =
+          if (fs.exists(state)) s.read.parquet(state.toString)
+          else incoming.limit(0)
+        val next = store0.unionByName(incoming)
+          .dropDuplicates("doc_id") // trigger replay inserts nothing
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+          .filter(col("rn") <= cap)
+          .select(col("doc_id"), col("source"), col("chars"), col("rk"))
+        fs.delete(tmp, true); fs.delete(old, true)
+        next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(tmp.toString)
+        if (fs.exists(state)) fs.rename(state, old)
+        fs.rename(tmp, state)
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+  }
+
+  /** t16's report shape over the persisted cap state. Ranks recompute
+    * on the control-sized state: the survivors per source are exactly
+    * the corpus-wide first `cap` in hash order, so their relative
+    * ranks — and therefore n_kept/sum_chars/max_rank — match the batch
+    * query's.
+    */
+  def domainCapReport(s: SparkSession, storePath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    s.read.parquet(s"$storePath/state")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("chars")).as("sum_chars"),
+           max(col("rn")).cast("long").as("max_rank"))
+      .orderBy(col("source"))
+  }
+
   private[graft] def classifierScore(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

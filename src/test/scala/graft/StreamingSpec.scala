@@ -297,6 +297,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed domain cap: revisable quota equals batch selection; evictions occur") {
+    // the per-source cap as a streaming quota: hash-rank selection is a
+    // pure function of the doc SET, so the persisted top-cap state must
+    // converge to the batch answer for any batch split — and a later
+    // lower-hash arrival must EVICT an earlier admission, the semantics
+    // a first-come quota cannot have without over-admitting
+    val root = java.nio.file.Files.createTempDirectory("graft_cap")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.orderBy($"doc_id").collect()
+    val third = (rows.length + 2) / 3
+    rows.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = root.resolve(s"tmp$i")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toSeq, 1), docs.schema)
+        .write.parquet(tmp.toString)
+      val part = {
+        val st = java.nio.file.Files.list(tmp)
+        try st.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally st.close()
+      }
+      val dst = inDir.resolve(f"chunk$i%03d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(60000L * (i + 1))
+    }
+    val cap = 10 // < docs per source at this sf, so the quota BINDS
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val q = datapipe.TextAnalysis.domainCapStream(
+      stream, s"$root/store", s"$root/ckpt", cap)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = datapipe.TextAnalysis.domainCapReport(spark, s"$root/store")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val keep = datapipe.TextAnalysis.domainCapKeep(
+      docs.select($"doc_id", $"source"), cap).select($"doc_id", $"rn")
+    val batch = docs.join(keep, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum(length($"text")).as("sum_chars"),
+           max($"rn").cast("long").as("max_rank"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    assert(streamed.forall(_._2 === cap.toLong), "cap never bound")
+    val firstChunk = rows.take(third).map(_.getLong(0)).toSet
+    val provisional = datapipe.TextAnalysis.domainCapKeep(
+        docs.filter($"doc_id".isin(firstChunk.toSeq: _*))
+          .select($"doc_id", $"source"), cap)
+      .select($"doc_id").as[Long].collect().toSet
+    val finalIds = spark.read.parquet(s"$root/store/state")
+      .select($"doc_id").as[Long].collect().toSet
+    assert((provisional -- finalIds).nonEmpty,
+      "no eviction across triggers — revisable-cap semantics untested")
+  }
+
   test("streamed decontamination gate: decisions equal d12 batch, clean appends idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
