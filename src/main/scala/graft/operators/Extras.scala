@@ -373,6 +373,51 @@ object Extras {
         .agg(count(lit(1)).as("n_clicks"),
              graft.Dets.dsumDec(graft.Dets.dec($"value")).as("click_value"))
         .orderBy($"event_date")
+    },
+
+    // HIERARCHY ROLLUP — the recursive-query class (ANSI WITH
+    // RECURSIVE; org charts, BOM explosions, reply trees): every doc is
+    // a node of the deterministic octal forest parent(i) = i DIV 8 with
+    // roots 0..7, and the report rolls subtree population + char mass
+    // up by (root, depth). Spark has no recursive CTE; the naive
+    // restatement (one join per LEVEL) serializes O(depth) dependent
+    // shuffles, so this is POINTER DOUBLING — the CC family's trick on
+    // rooted trees: each round joins every node's ancestor pointer to
+    // that ancestor's OWN pointer, doubling the hop span and summing
+    // hop counts, so depth-D trees resolve in ceil(log2 D) uniform-key
+    // equi-joins of (id, anc, depth) longs. Roots are fixpoints
+    // (anc = self, hops 0) and pass through unchanged; after the round
+    // budget a convergence guard fails LOUDLY if any non-root ancestor
+    // remains — never a silently partial rollup. The DuckDB oracle IS
+    // the ANSI recursive CTE, so the two different evaluation
+    // strategies must agree row-for-row. Nodes whose parent id is
+    // absent are pruned identically by both (the inner pointer join /
+    // the never-reached walk row). 100 TB shape: real hierarchies are
+    // log-shallow, rounds stay ~3; nothing wider than three longs ever
+    // shuffles.
+    "q85_hierarchy_rollup" -> { (s, d) =>
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"doc_id", length($"text").cast("long").as("chars"))
+      var state = docs.select($"doc_id".as("id"),
+          when($"doc_id" < 8, $"doc_id").otherwise(expr("doc_id DIV 8"))
+            .as("anc"),
+          when($"doc_id" < 8, 0L).otherwise(1L).as("depth"))
+        .localCheckpoint()
+      for (_ <- 1 to 5) { // 2^5 = 32 hops, far past any octal forest
+        val ptr = state.select($"id".as("anc"), $"anc".as("anc2"),
+          $"depth".as("d2"))
+        state = state.join(ptr, Seq("anc"))
+          .select($"id", $"anc2".as("anc"), ($"depth" + $"d2").as("depth"))
+          .localCheckpoint()
+      }
+      val unresolved = state.filter($"anc" >= 8).count()
+      require(unresolved == 0L,
+        s"hierarchy not converged: $unresolved non-root ancestors")
+      state.join(docs, $"id" === $"doc_id")
+        .groupBy($"anc".as("root_id"), $"depth")
+        .agg(count(lit(1)).as("n_nodes"), sum($"chars").as("sum_chars"))
+        .orderBy($"root_id", $"depth")
     }
   )
 
@@ -680,6 +725,23 @@ object Extras {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS click_value
         |FROM ev e JOIN hot h USING (event_date)
         |WHERE e.event_type = 'click'
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // q85: the oracle is the ANSI recursive CTE itself — level-by-level
+    // evaluation vs Spark's pointer doubling, two different strategies
+    // forced to the same rollup.
+    "q85_hierarchy_rollup" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT doc_id AS id, doc_id AS root, 0 AS depth
+        |  FROM documents WHERE doc_id < 8
+        |  UNION ALL
+        |  SELECT d.doc_id, w.root, w.depth + 1
+        |  FROM documents d JOIN walk w ON d.doc_id // 8 = w.id
+        |  WHERE d.doc_id >= 8)
+        |SELECT w.root AS root_id, CAST(w.depth AS BIGINT) AS depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(length(d.text)) AS BIGINT) AS sum_chars
+        |FROM walk w JOIN documents d ON d.doc_id = w.id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -234,7 +234,10 @@ object StressBench {
       // grp + per-source aggregate — curve tracks d06/d28's
       "d29_soft_dedup," +
       // m14: map-only PCM decode + two integer passes — flat like m12
-      "m14_audio_normalize"
+      "m14_audio_normalize," +
+      // q85: one linear scan feeds the doubling rounds; scaled copies'
+      // parents dangle and prune in round 1 — flat past the scan
+      "q85_hierarchy_rollup"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

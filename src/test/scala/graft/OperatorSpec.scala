@@ -2239,6 +2239,24 @@ class OperatorSpec extends SparkSpec {
       "no cluster of size >= 3 — the 1e6 DIV 3 floor path never runs")
   }
 
+  test("q85: doubling resolves every node to the recursive-definition depth and root") {
+    val out = operators.Extras.queries("q85_hierarchy_rollup")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", length($"text").cast("long"))
+      .as[(Long, Long)].collect()
+    // the recursive definition, evaluated directly
+    def rd(i: Long): (Long, Long) =
+      if (i < 8) (i, 0L) else { val (r, d) = rd(i / 8); (r, d + 1) }
+    val expected = docs.groupBy(d => rd(d._1)).map { case ((r, dep), ms) =>
+      (r, dep, ms.length.toLong, ms.map(_._2).sum)
+    }.toSet
+    assert(out.toSet === expected)
+    assert(out.map(_._3).sum === docs.length.toLong, "nodes lost in traversal")
+    assert(out.map(_._2).max >= 2,
+      "forest too shallow — one doubling round would mask a depth bug")
+  }
+
   test("q84: the runtime filter admits exactly the top-3 error days") {
     val out = operators.Extras.queries("q84_runtime_filtered_scan")(spark, sf)
       .as[(java.sql.Date, Long, Long, Double)].collect()
