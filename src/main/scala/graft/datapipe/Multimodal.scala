@@ -156,6 +156,47 @@ object Multimodal {
       out
     }
 
+    /** 90°-CW rotation on REAL decoded pixels: out(nx, ny) =
+      * in(ny, H−1−nx), out dims (H, W) — the orientation-normalization
+      * step image curation runs before training (portrait scans and
+      * camera EXIF orientations must land upright, or the model learns
+      * sideways text). Pure pixel permutation: the gray MASS is
+      * invariant, the POSITIONS all change — which is exactly the
+      * split the m15 report pins.
+      */
+    def rotate90(img: BufferedImage): BufferedImage = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new BufferedImage(h, w, BufferedImage.TYPE_INT_RGB)
+      var ny = 0
+      while (ny < w) {
+        var nx = 0
+        while (nx < h) {
+          out.setRGB(nx, ny, img.getRGB(ny, h - 1 - nx))
+          nx += 1
+        }
+        ny += 1
+      }
+      out
+    }
+
+    /** Position-weighted gray checksum: Σ v(x,y) · ((x+1) + 257·(y+1)).
+      * Two images with equal mass but permuted pixels get different
+      * checksums — the anti-aliasing pin for geometric ops.
+      */
+    def posChk(img: BufferedImage): Long = {
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          s += (img.getRGB(x, y) & 0xff).toLong * ((x + 1) + 257L * (y + 1))
+          x += 1
+        }
+        y += 1
+      }
+      s
+    }
+
     /** Sum of the gray channel over all pixels. */
     def graySum(img: BufferedImage): Long = {
       var s = 0L
@@ -984,6 +1025,33 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Orientation normalization — the rotate step image curation runs
+    // before training (portrait scans / EXIF orientations must land
+    // upright): 90°-CW rotation on REAL decoded pixels, round-tripped
+    // through the PNG encoder so the whole codec path is exercised.
+    // The report separates what rotation PRESERVES from what it moves:
+    // gray_sum is the invariant mass; the position-weighted checksums
+    // (chk_orig vs chk_rot) pin every pixel's LOCATION, so a
+    // one-pixel-off rotation — or a flip masquerading as a rotation —
+    // fails the hash. The oracle recomputes chk_rot from the pixel
+    // formula at rotated coordinates (v(ny, h−1−nx)) without ever
+    // touching the bytes. Map-only like every m-op, ~56 B/asset.
+    "m15_image_rotate" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val img = ImageCodec.decode(ImageCodec.synthPyrPng(id))
+          val rot = ImageCodec.decode(
+            ImageCodec.encodePng(ImageCodec.rotate90(img)))
+          (id, img.getWidth, img.getHeight, rot.getWidth, rot.getHeight,
+           ImageCodec.graySum(img), ImageCodec.posChk(img),
+           ImageCodec.posChk(rot))
+        })
+        .toDF("asset_id", "width", "height", "rot_width", "rot_height",
+              "gray_sum", "chk_orig", "chk_rot")
+        .orderBy($"asset_id")
+    },
+
     // Container-metadata extraction — the provenance/integrity step of
     // image curation (read the source tag a crawler stamped, verify the
     // container wasn't truncated or bit-flipped) done AT THE BYTE LEVEL:
@@ -1418,6 +1486,36 @@ object Multimodal {
         |  CAST(p.h0 // 2 // 2 AS INT) AS height2, s2.sum2
         |FROM p JOIN s0 USING (asset_id) JOIN s1 USING (asset_id)
         |  JOIN s2 USING (asset_id)
+        |ORDER BY p.asset_id""".stripMargin,
+
+    // m15: gray_sum from the formula; chk_rot from the SAME formula at
+    // rotated coordinates — proof the rotation permuted real pixels.
+    "m15_image_rotate" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(16 + doc_id % 7 AS INT) AS w0,
+        |    CAST(12 + doc_id % 5 AS INT) AS h0
+        |  FROM documents),
+        |orig AS (
+        |  SELECT p.asset_id,
+        |    CAST(SUM((xs.x*7 + ys.y*13 + p.asset_id) % 256) AS BIGINT)
+        |      AS gray_sum,
+        |    CAST(SUM(((xs.x*7 + ys.y*13 + p.asset_id) % 256)
+        |      * ((xs.x + 1) + 257 * (ys.y + 1))) AS BIGINT) AS chk_orig
+        |  FROM p, range(0, 22) xs(x), range(0, 16) ys(y)
+        |  WHERE xs.x < p.w0 AND ys.y < p.h0
+        |  GROUP BY 1),
+        |rot AS (
+        |  SELECT p.asset_id,
+        |    CAST(SUM(((ys.ny*7 + (p.h0 - 1 - xs.nx)*13 + p.asset_id) % 256)
+        |      * ((xs.nx + 1) + 257 * (ys.ny + 1))) AS BIGINT) AS chk_rot
+        |  FROM p, range(0, 16) xs(nx), range(0, 22) ys(ny)
+        |  WHERE xs.nx < p.h0 AND ys.ny < p.w0
+        |  GROUP BY 1)
+        |SELECT p.asset_id, p.w0 AS width, p.h0 AS height,
+        |  p.h0 AS rot_width, p.w0 AS rot_height,
+        |  o.gray_sum, o.chk_orig, r.chk_rot
+        |FROM p JOIN orig o USING (asset_id) JOIN rot r USING (asset_id)
         |ORDER BY p.asset_id""".stripMargin,
 
     // m13: the oracle knows ONLY the planted formulas — matching width/

@@ -237,7 +237,9 @@ object StressBench {
       "m14_audio_normalize," +
       // q85: one linear scan feeds the doubling rounds; scaled copies'
       // parents dangle and prune in round 1 — flat past the scan
-      "q85_hierarchy_rollup"
+      "q85_hierarchy_rollup," +
+      // m15: map-only decode+rotate+encode round trip — flat like m02
+      "m15_image_rotate"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2166,6 +2166,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("m15: rotation preserves mass, moves positions, and undoes in four turns") {
+    import datapipe.Multimodal.ImageCodec
+    val out = datapipe.Multimodal.queries("m15_image_rotate")(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, rw, rh, sum, chkO, chkR) =>
+      val (ew, eh) = ImageCodec.pyrDims(id)
+      assert((w, h, rw, rh) === ((ew, eh, eh, ew)), s"id=$id dims")
+      def px(x: Int, y: Int) = ImageCodec.pixel(id, x, y)
+      val eSum = (for (y <- 0 until h; x <- 0 until w) yield px(x, y).toLong).sum
+      val eChkO = (for (y <- 0 until h; x <- 0 until w)
+        yield px(x, y).toLong * ((x + 1) + 257L * (y + 1))).sum
+      val eChkR = (for (ny <- 0 until w; nx <- 0 until h)
+        yield px(ny, h - 1 - nx).toLong * ((nx + 1) + 257L * (ny + 1))).sum
+      assert(sum === eSum && chkO === eChkO && chkR === eChkR, s"id=$id chk")
+      assert(chkO !== chkR, s"id=$id rotation left the checksum fixed")
+    }
+    // four quarter turns are the identity on the real pixel path
+    val img = ImageCodec.decode(ImageCodec.synthPyrPng(11L))
+    val r4 = Iterator.iterate(img)(ImageCodec.rotate90).drop(4).next()
+    assert((r4.getWidth, r4.getHeight) === ((img.getWidth, img.getHeight)))
+    assert(ImageCodec.posChk(r4) === ImageCodec.posChk(img) &&
+           ImageCodec.graySum(r4) === ImageCodec.graySum(img))
+  }
+
   test("m13: chunk walk reads real bytes — corruption flips the CRC verdict") {
     import datapipe.Multimodal.{ImageCodec, PngChunks}
     val out = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)
