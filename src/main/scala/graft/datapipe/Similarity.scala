@@ -997,6 +997,41 @@ object Similarity {
       report(30).unionByName(report(100)).orderBy($"method")
     },
 
+    // RANGE SEARCH — the RADIUS half of the similarity API (top-k asks
+    // "the nearest k whatever the distance"; range asks "EVERYTHING
+    // within R" — which is the query near-dup thresholds actually are:
+    // semantic dedup keeps all neighbors under a distance bound, and
+    // FAISS/Milvus expose range_search beside knn for exactly this).
+    // Per sampled query: the exact nearest-neighbor distance (the
+    // statistic radii are calibrated FROM) and, at two fixed integer
+    // radii, the within-R count plus an id-sum set checksum (the count
+    // alone could match with the wrong members). All distances are the
+    // family's once-rounded 1e8 fixed point through the codegen IntL2
+    // loop — no float ever compares. Scale shape: ONE corpus scan
+    // against the broadcast NQ sample, conditional aggregates fold
+    // map-side to (q_id, 4 longs) partials — the same linear-in-corpus
+    // bill as s01/s22, with no top-k window at all.
+    "s25_range_search" -> { (s, d) =>
+      import s.implicits._
+      val R1 = 15000000000000000L // ~2% of pair distances at sf0.01
+      val R2 = 17000000000000000L // ~12%
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val qs0 = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      emb.select($"vec_id", roundFx("embedding").as("lv"))
+        .join(broadcast(qs0.select($"q_id", roundFx("q_emb").as("lq"))),
+              $"vec_id" =!= $"q_id")
+        .withColumn("d2", graft.functions.IntL2.int_l2($"lv", $"lq"))
+        .groupBy($"q_id")
+        .agg(min($"d2").as("nn_d2"),
+             sum(when($"d2" <= R1, 1L).otherwise(0L)).as("n_r1"),
+             sum(when($"d2" <= R2, 1L).otherwise(0L)).as("n_r2"),
+             sum(when($"d2" <= R1, $"vec_id").otherwise(0L)).as("ids_r1"))
+        .orderBy($"q_id")
+    },
+
     // INDEX LOAD PROFILE — the serving-ops report next to the recall
     // evals (s14/s15/s16 ask "does the index find things"; s17 asks
     // "what does a probe COST, and how unevenly"): for each candidate
@@ -2176,6 +2211,26 @@ object Similarity {
          |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
          |FROM u ORDER BY method""".stripMargin
     },
+
+    "s25_range_search" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  $sampleOrderSql),
+         |d AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${intL2Sql("e.embedding", "q.q_emb")} AS d2
+         |  FROM e, q WHERE e.vec_id <> q.q_id)
+         |SELECT q_id, CAST(MIN(d2) AS BIGINT) AS nn_d2,
+         |  CAST(SUM(CASE WHEN d2 <= 15000000000000000
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
+         |  CAST(SUM(CASE WHEN d2 <= 17000000000000000
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+         |  CAST(SUM(CASE WHEN d2 <= 15000000000000000
+         |           THEN vec_id ELSE 0 END) AS BIGINT) AS ids_r1
+         |FROM d GROUP BY q_id ORDER BY q_id""".stripMargin,
 
     "s17_index_load_profile" ->
       s"""WITH e AS (

@@ -239,7 +239,10 @@ object StressBench {
       // parents dangle and prune in round 1 — flat past the scan
       "q85_hierarchy_rollup," +
       // m15: map-only decode+rotate+encode round trip — flat like m02
-      "m15_image_rotate"
+     "m15_image_rotate," +
+      // s25: embeddings 1× — one broadcast-NQ scan folding to (q_id,
+      // 4 longs) map-side partials, no window at all: flat like s01
+      "s25_range_search"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

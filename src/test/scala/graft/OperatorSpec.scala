@@ -1967,6 +1967,41 @@ class OperatorSpec extends SparkSpec {
     assert(lossy, "quantizer is exact on every component — eval vacuous")
   }
 
+  test("s25: range counts, checksums, and NN distances equal the exact recompute") {
+    val out = datapipe.Similarity.queries("s25_range_search")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 32)
+    val R1 = 15000000000000000L; val R2 = 17000000000000000L
+    def ph(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .filter(_._2.nonEmpty)
+      .map { case (id, e) => id -> e.map(x => math.round(x.toDouble * 1e8)) }
+    val qids = vecs.map(_._1).sortBy(id => (ph(id.toString), id)).take(32).toSet
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byQ = out.map(r => r._1 -> r).toMap
+    assert(byQ.keySet === qids)
+    vecs.filter(v => qids(v._1)).foreach { case (q, qv) =>
+      val ds = vecs.filter(_._1 != q).map { case (id, v) => (id, d2(v, qv)) }
+      val exp = (q, ds.map(_._2).min,
+        ds.count(_._2 <= R1).toLong, ds.count(_._2 <= R2).toLong,
+        ds.filter(_._2 <= R1).map(_._1).sum)
+      assert(byQ(q) === exp, s"q=$q")
+    }
+    // structural coupling: the radius report and the NN stat must agree
+    out.foreach { case (q, nn, n1, n2, _) =>
+      assert(n1 <= n2, s"q=$q monotone")
+      assert((n1 > 0) === (nn <= R1), s"q=$q nn/radius consistency")
+    }
+    assert(out.exists(_._3 > 0) && out.exists(r => r._4 > r._3),
+      "radii fail to separate — both counts identical everywhere")
+  }
+
   test("m11: every pyramid level matches the exact floor-average recompute") {
     val out = datapipe.Multimodal.queries("m11_image_pyramid")(spark, sf)
       .as[(Long, Int, Int, Long, Int, Int, Long, Int, Int, Long)].collect()
