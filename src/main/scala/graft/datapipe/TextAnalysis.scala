@@ -1407,6 +1407,36 @@ object TextAnalysis {
           coalesce($"longest_span", lit(0L)).as("longest_span"),
           coalesce($"first_start", lit(0L)).as("first_start"))
         .orderBy($"doc_id")
+    },
+
+    // SOURCE NOVELTY — data-value attribution, the per-source answer to
+    // d22's pairwise overlap matrix (d22 says which PAIRS share
+    // content; t35 says what each source brings that NO other source
+    // has — the number a data buyer reads before renewing a feed, and
+    // the complement of d29's redundancy deflation): of each source's
+    // distinct word-3-shingle hashes, the fraction appearing in no
+    // other source (cross-source df = 1), as exact integer ppm. Scale
+    // shape: the shingle explode reduces to DISTINCT (source, 60-bit
+    // hash) rows before any shuffle; df is ONE map-side-combined
+    // count per hash; the join back is on the uniform hash key; the
+    // report is one per-source aggregate — pair-free end to end, so it
+    // stays linear where d22's pair expansion is k²-bounded.
+    "t35_source_novelty" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.WordShinglePHashes.word_shingle_phashes
+      graft.GraftExtensions.register(s)
+      val hs = T.documents(s, d)
+        .withColumn("hset", word_shingle_phashes($"text", 3))
+        .filter(size($"hset") >= 1)
+        .select($"source", explode($"hset").as("h"))
+        .distinct()
+      val df = hs.groupBy($"h").agg(count(lit(1)).as("nsrc"))
+      hs.join(df, Seq("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_distinct"),
+             sum(when($"nsrc" === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novel_ppm", expr("n_novel * 1000000 DIV n_distinct"))
+        .orderBy($"source")
     }
   )
 
@@ -2406,6 +2436,27 @@ object TextAnalysis {
     // t34: the oracle replays the same deterministic hash over every
     // position and the same island merge — the plan must be identical
     // byte for byte, because a training run shards it by REPLAYING it.
+    // t35: same shingle hash grammar as d22's oracle; df = distinct
+    // sources per hash; ppm is integer floor division on both engines.
+    "t35_source_novelty" ->
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |hs AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(list_transform(range(0, len(words) - 2),
+        |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]),
+        |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS h
+        |  FROM w),
+        |df AS (SELECT h, COUNT(*) AS nsrc FROM hs GROUP BY h)
+        |SELECT hs.source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN df.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(SUM(CASE WHEN df.nsrc = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS novel_ppm
+        |FROM hs JOIN df USING (h)
+        |GROUP BY hs.source ORDER BY hs.source""".stripMargin,
+
     "t34_span_corruption" -> {
       val h = graft.Dets.phashSql(
         "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")

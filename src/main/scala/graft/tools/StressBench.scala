@@ -242,7 +242,10 @@ object StressBench {
      "m15_image_rotate," +
       // s25: embeddings 1× — one broadcast-NQ scan folding to (q_id,
       // 4 longs) map-side partials, no window at all: flat like s01
-      "s25_range_search"
+     "s25_range_search," +
+      // t35: distinct (source, hash) + one df count + uniform-key join
+      // back — pair-free, sublinear like t28 (distinct grams saturate)
+      "t35_source_novelty"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2270,6 +2270,33 @@ class OperatorSpec extends SparkSpec {
     assert(docLevelLeaks, "fixture cannot distinguish cluster- from doc-level split")
   }
 
+  test("t35: per-source novel-shingle mass equals the cross-source df recompute") {
+    val out = datapipe.TextAnalysis.queries("t35_source_novelty")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    val perSrc = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap { case (_, t) =>
+        // words = segments between single spaces, empties kept — the
+        // WordShinglePHashes/string_split grammar
+        val ws = t.split(" ", -1)
+        ws.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      }.toSet
+    }
+    val dfAll = perSrc.values.flatten.groupBy(identity).map {
+      case (g, _) => g -> perSrc.values.count(_.contains(g))
+    }
+    val expected = perSrc.map { case (src, gs) =>
+      val novel = gs.count(g => dfAll(g) == 1).toLong
+      src -> ((src, gs.size.toLong, novel, novel * 1000000L / gs.size))
+    }
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (src, e) => assert(out(src) === e, s"src=$src") }
+    assert(out.values.exists(_._3 > 0), "no novel gram anywhere — vacuous")
+    assert(out.values.exists(r => r._3 < r._2),
+      "every gram novel — cross-source sharing never exercised")
+  }
+
   test("d29: per-source effective mass equals the 1/|cluster| recompute exactly") {
     val out = datapipe.Dedup.queries("d29_soft_dedup")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
