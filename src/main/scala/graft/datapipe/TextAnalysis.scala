@@ -1437,6 +1437,47 @@ object TextAnalysis {
              sum(when($"nsrc" === 1, 1L).otherwise(0L)).as("n_novel"))
         .withColumn("novel_ppm", expr("n_novel * 1000000 DIV n_distinct"))
         .orderBy($"source")
+    },
+
+    // OVERLAPPING CHUNKER — the window slicer every RAG index and
+    // long-context pretraining pipeline runs (fixed-size chunks with
+    // overlap so no boundary-straddling span is lost; t17 packs WHOLE
+    // docs into sequences, d13 fingerprints NON-overlapping chunks —
+    // the overlapping chunker is the third, retrieval-facing shape):
+    // chunk size C=16 tokens, stride S=12 (C−S=4 overlap; constants
+    // scaled to the fixture's ~30-word docs — production uses
+    // 512/448 with the same arithmetic). The per-doc report pins the
+    // chunking EXACTLY, not just its arithmetic: n_chunks and
+    // last_fill come from the closed form, and hash_mod_sum sums each
+    // chunk's 60-bit content hash (mod 1e9 — Spark wraps, DuckDB
+    // raises, so the mod keeps the sum well inside BIGINT on both
+    // engines, the IntL2 lesson) over the ACTUAL sliced token spans —
+    // an off-by-one chunk boundary changes a hash and fails the
+    // compare. Scale shape: map-only explode of O(n/S) chunk indexes
+    // per doc; only (doc_id, 4 longs) reach the aggregate; bodies
+    // never shuffle.
+    "t36_doc_chunks" -> { (s, d) =>
+      import s.implicits._
+      val C = 16; val S = 12
+      val base = T.documents(s, d)
+        .select($"doc_id", expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        .filter(size($"ws") >= 1)
+        .withColumn("n", size($"ws").cast("long"))
+        .withColumn("nc", when($"n" <= C, 1L)
+          .otherwise(lit(1L) + expr(s"(n - $C + ${S - 1}) DIV $S")))
+      base
+        .select($"doc_id", $"n", $"nc",
+          explode(expr("sequence(0, nc - 1)")).as("ci"), $"ws")
+        .withColumn("h", graft.Dets.phash(expr(
+          s"array_join(slice(ws, ci * $S + 1, least($C, n - ci * $S)), ' ')"))
+          % 1000000000L)
+        .groupBy($"doc_id")
+        .agg(max($"n").as("n_tokens"), max($"nc").as("n_chunks"),
+             sum($"h").as("hash_mod_sum"))
+        .select($"doc_id", $"n_tokens", $"n_chunks",
+          ($"n_tokens" - ($"n_chunks" - 1L) * S).as("last_fill"),
+          $"hash_mod_sum")
+        .orderBy($"doc_id")
     }
   )
 
@@ -2436,6 +2477,34 @@ object TextAnalysis {
     // t34: the oracle replays the same deterministic hash over every
     // position and the same island merge — the plan must be identical
     // byte for byte, because a training run shards it by REPLAYING it.
+    // t36: the oracle slices the same 1-based token spans and hashes
+    // each chunk's joined text — boundary parity to the token.
+    "t36_doc_chunks" -> {
+      val h = graft.Dets.phashSql(
+        "array_to_string(ws[CAST(ci * 12 + 1 AS INT) : " +
+          "CAST(least(ci * 12 + 16, n) AS INT)], ' ')")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n
+         |  FROM w WHERE len(ws) >= 1),
+         |ch AS (
+         |  SELECT doc_id, n, ws,
+         |    unnest(range(0, CASE WHEN n <= 16 THEN 1
+         |                         ELSE 1 + (n - 16 + 11) // 12 END)) AS ci
+         |  FROM base),
+         |hx AS (
+         |  SELECT doc_id, n, CAST($h % 1000000000 AS BIGINT) AS h,
+         |    CASE WHEN n <= 16 THEN 1 ELSE 1 + (n - 16 + 11) // 12 END AS nc
+         |  FROM ch)
+         |SELECT doc_id, MAX(n) AS n_tokens, CAST(MAX(nc) AS BIGINT) AS n_chunks,
+         |  CAST(MAX(n) - (MAX(nc) - 1) * 12 AS BIGINT) AS last_fill,
+         |  CAST(SUM(h) AS BIGINT) AS hash_mod_sum
+         |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     // t35: same shingle hash grammar as d22's oracle; df = distinct
     // sources per hash; ppm is integer floor division on both engines.
     "t35_source_novelty" ->

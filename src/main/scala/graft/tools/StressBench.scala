@@ -245,7 +245,10 @@ object StressBench {
      "s25_range_search," +
       // t35: distinct (source, hash) + one df count + uniform-key join
       // back — pair-free, sublinear like t28 (distinct grams saturate)
-      "t35_source_novelty"
+     "t35_source_novelty," +
+      // t36: map-only chunk explode, (doc_id, 4 longs) to the agg —
+      // linear in docs like t03
+      "t36_doc_chunks"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2297,6 +2297,41 @@ class OperatorSpec extends SparkSpec {
       "every gram novel — cross-source sharing never exercised")
   }
 
+  test("t36: chunk boundaries, overlap, and content hashes replay exactly") {
+    def ph(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val out = datapipe.TextAnalysis.queries("t36_doc_chunks")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val C = 16; val S = 12
+    docs.foreach { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.nonEmpty) {
+        val n = ws.length
+        val nc = if (n <= C) 1 else 1 + (n - C + S - 1) / S
+        val chunks = (0 until nc).map(ci => ws.slice(ci * S, ci * S + C))
+        val hsum = chunks.map(c => ph(c.mkString(" ")) % 1000000000L).sum
+        assert(out(id) === ((id, n.toLong, nc.toLong,
+          (n - (nc - 1) * S).toLong, hsum)), s"id=$id")
+        // every token covered; consecutive chunks share exactly the
+        // C-S overlap (except a short last chunk, which shares more
+        // of its predecessor's span)
+        assert(chunks.map(_.length).sum >= n, s"id=$id coverage")
+        chunks.sliding(2).filter(_.length == 2).foreach { case Seq(a, b) =>
+          assert(a.takeRight(C - S).sameElements(b.take(C - S)) ||
+                 b.length < C, s"id=$id overlap")
+        }
+      }
+    }
+    val ncs = out.values.map(_._3)
+    assert(ncs.max >= 3 && ncs.min === 1L,
+      "fixture lacks both multi-chunk and single-chunk docs")
+  }
+
   test("d29: per-source effective mass equals the 1/|cluster| recompute exactly") {
     val out = datapipe.Dedup.queries("d29_soft_dedup")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
