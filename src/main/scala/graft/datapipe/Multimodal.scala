@@ -197,6 +197,49 @@ object Multimodal {
       s
     }
 
+    /** Histogram equalization on REAL decoded pixels — the contrast
+      * normalization image curation runs so the model sees content,
+      * not exposure (washed-out scans and underexposed photos land on
+      * the same tonal scale). The classic integer transfer function:
+      * vnew = (cdf(v) − cdfmin) · 255 / (n − cdfmin), floor division,
+      * where cdfmin is the cumulative count at the darkest PRESENT
+      * value — so the darkest present value maps to exactly 0 and the
+      * brightest to exactly 255. A constant image (n == cdfmin) maps
+      * to 0 by convention. Pure integer on both engines.
+      */
+    def equalize(img: BufferedImage): BufferedImage = {
+      val w = img.getWidth; val h = img.getHeight
+      val n = w * h
+      val hist = new Array[Int](256)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { hist(img.getRGB(x, y) & 0xff) += 1; x += 1 }
+        y += 1
+      }
+      val cdf = new Array[Int](256)
+      var acc = 0; var v = 0
+      while (v < 256) { acc += hist(v); cdf(v) = acc; v += 1 }
+      var cdfMin = 0; v = 0
+      while (v < 256 && cdfMin == 0) {
+        if (hist(v) > 0) cdfMin = cdf(v); v += 1
+      }
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y) & 0xff
+          val q = if (n == cdfMin) 0
+                  else ((cdf(p) - cdfMin).toLong * 255 / (n - cdfMin)).toInt
+          out.setRGB(x, y, (q << 16) | (q << 8) | q)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Sum of the gray channel over all pixels. */
     def graySum(img: BufferedImage): Long = {
       var s = 0L
@@ -1052,6 +1095,44 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Contrast normalization — histogram equalization on REAL decoded
+    // pixels (washed-out scans and underexposed photos land on one
+    // tonal scale before training): the classic integer transfer
+    // function vnew = (cdf(v) − cdfmin)·255/(n − cdfmin) with floor
+    // division, computed from the image's own histogram, applied, and
+    // round-tripped through the PNG encoder. The report pins the
+    // transfer exactly: equalized mass + position-weighted checksum
+    // (a single misremapped pixel fails the hash) + the min/max pins
+    // 0 and 255 that the cdfmin anchoring guarantees on any
+    // non-constant image. The oracle rebuilds the histogram, CDF, and
+    // remap from the pixel formula in SQL — no bytes, same integers.
+    // Map-only like every m-op, ~48 B/asset.
+    "m16_hist_equalize" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val img = ImageCodec.decode(ImageCodec.synthPyrPng(id))
+          val eq = ImageCodec.decode(
+            ImageCodec.encodePng(ImageCodec.equalize(img)))
+          var mn = 255; var mx = 0
+          var y = 0
+          while (y < eq.getHeight) {
+            var x = 0
+            while (x < eq.getWidth) {
+              val v = eq.getRGB(x, y) & 0xff
+              if (v < mn) mn = v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.getWidth, img.getHeight, ImageCodec.graySum(img),
+           ImageCodec.graySum(eq), ImageCodec.posChk(eq), mn, mx)
+        })
+        .toDF("asset_id", "width", "height", "sum_in", "sum_eq",
+              "chk_eq", "min_eq", "max_eq")
+        .orderBy($"asset_id")
+    },
+
     // Container-metadata extraction — the provenance/integrity step of
     // image curation (read the source tag a crawler stamped, verify the
     // container wasn't truncated or bit-flipped) done AT THE BYTE LEVEL:
@@ -1486,6 +1567,52 @@ object Multimodal {
         |  CAST(p.h0 // 2 // 2 AS INT) AS height2, s2.sum2
         |FROM p JOIN s0 USING (asset_id) JOIN s1 USING (asset_id)
         |  JOIN s2 USING (asset_id)
+        |ORDER BY p.asset_id""".stripMargin,
+
+    // m16: the oracle rebuilds histogram, CDF, and remap from the pixel
+    // formula — cdfmin is MIN(cdf) over PRESENT values (hist rows only
+    // exist for present v), n is MAX(cdf); floor division both engines.
+    "m16_hist_equalize" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(16 + doc_id % 7 AS INT) AS w0,
+        |    CAST(12 + doc_id % 5 AS INT) AS h0
+        |  FROM documents),
+        |px AS (
+        |  SELECT p.asset_id, xs.x, ys.y,
+        |    CAST((xs.x*7 + ys.y*13 + p.asset_id) % 256 AS BIGINT) AS v
+        |  FROM p, range(0, 22) xs(x), range(0, 16) ys(y)
+        |  WHERE xs.x < p.w0 AND ys.y < p.h0),
+        |hist AS (
+        |  SELECT asset_id, v, COUNT(*) AS cnt FROM px GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT asset_id, v,
+        |    SUM(cnt) OVER (PARTITION BY asset_id ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cdf
+        |  FROM hist),
+        |anch AS (
+        |  SELECT asset_id, MIN(cdf) AS cdfmin, MAX(cdf) AS n
+        |  FROM cdf GROUP BY 1),
+        |vmap AS (
+        |  SELECT c.asset_id, c.v,
+        |    CASE WHEN a.n = a.cdfmin THEN 0
+        |         ELSE (c.cdf - a.cdfmin) * 255 // (a.n - a.cdfmin)
+        |    END AS q
+        |  FROM cdf c JOIN anch a USING (asset_id)),
+        |eq AS (
+        |  SELECT px.asset_id, px.x, px.y, m.q
+        |  FROM px JOIN vmap m ON px.asset_id = m.asset_id AND px.v = m.v),
+        |sums AS (
+        |  SELECT asset_id, CAST(SUM(q) AS BIGINT) AS sum_eq,
+        |    CAST(SUM(q * ((x + 1) + 257 * (y + 1))) AS BIGINT) AS chk_eq,
+        |    CAST(MIN(q) AS INT) AS min_eq, CAST(MAX(q) AS INT) AS max_eq
+        |  FROM eq GROUP BY 1),
+        |sin AS (
+        |  SELECT asset_id, CAST(SUM(v) AS BIGINT) AS sum_in
+        |  FROM px GROUP BY 1)
+        |SELECT p.asset_id, p.w0 AS width, p.h0 AS height, sin.sum_in,
+        |  s.sum_eq, s.chk_eq, s.min_eq, s.max_eq
+        |FROM p JOIN sin USING (asset_id) JOIN sums s USING (asset_id)
         |ORDER BY p.asset_id""".stripMargin,
 
     // m15: gray_sum from the formula; chk_rot from the SAME formula at

@@ -248,7 +248,9 @@ object StressBench {
      "t35_source_novelty," +
       // t36: map-only chunk explode, (doc_id, 4 longs) to the agg —
       // linear in docs like t03
-      "t36_doc_chunks"
+     "t36_doc_chunks," +
+      // m16: map-only decode+equalize+encode — flat like m02/m15
+      "m16_hist_equalize"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

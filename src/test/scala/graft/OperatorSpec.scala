@@ -2226,6 +2226,39 @@ class OperatorSpec extends SparkSpec {
            ImageCodec.graySum(r4) === ImageCodec.graySum(img))
   }
 
+  test("m16: the integer CDF remap replays exactly and anchors 0/255") {
+    import datapipe.Multimodal.ImageCodec
+    val out = datapipe.Multimodal.queries("m16_hist_equalize")(spark, sf)
+      .as[(Long, Int, Int, Long, Long, Long, Int, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, sumIn, sumEq, chkEq, mn, mx) =>
+      val (ew, eh) = ImageCodec.pyrDims(id)
+      assert((w, h) === ((ew, eh)), s"id=$id dims")
+      val n = w * h
+      val vs = for (y <- 0 until h; x <- 0 until w)
+        yield ImageCodec.pixel(id, x, y)
+      val hist = vs.groupBy(identity).view.mapValues(_.size).toMap
+      val cdf = (0 to 255).scanLeft(0)((a, v) => a + hist.getOrElse(v, 0)).tail
+      val cdfMin = cdf((0 to 255).find(hist.contains).get)
+      def q(v: Int) =
+        if (n == cdfMin) 0 else ((cdf(v) - cdfMin).toLong * 255 / (n - cdfMin)).toInt
+      val eq = vs.map(q)
+      val eChk = eq.zipWithIndex.map { case (v, i) =>
+        val (x, y) = (i % w, i / w)
+        v.toLong * ((x + 1) + 257L * (y + 1))
+      }.sum
+      assert(sumIn === vs.map(_.toLong).sum && sumEq === eq.map(_.toLong).sum &&
+             chkEq === eChk, s"id=$id remap")
+      assert(mn === 0 && mx === 255, s"id=$id anchors")
+      assert(sumEq !== sumIn, s"id=$id remap is the identity — vacuous")
+      // equalization must preserve tonal ORDER on present values
+      val present = (0 to 255).filter(hist.contains)
+      present.sliding(2).filter(_.length == 2).foreach { case Seq(a, b) =>
+        assert(q(a) <= q(b), s"id=$id monotonicity at $a<$b")
+      }
+    }
+  }
+
   test("m13: chunk walk reads real bytes — corruption flips the CRC verdict") {
     import datapipe.Multimodal.{ImageCodec, PngChunks}
     val out = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)
