@@ -997,6 +997,98 @@ object Similarity {
       report(30).unionByName(report(100)).orderBy($"method")
     },
 
+    // IVF+SQ8 COMPOSED INDEX — the layout a CPU ANN deployment
+    // actually ships (FAISS "IVF,SQ8": coarse cells prune WHICH vectors
+    // to touch, int8 codes shrink WHAT each touch costs — s15 measured
+    // the first loss alone, s24 the second; production pays BOTH, and
+    // the composed recall is what sizes nprobe and the rerank width):
+    // vectors live in s03/s15's 8 coarse cells as s24's global-scale
+    // int8 codes; each query probes its top-2 cells (s15's exact
+    // cosine ranking) and ranks ONLY those cells' codes by integer
+    // code-space L2; top-30/100 candidates score against the exact
+    // full-precision int-L2 top-10. Scale shape: the probe join keeps
+    // posting lists partition-prunable (vectors never shuffle — the
+    // store row is (vec_id, cell, 64 bytes of codes)); the per-query
+    // scan touches ~2/8 of the corpus at a quarter of the bandwidth —
+    // the two multiplicative savings the composition exists for.
+    "s26_ivfsq_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val centroids = T.embeddings(s, d)
+        .select(($"vec_id" % 8).as("cell"),
+                posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("centroid"))
+      val centsRow = centroidRow(centroids)
+      val fxE = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+      val mRow = emb.withColumn("fx", expr(fxE))
+        .agg(greatest(max(expr("array_max(transform(fx, x -> abs(x)))")),
+          lit(1L)).as("m"))
+      def sq(df: DataFrame): DataFrame = df.crossJoin(broadcast(mRow))
+        .withColumn("codes", expr(
+          """transform(fx, x -> IF(x >= 0, (254 * x + m) DIV (2 * m),
+            |                      -((254 * -x + m) DIV (2 * m))))""".stripMargin))
+      val store = sq(assignCells(emb, centsRow, "home_cell")
+          .withColumn("fx", expr(fxE)))
+        .select($"vec_id", $"home_cell", $"codes")
+      val qs0 = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        .localCheckpoint() // NQ rows; the family's shared sample frame
+      val qcells = qs0.crossJoin(broadcast(centsRow))
+        .select($"q_id", $"q_emb", explode($"cents").as("c"))
+        .withColumn("cos", cosine_sim($"q_emb", $"c.centroid"))
+        .withColumn("rn", row_number().over(Window.partitionBy($"q_id")
+          .orderBy(isnan($"cos").asc, $"cos".desc, $"c.cell".asc)))
+        .filter($"rn" <= 2)
+        .select($"q_id", $"c.cell".as("pcell"))
+      val probe = qcells.join(
+        sq(qs0.select($"q_id", expr(
+            "transform(q_emb, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+          .as("fx"))).select($"q_id", $"codes".as("qcodes")),
+        Seq("q_id"))
+      val wC = Window.partitionBy($"q_id").orderBy($"cd2", $"vec_id")
+      val ranked = store
+        .join(broadcast(probe), $"home_cell" === $"pcell" && $"vec_id" =!= $"q_id")
+        .withColumn("cd2", graft.functions.IntL2.int_l2($"codes", $"qcodes"))
+        .select($"q_id", $"vec_id", $"cd2")
+        .withColumn("rn", row_number().over(wC))
+        .filter($"rn" <= 100)
+        .select($"q_id", $"vec_id", $"rn")
+        .localCheckpoint() // <= NQ×100 rows; the probed code scan runs ONCE
+      val wE = Window.partitionBy($"q_id").orderBy($"d2", $"vec_id")
+      val exact10 = emb.select($"vec_id", roundFx("embedding").as("lv"))
+        .join(broadcast(qs0.select($"q_id", roundFx("q_emb").as("lq"))),
+              $"vec_id" =!= $"q_id")
+        .withColumn("d2", graft.functions.IntL2.int_l2($"lv", $"lq"))
+        .select($"q_id", $"vec_id", $"d2")
+        .withColumn("rn", row_number().over(wE))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint() // <= NQ×10 rows; the truth pass runs ONCE
+      val nq = qs0.agg(count(lit(1)).as("n_q"))
+      val nTruth = exact10.agg(count(lit(1)).as("n_truth"))
+      def report(c: Int): DataFrame = {
+        val cand = ranked.filter($"rn" <= c).select($"q_id", $"vec_id")
+        exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(nq))
+          .crossJoin(broadcast(nTruth))
+          .select(lit(s"ivfsq_top$c").as("method"), $"n_q", $"n_truth",
+            $"hits", $"n_cand",
+            ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+            ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"))
+      }
+      report(30).unionByName(report(100)).orderBy($"method")
+    },
+
     // RANGE SEARCH — the RADIUS half of the similarity API (top-k asks
     // "the nearest k whatever the distance"; range asks "EVERYTHING
     // within R" — which is the query near-dup thresholds actually are:
@@ -2199,6 +2291,101 @@ object Similarity {
          |    (SELECT COUNT(*) FROM ranked WHERE rn <= 30) AS n_cand
          |  UNION ALL
          |  SELECT 'sq8_top100' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM ranked c
+         |        WHERE c.rn <= 100 AND x.q_id = c.q_id
+         |          AND x.vec_id = c.vec_id)) AS hits,
+         |    (SELECT COUNT(*) FROM ranked) AS n_cand)
+         |SELECT method, n_q, n_truth, hits, n_cand,
+         |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
+         |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
+         |FROM u ORDER BY method""".stripMargin
+    },
+
+    // s26: s15's cell CTEs + s24's code CTEs composed; candidates are
+    // probed-cell codes ranked by code-space L2, truth is exact int-L2.
+    "s26_ivfsq_recall" -> {
+      def longL2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+          s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
+          s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      val codeExpr = "list_transform(fx, x -> CASE WHEN x >= 0 " +
+        "THEN (254 * x + m) // (2 * m) " +
+        "ELSE -((254 * (-x) + m) // (2 * m)) END)"
+      s"""WITH means AS (
+         |  SELECT cell, i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+         |         / COUNT(*) AS REAL) AS m
+         |  FROM (SELECT vec_id % 8 AS cell,
+         |          unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v
+         |        FROM embeddings)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell, list(m ORDER BY pos) AS centroid
+         |  FROM means GROUP BY cell),
+         |e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |assigned AS (
+         |  SELECT vec_id, cell AS home_cell FROM (${assignSql("cent", "e")}) z),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  $sampleOrderSql),
+         |qc AS (
+         |  SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY isnan(cos) ASC, cos DESC, cell ASC) AS rn
+         |  FROM (
+         |    SELECT q.q_id, c.cell,
+         |      ${dotSql("q.q_emb", "c.centroid")} /
+         |      (sqrt(${dotSql("q.q_emb", "q.q_emb")}) *
+         |       sqrt(${dotSql("c.centroid", "c.centroid")})) AS cos
+         |    FROM q, cent c) z),
+         |ef AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS fx
+         |  FROM e),
+         |qf AS (
+         |  SELECT q_id, list_transform(q_emb,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS fx
+         |  FROM q),
+         |mm AS (
+         |  SELECT greatest(MAX(list_max(list_transform(fx, x -> abs(x)))),
+         |                  1) AS m
+         |  FROM ef),
+         |ce AS (SELECT vec_id, $codeExpr AS codes FROM ef, mm),
+         |cq AS (SELECT q_id, $codeExpr AS qcodes FROM qf, mm),
+         |ranked AS (
+         |  SELECT q_id, vec_id, rn FROM (
+         |    SELECT p.q_id, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.q_id
+         |        ORDER BY ${longL2("ce.codes", "cq.qcodes")}, a.vec_id) AS rn
+         |    FROM assigned a
+         |    JOIN qc p ON a.home_cell = p.cell AND p.rn <= 2
+         |    JOIN ce ON ce.vec_id = a.vec_id
+         |    JOIN cq ON cq.q_id = p.q_id
+         |    WHERE a.vec_id <> p.q_id) z
+         |  WHERE rn <= 100),
+         |exact10 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${intL2Sql("e.embedding", "q.q_emb")}, e.vec_id) AS rn
+         |    FROM e, q WHERE e.vec_id <> q.q_id) z
+         |  WHERE rn <= 10),
+         |u AS (
+         |  SELECT 'ivfsq_top30' AS method,
+         |    (SELECT COUNT(*) FROM q) AS n_q,
+         |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |       (SELECT 1 FROM ranked c
+         |        WHERE c.rn <= 30 AND x.q_id = c.q_id
+         |          AND x.vec_id = c.vec_id)) AS hits,
+         |    (SELECT COUNT(*) FROM ranked WHERE rn <= 30) AS n_cand
+         |  UNION ALL
+         |  SELECT 'ivfsq_top100' AS method,
          |    (SELECT COUNT(*) FROM q) AS n_q,
          |    (SELECT COUNT(*) FROM exact10) AS n_truth,
          |    (SELECT COUNT(*) FROM exact10 x WHERE EXISTS

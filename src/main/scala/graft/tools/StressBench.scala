@@ -250,7 +250,11 @@ object StressBench {
       // linear in docs like t03
      "t36_doc_chunks," +
       // m16: map-only decode+equalize+encode — flat like m02/m15
-      "m16_hist_equalize"
+      "m16_hist_equalize," +
+      // s26: s15's probe + s24's coding over the k×-scaled embeddings;
+      // the NQ-sampled scans are O(NQ·n) — constant-dominated at small
+      // k, linear in corpus rows past ~16× (the family's shape)
+      "s26_ivfsq_recall"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

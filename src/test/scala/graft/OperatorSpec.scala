@@ -2002,6 +2002,90 @@ class OperatorSpec extends SparkSpec {
       "radii fail to separate — both counts identical everywhere")
   }
 
+  test("s26: the composed IVF+SQ8 report replays from assignment + integer rerank") {
+    import datapipe.Similarity
+    val out = Similarity.queries("s26_ivfsq_recall")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def ph(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // cells via the library's own map-only argmax (its determinism is
+    // pinned elsewhere); everything downstream — codes, probe ranking,
+    // candidate rerank, truth, counts — replays in plain Scala
+    val embF = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size($"embedding") > 0)
+    val centroids = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(($"vec_id" % 8).as("cell"),
+              posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"cell", $"pos")
+      .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+        .cast("float").as("m"))
+      .groupBy($"cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("centroid"))
+    val centsRow = centroids.agg(
+      expr("array_sort(collect_list(struct(cell, centroid)))").as("cents"))
+    val cellOf = Similarity.assignCells(embF, centsRow, "home_cell")
+      .select($"vec_id", $"home_cell".cast("int")).as[(Long, Int)]
+      .collect().toMap
+    val cents = centroids.select($"cell".cast("int"), $"centroid")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val vecs = embF.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val fx6 = vecs.map { case (id, e) =>
+      id -> e.map(x => math.round(x.toDouble * 1e6)) }.toMap
+    val m = math.max(fx6.valuesIterator.flatten.map(math.abs).max, 1L)
+    def code(x: Long): Long = {
+      val a = math.abs(x); val c = (254 * a + m) / (2 * m)
+      if (x >= 0) c else -c
+    }
+    val codes = fx6.map { case (id, f) => id -> f.map(code) }
+    val fx8 = vecs.map { case (id, e) =>
+      id -> e.map(x => math.round(x.toDouble * 1e8)) }.toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc / (math.sqrt(cos0(a)) * math.sqrt(cos0(b)))
+    }
+    def cos0(a: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      acc
+    }
+    val qids = vecs.map(_._1).sortBy(id => (ph(id.toString), id)).take(32)
+    val qemb = vecs.toMap
+    var hits30 = 0L; var hits100 = 0L; var nc30 = 0L; var nc100 = 0L
+    var nTruth = 0L
+    qids.foreach { q =>
+      val pcells = cents.map { case (c, ce) => (c, cos(qemb(q), ce)) }
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+      val cand = vecs.filter(v => v._1 != q && pcells(cellOf(v._1)))
+        .map { case (id, _) => (id, l2(codes(id), codes(q))) }
+        .sortBy { case (id, d) => (d, id) }
+      val truth = vecs.filter(_._1 != q)
+        .map { case (id, _) => (id, l2(fx8(id), fx8(q))) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      nTruth += truth.size
+      val c30 = cand.take(30).map(_._1); val c100 = cand.take(100).map(_._1)
+      hits30 += c30.count(truth); hits100 += c100.count(truth)
+      nc30 += c30.length; nc100 += c100.length
+    }
+    assert(out("ivfsq_top30") ===
+      (("ivfsq_top30", 32L, nTruth, hits30, nc30,
+        hits30.toDouble / nTruth, nc30.toDouble / 32)))
+    assert(out("ivfsq_top100") ===
+      (("ivfsq_top100", 32L, nTruth, hits100, nc100,
+        hits100.toDouble / nTruth, nc100.toDouble / 32)))
+    // the composition must MEASURE loss on this fixture (cell pruning
+    // bounds recall away from 1) while still beating chance
+    assert(out("ivfsq_top100")._6 > 0.1 && out("ivfsq_top100")._6 < 1.0)
+  }
+
   test("m11: every pyramid level matches the exact floor-average recompute") {
     val out = datapipe.Multimodal.queries("m11_image_pyramid")(spark, sf)
       .as[(Long, Int, Int, Long, Int, Int, Long, Int, Int, Long)].collect()
