@@ -40,7 +40,10 @@ object StressBench {
       // round-7 additions: decontamination (broadcast gram join over the
       // scaled training side), chunk dedup ((fp, doc_id)-long shuffles),
       // the map-only text gates, and the quantized two-stage rerank
-      // (embeddings stay 1x, so its curve should be FLAT like s07's)
+      // (embeddings scale k× with sign-flip decorrelation — see
+      // scaled(); the bucketed candidate scan is linear in n with a
+      // constant that dominates at these sizes, so the curve reads
+      // near-flat like s07's)
       "d12_decontaminate,d13_chunk_dedup,t11_repetition,t12_pii_scrub," +
       "t13_domain_mix,s09_two_stage_rerank,d14_semdedup,t14_unigram_nll," +
       "m04_video_frames,q63_keep_latest,q64_gaps_islands,s10_batch_ann," +
@@ -76,8 +79,9 @@ object StressBench {
       "t18_bpe_encode," +
       // t19: same cumsum shape as t17 over bytes instead of tokens
       "t19_shard_plan," +
-      // s11: embeddings stay 1x in the scaled corpus, so the curve
-      // should be FLAT like s07/s09's
+      // s11: PQ train/encode is linear in the k×-scaled embeddings
+      // (map-only past the seed-slice Lloyd step) — near-flat at these
+      // sizes like s07/s09
       "s11_product_quantization,s12_pq_adc," +
       // q78: facts fold to (day × 64) integer partials, rollup is
       // arithmetic on partials — curve tracks the one fact scan.
@@ -117,9 +121,9 @@ object StressBench {
       // join, never a self-join) — near-linear even on the
       // mutually-duplicated stress corpus where pair emitters go quadratic
       "t28_crossdoc_grams," +
-      // s13: embeddings stay 1× in the scaled corpus — curve flat like
-      // s07/s08; the (label, bucket) join keeps candidates per query
-      // constant regardless of fact-table growth
+      // s13: the (label, bucket) join keeps candidates per query near
+      // constant as the k×-scaled embeddings grow (buckets refine) —
+      // curve near-flat like s07/s08
       "s13_filtered_ann," +
       // d19: same broadcast gram join as d12 aggregated by bench doc —
       // curve should track d12's
@@ -168,13 +172,15 @@ object StressBench {
       "t30_source_loo_nll," +
       // round-13: m09 audio VAD — map-only PCM decode, ~32 B/track
       // shuffles; kernel-priced like m06/m08, curve tracks docs. s18
-      // centroid drift — embeddings stay 1×, two map-only assignment
-      // passes + 16 B control shuffles: flat like s05. t31 tokenizer
+      // centroid drift — two map-only assignment passes linear in the
+      // k×-scaled embeddings + 16 B control shuffles: tracks s05's
+      // shape, constant-dominated here. t31 tokenizer
       // health — t18's distinct-word replay + one map-only corpus
       // pass into (source, 4 longs) partials: curve tracks t18's
       "m09_audio_vad,s18_centroid_drift,t31_tokenizer_health," +
-      // s19: embeddings 1× — train on the seed slice + two map-only
-      // broadcast-argmax assignment passes, K-row report: flat.
+      // s19: train on the fixed seed slice + two map-only
+      // broadcast-argmax assignment passes linear in the k×-scaled
+      // embeddings, K-row report: constant-dominated, near-flat.
       // s20: s19's passes + one integer predicate in the aggregate —
       // identical curve
       "s19_incremental_index,s20_index_tombstones," +
@@ -199,8 +205,9 @@ object StressBench {
       "q82_bucketed_join," +
       // m10: map-only decode+edge-scan like m02/m05 (docs scale, the
       // codec kernel is the cost) — linear in docs.
-      // s21: embeddings stay 1× — projection map-only, candidate scan
-      // NQ-sampled like s14/s16: flat
+      // s21: projection map-only over the k×-scaled embeddings,
+      // candidate scan NQ-sampled (O(NQ·n)) like s14/s16 —
+      // constant-dominated at these sizes
       "m10_border_detect,s21_rp_recall," +
       // q83/q84: the partitioned layout write is linear in events and
       // paid ONCE per JVM (first of the two queries bills it); the
@@ -227,8 +234,9 @@ object StressBench {
       // d28: d06's CC machinery + a map-only hash assignment + the
       // narrow pair audit — curve should track d06's
       "d28_cluster_split," +
-      // s24: embeddings stay 1× — one integer max broadcast, map-only
-      // coding, NQ-sampled code scan: flat like s21
+      // s24: one integer max broadcast + map-only coding over the
+      // k×-scaled embeddings, NQ-sampled code scan (O(NQ·n)):
+      // constant-dominated like s21
       "s24_sq_recall," +
       // d29: d06's CC + one groupBy(grp) size + a shuffle join back on
       // grp + per-source aggregate — curve tracks d06/d28's
@@ -240,8 +248,9 @@ object StressBench {
       "q85_hierarchy_rollup," +
       // m15: map-only decode+rotate+encode round trip — flat like m02
      "m15_image_rotate," +
-      // s25: embeddings 1× — one broadcast-NQ scan folding to (q_id,
-      // 4 longs) map-side partials, no window at all: flat like s01
+      // s25: one broadcast-NQ scan over the k×-scaled embeddings
+      // folding to (q_id, 4 longs) map-side partials, no window at
+      // all — O(NQ·n), constant-dominated like s01
      "s25_range_search," +
       // t35: distinct (source, hash) + one df count + uniform-key join
       // back — pair-free, sublinear like t28 (distinct grams saturate)
