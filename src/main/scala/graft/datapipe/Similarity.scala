@@ -1089,6 +1089,98 @@ object Similarity {
       report(30).unionByName(report(100)).orderBy($"method")
     },
 
+    // NPROBE OPERATING CURVE — the knob-sizing table s26's finding
+    // points at (the composed index's loss is ALL cell pruning, so
+    // "raise nprobe" is the fix — to WHAT?): recall ceiling and scan
+    // cost at nprobe = 1/2/4/8 over s15's coarse quantizer, the
+    // recall-vs-bandwidth tradeoff an IVF deployment reads to pick its
+    // operating point. The trick that makes the whole curve one pass:
+    // a truth pair is recalled at nprobe=p iff its home cell's probe
+    // RANK for that query is <= p, so joining the exact top-10 to the
+    // (assignment, probe-rank) frames yields each pair's minimal
+    // recalling nprobe (pr_star) — all four curve points are then
+    // integer filters over an NQ×10 control frame, and the candidate
+    // bill is cell sizes joined to probe ranks (NQ×8 rows), never a
+    // second corpus scan. Total corpus passes: one brute-force truth
+    // scan + three map-only assignment passes; every join after is a
+    // broadcast of a control frame. nprobe=1/2 rows must equal s15's
+    // by construction (same quantizer, sample, and set semantics —
+    // the spec pins it); nprobe=8 is exhaustive, recall 1 exactly.
+    "s27_nprobe_curve" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val centroids = T.embeddings(s, d)
+        .select(($"vec_id" % 8).as("cell"),
+                posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("centroid"))
+      val centsRow = centroidRow(centroids)
+      val assigned = assignCells(emb, centsRow, "home_cell")
+        .select($"vec_id", $"home_cell")
+      val qs0 = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        .localCheckpoint() // NQ rows; the family's shared sample frame
+      val qcells = qs0.crossJoin(broadcast(centsRow))
+        .select($"q_id", $"q_emb", explode($"cents").as("c"))
+        .withColumn("cos", cosine_sim($"q_emb", $"c.centroid"))
+        .withColumn("rn", row_number().over(Window.partitionBy($"q_id")
+          .orderBy(isnan($"cos").asc, $"cos".desc, $"c.cell".asc)))
+        .select($"q_id", $"c.cell".as("pcell"), $"rn")
+        .localCheckpoint() // NQ×8 control rows: the full probe ranking
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      val exact10 = emb.join(broadcast(qs0), $"vec_id" =!= $"q_id")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .filter(!isnan($"cosine"))
+        .select($"q_id", $"vec_id", $"cosine")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint() // <= NQ×10 rows; the truth pass runs ONCE
+      val prStar = assigned
+        .join(broadcast(exact10), Seq("vec_id"))
+        .join(broadcast(qcells), Seq("q_id"))
+        .filter($"home_cell" === $"pcell")
+        .select($"q_id", $"vec_id", $"rn".as("pr_star"))
+        .localCheckpoint() // NQ×10 rows: minimal recalling nprobe per pair
+      val csize = assigned.groupBy($"home_cell".as("cell"))
+        .agg(count(lit(1)).as("csz"))
+      val qhome = assigned
+        .join(broadcast(qs0.select($"q_id")), $"vec_id" === $"q_id")
+        .select($"q_id", $"home_cell".as("qcell"))
+      val perProbe = qcells
+        .join(broadcast(csize), $"pcell" === $"cell")
+        .join(broadcast(qhome), Seq("q_id"))
+        .select($"q_id", $"rn",
+          ($"csz" - when($"pcell" === $"qcell", 1L).otherwise(0L))
+            .as("scanned"))
+        .localCheckpoint() // NQ×8 rows: per-probe posting-list bill
+      val nq = qs0.agg(count(lit(1)).as("n_q"))
+      val nTruth = exact10.agg(count(lit(1)).as("n_truth"))
+      val nCorp = emb.agg(count(lit(1)).as("n"))
+      def report(np: Int): DataFrame =
+        prStar.filter($"pr_star" <= np).agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(perProbe.filter($"rn" <= np)
+            .agg(sum($"scanned").as("n_cand"))))
+          .crossJoin(broadcast(nq))
+          .crossJoin(broadcast(nTruth))
+          .crossJoin(broadcast(nCorp))
+          .select(lit(s"ivf_nprobe_$np").as("method"), $"n_q", $"n_truth",
+            $"hits", $"n_cand",
+            ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+            ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"),
+            ($"n_cand" / ($"n_q" * ($"n" - lit(1))).cast("double"))
+              .as("scan_frac"))
+      report(1).unionByName(report(2)).unionByName(report(4))
+        .unionByName(report(8)).orderBy($"method")
+    },
+
     // RANGE SEARCH — the RADIUS half of the similarity API (top-k asks
     // "the nearest k whatever the distance"; range asks "EVERYTHING
     // within R" — which is the query near-dup thresholds actually are:
@@ -2396,6 +2488,92 @@ object Similarity {
          |SELECT method, n_q, n_truth, hits, n_cand,
          |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
          |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates
+         |FROM u ORDER BY method""".stripMargin
+    },
+
+    // s27: s15's cell/probe/truth CTEs; each truth pair's minimal
+    // recalling nprobe is its home cell's probe rank, the candidate
+    // bill is cell sizes joined to probe ranks — no per-np pair scan.
+    "s27_nprobe_curve" -> {
+      def urow(np: Int): String =
+        s"""SELECT 'ivf_nprobe_$np' AS method,
+           |    (SELECT COUNT(*) FROM q) AS n_q,
+           |    (SELECT COUNT(*) FROM exact10) AS n_truth,
+           |    (SELECT COUNT(*) FROM pr WHERE pr_star <= $np) AS hits,
+           |    (SELECT CAST(SUM(scanned) AS BIGINT) FROM pp
+           |     WHERE rn <= $np) AS n_cand""".stripMargin
+      s"""WITH means AS (
+         |  SELECT cell, i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+         |         / COUNT(*) AS REAL) AS m
+         |  FROM (SELECT vec_id % 8 AS cell,
+         |          unnest(range(1, len(embedding) + 1)) AS i,
+         |          unnest(embedding) AS v
+         |        FROM embeddings)
+         |  GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell, list(m ORDER BY pos) AS centroid
+         |  FROM means GROUP BY cell),
+         |e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |assigned AS (
+         |  SELECT vec_id, cell AS home_cell FROM (${assignSql("cent", "e")}) z),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  $sampleOrderSql),
+         |qc AS (
+         |  SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY isnan(cos) ASC, cos DESC, cell ASC) AS rn
+         |  FROM (
+         |    SELECT q.q_id, c.cell,
+         |      ${dotSql("q.q_emb", "c.centroid")} /
+         |      (sqrt(${dotSql("q.q_emb", "q.q_emb")}) *
+         |       sqrt(${dotSql("c.centroid", "c.centroid")})) AS cos
+         |    FROM q, cent c) z),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |exact10 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM scored WHERE NOT isnan(cosine)) z
+         |  WHERE rn <= 10),
+         |pr AS (
+         |  SELECT x.q_id, x.vec_id, qc.rn AS pr_star
+         |  FROM exact10 x
+         |  JOIN assigned a ON a.vec_id = x.vec_id
+         |  JOIN qc ON qc.q_id = x.q_id AND qc.cell = a.home_cell),
+         |csize AS (
+         |  SELECT home_cell AS cell, COUNT(*) AS csz
+         |  FROM assigned GROUP BY 1),
+         |qhome AS (
+         |  SELECT q.q_id, a.home_cell AS qcell
+         |  FROM q JOIN assigned a ON a.vec_id = q.q_id),
+         |pp AS (
+         |  SELECT qc.q_id, qc.rn,
+         |    csz - CASE WHEN qc.cell = qh.qcell THEN 1 ELSE 0 END AS scanned
+         |  FROM qc
+         |  JOIN csize ON qc.cell = csize.cell
+         |  JOIN qhome qh ON qh.q_id = qc.q_id),
+         |ncorp AS (SELECT COUNT(*) AS n FROM e),
+         |u AS (
+         |  ${urow(1)}
+         |  UNION ALL
+         |  ${urow(2)}
+         |  UNION ALL
+         |  ${urow(4)}
+         |  UNION ALL
+         |  ${urow(8)})
+         |SELECT method, n_q, n_truth, hits, n_cand,
+         |  hits / CAST(n_truth AS DOUBLE) AS recall_at_10,
+         |  n_cand / CAST(n_q AS DOUBLE) AS avg_candidates,
+         |  n_cand / CAST(n_q * ((SELECT n FROM ncorp) - 1) AS DOUBLE)
+         |    AS scan_frac
          |FROM u ORDER BY method""".stripMargin
     },
 

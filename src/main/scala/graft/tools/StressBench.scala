@@ -263,7 +263,11 @@ object StressBench {
       // s26: s15's probe + s24's coding over the k×-scaled embeddings;
       // the NQ-sampled scans are O(NQ·n) — constant-dominated at small
       // k, linear in corpus rows past ~16× (the family's shape)
-      "s26_ivfsq_recall"
+      "s26_ivfsq_recall," +
+      // s27: one brute-force truth scan + three map-only assignment
+      // passes over the k×-scaled embeddings; all four curve points
+      // are control-frame filters — tracks s15's shape
+      "s27_nprobe_curve"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

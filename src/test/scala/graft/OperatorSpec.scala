@@ -2086,6 +2086,43 @@ class OperatorSpec extends SparkSpec {
     assert(out("ivfsq_top100")._6 > 0.1 && out("ivfsq_top100")._6 < 1.0)
   }
 
+  test("s27: curve endpoints pinned — np 1/2 equal s15 exactly, np 8 exhaustive") {
+    val rows = datapipe.Similarity.queries("s27_nprobe_curve")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq ===
+      Seq("ivf_nprobe_1", "ivf_nprobe_2", "ivf_nprobe_4", "ivf_nprobe_8"))
+    val Array(p1, p2, p4, p8) = rows
+    // same quantizer, sample, and candidate-set semantics as s15, so
+    // the np=1/2 points must reproduce s15's oracle-checked rows to
+    // the last integer — the pr_star formulation is a REFORMULATION,
+    // not a new measurement
+    val s15 = datapipe.Similarity.queries("s15_ivf_recall")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((p, np) <- Seq((p1, "1"), (p2, "2"))) {
+      val r = s15(s"ivf_nprobe_$np")
+      assert((p._2, p._3, p._4, p._5, p._6, p._7) ===
+        ((r._2, r._3, r._4, r._5, r._6, r._7)),
+        s"np=$np disagrees with s15")
+    }
+    // np=8 probes every cell: exhaustive by construction
+    val n = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size($"embedding") > 0).count()
+    assert(p8._4 === p8._3 && p8._6 === 1.0, "np=8 must recall everything")
+    assert(p8._5 === p8._2 * (n - 1) && p8._8 === 1.0,
+      "np=8 must scan the whole corpus minus self")
+    // monotone: a larger probe list is a candidate superset
+    assert(p1._4 <= p2._4 && p2._4 <= p4._4 && p4._4 <= p8._4)
+    assert(p1._5 <= p2._5 && p2._5 <= p4._5 && p4._5 <= p8._5)
+    assert(p1._6 < p8._6, "the curve must actually climb on this corpus")
+    rows.foreach { case (_, nQ, truth, hits, cand, recall, avgC, frac) =>
+      assert(hits <= truth && hits <= cand)
+      assert(recall === hits.toDouble / truth)
+      assert(avgC === cand.toDouble / nQ)
+      assert(frac === cand.toDouble / (nQ * (n - 1)))
+    }
+  }
+
   test("m11: every pyramid level matches the exact floor-average recompute") {
     val out = datapipe.Multimodal.queries("m11_image_pyramid")(spark, sf)
       .as[(Long, Int, Int, Long, Int, Int, Long, Int, Int, Long)].collect()
