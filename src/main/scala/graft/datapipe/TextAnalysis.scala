@@ -1478,6 +1478,72 @@ object TextAnalysis {
           ($"n_tokens" - ($"n_chunks" - 1L) * S).as("last_fill"),
           $"hash_mod_sum")
         .orderBy($"doc_id")
+    },
+
+    // VOCABULARY-GROWTH AUDIT (Heaps' law) — the "is this source still
+    // generating novel text or just templating" curve, the longitudinal
+    // complement of t35's cross-source novelty: per source, cumulative
+    // distinct word types vs cumulative tokens at the 25/50/75/100%
+    // document checkpoints (documents ordered by doc_id — the
+    // deterministic ingestion-order proxy). Natural text keeps minting
+    // types sublinearly (Heaps V ~ n^β, β≈0.5 — new_types decays but
+    // never dies); a templated/synthetic feed saturates hard (late
+    // quartiles mint ~nothing) — the signal a data buyer reads NEXT to
+    // t35's novelty ppm before renewing a feed. Exactly one corpus
+    // pass, no cumulative-distinct state: a type is new at the quartile
+    // of its FIRST occurrence, so min(first-rank) per (source, word)
+    // folds map-side, quartile binning is a CASE against the broadcast
+    // per-source doc counts, and the cumulative sums ride a 4-row-per-
+    // source control frame (keyed window, never the corpus). The rank
+    // window itself sorts only (source, doc_id, ntok) control rows —
+    // text never enters an exchange; the (doc_id, 60-bit hash) explode
+    // is the t28/t35 shuffle bill.
+    "t37_vocab_growth" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d)
+        .select($"source", $"doc_id",
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      val rk = docs.select($"source", $"doc_id", size($"toks").as("ntok"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"source").orderBy($"doc_id")).cast("long"))
+      val nsrc = rk.groupBy($"source").agg(max($"rk").as("n_docs"))
+      def qbin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(c <= expr("(n_docs + 3) DIV 4"), 1L)
+          .when(c <= expr("(n_docs * 2 + 3) DIV 4"), 2L)
+          .when(c <= expr("(n_docs * 3 + 3) DIV 4"), 3L)
+          .otherwise(4L)
+      val tokBins = rk.join(broadcast(nsrc), Seq("source"))
+        .select($"source", qbin($"rk").as("quartile"), $"ntok")
+        .groupBy($"source", $"quartile")
+        .agg(sum($"ntok".cast("long")).as("btok"))
+      val firstRk = docs
+        .select($"source", $"doc_id", explode($"toks").as("w"))
+        .select($"source", $"doc_id", graft.Dets.phash($"w").as("wh"))
+        .distinct()
+        .join(rk.select($"source", $"doc_id", $"rk"), Seq("source", "doc_id"))
+        .groupBy($"source", $"wh").agg(min($"rk").as("frk"))
+      val typeBins = firstRk.join(broadcast(nsrc), Seq("source"))
+        .select($"source", qbin($"frk").as("quartile"))
+        .groupBy($"source", $"quartile").agg(count(lit(1)).as("btype"))
+      val scaffold = nsrc
+        .select($"source", $"n_docs", explode(expr("sequence(1, 4)")).as("qi"))
+        .select($"source", $"n_docs", $"qi".cast("long").as("quartile"))
+        .withColumn("cp_docs", expr("(quartile * n_docs + 3) DIV 4"))
+      val wq = Window.partitionBy($"source").orderBy($"quartile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scaffold
+        .join(tokBins, Seq("source", "quartile"), "left")
+        .join(typeBins, Seq("source", "quartile"), "left")
+        .na.fill(0L, Seq("btok", "btype"))
+        .withColumn("cum_tokens", sum($"btok").over(wq))
+        .withColumn("cum_types", sum($"btype").over(wq))
+        .select($"source", $"quartile", $"n_docs", $"cp_docs",
+          $"cum_tokens", $"cum_types", $"btype".as("new_types"),
+          when($"cum_tokens" === 0L, 0L)
+            .otherwise(expr("cum_types * 1000000 DIV cum_tokens"))
+            .as("ttr_ppm"))
+        .orderBy($"source", $"quartile")
     }
   )
 
@@ -2503,6 +2569,69 @@ object TextAnalysis {
          |  CAST(MAX(n) - (MAX(nc) - 1) * 12 AS BIGINT) AS last_fill,
          |  CAST(SUM(h) AS BIGINT) AS hash_mod_sum
          |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // t37: a type is new at the quartile of its first-occurrence rank,
+    // so the oracle's cumulative-distinct curve is the same min-rank
+    // aggregate + 4-bin cumsum — no stateful scan on either engine.
+    "t37_vocab_growth" -> {
+      val qb = "CASE WHEN %s <= (n_docs + 3) // 4 THEN 1 " +
+        "WHEN %s <= (n_docs * 2 + 3) // 4 THEN 2 " +
+        "WHEN %s <= (n_docs * 3 + 3) // 4 THEN 3 ELSE 4 END"
+      def bin(c: String) = qb.format(c, c, c)
+      s"""WITH docs AS (
+         |  SELECT source, doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |rk AS (
+         |  SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+         |  FROM docs),
+         |nsrc AS (SELECT source, MAX(rk) AS n_docs FROM rk GROUP BY source),
+         |tokbins AS (
+         |  SELECT rk.source, ${bin("rk")} AS quartile,
+         |    CAST(SUM(ntok) AS BIGINT) AS btok
+         |  FROM rk JOIN nsrc USING (source) GROUP BY 1, 2),
+         |tw AS (
+         |  SELECT DISTINCT source, doc_id, wh FROM (
+         |    SELECT source, doc_id,
+         |      unnest(list_transform(toks,
+         |        w -> ${graft.Dets.phashSql("w")})) AS wh
+         |    FROM docs) z),
+         |frk AS (
+         |  SELECT tw.source, wh, MIN(rk.rk) AS frk
+         |  FROM tw JOIN rk ON tw.source = rk.source AND tw.doc_id = rk.doc_id
+         |  GROUP BY 1, 2),
+         |typebins AS (
+         |  SELECT frk.source, ${bin("frk")} AS quartile,
+         |    CAST(COUNT(*) AS BIGINT) AS btype
+         |  FROM frk JOIN nsrc USING (source) GROUP BY 1, 2),
+         |scaffold AS (
+         |  SELECT source, n_docs, unnest([1, 2, 3, 4]) AS quartile
+         |  FROM nsrc),
+         |b AS (
+         |  SELECT s.source, CAST(s.quartile AS BIGINT) AS quartile,
+         |    CAST(s.n_docs AS BIGINT) AS n_docs,
+         |    CAST((s.quartile * s.n_docs + 3) // 4 AS BIGINT) AS cp_docs,
+         |    COALESCE(tb.btok, 0) AS btok, COALESCE(yb.btype, 0) AS btype
+         |  FROM scaffold s
+         |  LEFT JOIN tokbins tb
+         |    ON tb.source = s.source AND tb.quartile = s.quartile
+         |  LEFT JOIN typebins yb
+         |    ON yb.source = s.source AND yb.quartile = s.quartile),
+         |c AS (
+         |  SELECT source, quartile, n_docs, cp_docs,
+         |    CAST(SUM(btok) OVER (PARTITION BY source ORDER BY quartile)
+         |      AS BIGINT) AS cum_tokens,
+         |    CAST(SUM(btype) OVER (PARTITION BY source ORDER BY quartile)
+         |      AS BIGINT) AS cum_types,
+         |    CAST(btype AS BIGINT) AS new_types
+         |  FROM b)
+         |SELECT source, quartile, n_docs, cp_docs, cum_tokens, cum_types,
+         |  new_types,
+         |  CAST(CASE WHEN cum_tokens = 0 THEN 0
+         |    ELSE cum_types * 1000000 // cum_tokens END AS BIGINT) AS ttr_ppm
+         |FROM c ORDER BY source, quartile""".stripMargin
     },
 
     // t35: same shingle hash grammar as d22's oracle; df = distinct

@@ -267,7 +267,11 @@ object StressBench {
       // s27: one brute-force truth scan + three map-only assignment
       // passes over the k×-scaled embeddings; all four curve points
       // are control-frame filters — tracks s15's shape
-      "s27_nprobe_curve"
+      "s27_nprobe_curve," +
+      // t37: one (doc_id, hash) explode + min-rank agg (t28's shuffle
+      // bill); the rank window sorts only per-doc control rows —
+      // sublinear like t28/t35 (distinct words saturate)
+      "t37_vocab_growth"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2486,6 +2486,47 @@ class OperatorSpec extends SparkSpec {
       "fixture lacks both multi-chunk and single-chunk docs")
   }
 
+  test("t37: every source's vocabulary-growth curve replays from raw text") {
+    val out = datapipe.TextAnalysis.queries("t37_vocab_growth")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+    val bySrc = docs.groupBy(_._1)
+    bySrc.foreach { case (src, ds) =>
+      // replay with the word STRINGS (the query uses 60-bit hashes, so
+      // equality here also proves the fixture vocabulary is
+      // collision-free)
+      val ordered = ds.sortBy(_._2)
+        .map { case (_, _, t) => t.split(" ").filter(_.nonEmpty) }
+      val n = ordered.length.toLong
+      def cp(q: Long): Long = (q * n + 3) / 4
+      val firstQ = scala.collection.mutable.Map.empty[String, Long]
+      val tokQ = Array.fill(5)(0L); val typQ = Array.fill(5)(0L)
+      ordered.zipWithIndex.foreach { case (ws, i) =>
+        val rk = i + 1L
+        val q = (1L to 4L).find(rk <= cp(_)).get
+        tokQ(q.toInt) += ws.length
+        ws.foreach { w =>
+          if (!firstQ.contains(w)) { firstQ(w) = q; typQ(q.toInt) += 1 }
+        }
+      }
+      var cumT = 0L; var cumY = 0L
+      (1L to 4L).foreach { q =>
+        cumT += tokQ(q.toInt); cumY += typQ(q.toInt)
+        val ttr = if (cumT == 0) 0L else cumY * 1000000L / cumT
+        assert(out((src, q)) ===
+          ((src, q, n, cp(q), cumT, cumY, typQ(q.toInt), ttr)),
+          s"source=$src q=$q")
+      }
+      // cumulative identities: quartile 4 covers the whole source
+      assert(out((src, 4L))._5 === ordered.map(_.length.toLong).sum)
+      assert(out((src, 4L))._6 === ordered.flatten.distinct.length.toLong)
+    }
+    assert(out.size === bySrc.size * 4, "exactly 4 quartile rows per source")
+  }
+
   test("d29: per-source effective mass equals the 1/|cluster| recompute exactly") {
     val out = datapipe.Dedup.queries("d29_soft_dedup")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
