@@ -1133,6 +1133,64 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Patch tiling — the ViT tokenizer of image pipelines (every
+    // vision-transformer ingest slices images into P×P patches; the
+    // patch count IS the image's token bill, the vision analog of
+    // t03's token counting, and per-patch stats drive masked-patch
+    // pruning and crop audits): P=4 over the REAL decoded PNG
+    // (production is 14/16 with identical arithmetic), grid =
+    // floor(dims/P) with trailing-edge crop (the same full-block rule
+    // as boxHalve, so every patch aggregates exactly P² pixels). Per
+    // asset: grid dims, the patch/token count, total patch mass, the
+    // summed per-patch contrast (max−min — what masked-patch pruning
+    // thresholds), cropped-pixel count (the tiling's data loss, which
+    // a crop audit watches), and a position-weighted patch checksum
+    // Σ (patch_index+1)·patch_sum — a patch in the wrong grid slot
+    // fails the hash even if its content is right. The oracle rebuilds
+    // every patch from the planted pixel formula in SQL; the spec
+    // replays it in plain Scala off the decoded bytes. Map-only like
+    // every m-op, ~64 B/asset shuffles.
+    "m17_patch_tiles" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val img = ImageCodec.decode(ImageCodec.synthPyrPng(id))
+          val P = 4
+          val w = img.getWidth; val h = img.getHeight
+          val gw = w / P; val gh = h / P
+          var mass = 0L; var contrast = 0L; var chk = 0L
+          var py = 0
+          while (py < gh) {
+            var px = 0
+            while (px < gw) {
+              var psum = 0L; var pmin = 255; var pmax = 0
+              var j = 0
+              while (j < P) {
+                var i = 0
+                while (i < P) {
+                  val v = img.getRGB(px * P + i, py * P + j) & 0xff
+                  psum += v
+                  if (v < pmin) pmin = v
+                  if (v > pmax) pmax = v
+                  i += 1
+                }
+                j += 1
+              }
+              mass += psum
+              contrast += (pmax - pmin)
+              chk += (py.toLong * gw + px + 1) * psum
+              px += 1
+            }
+            py += 1
+          }
+          (id, w, h, gw, gh, gw.toLong * gh, mass, contrast,
+           w.toLong * h - P.toLong * P * gw * gh, chk)
+        })
+        .toDF("asset_id", "width", "height", "grid_w", "grid_h",
+              "n_patches", "patch_mass", "contrast_sum", "crop_px", "chk")
+        .orderBy($"asset_id")
+    },
+
     // Container-metadata extraction — the provenance/integrity step of
     // image curation (read the source tag a crawler stamped, verify the
     // container wasn't truncated or bit-flipped) done AT THE BYTE LEVEL:
@@ -1614,6 +1672,40 @@ object Multimodal {
         |  s.sum_eq, s.chk_eq, s.min_eq, s.max_eq
         |FROM p JOIN sin USING (asset_id) JOIN sums s USING (asset_id)
         |ORDER BY p.asset_id""".stripMargin,
+
+    // m17: every patch rebuilt from the pixel formula — per-patch sum,
+    // min, max over the P² block, then the per-asset rollup with the
+    // position-weighted checksum; the trailing-edge crop is the
+    // px < w//4 / py < h//4 bound.
+    "m17_patch_tiles" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(16 + doc_id % 7 AS INT) AS w0,
+        |    CAST(12 + doc_id % 5 AS INT) AS h0
+        |  FROM documents),
+        |pat AS (
+        |  SELECT p.asset_id, p.w0, p.h0, pxs.px, pys.py,
+        |    CAST(SUM(((pxs.px*4 + ix.i)*7 + (pys.py*4 + jy.j)*13
+        |              + p.asset_id) % 256) AS BIGINT) AS psum,
+        |    MIN(((pxs.px*4 + ix.i)*7 + (pys.py*4 + jy.j)*13
+        |         + p.asset_id) % 256) AS pmin,
+        |    MAX(((pxs.px*4 + ix.i)*7 + (pys.py*4 + jy.j)*13
+        |         + p.asset_id) % 256) AS pmax
+        |  FROM p, range(0, 6) pxs(px), range(0, 4) pys(py),
+        |       range(0, 4) ix(i), range(0, 4) jy(j)
+        |  WHERE pxs.px < p.w0 // 4 AND pys.py < p.h0 // 4
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT asset_id,
+        |  CAST(MAX(w0) AS INT) AS width, CAST(MAX(h0) AS INT) AS height,
+        |  CAST(MAX(w0) // 4 AS INT) AS grid_w,
+        |  CAST(MAX(h0) // 4 AS INT) AS grid_h,
+        |  CAST((MAX(w0) // 4) * (MAX(h0) // 4) AS BIGINT) AS n_patches,
+        |  CAST(SUM(psum) AS BIGINT) AS patch_mass,
+        |  CAST(SUM(pmax - pmin) AS BIGINT) AS contrast_sum,
+        |  CAST(MAX(w0) * MAX(h0)
+        |       - 16 * (MAX(w0) // 4) * (MAX(h0) // 4) AS BIGINT) AS crop_px,
+        |  CAST(SUM((py * (w0 // 4) + px + 1) * psum) AS BIGINT) AS chk
+        |FROM pat GROUP BY asset_id ORDER BY asset_id""".stripMargin,
 
     // m15: gray_sum from the formula; chk_rot from the SAME formula at
     // rotated coordinates — proof the rotation permuted real pixels.

@@ -271,7 +271,10 @@ object StressBench {
       // t37: one (doc_id, hash) explode + min-rank agg (t28's shuffle
       // bill); the rank window sorts only per-doc control rows —
       // sublinear like t28/t35 (distinct words saturate)
-      "t37_vocab_growth"
+      "t37_vocab_growth," +
+      // m17: map-only decode+tile like m02/m11 — linear in docs,
+      // codec-kernel-priced
+      "m17_patch_tiles"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2380,6 +2380,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("m17: every patch replays from the pixel formula; crop and grid non-trivial") {
+    import datapipe.Multimodal.ImageCodec
+    val out = datapipe.Multimodal.queries("m17_patch_tiles")(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, gw, gh, np, mass, contrast, crop, chk) =>
+      val (ew, eh) = ImageCodec.pyrDims(id)
+      assert((w, h, gw, gh) === ((ew, eh, ew / 4, eh / 4)), s"id=$id dims")
+      assert(np === gw.toLong * gh && crop === w.toLong * h - 16L * gw * gh)
+      var eMass = 0L; var eContrast = 0L; var eChk = 0L
+      for (py <- 0 until gh; px <- 0 until gw) {
+        val vs = for (j <- 0 until 4; i <- 0 until 4)
+          yield ImageCodec.pixel(id, px * 4 + i, py * 4 + j)
+        val psum = vs.map(_.toLong).sum
+        eMass += psum
+        eContrast += (vs.max - vs.min)
+        eChk += (py.toLong * gw + px + 1) * psum
+      }
+      assert((mass, contrast, chk) === ((eMass, eContrast, eChk)), s"id=$id")
+    }
+    // fixture must exercise both crop branches and both grid widths —
+    // otherwise the trailing-edge rule is untested
+    assert(out.exists(_._9 > 0) && out.exists(_._9 === 0L), "crop branches")
+    assert(out.map(_._4).distinct.length > 1, "single grid width — vacuous")
+    assert(out.forall(_._8 > 0), "zero contrast everywhere — vacuous")
+  }
+
   test("m13: chunk walk reads real bytes — corruption flips the CRC verdict") {
     import datapipe.Multimodal.{ImageCodec, PngChunks}
     val out = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)
