@@ -67,9 +67,15 @@ object Bench {
     // in round 2 — the file is the complete record. A SUBSET run
     // (SPARK_GRAFT_ONLY set) defaults to BENCH_PARTIAL.json: the
     // committed BENCH_LOCAL record is full-registry by contract, and a
-    // forgotten filter must not clobber it with a 4-query total
+    // forgotten filter must not clobber it with a 4-query total.
+    // Likewise a non-sf0.1 run (the verify-skill sf0.001 smoke)
+    // defaults to BENCH_SMOKE.json: the committed record is sf0.1 by
+    // protocol, and round 14 found five successive sf0.001 smokes had
+    // silently replaced it
     val defaultOut =
-      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json"
+      if (only.isDefined) "BENCH_PARTIAL.json"
+      else if (!sfDir.endsWith("sf0.1")) "BENCH_SMOKE.json"
+      else "BENCH_LOCAL.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
