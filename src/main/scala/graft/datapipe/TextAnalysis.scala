@@ -1660,6 +1660,79 @@ object TextAnalysis {
       .start()
   }
 
+  /** t37's streaming twin — vocabulary growth over an arriving corpus
+    * (the deployment shape: feeds land in micro-batches and the
+    * "is this source still minting new types" monitor must update
+    * incrementally, not rescan history). State is the first-seen word
+    * store: (source, wh, first_batch) appended behind the O9-pattern
+    * anti-join (trigger replay inserts zero; within-batch duplicates
+    * collapse BEFORE the anti-join — the round-13 addBatch lesson),
+    * plus per-batch token counts written to an idempotent
+    * batch-keyed partition (replay rewrites the same bytes). Nothing
+    * text-shaped persists — the store rows are (source, 60-bit hash,
+    * long) and (source, long, long). A type's first_batch is exactly
+    * the batch analog of t37's first-occurrence quartile, so the final
+    * per-source totals must equal t37's quartile-4 row for ANY batch
+    * split (StreamingSpec pins it, plus the per-batch new-type
+    * attribution against a raw-text recompute).
+    */
+  def vocabGrowthStream(stream: DataFrame, storePath: String,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val toks = batch.select(col("source"), col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        val words = toks
+          .select(col("source"), explode(col("ws")).as("w"))
+          .select(col("source"), graft.Dets.phash(col("w")).as("wh"))
+          .distinct()
+        val btok = toks
+          .groupBy(col("source"))
+          .agg(sum(size(col("ws")).cast("long")).as("btok"))
+        import org.apache.hadoop.fs.Path
+        val wordsDir = new Path(s"$storePath/words")
+        val fs = wordsDir.getFileSystem(s.sessionState.newHadoopConf())
+        val fresh =
+          if (fs.exists(wordsDir)) {
+            val seen = s.read.parquet(wordsDir.toString)
+              .select(col("source"), col("wh"))
+            words.join(seen, Seq("source", "wh"), "left_anti")
+          } else words
+        fresh.withColumn("first_batch", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(wordsDir.toString)
+        btok.withColumn("first_batch", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$storePath/toks/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The per-source growth report over the persisted stream state:
+    * cumulative tokens and types plus the LAST batch's new-type count
+    * (the live saturation signal — t37's new_types for the most recent
+    * quartile, continuously maintained).
+    */
+  def vocabGrowthReport(s: SparkSession, storePath: String): DataFrame = {
+    val words = s.read.parquet(s"$storePath/words")
+    val toks = s.read.parquet(s"$storePath/toks")
+    val last = words.agg(max(col("first_batch"))).head.getLong(0)
+    val types = words.groupBy(col("source"))
+      .agg(count(lit(1)).as("cum_types"),
+           sum(when(col("first_batch") === last, 1L).otherwise(0L))
+             .as("last_new_types"))
+    val tokens = toks.groupBy(col("source"))
+      .agg(sum(col("btok")).as("cum_tokens"))
+    tokens.join(types, Seq("source"))
+      .select(col("source"), col("cum_tokens"), col("cum_types"),
+              col("last_new_types"))
+      .orderBy(col("source"))
+  }
+
   /** t16's report shape over the persisted cap state. Ranks recompute
     * on the control-sized state: the survivors per source are exactly
     * the corpus-wide first `cap` in hash order, so their relative
