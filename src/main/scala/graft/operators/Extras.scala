@@ -286,6 +286,54 @@ object Extras {
       counts.unionByName(attribution).orderBy($"status")
     },
 
+    // INCREMENTAL ROLLUP MAINTENANCE — the materialized-view delta
+    // merge every warehouse runs nightly: a per-key aggregate state
+    // (count / decimal-exact sum / min / max / last-activity) is
+    // maintained by MERGING the day's delta state into the base state,
+    // never by rescanning base facts. Both sides pre-aggregate to
+    // O(keys) rows map-side; the merge is ONE full-outer equi-join on
+    // the key handling all three branches (base-only carries, delta-only
+    // inserts, both-sides combine — Spark's null-skipping least/greatest
+    // and coalesced adds make the combine branch-free). The oracle is
+    // the one-shot GROUP BY over all facts: hash equality IS the
+    // materialized-view invariant (merge(state(A), state(B)) ==
+    // state(A ∪ B)) — the mergeable-state law the sketch ops
+    // (q74/q77) rely on, proven here for the algebraic aggregate core.
+    // At 100 TB the base STATE is the rollup (O(keys), small) and the
+    // delta is a day's arrivals: the fixture derives base from facts
+    // only because there is no prior state to read; a deployment reads
+    // it back from the lake. Sums stay DECIMAL(18,4) until after the
+    // merge so the addition is exact (the Dets float convention).
+    "q86_incremental_rollup" -> { (s, d) =>
+      import s.implicits._
+      val cutoff = "1998-07-01"
+      val orders = T.orders(s, d)
+      def state(df: DataFrame): DataFrame =
+        df.groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n"),
+               sum($"o_totalprice".cast("decimal(18,4)")).as("sm"),
+               min($"o_totalprice").as("mn"),
+               max($"o_totalprice").as("mx"),
+               max($"o_orderdate").as("lo"))
+      val base = state(orders.filter($"o_orderdate" < lit(cutoff)))
+        .select($"o_custkey", $"n".as("n_b"), $"sm".as("s_b"),
+                $"mn".as("mn_b"), $"mx".as("mx_b"), $"lo".as("lo_b"))
+      val delta = state(orders.filter($"o_orderdate" >= lit(cutoff)))
+        .select($"o_custkey", $"n".as("n_d"), $"sm".as("s_d"),
+                $"mn".as("mn_d"), $"mx".as("mx_d"), $"lo".as("lo_d"))
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select($"o_custkey",
+          (coalesce($"n_b", lit(0L)) + coalesce($"n_d", lit(0L)))
+            .as("n_orders"),
+          (coalesce($"s_b", lit(0).cast("decimal(18,4)")) +
+           coalesce($"s_d", lit(0).cast("decimal(18,4)")))
+            .cast("double").as("sum_price"),
+          least($"mn_b", $"mn_d").as("min_price"),
+          greatest($"mx_b", $"mx_d").as("max_price"),
+          greatest($"lo_b", $"lo_d").as("last_order"))
+        .orderBy($"o_custkey")
+    },
+
     // CO-LOCATED (bucketed) JOIN — the ingest-time layout decision that
     // removes the shuffle from a 100 TB fact-to-fact join entirely:
     // both sides are written `bucketBy(8, key).sortBy(key)` so every
@@ -470,6 +518,18 @@ object Extras {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    // q86: the one-shot GROUP BY over ALL facts — equality with the
+    // Spark-side base+delta merge proves the materialized-view
+    // invariant merge(state(A), state(B)) == state(A ∪ B).
+    "q86_incremental_rollup" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  MAX(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q66_scd2_merge" ->
       """WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

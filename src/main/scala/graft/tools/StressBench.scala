@@ -274,7 +274,10 @@ object StressBench {
       "t37_vocab_growth," +
       // m17: map-only decode+tile like m02/m11 — linear in docs,
       // codec-kernel-priced
-      "m17_patch_tiles"
+      "m17_patch_tiles," +
+      // q86: two map-side partial aggregates over the scaled orders +
+      // one O(keys) full-outer merge — linear in facts like q01
+      "q86_incremental_rollup"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -2583,6 +2583,41 @@ class OperatorSpec extends SparkSpec {
       "no cluster of size >= 3 — the 1e6 DIV 3 floor path never runs")
   }
 
+  test("q86: the delta merge equals the one-shot rollup; all three branches fire") {
+    val out = operators.Extras.queries("q86_incremental_rollup")(spark, sf)
+      .collect()
+    // one-shot recompute inside Spark (the oracle repeats this in
+    // DuckDB; here it pins merge == recompute engine-internally too)
+    val full = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           sum($"o_totalprice".cast("decimal(18,4)")).cast("double")
+             .as("sum_price"),
+           min($"o_totalprice").as("min_price"),
+           max($"o_totalprice").as("max_price"),
+           max($"o_orderdate").as("last_order"))
+      .orderBy($"o_custkey")
+      .collect()
+    assert(out.length === full.length)
+    out.zip(full).foreach { case (a, b) => assert(a === b) }
+    // the cutoff must make every merge branch non-vacuous: keys only in
+    // base, only in delta, and straddling both
+    val sides = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(sum(when($"o_orderdate" < lit("1998-07-01"), 1L).otherwise(0L))
+             .as("nb"),
+           sum(when($"o_orderdate" >= lit("1998-07-01"), 1L).otherwise(0L))
+             .as("nd"))
+      .select(
+        count(when($"nb" > 0 && $"nd" === 0, 1)).as("base_only"),
+        count(when($"nb" === 0 && $"nd" > 0, 1)).as("delta_only"),
+        count(when($"nb" > 0 && $"nd" > 0, 1)).as("both"))
+      .head()
+    assert(sides.getLong(0) > 0, "no base-only keys — carry branch vacuous")
+    assert(sides.getLong(1) > 0, "no delta-only keys — insert branch vacuous")
+    assert(sides.getLong(2) > 0, "no straddling keys — combine branch vacuous")
+  }
+
   test("q85: doubling resolves every node to the recursive-definition depth and root") {
     val out = operators.Extras.queries("q85_hierarchy_rollup")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
