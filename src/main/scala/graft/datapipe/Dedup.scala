@@ -960,6 +960,41 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // DEDUP DECISION MANIFEST — the audit trail a compliance/QA review
+    // asks for AFTER dedup ran: not "how many were removed" (d23's
+    // curve) but per removed doc, WHICH doc it yielded to and under
+    // WHICH rule. Two-stage precedence mirroring a production pipeline:
+    // the exact stage removes byte-identical copies (d01's md5 groups,
+    // keeper = min doc_id); the near stage then runs on the exact
+    // SURVIVORS — d06's verified-pair connected components restricted
+    // to survivors, keeper = min surviving member — so a doc is never
+    // charged to two rules and the near keeper is a doc that actually
+    // remains in the corpus. n_group carries the evidence size (copy
+    // count / surviving cluster size). Scale shape: the exact stage is
+    // one hash groupBy; the near stage reuses d06's CC output (the
+    // linear consumable) and adds only narrow-key joins — survivors
+    // anti-join, per-cluster min, member join-back — all O(cluster
+    // members), never O(pairs).
+    "d30_dedup_manifest" -> { (s, d) =>
+      import s.implicits._
+      val c = corpus(s, d).select($"doc_id", md5($"text").as("ch"))
+      val ek = c.groupBy($"ch")
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_group"))
+      val exactRemoved = c.join(ek, Seq("ch"))
+        .filter($"doc_id" =!= $"keeper_id")
+        .select($"doc_id", $"keeper_id", lit("exact").as("rule"),
+                $"n_group")
+      val clusters = queries("d06_dedup_clusters")(s, d)
+      val surv = clusters.join(
+        exactRemoved.select($"doc_id"), Seq("doc_id"), "left_anti")
+      val nk = surv.groupBy($"cluster_id")
+        .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_group"))
+      val nearRemoved = surv.join(nk, Seq("cluster_id"))
+        .filter($"doc_id" =!= $"keeper_id")
+        .select($"doc_id", $"keeper_id", lit("near").as("rule"), $"n_group")
+      exactRemoved.unionByName(nearRemoved).orderBy($"doc_id")
+    },
+
     // Decontamination — flag training docs sharing any 8-word gram with
     // the held-out benchmark set (the GPT-3/Llama eval-hygiene pass).
     // The benchmark n-gram set is SMALL relative to training data (eval
@@ -1629,6 +1664,45 @@ object Dedup {
          |WHERE ccguard.ok = 1
          |  AND lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
+         |ORDER BY doc_id""".stripMargin,
+
+    // d30: d01's md5 groups for the exact stage; d06's unrolled CC for
+    // the near stage restricted to exact survivors — keeper = min
+    // surviving member, so precedence is structural, not a filter.
+    "d30_dedup_manifest" ->
+      s"""WITH $d04PairsSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM d04pairs
+         |  UNION ALL SELECT d2, d1 FROM d04pairs),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |${ccRoundsSql(CC_ROUND_BUDGET + 1)},
+         |${ccGuardSql(CC_ROUND_BUDGET)},
+         |clusters AS (
+         |  SELECT doc_id, lbl AS cluster_id FROM l$CC_ROUND_BUDGET, ccguard
+         |  WHERE ccguard.ok = 1
+         |    AND lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
+         |                GROUP BY lbl HAVING COUNT(*) > 1)),
+         |c AS (SELECT doc_id, md5(text) AS ch FROM corpus),
+         |ek AS (
+         |  SELECT ch, MIN(doc_id) AS keeper_id, COUNT(*) AS n_group
+         |  FROM c GROUP BY ch),
+         |exact_removed AS (
+         |  SELECT c.doc_id, ek.keeper_id, 'exact' AS rule, ek.n_group
+         |  FROM c JOIN ek USING (ch) WHERE c.doc_id <> ek.keeper_id),
+         |surv AS (
+         |  SELECT cl.doc_id, cl.cluster_id FROM clusters cl
+         |  WHERE cl.doc_id NOT IN (SELECT doc_id FROM exact_removed)),
+         |nk AS (
+         |  SELECT cluster_id, MIN(doc_id) AS keeper_id,
+         |    COUNT(*) AS n_group
+         |  FROM surv GROUP BY cluster_id),
+         |near_removed AS (
+         |  SELECT sv.doc_id, nk.keeper_id, 'near' AS rule, nk.n_group
+         |  FROM surv sv JOIN nk USING (cluster_id)
+         |  WHERE sv.doc_id <> nk.keeper_id)
+         |SELECT doc_id, keeper_id, rule, CAST(n_group AS BIGINT) AS n_group
+         |FROM (SELECT * FROM exact_removed
+         |      UNION ALL SELECT * FROM near_removed) u
          |ORDER BY doc_id""".stripMargin,
 
     // d06's labels + the t20 quality mirror + a per-cluster argmax.

@@ -277,7 +277,10 @@ object StressBench {
       "m17_patch_tiles," +
       // q86: two map-side partial aggregates over the scaled orders +
       // one O(keys) full-outer merge — linear in facts like q01
-      "q86_incremental_rollup"
+      "q86_incremental_rollup," +
+      // d30: d01's hash groupBy + d06's CC (its curve) + narrow-key
+      // consumable joins — tracks d06's shape
+      "d30_dedup_manifest"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

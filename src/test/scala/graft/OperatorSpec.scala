@@ -2554,6 +2554,38 @@ class OperatorSpec extends SparkSpec {
     assert(out.size === bySrc.size * 4, "exactly 4 quartile rows per source")
   }
 
+  test("d30: the manifest replays from raw text + d06 labels; keepers never removed") {
+    val out = datapipe.Dedup.queries("d30_dedup_manifest")(spark, sf)
+      .as[(Long, Long, String, Long)].collect()
+    val docs = datapipe.Dedup.corpus(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // exact stage replay
+    val groups = docs.groupBy { case (_, t) => md5hex(t) }
+    val exact = groups.values.filter(_.length > 1).flatMap { g =>
+      val ids = g.map(_._1).sorted
+      ids.tail.map(id => (id, ids.head, "exact", ids.length.toLong))
+    }.toSet
+    // near stage replay on survivors, from d06's oracle-checked labels
+    val exactIds = exact.map(_._1)
+    val clusters = datapipe.Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    val near = clusters.filterNot(c => exactIds(c._1)).groupBy(_._2)
+      .values.filter(_.length > 1).flatMap { g =>
+        val ids = g.map(_._1).sorted
+        ids.tail.map(id => (id, ids.head, "near", ids.length.toLong))
+      }.toSet
+    assert(out.toSet === exact ++ near)
+    // structural pins: both rules fire; no doc removed twice; keepers
+    // never themselves removed (near keepers survive the exact stage)
+    assert(out.exists(_._3 == "exact") && out.exists(_._3 == "near"))
+    val removed = out.map(_._1)
+    assert(removed.distinct.length === removed.length, "double removal")
+    val removedSet = removed.toSet
+    assert(out.forall(r => !removedSet(r._2)), "a keeper was also removed")
+  }
+
   test("d29: per-source effective mass equals the 1/|cluster| recompute exactly") {
     val out = datapipe.Dedup.queries("d29_soft_dedup")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
