@@ -1133,6 +1133,43 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // Autocorrelation profile — the periodicity/pitch primitive of
+    // audio curation (voicing detection, pitch tracking à la YIN, and
+    // the tone-vs-noise triage a speech pipeline runs before ASR all
+    // start from lag-domain self-similarity; m03's pointwise stats
+    // can't see it — autocorrelation is CROSS-sample products): over
+    // the REAL decoded 16-bit PCM, the raw integer autocorrelation
+    // r(L) = Σ v[i]·v[i+L] at lags 0/1/2/4/8 plus ac1_ppm =
+    // max(r1,0)·1e6 DIV r0, the normalized lag-1 coefficient — THE
+    // voicing statistic (near 1e6 = tonal/correlated, near 0 = noise;
+    // the max() keeps the ppm on the floor-division path both engines
+    // share, since Spark's DIV truncates toward zero on negatives
+    // while DuckDB's // floors). Every r(L) is a bounded integer sum
+    // (|v| ≤ 100 planted, ≤ 32767 structurally: n·v² < 2⁶³ at any
+    // real track length), so the oracle recomputes identical longs
+    // from the sample formula without touching bytes. Map-only like
+    // every m-op; ~64 B/track shuffles regardless of duration.
+    "m18_audio_autocorr" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val v = PcmCodec.decode(PcmCodec.synthPcm(id))
+          def r(lag: Int): Long = {
+            var acc = 0L; var i = 0
+            while (i + lag < v.length) {
+              acc += v(i).toLong * v(i + lag); i += 1
+            }
+            acc
+          }
+          val r0 = r(0)
+          (id, v.length, r0, r(1), r(2), r(4), r(8),
+           math.max(r(1), 0L) * 1000000L / r0)
+        })
+        .toDF("asset_id", "n_samples", "r0", "r1", "r2", "r4", "r8",
+              "ac1_ppm")
+        .orderBy($"asset_id")
+    },
+
     // Patch tiling — the ViT tokenizer of image pipelines (every
     // vision-transformer ingest slices images into P×P patches; the
     // patch count IS the image's token bill, the vision analog of
@@ -1672,6 +1709,34 @@ object Multimodal {
         |  s.sum_eq, s.chk_eq, s.min_eq, s.max_eq
         |FROM p JOIN sin USING (asset_id) JOIN sums s USING (asset_id)
         |ORDER BY p.asset_id""".stripMargin,
+
+    // m18: every lag sum rebuilt from the sample formula; ac1_ppm on
+    // the shared floor-division path (max(r1,0) is nonneg, r0 > 0).
+    "m18_audio_autocorr" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(64 + (doc_id % 5) * 16 AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT p.asset_id, l.lag,
+        |    CAST(SUM(((p.asset_id * 7 + i.i * 13) % 201 - 100) *
+        |             ((p.asset_id * 7 + (i.i + l.lag) * 13) % 201 - 100))
+        |      AS BIGINT) AS r
+        |  FROM p, unnest([0, 1, 2, 4, 8]) AS l(lag), range(0, 128) i(i)
+        |  WHERE i.i + l.lag < p.n
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT r.asset_id, CAST(p.n AS INT) AS n_samples,
+        |    MAX(CASE WHEN lag = 0 THEN r END) AS r0,
+        |    MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    MAX(CASE WHEN lag = 4 THEN r END) AS r4,
+        |    MAX(CASE WHEN lag = 8 THEN r END) AS r8
+        |  FROM r JOIN p USING (asset_id)
+        |  GROUP BY r.asset_id, p.n)
+        |SELECT asset_id, n_samples, r0, r1, r2, r4, r8,
+        |  CAST(greatest(r1, 0) * 1000000 // r0 AS BIGINT) AS ac1_ppm
+        |FROM w ORDER BY asset_id""".stripMargin,
 
     // m17: every patch rebuilt from the pixel formula — per-patch sum,
     // min, max over the P² block, then the per-asset rollup with the

@@ -280,7 +280,9 @@ object StressBench {
       "q86_incremental_rollup," +
       // d30: d01's hash groupBy + d06's CC (its curve) + narrow-key
       // consumable joins — tracks d06's shape
-      "d30_dedup_manifest"
+      "d30_dedup_manifest," +
+      // m18: map-only PCM decode + lag loops — flat like m03/m12
+      "m18_audio_autocorr"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

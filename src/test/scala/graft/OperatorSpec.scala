@@ -2407,6 +2407,28 @@ class OperatorSpec extends SparkSpec {
     assert(out.forall(_._8 > 0), "zero contrast everywhere — vacuous")
   }
 
+  test("m18: every lag sum replays from the sample formula; decay structure real") {
+    import datapipe.Multimodal.PcmCodec
+    val out = datapipe.Multimodal.queries("m18_audio_autocorr")(spark, sf)
+      .as[(Long, Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, r0, r1, r2, r4, r8, ac1) =>
+      assert(n === PcmCodec.nSamples(id), s"id=$id n")
+      def r(lag: Int): Long =
+        (0 until n - lag).map(i =>
+          PcmCodec.sample(id, i).toLong * PcmCodec.sample(id, i + lag)).sum
+      assert((r0, r1, r2, r4, r8) === ((r(0), r(1), r(2), r(4), r(8))),
+        s"id=$id lags")
+      assert(ac1 === math.max(r1, 0L) * 1000000L / r0, s"id=$id ac1")
+      // the planted sawtooth is smooth at lag 1 and decorrelates with
+      // distance — the profile must show it, or the lags are misaligned
+      assert(r0 > r1 && r1 > r2 && r2 > r4 && r4 > r8, s"id=$id decay")
+      assert(ac1 > 0L && ac1 < 1000000L, s"id=$id ac1 range")
+    }
+    assert(out.map(_._8).distinct.length > 100,
+      "ac1_ppm nearly constant — vacuous")
+  }
+
   test("m13: chunk walk reads real bytes — corruption flips the CRC verdict") {
     import datapipe.Multimodal.{ImageCodec, PngChunks}
     val out = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)
