@@ -1480,6 +1480,42 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // CONTEXT-LENGTH COST TABLE — the config decision every SFT/
+    // retrieval training run makes before t17-style packing is even an
+    // option (when documents must NOT cross sequence boundaries — chat
+    // turns, contrastive pairs, reranker inputs — each doc gets one
+    // padded-to-L sequence and overlong docs truncate): for each
+    // candidate L, the padding waste, the truncation loss, and the
+    // utilization — pad_tokens = Σ (L − min(len,L)), trunc_tokens =
+    // Σ max(len−L, 0), util_ppm = Σ min(len,L)·1e6 DIV (n_docs·L).
+    // Raising L trades truncation for padding; the table shows the
+    // crossover, which is the number that sets max_seq_len. L values
+    // fixture-scaled {16, 32, 64} around the ~30-word docs (production
+    // sweeps 512/1k/2k/4k with identical arithmetic). ONE corpus scan:
+    // per-doc token counts fold into three conditional aggregates per
+    // L via a 3-row explode — map-side combined, O(L-candidates) rows
+    // ever shuffle; text never leaves the scan.
+    "t38_context_length_plan" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d)
+        .select(size(expr("filter(split(text, ' '), x -> x <> '')"))
+          .cast("long").as("len"))
+        .select($"len", explode(expr("array(16L, 32L, 64L)")).as("seq_len"))
+        .groupBy($"seq_len")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when($"len" <= $"seq_len", 1L).otherwise(0L)).as("n_fit"),
+             sum(when($"len" > $"seq_len", 1L).otherwise(0L))
+               .as("n_truncated"),
+             sum($"seq_len" - least($"len", $"seq_len")).as("pad_tokens"),
+             sum(greatest($"len" - $"seq_len", lit(0L))).as("trunc_tokens"),
+             sum(least($"len", $"seq_len")).as("kept_tokens"))
+        .select($"seq_len", $"n_docs", $"n_fit", $"n_truncated",
+          $"pad_tokens", $"trunc_tokens",
+          expr("kept_tokens * 1000000 DIV (n_docs * seq_len)")
+            .as("util_ppm"))
+        .orderBy($"seq_len")
+    },
+
     // VOCABULARY-GROWTH AUDIT (Heaps' law) — the "is this source still
     // generating novel text or just templating" curve, the longitudinal
     // complement of t35's cross-source novelty: per source, cumulative
@@ -2643,6 +2679,33 @@ object TextAnalysis {
          |  CAST(SUM(h) AS BIGINT) AS hash_mod_sum
          |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // t38: the same three conditional sums per candidate L; ppm is
+    // integer floor division on both engines.
+    "t38_context_length_plan" ->
+      """WITH lens AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |x AS (
+        |  SELECT len, unnest([16, 32, 64]) AS seq_len FROM lens),
+        |a AS (
+        |  SELECT CAST(seq_len AS BIGINT) AS seq_len,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN len <= seq_len THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_fit,
+        |    CAST(SUM(CASE WHEN len > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_truncated,
+        |    CAST(SUM(seq_len - least(len, seq_len)) AS BIGINT)
+        |      AS pad_tokens,
+        |    CAST(SUM(greatest(len - seq_len, 0)) AS BIGINT)
+        |      AS trunc_tokens,
+        |    CAST(SUM(least(len, seq_len)) AS BIGINT) AS kept
+        |  FROM x GROUP BY 1)
+        |SELECT seq_len, n_docs, n_fit, n_truncated, pad_tokens,
+        |  trunc_tokens,
+        |  CAST(kept * 1000000 // (n_docs * seq_len) AS BIGINT) AS util_ppm
+        |FROM a ORDER BY seq_len""".stripMargin,
 
     // t37: a type is new at the quartile of its first-occurrence rank,
     // so the oracle's cumulative-distinct curve is the same min-rank

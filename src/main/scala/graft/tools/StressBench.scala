@@ -282,7 +282,10 @@ object StressBench {
       // consumable joins — tracks d06's shape
       "d30_dedup_manifest," +
       // m18: map-only PCM decode + lag loops — flat like m03/m12
-      "m18_audio_autocorr"
+      "m18_audio_autocorr," +
+      // t38: one corpus scan into 3×(6 longs) map-side partials —
+      // linear in docs like t03
+      "t38_context_length_plan"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

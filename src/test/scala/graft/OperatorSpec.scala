@@ -2535,6 +2535,34 @@ class OperatorSpec extends SparkSpec {
       "fixture lacks both multi-chunk and single-chunk docs")
   }
 
+  test("t38: the context-length table replays from raw lengths; tradeoff monotone") {
+    val out = datapipe.TextAnalysis.queries("t38_context_length_plan")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq(16L, 32L, 64L))
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").as[String].collect()
+      .map(_.split(" ").count(_.nonEmpty).toLong)
+    val total = lens.sum
+    out.foreach { case (l, nDocs, nFit, nTrunc, pad, trunc, util) =>
+      assert(nDocs === lens.length.toLong)
+      assert(nFit === lens.count(_ <= l).toLong)
+      assert(nTrunc === lens.count(_ > l).toLong)
+      assert(pad === lens.map(x => l - math.min(x, l)).sum)
+      assert(trunc === lens.map(x => math.max(x - l, 0L)).sum)
+      val kept = lens.map(math.min(_, l)).sum
+      assert(util === kept * 1000000L / (nDocs * l))
+      // conservation: every token is kept or truncated; every slot is
+      // kept or padding
+      assert(kept + trunc === total && kept + pad === nDocs * l)
+    }
+    // the tradeoff the table exists to show: raising L buys truncation
+    // with padding
+    assert(out.map(_._5).sliding(2).forall(p => p(0) < p(1)), "pad not rising")
+    assert(out.map(_._6).sliding(2).forall(p => p(0) > p(1)), "trunc not falling")
+    assert(out.forall(r => r._4 > 0 && r._5 > 0),
+      "a candidate L never truncates or never pads — fixture vacuous")
+  }
+
   test("t37: every source's vocabulary-growth curve replays from raw text") {
     val out = datapipe.TextAnalysis.queries("t37_vocab_growth")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
