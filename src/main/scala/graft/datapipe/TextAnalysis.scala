@@ -1480,6 +1480,57 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // DISTRIBUTION DRIFT — the content-shift monitor between corpus
+    // snapshots (t29 watches QUALITY metrics drift; t39 watches what
+    // the text is ABOUT: a feed that pivots topics changes its unigram
+    // distribution long before its length/punctuation stats move).
+    // Per source, the older half of the corpus (doc_id below the
+    // midpoint — the t37 arrival-order proxy) trains an add-1 unigram
+    // model and the newer half another; the newer half's tokens are
+    // scored under BOTH, and the per-token gap is the empirical
+    // KL-style drift in micro-nats/token (near 0 = stationary feed,
+    // large = the distribution moved). Determinism is t26's scheme:
+    // each model probability is rounded ONCE to integer micro-nats,
+    // every sum after is exact longs; the single final division is one
+    // IEEE double op identical on both engines (no integer division
+    // of a possibly-negative numerator — the DIV-vs-// parity trap).
+    // ONE corpus scan into a (source, word-hash) count aggregate; the
+    // per-source totals are a broadcast control frame; the weighted
+    // sums fold map-side — the t14/t30 shuffle bill.
+    "t39_distribution_drift" -> { (s, d) =>
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"source", $"doc_id",
+          expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      val half = docs.agg(expr("(max(doc_id) + 1) DIV 2").as("half"))
+      val words = docs.crossJoin(broadcast(half))
+        .select($"source", ($"doc_id" >= $"half").as("is_new"),
+                explode($"toks").as("w"))
+        .select($"source", $"is_new", graft.Dets.phash($"w").as("wh"))
+      val counts = words.groupBy($"source", $"wh")
+        .agg(sum(when(!$"is_new", 1L).otherwise(0L)).as("c_o"),
+             sum(when($"is_new", 1L).otherwise(0L)).as("c_n"))
+      val tot = counts.groupBy($"source")
+        .agg(sum($"c_o").as("n_o"), sum($"c_n").as("n_n"),
+             count(lit(1)).as("v"))
+      counts.join(broadcast(tot), Seq("source"))
+        .select($"source", $"c_n", $"n_o", $"n_n", $"v",
+          round(-log(($"c_o" + 1L).cast("double") / ($"n_o" + $"v")) * 1e6)
+            .cast("long").as("unat_o"),
+          round(-log(($"c_n" + 1L).cast("double") / ($"n_n" + $"v")) * 1e6)
+            .cast("long").as("unat_n"))
+        .groupBy($"source")
+        .agg(max($"n_o").as("n_old_toks"), max($"n_n").as("n_new_toks"),
+             max($"v").as("vocab"),
+             sum($"c_n" * $"unat_o").as("nll_old_model"),
+             sum($"c_n" * $"unat_n").as("nll_new_model"))
+        .select($"source", $"n_old_toks", $"n_new_toks", $"vocab",
+          $"nll_old_model", $"nll_new_model",
+          (($"nll_old_model" - $"nll_new_model") /
+            $"n_new_toks".cast("double")).as("drift_unats_per_tok"))
+        .orderBy($"source")
+    },
+
     // CONTEXT-LENGTH COST TABLE — the config decision every SFT/
     // retrieval training run makes before t17-style packing is even an
     // option (when documents must NOT cross sequence boundaries — chat
@@ -2678,6 +2729,46 @@ object TextAnalysis {
          |  CAST(MAX(n) - (MAX(nc) - 1) * 12 AS BIGINT) AS last_fill,
          |  CAST(SUM(h) AS BIGINT) AS hash_mod_sum
          |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // t39: same midpoint split, same once-rounded micro-nat models;
+    // the drift column is a single IEEE double division of exact longs.
+    "t39_distribution_drift" -> {
+      val ph = graft.Dets.phashSql("w")
+      s"""WITH docs AS (
+         |  SELECT source, doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (SELECT (MAX(doc_id) + 1) // 2 AS half FROM docs),
+         |w AS (
+         |  SELECT source, doc_id >= h.half AS is_new,
+         |    unnest(list_transform(toks, w -> $ph)) AS wh
+         |  FROM docs, h),
+         |counts AS (
+         |  SELECT source, wh,
+         |    CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c_o,
+         |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_n
+         |  FROM w GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT source, CAST(SUM(c_o) AS BIGINT) AS n_o,
+         |    CAST(SUM(c_n) AS BIGINT) AS n_n, COUNT(*) AS v
+         |  FROM counts GROUP BY 1),
+         |sc AS (
+         |  SELECT c.source, c.c_n, t.n_o, t.n_n, t.v,
+         |    CAST(round(-ln((c.c_o + 1) / CAST(t.n_o + t.v AS DOUBLE)) * 1e6)
+         |      AS BIGINT) AS unat_o,
+         |    CAST(round(-ln((c.c_n + 1) / CAST(t.n_n + t.v AS DOUBLE)) * 1e6)
+         |      AS BIGINT) AS unat_n
+         |  FROM counts c JOIN tot t USING (source))
+         |SELECT source, MAX(n_o) AS n_old_toks, MAX(n_n) AS n_new_toks,
+         |  CAST(MAX(v) AS BIGINT) AS vocab,
+         |  CAST(SUM(c_n * unat_o) AS BIGINT) AS nll_old_model,
+         |  CAST(SUM(c_n * unat_n) AS BIGINT) AS nll_new_model,
+         |  (CAST(SUM(c_n * unat_o) AS BIGINT)
+         |   - CAST(SUM(c_n * unat_n) AS BIGINT))
+         |    / CAST(MAX(n_n) AS DOUBLE) AS drift_unats_per_tok
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin
     },
 
     // t38: the same three conditional sums per candidate L; ppm is

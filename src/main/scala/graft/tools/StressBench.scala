@@ -285,7 +285,10 @@ object StressBench {
       "m18_audio_autocorr," +
       // t38: one corpus scan into 3×(6 longs) map-side partials —
       // linear in docs like t03
-      "t38_context_length_plan"
+      "t38_context_length_plan," +
+      // t39: one (source, hash) count agg + broadcast totals —
+      // the t14/t30 shuffle bill, sublinear as distinct words saturate
+      "t39_distribution_drift"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

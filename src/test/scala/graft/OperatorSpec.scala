@@ -2563,6 +2563,43 @@ class OperatorSpec extends SparkSpec {
       "a candidate L never truncates or never pads — fixture vacuous")
   }
 
+  test("t39: per-source drift replays exactly; stationary corpus reads near zero") {
+    val out = datapipe.TextAnalysis.queries("t39_distribution_drift")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+    val half = (docs.map(_._2).max + 1) / 2
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val oldW = ds.filter(_._2 < half)
+        .flatMap(_._3.split(" ").filter(_.nonEmpty))
+      val newW = ds.filter(_._2 >= half)
+        .flatMap(_._3.split(" ").filter(_.nonEmpty))
+      val cO = oldW.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cN = newW.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val vocab = (cO.keySet ++ cN.keySet)
+      val (nO, nN, v) = (oldW.length.toLong, newW.length.toLong,
+        vocab.size.toLong)
+      def unat(c: Long, n: Long): Long =
+        math.round(-math.log((c + 1).toDouble / (n + v)) * 1e6)
+      var nllO = 0L; var nllN = 0L
+      vocab.foreach { w =>
+        val cn = cN.getOrElse(w, 0L)
+        nllO += cn * unat(cO.getOrElse(w, 0L), nO)
+        nllN += cn * unat(cn, nN)
+      }
+      val drift = (nllO - nllN).toDouble / nN
+      assert(out(src) === ((src, nO, nN, v, nllO, nllN, drift)), s"src=$src")
+      // both halves draw from the same generator, so the drift must
+      // read STATIONARY: well under the ~10% of per-token NLL a real
+      // topic pivot would show (this corpus measures 0.7-1.9%)
+      assert(drift >= 0.0 && drift < 0.1 * (nllN.toDouble / nN),
+        s"src=$src drift=$drift not stationary-small")
+    }
+    assert(out.size === docs.map(_._1).distinct.length)
+  }
+
   test("t37: every source's vocabulary-growth curve replays from raw text") {
     val out = datapipe.TextAnalysis.queries("t37_vocab_growth")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
