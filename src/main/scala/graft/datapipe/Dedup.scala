@@ -995,6 +995,81 @@ object Dedup {
       exactRemoved.unionByName(nearRemoved).orderBy($"doc_id")
     },
 
+    // SOURCE-GRAPH CENTRALITY — weighted PageRank over d22's
+    // source-overlap graph, the lineage question past the pairwise
+    // matrix: d22 says WHICH pairs share content, d31 says WHO is the
+    // aggregator — the source whose content everyone else carries sits
+    // central in the overlap graph (the feed a provenance review
+    // deprioritizes as derivative, or prices as the upstream original).
+    // NOTE on graph choice: PageRank over the doc-level near-dup graph
+    // is vacuous by construction — near-dup components are cliques and
+    // PageRank is uniform on any regular graph (measured: one distinct
+    // value across 186 nodes) — while source overlap is irregular by
+    // nature. 5 fixed power iterations in pure integer fixed point
+    // (S = 1e9): share u→v = (pr(u)·w(u,v)) DIV wdeg(u), damping
+    // (85·Σ) DIV 100 — every operand nonnegative, so Spark's
+    // truncating DIV and DuckDB's flooring // agree exactly and the
+    // oracle unrolls the same five rounds. (Bound: pr ≤ k·S and
+    // w ≤ wdeg, so pr·w/wdeg ≤ k·S ≪ 2⁶³ at any source count k a
+    // mixture runs.) Scale shape: the bill is d22's pair machinery
+    // (distinct (source, hash) + per-shingle source sets, k²-bounded);
+    // the rank itself rides O(k²) control frames — each iteration one
+    // broadcast-sized join + an aggregate.
+    "d31_source_graph_rank" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.WordShinglePHashes.word_shingle_phashes
+      graft.GraftExtensions.register(s)
+      val SCALE = 1000000000L
+      val hs = T.documents(s, d)
+        .withColumn("hset", word_shingle_phashes($"text", 3))
+        .filter(size($"hset") >= 1)
+        .select($"source", explode($"hset").as("h"))
+        .distinct()
+      val srcSets = hs.groupBy($"h")
+        .agg(sort_array(collect_set($"source")).as("srcs"))
+      val inter = srcSets.filter(size($"srcs") >= 2)
+        .select(explode(expr(
+          "flatten(transform(srcs, (a, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), " +
+          "b -> named_struct('a', a, 'b', b))))")).as("p"))
+        .groupBy($"p.a".as("sa"), $"p.b".as("sb"))
+        .agg(count(lit(1)).as("w"))
+      val edges = inter.select($"sa".as("a"), $"sb".as("b"), $"w")
+        .unionByName(inter.select($"sb".as("a"), $"sa".as("b"), $"w"))
+        .localCheckpoint() // O(k²) control rows, reused 6 times
+      val wdeg = edges.groupBy($"a").agg(sum($"w").as("wdeg"),
+        count(lit(1)).as("n_neighbors")).localCheckpoint()
+      var pr = wdeg.select($"a".as("source"), lit(SCALE).as("pr"))
+      for (_ <- 1 to 5) {
+        val share = edges.join(pr, $"a" === $"source")
+          .join(wdeg.select($"a".as("a2"), $"wdeg"), $"a" === $"a2")
+          .select($"b", expr("(pr * w) DIV wdeg").as("share"))
+        pr = share.groupBy($"b")
+          .agg(expr("150000000 + (85 * sum(share)) DIV 100").as("pr"))
+          .select($"b".as("source"), $"pr")
+          .localCheckpoint() // O(k); truncates the per-round lineage
+      }
+      // global rank WITHOUT a global window (the s17 lesson): the
+      // DistributedRank control path — range repartition + broadcast
+      // prefix offsets — even though this frame is O(k) today
+      // checkpoint BEFORE ranking (t27's pattern): it is the O(k)
+      // control frame, and materializing makes the constant group
+      // column a real attribute — un-checkpointed, the optimizer
+      // folds it out of the rank window's partition spec and the
+      // plan degenerates to the forbidden global WindowExec
+      val joined = pr
+        .join(wdeg.select($"a".as("source"), $"wdeg", $"n_neighbors"),
+          Seq("source"))
+        .withColumn("g", lit(0))
+        .withColumn("npr", -$"pr")
+        .localCheckpoint()
+      graft.operators.DistributedRank
+        .withRankStats(joined, Seq("g"), Seq($"npr", $"source"))
+        .select($"source", $"n_neighbors", $"wdeg", $"pr",
+                ($"_rank0" + 1L).as("rank"))
+        .orderBy($"source")
+    },
+
     // Decontamination — flag training docs sharing any 8-word gram with
     // the held-out benchmark set (the GPT-3/Llama eval-hygiene pass).
     // The benchmark n-gram set is SMALL relative to training data (eval
@@ -1704,6 +1779,58 @@ object Dedup {
          |FROM (SELECT * FROM exact_removed
          |      UNION ALL SELECT * FROM near_removed) u
          |ORDER BY doc_id""".stripMargin,
+
+    // d31: d22's overlap CTEs feed five unrolled weighted
+    // power-iteration rounds, every CTE MATERIALIZED (edges feeds all
+    // five — the d06-round lesson); nonneg integer DIV agrees across
+    // engines.
+    "d31_source_graph_rank" -> {
+      def prRound(j: Int) =
+        s"""pr$j AS MATERIALIZED (
+           |  SELECT e.b AS source,
+           |    CAST(150000000 + (85 * SUM((p.pr * e.w) // d.wdeg)) // 100
+           |      AS BIGINT) AS pr
+           |  FROM edges e
+           |  JOIN pr${j - 1} p ON e.a = p.source
+           |  JOIN wdeg d ON e.a = d.a
+           |  GROUP BY e.b)""".stripMargin
+      s"""WITH w AS (
+         |  SELECT source, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |hs AS (
+         |  SELECT DISTINCT source,
+         |    unnest(list_transform(list_transform(range(0, len(words) - 2),
+         |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]),
+         |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS h
+         |  FROM w),
+         |srcsets AS (
+         |  SELECT h, list(source ORDER BY source) AS srcs
+         |  FROM hs GROUP BY h),
+         |pe AS (
+         |  SELECT unnest(flatten(list_transform(range(1, len(srcs)),
+         |    i -> list_transform(range(i + 1, len(srcs) + 1),
+         |      j -> {'a': srcs[CAST(i AS INT)],
+         |            'b': srcs[CAST(j AS INT)]})))) AS p
+         |  FROM srcsets WHERE len(srcs) >= 2),
+         |isect AS (
+         |  SELECT p.a AS sa, p.b AS sb, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM pe GROUP BY 1, 2),
+         |edges AS MATERIALIZED (
+         |  SELECT sa AS a, sb AS b, w FROM isect
+         |  UNION ALL SELECT sb, sa, w FROM isect),
+         |wdeg AS MATERIALIZED (
+         |  SELECT a, CAST(SUM(w) AS BIGINT) AS wdeg,
+         |    CAST(COUNT(*) AS BIGINT) AS n_neighbors
+         |  FROM edges GROUP BY a),
+         |pr0 AS MATERIALIZED (
+         |  SELECT a AS source, CAST(1000000000 AS BIGINT) AS pr FROM wdeg),
+         |${(1 to 5).map(prRound).mkString(",\n")}
+         |SELECT p.source, d.n_neighbors, d.wdeg, p.pr,
+         |  CAST(row_number() OVER (ORDER BY p.pr DESC, p.source)
+         |    AS BIGINT) AS rank
+         |FROM pr5 p JOIN wdeg d ON d.a = p.source
+         |ORDER BY p.source""".stripMargin
+    },
 
     // d06's labels + the t20 quality mirror + a per-cluster argmax.
     "d20_cluster_representatives" ->

@@ -288,7 +288,11 @@ object StressBench {
       "t38_context_length_plan," +
       // t39: one (source, hash) count agg + broadcast totals —
       // the t14/t30 shuffle bill, sublinear as distinct words saturate
-      "t39_distribution_drift"
+      "t39_distribution_drift," +
+      // d31: d22's pair machinery is the bill (distinct (source, hash)
+      // + per-shingle source sets); the 5 rank rounds ride O(k²)
+      // control frames — curve tracks d22's
+      "d31_source_graph_rank"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

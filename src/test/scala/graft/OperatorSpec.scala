@@ -2673,6 +2673,53 @@ class OperatorSpec extends SparkSpec {
     assert(out.forall(r => !removedSet(r._2)), "a keeper was also removed")
   }
 
+  test("d31: the weighted source rank replays from raw shingles, 5 exact rounds") {
+    val out = datapipe.Dedup.queries("d31_source_graph_rank")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def ph(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"text").as[(String, String)].collect()
+    // distinct (source, 3-shingle hash) under the single-space grammar
+    val hs = docs.flatMap { case (src, t) =>
+      val ws = t.split(" ")
+      if (ws.length < 3) Seq.empty
+      else ws.sliding(3).map(g => (src, ph(g.mkString(" ")))).toSeq
+    }.distinct
+    val w = hs.groupBy(_._2).values.filter(_.length >= 2)
+      .flatMap { g =>
+        val ss = g.map(_._1).sorted
+        for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = w.toSeq.flatMap { case ((a, b), ww) =>
+      Seq((a, b, ww), (b, a, ww)) }
+    val wdeg = edges.groupBy(_._1).view
+      .mapValues(es => (es.map(_._3).sum, es.length.toLong)).toMap
+    var pr: Map[String, Long] = wdeg.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, ww) => pr(u) * ww / wdeg(u)._1 }.sum
+      }
+      pr = in.map { case (v, s) => v -> (150000000L + 85L * s / 100L) }
+    }
+    val order = pr.toSeq.sortBy { case (src, p) => (-p, src) }.map(_._1)
+    val rankOf = order.zipWithIndex.map { case (s2, i) => s2 -> (i + 1L) }.toMap
+    assert(out.size === pr.size)
+    pr.foreach { case (src, p) =>
+      assert(out(src) ===
+        ((src, wdeg(src)._2, wdeg(src)._1, p, rankOf(src))), s"src=$src")
+    }
+    // the graph must actually discriminate (the doc-level near-dup
+    // graph does NOT — cliques are regular and PageRank is uniform on
+    // them, which is why d31 ranks SOURCES)
+    assert(pr.values.toSeq.distinct.length > 1, "uniform rank — vacuous")
+  }
+
   test("d29: per-source effective mass equals the 1/|cluster| recompute exactly") {
     val out = datapipe.Dedup.queries("d29_soft_dedup")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
