@@ -219,7 +219,7 @@ object Similarity {
     * graft.functions.CosineSim replicates (Spark-side cosines all go
     * through that codegen'd expression).
     */
-  private def dotSql(a: String, b: String) =
+  private[datapipe] def dotSql(a: String, b: String) =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |  list_transform(range(1, len($a) + 1),
        |    j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE))),

@@ -37,7 +37,7 @@ object VectorIndex {
       .select(col("vec_id"), col("cell"))
 
   /** Train centroids on a seed frame: one Lloyd step from %K seeding. */
-  private[datapipe] def trainCentroids(seed: DataFrame): DataFrame =
+  private[graft] def trainCentroids(seed: DataFrame): DataFrame =
     Similarity.lloydCentroids(seed.withColumn("cell", col("vec_id") % K))
 
   // ===== physical store API =====
@@ -247,6 +247,73 @@ object VectorIndex {
         .withColumn("n_live", $"n_total" - $"n_dead")
         .withColumn("live_frac", $"n_live" / $"n_total".cast("double"))
         .orderBy($"cell")
+    },
+
+    // RECALL UNDER DELETION — the serving-quality half of the s20 GC
+    // report: after the full lifecycle (seed train + batch add + the
+    // vec_id % 5 takedown) the centroids are STALE — trained on mass
+    // that includes since-deleted vectors — and the question a serving
+    // owner asks before scheduling a retrain is whether live recall
+    // degraded. Queries are the family's fixed phash-ordered NQ=32
+    // sample drawn from LIVE vectors; candidates are live members of
+    // the top-2 probed cells (s15's exact-cosine probe rule against
+    // the stale quantizer); truth is the exact cosine top-10 over the
+    // LIVE corpus. n_dead_pruned counts the dead vectors the probe
+    // WOULD have served pre-deletion — the candidate mass the takedown
+    // removed (the leak count is structurally zero: the live view
+    // filters before candidates form, and the oracle recomputes that
+    // same semantics independently). Scale shape: s15's — two map-only
+    // assignment passes, one brute-force truth scan over the live
+    // slice, control-frame probes.
+    "s28_deletion_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.CosineSim.cosine_sim
+      val cents = trainCentroids(seedSet(s, d)).localCheckpoint()
+      val cRow = Similarity.centroidRow(cents)
+      val assigned = Similarity.assignCells(seedSet(s, d), cRow, "cell")
+        .unionByName(Similarity.assignCells(batchSet(s, d), cRow, "cell"))
+        .select($"vec_id", $"cell")
+      val liveEmb = T.embeddings(s, d).select($"vec_id", $"embedding")
+        .filter(size($"embedding") > 0 && $"vec_id" % 5 =!= 0)
+      val qs0 = liveEmb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(32) // the eval family's fixed-size deterministic sample
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+        .localCheckpoint()
+      val qcells = qs0.crossJoin(broadcast(cRow))
+        .select($"q_id", $"q_emb", explode($"cents").as("c"))
+        .withColumn("cos", cosine_sim($"q_emb", $"c.centroid"))
+        .withColumn("rn", row_number().over(Window.partitionBy($"q_id")
+          .orderBy(isnan($"cos").asc, $"cos".desc, $"c.cell".asc)))
+        .filter($"rn" <= 2)
+        .select($"q_id", $"c.cell".as("pcell"))
+      val probed = assigned
+        .join(broadcast(qcells), $"cell" === $"pcell" && $"vec_id" =!= $"q_id")
+      val cand = probed.filter($"vec_id" % 5 =!= 0)
+        .select($"q_id", $"vec_id")
+      val deadPruned = probed.filter($"vec_id" % 5 === 0)
+        .agg(count(lit(1)).as("n_dead_pruned"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      val exact10 = liveEmb.join(broadcast(qs0), $"vec_id" =!= $"q_id")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .filter(!isnan($"cosine"))
+        .select($"q_id", $"vec_id", $"cosine")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"vec_id")
+        .localCheckpoint() // <= NQ×10 rows; truth runs ONCE
+      exact10.join(cand, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(qs0.agg(count(lit(1)).as("n_q"))))
+        .crossJoin(broadcast(exact10.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(deadPruned))
+        .select(lit("live_nprobe_2").as("method"), $"n_q", $"n_truth",
+          $"hits", $"n_cand",
+          ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+          ($"n_cand" / $"n_q".cast("double")).as("avg_candidates"),
+          $"n_dead_pruned")
     }
   )
 
@@ -310,6 +377,80 @@ object VectorIndex {
          |  (COALESCE(cc.n_total, 0) - COALESCE(cc.n_dead, 0))
          |    / CAST(COALESCE(cc.n_total, 0) AS DOUBLE) AS live_frac
          |FROM cent c LEFT JOIN cc USING (cell)
-         |ORDER BY c.cell""".stripMargin
+         |ORDER BY c.cell""".stripMargin,
+
+    // s28: the s19/s20 lifecycle CTEs + s15's probe/truth shape over
+    // the live slice against the stale seed-trained quantizer.
+    "s28_deletion_recall" ->
+      s"""WITH seedemb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0),
+         |batchemb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+         |m AS (
+         |  SELECT a.cell, u.i - 1 AS pos,
+         |    CAST(CAST(SUM(CAST(round(u.v * 1e8) AS BIGINT)) AS DOUBLE)
+         |         / COUNT(*) / 1e8 AS REAL) AS m
+         |  FROM (SELECT vec_id, vec_id % $K AS cell FROM seedemb) a JOIN (
+         |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         |      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+         |    FROM seedemb) u USING (vec_id)
+         |  GROUP BY 1, 2),
+         |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid
+         |         FROM m GROUP BY cell),
+         |aseed AS (${Similarity.assignSql("cent", "seedemb")}),
+         |abatch AS (${Similarity.assignSql("cent", "batchemb")}),
+         |au AS (SELECT * FROM aseed UNION ALL SELECT * FROM abatch),
+         |live AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0 AND vec_id % 5 <> 0),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM live
+         |  ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT), vec_id
+         |  LIMIT 32),
+         |qc AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q_id, cell, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY isnan(cos) ASC, cos DESC, cell ASC) AS rn
+         |    FROM (
+         |      SELECT q.q_id, c.cell,
+         |        ${Similarity.dotSql("q.q_emb", "c.centroid")} /
+         |        (sqrt(${Similarity.dotSql("q.q_emb", "q.q_emb")}) *
+         |         sqrt(${Similarity.dotSql("c.centroid", "c.centroid")})) AS cos
+         |      FROM q, cent c) z) zz
+         |  WHERE rn <= 2),
+         |probed AS (
+         |  SELECT p.q_id, a.vec_id FROM au a
+         |  JOIN qc p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |cand AS (SELECT q_id, vec_id FROM probed WHERE vec_id % 5 <> 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${Similarity.dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${Similarity.dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${Similarity.dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM live e, q WHERE e.vec_id <> q.q_id),
+         |exact10 AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM scored WHERE NOT isnan(cosine)) z
+         |  WHERE rn <= 10)
+         |SELECT 'live_nprobe_2' AS method,
+         |  (SELECT COUNT(*) FROM q) AS n_q,
+         |  (SELECT COUNT(*) FROM exact10) AS n_truth,
+         |  (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |     (SELECT 1 FROM cand c
+         |      WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)) AS hits,
+         |  (SELECT COUNT(*) FROM cand) AS n_cand,
+         |  (SELECT COUNT(*) FROM exact10 x WHERE EXISTS
+         |     (SELECT 1 FROM cand c
+         |      WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id))
+         |    / CAST((SELECT COUNT(*) FROM exact10) AS DOUBLE)
+         |    AS recall_at_10,
+         |  (SELECT COUNT(*) FROM cand)
+         |    / CAST((SELECT COUNT(*) FROM q) AS DOUBLE) AS avg_candidates,
+         |  (SELECT COUNT(*) FROM probed WHERE vec_id % 5 = 0)
+         |    AS n_dead_pruned""".stripMargin
   )
 }

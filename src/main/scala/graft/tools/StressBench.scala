@@ -292,7 +292,11 @@ object StressBench {
       // d31: d22's pair machinery is the bill (distinct (source, hash)
       // + per-shingle source sets); the 5 rank rounds ride O(k²)
       // control frames — curve tracks d22's
-      "d31_source_graph_rank"
+      "d31_source_graph_rank," +
+      // s28: s15's shape on the live slice — seed train + two map-only
+      // assignments + one brute-force truth scan over k×-scaled
+      // embeddings: constant-dominated small, linear past ~16×
+      "s28_deletion_recall"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

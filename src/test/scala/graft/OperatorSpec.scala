@@ -2123,6 +2123,75 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s28: live recall replays from assignment + plain-Scala probe/truth") {
+    import datapipe.{Similarity, VectorIndex}
+    val out = datapipe.VectorIndex.queries("s28_deletion_recall")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Long)]
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    def ph(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val embAll = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter(size($"embedding") > 0)
+      .as[(Long, Array[Float])].collect()
+    // cells from the library's lifecycle pieces (their determinism is
+    // pinned in VectorIndexSpec); probe + truth replay in plain Scala
+    val seed = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter($"vec_id" % 3 =!= 0)
+    val batch = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter($"vec_id" % 3 === 0)
+    val cents = VectorIndex.trainCentroids(seed).localCheckpoint()
+    val cRow = cents.agg(
+      expr("array_sort(collect_list(struct(cell, centroid)))").as("cents"))
+    val cellOf =
+      Similarity.assignCells(seed, cRow, "cell")
+        .unionByName(Similarity.assignCells(batch, cRow, "cell"))
+        .select($"vec_id", $"cell".cast("int"))
+        .as[(Long, Int)].collect().toMap
+    val centArr = cents.select($"cell".cast("int"), $"centroid")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val live = embAll.filter(_._1 % 5 != 0)
+    val liveMap = live.toMap
+    val qids = live.map(_._1).sortBy(id => (ph(id.toString), id)).take(32)
+    var hits = 0L; var nCand = 0L; var nTruth = 0L; var dead = 0L
+    qids.foreach { q =>
+      val pcells = centArr
+        .map { case (c, ce) => (c, cos(liveMap(q), ce)) }
+        .sortBy { case (c, sc) => (sc.isNaN, -sc, c) }.take(2)
+        .map(_._1).toSet
+      val probed = embAll.filter(v => v._1 != q && pcells(cellOf(v._1)))
+      val candSet = probed.filter(_._1 % 5 != 0).map(_._1).toSet
+      dead += probed.count(_._1 % 5 == 0)
+      nCand += candSet.size
+      val truth = live.filter(_._1 != q)
+        .map { case (id, e) => (id, cos(liveMap(q), e)) }
+        .filterNot(_._2.isNaN)
+        .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1)
+      nTruth += truth.size
+      hits += truth.count(candSet)
+    }
+    assert(r === (("live_nprobe_2", 32L, nTruth, hits, nCand,
+      hits.toDouble / nTruth, nCand.toDouble / 32, dead)))
+    // the takedown must be visible in the probe stream, and the live
+    // recall must stay in the index's known band (s15 measured 0.43
+    // pre-deletion — a stale quantizer shouldn't crater it)
+    assert(dead > 0L, "no dead candidates pruned — takedown invisible")
+    assert(r._6 > 0.2 && r._6 < 1.0, s"live recall ${r._6} out of band")
+  }
+
   test("m11: every pyramid level matches the exact floor-average recompute") {
     val out = datapipe.Multimodal.queries("m11_image_pyramid")(spark, sf)
       .as[(Long, Int, Int, Long, Int, Int, Long, Int, Int, Long)].collect()
