@@ -761,6 +761,130 @@ object Multimodal {
       reader.dispose(); iis.close()
       VideoScenes(id, n, cuts, firstCut, totalDelta)
     }
+
+    /** Planted per-frame display delay, in GIF centiseconds:
+      * 2/4/6/8/10 cs cycling with (id + f) — variable frame timing,
+      * which is what makes retiming a real problem. */
+    def delayCs(id: Long, f: Int): Int = (((id + f) % 5 + 1) * 2).toInt
+
+    /** [[synthVideo]] with REAL per-frame timing: each frame's
+      * Graphic Control Extension carries [[delayCs]], written through
+      * ImageIO's metadata tree so the bytes are a genuine timed GIF89a
+      * animation (the GCE is the container's actual timing record, the
+      * thing a frame-rate audit must read). */
+    def synthVideoTimed(id: Long): Array[Byte] = {
+      noDiskCache
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val n = nFrames(id)
+      var f = 0
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          W, H, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) {
+            img.getRaster.setSample(x, y, 0,
+              ((x * 7 + y * 13 + f * 31 + id) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img),
+          writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        // find-or-create: the default tree may or may not already carry
+        // a GraphicControlExtension node
+        var gce: javax.imageio.metadata.IIOMetadataNode = null
+        var c = root.getFirstChild
+        while (c != null && gce == null) {
+          if (c.getNodeName == "GraphicControlExtension")
+            gce = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          c = c.getNextSibling
+        }
+        if (gce == null) {
+          gce = new javax.imageio.metadata.IIOMetadataNode(
+            "GraphicControlExtension")
+          root.appendChild(gce)
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delayCs(id, f).toString)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+        f += 1
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+  }
+
+  /** Byte-level GIF89a container walker — m13's sibling for the video
+    * modality: frame count, dimensions, and per-frame timing read
+    * straight from the container's block structure (header + logical
+    * screen descriptor + Graphic Control Extensions + image
+    * descriptors + trailer) WITHOUT invoking a decoder. A frame-rate /
+    * duration audit at 100 TB must not pay LZW decode for numbers the
+    * container already states. */
+  object GifWalk {
+    final case class GifMeta(asset_id: Long, width: Int, height: Int,
+      n_frames: Int, n_gce: Int, delay_sum_cs: Long, delay_min_cs: Int,
+      delay_max_cs: Int, delay_chk: Long, trailer_ok: Boolean)
+
+    def walk(id: Long, b: Array[Byte]): GifMeta = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      require(new String(b, 0, 6, "US-ASCII") == "GIF89a", "not GIF89a")
+      val w = u16(6); val h = u16(8)
+      val packed = u8(10)
+      var p = 13
+      if ((packed & 0x80) != 0) p += 3 * (1 << ((packed & 7) + 1))
+      var frames = 0; var gces = 0
+      var dSum = 0L; var dMin = Int.MaxValue; var dMax = 0; var chk = 0L
+      var trailer = false; var done = false
+      def skipSubBlocks(): Unit = {
+        while (u8(p) != 0) p += 1 + u8(p)
+        p += 1
+      }
+      while (!done && p < b.length) {
+        u8(p) match {
+          case 0x3B => trailer = true; done = true
+          case 0x21 =>
+            val label = u8(p + 1); p += 2
+            if (label == 0xF9) {
+              val bs = u8(p) // GCE fixed block, size 4
+              val delay = u16(p + 2)
+              gces += 1
+              dSum += delay
+              if (delay < dMin) dMin = delay
+              if (delay > dMax) dMax = delay
+              chk += gces.toLong * delay
+              p += 1 + bs
+              skipSubBlocks()
+            } else skipSubBlocks()
+          case 0x2C =>
+            frames += 1
+            val ipacked = u8(p + 9)
+            p += 10
+            if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
+            p += 1 // LZW minimum code size
+            skipSubBlocks()
+          case other =>
+            throw new IllegalStateException(f"bad GIF block 0x$other%02x at $p")
+        }
+      }
+      GifMeta(id, w, h, frames, gces, dSum, if (gces == 0) 0 else dMin,
+        dMax, chk, trailer)
+    }
   }
 
   /** Real PNG payloads, one per document id — encoded on the executors
@@ -1167,6 +1291,32 @@ object Multimodal {
         })
         .toDF("asset_id", "n_samples", "r0", "r1", "r2", "r4", "r8",
               "ac1_ppm")
+        .orderBy($"asset_id")
+    },
+
+    // Frame-timing audit — the retiming/fps-normalization input of
+    // video curation (a training pipeline that resamples clips to a
+    // fixed fps needs each clip's REAL per-frame delays, and a
+    // container whose GCE count disagrees with its frame count is
+    // corrupt): every clip is written as a genuinely TIMED GIF89a
+    // (per-frame Graphic Control Extension delays planted 2–10 cs via
+    // ImageIO's metadata tree), then audited by the byte-level
+    // container walk — no LZW decode, the m13 discipline: duration and
+    // frame rate are container metadata, not pixel data. The report
+    // pins the timing EXACTLY: total duration, min/max delay, and a
+    // position-weighted delay checksum (frame f's delay weighted by
+    // its 1-based index — a delay on the wrong frame fails the hash),
+    // plus the n_gce == n_frames integrity check and the trailer
+    // presence. The oracle rebuilds every delay from the planted
+    // formula; the walker proves those numbers sit in ImageIO's actual
+    // bytes. Map-only like every m-op, ~56 B/clip shuffles.
+    "m19_gif_timing" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          GifWalk.walk(id, VideoCodec.synthVideoTimed(id))
+        })
+        .toDF()
         .orderBy($"asset_id")
     },
 
@@ -1883,6 +2033,27 @@ object Multimodal {
         |  CAST(SUM(o.v * ((o.i % 7) + 1)) AS BIGINT) AS wsum
         |FROM p JOIN o USING (asset_id)
         |GROUP BY p.asset_id, p.n ORDER BY p.asset_id""".stripMargin,
+
+    // m19: delays replay from the planted formula ((id+f) % 5 + 1)·2;
+    // the walker side proves they sit in the real container bytes.
+    "m19_gif_timing" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(16 + doc_id % 9 AS INT) AS n,
+        |    unnest(range(0, 16 + doc_id % 9)) AS fi
+        |  FROM documents),
+        |d AS (
+        |  SELECT asset_id, n, fi,
+        |    CAST(((asset_id + fi) % 5 + 1) * 2 AS BIGINT) AS delay
+        |  FROM f)
+        |SELECT asset_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |  CAST(MAX(n) AS INT) AS n_frames, CAST(COUNT(*) AS INT) AS n_gce,
+        |  CAST(SUM(delay) AS BIGINT) AS delay_sum_cs,
+        |  CAST(MIN(delay) AS INT) AS delay_min_cs,
+        |  CAST(MAX(delay) AS INT) AS delay_max_cs,
+        |  CAST(SUM((fi + 1) * delay) AS BIGINT) AS delay_chk,
+        |  true AS trailer_ok
+        |FROM d GROUP BY asset_id ORDER BY asset_id""".stripMargin,
 
     // m08's scene formula mirror: pixel(x, y, f) = (7x + 13y +
     // 97·(f//5) + id) % 256; per-transition Σ|Δ|, integer cut test.

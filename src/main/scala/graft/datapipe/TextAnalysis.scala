@@ -1531,6 +1531,62 @@ object TextAnalysis {
         .orderBy($"source")
     },
 
+    // BOILERPLATE LINE REMOVAL — the C4/RefinedWeb cleaning rule no
+    // near-dup detector covers (d02/d04 score whole documents; d18
+    // needs two docs to SHARE a span pairwise — the "terms of service"
+    // footer stamped on every page of a site is caught by neither: each
+    // doc is unique overall, and pairwise span dedup at corpus scale
+    // would emit the footer quadratically): any LINE whose document
+    // frequency reaches DF_MIN is struck from every document in ONE
+    // corpus-frequency pass, the exact C4 "discard any line repeated
+    // across the corpus" gate. Lines here are the fixture's 8-word
+    // segments (no newlines in the synthetic text; production splits on
+    // '\n' with identical arithmetic) plus a planted per-source footer
+    // line on every third doc — the site-template boilerplate the rule
+    // exists for (df ~ 8 per source; the rule also bites naturally on
+    // short tail segments, so removal is exercised beyond the plant).
+    // The per-doc report pins the removal EXACTLY: kept-token count and
+    // a position-weighted checksum over the kept lines — one wrongly
+    // kept or dropped line fails the hash. Scale shape: one scan →
+    // (doc_id, line_idx, fp, nw) longs; df is a map-side-combined
+    // count-distinct-by-key on fp; the verdict joins back on fp longs;
+    // line bodies never shuffle. Linear in corpus tokens at any scale —
+    // this is the whole point vs pairwise span dedup.
+    "t40_line_dedup" -> { (s, d) =>
+      import s.implicits._
+      val DF_MIN = 4
+      val base = T.documents(s, d)
+        .select($"doc_id", $"source",
+          expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+        .filter(size($"ws") >= 1)
+        .withColumn("n", size($"ws").cast("long"))
+        .withColumn("nl", expr("(n + 7) DIV 8"))
+      val natural = base
+        .select($"doc_id", explode(expr("sequence(0, nl - 1)")).as("li"),
+          $"n", $"ws")
+        .select($"doc_id", $"li", expr(
+          "array_join(slice(ws, li * 8 + 1, least(8, n - li * 8)), ' ')")
+          .as("line"))
+      val planted = base.filter($"doc_id" % 3 === 0)
+        .select($"doc_id", $"nl".as("li"),
+          concat(lit("all rights reserved see terms at www dot "), $"source")
+            .as("line"))
+      val lines = natural.unionByName(planted)
+        .select($"doc_id", $"li", graft.Dets.phash($"line").as("fp"),
+          size(expr("filter(split(line, ' '), x -> x <> '')")).cast("long")
+            .as("nw"))
+      val df = lines.select($"fp", $"doc_id").distinct()
+        .groupBy($"fp").agg(count(lit(1)).as("df"))
+      lines.join(df, Seq("fp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when($"df" >= DF_MIN, 1L).otherwise(0L)).as("n_removed"),
+          sum(when($"df" < DF_MIN, $"nw").otherwise(0L)).as("toks_kept"),
+          sum(when($"df" < DF_MIN, ($"li" + 1L) * ($"fp" % 1000000000L))
+            .otherwise(0L)).as("chk_kept"))
+        .orderBy($"doc_id")
+    },
+
     // CONTEXT-LENGTH COST TABLE — the config decision every SFT/
     // retrieval training run makes before t17-style packing is even an
     // option (when documents must NOT cross sequence boundaries — chat
@@ -2769,6 +2825,50 @@ object TextAnalysis {
          |   - CAST(SUM(c_n * unat_n) AS BIGINT))
          |    / CAST(MAX(n_n) AS DOUBLE) AS drift_unats_per_tok
          |FROM sc GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // t40: same segments, same planted footer, same df-threshold
+    // verdict; fp % 1e9 keeps the checksum well inside BIGINT on both
+    // engines (the t36 lesson).
+    "t40_line_dedup" -> {
+      val fp = graft.Dets.phashSql("line")
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, source, ws, CAST(len(ws) AS BIGINT) AS n
+         |  FROM w WHERE len(ws) >= 1),
+         |nat AS (
+         |  SELECT doc_id, unnest(range(0, (n + 7) // 8)) AS li, n, ws
+         |  FROM base),
+         |natl AS (
+         |  SELECT doc_id, li, array_to_string(
+         |    ws[CAST(li * 8 + 1 AS INT) : CAST(least(li * 8 + 8, n) AS INT)],
+         |    ' ') AS line
+         |  FROM nat),
+         |pl AS (
+         |  SELECT doc_id, (n + 7) // 8 AS li,
+         |    'all rights reserved see terms at www dot ' || source AS line
+         |  FROM base WHERE doc_id % 3 = 0),
+         |lines AS (
+         |  SELECT doc_id, CAST(li AS BIGINT) AS li,
+         |    $fp AS fp,
+         |    CAST(len(list_filter(string_split(line, ' '), x -> x <> ''))
+         |      AS BIGINT) AS nw
+         |  FROM (SELECT * FROM natl UNION ALL SELECT * FROM pl)),
+         |df AS (
+         |  SELECT fp, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+         |SELECT l.doc_id, COUNT(*) AS n_lines,
+         |  CAST(SUM(CASE WHEN df.df >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(SUM(CASE WHEN df.df < 4 THEN nw ELSE 0 END) AS BIGINT)
+         |    AS toks_kept,
+         |  CAST(SUM(CASE WHEN df.df < 4
+         |    THEN (li + 1) * (fp % 1000000000) ELSE 0 END) AS BIGINT)
+         |    AS chk_kept
+         |FROM lines l JOIN df USING (fp)
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
     },
 
     // t38: the same three conditional sums per candidate L; ppm is

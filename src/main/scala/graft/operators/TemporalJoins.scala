@@ -99,6 +99,57 @@ object TemporalJoins {
         .orderBy($"event_id")
     },
 
+    // NEAREST join — the bidirectional half the as-of join lacks (as-of
+    // looks only backward; attribution and sensor alignment often want
+    // "the closest reading in EITHER direction"): for each click, the
+    // same-user purchase minimizing |Δts|, ties broken backward-first
+    // then by smallest event id — the pandas merge_asof
+    // direction='nearest' contract. Composed as TWO carry-forward
+    // passes over ONE union frame (ascending for the latest at-or-
+    // before, descending for the earliest at-or-after), then a per-row
+    // pick — same shuffle bill as the as-of join (one exchange on
+    // user_id, two partitioned sorts, linear state), no pair explosion,
+    // skew-safe at 100 TB for the same reason.
+    "q87_nearest_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+      val l = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", lit(1).as("_side"), $"event_id",
+          lit(null).cast("long").as("_rid"),
+          lit(null).cast("timestamp").as("_rts"))
+      val r = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(0).as("_side"),
+          lit(null).cast("long").as("event_id"),
+          $"event_id".as("_rid"), $"ts".as("_rts"))
+      // rid DESC within a ts group => last() lands on the SMALLEST rid
+      // among equally-near rows, the deterministic tie rule the oracle
+      // replays; right rows sort before left at equal ts on both
+      // passes, so both directions use inclusive (<=, >=) semantics
+      val wb = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"_side".asc, $"_rid".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wf = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"_side".asc, $"_rid".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      l.unionByName(r)
+        .withColumn("_prid", last($"_rid", ignoreNulls = true).over(wb))
+        .withColumn("_prts", last($"_rts", ignoreNulls = true).over(wb))
+        .withColumn("_nrid", last($"_rid", ignoreNulls = true).over(wf))
+        .withColumn("_nrts", last($"_rts", ignoreNulls = true).over(wf))
+        .filter($"_side" === 1)
+        .withColumn("_db", unix_timestamp($"ts") - unix_timestamp($"_prts"))
+        .withColumn("_df", unix_timestamp($"_nrts") - unix_timestamp($"ts"))
+        .withColumn("_useB", $"_prid".isNotNull &&
+          ($"_nrid".isNull || $"_db" <= $"_df"))
+        .select($"event_id", $"user_id", $"ts",
+          when($"_useB", $"_prid").otherwise($"_nrid").as("match_id"),
+          when($"_useB", $"_db").otherwise($"_df").as("delta_s"),
+          when($"_useB", lit("backward"))
+            .when($"_nrid".isNotNull, lit("forward"))
+            .otherwise(lit(null).cast("string")).as("side"))
+        .orderBy($"event_id")
+    },
+
     // Range join: for each error event, count same-user events in the
     // preceding 10 minutes — bucketed equi-join, not a theta-join.
     "q30_range_join" -> { (s, d) =>
@@ -146,6 +197,30 @@ object TemporalJoins {
         |FROM (SELECT * FROM ev WHERE event_type = 'click') c
         |ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    // q87: the tuple rule (|Δ|, backward-first, smallest rid) as a
+    // correlated LATERAL top-1 — O(per-user pairs) in the oracle only;
+    // the Spark side is the linear two-pass carry-forward.
+    "q87_nearest_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts, event_type
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, ts FROM ev
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS rid, user_id, ts AS rts FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts, m.rid AS match_id,
+        |  m.delta_s, m.side
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r.rid,
+        |    abs(epoch_us(r.rts) - epoch_us(l.ts)) // 1000000 AS delta_s,
+        |    CASE WHEN r.rts <= l.ts THEN 'backward' ELSE 'forward' END
+        |      AS side
+        |  FROM r WHERE r.user_id = l.user_id
+        |  ORDER BY abs(epoch_us(r.rts) - epoch_us(l.ts)),
+        |    CASE WHEN r.rts <= l.ts THEN 0 ELSE 1 END, r.rid
+        |  LIMIT 1) m ON TRUE
+        |ORDER BY l.event_id""".stripMargin,
 
     "q30_range_join" ->
       """WITH ev AS (SELECT event_id, user_id,

@@ -30,6 +30,36 @@ class OperatorSpec extends SparkSpec {
     assert(out(102L) === None)       // user 2 has no purchase
   }
 
+  test("q87: nearest join replays the (|delta|, backward, rid) tuple rule") {
+    val out = operators.TemporalJoins.queries("q87_nearest_join")(spark, sf)
+      .select($"event_id", $"match_id", $"delta_s", $"side")
+      .as[(Long, Option[Long], Option[Long], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", date_trunc("second", $"ts"))
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("s"))
+      .as[(Long, Long, String, Long)].collect()
+    val purch = ev.filter(_._3 == "purchase").groupBy(_._2)
+    ev.filter(_._3 == "click").foreach { case (id, u, _, s) =>
+      val cands = purch.getOrElse(u, Array.empty)
+      if (cands.isEmpty) assert(out(id) === ((id, None, None, None)))
+      else {
+        val best = cands.minBy { case (rid, _, _, rs) =>
+          (math.abs(rs - s), if (rs <= s) 0L else 1L, rid) }
+        val (rid, _, _, rs) = best
+        assert(out(id) === ((id, Some(rid), Some(math.abs(rs - s)),
+          Some(if (rs <= s) "backward" else "forward"))), s"id=$id")
+      }
+    }
+    // fixture exercises both directions and at least one no-match or
+    // zero-delta/tie case is plausible but not guaranteed — pin only
+    // the direction mix
+    val sides = out.values.flatMap(_._4).toSet
+    assert(sides === Set("backward", "forward"),
+      s"fixture exercises only $sides")
+  }
+
   test("as-of join: right row at exactly left ts is included (<= semantics)") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
     val r = Seq((1L, ts("2024-01-01 10:00:00"), 42.0))
@@ -2498,6 +2528,40 @@ class OperatorSpec extends SparkSpec {
       "ac1_ppm nearly constant — vacuous")
   }
 
+  test("m19: planted GCE delays replay from real container bytes") {
+    import datapipe.Multimodal.{VideoCodec, GifWalk}
+    val out = datapipe.Multimodal.queries("m19_gif_timing")(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Long, Int, Int, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, nf, ng, dsum, dmin, dmax, chk, tr) =>
+      val n = VideoCodec.nFrames(id)
+      val delays = (0 until n).map(f => VideoCodec.delayCs(id, f).toLong)
+      assert((w, h, nf, ng) === ((8, 6, n, n)), s"id=$id structure")
+      assert((dsum, dmin.toLong, dmax.toLong) ===
+        ((delays.sum, delays.min, delays.max)), s"id=$id delays")
+      assert(chk === delays.zipWithIndex.map { case (dl, f) =>
+        (f + 1) * dl }.sum, s"id=$id chk")
+      assert(tr, s"id=$id trailer missing")
+    }
+    // variable timing actually planted — a constant-delay fixture
+    // would let a "read the first GCE" bug pass
+    assert(out.exists(r => r._7 != r._8), "all delays equal — vacuous")
+    // the walker reads REAL bytes: corrupting a delay byte changes the
+    // report, truncating the trailer flips trailer_ok, and the timed
+    // container still decodes through the real ImageIO reader
+    val b = VideoCodec.synthVideoTimed(3L)
+    val clean = GifWalk.walk(3L, b)
+    assert(clean.n_frames === VideoCodec.nFrames(3L))
+    val cut = GifWalk.walk(3L, b.dropRight(1))
+    assert(!cut.trailer_ok, "trailer check blind to truncation")
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    rdr.setInput(iis)
+    assert(rdr.getNumImages(true) === VideoCodec.nFrames(3L))
+    rdr.dispose(); iis.close()
+  }
+
   test("m13: chunk walk reads real bytes — corruption flips the CRC verdict") {
     import datapipe.Multimodal.{ImageCodec, PngChunks}
     val out = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)
@@ -2667,6 +2731,56 @@ class OperatorSpec extends SparkSpec {
         s"src=$src drift=$drift not stationary-small")
     }
     assert(out.size === docs.map(_._1).distinct.length)
+  }
+
+  test("t40: line-df removal replays exactly; footers struck, unique lines kept") {
+    def ph(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val out = datapipe.TextAnalysis.queries("t40_line_dedup")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    // replay: per-doc 8-word segments + the planted footer line
+    val lines = docs.flatMap { case (id, src, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.isEmpty) Seq.empty else {
+        val nl = (ws.length + 7) / 8
+        val nat = (0 until nl).map(li =>
+          (id, li.toLong, ws.slice(li * 8, li * 8 + 8).mkString(" ")))
+        if (id % 3 == 0)
+          nat :+ ((id, nl.toLong,
+            s"all rights reserved see terms at www dot $src"))
+        else nat
+      }
+    }
+    val df = lines.map(l => (l._3, l._1)).distinct.groupBy(_._1)
+      .view.mapValues(_.size).toMap
+    val expected = lines.groupBy(_._1).map { case (id, ls) =>
+      val kept = ls.filter(l => df(l._3) < 4)
+      id -> ((id, ls.length.toLong, (ls.length - kept.length).toLong,
+        kept.map(_._3.split(" ").count(_.nonEmpty).toLong).sum,
+        kept.map(l => (l._2 + 1) * (ph(l._3) % 1000000000L)).sum))
+    }
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, e) => assert(out(id) === e, s"id=$id") }
+    // the plant bites: every third doc's footer reaches df >= 4 per
+    // source and is struck
+    docs.foreach { case (id, _, t) =>
+      if (id % 3 == 0 && t.split(" ").exists(_.nonEmpty))
+        assert(out(id)._3 >= 1L, s"id=$id footer not removed")
+    }
+    // the rule also bites beyond the plant (short natural tail segments
+    // repeat across the fixture corpus) and most lines survive
+    assert(docs.exists { case (id, _, _) =>
+      id % 3 != 0 && out.get(id).exists(_._3 > 0) },
+      "no natural (non-planted) removal — df rule vacuous off-plant")
+    val (totLines, totRemoved) =
+      (out.values.map(_._2).sum, out.values.map(_._3).sum)
+    assert(totRemoved.toDouble / totLines < 0.5,
+      "rule strikes most of the corpus — fixture degenerate")
   }
 
   test("t37: every source's vocabulary-growth curve replays from raw text") {
