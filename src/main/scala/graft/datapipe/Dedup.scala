@@ -827,6 +827,58 @@ object Dedup {
         .orderBy($"j_band")
     },
 
+    // LSH BAND-PLAN TABLE — the knob-sizing report for the banding
+    // itself (s27 prices IVF's nprobe; this prices MinHash's (b, r)):
+    // d21 measures the SHIPPED config (b=4, r=4); before committing a
+    // 100 TB dedup run you want the whole frontier — every split of
+    // the K=16 signature into b bands of r rows, each priced as
+    // measured candidate bill vs measured recall at τ=0.5/0.8 against
+    // the SAME df-capped exact truth. Theory says recall rises and
+    // precision collapses as r shrinks (P(cand|J) = 1−(1−J^r)^b); the
+    // table shows where on that curve the corpus actually sits, which
+    // is the number that picks r. Scale shape: ONE signature pass and
+    // ONE truth pass (both shared, cached/checkpointed); each config
+    // adds only its band-key equi-join over (doc_id, key) rows — the
+    // d02 candidate join, never wider — and its checkpointed candidate
+    // set is O(measured pairs), the quantity the table reports. Counts
+    // integer; each recall is one IEEE division.
+    "d32_band_plan" -> { (s, d) =>
+      import s.implicits._
+      val sig = signaturesOf(evalCorpus(s, d)).cache()
+      val truth = cappedTruth(sig)
+      def bandKeys(b: Int, r: Int) = array((0 until b).map { k =>
+        val parts = (1 to r).map(j => s"element_at(sig, ${k * r + j})")
+        expr(s"concat_ws('_', '$k', ${parts.mkString(", ")})")
+      }: _*)
+      def row(b: Int, r: Int): DataFrame = {
+        val bands = sig.select($"doc_id", explode(bandKeys(b, r)).as("bk"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bk") === col("y.bk") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+          .localCheckpoint()
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        def at(tau: Double, sfx: String): DataFrame = {
+          val tr = truth.filter($"jaccard" >= tau)
+          tr.agg(count(lit(1)).as(s"n_truth$sfx"))
+            .crossJoin(broadcast(tr.join(cand, Seq("d1", "d2"), "left_semi")
+              .agg(count(lit(1)).as(s"hits$sfx"))))
+        }
+        at(0.5, "50").crossJoin(broadcast(at(0.8, "80")))
+          .crossJoin(broadcast(nCand))
+          .select(lit(b).cast("int").as("n_bands"),
+            lit(r).cast("int").as("n_rows"), $"n_cand",
+            $"n_truth50", $"hits50",
+            ($"hits50" / $"n_truth50".cast("double")).as("recall50"),
+            $"n_truth80", $"hits80",
+            ($"hits80" / $"n_truth80".cast("double")).as("recall80"))
+      }
+      Seq((2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) => row(b, r) }
+        .reduce(_ unionByName _)
+        .orderBy($"n_rows".desc)
+    },
+
     // CROSS-SOURCE OVERLAP MATRIX — the corpus-composition report a
     // data-mixing decision needs before weighting sources: for every
     // source pair, the exact shingle-set Jaccard (how much of source A
@@ -1671,6 +1723,47 @@ object Dedup {
          |SELECT threshold, n_docs, n_pairs, n_removed,
          |  n_removed / CAST(n_docs AS DOUBLE) AS frac_removed
          |FROM u ORDER BY threshold""".stripMargin
+    },
+
+    // d32: one band/cand CTE pair per (b, r) config over the shared
+    // sigs/truth chain — the d21 oracle parameterized by the split.
+    "d32_band_plan" -> {
+      val configs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+      val perCfg = configs.map { case (b, r) =>
+        val keys = "[" + (0 until b).map { k =>
+          val parts = (1 to r).map(j => s"sig[${k * r + j}]")
+          s"concat_ws('_', '$k', ${parts.mkString(", ")})"
+        }.mkString(", ") + "]"
+        s"""bands_${b}_$r AS (
+           |  SELECT doc_id, unnest($keys) AS bk FROM sigs),
+           |cand_${b}_$r AS MATERIALIZED (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands_${b}_$r x JOIN bands_${b}_$r y
+           |    ON x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = configs.map { case (b, r) =>
+        s"""  SELECT CAST($b AS INT) AS n_bands, CAST($r AS INT) AS n_rows,
+           |    (SELECT COUNT(*) FROM cand_${b}_$r) AS n_cand,
+           |    (SELECT COUNT(*) FROM truth WHERE jaccard >= 0.5)
+           |      AS n_truth50,
+           |    (SELECT COUNT(*) FROM truth t WHERE t.jaccard >= 0.5
+           |     AND EXISTS (SELECT 1 FROM cand_${b}_$r c
+           |                 WHERE t.d1 = c.d1 AND t.d2 = c.d2)) AS hits50,
+           |    (SELECT COUNT(*) FROM truth WHERE jaccard >= 0.8)
+           |      AS n_truth80,
+           |    (SELECT COUNT(*) FROM truth t WHERE t.jaccard >= 0.8
+           |     AND EXISTS (SELECT 1 FROM cand_${b}_$r c
+           |                 WHERE t.d1 = c.d1 AND t.d2 = c.d2)) AS hits80""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $evalTruthCtesSql,
+         |$perCfg,
+         |u AS (
+         |$rows)
+         |SELECT n_bands, n_rows, n_cand, n_truth50, hits50,
+         |  hits50 / CAST(n_truth50 AS DOUBLE) AS recall50,
+         |  n_truth80, hits80,
+         |  hits80 / CAST(n_truth80 AS DOUBLE) AS recall80
+         |FROM u ORDER BY n_rows DESC""".stripMargin
     },
 
     "d22_source_overlap" ->

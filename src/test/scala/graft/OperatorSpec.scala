@@ -1382,6 +1382,39 @@ class OperatorSpec extends SparkSpec {
     assert(lo._4 < lo._2, "bands caught every mid-sim pair — S-curve invisible")
   }
 
+  test("d32: band-plan frontier is monotone in r and consistent with d21") {
+    val out = datapipe.Dedup.queries("d32_band_plan")(spark, sf)
+      .as[(Int, Int, Long, Long, Long, Double, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq((2, 8), (4, 4), (8, 2), (16, 1)), "config order")
+    out.foreach { case (_, _, nCand, t50, h50, r50, t80, h80, r80) =>
+      assert(h50 <= t50 && h80 <= t80 && t80 <= t50 && h80 <= h50)
+      assert(r50 === h50.toDouble / t50 && r80 === h80.toDouble / t80)
+      assert(nCand >= h50)
+    }
+    // truth is config-independent
+    assert(out.map(_._4).distinct.length === 1)
+    assert(out.map(_._7).distinct.length === 1)
+    // shrinking r can only ADD candidate pairs in aggregate terms:
+    // both the bill and the recalls must be nondecreasing down the
+    // table, and strictly so somewhere (the frontier actually bends)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"candidates fell from r=${a._2} to r=${b._2}")
+      assert(b._6 >= a._6 - 1e-12 && b._9 >= a._9 - 1e-12,
+        s"recall fell from r=${a._2} to r=${b._2}")
+    }
+    assert(out.last._3 > out.head._3, "candidate bill flat — vacuous")
+    assert(out.last._6 > out.head._6, "recall@0.5 flat — frontier invisible")
+    // the shipped (4,4) row must agree with d21's independent measure
+    val d21 = datapipe.Dedup.queries("d21_lsh_recall")(spark, sf)
+      .as[(Double, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val shipped = out.find(r => r._1 == 4 && r._2 == 4).get
+    assert((shipped._4, shipped._5) === ((d21(0.5)._2, d21(0.5)._4)))
+    assert((shipped._7, shipped._8) === ((d21(0.8)._2, d21(0.8)._4)))
+    assert(shipped._3 === d21(0.5)._3, "candidate bill disagrees with d21")
+  }
+
   test("d22: source-overlap matrix is complete and matches a re-derived cell") {
     val out = datapipe.Dedup.queries("d22_source_overlap")(spark, sf)
       .as[(String, String, Long, Long, Long, Double)].collect()
