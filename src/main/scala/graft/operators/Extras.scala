@@ -308,29 +308,12 @@ object Extras {
       import s.implicits._
       val cutoff = "1998-07-01"
       val orders = T.orders(s, d)
-      def state(df: DataFrame): DataFrame =
-        df.groupBy($"o_custkey")
-          .agg(count(lit(1)).as("n"),
-               sum($"o_totalprice".cast("decimal(18,4)")).as("sm"),
-               min($"o_totalprice").as("mn"),
-               max($"o_totalprice").as("mx"),
-               max($"o_orderdate").as("lo"))
-      val base = state(orders.filter($"o_orderdate" < lit(cutoff)))
-        .select($"o_custkey", $"n".as("n_b"), $"sm".as("s_b"),
-                $"mn".as("mn_b"), $"mx".as("mx_b"), $"lo".as("lo_b"))
-      val delta = state(orders.filter($"o_orderdate" >= lit(cutoff)))
-        .select($"o_custkey", $"n".as("n_d"), $"sm".as("s_d"),
-                $"mn".as("mn_d"), $"mx".as("mx_d"), $"lo".as("lo_d"))
-      base.join(delta, Seq("o_custkey"), "full_outer")
-        .select($"o_custkey",
-          (coalesce($"n_b", lit(0L)) + coalesce($"n_d", lit(0L)))
-            .as("n_orders"),
-          (coalesce($"s_b", lit(0).cast("decimal(18,4)")) +
-           coalesce($"s_d", lit(0).cast("decimal(18,4)")))
-            .cast("double").as("sum_price"),
-          least($"mn_b", $"mn_d").as("min_price"),
-          greatest($"mx_b", $"mx_d").as("max_price"),
-          greatest($"lo_b", $"lo_d").as("last_order"))
+      val base = rollupState(orders.filter($"o_orderdate" < lit(cutoff)))
+      val delta = rollupState(orders.filter($"o_orderdate" >= lit(cutoff)))
+      rollupMerge(base, delta)
+        .select($"o_custkey", $"n_orders",
+          $"sum_price_dec".cast("double").as("sum_price"),
+          $"min_price", $"max_price", $"last_order")
         .orderBy($"o_custkey")
     },
 
@@ -515,6 +498,99 @@ object Extras {
       }
     }
     dir
+  }
+
+  /** q86's per-key aggregate state over a batch of orders. Sums stay
+    * DECIMAL(18,4) (the Dets float convention) so state merging is
+    * exact; the report casts to double once at the end. The schema is
+    * CLOSED under [[rollupMerge]] — state in, state out — which is
+    * what makes the maintenance iterable over any number of deltas.
+    */
+  private[graft] def rollupState(df: DataFrame): DataFrame =
+    df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price_dec"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"),
+           max(col("o_orderdate")).as("last_order"))
+
+  /** The q86 merge: one full-outer equi-join on the key, all three
+    * branches (base-only carry, delta-only insert, combine) branch-free
+    * via null-skipping least/greatest and coalesced adds. */
+  private[graft] def rollupMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = base.select(col("o_custkey"), col("n_orders").as("n_b"),
+      col("sum_price_dec").as("s_b"), col("min_price").as("mn_b"),
+      col("max_price").as("mx_b"), col("last_order").as("lo_b"))
+    val dl = delta.select(col("o_custkey"), col("n_orders").as("n_d"),
+      col("sum_price_dec").as("s_d"), col("min_price").as("mn_d"),
+      col("max_price").as("mx_d"), col("last_order").as("lo_d"))
+    b.join(dl, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s_b"), lit(0).cast("decimal(18,4)")) +
+         coalesce(col("s_d"), lit(0).cast("decimal(18,4)")))
+          .cast("decimal(18,4)").as("sum_price_dec"),
+        least(col("mn_b"), col("mn_d")).as("min_price"),
+        greatest(col("mx_b"), col("mx_d")).as("max_price"),
+        greatest(col("lo_b"), col("lo_d")).as("last_order"))
+  }
+
+  /** q86's streaming twin — materialized-view maintenance over an
+    * arriving order stream (the deployment shape: the rollup is the
+    * lake-resident view, deltas land in micro-batches, and the view
+    * must advance by STATE MERGE, never by rescanning history). Each
+    * trigger aggregates its batch to O(keys) delta state and full-outer-
+    * merges it with the previous persisted state into a new batch-keyed
+    * state version: replaying batch N deterministically rewrites
+    * state/batch=N from state/batch=N-1 + the same delta — idempotent
+    * under trigger replay, the O9 discipline in versioned-snapshot form
+    * (a merge is not an append, so idempotence comes from versioning,
+    * not an anti-join). Facts never persist; the state is O(keys).
+    * The mergeable-state law (merge(state(A), state(B)) == state(A∪B))
+    * makes the final version equal q86's one-shot rollup for ANY batch
+    * split — StreamingSpec pins it.
+    */
+  def rollupMaintenanceStream(stream: DataFrame, storePath: String,
+                              checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val delta = rollupState(batch)
+        import org.apache.hadoop.fs.Path
+        val stateDir = new Path(s"$storePath/state")
+        val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
+        val prev =
+          if (!fs.exists(stateDir)) Seq.empty[Long]
+          else fs.listStatus(stateDir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+            .filter(_ < batchId)
+        val merged = prev.sorted.lastOption match {
+          case Some(p) =>
+            rollupMerge(s.read.parquet(s"$storePath/state/batch=$p"), delta)
+          case None => delta
+        }
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$storePath/state/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The maintained view at its latest version, in q86's report shape. */
+  def rollupReport(s: SparkSession, storePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val stateDir = new Path(s"$storePath/state")
+    val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
+    val last = fs.listStatus(stateDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+    s.read.parquet(s"$storePath/state/batch=$last")
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_price_dec").cast("double").as("sum_price"),
+        col("min_price"), col("max_price"), col("last_order"))
+      .orderBy(col("o_custkey"))
   }
 
   def oracleSql: Map[String, String] = Map(

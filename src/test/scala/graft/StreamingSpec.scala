@@ -350,6 +350,74 @@ class StreamingSpec extends SparkSpec {
       "no eviction across triggers — revisable-cap semantics untested")
   }
 
+  test("streamed rollup maintenance: every state version equals the prefix rollup; final equals q86") {
+    // the mergeable-state law makes the maintained view a pure function
+    // of the fact SET, not the batch split — so each persisted version
+    // must equal the one-shot rollup of its prefix, and the final
+    // version must equal q86's batch answer exactly
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val orders = Tables.orders(spark, sf)
+    // arrival ordered by CUSTKEY: low keys arrive only early (the
+    // carry branch), high keys only late (insert), boundary keys span
+    // chunks (combine) — all three merge branches provably exercised
+    val rows = orders.orderBy($"o_custkey", $"o_orderkey").collect()
+    val third = (rows.length + 2) / 3
+    rows.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = root.resolve(s"tmp$i")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk.toSeq, 1), orders.schema)
+        .write.parquet(tmp.toString)
+      val part = {
+        val st = java.nio.file.Files.list(tmp)
+        try st.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally st.close()
+      }
+      val dst = inDir.resolve(f"chunk$i%03d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(60000L * (i + 1))
+    }
+    val stream = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val q = operators.Extras.rollupMaintenanceStream(
+      stream, s"$root/store", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Double, Double, Double, java.sql.Timestamp)] =
+      df.select($"o_custkey", $"n_orders", $"sum_price", $"min_price",
+          $"max_price", $"last_order")
+        .as[(Long, Long, Double, Double, Double, java.sql.Timestamp)]
+        .collect().toSeq.sortBy(_._1)
+    // final version == q86's one-shot batch rollup
+    val streamed = canon(operators.Extras.rollupReport(spark, s"$root/store"))
+    val batch = canon(operators.Extras.queries("q86_incremental_rollup")(spark, sf))
+    assert(streamed === batch && streamed.nonEmpty)
+    // EVERY intermediate version is the exact rollup of its prefix —
+    // the invariant that makes replay (recompute version N from N-1)
+    // idempotent
+    (0 until 3).foreach { v =>
+      val prefixKeys = rows.take(third * (v + 1)).map(_.getLong(0)).toSet
+      val expect = operators.Extras.rollupState(
+          orders.filter($"o_orderkey".isin(prefixKeys.toSeq: _*)))
+        .select($"o_custkey", $"n_orders",
+          $"sum_price_dec".cast("double").as("sum_price"),
+          $"min_price", $"max_price", $"last_order")
+      val got = spark.read.parquet(s"$root/store/state/batch=$v")
+        .select($"o_custkey", $"n_orders",
+          $"sum_price_dec".cast("double").as("sum_price"),
+          $"min_price", $"max_price", $"last_order")
+      assert(canon(got) === canon(expect), s"version $v != prefix rollup")
+    }
+    // all three merge branches exercised by the split: keys confined to
+    // the first chunk (carry), keys new in a later chunk (insert), and
+    // keys spanning chunks (combine)
+    val c0 = rows.take(third).map(_.getLong(1)).toSet
+    val later = rows.drop(third).map(_.getLong(1)).toSet
+    assert((c0 -- later).nonEmpty, "no carry-only key")
+    assert((later -- c0).nonEmpty, "no insert-only key")
+    assert((c0 & later).nonEmpty, "no combined key")
+  }
+
   test("streamed vocabulary growth: totals equal t37's quartile-4 row; per-batch attribution exact") {
     // first-seen is a pure function of arrival ORDER, so the streamed
     // store must reproduce the batch totals for any split AND charge
