@@ -879,6 +879,70 @@ object Dedup {
         .orderBy($"n_rows".desc)
     },
 
+    // CONTAINMENT DEDUP — the ASYMMETRIC half of near-dup detection
+    // (d02/d04 score |A∩B|/|A∪B|, which a short quote embedded in a
+    // long article can never raise past the length ratio: a 30% prefix
+    // quote sits at J ≈ 0.3, invisible to every symmetric detector in
+    // the library, yet it is exactly the syndication/quotation
+    // redundancy a curation pipeline wants attributed): report every
+    // pair with containment C(sub→sup) = |S_sub ∩ S_sup| / |S_sub| ≥
+    // 0.8 over 3-word shingles but Jaccard < 0.5 — the pairs ONLY an
+    // asymmetric measure finds (J ≥ 0.5 pairs are d02/d04's, excluded
+    // so the output is the asymmetric increment). Subject = the
+    // smaller shingle set (ties to the smaller id): C ≥ 0.8 with
+    // equal sizes forces J ≥ 2/3, so the big-side subject can never
+    // pass the filter — the smaller side IS the contained one. The
+    // corpus adds planted quotes (first max(5, 30%) words of every
+    // 11th doc, id + 4e6) — C = 1.0 by construction since a prefix's
+    // shingles are a subset. Scale shape: the d21 df-capped inverted
+    // index (stop-shingles dropped before the pair join, fan-out ≤
+    // cap per shingle), |A∩B| as a pure pair COUNT — only (doc_id,
+    // hash) longs shuffle, sizes join back narrow, output linear in
+    // true containment pairs. Integer ppm containment; jaccard is one
+    // IEEE division.
+    "d33_containment" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.WordShinglePHashes.word_shingle_phashes
+      graft.GraftExtensions.register(s)
+      val docs = T.documents(s, d).select($"doc_id", $"text", $"lang", $"source")
+      val quotes = docs.filter($"doc_id" % 11 === 0)
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 10)
+        .select(($"doc_id" + 4000000L).as("doc_id"),
+          array_join(expr("slice(w, 1, greatest(5, (size(w) * 3) div 10))"),
+            " ").as("text"),
+          $"lang", $"source")
+      val hs = corpus(s, d).unionByName(quotes)
+        .withColumn("hset", word_shingle_phashes($"text", 3))
+        .filter(size($"hset") >= 1)
+        .select($"doc_id", explode($"hset").as("h"))
+      val rare = hs.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" <= D21_DF_CAP).select($"h")
+      val sh = hs.join(rare, Seq("h"), "left_semi")
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      sh.as("x").join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("da"), $"sz".as("sza")), Seq("da"))
+        .join(sizes.select($"doc_id".as("db"), $"sz".as("szb")), Seq("db"))
+        .withColumn("aIsSub",
+          $"sza" < $"szb" || ($"sza" === $"szb" && $"da" < $"db"))
+        .select(
+          when($"aIsSub", $"da").otherwise($"db").as("d_sub"),
+          when($"aIsSub", $"db").otherwise($"da").as("d_sup"),
+          $"inter",
+          when($"aIsSub", $"sza").otherwise($"szb").as("sz_sub"),
+          when($"aIsSub", $"szb").otherwise($"sza").as("sz_sup"),
+          ($"inter" / ($"sza" + $"szb" - $"inter").cast("double"))
+            .as("jaccard"))
+        .withColumn("cont_ppm", expr("inter * 1000000 DIV sz_sub"))
+        .filter($"cont_ppm" >= 800000L && $"jaccard" < 0.5)
+        .select($"d_sub", $"d_sup", $"inter", $"sz_sub", $"sz_sup",
+          $"cont_ppm", $"jaccard")
+        .orderBy($"d_sub", $"d_sup")
+    },
+
     // CROSS-SOURCE OVERLAP MATRIX — the corpus-composition report a
     // data-mixing decision needs before weighting sources: for every
     // source pair, the exact shingle-set Jaccard (how much of source A
@@ -1765,6 +1829,54 @@ object Dedup {
          |  hits80 / CAST(n_truth80 AS DOUBLE) AS recall80
          |FROM u ORDER BY n_rows DESC""".stripMargin
     },
+
+    // d33: same corpus + quote plants, same df-capped inverted index;
+    // the subject rule (smaller set, ties to smaller id) and both
+    // thresholds replay verbatim.
+    "d33_containment" ->
+      s"""WITH c33 AS (
+         |  $corpusSql
+         |  UNION ALL
+         |  SELECT doc_id + 4000000,
+         |    array_to_string(words[1:GREATEST(5, (len(words) * 3) // 10)],
+         |      ' '),
+         |    lang, source
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words,
+         |          lang, source
+         |        FROM documents WHERE doc_id % 11 = 0) qz
+         |  WHERE len(words) >= 10),
+         |${sigCtesSql("c33", "")},
+         |shall AS (SELECT doc_id, unnest(hset) AS h FROM sigs),
+         |rare AS (SELECT h FROM shall GROUP BY h
+         |         HAVING COUNT(*) <= $D21_DF_CAP),
+         |sh AS (SELECT doc_id, h FROM shall
+         |       WHERE EXISTS (SELECT 1 FROM rare r WHERE r.h = shall.h)),
+         |isect AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS inter
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |pp AS (
+         |  SELECT da, db, inter, s1.sz AS sza, s2.sz AS szb,
+         |    (s1.sz < s2.sz OR (s1.sz = s2.sz AND da < db)) AS a_is_sub
+         |  FROM isect
+         |  JOIN sizes s1 ON s1.doc_id = da
+         |  JOIN sizes s2 ON s2.doc_id = db),
+         |cc AS (
+         |  SELECT CASE WHEN a_is_sub THEN da ELSE db END AS d_sub,
+         |    CASE WHEN a_is_sub THEN db ELSE da END AS d_sup,
+         |    inter,
+         |    CASE WHEN a_is_sub THEN sza ELSE szb END AS sz_sub,
+         |    CASE WHEN a_is_sub THEN szb ELSE sza END AS sz_sup,
+         |    inter * 1000000 // CASE WHEN a_is_sub THEN sza ELSE szb END
+         |      AS cont_ppm,
+         |    inter / CAST(sza + szb - inter AS DOUBLE) AS jaccard
+         |  FROM pp)
+         |SELECT d_sub, d_sup, CAST(inter AS BIGINT) AS inter,
+         |  CAST(sz_sub AS BIGINT) AS sz_sub, CAST(sz_sup AS BIGINT) AS sz_sup,
+         |  CAST(cont_ppm AS BIGINT) AS cont_ppm, jaccard
+         |FROM cc WHERE cont_ppm >= 800000 AND jaccard < 0.5
+         |ORDER BY d_sub, d_sup""".stripMargin,
 
     "d22_source_overlap" ->
       s"""WITH w AS (

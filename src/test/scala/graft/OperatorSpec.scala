@@ -1415,6 +1415,63 @@ class OperatorSpec extends SparkSpec {
     assert(shipped._3 === d21(0.5)._3, "candidate bill disagrees with d21")
   }
 
+  test("d33: containment pairs replay exactly; prefix quotes read C=1 at low J") {
+    val out = datapipe.Dedup.queries("d33_containment")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // plain-Scala replay: corpus + near/exact copies + quote plants,
+    // 3-word shingle sets (string_split grammar: single space, empties
+    // kept by split then shingled), df cap, containment filter
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val all = docs ++
+      docs.filter(_._1 % 10 == 0).map { case (i, t) =>
+        (i + 1000000L, t + " near duplicate suffix") } ++
+      docs.filter(_._1 % 7 == 0).map { case (i, t) => (i + 2000000L, t) } ++
+      docs.filter { case (i, t) =>
+        i % 11 == 0 && t.split(" ", -1).length >= 10 }
+        .map { case (i, t) =>
+          val w = t.split(" ", -1)
+          (i + 4000000L,
+            w.take(math.max(5, w.length * 3 / 10)).mkString(" ")) }
+    val sets = all.map { case (i, t) =>
+      val w = t.split(" ", -1)
+      i -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val df = sets.values.flatten.groupBy(identity).map {
+      case (g, _) => g -> sets.values.count(_.contains(g)) }
+    val capped = sets.view.mapValues(_.filter(df(_) <= 64)).toMap
+    val inv = capped.toSeq.flatMap { case (i, gs) => gs.map(_ -> i) }
+      .groupBy(_._1).values.filter(_.length >= 2)
+    val inter = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    inv.foreach { ds =>
+      val ids = ds.map(_._2).sorted
+      for (a <- ids; b <- ids if a < b)
+        inter((a, b)) = inter.getOrElse((a, b), 0L) + 1L
+    }
+    val expected = inter.flatMap { case ((a, b), n) =>
+      val (sza, szb) = (capped(a).size.toLong, capped(b).size.toLong)
+      val aSub = sza < szb || (sza == szb && a < b)
+      val (dSub, dSup, szS, szP) =
+        if (aSub) (a, b, sza, szb) else (b, a, szb, sza)
+      val cont = n * 1000000L / szS
+      val j = n.toDouble / (sza + szb - n)
+      if (cont >= 800000L && j < 0.5)
+        Some((dSub, dSup) -> ((dSub, dSup, n, szS, szP, cont, j)))
+      else None
+    }.toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (k, e) => assert(out(k) === e, s"pair=$k") }
+    // every planted quote reads containment 1.0 against its host, and
+    // the output contains ONLY sub-J-0.5 pairs (the asymmetric increment)
+    val plants = out.filter { case ((sub, sup), _) =>
+      sub >= 4000000L && sup === sub - 4000000L }
+    assert(plants.nonEmpty, "no quote plant surfaced")
+    plants.values.foreach { r =>
+      assert(r._6 === 1000000L, s"quote ${r._1} not fully contained") }
+    assert(out.values.forall(_._7 < 0.5))
+  }
+
   test("d22: source-overlap matrix is complete and matches a re-derived cell") {
     val out = datapipe.Dedup.queries("d22_source_overlap")(spark, sf)
       .as[(String, String, Long, Long, Long, Double)].collect()
