@@ -1630,6 +1630,61 @@ object Similarity {
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
                 col("x.label").as("label"), col("cosine"))
         .orderBy(col("v1"), col("v2"))
+    },
+
+    // EMBEDDING HEALTH AUDIT — the garbage-in gate every index build
+    // (s02/s03), clustering (s05/d14), and cosine op in this library
+    // silently assumes away: cosine on an unnormalized vector misranks,
+    // a zero vector poisons centroid means, and exact-duplicate vectors
+    // double-count cells (the VectorIndex addBatch lesson at the value
+    // level rather than the id level). Per label: vector count, zero
+    // vectors, off-norm vectors (|Σ fp_i² − 1e16| > 1e14, i.e. norm
+    // off by > ~0.5% at the 1e8 fixed point — every arithmetic step
+    // integer, no float compares), value-level exact duplicates (same
+    // fixed-point array ANYWHERE in the corpus — detected by 60-bit
+    // hash of the fp array, not by shuffling vectors), and the
+    // norm² extremes. The corpus plants each pathology: ×4-scaled
+    // copies (exact in ANY float width — the parity-safe corruption),
+    // zero vectors, and exact value copies. Scale shape: one map-only
+    // scan to (vec_id, label, norm2, h) — 32 B/vector; dup detection
+    // is a count on h joined back narrow; vectors themselves never
+    // shuffle. The audit is the cheapest query in the s-family by
+    // construction — it must be, since it gates everything else.
+    "s29_embedding_health" -> { (s, d) =>
+      import s.implicits._
+      val base = T.embeddings(s, d)
+      val corpus = base
+        .unionByName(base.filter($"vec_id" % 9 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(4.0 AS FLOAT))")
+              .as("embedding"),
+            $"label"))
+        .unionByName(base.filter($"vec_id" % 17 === 0)
+          .select(($"vec_id" + 2000000L).as("vec_id"),
+            expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+              .as("embedding"),
+            $"label"))
+        .unionByName(base.filter($"vec_id" % 13 === 0)
+          .select(($"vec_id" + 3000000L).as("vec_id"), $"embedding",
+            $"label"))
+      val stats = corpus
+        .withColumn("fp", roundFx("embedding"))
+        .select($"vec_id", $"label",
+          expr("aggregate(fp, 0L, (acc, v) -> acc + v * v)").as("norm2"),
+          graft.Dets.phash(
+            expr("array_join(transform(fp, v -> CAST(v AS STRING)), ',')"))
+            .as("h"))
+      val dupCounts = stats.groupBy($"h").agg(count(lit(1)).as("nh"))
+      stats.join(dupCounts, Seq("h"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when($"norm2" === 0L, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(abs($"norm2" - 10000000000000000L) > 100000000000000L, 1L)
+            .otherwise(0L)).as("n_offnorm"),
+          sum(when($"nh" > 1L, 1L).otherwise(0L)).as("n_dup"),
+          min($"norm2").as("min_norm2"),
+          max($"norm2").as("max_norm2"))
+        .orderBy($"label")
     }
   )
 
@@ -2708,6 +2763,45 @@ object Similarity {
          |  (sqrt(${dotSql("x.embedding", "x.embedding")}) *
          |   sqrt(${dotSql("y.embedding", "y.embedding")})) >= 0.95
          |GROUP BY y.vec_id, y.cell
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    // s29: the same 1e8 fixed-point per element (×4 plant exact in any
+    // float width), the same array-hash duplicate key.
+    "s29_embedding_health" -> {
+      val fp = "list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1e8) AS BIGINT))"
+      val h = graft.Dets.phashSql(
+        "array_to_string(list_transform(fpl, v -> CAST(v AS VARCHAR)), ',')")
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, x -> CAST(x * 4 AS FLOAT)), label
+         |  FROM embeddings WHERE vec_id % 9 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000,
+         |    list_transform(embedding, x -> CAST(0.0 AS FLOAT)), label
+         |  FROM embeddings WHERE vec_id % 17 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 3000000, embedding, label
+         |  FROM embeddings WHERE vec_id % 13 = 0),
+         |st AS (
+         |  SELECT vec_id, label,
+         |    list_sum(list_transform(fpl, v -> v * v)) AS norm2,
+         |    $h AS h
+         |  FROM (SELECT vec_id, label, $fp AS fpl FROM corpus) z),
+         |dc AS (SELECT h, COUNT(*) AS nh FROM st GROUP BY h)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero,
+         |  CAST(SUM(CASE WHEN abs(norm2 - 10000000000000000) >
+         |    100000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_offnorm,
+         |  CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup,
+         |  CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+         |  CAST(MAX(norm2) AS BIGINT) AS max_norm2
+         |FROM st JOIN dc USING (h)
+         |GROUP BY label ORDER BY label""".stripMargin
+    }
   )
 }

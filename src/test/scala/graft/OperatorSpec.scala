@@ -1494,6 +1494,55 @@ class OperatorSpec extends SparkSpec {
     assert(row._5 === (h0 & h1).size.toLong)
   }
 
+  test("s29: per-label health stats replay exactly; every pathology surfaced") {
+    def ph(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val out = datapipe.Similarity.queries("s29_embedding_health")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val corpus = base ++
+      base.filter(_._1 % 9 == 0).map { case (i, e, l) =>
+        (i + 1000000L, e.map(_ * 4.0f), l) } ++
+      base.filter(_._1 % 17 == 0).map { case (i, e, l) =>
+        (i + 2000000L, e.map(_ => 0.0f), l) } ++
+      base.filter(_._1 % 13 == 0).map { case (i, e, l) =>
+        (i + 3000000L, e, l) }
+    val stats = corpus.map { case (i, e, l) =>
+      val fp = e.map(x => math.round(x.toDouble * 1e8))
+      (i, l, fp.map(v => v * v).sum, ph(fp.mkString(",")))
+    }
+    val hCount = stats.groupBy(_._4).view.mapValues(_.size).toMap
+    val expected = stats.groupBy(_._2).map { case (l, vs) =>
+      l -> ((l, vs.size.toLong,
+        vs.count(_._3 == 0L).toLong,
+        vs.count(v => math.abs(v._3 - 10000000000000000L) >
+          100000000000000L).toLong,
+        vs.count(v => hCount(v._4) > 1).toLong,
+        vs.map(_._3).min, vs.map(_._3).max))
+    }
+    assert(out.keySet === expected.keySet && out.keySet.size === 10)
+    expected.foreach { case (l, e) => assert(out(l) === e, s"label=$l") }
+    // every planted pathology visible: zeros, off-norm (zeros AND the
+    // x4 scales both count — scaled norms sit near 16e16), value dups
+    // (exact copies and the all-equal zero vectors); clean vectors
+    // stay in-norm so the audit separates signal from noise
+    assert(out.values.map(_._3).sum > 0, "no zero vector")
+    assert(out.values.map(_._4).sum >
+      out.values.map(_._3).sum, "x4 plants not off-norm")
+    assert(out.values.map(_._5).sum >= 2 * base.count(_._1 % 13 == 0),
+      "value duplicates missed")
+    assert(out.values.exists(r => r._2 > r._4),
+      "every vector off-norm — clean baseline invisible")
+    assert(out.values.map(_._7).max > 15000000000000000L,
+      "scaled norm extreme not reported")
+  }
+
   test("s14: probe-2 dominates single-bucket on recall AND cost; ratios exact") {
     val rows = datapipe.Similarity.queries("s14_ann_recall")(spark, sf)
       .as[(String, Long, Long, Long, Long, Double, Double)].collect()
