@@ -578,6 +578,78 @@ object Multimodal {
     }
   }
 
+  /** RIFF/WAVE container codec + byte-level walker — the audio member
+    * of the container-audit trio (m13 PNG chunks, m19 GIF blocks, m20
+    * RIFF chunks): the planted PCM wrapped in a genuine canonical WAV
+    * (RIFF header, 16-byte PCM fmt chunk, a provenance chunk whose
+    * odd-length data exercises the RIFF word-alignment pad rule, data
+    * chunk), then re-parsed chunk by chunk. An audio pipeline's rate /
+    * duration / provenance audit reads exactly these fields, and must
+    * read them WITHOUT decoding — the m13/m19 discipline.
+    */
+  object WavCodec {
+    /** Planted per-track sample rate: 8000/16000/24000 cycling. */
+    def sampleRate(id: Long): Int = (8000L * (1 + id % 3)).toInt
+
+    def synthWav(id: Long): Array[Byte] = {
+      val pcm = PcmCodec.synthPcm(id)
+      val rate = sampleRate(id)
+      val tag = s"src${id % 20}".getBytes("US-ASCII")
+      val provPad = tag.length % 2
+      val bodyLen = 4 + (8 + 16) + (8 + tag.length + provPad) +
+        (8 + pcm.length)
+      val bb = java.nio.ByteBuffer.allocate(8 + bodyLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(bodyLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1) // PCM, mono
+      bb.putInt(rate); bb.putInt(rate * 2) // byte rate = rate * 2
+      bb.putShort(2); bb.putShort(16) // block align, bits
+      bb.put("prov".getBytes("US-ASCII")); bb.putInt(tag.length); bb.put(tag)
+      if (provPad == 1) bb.put(0.toByte)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(pcm.length); bb.put(pcm)
+      bb.array()
+    }
+
+    final case class WavMeta(asset_id: Long, sample_rate: Int,
+      byte_rate: Int, block_align: Int, bits: Int, n_samples: Int,
+      duration_us: Long, source_tag: String, sum_abs: Long,
+      riff_ok: Boolean)
+
+    def walk(id: Long, b: Array[Byte]): WavMeta = {
+      def s4(i: Int) = new String(b, i, 4, "US-ASCII")
+      def u32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+      def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      require(s4(0) == "RIFF" && s4(8) == "WAVE", "not RIFF/WAVE")
+      val riffLen = u32(4)
+      var p = 12
+      var rate = 0; var byteRate = 0; var blockAlign = 0; var bits = 0
+      var tag = ""; var nSamples = 0; var sumAbs = 0L
+      while (p + 8 <= b.length) {
+        val cid = s4(p); val len = u32(p + 4); p += 8
+        cid match {
+          case "fmt " =>
+            require(u16(p) == 1 && u16(p + 2) == 1, "not mono PCM")
+            rate = u32(p + 4); byteRate = u32(p + 8)
+            blockAlign = u16(p + 12); bits = u16(p + 14)
+          case "prov" => tag = new String(b, p, len, "US-ASCII")
+          case "data" =>
+            val v = PcmCodec.decode(java.util.Arrays.copyOfRange(b, p, p + len))
+            nSamples = v.length
+            var i = 0
+            while (i < v.length) { sumAbs += math.abs(v(i)); i += 1 }
+          case _ => ()
+        }
+        p += len + (len % 2) // RIFF chunks are word-aligned
+      }
+      val ok = riffLen == b.length - 8 && p == b.length && rate > 0
+      WavMeta(id, rate, byteRate, blockAlign, bits, nSamples,
+        nSamples.toLong * 1000000L / rate, tag, sumAbs, ok)
+    }
+  }
+
   /** Per-video features: evenly spaced frame sample (the clip-preview /
     * model-input selection step) + a frame-difference motion metric.
     */
@@ -1320,6 +1392,27 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // RIFF/WAVE container audit — the audio member of the container
+    // trio (m13 PNG, m19 GIF): each track wrapped in a genuine
+    // canonical WAV (planted per-track sample rate, provenance chunk
+    // with odd-length data so the RIFF pad rule is actually exercised,
+    // real PCM data chunk), then re-parsed at the byte level. The rate
+    // / duration / provenance / integrity report every audio curation
+    // run starts from, read WITHOUT decode except for the data-chunk
+    // checksum that ties container to payload (sum |v| over the REAL
+    // contained samples — a container pointing at the wrong bytes
+    // fails it). duration_us is integer floor division on both
+    // engines. Map-only, ~64 B/track shuffles.
+    "m20_wav_metadata" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          WavCodec.walk(id, WavCodec.synthWav(id))
+        })
+        .toDF()
+        .orderBy($"asset_id")
+    },
+
     // Patch tiling — the ViT tokenizer of image pipelines (every
     // vision-transformer ingest slices images into P×P patches; the
     // patch count IS the image's token bill, the vision analog of
@@ -2054,6 +2147,31 @@ object Multimodal {
         |  CAST(SUM((fi + 1) * delay) AS BIGINT) AS delay_chk,
         |  true AS trailer_ok
         |FROM d GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
+    // m20: every field replays from the planted formulas (rate cycle,
+    // PCM sample count, the m14 sum-|v| sum); the walker proves they
+    // sit in real RIFF bytes.
+    "m20_wav_metadata" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(64 + (doc_id % 5) * 16 AS INT) AS n,
+        |    CAST(8000 * (1 + doc_id % 3) AS INT) AS rate
+        |  FROM documents),
+        |sa AS (
+        |  SELECT p.asset_id,
+        |    CAST(SUM(ABS(((p.asset_id * 7 + t.i * 13) % 201) - 100))
+        |      AS BIGINT) AS sum_abs
+        |  FROM p, range(0, 144) t(i) WHERE t.i < p.n
+        |  GROUP BY 1)
+        |SELECT p.asset_id, p.rate AS sample_rate,
+        |  CAST(p.rate * 2 AS INT) AS byte_rate,
+        |  CAST(2 AS INT) AS block_align, CAST(16 AS INT) AS bits,
+        |  p.n AS n_samples,
+        |  CAST(CAST(p.n AS BIGINT) * 1000000 // p.rate AS BIGINT)
+        |    AS duration_us,
+        |  'src' || CAST(p.asset_id % 20 AS VARCHAR) AS source_tag,
+        |  sa.sum_abs, true AS riff_ok
+        |FROM p JOIN sa USING (asset_id) ORDER BY p.asset_id""".stripMargin,
 
     // m08's scene formula mirror: pixel(x, y, f) = (7x + 13y +
     // 97·(f//5) + id) % 256; per-transition Σ|Δ|, integer cut test.

@@ -2701,6 +2701,35 @@ class OperatorSpec extends SparkSpec {
     rdr.dispose(); iis.close()
   }
 
+  test("m20: RIFF walk replays planted fields; pad rule and integrity bite") {
+    import datapipe.Multimodal.{PcmCodec, WavCodec}
+    val out = datapipe.Multimodal.queries("m20_wav_metadata")(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Int, Long, String, Long, Boolean)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, rate, br, ba, bits, n, dur, tag, sa, ok) =>
+      val eRate = WavCodec.sampleRate(id)
+      val eN = PcmCodec.nSamples(id)
+      assert((rate, br, ba, bits, n) === ((eRate, eRate * 2, 2, 16, eN)),
+        s"id=$id fmt")
+      assert(dur === eN.toLong * 1000000L / eRate, s"id=$id duration")
+      assert(tag === s"src${id % 20}", s"id=$id tag")
+      assert(sa === (0 until eN).map(i =>
+        math.abs(PcmCodec.sample(id, i)).toLong).sum, s"id=$id checksum")
+      assert(ok, s"id=$id riff_ok")
+    }
+    // all three planted rates appear, and both pad parities (odd
+    // "srcN" tags of length 4 and 5) were walked successfully
+    assert(out.map(_._2).distinct.sorted.toSeq === Seq(8000, 16000, 24000))
+    assert(out.map(_._8.length).distinct.sorted.toSeq === Seq(4, 5),
+      "pad-rule branches (even and odd chunk data) not both exercised")
+    // integrity actually bites: truncation flips riff_ok
+    val b = WavCodec.synthWav(5L)
+    assert(WavCodec.walk(5L, b).riff_ok)
+    assert(!WavCodec.walk(5L, b.dropRight(2)).riff_ok,
+      "truncated container read as clean")
+  }
+
   test("m13: chunk walk reads real bytes — corruption flips the CRC verdict") {
     import datapipe.Multimodal.{ImageCodec, PngChunks}
     val out = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)
