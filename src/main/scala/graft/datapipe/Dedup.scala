@@ -943,6 +943,60 @@ object Dedup {
         .orderBy($"d_sub", $"d_sup")
     },
 
+    // CROSS-LINGUAL DUPLICATE DETECTION — the dedup blind spot every
+    // shingle/minhash/simhash operator in this library shares: a
+    // translated or transliterated copy shares ZERO word shingles with
+    // its original, so d02/d03/d04 structurally cannot see it. The
+    // word-identity-free signal that survives translation-by-
+    // substitution is the REPETITION STRUCTURE: token i's fingerprint
+    // contribution is the position of the previous occurrence of the
+    // SAME word (0 if first occurrence) — a sequence invariant under
+    // any injective word mapping, the same idea as normalized-pattern
+    // matching in plagiarism detection. Docs with equal structure
+    // fingerprints and DIFFERENT langs are cross-lingual duplicate
+    // candidates (equal length is implied by equal pattern). The
+    // corpus plants word-substitution "translations" (every 19th doc
+    // ciphered word-for-word via md5, lang 'xx', id + 5e6) — byte-
+    // disjoint from their originals, invisible to every other
+    // detector, pattern-identical by construction. Scale shape: one
+    // scan → (doc_id, pos, word-hash) longs; the previous-occurrence
+    // lag is a window partitioned by (doc_id, word) — max partition =
+    // one word's repeats in one doc; fingerprints are one 60-bit hash
+    // per doc; the pair join is an equi-join on fp (group sizes =
+    // structural-dup cliques). Linear, text never shuffles twice.
+    "d34_crosslingual" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d).select($"doc_id", $"text", $"lang")
+      val cipher = docs.filter($"doc_id" % 19 === 0)
+        .select(($"doc_id" + 5000000L).as("doc_id"),
+          expr("array_join(transform(filter(split(text, ' '), " +
+            "x -> x <> ''), w -> concat('z', substring(md5(concat('c:', w))" +
+            ", 1, 6))), ' ')").as("text"),
+          lit("xx").as("lang"))
+      val toks = docs.unionByName(cipher)
+        .select($"doc_id", $"lang",
+          posexplode(expr("filter(split(text, ' '), x -> x <> '')"))
+            .as(Seq("pos", "w")))
+      val byWord = Window.partitionBy($"doc_id", $"w").orderBy($"pos")
+      val fps = toks
+        .withColumn("pp",
+          coalesce(lag($"pos", 1).over(byWord) + 1, lit(0)).cast("long"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          graft.Dets.phash(expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, pp)))" +
+            ", x -> CAST(x.pp AS STRING)), ',')")).as("fp"))
+      fps.as("x").join(fps.as("y"),
+          col("x.fp") === col("y.fp") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.lang") =!= col("y.lang"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.n_tokens").as("n_tokens"),
+          col("x.lang").as("lang1"), col("y.lang").as("lang2"))
+        .orderBy($"d1", $"d2")
+    },
+
     // CROSS-SOURCE OVERLAP MATRIX — the corpus-composition report a
     // data-mixing decision needs before weighting sources: for every
     // source pair, the exact shingle-set Jaccard (how much of source A
@@ -1877,6 +1931,42 @@ object Dedup {
          |  CAST(cont_ppm AS BIGINT) AS cont_ppm, jaccard
          |FROM cc WHERE cont_ppm >= 800000 AND jaccard < 0.5
          |ORDER BY d_sub, d_sup""".stripMargin,
+
+    // d34: same cipher plant (md5 is the shared hash), same lag-based
+    // previous-occurrence pattern, same 60-bit fingerprint.
+    "d34_crosslingual" -> {
+      val fp = graft.Dets.phashSql("array_to_string(list(pp ORDER BY pos), ',')")
+      s"""WITH c AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000,
+         |    array_to_string(list_transform(
+         |      list_filter(string_split(text, ' '), x -> x <> ''),
+         |      w -> 'z' || substring(md5('c:' || w), 1, 6)), ' '),
+         |    'xx'
+         |  FROM documents WHERE doc_id % 19 = 0),
+         |t AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+         |    unnest(range(0, len(list_filter(string_split(text, ' '),
+         |      x -> x <> '')))) AS pos
+         |  FROM c),
+         |p AS (
+         |  SELECT doc_id, lang, pos,
+         |    CAST(COALESCE(lag(pos) OVER (PARTITION BY doc_id, w
+         |      ORDER BY pos) + 1, 0) AS BIGINT) AS pp
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, MAX(lang) AS lang, COUNT(*) AS n_tokens,
+         |    $fp AS fp
+         |  FROM p GROUP BY doc_id)
+         |SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |  CAST(x.n_tokens AS BIGINT) AS n_tokens,
+         |  x.lang AS lang1, y.lang AS lang2
+         |FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  AND x.lang <> y.lang
+         |ORDER BY d1, d2""".stripMargin
+    },
 
     "d22_source_overlap" ->
       s"""WITH w AS (

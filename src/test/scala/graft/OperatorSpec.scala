@@ -1472,6 +1472,55 @@ class OperatorSpec extends SparkSpec {
     assert(out.values.forall(_._7 < 0.5))
   }
 
+  test("d34: repetition-structure pairs replay; ciphered plants found byte-disjoint") {
+    val out = datapipe.Dedup.queries("d34_crosslingual")(spark, sf)
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)].collect()
+    def cipherWord(w: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      "z" + md.digest(s"c:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+    }
+    val corpus = docs ++ docs.filter(_._1 % 19 == 0).map { case (i, t, _) =>
+      (i + 5000000L,
+        t.split(" ").filter(_.nonEmpty).map(cipherWord).mkString(" "), "xx") }
+    def pattern(t: String): Seq[Int] = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val lastAt = scala.collection.mutable.Map.empty[String, Int]
+      ws.zipWithIndex.map { case (w, i) =>
+        val p = lastAt.get(w).map(_ + 1).getOrElse(0)
+        lastAt(w) = i; p
+      }.toSeq
+    }
+    val fps = corpus.map { case (i, t, l) => (i, l, pattern(t)) }
+    val expected = (for {
+      x <- fps; y <- fps
+      if x._1 < y._1 && x._2 != y._2 && x._3 == y._3
+    } yield (x._1, y._1) ->
+      ((x._1, y._1, x._3.length.toLong, x._2, y._2))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (k, e) => assert(out(k) === e, s"pair=$k") }
+    // every planted translation is found despite sharing ZERO bytes of
+    // vocabulary with its original — the structural signal is the only
+    // path to it
+    val planted = docs.filter(_._1 % 19 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { case (i, t, _) =>
+      assert(out.contains((i, i + 5000000L)), s"cipher of $i missed")
+      val cw = t.split(" ").filter(_.nonEmpty).map(cipherWord).toSet
+      assert(t.split(" ").filter(_.nonEmpty).toSet.intersect(cw).isEmpty,
+        s"cipher of $i shares vocabulary — plant too easy")
+    }
+    // and the detector is not trivially matching everything: most
+    // cross-lang doc pairs differ structurally
+    val nCross = (for { x <- fps; y <- fps
+      if x._1 < y._1 && x._2 != y._2 } yield 1).sum
+    assert(out.size.toDouble / nCross < 0.05,
+      "structure fingerprint matches most pairs — no discrimination")
+  }
+
   test("d22: source-overlap matrix is complete and matches a re-derived cell") {
     val out = datapipe.Dedup.queries("d22_source_overlap")(spark, sf)
       .as[(String, String, Long, Long, Long, Double)].collect()
