@@ -836,39 +836,54 @@ object Dedup {
     // the SAME df-capped exact truth. Theory says recall rises and
     // precision collapses as r shrinks (P(cand|J) = 1−(1−J^r)^b); the
     // table shows where on that curve the corpus actually sits, which
-    // is the number that picks r. Scale shape: ONE signature pass and
-    // ONE truth pass (both shared, cached/checkpointed); each config
-    // adds only its band-key equi-join over (doc_id, key) rows — the
-    // d02 candidate join, never wider — and its checkpointed candidate
-    // set is O(measured pairs), the quantity the table reports. Counts
-    // integer; each recall is one IEEE division.
+    // is the number that picks r. Scale shape: the bill is CANDIDATE
+    // PROBES Σ_buckets c·(c−1)/2 computed from band-bucket SIZES — one
+    // narrow count aggregate per config, never a pair join (the first
+    // formulation materialized each config's DISTINCT pair set; on a
+    // duplicate-heavy corpus the r=1/r=2 configs' pair sets are
+    // quadratic in clique size BY CONSTRUCTION — measured 14/41/225 s
+    // at 1/4/16× — which is precisely the explosion the probe-count
+    // cost model exists to price without paying); recall is evaluated
+    // TRUTH-side — a pair is caught iff some band's r-row signature
+    // slices agree, the identical predicate to candidate-set
+    // membership, tested on the O(true pairs) checkpointed frame with
+    // both endpoints' K-slot signatures joined in ONCE for all four
+    // configs. ONE signature pass + ONE truth pass shared; per config
+    // one bucket-size aggregate + one map-only pass over the truth
+    // frame. Counts integer; each recall is one IEEE division.
     "d32_band_plan" -> { (s, d) =>
       import s.implicits._
       val sig = signaturesOf(evalCorpus(s, d)).cache()
       val truth = cappedTruth(sig)
+      val tsig = truth
+        .join(sig.select($"doc_id".as("d1"), $"sig".as("sig1")), Seq("d1"))
+        .join(sig.select($"doc_id".as("d2"), $"sig".as("sig2")), Seq("d2"))
+        .select($"jaccard", $"sig1", $"sig2")
+        .localCheckpoint()
       def bandKeys(b: Int, r: Int) = array((0 until b).map { k =>
         val parts = (1 to r).map(j => s"element_at(sig, ${k * r + j})")
         expr(s"concat_ws('_', '$k', ${parts.mkString(", ")})")
       }: _*)
       def row(b: Int, r: Int): DataFrame = {
-        val bands = sig.select($"doc_id", explode(bandKeys(b, r)).as("bk"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.bk") === col("y.bk") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
-          .localCheckpoint()
-        val nCand = cand.agg(count(lit(1)).as("n_cand"))
-        def at(tau: Double, sfx: String): DataFrame = {
-          val tr = truth.filter($"jaccard" >= tau)
-          tr.agg(count(lit(1)).as(s"n_truth$sfx"))
-            .crossJoin(broadcast(tr.join(cand, Seq("d1", "d2"), "left_semi")
-              .agg(count(lit(1)).as(s"hits$sfx"))))
-        }
-        at(0.5, "50").crossJoin(broadcast(at(0.8, "80")))
-          .crossJoin(broadcast(nCand))
+        val nProbe = sig
+          .select($"doc_id", explode(bandKeys(b, r)).as("bk"))
+          .groupBy($"bk").agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+            .as("n_probe_pairs"))
+        val hit = expr((0 until b).map { k =>
+          s"(slice(sig1, ${k * r + 1}, $r) = slice(sig2, ${k * r + 1}, $r))"
+        }.mkString(" OR "))
+        tsig.withColumn("hit", hit)
+          .agg(
+            sum(when($"jaccard" >= 0.5, 1L).otherwise(0L)).as("n_truth50"),
+            sum(when($"jaccard" >= 0.5 && $"hit", 1L).otherwise(0L))
+              .as("hits50"),
+            sum(when($"jaccard" >= 0.8, 1L).otherwise(0L)).as("n_truth80"),
+            sum(when($"jaccard" >= 0.8 && $"hit", 1L).otherwise(0L))
+              .as("hits80"))
+          .crossJoin(broadcast(nProbe))
           .select(lit(b).cast("int").as("n_bands"),
-            lit(r).cast("int").as("n_rows"), $"n_cand",
+            lit(r).cast("int").as("n_rows"), $"n_probe_pairs",
             $"n_truth50", $"hits50",
             ($"hits50" / $"n_truth50".cast("double")).as("recall50"),
             $"n_truth80", $"hits80",
@@ -1852,32 +1867,40 @@ object Dedup {
           val parts = (1 to r).map(j => s"sig[${k * r + j}]")
           s"concat_ws('_', '$k', ${parts.mkString(", ")})"
         }.mkString(", ") + "]"
-        s"""bands_${b}_$r AS (
-           |  SELECT doc_id, unnest($keys) AS bk FROM sigs),
-           |cand_${b}_$r AS MATERIALIZED (
-           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-           |  FROM bands_${b}_$r x JOIN bands_${b}_$r y
-           |    ON x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+        s"""probe_${b}_$r AS (
+           |  SELECT COALESCE(CAST(SUM(c * (c - 1) // 2) AS BIGINT), 0)
+           |    AS n_probe
+           |  FROM (SELECT COUNT(*) AS c
+           |        FROM (SELECT doc_id, unnest($keys) AS bk FROM sigs) bz
+           |        GROUP BY bk) cz)""".stripMargin
       }.mkString(",\n")
       val rows = configs.map { case (b, r) =>
+        val hit = (0 until b).map { k =>
+          s"(sig1[${k * r + 1}:${k * r + r}] = sig2[${k * r + 1}:${k * r + r}])"
+        }.mkString(" OR ")
         s"""  SELECT CAST($b AS INT) AS n_bands, CAST($r AS INT) AS n_rows,
-           |    (SELECT COUNT(*) FROM cand_${b}_$r) AS n_cand,
-           |    (SELECT COUNT(*) FROM truth WHERE jaccard >= 0.5)
-           |      AS n_truth50,
-           |    (SELECT COUNT(*) FROM truth t WHERE t.jaccard >= 0.5
-           |     AND EXISTS (SELECT 1 FROM cand_${b}_$r c
-           |                 WHERE t.d1 = c.d1 AND t.d2 = c.d2)) AS hits50,
-           |    (SELECT COUNT(*) FROM truth WHERE jaccard >= 0.8)
-           |      AS n_truth80,
-           |    (SELECT COUNT(*) FROM truth t WHERE t.jaccard >= 0.8
-           |     AND EXISTS (SELECT 1 FROM cand_${b}_$r c
-           |                 WHERE t.d1 = c.d1 AND t.d2 = c.d2)) AS hits80""".stripMargin
+           |    (SELECT n_probe FROM probe_${b}_$r) AS n_probe_pairs,
+           |    CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_truth50,
+           |    CAST(SUM(CASE WHEN jaccard >= 0.5 AND hit THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS hits50,
+           |    CAST(SUM(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_truth80,
+           |    CAST(SUM(CASE WHEN jaccard >= 0.8 AND hit THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS hits80
+           |  FROM (SELECT jaccard, ($hit) AS hit FROM tsig) h_${b}_$r"""
+          .stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH $evalTruthCtesSql,
+         |tsig AS MATERIALIZED (
+         |  SELECT t.jaccard, s1.sig AS sig1, s2.sig AS sig2
+         |  FROM truth t
+         |  JOIN sigs s1 ON s1.doc_id = t.d1
+         |  JOIN sigs s2 ON s2.doc_id = t.d2),
          |$perCfg,
          |u AS (
          |$rows)
-         |SELECT n_bands, n_rows, n_cand, n_truth50, hits50,
+         |SELECT n_bands, n_rows, n_probe_pairs, n_truth50, hits50,
          |  hits50 / CAST(n_truth50 AS DOUBLE) AS recall50,
          |  n_truth80, hits80,
          |  hits80 / CAST(n_truth80 AS DOUBLE) AS recall80

@@ -1685,6 +1685,48 @@ object Similarity {
           min($"norm2").as("min_norm2"),
           max($"norm2").as("max_norm2"))
         .orderBy($"label")
+    },
+
+    // K-NN GRAPH CONSTRUCTION — the build step of every graph-ANN
+    // index (NN-descent seeds from exactly this; HNSW's layer 0 IS a
+    // kNN graph) and the input of graph-based semantic clustering:
+    // for EVERY vector — the graph covers the corpus, unlike the
+    // NQ-sampled evals — its K=4 nearest same-label neighbors among
+    // multi-probe sign-LSH candidates (probe-1 on the src side: the
+    // near-boundary neighbors single-bucket blocking structurally
+    // loses — the d10 lesson applied to graph build). Edges carry
+    // exact cosine; rank is a per-src window (cosine DESC, dst ASC —
+    // fully deterministic). Scale shape: candidates are narrow
+    // (src, dst) pairs from the (label, bucket) equi-join — cell
+    // sizes are bounded by the blocking (at 100 TB you add
+    // hyperplanes to hold cells constant, the standard LSH scaling,
+    // same story as d05); embeddings join back BY ID and shuffle
+    // once per side, never through the pair fan-out; the top-K
+    // window partitions by src over candidate lists the blocking
+    // bounds, never the corpus; output is ≤ n·K rows — linear.
+    "s30_knn_graph" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = T.embeddings(s, d).withColumn("bucket", signBucket)
+      val probes = emb.select($"vec_id", $"label",
+        explode(probeBuckets("embedding", "bucket", 1)).as("bkey"))
+      val bases = emb.select($"vec_id".as("dst"), $"label",
+        $"bucket".as("bkey"))
+      val cand = probes.join(bases, Seq("bkey", "label"))
+        .filter($"vec_id" =!= $"dst")
+        .select($"vec_id".as("src"), $"dst", $"label")
+        .distinct()
+      val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
+      cand
+        .join(emb.select($"vec_id".as("src"), $"embedding".as("se")),
+          Seq("src"))
+        .join(emb.select($"vec_id".as("dst"), $"embedding".as("de")),
+          Seq("dst"))
+        .withColumn("cosine", cosine_sim($"se", $"de"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 4)
+        .select($"src", $"rnk", $"dst", $"label", $"cosine")
+        .orderBy($"src", $"rnk")
     }
   )
 
@@ -2802,6 +2844,37 @@ object Similarity {
          |  CAST(MAX(norm2) AS BIGINT) AS max_norm2
          |FROM st JOIN dc USING (h)
          |GROUP BY label ORDER BY label""".stripMargin
-    }
+    },
+
+    // s30: the same directed multi-probe candidate generation (probe-1
+    // src side, single bucket base side, label-conjunct), exact cosine,
+    // per-src top-4 by (cosine DESC, dst ASC).
+    "s30_knn_graph" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding, $signBucketSql AS bucket
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, label,
+         |    unnest(${probeBucketsSql("embedding", "bucket", 1)}) AS bkey
+         |  FROM b),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS src, e.vec_id AS dst, p.label AS label
+         |  FROM p JOIN b e ON e.bucket = p.bkey AND e.label = p.label
+         |  WHERE e.vec_id <> p.vec_id),
+         |sc AS (
+         |  SELECT c.src, c.dst, c.label,
+         |    ${dotSql("x.embedding", "y.embedding")} /
+         |    (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |     sqrt(${dotSql("y.embedding", "y.embedding")})) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.src
+         |  JOIN embeddings y ON y.vec_id = c.dst),
+         |r AS (
+         |  SELECT src, dst, label, cosine,
+         |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
+         |      AS rnk
+         |  FROM sc)
+         |SELECT src, rnk, dst, label, cosine FROM r
+         |WHERE rnk <= 4 ORDER BY src, rnk""".stripMargin
   )
 }

@@ -449,6 +449,63 @@ object Extras {
         .groupBy($"anc".as("root_id"), $"depth")
         .agg(count(lit(1)).as("n_nodes"), sum($"chars").as("sum_chars"))
         .orderBy($"root_id", $"depth")
+    },
+
+    // Z-ORDER LAYOUT PLANNER — the MULTI-dimensional half of the
+    // layout family (q82 co-locates a join key, q83/q84 prune ONE
+    // partition axis; a lakehouse clustering on two filter columns —
+    // Delta/Iceberg OPTIMIZE ZORDER BY — needs the interleaved-bit
+    // curve, because a linear sort on x leaves y's per-file min/max
+    // spans full-range and a 2-D box predicate then reads every file
+    // its x-slice touches): both candidate layouts priced against the
+    // SAME box predicate under the real pruning model — a bucket (file)
+    // is READ iff its per-bucket [min,max] of BOTH dims intersects the
+    // box, exactly how parquet row-group stat pruning decides. Dims
+    // normalized to 10 bits via in-plan maxes (q65's one-tiny-
+    // aggregate-broadcast discipline — no driver scalar); z =
+    // bit-interleave(xb, yb) (20 bits); 64 equal-width buckets per
+    // layout = the writer's file boundaries. Report per layout:
+    // buckets touched, rows read (the I/O bill), rows matching, and
+    // read amplification — the number that decides whether to pay the
+    // re-cluster. Scale shape: ONE fact scan fans each row to its two
+    // (layout, bucket) keys map-side; everything after the first
+    // aggregate is O(layouts × buckets) control rows. All counts
+    // integer; amplification is one IEEE division per layout row.
+    "q88_zorder_layout" -> { (s, d) =>
+      import s.implicits._
+      val li = T.lineitem(s, d).select($"l_partkey", $"l_suppkey")
+      val bounds = li.agg(max($"l_partkey").cast("long").as("px"),
+                          max($"l_suppkey").cast("long").as("sx"))
+      val g = li.crossJoin(broadcast(bounds))
+        .select(
+          expr("CAST(l_partkey AS BIGINT) * 1024 DIV (px + 1)").as("xb"),
+          expr("CAST(l_suppkey AS BIGINT) * 1024 DIV (sx + 1)").as("yb"))
+        .withColumn("z", expr(
+          """aggregate(sequence(0, 9), CAST(0 AS BIGINT), (acc, j) ->
+            |  acc + shiftleft(shiftright(xb, j) & 1, 2 * j)
+            |      + shiftleft(shiftright(yb, j) & 1, 2 * j + 1))"""
+            .stripMargin))
+        .withColumn("in_box", $"xb".between(192L, 319L) &&
+                              $"yb".between(192L, 319L))
+      val buckets = g.select(explode(array(
+          struct(lit("linear").as("layout"), expr("xb DIV 16").as("b")),
+          struct(lit("zorder").as("layout"), expr("z DIV 16384").as("b"))))
+          .as("lb"), $"xb", $"yb", $"in_box")
+        .groupBy($"lb.layout".as("layout"), $"lb.b".as("b"))
+        .agg(count(lit(1)).as("n_rows"),
+             min($"xb").as("xmin"), max($"xb").as("xmax"),
+             min($"yb").as("ymin"), max($"yb").as("ymax"),
+             sum(when($"in_box", 1L).otherwise(0L)).as("match_rows"))
+      val touched = $"xmin" <= 319L && $"xmax" >= 192L &&
+                    $"ymin" <= 319L && $"ymax" >= 192L
+      buckets.groupBy($"layout")
+        .agg(count(lit(1)).as("n_buckets"),
+             sum(when(touched, 1L).otherwise(0L)).as("buckets_touched"),
+             sum(when(touched, $"n_rows").otherwise(0L)).as("rows_read"),
+             sum($"match_rows").as("rows_matching"))
+        .withColumn("read_amplification",
+          $"rows_read" / $"rows_matching".cast("double"))
+        .orderBy($"layout")
     }
   )
 
@@ -606,6 +663,50 @@ object Extras {
         |  MAX(o_totalprice) AS max_price,
         |  MAX(o_orderdate) AS last_order
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // q88: same 10-bit normalization, bit-interleave, 64 equal-width
+    // buckets per layout, and min/max-intersection pruning model.
+    "q88_zorder_layout" ->
+      """WITH bounds AS (
+        |  SELECT CAST(MAX(l_partkey) AS BIGINT) AS px,
+        |         CAST(MAX(l_suppkey) AS BIGINT) AS sx FROM lineitem),
+        |g AS (
+        |  SELECT CAST(l_partkey AS BIGINT) * 1024 // (px + 1) AS xb,
+        |         CAST(l_suppkey AS BIGINT) * 1024 // (sx + 1) AS yb
+        |  FROM lineitem, bounds),
+        |gz AS (
+        |  SELECT xb, yb,
+        |    CAST(list_sum(list_transform(range(0, 10), j ->
+        |      (((xb >> CAST(j AS INT)) & 1) << CAST(2 * j AS INT)) +
+        |      (((yb >> CAST(j AS INT)) & 1) << CAST(2 * j + 1 AS INT))))
+        |      AS BIGINT) AS z,
+        |    (xb BETWEEN 192 AND 319 AND yb BETWEEN 192 AND 319) AS in_box
+        |  FROM g),
+        |lb AS (
+        |  SELECT 'linear' AS layout, xb // 16 AS b, xb, yb, in_box FROM gz
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, z // 16384 AS b, xb, yb, in_box
+        |  FROM gz),
+        |bk AS (
+        |  SELECT layout, b, COUNT(*) AS n_rows,
+        |    MIN(xb) AS xmin, MAX(xb) AS xmax,
+        |    MIN(yb) AS ymin, MAX(yb) AS ymax,
+        |    CAST(SUM(CASE WHEN in_box THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS match_rows
+        |  FROM lb GROUP BY layout, b)
+        |SELECT layout, COUNT(*) AS n_buckets,
+        |  CAST(SUM(CASE WHEN xmin <= 319 AND xmax >= 192
+        |                 AND ymin <= 319 AND ymax >= 192
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS buckets_touched,
+        |  CAST(SUM(CASE WHEN xmin <= 319 AND xmax >= 192
+        |                 AND ymin <= 319 AND ymax >= 192
+        |            THEN n_rows ELSE 0 END) AS BIGINT) AS rows_read,
+        |  CAST(SUM(match_rows) AS BIGINT) AS rows_matching,
+        |  CAST(SUM(CASE WHEN xmin <= 319 AND xmax >= 192
+        |                 AND ymin <= 319 AND ymax >= 192
+        |            THEN n_rows ELSE 0 END) AS DOUBLE) / SUM(match_rows)
+        |    AS read_amplification
+        |FROM bk GROUP BY layout ORDER BY layout""".stripMargin,
 
     "q66_scd2_merge" ->
       """WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

@@ -296,7 +296,31 @@ object StressBench {
       // s28: s15's shape on the live slice — seed train + two map-only
       // assignments + one brute-force truth scan over k×-scaled
       // embeddings: constant-dominated small, linear past ~16×
-      "s28_deletion_recall"
+      "s28_deletion_recall," +
+      // round-14 tail: t40 rides t28's (hash, doc_id)-long shuffle on
+      // LINE hashes (pair-free df join) — sublinear as shared
+      // boilerplate saturates. q87 is the q46 as-of machinery run
+      // twice (both directions) + one narrow tie-break — linear in
+      // events. d32 prices four band configs over ONE shared signature
+      // pass + ONE df-capped truth pass — each config adds a d02-shape
+      // candidate join, so the curve should read like d21's plus a
+      // constant factor ~4. d33 is the d21 df-capped inverted index
+      // with a pure pair-count aggregate — tracks d04's capped shape.
+      // d34 shuffles (doc_id, pos, word-hash) longs once; the lag
+      // window partitions by (doc_id, word) so no partition outgrows
+      // one word's repeats in one doc — linear in corpus tokens.
+      // m19/m20 are map-only codec walks (~56-64 B/asset shuffles) —
+      // flat like m13. s29 is one map-only scan to 32 B/vector + a
+      // narrow h-count join — the cheapest s-query by construction.
+      "t40_line_dedup,q87_nearest_join,d32_band_plan,d33_containment," +
+      "d34_crosslingual,m19_gif_timing,m20_wav_metadata," +
+      "s29_embedding_health," +
+      // s30: narrow (src, dst) candidates from the (label, bucket)
+      // join, embeddings join back by id, per-src top-K over
+      // blocking-bounded lists — flat at these sizes like s02/d05.
+      // q88: one fact scan fans to two (layout, bucket) keys map-side;
+      // everything after the first aggregate is O(128) control rows
+      "s30_knn_graph,q88_zorder_layout"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

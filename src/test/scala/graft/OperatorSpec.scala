@@ -1387,32 +1387,38 @@ class OperatorSpec extends SparkSpec {
       .as[(Int, Int, Long, Long, Long, Double, Long, Long, Double)].collect()
     assert(out.map(r => (r._1, r._2)).toSeq ===
       Seq((2, 8), (4, 4), (8, 2), (16, 1)), "config order")
-    out.foreach { case (_, _, nCand, t50, h50, r50, t80, h80, r80) =>
+    out.foreach { case (_, _, nProbe, t50, h50, r50, t80, h80, r80) =>
       assert(h50 <= t50 && h80 <= t80 && t80 <= t50 && h80 <= h50)
       assert(r50 === h50.toDouble / t50 && r80 === h80.toDouble / t80)
-      assert(nCand >= h50)
+      // every caught truth pair collides on >= 1 band, i.e. costs
+      // >= 1 probe
+      assert(nProbe >= h50)
     }
     // truth is config-independent
     assert(out.map(_._4).distinct.length === 1)
     assert(out.map(_._7).distinct.length === 1)
-    // shrinking r can only ADD candidate pairs in aggregate terms:
-    // both the bill and the recalls must be nondecreasing down the
-    // table, and strictly so somewhere (the frontier actually bends)
+    // a pair colliding on a coarse band collides on every sub-band of
+    // it, so shrinking r can only ADD probes; recall is monotone for
+    // the same reason — and strictly so somewhere (the frontier bends)
     out.sliding(2).foreach { case Array(a, b) =>
-      assert(b._3 >= a._3, s"candidates fell from r=${a._2} to r=${b._2}")
+      assert(b._3 >= a._3, s"probe bill fell from r=${a._2} to r=${b._2}")
       assert(b._6 >= a._6 - 1e-12 && b._9 >= a._9 - 1e-12,
         s"recall fell from r=${a._2} to r=${b._2}")
     }
-    assert(out.last._3 > out.head._3, "candidate bill flat — vacuous")
+    assert(out.last._3 > out.head._3, "probe bill flat — vacuous")
     assert(out.last._6 > out.head._6, "recall@0.5 flat — frontier invisible")
-    // the shipped (4,4) row must agree with d21's independent measure
+    // the shipped (4,4) row must agree with d21's independent measure:
+    // identical truth counts and hit counts (the hit predicate IS
+    // candidate-set membership), and the probe bill — which counts
+    // multiplicity — upper-bounds d21's distinct candidate-pair count
     val d21 = datapipe.Dedup.queries("d21_lsh_recall")(spark, sf)
       .as[(Double, Long, Long, Long, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
     val shipped = out.find(r => r._1 == 4 && r._2 == 4).get
     assert((shipped._4, shipped._5) === ((d21(0.5)._2, d21(0.5)._4)))
     assert((shipped._7, shipped._8) === ((d21(0.8)._2, d21(0.8)._4)))
-    assert(shipped._3 === d21(0.5)._3, "candidate bill disagrees with d21")
+    assert(shipped._3 >= d21(0.5)._3,
+      "probe bill below d21's distinct candidate count")
   }
 
   test("d33: containment pairs replay exactly; prefix quotes read C=1 at low J") {
@@ -1590,6 +1596,52 @@ class OperatorSpec extends SparkSpec {
       "every vector off-norm — clean baseline invisible")
     assert(out.values.map(_._7).max > 15000000000000000L,
       "scaled norm extreme not reported")
+  }
+
+  test("s30: kNN graph replays exactly; ranks contiguous, cosine monotone") {
+    val out = datapipe.Similarity.queries("s30_knn_graph")(spark, sf)
+      .as[(Long, Long, Long, Int, Double)].collect()
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def bucket(e: Seq[Float]): Int =
+      (0 until 8).map(j => if (e(j).toDouble > 0.0) 1 << j else 0).sum
+    // probe list = own bucket + flip of the smallest-|v| hashed dim
+    // (ties to the smallest dim), mirroring probeBuckets(p = 1)
+    def probes(e: Seq[Float], b: Int): Seq[Int] = {
+      val jmin = (0 until 8).minBy(j => (math.abs(e(j).toDouble), j))
+      Seq(b, b ^ (1 << jmin))
+    }
+    // index-order double fold — CosineSim's exact IEEE sequence
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bks = base.map { case (id, e, l) => (id, e, l, bucket(e)) }
+    val expected = bks.flatMap { case (sid, se, sl, sb) =>
+      bks.filter { case (did, _, dl, db) =>
+          did != sid && dl == sl && probes(se, sb).contains(db) }
+        .map { case (did, de, _, _) => (did, cos(se, de)) }
+        .sortBy { case (did, c) => (-c, did) }
+        .take(4).zipWithIndex
+        .map { case ((did, c), i) => (sid, (i + 1).toLong, did, sl, c) }
+    }.sortBy(r => (r._1, r._2))
+    assert(out.toSeq === expected.toSeq)
+    assert(out.nonEmpty, "empty graph — blocking found no candidates")
+    val bySrc = out.groupBy(_._1)
+    // ranks contiguous from 1; at least one src fills K=4 (non-vacuous
+    // truncation); cosine non-increasing within each src's list
+    assert(bySrc.values.forall(es =>
+      es.map(_._2).sorted.toSeq == (1L to es.length).toSeq))
+    assert(bySrc.values.exists(_.length == 4), "no src ever fills K=4")
+    bySrc.values.foreach { es =>
+      val cs = es.sortBy(_._2).map(_._5)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
   }
 
   test("s14: probe-2 dominates single-bucket on recall AND cost; ratios exact") {
@@ -3207,5 +3259,47 @@ class OperatorSpec extends SparkSpec {
       .as[(java.sql.Date, Long, Long, Double)].collect()
     assert(out.length === 3, s"expected 3 hot days, got ${out.length}")
     assert(out.map(_._2).forall(_ > 0L) && out.map(_._3).forall(_ > 0L))
+  }
+
+  test("q88: layout table replays exactly; z-order strictly cheaper on the box") {
+    val out = operators.Extras.queries("q88_zorder_layout")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey".cast("long"), $"l_suppkey".cast("long"))
+      .as[(Long, Long)].collect()
+    val px = li.map(_._1).max; val sx = li.map(_._2).max
+    val g = li.map { case (p0, s0) =>
+      val xb = p0 * 1024 / (px + 1); val yb = s0 * 1024 / (sx + 1)
+      val z = (0 until 10).map(j =>
+        (((xb >> j) & 1L) << (2 * j)) + (((yb >> j) & 1L) << (2 * j + 1))).sum
+      (xb, yb, z, xb >= 192 && xb <= 319 && yb >= 192 && yb <= 319)
+    }
+    def fold(bk: Map[Long, Array[(Long, Long, Long, Boolean)]]) = {
+      val st = bk.values.map { rs =>
+        (rs.length.toLong, rs.map(_._1).min, rs.map(_._1).max,
+         rs.map(_._2).min, rs.map(_._2).max, rs.count(_._4).toLong)
+      }
+      val t = st.filter(s =>
+        s._2 <= 319 && s._3 >= 192 && s._4 <= 319 && s._5 >= 192)
+      (st.size.toLong, t.size.toLong, t.map(_._1).sum, st.map(_._6).sum)
+    }
+    for ((name, key) <- Seq(
+        ("linear", (r: (Long, Long, Long, Boolean)) => r._1 / 16),
+        ("zorder", (r: (Long, Long, Long, Boolean)) => r._3 / 16384))) {
+      val (nb, bt, rr, rm) = fold(g.groupBy(key))
+      assert(out(name) === ((name, nb, bt, rr, rm, rr.toDouble / rm)),
+        s"layout=$name")
+    }
+    // same predicate, same matches — only the layout differs; the
+    // interleaved layout must read strictly less than the linear sort,
+    // and neither reads less than it matches (the pruning model is an
+    // over-approximation, never an under-read)
+    assert(out("zorder")._5 === out("linear")._5)
+    assert(out("zorder")._5 > 0L, "box matches nothing — table vacuous")
+    assert(out("zorder")._4 < out("linear")._4,
+      "z-order no cheaper — the table's decision is invisible")
+    assert(out("linear")._4 >= out("linear")._5 &&
+           out("zorder")._4 >= out("zorder")._5)
   }
 }
