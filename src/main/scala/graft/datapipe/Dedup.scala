@@ -405,6 +405,23 @@ object Dedup {
     shAll.join(rare, Seq("h"), "left_semi")
   }
 
+  /** K=16 MinHash signatures recomputed over the df-capped shingle
+    * space — the SHARED representation the capped truth and the
+    * estimator evals (d24 full-width, d35 b-bit) are all defined over:
+    * estimate and truth must share one space, or the reported error
+    * conflates K-quantization with the cap's completeness trade.
+    */
+  private def cappedSigsOf(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    import graft.functions.MinHashSigs.minhash_sigs
+    sh.groupBy($"doc_id")
+      .agg(collect_list($"h").as("hsetC"))
+      .withColumn("mhbase", expr(s"transform(hsetC, h -> h % $P)"))
+      .withColumn("sig",
+        minhash_sigs(col("mhbase"), AB.map(_._1), AB.map(_._2), P))
+      .select($"doc_id", $"sig")
+  }
+
   /** [[cappedTruth]] from a precomputed [[cappedShingles]] frame. */
   private def cappedTruthOf(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
@@ -799,15 +816,10 @@ object Dedup {
     // O(true pairs) everything after.
     "d24_minhash_estimator_error" -> { (s, d) =>
       import s.implicits._
-      import graft.functions.MinHashSigs.minhash_sigs
       val sig = signaturesOf(evalCorpus(s, d)).cache()
       val sh = cappedShingles(sig).cache()
       val truth = cappedTruthOf(sh)
-      val sigC = sh.groupBy($"doc_id")
-        .agg(collect_list($"h").as("hsetC"))
-        .withColumn("mhbase", expr(s"transform(hsetC, h -> h % $P)"))
-        .withColumn("sig",
-          minhash_sigs(col("mhbase"), AB.map(_._1), AB.map(_._2), P))
+      val sigC = cappedSigsOf(sh)
       val sigs1 = sigC.select($"doc_id".as("d1"), $"sig".as("sig1"))
       val sigs2 = sigC.select($"doc_id".as("d2"), $"sig".as("sig2"))
       truth.join(sigs1, Seq("d1")).join(sigs2, Seq("d2"))
@@ -824,6 +836,61 @@ object Dedup {
              (sum($"matches") / (count(lit(1)) * 16.0)).as("micro_est_j"),
              sum(when(abs($"matches" / lit(16.0) - $"jaccard") > 0.25, 1L)
                .otherwise(0L)).as("n_large_err"))
+        .orderBy($"j_band")
+    },
+
+    // B-BIT MINHASH ESTIMATOR — the STORAGE axis of the dedup-eval
+    // family (d24 prices the K=16 full-width estimator's variance;
+    // s24/s26 price the ANN stack's 8-bit codes; this prices Li &
+    // König's b-bit minwise hashing, the trick a 100 TB dedup actually
+    // ships: keep only the lowest b bits of each min — 16 bits/doc at
+    // b=1 vs ~31 bits/slot full-width, a ~31× signature compression —
+    // and correct for random low-bit collisions: E[match] = J +
+    // (1−J)/2^b, so Ĵ = (A − 1/2^b)/(1 − 1/2^b)): per true-J band,
+    // the full, 2-bit, and 1-bit micro-averaged estimates side by side
+    // with the exact capped Jaccard, plus the 1-bit >0.25-error tail —
+    // the variance cost of the storage saved, MEASURED on the real
+    // corpus instead of assumed from the paper (the correction
+    // constant 1/2^b is itself only asymptotic, which is exactly why
+    // the bias is worth a table). Scale shape: d24's exactly — the
+    // signature and truth passes are shared; per-pair work is three
+    // integer slot-match counts over the SAME K=16 signatures (the
+    // b-bit views are mod-4/mod-2 of the same mins — no new hashing,
+    // the technique's whole point); aggregates all integer, one IEEE
+    // expression per estimate at the end.
+    "d35_bbit_minhash" -> { (s, d) =>
+      import s.implicits._
+      val sig = signaturesOf(evalCorpus(s, d)).cache()
+      val sh = cappedShingles(sig).cache()
+      val truth = cappedTruthOf(sh)
+      val sigC = cappedSigsOf(sh)
+      truth
+        .join(sigC.select($"doc_id".as("d1"), $"sig".as("sig1")), Seq("d1"))
+        .join(sigC.select($"doc_id".as("d2"), $"sig".as("sig2")), Seq("d2"))
+        .withColumn("mf", expr(
+          "size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))"))
+        .withColumn("m2", expr(
+          "size(filter(zip_with(sig1, sig2, (a, b) -> a % 4 = b % 4)," +
+          " x -> x))"))
+        .withColumn("m1", expr(
+          "size(filter(zip_with(sig1, sig2, (a, b) -> a % 2 = b % 2)," +
+          " x -> x))"))
+        .withColumn("j_band",
+          when($"jaccard" >= 0.9, "0.90-1.00")
+            .when($"jaccard" >= 0.7, "0.70-0.90")
+            .otherwise("0.50-0.70"))
+        .groupBy($"j_band")
+        .agg(count(lit(1)).as("n_pairs"),
+             (sum($"inter") / sum($"uni").cast("double"))
+               .as("micro_true_j"),
+             (sum($"mf") / (count(lit(1)) * 16.0)).as("est_full"),
+             ((sum($"m2") / (count(lit(1)) * 16.0) - 0.25) / 0.75)
+               .as("est_2bit"),
+             ((sum($"m1") / (count(lit(1)) * 16.0) - 0.5) * 2)
+               .as("est_1bit"),
+             sum(when(
+               abs(($"m1" / lit(16.0) - 0.5) * 2 - $"jaccard") > 0.25, 1L)
+               .otherwise(0L)).as("n_large_err_1bit"))
         .orderBy($"j_band")
     },
 
@@ -1838,6 +1905,44 @@ object Dedup {
          |  SUM(matches) / (COUNT(*) * 16.0) AS micro_est_j,
          |  CAST(SUM(CASE WHEN ABS(matches / 16.0 - jaccard) > 0.25
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_large_err
+         |FROM banded GROUP BY j_band ORDER BY j_band""".stripMargin
+    },
+
+    // d35: d24's capped-space signatures; the b-bit views are mod-4 /
+    // mod-2 of the same mins, the bias corrections replay verbatim.
+    "d35_bbit_minhash" -> {
+      val cSigExpr = "[" + AB.map { case (a, b) =>
+        s"list_min(list_transform(mhbase, m -> ($a * m + $b) % $P))"
+      }.mkString(", ") + "]"
+      def matches(cmp: String) =
+        s"""len(list_filter(range(1, 17),
+           |      i -> s1.sig[CAST(i AS INT)]$cmp = s2.sig[CAST(i AS INT)]$cmp))"""
+          .stripMargin
+      s"""WITH $evalTruthCtesSql,
+         |csig AS (
+         |  SELECT doc_id, $cSigExpr AS sig
+         |  FROM (SELECT doc_id, list_transform(list(h), m -> m % $P) AS mhbase
+         |        FROM sh GROUP BY doc_id) z),
+         |ps AS (
+         |  SELECT t.inter, t.uni, t.jaccard,
+         |    ${matches("")} AS mf,
+         |    ${matches(" % 4")} AS m2,
+         |    ${matches(" % 2")} AS m1
+         |  FROM truth t
+         |  JOIN csig s1 ON s1.doc_id = t.d1
+         |  JOIN csig s2 ON s2.doc_id = t.d2),
+         |banded AS (
+         |  SELECT *, CASE WHEN jaccard >= 0.9 THEN '0.90-1.00'
+         |                 WHEN jaccard >= 0.7 THEN '0.70-0.90'
+         |                 ELSE '0.50-0.70' END AS j_band
+         |  FROM ps)
+         |SELECT j_band, COUNT(*) AS n_pairs,
+         |  SUM(inter) / CAST(SUM(uni) AS DOUBLE) AS micro_true_j,
+         |  SUM(mf) / (COUNT(*) * 16.0) AS est_full,
+         |  (SUM(m2) / (COUNT(*) * 16.0) - 0.25) / 0.75 AS est_2bit,
+         |  (SUM(m1) / (COUNT(*) * 16.0) - 0.5) * 2 AS est_1bit,
+         |  CAST(SUM(CASE WHEN ABS((m1 / 16.0 - 0.5) * 2 - jaccard) > 0.25
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_large_err_1bit
          |FROM banded GROUP BY j_band ORDER BY j_band""".stripMargin
     },
 

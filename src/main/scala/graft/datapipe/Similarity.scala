@@ -1697,19 +1697,42 @@ object Similarity {
     // loses — the d10 lesson applied to graph build). Edges carry
     // exact cosine; rank is a per-src window (cosine DESC, dst ASC —
     // fully deterministic). Scale shape: candidates are narrow
-    // (src, dst) pairs from the (label, bucket) equi-join — cell
-    // sizes are bounded by the blocking (at 100 TB you add
-    // hyperplanes to hold cells constant, the standard LSH scaling,
-    // same story as d05); embeddings join back BY ID and shuffle
-    // once per side, never through the pair fan-out; the top-K
-    // window partitions by src over candidate lists the blocking
-    // bounds, never the corpus; output is ≤ n·K rows — linear.
+    // (src, dst) pairs from the (label, bucket) equi-join; the
+    // HYPERPLANE COUNT IS CORPUS-ADAPTIVE (the d15 discipline —
+    // fixed 8-bit blocking measured 27 s at the 64× StressBench
+    // point, 17× per 4× data: cells grow linearly with the corpus
+    // and the within-cell join goes quadratic): nb = max(8,
+    // ⌈log2(n/32)⌉) hyperplanes hold expected cells at ~32 vectors,
+    // derived INTEGER-ONLY as length(bin(⌈n/32⌉ − 1)) — no libm
+    // log2, whose last-ulp drift could flip a ceil across engines —
+    // computed in-plan from one 1-row broadcast (no driver scalar;
+    // nb = 8 at every fixture SF, so small-corpus results equal the
+    // historical 8-bit blocking exactly). Embeddings join back BY
+    // ID, never through the pair fan-out; the top-K window
+    // partitions by src over blocking-bounded lists; output ≤ n·K
+    // rows — linear.
     "s30_knn_graph" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val emb = T.embeddings(s, d).withColumn("bucket", signBucket)
-      val probes = emb.select($"vec_id", $"label",
-        explode(probeBuckets("embedding", "bucket", 1)).as("bkey"))
+      val emb0 = T.embeddings(s, d)
+      val nbdf = emb0.agg(expr(
+        "greatest(8, length(bin(greatest((count(1) + 31) DIV 32 - 1, 1))))")
+        .cast("int").as("nb"))
+      val emb = emb0.crossJoin(broadcast(nbdf))
+        .withColumn("bucket", expr(
+          """aggregate(sequence(0, nb - 1), CAST(0 AS BIGINT),
+            |  (acc, j) -> acc +
+            |    IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0,
+            |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
+            .stripMargin))
+      val probes = emb.select($"vec_id", $"label", explode(expr(
+        """concat(array(bucket), transform(slice(transform(array_sort(
+          |  transform(sequence(0, nb - 1),
+          |    j -> struct(abs(CAST(element_at(embedding, j + 1) AS DOUBLE))
+          |                  AS a, j AS j))),
+          |  x -> x.j), 1, 1),
+          |  j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))""".stripMargin))
+        .as("bkey"))
       val bases = emb.select($"vec_id".as("dst"), $"label",
         $"bucket".as("bkey"))
       val cand = probes.join(bases, Seq("bkey", "label"))
@@ -1718,9 +1741,9 @@ object Similarity {
         .distinct()
       val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
       cand
-        .join(emb.select($"vec_id".as("src"), $"embedding".as("se")),
+        .join(emb0.select($"vec_id".as("src"), $"embedding".as("se")),
           Seq("src"))
-        .join(emb.select($"vec_id".as("dst"), $"embedding".as("de")),
+        .join(emb0.select($"vec_id".as("dst"), $"embedding".as("de")),
           Seq("dst"))
         .withColumn("cosine", cosine_sim($"se", $"de"))
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -2847,16 +2870,32 @@ object Similarity {
     },
 
     // s30: the same directed multi-probe candidate generation (probe-1
-    // src side, single bucket base side, label-conjunct), exact cosine,
-    // per-src top-4 by (cosine DESC, dst ASC).
+    // src side, single bucket base side, label-conjunct) over the
+    // corpus-adaptive nb-bit sign bucket (integer-only nb derivation —
+    // see the query comment), exact cosine, per-src top-4 by
+    // (cosine DESC, dst ASC).
     "s30_knn_graph" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, label, embedding, $signBucketSql AS bucket
+      s"""WITH nbv AS (
+         |  SELECT GREATEST(8, length(bin(GREATEST(
+         |    (COUNT(*) + 31) // 32 - 1, 1)))) AS nb
          |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, label, embedding,
+         |    CAST(list_sum(list_transform(range(0, nb), j ->
+         |      CASE WHEN CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) > 0.0
+         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM embeddings, nbv),
          |p AS (
          |  SELECT vec_id, label,
-         |    unnest(${probeBucketsSql("embedding", "bucket", 1)}) AS bkey
-         |  FROM b),
+         |    unnest(list_prepend(bucket, list_transform(
+         |      list_transform(list_sort(list_transform(range(0, nb),
+         |        j -> {'a': abs(CAST(embedding[CAST(j AS INT) + 1]
+         |                       AS DOUBLE)), 'j': j})), x -> x.j)[1:1],
+         |      j -> CAST(xor(bucket, (CAST(1 AS BIGINT)
+         |                             << CAST(j AS INT))) AS BIGINT))))
+         |      AS bkey
+         |  FROM b, nbv),
          |cand AS (
          |  SELECT DISTINCT p.vec_id AS src, e.vec_id AS dst, p.label AS label
          |  FROM p JOIN b e ON e.bucket = p.bkey AND e.label = p.label

@@ -315,12 +315,17 @@ object StressBench {
       "t40_line_dedup,q87_nearest_join,d32_band_plan,d33_containment," +
       "d34_crosslingual,m19_gif_timing,m20_wav_metadata," +
       "s29_embedding_health," +
-      // s30: narrow (src, dst) candidates from the (label, bucket)
-      // join, embeddings join back by id, per-src top-K over
-      // blocking-bounded lists — flat at these sizes like s02/d05.
+      // s30: corpus-adaptive nb-bit blocking (cells held ~32) — flat
+      // through 16×; at 64× the scaled corpus packs ~54 same-bucket
+      // copies per original (sign-flip decorrelation only moves dims
+      // < nb), so cells are genuinely dense with TRUE neighbors and
+      // the pair-volume embedding join-back is the workload's nature
+      // on a duplicate-heavy corpus (d09's class), not a plan defect.
       // q88: one fact scan fans to two (layout, bucket) keys map-side;
-      // everything after the first aggregate is O(128) control rows
-      "s30_knn_graph,q88_zorder_layout"
+      // everything after the first aggregate is O(128) control rows.
+      // d35: d24's shared truth/signature passes + three integer
+      // slot-match counts — same-boot at-or-under d24's cells
+      "s30_knn_graph,q88_zorder_layout,d35_bbit_minhash"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

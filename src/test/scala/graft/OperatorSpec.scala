@@ -1604,13 +1604,17 @@ class OperatorSpec extends SparkSpec {
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding", $"label")
       .as[(Long, Seq[Float], Int)].collect()
-    def bucket(e: Seq[Float]): Int =
-      (0 until 8).map(j => if (e(j).toDouble > 0.0) 1 << j else 0).sum
+    // corpus-adaptive hyperplane count, the query's integer-only
+    // formula: nb = max(8, len(bin(ceil(n/32) - 1))) — 8 at this SF
+    val nb = math.max(8, java.lang.Long.toBinaryString(
+      math.max((base.length + 31) / 32 - 1, 1)).length)
+    def bucket(e: Seq[Float]): Long =
+      (0 until nb).map(j => if (e(j).toDouble > 0.0) 1L << j else 0L).sum
     // probe list = own bucket + flip of the smallest-|v| hashed dim
-    // (ties to the smallest dim), mirroring probeBuckets(p = 1)
-    def probes(e: Seq[Float], b: Int): Seq[Int] = {
-      val jmin = (0 until 8).minBy(j => (math.abs(e(j).toDouble), j))
-      Seq(b, b ^ (1 << jmin))
+    // (ties to the smallest dim), mirroring the query's probe-1
+    def probes(e: Seq[Float], b: Long): Seq[Long] = {
+      val jmin = (0 until nb).minBy(j => (math.abs(e(j).toDouble), j))
+      Seq(b, b ^ (1L << jmin))
     }
     // index-order double fold — CosineSim's exact IEEE sequence
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
@@ -1753,6 +1757,36 @@ class OperatorSpec extends SparkSpec {
       // Hoeffding: P(|est - J| > 0.25) <= exp(-2) ~ 0.135 per pair;
       // half a band exceeding it would be astronomically unlikely
       assert(nErr <= n / 2 + 1, s"$band: $nErr/$n large errors")
+    }
+  }
+
+  test("d35: b-bit estimates track true Jaccard; full column equals d24's") {
+    val rows = datapipe.Dedup.queries("d35_bbit_minhash")(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double, Long)].collect()
+    val bands = Seq("0.50-0.70", "0.70-0.90", "0.90-1.00")
+    assert(rows.map(_._1).toSeq.forall(bands.contains))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+    assert(rows.exists(r => r._1 == "0.90-1.00" && r._2 > 0))
+    rows.foreach { case (band, n, trueJ, ef, e2, e1, nErr) =>
+      assert(n > 0)
+      assert(math.abs(ef - trueJ) < 0.15, s"$band: full $ef vs $trueJ")
+      // bias-corrected coarse estimates: per-pair std scales by
+      // 1/(1 - 2^-b) — ×4/3 at b=2, ×2 at b=1 — so the corridors
+      // widen accordingly; micro-averaging n >= 13 pairs keeps both
+      // multiple sigmas wide
+      assert(math.abs(e2 - trueJ) < 0.2, s"$band: 2bit $e2 vs $trueJ")
+      assert(math.abs(e1 - trueJ) < 0.3, s"$band: 1bit $e1 vs $trueJ")
+      assert(nErr <= n, s"$band: $nErr/$n")
+    }
+    // the full-width column must agree with d24's independent run
+    // bit-for-bit — same truth, same capped-space signatures
+    val d24 = datapipe.Dedup.queries("d24_minhash_estimator_error")(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.foreach { r =>
+      val o = d24(r._1)
+      assert(r._2 === o._2 && r._3 === o._3 && r._4 === o._4,
+        s"${r._1}: diverges from d24")
     }
   }
 
