@@ -1554,37 +1554,43 @@ object TextAnalysis {
     // this is the whole point vs pairwise span dedup.
     "t40_line_dedup" -> { (s, d) =>
       import s.implicits._
-      val DF_MIN = 4
-      val base = T.documents(s, d)
-        .select($"doc_id", $"source",
-          expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
-        .filter(size($"ws") >= 1)
-        .withColumn("n", size($"ws").cast("long"))
-        .withColumn("nl", expr("(n + 7) DIV 8"))
-      val natural = base
-        .select($"doc_id", explode(expr("sequence(0, nl - 1)")).as("li"),
-          $"n", $"ws")
-        .select($"doc_id", $"li", expr(
-          "array_join(slice(ws, li * 8 + 1, least(8, n - li * 8)), ' ')")
-          .as("line"))
-      val planted = base.filter($"doc_id" % 3 === 0)
-        .select($"doc_id", $"nl".as("li"),
-          concat(lit("all rights reserved see terms at www dot "), $"source")
-            .as("line"))
-      val lines = natural.unionByName(planted)
-        .select($"doc_id", $"li", graft.Dets.phash($"line").as("fp"),
-          size(expr("filter(split(line, ' '), x -> x <> '')")).cast("long")
-            .as("nw"))
-      val df = lines.select($"fp", $"doc_id").distinct()
-        .groupBy($"fp").agg(count(lit(1)).as("df"))
-      lines.join(df, Seq("fp"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_lines"),
-          sum(when($"df" >= DF_MIN, 1L).otherwise(0L)).as("n_removed"),
-          sum(when($"df" < DF_MIN, $"nw").otherwise(0L)).as("toks_kept"),
-          sum(when($"df" < DF_MIN, ($"li" + 1L) * ($"fp" % 1000000000L))
-            .otherwise(0L)).as("chk_kept"))
-        .orderBy($"doc_id")
+      val lines = lineInventory(T.documents(s, d))
+      lineVerdict(lines, lineDf(lines))
+    },
+
+    // VOCABULARY COVERAGE TABLE — the vocab-SIZING decision in front
+    // of every tokenizer build (t15 trains merges, t37 watches vocab
+    // GROWTH; neither answers "how large must the vocab be to cover
+    // X% of token occurrences", which is the number that sets
+    // vocab_size and prices the <unk>/byte-fallback rate): for each
+    // candidate size K, the fraction of ALL token occurrences covered
+    // by the K most frequent words — the cumulative Zipf mass, read
+    // at the exact K values a config chooses between. Scale shape:
+    // one explode into a map-side-combined (word-hash) count — t14's
+    // bill, sublinear as distinct words saturate; each K row is a
+    // TakeOrderedAndProject over the VOCABULARY-sized frame (top-K
+    // heap per partition + K-row merge, never a global sort or a
+    // global window — the s17 lesson) + one sum; totals are a 1-row
+    // broadcast. All counts integer; coverage is one IEEE division.
+    "t41_vocab_coverage" -> { (s, d) =>
+      import s.implicits._
+      val wc = T.documents(s, d)
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+          .as("w"))
+        .select(graft.Dets.phash($"w").as("wh"))
+        .groupBy($"wh").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = wc.agg(sum($"c").as("total_tokens"),
+                       count(lit(1)).as("vocab_size"))
+      Seq(16, 64, 256, 1024).map { k =>
+        wc.orderBy($"c".desc, $"wh").limit(k)
+          .agg(coalesce(sum($"c"), lit(0L)).as("covered_tokens"))
+          .crossJoin(broadcast(tot))
+          .select(lit(k).cast("int").as("k"), $"vocab_size",
+            $"total_tokens", $"covered_tokens",
+            ($"covered_tokens" / $"total_tokens".cast("double"))
+              .as("coverage"))
+      }.reduce(_ unionByName _).orderBy($"k")
     },
 
     // CONTEXT-LENGTH COST TABLE — the config decision every SFT/
@@ -1801,6 +1807,113 @@ object TextAnalysis {
         ()
       }
       .start()
+  }
+
+  /** t40's DF_MIN: a line repeated across this many docs is boilerplate. */
+  private[graft] val LineDfMin = 4
+
+  /** t40's line inventory over any (doc_id, source, text) frame: 8-word
+    * segments plus the planted per-source footer on every third doc,
+    * reduced to (doc_id, li, fp, nw) longs — text never leaves this
+    * function. Shared by the batch query and the streaming twin so both
+    * gates see byte-identical lines.
+    */
+  private[graft] def lineInventory(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("nl", expr("(n + 7) DIV 8"))
+    val natural = base
+      .select(col("doc_id"), explode(expr("sequence(0, nl - 1)")).as("li"),
+        col("n"), col("ws"))
+      .select(col("doc_id"), col("li"), expr(
+        "array_join(slice(ws, li * 8 + 1, least(8, n - li * 8)), ' ')")
+        .as("line"))
+    val planted = base.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("nl").as("li"),
+        concat(lit("all rights reserved see terms at www dot "),
+          col("source")).as("line"))
+    natural.unionByName(planted)
+      .select(col("doc_id"), col("li"), graft.Dets.phash(col("line")).as("fp"),
+        size(expr("filter(split(line, ' '), x -> x <> '')")).cast("long")
+          .as("nw"))
+  }
+
+  /** Corpus line-document-frequency over an inventory: df(fp) =
+    * distinct docs containing the line.
+    */
+  private[graft] def lineDf(lines: DataFrame): DataFrame =
+    lines.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+
+  /** t40's per-doc verdict over an inventory and its df table — kept-
+    * token count and position-weighted checksum over surviving lines.
+    * A VIEW over (lines ⋈ df): the verdict is never frozen at
+    * admission time, which is what makes the gate streamable with
+    * exact batch equality (see [[lineDedupStream]]).
+    */
+  private[graft] def lineVerdict(lines: DataFrame, df: DataFrame): DataFrame =
+    lines.join(df, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= LineDfMin, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("df") < LineDfMin, col("nw")).otherwise(0L))
+          .as("toks_kept"),
+        sum(when(col("df") < LineDfMin,
+          (col("li") + 1L) * (col("fp") % 1000000000L)).otherwise(0L))
+          .as("chk_kept"))
+      .orderBy(col("doc_id"))
+
+  /** t40's streaming twin — the corpus-frequency boilerplate gate as
+    * feeds actually land: each micro-batch appends its docs' line
+    * inventories ((doc_id, li, fp, nw) longs — never text) behind the
+    * O9-pattern anti-join on doc_id (trigger replay and within-batch
+    * duplicates insert zero). The inventory is the ONLY state: df is a
+    * VIEW recomputed from it (see [[lineDedupReport]]), because a line
+    * that crosses DF_MIN in batch 7 retroactively strikes docs admitted
+    * in batch 2 — freezing verdicts (or a second df-counter store) at
+    * admission time would either miss those revisions or open a
+    * two-store crash window where lines and counters disagree (the
+    * round-13 compact() lesson applied preemptively: one writer, one
+    * store, idempotent appends). Final report therefore equals batch
+    * t40 for ANY batch split, which StreamingSpec pins together with a
+    * required cross-batch df crossing and an inserted-zero replay.
+    * State is O(corpus lines) × ~32 B — the same rows the batch gate
+    * shuffles, persisted once.
+    */
+  def lineDedupStream(stream: DataFrame, storePath: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import org.apache.hadoop.fs.Path
+        val linesDir = new Path(s"$storePath/lines")
+        val fs = linesDir.getFileSystem(s.sessionState.newHadoopConf())
+        val inv0 = lineInventory(batch.dropDuplicates("doc_id"))
+        val inv =
+          if (fs.exists(linesDir)) {
+            val seen = s.read.parquet(linesDir.toString)
+              .select(col("doc_id")).distinct()
+            inv0.join(seen, Seq("doc_id"), "left_anti")
+          } else inv0
+        inv.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(linesDir.toString)
+        ()
+      }
+      .start()
+  }
+
+  /** The boilerplate-gate report over the persisted stream state:
+    * recompute df from the stored inventory and apply the shared
+    * verdict — exactly batch t40 over everything that has arrived.
+    */
+  def lineDedupReport(s: SparkSession, storePath: String): DataFrame = {
+    val lines = s.read.parquet(s"$storePath/lines")
+    lineVerdict(lines, lineDf(lines))
   }
 
   /** t37's streaming twin — vocabulary growth over an arriving corpus
@@ -2869,6 +2982,30 @@ object TextAnalysis {
          |    AS chk_kept
          |FROM lines l JOIN df USING (fp)
          |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+    },
+
+    // t41: same whitespace tokenization and 60-bit word hash; each K
+    // row is an ORDER BY c DESC, wh LIMIT K over the word-count CTE.
+    "t41_vocab_coverage" -> {
+      val rows = Seq(16, 64, 256, 1024).map { k =>
+        s"""  SELECT CAST($k AS INT) AS k,
+           |    (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0)
+           |     FROM (SELECT c FROM wc ORDER BY c DESC, wh LIMIT $k) z$k)
+           |      AS covered_tokens""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT ${graft.Dets.phashSql("w")} AS wh
+         |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+         |          x -> x <> '')) AS w
+         |        FROM documents) z),
+         |wc AS MATERIALIZED (SELECT wh, COUNT(*) AS c FROM toks GROUP BY wh),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+         |          COUNT(*) AS vocab_size FROM wc),
+         |u AS (
+         |$rows)
+         |SELECT k, vocab_size, total_tokens, covered_tokens,
+         |  covered_tokens / CAST(total_tokens AS DOUBLE) AS coverage
+         |FROM u, tot ORDER BY k""".stripMargin
     },
 
     // t38: the same three conditional sums per candidate L; ppm is

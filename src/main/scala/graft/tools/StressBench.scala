@@ -325,7 +325,10 @@ object StressBench {
       // everything after the first aggregate is O(128) control rows.
       // d35: d24's shared truth/signature passes + three integer
       // slot-match counts — same-boot at-or-under d24's cells
-      "s30_knn_graph,q88_zorder_layout,d35_bbit_minhash"
+      "s30_knn_graph,q88_zorder_layout,d35_bbit_minhash," +
+      // t41: one map-side-combined (word-hash) count + K-row top-k
+      // heaps — sublinear like t14/t28 (distinct words saturate)
+      "t41_vocab_coverage"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

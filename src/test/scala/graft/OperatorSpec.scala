@@ -3086,6 +3086,33 @@ class OperatorSpec extends SparkSpec {
       "rule strikes most of the corpus — fixture degenerate")
   }
 
+  test("t41: coverage table replays exactly; cumulative Zipf mass monotone") {
+    def ph(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val out = datapipe.TextAnalysis.queries("t41_vocab_coverage")(spark, sf)
+      .as[(Int, Long, Long, Long, Double)].collect()
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty)).map(ph)
+    val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (wh, c) => (-c, wh) }
+    val total = words.length.toLong
+    val expected = Seq(16, 64, 256, 1024).map { k =>
+      val cov = wc.take(k).map(_._2).sum
+      (k, wc.length.toLong, total, cov, cov.toDouble / total)
+    }
+    assert(out.toSeq === expected)
+    // monotone nondecreasing in K, strictly informative at the head,
+    // and Zipf-shaped: a 16-word vocabulary already covers a
+    // non-trivial share while not everything
+    assert(out.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    assert(out.head._5 > 0.0 && out.head._5 < 1.0)
+    assert(out.last._4 <= total)
+  }
+
   test("t37: every source's vocabulary-growth curve replays from raw text") {
     val out = datapipe.TextAnalysis.queries("t37_vocab_growth")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
