@@ -150,6 +150,88 @@ object TemporalJoins {
         .orderBy($"event_id")
     },
 
+    // SEQUENCE PATTERN MATCH — the MATCH_RECOGNIZE / CEP class no
+    // other operator covers (q67 counts first-timestamps per stage;
+    // attribution, fraud, and conversion analytics need the ORDERED
+    // chain with bounded gaps): per user, every view that completes
+    // view → first-click-after-within-24h → first-purchase-after-
+    // that-within-24h (the gap is the pattern's knob), with overlapping matches allowed and every step
+    // deterministic (earliest by (ts, event_id), strictly-after
+    // semantics at equal seconds). Spark evaluates it as TWO
+    // carry-forward passes over union frames (q87's machinery — one
+    // exchange per stage on user_id, partitioned sorts, linear state,
+    // no pair explosion at any fan-in); the DuckDB oracle states the
+    // same contract as LATERAL nearest-row subqueries — two different
+    // evaluation strategies forced to agree row-for-row (the q85
+    // discipline). "Nearest click overall, then gap-filtered" equals
+    // "nearest click within gap": if the nearest is out of gap,
+    // nothing is in gap. Report per user: views, completed chains,
+    // total view→purchase latency, and an id-sum match checksum (a
+    // chain through the wrong events fails the hash even if counts
+    // match).
+    "q89_sequence_match" -> { (s, d) =>
+      import s.implicits._
+      val GAP = 86400L
+      val ev = T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"event_id")
+      // stage 1: earliest click strictly after each view. Scan order
+      // (ts DESC, _side ASC, _cid DESC): at equal ts the view row
+      // precedes the clicks, so a same-second click is never carried
+      // (strict >); _cid DESC makes the carried value the smallest
+      // click id among equal-ts clicks — the oracle's (ts, id) rule.
+      val v1 = views.select($"user_id", $"ts", lit(0).as("_side"),
+        $"event_id", lit(null).cast("long").as("_cid"),
+        lit(null).cast("timestamp").as("_cts"))
+      val c1 = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", lit(1).as("_side"),
+          lit(null).cast("long").as("event_id"),
+          $"event_id".as("_cid"), $"ts".as("_cts"))
+      val w1 = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"_side".asc, $"_cid".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val stage1 = v1.unionByName(c1)
+        .withColumn("_ncid", last($"_cid", ignoreNulls = true).over(w1))
+        .withColumn("_ncts", last($"_cts", ignoreNulls = true).over(w1))
+        .filter($"_side" === 0 && $"_ncid".isNotNull &&
+          unix_timestamp($"_ncts") - unix_timestamp($"ts") <= GAP)
+        .select($"user_id", $"event_id".as("v_id"), $"ts".as("v_ts"),
+          $"_ncid".as("c_id"), $"_ncts".as("c_ts"))
+      // stage 2: earliest purchase strictly after each DISTINCT matched
+      // click (clicks shared by several views resolve once, join back)
+      val cl = stage1.select($"user_id", $"c_id", $"c_ts").distinct()
+        .select($"user_id", $"c_ts".as("ts"), lit(0).as("_side"),
+          $"c_id", lit(null).cast("long").as("_pid"),
+          lit(null).cast("timestamp").as("_pts"))
+      val p1 = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(1).as("_side"),
+          lit(null).cast("long").as("c_id"),
+          $"event_id".as("_pid"), $"ts".as("_pts"))
+      val w2 = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"_side".asc, $"_pid".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cp = cl.unionByName(p1)
+        .withColumn("_npid", last($"_pid", ignoreNulls = true).over(w2))
+        .withColumn("_npts", last($"_pts", ignoreNulls = true).over(w2))
+        .filter($"_side" === 0 && $"_npid".isNotNull &&
+          unix_timestamp($"_npts") - unix_timestamp($"ts") <= GAP)
+        .select($"user_id", $"c_id", $"_npid".as("p_id"),
+          $"_npts".as("p_ts"))
+      val full = stage1.join(cp, Seq("user_id", "c_id"))
+      views.groupBy($"user_id").agg(count(lit(1)).as("n_views"))
+        .join(full.groupBy($"user_id").agg(
+          count(lit(1)).as("n_matched"),
+          sum(unix_timestamp($"p_ts") - unix_timestamp($"v_ts"))
+            .as("sum_latency_s"),
+          sum($"v_id" + $"c_id" + $"p_id").as("match_chk")),
+          Seq("user_id"), "left")
+        .select($"user_id", $"n_views",
+          coalesce($"n_matched", lit(0L)).as("n_matched"),
+          coalesce($"sum_latency_s", lit(0L)).as("sum_latency_s"),
+          coalesce($"match_chk", lit(0L)).as("match_chk"))
+        .orderBy($"user_id")
+    },
+
     // Range join: for each error event, count same-user events in the
     // preceding 10 minutes — bucketed equi-join, not a theta-join.
     "q30_range_join" -> { (s, d) =>
@@ -221,6 +303,48 @@ object TemporalJoins {
         |    CASE WHEN r.rts <= l.ts THEN 0 ELSE 1 END, r.rid
         |  LIMIT 1) m ON TRUE
         |ORDER BY l.event_id""".stripMargin,
+
+    // q89: the same chain contract as LATERAL nearest-row subqueries —
+    // a different evaluation strategy than Spark's carry-forward
+    // passes, forced to the same rows.
+    "q89_sequence_match" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts, event_type
+        |  FROM events),
+        |v AS (SELECT event_id AS v_id, user_id, ts AS v_ts FROM ev
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM ev
+        |      WHERE event_type = 'purchase'),
+        |vc AS (
+        |  SELECT v.user_id, v.v_id, v.v_ts, m.c_id, m.c_ts
+        |  FROM v JOIN LATERAL (
+        |    SELECT c.c_id, c.c_ts FROM c
+        |    WHERE c.user_id = v.user_id AND c.c_ts > v.v_ts
+        |      AND epoch_us(c.c_ts) - epoch_us(v.v_ts) <= CAST(86400 AS BIGINT) * 1000000
+        |    ORDER BY c.c_ts, c.c_id LIMIT 1) m ON TRUE),
+        |vcp AS (
+        |  SELECT vc.user_id, vc.v_id, vc.v_ts, vc.c_id, m.p_id, m.p_ts
+        |  FROM vc JOIN LATERAL (
+        |    SELECT p.p_id, p.p_ts FROM p
+        |    WHERE p.user_id = vc.user_id AND p.p_ts > vc.c_ts
+        |      AND epoch_us(p.p_ts) - epoch_us(vc.c_ts) <= CAST(86400 AS BIGINT) * 1000000
+        |    ORDER BY p.p_ts, p.p_id LIMIT 1) m ON TRUE),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n_matched,
+        |    CAST(SUM((epoch_us(p_ts) - epoch_us(v_ts)) // 1000000)
+        |      AS BIGINT) AS sum_latency_s,
+        |    CAST(SUM(v_id + c_id + p_id) AS BIGINT) AS match_chk
+        |  FROM vcp GROUP BY user_id)
+        |SELECT nv.user_id, nv.n_views,
+        |  COALESCE(a.n_matched, 0) AS n_matched,
+        |  COALESCE(a.sum_latency_s, 0) AS sum_latency_s,
+        |  COALESCE(a.match_chk, 0) AS match_chk
+        |FROM (SELECT user_id, COUNT(*) AS n_views FROM v
+        |      GROUP BY user_id) nv
+        |LEFT JOIN agg a USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q30_range_join" ->
       """WITH ev AS (SELECT event_id, user_id,

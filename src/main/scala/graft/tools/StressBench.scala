@@ -328,7 +328,10 @@ object StressBench {
       "s30_knn_graph,q88_zorder_layout,d35_bbit_minhash," +
       // t41: one map-side-combined (word-hash) count + K-row top-k
       // heaps — sublinear like t14/t28 (distinct words saturate)
-      "t41_vocab_coverage"
+      "t41_vocab_coverage," +
+      // q89: two carry-forward passes over union frames — q87's bill
+      // twice, linear in events
+      "q89_sequence_match"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -60,6 +60,42 @@ class OperatorSpec extends SparkSpec {
       s"fixture exercises only $sides")
   }
 
+  test("q89: sequence chains replay the strict-after earliest-step rule") {
+    val out = operators.TemporalJoins.queries("q89_sequence_match")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", date_trunc("second", $"ts"))
+      .select($"event_id", $"user_id", $"event_type",
+        unix_timestamp($"ts").as("s"))
+      .as[(Long, Long, String, Long)].collect()
+    def byType(t: String) = ev.filter(_._3 == t).groupBy(_._2)
+    val (vs, cs, ps) = (byType("view"), byType("click"), byType("purchase"))
+    // first event of `pool` strictly after `after`, within the gap,
+    // earliest by (ts, id) — the chain step evaluated literally
+    def step(pool: Array[(Long, Long, String, Long)], after: Long)
+        : Option[(Long, Long)] =
+      pool.filter(e => e._4 > after && e._4 - after <= 86400L)
+        .sortBy(e => (e._4, e._1)).headOption.map(e => (e._1, e._4))
+    val expected = vs.map { case (u, views) =>
+      val chains = views.flatMap { case (vid, _, _, vts) =>
+        for {
+          (cid, cts) <- step(cs.getOrElse(u, Array.empty), vts)
+          (pid, pts) <- step(ps.getOrElse(u, Array.empty), cts)
+        } yield (vid, cid, pid, pts - vts)
+      }
+      u -> ((u, views.length.toLong, chains.length.toLong,
+        chains.map(_._4).sum,
+        chains.map(c => c._1 + c._2 + c._3).sum))
+    }
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (u, e) => assert(out(u) === e, s"user=$u") }
+    // the pattern must actually fire, partially and fully: some user
+    // completes a chain, some user's views outnumber their matches
+    assert(out.values.exists(_._3 > 0), "no completed chain — vacuous")
+    assert(out.values.exists(r => r._2 > r._3),
+      "every view converts — gap/order predicates untested")
+  }
+
   test("as-of join: right row at exactly left ts is included (<= semantics)") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
     val r = Seq((1L, ts("2024-01-01 10:00:00"), 42.0))
