@@ -1750,6 +1750,77 @@ object Similarity {
         .filter($"rnk" <= 4)
         .select($"src", $"rnk", $"dst", $"label", $"cosine")
         .orderBy($"src", $"rnk")
+    },
+
+    // INVERTED MULTI-INDEX CELL PROFILE — the coarse-quantizer LAYOUT
+    // decision (Babenko & Lempitsky's IMI): a product-space quantizer
+    // builds 256 virtual cells from TWO 16-codeword codebooks over the
+    // vector's halves — 1/8 the trained parameters of a true IVF-256
+    // (2·16·32 vs 256·64) and a far cheaper assignment scan (32 vs 256
+    // centroid comparisons) — at the cost of occupancy SKEW: correlated
+    // halves leave product cells empty and pile mass into few, which is
+    // exactly what this table measures before an index build commits to
+    // either layout. Both quantizers train with the s03 exact-decimal
+    // seed-cell trainer (IVF: vec_id % 256 on full vectors; IMI:
+    // vec_id % 16 per half), assign map-only against one broadcast
+    // centroid row, and report per layout: non-empty/empty cells,
+    // cell-count-weighted occupancy p50/p95/max (percentiles by the
+    // s17 broadcast-triangular prefix sum — never a global window),
+    // imbalance, and the trained-parameter bill. Scale shape: two
+    // map-only assignment passes + O(cells) control frames; nothing
+    // wider than (cell, count) shuffles after the trainers' narrow
+    // (cell, pos, partial) aggregates.
+    "s31_imi_cells" -> { (s, d) =>
+      import s.implicits._
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      def trainer(src: DataFrame, k: Int): DataFrame = src
+        .select(($"vec_id" % k).as("cell"),
+                posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy($"cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+          " x -> x.m)").as("centroid"))
+      def half(lo: Int): DataFrame =
+        emb.select($"vec_id", expr(s"slice(embedding, $lo, 32)")
+          .as("embedding"))
+      val ivf = assignCells(emb, centroidRow(trainer(emb, 256)), "cell")
+        .select($"cell")
+      val imi = emb
+        .crossJoin(broadcast(centroidRow(trainer(half(1), 16))
+          .select($"cents".as("c1"))))
+        .crossJoin(broadcast(centroidRow(trainer(half(33), 16))
+          .select($"cents".as("c2"))))
+        .select((nearest_centroid(expr("slice(embedding, 1, 32)"), $"c1")
+          * 16 +
+          nearest_centroid(expr("slice(embedding, 33, 32)"), $"c2"))
+          .as("cell"))
+      def profile(name: String, cells: DataFrame, params: Int)
+          : DataFrame = {
+        val occ = cells.groupBy($"cell").agg(count(lit(1)).as("occ"))
+        val byOcc = occ.groupBy($"occ").agg(count(lit(1)).as("nc"))
+        val cum = byOcc.as("a")
+          .join(broadcast(byOcc.select($"occ".as("bocc"), $"nc".as("bnc"))),
+            $"bocc" <= $"occ")
+          .groupBy($"occ").agg(sum($"bnc").as("cum"))
+        val tot = occ.agg(count(lit(1)).as("n_nonempty"),
+          max($"occ").as("max_occ"), sum($"occ").as("n_vecs"))
+        cum.crossJoin(broadcast(tot))
+          .groupBy($"n_nonempty", $"max_occ", $"n_vecs")
+          .agg(min(when($"cum" * 2 >= $"n_nonempty", $"occ")).as("p50_occ"),
+               min(when($"cum" * 20 >= $"n_nonempty" * 19, $"occ"))
+                 .as("p95_occ"))
+          .select(lit(name).as("layout"), lit(256).cast("int").as("n_cells"),
+            $"n_nonempty", (lit(256L) - $"n_nonempty").as("n_empty"),
+            $"p50_occ", $"p95_occ", $"max_occ",
+            (($"max_occ" * $"n_nonempty") / $"n_vecs".cast("double"))
+              .as("imbalance"),
+            lit(params).cast("int").as("train_params"))
+      }
+      profile("imi_16x16", imi, 2 * 16 * 32)
+        .unionByName(profile("ivf_256", ivf, 256 * 64))
+        .orderBy($"layout")
     }
   )
 
@@ -2914,6 +2985,70 @@ object Similarity {
          |      AS rnk
          |  FROM sc)
          |SELECT src, rnk, dst, label, cosine FROM r
-         |WHERE rnk <= 4 ORDER BY src, rnk""".stripMargin
+         |WHERE rnk <= 4 ORDER BY src, rnk""".stripMargin,
+
+    // s31: both quantizers trained with s03's exact-decimal means
+    // (IVF: vec_id % 256 full-vector; IMI: vec_id % 16 per half),
+    // assignment via the shared deterministic argmax, occupancy
+    // percentiles by cell-count-weighted cumulative minimum.
+    "s31_imi_cells" -> {
+      def means(src: String, k: Int, name: String) =
+        s"""m_$name AS (
+           |  SELECT cell, i - 1 AS pos,
+           |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE)
+           |         / COUNT(*) AS REAL) AS m
+           |  FROM (SELECT vec_id % $k AS cell,
+           |          unnest(range(1, len(embedding) + 1)) AS i,
+           |          unnest(embedding) AS v
+           |        FROM $src)
+           |  GROUP BY 1, 2),
+           |cent_$name AS (
+           |  SELECT cell, list(m ORDER BY pos) AS centroid
+           |  FROM m_$name GROUP BY cell)""".stripMargin
+      def prof(name: String, occSrc: String, params: Int) =
+        s"""occ_$name AS (
+           |  SELECT cell, COUNT(*) AS occ FROM $occSrc GROUP BY cell),
+           |cum_$name AS (
+           |  SELECT occ, SUM(nc) OVER (ORDER BY occ) AS cum
+           |  FROM (SELECT occ, COUNT(*) AS nc FROM occ_$name
+           |        GROUP BY occ) z),
+           |row_$name AS (
+           |  SELECT '$name' AS layout, CAST(256 AS INT) AS n_cells,
+           |    t.n_nonempty, 256 - t.n_nonempty AS n_empty,
+           |    (SELECT MIN(occ) FROM cum_$name
+           |     WHERE cum * 2 >= t.n_nonempty) AS p50_occ,
+           |    (SELECT MIN(occ) FROM cum_$name
+           |     WHERE cum * 20 >= t.n_nonempty * 19) AS p95_occ,
+           |    t.max_occ,
+           |    (t.max_occ * t.n_nonempty) / CAST(t.n_vecs AS DOUBLE)
+           |      AS imbalance,
+           |    CAST($params AS INT) AS train_params
+           |  FROM (SELECT COUNT(*) AS n_nonempty, MAX(occ) AS max_occ,
+           |          CAST(SUM(occ) AS BIGINT) AS n_vecs
+           |        FROM occ_$name) t)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |h1 AS (SELECT vec_id, embedding[1:32] AS embedding FROM e),
+         |h2 AS (SELECT vec_id, embedding[33:64] AS embedding FROM e),
+         |${means("e", 256, "ivf")},
+         |${means("h1", 16, "i1")},
+         |${means("h2", 16, "i2")},
+         |a_ivf AS (SELECT vec_id, cell FROM
+         |  (${assignSql("cent_ivf", "e")}) z),
+         |a_i1 AS (SELECT vec_id, cell FROM
+         |  (${assignSql("cent_i1", "h1")}) z),
+         |a_i2 AS (SELECT vec_id, cell FROM
+         |  (${assignSql("cent_i2", "h2")}) z),
+         |a_imi AS (
+         |  SELECT a1.vec_id, a1.cell * 16 + a2.cell AS cell
+         |  FROM a_i1 a1 JOIN a_i2 a2 USING (vec_id)),
+         |${prof("imi_16x16", "a_imi", 2 * 16 * 32)},
+         |${prof("ivf_256", "a_ivf", 256 * 64)}
+         |SELECT * FROM row_imi_16x16
+         |UNION ALL
+         |SELECT * FROM row_ivf_256
+         |ORDER BY layout""".stripMargin
+    }
   )
 }

@@ -331,7 +331,9 @@ object StressBench {
       "t41_vocab_coverage," +
       // q89: two carry-forward passes over union frames — q87's bill
       // twice, linear in events
-      "q89_sequence_match"
+      "q89_sequence_match," +
+      // s31: two map-only assignment passes + O(cells) control frames
+      "s31_imi_cells"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

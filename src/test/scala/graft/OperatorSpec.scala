@@ -1684,6 +1684,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s31: IMI/IVF cell profiles well-formed; the cost asymmetry is the table") {
+    val out = datapipe.Similarity.queries("s31_imi_cells")(spark, sf)
+      .as[(String, Int, Long, Long, Long, Long, Long, Double, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("imi_16x16", "ivf_256"))
+    out.values.foreach { case (l, nc, ne, nz, p50, p95, mx, imb, _) =>
+      assert(nc === 256 && ne + nz === 256L && ne >= 1L, s"$l cells")
+      // percentiles are cell-count-weighted minima over occupancy:
+      // ordered, bounded by the max, and imbalance >= 1 since the max
+      // occupancy is at least the mean
+      assert(p50 >= 1L && p50 <= p95 && p95 <= mx, s"$l percentiles")
+      assert(imb >= 1.0 - 1e-12, s"$l imbalance $imb")
+    }
+    // the layout trade the table exists to price: the product-space
+    // quantizer trains 16x fewer parameters for the same 256 cells
+    assert(out("imi_16x16")._9 * 16 === out("ivf_256")._9)
+    // both quantizers saw the same corpus: occupancy mass must agree
+    // (derivable from imbalance: n_vecs = max*n_nonempty/imbalance)
+    def nVecs(r: (String, Int, Long, Long, Long, Long, Long, Double, Int)) =
+      math.round(r._7 * r._3 / r._8)
+    assert(nVecs(out("imi_16x16")) === nVecs(out("ivf_256")))
+  }
+
   test("s14: probe-2 dominates single-bucket on recall AND cost; ratios exact") {
     val rows = datapipe.Similarity.queries("s14_ann_recall")(spark, sf)
       .as[(String, Long, Long, Long, Long, Double, Double)].collect()
