@@ -97,13 +97,17 @@ object Dedup {
   /** Distinct (doc_id, fp) 8-word-gram hashes of a (doc_id, text)
     * frame — the one gram definition shared by d12/d17/d19 and the
     * streamed gate. Only (doc_id, fp) longs ever leave the scan. */
-  private[datapipe] def gramFps(df: DataFrame): DataFrame = {
+  private[datapipe] def gramFps(df: DataFrame): DataFrame = gramFpsN(df, 8)
+
+  /** [[gramFps]] at an arbitrary gram size — d37's knob sweep varies n
+    * where the shipped gate fixes it at 8. */
+  private[datapipe] def gramFpsN(df: DataFrame, n: Int): DataFrame = {
     graft.GraftExtensions.register(df.sparkSession)
     df.withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 8)
+      .filter(size(col("ws")) >= n)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 7), i -> " +
-        "graft_phash(concat_ws('_', slice(ws, i, 8))))")).as("fp"))
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
+        s"graft_phash(concat_ws('_', slice(ws, i, $n))))")).as("fp"))
       .distinct()
   }
 
@@ -1340,6 +1344,41 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // DECONTAMINATION GRAM-SIZE SWEEP — the sensitivity table for the
+    // one knob the d12/d17/d25 gates all fix at 8 (published runs
+    // disagree: GPT-3 used 13-grams, Llama-class runs 8 to 20 — and
+    // the choice is not cosmetic: a gram longer than the leak is BLIND
+    // to it): for each candidate n ∈ {8, 13, 20}, the full d12 gate —
+    // bench gram set, broadcast join, per-doc hits — reported as
+    // flagged-doc count, total hits, and flag rate. The fixture's
+    // planted leaks copy a 16-word prefix, so the table SHOWS the
+    // cliff: 8- and 13-grams catch every plant (9 and 4 windows each),
+    // 20-grams catch none of them — the exact failure mode a knob
+    // chosen without this table ships. Scale shape: one map-only gram
+    // scan per n over bench + train (gram definitions differ per n —
+    // no shared pass exists), each d12's broadcast-join bill; per-n
+    // results are 1-row frames. Counts integer; flag rate one IEEE
+    // division.
+    "d37_gram_size_sweep" -> { (s, d) =>
+      import s.implicits._
+      val (bench, train) = contaminationCorpus(s, d, D12_FIX)
+      val nTrain = train.agg(count(lit(1)).as("n_train_docs"))
+      Seq(8, 13, 20).map { n =>
+        val bfps = gramFpsN(bench, n).select($"fp").distinct()
+        val nb = bfps.agg(count(lit(1)).as("n_bench_grams"))
+        gramFpsN(train, n).join(broadcast(bfps), Seq("fp"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("h"))
+          .agg(count(lit(1)).as("n_flagged_docs"),
+               coalesce(sum($"h"), lit(0L)).as("n_hits_total"))
+          .crossJoin(broadcast(nb))
+          .crossJoin(broadcast(nTrain))
+          .select(lit(n).cast("int").as("n_gram"), $"n_bench_grams",
+            $"n_train_docs", $"n_flagged_docs", $"n_hits_total",
+            ($"n_flagged_docs" / $"n_train_docs".cast("double"))
+              .as("flag_rate"))
+      }.reduce(_ unionByName _).orderBy($"n_gram")
+    },
+
     // Cluster-representative selection — the RESOLUTION policy a
     // production dedup run actually applies: d01/d06 keep the MIN id
     // per duplicate group, but real pipelines keep the BEST version
@@ -2306,6 +2345,57 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
 
     "d12_decontaminate" -> contaminationSql(D12_FIX),
+
+    // d37: the d12 oracle parameterized by gram size, one row per n.
+    "d37_gram_size_sweep" -> {
+      val fix = D12_FIX
+      def gramsSql(src: String, n: Int) = {
+        val fpOf = graft.Dets.phashSql(
+          s"array_to_string(ws[CAST(i AS INT):CAST(i + ${n - 1} AS INT)]," +
+          " '_')")
+        s"""SELECT DISTINCT doc_id, $fpOf AS fp
+           |FROM (SELECT doc_id, ws,
+           |        unnest(list_transform(range(1, len(ws) - ${n - 2}),
+           |          i -> i)) AS i
+           |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+           |            FROM $src)
+           |      WHERE len(ws) >= $n)""".stripMargin
+      }
+      val perN = Seq(8, 13, 20).map { n =>
+        s"""bg_$n AS (SELECT DISTINCT fp FROM (${gramsSql("bench", n)})),
+           |hits_$n AS (
+           |  SELECT tg.doc_id, COUNT(*) AS h
+           |  FROM (${gramsSql("train", n)}) tg JOIN bg_$n USING (fp)
+           |  GROUP BY tg.doc_id),
+           |row_$n AS (
+           |  SELECT CAST($n AS INT) AS n_gram,
+           |    (SELECT COUNT(*) FROM bg_$n) AS n_bench_grams,
+           |    (SELECT COUNT(*) FROM train) AS n_train_docs,
+           |    (SELECT COUNT(*) FROM hits_$n) AS n_flagged_docs,
+           |    (SELECT COALESCE(CAST(SUM(h) AS BIGINT), 0) FROM hits_$n)
+           |      AS n_hits_total)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % ${fix.modulus} = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % ${fix.modulus} <> 0
+         |  UNION ALL
+         |  SELECT doc_id + ${fix.offset},
+         |    array_to_string(string_split(text, ' ')[1:16], ' ') || ' ' ||
+         |    array_to_string(list_transform(range(1, 25),
+         |      i -> '${fix.tag}' || CAST(doc_id AS VARCHAR) || 'x' ||
+         |           CAST(i AS VARCHAR)), ' ')
+         |  FROM bench),
+         |$perN
+         |SELECT n_gram, n_bench_grams, n_train_docs, n_flagged_docs,
+         |  n_hits_total,
+         |  n_flagged_docs / CAST(n_train_docs AS DOUBLE) AS flag_rate
+         |FROM (SELECT * FROM row_8 UNION ALL SELECT * FROM row_13
+         |      UNION ALL SELECT * FROM row_20)
+         |ORDER BY n_gram""".stripMargin
+    },
 
     "d19_eval_exposure" -> {
       val fix = D12_FIX

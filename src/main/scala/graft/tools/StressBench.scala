@@ -333,7 +333,9 @@ object StressBench {
       // twice, linear in events
       "q89_sequence_match," +
       // s31: two map-only assignment passes + O(cells) control frames
-      "s31_imi_cells"
+      "s31_imi_cells," +
+      // d37: three d12 passes (gram definitions differ per n) — linear
+      "d37_gram_size_sweep"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

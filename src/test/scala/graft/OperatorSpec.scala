@@ -1819,6 +1819,44 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d37: gram-size sweep replays exactly; the 20-gram cliff shows") {
+    def ph(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val out = datapipe.Dedup.queries("d37_gram_size_sweep")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val bench = docs.filter(_._1 % 50 == 0)
+    val train = docs.filterNot(_._1 % 50 == 0) ++ bench.map { case (id, t) =>
+      (id + 5000000L,
+       (t.split(" ").take(16) ++
+        (1 to 24).map(i => s"leak${id}x$i")).mkString(" "))
+    }
+    def grams(t: String, n: Int): Set[Long] = {
+      val ws = t.split(" ")
+      if (ws.length < n) Set.empty
+      else ws.sliding(n).map(w => ph(w.mkString("_"))).toSet
+    }
+    Seq(8, 13, 20).foreach { n =>
+      val bset = bench.flatMap(d => grams(d._2, n)).toSet
+      val hits = train.map(d => grams(d._2, n).count(bset.contains))
+        .filter(_ > 0)
+      val e = (n, bset.size.toLong, train.length.toLong,
+        hits.length.toLong, hits.map(_.toLong).sum,
+        hits.length.toDouble / train.length)
+      assert(out(n) === e, s"n=$n")
+    }
+    // the knob's cliff: every 16-word planted leak is caught at 8 and
+    // 13, and a 20-gram gate is blind to all of them — flag counts
+    // strictly fall across the sweep
+    assert(out(8)._4 >= bench.length && out(13)._4 >= bench.length)
+    assert(out(20)._4 < out(13)._4 && out(13)._4 <= out(8)._4)
+  }
+
   test("d35: b-bit estimates track true Jaccard; full column equals d24's") {
     val rows = datapipe.Dedup.queries("d35_bbit_minhash")(spark, sf)
       .as[(String, Long, Double, Double, Double, Double, Long)].collect()
