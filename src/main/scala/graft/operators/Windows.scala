@@ -62,6 +62,30 @@ object Windows {
                  $"l_quantity")
     },
 
+    // ROLLING MEDIAN — the robust-statistics frame q13/q14's sum/avg
+    // cannot express (one outlier sensor reading drags a moving average
+    // arbitrarily far; the rolling median is the standard smoother for
+    // spiky telemetry): per user, the exact median of the last 5 values
+    // in (ts, event_id) order, emitted only for full frames so the
+    // median is always the odd-count middle element — identical
+    // element, not an interpolation, on both engines (array_sort of the
+    // frame's 5 values, take the 3rd). Spark has no median window
+    // function; the collect_list-over-frame formulation keeps the
+    // window partitioned by user (never global) and the frame O(5).
+    "q90_rolling_median" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wf = w.rowsBetween(-4, 0)
+      T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("vals", collect_list($"value").over(wf))
+        .filter($"rn" >= 5)
+        .select($"user_id", $"event_id", $"ts", $"value",
+          expr("element_at(array_sort(vals), 3)").as("med5"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+
     // RANGE frame over a numeric ordering: orders within 10k price below.
     "q14_window_range_frame" -> { (s, d) =>
       import s.implicits._
@@ -285,6 +309,25 @@ object Windows {
         |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    // q90: identical frame, identical sorted-middle-element definition —
+    // never an interpolated median.
+    "q90_rolling_median" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
+        |    event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |      AS vals
+        |  FROM ev)
+        |SELECT user_id, event_id, ts, value, list_sort(vals)[3] AS med5
+        |FROM r WHERE rn >= 5
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q14_window_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -335,7 +335,9 @@ object StressBench {
       // s31: two map-only assignment passes + O(cells) control frames
       "s31_imi_cells," +
       // d37: three d12 passes (gram definitions differ per n) — linear
-      "d37_gram_size_sweep"
+      "d37_gram_size_sweep," +
+      // q90: one user-partitioned window, O(5) frames — linear
+      "q90_rolling_median"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

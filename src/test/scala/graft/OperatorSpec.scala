@@ -1015,6 +1015,29 @@ class OperatorSpec extends SparkSpec {
     assert(kept === truth)
   }
 
+  test("q90: rolling median replays the sorted-middle rule; outlier-robust") {
+    val out = operators.Windows.queries("q90_rolling_median")(spark, sf)
+      .select($"event_id", $"med5").as[(Long, Double)].collect().toMap
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", date_trunc("second", $"ts"))
+      .select($"user_id", unix_timestamp($"ts").as("s"), $"event_id",
+        $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.indices.drop(4).map { i =>
+        val frame = sorted.slice(i - 4, i + 1).map(_._4).sorted
+        sorted(i)._3 -> frame(2)
+      }
+    }
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, m) => assert(out(id) === m, s"id=$id") }
+    assert(out.nonEmpty, "no full frames — fixture degenerate")
+    // robustness: the median of a 5-frame is one of the frame's values,
+    // so unlike the mean it can never leave the observed range
+    assert(out.values.forall(m => ev.exists(_._4 == m)))
+  }
+
   test("q64: islands are disjoint and separated by more than the gap") {
     val rows = operators.Windows.queries("q64_gaps_islands")(spark, sf)
       .select($"user_id", $"island", $"start_sec", $"end_sec", $"n_events")
