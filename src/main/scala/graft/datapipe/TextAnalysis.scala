@@ -23,6 +23,29 @@ object TextAnalysis {
 
   private def lexArr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** t01's DuckDB mirror — factored so t43's confusion matrix wraps the
+    * IDENTICAL classifier definition as a CTE.
+    */
+  private def t01Sql: String = {
+    val scoreCols = LEX.map { case (lang, ws) =>
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([${lexArr(ws)}], w))) AS score_$lang"
+    }.mkString(",\n  ")
+    val m = "greatest(" + LEX.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+    val predicted = "CASE " + LEX.map { case (l, _) =>
+      s"WHEN score_$l = $m THEN '$l'"
+    }.mkString(" ") + " ELSE '??' END"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, lang, $predicted AS predicted,
+       |  ($predicted) = lang AS agrees,
+       |  CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
+       |  CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
+       |  CAST(score_zh AS INT) AS score_zh
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   /** d09's corpus: documents plus planted SHARED-SUBSTRING docs — each
     * copies only the first 60 chars of its source and pads with 40 unique
     * filler tokens, so the pair's global overlap is LOW (word-shingle and
@@ -472,6 +495,31 @@ object TextAnalysis {
                 col("score_de"), col("score_en"), col("score_es"),
                 col("score_fr"), col("score_zh"))
         .orderBy($"doc_id")
+    },
+
+    // LANGUAGE-ID CONFUSION MATRIX — the eval harness for t01's
+    // classifier (a curation run that routes documents by predicted
+    // language needs the ERROR STRUCTURE, not just accuracy: which
+    // languages leak into which — es→fr confusion contaminates a
+    // French corpus silently, and the fixture's '??' no-lexicon-hit
+    // rows are the abstention rate a router must budget for): per
+    // (true lang, predicted lang), document count, the true-language
+    // total, and the row share — the diagonal is per-language recall.
+    // Runs t01's EXACT classifier (same registry closure, so the two
+    // queries can never drift apart) and aggregates; the oracle wraps
+    // t01's SQL as a CTE for the same reason. Scale shape: t01's
+    // map-only scoring pass + one (lang, predicted) count — k² control
+    // rows after the scan.
+    "t43_langid_confusion" -> { (s, d) =>
+      import s.implicits._
+      val pred = queries("t01_langid")(s, d).select($"lang", $"predicted")
+      val conf = pred.groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = pred.groupBy($"lang").agg(count(lit(1)).as("n_true"))
+      conf.join(tot, Seq("lang"))
+        .select($"lang", $"predicted", $"n_docs", $"n_true",
+          ($"n_docs" / $"n_true".cast("double")).as("share"))
+        .orderBy($"lang", $"predicted")
     },
 
     // Quality score: type-token ratio, stopword ratio, length saturation.
@@ -2269,25 +2317,19 @@ object TextAnalysis {
         |  u75 / CAST(t75 AS DOUBLE) AS w_a75,
         |  u50 * n_tot / CAST(t50 * n_words AS DOUBLE) AS epochs_a50
         |FROM sc, tot ORDER BY source""".stripMargin,
-    "t01_langid" -> {
-      val scoreCols = LEX.map { case (lang, ws) =>
-        s"len(list_filter(string_split(text, ' '), w -> list_contains([${lexArr(ws)}], w))) AS score_$lang"
-      }.mkString(",\n  ")
-      val m = "greatest(" + LEX.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
-      val predicted = "CASE " + LEX.map { case (l, _) =>
-        s"WHEN score_$l = $m THEN '$l'"
-      }.mkString(" ") + " ELSE '??' END"
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang,
-         |  $scoreCols
-         |  FROM documents)
-         |SELECT doc_id, lang, $predicted AS predicted,
-         |  ($predicted) = lang AS agrees,
-         |  CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
-         |  CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
-         |  CAST(score_zh AS INT) AS score_zh
-         |FROM scored ORDER BY doc_id""".stripMargin
-    },
+    "t01_langid" -> t01Sql,
+
+    // t43: t01's oracle as a CTE, aggregated to the confusion matrix.
+    "t43_langid_confusion" ->
+      s"""WITH t01 AS ($t01Sql),
+         |conf AS (
+         |  SELECT lang, predicted, COUNT(*) AS n_docs
+         |  FROM t01 GROUP BY lang, predicted),
+         |tot AS (SELECT lang, COUNT(*) AS n_true FROM t01 GROUP BY lang)
+         |SELECT c.lang, c.predicted, c.n_docs, t.n_true,
+         |  c.n_docs / CAST(t.n_true AS DOUBLE) AS share
+         |FROM conf c JOIN tot t USING (lang)
+         |ORDER BY lang, predicted""".stripMargin,
 
     "t02_quality_score" ->
       """WITH w AS (

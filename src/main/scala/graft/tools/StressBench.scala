@@ -337,7 +337,9 @@ object StressBench {
       // d37: three d12 passes (gram definitions differ per n) — linear
       "d37_gram_size_sweep," +
       // q90: one user-partitioned window, O(5) frames — linear
-      "q90_rolling_median"
+      "q90_rolling_median," +
+      // t43: t01's map-only scoring + k² control rows — flat
+      "t43_langid_confusion"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1015,6 +1015,33 @@ class OperatorSpec extends SparkSpec {
     assert(kept === truth)
   }
 
+  test("t43: confusion matrix aggregates t01 exactly; error structure visible") {
+    val t01 = datapipe.TextAnalysis.queries("t01_langid")(spark, sf)
+      .select($"lang", $"predicted").as[(String, String)].collect()
+    val out = datapipe.TextAnalysis.queries("t43_langid_confusion")(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    val conf = t01.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = t01.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(out.map(r => (r._1, r._2)).toSet === conf.keySet)
+    out.foreach { case (l, p, n, t, sh) =>
+      assert(n === conf((l, p)) && t === tot(l), s"($l,$p)")
+      assert(sh === n.toDouble / t)
+    }
+    // per-true-lang shares sum to 1 and the matrix is non-trivial:
+    // diagonal and off-diagonal mass both present. On this synthetic
+    // corpus t01 reads NEAR-CHANCE (~0.22 diagonal vs 0.20 chance) —
+    // the lexicon barely correlates with the label column — and
+    // surfacing that is precisely the job of an eval harness: a router
+    // shipped on t01's predictions without this table would silently
+    // mix languages
+    out.groupBy(_._1).foreach { case (l, rs) =>
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-9, s"lang=$l")
+    }
+    assert(out.map(_._3).sum === t01.length.toLong)
+    assert(out.exists(r => r._1 == r._2 && r._3 > 0))
+    assert(out.exists(r => r._1 != r._2), "perfect classifier — eval vacuous")
+  }
+
   test("q90: rolling median replays the sorted-middle rule; outlier-robust") {
     val out = operators.Windows.queries("q90_rolling_median")(spark, sf)
       .select($"event_id", $"med5").as[(Long, Double)].collect().toMap
