@@ -1083,6 +1083,88 @@ object Dedup {
         .orderBy($"d1", $"d2")
     },
 
+    // DEDUP CASCADE REPORT — the pipeline-ORDERING decision table (a
+    // production dedup run stages its detectors cheapest-first: exact
+    // hash, then MinHash-verified near-dup, then the asymmetric
+    // containment pass — and the number that justifies each stage is
+    // its MARGINAL removal on what the previous stages left, not its
+    // standalone rate, because the detectors' catch sets overlap
+    // heavily: every exact copy is also a J=1 near-dup): three stages
+    // run in sequence over a corpus planted with all four redundancy
+    // classes (exact copies, near-dups, mid-similarity partials,
+    // contained quotes), each reporting docs-in / removed / docs-out /
+    // marginal fraction. Stage rules are the family's own: exact =
+    // min-id per md5 (d01), near-dup = lower-id domination on df-capped
+    // exact Jaccard >= 0.8 (d21's truth machinery over stage-1
+    // survivors), containment = d33's C >= 0.8 AND J < 0.5 subject rule
+    // over stage-2 survivors. Scale shape: each stage is its family
+    // member's plan on a SHRINKING corpus — the cascade's own point;
+    // the report is three 1-row aggregates assembled map-side.
+    "d38_cascade_report" -> { (s, d) =>
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val docs0 = T.documents(s, d)
+        .select($"doc_id", $"text", $"lang", $"source")
+      val quotes = docs0.filter($"doc_id" % 11 === 0)
+        .withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 10)
+        .select(($"doc_id" + 4000000L).as("doc_id"),
+          array_join(expr("slice(w, 1, greatest(5, (size(w) * 3) div 10))"),
+            " ").as("text"),
+          $"lang", $"source")
+      val cascade = evalCorpus(s, d).unionByName(quotes).localCheckpoint()
+      // stage 1: exact
+      val keep1 = cascade.select($"doc_id", md5($"text").as("h"))
+        .groupBy($"h").agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val surv1 = cascade.join(keep1, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      // stage 2: capped-Jaccard >= 0.8 lower-id domination
+      val sig1 = signaturesOf(surv1).cache()
+      val rm2 = cappedTruth(sig1)
+        .filter($"jaccard" >= 0.8)
+        .select($"d2".as("doc_id")).distinct().localCheckpoint()
+      // stage 3: containment subject rule (d33) on stage-2 survivors.
+      // The shingle sets are REUSED from stage 2's cached signature
+      // frame (same word_shingle_phashes representation) — only the
+      // df cap recounts over the shrunken corpus, as it must; the
+      // text is never re-hashed
+      val hs = sig1.join(rm2, Seq("doc_id"), "left_anti")
+        .filter(size($"hset") >= 1)
+        .select($"doc_id", explode($"hset").as("h"))
+      val rare = hs.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" <= D21_DF_CAP).select($"h")
+      val sh = hs.join(rare, Seq("h"), "left_semi")
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val rm3 = sh.as("x").join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("da"), $"sz".as("sza")), Seq("da"))
+        .join(sizes.select($"doc_id".as("db"), $"sz".as("szb")), Seq("db"))
+        .withColumn("aIsSub",
+          $"sza" < $"szb" || ($"sza" === $"szb" && $"da" < $"db"))
+        .withColumn("sz_sub", when($"aIsSub", $"sza").otherwise($"szb"))
+        .filter(expr("inter * 1000000 DIV sz_sub") >= 800000L &&
+          ($"inter" / ($"sza" + $"szb" - $"inter").cast("double")) < 0.5)
+        .select(when($"aIsSub", $"da").otherwise($"db").as("doc_id"))
+        .distinct()
+      cascade.agg(count(lit(1)).as("n0"))
+        .crossJoin(broadcast(keep1.agg(count(lit(1)).as("k1"))))
+        .crossJoin(broadcast(rm2.agg(count(lit(1)).as("r2"))))
+        .crossJoin(broadcast(rm3.agg(count(lit(1)).as("r3"))))
+        .select(explode(array(
+          struct(lit("1_exact").as("stage"), $"n0".as("docs_in"),
+            ($"n0" - $"k1").as("n_removed"), $"k1".as("docs_out")),
+          struct(lit("2_minhash").as("stage"), $"k1".as("docs_in"),
+            $"r2".as("n_removed"), ($"k1" - $"r2").as("docs_out")),
+          struct(lit("3_containment").as("stage"),
+            ($"k1" - $"r2").as("docs_in"), $"r3".as("n_removed"),
+            ($"k1" - $"r2" - $"r3").as("docs_out")))).as("r"))
+        .select($"r.stage", $"r.docs_in", $"r.n_removed", $"r.docs_out",
+          ($"r.n_removed" / $"r.docs_in".cast("double")).as("removed_frac"))
+        .orderBy($"stage")
+    },
+
     // CROSS-SOURCE OVERLAP MATRIX — the corpus-composition report a
     // data-mixing decision needs before weighting sources: for every
     // source pair, the exact shingle-set Jaccard (how much of source A
@@ -2049,6 +2131,92 @@ object Dedup {
          |  n_truth80, hits80,
          |  hits80 / CAST(n_truth80 AS DOUBLE) AS recall80
          |FROM u ORDER BY n_rows DESC""".stripMargin
+    },
+
+    // d38: the same three stage rules over the four-plant cascade
+    // corpus — stage 2's truth CTEs are the d21 chain over stage-1
+    // survivors, stage 3 is d33's subject rule over stage-2 survivors.
+    "d38_cascade_report" -> {
+      s"""WITH cas AS (
+         |  $corpusSql
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |    array_to_string(words[1:GREATEST(3, (len(words) * 6) // 10)],
+         |      ' ') || ' mid sim tail pad',
+         |    lang, source
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words, lang,
+         |          source
+         |        FROM documents WHERE doc_id % 13 = 0) pz
+         |  WHERE len(words) >= 6
+         |  UNION ALL
+         |  SELECT doc_id + 4000000,
+         |    array_to_string(words[1:GREATEST(5, (len(words) * 3) // 10)],
+         |      ' '),
+         |    lang, source
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words, lang,
+         |          source
+         |        FROM documents WHERE doc_id % 11 = 0) qz
+         |  WHERE len(words) >= 10),
+         |k1 AS (SELECT MIN(doc_id) AS doc_id FROM cas GROUP BY md5(text)),
+         |s1 AS (SELECT * FROM cas
+         |       WHERE doc_id IN (SELECT doc_id FROM k1)),
+         |${sigCtesSql("s1", "x")},
+         |xshall AS (SELECT doc_id, unnest(hset) AS h FROM xsigs),
+         |xrare AS (SELECT h FROM xshall GROUP BY h
+         |          HAVING COUNT(*) <= $D21_DF_CAP),
+         |xsh AS (SELECT doc_id, h FROM xshall
+         |        WHERE EXISTS (SELECT 1 FROM xrare r WHERE r.h = xshall.h)),
+         |xisect AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS inter
+         |  FROM xsh x JOIN xsh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |xsizes AS (SELECT doc_id, COUNT(*) AS sz FROM xsh
+         |           GROUP BY doc_id),
+         |rm2 AS MATERIALIZED (
+         |  SELECT DISTINCT d2 AS doc_id FROM xisect
+         |  JOIN xsizes z1 ON z1.doc_id = d1
+         |  JOIN xsizes z2 ON z2.doc_id = d2
+         |  WHERE inter / (z1.sz + z2.sz - inter) >= 0.8),
+         |s2 AS (SELECT * FROM s1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM rm2)),
+         |${sigCtesSql("s2", "y")},
+         |yshall AS (SELECT doc_id, unnest(hset) AS h FROM ysigs),
+         |yrare AS (SELECT h FROM yshall GROUP BY h
+         |          HAVING COUNT(*) <= $D21_DF_CAP),
+         |ysh AS (SELECT doc_id, h FROM yshall
+         |        WHERE EXISTS (SELECT 1 FROM yrare r WHERE r.h = yshall.h)),
+         |yisect AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS inter
+         |  FROM ysh x JOIN ysh y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |ysizes AS (SELECT doc_id, COUNT(*) AS sz FROM ysh
+         |           GROUP BY doc_id),
+         |rm3 AS MATERIALIZED (
+         |  SELECT DISTINCT CASE WHEN a_is_sub THEN da ELSE db END AS doc_id
+         |  FROM (
+         |    SELECT da, db, inter, z1.sz AS sza, z2.sz AS szb,
+         |      (z1.sz < z2.sz OR (z1.sz = z2.sz AND da < db)) AS a_is_sub
+         |    FROM yisect
+         |    JOIN ysizes z1 ON z1.doc_id = da
+         |    JOIN ysizes z2 ON z2.doc_id = db) pp
+         |  WHERE inter * 1000000 //
+         |      (CASE WHEN a_is_sub THEN sza ELSE szb END) >= 800000
+         |    AND inter / CAST(sza + szb - inter AS DOUBLE) < 0.5),
+         |n AS (
+         |  SELECT (SELECT COUNT(*) FROM cas) AS n0,
+         |    (SELECT COUNT(*) FROM k1) AS k1n,
+         |    (SELECT COUNT(*) FROM rm2) AS r2,
+         |    (SELECT COUNT(*) FROM rm3) AS r3)
+         |SELECT stage, docs_in, n_removed, docs_out,
+         |  n_removed / CAST(docs_in AS DOUBLE) AS removed_frac
+         |FROM (
+         |  SELECT '1_exact' AS stage, n0 AS docs_in, n0 - k1n AS n_removed,
+         |    k1n AS docs_out FROM n
+         |  UNION ALL
+         |  SELECT '2_minhash', k1n, r2, k1n - r2 FROM n
+         |  UNION ALL
+         |  SELECT '3_containment', k1n - r2, r3, k1n - r2 - r3 FROM n)
+         |ORDER BY stage""".stripMargin
     },
 
     // d33: same corpus + quote plants, same df-capped inverted index;

@@ -339,7 +339,10 @@ object StressBench {
       // q90: one user-partitioned window, O(5) frames — linear
       "q90_rolling_median," +
       // t43: t01's map-only scoring + k² control rows — flat
-      "t43_langid_confusion"
+      "t43_langid_confusion," +
+      // d38: three family stages on a shrinking corpus — flat, the
+      // df cap shrinks the capped space as duplication rises
+      "d38_cascade_report"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1907,6 +1907,79 @@ class OperatorSpec extends SparkSpec {
     assert(out(20)._4 < out(13)._4 && out(13)._4 <= out(8)._4)
   }
 
+  test("d38: cascade marginals replay exactly; every stage bites") {
+    val out = datapipe.Dedup.queries("d38_cascade_report")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def wordsOf(t: String) = t.split(" ", -1)
+    val cascade = docs ++
+      docs.filter(_._1 % 10 == 0).map { case (i, t) =>
+        (i + 1000000L, t + " near duplicate suffix") } ++
+      docs.filter(_._1 % 7 == 0).map { case (i, t) => (i + 2000000L, t) } ++
+      docs.filter { case (i, t) => i % 13 == 0 && wordsOf(t).length >= 6 }
+        .map { case (i, t) =>
+          val w = wordsOf(t)
+          (i + 3000000L,
+           w.take(math.max(3, w.length * 6 / 10)).mkString(" ") +
+             " mid sim tail pad") } ++
+      docs.filter { case (i, t) => i % 11 == 0 && wordsOf(t).length >= 10 }
+        .map { case (i, t) =>
+          val w = wordsOf(t)
+          (i + 4000000L, w.take(math.max(5, w.length * 3 / 10)).mkString(" ")) }
+    val keep1 = cascade.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    val surv1 = cascade.filter(r => keep1.contains(r._1))
+    def cappedSets(rows: Seq[(Long, String)]): Map[Long, Set[String]] = {
+      val sets = rows.map { case (i, t) =>
+        i -> wordsOf(t).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+      val df = sets.values.flatten.groupBy(identity).map {
+        case (g, _) => g -> sets.values.count(_.contains(g)) }
+      sets.view.mapValues(_.filter(df(_) <= 64)).toMap
+    }
+    def pairs(capped: Map[Long, Set[String]]): Seq[(Long, Long, Long)] = {
+      val inv = capped.toSeq.flatMap { case (i, gs) => gs.map(_ -> i) }
+        .groupBy(_._1).values.filter(_.length >= 2)
+      val inter = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      inv.foreach { ds =>
+        val ids = ds.map(_._2).sorted
+        for (a <- ids; b <- ids if a < b)
+          inter((a, b)) = inter.getOrElse((a, b), 0L) + 1L
+      }
+      inter.toSeq.map { case ((a, b), n) => (a, b, n) }
+    }
+    val c1 = cappedSets(surv1.toSeq)
+    val rm2 = pairs(c1).filter { case (a, b, n) =>
+      n.toDouble / (c1(a).size + c1(b).size - n) >= 0.8 }.map(_._2).toSet
+    val surv2 = surv1.filterNot(r => rm2.contains(r._1))
+    val c2 = cappedSets(surv2.toSeq)
+    val rm3 = pairs(c2).flatMap { case (a, b, n) =>
+      val (sza, szb) = (c2(a).size.toLong, c2(b).size.toLong)
+      val aSub = sza < szb || (sza == szb && a < b)
+      val szS = if (aSub) sza else szb
+      val j = n.toDouble / (sza + szb - n)
+      if (n * 1000000L / szS >= 800000L && j < 0.5)
+        Some(if (aSub) a else b)
+      else None
+    }.toSet
+    val n0 = cascade.length.toLong; val k1 = keep1.size.toLong
+    val r2 = rm2.size.toLong; val r3 = rm3.size.toLong
+    val e = Map(
+      "1_exact" ->
+        (("1_exact", n0, n0 - k1, k1, (n0 - k1).toDouble / n0)),
+      "2_minhash" ->
+        (("2_minhash", k1, r2, k1 - r2, r2.toDouble / k1)),
+      "3_containment" ->
+        (("3_containment", k1 - r2, r3, k1 - r2 - r3,
+          r3.toDouble / (k1 - r2))))
+    assert(out === e)
+    // every stage removes something its predecessors missed — the
+    // attribution table's reason to exist
+    assert(out.values.forall(_._3 > 0), s"a stage is vacuous: $out")
+  }
+
   test("d35: b-bit estimates track true Jaccard; full column equals d24's") {
     val rows = datapipe.Dedup.queries("d35_bbit_minhash")(spark, sf)
       .as[(String, Long, Double, Double, Double, Double, Long)].collect()
