@@ -1049,7 +1049,15 @@ object Dedup {
     // lag is a window partitioned by (doc_id, word) — max partition =
     // one word's repeats in one doc; fingerprints are one 60-bit hash
     // per doc; the pair join is an equi-join on fp (group sizes =
-    // structural-dup cliques). Linear, text never shuffles twice.
+    // structural-dup cliques). Linear, text never shuffles twice —
+    // WITH one guard: docs with no repeated word all share the
+    // all-zeros pattern per length, so the fp equi-join would form a
+    // clique of every equal-length all-distinct-word doc across
+    // languages (quadratic on short-doc corpora, and semantically
+    // vacuous — "no repetition" is the ABSENCE of a structure signal,
+    // not a match). Such docs are filtered before the join (max pp
+    // > 0), which also caps the largest fp group at the true
+    // structural-dup clique size.
     "d34_crosslingual" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1072,7 +1080,9 @@ object Dedup {
         .agg(count(lit(1)).as("n_tokens"),
           graft.Dets.phash(expr(
             "array_join(transform(array_sort(collect_list(struct(pos, pp)))" +
-            ", x -> CAST(x.pp AS STRING)), ',')")).as("fp"))
+            ", x -> CAST(x.pp AS STRING)), ',')")).as("fp"),
+          max($"pp").as("max_pp"))
+        .filter($"max_pp" > 0).drop("max_pp")
       fps.as("x").join(fps.as("y"),
           col("x.fp") === col("y.fp") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -2268,7 +2278,9 @@ object Dedup {
          |ORDER BY d_sub, d_sup""".stripMargin,
 
     // d34: same cipher plant (md5 is the shared hash), same lag-based
-    // previous-occurrence pattern, same 60-bit fingerprint.
+    // previous-occurrence pattern, same 60-bit fingerprint, same
+    // no-repetition gate (HAVING MAX(pp) > 0 mirrors the Spark-side
+    // all-zeros-clique guard).
     "d34_crosslingual" -> {
       val fp = graft.Dets.phashSql("array_to_string(list(pp ORDER BY pos), ',')")
       s"""WITH c AS (
@@ -2294,7 +2306,7 @@ object Dedup {
          |f AS (
          |  SELECT doc_id, MAX(lang) AS lang, COUNT(*) AS n_tokens,
          |    $fp AS fp
-         |  FROM p GROUP BY doc_id)
+         |  FROM p GROUP BY doc_id HAVING MAX(pp) > 0)
          |SELECT x.doc_id AS d1, y.doc_id AS d2,
          |  CAST(x.n_tokens AS BIGINT) AS n_tokens,
          |  x.lang AS lang1, y.lang AS lang2

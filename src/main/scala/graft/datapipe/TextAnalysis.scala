@@ -1917,8 +1917,13 @@ object TextAnalysis {
   /** t40's streaming twin — the corpus-frequency boilerplate gate as
     * feeds actually land: each micro-batch appends its docs' line
     * inventories ((doc_id, li, fp, nw) longs — never text) behind the
-    * O9-pattern anti-join on doc_id (trigger replay and within-batch
-    * duplicates insert zero). The inventory is the ONLY state: df is a
+    * O9-pattern anti-join at (doc_id, li) granularity (trigger replay
+    * and within-batch duplicates insert zero). Line granularity — not
+    * doc granularity — matters for crash recovery: if a failed trigger
+    * commits only SOME of a doc's inventory rows, a doc_id-level
+    * anti-join would skip the whole doc on retry and permanently lose
+    * its remaining lines; the (doc_id, li) key completes the partial
+    * doc instead. The inventory is the ONLY state: df is a
     * VIEW recomputed from it (see [[lineDedupReport]]), because a line
     * that crosses DF_MIN in batch 7 retroactively strikes docs admitted
     * in batch 2 — freezing verdicts (or a second df-counter store) at
@@ -1945,8 +1950,8 @@ object TextAnalysis {
         val inv =
           if (fs.exists(linesDir)) {
             val seen = s.read.parquet(linesDir.toString)
-              .select(col("doc_id")).distinct()
-            inv0.join(seen, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("li")).distinct()
+            inv0.join(seen, Seq("doc_id", "li"), "left_anti")
           } else inv0
         inv.write.mode(org.apache.spark.sql.SaveMode.Append)
           .parquet(linesDir.toString)

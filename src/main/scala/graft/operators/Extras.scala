@@ -302,8 +302,8 @@ object Extras {
     // At 100 TB the base STATE is the rollup (O(keys), small) and the
     // delta is a day's arrivals: the fixture derives base from facts
     // only because there is no prior state to read; a deployment reads
-    // it back from the lake. Sums stay DECIMAL(18,4) until after the
-    // merge so the addition is exact (the Dets float convention).
+    // it back from the lake. Sums stay decimal (widened to (38,4) in
+    // the state) until after the merge so the addition is exact.
     "q86_incremental_rollup" -> { (s, d) =>
       import s.implicits._
       val cutoff = "1998-07-01"
@@ -557,16 +557,23 @@ object Extras {
     dir
   }
 
-  /** q86's per-key aggregate state over a batch of orders. Sums stay
-    * DECIMAL(18,4) (the Dets float convention) so state merging is
-    * exact; the report casts to double once at the end. The schema is
-    * CLOSED under [[rollupMerge]] — state in, state out — which is
-    * what makes the maintenance iterable over any number of deltas.
+  /** q86's per-key aggregate state over a batch of orders. Sums are
+    * exact decimals, widened to DECIMAL(38,4) in the state so state
+    * merging never narrows; the report casts to double once at the
+    * end. The schema is CLOSED under [[rollupMerge]] — state in,
+    * state out — which is what makes the maintenance iterable over
+    * any number of deltas.
     */
   private[graft] def rollupState(df: DataFrame): DataFrame =
     df.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_price_dec"),
+           // the state column is DECIMAL(38,4) — wide enough that the
+           // merge below is CLOSED without a narrowing cast (a (19,4)
+           // overflow cast back to (18,4) returns NULL silently under
+           // non-ANSI Spark, which would corrupt hot keys over
+           // unbounded micro-batches without any error)
+           sum(col("o_totalprice").cast("decimal(18,4)"))
+             .cast("decimal(38,4)").as("sum_price_dec"),
            min(col("o_totalprice")).as("min_price"),
            max(col("o_totalprice")).as("max_price"),
            max(col("o_orderdate")).as("last_order"))
@@ -585,9 +592,12 @@ object Extras {
       .select(col("o_custkey"),
         (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
           .as("n_orders"),
-        (coalesce(col("s_b"), lit(0).cast("decimal(18,4)")) +
-         coalesce(col("s_d"), lit(0).cast("decimal(18,4)")))
-          .cast("decimal(18,4)").as("sum_price_dec"),
+        // both sides are decimal(38,4); Spark caps the add's result at
+        // (38,4), so this cast never narrows — the merge stays exact
+        // and NULL-free for any number of iterated maintenance steps
+        (coalesce(col("s_b"), lit(0).cast("decimal(38,4)")) +
+         coalesce(col("s_d"), lit(0).cast("decimal(38,4)")))
+          .cast("decimal(38,4)").as("sum_price_dec"),
         least(col("mn_b"), col("mn_d")).as("min_price"),
         greatest(col("mx_b"), col("mx_d")).as("max_price"),
         greatest(col("lo_b"), col("lo_d")).as("last_order"))

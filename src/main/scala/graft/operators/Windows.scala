@@ -72,11 +72,18 @@ object Windows {
     // frame's 5 values, take the 3rd). Spark has no median window
     // function; the collect_list-over-frame formulation keeps the
     // window partitioned by user (never global) and the frame O(5).
+    // NULL values are filtered BEFORE windowing on both engines:
+    // Spark's collect_list drops NULLs while DuckDB's list() keeps
+    // them (and the two engines' array sorts place NULLs at opposite
+    // ends), so a nullable `value` would silently diverge the median
+    // frame. The fixtures have no NULL values today; the filter makes
+    // the semantics engine-independent rather than fixture-dependent.
     "q90_rolling_median" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val wf = w.rowsBetween(-4, 0)
       T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+        .filter($"value".isNotNull)
         .select($"user_id", $"ts", $"event_id", $"value")
         .withColumn("rn", row_number().over(w))
         .withColumn("vals", collect_list($"value").over(wf))
@@ -311,12 +318,13 @@ object Windows {
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     // q90: identical frame, identical sorted-middle-element definition —
-    // never an interpolated median.
+    // never an interpolated median. NULLs filtered pre-window on both
+    // engines (Spark collect_list drops them, DuckDB list() keeps them).
     "q90_rolling_median" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts,
         |    event_id, value
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |r AS (
         |  SELECT user_id, ts, event_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id

@@ -1586,7 +1586,11 @@ class OperatorSpec extends SparkSpec {
         lastAt(w) = i; p
       }.toSeq
     }
+    // docs with no repeated word carry no repetition-structure signal
+    // and are gated out before the pair join (the all-zeros pattern
+    // would otherwise clique every equal-length all-distinct-word doc)
     val fps = corpus.map { case (i, t, l) => (i, l, pattern(t)) }
+      .filter(_._3.exists(_ > 0))
     val expected = (for {
       x <- fps; y <- fps
       if x._1 < y._1 && x._2 != y._2 && x._3 == y._3
@@ -1594,10 +1598,11 @@ class OperatorSpec extends SparkSpec {
       ((x._1, y._1, x._3.length.toLong, x._2, y._2))).toMap
     assert(out.keySet === expected.keySet)
     expected.foreach { case (k, e) => assert(out(k) === e, s"pair=$k") }
-    // every planted translation is found despite sharing ZERO bytes of
-    // vocabulary with its original — the structural signal is the only
-    // path to it
+    // every planted translation WITH a repetition signal is found
+    // despite sharing ZERO bytes of vocabulary with its original — the
+    // structural signal is the only path to it
     val planted = docs.filter(_._1 % 19 == 0)
+      .filter(d => pattern(d._2).exists(_ > 0))
     assert(planted.nonEmpty)
     planted.foreach { case (i, t, _) =>
       assert(out.contains((i, i + 5000000L)), s"cipher of $i missed")

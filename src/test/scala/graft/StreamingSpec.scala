@@ -638,7 +638,31 @@ class StreamingSpec extends SparkSpec {
       input.toDS().toDF("doc_id", "source", "text"),
       s"$root/store", s"$root/ckpt")
     try {
-      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      chunks.take(2).foreach { c =>
+        input.addData(c.toSeq); q.processAllAvailable() }
+      // simulate a failed trigger that PARTIALLY committed one doc of
+      // chunk 2 — only its first inventory row landed. The retry must
+      // complete the doc: a doc_id-granular anti-join would skip it
+      // and permanently lose its remaining lines (round-14 advice);
+      // the (doc_id, li) key admits exactly the missing rows.
+      val c2df = spark.createDataFrame(
+          spark.sparkContext.parallelize(chunks(2).toSeq, 1))
+        .toDF("doc_id", "source", "text")
+      val inv2 = datapipe.TextAnalysis.lineInventory(c2df)
+      val victim = inv2.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 2).orderBy($"doc_id").as[(Long, Long)].head()._1
+      inv2.filter($"doc_id" === victim && $"li" === 0)
+        .write.mode("append").parquet(s"$root/store/lines")
+      input.addData(chunks(2).toSeq)
+      q.processAllAvailable()
+      val victimRows = spark.read.parquet(s"$root/store/lines")
+        .filter($"doc_id" === victim)
+      assert(victimRows.count() ===
+        inv2.filter($"doc_id" === victim).count(),
+        "partial commit not completed — doc-granular skip lost lines")
+      assert(victimRows.groupBy($"li").count()
+        .filter($"count" > 1).count() === 0,
+        "retry double-inserted the partially committed row")
       // replay a whole chunk (retried trigger / duplicate feed): the
       // anti-join must admit zero new rows
       val before = spark.read.parquet(s"$root/store/lines").count()
