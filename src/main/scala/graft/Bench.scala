@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * (session + parquet reader init), and each result is fully materialized
   * through the `noop` sink — `count()` would let Catalyst drop sorts and
   * prune columns, under-measuring the real work.
+  *
+  * Contamination proofing (round-14 lesson): the record carries
+  * /proc/loadavg at start/end, an interleaved q01 sentinel rerun every
+  * ~30 queries, and the sentinel max/min spread — a record whose spread
+  * exceeds 1.3 was taken on a non-idle box and must not be committed as
+  * BENCH_LOCAL (stderr flags it).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,6 +25,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM-wide compiled-fragment cache (static conf, default 100): a
+      // 232-query run cycles the default many times over, so shared
+      // fragments (common scans/subtrees) recompile late in the run —
+      // part of the position-in-run fixed cost diagnosed in round 15.
+      // Env-overridable for same-boot A/Bs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -27,12 +40,31 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
+    // contamination sentinel (round-14 lesson: BENCH_r14 shipped 3.7×
+    // inflated by external box load, and only after-the-fact forensics
+    // could distinguish that from a regression): the same trivial query
+    // re-runs every ~30 queries; a contaminated window shows up as
+    // sentinel spread, making the record SELF-flagging. Sentinel reps
+    // are untimed-region extras — they never enter `queries`/`value`.
+    def loadavg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "" }
+    val loadavgStart = loadavg()
+    def sentinelRun(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelRun())
+
     // dev-only subset filter (comma-separated name prefixes); the driver
     // sets no filter and gets every query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -43,8 +75,15 @@ object Bench {
       // failed queries are reported as -1, never as a (fast) elapsed time
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache() // untimed: queries may cache() internally
+      if ((i + 1) % 30 == 0) sentinels += sentinelRun()
       name -> elapsed
     }
+    sentinels += sentinelRun()
+    val loadavgEnd = loadavg()
+    // spread = max/min over the run's sentinel reps; >1.3 means the box
+    // was not idle for the whole run and the record must not be
+    // committed as BENCH_LOCAL (close-protocol gate)
+    val spread = sentinels.max / sentinels.min
     // `value` and `queries` cover SUCCEEDED queries only; failures are
     // listed by name in `failed` (never as -1.0 sentinels inside the map —
     // round 9 showed consumers summing the map get silently wrong totals,
@@ -54,8 +93,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failedArr = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+    val sentArr = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"""" +
+      s""","sentinels":$sentArr,"sentinel_spread":${f"$spread%.3f"}""" +
+      s""","loadavg_start":"$loadavgStart","loadavg_end":"$loadavgEnd"}"""
+    if (spread > 1.3)
+      System.err.println(f"[bench] CONTAMINATED: sentinel spread $spread%.2f > 1.3 — " +
+        "external load during the run; do not commit this record as BENCH_LOCAL")
     if (bad.nonEmpty)
       System.err.println(s"[bench] STOP-SHIP: ${bad.size} queries failed: " +
         bad.map(_._1).mkString(","))

@@ -1821,6 +1821,101 @@ object Similarity {
       profile("imi_16x16", imi, 2 * 16 * 32)
         .unionByName(profile("ivf_256", ivf, 256 * 64))
         .orderBy($"layout")
+    },
+
+    // GRAPH BEAM-SEARCH RECALL — the retrieval half of the graph-ANN
+    // family s30 builds (HNSW/NSG serve queries by GREEDY DESCENT over
+    // exactly such a graph; this measures how much of the exact top-10
+    // that descent recovers per beam width — the index's serving knob).
+    // The search graph is s30's kNN graph SYMMETRIZED (reverse links
+    // added, the HNSW/NSG practice — without them a min-id entry point
+    // often cannot reach high-id neighborhoods at all). Search is
+    // restated as BOUNDED-FRONTIER ITERATIVE JOINS (the q85/d31
+    // discipline — never a per-query driver loop): all beam widths run
+    // in ONE loop, beam-tagged; each of the 6 fixed rounds expands the
+    // frontier's graph neighbors, anti-joins the per-(beam, query)
+    // visited set, scores the fresh nodes by exact cosine, and keeps
+    // the top-`beam` fresh nodes (cosine DESC, vec_id — fully
+    // deterministic) as the next frontier. Entry point: the min-id
+    // same-label vector — known without any auxiliary structure.
+    // Ground truth is the exact SAME-LABEL top-10 (the graph is
+    // label-partitioned, so recall isolates graph+search loss, not the
+    // label restriction); the truth pass doubles as the score oracle
+    // for visited nodes, so the corpus is brute-forced ONCE (s14's
+    // checkpoint discipline) and the per-round joins stay narrow
+    // (beam, q_id, vec_id, cosine). Report per beam: visited count
+    // (the serving cost a production search would pay) and recall@10 —
+    // the recall-vs-cost frontier as data. Scale shape: frontier is
+    // ≤ beam rows per query, rounds are fixed, edges are O(n·K) longs
+    // localCheckpointed once; per-round cost is O(NQ · beam · degree)
+    // control-frame joins — nothing grows with the corpus except the
+    // one truth scan every eval in this family already pays.
+    "s32_graph_beam_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e0 = queries("s30_knn_graph")(s, d).select($"src", $"dst")
+      val edges = e0
+        .unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+        .distinct().localCheckpoint()
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val qs = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+                $"label".as("q_label"))
+        .localCheckpoint()
+      // one brute-force same-label pass: ground truth AND score oracle
+      val scoredAll = emb
+        .join(broadcast(qs), $"label" === $"q_label" && $"vec_id" =!= $"q_id")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .filter(!isnan($"cosine"))
+        .select($"q_id", $"vec_id", $"cosine")
+        .localCheckpoint()
+      val wt = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      val truth = scoredAll.withColumn("rn", row_number().over(wt))
+        .filter($"rn" <= 10).select($"q_id", $"vec_id")
+        .localCheckpoint()
+      val we = Window.partitionBy($"q_id").orderBy($"vec_id")
+      val entry = scoredAll.withColumn("rn", row_number().over(we))
+        .filter($"rn" === 1).drop("rn")
+      val beams = Seq(2, 4, 8)
+      val wb = Window.partitionBy($"beam", $"q_id")
+        .orderBy($"cosine".desc, $"vec_id")
+      // ONE checkpoint per round (the fresh frame); `visited` stays a
+      // flat union OVER checkpointed frames — materialized leaves, so
+      // neither the anti-join nor the final ranking recomputes a round
+      var visited = beams.map(b => entry.withColumn("beam", lit(b)))
+        .reduce(_ unionByName _)
+        .select($"beam", $"q_id", $"vec_id", $"cosine")
+        .localCheckpoint()
+      var frontier = visited.select($"beam", $"q_id", $"vec_id")
+      for (_ <- 1 to 6) {
+        val fresh = frontier.join(edges, frontier("vec_id") === edges("src"))
+          .select($"beam", $"q_id", edges("dst").as("vec_id")).distinct()
+          .join(visited.select($"beam", $"q_id", $"vec_id"),
+            Seq("beam", "q_id", "vec_id"), "left_anti")
+          .join(scoredAll, Seq("q_id", "vec_id"))
+          .select($"beam", $"q_id", $"vec_id", $"cosine")
+          .localCheckpoint()
+        visited = visited.unionByName(fresh)
+        frontier = fresh.withColumn("rn", row_number().over(wb))
+          .filter($"rn" <= $"beam").select($"beam", $"q_id", $"vec_id")
+      }
+      val nq = qs.agg(count(lit(1)).as("n_q"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      visited.withColumn("rn", row_number().over(wb))
+        .join(truth.withColumn("is_true", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy($"beam")
+        .agg(count(lit(1)).as("n_scored"),
+             sum(when($"rn" <= 10 && $"is_true" === 1L, 1L).otherwise(0L))
+               .as("hits"))
+        .crossJoin(broadcast(nq))
+        .crossJoin(broadcast(nTruth))
+        .select($"beam", $"n_q", $"n_truth", $"hits", $"n_scored",
+          ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+          ($"n_scored" / $"n_q".cast("double")).as("avg_scored"))
+        .orderBy($"beam")
     }
   )
 
@@ -2986,6 +3081,124 @@ object Similarity {
          |  FROM sc)
          |SELECT src, rnk, dst, label, cosine FROM r
          |WHERE rnk <= 4 ORDER BY src, rnk""".stripMargin,
+
+    // s32: s30's graph chain verbatim → symmetrized edges; the 6
+    // beam-search rounds unrolled (anti-join via NOT EXISTS, top-beam
+    // window per round — MATERIALIZED, each round references the
+    // previous twice). Same NQ sample, same-label brute-force truth.
+    "s32_graph_beam_recall" -> {
+      val rounds = (1 to 6).map { r =>
+        val pv = s"v${r - 1}"
+        val pf = s"f${r - 1}"
+        s"""n$r AS MATERIALIZED (
+           |  SELECT DISTINCT f.beam, f.q_id, g.dst AS vec_id, sa.cosine
+           |  FROM $pf f JOIN sym g ON g.src = f.vec_id
+           |  JOIN sa ON sa.q_id = f.q_id AND sa.vec_id = g.dst
+           |  WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.beam = f.beam
+           |    AND v.q_id = f.q_id AND v.vec_id = g.dst)),
+           |v$r AS MATERIALIZED (
+           |  SELECT * FROM $pv UNION ALL SELECT * FROM n$r),
+           |f$r AS (
+           |  SELECT beam, q_id, vec_id FROM (
+           |    SELECT beam, q_id, vec_id,
+           |      row_number() OVER (PARTITION BY beam, q_id
+           |        ORDER BY cosine DESC, vec_id) AS rn
+           |    FROM n$r) z WHERE rn <= beam)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nbv AS (
+         |  SELECT GREATEST(8, length(bin(GREATEST(
+         |    (COUNT(*) + 31) // 32 - 1, 1)))) AS nb
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, label, embedding,
+         |    CAST(list_sum(list_transform(range(0, nb), j ->
+         |      CASE WHEN CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) > 0.0
+         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM embeddings, nbv),
+         |p AS (
+         |  SELECT vec_id, label,
+         |    unnest(list_prepend(bucket, list_transform(
+         |      list_transform(list_sort(list_transform(range(0, nb),
+         |        j -> {'a': abs(CAST(embedding[CAST(j AS INT) + 1]
+         |                       AS DOUBLE)), 'j': j})), x -> x.j)[1:1],
+         |      j -> CAST(xor(bucket, (CAST(1 AS BIGINT)
+         |                             << CAST(j AS INT))) AS BIGINT))))
+         |      AS bkey
+         |  FROM b, nbv),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS src, e.vec_id AS dst, p.label AS label
+         |  FROM p JOIN b e ON e.bucket = p.bkey AND e.label = p.label
+         |  WHERE e.vec_id <> p.vec_id),
+         |sc AS (
+         |  SELECT c.src, c.dst,
+         |    ${dotSql("x.embedding", "y.embedding")} /
+         |    (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |     sqrt(${dotSql("y.embedding", "y.embedding")})) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.src
+         |  JOIN embeddings y ON y.vec_id = c.dst),
+         |edges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
+         |        AS rnk
+         |    FROM sc) z WHERE rnk <= 4),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |eb AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |  FROM eb $sampleOrderSql),
+         |sa AS MATERIALIZED (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM eb e JOIN q ON e.label = q.q_label
+         |  WHERE e.vec_id <> q.q_id
+         |    AND NOT isnan(${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})))),
+         |truth AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM sa) z WHERE rn <= 10),
+         |entry AS (
+         |  SELECT q_id, vec_id, cosine FROM (
+         |    SELECT q_id, vec_id, cosine,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY vec_id) AS rn
+         |    FROM sa) z WHERE rn = 1),
+         |beams AS (SELECT unnest([2, 4, 8]) AS beam),
+         |v0 AS MATERIALIZED (
+         |  SELECT beam, q_id, vec_id, cosine FROM beams, entry),
+         |f0 AS (SELECT beam, q_id, vec_id FROM v0),
+         |$rounds,
+         |ranked AS (
+         |  SELECT beam, q_id, vec_id,
+         |    row_number() OVER (PARTITION BY beam, q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM v6),
+         |rep AS (
+         |  SELECT beam, COUNT(*) AS n_scored,
+         |    CAST(SUM(CASE WHEN z.rn <= 10 AND t.vec_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM ranked z LEFT JOIN truth t
+         |    ON z.q_id = t.q_id AND z.vec_id = t.vec_id
+         |  GROUP BY beam)
+         |SELECT beam,
+         |  (SELECT COUNT(*) FROM q) AS n_q,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  hits, n_scored,
+         |  hits / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)
+         |    AS recall_at_10,
+         |  n_scored / CAST((SELECT COUNT(*) FROM q) AS DOUBLE)
+         |    AS avg_scored
+         |FROM rep ORDER BY beam""".stripMargin
+    },
 
     // s31: both quantizers trained with s03's exact-decimal means
     // (IVF: vec_id % 256 full-vector; IMI: vec_id % 16 per half),

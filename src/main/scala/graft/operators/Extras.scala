@@ -325,34 +325,16 @@ object Extras {
     // exchange-free and the whole query to ONE post-join aggregate
     // exchange). The MERGE hint keeps Catalyst from broadcasting the
     // small fixture side — at real scale neither fact side broadcasts,
-    // so the hinted plan IS the production plan. The query pays the
-    // bucketed write each run to stay reproducible from a cold session;
-    // in a deployment the layout is written once at ingest and
-    // amortized over every downstream join. Parallelism contract:
+    // so the hinted plan IS the production plan. The bucketed layout is
+    // written once per fixture generation and memoized across processes
+    // (see [[bucketedTables]]) — exactly the production amortization: a
+    // cold session re-registers the catalog entry over the existing
+    // files instead of re-proving the ingest decision. Parallelism contract:
     // bucket count (8), not cpu count, fixes the scan partitioning, so
     // results and plan are cluster-size-invariant by construction.
     "q82_bucketed_join" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.SaveMode
-      // drop catalog entries AND stale physical locations: a fresh
-      // session's in-memory catalog has forgotten the tables, but the
-      // warehouse dirs survive and CTAS refuses a non-empty location
-      Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
-        loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-      }
-      T.lineitem(s, d)
-        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-        .write.format("parquet").mode(SaveMode.Overwrite)
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_bkt_lineitem")
-      T.orders(s, d).select($"o_orderkey", $"o_orderpriority")
-        .write.format("parquet").mode(SaveMode.Overwrite)
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_bkt_orders")
-      bucketedJoinFrame(s)
+      bucketedJoinFrame(s, d)
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
              graft.Dets.dsumDec(
@@ -509,14 +491,81 @@ object Extras {
     }
   )
 
-  /** The exchange-free join subtree of q82 over the session's bucketed
+  /** The exchange-free join subtree of q82 over the memoized bucketed
     * tables — factored out so PlanShapeSpec can assert the join plan
     * in isolation. */
-  private[graft] def bucketedJoinFrame(s: SparkSession): DataFrame = {
+  private[graft] def bucketedJoinFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.table("graft_bkt_lineitem").hint("merge")
-      .join(s.table("graft_bkt_orders").hint("merge"),
-        $"l_orderkey" === $"o_orderkey")
+    val (tl, to) = bucketedTables(s, d)
+    s.table(tl).hint("merge")
+      .join(s.table(to).hint("merge"), $"l_orderkey" === $"o_orderkey")
+  }
+
+  /** Write-once bucketed (8, orderkey) copies of lineitem and orders —
+    * the ingest-time layout q82's co-located join scans. Memoized like
+    * [[partitionedEventsLayout]]: the physical layout lives under a
+    * warehouse dir carrying a `_GRAFT_FINGERPRINT` of the SOURCE
+    * parquet's file metadata; a fresh JVM with a matching fingerprint
+    * only re-registers the catalog entries (external bucketed tables
+    * over the existing files — an O(1)-metadata DDL) instead of paying
+    * the two table writes inside every timed run, and a regenerated
+    * fixture invalidates the layout automatically. Table names and dir
+    * are tagged by sf-dir digest so multiple scale factors coexist in
+    * one catalog (StressBench). */
+  private val bktReady = scala.collection.mutable.Set[String]()
+  private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    import org.apache.spark.sql.SaveMode
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val base = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/graft_bkt_$tag"
+    val (tl, to) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+    val fp = sourceFingerprint(s, s"$d/lineitem.parquet", s"$d/orders.parquet")
+    bktReady.synchronized {
+      val memoKey = s"$base#$fp"
+      if (!bktReady.contains(memoKey)) {
+        if (!markerMatches(s, base, fp)) {
+          // stale or absent layout: drop catalog entries (external —
+          // the drop never deletes data), clear the physical dir, and
+          // pay the ingest write once for this fixture generation
+          Seq(tl, to).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+          val loc = new org.apache.hadoop.fs.Path(base)
+          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+          T.lineitem(s, d)
+            .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+            .write.format("parquet").mode(SaveMode.Overwrite)
+            .option("path", s"$base/lineitem")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(tl)
+          T.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+            .write.format("parquet").mode(SaveMode.Overwrite)
+            .option("path", s"$base/orders")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(to)
+          writeMarker(s, base, fp)
+        } else {
+          registerBucketed(s, tl, s"$base/lineitem", "l_orderkey")
+          registerBucketed(s, to, s"$base/orders", "o_orderkey")
+        }
+        bktReady += memoKey
+      }
+    }
+    (tl, to)
+  }
+
+  /** Re-register a catalog entry over an existing bucketed layout (fresh
+    * JVM, files already on disk): an external bucketed table whose
+    * schema comes from the layout's own footer — one metadata read, no
+    * data IO, and no hand-maintained DDL to drift from the fixture. */
+  private def registerBucketed(s: SparkSession, table: String, loc: String,
+                               key: String): Unit = {
+    if (!s.catalog.tableExists(table)) {
+      val schema = s.read.parquet(loc).schema.toDDL
+      s.sql(s"CREATE TABLE $table ($schema) USING parquet " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+        s"LOCATION '$loc'")
+    }
   }
 
   /** q83's pruned scan subtree — factored out so PlanShapeSpec can
@@ -535,7 +584,15 @@ object Extras {
     * which is exactly the production amortization: the layout is written
     * once at ingest and every downstream query prunes against it. The
     * dir name carries a digest of the source sf dir so different scale
-    * factors in one JVM (StressBench) get disjoint layouts. */
+    * factors in one JVM (StressBench) get disjoint layouts.
+    *
+    * Memoized ACROSS processes (round-14 advice: stop paying the
+    * ingest-time write inside every timed bench run): the layout dir
+    * carries a `_GRAFT_FINGERPRINT` of the SOURCE parquet's file
+    * metadata; a fresh JVM whose fingerprint matches reuses the layout
+    * without rewriting, and a regenerated fixture (changed lengths /
+    * mtimes) invalidates it automatically — cold-session
+    * reproducibility without re-proving an ingest decision per run. */
   private val partLayoutsWritten = scala.collection.mutable.Set[String]()
   private[graft] def partitionedEventsLayout(s: SparkSession, d: String): String = {
     import s.implicits._
@@ -543,18 +600,71 @@ object Extras {
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val dir = s.conf.get("spark.sql.warehouse.dir")
       .stripSuffix("/") + s"/graft_part_events_$tag"
+    val fp = sourceFingerprint(s, s"$d/events.parquet")
     partLayoutsWritten.synchronized {
-      if (!partLayoutsWritten.contains(dir)) {
-        T.events(s, d)
-          .select($"event_id", $"user_id", $"value", $"ts",
-            to_date($"ts").as("event_date"), $"event_type")
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("event_type", "event_date")
-          .parquet(dir)
-        partLayoutsWritten += dir
+      val memoKey = s"$dir#$fp"
+      if (!partLayoutsWritten.contains(memoKey)) {
+        if (!markerMatches(s, dir, fp)) {
+          T.events(s, d)
+            .select($"event_id", $"user_id", $"value", $"ts",
+              to_date($"ts").as("event_date"), $"event_type")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("event_type", "event_date")
+            .parquet(dir)
+          writeMarker(s, dir, fp)
+        }
+        partLayoutsWritten += memoKey
       }
     }
     dir
+  }
+
+  /** O(1)-metadata content fingerprint of source parquet paths: the
+    * sorted (name, length, mtime) triples of every visible file,
+    * digested. Detects a fixture regeneration without reading a byte of
+    * data — the invalidation key for the memoized ingest layouts. */
+  private[graft] def sourceFingerprint(s: SparkSession, paths: String*): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sessionState.newHadoopConf()
+    val entries = paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).filter(f => !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        else Array(fs.getFileStatus(path))
+      files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+    }.sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def markerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_GRAFT_FINGERPRINT")
+
+  private def markerMatches(s: SparkSession, dir: String, fp: String): Boolean = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.exists(p) && {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fp.length + 1)
+        val n = in.read(bytes)
+        n >= fp.length && new String(bytes, 0, fp.length, "UTF-8") == fp
+      } finally in.close()
+    }
+  }
+
+  /** The marker is written LAST (after a complete layout write), so a
+    * crashed write leaves no marker and the next caller rewrites — the
+    * two-phase-commit discipline of ParquetBatchSink in miniature. */
+  private def writeMarker(s: SparkSession, dir: String, fp: String): Unit = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
   }
 
   /** q86's per-key aggregate state over a batch of orders. Sums are

@@ -342,7 +342,12 @@ object StressBench {
       "t43_langid_confusion," +
       // d38: three family stages on a shrinking corpus — flat, the
       // df cap shrinks the capped space as duplication rises
-      "d38_cascade_report"
+      "d38_cascade_report," +
+      // s32: s30's graph build + 6 bounded-frontier rounds over O(NQ ·
+      // beam · degree) control frames — the search itself is corpus-
+      // size-free (fixed NQ, fixed rounds, bounded beam); the curve
+      // should track s30's build bill
+      "s32_graph_beam_recall"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

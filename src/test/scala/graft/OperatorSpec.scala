@@ -1739,6 +1739,80 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s32: beam search replays over the symmetrized s30 graph; search genuinely expands") {
+    val out = datapipe.Similarity.queries("s32_graph_beam_recall")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(2, 4, 8))
+    // the search graph: s30's output (independently replayed by its own
+    // spec), symmetrized exactly as the query does
+    val g = datapipe.Similarity.queries("s30_knn_graph")(spark, sf)
+      .select($"src", $"dst").as[(Long, Long)].collect()
+    val sym = (g ++ g.map(e => (e._2, e._1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size($"embedding") > 0)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    // the deterministic NQ sample (fixture derivation, not the operator
+    // under test — phash only exists as a Column)
+    val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size($"embedding") > 0)
+      .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+      .limit(32).select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var nTruthAll = 0L
+    val perBeam = scala.collection.mutable.Map[Int, (Long, Long)]()
+      .withDefaultValue((0L, 0L)) // beam -> (hits, n_scored)
+    qs.foreach { case (qid, qe, ql) =>
+      val scored = base.filter { case (id, _, l) => id != qid && l == ql }
+        .map { case (id, e, _) => id -> cos(qe, e) }
+        .filterNot(p => p._2.isNaN).toMap
+      val truth = scored.toSeq.sortBy { case (id, c) => (-c, id) }
+        .take(10).map(_._1).toSet
+      nTruthAll += truth.size
+      if (scored.nonEmpty) {
+        val entry = scored.keys.min
+        Seq(2, 4, 8).foreach { beam =>
+          val visited = scala.collection.mutable.Set(entry)
+          var frontier = Seq(entry)
+          for (_ <- 1 to 6) {
+            val fresh = frontier.flatMap(v => sym.getOrElse(v, Set.empty))
+              .distinct
+              .filter(d => !visited.contains(d) && scored.contains(d))
+            visited ++= fresh
+            frontier = fresh.sortBy(d => (-scored(d), d)).take(beam)
+          }
+          val top10 = visited.toSeq.sortBy(d => (-scored(d), d)).take(10)
+          val (h, n) = perBeam(beam)
+          perBeam(beam) = (h + top10.count(truth), n + visited.size)
+        }
+      }
+    }
+    out.foreach { case (beam, nq, nt, hits, nScored, recall, avgScored) =>
+      assert(nq === qs.length.toLong)
+      assert(nt === nTruthAll)
+      assert((hits, nScored) === perBeam(beam), s"beam=$beam replay")
+      // derived doubles are exactly the integer ratios
+      assert(recall === hits.toDouble / nt)
+      assert(avgScored === nScored.toDouble / nq)
+      assert(hits <= nt && nScored >= nq,
+        s"beam=$beam inconsistent counts")
+    }
+    // non-vacuous: the search EXPANDED past its entry points (otherwise
+    // the graph/rounds are broken and recall measures nothing), and the
+    // widest beam found at least some of the truth
+    assert(out.forall(_._5 > out.head._2), "search never left the entry")
+    assert(out.last._4 > 0L, "beam-8 search found zero ground truth")
+  }
+
   test("s31: IMI/IVF cell profiles well-formed; the cost asymmetry is the table") {
     val out = datapipe.Similarity.queries("s31_imi_cells")(spark, sf)
       .as[(String, Int, Long, Long, Long, Long, Long, Double, Int)]
