@@ -1093,6 +1093,46 @@ object Dedup {
         .orderBy($"d1", $"d2")
     },
 
+    // DUPLICATE-CLUSTER SIZE PROFILE — the head-heaviness audit that
+    // decides HOW a corpus should be deduped (filling the d36 slot the
+    // round-14 registry skipped): the same removal count can come from
+    // millions of pairs (keep-one-of-two — cheap, any detector works)
+    // or a few giant template cliques (where near-dup keep-one throws
+    // away cluster-internal diversity and soft reweighting — d29 — or
+    // cluster-aware sampling is the right call; and where CC itself
+    // needs the d16 hub-split). The distribution is the decision: per
+    // power-of-two cluster-size bucket (next-pow2 ≥ size, integer-only
+    // via length(bin(sz−1)) — no libm log2), the cluster count, member
+    // docs, redundant docs (members − keepers), and each bucket's
+    // redundancy as corpus ppm; the size-1 row accounts every
+    // unclustered doc so the table partitions the corpus exactly.
+    // Scale shape: rides d06's linear-consumable CC output (the
+    // family's one CC bill, already hub-split-guarded); everything
+    // after is O(clusters) narrow aggregates + two 1-row broadcasts.
+    "d36_cluster_profile" -> { (s, d) =>
+      import s.implicits._
+      val clusters = queries("d06_dedup_clusters")(s, d)
+      val nDocs = corpus(s, d).agg(count(lit(1)).as("n_corpus"))
+      val nClustered = clusters.agg(count(lit(1)).as("n_clustered"))
+      val buckets = clusters.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("sz"))
+        .withColumn("bucket_max",
+          expr("shiftleft(CAST(1 AS BIGINT), length(bin(sz - 1)))"))
+        .groupBy($"bucket_max")
+        .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs"))
+        .withColumn("n_redundant", $"n_docs" - $"n_clusters")
+      val singletons = nDocs.crossJoin(nClustered)
+        .select(lit(1L).as("bucket_max"),
+          ($"n_corpus" - $"n_clustered").as("n_clusters"),
+          ($"n_corpus" - $"n_clustered").as("n_docs"),
+          lit(0L).as("n_redundant"))
+      buckets.unionByName(singletons)
+        .crossJoin(broadcast(nDocs))
+        .select($"bucket_max", $"n_clusters", $"n_docs", $"n_redundant",
+          expr("n_redundant * 1000000 DIV n_corpus").as("redundant_ppm"))
+        .orderBy($"bucket_max")
+    },
+
     // DEDUP CASCADE REPORT — the pipeline-ORDERING decision table (a
     // production dedup run stages its detectors cheapest-first: exact
     // hash, then MinHash-verified near-dup, then the asymmetric
@@ -2382,6 +2422,41 @@ object Dedup {
          |  AND lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
          |              GROUP BY lbl HAVING COUNT(*) > 1)
          |ORDER BY doc_id""".stripMargin,
+
+    // d36: d06's unrolled CC chain → per-cluster sizes → integer
+    // next-pow2 buckets; singleton row = corpus minus clustered docs.
+    "d36_cluster_profile" ->
+      s"""WITH $d04PairsSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM d04pairs
+         |  UNION ALL SELECT d2, d1 FROM d04pairs),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |${ccRoundsSql(CC_ROUND_BUDGET + 1)},
+         |${ccGuardSql(CC_ROUND_BUDGET)},
+         |clusters AS (
+         |  SELECT doc_id, lbl AS cluster_id FROM l$CC_ROUND_BUDGET, ccguard
+         |  WHERE ccguard.ok = 1
+         |    AND lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
+         |                GROUP BY lbl HAVING COUNT(*) > 1)),
+         |sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY 1),
+         |cb AS (
+         |  SELECT (CAST(1 AS BIGINT) << length(bin(sz - 1))) AS bucket_max,
+         |    COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_corpus FROM corpus),
+         |ncl AS (SELECT COUNT(*) AS n_clustered FROM clusters),
+         |rws AS (
+         |  SELECT bucket_max, n_clusters, n_docs,
+         |    n_docs - n_clusters AS n_redundant
+         |  FROM cb
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), n_corpus - n_clustered,
+         |    n_corpus - n_clustered, CAST(0 AS BIGINT)
+         |  FROM tot, ncl)
+         |SELECT bucket_max, n_clusters, n_docs, n_redundant,
+         |  n_redundant * 1000000 // n_corpus AS redundant_ppm
+         |FROM rws, tot ORDER BY bucket_max""".stripMargin,
 
     // d30: d01's md5 groups for the exact stage; d06's unrolled CC for
     // the near stage restricted to exact survivors — keeper = min

@@ -1824,13 +1824,22 @@ object Similarity {
     },
 
     // GRAPH BEAM-SEARCH RECALL — the retrieval half of the graph-ANN
-    // family s30 builds (HNSW/NSG serve queries by GREEDY DESCENT over
-    // exactly such a graph; this measures how much of the exact top-10
-    // that descent recovers per beam width — the index's serving knob).
-    // The search graph is s30's kNN graph SYMMETRIZED (reverse links
-    // added, the HNSW/NSG practice — without them a min-id entry point
-    // often cannot reach high-id neighborhoods at all). Search is
-    // restated as BOUNDED-FRONTIER ITERATIVE JOINS (the q85/d31
+    // family (HNSW/NSG serve queries by GREEDY DESCENT over a kNN
+    // graph; this measures how much of the exact top-10 that descent
+    // recovers per beam width — the index's serving knob). The SEARCH
+    // graph is built like s30's but with a coarser corpus-adaptive
+    // blocking — nb = max(3, ⌈log2(n/256)⌉) holds expected cells at
+    // ~256 instead of s30's ~32 — because the two graphs optimize
+    // opposite things: s30's tight cells prune candidate generation,
+    // but a graph a descent must TRAVERSE needs rich connectivity
+    // (s30's 256-bucket blocking at fixture scale leaves most nodes
+    // edge-free, and a beam search over isolated entries measures
+    // nothing — measured before this was rebuilt: avg 1.06 nodes
+    // visited). Same integer-only nb derivation, same probe-1
+    // multi-probe, same exact-cosine top-K=4 per src, then SYMMETRIZED
+    // (reverse links, the HNSW/NSG practice — without them a min-id
+    // entry often cannot reach high-id neighborhoods at all). Search
+    // is restated as BOUNDED-FRONTIER ITERATIVE JOINS (the q85/d31
     // discipline — never a per-query driver loop): all beam widths run
     // in ONE loop, beam-tagged; each of the 6 fixed rounds expands the
     // frontier's graph neighbors, anti-joins the per-(beam, query)
@@ -1845,7 +1854,9 @@ object Similarity {
     // checkpoint discipline) and the per-round joins stay narrow
     // (beam, q_id, vec_id, cosine). Report per beam: visited count
     // (the serving cost a production search would pay) and recall@10 —
-    // the recall-vs-cost frontier as data. Scale shape: frontier is
+    // the recall-vs-cost frontier as data. Scale shape: the graph
+    // build is s30's linear bill at a 8× coarser cell target (cells
+    // held ~256 → O(n·256) candidate pairs); the search frontier is
     // ≤ beam rows per query, rounds are fixed, edges are O(n·K) longs
     // localCheckpointed once; per-round cost is O(NQ · beam · degree)
     // control-frame joins — nothing grows with the corpus except the
@@ -1853,7 +1864,39 @@ object Similarity {
     "s32_graph_beam_recall" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val e0 = queries("s30_knn_graph")(s, d).select($"src", $"dst")
+      val emb0 = T.embeddings(s, d)
+      val nbdf = emb0.agg(expr(
+        "greatest(3, length(bin(greatest((count(1) + 255) DIV 256 - 1, 1))))")
+        .cast("int").as("nb"))
+      val embB = emb0.crossJoin(broadcast(nbdf))
+        .withColumn("bucket", expr(
+          """aggregate(sequence(0, nb - 1), CAST(0 AS BIGINT),
+            |  (acc, j) -> acc +
+            |    IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0,
+            |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
+            .stripMargin))
+      val probes = embB.select($"vec_id", $"label", explode(expr(
+        """concat(array(bucket), transform(slice(transform(array_sort(
+          |  transform(sequence(0, nb - 1),
+          |    j -> struct(abs(CAST(element_at(embedding, j + 1) AS DOUBLE))
+          |                  AS a, j AS j))),
+          |  x -> x.j), 1, 1),
+          |  j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))""".stripMargin))
+        .as("bkey"))
+      val bases = embB.select($"vec_id".as("dst"), $"label",
+        $"bucket".as("bkey"))
+      val wsrc = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
+      val e0 = probes.join(bases, Seq("bkey", "label"))
+        .filter($"vec_id" =!= $"dst")
+        .select($"vec_id".as("src"), $"dst").distinct()
+        .join(emb0.select($"vec_id".as("src"), $"embedding".as("se")),
+          Seq("src"))
+        .join(emb0.select($"vec_id".as("dst"), $"embedding".as("de")),
+          Seq("dst"))
+        .withColumn("cosine", cosine_sim($"se", $"de"))
+        .withColumn("rnk", row_number().over(wsrc))
+        .filter($"rnk" <= 4)
+        .select($"src", $"dst")
       val edges = e0
         .unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
         .distinct().localCheckpoint()
@@ -3082,10 +3125,12 @@ object Similarity {
          |SELECT src, rnk, dst, label, cosine FROM r
          |WHERE rnk <= 4 ORDER BY src, rnk""".stripMargin,
 
-    // s32: s30's graph chain verbatim → symmetrized edges; the 6
-    // beam-search rounds unrolled (anti-join via NOT EXISTS, top-beam
-    // window per round — MATERIALIZED, each round references the
-    // previous twice). Same NQ sample, same-label brute-force truth.
+    // s32: s30's graph chain at the coarser search-graph blocking
+    // (nb = max(3, ⌈log2(n/256)⌉) — connectivity, not candidate
+    // pruning) → symmetrized edges; the 6 beam-search rounds unrolled
+    // (anti-join via NOT EXISTS, top-beam window per round —
+    // MATERIALIZED, each round references the previous twice). Same
+    // NQ sample, same-label brute-force truth.
     "s32_graph_beam_recall" -> {
       val rounds = (1 to 6).map { r =>
         val pv = s"v${r - 1}"
@@ -3106,8 +3151,8 @@ object Similarity {
            |    FROM n$r) z WHERE rn <= beam)""".stripMargin
       }.mkString(",\n")
       s"""WITH nbv AS (
-         |  SELECT GREATEST(8, length(bin(GREATEST(
-         |    (COUNT(*) + 31) // 32 - 1, 1)))) AS nb
+         |  SELECT GREATEST(3, length(bin(GREATEST(
+         |    (COUNT(*) + 255) // 256 - 1, 1)))) AS nb
          |  FROM embeddings),
          |b AS (
          |  SELECT vec_id, label, embedding,

@@ -1641,6 +1641,55 @@ object TextAnalysis {
       }.reduce(_ unionByName _).orderBy($"k")
     },
 
+    // ENCODING-HEALTH AUDIT — the mojibake gate every web-scale corpus
+    // runs BEFORE tokenization (filling the t42 slot the round-14
+    // registry skipped): broken decode chains (latin-1 read as utf-8,
+    // double-encoding, lossy transcodes) leave three distinct scars —
+    // C0 control characters that legitimate text never contains
+    // (excluding \t\n\r), U+FFFD replacement characters (the decoder's
+    // own "I lost a byte" marker, the strongest signal), and unusual
+    // non-ASCII density for a source that is otherwise ASCII. A
+    // tokenizer trained over such scars mints garbage merges, so the
+    // gate runs first and per SOURCE (encoding bugs are feed-level,
+    // not doc-level). The synthetic corpus is pure ASCII, so each scar
+    // class is PLANTED deterministically (%23 control, %29 U+FFFD,
+    // %31 accented letters — co-divisible ids carry several, which the
+    // per-class doc counts must keep separate). Counts are char-count
+    // differences after class-targeted strips — length() is CODE
+    // POINTS in both engines, so the arithmetic is cross-engine exact;
+    // ascii_ppm is one integer division. Scale shape: map-only scan →
+    // 6-long partials per source; text never leaves the scan (t03's
+    // bill).
+    "t42_encoding_audit" -> { (s, d) =>
+      import s.implicits._
+      val scarred = T.documents(s, d).select($"doc_id", $"source",
+        concat($"text",
+          when($"doc_id" % 23 === 0, lit("\u0007x")).otherwise(lit("")),
+          when($"doc_id" % 29 === 0, lit(" caf�")).otherwise(lit("")),
+          when($"doc_id" % 31 === 0, lit(" café naïve"))
+            .otherwise(lit(""))).as("text"))
+      scarred
+        .select($"source",
+          length($"text").cast("long").as("chars"),
+          (length($"text") - length(regexp_replace($"text",
+            lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit(""))))
+            .cast("long").as("n_ctrl"),
+          (length($"text") - length(regexp_replace($"text",
+            lit("�"), lit("")))).cast("long").as("n_fffd"),
+          (length($"text") - length(regexp_replace($"text",
+            lit("[^\\x00-\\x7F]"), lit("")))).cast("long").as("n_nonascii"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_ctrl" > 0L, 1L).otherwise(0L)).as("n_ctrl_docs"),
+          sum(when($"n_fffd" > 0L, 1L).otherwise(0L)).as("n_fffd_docs"),
+          sum(when($"n_nonascii" > 0L, 1L).otherwise(0L))
+            .as("n_nonascii_docs"),
+          sum($"n_nonascii").as("nonascii_chars"),
+          expr("(sum(chars) - sum(n_nonascii)) * 1000000 DIV sum(chars)")
+            .as("ascii_ppm"))
+        .orderBy($"source")
+    },
+
     // CONTEXT-LENGTH COST TABLE — the config decision every SFT/
     // retrieval training run makes before t17-style packing is even an
     // option (when documents must NOT cross sequence boundaries — chat
@@ -3054,6 +3103,43 @@ object TextAnalysis {
          |  covered_tokens / CAST(total_tokens AS DOUBLE) AS coverage
          |FROM u, tot ORDER BY k""".stripMargin
     },
+
+    // t42: same plants (chr() keeps the SQL pure ASCII), same
+    // strip-and-diff counting — length() is code points in both
+    // engines; DuckDB regexp_replace needs the explicit 'g' flag to
+    // match Spark's replace-all.
+    "t42_encoding_audit" ->
+      s"""WITH scarred AS (
+         |  SELECT doc_id, source,
+         |    text ||
+         |    CASE WHEN doc_id % 23 = 0 THEN chr(7) || 'x' ELSE '' END ||
+         |    CASE WHEN doc_id % 29 = 0 THEN ' caf' || chr(65533)
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 31 = 0
+         |         THEN ' caf' || chr(233) || ' na' || chr(239) || 've'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, CAST(length(text) AS BIGINT) AS chars,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS BIGINT)
+         |      AS n_ctrl,
+         |    CAST(length(text) - length(replace(text, chr(65533), ''))
+         |      AS BIGINT) AS n_fffd,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
+         |  FROM scarred)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ctrl_docs,
+         |  CAST(SUM(CASE WHEN n_fffd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fffd_docs,
+         |  CAST(SUM(CASE WHEN n_nonascii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nonascii_docs,
+         |  CAST(SUM(n_nonascii) AS BIGINT) AS nonascii_chars,
+         |  (CAST(SUM(chars) AS BIGINT) - CAST(SUM(n_nonascii) AS BIGINT))
+         |    * 1000000 // CAST(SUM(chars) AS BIGINT) AS ascii_ppm
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // t38: the same three conditional sums per candidate L; ppm is
     // integer floor division on both engines.

@@ -165,6 +165,38 @@ object VectorIndex {
       }
       .start()
 
+  /** Streaming twin of the FULL index lifecycle — the shape a deployed
+    * ANN index actually runs: one operation feed carrying both ingests
+    * and takedowns (op ∈ {add, delete}), applied per micro-batch
+    * through the SAME store primitives the batch API exposes —
+    * [[addBatch]]'s within-batch-dedup + anti-join append and
+    * [[removeBatch]]'s idempotent tombstones — so trigger replay and
+    * duplicate feeds insert zero on BOTH frames, and a batch carrying
+    * an add and a delete of the same id lands deterministically dead
+    * (the tombstone wins at read time regardless of intra-batch
+    * order). [[compact]] stays an OPERATOR action between triggers
+    * (the deployment schedules it off-peak; it is not a per-batch
+    * step), after which a re-arriving id genuinely revives — the
+    * deliberate two-step the erasure semantics require. StreamingSpec
+    * pins a three-batch add→delete→compact→re-add replay equal to the
+    * batch API's report on an independently maintained store.
+    */
+  def lifecycleStream(stream: DataFrame, path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        addBatch(batch.filter(col("op") === "add")
+          .select(col("vec_id"), col("embedding")), path)
+        val dels = batch.filter(col("op") === "delete")
+          .select(col("vec_id"))
+        // guard: an all-adds feed must not materialize an (empty)
+        // tombstone frame the readers then anti-join against
+        if (!dels.isEmpty) removeBatch(dels, path)
+        ()
+      }
+      .start()
+
   // ===== oracle-checked query =====
 
   /** Deterministic two-phase split of `embeddings`: the index is built

@@ -347,7 +347,11 @@ object StressBench {
       // beam · degree) control frames — the search itself is corpus-
       // size-free (fixed NQ, fixed rounds, bounded beam); the curve
       // should track s30's build bill
-      "s32_graph_beam_recall"
+      "s32_graph_beam_recall," +
+      // d36: d06's CC bill + O(clusters) aggregates — tracks d06
+      "d36_cluster_profile," +
+      // t42: map-only strip-and-diff scan, 6 longs/source — t03's bill
+      "t42_encoding_audit"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

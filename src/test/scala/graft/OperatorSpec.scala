@@ -1739,20 +1739,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("s32: beam search replays over the symmetrized s30 graph; search genuinely expands") {
+  test("s32: beam search replays over the symmetrized search graph; search genuinely expands") {
     val out = datapipe.Similarity.queries("s32_graph_beam_recall")(spark, sf)
       .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
     assert(out.map(_._1).toSeq === Seq(2, 4, 8))
-    // the search graph: s30's output (independently replayed by its own
-    // spec), symmetrized exactly as the query does
-    val g = datapipe.Similarity.queries("s30_knn_graph")(spark, sf)
-      .select($"src", $"dst").as[(Long, Long)].collect()
-    val sym = (g ++ g.map(e => (e._2, e._1))).distinct
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val base = spark.read.parquet(s"$sf/embeddings.parquet")
-      .filter(size($"embedding") > 0)
+    def cosF(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // the SEARCH graph replayed from scratch: s30's build at the
+    // coarser connectivity blocking (nb = max(3, len(bin(ceil(n/256)
+    // - 1)))), probe-1, exact-cosine top-4 per src, symmetrized
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding", $"label")
       .as[(Long, Seq[Float], Int)].collect()
+    val nb = math.max(3, java.lang.Long.toBinaryString(
+      math.max((all.length + 255) / 256 - 1, 1)).length)
+    def bucket(e: Seq[Float]): Long =
+      (0 until nb).map(j => if (e(j).toDouble > 0.0) 1L << j else 0L).sum
+    def probes(e: Seq[Float], b: Long): Seq[Long] = {
+      val jmin = (0 until nb).minBy(j => (math.abs(e(j).toDouble), j))
+      Seq(b, b ^ (1L << jmin))
+    }
+    val bks = all.map { case (id, e, l) => (id, e, l, bucket(e)) }
+    val g = bks.flatMap { case (sid, se, sl, sb) =>
+      bks.filter { case (did, _, dl, db) =>
+          did != sid && dl == sl && probes(se, sb).contains(db) }
+        .map { case (did, de, _, _) => (did, cosF(se, de)) }
+        .sortBy { case (did, c) => (-c, did) }
+        .take(4).map { case (did, _) => (sid, did) }
+    }
+    val sym = (g ++ g.map(e => (e._2, e._1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val base = all.filter(_._2.nonEmpty)
     // the deterministic NQ sample (fixture derivation, not the operator
     // under test — phash only exists as a Column)
     val qs = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -1984,6 +2007,34 @@ class OperatorSpec extends SparkSpec {
     // strictly fall across the sweep
     assert(out(8)._4 >= bench.length && out(13)._4 >= bench.length)
     assert(out(20)._4 < out(13)._4 && out(13)._4 <= out(8)._4)
+  }
+
+  test("d36: cluster-size profile partitions the corpus; buckets replay from d06") {
+    val out = datapipe.Dedup.queries("d36_cluster_profile")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val clusters = datapipe.Dedup.queries("d06_dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    val nCorpus = datapipe.Dedup.corpus(spark, sf).count()
+    // replay: per-cluster sizes -> integer next-pow2 buckets
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.length.toLong).values
+    def bucket(sz: Long): Long =
+      1L << java.lang.Long.toBinaryString(sz - 1).length
+    val expected = sizes.groupBy(bucket).map { case (b, szs) =>
+      val docs = szs.sum
+      b -> ((b, szs.size.toLong, docs, docs - szs.size,
+        (docs - szs.size) * 1000000L / nCorpus))
+    } + (1L -> ((1L, nCorpus - clusters.length, nCorpus - clusters.length,
+      0L, 0L)))
+    assert(out === expected)
+    // the table PARTITIONS the corpus: every doc in exactly one row
+    assert(out.values.map(_._3).sum === nCorpus)
+    // non-vacuous: the planted near-dups/copies make real >=2 buckets,
+    // and every non-singleton bucket is redundant by construction
+    assert(out.keySet.exists(_ >= 2L), "no non-singleton bucket")
+    out.values.filter(_._1 >= 2L).foreach { r =>
+      assert(r._4 >= r._2, s"bucket ${r._1}: fewer redundant than clusters")
+    }
   }
 
   test("d38: cascade marginals replay exactly; every stage bites") {
@@ -3383,6 +3434,45 @@ class OperatorSpec extends SparkSpec {
       (out.values.map(_._2).sum, out.values.map(_._3).sum)
     assert(totRemoved.toDouble / totLines < 0.5,
       "rule strikes most of the corpus — fixture degenerate")
+  }
+
+  test("t42: encoding audit replays from raw text; scars come only from the plants") {
+    val out = datapipe.TextAnalysis.queries("t42_encoding_audit")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)].collect()
+    // the corpus itself must be scar-free, or the plant attribution
+    // below proves nothing
+    docs.foreach { case (id, _, t) =>
+      assert(t.forall(c => c >= ' ' && c < '\u007f'),
+        s"fixture doc $id is not pure printable ASCII — spec premise broken")
+    }
+    def scar(id: Long, t: String): String =
+      t + (if (id % 23 == 0) "x" else "") +
+        (if (id % 29 == 0) " caf�" else "") +
+        (if (id % 31 == 0) " café naïve" else "")
+    val expected = docs.groupBy(_._2).map { case (src, rows) =>
+      val scarred = rows.map { case (id, _, t) => scar(id, t) }
+      val ctrl = scarred.map(_.count(c =>
+        c < ' ' && c != '\t' && c != '\n' && c != '\r').toLong)
+      val fffd = scarred.map(_.count(_ == '�').toLong)
+      val nonascii = scarred.map(_.count(_ > '\u007f').toLong)
+      val chars = scarred.map(_.length.toLong).sum
+      src -> ((src, rows.length.toLong,
+        ctrl.count(_ > 0).toLong, fffd.count(_ > 0).toLong,
+        nonascii.count(_ > 0).toLong, nonascii.sum,
+        (chars - nonascii.sum) * 1000000L / chars))
+    }
+    assert(out === expected)
+    // the plants fired: each scar class found somewhere, and a
+    // co-divisible id (if the fixture has one) counts in EVERY class
+    assert(out.values.map(_._3).sum > 0, "control plant never fired")
+    assert(out.values.map(_._4).sum > 0, "U+FFFD plant never fired")
+    assert(out.values.map(_._5).sum > 0, "non-ASCII plant never fired")
+    // U+FFFD is itself non-ASCII: every fffd doc is a nonascii doc
+    out.values.foreach(r => assert(r._5 >= r._4, s"${r._1} class nesting"))
   }
 
   test("t41: coverage table replays exactly; cumulative Zipf mass monotone") {

@@ -695,4 +695,78 @@ class StreamingSpec extends SparkSpec {
       dfAll(fp) >= datapipe.TextAnalysis.LineDfMin },
       "no cross-batch df crossing — the revision path is untested")
   }
+
+  test("streamed index lifecycle: add/delete/compact replay equals the batch report; revival and permanence hold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_idxlc").toString
+    val (sPath, bPath) = (s"$root/stream_idx", s"$root/batch_idx")
+    val seed = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter($"vec_id" % 3 =!= 0)
+    datapipe.VectorIndex.buildIndex(seed, sPath)
+    datapipe.VectorIndex.buildIndex(seed, bPath)
+    val arrivals = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter($"vec_id" % 3 === 0)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val third = (arrivals.length + 2) / 3
+    val Seq(c1, c2, c3) = arrivals.grouped(third).toSeq
+    // deletes in batch 2: half of batch-1's ids plus one SEED id (the
+    // takedown of an original corpus member); a subset revives in
+    // batch 3 AFTER the compact, the rest must stay dead through it
+    val delStream = c1.map(_._1).filter(_ % 2 == 0)
+    val seedDel = seed.orderBy($"vec_id").limit(1)
+      .as[(Long, Seq[Float])].head()._1
+    val dels = delStream :+ seedDel
+    val reviveIds = delStream.take(2).toSet
+    val revive = c1.filter(r => reviveIds(r._1))
+    assert(revive.nonEmpty, "fixture too small to exercise revival")
+    def adds(rows: Seq[(Long, Seq[Float])]) =
+      rows.map { case (id, e) => ("add", id, e) }
+    val input = MemoryStream[(String, Long, Seq[Float])]
+    val q = datapipe.VectorIndex.lifecycleStream(
+      input.toDS().toDF("op", "vec_id", "embedding"),
+      sPath, s"$root/ckpt")
+    try {
+      input.addData(adds(c1.toSeq)); q.processAllAvailable()
+      input.addData(adds(c2.toSeq) ++
+        dels.map(id => ("delete", id, Seq.empty[Float])))
+      q.processAllAvailable()
+      // duplicate feed (retried trigger): both frames admit zero rows
+      val na0 = spark.read.parquet(s"$sPath/assign").count()
+      val nt0 = spark.read.parquet(s"$sPath/tombstones").count()
+      input.addData(adds(c2.toSeq) ++
+        dels.map(id => ("delete", id, Seq.empty[Float])))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$sPath/assign").count() === na0,
+        "replay inserted assign rows")
+      assert(spark.read.parquet(s"$sPath/tombstones").count() === nt0,
+        "replay inserted tombstones")
+      // compact between triggers — the operator action that folds
+      // tombstones and re-opens the door for revival
+      datapipe.VectorIndex.compact(spark, sPath)
+      assert(!graft.weather.WeatherIngest.sinkExists(spark,
+        s"$sPath/tombstones"), "compact left the tombstone frame")
+      input.addData(adds(c3.toSeq ++ revive.toSeq))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch reference: same operation sequence through the batch API
+    def df(rows: Seq[(Long, Seq[Float])]) =
+      spark.createDataset(rows).toDF("vec_id", "embedding")
+    datapipe.VectorIndex.addBatch(df(c1.toSeq), bPath)
+    datapipe.VectorIndex.addBatch(df(c2.toSeq), bPath)
+    datapipe.VectorIndex.removeBatch(
+      spark.createDataset(dels.toSeq).toDF("vec_id"), bPath)
+    datapipe.VectorIndex.compact(spark, bPath)
+    datapipe.VectorIndex.addBatch(df(c3.toSeq ++ revive.toSeq), bPath)
+    val streamed = datapipe.VectorIndex.liveAssign(spark, sPath)
+      .as[(Long, Long)].collect().toSet
+    val batch = datapipe.VectorIndex.liveAssign(spark, bPath)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    val liveIds = streamed.map(_._1)
+    reviveIds.foreach(id =>
+      assert(liveIds(id), s"revived id $id missing from live view"))
+    (dels.toSet -- reviveIds).foreach(id =>
+      assert(!liveIds(id), s"deleted id $id leaked back into live view"))
+  }
 }
