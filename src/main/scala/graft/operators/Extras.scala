@@ -161,6 +161,34 @@ object Extras {
         .orderBy($"cohort", $"week_offset")
     },
 
+    // COST-BASED JOIN REORDERING — the optimizer capability a 100 TB
+    // warehouse leans on hardest (hand-ordered joins rot as data
+    // drifts; the engine must pick the join tree from STATISTICS):
+    // the query is STATED in the worst order — the fact-fact pairing
+    // (lineitem ⋈ orders) FIRST, the nation-filtered customer last —
+    // and Catalyst's CBO (stats from ANALYZE TABLE ... FOR COLUMNS,
+    // equality selectivity 1/NDV from the column NDVs) must reorder
+    // so the selective customer filter shrinks orders BEFORE the fact
+    // side is touched. PlanShapeSpec pins the reorder structurally:
+    // the optimized plan's innermost join pairs orders with customer,
+    // never lineitem with orders. Session hygiene: CBO and join
+    // reorder are flipped on a derived `newSession()` — conf changes
+    // never leak into the shared session (the catalog entries are
+    // fingerprint-memoized like q82's, so the stats ingest is paid
+    // once per fixture generation, not per run). At 100 TB: ANALYZE
+    // runs at ingest; every downstream query inherits the reorder
+    // for free — exactly the declarative-plan bet this library makes.
+    "q91_cbo_join_reorder" -> { (s, d) =>
+      cboJoinFrame(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             graft.Dets.dsumDec(
+               graft.Dets.dec(col("l_extendedprice")) *
+                 (lit(1) - graft.Dets.dec(col("l_discount"))))
+               .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Wide→long melt with the DataFrame unpivot API (ids kept, measure
     // name + value columns emitted).
     "q55_unpivot" -> { (s, d) =>
@@ -552,6 +580,62 @@ object Extras {
       }
     }
     (tl, to)
+  }
+
+  /** q91's deliberately mis-ordered 3-way join on a derived CBO-enabled
+    * session over ANALYZEd catalog tables — factored out so
+    * PlanShapeSpec can pin the reordered join tree in isolation. The
+    * syntactic order pairs the two fact tables first; with column
+    * stats (NDVs → 1/NDV equality selectivity) Catalyst's join
+    * reordering must pull the nation-filtered customer in before
+    * lineitem. The derived session keeps the cbo/joinReorder confs
+    * from leaking into the caller's session. */
+  private[graft] def cboJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val (tl, to, tc) = cboStatsTables(s2, d)
+    val li = s2.table(tl)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = s2.table(to)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val cust = s2.table(tc).select(col("c_custkey"), col("c_nationkey"))
+      .filter(col("c_nationkey") === 3)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+  }
+
+  /** External catalog tables straight over the fixture parquet (no data
+    * copy — the DDL is metadata-only) plus ANALYZE ... FOR COLUMNS, the
+    * ingest-time stats pass CBO feeds on. Stats live in the in-memory
+    * catalog, so each JVM pays the three stats scans once (memoized);
+    * at deployment scale ANALYZE runs at ingest and every query
+    * inherits it. */
+  private val cboStatsReady = scala.collection.mutable.Set[String]()
+  private def cboStatsTables(s: SparkSession, d: String)
+      : (String, String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    def name(t: String) = s"graft_cbo_${t}_$tag"
+    cboStatsReady.synchronized {
+      if (!cboStatsReady.contains(d)) {
+        Seq(("lineitem", Seq("l_orderkey")),
+            ("orders", Seq("o_orderkey", "o_custkey")),
+            ("customer", Seq("c_custkey", "c_nationkey"))).foreach {
+          case (t, cols) =>
+            val tbl = name(t)
+            if (!s.catalog.tableExists(tbl))
+              s.sql(s"CREATE TABLE $tbl USING parquet " +
+                s"LOCATION '$d/$t.parquet'")
+            s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
+              s"FOR COLUMNS ${cols.mkString(", ")}")
+        }
+        cboStatsReady += d
+      }
+    }
+    (name("lineitem"), name("orders"), name("customer"))
   }
 
   /** Re-register a catalog entry over an existing bucketed layout (fresh
@@ -1056,6 +1140,21 @@ object Extras {
         |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
         |    AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // q91: the oracle states the join in ANY order — SQL is
+    // declarative, which is the point; the Spark-side reorder must be
+    // a pure plan transformation (same rows, same hash).
+    "q91_cbo_join_reorder" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey = 3
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

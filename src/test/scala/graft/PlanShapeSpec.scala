@@ -57,6 +57,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected agg + sort exchanges only, found ${above.size}")
   }
 
+  test("q91: CBO reorders the stated worst-order join — customer meets orders before lineitem") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = operators.Extras.cboJoinFrame(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.size === 2, "expected a 2-join tree:\n" + lp.toString.take(800))
+    // the INNERMOST join (no Join below it) must pair orders with the
+    // filtered customer — the stated order pairs lineitem with orders,
+    // so this shape only exists if the cost-based reorder fired
+    val inner = joins.filter(j =>
+      j.children.forall(_.collect { case jj: Join => jj }.isEmpty))
+    assert(inner.size === 1, lp.toString.take(800))
+    val sub = inner.head.toString
+    assert(sub.contains("graft_cbo_orders") &&
+           sub.contains("graft_cbo_customer") &&
+           !sub.contains("graft_cbo_lineitem"),
+      "CBO did not reorder the join tree:\n" + lp.toString.take(1200))
+  }
+
   test("q83: both predicates resolve as partition filters — no row-level filter survives") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // building the frame also writes the partitioned layout
