@@ -440,7 +440,35 @@ object Multimodal {
       }
       PngMeta(id, w, h, tag, nText, ok)
     }
+
+    /** m21: rewrite the container DROPPING every ancillary chunk — the
+      * PNG spec marks ancillary-vs-critical in bit 5 of the type's
+      * first byte (lowercase first letter = ancillary, droppable by
+      * editors), so the strip needs no chunk-name whitelist and
+      * critical chunks (IHDR/PLTE/IDAT/IEND) pass through
+      * byte-identical — CRCs included, which is why the stripped
+      * container still walks crc_all_ok and decodes to the same
+      * pixels. Returns (rewritten bytes, chunks dropped). */
+    def stripAncillary(png: Array[Byte]): (Array[Byte], Int) = {
+      val out = new java.io.ByteArrayOutputStream(png.length)
+      out.write(png, 0, 8)
+      var off = 8; var dropped = 0
+      while (off + 12 <= png.length) {
+        val len = readInt(png, off)
+        if ((png(off + 4) & 0x20) == 0) out.write(png, off, 12 + len)
+        else dropped += 1
+        off += 12 + len
+      }
+      (out.toByteArray, dropped)
+    }
   }
+
+  /** m21's per-asset scrub report: counts before/after plus the
+    * decoded-pixel mass of the REWRITTEN container (a strip that
+    * touched a critical byte fails the sum, not just the CRC). */
+  final case class ScrubReport(asset_id: Long, width: Int, height: Int,
+      n_text_before: Int, n_dropped: Int, n_text_after: Int,
+      tag_after: String, crc_ok_after: Boolean, gray_sum: Long)
 
   /** m11's report row: dims + gray sum at each pyramid level. */
   final case class PyramidFeatures(asset_id: Long,
@@ -1504,6 +1532,43 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // METADATA STRIP — the privacy scrub image curation runs BEFORE
+    // training (provenance/EXIF-class tags carry author names, GPS,
+    // device ids; a corpus shipped to a training cluster must not):
+    // every ancillary chunk is dropped at the BYTE level via the PNG
+    // spec's own critical/ancillary bit (bit 5 of the type's first
+    // byte — no chunk-name whitelist to rot), critical chunks pass
+    // through byte-identical. The report proves all three scrub
+    // obligations at once: the metadata is GONE (n_text_after = 0,
+    // tag_after empty), the container is still VALID (every CRC
+    // re-verified on the rewritten bytes), and the pixels are
+    // UNTOUCHED (the stripped container re-decodes through the real
+    // ImageIO reader to the formula's exact gray mass — a strip that
+    // clipped one critical byte fails the sum, not just a flag).
+    // Fixture: m13's provenance tEXt on every asset plus a second
+    // Comment chunk on id%3 — the dropped-count varies per asset so
+    // the scrub is pinned per-asset, not in aggregate. Map-only like
+    // every m-op; ~45 B/asset shuffles.
+    "m21_metadata_strip" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          var png = PngChunks.withTextChunk(
+            ImageCodec.synthPyrPng(id), "Source", s"src${id % 20}")
+          if (id % 3 == 0)
+            png = PngChunks.withTextChunk(png, "Comment", s"c${id % 11}")
+          val before = PngChunks.walk(id, png)
+          val (stripped, dropped) = PngChunks.stripAncillary(png)
+          val after = PngChunks.walk(id, stripped)
+          ScrubReport(id, after.width, after.height,
+            before.n_text, dropped, after.n_text, after.source_tag,
+            after.crc_all_ok,
+            ImageCodec.graySum(ImageCodec.decode(stripped)))
+        })
+        .toDF()
+        .orderBy($"asset_id")
+    },
+
     // Loudness normalization + clipping audit — the gain-staging step
     // audio curation runs before training (tracks arrive at wildly
     // different levels; the model should learn content, not recording
@@ -2067,6 +2132,35 @@ object Multimodal {
         |  CAST(1 AS INT) AS n_text,
         |  true AS crc_all_ok
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // m21: the oracle knows only the plant formulas and the pixel
+    // formula — the matching gray_sum proves the STRIPPED container
+    // still decodes to ImageIO's actual pixels, and the zeroed text
+    // columns prove the scrub; ImageIO writes no ancillary chunks of
+    // its own for RGB (m13's n_text = 1 pin already rests on that), so
+    // n_dropped equals the planted count.
+    "m21_metadata_strip" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(16 + doc_id % 7 AS INT) AS w,
+        |    CAST(12 + doc_id % 5 AS INT) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT p.asset_id,
+        |    CAST(SUM((xs.x*7 + ys.y*13 + p.asset_id) % 256) AS BIGINT)
+        |      AS gray_sum
+        |  FROM p, range(0, 22) xs(x), range(0, 16) ys(y)
+        |  WHERE xs.x < p.w AND ys.y < p.h GROUP BY 1)
+        |SELECT p.asset_id, p.w AS width, p.h AS height,
+        |  CAST(1 + CASE WHEN p.asset_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        |    AS n_text_before,
+        |  CAST(1 + CASE WHEN p.asset_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        |    AS n_dropped,
+        |  CAST(0 AS INT) AS n_text_after,
+        |  '' AS tag_after,
+        |  true AS crc_ok_after,
+        |  s.gray_sum
+        |FROM p JOIN s USING (asset_id) ORDER BY asset_id""".stripMargin,
 
     // m14: the oracle recomputes every gained sample from the PCM
     // formula with symmetric truncation ((v·g) // 256 — DuckDB '//'

@@ -1959,6 +1959,96 @@ object Similarity {
           ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
           ($"n_scored" / $"n_q".cast("double")).as("avg_scored"))
         .orderBy($"beam")
+    },
+
+    // GRAPH-BUILD KNOB PRICING — d32's discipline (price the explosion
+    // WITHOUT paying it) applied to the blocking bit-count that sizes
+    // every sign-LSH build in this family (s30's candidate pruning,
+    // s32's search graph): per candidate hyperplane count nb ∈
+    // {3,4,5,6}, the build bill and the build quality side by side —
+    // non-empty (label, bucket) cells, the largest cell, the exact
+    // candidate-pair count the probe-1 generator would produce (priced
+    // from two NARROW count aggregates as Σ np·nbase − n over matching
+    // cells: no pair ever materializes — the d32 lesson; the first
+    // formulation of that table went quadratic at 16×), pairs/vector
+    // (the per-row join cost a planner compares against brute force),
+    // and recall@4 of each blocking's candidate set against the exact
+    // same-label top-4 on the family's fixed NQ sample (the kNN-graph
+    // edge set the build exists to find — K=4, s30's contract). More
+    // bits → fewer pairs → lower recall; the table is the frontier the
+    // build knob walks, measured, not guessed. Configs are fixed
+    // constants (a production sweep centers them on its adaptive
+    // base); the truth pass is the family's one NQ-row brute-force
+    // bill, shared across configs via localCheckpoint.
+    "s33_build_knob_plan" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb0 = T.embeddings(s, d)
+      val nTot = emb0.agg(count(lit(1)).as("n_vecs"))
+      val emb = emb0.filter(size($"embedding") > 0)
+      val qs = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+                $"label".as("q_label"))
+        .localCheckpoint()
+      val wt = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      val truth4 = emb
+        .join(broadcast(qs), $"label" === $"q_label" && $"vec_id" =!= $"q_id")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .filter(!isnan($"cosine"))
+        .select($"q_id", $"vec_id", $"cosine")
+        .withColumn("rn", row_number().over(wt)).filter($"rn" <= 4)
+        .select($"q_id", $"vec_id").localCheckpoint()
+      val nTruth = truth4.agg(count(lit(1)).as("n_truth"))
+      def bucketOf(e: String, nb: Int) = expr(
+        s"""aggregate(sequence(0, ${nb - 1}), CAST(0 AS BIGINT),
+           |  (acc, j) -> acc +
+           |    IF(CAST(element_at($e, j + 1) AS DOUBLE) > 0.0,
+           |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
+          .stripMargin)
+      def probesOf(e: String, nb: Int) = expr(
+        s"""concat(array(bkt), transform(slice(transform(array_sort(
+           |  transform(sequence(0, ${nb - 1}),
+           |    j -> struct(abs(CAST(element_at($e, j + 1) AS DOUBLE))
+           |                  AS a, j AS j))),
+           |  x -> x.j), 1, 1),
+           |  j -> bkt ^ shiftleft(CAST(1 AS BIGINT), j)))""".stripMargin)
+      Seq(3, 4, 5, 6).map { nb =>
+        val b = emb0.select($"vec_id", $"label",
+          bucketOf("embedding", nb).as("bucket"))
+        val probes = emb0
+          .select($"vec_id", $"label", $"embedding",
+            bucketOf("embedding", nb).as("bkt"))
+          .select($"vec_id", $"label",
+            explode(probesOf("embedding", nb)).as("bkey"))
+        val pc = probes.groupBy($"bkey", $"label").agg(count(lit(1)).as("np"))
+        val bcnt = b.groupBy($"bucket".as("bkey"), $"label")
+          .agg(count(lit(1)).as("nbc"))
+        val cells = bcnt.agg(count(lit(1)).as("n_cells"),
+          max($"nbc").as("max_cell"))
+        val pairs = pc.join(bcnt, Seq("bkey", "label"))
+          .agg(coalesce(sum($"np" * $"nbc"), lit(0L)).as("raw"))
+          .crossJoin(broadcast(nTot))
+          .select(($"raw" - $"n_vecs").as("cand_pairs"), $"n_vecs")
+        val qprobes = qs
+          .select($"q_id", $"q_label", $"q_emb",
+            bucketOf("q_emb", nb).as("bkt"))
+          .select($"q_id", $"q_label",
+            explode(probesOf("q_emb", nb)).as("bkey"))
+        val cand = qprobes
+          .join(b, b("bucket") === $"bkey" && b("label") === $"q_label")
+          .filter(b("vec_id") =!= $"q_id")
+          .select($"q_id", b("vec_id").as("vec_id")).distinct()
+        val hits = truth4.join(cand, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        cells.crossJoin(pairs)
+          .crossJoin(broadcast(hits)).crossJoin(broadcast(nTruth))
+          .select(lit(nb).cast("int").as("nb"), $"n_cells", $"max_cell",
+            $"cand_pairs", $"n_truth", $"hits",
+            ($"hits" / $"n_truth".cast("double")).as("recall_at_4"),
+            ($"cand_pairs" / $"n_vecs".cast("double")).as("pairs_per_vec"))
+      }.reduce(_ unionByName _).orderBy($"nb")
     }
   )
 
@@ -3249,6 +3339,96 @@ object Similarity {
     // (IVF: vec_id % 256 full-vector; IMI: vec_id % 16 per half),
     // assignment via the shared deterministic argmax, occupancy
     // percentiles by cell-count-weighted cumulative minimum.
+    // s33: per fixed nb config — bucket/probe CTEs inline (s30's
+    // expressions with a literal bit count), pair bill priced from the
+    // two count aggregates (Σ np·nbc − n, no pair materialized),
+    // recall@4 of the candidate set on the shared NQ sample.
+    "s33_build_knob_plan" -> {
+      def bktSql(e: String, nb: Int) =
+        s"""CAST(list_sum(list_transform(range(0, $nb), j ->
+           |      CASE WHEN CAST($e[CAST(j AS INT) + 1] AS DOUBLE) > 0.0
+           |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+           |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+      def probeSql(e: String, nb: Int) =
+        s"""list_prepend(bkt, list_transform(
+           |      list_transform(list_sort(list_transform(range(0, $nb),
+           |        j -> {'a': abs(CAST($e[CAST(j AS INT) + 1]
+           |                       AS DOUBLE)), 'j': j})), x -> x.j)[1:1],
+           |      j -> CAST(xor(bkt, (CAST(1 AS BIGINT)
+           |                          << CAST(j AS INT))) AS BIGINT)))""".stripMargin
+      val cfgs = Seq(3, 4, 5, 6).map { nb =>
+        s"""b$nb AS (
+           |  SELECT vec_id, label, ${bktSql("embedding", nb)} AS bucket
+           |  FROM embeddings),
+           |p$nb AS (
+           |  SELECT vec_id, label, unnest(${probeSql("embedding", nb)})
+           |    AS bkey
+           |  FROM (SELECT vec_id, label, embedding,
+           |          ${bktSql("embedding", nb)} AS bkt
+           |        FROM embeddings) z),
+           |pc$nb AS (
+           |  SELECT bkey, label, COUNT(*) AS np FROM p$nb GROUP BY 1, 2),
+           |bc$nb AS (
+           |  SELECT bucket AS bkey, label, COUNT(*) AS nbc
+           |  FROM b$nb GROUP BY 1, 2),
+           |cells$nb AS (
+           |  SELECT COUNT(*) AS n_cells, CAST(MAX(nbc) AS BIGINT)
+           |    AS max_cell FROM bc$nb),
+           |pairs$nb AS (
+           |  SELECT CAST(COALESCE(SUM(np * nbc), 0) AS BIGINT)
+           |      - (SELECT COUNT(*) FROM embeddings) AS cand_pairs
+           |  FROM pc$nb JOIN bc$nb USING (bkey, label)),
+           |qp$nb AS (
+           |  SELECT q_id, q_label, unnest(${probeSql("q_emb", nb)}) AS bkey
+           |  FROM (SELECT q_id, q_label, q_emb, ${bktSql("q_emb", nb)} AS bkt
+           |        FROM q) z),
+           |cd$nb AS (
+           |  SELECT DISTINCT qp.q_id, e.vec_id
+           |  FROM qp$nb qp JOIN b$nb e
+           |    ON e.bucket = qp.bkey AND e.label = qp.q_label
+           |  WHERE e.vec_id <> qp.q_id),
+           |h$nb AS (
+           |  SELECT COUNT(*) AS hits FROM truth4 t WHERE EXISTS
+           |    (SELECT 1 FROM cd$nb c
+           |     WHERE c.q_id = t.q_id AND c.vec_id = t.vec_id)),
+           |row$nb AS (
+           |  SELECT CAST($nb AS INT) AS nb, n_cells, max_cell, cand_pairs,
+           |    (SELECT COUNT(*) FROM truth4) AS n_truth, hits,
+           |    hits / CAST((SELECT COUNT(*) FROM truth4) AS DOUBLE)
+           |      AS recall_at_4,
+           |    cand_pairs / CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE)
+           |      AS pairs_per_vec
+           |  FROM cells$nb, pairs$nb, h$nb)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH eb AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |  FROM eb $sampleOrderSql),
+         |sa AS MATERIALIZED (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM eb e JOIN q ON e.label = q.q_label
+         |  WHERE e.vec_id <> q.q_id
+         |    AND NOT isnan(${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})))),
+         |truth4 AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM sa) z WHERE rn <= 4),
+         |$cfgs
+         |SELECT * FROM row3
+         |UNION ALL SELECT * FROM row4
+         |UNION ALL SELECT * FROM row5
+         |UNION ALL SELECT * FROM row6
+         |ORDER BY nb""".stripMargin
+    },
+
     "s31_imi_cells" -> {
       def means(src: String, k: Int, name: String) =
         s"""m_$name AS (

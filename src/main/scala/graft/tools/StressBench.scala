@@ -351,7 +351,13 @@ object StressBench {
       // d36: d06's CC bill + O(clusters) aggregates — tracks d06
       "d36_cluster_profile," +
       // t42: map-only strip-and-diff scan, 6 longs/source — t03's bill
-      "t42_encoding_audit"
+      "t42_encoding_audit," +
+      // m21: map-only byte rewrite + re-decode — m13's bill plus one
+      // decode, ~45 B/asset
+      "m21_metadata_strip," +
+      // s33: 4 narrow count-aggregate passes + the shared NQ truth
+      // scan — no pair ever materializes (the d32 lesson), ~linear
+      "s33_build_knob_plan"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1836,6 +1836,65 @@ class OperatorSpec extends SparkSpec {
     assert(out.last._4 > 0L, "beam-8 search found zero ground truth")
   }
 
+  test("s33: build-knob table replays per config; the pair bill falls as bits rise") {
+    val out = datapipe.Similarity.queries("s33_build_knob_plan")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(3, 4, 5, 6))
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val base = all.filter(_._2.nonEmpty)
+    val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size($"embedding") > 0)
+      .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+      .limit(32).select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth4 = qs.flatMap { case (qid, qe, ql) =>
+      base.filter { case (id, _, l) => id != qid && l == ql }
+        .map { case (id, e, _) => (id, cos(qe, e)) }
+        .filterNot(_._2.isNaN)
+        .sortBy { case (id, c) => (-c, id) }.take(4)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    out.foreach { case (nb, nCells, maxCell, candPairs, nT, hits, rec, ppv) =>
+      def bucket(e: Seq[Float]): Long =
+        (0 until nb).map(j => if (e(j).toDouble > 0.0) 1L << j else 0L).sum
+      def probes(e: Seq[Float], b: Long): Seq[Long] = {
+        val jmin = (0 until nb).minBy(j => (math.abs(e(j).toDouble), j))
+        Seq(b, b ^ (1L << jmin))
+      }
+      val cellCnt = all.groupBy(r => (r._3, bucket(r._2)))
+        .view.mapValues(_.length.toLong).toMap
+      assert(nCells === cellCnt.size.toLong, s"nb=$nb cells")
+      assert(maxCell === cellCnt.values.max, s"nb=$nb max cell")
+      val expPairs = all.map { case (_, e, l) =>
+        probes(e, bucket(e)).map(pb => cellCnt.getOrElse((l, pb), 0L)).sum
+      }.sum - all.length
+      assert(candPairs === expPairs, s"nb=$nb pair bill")
+      val expHits = qs.flatMap { case (qid, qe, ql) =>
+        val pbs = probes(qe, bucket(qe)).toSet
+        all.filter { case (id, e, l) =>
+          id != qid && l == ql && pbs(bucket(e)) }
+          .map(r => (qid, r._1))
+      }.toSet.count(truth4)
+      assert(nT === truth4.size.toLong && hits === expHits.toLong, s"nb=$nb recall")
+      assert(rec === hits.toDouble / nT && ppv === candPairs.toDouble / all.length)
+    }
+    // the knob's economics: every added bit strictly cuts the pair bill
+    // on this corpus (the quality column prices what it costs)
+    val bills = out.map(_._4)
+    assert(bills.zip(bills.tail).forall { case (a, b) => a > b },
+      s"pair bill not decreasing: ${bills.toSeq}")
+  }
+
   test("s31: IMI/IVF cell profiles well-formed; the cost asymmetry is the table") {
     val out = datapipe.Similarity.queries("s31_imi_cells")(spark, sf)
       .as[(String, Int, Long, Long, Long, Long, Long, Double, Int)]
@@ -3234,6 +3293,37 @@ class OperatorSpec extends SparkSpec {
     val bad = png.clone()
     bad(bad.length - 20) = (bad(bad.length - 20) ^ 0x40).toByte
     assert(!PngChunks.walk(7L, bad).crc_all_ok, "corruption not detected")
+  }
+
+  test("m21: strip removes every ancillary byte, keeps pixels and container validity") {
+    import datapipe.Multimodal.{ImageCodec, PngChunks}
+    val out = datapipe.Multimodal.queries("m21_metadata_strip")(spark, sf)
+      .as[(Long, Int, Int, Int, Int, Int, String, Boolean, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, ntB, nd, ntA, tagA, crc, _) =>
+      assert((w, h) === ImageCodec.pyrDims(id), s"id=$id dims")
+      val planted = 1 + (if (id % 3 == 0) 1 else 0)
+      assert(ntB === planted && nd === planted, s"id=$id counts")
+      assert(ntA === 0 && tagA === "" && crc, s"id=$id scrub incomplete")
+    }
+    // byte-level proof on one asset: no tEXt type-tag survives in the
+    // rewritten bytes, the rewrite is strictly shorter, and the strip
+    // does NOT mask corruption (a flipped critical byte still fails
+    // the post-strip walk — the validity column is non-vacuous)
+    val png = PngChunks.withTextChunk(PngChunks.withTextChunk(
+      ImageCodec.synthPyrPng(9L), "Source", "src9"), "Comment", "c9")
+    val (stripped, dropped) = PngChunks.stripAncillary(png)
+    assert(dropped === 2 && stripped.length < png.length)
+    val tExt = "tEXt".getBytes("ISO-8859-1")
+    assert(!stripped.sliding(4).exists(_.sameElements(tExt)),
+      "a tEXt tag survived the strip")
+    assert(ImageCodec.graySum(ImageCodec.decode(stripped)) ===
+      ImageCodec.graySum(ImageCodec.decode(png)), "pixels changed")
+    val bad = png.clone()
+    bad(bad.length - 20) = (bad(bad.length - 20) ^ 0x40).toByte
+    val (badStripped, _) = PngChunks.stripAncillary(bad)
+    assert(!PngChunks.walk(9L, badStripped).crc_all_ok,
+      "strip masked critical-chunk corruption")
   }
 
   test("d28: near-dup pairs never straddle the split; a doc-level split would leak") {
