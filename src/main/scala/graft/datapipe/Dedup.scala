@@ -1383,6 +1383,42 @@ object Dedup {
       exactRemoved.unionByName(nearRemoved).orderBy($"doc_id")
     },
 
+    // SURVIVING-TOKEN BUDGET — the handoff table between curation and
+    // training (a pretraining plan is sized in TOKENS, not documents:
+    // after the dedup manifest decides removals, the number the
+    // training owner reads is how many tokens survive per source —
+    // which feeds mixture weights (t13), the token budget (t22), and
+    // the shard plan (t19); doc counts alone mislead because removal
+    // skews long, templated docs): per source, docs/tokens in, docs
+    // removed by each manifest rule (d30's exact-then-near precedence
+    // — one row per removed doc, so the left join can never double
+    // count), tokens removed, docs/tokens out, and the integer kept
+    // ppm. Scale shape: d30's bill (the family's CC consumable) plus
+    // one map-only token count and a narrow (doc_id, rule) left join —
+    // text is never touched twice.
+    "d39_token_budget" -> { (s, d) =>
+      import s.implicits._
+      val tk = corpus(s, d).select($"source", $"doc_id",
+        size(expr("filter(split(text, ' '), x -> x <> '')"))
+          .cast("long").as("ntok"))
+      val removed = queries("d30_dedup_manifest")(s, d)
+        .select($"doc_id", $"rule")
+      tk.join(removed, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("docs_in"),
+          sum($"ntok").as("tokens_in"),
+          sum(when($"rule" === "exact", 1L).otherwise(0L))
+            .as("docs_removed_exact"),
+          sum(when($"rule" === "near", 1L).otherwise(0L))
+            .as("docs_removed_near"),
+          sum(when($"rule".isNotNull, $"ntok").otherwise(0L))
+            .as("tokens_removed"),
+          sum(when($"rule".isNull, 1L).otherwise(0L)).as("docs_out"),
+          sum(when($"rule".isNull, $"ntok").otherwise(0L)).as("tokens_out"))
+        .withColumn("kept_ppm", expr("tokens_out * 1000000 DIV tokens_in"))
+        .orderBy($"source")
+    },
+
     // SOURCE-GRAPH CENTRALITY — weighted PageRank over d22's
     // source-overlap graph, the lineage question past the pairwise
     // matrix: d22 says WHICH pairs share content, d31 says WHO is the
@@ -2496,6 +2532,62 @@ object Dedup {
          |FROM (SELECT * FROM exact_removed
          |      UNION ALL SELECT * FROM near_removed) u
          |ORDER BY doc_id""".stripMargin,
+
+    // d39: d30's manifest CTE chain (one row per removed doc) + one
+    // map-only token count; the left join can never double-charge.
+    "d39_token_budget" ->
+      s"""WITH $d04PairsSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM d04pairs
+         |  UNION ALL SELECT d2, d1 FROM d04pairs),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+         |${ccRoundsSql(CC_ROUND_BUDGET + 1)},
+         |${ccGuardSql(CC_ROUND_BUDGET)},
+         |clusters AS (
+         |  SELECT doc_id, lbl AS cluster_id FROM l$CC_ROUND_BUDGET, ccguard
+         |  WHERE ccguard.ok = 1
+         |    AND lbl IN (SELECT lbl FROM l$CC_ROUND_BUDGET
+         |                GROUP BY lbl HAVING COUNT(*) > 1)),
+         |c AS (SELECT doc_id, md5(text) AS ch FROM corpus),
+         |ek AS (
+         |  SELECT ch, MIN(doc_id) AS keeper_id FROM c GROUP BY ch),
+         |exact_removed AS (
+         |  SELECT c.doc_id, 'exact' AS rule
+         |  FROM c JOIN ek USING (ch) WHERE c.doc_id <> ek.keeper_id),
+         |surv AS (
+         |  SELECT cl.doc_id, cl.cluster_id FROM clusters cl
+         |  WHERE cl.doc_id NOT IN (SELECT doc_id FROM exact_removed)),
+         |nk AS (
+         |  SELECT cluster_id, MIN(doc_id) AS keeper_id
+         |  FROM surv GROUP BY cluster_id),
+         |near_removed AS (
+         |  SELECT sv.doc_id, 'near' AS rule
+         |  FROM surv sv JOIN nk USING (cluster_id)
+         |  WHERE sv.doc_id <> nk.keeper_id),
+         |removed AS (
+         |  SELECT doc_id, rule FROM exact_removed
+         |  UNION ALL SELECT doc_id, rule FROM near_removed),
+         |tk AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS BIGINT) AS ntok
+         |  FROM corpus)
+         |SELECT source, COUNT(*) AS docs_in,
+         |  CAST(SUM(ntok) AS BIGINT) AS tokens_in,
+         |  CAST(SUM(CASE WHEN rule = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_removed_exact,
+         |  CAST(SUM(CASE WHEN rule = 'near' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_removed_near,
+         |  CAST(SUM(CASE WHEN rule IS NOT NULL THEN ntok ELSE 0 END)
+         |    AS BIGINT) AS tokens_removed,
+         |  CAST(SUM(CASE WHEN rule IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_out,
+         |  CAST(SUM(CASE WHEN rule IS NULL THEN ntok ELSE 0 END) AS BIGINT)
+         |    AS tokens_out,
+         |  CAST(SUM(CASE WHEN rule IS NULL THEN ntok ELSE 0 END) AS BIGINT)
+         |    * 1000000 // CAST(SUM(ntok) AS BIGINT) AS kept_ppm
+         |FROM tk LEFT JOIN removed USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // d31: d22's overlap CTEs feed five unrolled weighted
     // power-iteration rounds, every CTE MATERIALIZED (edges feeds all

@@ -357,7 +357,10 @@ object StressBench {
       "m21_metadata_strip," +
       // s33: 4 narrow count-aggregate passes + the shared NQ truth
       // scan — no pair ever materializes (the d32 lesson), ~linear
-      "s33_build_knob_plan"
+      "s33_build_knob_plan," +
+      // d39: d30's CC bill + one map-only token count and a narrow
+      // (doc_id, rule) left join — tracks d30
+      "d39_token_budget"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

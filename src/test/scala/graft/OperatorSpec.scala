@@ -2096,6 +2096,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("d39: token budget replays from the manifest; conservation holds per source") {
+    val out = datapipe.Dedup.queries("d39_token_budget")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val corpus = datapipe.Dedup.corpus(spark, sf)
+      .select($"source", $"doc_id",
+        size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val removed = datapipe.Dedup.queries("d30_dedup_manifest")(spark, sf)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val expected = corpus.groupBy(_._1).map { case (src, rows) =>
+      val toksIn = rows.map(_._3).sum
+      val ex = rows.count(r => removed.get(r._2).contains("exact")).toLong
+      val nr = rows.count(r => removed.get(r._2).contains("near")).toLong
+      val toksRm = rows.filter(r => removed.contains(r._2)).map(_._3).sum
+      val dOut = rows.length - ex - nr
+      val tOut = toksIn - toksRm
+      src -> ((src, rows.length.toLong, toksIn, ex, nr, toksRm,
+        dOut, tOut, tOut * 1000000L / toksIn))
+    }
+    assert(out === expected)
+    // conservation: the table partitions both docs and tokens exactly
+    out.values.foreach { case (src, di, ti, ex, nr, trm, dout, tout, _) =>
+      assert(di === ex + nr + dout, s"$src docs don't balance")
+      assert(ti === trm + tout, s"$src tokens don't balance")
+    }
+    assert(out.values.map(_._2).sum === corpus.length.toLong)
+    // non-vacuous: both manifest rules bite somewhere, and at least one
+    // source genuinely loses tokens (kept_ppm < 1e6)
+    assert(out.values.map(_._4).sum > 0, "no exact removals reached the budget")
+    assert(out.values.map(_._5).sum > 0, "no near removals reached the budget")
+    assert(out.values.exists(_._9 < 1000000L), "no source lost any tokens")
+  }
+
   test("d38: cascade marginals replay exactly; every stage bites") {
     val out = datapipe.Dedup.queries("d38_cascade_report")(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect()
