@@ -2018,6 +2018,115 @@ object TextAnalysis {
     lineVerdict(lines, lineDf(lines))
   }
 
+  /** Misra–Gries MERGE as a relational computation over O(k) state —
+    * the mergeable-summaries rule (sum counters over the union,
+    * subtract the (k+1)-th largest, drop non-positives) expressed as
+    * one union + one keyed aggregate + one per-lang window over ≤ 2k
+    * control rows. Fully deterministic: ties rank by (cnt DESC, item),
+    * so a replayed merge rebuilds byte-identical state. Items ranked
+    * past k carry cnt ≤ the subtrahend and could never survive the
+    * subtraction, so the rank filter loses nothing.
+    */
+  private[graft] def mgMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val summed = a.unionByName(b).groupBy(col("lang"), col("item"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("item"))
+    val ranked = summed.withColumn("rn", row_number().over(w))
+    val sub = ranked.filter(col("rn") === k + 1)
+      .select(col("lang"), col("cnt").as("sub"))
+    ranked.filter(col("rn") <= k)
+      .join(sub, Seq("lang"), "left")
+      .select(col("lang"), col("item"),
+        (col("cnt") - coalesce(col("sub"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** t07's streaming twin — heavy-hitter MAINTENANCE over an arriving
+    * corpus (the deployment shape: the hot-vocabulary monitor must
+    * update per feed, not rescan history, and its state must stay
+    * O(langs · k) — persisting exact word counts would grow with the
+    * vocabulary): each micro-batch reduces to its exact (lang, word)
+    * counts (one shuffle — the same bill t07 pays once) and
+    * [[mgMerge]]s them into the persisted k-counter sketch; per-lang
+    * token totals merge alongside (a trivially mergeable sum). State
+    * versions are batch-keyed snapshots (the rollupMaintenanceStream
+    * discipline — a merge is not an append, so replay idempotence
+    * comes from versioned overwrite, not an anti-join; version N
+    * deterministically rewrites from N−1 + the same delta). What
+    * survives is merge-ORDER-dependent, so the pinned contract is the
+    * mergeable-summaries GUARANTEE — any item with true count >
+    * N/(k+1) is in the sketch — which StreamingSpec checks against
+    * the raw corpus, alongside an exact Scala replay of every state
+    * version (the merge is deterministic even though the guarantee is
+    * the only portable claim).
+    */
+  def heavyHittersStream(stream: DataFrame, storePath: String,
+                         checkpointDir: String, k: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import org.apache.hadoop.fs.Path
+        val delta = batch.filter(col("lang").isNotNull)
+          .select(col("lang"), explode(split(col("text"), " ")).as("item"))
+          .groupBy(col("lang"), col("item"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val nwDelta = delta.groupBy(col("lang"))
+          .agg(sum(col("cnt")).as("n_words"))
+        def latest(dir: String): Option[Long] = {
+          val p = new Path(dir)
+          val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+          if (!fs.exists(p)) None
+          else fs.listStatus(p).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("batch="))
+            .map(_.stripPrefix("batch=").toLong)
+            .filter(_ < batchId).sorted.lastOption
+        }
+        val sketch = latest(s"$storePath/sketch") match {
+          case Some(p) =>
+            mgMerge(s.read.parquet(s"$storePath/sketch/batch=$p"), delta, k)
+          case None => mgMerge(delta.limit(0), delta, k)
+        }
+        val nwords = (latest(s"$storePath/nwords") match {
+          case Some(p) =>
+            s.read.parquet(s"$storePath/nwords/batch=$p")
+              .unionByName(nwDelta)
+          case None => nwDelta
+        }).groupBy(col("lang")).agg(sum(col("n_words")).as("n_words"))
+        sketch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$storePath/sketch/batch=$batchId")
+        nwords.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$storePath/nwords/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The maintained heavy-hitter view at its latest version: per lang,
+    * the surviving items (sorted), the sketch size, and the token
+    * total the N/(k+1) guarantee divides.
+    */
+  def heavyHittersReport(s: SparkSession, storePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def last(dir: String): Long = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+    }
+    val sk = s.read.parquet(s"$storePath/sketch/batch=${last(s"$storePath/sketch")}")
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("item"))).as("items"),
+           count(lit(1)).as("n_items"))
+    s.read.parquet(s"$storePath/nwords/batch=${last(s"$storePath/nwords")}")
+      .join(sk, Seq("lang"), "left")
+      .orderBy(col("lang"))
+  }
+
   /** t37's streaming twin — vocabulary growth over an arriving corpus
     * (the deployment shape: feeds land in micro-batches and the
     * "is this source still minting new types" monitor must update

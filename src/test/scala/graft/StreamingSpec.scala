@@ -696,6 +696,77 @@ class StreamingSpec extends SparkSpec {
       "no cross-batch df crossing — the revision path is untested")
   }
 
+  test("streamed heavy hitters: every state version replays the MG chain; the guarantee holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_t07s").toString
+    val K = 8
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val third = (docs.length + 2) / 3
+    val chunks = docs.grouped(third).toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val q = datapipe.TextAnalysis.heavyHittersStream(
+      input.toDS().toDF("doc_id", "lang", "text"),
+      s"$root/store", s"$root/ckpt", K)
+    // plain-Scala replay of the deterministic MG chain
+    var state = Map.empty[String, Map[String, Long]]
+    var subFired = false
+    def mgStep(chunk: Seq[(Long, String, String)]): Unit = {
+      val delta = chunk.filter(_._2 != null)
+        .flatMap { case (_, l, t) => t.split(" ", -1).map(w => (l, w)) }
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val langs = state.keySet ++ delta.keys.map(_._1)
+      state = langs.map { l =>
+        val summed = (state.getOrElse(l, Map.empty).toSeq ++
+          delta.collect { case ((`l`, w), c) => w -> c }.toSeq)
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        val ranked = summed.sortBy { case (w, c) => (-c, w) }
+        val sub = ranked.drop(K).headOption.map(_._2).getOrElse(0L)
+        if (sub > 0) subFired = true
+        l -> ranked.take(K).map { case (w, c) => w -> (c - sub) }
+          .filter(_._2 > 0).toMap
+      }.toMap
+    }
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        input.addData(c.toSeq); q.processAllAvailable()
+        mgStep(c.toSeq)
+        val stored = spark.read.parquet(s"$root/store/sketch/batch=$i")
+          .as[(String, String, Long)].collect()
+          .groupBy(_._1).view
+          .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+        assert(stored === state, s"state version $i diverged from the MG chain")
+      }
+    } finally q.stop()
+    // the maintenance was genuinely lossy (k < vocab) — otherwise the
+    // sketch is an exact count table and the test proves nothing
+    assert(subFired, "no merge ever subtracted — k exceeds the vocabulary")
+    // the mergeable-summaries guarantee against the raw corpus: every
+    // item with true count > N/(k+1) is in the final sketch
+    val exact = docs.filter(_._2 != null)
+      .flatMap { case (_, l, t) => t.split(" ", -1).map(w => (l, w)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = exact.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val report = datapipe.TextAnalysis
+      .heavyHittersReport(spark, s"$root/store")
+      .as[(String, Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    totals.foreach { case (l, n) =>
+      assert(report(l)._2 === n, s"$l token total")
+      val heavy = exact.collect {
+        case ((`l`, w), c) if c * (K + 1) > n => w }
+      val items = report(l)._3.toSet
+      heavy.foreach(w => assert(items(w), s"guaranteed item '$w' missing in $l"))
+      assert(report(l)._4 <= K, s"$l sketch exceeded k")
+    }
+    // at least one language has more vocabulary than k, so survival is
+    // a real selection
+    assert(exact.keys.groupBy(_._1).exists(_._2.size > K))
+  }
+
   test("streamed index lifecycle: add/delete/compact replay equals the batch report; revival and permanence hold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
