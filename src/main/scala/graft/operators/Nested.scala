@@ -70,6 +70,28 @@ object Nested {
         .orderBy($"event_id")
     },
 
+    // AQE SKEW JOIN — the runtime half of the skew family (q76
+    // diagnoses, q48 salts by hand; a 100 TB deployment mostly lets
+    // ADAPTIVE EXECUTION split the hot partition at runtime, because
+    // hand-salting every join that MIGHT skew is unmaintainable): the
+    // probe side carries a planted hot key (one user replicated ×127 —
+    // deterministic ids, so the oracle states the same plant) whose
+    // hash partition dwarfs the median, and AQE's OptimizeSkewedJoin
+    // must split it into parallel sub-partitions while replicating the
+    // matching build rows — semantically invisible (the oracle is the
+    // plain join), which is exactly the property that makes it safe to
+    // leave ON globally. Conf hygiene: the skew thresholds are tuned
+    // for fixture scale on a derived newSession (q91's isolation
+    // pattern); broadcast is disabled because skew splitting only
+    // applies to shuffle joins — at real scale neither side broadcasts
+    // anyway, so the tuned plan IS the production plan. PlanShapeSpec
+    // pins `skew=true` inside the executed adaptive plan.
+    "q92_aqe_skew_join" -> { (s, d) =>
+      skewJoinFrame(s, d)
+        .select(col("event_id"), col("user_id"), col("user_events"))
+        .orderBy(col("event_id"))
+    },
+
     // Skew profile — the diagnostic that DECIDES q48's salting: per-key
     // group sizes (one narrow (key, count) shuffle), a 1-row global
     // stats frame broadcast back (no driver scalar), and the top-5
@@ -116,7 +138,67 @@ object Nested {
     }
   )
 
+  /** q92's skew-planted shuffle join on a derived AQE-tuned session —
+    * factored out so PlanShapeSpec can execute it and pin the
+    * `skew=true` marks in the final adaptive plan. Thresholds are
+    * fixture-scaled (production keeps the defaults — hundreds of MB);
+    * what is NOT fixture-specific is the shape: a hot hash partition
+    * ≥ factor × median split into parallel sub-reads with the matching
+    * build partition replicated. */
+  private[graft] def skewJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1kb")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1kb")
+    // the split must not be declined for introducing an extra shuffle:
+    // the build side is derived from the probe, so they arrive
+    // co-partitioned and AQE's conservative default would skip them
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ev = T.events(s2, d).select(col("event_id"), col("user_id"))
+    // the replicated side STREAMS over 16 range slices (the broadcast is
+    // the small event slice): a reducer partition can only be split at
+    // map-block granularity, so the hot rows must come from MANY map
+    // tasks — hot data born in one mapper is structurally unsplittable,
+    // which is itself a scale lesson (a skewed source file needs a
+    // repartition before AQE can save the join)
+    val reps = s2.range(1, 128, 1, 16).select(col("id").as("rep"))
+    val hot = reps.crossJoin(broadcast(ev.filter(col("user_id") === 7L)))
+      .select((col("event_id") + col("rep") * 10000000L).as("event_id"),
+        col("user_id"))
+    val probe = ev.unionByName(hot)
+    // the build aggregate is materialized BEFORE the join
+    // (localCheckpoint): OptimizeSkewedJoin only matches a sort-merge
+    // join whose children are plain shuffle reads — an aggregate
+    // sitting between the sort and the exchange defeats the pattern,
+    // so a fused build side would silently forfeit the skew handling
+    // (measured before this split: no skew marks at any threshold)
+    val build = probe.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events")).localCheckpoint()
+    probe.hint("merge").join(build.hint("merge"), Seq("user_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q92: the plain join over the same planted probe — skew splitting
+    // must be semantically invisible.
+    "q92_aqe_skew_join" ->
+      """WITH reps AS (SELECT unnest(range(1, 128)) AS rep),
+        |hot AS (
+        |  SELECT event_id + rep * 10000000 AS event_id, user_id
+        |  FROM events, reps WHERE user_id = 7),
+        |probe AS (
+        |  SELECT event_id, user_id FROM events
+        |  UNION ALL SELECT event_id, user_id FROM hot),
+        |b AS (SELECT user_id, COUNT(*) AS user_events
+        |      FROM probe GROUP BY 1)
+        |SELECT p.event_id, p.user_id, b.user_events
+        |FROM probe p JOIN b USING (user_id)
+        |ORDER BY p.event_id""".stripMargin,
     "q44_struct_nested" ->
       """SELECT doc_id,
         |  to_json(struct_pack(lang := lang, n_chars := n_chars)) AS meta_json,

@@ -360,7 +360,13 @@ object StressBench {
       "s33_build_knob_plan," +
       // d39: d30's CC bill + one map-only token count and a narrow
       // (doc_id, rule) left join — tracks d30
-      "d39_token_budget"
+      "d39_token_budget," +
+      // q91: metadata-only DDL + 3 stats scans memoized per JVM, then a
+      // CBO-reordered 3-way join — linear in facts like q08
+      "q91_cbo_join_reorder," +
+      // q92: one shuffled join over the planted probe; the AQE skew
+      // split keeps the hot partition parallel — linear, no straggler
+      "q92_aqe_skew_join"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

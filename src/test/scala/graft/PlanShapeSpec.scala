@@ -57,6 +57,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected agg + sort exchanges only, found ${above.size}")
   }
 
+  test("q92: AQE splits the planted hot partition — skew marks in the executed plan") {
+    val df = operators.Nested.skewJoinFrame(spark, sf)
+    // execute through the dataset's OWN QueryExecution (write()/count()
+    // build separate ones and the adaptive plan would stay unexecuted)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      "OptimizeSkewedJoin did not fire on the planted hot key:\n" +
+        p.take(1200))
+  }
+
   test("q91: CBO reorders the stated worst-order join — customer meets orders before lineitem") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val lp = operators.Extras.cboJoinFrame(spark, sf)
