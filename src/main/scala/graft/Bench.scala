@@ -60,12 +60,18 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).trim
       catch { case _: Throwable => "" }
     val loadavgStart = loadavg()
-    def sentinelRun(): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // guarded like the per-query loop: one failing sentinel must mark
+    // the record, not abort a multi-hour run and discard every timing
+    def sentinelRun(): Double =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+        -1.0
+      }
     val sentinels = scala.collection.mutable.ArrayBuffer(sentinelRun())
 
     // dev-only subset filter (comma-separated name prefixes); the driver
@@ -89,15 +95,19 @@ object Bench {
     }
     sentinels += sentinelRun()
     val loadavgEnd = loadavg()
-    // spread = max/MEDIAN over the run's sentinel reps — robust to the
-    // single GC-hit rep an otherwise-idle run always has (max/min
-    // false-flagged clean runs in the round-15 calibration). > 1.5
-    // means a loaded WINDOW inside the run; uniform whole-run load is
-    // internally invisible, so the close protocol additionally
-    // compares the sentinel median to the committed record's q01.
-    val sorted = sentinels.sorted
-    val median = sorted(sorted.size / 2)
-    val spread = sentinels.max / median
+    // spread = max/MEDIAN over the run's SUCCEEDED sentinel reps —
+    // robust to the single GC-hit rep an otherwise-idle run always has
+    // (max/min false-flagged clean runs in the round-15 calibration).
+    // > 1.5 means a loaded WINDOW inside the run; uniform whole-run
+    // load is internally invisible, so the close protocol additionally
+    // compares the sentinel median to the committed record's q01. A
+    // failed sentinel (-1) poisons the spread to flag the record.
+    val okSent = sentinels.filter(_ >= 0).sorted
+    // -1 = "spread unknown / record invalid" (a failed sentinel); JSON
+    // has no NaN literal, so the sentinel failure is encoded in-band
+    val spread =
+      if (okSent.isEmpty || okSent.size < sentinels.size) -1.0
+      else okSent.max / okSent(okSent.size / 2)
     // `value` and `queries` cover SUCCEEDED queries only; failures are
     // listed by name in `failed` (never as -1.0 sentinels inside the map —
     // round 9 showed consumers summing the map get silently wrong totals,
@@ -107,14 +117,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failedArr = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val sentArr = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // locale-proof rendering: Double.toString never emits a comma
+    // decimal (an f"%.3f" under de_DE/fr_FR would produce invalid JSON)
+    def num3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val sentArr = sentinels.map(num3).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"""" +
-      s""","sentinels":$sentArr,"sentinel_spread":${f"$spread%.3f"}""" +
+      s""","sentinels":$sentArr,"sentinel_spread":${num3(spread)}""" +
       s""","loadavg_start":"$loadavgStart","loadavg_end":"$loadavgEnd"}"""
-    if (spread > 1.5)
-      System.err.println(f"[bench] CONTAMINATED: sentinel spread $spread%.2f > 1.5 — " +
-        "external load during the run; do not commit this record as BENCH_LOCAL")
+    if (spread > 1.5 || spread < 0)
+      System.err.println(s"[bench] CONTAMINATED: sentinel spread ${num3(spread)} " +
+        "(gate 1.5; -1 = a sentinel failed) — do not commit this record as BENCH_LOCAL")
     if (bad.nonEmpty)
       System.err.println(s"[bench] STOP-SHIP: ${bad.size} queries failed: " +
         bad.map(_._1).mkString(","))

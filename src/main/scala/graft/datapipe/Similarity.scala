@@ -86,6 +86,46 @@ object Similarity {
   }
   private val signBucketSql = signBucketSqlFrom(0)
 
+  /** nb-bit sign-LSH bucket over array column `e` — the graph family's
+    * blocking key (s30's candidate-pruning build, s32's connectivity
+    * build, s33's knob sweep all share this ONE definition; `nb` is a
+    * SQL token — a column name or an integer literal — so the
+    * corpus-adaptive and fixed-sweep variants stay textually
+    * identical). */
+  private[datapipe] def lshBucketExpr(e: String, nb: String) = expr(
+    s"""aggregate(sequence(0, $nb - 1), CAST(0 AS BIGINT),
+       |  (acc, j) -> acc +
+       |    IF(CAST(element_at($e, j + 1) AS DOUBLE) > 0.0,
+       |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
+      .stripMargin)
+
+  /** Probe-1 list for the nb-bit bucket in column `bkt`: the bucket
+    * itself plus the flip of the smallest-|component| hashed dim —
+    * shared by the same three call sites as [[lshBucketExpr]]. */
+  private[datapipe] def lshProbe1Expr(e: String, bkt: String, nb: String) =
+    expr(
+      s"""concat(array($bkt), transform(slice(transform(array_sort(
+         |  transform(sequence(0, $nb - 1),
+         |    j -> struct(abs(CAST(element_at($e, j + 1) AS DOUBLE))
+         |                  AS a, j AS j))),
+         |  x -> x.j), 1, 1),
+         |  j -> $bkt ^ shiftleft(CAST(1 AS BIGINT), j)))""".stripMargin)
+
+  /** DuckDB mirrors of [[lshBucketExpr]]/[[lshProbe1Expr]] — one
+    * definition for all three oracle chains. */
+  private def lshBucketSql(e: String, nb: String) =
+    s"""CAST(list_sum(list_transform(range(0, $nb), j ->
+       |      CASE WHEN CAST($e[CAST(j AS INT) + 1] AS DOUBLE) > 0.0
+       |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+  private def lshProbe1Sql(e: String, bkt: String, nb: String) =
+    s"""list_prepend($bkt, list_transform(
+       |      list_transform(list_sort(list_transform(range(0, $nb),
+       |        j -> {'a': abs(CAST($e[CAST(j AS INT) + 1]
+       |                       AS DOUBLE)), 'j': j})), x -> x.j)[1:1],
+       |      j -> CAST(xor($bkt, (CAST(1 AS BIGINT)
+       |                           << CAST(j AS INT))) AS BIGINT)))""".stripMargin
+
   /** Multi-probe bucket list for a vector: its sign bucket PLUS the `p`
     * buckets reached by flipping the signs of the p smallest-|component|
     * hashed dims — the dims most likely to flip under tiny perturbation,
@@ -1719,20 +1759,9 @@ object Similarity {
         "greatest(8, length(bin(greatest((count(1) + 31) DIV 32 - 1, 1))))")
         .cast("int").as("nb"))
       val emb = emb0.crossJoin(broadcast(nbdf))
-        .withColumn("bucket", expr(
-          """aggregate(sequence(0, nb - 1), CAST(0 AS BIGINT),
-            |  (acc, j) -> acc +
-            |    IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0,
-            |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
-            .stripMargin))
-      val probes = emb.select($"vec_id", $"label", explode(expr(
-        """concat(array(bucket), transform(slice(transform(array_sort(
-          |  transform(sequence(0, nb - 1),
-          |    j -> struct(abs(CAST(element_at(embedding, j + 1) AS DOUBLE))
-          |                  AS a, j AS j))),
-          |  x -> x.j), 1, 1),
-          |  j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))""".stripMargin))
-        .as("bkey"))
+        .withColumn("bucket", lshBucketExpr("embedding", "nb"))
+      val probes = emb.select($"vec_id", $"label",
+        explode(lshProbe1Expr("embedding", "bucket", "nb")).as("bkey"))
       val bases = emb.select($"vec_id".as("dst"), $"label",
         $"bucket".as("bkey"))
       val cand = probes.join(bases, Seq("bkey", "label"))
@@ -1869,20 +1898,9 @@ object Similarity {
         "greatest(3, length(bin(greatest((count(1) + 255) DIV 256 - 1, 1))))")
         .cast("int").as("nb"))
       val embB = emb0.crossJoin(broadcast(nbdf))
-        .withColumn("bucket", expr(
-          """aggregate(sequence(0, nb - 1), CAST(0 AS BIGINT),
-            |  (acc, j) -> acc +
-            |    IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0,
-            |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
-            .stripMargin))
-      val probes = embB.select($"vec_id", $"label", explode(expr(
-        """concat(array(bucket), transform(slice(transform(array_sort(
-          |  transform(sequence(0, nb - 1),
-          |    j -> struct(abs(CAST(element_at(embedding, j + 1) AS DOUBLE))
-          |                  AS a, j AS j))),
-          |  x -> x.j), 1, 1),
-          |  j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))""".stripMargin))
-        .as("bkey"))
+        .withColumn("bucket", lshBucketExpr("embedding", "nb"))
+      val probes = embB.select($"vec_id", $"label",
+        explode(lshProbe1Expr("embedding", "bucket", "nb")).as("bkey"))
       val bases = embB.select($"vec_id".as("dst"), $"label",
         $"bucket".as("bkey"))
       val wsrc = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
@@ -2001,27 +2019,15 @@ object Similarity {
         .withColumn("rn", row_number().over(wt)).filter($"rn" <= 4)
         .select($"q_id", $"vec_id").localCheckpoint()
       val nTruth = truth4.agg(count(lit(1)).as("n_truth"))
-      def bucketOf(e: String, nb: Int) = expr(
-        s"""aggregate(sequence(0, ${nb - 1}), CAST(0 AS BIGINT),
-           |  (acc, j) -> acc +
-           |    IF(CAST(element_at($e, j + 1) AS DOUBLE) > 0.0,
-           |       shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
-          .stripMargin)
-      def probesOf(e: String, nb: Int) = expr(
-        s"""concat(array(bkt), transform(slice(transform(array_sort(
-           |  transform(sequence(0, ${nb - 1}),
-           |    j -> struct(abs(CAST(element_at($e, j + 1) AS DOUBLE))
-           |                  AS a, j AS j))),
-           |  x -> x.j), 1, 1),
-           |  j -> bkt ^ shiftleft(CAST(1 AS BIGINT), j)))""".stripMargin)
       Seq(3, 4, 5, 6).map { nb =>
         val b = emb0.select($"vec_id", $"label",
-          bucketOf("embedding", nb).as("bucket"))
+          lshBucketExpr("embedding", nb.toString).as("bucket"))
         val probes = emb0
           .select($"vec_id", $"label", $"embedding",
-            bucketOf("embedding", nb).as("bkt"))
+            lshBucketExpr("embedding", nb.toString).as("bkt"))
           .select($"vec_id", $"label",
-            explode(probesOf("embedding", nb)).as("bkey"))
+            explode(lshProbe1Expr("embedding", "bkt", nb.toString))
+              .as("bkey"))
         val pc = probes.groupBy($"bkey", $"label").agg(count(lit(1)).as("np"))
         val bcnt = b.groupBy($"bucket".as("bkey"), $"label")
           .agg(count(lit(1)).as("nbc"))
@@ -2033,9 +2039,9 @@ object Similarity {
           .select(($"raw" - $"n_vecs").as("cand_pairs"), $"n_vecs")
         val qprobes = qs
           .select($"q_id", $"q_label", $"q_emb",
-            bucketOf("q_emb", nb).as("bkt"))
+            lshBucketExpr("q_emb", nb.toString).as("bkt"))
           .select($"q_id", $"q_label",
-            explode(probesOf("q_emb", nb)).as("bkey"))
+            explode(lshProbe1Expr("q_emb", "bkt", nb.toString)).as("bkey"))
         val cand = qprobes
           .join(b, b("bucket") === $"bkey" && b("label") === $"q_label")
           .filter(b("vec_id") =!= $"q_id")
@@ -3180,20 +3186,11 @@ object Similarity {
          |  FROM embeddings),
          |b AS (
          |  SELECT vec_id, label, embedding,
-         |    CAST(list_sum(list_transform(range(0, nb), j ->
-         |      CASE WHEN CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) > 0.0
-         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |    ${lshBucketSql("embedding", "nb")} AS bucket
          |  FROM embeddings, nbv),
          |p AS (
          |  SELECT vec_id, label,
-         |    unnest(list_prepend(bucket, list_transform(
-         |      list_transform(list_sort(list_transform(range(0, nb),
-         |        j -> {'a': abs(CAST(embedding[CAST(j AS INT) + 1]
-         |                       AS DOUBLE)), 'j': j})), x -> x.j)[1:1],
-         |      j -> CAST(xor(bucket, (CAST(1 AS BIGINT)
-         |                             << CAST(j AS INT))) AS BIGINT))))
-         |      AS bkey
+         |    unnest(${lshProbe1Sql("embedding", "bucket", "nb")}) AS bkey
          |  FROM b, nbv),
          |cand AS (
          |  SELECT DISTINCT p.vec_id AS src, e.vec_id AS dst, p.label AS label
@@ -3246,20 +3243,11 @@ object Similarity {
          |  FROM embeddings),
          |b AS (
          |  SELECT vec_id, label, embedding,
-         |    CAST(list_sum(list_transform(range(0, nb), j ->
-         |      CASE WHEN CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) > 0.0
-         |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |    ${lshBucketSql("embedding", "nb")} AS bucket
          |  FROM embeddings, nbv),
          |p AS (
          |  SELECT vec_id, label,
-         |    unnest(list_prepend(bucket, list_transform(
-         |      list_transform(list_sort(list_transform(range(0, nb),
-         |        j -> {'a': abs(CAST(embedding[CAST(j AS INT) + 1]
-         |                       AS DOUBLE)), 'j': j})), x -> x.j)[1:1],
-         |      j -> CAST(xor(bucket, (CAST(1 AS BIGINT)
-         |                             << CAST(j AS INT))) AS BIGINT))))
-         |      AS bkey
+         |    unnest(${lshProbe1Sql("embedding", "bucket", "nb")}) AS bkey
          |  FROM b, nbv),
          |cand AS (
          |  SELECT DISTINCT p.vec_id AS src, e.vec_id AS dst, p.label AS label
@@ -3344,27 +3332,16 @@ object Similarity {
     // two count aggregates (Σ np·nbc − n, no pair materialized),
     // recall@4 of the candidate set on the shared NQ sample.
     "s33_build_knob_plan" -> {
-      def bktSql(e: String, nb: Int) =
-        s"""CAST(list_sum(list_transform(range(0, $nb), j ->
-           |      CASE WHEN CAST($e[CAST(j AS INT) + 1] AS DOUBLE) > 0.0
-           |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-           |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
-      def probeSql(e: String, nb: Int) =
-        s"""list_prepend(bkt, list_transform(
-           |      list_transform(list_sort(list_transform(range(0, $nb),
-           |        j -> {'a': abs(CAST($e[CAST(j AS INT) + 1]
-           |                       AS DOUBLE)), 'j': j})), x -> x.j)[1:1],
-           |      j -> CAST(xor(bkt, (CAST(1 AS BIGINT)
-           |                          << CAST(j AS INT))) AS BIGINT)))""".stripMargin
       val cfgs = Seq(3, 4, 5, 6).map { nb =>
+        val n = nb.toString
         s"""b$nb AS (
-           |  SELECT vec_id, label, ${bktSql("embedding", nb)} AS bucket
+           |  SELECT vec_id, label, ${lshBucketSql("embedding", n)} AS bucket
            |  FROM embeddings),
            |p$nb AS (
-           |  SELECT vec_id, label, unnest(${probeSql("embedding", nb)})
-           |    AS bkey
+           |  SELECT vec_id, label,
+           |    unnest(${lshProbe1Sql("embedding", "bkt", n)}) AS bkey
            |  FROM (SELECT vec_id, label, embedding,
-           |          ${bktSql("embedding", nb)} AS bkt
+           |          ${lshBucketSql("embedding", n)} AS bkt
            |        FROM embeddings) z),
            |pc$nb AS (
            |  SELECT bkey, label, COUNT(*) AS np FROM p$nb GROUP BY 1, 2),
@@ -3379,8 +3356,10 @@ object Similarity {
            |      - (SELECT COUNT(*) FROM embeddings) AS cand_pairs
            |  FROM pc$nb JOIN bc$nb USING (bkey, label)),
            |qp$nb AS (
-           |  SELECT q_id, q_label, unnest(${probeSql("q_emb", nb)}) AS bkey
-           |  FROM (SELECT q_id, q_label, q_emb, ${bktSql("q_emb", nb)} AS bkt
+           |  SELECT q_id, q_label,
+           |    unnest(${lshProbe1Sql("q_emb", "bkt", n)}) AS bkey
+           |  FROM (SELECT q_id, q_label, q_emb,
+           |          ${lshBucketSql("q_emb", n)} AS bkt
            |        FROM q) z),
            |cd$nb AS (
            |  SELECT DISTINCT qp.q_id, e.vec_id

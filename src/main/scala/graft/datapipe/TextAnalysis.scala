@@ -2018,13 +2018,18 @@ object TextAnalysis {
     lineVerdict(lines, lineDf(lines))
   }
 
-  /** Misra–Gries MERGE as a relational computation over O(k) state —
-    * the mergeable-summaries rule (sum counters over the union,
-    * subtract the (k+1)-th largest, drop non-positives) expressed as
-    * one union + one keyed aggregate + one per-lang window over ≤ 2k
-    * control rows. Fully deterministic: ties rank by (cnt DESC, item),
-    * so a replayed merge rebuilds byte-identical state. Items ranked
-    * past k carry cnt ≤ the subtrahend and could never survive the
+  /** Misra–Gries MERGE as a relational computation — the mergeable-
+    * summaries rule (sum counters over the union, subtract the
+    * (k+1)-th largest, drop non-positives) expressed as one union +
+    * one keyed aggregate + one per-lang window. The persisted STATE is
+    * O(k) per lang; the merge input is O(state + the delta side's
+    * per-lang vocabulary) — when the delta is a micro-batch's exact
+    * count table, the per-lang window sorts that batch's vocabulary
+    * (sublinear in its tokens by Heaps' law, and map-side combined
+    * before the shuffle), not 2k rows; what stays O(k) forever is what
+    * PERSISTS. Fully deterministic: ties rank by (cnt DESC, item), so
+    * a replayed merge rebuilds byte-identical state. Items ranked past
+    * k carry cnt ≤ the subtrahend and could never survive the
     * subtraction, so the rank filter loses nothing.
     */
   private[graft] def mgMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
@@ -2077,30 +2082,43 @@ object TextAnalysis {
           .localCheckpoint()
         val nwDelta = delta.groupBy(col("lang"))
           .agg(sum(col("cnt")).as("n_words"))
-        def latest(dir: String): Option[Long] = {
+        def versions(dir: String): Seq[Long] = {
           val p = new Path(dir)
           val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-          if (!fs.exists(p)) None
+          if (!fs.exists(p)) Seq.empty
           else fs.listStatus(p).toSeq.map(_.getPath.getName)
             .filter(_.startsWith("batch="))
             .map(_.stripPrefix("batch=").toLong)
-            .filter(_ < batchId).sorted.lastOption
         }
-        val sketch = latest(s"$storePath/sketch") match {
+        val vs = versions(s"$storePath/sketch")
+        // generation guard: versions AT or PAST this batchId mean the
+        // stream was restarted with a fresh checkpoint over an old
+        // store — silently resetting the sketch while the report reads
+        // the stale max version would serve divergent state; fail loud
+        require(!vs.exists(_ >= batchId),
+          s"heavy-hitter store at $storePath already holds batch >= " +
+          s"$batchId — stale generation; clear the store or keep the " +
+          "original checkpoint")
+        val prev = vs.sorted.lastOption
+        val sketch = prev match {
           case Some(p) =>
             mgMerge(s.read.parquet(s"$storePath/sketch/batch=$p"), delta, k)
           case None => mgMerge(delta.limit(0), delta, k)
         }
-        val nwords = (latest(s"$storePath/nwords") match {
+        val nwords = (prev match {
           case Some(p) =>
             s.read.parquet(s"$storePath/nwords/batch=$p")
               .unionByName(nwDelta)
           case None => nwDelta
         }).groupBy(col("lang")).agg(sum(col("n_words")).as("n_words"))
-        sketch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$storePath/sketch/batch=$batchId")
+        // nwords lands FIRST, sketch LAST: the report keys BOTH reads
+        // off the sketch's latest version, so a crash between the two
+        // writes leaves the previous consistent pair current rather
+        // than a torn (sketch@N, nwords@N−1) pairing
         nwords.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$storePath/nwords/batch=$batchId")
+        sketch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$storePath/sketch/batch=$batchId")
         ()
       }
       .start()
@@ -2112,17 +2130,30 @@ object TextAnalysis {
     */
   def heavyHittersReport(s: SparkSession, storePath: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    def last(dir: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    def complete(dir: String): Set[Long] = {
       val p = new Path(dir)
-      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-      fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        // only COMMITTED versions count: a crash mid-parquet-write
+        // leaves a dir without _SUCCESS, which must never be served
+        .filter(v => fs.exists(new Path(s"$dir/batch=$v/_SUCCESS")))
+        .toSet
     }
-    val sk = s.read.parquet(s"$storePath/sketch/batch=${last(s"$storePath/sketch")}")
+    // the served version is the newest COMPLETE PAIR — the stream
+    // writes nwords before sketch, so any version with a committed
+    // sketch has a committed nwords, and a crash between the two
+    // leaves the previous pair current rather than a torn read
+    val v = (complete(s"$storePath/sketch")
+      intersect complete(s"$storePath/nwords")).max
+    val sk = s.read.parquet(s"$storePath/sketch/batch=$v")
       .groupBy(col("lang"))
       .agg(sort_array(collect_list(col("item"))).as("items"),
            count(lit(1)).as("n_items"))
-    s.read.parquet(s"$storePath/nwords/batch=${last(s"$storePath/nwords")}")
+    s.read.parquet(s"$storePath/nwords/batch=$v")
       .join(sk, Seq("lang"), "left")
       .orderBy(col("lang"))
   }

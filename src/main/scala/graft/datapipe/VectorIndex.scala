@@ -186,13 +186,20 @@ object VectorIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        addBatch(batch.filter(col("op") === "add")
-          .select(col("vec_id"), col("embedding")), path)
-        val dels = batch.filter(col("op") === "delete")
-          .select(col("vec_id"))
-        // guard: an all-adds feed must not materialize an (empty)
-        // tombstone frame the readers then anti-join against
-        if (!dels.isEmpty) removeBatch(dels, path)
+        // ONE control job decides which paths run this trigger: a
+        // delete-only batch must not pay addBatch's centroid read +
+        // store-wide anti-join + empty append, and an all-adds feed
+        // must not materialize an (empty) tombstone frame the readers
+        // then anti-join against
+        val b = batch.localCheckpoint()
+        val present = b.groupBy(col("op")).count()
+          .select(col("op")).collect().map(_.getString(0)).toSet
+        if (present.contains("add"))
+          addBatch(b.filter(col("op") === "add")
+            .select(col("vec_id"), col("embedding")), path)
+        if (present.contains("delete"))
+          removeBatch(b.filter(col("op") === "delete")
+            .select(col("vec_id")), path)
         ()
       }
       .start()

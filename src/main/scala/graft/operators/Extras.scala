@@ -734,9 +734,17 @@ object Extras {
     fs.exists(p) && {
       val in = fs.open(p)
       try {
-        val bytes = new Array[Byte](fp.length + 1)
-        val n = in.read(bytes)
-        n >= fp.length && new String(bytes, 0, fp.length, "UTF-8") == fp
+        // loop to fill: a single read() may legally return short on
+        // HDFS/object-store streams, and a spurious mismatch here
+        // re-pays the full layout write the memoization exists to save
+        val bytes = new Array[Byte](fp.length)
+        var off = 0
+        var n = 0
+        while (off < bytes.length && n >= 0) {
+          n = in.read(bytes, off, bytes.length - off)
+          if (n > 0) off += n
+        }
+        off == fp.length && new String(bytes, "UTF-8") == fp
       } finally in.close()
     }
   }
@@ -823,11 +831,19 @@ object Extras {
         import org.apache.hadoop.fs.Path
         val stateDir = new Path(s"$storePath/state")
         val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
-        val prev =
+        val vs =
           if (!fs.exists(stateDir)) Seq.empty[Long]
           else fs.listStatus(stateDir).toSeq.map(_.getPath.getName)
             .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-            .filter(_ < batchId)
+        // generation guard (round-15 review): a restart with a fresh
+        // checkpoint over an old store resets batchId to 0 — silently
+        // merging onto nothing while stale higher versions linger would
+        // fork the state chain; fail loud instead
+        require(!vs.exists(_ >= batchId),
+          s"rollup store at $storePath already holds batch >= $batchId " +
+          "— stale generation; clear the store or keep the original " +
+          "checkpoint")
+        val prev = vs
         val merged = prev.sorted.lastOption match {
           case Some(p) =>
             rollupMerge(s.read.parquet(s"$storePath/state/batch=$p"), delta)

@@ -8,6 +8,18 @@ import java.sql.Timestamp
   * recall on planted duplicates, similarity sanity, approx accuracy).
   */
 class OperatorSpec extends SparkSpec {
+
+  /** The index-order double fold — CosineSim's exact IEEE sequence;
+    * shared by every similarity-family replay in this suite. */
+  private def cosExact(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
@@ -1708,19 +1720,11 @@ class OperatorSpec extends SparkSpec {
       Seq(b, b ^ (1L << jmin))
     }
     // index-order double fold — CosineSim's exact IEEE sequence
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val bks = base.map { case (id, e, l) => (id, e, l, bucket(e)) }
     val expected = bks.flatMap { case (sid, se, sl, sb) =>
       bks.filter { case (did, _, dl, db) =>
           did != sid && dl == sl && probes(se, sb).contains(db) }
-        .map { case (did, de, _, _) => (did, cos(se, de)) }
+        .map { case (did, de, _, _) => (did, cosExact(se, de)) }
         .sortBy { case (did, c) => (-c, did) }
         .take(4).zipWithIndex
         .map { case ((did, c), i) => (sid, (i + 1).toLong, did, sl, c) }
@@ -1743,14 +1747,6 @@ class OperatorSpec extends SparkSpec {
     val out = datapipe.Similarity.queries("s32_graph_beam_recall")(spark, sf)
       .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
     assert(out.map(_._1).toSeq === Seq(2, 4, 8))
-    def cosF(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     // the SEARCH graph replayed from scratch: s30's build at the
     // coarser connectivity blocking (nb = max(3, len(bin(ceil(n/256)
     // - 1)))), probe-1, exact-cosine top-4 per src, symmetrized
@@ -1769,7 +1765,7 @@ class OperatorSpec extends SparkSpec {
     val g = bks.flatMap { case (sid, se, sl, sb) =>
       bks.filter { case (did, _, dl, db) =>
           did != sid && dl == sl && probes(se, sb).contains(db) }
-        .map { case (did, de, _, _) => (did, cosF(se, de)) }
+        .map { case (did, de, _, _) => (did, cosExact(se, de)) }
         .sortBy { case (did, c) => (-c, did) }
         .take(4).map { case (did, _) => (sid, did) }
     }
@@ -1783,20 +1779,12 @@ class OperatorSpec extends SparkSpec {
       .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
       .limit(32).select($"vec_id", $"embedding", $"label")
       .as[(Long, Seq[Float], Int)].collect()
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     var nTruthAll = 0L
     val perBeam = scala.collection.mutable.Map[Int, (Long, Long)]()
       .withDefaultValue((0L, 0L)) // beam -> (hits, n_scored)
     qs.foreach { case (qid, qe, ql) =>
       val scored = base.filter { case (id, _, l) => id != qid && l == ql }
-        .map { case (id, e, _) => id -> cos(qe, e) }
+        .map { case (id, e, _) => id -> cosExact(qe, e) }
         .filterNot(p => p._2.isNaN).toMap
       val truth = scored.toSeq.sortBy { case (id, c) => (-c, id) }
         .take(10).map(_._1).toSet
@@ -1849,17 +1837,9 @@ class OperatorSpec extends SparkSpec {
       .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
       .limit(32).select($"vec_id", $"embedding", $"label")
       .as[(Long, Seq[Float], Int)].collect()
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val truth4 = qs.flatMap { case (qid, qe, ql) =>
       base.filter { case (id, _, l) => id != qid && l == ql }
-        .map { case (id, e, _) => (id, cos(qe, e)) }
+        .map { case (id, e, _) => (id, cosExact(qe, e)) }
         .filterNot(_._2.isNaN)
         .sortBy { case (id, c) => (-c, id) }.take(4)
         .map { case (id, _) => (qid, id) }
