@@ -610,29 +610,43 @@ object Extras {
   /** External catalog tables straight over the fixture parquet (no data
     * copy — the DDL is metadata-only) plus ANALYZE ... FOR COLUMNS, the
     * ingest-time stats pass CBO feeds on. Stats live in the in-memory
-    * catalog, so each JVM pays the three stats scans once (memoized);
-    * at deployment scale ANALYZE runs at ingest and every query
-    * inherits it. */
+    * catalog, so each JVM pays the three stats scans once.
+    *
+    * Memoized on the SOURCE fingerprint, not the raw path (round-15
+    * advice #3, matching the bucketedTables discipline): a fixture
+    * regenerated in-place changes file lengths/mtimes, which both
+    * re-runs ANALYZE (fresh NDVs for q91's reorder) and drops+recreates
+    * the table definitions — stale column stats never outlive their
+    * source for the JVM's lifetime. */
   private val cboStatsReady = scala.collection.mutable.Set[String]()
   private def cboStatsTables(s: SparkSession, d: String)
       : (String, String, String) = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     def name(t: String) = s"graft_cbo_${t}_$tag"
+    val srcs = Seq("lineitem", "orders", "customer")
+    val fp = sourceFingerprint(s, srcs.map(t => s"$d/$t.parquet"): _*)
+    val memoKey = s"$d@$fp"
     cboStatsReady.synchronized {
-      if (!cboStatsReady.contains(d)) {
+      if (!cboStatsReady.contains(memoKey)) {
         Seq(("lineitem", Seq("l_orderkey")),
             ("orders", Seq("o_orderkey", "o_custkey")),
             ("customer", Seq("c_custkey", "c_nationkey"))).foreach {
           case (t, cols) =>
             val tbl = name(t)
-            if (!s.catalog.tableExists(tbl))
-              s.sql(s"CREATE TABLE $tbl USING parquet " +
-                s"LOCATION '$d/$t.parquet'")
+            // a changed fingerprint means the parquet under the table
+            // moved under the catalog — drop so CREATE re-reads schema
+            // and ANALYZE below rebuilds the stats from the new bytes
+            s.sql(s"DROP TABLE IF EXISTS $tbl")
+            s.sql(s"CREATE TABLE $tbl USING parquet " +
+              s"LOCATION '$d/$t.parquet'")
             s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
               s"FOR COLUMNS ${cols.mkString(", ")}")
         }
-        cboStatsReady += d
+        // only this fingerprint's key is valid now; retire stale ones
+        // for the same dir so a flip back re-runs ANALYZE too
+        cboStatsReady.filterInPlace(!_.startsWith(s"$d@"))
+        cboStatsReady += memoKey
       }
     }
     (name("lineitem"), name("orders"), name("customer"))
@@ -728,7 +742,7 @@ object Extras {
   private def markerPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_GRAFT_FINGERPRINT")
 
-  private def markerMatches(s: SparkSession, dir: String, fp: String): Boolean = {
+  private[graft] def markerMatches(s: SparkSession, dir: String, fp: String): Boolean = {
     val p = markerPath(dir)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     fs.exists(p) && {
@@ -752,7 +766,7 @@ object Extras {
   /** The marker is written LAST (after a complete layout write), so a
     * crashed write leaves no marker and the next caller rewrites — the
     * two-phase-commit discipline of ParquetBatchSink in miniature. */
-  private def writeMarker(s: SparkSession, dir: String, fp: String): Unit = {
+  private[graft] def writeMarker(s: SparkSession, dir: String, fp: String): Unit = {
     val p = markerPath(dir)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val out = fs.create(p, true)
@@ -826,34 +840,49 @@ object Extras {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val delta = rollupState(batch)
-        import org.apache.hadoop.fs.Path
-        val stateDir = new Path(s"$storePath/state")
-        val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
-        val vs =
-          if (!fs.exists(stateDir)) Seq.empty[Long]
-          else fs.listStatus(stateDir).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-        // generation guard (round-15 review): a restart with a fresh
-        // checkpoint over an old store resets batchId to 0 — silently
-        // merging onto nothing while stale higher versions linger would
-        // fork the state chain; fail loud instead
-        require(!vs.exists(_ >= batchId),
-          s"rollup store at $storePath already holds batch >= $batchId " +
-          "— stale generation; clear the store or keep the original " +
-          "checkpoint")
-        val prev = vs
-        val merged = prev.sorted.lastOption match {
-          case Some(p) =>
-            rollupMerge(s.read.parquet(s"$storePath/state/batch=$p"), delta)
-          case None => delta
-        }
-        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$storePath/state/batch=$batchId")
-        ()
+        rollupMaintainBatch(batch, batchId, storePath)
       }
       .start()
+  }
+
+  /** One maintenance trigger, factored out so StreamingSpec can drive
+    * the at-least-once replay path directly (a crash after the state
+    * write but before the checkpoint commit re-runs the SAME batchId).
+    * A replayed batch finds `batch=batchId` already in the store; the
+    * predecessor is selected as the newest version STRICTLY BELOW
+    * batchId, so the replay deterministically rewrites its own version
+    * from N−1 + the same delta — never merges onto itself. Only a
+    * version STRICTLY ABOVE batchId is a true stale generation (fresh
+    * checkpoint over an old store) and fails loud. */
+  private[graft] def rollupMaintainBatch(batch: DataFrame, batchId: Long,
+                                         storePath: String): Unit = {
+    val s = batch.sparkSession
+    val delta = rollupState(batch)
+    import org.apache.hadoop.fs.Path
+    val stateDir = new Path(s"$storePath/state")
+    val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
+    val vs =
+      if (!fs.exists(stateDir)) Seq.empty[Long]
+      else fs.listStatus(stateDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    // generation guard: a restart with a fresh checkpoint over an old
+    // store resets batchId to 0 — silently merging onto nothing while
+    // stale HIGHER versions linger would fork the state chain; fail
+    // loud. A version == batchId is NOT stale — it is this very batch's
+    // own uncommitted write from a crash before the checkpoint commit,
+    // and the versioned overwrite below is exactly what makes that
+    // replay idempotent (round-15 advice).
+    require(!vs.exists(_ > batchId),
+      s"rollup store at $storePath already holds batch > $batchId " +
+      "— stale generation; clear the store or keep the original " +
+      "checkpoint")
+    val merged = vs.filter(_ < batchId).sorted.lastOption match {
+      case Some(p) =>
+        rollupMerge(s.read.parquet(s"$storePath/state/batch=$p"), delta)
+      case None => delta
+    }
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storePath/state/batch=$batchId")
   }
 
   /** The maintained view at its latest version, in q86's report shape. */

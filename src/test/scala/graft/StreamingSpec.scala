@@ -710,23 +710,35 @@ class StreamingSpec extends SparkSpec {
     val q = datapipe.TextAnalysis.heavyHittersStream(
       input.toDS().toDF("doc_id", "lang", "text"),
       s"$root/store", s"$root/ckpt", K)
-    // plain-Scala replay of the deterministic MG chain
+    // plain-Scala replay of the deterministic TWO-LEVEL MG chain:
+    // level 1 reduces each (lang, crc32-bucket) slice of the batch to
+    // its own MG(K) summary; level 2 merges the slice summaries into
+    // the persisted state (mirrors mgLocalReduce + mgMerge exactly)
     var state = Map.empty[String, Map[String, Long]]
     var subFired = false
+    def mgReduce(rows: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val summed = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ranked = summed.sortBy { case (w, c) => (-c, w) }
+      val sub = ranked.drop(K).headOption.map(_._2).getOrElse(0L)
+      if (sub > 0) subFired = true
+      ranked.take(K).map { case (w, c) => w -> (c - sub) }
+        .filter(_._2 > 0)
+    }
+    def bucket(w: String): Int = {
+      val c = new java.util.zip.CRC32
+      c.update(w.getBytes("UTF-8"))
+      (c.getValue % datapipe.TextAnalysis.MgBuckets).toInt
+    }
     def mgStep(chunk: Seq[(Long, String, String)]): Unit = {
       val delta = chunk.filter(_._2 != null)
         .flatMap { case (_, l, t) => t.split(" ", -1).map(w => (l, w)) }
         .groupBy(identity).view.mapValues(_.length.toLong).toMap
       val langs = state.keySet ++ delta.keys.map(_._1)
       state = langs.map { l =>
-        val summed = (state.getOrElse(l, Map.empty).toSeq ++
-          delta.collect { case ((`l`, w), c) => w -> c }.toSeq)
-          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
-        val ranked = summed.sortBy { case (w, c) => (-c, w) }
-        val sub = ranked.drop(K).headOption.map(_._2).getOrElse(0L)
-        if (sub > 0) subFired = true
-        l -> ranked.take(K).map { case (w, c) => w -> (c - sub) }
-          .filter(_._2 > 0).toMap
+        val exact = delta.collect { case ((`l`, w), c) => w -> c }.toSeq
+        val level1 = exact.groupBy { case (w, _) => bucket(w) }
+          .toSeq.flatMap { case (_, slice) => mgReduce(slice) }
+        l -> mgReduce(state.getOrElse(l, Map.empty).toSeq ++ level1).toMap
       }.toMap
     }
     try {
@@ -839,5 +851,81 @@ class StreamingSpec extends SparkSpec {
       assert(liveIds(id), s"revived id $id missing from live view"))
     (dels.toSet -- reviveIds).foreach(id =>
       assert(!liveIds(id), s"deleted id $id leaked back into live view"))
+  }
+
+  test("maintenance replay: re-running the last batchId rewrites its own version; true stale generation fails loud") {
+    // the at-least-once contract (round-15 advice): a crash after the
+    // state parquet write but before the checkpoint commit re-runs the
+    // SAME batchId — the trigger must deterministically overwrite its
+    // own version from N-1 + the same delta, never fail, never fork.
+    // Only a version STRICTLY ABOVE batchId (fresh checkpoint over an
+    // old store) is a stale generation and must fail loud.
+    val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val orders = Tables.orders(spark, sf)
+    val rows = orders.orderBy($"o_orderkey").collect()
+    val half = (rows.length + 1) / 2
+    def chunkDf(chunk: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(chunk, 1), orders.schema)
+    def canonState(path: String) =
+      spark.read.parquet(path)
+        .select($"o_custkey", $"n_orders",
+          $"sum_price_dec".cast("double"), $"min_price", $"max_price", $"last_order")
+        .as[(Long, Long, Double, Double, Double, java.sql.Timestamp)]
+        .collect().toSeq.sortBy(_._1)
+    val store = s"$root/rollup"
+    operators.Extras.rollupMaintainBatch(chunkDf(rows.take(half).toSeq), 0, store)
+    operators.Extras.rollupMaintainBatch(chunkDf(rows.drop(half).toSeq), 1, store)
+    val committed = canonState(s"$store/state/batch=1")
+    // replay of the latest batch: finds batch=1 already present, must
+    // rewrite it from batch=0 + the same delta — identical state
+    operators.Extras.rollupMaintainBatch(chunkDf(rows.drop(half).toSeq), 1, store)
+    assert(canonState(s"$store/state/batch=1") === committed,
+      "replayed batch diverged from its first run")
+    // and the replayed chain still equals the one-shot batch rollup
+    val batchQ = operators.Extras.queries("q86_incremental_rollup")(spark, sf)
+      .select($"o_custkey", $"n_orders", $"sum_price", $"min_price",
+        $"max_price", $"last_order")
+      .as[(Long, Long, Double, Double, Double, java.sql.Timestamp)]
+      .collect().toSeq.sortBy(_._1)
+    val reported = operators.Extras.rollupReport(spark, store)
+      .as[(Long, Long, Double, Double, Double, java.sql.Timestamp)]
+      .collect().toSeq.sortBy(_._1)
+    assert(reported === batchQ)
+    // fresh checkpoint over the old store: batchId resets to 0 while
+    // version 1 lingers — a forked chain, must fail loud
+    val ex = intercept[IllegalArgumentException] {
+      operators.Extras.rollupMaintainBatch(chunkDf(rows.take(half).toSeq), 0, store)
+    }
+    assert(ex.getMessage.contains("stale generation"))
+
+    // same contract on the heavy-hitter maintenance
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val dHalf = (docs.length + 1) / 2
+    def docDf(chunk: Seq[(Long, String, String)]) =
+      spark.createDataset(chunk).toDF("doc_id", "lang", "text")
+    val hhStore = s"$root/hh"
+    val K = 8
+    datapipe.TextAnalysis.heavyHittersMaintainBatch(docDf(docs.take(dHalf).toSeq), 0, hhStore, K)
+    datapipe.TextAnalysis.heavyHittersMaintainBatch(docDf(docs.drop(dHalf).toSeq), 1, hhStore, K)
+    def canonHh(v: Long) = (
+      spark.read.parquet(s"$hhStore/sketch/batch=$v")
+        .as[(String, String, Long)].collect().toSet,
+      spark.read.parquet(s"$hhStore/nwords/batch=$v")
+        .as[(String, Long)].collect().toSet)
+    val hhCommitted = canonHh(1)
+    datapipe.TextAnalysis.heavyHittersMaintainBatch(docDf(docs.drop(dHalf).toSeq), 1, hhStore, K)
+    assert(canonHh(1) === hhCommitted,
+      "replayed heavy-hitter batch diverged from its first run")
+    val hhEx = intercept[IllegalArgumentException] {
+      datapipe.TextAnalysis.heavyHittersMaintainBatch(docDf(docs.take(dHalf).toSeq), 0, hhStore, K)
+    }
+    assert(hhEx.getMessage.contains("stale generation"))
+    // report before any commit: clear refusal, not an opaque empty.max
+    val emptyEx = intercept[IllegalArgumentException] {
+      datapipe.TextAnalysis.heavyHittersReport(spark, s"$root/nothing_here")
+    }
+    assert(emptyEx.getMessage.contains("no committed heavy-hitter state"))
   }
 }
