@@ -1891,92 +1891,27 @@ object Similarity {
     // control-frame joins — nothing grows with the corpus except the
     // one truth scan every eval in this family already pays.
     "s32_graph_beam_recall" -> { (s, d) =>
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val emb0 = T.embeddings(s, d)
-      val nbdf = emb0.agg(expr(
-        "greatest(3, length(bin(greatest((count(1) + 255) DIV 256 - 1, 1))))")
-        .cast("int").as("nb"))
-      val embB = emb0.crossJoin(broadcast(nbdf))
-        .withColumn("bucket", lshBucketExpr("embedding", "nb"))
-      val probes = embB.select($"vec_id", $"label",
-        explode(lshProbe1Expr("embedding", "bucket", "nb")).as("bkey"))
-      val bases = embB.select($"vec_id".as("dst"), $"label",
-        $"bucket".as("bkey"))
-      val wsrc = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
-      val e0 = probes.join(bases, Seq("bkey", "label"))
-        .filter($"vec_id" =!= $"dst")
-        .select($"vec_id".as("src"), $"dst").distinct()
-        .join(emb0.select($"vec_id".as("src"), $"embedding".as("se")),
-          Seq("src"))
-        .join(emb0.select($"vec_id".as("dst"), $"embedding".as("de")),
-          Seq("dst"))
-        .withColumn("cosine", cosine_sim($"se", $"de"))
-        .withColumn("rnk", row_number().over(wsrc))
-        .filter($"rnk" <= 4)
-        .select($"src", $"dst")
-      val edges = e0
-        .unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().localCheckpoint()
-      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
-      val qs = emb
-        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
-        .limit(NQ)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-                $"label".as("q_label"))
-        .localCheckpoint()
-      // one brute-force same-label pass: ground truth AND score oracle
-      val scoredAll = emb
-        .join(broadcast(qs), $"label" === $"q_label" && $"vec_id" =!= $"q_id")
-        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
-        .filter(!isnan($"cosine"))
-        .select($"q_id", $"vec_id", $"cosine")
-        .localCheckpoint()
-      val wt = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-      val truth = scoredAll.withColumn("rn", row_number().over(wt))
-        .filter($"rn" <= 10).select($"q_id", $"vec_id")
-        .localCheckpoint()
-      val we = Window.partitionBy($"q_id").orderBy($"vec_id")
-      val entry = scoredAll.withColumn("rn", row_number().over(we))
-        .filter($"rn" === 1).drop("rn")
-      val beams = Seq(2, 4, 8)
-      val wb = Window.partitionBy($"beam", $"q_id")
-        .orderBy($"cosine".desc, $"vec_id")
-      // ONE checkpoint per round (the fresh frame); `visited` stays a
-      // flat union OVER checkpointed frames — materialized leaves, so
-      // neither the anti-join nor the final ranking recomputes a round
-      var visited = beams.map(b => entry.withColumn("beam", lit(b)))
-        .reduce(_ unionByName _)
-        .select($"beam", $"q_id", $"vec_id", $"cosine")
-        .localCheckpoint()
-      var frontier = visited.select($"beam", $"q_id", $"vec_id")
-      for (_ <- 1 to 6) {
-        val fresh = frontier.join(edges, frontier("vec_id") === edges("src"))
-          .select($"beam", $"q_id", edges("dst").as("vec_id")).distinct()
-          .join(visited.select($"beam", $"q_id", $"vec_id"),
-            Seq("beam", "q_id", "vec_id"), "left_anti")
-          .join(scoredAll, Seq("q_id", "vec_id"))
-          .select($"beam", $"q_id", $"vec_id", $"cosine")
-          .localCheckpoint()
-        visited = visited.unionByName(fresh)
-        frontier = fresh.withColumn("rn", row_number().over(wb))
-          .filter($"rn" <= $"beam").select($"beam", $"q_id", $"vec_id")
-      }
-      val nq = qs.agg(count(lit(1)).as("n_q"))
-      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-      visited.withColumn("rn", row_number().over(wb))
-        .join(truth.withColumn("is_true", lit(1L)),
-          Seq("q_id", "vec_id"), "left")
-        .groupBy($"beam")
-        .agg(count(lit(1)).as("n_scored"),
-             sum(when($"rn" <= 10 && $"is_true" === 1L, 1L).otherwise(0L))
-               .as("hits"))
-        .crossJoin(broadcast(nq))
-        .crossJoin(broadcast(nTruth))
-        .select($"beam", $"n_q", $"n_truth", $"hits", $"n_scored",
-          ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
-          ($"n_scored" / $"n_q".cast("double")).as("avg_scored"))
-        .orderBy($"beam")
+      graphBeamRecall(s, d, nEntries = 1)
+    },
+
+    // MULTI-ENTRY BEAM SEARCH — s32 with the entry-diversity knob a
+    // low-beam HNSW-quality search actually turns (round-15 advice
+    // #4): a single min-id entry point makes low-beam recall hostage
+    // to one neighborhood's connectivity — one bad entry and beam 2
+    // explores the wrong basin for all 6 rounds. Production graph
+    // indexes fix this with entry DIVERSITY (multiple seeds or a
+    // coarser top layer); this is the multi-seed form: 4 deterministic
+    // entries per query (same-label vectors ranked by phash(vec_id) —
+    // id-hash spread, known without any auxiliary structure, exactly
+    // as deterministic as s32's min-id), riding the SAME beam-tagged
+    // bounded-frontier loop, rounds, and scoring as s32 — the only
+    // diff is the entry CTE, so the recall-vs-scored delta against
+    // s32 at equal beam isolates what diversity buys (the comparison
+    // table lives in ScaleOpsSpec + the bench notes). Scale shape
+    // identical to s32: frontier ≤ max(entries, beam) rows per query,
+    // one truth scan, O(n·K) edges.
+    "s34_multi_entry_beam" -> { (s, d) =>
+      graphBeamRecall(s, d, nEntries = 4)
     },
 
     // GRAPH-BUILD KNOB PRICING — d32's discipline (price the explosion
@@ -2057,6 +1992,108 @@ object Similarity {
       }.reduce(_ unionByName _).orderBy($"nb")
     }
   )
+
+  /** The shared graph-build + beam-search recall harness behind
+    * s32/s34: coarse-blocked symmetrized kNN graph, NQ sampled
+    * queries, one brute-force same-label truth/score pass, 6
+    * bounded-frontier beam-tagged rounds, per-beam recall@10 +
+    * visited-count report. `nEntries` picks the seeding: 1 = s32's
+    * min-id entry; k > 1 = k phash-spread same-label seeds (all k
+    * enter round 0's frontier; later frontiers keep top-beam). */
+  private def graphBeamRecall(s: SparkSession, d: String,
+                              nEntries: Int): DataFrame = {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb0 = T.embeddings(s, d)
+      val nbdf = emb0.agg(expr(
+        "greatest(3, length(bin(greatest((count(1) + 255) DIV 256 - 1, 1))))")
+        .cast("int").as("nb"))
+      val embB = emb0.crossJoin(broadcast(nbdf))
+        .withColumn("bucket", lshBucketExpr("embedding", "nb"))
+      val probes = embB.select($"vec_id", $"label",
+        explode(lshProbe1Expr("embedding", "bucket", "nb")).as("bkey"))
+      val bases = embB.select($"vec_id".as("dst"), $"label",
+        $"bucket".as("bkey"))
+      val wsrc = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
+      val e0 = probes.join(bases, Seq("bkey", "label"))
+        .filter($"vec_id" =!= $"dst")
+        .select($"vec_id".as("src"), $"dst").distinct()
+        .join(emb0.select($"vec_id".as("src"), $"embedding".as("se")),
+          Seq("src"))
+        .join(emb0.select($"vec_id".as("dst"), $"embedding".as("de")),
+          Seq("dst"))
+        .withColumn("cosine", cosine_sim($"se", $"de"))
+        .withColumn("rnk", row_number().over(wsrc))
+        .filter($"rnk" <= 4)
+        .select($"src", $"dst")
+      val edges = e0
+        .unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+        .distinct().localCheckpoint()
+      val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
+      val qs = emb
+        .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+        .limit(NQ)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+                $"label".as("q_label"))
+        .localCheckpoint()
+      // one brute-force same-label pass: ground truth AND score oracle
+      val scoredAll = emb
+        .join(broadcast(qs), $"label" === $"q_label" && $"vec_id" =!= $"q_id")
+        .withColumn("cosine", cosine_sim($"embedding", $"q_emb"))
+        .filter(!isnan($"cosine"))
+        .select($"q_id", $"vec_id", $"cosine")
+        .localCheckpoint()
+      val wt = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      val truth = scoredAll.withColumn("rn", row_number().over(wt))
+        .filter($"rn" <= 10).select($"q_id", $"vec_id")
+        .localCheckpoint()
+      // 1 entry: the min-id vector (s32's published contract);
+      // multi-entry: phash-spread ids — diverse basins, no structure
+      val we = Window.partitionBy($"q_id").orderBy(
+        (if (nEntries == 1) Seq($"vec_id".asc)
+         else Seq(graft.Dets.phash($"vec_id".cast("string")).asc,
+                  $"vec_id".asc)): _*)
+      val entry = scoredAll.withColumn("rn", row_number().over(we))
+        .filter($"rn" <= nEntries).drop("rn")
+      val beams = Seq(2, 4, 8)
+      val wb = Window.partitionBy($"beam", $"q_id")
+        .orderBy($"cosine".desc, $"vec_id")
+      // ONE checkpoint per round (the fresh frame); `visited` stays a
+      // flat union OVER checkpointed frames — materialized leaves, so
+      // neither the anti-join nor the final ranking recomputes a round
+      var visited = beams.map(b => entry.withColumn("beam", lit(b)))
+        .reduce(_ unionByName _)
+        .select($"beam", $"q_id", $"vec_id", $"cosine")
+        .localCheckpoint()
+      var frontier = visited.select($"beam", $"q_id", $"vec_id")
+      for (_ <- 1 to 6) {
+        val fresh = frontier.join(edges, frontier("vec_id") === edges("src"))
+          .select($"beam", $"q_id", edges("dst").as("vec_id")).distinct()
+          .join(visited.select($"beam", $"q_id", $"vec_id"),
+            Seq("beam", "q_id", "vec_id"), "left_anti")
+          .join(scoredAll, Seq("q_id", "vec_id"))
+          .select($"beam", $"q_id", $"vec_id", $"cosine")
+          .localCheckpoint()
+        visited = visited.unionByName(fresh)
+        frontier = fresh.withColumn("rn", row_number().over(wb))
+          .filter($"rn" <= $"beam").select($"beam", $"q_id", $"vec_id")
+      }
+      val nq = qs.agg(count(lit(1)).as("n_q"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      visited.withColumn("rn", row_number().over(wb))
+        .join(truth.withColumn("is_true", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy($"beam")
+        .agg(count(lit(1)).as("n_scored"),
+             sum(when($"rn" <= 10 && $"is_true" === 1L, 1L).otherwise(0L))
+               .as("hits"))
+        .crossJoin(broadcast(nq))
+        .crossJoin(broadcast(nTruth))
+        .select($"beam", $"n_q", $"n_truth", $"hits", $"n_scored",
+          ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+          ($"n_scored" / $"n_q".cast("double")).as("avg_scored"))
+        .orderBy($"beam")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s01_topk_cosine" ->
@@ -3218,110 +3255,16 @@ object Similarity {
     // (anti-join via NOT EXISTS, top-beam window per round —
     // MATERIALIZED, each round references the previous twice). Same
     // NQ sample, same-label brute-force truth.
-    "s32_graph_beam_recall" -> {
-      val rounds = (1 to 6).map { r =>
-        val pv = s"v${r - 1}"
-        val pf = s"f${r - 1}"
-        s"""n$r AS MATERIALIZED (
-           |  SELECT DISTINCT f.beam, f.q_id, g.dst AS vec_id, sa.cosine
-           |  FROM $pf f JOIN sym g ON g.src = f.vec_id
-           |  JOIN sa ON sa.q_id = f.q_id AND sa.vec_id = g.dst
-           |  WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.beam = f.beam
-           |    AND v.q_id = f.q_id AND v.vec_id = g.dst)),
-           |v$r AS MATERIALIZED (
-           |  SELECT * FROM $pv UNION ALL SELECT * FROM n$r),
-           |f$r AS (
-           |  SELECT beam, q_id, vec_id FROM (
-           |    SELECT beam, q_id, vec_id,
-           |      row_number() OVER (PARTITION BY beam, q_id
-           |        ORDER BY cosine DESC, vec_id) AS rn
-           |    FROM n$r) z WHERE rn <= beam)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH nbv AS (
-         |  SELECT GREATEST(3, length(bin(GREATEST(
-         |    (COUNT(*) + 255) // 256 - 1, 1)))) AS nb
-         |  FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, label, embedding,
-         |    ${lshBucketSql("embedding", "nb")} AS bucket
-         |  FROM embeddings, nbv),
-         |p AS (
-         |  SELECT vec_id, label,
-         |    unnest(${lshProbe1Sql("embedding", "bucket", "nb")}) AS bkey
-         |  FROM b, nbv),
-         |cand AS (
-         |  SELECT DISTINCT p.vec_id AS src, e.vec_id AS dst, p.label AS label
-         |  FROM p JOIN b e ON e.bucket = p.bkey AND e.label = p.label
-         |  WHERE e.vec_id <> p.vec_id),
-         |sc AS (
-         |  SELECT c.src, c.dst,
-         |    ${dotSql("x.embedding", "y.embedding")} /
-         |    (sqrt(${dotSql("x.embedding", "x.embedding")}) *
-         |     sqrt(${dotSql("y.embedding", "y.embedding")})) AS cosine
-         |  FROM cand c
-         |  JOIN embeddings x ON x.vec_id = c.src
-         |  JOIN embeddings y ON y.vec_id = c.dst),
-         |edges AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
-         |        AS rnk
-         |    FROM sc) z WHERE rnk <= 4),
-         |sym AS MATERIALIZED (
-         |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-         |eb AS (
-         |  SELECT vec_id, label, embedding FROM embeddings
-         |  WHERE len(embedding) > 0),
-         |q AS MATERIALIZED (
-         |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
-         |  FROM eb $sampleOrderSql),
-         |sa AS MATERIALIZED (
-         |  SELECT q.q_id, e.vec_id,
-         |    ${dotSql("e.embedding", "q.q_emb")} /
-         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
-         |  FROM eb e JOIN q ON e.label = q.q_label
-         |  WHERE e.vec_id <> q.q_id
-         |    AND NOT isnan(${dotSql("e.embedding", "q.q_emb")} /
-         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
-         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})))),
-         |truth AS MATERIALIZED (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cosine DESC, vec_id) AS rn
-         |    FROM sa) z WHERE rn <= 10),
-         |entry AS (
-         |  SELECT q_id, vec_id, cosine FROM (
-         |    SELECT q_id, vec_id, cosine,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY vec_id) AS rn
-         |    FROM sa) z WHERE rn = 1),
-         |beams AS (SELECT unnest([2, 4, 8]) AS beam),
-         |v0 AS MATERIALIZED (
-         |  SELECT beam, q_id, vec_id, cosine FROM beams, entry),
-         |f0 AS (SELECT beam, q_id, vec_id FROM v0),
-         |$rounds,
-         |ranked AS (
-         |  SELECT beam, q_id, vec_id,
-         |    row_number() OVER (PARTITION BY beam, q_id
-         |      ORDER BY cosine DESC, vec_id) AS rn
-         |  FROM v6),
-         |rep AS (
-         |  SELECT beam, COUNT(*) AS n_scored,
-         |    CAST(SUM(CASE WHEN z.rn <= 10 AND t.vec_id IS NOT NULL
-         |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
-         |  FROM ranked z LEFT JOIN truth t
-         |    ON z.q_id = t.q_id AND z.vec_id = t.vec_id
-         |  GROUP BY beam)
-         |SELECT beam,
-         |  (SELECT COUNT(*) FROM q) AS n_q,
-         |  (SELECT COUNT(*) FROM truth) AS n_truth,
-         |  hits, n_scored,
-         |  hits / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)
-         |    AS recall_at_10,
-         |  n_scored / CAST((SELECT COUNT(*) FROM q) AS DOUBLE)
-         |    AS avg_scored
-         |FROM rep ORDER BY beam""".stripMargin
-    },
+    "s32_graph_beam_recall" -> graphBeamRecallOracleSql(
+      entryOrderSql = "vec_id", entryRnCond = "rn = 1"),
+
+    // s34: the identical chain with the ONLY diff the entry CTE — 4
+    // phash-spread same-label seeds instead of the single min-id
+    // (mirrors graphBeamRecall(nEntries = 4) exactly).
+    "s34_multi_entry_beam" -> graphBeamRecallOracleSql(
+      entryOrderSql =
+        s"${graft.Dets.phashSql("CAST(vec_id AS VARCHAR)")}, vec_id",
+      entryRnCond = "rn <= 4"),
 
     // s31: both quantizers trained with s03's exact-decimal means
     // (IVF: vec_id % 256 full-vector; IMI: vec_id % 16 per half),
@@ -3468,4 +3411,116 @@ object Similarity {
          |ORDER BY layout""".stripMargin
     }
   )
+
+  /** Shared DuckDB mirror of [[graphBeamRecall]] — the s30-style graph
+    * chain at the coarse search blocking, 6 unrolled beam rounds
+    * (MATERIALIZED — each references the previous twice), same NQ
+    * sample and same-label brute-force truth; the entry CTE is the
+    * only parameterized piece (s32: min-id; s34: 4 phash-spread). */
+  private def graphBeamRecallOracleSql(entryOrderSql: String,
+                                       entryRnCond: String): String = {
+      val rounds = (1 to 6).map { r =>
+        val pv = s"v${r - 1}"
+        val pf = s"f${r - 1}"
+        s"""n$r AS MATERIALIZED (
+           |  SELECT DISTINCT f.beam, f.q_id, g.dst AS vec_id, sa.cosine
+           |  FROM $pf f JOIN sym g ON g.src = f.vec_id
+           |  JOIN sa ON sa.q_id = f.q_id AND sa.vec_id = g.dst
+           |  WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.beam = f.beam
+           |    AND v.q_id = f.q_id AND v.vec_id = g.dst)),
+           |v$r AS MATERIALIZED (
+           |  SELECT * FROM $pv UNION ALL SELECT * FROM n$r),
+           |f$r AS (
+           |  SELECT beam, q_id, vec_id FROM (
+           |    SELECT beam, q_id, vec_id,
+           |      row_number() OVER (PARTITION BY beam, q_id
+           |        ORDER BY cosine DESC, vec_id) AS rn
+           |    FROM n$r) z WHERE rn <= beam)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nbv AS (
+         |  SELECT GREATEST(3, length(bin(GREATEST(
+         |    (COUNT(*) + 255) // 256 - 1, 1)))) AS nb
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${lshBucketSql("embedding", "nb")} AS bucket
+         |  FROM embeddings, nbv),
+         |p AS (
+         |  SELECT vec_id, label,
+         |    unnest(${lshProbe1Sql("embedding", "bucket", "nb")}) AS bkey
+         |  FROM b, nbv),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS src, e.vec_id AS dst, p.label AS label
+         |  FROM p JOIN b e ON e.bucket = p.bkey AND e.label = p.label
+         |  WHERE e.vec_id <> p.vec_id),
+         |sc AS (
+         |  SELECT c.src, c.dst,
+         |    ${dotSql("x.embedding", "y.embedding")} /
+         |    (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+         |     sqrt(${dotSql("y.embedding", "y.embedding")})) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings x ON x.vec_id = c.src
+         |  JOIN embeddings y ON y.vec_id = c.dst),
+         |edges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
+         |        AS rnk
+         |    FROM sc) z WHERE rnk <= 4),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |eb AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE len(embedding) > 0),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+         |  FROM eb $sampleOrderSql),
+         |sa AS MATERIALIZED (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})) AS cosine
+         |  FROM eb e JOIN q ON e.label = q.q_label
+         |  WHERE e.vec_id <> q.q_id
+         |    AND NOT isnan(${dotSql("e.embedding", "q.q_emb")} /
+         |    (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |     sqrt(${dotSql("q.q_emb", "q.q_emb")})))),
+         |truth AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM sa) z WHERE rn <= 10),
+         |entry AS (
+         |  SELECT q_id, vec_id, cosine FROM (
+         |    SELECT q_id, vec_id, cosine,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY $entryOrderSql) AS rn
+         |    FROM sa) z WHERE $entryRnCond),
+         |beams AS (SELECT unnest([2, 4, 8]) AS beam),
+         |v0 AS MATERIALIZED (
+         |  SELECT beam, q_id, vec_id, cosine FROM beams, entry),
+         |f0 AS (SELECT beam, q_id, vec_id FROM v0),
+         |$rounds,
+         |ranked AS (
+         |  SELECT beam, q_id, vec_id,
+         |    row_number() OVER (PARTITION BY beam, q_id
+         |      ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM v6),
+         |rep AS (
+         |  SELECT beam, COUNT(*) AS n_scored,
+         |    CAST(SUM(CASE WHEN z.rn <= 10 AND t.vec_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM ranked z LEFT JOIN truth t
+         |    ON z.q_id = t.q_id AND z.vec_id = t.vec_id
+         |  GROUP BY beam)
+         |SELECT beam,
+         |  (SELECT COUNT(*) FROM q) AS n_q,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  hits, n_scored,
+         |  hits / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)
+         |    AS recall_at_10,
+         |  n_scored / CAST((SELECT COUNT(*) FROM q) AS DOUBLE)
+         |    AS avg_scored
+         |FROM rep ORDER BY beam""".stripMargin
+  }
 }

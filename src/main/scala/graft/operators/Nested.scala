@@ -92,6 +92,23 @@ object Nested {
         .orderBy(col("event_id"))
     },
 
+    // AQE PARTITION COALESCE — q92's sibling and the OTHER always-on
+    // runtime knob a 100 TB deployment leans on: shuffle partition
+    // count is a static global guess (set high so the biggest join in
+    // the job survives), so every SMALLER shuffle in that job produces
+    // hundreds of near-empty reducers — scheduler overhead, tiny
+    // files, cold caches. AQE's CoalesceShufflePartitions folds them
+    // into sane reads at runtime from the map output sizes. The query
+    // is a plain keyed agg on a derived session whose shuffle count is
+    // deliberately overprovisioned (200); the executed adaptive plan
+    // must show AQEShuffleRead(coalesced) with far fewer partitions —
+    // PlanShapeSpec pins it — while the result is the plain agg
+    // (runtime re-planning must be semantically invisible, q92's
+    // discipline; the oracle is that plain agg).
+    "q93_aqe_coalesce" -> { (s, d) =>
+      coalesceAggFrame(s, d)
+    },
+
     // Skew profile — the diagnostic that DECIDES q48's salting: per-key
     // group sizes (one narrow (key, count) shuffle), a 1-row global
     // stats frame broadcast back (no driver scalar), and the top-5
@@ -183,7 +200,33 @@ object Nested {
     probe.hint("merge").join(build.hint("merge"), Seq("user_id"))
   }
 
+  /** q93's overprovisioned-shuffle agg on a derived AQE session —
+    * factored out so PlanShapeSpec can execute it and pin the coalesced
+    * AQEShuffleRead. 200 initial shuffle partitions stands in for the
+    * production "sized for the job's biggest join" global; nothing else
+    * is fixture-tuned — coalescing is on by default in Spark, which is
+    * the point: this is the plan every small-shuffle stage gets for
+    * free once AQE is left on. */
+  private[graft] val CoalesceInitialPartitions = 200
+  private[graft] def coalesceAggFrame(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", CoalesceInitialPartitions)
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    T.events(s2, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.Dets.dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q93: the plain agg — partition coalescing must be invisible.
+    "q93_aqe_coalesce" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // q92: the plain join over the same planted probe — skew splitting
     // must be semantically invisible.
     "q92_aqe_skew_join" ->

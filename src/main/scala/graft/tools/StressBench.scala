@@ -366,7 +366,12 @@ object StressBench {
       "q91_cbo_join_reorder," +
       // q92: one shuffled join over the planted probe; the AQE skew
       // split keeps the hot partition parallel — linear, no straggler
-      "q92_aqe_skew_join"
+      "q92_aqe_skew_join," +
+      // s34: s32's bill with 4 seeds instead of 1 — same build, same
+      // fixed rounds; the extra seeding is O(NQ) control rows — flat
+      "s34_multi_entry_beam," +
+      // q93: one coalesced keyed agg — linear in events like q01
+      "q93_aqe_coalesce"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1122,7 +1122,7 @@ class OperatorSpec extends SparkSpec {
       "round-2 token accounting drifted")
   }
 
-  test("t15: 8 checkpointed rounds run linearly and keep exact token accounting") {
+  test("t15: 8 checkpointed rounds run linearly; artifact equals direct recompute at every depth") {
     // the eager trainer mode: per-round argmax materialized (1 row),
     // word table checkpointed every 4 rounds — lineage stays bounded,
     // so 8 rounds must not blow up analysis or recompute early rounds
@@ -1140,12 +1140,37 @@ class OperatorSpec extends SparkSpec {
         s"round ${b._1}: tokens ${a._5} -> ${b._5} but n=${b._3}")
     }
     assert(rows.forall(_._3 > 0))
-    // the first 2 rounds must equal the oracle-checked lazy path
-    val lazyRows = datapipe.TextAnalysis.queries("t15_bpe_train")(spark, sf)
+    // artifact == direct recompute: the served entries (t15/t15b/t15c
+    // read the persisted trained-tokenizer artifact) must be row-equal
+    // to this from-scratch eager run at every published depth...
+    Seq(("t15_bpe_train", 2), ("t15b_bpe_train_r4", 4),
+        ("t15c_bpe_train_r8", 8)).foreach { case (q, depth) =>
+      val served = datapipe.TextAnalysis.queries(q)(spark, sf)
+        .select($"round", $"pair", $"n", $"vocab", $"total_tokens")
+        .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+      assert(served.toSeq === rows.take(depth).toSeq,
+        s"$q diverged from the direct eager trainer")
+    }
+    // ...and to the LAZY single-DAG trainer (the oracle-parity mode)
+    val lazyRows = datapipe.TextAnalysis.bpeTrain(
+        Tables.documents(spark, sf), rounds = 2)
       .select($"round", $"pair", $"n", $"vocab", $"total_tokens")
       .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
     assert(rows.take(2).toSeq === lazyRows.toSeq,
-      "eager trainer diverged from the oracle-checked path")
+      "eager trainer diverged from the lazy single-DAG path")
+    // the word-table snapshots the encoders broadcast match a direct
+    // merge replay at each snapshot depth
+    Seq(2, 4).foreach { depth =>
+      val direct = datapipe.TextAnalysis.bpeMergedWords(
+          Tables.documents(spark, sf), rounds = depth)
+        .select($"w", $"freq", $"seq")
+        .as[(String, Long, String)].collect().toSet
+      val art = spark.read.parquet(
+          s"${datapipe.TextAnalysis.bpeArtifact(spark, sf)}/words/round=$depth")
+        .select($"w", $"freq", $"seq")
+        .as[(String, Long, String)].collect().toSet
+      assert(art === direct, s"artifact word table at depth $depth drifted")
+    }
     // loose ceiling only to catch lineage blowup (8 rounds of this
     // corpus run in a few seconds when checkpointing works; an
     // unbounded-lineage run is minutes)
@@ -1781,7 +1806,14 @@ class OperatorSpec extends SparkSpec {
       .as[(Long, Seq[Float], Int)].collect()
     var nTruthAll = 0L
     val perBeam = scala.collection.mutable.Map[Int, (Long, Long)]()
-      .withDefaultValue((0L, 0L)) // beam -> (hits, n_scored)
+      .withDefaultValue((0L, 0L)) // beam -> (hits, n_scored), s32 seeding
+    val perBeamMulti = scala.collection.mutable.Map[Int, (Long, Long)]()
+      .withDefaultValue((0L, 0L)) // same, s34's 4 phash-spread seeds
+    // JVM mirror of Dets.phash: first 15 hex chars of md5 as a long
+    def phashScala(str: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
     qs.foreach { case (qid, qe, ql) =>
       val scored = base.filter { case (id, _, l) => id != qid && l == ql }
         .map { case (id, e, _) => id -> cosExact(qe, e) }
@@ -1790,10 +1822,9 @@ class OperatorSpec extends SparkSpec {
         .take(10).map(_._1).toSet
       nTruthAll += truth.size
       if (scored.nonEmpty) {
-        val entry = scored.keys.min
-        Seq(2, 4, 8).foreach { beam =>
-          val visited = scala.collection.mutable.Set(entry)
-          var frontier = Seq(entry)
+        def search(entries: Seq[Long], beam: Int): (Long, Long) = {
+          val visited = scala.collection.mutable.Set(entries: _*)
+          var frontier = entries
           for (_ <- 1 to 6) {
             val fresh = frontier.flatMap(v => sym.getOrElse(v, Set.empty))
               .distinct
@@ -1802,26 +1833,63 @@ class OperatorSpec extends SparkSpec {
             frontier = fresh.sortBy(d => (-scored(d), d)).take(beam)
           }
           val top10 = visited.toSeq.sortBy(d => (-scored(d), d)).take(10)
+          (top10.count(truth).toLong, visited.size.toLong)
+        }
+        val single = Seq(scored.keys.min)
+        val multi = scored.keys.toSeq
+          .sortBy(id => (phashScala(id.toString), id)).take(4)
+        Seq(2, 4, 8).foreach { beam =>
           val (h, n) = perBeam(beam)
-          perBeam(beam) = (h + top10.count(truth), n + visited.size)
+          val (dh, dn) = search(single, beam)
+          perBeam(beam) = (h + dh, n + dn)
+          val (h2, n2) = perBeamMulti(beam)
+          val (dh2, dn2) = search(multi, beam)
+          perBeamMulti(beam) = (h2 + dh2, n2 + dn2)
         }
       }
     }
-    out.foreach { case (beam, nq, nt, hits, nScored, recall, avgScored) =>
-      assert(nq === qs.length.toLong)
-      assert(nt === nTruthAll)
-      assert((hits, nScored) === perBeam(beam), s"beam=$beam replay")
-      // derived doubles are exactly the integer ratios
-      assert(recall === hits.toDouble / nt)
-      assert(avgScored === nScored.toDouble / nq)
-      assert(hits <= nt && nScored >= nq,
-        s"beam=$beam inconsistent counts")
-    }
+    def checkAgainst(rows: Seq[(Int, Long, Long, Long, Long, Double, Double)],
+                     replay: collection.Map[Int, (Long, Long)],
+                     tag: String): Unit =
+      rows.foreach { case (beam, nq, nt, hits, nScored, recall, avgScored) =>
+        assert(nq === qs.length.toLong)
+        assert(nt === nTruthAll)
+        assert((hits, nScored) === replay(beam), s"$tag beam=$beam replay")
+        // derived doubles are exactly the integer ratios
+        assert(recall === hits.toDouble / nt)
+        assert(avgScored === nScored.toDouble / nq)
+        assert(hits <= nt && nScored >= nq,
+          s"$tag beam=$beam inconsistent counts")
+      }
+    checkAgainst(out.toSeq, perBeam, "s32")
     // non-vacuous: the search EXPANDED past its entry points (otherwise
     // the graph/rounds are broken and recall measures nothing), and the
     // widest beam found at least some of the truth
     assert(out.forall(_._5 > out.head._2), "search never left the entry")
     assert(out.last._4 > 0L, "beam-8 search found zero ground truth")
+
+    // s34 = the same chain, 4 phash-spread seeds — replays exactly too
+    val outM = datapipe.Similarity.queries("s34_multi_entry_beam")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+    assert(outM.map(_._1).toSeq === Seq(2, 4, 8))
+    checkAgainst(outM.toSeq, perBeamMulti, "s34")
+    // what entry diversity BUYS (the recall-vs-cost table): at the low
+    // beam, 4 seeds must lift recall@10 strictly while still scoring
+    // fewer nodes per query than s32 simply widening its beam to 4 —
+    // recall for less than the next beam step's price
+    val s32r = out.map(r => r._1 -> r).toMap
+    val s34r = outM.map(r => r._1 -> r).toMap
+    assert(s34r(2)._6 > s32r(2)._6,
+      s"no beam-2 recall lift: s34=${s34r(2)._6} vs s32=${s32r(2)._6}")
+    assert(s34r(2)._7 < s32r(4)._7,
+      s"beam-2 multi-entry cost ${s34r(2)._7} not below s32's beam-4 " +
+        s"${s32r(4)._7}")
+    // at wider beams diversity must never cost more than a whisker of
+    // recall (the beam itself already explores; ±1 hit of wiggle)
+    Seq(4, 8).foreach { b =>
+      assert(s34r(b)._4 >= s32r(b)._4 - 1,
+        s"beam=$b: multi-entry lost recall ${s34r(b)._4} vs ${s32r(b)._4}")
+    }
   }
 
   test("s33: build-knob table replays per config; the pair bill falls as bits rise") {

@@ -68,6 +68,38 @@ class PlanShapeSpec extends SparkSpec {
         p.take(1200))
   }
 
+  test("q93: AQE coalesces the overprovisioned shuffle — coalesced AQEShuffleRead, far fewer partitions") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    val df = operators.Nested.coalesceAggFrame(spark, sf)
+    // execute through the dataset's OWN QueryExecution (q92's lesson:
+    // write()/count() build separate ones, leaving this one unexecuted)
+    df.collect()
+    val adaptive = df.queryExecution.executedPlan
+      .collectFirst { case a: AdaptiveSparkPlanExec => a }
+      .getOrElse(fail("no adaptive plan — AQE did not engage:\n" +
+        df.queryExecution.executedPlan.toString.take(600)))
+    // query stages wrap their subplans as non-child fields, so a plain
+    // collect stops at the stage boundary — descend explicitly
+    def allReads(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[AQEShuffleReadExec] =
+      p.collect { case r: AQEShuffleReadExec => r } ++
+        p.collect { case qs: QueryStageExec => qs }
+          .flatMap(qs => allReads(qs.plan))
+    val reads = allReads(adaptive.executedPlan)
+    assert(reads.nonEmpty, "no AQEShuffleRead in the final adaptive plan:\n"
+      + adaptive.executedPlan.toString.take(1200))
+    // every post-shuffle read must have been folded below the
+    // overprovisioned count — at fixture scale, far below it
+    reads.foreach { r =>
+      assert(r.partitionSpecs.size < operators.Nested.CoalesceInitialPartitions,
+        s"read kept ${r.partitionSpecs.size} partitions of the " +
+          s"overprovisioned ${operators.Nested.CoalesceInitialPartitions}")
+    }
+    assert(adaptive.executedPlan.toString.contains("coalesced"),
+      "AQEShuffleRead present but not marked coalesced:\n" +
+        adaptive.executedPlan.toString.take(1200))
+  }
+
   test("q91: CBO reorders the stated worst-order join — customer meets orders before lineitem") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val lp = operators.Extras.cboJoinFrame(spark, sf)
