@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   * be committed as BENCH_LOCAL (stderr flags it); whole-run uniform
   * load is caught by comparing the sentinel median to the committed
   * record's q01 at close.
+  *
+  * Salvage (round-15 advice): when a sentinel SPIKE localizes the
+  * contamination, the ~30-query windows adjacent to it re-run once at
+  * the end (bracketed by fresh sentinels) and land in `reruns` —
+  * a contaminated run still yields a usable per-query board, flagged
+  * per entry, instead of a dead record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -113,6 +119,53 @@ object Bench {
     // round 9 showed consumers summing the map get silently wrong totals,
     // and a partial run must be visibly partial, not just smaller).
     val (ok, bad) = results.partition(_._2 >= 0)
+
+    // contamination salvage (round-15 advice #5): a flagged record used
+    // to be a dead record — the whole multi-hour run yielded no usable
+    // per-query board. Localize instead: a sentinel SPIKE (> 1.5× the
+    // sentinel median) brackets ~30 queries on each side; re-run those
+    // once at the end, bracketed by fresh sentinels, and emit BOTH
+    // readings — `queries` keeps the in-run timings (the honest record
+    // of what happened), `reruns` carries the salvage pass per flagged
+    // entry, and `rerun_sentinels` lets a reader judge whether the
+    // salvage window itself was clean. Uniform whole-run load shows no
+    // spike and gets no salvage — that case is only catchable at close
+    // vs the committed record, as before.
+    val (salvage, rerunSentinels): (Seq[(String, Double)], Seq[Double]) = {
+      val okS = sentinels.filter(_ >= 0).sorted
+      val med = if (okS.isEmpty) 0.0 else okS(okS.size / 2)
+      val spikes = sentinels.zipWithIndex
+        .collect { case (v, j) if v >= 0 && med > 0 && v > 1.5 * med => j }
+        .toSet
+      if (spikes.isEmpty) (Seq.empty, Seq.empty)
+      else {
+        // sentinel j ran after query (j*30 - 1); a spike at j taints
+        // the windows on both of its sides
+        val tainted = results.zipWithIndex.collect {
+          case ((n, t), i) if t >= 0 &&
+            (spikes.contains(i / 30) || spikes.contains(i / 30 + 1)) => n
+        }
+        // cap the salvage bill at the worst offenders (by in-run time):
+        // a run with spikes everywhere would otherwise double itself
+        val byCost = tainted.sortBy(n => -results.find(_._1 == n).get._2)
+          .take(48).toSet
+        val pre = sentinelRun()
+        val rr = results.collect {
+          case (n, t) if t >= 0 && byCost.contains(n) =>
+            val t0 = System.nanoTime()
+            val rerunOk =
+              try { SparkEntry.queries(n)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save(); true }
+              catch { case _: Throwable => false }
+            val el = if (rerunOk) (System.nanoTime() - t0) / 1e9 else -1.0
+            spark.catalog.clearCache()
+            n -> el
+        }
+        val post = sentinelRun()
+        (rr, Seq(pre, post))
+      }
+    }
+
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedArr = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -121,13 +174,18 @@ object Bench {
     // decimal (an f"%.3f" under de_DE/fr_FR would produce invalid JSON)
     def num3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val sentArr = sentinels.map(num3).mkString("[", ",", "]")
+    val rerunQs = salvage.filter(_._2 >= 0)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rerunSentArr = rerunSentinels.map(num3).mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"""" +
       s""","sentinels":$sentArr,"sentinel_spread":${num3(spread)}""" +
+      s""","reruns":$rerunQs,"rerun_sentinels":$rerunSentArr""" +
       s""","loadavg_start":"$loadavgStart","loadavg_end":"$loadavgEnd"}"""
     if (spread > 1.5 || spread < 0)
       System.err.println(s"[bench] CONTAMINATED: sentinel spread ${num3(spread)} " +
-        "(gate 1.5; -1 = a sentinel failed) — do not commit this record as BENCH_LOCAL")
+        "(gate 1.5; -1 = a sentinel failed) — do not commit this record as " +
+        s"BENCH_LOCAL; ${salvage.size} spike-window queries re-run in `reruns`")
     if (bad.nonEmpty)
       System.err.println(s"[bench] STOP-SHIP: ${bad.size} queries failed: " +
         bad.map(_._1).mkString(","))

@@ -2,18 +2,24 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Dev-only probe for the round-14 perf-weak set (q29/q43/q75): in ONE
-  * boot (the repo's same-boot A/B discipline), separates per-query cost
-  * into PLANNING (analysis+optimization+physical planning, forced via
-  * queryExecution.executedPlan) and EXECUTION (noop write), repeated, with
-  * q01 as the load sentinel and q46 as the judge-exonerated control.
-  * Bisects the suspects from VERDICT r14: GraftExtensions' injected rule/
-  * strategy (A/B via a clean `newSession()`), fixture prep inside the
-  * timed region, and input-scan floor per table.
+/** Dev-only probe for a perf-weak set: in ONE boot (the repo's
+  * same-boot A/B discipline), separates per-query cost into PLANNING
+  * (analysis+optimization+physical planning, forced via
+  * queryExecution.executedPlan) and EXECUTION (noop write), repeated,
+  * with q01 as the load sentinel.
+  *
+  * Usage: `runMain graft.tools.DriftProbe [sfDir] [q1,q2,...]`.
+  * With an explicit query list (round-16 shape: the s-family + q69
+  * drift check), probes those names on a clean warmed session —
+  * rep1 vs warm separates first-execution codegen/JIT session cost
+  * from a real plan regression. Without one, runs the original
+  * round-15 protocol for q29/q43/q75: clean-vs-extensions session A/B
+  * plus component floors.
   */
 object DriftProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val explicit = args.drop(1).headOption.map(_.split(",").toSeq)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -45,6 +51,22 @@ object DriftProbe {
     graft.Tables.lineitem(clean, sfDir).count()
     graft.SparkEntry.queries("q01_pricing_summary")(clean, sfDir)
       .write.format("noop").mode("overwrite").save()
+
+    explicit.foreach { names =>
+      // round-16 shape: probe an explicit suspect list, reps=4 — rep1
+      // carries any first-execution codegen/JIT cost, warm reps are the
+      // query's true bill; q01 sentinels bracket the list for load
+      println(s"== explicit probe: ${names.mkString(", ")} ==")
+      bench(clean, "q01_pricing_summary(sentinel)")(
+        graft.SparkEntry.queries("q01_pricing_summary")(clean, sfDir))
+      names.foreach { n =>
+        bench(clean, n, reps = 4)(graft.SparkEntry.queries(n)(clean, sfDir))
+      }
+      bench(clean, "q01_pricing_summary(sentinel)")(
+        graft.SparkEntry.queries("q01_pricing_summary")(clean, sfDir))
+      spark.stop()
+      return
+    }
 
     println("== phase 1: clean session (no extensions registered) ==")
     Seq("q01_pricing_summary", "q29_asof_join", "q43_bottomk_sketch",
