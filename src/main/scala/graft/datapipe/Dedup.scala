@@ -52,6 +52,49 @@ object Dedup {
   private val D12_FIX = ContaminationFixture(50, 5000000L, "leak")
   private val D17_FIX = ContaminationFixture(40, 7000000L, "blm")
 
+  /** d40's PARAPHRASED-leak fixture: bench = documents with
+    * doc_id % 50 == 0 (d12's bench population); the plant copies the
+    * WHOLE bench doc but replaces every 8th word with a unique token —
+    * the kept runs max out at 7 consecutive words, so NO 8-word gram
+    * survives and the exact-gram gate (d12/d17/d25) is structurally
+    * blind to the leak, while ~5/8 of the 3-word shingles survive
+    * (doc-level Jaccard ≈ 0.45) — exactly the paraphrase/near-copy
+    * contamination class the fuzzy gate exists to catch. */
+  private[graft] val D40_OFFSET = 9000000L
+  private[graft] def fuzzyContaminationCorpus(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = T.documents(s, d).select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val para = bench
+      .withColumn("ws", split($"text", " "))
+      .select(($"doc_id" + D40_OFFSET).as("doc_id"),
+        array_join(expr(
+          "transform(sequence(1, size(ws)), i -> IF((i - 1) % 8 = 0, " +
+          "concat('fz', CAST(doc_id AS STRING), 'x', CAST(i AS STRING)), " +
+          "element_at(ws, i)))"), " ").as("text"))
+    (bench, docs.filter($"doc_id" % 50 =!= 0).unionByName(para))
+  }
+
+  /** 16 single-row LSH band keys over the full MinHash signature —
+    * d40's high-recall banding (d02's 4×4 banding targets J ≥ 0.5
+    * dedup; a DECONTAMINATION gate must not miss J ≈ 0.45 paraphrase
+    * leaks, and 16 one-row bands read P(candidate) = 1−(1−J)^16 ≈
+    * 0.9999 there, vs ≈ 0.1 for 4×4). The cost asymmetry is what makes
+    * the aggressive banding affordable: the bench side BROADCASTS, so
+    * false candidates only price a map-side array intersection, never
+    * a shuffle. */
+  private def wideBandKeyArray: org.apache.spark.sql.Column = {
+    val keys = (0 until 16).map { j =>
+      expr(s"concat_ws('_', '$j', element_at(sig, ${j + 1}))")
+    }
+    array(keys: _*)
+  }
+  private def wideBandKeysSql: String =
+    "[" + (0 until 16).map { j =>
+      s"concat_ws('_', '$j', sig[${j + 1}])"
+    }.mkString(", ") + "]"
+
   /** Bench-gram-fp and train-gram frames for a contamination fixture:
     * bench = documents with doc_id % modulus == 0; train = the rest
     * plus one planted leak per bench doc (its 16-word prefix wrapped in
@@ -177,6 +220,83 @@ object Dedup {
           .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
           .withColumn("status",
             when(col("n_hits") > 0, lit("contaminated")).otherwise(lit("clean")))
+          .localCheckpoint()
+        dec.withColumn("batch_id", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(decisionsPath)
+        val sink0 =
+          if (graft.weather.WeatherIngest.sinkExists(s, cleanPath))
+            s.read.parquet(cleanPath).select(col("doc_id"))
+          else docs.select(col("doc_id")).limit(0)
+        docs.join(dec.filter(col("status") === "clean"),
+            Seq("doc_id"), "left_semi")
+          .join(sink0, Seq("doc_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(cleanPath)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming twin of d40 — the FUZZY gate as a consumer of the same
+    * micro-batched training-document stream [[decontaminationStream]]
+    * guards with exact grams: bench signatures + 16×1 band keys are
+    * built ONCE before the stream starts (localCheckpointed — no
+    * trigger re-derives them; they are the "published eval suite"
+    * artifact), each micro-batch runs LITERALLY d40's plan against the
+    * broadcast bench side, paraphrase-flagged docs are quarantined as
+    * decision rows and clean docs land in the training sink. Decision
+    * snapshots are batch_id-partitioned with dynamic overwrite (a
+    * retried trigger replaces its own snapshot); clean appends ride
+    * the O9 anti-join, so replay and overlap insert zero. StreamingSpec
+    * pins the streamed contaminated set equal to batch d40 and the
+    * replay-inserts-zero contract.
+    */
+  def fuzzyDecontaminationStream(stream: DataFrame, benchDocs: DataFrame,
+                                 cleanPath: String, decisionsPath: String,
+                                 checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val bsig = signaturesOf(benchDocs.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("bench_id"), col("sig"),
+        col("hset").as("bhs"))
+      .localCheckpoint()
+    val bbands = bsig
+      .select(col("bench_id"), explode(wideBandKeyArray).as("band_key"))
+      .localCheckpoint()
+    val bkeep = bsig.select(col("bench_id"), col("bhs")).localCheckpoint()
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.dropDuplicates("doc_id").localCheckpoint()
+        val tsig = signaturesOf(docs.select(col("doc_id"), col("text")))
+          .localCheckpoint()
+        val cand = tsig
+          .select(col("doc_id"), explode(wideBandKeyArray).as("band_key"))
+          .join(broadcast(bbands), Seq("band_key"))
+          .select(col("doc_id"), col("bench_id")).distinct()
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("bench_id"))
+        val flagged = cand
+          .join(tsig.select(col("doc_id"), col("hset")), Seq("doc_id"))
+          .join(broadcast(bkeep), Seq("bench_id"))
+          .withColumn("inter",
+            graft.functions.SortedIntersectCount
+              .sorted_intersect_count(col("hset"), col("bhs")))
+          .withColumn("jaccard",
+            expr("inter / (size(hset) + size(bhs) - inter)"))
+          .filter(col("jaccard") >= 0.35)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("doc_id"), col("bench_id"), col("jaccard"))
+        val dec = docs.select(col("doc_id"))
+          .join(flagged, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("bench_id"),
+            coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+          .withColumn("status",
+            when(col("bench_id").isNotNull, lit("contaminated"))
+              .otherwise(lit("clean")))
           .localCheckpoint()
         dec.withColumn("batch_id", lit(batchId))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1512,6 +1632,52 @@ object Dedup {
         .orderBy($"doc_id")
     },
 
+    // FUZZY DECONTAMINATION — the near-copy/paraphrase gate the exact-
+    // gram family (d12 doc gate, d17 bloom, d25 spans, d37 knob sweep)
+    // cannot provide: a leaked eval item that was lightly rewritten
+    // shares NO 8-word gram with the benchmark (the fixture's plant
+    // replaces every 8th word — kept runs max out at 7, so d12-class
+    // gates score literally zero hits on it) yet is still ~45% of the
+    // original by 3-shingle Jaccard. The gate: d02's MinHash signatures
+    // on BOTH sides, but banded 16×1 instead of 4×4 (P(candidate) ≈
+    // 0.9999 at J = 0.45, where the dedup banding would miss ~90% of
+    // leaks); bench bands + signatures BROADCAST (eval suites stay
+    // ~1e5 docs at any training scale — d12's asymmetry), so the
+    // 100 TB side is one map-only scan + broadcast joins, and the only
+    // shuffle is per-candidate (doc_id, bench_id) longs into the
+    // best-match window. Candidates verify by EXACT shingle-set
+    // Jaccard (sorted 60-bit hash intersection, the d02 verify) ≥
+    // 0.35; report = flagged train doc → its best-matching bench doc.
+    "d40_fuzzy_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (bench, train) = fuzzyContaminationCorpus(s, d)
+      val bsig = signaturesOf(bench)
+        .select($"doc_id".as("bench_id"), $"sig", $"hset".as("bhs"))
+        .localCheckpoint()
+      val tsig = signaturesOf(train)
+      val bbands = bsig
+        .select($"bench_id", explode(wideBandKeyArray).as("band_key"))
+      val cand = tsig
+        .select($"doc_id", explode(wideBandKeyArray).as("band_key"))
+        .join(broadcast(bbands), Seq("band_key"))
+        .select($"doc_id", $"bench_id").distinct()
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"jaccard".desc, $"bench_id")
+      cand
+        .join(tsig.select($"doc_id", $"hset"), Seq("doc_id"))
+        .join(broadcast(bsig.select($"bench_id", $"bhs")), Seq("bench_id"))
+        .withColumn("inter",
+          graft.functions.SortedIntersectCount
+            .sorted_intersect_count($"hset", $"bhs"))
+        .withColumn("jaccard",
+          expr("inter / (size(hset) + size(bhs) - inter)"))
+        .filter($"jaccard" >= 0.35)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"doc_id", $"bench_id", $"jaccard")
+        .orderBy($"doc_id")
+    },
+
     // DECONTAMINATION GRAM-SIZE SWEEP — the sensitivity table for the
     // one knob the d12/d17/d25 gates all fix at 8 (published runs
     // disagree: GPT-3 used 13-grams, Llama-class runs 8 to 20 — and
@@ -2692,6 +2858,52 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
 
     "d12_decontaminate" -> contaminationSql(D12_FIX),
+
+    // d40: the paraphrase-plant corpus, two sigCtesSql chains (bench/
+    // train), 16×1 banding, exact shingle-Jaccard verify, best match
+    // per flagged doc — mirrors the Spark chain CTE for CTE.
+    "d40_fuzzy_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |benchd AS (SELECT doc_id, text FROM docs WHERE doc_id % 50 = 0),
+         |parad AS (
+         |  SELECT doc_id + $D40_OFFSET AS doc_id,
+         |    array_to_string(list_transform(range(1, len(ws) + 1),
+         |      i -> CASE WHEN (i - 1) % 8 = 0
+         |        THEN 'fz' || CAST(doc_id AS VARCHAR) || 'x'
+         |               || CAST(i AS VARCHAR)
+         |        ELSE ws[CAST(i AS INT)] END), ' ') AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM benchd) z),
+         |traind AS (
+         |  SELECT doc_id, text FROM docs WHERE doc_id % 50 <> 0
+         |  UNION ALL SELECT doc_id, text FROM parad),
+         |${sigCtesSql("benchd", "b")},
+         |${sigCtesSql("traind", "t")},
+         |bbands AS (
+         |  SELECT doc_id AS bench_id, unnest($wideBandKeysSql) AS band_key
+         |  FROM bsigs),
+         |tbands AS (
+         |  SELECT doc_id, unnest($wideBandKeysSql) AS band_key
+         |  FROM tsigs),
+         |cand AS (
+         |  SELECT DISTINCT tb.doc_id, bb.bench_id
+         |  FROM tbands tb JOIN bbands bb USING (band_key)),
+         |scored AS (
+         |  SELECT c.doc_id, c.bench_id,
+         |    len(list_filter(ts.hset, g -> list_contains(bs.hset, g)))
+         |      / (len(ts.hset) + len(bs.hset)
+         |         - len(list_filter(ts.hset, g -> list_contains(bs.hset, g))))
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN tsigs ts ON ts.doc_id = c.doc_id
+         |  JOIN bsigs bs ON bs.doc_id = c.bench_id),
+         |flagged AS (
+         |  SELECT doc_id, bench_id, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, bench_id) AS rn
+         |  FROM scored WHERE jaccard >= 0.35)
+         |SELECT doc_id, bench_id, jaccard FROM flagged WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
 
     // d37: the d12 oracle parameterized by gram size, one row per n.
     "d37_gram_size_sweep" -> {

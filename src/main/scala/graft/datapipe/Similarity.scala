@@ -1914,6 +1914,27 @@ object Similarity {
       graphBeamRecall(s, d, nEntries = 4)
     },
 
+    // PQ-APPROXIMATE BEAM SEARCH + EXACT RE-RANK — the DiskANN/SPANN
+    // serving pattern, and the composition this family was building
+    // toward: the graph (s32/s34) says WHERE to walk, the PQ store
+    // (s11/s12) prices each step at M integer table lookups instead of
+    // a D-float dot product, and full-precision vectors are touched
+    // ONLY for the final re-rank of the visited set. Traversal: s34's
+    // 4-seed beam loop, but fresh nodes are scored by ADC — the node's
+    // M codes against the query's broadcast (q_id, j, code) -> distance
+    // table (NQ*M*K rows) — and the frontier keeps the ADC-smallest.
+    // The exact-cosine pass (already paid for ground truth) re-ranks
+    // the visited set at the end, exactly the DiskANN full-precision
+    // fetch. The s34 comparison at equal beam isolates what the
+    // approximation costs in recall while the per-step bill drops from
+    // O(D) floats to O(M) lookups. Scale shape: codes are an O(n*M)
+    // long table (the in-RAM PQ store), checkpointed once; per-round
+    // scoring joins only the bounded candidate set against it;
+    // everything else is s34's bill.
+    "s35_pq_beam_rerank" -> { (s, d) =>
+      pqBeamRerank(s, d)
+    },
+
     // GRAPH-BUILD KNOB PRICING — d32's discipline (price the explosion
     // WITHOUT paying it) applied to the blocking bit-count that sizes
     // every sign-LSH build in this family (s30's candidate pruning,
@@ -2000,8 +2021,14 @@ object Similarity {
     * visited-count report. `nEntries` picks the seeding: 1 = s32's
     * min-id entry; k > 1 = k phash-spread same-label seeds (all k
     * enter round 0's frontier; later frontiers keep top-beam). */
-  private def graphBeamRecall(s: SparkSession, d: String,
-                              nEntries: Int): DataFrame = {
+  /** The shared graph + eval fixture behind s32/s34/s35: the coarse-
+    * blocked symmetrized search graph, the NQ query sample, the one
+    * brute-force same-label pass (truth AND exact-score oracle), and
+    * the exact top-10 truth. Factored so the beam variants differ ONLY
+    * in seeding and traversal scoring. */
+  private case class BeamFixture(edges: DataFrame, qs: DataFrame,
+                                 scoredAll: DataFrame, truth: DataFrame)
+  private def beamFixture(s: SparkSession, d: String): BeamFixture = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val emb0 = T.embeddings(s, d)
@@ -2047,14 +2074,98 @@ object Similarity {
       val truth = scoredAll.withColumn("rn", row_number().over(wt))
         .filter($"rn" <= 10).select($"q_id", $"vec_id")
         .localCheckpoint()
-      // 1 entry: the min-id vector (s32's published contract);
-      // multi-entry: phash-spread ids — diverse basins, no structure
+      BeamFixture(edges, qs, scoredAll, truth)
+  }
+
+  /** The deterministic per-query seeds: 1 = min-id (s32); k > 1 = k
+    * phash-spread same-label ids (s34/s35). */
+  private def beamEntries(scoredAll: DataFrame, nEntries: Int): DataFrame = {
+      import scoredAll.sparkSession.implicits._
+      import org.apache.spark.sql.expressions.Window
       val we = Window.partitionBy($"q_id").orderBy(
         (if (nEntries == 1) Seq($"vec_id".asc)
          else Seq(graft.Dets.phash($"vec_id".cast("string")).asc,
                   $"vec_id".asc)): _*)
-      val entry = scoredAll.withColumn("rn", row_number().over(we))
+      scoredAll.withColumn("rn", row_number().over(we))
         .filter($"rn" <= nEntries).drop("rn")
+  }
+
+  /** s35: the PQ-scored beam traversal + exact re-rank (see the
+    * registry comment). Shares [[beamFixture]] and the s34 seeding;
+    * the PQ store is s11/s12's machinery (codebook trained once,
+    * fixed-point integer L2 throughout — fully deterministic). */
+  private def pqBeamRerank(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val BeamFixture(edges, qs, scoredAll, truth) = beamFixture(s, d)
+      val subs = pqSubs(T.embeddings(s, d))
+      val cb = pqCodebook(subs).localCheckpoint()
+      // the serving-time PQ store: (vec_id, j, code) longs, O(n*M)
+      val codes = pqEncode(subs, cb)
+        .select($"vec_id", $"j", $"code").localCheckpoint()
+      // per-query codeword distance tables: NQ*M*K rows, broadcast
+      val dt = pqSubs(qs.select($"q_id".as("vec_id"),
+          $"q_emb".as("embedding")))
+        .withColumn("lsv", roundFx("sv"))
+        .join(broadcast(cb.withColumn("lcentroid", roundFx("centroid"))),
+          Seq("j"))
+        .withColumn("dq", graft.functions.IntL2.int_l2($"lsv", $"lcentroid"))
+        .select($"vec_id".as("q_id"), $"j", $"code", $"dq")
+        .localCheckpoint()
+      val sameLabel = scoredAll.select($"q_id", $"vec_id")
+      def adcScore(df: DataFrame): DataFrame = df
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(dt), Seq("q_id", "j", "code"))
+        .groupBy($"beam", $"q_id", $"vec_id")
+        .agg(sum($"dq").as("adc"))
+      val entry = beamEntries(scoredAll, 4).select($"q_id", $"vec_id")
+      val beams = Seq(2, 4, 8)
+      val wb = Window.partitionBy($"beam", $"q_id")
+        .orderBy($"adc".asc, $"vec_id")
+      var visited = beams.map(b => entry.withColumn("beam", lit(b)))
+        .reduce(_ unionByName _)
+        .select($"beam", $"q_id", $"vec_id")
+        .localCheckpoint()
+      var frontier = visited
+      for (_ <- 1 to 6) {
+        val fresh = adcScore(
+            frontier.join(edges, frontier("vec_id") === edges("src"))
+              .select($"beam", $"q_id", edges("dst").as("vec_id")).distinct()
+              .join(visited, Seq("beam", "q_id", "vec_id"), "left_anti")
+              .join(sameLabel, Seq("q_id", "vec_id")))
+          .localCheckpoint()
+        visited = visited.unionByName(
+          fresh.select($"beam", $"q_id", $"vec_id"))
+        frontier = fresh.withColumn("rn", row_number().over(wb))
+          .filter($"rn" <= $"beam").select($"beam", $"q_id", $"vec_id")
+      }
+      // the DiskANN full-precision pass: exact scores ONLY for visited
+      val wr = Window.partitionBy($"beam", $"q_id")
+        .orderBy($"cosine".desc, $"vec_id")
+      val nq = qs.agg(count(lit(1)).as("n_q"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      visited.join(scoredAll, Seq("q_id", "vec_id"))
+        .withColumn("rn", row_number().over(wr))
+        .join(truth.withColumn("is_true", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy($"beam")
+        .agg(count(lit(1)).as("n_scored"),
+             sum(when($"rn" <= 10 && $"is_true" === 1L, 1L).otherwise(0L))
+               .as("hits"))
+        .crossJoin(broadcast(nq))
+        .crossJoin(broadcast(nTruth))
+        .select($"beam", $"n_q", $"n_truth", $"hits", $"n_scored",
+          ($"hits" / $"n_truth".cast("double")).as("recall_at_10"),
+          ($"n_scored" / $"n_q".cast("double")).as("avg_scored"))
+        .orderBy($"beam")
+  }
+
+  private def graphBeamRecall(s: SparkSession, d: String,
+                              nEntries: Int): DataFrame = {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val BeamFixture(edges, qs, scoredAll, truth) = beamFixture(s, d)
+      val entry = beamEntries(scoredAll, nEntries)
       val beams = Seq(2, 4, 8)
       val wb = Window.partitionBy($"beam", $"q_id")
         .orderBy($"cosine".desc, $"vec_id")
@@ -3266,6 +3377,12 @@ object Similarity {
         s"${graft.Dets.phashSql("CAST(vec_id AS VARCHAR)")}, vec_id",
       entryRnCond = "rn <= 4"),
 
+    // s35: the same graph chain + the s11/s12 PQ chain; rounds score
+    // fresh nodes by ADC (codes x the query's codeword distance
+    // table), frontier keeps ADC-smallest; exact-cosine re-rank of the
+    // visited set at the end — mirrors pqBeamRerank CTE for CTE.
+    "s35_pq_beam_rerank" -> pqBeamRerankOracleSql,
+
     // s31: both quantizers trained with s03's exact-decimal means
     // (IVF: vec_id % 256 full-vector; IMI: vec_id % 16 per half),
     // assignment via the shared deterministic argmax, occupancy
@@ -3412,32 +3529,12 @@ object Similarity {
     }
   )
 
-  /** Shared DuckDB mirror of [[graphBeamRecall]] — the s30-style graph
-    * chain at the coarse search blocking, 6 unrolled beam rounds
-    * (MATERIALIZED — each references the previous twice), same NQ
-    * sample and same-label brute-force truth; the entry CTE is the
-    * only parameterized piece (s32: min-id; s34: 4 phash-spread). */
-  private def graphBeamRecallOracleSql(entryOrderSql: String,
-                                       entryRnCond: String): String = {
-      val rounds = (1 to 6).map { r =>
-        val pv = s"v${r - 1}"
-        val pf = s"f${r - 1}"
-        s"""n$r AS MATERIALIZED (
-           |  SELECT DISTINCT f.beam, f.q_id, g.dst AS vec_id, sa.cosine
-           |  FROM $pf f JOIN sym g ON g.src = f.vec_id
-           |  JOIN sa ON sa.q_id = f.q_id AND sa.vec_id = g.dst
-           |  WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.beam = f.beam
-           |    AND v.q_id = f.q_id AND v.vec_id = g.dst)),
-           |v$r AS MATERIALIZED (
-           |  SELECT * FROM $pv UNION ALL SELECT * FROM n$r),
-           |f$r AS (
-           |  SELECT beam, q_id, vec_id FROM (
-           |    SELECT beam, q_id, vec_id,
-           |      row_number() OVER (PARTITION BY beam, q_id
-           |        ORDER BY cosine DESC, vec_id) AS rn
-           |    FROM n$r) z WHERE rn <= beam)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH nbv AS (
+  /** The common graph-chain + truth CTE prefix shared by the s32/s34
+    * recall oracle and s35's PQ-beam oracle: coarse blocking, probe-1
+    * candidates, exact-cosine top-4 edges, symmetrized graph, NQ
+    * sample, brute-force same-label scores (sa), exact top-10 truth. */
+  private def graphChainCtesSql: String =
+      s"""nbv AS (
          |  SELECT GREATEST(3, length(bin(GREATEST(
          |    (COUNT(*) + 255) // 256 - 1, 1)))) AS nb
          |  FROM embeddings),
@@ -3489,7 +3586,34 @@ object Similarity {
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
          |      ORDER BY cosine DESC, vec_id) AS rn
-         |    FROM sa) z WHERE rn <= 10),
+         |    FROM sa) z WHERE rn <= 10)""".stripMargin
+
+  /** Shared DuckDB mirror of [[graphBeamRecall]] — the s30-style graph
+    * chain at the coarse search blocking, 6 unrolled beam rounds
+    * (MATERIALIZED — each references the previous twice), same NQ
+    * sample and same-label brute-force truth; the entry CTE is the
+    * only parameterized piece (s32: min-id; s34: 4 phash-spread). */
+  private def graphBeamRecallOracleSql(entryOrderSql: String,
+                                       entryRnCond: String): String = {
+      val rounds = (1 to 6).map { r =>
+        val pv = s"v${r - 1}"
+        val pf = s"f${r - 1}"
+        s"""n$r AS MATERIALIZED (
+           |  SELECT DISTINCT f.beam, f.q_id, g.dst AS vec_id, sa.cosine
+           |  FROM $pf f JOIN sym g ON g.src = f.vec_id
+           |  JOIN sa ON sa.q_id = f.q_id AND sa.vec_id = g.dst
+           |  WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.beam = f.beam
+           |    AND v.q_id = f.q_id AND v.vec_id = g.dst)),
+           |v$r AS MATERIALIZED (
+           |  SELECT * FROM $pv UNION ALL SELECT * FROM n$r),
+           |f$r AS (
+           |  SELECT beam, q_id, vec_id FROM (
+           |    SELECT beam, q_id, vec_id,
+           |      row_number() OVER (PARTITION BY beam, q_id
+           |        ORDER BY cosine DESC, vec_id) AS rn
+           |    FROM n$r) z WHERE rn <= beam)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphChainCtesSql,
          |entry AS (
          |  SELECT q_id, vec_id, cosine FROM (
          |    SELECT q_id, vec_id, cosine,
@@ -3523,4 +3647,81 @@ object Similarity {
          |    AS avg_scored
          |FROM rep ORDER BY beam""".stripMargin
   }
+  /** DuckDB mirror of [[pqBeamRerank]] — [[graphChainCtesSql]] +
+    * [[pqOracleCtes]], codes/query-distance-table CTEs, 6 ADC-scored
+    * beam rounds, exact re-rank of the visited set. */
+  private def pqBeamRerankOracleSql: String = {
+      val rounds = (1 to 6).map { r =>
+        val pv = s"v${r - 1}"
+        val pf = s"f${r - 1}"
+        s"""n$r AS MATERIALIZED (
+           |  SELECT z.beam, z.q_id, z.vec_id, SUM(dt.dq) AS adc
+           |  FROM (
+           |    SELECT DISTINCT f.beam, f.q_id, g.dst AS vec_id
+           |    FROM $pf f JOIN sym g ON g.src = f.vec_id
+           |    WHERE EXISTS (SELECT 1 FROM sa
+           |      WHERE sa.q_id = f.q_id AND sa.vec_id = g.dst)
+           |      AND NOT EXISTS (SELECT 1 FROM $pv v WHERE v.beam = f.beam
+           |        AND v.q_id = f.q_id AND v.vec_id = g.dst)) z
+           |  JOIN codes ON codes.vec_id = z.vec_id
+           |  JOIN dt ON dt.q_id = z.q_id AND dt.j = codes.j
+           |    AND dt.code = codes.code
+           |  GROUP BY 1, 2, 3),
+           |v$r AS MATERIALIZED (
+           |  SELECT beam, q_id, vec_id FROM $pv
+           |  UNION ALL SELECT beam, q_id, vec_id FROM n$r),
+           |f$r AS (
+           |  SELECT beam, q_id, vec_id FROM (
+           |    SELECT beam, q_id, vec_id,
+           |      row_number() OVER (PARTITION BY beam, q_id
+           |        ORDER BY adc, vec_id) AS rn
+           |    FROM n$r) z WHERE rn <= beam)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphChainCtesSql,
+         |$pqOracleCtes,
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, j, code FROM best WHERE rn = 1),
+         |qsubs AS (
+         |  SELECT q_id, j,
+         |    q_emb[CAST(j * (len(q_emb) // $PQ_M) + 1 AS INT):
+         |          CAST((j + 1) * (len(q_emb) // $PQ_M) AS INT)] AS sv
+         |  FROM (SELECT q_id, q_emb, unnest(range(0, $PQ_M)) AS j
+         |        FROM q) z),
+         |dt AS MATERIALIZED (
+         |  SELECT q_id, s.j, c.code, ${intL2Sql("s.sv", "c.centroid")} AS dq
+         |  FROM qsubs s JOIN cb c USING (j)),
+         |entry AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${graft.Dets.phashSql("CAST(vec_id AS VARCHAR)")},
+         |          vec_id) AS rn
+         |    FROM sa) z WHERE rn <= 4),
+         |beams AS (SELECT unnest([2, 4, 8]) AS beam),
+         |v0 AS MATERIALIZED (SELECT beam, q_id, vec_id FROM beams, entry),
+         |f0 AS (SELECT beam, q_id, vec_id FROM v0),
+         |$rounds,
+         |ranked AS (
+         |  SELECT v.beam, v.q_id, v.vec_id,
+         |    row_number() OVER (PARTITION BY v.beam, v.q_id
+         |      ORDER BY sa.cosine DESC, v.vec_id) AS rn
+         |  FROM v6 v JOIN sa ON sa.q_id = v.q_id AND sa.vec_id = v.vec_id),
+         |rep AS (
+         |  SELECT beam, COUNT(*) AS n_scored,
+         |    CAST(SUM(CASE WHEN z.rn <= 10 AND t.vec_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM ranked z LEFT JOIN truth t
+         |    ON z.q_id = t.q_id AND z.vec_id = t.vec_id
+         |  GROUP BY beam)
+         |SELECT beam,
+         |  (SELECT COUNT(*) FROM q) AS n_q,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  hits, n_scored,
+         |  hits / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)
+         |    AS recall_at_10,
+         |  n_scored / CAST((SELECT COUNT(*) FROM q) AS DOUBLE)
+         |    AS avg_scored
+         |FROM rep ORDER BY beam""".stripMargin
+  }
+
 }

@@ -371,7 +371,13 @@ object StressBench {
       // fixed rounds; the extra seeding is O(NQ) control rows — flat
       "s34_multi_entry_beam," +
       // q93: one coalesced keyed agg — linear in events like q01
-      "q93_aqe_coalesce"
+      "q93_aqe_coalesce," +
+      // d40: two signature passes (bench fixed-size, train linear) +
+      // broadcast band join; candidates bounded by true near-dups
+      "d40_fuzzy_decontaminate," +
+      // s35: s34's graph/walk bill + one linear PQ encode pass; the
+      // ADC scoring joins only bounded candidate sets — flat search
+      "s35_pq_beam_rerank"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

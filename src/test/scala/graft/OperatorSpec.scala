@@ -781,6 +781,41 @@ class OperatorSpec extends SparkSpec {
       "a benchmark doc appeared in the contamination report")
   }
 
+  test("d40: paraphrase plants are invisible to the exact-gram gate yet all caught fuzzy") {
+    val (bench, train) = datapipe.Dedup.fuzzyContaminationCorpus(spark, sf)
+    val plants = train.filter($"doc_id" >= datapipe.Dedup.D40_OFFSET)
+    val plantIds = plants.select($"doc_id").as[Long].collect().toSet
+    assert(plantIds.nonEmpty)
+    // 1. structural blindness of the d12-class gate: replacing every
+    // 8th word caps kept runs at 7 words, so a plant shares NO 8-word
+    // gram with the benchmark — the exact gate scores zero by
+    // construction, which is the failure mode d40 exists to close
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ws", split($"text", " "))
+      .filter(size($"ws") >= 8)
+      .select(explode(expr("transform(sequence(1, size(ws) - 7), " +
+        "i -> concat_ws(' ', slice(ws, i, 8)))")).as("g"))
+    val sharedGrams = grams(plants)
+      .join(grams(bench).distinct(), Seq("g")).count()
+    assert(sharedGrams === 0L,
+      "a plant shares an 8-gram with bench — the fixture no longer " +
+        "separates the exact and fuzzy gates")
+    // 2. the fuzzy gate catches EVERY plant, attributes it to its
+    // source bench doc, and scores it in the paraphrase band
+    val out = datapipe.Dedup.queries("d40_fuzzy_decontaminate")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val flagged = out.map(r => r._1 -> r).toMap
+    plantIds.foreach { id =>
+      val r = flagged.getOrElse(id, fail(s"plant $id not flagged"))
+      assert(r._2 === id - datapipe.Dedup.D40_OFFSET,
+        s"plant $id best-matched bench ${r._2}, not its source")
+      assert(r._3 >= 0.35 && r._3 < 1.0, s"plant $id jaccard ${r._3}")
+    }
+    // 3. benchmark docs themselves never appear as flagged training
+    assert(out.forall { case (id, _, _) =>
+      id >= datapipe.Dedup.D40_OFFSET || id % 50 != 0 })
+  }
+
   test("d17: bloom prefilter loses no planted leak; bench docs never appear") {
     val hits = datapipe.Dedup.queries("d17_bloom_decontaminate")(spark, sf)
       .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
@@ -1890,6 +1925,39 @@ class OperatorSpec extends SparkSpec {
       assert(s34r(b)._4 >= s32r(b)._4 - 1,
         s"beam=$b: multi-entry lost recall ${s34r(b)._4} vs ${s32r(b)._4}")
     }
+  }
+
+  test("s35: PQ-scored traversal tracks the exact-scored walk; re-rank restores recall") {
+    // the DuckDB oracle already pins every value bit-for-bit (the PQ
+    // fixed-point arithmetic, the walk, the re-rank); this spec pins
+    // the CONTRACT vs s34 — same seeding, same graph, same rounds,
+    // only the traversal score approximated — so the deltas isolate
+    // what ADC costs (or luckily buys: a diverted walk can land in a
+    // better basin, observed at sf0.001 beam 4)
+    val exact = datapipe.Similarity.queries("s34_multi_entry_beam")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val pq = datapipe.Similarity.queries("s35_pq_beam_rerank")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(pq.keySet === Set(2, 4, 8))
+    Seq(2, 4, 8).foreach { b =>
+      val (e, a) = (exact(b), pq(b))
+      assert(a._2 === e._2 && a._3 === e._3, s"beam=$b eval frame differs")
+      assert(a._4 <= a._3 && a._5 >= a._2, s"beam=$b inconsistent counts")
+      // the walk shape is s34's: visited volume within 15% either way
+      assert(a._7 >= 0.85 * e._7 && a._7 <= 1.15 * e._7,
+        s"beam=$b avg_scored ${a._7} vs exact ${e._7} — the traversal " +
+          "is not walking the same graph regime")
+      // approximation may cost a little recall, never much
+      assert(math.abs(a._6 - e._6) <= 0.08,
+        s"beam=$b recall ${a._6} vs exact ${e._6}")
+    }
+    // re-rank restores the wide-beam walk to near-exhaustive recall —
+    // the DiskANN promise (approximate walk, exact final order)
+    assert(pq(8)._6 >= 0.95, s"beam-8 recall ${pq(8)._6}")
+    // the search genuinely expanded past its 4 seeds
+    assert(pq.values.forall(_._5 > 4 * pq(2)._2))
   }
 
   test("s33: build-knob table replays per config; the pair bill falls as bits rise") {

@@ -533,6 +533,56 @@ class StreamingSpec extends SparkSpec {
     assert(dec.select($"doc_id").distinct().count() === trainIds.size)
   }
 
+  test("streamed fuzzy decontamination: decisions equal d40 batch, clean appends idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_d40s").toString
+    // EXACTLY d40's corpus (bench + paraphrase plants), streamed in two
+    // micro-batches with the second replaying part of the first — the
+    // fuzzy gate must decide identically and never append a clean doc
+    // twice
+    val (bench, train) = datapipe.Dedup.fuzzyContaminationCorpus(spark, sf)
+    val rows = train.as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = datapipe.Dedup.fuzzyDecontaminationStream(
+      input.toDS().toDF("doc_id", "text"), bench,
+      s"$dir/clean", s"$dir/dec", s"$dir/ckpt")
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData((b2 ++ b1.take(20)).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.read.parquet(s"$dir/dec")
+    assert(dec.select($"batch_id").distinct().as[Long].collect().toSet
+      === Set(0L, 1L))
+    // the replayed docs decided twice, identically (same best match,
+    // same jaccard bits — the gate is a pure function of the doc)
+    assert(dec.groupBy($"doc_id")
+      .agg(countDistinct(struct($"bench_id", $"jaccard", $"status"))
+        .as("variants"))
+      .filter($"variants" > 1).isEmpty)
+    // streamed contaminated decisions == the d40 batch registry output
+    val streamed = dec.filter($"status" === "contaminated")
+      .select($"doc_id", $"bench_id", $"jaccard").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = datapipe.Dedup.queries("d40_fuzzy_decontaminate")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // every plant was quarantined before reaching the clean sink
+    val plantIds = rows.map(_._1).filter(_ >= datapipe.Dedup.D40_OFFSET)
+    assert(plantIds.nonEmpty)
+    val cleanIds = spark.read.parquet(s"$dir/clean")
+      .select($"doc_id").as[Long].collect().toSet
+    plantIds.foreach(id =>
+      assert(!cleanIds(id), s"plant $id reached the clean sink"))
+    // clean sink: every unflagged train doc exactly once despite replay
+    val clean = spark.read.parquet(s"$dir/clean")
+    assert(clean.count() === clean.select($"doc_id").distinct().count())
+    assert(cleanIds === rows.map(_._1).toSet -- batch.map(_._1))
+    assert(dec.select($"doc_id").distinct().count() === rows.length)
+  }
+
   test("streamed index ingestion: frozen-centroid adds match the store, replays insert zero") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
