@@ -1302,6 +1302,56 @@ object Multimodal {
         .orderBy($"asset_id")
     },
 
+    // NaViT-STYLE PATCH-PACKING PLAN — the vision-training analog of
+    // t17's sequence packing: variable-resolution images tokenize to
+    // ceil(w/P)*ceil(h/P) patches (P = 4), a fixed-budget training
+    // sequence (B = 64 patch tokens) wants them packed DENSE, and
+    // packing only composes within an ASPECT-RATIO class (NaViT's
+    // bucketing — resize semantics differ across aspect classes).
+    // Dims come from the REAL container bytes (m13's IHDR walk — no
+    // decoder invoked, the 100 TB path reads ~30 B per asset); the
+    // plan is per bucket: images ordered (tokens DESC, id), next-fit
+    // by running token count, pack = cum_start div B, straddlers
+    // (images crossing a pack boundary — the trainer pads or clips
+    // those) reported per pack alongside fill. Per-bucket windows are
+    // the t16-accepted shape (aspect classes are few and balanced by
+    // construction; a skewed bucket would route through the
+    // distributed running total like t17's global cumsum). The oracle
+    // knows only the generator's dim formulas, so width/height/tokens
+    // prove the byte walk; the packing arithmetic mirrors exactly.
+    "m22_navit_pack" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val B = 64L
+      val dims = T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val png = PngChunks.withTextChunk(
+            ImageCodec.synthPyrPng(id), "Source", s"src${id % 20}")
+          val m = PngChunks.walk(id, png)
+          (m.asset_id, m.width, m.height)
+        })
+        .toDF("asset_id", "w", "h")
+      val toks = dims
+        .withColumn("tok",
+          (expr("(w + 3) div 4") * expr("(h + 3) div 4")).cast("long"))
+        .withColumn("bucket", expr("(w * 4) div h").cast("long"))
+      val wCum = Window.partitionBy($"bucket")
+        .orderBy($"tok".desc, $"asset_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("cum_end", sum($"tok").over(wCum))
+        .withColumn("cum_start", $"cum_end" - $"tok")
+        .withColumn("pack_id", expr(s"cum_start div $B"))
+        .withColumn("straddle",
+          expr(s"cum_start div $B") =!= expr(s"(cum_end - 1) div $B"))
+        .groupBy($"bucket", $"pack_id")
+        .agg(count(lit(1)).as("n_images"),
+             sum($"tok").cast("long").as("n_tokens"),
+             sum(when($"straddle", 1L).otherwise(0L)).as("n_straddlers"),
+             min($"asset_id").as("head_asset"))
+        .orderBy($"bucket", $"pack_id")
+    },
+
     // Orientation normalization — the rotate step image curation runs
     // before training (portrait scans / EXIF orientations must land
     // upright): 90°-CW rotation on REAL decoded pixels, round-tripped
@@ -1744,6 +1794,36 @@ object Multimodal {
         |  CAST(least(4 * greatest(octet_length(encode(text)) // 5, 1),
         |       greatest(octet_length(encode(text)) - 1, 0)) AS BIGINT) AS off_4
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // m22: dims from the generator formulas (the Spark side must
+    // reproduce them from the real IHDR bytes), then the identical
+    // bucket/next-fit arithmetic.
+    "m22_navit_pack" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(16 + doc_id % 7 AS INT) AS w,
+        |    CAST(12 + doc_id % 5 AS INT) AS h
+        |  FROM documents),
+        |toks AS (
+        |  SELECT asset_id,
+        |    CAST(((w + 3) // 4) * ((h + 3) // 4) AS BIGINT) AS tok,
+        |    CAST((w * 4) // h AS BIGINT) AS bucket
+        |  FROM dims),
+        |spans AS (
+        |  SELECT asset_id, tok, bucket,
+        |    SUM(tok) OVER (PARTITION BY bucket
+        |      ORDER BY tok DESC, asset_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+        |  FROM toks)
+        |SELECT bucket, CAST((cum_end - tok) // 64 AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_images,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN (cum_end - tok) // 64 <> (cum_end - 1) // 64
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+        |  MIN(asset_id) AS head_asset
+        |FROM spans
+        |GROUP BY 1, 2
+        |ORDER BY bucket, pack_id""".stripMargin,
 
     // gray(x, y) = (7x + 13y + id) % 256 over dims (4 + id%5, 3 + id%4);
     // the NN half-resize keeps exactly the even-coordinate pixels.

@@ -61,6 +61,29 @@ object AdvancedAggs {
         .orderBy($"l_linestatus")
     },
 
+    // Unpivot (melt) — q34's inverse and the wide→long reshape every
+    // feature table eventually needs (metrics stored one-column-per-
+    // measure must melt to (entity, measure, value) rows before a
+    // generic aggregation/quality pass can treat measures uniformly).
+    // Spark's native unpivot plans a map-only Expand — a row multiplier
+    // with NO shuffle, so the 100 TB reshape is one scan; values share
+    // one DOUBLE column (unpivot requires a common type — the exact
+    // reason the long form exists).
+    "q94_unpivot" -> { (s, d) =>
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_orderkey" % 50 === 0)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity".as("quantity"),
+          $"l_extendedprice".as("extendedprice"),
+          $"l_discount".as("discount"),
+          $"l_tax".as("tax"))
+        .unpivot(Array($"l_orderkey", $"l_linenumber"),
+          Array($"quantity", $"extendedprice", $"discount", $"tax"),
+          "measure", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+    },
+
     // Moment stats from exact decimal power sums: deterministic stddev /
     // variance / correlation (bit-identical at any partition count).
     "q35_stats_moments" -> { (s, d) =>
@@ -489,6 +512,22 @@ object AdvancedAggs {
         |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END
         |    AS DECIMAL(18,4))) AS DOUBLE) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // q94: DuckDB's UNPIVOT — an independent engine's native melt must
+    // produce the identical long form (values are exact doubles moved,
+    // never computed, so the hash compare is safe).
+    "q94_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  UNPIVOT (
+        |    SELECT l_orderkey, l_linenumber,
+        |      l_quantity AS quantity,
+        |      l_extendedprice AS extendedprice,
+        |      l_discount AS discount,
+        |      l_tax AS tax
+        |    FROM lineitem WHERE l_orderkey % 50 = 0)
+        |  ON quantity, extendedprice, discount, tax
+        |  INTO NAME measure VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     "q35_stats_moments" ->
       """WITH m AS (

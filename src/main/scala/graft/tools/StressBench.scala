@@ -377,7 +377,11 @@ object StressBench {
       "d40_fuzzy_decontaminate," +
       // s35: s34's graph/walk bill + one linear PQ encode pass; the
       // ADC scoring joins only bounded candidate sets — flat search
-      "s35_pq_beam_rerank"
+      "s35_pq_beam_rerank," +
+      // m22: map-only IHDR walk + bounded per-bucket windows — linear
+      "m22_navit_pack," +
+      // q94: map-only Expand row multiplier + the final sort — linear
+      "q94_unpivot"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

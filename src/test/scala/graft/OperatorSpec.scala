@@ -3425,6 +3425,48 @@ class OperatorSpec extends SparkSpec {
       "truncated container read as clean")
   }
 
+  test("m22: packing plan conserves tokens; packs fill next-fit; straddlers bounded") {
+    val out = datapipe.Multimodal.queries("m22_navit_pack")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // dims from m13's real-byte walk — the same source m22 tokenizes
+    val dims = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)
+      .select($"asset_id", $"width", $"height")
+      .as[(Long, Int, Int)].collect()
+    val tokOf = dims.map { case (id, w, h) =>
+      id -> (((w + 3) / 4).toLong * ((h + 3) / 4)) }.toMap
+    val bucketOf = dims.map { case (id, w, h) =>
+      id -> (w * 4 / h).toLong }.toMap
+    // token conservation per bucket: the plan never loses an image
+    val planned = out.groupBy(_._1).view
+      .mapValues(_.map(_._4).sum).toMap
+    val expected = tokOf.keys.toSeq.groupBy(bucketOf).view
+      .mapValues(_.map(tokOf).sum).toMap
+    assert(planned === expected, "per-bucket token mass diverged")
+    out.groupBy(_._1).foreach { case (bucket, packs) =>
+      // contiguous pack ids from 0
+      assert(packs.map(_._2).sorted.toSeq === (0L until packs.length).toSeq,
+        s"bucket $bucket pack ids not contiguous")
+      // next-fit fill: every non-final pack holds >= the budget minus
+      // its straddler's spill (i.e. cum crosses the boundary), which
+      // with max tok 24 < 64 means >= 41 tokens; and at most one
+      // straddler per pack (no image spans two boundaries)
+      packs.foreach { p =>
+        assert(p._5 <= 1, s"bucket $bucket pack ${p._2}: ${p._5} straddlers")
+      }
+      val maxTok = tokOf.values.max
+      packs.filter(_._2 < packs.length - 1).foreach { p =>
+        assert(p._4 > 64 - maxTok,
+          s"bucket $bucket pack ${p._2} underfilled: ${p._4}")
+      }
+    }
+    // non-vacuous: several aspect classes, multi-image packs, and the
+    // straddle case all genuinely occur
+    assert(out.map(_._1).distinct.length >= 2)
+    assert(out.exists(_._3 > 1))
+    assert(out.exists(_._5 === 1L))
+  }
+
   test("m13: chunk walk reads real bytes — corruption flips the CRC verdict") {
     import datapipe.Multimodal.{ImageCodec, PngChunks}
     val out = datapipe.Multimodal.queries("m13_png_metadata")(spark, sf)

@@ -100,6 +100,24 @@ class PlanShapeSpec extends SparkSpec {
         adaptive.executedPlan.toString.take(1200))
   }
 
+  test("q94: unpivot plans a map-only Expand — no exchange below the reshape") {
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // sparkPlan, not executedPlan: the adaptive root is a leaf to
+    // collect() and this pin is structural, not runtime
+    val plan = operators.AdvancedAggs.queries("q94_unpivot")(spark, sf)
+      .queryExecution.sparkPlan
+    val expands = plan.collect { case e: ExpandExec => e }
+    assert(expands.size === 1, "unpivot did not plan as Expand:\n" +
+      plan.toString.take(600))
+    // the reshape itself moves no data — the only exchange in the whole
+    // plan is the final presentation sort's range partitioning
+    val below = expands.head.collect {
+      case ex: ShuffleExchangeLike => ex }
+    assert(below.isEmpty,
+      "a shuffle crept below the Expand:\n" + plan.toString.take(900))
+  }
+
   test("q91: CBO reorders the stated worst-order join — customer meets orders before lineitem") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val lp = operators.Extras.cboJoinFrame(spark, sf)
