@@ -109,6 +109,23 @@ object Nested {
       coalesceAggFrame(s, d)
     },
 
+    // AQE JOIN-STRATEGY SWITCH — the third leg of the runtime trilogy
+    // (q92 splits skew, q93 folds empty reducers; this one re-picks
+    // the JOIN ALGORITHM): the static planner only sees the dim side's
+    // FILE size, so a selective filter it cannot price (modulus on a
+    // key — no stats help) leaves a sort-merge join planned for what
+    // is, at runtime, a broadcast-sized build. AQE's
+    // DynamicJoinSelection reads the TRUE post-filter shuffle bytes
+    // and converts SMJ → broadcast-hash mid-query, deleting the probe
+    // side's sort (at 100 TB, the difference between shuffling the
+    // fact table and not). PlanShapeSpec pins BOTH halves: the static
+    // sparkPlan carries the sort-merge join, the executed adaptive
+    // plan carries BroadcastHashJoin. Semantically invisible — the
+    // oracle is the plain join+agg (the trilogy's shared discipline).
+    "q95_aqe_broadcast_switch" -> { (s, d) =>
+      broadcastSwitchFrame(s, d)
+    },
+
     // Skew profile — the diagnostic that DECIDES q48's salting: per-key
     // group sizes (one narrow (key, count) shuffle), a 1-row global
     // stats frame broadcast back (no driver scalar), and the top-5
@@ -220,7 +237,49 @@ object Nested {
       .orderBy(col("user_id"))
   }
 
+  /** q95's statically-mispriced join on a derived AQE session —
+    * factored out so PlanShapeSpec can pin the static SMJ and the
+    * runtime broadcast conversion on the same frame. The static
+    * broadcast threshold sits BELOW the dim's file size (the only
+    * number the planner has) and the ADAPTIVE threshold above the true
+    * post-filter bytes — production keeps both at their defaults; what
+    * is pinned is the capability, not the fixture numbers. */
+  private[graft] def broadcastSwitchFrame(s: SparkSession,
+                                          d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    // the static planner sees only the file size — keep it too big to
+    // broadcast at plan time
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    // the runtime sees the true post-filter shuffle bytes — tiny
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    val li = T.lineitem(s2, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val ord = T.orders(s2, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_custkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+           graft.Dets.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q95: the plain filtered join+agg — the runtime algorithm switch
+    // must be invisible.
+    "q95_aqe_broadcast_switch" ->
+      """SELECT o_custkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_custkey % 97 = 0
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
     // q93: the plain agg — partition coalescing must be invisible.
     "q93_aqe_coalesce" ->
       """SELECT user_id, COUNT(*) AS n_events,

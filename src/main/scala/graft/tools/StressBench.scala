@@ -381,7 +381,10 @@ object StressBench {
       // m22: map-only IHDR walk + bounded per-bucket windows — linear
       "m22_navit_pack," +
       // q94: map-only Expand row multiplier + the final sort — linear
-      "q94_unpivot"
+      "q94_unpivot," +
+      // q95: one fact scan + runtime-broadcast join — linear, and the
+      // conversion DELETES the fact-side sort at every scale
+      "q95_aqe_broadcast_switch"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

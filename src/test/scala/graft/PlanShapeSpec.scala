@@ -100,6 +100,40 @@ class PlanShapeSpec extends SparkSpec {
         adaptive.executedPlan.toString.take(1200))
   }
 
+  test("q95: AQE converts the statically-planned sort-merge join to broadcast at runtime") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val df = operators.Nested.broadcastSwitchFrame(spark, sf)
+    // half 1: the STATIC physical plan carries the sort-merge join —
+    // the file-size estimate genuinely forbids a broadcast at plan time
+    // (otherwise the runtime conversion below pins nothing)
+    val static = df.queryExecution.sparkPlan
+    assert(static.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+      "static plan did not pick SMJ — the mispricing setup is broken:\n" +
+        static.toString.take(800))
+    // half 2: execute; the final adaptive plan must carry a broadcast
+    // join where the SMJ stood (descend into query stages — q93's
+    // traversal lesson)
+    df.collect()
+    val adaptive = df.queryExecution.executedPlan
+      .collectFirst { case a: AdaptiveSparkPlanExec => a }
+      .getOrElse(fail("no adaptive plan"))
+    def joins(p: org.apache.spark.sql.execution.SparkPlan)
+        : (Seq[BroadcastHashJoinExec], Seq[SortMergeJoinExec]) = {
+      val bh = p.collect { case j: BroadcastHashJoinExec => j }
+      val sm = p.collect { case j: SortMergeJoinExec => j }
+      val stages = p.collect { case qs: QueryStageExec => qs }
+      stages.map(qs => joins(qs.plan)).foldLeft((bh, sm)) {
+        case ((b, s0), (b2, s2)) => (b ++ b2, s0 ++ s2)
+      }
+    }
+    val (bhj, smj) = joins(adaptive.executedPlan)
+    assert(bhj.nonEmpty, "runtime did not convert to broadcast:\n" +
+      adaptive.executedPlan.toString.take(1200))
+    assert(smj.isEmpty, "a sort-merge join survived execution:\n" +
+      adaptive.executedPlan.toString.take(1200))
+  }
+
   test("q94: unpivot plans a map-only Expand — no exchange below the reshape") {
     import org.apache.spark.sql.execution.ExpandExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
