@@ -126,6 +126,24 @@ object Nested {
       broadcastSwitchFrame(s, d)
     },
 
+    // RUNTIME BLOOM-FILTER PRUNING — the quartet's scan-side member
+    // (q92 splits skew, q93 folds reducers, q95 re-picks the join
+    // algorithm; this one shrinks WHAT THE JOIN EVER SEES): a
+    // selective dim filter the fact scan cannot use directly (the
+    // pruning key is a JOIN key, not a partition column — q84's DPP
+    // needs a partitioned layout; most 100 TB fact tables aren't
+    // partitioned by every join key) makes Spark's InjectRuntimeFilter
+    // build a bloom filter over the filtered dim's join keys and apply
+    // `might_contain` to the fact side BEFORE the shuffle — at scale
+    // that is the difference between shuffling the whole fact table
+    // and shuffling the ~1% that can possibly match. PlanShapeSpec
+    // pins the injected BloomFilterAggregate/BloomFilterMightContain
+    // pair in the optimized plan; the oracle is the plain filtered
+    // join+agg (the family's semantic-invisibility discipline).
+    "q96_runtime_bloom_filter" -> { (s, d) =>
+      bloomFilterFrame(s, d)
+    },
+
     // Skew profile — the diagnostic that DECIDES q48's salting: per-key
     // group sizes (one narrow (key, count) shuffle), a 1-row global
     // stats frame broadcast back (no driver scalar), and the top-5
@@ -268,6 +286,39 @@ object Nested {
       .orderBy(col("o_custkey"))
   }
 
+  /** q96's bloom-prunable fact-dim join on a derived session —
+    * factored out so PlanShapeSpec can pin the injected runtime filter
+    * on the same frame. Conf hygiene (q91's isolation pattern): the
+    * application-side size gate drops to 0 because the fixture fact
+    * table is far below the 10 GB production default — the GATE is
+    * sized for real deployments, the CAPABILITY is what's pinned —
+    * and broadcast is disabled because a 100 TB fact-dim join on an
+    * unfiltered-size dim is a shuffle join (which is also the shape
+    * the injection rule targets: a broadcast build already prunes via
+    * its hash table). */
+  private[graft] def bloomFilterFrame(s: SparkSession,
+                                      d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = T.lineitem(s2, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val ord = T.orders(s2, d)
+      .filter(col("o_orderpriority") === "3-MEDIUM" &&
+        col("o_custkey") % 89 === 0)
+      .select(col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           graft.Dets.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     // q95: the plain filtered join+agg — the runtime algorithm switch
     // must be invisible.
@@ -279,6 +330,18 @@ object Nested {
         |WHERE o_orderpriority = '1-URGENT' AND o_custkey % 97 = 0
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+
+    // q96: the plain filtered join+agg — the injected bloom filter is
+    // conservative (false positives only re-admit rows the join drops
+    // anyway), so it must be invisible here too.
+    "q96_runtime_bloom_filter" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '3-MEDIUM' AND o_custkey % 89 = 0
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // q93: the plain agg — partition coalescing must be invisible.
     "q93_aqe_coalesce" ->

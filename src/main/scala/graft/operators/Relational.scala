@@ -101,6 +101,30 @@ object Relational {
         .orderBy($"c_custkey")
     },
 
+    // NULL-AWARE anti join — NOT IN's three-valued logic, which q06's
+    // plain anti join (NOT EXISTS) does NOT have: one NULL in the
+    // subquery makes `k NOT IN (...)` UNKNOWN for every probe row, so
+    // the result is EMPTY — and the naive execution of that contract
+    // is O(M·N) (every probe must check every build row for the NULL).
+    // Spark's ExtractSingleColumnNullAwareAntiJoin plans the idiomatic
+    // Or(EqualTo, IsNull(EqualTo)) left-anti into a BroadcastHashJoin
+    // with isNullAwareAntiJoin=true — O(M) hash probes with an O(1)
+    // global null short-circuit (at 100 TB, the difference between a
+    // scan and a cross product). Two branches pin the semantics
+    // non-vacuously: the null-free subquery keeps NOT IN = NOT EXISTS
+    // (rows survive), the planted-null twin must return COUNT 0 / SUM
+    // NULL. PlanShapeSpec pins the NAAJ flag in the executed plan.
+    "q97_null_aware_anti_join" -> { (s, d) =>
+      import s.implicits._
+      def branch(planted: Boolean, tag: String) =
+        naajFrame(s, d, planted)
+          .agg(count(lit(1)).as("n_cust"), sum($"c_custkey").as("sum_key"))
+          .select(lit(tag).as("branch"), $"n_cust", $"sum_key")
+      branch(planted = false, "no_null")
+        .union(branch(planted = true, "with_null"))
+        .orderBy($"branch")
+    },
+
     // Full outer join of two pre-aggregated sides (agg-before-join keeps the
     // shuffled volume at key-cardinality, not row-cardinality).
     "q07_join_full_outer" -> { (s, d) =>
@@ -168,6 +192,28 @@ object Relational {
     }
   )
 
+  /** q97's NOT IN anti join before aggregation — factored out so
+    * PlanShapeSpec can pin isNullAwareAntiJoin on the executed plan.
+    * The subquery is the urgent orders' custkeys; `planted` nulls out
+    * the keys of orderkey ≡ 7 (mod 10) rows (~10% of the filtered set —
+    * plant AFTER the filter so a null is guaranteed at every sf, never
+    * dependent on which keys happen to be urgent). The join condition
+    * is the idiomatic NOT IN shape the planner's
+    * ExtractSingleColumnNullAwareAntiJoin pattern-matches:
+    * Or(EqualTo(l, r), IsNull(EqualTo(l, r))). */
+  private[graft] def naajFrame(s: SparkSession, d: String,
+                               planted: Boolean): DataFrame = {
+    val sub = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(
+        (if (planted)
+           when(col("o_orderkey") % 10 === 7, lit(null))
+             .otherwise(col("o_custkey"))
+         else col("o_custkey")).as("k"))
+    val eq = col("c_custkey") === col("k")
+    T.customer(s, d).join(sub, eq || isnull(eq), "left_anti")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -216,6 +262,21 @@ object Relational {
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // q97: the oracle states NOT IN literally — DuckDB evaluates the
+    // three-valued contract its own way; the planted-null branch must
+    // read COUNT 0 / SUM NULL on both engines.
+    "q97_null_aware_anti_join" ->
+      """SELECT 'no_null' AS branch, COUNT(*) AS n_cust,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'with_null', COUNT(*), CAST(SUM(c_custkey) AS BIGINT)
+        |FROM customer WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 10 = 7 THEN NULL ELSE o_custkey END
+        |   FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY branch""".stripMargin,
 
     "q07_join_full_outer" ->
       """SELECT COALESCE(ck, sk) AS nationkey,

@@ -384,7 +384,15 @@ object StressBench {
       "q94_unpivot," +
       // q95: one fact scan + runtime-broadcast join — linear, and the
       // conversion DELETES the fact-side sort at every scale
-      "q95_aqe_broadcast_switch"
+      "q95_aqe_broadcast_switch," +
+      // q96: the bloom build is one agg over the FILTERED dim; the
+      // probe is a map-side might_contain — linear, and the pruned
+      // fact shuffle SHRINKS with the dim filter's selectivity
+      "q96_runtime_bloom_filter," +
+      // q97: two broadcast NAAJ probes over the dim-sized customer
+      // table — O(M) hash lookups; the planted branch short-circuits
+      // to EmptyRelation at runtime (the probe scan never runs)
+      "q97_null_aware_anti_join"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

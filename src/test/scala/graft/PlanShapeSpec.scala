@@ -679,4 +679,75 @@ class PlanShapeSpec extends SparkSpec {
     assert(rc.select($"k", $"pos").as[(Long, Long)].collect().toSeq ===
       Seq((10L, 1L), (20L, 2L), (30L, 3L)))
   }
+
+  test("q96: the optimizer injects a bloom-filter runtime filter on the fact side") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val df = operators.Nested.bloomFilterFrame(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val exprs = opt.collect { case p => p.expressions }.flatten
+    // the probe: might_contain(<bloom>, xxhash64(l_orderkey)) guards the
+    // fact scan — rows that cannot join never reach the shuffle
+    assert(exprs.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])),
+      "no BloomFilterMightContain in the optimized plan:\n" +
+        opt.toString.take(1200))
+    // the build: a BloomFilterAggregate over the FILTERED dim's join
+    // keys — it lives inside the probe's scalar subquery, so descend
+    // into subquery plans explicitly
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val subExprs = exprs
+      .flatMap(_.collect { case ss: ScalarSubquery => ss.plan })
+      .flatMap(p => p.collect { case n => n.expressions }.flatten)
+    assert(subExprs.exists(_.exists(_.isInstanceOf[BloomFilterAggregate])),
+      "no BloomFilterAggregate in the probe's subquery:\n" +
+        opt.toString.take(1200))
+    // and the filter is conservative — the result is the plain join+agg
+    val rows = df.collect()
+    assert(rows.nonEmpty, "bloom-filtered join returned nothing")
+  }
+
+  test("q97: NOT IN plans the O(M) null-aware anti join, not a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    // the static plan: NAAJ flag set, nested loop absent (the naive
+    // evaluation of the three-valued contract)
+    val planted = operators.Relational.naajFrame(spark, sf, planted = true)
+    val static = planted.queryExecution.sparkPlan
+    assert(static.collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j }.nonEmpty,
+      "NOT IN did not plan isNullAwareAntiJoin=true:\n" +
+        static.toString.take(1200))
+    assert(static.collect {
+      case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "NOT IN fell back to the O(M*N) nested loop")
+    // runtime bonus: once the broadcast build materializes WITH a null,
+    // AQE's eliminateSingleColumnNullAwareAntiJoin knows every probe is
+    // UNKNOWN and replaces the whole join with EmptyRelation — the
+    // 100 TB probe scan never runs at all
+    assert(planted.collect().isEmpty)
+    assert(planted.queryExecution.executedPlan.toString
+      .contains("EmptyRelation"),
+      "planted-null NAAJ did not short-circuit to EmptyRelation:\n" +
+        planted.queryExecution.executedPlan.toString.take(1200))
+    // and the null-free twin executes THROUGH the hash-probe NAAJ
+    val clean = operators.Relational.naajFrame(spark, sf, planted = false)
+    assert(clean.collect().nonEmpty, "null-free NOT IN returned nothing")
+    assert(clean.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin") &&
+      !clean.queryExecution.executedPlan.toString.contains("EmptyRelation"),
+      "null-free NAAJ did not execute as a broadcast hash probe")
+  }
+
+  test("q11: rank<=k filter plans WindowGroupLimit below the full window") {
+    // InferWindowGroupLimit inserts per-PARTITION top-k selection ahead
+    // of the shuffle + final window: each map task keeps at most k rows
+    // per group, so the window never materializes a full 100 TB group
+    // just to throw away rank > 3
+    val p = finalPlan("q11_window_rank")
+    val n = "WindowGroupLimit".r.findAllIn(p).size
+    assert(n >= 2,
+      s"expected map-side (Partial) AND reduce-side (Final) WindowGroupLimit, got $n:\n" +
+        p.take(1200))
+    assert(p.contains("Partial") && p.contains("Final"),
+      "group limits not split across the shuffle:\n" + p.take(1200))
+  }
 }
