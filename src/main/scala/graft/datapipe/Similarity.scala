@@ -1914,6 +1914,26 @@ object Similarity {
       graphBeamRecall(s, d, nEntries = 4)
     },
 
+    // HIERARCHICAL (ROUTED-ENTRY) BEAM SEARCH — the two-LEVEL serving
+    // shape the graph family was still missing (HNSW's upper layers /
+    // SPANN's coarse index exist to answer ONE question: WHERE should
+    // the layer-0 walk start?): a deterministic 1/4 routing sample
+    // (vec_id ≡ 0 mod 4 — membership needs no auxiliary structure,
+    // the s32/s34 seeding discipline) is exact-scored per query, every
+    // routing score joins the ranked set (it was paid for — and a real
+    // system ranks what it scored), and the single best routed node
+    // seeds the SAME beam-tagged 6-round loop over the SAME graph as
+    // s32/s34 — so the equal-beam recall/cost deltas isolate what
+    // ROUTING buys over a blind min-id entry (s32) and over unrouted
+    // diversity (s34). At 100 TB the routing scan is the sample
+    // fraction of one label population per query — the SPANN trade:
+    // O(n/4) sequential reads to save the walk from a wrong basin.
+    // Scale shape: identical to s32 plus one filtered pass over the
+    // already-materialized scoredAll; no new corpus scan, no new graph.
+    "s36_hierarchical_beam" -> { (s, d) =>
+      hierBeamRecall(s, d)
+    },
+
     // PQ-APPROXIMATE BEAM SEARCH + EXACT RE-RANK — the DiskANN/SPANN
     // serving pattern, and the composition this family was building
     // toward: the graph (s32/s34) says WHERE to walk, the PQ store
@@ -2163,20 +2183,59 @@ object Similarity {
   private def graphBeamRecall(s: SparkSession, d: String,
                               nEntries: Int): DataFrame = {
       import s.implicits._
+      val fx = beamFixture(s, d)
+      val entry = beamEntries(fx.scoredAll, nEntries)
+      val visited0 = Seq(2, 4, 8).map(b => entry.withColumn("beam", lit(b)))
+        .reduce(_ unionByName _)
+        .select($"beam", $"q_id", $"vec_id", $"cosine")
+        .localCheckpoint()
+      beamLoopReport(s, fx, visited0,
+        visited0.select($"beam", $"q_id", $"vec_id"))
+  }
+
+  /** s36: the HNSW/SPANN-style TWO-LEVEL entry — a deterministic 1/4
+    * routing sample (vec_id ≡ 0 mod 4) is exact-scored per query (the
+    * coarse "top layer" scan), ALL sampled scores enter the visited/
+    * ranked set (they were paid for — a production search ranks them
+    * too), and the single best routed node seeds the layer-0 beam.
+    * Same fixture, graph, rounds, and scoring as s32/s34 — the only
+    * diff is the entry, so equal-beam deltas isolate what ROUTING buys
+    * vs s32's min-id (blind) and s34's 4 phash seeds (diverse but
+    * unrouted). A query whose label has no sampled member contributes
+    * nothing (both engines agree; its truth rows count as misses). */
+  private def hierBeamRecall(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val BeamFixture(edges, qs, scoredAll, truth) = beamFixture(s, d)
-      val entry = beamEntries(scoredAll, nEntries)
-      val beams = Seq(2, 4, 8)
+      val fx = beamFixture(s, d)
+      val routed = fx.scoredAll.filter($"vec_id" % 4 === 0)
+      val visited0 = Seq(2, 4, 8).map(b => routed.withColumn("beam", lit(b)))
+        .reduce(_ unionByName _)
+        .select($"beam", $"q_id", $"vec_id", $"cosine")
+        .localCheckpoint()
+      val wb = Window.partitionBy($"beam", $"q_id")
+        .orderBy($"cosine".desc, $"vec_id")
+      val frontier0 = visited0.withColumn("rn", row_number().over(wb))
+        .filter($"rn" === 1).select($"beam", $"q_id", $"vec_id")
+      beamLoopReport(s, fx, visited0, frontier0)
+  }
+
+  /** The shared 6-round bounded-frontier beam loop + report (see the
+    * s32 registry comment for the discipline); only the SEEDING
+    * (initial visited set + initial frontier) differs across
+    * s32/s34/s36. */
+  private def beamLoopReport(s: SparkSession, fx: BeamFixture,
+                             visited0: DataFrame,
+                             frontier0: DataFrame): DataFrame = {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val BeamFixture(edges, qs, scoredAll, truth) = fx
       val wb = Window.partitionBy($"beam", $"q_id")
         .orderBy($"cosine".desc, $"vec_id")
       // ONE checkpoint per round (the fresh frame); `visited` stays a
       // flat union OVER checkpointed frames — materialized leaves, so
       // neither the anti-join nor the final ranking recomputes a round
-      var visited = beams.map(b => entry.withColumn("beam", lit(b)))
-        .reduce(_ unionByName _)
-        .select($"beam", $"q_id", $"vec_id", $"cosine")
-        .localCheckpoint()
-      var frontier = visited.select($"beam", $"q_id", $"vec_id")
+      var visited = visited0
+      var frontier = frontier0
       for (_ <- 1 to 6) {
         val fresh = frontier.join(edges, frontier("vec_id") === edges("src"))
           .select($"beam", $"q_id", edges("dst").as("vec_id")).distinct()
@@ -3377,6 +3436,20 @@ object Similarity {
         s"${graft.Dets.phashSql("CAST(vec_id AS VARCHAR)")}, vec_id",
       entryRnCond = "rn <= 4"),
 
+    // s36: the identical chain with the routed two-level entry — the
+    // 1/4 sample ALL enters v0 (the routing scan's scores are ranked
+    // too), and f0 keeps only the best routed node per (beam, query).
+    "s36_hierarchical_beam" -> graphBeamRecallOracleSql(
+      entryOrderSql = "cosine DESC, vec_id",
+      entryRnCond = "rn >= 1",
+      entryWhereSql = "vec_id % 4 = 0",
+      f0Sql = Some(
+        """SELECT beam, q_id, vec_id FROM (
+          |    SELECT beam, q_id, vec_id,
+          |      row_number() OVER (PARTITION BY beam, q_id
+          |        ORDER BY cosine DESC, vec_id) AS rn
+          |    FROM v0) z WHERE rn = 1""".stripMargin)),
+
     // s35: the same graph chain + the s11/s12 PQ chain; rounds score
     // fresh nodes by ADC (codes x the query's codeword distance
     // table), frontier keeps ADC-smallest; exact-cosine re-rank of the
@@ -3594,7 +3667,10 @@ object Similarity {
     * sample and same-label brute-force truth; the entry CTE is the
     * only parameterized piece (s32: min-id; s34: 4 phash-spread). */
   private def graphBeamRecallOracleSql(entryOrderSql: String,
-                                       entryRnCond: String): String = {
+                                       entryRnCond: String,
+                                       entryWhereSql: String = "TRUE",
+                                       f0Sql: Option[String] = None)
+      : String = {
       val rounds = (1 to 6).map { r =>
         val pv = s"v${r - 1}"
         val pf = s"f${r - 1}"
@@ -3619,11 +3695,11 @@ object Similarity {
          |    SELECT q_id, vec_id, cosine,
          |      row_number() OVER (PARTITION BY q_id
          |        ORDER BY $entryOrderSql) AS rn
-         |    FROM sa) z WHERE $entryRnCond),
+         |    FROM sa WHERE $entryWhereSql) z WHERE $entryRnCond),
          |beams AS (SELECT unnest([2, 4, 8]) AS beam),
          |v0 AS MATERIALIZED (
          |  SELECT beam, q_id, vec_id, cosine FROM beams, entry),
-         |f0 AS (SELECT beam, q_id, vec_id FROM v0),
+         |f0 AS (${f0Sql.getOrElse("SELECT beam, q_id, vec_id FROM v0")}),
          |$rounds,
          |ranked AS (
          |  SELECT beam, q_id, vec_id,

@@ -392,7 +392,10 @@ object StressBench {
       // q97: two broadcast NAAJ probes over the dim-sized customer
       // table — O(M) hash lookups; the planted branch short-circuits
       // to EmptyRelation at runtime (the probe scan never runs)
-      "q97_null_aware_anti_join"
+      "q97_null_aware_anti_join," +
+      // s36: s32's bill + one filtered pass over the materialized
+      // scoredAll (the routing sample) — flat like the family
+      "s36_hierarchical_beam"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1844,6 +1844,8 @@ class OperatorSpec extends SparkSpec {
       .withDefaultValue((0L, 0L)) // beam -> (hits, n_scored), s32 seeding
     val perBeamMulti = scala.collection.mutable.Map[Int, (Long, Long)]()
       .withDefaultValue((0L, 0L)) // same, s34's 4 phash-spread seeds
+    val perBeamHier = scala.collection.mutable.Map[Int, (Long, Long)]()
+      .withDefaultValue((0L, 0L)) // same, s36's routed two-level entry
     // JVM mirror of Dets.phash: first 15 hex chars of md5 as a long
     def phashScala(str: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
@@ -1857,8 +1859,10 @@ class OperatorSpec extends SparkSpec {
         .take(10).map(_._1).toSet
       nTruthAll += truth.size
       if (scored.nonEmpty) {
-        def search(entries: Seq[Long], beam: Int): (Long, Long) = {
-          val visited = scala.collection.mutable.Set(entries: _*)
+        def search(entries: Seq[Long], beam: Int,
+                   seedVisited: Seq[Long] = Seq.empty): (Long, Long) = {
+          val visited =
+            scala.collection.mutable.Set((entries ++ seedVisited): _*)
           var frontier = entries
           for (_ <- 1 to 6) {
             val fresh = frontier.flatMap(v => sym.getOrElse(v, Set.empty))
@@ -1873,6 +1877,12 @@ class OperatorSpec extends SparkSpec {
         val single = Seq(scored.keys.min)
         val multi = scored.keys.toSeq
           .sortBy(id => (phashScala(id.toString), id)).take(4)
+        // s36: the 1/4 routing sample is scored up front; the single
+        // best routed node seeds the walk, the whole sample is ranked
+        val sample = scored.keys.filter(_ % 4 == 0).toSeq
+        val routedEntry =
+          if (sample.isEmpty) Seq.empty
+          else Seq(sample.minBy(id => (-scored(id), id)))
         Seq(2, 4, 8).foreach { beam =>
           val (h, n) = perBeam(beam)
           val (dh, dn) = search(single, beam)
@@ -1880,6 +1890,11 @@ class OperatorSpec extends SparkSpec {
           val (h2, n2) = perBeamMulti(beam)
           val (dh2, dn2) = search(multi, beam)
           perBeamMulti(beam) = (h2 + dh2, n2 + dn2)
+          val (h3, n3) = perBeamHier(beam)
+          val (dh3, dn3) =
+            if (routedEntry.isEmpty) (0L, 0L)
+            else search(routedEntry, beam, seedVisited = sample)
+          perBeamHier(beam) = (h3 + dh3, n3 + dn3)
         }
       }
     }
@@ -1925,6 +1940,20 @@ class OperatorSpec extends SparkSpec {
       assert(s34r(b)._4 >= s32r(b)._4 - 1,
         s"beam=$b: multi-entry lost recall ${s34r(b)._4} vs ${s32r(b)._4}")
     }
+
+    // s36 = the routed two-level entry — replays exactly too
+    val outH = datapipe.Similarity.queries("s36_hierarchical_beam")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+    checkAgainst(outH.toSeq, perBeamHier, "s36")
+    // what ROUTING buys: at the low beam the routed entry must lift
+    // recall over the blind min-id entry (that is the whole point of a
+    // top layer — measured at sf0.01: 0.706 → 0.775 for ~1 extra
+    // scored node/query; at wide beams a single entry, routed or not,
+    // can trail the exhaustive walk — the negative result stays in the
+    // registry comment, not as a pin)
+    val s36r = outH.map(r => r._1 -> r).toMap
+    assert(s36r(2)._6 > s32r(2)._6,
+      s"no beam-2 routing lift: s36=${s36r(2)._6} vs s32=${s32r(2)._6}")
   }
 
   test("s35: PQ-scored traversal tracks the exact-scored walk; re-rank restores recall") {
