@@ -1648,6 +1648,49 @@ object Dedup {
     // best-match window. Candidates verify by EXACT shingle-set
     // Jaccard (sorted 60-bit hash intersection, the d02 verify) ≥
     // 0.35; report = flagged train doc → its best-matching bench doc.
+    // SHARD-LOCAL DEDUP ERROR — pricing the scale shortcut every
+    // 100 TB deployment is tempted by: GLOBAL exact dedup shuffles the
+    // whole corpus on content hash once; dedup-within-each-ingestion-
+    // shard is map-local and shuffle-free but silently keeps every
+    // cross-shard copy. This table measures exactly what that buys and
+    // costs, per strategy: `global` (the truth), `id_sharded` (docs
+    // placed by an id-hash — the arrival/placement sharding real
+    // pipelines have; copies land in the same shard only by luck, so
+    // `missed_vs_global` is the surviving duplicate bill), and
+    // `content_sharded` (docs placed by CONTENT hash — the design
+    // answer: the same map-local bill as id-sharding, and missed = 0
+    // BY CONSTRUCTION because every copy co-locates). The point of the
+    // table is the last column: it turns "shard-local dedup is cheaper"
+    // into a priced decision, and shows the cheap option is only safe
+    // when the placement key is the dedup key. Scale shape: one narrow
+    // (shard, hash) distinct per strategy + 1-row control frames —
+    // the global strategy's bill IS d01's.
+    "d41_shard_dedup_error" -> { (s, d) =>
+      import s.implicits._
+      val hexShard = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c.cast("string")), 1, 1), 16, 10)
+          .cast("long") % 8
+      val h = corpus(s, d).select($"doc_id", md5($"text").as("h"))
+        .localCheckpoint()
+      val tot = h.agg(count(lit(1)).as("n_docs"),
+                      countDistinct($"h").as("n_kept_g"))
+      val ish = h.select(hexShard($"doc_id").as("shard"), $"h").distinct()
+        .agg(count(lit(1)).as("n_kept_i"))
+      val csh = h.select(hexShard($"h").as("shard"), $"h").distinct()
+        .agg(count(lit(1)).as("n_kept_c"))
+      val one = tot.crossJoin(ish).crossJoin(csh)
+      one.select(lit("content_sharded").as("strategy"), $"n_docs",
+                 $"n_kept_c".as("n_kept"), $"n_kept_g")
+        .union(one.select(lit("global"), $"n_docs", $"n_kept_g", $"n_kept_g"))
+        .union(one.select(lit("id_sharded"), $"n_docs", $"n_kept_i",
+                          $"n_kept_g"))
+        .select($"strategy", $"n_docs", $"n_kept",
+          ($"n_docs" - $"n_kept").as("n_removed"),
+          expr("(n_docs - n_kept) * 1000000 div n_docs").as("removed_ppm"),
+          ($"n_kept" - $"n_kept_g").as("missed_vs_global"))
+        .orderBy($"strategy")
+    },
+
     "d40_fuzzy_decontaminate" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -2862,6 +2905,36 @@ object Dedup {
     // d40: the paraphrase-plant corpus, two sigCtesSql chains (bench/
     // train), 16×1 banding, exact shingle-Jaccard verify, best match
     // per flagged doc — mirrors the Spark chain CTE for CTE.
+    // d41: the same three strategies replayed on DuckDB's end — the
+    // id/content shard is the first md5 hex char mod 8 on both engines.
+    "d41_shard_dedup_error" ->
+      s"""WITH corpus AS ($corpusSql),
+         |h AS (SELECT doc_id, md5(text) AS h FROM corpus),
+         |tot AS (SELECT COUNT(*) AS n_docs,
+         |               COUNT(DISTINCT h) AS n_kept_g FROM h),
+         |ish AS (SELECT COUNT(*) AS n_kept_i FROM (
+         |  SELECT DISTINCT
+         |    (strpos('0123456789abcdef',
+         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8, h
+         |  FROM h) z),
+         |csh AS (SELECT COUNT(*) AS n_kept_c FROM (
+         |  SELECT DISTINCT
+         |    (strpos('0123456789abcdef',
+         |       substr(md5(CAST(h AS VARCHAR)), 1, 1)) - 1) % 8, h
+         |  FROM h) z),
+         |rows_ AS (
+         |  SELECT 'content_sharded' AS strategy, n_docs,
+         |    n_kept_c AS n_kept, n_kept_g FROM tot, csh
+         |  UNION ALL
+         |  SELECT 'global', n_docs, n_kept_g, n_kept_g FROM tot
+         |  UNION ALL
+         |  SELECT 'id_sharded', n_docs, n_kept_i, n_kept_g FROM tot, ish)
+         |SELECT strategy, n_docs, n_kept,
+         |  n_docs - n_kept AS n_removed,
+         |  (n_docs - n_kept) * 1000000 // n_docs AS removed_ppm,
+         |  n_kept - n_kept_g AS missed_vs_global
+         |FROM rows_ ORDER BY strategy""".stripMargin,
+
     "d40_fuzzy_decontaminate" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
          |benchd AS (SELECT doc_id, text FROM docs WHERE doc_id % 50 = 0),

@@ -595,6 +595,50 @@ object TextAnalysis {
         .orderBy($"lang", $"predicted")
     },
 
+    // PMI COLLOCATION MINING — the word2phrase step a tokenizer/
+    // phrase-vocab builder runs before training ("new york" should be
+    // one unit; frequency alone can't find it because frequent pairs
+    // of frequent words are expected): pointwise mutual information
+    // ln(P(xy) / (P(x)·P(y))) over adjacent in-doc pairs, P(xy) from
+    // the pair mass, P(x) from the unigram mass, a min-count floor
+    // (c_xy ≥ 5 — below it PMI is noise that rewards hapax pairs), and
+    // the top-20 by (pmi, x, y). Determinism: the score is rounded
+    // ONCE to integer micro-nats (t26's scheme) from the SAME
+    // left-associated double expression on both engines; counts decide
+    // everything else. Scale shape: two narrow keyed aggregates over
+    // one tokenize pass (pairs map-side-combine to (x, y, count) —
+    // distinct-bigram cardinality, never token mass, crosses the
+    // wire), two 1-row broadcast normalizers, the floor shrinks the
+    // join to the collocation candidates, and the top-20 is
+    // TakeOrderedAndProject — per-partition heaps, no global sort.
+    "t44_pmi_collocations" -> { (s, d) =>
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"doc_id", expr("filter(split(text, ' '), x -> x <> '')")
+          .as("ws"))
+      val uni = toks.select(explode($"ws").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val nUni = uni.agg(sum($"c").as("n_uni"))
+      val pairs = toks
+        .select($"ws", posexplode($"ws").as(Seq("p", "y")))
+        .filter($"p" >= 1)
+        .select(element_at($"ws", $"p").as("x"), $"y")
+        .groupBy($"x", $"y").agg(count(lit(1)).as("c_xy"))
+        .localCheckpoint()
+      val nPairs = pairs.agg(sum($"c_xy").as("n_pairs"))
+      pairs.filter($"c_xy" >= 5)
+        .join(uni.select($"w".as("x"), $"c".as("c_x")), Seq("x"))
+        .join(uni.select($"w".as("y"), $"c".as("c_y")), Seq("y"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nPairs))
+        .select($"x", $"y", $"c_xy", $"c_x", $"c_y",
+          round(log($"c_xy".cast("double") * $"n_uni" * $"n_uni" /
+            ($"n_pairs".cast("double") * $"c_x" * $"c_y")) * 1e6)
+            .cast("long").as("pmi_micro"))
+        .orderBy($"pmi_micro".desc, $"x", $"y")
+        .limit(20)
+    },
+
     // Quality score: type-token ratio, stopword ratio, length saturation.
     // The (tokens, distinct, stopwords) triple comes from the fused
     // one-pass WordStats expression instead of split + array_distinct +
@@ -2656,6 +2700,33 @@ object TextAnalysis {
          |  c.n_docs / CAST(t.n_true AS DOUBLE) AS share
          |FROM conf c JOIN tot t USING (lang)
          |ORDER BY lang, predicted""".stripMargin,
+
+    // t44: the identical PMI arithmetic (same left-associated double
+    // expression, same micro-nat rounding) over DuckDB's tokenizer.
+    "t44_pmi_collocations" ->
+      """WITH arrs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM arrs) z GROUP BY w),
+        |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+        |pr AS (
+        |  SELECT ws[CAST(i - 1 AS INT)] AS x, ws[CAST(i AS INT)] AS y
+        |  FROM (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM arrs) z
+        |  WHERE i >= 2),
+        |pc AS (SELECT x, y, COUNT(*) AS c_xy FROM pr GROUP BY x, y),
+        |np AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_pairs FROM pc)
+        |SELECT p.x, p.y, p.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |  CAST(round(ln(CAST(p.c_xy AS DOUBLE) * n_uni * n_uni /
+        |    (CAST(n_pairs AS DOUBLE) * ux.c * uy.c)) * 1e6) AS BIGINT)
+        |    AS pmi_micro
+        |FROM pc p JOIN uni ux ON ux.w = p.x JOIN uni uy ON uy.w = p.y,
+        |  nu, np
+        |WHERE p.c_xy >= 5
+        |ORDER BY pmi_micro DESC, x, y
+        |LIMIT 20""".stripMargin,
 
     "t02_quality_score" ->
       """WITH w AS (

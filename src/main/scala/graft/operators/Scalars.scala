@@ -120,6 +120,41 @@ object Scalars {
           $"j.k".as("k_int"),
           ($"j.k" > 50).as("k_big"))
         .orderBy($"event_id")
+    },
+
+    // VARIANT — the typed semi-structured path (Spark 4's answer to
+    // schema-on-read JSON at scale): q28's from_json needs the schema
+    // UP FRONT and one struct per shape; an event stream with drifting
+    // payloads gets ONE parse_json into the binary variant encoding,
+    // then O(1) typed path extraction per field — no re-parse per
+    // extraction (get_json_object's cost), no schema migration when a
+    // producer adds a field. The document here is assembled from
+    // columns + the raw props payload nested VERBATIM (ints/strings
+    // only — embedding engine-formatted doubles in a string would pin
+    // float printing, not variant semantics); extraction covers nested
+    // object paths, array indexing, a missing path (NULL, not error),
+    // and a widening int→double cast. The oracle reads the same
+    // document through DuckDB's JSON operators — two different
+    // semi-structured engines forced to the same typed values.
+    "q98_variant" -> { (s, d) =>
+      import s.implicits._
+      T.events(s, d)
+        .filter($"event_id" % 25 === 0)
+        .withColumn("js", concat(
+          lit("{\"meta\":{\"type\":\""), $"event_type",
+          lit("\",\"uid\":"), $"user_id".cast("string"),
+          lit("},\"ids\":["), $"user_id".cast("string"),
+          lit(","), $"event_id".cast("string"),
+          lit("],\"p\":"), $"props", lit("}")))
+        .withColumn("v", parse_json($"js"))
+        .select($"event_id",
+          variant_get($"v", "$.meta.type", "string").as("v_type"),
+          variant_get($"v", "$.meta.uid", "bigint").as("v_uid"),
+          variant_get($"v", "$.ids[1]", "bigint").as("v_second_id"),
+          variant_get($"v", "$.p.k", "bigint").as("v_pk"),
+          variant_get($"v", "$.meta.missing", "bigint").as("v_missing"),
+          variant_get($"v", "$.ids[0]", "double").as("v_uid_dbl"))
+        .orderBy($"event_id")
     }
   )
 
@@ -201,6 +236,23 @@ object Scalars {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         |  CAST(json_extract_string(props, '$.k') AS INT) > 50 AS k_big
         |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q98_variant" ->
+      """SELECT event_id,
+        |  js->>'$.meta.type' AS v_type,
+        |  CAST(js->'$.meta.uid' AS BIGINT) AS v_uid,
+        |  CAST(js->'$.ids[1]' AS BIGINT) AS v_second_id,
+        |  CAST(js->'$.p.k' AS BIGINT) AS v_pk,
+        |  CAST(js->'$.meta.missing' AS BIGINT) AS v_missing,
+        |  CAST(js->'$.ids[0]' AS DOUBLE) AS v_uid_dbl
+        |FROM (
+        |  SELECT event_id,
+        |    '{"meta":{"type":"' || event_type || '","uid":' ||
+        |    CAST(user_id AS VARCHAR) || '},"ids":[' ||
+        |    CAST(user_id AS VARCHAR) || ',' || CAST(event_id AS VARCHAR) ||
+        |    '],"p":' || props || '}' AS js
+        |  FROM events WHERE event_id % 25 = 0) z
         |ORDER BY event_id""".stripMargin
   )
 }

@@ -395,7 +395,18 @@ object StressBench {
       "q97_null_aware_anti_join," +
       // s36: s32's bill + one filtered pass over the materialized
       // scoredAll (the routing sample) — flat like the family
-      "s36_hierarchical_beam"
+      "s36_hierarchical_beam," +
+      // q98: one map-only parse_json + typed path extraction — linear,
+      // no shuffle at all above the final sort
+      "q98_variant," +
+      // d41: three narrow (shard, hash) distincts + 1-row controls —
+      // 3× d01's bill, linear
+      "d41_shard_dedup_error," +
+      // t44: two keyed aggregates over one tokenize pass + broadcast
+      // normalizers; the floor bounds the PMI join, top-20 is
+      // TakeOrderedAndProject — sublinear like t14 (distinct bigrams
+      // saturate on the fixed vocabulary)
+      "t44_pmi_collocations"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -4023,6 +4023,98 @@ class OperatorSpec extends SparkSpec {
     assert(out.map(_._2).forall(_ > 0L) && out.map(_._3).forall(_ > 0L))
   }
 
+  test("d41: all three shard strategies replay exactly; id-sharding genuinely leaks") {
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // the d-family corpus replayed literally (docs + %10 near-dup
+    // suffixes + %7 exact clones)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val corpus = docs ++
+      docs.filter(_._1 % 10 == 0)
+        .map { case (id, t) => (id + 1000000L, t + " near duplicate suffix") } ++
+      docs.filter(_._1 % 7 == 0).map { case (id, t) => (id + 2000000L, t) }
+    val hashed = corpus.map { case (id, t) => (id, md5hex(t)) }
+    def shard(key: String): Long =
+      "0123456789abcdef".indexOf(md5hex(key).head).toLong % 8
+    val nDocs = hashed.length.toLong
+    val keptG = hashed.map(_._2).distinct.length.toLong
+    val keptI = hashed.map { case (id, h) => (shard(id.toString), h) }
+      .distinct.length.toLong
+    val keptC = hashed.map { case (_, h) => (shard(h), h) }
+      .distinct.length.toLong
+    val out = datapipe.Dedup.queries("d41_shard_dedup_error")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    Seq("global" -> keptG, "id_sharded" -> keptI,
+        "content_sharded" -> keptC).foreach { case (st, kept) =>
+      val r = out(st)
+      assert(r._2 === nDocs && r._3 === kept, s"$st kept mismatch: $r")
+      assert(r._4 === nDocs - kept)
+      assert(r._5 === (nDocs - kept) * 1000000L / nDocs)
+      assert(r._6 === kept - keptG)
+    }
+    // the table is non-vacuous: content-sharding is exact by
+    // construction, id-sharding leaks cross-shard copies
+    assert(out("content_sharded")._6 === 0L)
+    assert(out("id_sharded")._6 > 0L,
+      "no cross-shard duplicates — the pricing table pins nothing")
+    assert(out("global")._4 > 0L, "corpus has no exact duplicates at all")
+  }
+
+  test("t44: the PMI table replays exactly from raw text; floor and order pinned") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").as[String].collect()
+      .map(_.split(" ").filter(_.nonEmpty))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong)
+    val nUni = docs.map(_.length.toLong).sum
+    val pairs = docs.flatMap(ws => ws.dropRight(1).zip(ws.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nPairs = pairs.values.sum
+    def pmiMicro(x: String, y: String, cxy: Long): Long =
+      BigDecimal(math.log(cxy.toDouble * nUni * nUni /
+        (nPairs.toDouble * uni(x) * uni(y))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = pairs.toSeq.collect { case ((x, y), c) if c >= 5 =>
+      (x, y, c, uni(x), uni(y), pmiMicro(x, y, c)) }
+      .sortBy { case (x, y, _, _, _, p) => (-p, x, y) }.take(20)
+    val out = datapipe.TextAnalysis.queries("t44_pmi_collocations")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === expected)
+    assert(out.nonEmpty && out.forall(_._3 >= 5L),
+      "min-count floor not applied")
+    // PMI genuinely reorders: the PMI top-20 must differ from a raw
+    // count top-20 somewhere (else the score pins nothing over counts)
+    val byCount = pairs.toSeq.filter(_._2 >= 5)
+      .sortBy { case ((x, y), c) => (-c, x, y) }.take(20)
+      .map { case ((x, y), _) => (x, y) }
+    assert(out.map(r => (r._1, r._2)) !== byCount,
+      "PMI ranking identical to raw-count ranking — score vacuous")
+  }
+
+  test("q98: every variant extraction equals the column it was assembled from") {
+    val out = operators.Scalars.queries("q98_variant")(spark, sf)
+      .as[(Long, String, Long, Long, Long, Option[Long], Double)].collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"user_id", $"event_type", $"props")
+      .as[(Long, Long, String, String)].collect()
+      .filter(_._1 % 25 == 0).sortBy(_._1)
+    assert(out.length === ev.length && out.nonEmpty)
+    out.zip(ev).foreach { case ((eid, vt, vu, v2, vpk, vmiss, vud),
+                                (id, uid, tpe, props)) =>
+      assert(eid === id)
+      assert(vt === tpe, "nested object string path")
+      assert(vu === uid, "nested object int path")
+      assert(v2 === id, "array index path")
+      // the raw props payload nested verbatim: $.p.k
+      val k = """-?\d+""".r.findFirstIn(props).get.toLong
+      assert(vpk === k, "verbatim-nested payload path")
+      assert(vmiss.isEmpty, "missing path must be NULL, not an error")
+      assert(vud === uid.toDouble, "widening int->double variant cast")
+    }
+  }
+
   test("q88: layout table replays exactly; z-order strictly cheaper on the box") {
     val out = operators.Extras.queries("q88_zorder_layout")(spark, sf)
       .as[(String, Long, Long, Long, Long, Double)].collect()
