@@ -531,6 +531,52 @@ object Multimodal {
       out
     }
 
+    // ----- m23: interleaved-stereo corpus + downmix kernel -----
+
+    /** m23's right channel, formula-stated so the oracle can recompute:
+      * id ≡ 0 (mod 7) → DEAD right (a mono source through a stereo rig
+      * with one bad cable); else id ≡ 0 (mod 11) → PHASE-INVERTED
+      * right (R = −L — the miswired-XLR bug that CANCELS under
+      * downmix); else an independent channel. Precedence order matters
+      * (id ≡ 0 mod 77 is dead, not inverted) — the oracle's CASE
+      * states the same order. */
+    def rSample(id: Long, i: Int): Int =
+      if (id % 7 == 0) 0
+      else if (id % 11 == 0) -sample(id, i)
+      else (((id * 11L + i * 17L) % 201L) - 100L).toInt
+
+    /** Interleaved L/R 16-bit LE frames — the WAV stereo wire layout. */
+    def synthStereoPcm(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val bb = java.nio.ByteBuffer.allocate(4 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        bb.putShort(sample(id, i).toShort)
+        bb.putShort(rSample(id, i).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** De-interleave + floor-average downmix ((l+r) >> 1 — decimate2's
+      * sign lesson: plain /2 truncates toward zero on negatives and
+      * diverges from the oracle's floor). */
+    def downmix(payload: Array[Byte])
+        : (Array[Int], Array[Int], Array[Int]) = {
+      val v = decode(payload)
+      val n = v.length / 2
+      val l = new Array[Int](n); val r = new Array[Int](n)
+      val m = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        l(i) = v(2 * i); r(i) = v(2 * i + 1)
+        m(i) = (l(i) + r(i)) >> 1
+        i += 1
+      }
+      (l, r, m)
+    }
+
     def features(id: Long, payload: Array[Byte]): AudioFeatures = {
       val v = decode(payload)
       var peak = 0; var zc = 0; var energy = 0L
@@ -1673,6 +1719,42 @@ object Multimodal {
     // (Σ v_i·((i mod 7)+1)) that pins every output sample's VALUE AND
     // POSITION, so an off-by-one in the pair alignment fails the hash.
     // Map-only decode+decimate like m03/m06/m09; ~44 B/track shuffles.
+    // STEREO DOWNMIX + CHANNEL AUDIT — the channel-domain sibling of
+    // m12's temporal decimation, and the audit audio curation MUST run
+    // before it downmixes (most training stacks take mono; naive
+    // L+R/2 silently DESTROYS phase-inverted material — the miswired-
+    // XLR recording reads as near-silence after the mix, and a dead
+    // channel halves loudness): the corpus is interleaved-stereo
+    // 16-bit LE PCM with formula-planted pathologies (dead right at
+    // id%7, phase-inverted right at id%11), decoded through the real
+    // byte path, de-interleaved, floor-average downmixed. Per track:
+    // channel masses (the balance diagnostic), mono peak/mass, a
+    // position checksum pinning every output sample, and two integer
+    // verdicts — dead_right (r_mass = 0) and cancelled (mono mass
+    // collapsed below l_mass/8: the downmix destroyed the track).
+    // The oracle knows only the channel formulas — matching masses and
+    // checksums prove the interleaved byte layout was really walked.
+    // Map-only; ~60 B/track shuffles regardless of duration.
+    "m23_stereo_downmix" -> { (s, d) =>
+      import s.implicits._
+      T.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val (l, r, m) = PcmCodec.downmix(PcmCodec.synthStereoPcm(id))
+          var lm = 0L; var rm = 0L; var mm = 0L
+          var peak = 0; var chk = 0L; var i = 0
+          while (i < m.length) {
+            lm += math.abs(l(i)); rm += math.abs(r(i))
+            val a = math.abs(m(i)); mm += a
+            if (a > peak) peak = a
+            chk += m(i).toLong * (i + 1); i += 1
+          }
+          (id, m.length, lm, rm, mm, peak, chk, rm == 0L, mm * 8 < lm)
+        })
+        .toDF("asset_id", "n_frames", "l_mass", "r_mass", "mono_mass",
+              "mono_peak", "mono_chk", "dead_right", "cancelled")
+        .orderBy($"asset_id")
+    },
+
     "m12_audio_decimate" -> { (s, d) =>
       import s.implicits._
       T.documents(s, d).select($"doc_id").as[Long]
@@ -2292,6 +2374,38 @@ object Multimodal {
     // m12: the oracle recomputes every decimated sample from the PCM
     // formula with floor((s(2i)+s(2i+1))/2) — the arithmetic-shift
     // floor on the Spark side must equal it for negative pairs too.
+    // m23: every column replays from the channel formulas (the CASE
+    // states the dead-before-inverted precedence); the Spark side
+    // proves they sit in real interleaved bytes.
+    "m23_stereo_downmix" ->
+      """WITH p AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(64 + (doc_id % 5) * 16 AS INT) AS n
+        |  FROM documents),
+        |ch AS (
+        |  SELECT p.asset_id, p.n, t.i,
+        |    CAST((p.asset_id * 7 + t.i * 13) % 201 - 100 AS BIGINT) AS l,
+        |    CAST(CASE
+        |      WHEN p.asset_id % 7 = 0 THEN 0
+        |      WHEN p.asset_id % 11 = 0
+        |        THEN -((p.asset_id * 7 + t.i * 13) % 201 - 100)
+        |      ELSE (p.asset_id * 11 + t.i * 17) % 201 - 100
+        |    END AS BIGINT) AS r
+        |  FROM p, range(0, 128) t(i) WHERE t.i < p.n),
+        |m AS (
+        |  SELECT asset_id, n, i, l, r,
+        |    CAST(floor((l + r) / 2.0) AS BIGINT) AS mono
+        |  FROM ch)
+        |SELECT asset_id, CAST(MAX(n) AS INT) AS n_frames,
+        |  CAST(SUM(ABS(l)) AS BIGINT) AS l_mass,
+        |  CAST(SUM(ABS(r)) AS BIGINT) AS r_mass,
+        |  CAST(SUM(ABS(mono)) AS BIGINT) AS mono_mass,
+        |  CAST(MAX(ABS(mono)) AS INT) AS mono_peak,
+        |  CAST(SUM(mono * (i + 1)) AS BIGINT) AS mono_chk,
+        |  SUM(ABS(r)) = 0 AS dead_right,
+        |  SUM(ABS(mono)) * 8 < SUM(ABS(l)) AS cancelled
+        |FROM m GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
     "m12_audio_decimate" ->
       """WITH p AS (
         |  SELECT doc_id AS asset_id,

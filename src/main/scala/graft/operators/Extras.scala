@@ -49,6 +49,47 @@ object Extras {
         .orderBy($"c_custkey", $"valid_from")
     },
 
+    // MERGE INTO — the full three-clause lakehouse merge (WHEN MATCHED
+    // UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT) that
+    // q66's SCD2 history-keeping is the versioned cousin of. Spark has
+    // no MERGE over plain parquet (that's Delta/Iceberg surface), so
+    // this is the idiomatic re-expression the format-level merge
+    // compiles to anyway: ONE full-outer join of target and change
+    // feed on the key + per-row CASE arbitration — at 100 TB one
+    // co-partitioned shuffle (bucketing the target on the merge key
+    // deletes even that, q82's layout), and a small change feed rides
+    // q95's runtime broadcast switch instead. The feed plants all
+    // three clauses deterministically: urgent-order revenue upserts
+    // matched customers, %13 keys are delete markers, %9 keys re-key
+    // to +1000000 — the not-matched insert stream. Output is the
+    // merged state with per-row provenance (kept/updated/inserted;
+    // deletes absent), so the oracle pins every clause's arbitration.
+    "q100_merge_into" -> { (s, d) =>
+      import s.implicits._
+      val target = T.customer(s, d)
+        .select($"c_custkey".as("key"), $"c_acctbal".as("bal"))
+      val src0 = T.orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .groupBy($"o_custkey")
+        .agg(graft.Dets.dsum($"o_totalprice").as("amt"))
+      val source = src0.select(
+        when($"o_custkey" % 9 === 0, $"o_custkey" + 1000000L)
+          .otherwise($"o_custkey").as("key"),
+        $"amt",
+        when($"o_custkey" % 13 === 0 && $"o_custkey" % 9 =!= 0,
+          lit("delete")).otherwise(lit("upsert")).as("action"))
+      target.join(source, Seq("key"), "full_outer")
+        .filter($"action".isNull || $"action" =!= "delete")
+        .select($"key",
+          when($"action".isNull, $"bal")
+            .when($"bal".isNotNull, $"bal" + $"amt")
+            .otherwise($"amt").as("bal"),
+          when($"action".isNull, lit("kept"))
+            .when($"bal".isNotNull, lit("updated"))
+            .otherwise(lit("inserted")).as("status"))
+        .orderBy($"key")
+    },
+
     // Funnel analysis — per-user stage progression (view → click →
     // purchase) from the event stream: one pass collects each user's
     // FIRST timestamp per stage (pivot-style conditional min — no joins,
@@ -975,6 +1016,35 @@ object Extras {
         |  CAST(1000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM changes
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // q100: the same three-clause arbitration stated over a full outer
+    // join — both engines must agree row-for-row on every clause.
+    "q100_merge_into" ->
+      """WITH tgt AS (SELECT c_custkey AS key, c_acctbal AS bal
+        |             FROM customer),
+        |src0 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amt
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |src AS (
+        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS key,
+        |    amt,
+        |    CASE WHEN o_custkey % 13 = 0 AND o_custkey % 9 <> 0
+        |         THEN 'delete' ELSE 'upsert' END AS action
+        |  FROM src0),
+        |m AS (
+        |  SELECT COALESCE(t.key, s.key) AS key, t.bal, s.amt, s.action
+        |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key)
+        |SELECT key,
+        |  CASE WHEN action IS NULL THEN bal
+        |       WHEN bal IS NOT NULL THEN bal + amt
+        |       ELSE amt END AS bal,
+        |  CASE WHEN action IS NULL THEN 'kept'
+        |       WHEN bal IS NOT NULL THEN 'updated'
+        |       ELSE 'inserted' END AS status
+        |FROM m WHERE action IS NULL OR action <> 'delete'
+        |ORDER BY key""".stripMargin,
 
     "q67_funnel" ->
       """WITH s AS (

@@ -122,6 +122,38 @@ object Scalars {
         .orderBy($"event_id")
     },
 
+    // ANSI-SAFE ARITHMETIC — Spark 4 runs ANSI mode ON, which at
+    // 100 TB means ONE malformed row kills a six-hour job (division by
+    // zero, a bad cast, an overflow are ERRORS, not silent NULLs). The
+    // production answer is the try_* family: the error becomes a NULL
+    // the pipeline can quarantine and count instead of a dead job.
+    // Planted failures exercise every lane non-vacuously: zero
+    // denominators (every event_id ≡ 0 mod 5), unparseable strings
+    // (every ≡ 0 mod 3 row carries the event TYPE, not a number), a
+    // guaranteed long overflow (Long.MaxValue × den ≥ 2), and an
+    // out-of-bounds array index (1-based idx cycles 1..4 over a
+    // 2-element array — 3 and 4 miss; index 0 stays an ERROR even
+    // under try_element_at, Spark's documented contract). The oracle states the
+    // same semantics in DuckDB's terms (NULLIF denominators, TRY_CAST,
+    // a HUGEINT-guarded overflow check, native out-of-bounds-NULL
+    // indexing) — two engines forced to agree on every quarantined row.
+    "q99_try_functions" -> { (s, d) =>
+      import s.implicits._
+      T.events(s, d)
+        .withColumn("den", $"event_id" % 5)
+        .withColumn("str",
+          when($"event_id" % 3 === 0, $"event_type")
+            .otherwise($"event_id".cast("string")))
+        .select($"event_id",
+          try_divide($"user_id", $"den").as("safe_div"),
+          try_to_number($"str", lit("999999999")).cast("long")
+            .as("parsed"),
+          try_multiply(lit(Long.MaxValue), $"den").as("safe_mul"),
+          try_element_at(array($"user_id", $"event_id"),
+            ($"event_id" % 4 + 1).cast("int")).as("safe_elem"))
+        .orderBy($"event_id")
+    },
+
     // VARIANT — the typed semi-structured path (Spark 4's answer to
     // schema-on-read JSON at scale): q28's from_json needs the schema
     // UP FRONT and one struct per shape; an event stream with drifting
@@ -236,6 +268,27 @@ object Scalars {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         |  CAST(json_extract_string(props, '$.k') AS INT) > 50 AS k_big
         |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // q99: the same quarantine semantics in DuckDB's dialect. The
+    // try_to_number('999999999') lane parses ONLY all-digit strings ≤ 9
+    // digits — mirrored as a regex-guarded TRY_CAST; decimal division
+    // both sides; overflow guarded through HUGEINT.
+    "q99_try_functions" ->
+      """SELECT event_id,
+        |  user_id / NULLIF(event_id % 5, 0) AS safe_div,
+        |  CASE WHEN regexp_matches(str, '^[0-9]{1,9}$')
+        |       THEN TRY_CAST(str AS BIGINT) ELSE NULL END AS parsed,
+        |  CASE WHEN abs(CAST(9223372036854775807 AS HUGEINT)
+        |             * (event_id % 5)) > 9223372036854775807
+        |       THEN NULL
+        |       ELSE CAST(9223372036854775807 * CAST(event_id % 5 AS HUGEINT)
+        |            AS BIGINT) END AS safe_mul,
+        |  ([user_id, event_id])[CAST(event_id % 4 + 1 AS INT)] AS safe_elem
+        |FROM (SELECT event_id, user_id,
+        |        CASE WHEN event_id % 3 = 0 THEN event_type
+        |             ELSE CAST(event_id AS VARCHAR) END AS str
+        |      FROM events) z
         |ORDER BY event_id""".stripMargin,
 
     "q98_variant" ->

@@ -406,7 +406,14 @@ object StressBench {
       // normalizers; the floor bounds the PMI join, top-20 is
       // TakeOrderedAndProject — sublinear like t14 (distinct bigrams
       // saturate on the fixed vocabulary)
-      "t44_pmi_collocations"
+      "t44_pmi_collocations," +
+      // m23: map-only stereo decode + ~60 B/track shuffle — m12's bill
+      "m23_stereo_downmix," +
+      // q99: four map-only try_* lanes + the final sort — linear
+      "q99_try_functions," +
+      // q100: one full-outer shuffle join on the merge key + per-row
+      // CASE — linear; bucketing the target would delete the exchange
+      "q100_merge_into"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

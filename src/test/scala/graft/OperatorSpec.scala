@@ -3205,6 +3205,43 @@ class OperatorSpec extends SparkSpec {
     }, "no odd negative pair sum in the corpus — floor semantics untested")
   }
 
+  test("m23: downmix and channel verdicts equal the formula recompute; all three classes planted") {
+    import datapipe.Multimodal.PcmCodec
+    val out = datapipe.Multimodal.queries("m23_stereo_downmix")(spark, sf)
+      .as[(Long, Int, Long, Long, Long, Int, Long, Boolean, Boolean)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nf, lm, rm, mm, peak, chk, dead, cancel) =>
+      val n = PcmCodec.nSamples(id)
+      // independent recompute straight from the channel formulas
+      def lS(i: Int) = (((id * 7L + i * 13L) % 201L) - 100L).toInt
+      def rS(i: Int) =
+        if (id % 7 == 0) 0
+        else if (id % 11 == 0) -lS(i)
+        else (((id * 11L + i * 17L) % 201L) - 100L).toInt
+      val mono = Array.tabulate(n)(i => (lS(i) + rS(i)) >> 1)
+      assert(nf === n, s"id=$id frames")
+      assert(lm === (0 until n).map(i => math.abs(lS(i)).toLong).sum)
+      assert(rm === (0 until n).map(i => math.abs(rS(i)).toLong).sum)
+      assert(mm === mono.map(x => math.abs(x).toLong).sum)
+      assert(peak === mono.map(math.abs).max)
+      assert(chk === mono.zipWithIndex
+        .map { case (v, i) => v.toLong * (i + 1) }.sum, s"id=$id chk")
+      assert(dead === (rm == 0L) && cancel === (mm * 8 < lm), s"id=$id flags")
+      // class semantics: the verdicts land exactly on the plants
+      if (id % 7 == 0) assert(dead && !cancel, s"id=$id dead class")
+      else if (id % 11 == 0) assert(cancel && !dead, s"id=$id inverted class")
+      else assert(!dead && !cancel, s"id=$id normal class")
+      // phase inversion cancels to AT MOST the floor residue (-1 per
+      // odd L): the downmix genuinely destroys the track
+      if (id % 7 != 0 && id % 11 == 0)
+        assert(mm <= n.toLong, s"id=$id inverted residue $mm > $n")
+    }
+    Seq(7L, 11L).foreach(k => assert(out.exists(r => r._1 % k == 0),
+      s"no %$k plant in the corpus — a verdict class is untested"))
+    assert(out.exists(r => r._1 % 7 != 0 && r._1 % 11 != 0))
+  }
+
   test("m14: gain, clip count, and post-gain stats equal the exact integer recompute") {
     import datapipe.Multimodal.PcmCodec
     val out = datapipe.Multimodal.queries("m14_audio_normalize")(spark, sf)
@@ -4091,6 +4128,57 @@ class OperatorSpec extends SparkSpec {
       .map { case ((x, y), _) => (x, y) }
     assert(out.map(r => (r._1, r._2)) !== byCount,
       "PMI ranking identical to raw-count ranking — score vacuous")
+  }
+
+  test("q100: every merge clause replays exactly; deletes leave no trace") {
+    val target = spark.read.parquet(s"$sf/customer.parquet")
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    val amt = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_custkey").agg(graft.Dets.dsum($"o_totalprice").as("a"))
+      .as[(Long, Double)].collect()
+    val expected = (
+      // kept: target keys no surviving source row touches
+      target.collect { case (k, b)
+          if !amt.exists(x => x._1 == k && x._1 % 9 != 0) => (k, b, "kept") } ++
+      // updated / deleted among matched non-rekeyed feed rows
+      amt.collect { case (k, a) if k % 9 != 0 && k % 13 != 0 =>
+        (k, target(k) + a, "updated") } ++
+      // inserted: the re-keyed stream (never matches the target)
+      amt.collect { case (k, a) if k % 9 == 0 => (k + 1000000L, a, "inserted") }
+    ).toSeq.sortBy(_._1)
+    val out = operators.Extras.queries("q100_merge_into")(spark, sf)
+      .as[(Long, Double, String)].collect().toSeq
+    assert(out === expected)
+    // all three clauses fire, and a deleted key is genuinely gone
+    Seq("kept", "updated", "inserted").foreach(st =>
+      assert(out.exists(_._3 == st), s"clause $st never fired"))
+    val deleted = amt.collect { case (k, _) if k % 9 != 0 && k % 13 == 0 => k }
+    assert(deleted.nonEmpty, "no delete marker in the feed — clause untested")
+    deleted.foreach(k => assert(!out.exists(_._1 == k), s"deleted key $k survived"))
+  }
+
+  test("q99: every try_* lane quarantines its planted failures and ONLY those") {
+    val out = operators.Scalars.queries("q99_try_functions")(spark, sf)
+      .as[(Long, Option[Double], Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, dv, ps, ml, el) =>
+      assert(dv.isEmpty === (id % 5 == 0), s"id=$id try_divide")
+      assert(ps.isEmpty === (id % 3 == 0), s"id=$id try_to_number")
+      if (id % 3 != 0) assert(ps.contains(id), s"id=$id parsed value")
+      // overflow: den 0 -> 0, den 1 -> MaxValue, den >= 2 -> NULL
+      assert(ml.isEmpty === (id % 5 >= 2), s"id=$id try_multiply")
+      if (id % 5 == 1) assert(ml.contains(Long.MaxValue))
+      // 1-based idx 1..4 over a 2-element array: 3 and 4 miss
+      assert(el.isEmpty === (id % 4 >= 2), s"id=$id try_element_at")
+      if (id % 4 == 1) assert(el.contains(id), s"id=$id elem value")
+    }
+    // every lane fires BOTH ways somewhere, or a quarantine is vacuous
+    assert(out.exists(_._2.isEmpty) && out.exists(_._2.nonEmpty))
+    assert(out.exists(_._3.isEmpty) && out.exists(_._3.nonEmpty))
+    assert(out.exists(_._4.isEmpty) && out.exists(_._4.nonEmpty))
+    assert(out.exists(_._5.isEmpty) && out.exists(_._5.nonEmpty))
   }
 
   test("q98: every variant extraction equals the column it was assembled from") {
