@@ -1934,6 +1934,27 @@ object Similarity {
       hierBeamRecall(s, d)
     },
 
+    // TOMBSTONE-POLICY BEAM SEARCH — the deletion question every graph
+    // index eventually faces (HNSW famously cannot delete: removing a
+    // node's edges fragments the very connectivity the walk needs;
+    // s28 measured deletion for IVF, this measures it for the GRAPH):
+    // 20% of nodes tombstone (vec_id ≡ 1 mod 5), truth and entries go
+    // live-only, and the SAME s32 walk runs under the two production
+    // policies — `skip` (a deleted node can neither be scored nor
+    // traversed: cheap, but every tombstone is a hole in the graph)
+    // vs `through` (the DiskANN practice: traverse and score deleted
+    // nodes for NAVIGATION, drop them from the final ranking — the
+    // walk pays for nodes it can never return). One report, both
+    // policies, all beams: the recall-vs-cost delta is the decision
+    // table for how a 100 TB vector store should implement deletes
+    // between compactions. n_scored counts the FULL visited set for
+    // `through` (the traversal bill is genuinely paid). Scale shape:
+    // s32's bill twice over the same checkpointed graph + one filtered
+    // pass — no new corpus scan, no new build.
+    "s37_tombstone_beam" -> { (s, d) =>
+      tombstoneBeamRecall(s, d)
+    },
+
     // PQ-APPROXIMATE BEAM SEARCH + EXACT RE-RANK — the DiskANN/SPANN
     // serving pattern, and the composition this family was building
     // toward: the graph (s32/s34) says WHERE to walk, the PQ store
@@ -2219,13 +2240,49 @@ object Similarity {
       beamLoopReport(s, fx, visited0, frontier0)
   }
 
+  /** s37: the two tombstone policies over the SAME graph. `skip` never
+    * lets a deleted node into the walk (scoredAll filtered live — dead
+    * nodes can neither be scored nor traversed); `through` traverses
+    * and scores them for NAVIGATION but drops them from the final
+    * ranking (the DiskANN practice). Truth and entries are live-only
+    * for both, so the recall delta isolates what tombstone handling
+    * does to CONNECTIVITY. */
+  private def tombstoneBeamRecall(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fx = beamFixture(s, d)
+      val live = col("vec_id") % 5 =!= 1
+      val scoredLive = fx.scoredAll.filter(live).localCheckpoint()
+      val wt = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+      val truthLive = scoredLive.withColumn("rn", row_number().over(wt))
+        .filter($"rn" <= 10).select($"q_id", $"vec_id").localCheckpoint()
+      val we = Window.partitionBy($"q_id").orderBy($"vec_id".asc)
+      val entry = scoredLive.withColumn("rn", row_number().over(we))
+        .filter($"rn" === 1).drop("rn")
+      val visited0 = Seq(2, 4, 8).map(b => entry.withColumn("beam", lit(b)))
+        .reduce(_ unionByName _)
+        .select($"beam", $"q_id", $"vec_id", $"cosine")
+        .localCheckpoint()
+      val frontier0 = visited0.select($"beam", $"q_id", $"vec_id")
+      val skip = beamLoopReport(s,
+        fx.copy(scoredAll = scoredLive, truth = truthLive),
+        visited0, frontier0)
+      val through = beamLoopReport(s, fx.copy(truth = truthLive),
+        visited0, frontier0, rankFilter = Some(live))
+      skip.select(lit("skip").as("policy"), col("*"))
+        .unionByName(through.select(lit("through").as("policy"), col("*")))
+        .orderBy($"policy", $"beam")
+  }
+
   /** The shared 6-round bounded-frontier beam loop + report (see the
     * s32 registry comment for the discipline); only the SEEDING
     * (initial visited set + initial frontier) differs across
     * s32/s34/s36. */
   private def beamLoopReport(s: SparkSession, fx: BeamFixture,
                              visited0: DataFrame,
-                             frontier0: DataFrame): DataFrame = {
+                             frontier0: DataFrame,
+                             rankFilter: Option[org.apache.spark.sql.Column]
+                               = None): DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val BeamFixture(edges, qs, scoredAll, truth) = fx
@@ -2250,13 +2307,18 @@ object Similarity {
       }
       val nq = qs.agg(count(lit(1)).as("n_q"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-      visited.withColumn("rn", row_number().over(wb))
+      // rankFilter (s37's traverse-through-tombstones policy) drops
+      // rows from the RANKED result only — n_scored keeps counting the
+      // full visited set, because traversal work was genuinely paid
+      val hits = rankFilter.map(visited.filter).getOrElse(visited)
+        .withColumn("rn", row_number().over(wb))
         .join(truth.withColumn("is_true", lit(1L)),
           Seq("q_id", "vec_id"), "left")
         .groupBy($"beam")
-        .agg(count(lit(1)).as("n_scored"),
-             sum(when($"rn" <= 10 && $"is_true" === 1L, 1L).otherwise(0L))
+        .agg(sum(when($"rn" <= 10 && $"is_true" === 1L, 1L).otherwise(0L))
                .as("hits"))
+      visited.groupBy($"beam").agg(count(lit(1)).as("n_scored"))
+        .join(hits, Seq("beam"))
         .crossJoin(broadcast(nq))
         .crossJoin(broadcast(nTruth))
         .select($"beam", $"n_q", $"n_truth", $"hits", $"n_scored",
@@ -3439,6 +3501,25 @@ object Similarity {
     // s36: the identical chain with the routed two-level entry — the
     // 1/4 sample ALL enters v0 (the routing scan's scores are ranked
     // too), and f0 keeps only the best routed node per (beam, query).
+    // s37: the parameterized chain twice — live-only truth/entries on
+    // both sides; `skip` filters fresh nodes (g.dst), `through`
+    // filters only the final ranking — then one policy-tagged union.
+    "s37_tombstone_beam" -> {
+      def policy(freshWhere: String, rankWhere: String): String =
+        graphBeamRecallOracleSql(
+          entryOrderSql = "vec_id", entryRnCond = "rn = 1",
+          entryWhereSql = "vec_id % 5 <> 1",
+          freshWhereSql = freshWhere, rankWhereSql = rankWhere,
+          truthWhereSql = "vec_id % 5 <> 1")
+      val skip = policy(freshWhere = "g.dst % 5 <> 1", rankWhere = "TRUE")
+      val through = policy(freshWhere = "TRUE",
+                           rankWhere = "vec_id % 5 <> 1")
+      s"""SELECT 'skip' AS policy, * FROM ($skip) a
+         |UNION ALL
+         |SELECT 'through' AS policy, * FROM ($through) b
+         |ORDER BY policy, beam""".stripMargin
+    },
+
     "s36_hierarchical_beam" -> graphBeamRecallOracleSql(
       entryOrderSql = "cosine DESC, vec_id",
       entryRnCond = "rn >= 1",
@@ -3606,7 +3687,7 @@ object Similarity {
     * recall oracle and s35's PQ-beam oracle: coarse blocking, probe-1
     * candidates, exact-cosine top-4 edges, symmetrized graph, NQ
     * sample, brute-force same-label scores (sa), exact top-10 truth. */
-  private def graphChainCtesSql: String =
+  private def graphChainCtesSql(truthWhereSql: String = "TRUE"): String =
       s"""nbv AS (
          |  SELECT GREATEST(3, length(bin(GREATEST(
          |    (COUNT(*) + 255) // 256 - 1, 1)))) AS nb
@@ -3659,7 +3740,7 @@ object Similarity {
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
          |      ORDER BY cosine DESC, vec_id) AS rn
-         |    FROM sa) z WHERE rn <= 10)""".stripMargin
+         |    FROM sa WHERE $truthWhereSql) z WHERE rn <= 10)""".stripMargin
 
   /** Shared DuckDB mirror of [[graphBeamRecall]] — the s30-style graph
     * chain at the coarse search blocking, 6 unrolled beam rounds
@@ -3669,7 +3750,10 @@ object Similarity {
   private def graphBeamRecallOracleSql(entryOrderSql: String,
                                        entryRnCond: String,
                                        entryWhereSql: String = "TRUE",
-                                       f0Sql: Option[String] = None)
+                                       f0Sql: Option[String] = None,
+                                       freshWhereSql: String = "TRUE",
+                                       rankWhereSql: String = "TRUE",
+                                       truthWhereSql: String = "TRUE")
       : String = {
       val rounds = (1 to 6).map { r =>
         val pv = s"v${r - 1}"
@@ -3679,7 +3763,8 @@ object Similarity {
            |  FROM $pf f JOIN sym g ON g.src = f.vec_id
            |  JOIN sa ON sa.q_id = f.q_id AND sa.vec_id = g.dst
            |  WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.beam = f.beam
-           |    AND v.q_id = f.q_id AND v.vec_id = g.dst)),
+           |    AND v.q_id = f.q_id AND v.vec_id = g.dst)
+           |    AND ($freshWhereSql)),
            |v$r AS MATERIALIZED (
            |  SELECT * FROM $pv UNION ALL SELECT * FROM n$r),
            |f$r AS (
@@ -3689,7 +3774,7 @@ object Similarity {
            |        ORDER BY cosine DESC, vec_id) AS rn
            |    FROM n$r) z WHERE rn <= beam)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $graphChainCtesSql,
+      s"""WITH ${graphChainCtesSql(truthWhereSql)},
          |entry AS (
          |  SELECT q_id, vec_id, cosine FROM (
          |    SELECT q_id, vec_id, cosine,
@@ -3705,14 +3790,18 @@ object Similarity {
          |  SELECT beam, q_id, vec_id,
          |    row_number() OVER (PARTITION BY beam, q_id
          |      ORDER BY cosine DESC, vec_id) AS rn
-         |  FROM v6),
-         |rep AS (
-         |  SELECT beam, COUNT(*) AS n_scored,
+         |  FROM v6 WHERE $rankWhereSql),
+         |hitrep AS (
+         |  SELECT beam,
          |    CAST(SUM(CASE WHEN z.rn <= 10 AND t.vec_id IS NOT NULL
          |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
          |  FROM ranked z LEFT JOIN truth t
          |    ON z.q_id = t.q_id AND z.vec_id = t.vec_id
-         |  GROUP BY beam)
+         |  GROUP BY beam),
+         |rep AS (
+         |  SELECT s.beam, s.n_scored, h.hits
+         |  FROM (SELECT beam, COUNT(*) AS n_scored FROM v6 GROUP BY beam) s
+         |  JOIN hitrep h ON h.beam = s.beam)
          |SELECT beam,
          |  (SELECT COUNT(*) FROM q) AS n_q,
          |  (SELECT COUNT(*) FROM truth) AS n_truth,
@@ -3753,7 +3842,7 @@ object Similarity {
            |        ORDER BY adc, vec_id) AS rn
            |    FROM n$r) z WHERE rn <= beam)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $graphChainCtesSql,
+      s"""WITH ${graphChainCtesSql()},
          |$pqOracleCtes,
          |codes AS MATERIALIZED (
          |  SELECT vec_id, j, code FROM best WHERE rn = 1),

@@ -413,7 +413,9 @@ object StressBench {
       "q99_try_functions," +
       // q100: one full-outer shuffle join on the merge key + per-row
       // CASE — linear; bucketing the target would delete the exchange
-      "q100_merge_into"
+      "q100_merge_into," +
+      // s37: s32's walk twice over the one checkpointed graph — flat
+      "s37_tombstone_beam"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -1956,6 +1956,95 @@ class OperatorSpec extends SparkSpec {
       s"no beam-2 routing lift: s36=${s36r(2)._6} vs s32=${s32r(2)._6}")
   }
 
+  test("s37: both tombstone policies replay exactly over the live-truth walk") {
+    val out = datapipe.Similarity.queries("s37_tombstone_beam")(spark, sf)
+      .as[(String, Int, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq(("skip", 2), ("skip", 4), ("skip", 8),
+          ("through", 2), ("through", 4), ("through", 8)))
+    // rebuild the search graph exactly as the s32 spec does
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val nb = math.max(3, java.lang.Long.toBinaryString(
+      math.max((all.length + 255) / 256 - 1, 1)).length)
+    def bucket(e: Seq[Float]): Long =
+      (0 until nb).map(j => if (e(j).toDouble > 0.0) 1L << j else 0L).sum
+    def probes(e: Seq[Float], b: Long): Seq[Long] = {
+      val jmin = (0 until nb).minBy(j => (math.abs(e(j).toDouble), j))
+      Seq(b, b ^ (1L << jmin))
+    }
+    val bks = all.map { case (id, e, l) => (id, e, l, bucket(e)) }
+    val g = bks.flatMap { case (sid, se, sl, sb) =>
+      bks.filter { case (did, _, dl, db) =>
+          did != sid && dl == sl && probes(se, sb).contains(db) }
+        .map { case (did, de, _, _) => (did, cosExact(se, de)) }
+        .sortBy { case (did, c) => (-c, did) }
+        .take(4).map { case (did, _) => (sid, did) }
+    }
+    val sym = (g ++ g.map(e => (e._2, e._1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val base = all.filter(_._2.nonEmpty)
+    val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size($"embedding") > 0)
+      .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+      .limit(32).select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def live(id: Long) = id % 5 != 1
+    var nTruthAll = 0L
+    val per = scala.collection.mutable.Map[(String, Int), (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    qs.foreach { case (qid, qe, ql) =>
+      val scored = base.filter { case (id, _, l) => id != qid && l == ql }
+        .map { case (id, e, _) => id -> cosExact(qe, e) }
+        .filterNot(p => p._2.isNaN).toMap
+      val scoredLive = scored.filter(p => live(p._1))
+      val truth = scoredLive.toSeq.sortBy { case (id, c) => (-c, id) }
+        .take(10).map(_._1).toSet
+      nTruthAll += truth.size
+      if (scoredLive.nonEmpty) {
+        val entry = Seq(scoredLive.keys.min)
+        def walk(sc: Map[Long, Double], beam: Int): Set[Long] = {
+          val visited = scala.collection.mutable.Set(entry: _*)
+          var frontier: Seq[Long] = entry
+          for (_ <- 1 to 6) {
+            val fresh = frontier.flatMap(v => sym.getOrElse(v, Set.empty))
+              .distinct.filter(d => !visited.contains(d) && sc.contains(d))
+            visited ++= fresh
+            frontier = fresh.sortBy(d => (-sc(d), d)).take(beam)
+          }
+          visited.toSet
+        }
+        Seq(2, 4, 8).foreach { beam =>
+          // skip: dead nodes invisible to the walk entirely
+          val vS = walk(scoredLive, beam)
+          val hS = vS.toSeq.sortBy(d => (-scoredLive(d), d)).take(10)
+            .count(truth)
+          val (h0, n0) = per(("skip", beam))
+          per(("skip", beam)) = (h0 + hS, n0 + vS.size)
+          // through: walk over everything, rank live only, pay for all
+          val vT = walk(scored, beam)
+          val hT = vT.toSeq.filter(live).sortBy(d => (-scored(d), d))
+            .take(10).count(truth)
+          val (h1, n1) = per(("through", beam))
+          per(("through", beam)) = (h1 + hT, n1 + vT.size)
+        }
+      }
+    }
+    out.foreach { case (pol, beam, nq, nt, hits, nScored, recall, avg) =>
+      assert(nq === qs.length.toLong && nt === nTruthAll)
+      assert((hits, nScored) === per((pol, beam)), s"$pol beam=$beam replay")
+      assert(recall === hits.toDouble / nt && avg === nScored.toDouble / nq)
+    }
+    // the decision table is non-vacuous: traversal-through pays a
+    // strictly higher scored bill at every beam (it scores tombstones)
+    val byKey = out.map(r => (r._1, r._2) -> r).toMap
+    Seq(2, 4, 8).foreach { b =>
+      assert(byKey(("through", b))._6 > byKey(("skip", b))._6,
+        s"beam=$b: through did not pay a higher traversal bill")
+    }
+  }
+
   test("s35: PQ-scored traversal tracks the exact-scored walk; re-rank restores recall") {
     // the DuckDB oracle already pins every value bit-for-bit (the PQ
     // fixed-point arithmetic, the walk, the re-rank); this spec pins
