@@ -66,27 +66,7 @@ object Extras {
     // deletes absent), so the oracle pins every clause's arbitration.
     "q100_merge_into" -> { (s, d) =>
       import s.implicits._
-      val target = T.customer(s, d)
-        .select($"c_custkey".as("key"), $"c_acctbal".as("bal"))
-      val src0 = T.orders(s, d)
-        .filter($"o_orderpriority" === "1-URGENT")
-        .groupBy($"o_custkey")
-        .agg(graft.Dets.dsum($"o_totalprice").as("amt"))
-      val source = src0.select(
-        when($"o_custkey" % 9 === 0, $"o_custkey" + 1000000L)
-          .otherwise($"o_custkey").as("key"),
-        $"amt",
-        when($"o_custkey" % 13 === 0 && $"o_custkey" % 9 =!= 0,
-          lit("delete")).otherwise(lit("upsert")).as("action"))
-      target.join(source, Seq("key"), "full_outer")
-        .filter($"action".isNull || $"action" =!= "delete")
-        .select($"key",
-          when($"action".isNull, $"bal")
-            .when($"bal".isNotNull, $"bal" + $"amt")
-            .otherwise($"amt").as("bal"),
-          when($"action".isNull, lit("kept"))
-            .when($"bal".isNotNull, lit("updated"))
-            .otherwise(lit("inserted")).as("status"))
+      mergeArbitrate(mergeTarget(s, d), mergeFeed(s, d))
         .orderBy($"key")
     },
 
@@ -875,6 +855,102 @@ object Extras {
     * makes the final version equal q86's one-shot rollup for ANY batch
     * split — StreamingSpec pins it.
     */
+  /** q100's target and change feed, factored out so the batch query,
+    * the CDC stream, and the specs state the SAME rules once. */
+  private[graft] def mergeTarget(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d).select(col("c_custkey").as("key"),
+                            col("c_acctbal").as("bal"))
+
+  private[graft] def mergeFeed(s: SparkSession, d: String): DataFrame = {
+    val src0 = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(graft.Dets.dsum(col("o_totalprice")).as("amt"))
+    src0.select(
+      when(col("o_custkey") % 9 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("key"),
+      col("amt"),
+      when(col("o_custkey") % 13 === 0 && col("o_custkey") % 9 =!= 0,
+        lit("delete")).otherwise(lit("upsert")).as("action"))
+  }
+
+  /** The three-clause arbitration over one full-outer join; `status`
+    * is the per-row provenance the batch oracle pins. */
+  private[graft] def mergeArbitrate(target: DataFrame,
+                                    source: DataFrame): DataFrame =
+    target.join(source, Seq("key"), "full_outer")
+      .filter(col("action").isNull || col("action") =!= "delete")
+      .select(col("key"),
+        when(col("action").isNull, col("bal"))
+          .when(col("bal").isNotNull, col("bal") + col("amt"))
+          .otherwise(col("amt")).as("bal"),
+        when(col("action").isNull, lit("kept"))
+          .when(col("bal").isNotNull, lit("updated"))
+          .otherwise(lit("inserted")).as("status"))
+
+  /** q100's streamed twin — the CDC APPLY loop (the canonical
+    * foreachBatch-merge deployment: a change feed lands in
+    * micro-batches and each trigger merges it into the persisted
+    * current table with the same three-clause arbitration). State is
+    * the rollup stream's versioned store: `state/batch=N` written by
+    * deterministic overwrite, seeded at `batch=-1` by [[mergeSeed]],
+    * replay of a crashed trigger rewrites its own version from N−1 +
+    * the same delta, versions ABOVE batchId are a stale generation
+    * and fail loud. Within-batch duplicates collapse BEFORE the merge
+    * (delete-wins, amounts decimal-summed) — the addBatch lesson. */
+  def mergeApplyStream(stream: DataFrame, storePath: String,
+                       checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeApplyBatch(batch, batchId, storePath)
+      }
+      .start()
+  }
+
+  /** Seed the store with the initial target state (version −1 — below
+    * every real batch, so trigger 0 merges onto it). */
+  def mergeSeed(target: DataFrame, storePath: String): Unit =
+    target.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storePath/state/batch=-1")
+
+  private[graft] def mergeApplyBatch(batch: DataFrame, batchId: Long,
+                                     storePath: String): Unit = {
+    val s = batch.sparkSession
+    val delta = batch.groupBy(col("key")).agg(
+      sum(col("amt").cast("decimal(18,4)")).cast("double").as("amt"),
+      min(col("action")).as("action")) // 'delete' < 'upsert': delete wins
+    import org.apache.hadoop.fs.Path
+    val stateDir = new Path(s"$storePath/state")
+    val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
+    val vs =
+      if (!fs.exists(stateDir)) Seq.empty[Long]
+      else fs.listStatus(stateDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    require(vs.contains(-1L),
+      s"merge store at $storePath has no seed — call mergeSeed first")
+    require(!vs.exists(_ > batchId),
+      s"merge store at $storePath already holds batch > $batchId " +
+      "— stale generation; clear the store or keep the original checkpoint")
+    val p = vs.filter(_ < batchId).max // at least the −1 seed
+    val prev = s.read.parquet(s"$storePath/state/batch=$p")
+    mergeArbitrate(prev, delta).select(col("key"), col("bal"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storePath/state/batch=$batchId")
+  }
+
+  /** The merged table at its latest version. */
+  def mergeState(s: SparkSession, storePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val stateDir = new Path(s"$storePath/state")
+    val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
+    val last = fs.listStatus(stateDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+    s.read.parquet(s"$storePath/state/batch=$last")
+      .select(col("key"), col("bal")).orderBy(col("key"))
+  }
+
   def rollupMaintenanceStream(stream: DataFrame, storePath: String,
                               checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

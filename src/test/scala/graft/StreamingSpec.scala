@@ -418,6 +418,58 @@ class StreamingSpec extends SparkSpec {
     assert((c0 & later).nonEmpty, "no combined key")
   }
 
+  test("streamed CDC merge: final state equals the batch three-clause merge; replay is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_merge")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    operators.Extras.mergeSeed(
+      operators.Extras.mergeTarget(spark, sf), s"$root/store")
+    // q100's exact change feed, arrival-split into 3 micro-batches by
+    // key % 3 — every clause (update/delete/insert) lands in several
+    // different triggers
+    val feed = operators.Extras.mergeFeed(spark, sf)
+    (0 until 3).foreach { i =>
+      val tmp = root.resolve(s"tmp$i")
+      feed.filter($"key" % 3 === i).coalesce(1).write.parquet(tmp.toString)
+      val part = {
+        val st = java.nio.file.Files.list(tmp)
+        try st.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally st.close()
+      }
+      val dst = inDir.resolve(f"chunk$i%03d.parquet")
+      java.nio.file.Files.move(part, dst)
+      dst.toFile.setLastModified(60000L * (i + 1))
+    }
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val q = operators.Extras.mergeApplyStream(
+      stream, s"$root/store", s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // the split must not matter: streamed final state == batch q100
+    val streamed = operators.Extras.mergeState(spark, s"$root/store")
+      .as[(Long, Double)].collect().toSeq
+    val batch = operators.Extras.queries("q100_merge_into")(spark, sf)
+      .select($"key", $"bal").as[(Long, Double)].collect().toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+    // at-least-once replay: re-running the LAST trigger's batchId with
+    // the same delta must rewrite version 2 to the same state
+    val lastChunk = spark.read.parquet(inDir.resolve("chunk002.parquet").toString)
+    operators.Extras.mergeApplyBatch(lastChunk, 2L, s"$root/store")
+    val replayed = operators.Extras.mergeState(spark, s"$root/store")
+      .as[(Long, Double)].collect().toSeq
+    assert(replayed === streamed, "replayed trigger changed the state")
+    // a version ABOVE the replayed batchId is a stale generation
+    val e = intercept[IllegalArgumentException] {
+      operators.Extras.mergeApplyBatch(lastChunk, 1L, s"$root/store")
+    }
+    assert(e.getMessage.contains("stale generation"))
+    // deletes processed in an EARLY trigger stay deleted at the end
+    val deletedKeys = feed.filter($"action" === "delete" && $"key" % 3 === 0)
+      .select($"key").as[Long].collect()
+    assert(deletedKeys.nonEmpty, "no early-trigger delete — clause untested")
+    deletedKeys.foreach(k =>
+      assert(!streamed.exists(_._1 == k), s"deleted key $k resurfaced"))
+  }
+
   test("streamed vocabulary growth: totals equal t37's quartile-4 row; per-batch attribution exact") {
     // first-seen is a pure function of arrival ORDER, so the streamed
     // store must reproduce the batch totals for any split AND charge
