@@ -1955,6 +1955,26 @@ object Similarity {
       tombstoneBeamRecall(s, d)
     },
 
+    // INDEX-FRESHNESS BEAM SEARCH — s37's mirror image (deletes poison
+    // a graph; INSERTS just miss it): vectors that arrived after the
+    // build (25%, vec_id ≡ 3 mod 4) are invisible to the frozen graph,
+    // and the three policies a serving stack chooses among run on one
+    // report — `stale` (serve the frozen graph; recall caps at
+    // whatever share of TRUE neighbors is old), `hybrid` (the
+    // FAISS/SPANN freshness buffer: frozen-graph walk + an exact
+    // side-scan of the unindexed tail merged at rank time — n_scored
+    // honestly bills the tail scan), `rebuilt` (the full-graph walk a
+    // re-index restores — the upper bound, and the price argument:
+    // hybrid buys most of rebuilt's recall with ZERO rebuild). Truth
+    // is the full-corpus top-10 for all three — the freshness gap is
+    // measured against what the user actually wants NOW. Scale shape:
+    // two graph builds at fixture scale (the comparison's cost, not
+    // the operator's — production has ONE frozen graph), the tail
+    // side-scan is O(tail share of one label population) per query.
+    "s38_freshness_beam" -> { (s, d) =>
+      freshnessBeamRecall(s, d)
+    },
+
     // PQ-APPROXIMATE BEAM SEARCH + EXACT RE-RANK — the DiskANN/SPANN
     // serving pattern, and the composition this family was building
     // toward: the graph (s32/s34) says WHERE to walk, the PQ store
@@ -2069,10 +2089,15 @@ object Similarity {
     * in seeding and traversal scoring. */
   private case class BeamFixture(edges: DataFrame, qs: DataFrame,
                                  scoredAll: DataFrame, truth: DataFrame)
-  private def beamFixture(s: SparkSession, d: String): BeamFixture = {
+  /** `baseWhere` (s38) restricts the GRAPH BUILD to the already-indexed
+    * vectors; queries, exact scores, and truth always cover the whole
+    * corpus — that asymmetry IS the freshness problem. */
+  private def beamFixture(s: SparkSession, d: String,
+                          baseWhere: Option[org.apache.spark.sql.Column]
+                            = None): BeamFixture = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val emb0 = T.embeddings(s, d)
+      val emb0 = baseWhere.foldLeft(T.embeddings(s, d))(_ filter _)
       val nbdf = emb0.agg(expr(
         "greatest(3, length(bin(greatest((count(1) + 255) DIV 256 - 1, 1))))")
         .cast("int").as("nb"))
@@ -2274,6 +2299,49 @@ object Similarity {
         .orderBy($"policy", $"beam")
   }
 
+  /** s38: the index-freshness policies. The graph is FROZEN over the
+    * already-indexed 3/4 (vec_id % 4 ≠ 3); queries and truth cover the
+    * whole corpus including the fresh tail. `stale` serves off the
+    * frozen graph alone; `hybrid` adds the exact side-scan of the
+    * unindexed tail at rank time (the FAISS/SPANN freshness buffer);
+    * `rebuilt` is the full-graph walk — the upper bound a re-index
+    * would restore. */
+  private def freshnessBeamRecall(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val indexed = col("vec_id") % 4 =!= 3
+      val fxOld = beamFixture(s, d, baseWhere = Some(indexed))
+      val fxFull = beamFixture(s, d)
+      val beams = Seq(2, 4, 8)
+      def seed(scored: DataFrame,
+               where: Option[org.apache.spark.sql.Column])
+          : (DataFrame, DataFrame) = {
+        val we = Window.partitionBy($"q_id").orderBy($"vec_id".asc)
+        val entry = where.foldLeft(scored)(_ filter _)
+          .withColumn("rn", row_number().over(we))
+          .filter($"rn" === 1).drop("rn")
+        val v0 = beams.map(b => entry.withColumn("beam", lit(b)))
+          .reduce(_ unionByName _)
+          .select($"beam", $"q_id", $"vec_id", $"cosine")
+          .localCheckpoint()
+        (v0, v0.select($"beam", $"q_id", $"vec_id"))
+      }
+      val (v0o, f0o) = seed(fxOld.scoredAll, Some(indexed))
+      val tail = fxOld.scoredAll.filter(!indexed)
+      val tailRanked = beams.map(b => tail.withColumn("beam", lit(b)))
+        .reduce(_ unionByName _)
+        .select($"beam", $"q_id", $"vec_id", $"cosine")
+      val stale = beamLoopReport(s, fxOld, v0o, f0o)
+      val hybrid = beamLoopReport(s, fxOld, v0o, f0o,
+        extraRanked = Some(tailRanked))
+      val (v0f, f0f) = seed(fxFull.scoredAll, None)
+      val rebuilt = beamLoopReport(s, fxFull, v0f, f0f)
+      stale.select(lit("stale").as("policy"), col("*"))
+        .unionByName(hybrid.select(lit("hybrid").as("policy"), col("*")))
+        .unionByName(rebuilt.select(lit("rebuilt").as("policy"), col("*")))
+        .orderBy($"policy", $"beam")
+  }
+
   /** The shared 6-round bounded-frontier beam loop + report (see the
     * s32 registry comment for the discipline); only the SEEDING
     * (initial visited set + initial frontier) differs across
@@ -2282,6 +2350,8 @@ object Similarity {
                              visited0: DataFrame,
                              frontier0: DataFrame,
                              rankFilter: Option[org.apache.spark.sql.Column]
+                               = None,
+                             extraRanked: Option[DataFrame]
                                = None): DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -2307,17 +2377,22 @@ object Similarity {
       }
       val nq = qs.agg(count(lit(1)).as("n_q"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      // extraRanked (s38's hybrid freshness buffer) adds scored rows
+      // that never rode the walk — an exact side-scan whose bill is
+      // real, so it counts toward n_scored too
+      val visitedAll = extraRanked
+        .map(visited.unionByName(_)).getOrElse(visited)
       // rankFilter (s37's traverse-through-tombstones policy) drops
       // rows from the RANKED result only — n_scored keeps counting the
       // full visited set, because traversal work was genuinely paid
-      val hits = rankFilter.map(visited.filter).getOrElse(visited)
+      val hits = rankFilter.map(visitedAll.filter).getOrElse(visitedAll)
         .withColumn("rn", row_number().over(wb))
         .join(truth.withColumn("is_true", lit(1L)),
           Seq("q_id", "vec_id"), "left")
         .groupBy($"beam")
         .agg(sum(when($"rn" <= 10 && $"is_true" === 1L, 1L).otherwise(0L))
                .as("hits"))
-      visited.groupBy($"beam").agg(count(lit(1)).as("n_scored"))
+      visitedAll.groupBy($"beam").agg(count(lit(1)).as("n_scored"))
         .join(hits, Seq("beam"))
         .crossJoin(broadcast(nq))
         .crossJoin(broadcast(nTruth))
@@ -3501,6 +3576,34 @@ object Similarity {
     // s36: the identical chain with the routed two-level entry — the
     // 1/4 sample ALL enters v0 (the routing scan's scores are ranked
     // too), and f0 keeps only the best routed node per (beam, query).
+    // s38: the chain three times — stale/hybrid build the graph over
+    // the indexed 3/4 only (truth stays full-corpus); hybrid's ranked
+    // set unions the exact tail scan; rebuilt is the full-graph walk.
+    "s38_freshness_beam" -> {
+      val stale = graphBeamRecallOracleSql(
+        entryOrderSql = "vec_id", entryRnCond = "rn = 1",
+        entryWhereSql = "vec_id % 4 <> 3",
+        baseWhereSql = "vec_id % 4 <> 3")
+      val hybrid = graphBeamRecallOracleSql(
+        entryOrderSql = "vec_id", entryRnCond = "rn = 1",
+        entryWhereSql = "vec_id % 4 <> 3",
+        baseWhereSql = "vec_id % 4 <> 3",
+        scoredFromSql = Some(
+          """(SELECT * FROM v6 UNION ALL
+            |   SELECT b.beam, s2.q_id, s2.vec_id, s2.cosine
+            |   FROM beams b,
+            |     (SELECT q_id, vec_id, cosine FROM sa
+            |      WHERE vec_id % 4 = 3) s2) u""".stripMargin))
+      val rebuilt = graphBeamRecallOracleSql(
+        entryOrderSql = "vec_id", entryRnCond = "rn = 1")
+      s"""SELECT 'stale' AS policy, * FROM ($stale) a
+         |UNION ALL
+         |SELECT 'hybrid' AS policy, * FROM ($hybrid) b
+         |UNION ALL
+         |SELECT 'rebuilt' AS policy, * FROM ($rebuilt) c
+         |ORDER BY policy, beam""".stripMargin
+    },
+
     // s37: the parameterized chain twice — live-only truth/entries on
     // both sides; `skip` filters fresh nodes (g.dst), `through`
     // filters only the final ranking — then one policy-tagged union.
@@ -3687,15 +3790,16 @@ object Similarity {
     * recall oracle and s35's PQ-beam oracle: coarse blocking, probe-1
     * candidates, exact-cosine top-4 edges, symmetrized graph, NQ
     * sample, brute-force same-label scores (sa), exact top-10 truth. */
-  private def graphChainCtesSql(truthWhereSql: String = "TRUE"): String =
+  private def graphChainCtesSql(truthWhereSql: String = "TRUE",
+                                baseWhereSql: String = "TRUE"): String =
       s"""nbv AS (
          |  SELECT GREATEST(3, length(bin(GREATEST(
          |    (COUNT(*) + 255) // 256 - 1, 1)))) AS nb
-         |  FROM embeddings),
+         |  FROM embeddings WHERE $baseWhereSql),
          |b AS (
          |  SELECT vec_id, label, embedding,
          |    ${lshBucketSql("embedding", "nb")} AS bucket
-         |  FROM embeddings, nbv),
+         |  FROM embeddings, nbv WHERE $baseWhereSql),
          |p AS (
          |  SELECT vec_id, label,
          |    unnest(${lshProbe1Sql("embedding", "bucket", "nb")}) AS bkey
@@ -3753,7 +3857,9 @@ object Similarity {
                                        f0Sql: Option[String] = None,
                                        freshWhereSql: String = "TRUE",
                                        rankWhereSql: String = "TRUE",
-                                       truthWhereSql: String = "TRUE")
+                                       truthWhereSql: String = "TRUE",
+                                       baseWhereSql: String = "TRUE",
+                                       scoredFromSql: Option[String] = None)
       : String = {
       val rounds = (1 to 6).map { r =>
         val pv = s"v${r - 1}"
@@ -3774,7 +3880,8 @@ object Similarity {
            |        ORDER BY cosine DESC, vec_id) AS rn
            |    FROM n$r) z WHERE rn <= beam)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ${graphChainCtesSql(truthWhereSql)},
+      val scoredFrom = scoredFromSql.getOrElse("v6")
+      s"""WITH ${graphChainCtesSql(truthWhereSql, baseWhereSql)},
          |entry AS (
          |  SELECT q_id, vec_id, cosine FROM (
          |    SELECT q_id, vec_id, cosine,
@@ -3786,11 +3893,12 @@ object Similarity {
          |  SELECT beam, q_id, vec_id, cosine FROM beams, entry),
          |f0 AS (${f0Sql.getOrElse("SELECT beam, q_id, vec_id FROM v0")}),
          |$rounds,
+         |scoredall AS (SELECT beam, q_id, vec_id, cosine FROM $scoredFrom),
          |ranked AS (
          |  SELECT beam, q_id, vec_id,
          |    row_number() OVER (PARTITION BY beam, q_id
          |      ORDER BY cosine DESC, vec_id) AS rn
-         |  FROM v6 WHERE $rankWhereSql),
+         |  FROM scoredall WHERE $rankWhereSql),
          |hitrep AS (
          |  SELECT beam,
          |    CAST(SUM(CASE WHEN z.rn <= 10 AND t.vec_id IS NOT NULL
@@ -3800,7 +3908,8 @@ object Similarity {
          |  GROUP BY beam),
          |rep AS (
          |  SELECT s.beam, s.n_scored, h.hits
-         |  FROM (SELECT beam, COUNT(*) AS n_scored FROM v6 GROUP BY beam) s
+         |  FROM (SELECT beam, COUNT(*) AS n_scored FROM scoredall
+         |        GROUP BY beam) s
          |  JOIN hitrep h ON h.beam = s.beam)
          |SELECT beam,
          |  (SELECT COUNT(*) FROM q) AS n_q,

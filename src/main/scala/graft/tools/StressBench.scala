@@ -415,7 +415,10 @@ object StressBench {
       // CASE — linear; bucketing the target would delete the exchange
       "q100_merge_into," +
       // s37: s32's walk twice over the one checkpointed graph — flat
-      "s37_tombstone_beam"
+      "s37_tombstone_beam," +
+      // s38: TWO graph builds (the comparison's cost, not the
+      // operator's) + one tail side-scan — ~2x s32's curve
+      "s38_freshness_beam"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

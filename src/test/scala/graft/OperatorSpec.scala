@@ -2045,6 +2045,107 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s38: all three freshness policies replay exactly; rebuilt equals s32") {
+    val out = datapipe.Similarity.queries("s38_freshness_beam")(spark, sf)
+      .as[(String, Int, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq(("hybrid", 2), ("hybrid", 4), ("hybrid", 8),
+          ("rebuilt", 2), ("rebuilt", 4), ("rebuilt", 8),
+          ("stale", 2), ("stale", 4), ("stale", 8)))
+    val byKey = out.map(r => (r._1, r._2) -> r).toMap
+    // rebuilt IS s32's walk (same graph, same entry, same truth) —
+    // the upper-bound row comes for free and must match exactly
+    val s32r = datapipe.Similarity.queries("s32_graph_beam_recall")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+    s32r.foreach { r =>
+      val f = byKey(("rebuilt", r._1))
+      assert((f._3, f._4, f._5, f._6, f._7, f._8) ===
+        (r._2, r._3, r._4, r._5, r._6, r._7), s"rebuilt beam=${r._1} != s32")
+    }
+    // independent replay of stale and hybrid over the OLD-ONLY graph
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def indexed(id: Long) = id % 4 != 3
+    val old = all.filter(v => indexed(v._1))
+    val nb = math.max(3, java.lang.Long.toBinaryString(
+      math.max((old.length + 255) / 256 - 1, 1)).length)
+    def bucket(e: Seq[Float]): Long =
+      (0 until nb).map(j => if (e(j).toDouble > 0.0) 1L << j else 0L).sum
+    def probes(e: Seq[Float], b: Long): Seq[Long] = {
+      val jmin = (0 until nb).minBy(j => (math.abs(e(j).toDouble), j))
+      Seq(b, b ^ (1L << jmin))
+    }
+    val bks = old.map { case (id, e, l) => (id, e, l, bucket(e)) }
+    val g = bks.flatMap { case (sid, se, sl, sb) =>
+      bks.filter { case (did, _, dl, db) =>
+          did != sid && dl == sl && probes(se, sb).contains(db) }
+        .map { case (did, de, _, _) => (did, cosExact(se, de)) }
+        .sortBy { case (did, c) => (-c, did) }
+        .take(4).map { case (did, _) => (sid, did) }
+    }
+    val sym = (g ++ g.map(e => (e._2, e._1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val base = all.filter(_._2.nonEmpty)
+    val qs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(size($"embedding") > 0)
+      .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
+      .limit(32).select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    var nTruthAll = 0L
+    val per = scala.collection.mutable.Map[(String, Int), (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    qs.foreach { case (qid, qe, ql) =>
+      val scored = base.filter { case (id, _, l) => id != qid && l == ql }
+        .map { case (id, e, _) => id -> cosExact(qe, e) }
+        .filterNot(p => p._2.isNaN).toMap
+      val truth = scored.toSeq.sortBy { case (id, c) => (-c, id) }
+        .take(10).map(_._1).toSet
+      nTruthAll += truth.size
+      val scoredOld = scored.filter(p => indexed(p._1))
+      if (scoredOld.nonEmpty) {
+        val entry = Seq(scoredOld.keys.min)
+        def walk(beam: Int): Set[Long] = {
+          val visited = scala.collection.mutable.Set(entry: _*)
+          var frontier: Seq[Long] = entry
+          for (_ <- 1 to 6) {
+            val fresh = frontier.flatMap(v => sym.getOrElse(v, Set.empty))
+              .distinct.filter(d => !visited.contains(d) && scored.contains(d))
+            visited ++= fresh
+            frontier = fresh.sortBy(d => (-scored(d), d)).take(beam)
+          }
+          visited.toSet
+        }
+        val tail = scored.keys.filterNot(indexed).toSet
+        Seq(2, 4, 8).foreach { beam =>
+          val v = walk(beam)
+          def tally(tag: String, ranked: Set[Long]): Unit = {
+            val h = ranked.toSeq.sortBy(d => (-scored(d), d)).take(10)
+              .count(truth)
+            val (h0, n0) = per((tag, beam))
+            per((tag, beam)) = (h0 + h, n0 + ranked.size)
+          }
+          tally("stale", v)
+          tally("hybrid", v ++ tail)
+        }
+      }
+    }
+    Seq("stale", "hybrid").foreach { pol =>
+      Seq(2, 4, 8).foreach { beam =>
+        val r = byKey((pol, beam))
+        assert(r._3 === qs.length.toLong && r._4 === nTruthAll)
+        assert((r._5, r._6) === per((pol, beam)), s"$pol beam=$beam replay")
+        assert(r._7 === r._5.toDouble / r._4 && r._8 === r._6.toDouble / r._3)
+      }
+    }
+    // the freshness gap is non-vacuous and the buffer genuinely closes
+    // it: stale loses to hybrid at every beam
+    Seq(2, 4, 8).foreach { b =>
+      assert(byKey(("stale", b))._5 < byKey(("hybrid", b))._5,
+        s"beam=$b: tail scan bought no recall — freshness gap vacuous")
+    }
+  }
+
   test("s35: PQ-scored traversal tracks the exact-scored walk; re-rank restores recall") {
     // the DuckDB oracle already pins every value bit-for-bit (the PQ
     // fixed-point arithmetic, the walk, the re-rank); this spec pins
