@@ -1796,6 +1796,73 @@ object Multimodal {
         .orderBy($"canonical_id")
     },
 
+    // THUMBNAIL-DEDUP AUDIT — testing the assumption perceptual dedup
+    // at scale actually rests on (nobody aHashes 100 TB of full-res
+    // pixels; the hash runs on THUMBNAILS — smaller decode, smaller
+    // compare — on the bet that true duplicates still collide and
+    // distinct images mostly don't): the m05 corpus with its planted
+    // byte-identical copies is keyed at full resolution AND after one
+    // real box-filter halving, and the report prices the level knob —
+    // per level: distinct keys, collapsed assets, planted-pair recall
+    // (identical bytes halve identically, so recall must hold at 100%
+    // — pinned, not assumed), and false_merge_ppm: collapses NOT
+    // explained by the plant, which RISE as the key space shrinks
+    // 4× per level. That last column is what the thumbnail bet costs:
+    // every false merge is a distinct training image silently thrown
+    // away as a "duplicate". Decode+halve map-only; per level only
+    // (id, w, h, hash) ~28 B shuffles; the plant join is key-to-key.
+    "m24_thumb_dedup_audit" -> { (s, d) =>
+      import s.implicits._
+      val base = imageAssets(s, d)
+      val corpus = base.union(
+        base.filter(_._1 % 11 == 0).map { case (id, p) => (id + 10000L, p) })
+      def level(k: Int): DataFrame = {
+        val hashed = corpus.mapPartitions(_.map { case (id, payload) =>
+          var img = ImageCodec.decode(payload)
+          var i = 0
+          while (i < k) { img = ImageCodec.boxHalve(img); i += 1 }
+          val w = img.getWidth; val h = img.getHeight
+          val n = w.toLong * h
+          var sum = 0L; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+          var bits = 0L; y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              if ((img.getRGB(x, y) & 0xFF).toLong * n > sum)
+                bits |= 1L << (y * w + x)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, bits)
+        }).toDF("asset_id", "w", "h", "ahash")
+        val tot = hashed.agg(count(lit(1)).as("n_assets"),
+          countDistinct($"w", $"h", $"ahash").as("n_keys"))
+        val pairs = hashed.filter($"asset_id" < 10000L &&
+            $"asset_id" % 11 === 0)
+          .select($"asset_id".as("a"), $"w".as("wa"), $"h".as("ha"),
+                  $"ahash".as("xa"))
+          .join(hashed.filter($"asset_id" >= 10000L)
+            .select(($"asset_id" - 10000L).as("a"), $"w".as("wb"),
+                    $"h".as("hb"), $"ahash".as("xb")), Seq("a"))
+        val rec = pairs.agg(count(lit(1)).as("n_true_pairs"),
+          sum(when($"wa" === $"wb" && $"ha" === $"hb" && $"xa" === $"xb",
+            1L).otherwise(0L)).as("n_true_cokeyed"))
+        tot.crossJoin(rec)
+          .select(lit(k).as("level"), $"n_assets", $"n_keys",
+            ($"n_assets" - $"n_keys").as("n_collapsed"),
+            $"n_true_pairs", $"n_true_cokeyed",
+            expr("(n_assets - n_keys - n_true_cokeyed) * 1000000" +
+                 " div n_assets").as("false_merge_ppm"))
+      }
+      level(0).union(level(1)).orderBy($"level")
+    },
+
     // Audio perceptual dedup — m05's pattern over the PCM decode path:
     // bucket on (n_samples, energy-envelope hash), canonical-min groups
     // with >1 member; planted byte-identical tracks (%13 at +20000)
@@ -2004,6 +2071,75 @@ object Multimodal {
         |  ahash, COUNT(*) AS n_copies
         |FROM bits GROUP BY w, h, ahash HAVING COUNT(*) > 1
         |ORDER BY canonical_id""".stripMargin,
+
+    // m24: both levels replayed purely from the pixel formula — the
+    // level-1 pixel is the 2x2 floor-average of four formula terms, so
+    // matching hashes prove the Spark side's real decode+halve path.
+    "m24_thumb_dedup_audit" -> {
+      def lvl(k: Int): String = {
+        val px =
+          if (k == 0)
+            """SELECT i.asset_id,
+              |    CAST(4 + i.src % 5 AS INT) AS w,
+              |    CAST(3 + i.src % 4 AS INT) AS h,
+              |    tx.x, ty.y, (tx.x * 7 + ty.y * 13 + i.src) % 256 AS v
+              |  FROM ids i, range(0, 8) tx(x), range(0, 6) ty(y)
+              |  WHERE tx.x < 4 + i.src % 5 AND ty.y < 3 + i.src % 4"""
+              .stripMargin
+          else
+            """SELECT i.asset_id,
+              |    CAST((4 + i.src % 5) // 2 AS INT) AS w,
+              |    CAST((3 + i.src % 4) // 2 AS INT) AS h,
+              |    tx.x, ty.y,
+              |    (((2 * tx.x) * 7 + (2 * ty.y) * 13 + i.src) % 256 +
+              |     ((2 * tx.x + 1) * 7 + (2 * ty.y) * 13 + i.src) % 256 +
+              |     ((2 * tx.x) * 7 + (2 * ty.y + 1) * 13 + i.src) % 256 +
+              |     ((2 * tx.x + 1) * 7 + (2 * ty.y + 1) * 13 + i.src) % 256)
+              |    // 4 AS v
+              |  FROM ids i, range(0, 4) tx(x), range(0, 3) ty(y)
+              |  WHERE tx.x < (4 + i.src % 5) // 2
+              |    AND ty.y < (3 + i.src % 4) // 2""".stripMargin
+        s"""WITH ids AS (
+           |  SELECT doc_id AS asset_id, doc_id AS src FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000, doc_id FROM documents
+           |  WHERE doc_id % 11 = 0),
+           |px AS (
+           |  $px),
+           |st AS (
+           |  SELECT asset_id, w, h, SUM(v) AS s, COUNT(*) AS n
+           |  FROM px GROUP BY 1, 2, 3),
+           |bits AS (
+           |  SELECT p.asset_id, p.w, p.h,
+           |    CAST(SUM(CASE WHEN p.v * st.n > st.s
+           |         THEN CAST(round(pow(2, p.y * p.w + p.x)) AS BIGINT)
+           |         ELSE 0 END) AS BIGINT) AS ahash
+           |  FROM px p JOIN st USING (asset_id)
+           |  GROUP BY 1, 2, 3),
+           |tot AS (
+           |  SELECT COUNT(*) AS n_assets,
+           |    COUNT(DISTINCT (w, h, ahash)) AS n_keys FROM bits),
+           |rec AS (
+           |  SELECT COUNT(*) AS n_true_pairs,
+           |    CAST(SUM(CASE WHEN a.w = b.w AND a.h = b.h
+           |      AND a.ahash = b.ahash THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_true_cokeyed
+           |  FROM bits a JOIN bits b ON b.asset_id = a.asset_id + 10000
+           |  WHERE a.asset_id < 10000 AND a.asset_id % 11 = 0)
+           |SELECT CAST($k AS INT) AS level,
+           |  CAST(n_assets AS BIGINT) AS n_assets,
+           |  CAST(n_keys AS BIGINT) AS n_keys,
+           |  CAST(n_assets - n_keys AS BIGINT) AS n_collapsed,
+           |  n_true_pairs, n_true_cokeyed,
+           |  CAST((n_assets - n_keys - n_true_cokeyed) * 1000000
+           |       // n_assets AS BIGINT) AS false_merge_ppm
+           |FROM tot, rec""".stripMargin
+      }
+      s"""SELECT * FROM (${lvl(0)}) z0
+         |UNION ALL
+         |SELECT * FROM (${lvl(1)}) z1
+         |ORDER BY level""".stripMargin
+    },
 
     // Sample-formula mirror of the PCM energy-envelope hash.
     "m06_audio_phash_dedup" ->

@@ -1311,6 +1311,37 @@ object TextAnalysis {
       classifierScore(T.documents(s, d)).orderBy($"doc_id")
     },
 
+    // CLASSIFIER YIELD CURVE — the threshold knob priced (t23 scores;
+    // the curation owner's actual decision is WHERE to cut, and the
+    // only honest way to pick is to see what each operating point
+    // keeps): for 9 mean-logit thresholds from −100 to +100 milli, the
+    // docs and feature mass surviving, as counts and integer ppm. The
+    // threshold test is an integer cross-multiplication
+    // (logit_milli > τ·n_feats — mean-vs-τ without a division), so no
+    // float ever decides a boundary doc. At 100 TB this is the curve
+    // that turns "set the quality bar at 0.5" into a sized decision —
+    // the same pricing discipline as d32's band plan and s33's
+    // blocking knob. Scale: t23's one scoring pass, a ×9 constant
+    // replication of the O(docs) logit frame, an O(9) report.
+    "t45_classifier_yield" -> { (s, d) =>
+      import s.implicits._
+      val doc = classifierLogits(T.documents(s, d)).localCheckpoint()
+      val tot = doc.agg(count(lit(1)).as("all_docs"),
+                        sum($"n_feats").as("all_feats"))
+      val taus = s.range(-4, 5).select(($"id" * 25).as("tau_milli"))
+      doc.crossJoin(broadcast(taus))
+        .groupBy($"tau_milli")
+        .agg(sum(when($"logit_milli" > $"tau_milli" * $"n_feats", 1L)
+               .otherwise(0L)).as("n_kept"),
+             sum(when($"logit_milli" > $"tau_milli" * $"n_feats",
+               $"n_feats").otherwise(0L)).as("feats_kept"))
+        .crossJoin(broadcast(tot))
+        .select($"tau_milli", $"n_kept", $"feats_kept",
+          expr("n_kept * 1000000 div all_docs").as("doc_ppm"),
+          expr("feats_kept * 1000000 div all_feats").as("feat_ppm"))
+        .orderBy($"tau_milli")
+    },
+
     // DSIR-style importance resampling (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling" — public): pick the
     // pool documents that look most like a TARGET domain by the
@@ -2425,7 +2456,9 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  private[graft] def classifierScore(docs: DataFrame): DataFrame = {
+  /** The raw (doc_id, n_feats, logit_milli) frame behind t23 — exposed
+    * so t45's threshold sweep prices the SAME model's knob. */
+  private[graft] def classifierLogits(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val D = 65536L
@@ -2445,6 +2478,11 @@ object TextAnalysis {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_feats"),
            sum($"w_milli").as("logit_milli"))
+  }
+
+  private[graft] def classifierScore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    classifierLogits(docs)
       .select($"doc_id", $"n_feats",
         round($"logit_milli".cast("double") / $"n_feats" / 1000.0, 6)
           .as("mean_logit"),
@@ -3163,6 +3201,50 @@ object TextAnalysis {
          |  CASE WHEN SUM(w.w_milli) > 0 THEN 'keep' ELSE 'cut' END AS label
          |FROM feats f JOIN weights w USING (j)
          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // t45: the same model's logits swept over 9 integer thresholds.
+    "t45_classifier_yield" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_concat(toks,
+         |    list_transform(range(1, len(toks)),
+         |      i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i + 1 AS INT)])))
+         |    AS g
+         |  FROM toked),
+         |feats AS (
+         |  SELECT doc_id,
+         |    ${graft.Dets.phashSql("'f:' || g")} % 65536 AS j
+         |  FROM grams),
+         |weights AS (
+         |  SELECT j,
+         |    ${graft.Dets.phashSql("'w:' || CAST(j AS VARCHAR)")} % 2001
+         |      - 1000 AS w_milli
+         |  FROM range(65536) t(j)),
+         |doc AS (
+         |  SELECT f.doc_id, COUNT(*) AS n_feats,
+         |    CAST(SUM(w.w_milli) AS BIGINT) AS logit_milli
+         |  FROM feats f JOIN weights w USING (j) GROUP BY f.doc_id),
+         |tot AS (SELECT COUNT(*) AS all_docs,
+         |        CAST(SUM(n_feats) AS BIGINT) AS all_feats FROM doc),
+         |tau AS (SELECT unnest([-100, -75, -50, -25, 0, 25, 50, 75, 100])
+         |        AS tau_milli)
+         |SELECT CAST(t.tau_milli AS BIGINT) AS tau_milli,
+         |  CAST(SUM(CASE WHEN d.logit_milli > t.tau_milli * d.n_feats
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN d.logit_milli > t.tau_milli * d.n_feats
+         |    THEN d.n_feats ELSE 0 END) AS BIGINT) AS feats_kept,
+         |  CAST(SUM(CASE WHEN d.logit_milli > t.tau_milli * d.n_feats
+         |    THEN 1 ELSE 0 END) * 1000000 // MAX(tot.all_docs) AS BIGINT)
+         |    AS doc_ppm,
+         |  CAST(SUM(CASE WHEN d.logit_milli > t.tau_milli * d.n_feats
+         |    THEN d.n_feats ELSE 0 END) * 1000000 // MAX(tot.all_feats)
+         |    AS BIGINT) AS feat_ppm
+         |FROM tau t, doc d, tot
+         |GROUP BY t.tau_milli
+         |ORDER BY tau_milli""".stripMargin,
 
     "t25_dsir_resample" ->
       s"""WITH words AS (

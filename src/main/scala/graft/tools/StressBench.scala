@@ -418,7 +418,12 @@ object StressBench {
       "s37_tombstone_beam," +
       // s38: TWO graph builds (the comparison's cost, not the
       // operator's) + one tail side-scan — ~2x s32's curve
-      "s38_freshness_beam"
+      "s38_freshness_beam," +
+      // t45: t23's one scoring pass + a x9 constant sweep on the
+      // O(docs) logit frame — tracks t23
+      "t45_classifier_yield," +
+      // m24: two map-only decode+hash passes + key-to-key plant joins
+      "m24_thumb_dedup_audit"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

@@ -4348,6 +4348,89 @@ class OperatorSpec extends SparkSpec {
     deleted.foreach(k => assert(!out.exists(_._1 == k), s"deleted key $k survived"))
   }
 
+  test("t45: the yield curve replays from raw text; tau=0 equals t23's keep set") {
+    def phashScala(str: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val logits = docs.map { case (_, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val grams = toks ++ toks.dropRight(1).zip(toks.drop(1))
+        .map { case (a, b) => s"${a}_$b" }
+      val feats = grams.map(g => phashScala(s"f:$g") % 65536L)
+      val logit = feats.map(j => phashScala(s"w:$j") % 2001L - 1000L).sum
+      (feats.length.toLong, logit)
+    }
+    val allDocs = logits.length.toLong
+    val allFeats = logits.map(_._1).sum
+    val expected = (-100L to 100L by 25L).map { tau =>
+      val kept = logits.filter { case (nf, lg) => lg > tau * nf }
+      (tau, kept.length.toLong, kept.map(_._1).sum,
+        kept.length * 1000000L / allDocs,
+        kept.map(_._1).sum * 1000000L / allFeats)
+    }
+    val out = datapipe.TextAnalysis.queries("t45_classifier_yield")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === expected)
+    // the curve is a genuine knob: monotone non-increasing, and it
+    // MOVES across the sweep (a flat curve prices nothing)
+    assert(out.sliding(2).forall(p => p(1)._2 <= p(0)._2))
+    assert(out.head._2 > out.last._2, "yield curve flat across the sweep")
+    // tau = 0 is exactly t23's keep set
+    val keeps = datapipe.TextAnalysis.queries("t23_classifier_score")(spark, sf)
+      .filter($"label" === "keep").count()
+    assert(out.find(_._1 == 0L).get._2 === keeps)
+  }
+
+  test("m24: both dedup levels replay from the pixel formula; the level knob genuinely costs") {
+    val docIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id").as[Long].collect()
+    val ids = docIds.map(id => (id, id)) ++
+      docIds.filter(_ % 11 == 0).map(id => (id + 10000L, id))
+    def v0(src: Long, x: Int, y: Int) = ((x * 7L + y * 13L + src) % 256L)
+    def keyAt(src: Long, k: Int): (Int, Int, Long) = {
+      val (w0, h0) = ((4 + src % 5).toInt, (3 + src % 4).toInt)
+      val (w, h) = if (k == 0) (w0, h0) else (w0 / 2, h0 / 2)
+      def v(x: Int, y: Int): Long =
+        if (k == 0) v0(src, x, y)
+        else (v0(src, 2 * x, 2 * y) + v0(src, 2 * x + 1, 2 * y) +
+              v0(src, 2 * x, 2 * y + 1) + v0(src, 2 * x + 1, 2 * y + 1)) / 4
+      val n = w.toLong * h
+      val s = (for { y <- 0 until h; x <- 0 until w } yield v(x, y)).sum
+      val bits = (for { y <- 0 until h; x <- 0 until w
+                        if v(x, y) * n > s } yield 1L << (y * w + x)).sum
+      (w, h, bits)
+    }
+    val expected = Seq(0, 1).map { k =>
+      val keys = ids.map { case (aid, src) => aid -> keyAt(src, k) }
+      val nAssets = keys.length.toLong
+      val nKeys = keys.map(_._2).distinct.length.toLong
+      val km = keys.toMap
+      val pairs = ids.collect { case (aid, src)
+        if aid < 10000L && aid % 11 == 0 => (aid, src) }
+      val cokeyed = pairs.count { case (aid, _) =>
+        km(aid) == km(aid + 10000L) }.toLong
+      (k.toLong, nAssets, nKeys, nAssets - nKeys,
+        pairs.length.toLong, cokeyed,
+        (nAssets - nKeys - cokeyed) * 1000000L / nAssets)
+    }
+    val out = datapipe.Multimodal.queries("m24_thumb_dedup_audit")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // level column is Int on the Spark side
+    val outL = datapipe.Multimodal.queries("m24_thumb_dedup_audit")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1.toLong, r._2, r._3, r._4, r._5, r._6, r._7))
+    assert(outL === expected, s"got $out")
+    // the bet and its price, both non-vacuous: planted recall holds at
+    // 100% on BOTH levels, and the thumbnail level genuinely merges
+    // more distinct images than full resolution
+    outL.foreach(r => assert(r._6 === r._5, s"level ${r._1} lost a plant"))
+    assert(outL(1)._3 < outL(0)._3, "halving did not shrink the key space")
+    assert(outL(1)._7 > outL(0)._7, "no marginal false-merge cost — knob vacuous")
+  }
+
   test("q99: every try_* lane quarantines its planted failures and ONLY those") {
     val out = operators.Scalars.queries("q99_try_functions")(spark, sf)
       .as[(Long, Option[Double], Option[Long], Option[Long], Option[Long])]
