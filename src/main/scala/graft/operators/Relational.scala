@@ -125,6 +125,27 @@ object Relational {
         .orderBy($"branch")
     },
 
+    // PAGINATION — the same page 3 computed BOTH ways a production API
+    // serves it, pinned equal: OFFSET (ORDER BY ... LIMIT 20 OFFSET 40
+    // — Spark plans TakeOrderedAndProject with a per-partition heap of
+    // offset+limit, so page N costs O(N·pageSize) PER PARTITION and
+    // deep pagination melts down at 100 TB) vs KEYSET (the client
+    // passes page 2's last (price, key); the filter re-anchors the
+    // scan and the heap stays O(pageSize) at ANY depth — the
+    // cursor-based pattern every large API converges on). The keyset
+    // boundary is computed engine-side as a broadcast 1-row frame —
+    // no driver scalar, so the whole two-method comparison is one lazy
+    // DAG. Rows must agree exactly — keyset pagination is only correct
+    // when the sort is a TOTAL order (the tie-break column IS the
+    // correctness condition, not a style choice).
+    "q101_pagination" -> { (s, d) =>
+      import s.implicits._
+      val (offsetPage, keysetPage) = paginationFrames(s, d)
+      offsetPage.select(lit("offset").as("method"), col("*"))
+        .union(keysetPage.select(lit("keyset").as("method"), col("*")))
+        .orderBy($"method", $"o_totalprice".desc, $"o_orderkey")
+    },
+
     // Full outer join of two pre-aggregated sides (agg-before-join keeps the
     // shuffled volume at key-cardinality, not row-cardinality).
     "q07_join_full_outer" -> { (s, d) =>
@@ -191,6 +212,27 @@ object Relational {
         .limit(10)
     }
   )
+
+  /** q101's two page-3 formulations, factored for PlanShapeSpec. */
+  private[graft] def paginationFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val cols = Seq(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+    val sorted = T.orders(s, d).select(cols: _*)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val offsetPage = sorted.offset(40).limit(20)
+    // keyset: the client passes page 2's LAST row; the boundary is a
+    // 1-row engine-side frame (never a driver scalar)
+    val bound = sorted.offset(39).limit(1)
+      .select(col("o_totalprice").as("bp"), col("o_orderkey").as("bk"))
+    val keysetPage = T.orders(s, d).select(cols: _*)
+      .crossJoin(broadcast(bound))
+      .filter(col("o_totalprice") < col("bp") ||
+        (col("o_totalprice") === col("bp") && col("o_orderkey") > col("bk")))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(cols: _*)
+    (offsetPage, keysetPage)
+  }
 
   /** q97's NOT IN anti join before aggregation — factored out so
     * PlanShapeSpec can pin isNullAwareAntiJoin on the executed plan.
@@ -262,6 +304,29 @@ object Relational {
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    // q101: both formulations stated literally; the two methods must
+    // return the identical page.
+    "q101_pagination" ->
+      """WITH sorted AS (
+        |  SELECT o_orderkey, o_totalprice, o_custkey FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey),
+        |ofs AS (
+        |  SELECT 'offset' AS method, * FROM sorted LIMIT 20 OFFSET 40),
+        |bnd AS (
+        |  SELECT o_totalprice AS bp, o_orderkey AS bk FROM sorted
+        |  LIMIT 1 OFFSET 39),
+        |ks AS (
+        |  SELECT 'keyset' AS method, o.o_orderkey, o.o_totalprice,
+        |    o.o_custkey
+        |  FROM orders o, bnd
+        |  WHERE o.o_totalprice < bnd.bp
+        |     OR (o.o_totalprice = bnd.bp AND o.o_orderkey > bnd.bk)
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20)
+        |SELECT * FROM ofs
+        |UNION ALL
+        |SELECT * FROM ks
+        |ORDER BY method, o_totalprice DESC, o_orderkey""".stripMargin,
 
     // q97: the oracle states NOT IN literally — DuckDB evaluates the
     // three-valued contract its own way; the planted-null branch must

@@ -423,7 +423,10 @@ object StressBench {
       // O(docs) logit frame — tracks t23
       "t45_classifier_yield," +
       // m24: two map-only decode+hash passes + key-to-key plant joins
-      "m24_thumb_dedup_audit"
+      "m24_thumb_dedup_audit," +
+      // q101: two bounded per-partition heaps — flat at any depth for
+      // keyset, O(depth) heap for offset (the point of the pairing)
+      "q101_pagination"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

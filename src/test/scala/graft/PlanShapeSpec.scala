@@ -737,6 +737,36 @@ class PlanShapeSpec extends SparkSpec {
       "null-free NAAJ did not execute as a broadcast hash probe")
   }
 
+  test("q101: both pagination methods plan bounded heaps; pages identical") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val (offsetPage, keysetPage) =
+      operators.Relational.paginationFrames(spark, sf)
+    // offset: ONE TakeOrderedAndProject carrying limit+offset — a
+    // per-partition heap of 60, never a global sort (but the heap
+    // grows with page DEPTH — the reason deep pagination melts down)
+    val off = offsetPage.queryExecution.executedPlan.collect {
+      case t: TakeOrderedAndProjectExec => t }
+    assert(off.nonEmpty && off.head.offset === 40,
+      "offset page did not plan TakeOrderedAndProject with offset:\n" +
+        offsetPage.queryExecution.executedPlan.toString.take(800))
+    assert(off.head.limit === 60, s"heap should hold offset+limit rows")
+    // keyset: the re-anchored filter keeps the heap at O(pageSize)
+    // at ANY depth (string match — the broadcast bound puts this plan
+    // under an AQE root, which a typed collect cannot cross)
+    val ksPlan = keysetPage.queryExecution.executedPlan.toString
+    assert(ksPlan.contains("TakeOrderedAndProject(limit=20, orderBy"),
+      "keyset page did not plan an O(pageSize) heap:\n" + ksPlan.take(800))
+    // and no global Sort node anywhere in either plan
+    Seq(offsetPage, keysetPage).foreach { df =>
+      assert(!df.queryExecution.executedPlan.toString.contains("Sort ["),
+        "pagination fell back to a global sort")
+    }
+    // the two methods return the IDENTICAL page
+    val a = offsetPage.collect().map(_.toSeq).toSeq
+    val b = keysetPage.collect().map(_.toSeq).toSeq
+    assert(a === b && a.length === 20)
+  }
+
   test("q11: rank<=k filter plans WindowGroupLimit below the full window") {
     // InferWindowGroupLimit inserts per-PARTITION top-k selection ahead
     // of the shuffle + final window: each map task keeps at most k rows
