@@ -201,10 +201,19 @@ object Bench {
     // Likewise a non-sf0.1 run (the verify-skill sf0.001 smoke)
     // defaults to BENCH_SMOKE.json: the committed record is sf0.1 by
     // protocol, and round 14 found five successive sf0.001 smokes had
-    // silently replaced it
+    // silently replaced it. And a CONTAMINATED or failing full run
+    // (sentinel spread over the 1.5 gate, a dead sentinel, or any
+    // failed query) routes to BENCH_CONTAMINATED.json: round 16's
+    // driver bench (spread 2.937) overwrote BENCH_LOCAL on disk and
+    // only git discipline saved the committed idle record — the
+    // default sidecar must enforce the gate the run itself computed.
+    // BENCH_LOCAL is written ONLY by a complete zero-failure run under
+    // the sentinel gate; SPARK_GRAFT_BENCH_OUT still overrides.
+    val contaminated = spread > 1.5 || spread < 0 || bad.nonEmpty
     val defaultOut =
       if (only.isDefined) "BENCH_PARTIAL.json"
       else if (!sfDir.endsWith("sf0.1")) "BENCH_SMOKE.json"
+      else if (contaminated) "BENCH_CONTAMINATED.json"
       else "BENCH_LOCAL.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -1811,11 +1811,15 @@ object Multimodal {
     // every false merge is a distinct training image silently thrown
     // away as a "duplicate". Decode+halve map-only; per level only
     // (id, w, h, hash) ~28 B shuffles; the plant join is key-to-key.
+    // Plant offset +20000 (m06's convention, round-16 advice): wider
+    // headroom over the fixture's doc_id range than m05's +10000 —
+    // OperatorSpec pins max(doc_id) < offset so a regenerated fixture
+    // can never alias a plant onto a real id on both engines at once.
     "m24_thumb_dedup_audit" -> { (s, d) =>
       import s.implicits._
       val base = imageAssets(s, d)
       val corpus = base.union(
-        base.filter(_._1 % 11 == 0).map { case (id, p) => (id + 10000L, p) })
+        base.filter(_._1 % 11 == 0).map { case (id, p) => (id + 20000L, p) })
       def level(k: Int): DataFrame = {
         val hashed = corpus.mapPartitions(_.map { case (id, payload) =>
           var img = ImageCodec.decode(payload)
@@ -1843,12 +1847,12 @@ object Multimodal {
         }).toDF("asset_id", "w", "h", "ahash")
         val tot = hashed.agg(count(lit(1)).as("n_assets"),
           countDistinct($"w", $"h", $"ahash").as("n_keys"))
-        val pairs = hashed.filter($"asset_id" < 10000L &&
+        val pairs = hashed.filter($"asset_id" < 20000L &&
             $"asset_id" % 11 === 0)
           .select($"asset_id".as("a"), $"w".as("wa"), $"h".as("ha"),
                   $"ahash".as("xa"))
-          .join(hashed.filter($"asset_id" >= 10000L)
-            .select(($"asset_id" - 10000L).as("a"), $"w".as("wb"),
+          .join(hashed.filter($"asset_id" >= 20000L)
+            .select(($"asset_id" - 20000L).as("a"), $"w".as("wb"),
                     $"h".as("hb"), $"ahash".as("xb")), Seq("a"))
         val rec = pairs.agg(count(lit(1)).as("n_true_pairs"),
           sum(when($"wa" === $"wb" && $"ha" === $"hb" && $"xa" === $"xb",
@@ -1890,7 +1894,7 @@ object Multimodal {
     // with its canonical id and caption count. Planted: every %7 image
     // re-registered under +4000000 with a variant caption (the dedup
     // family's disjoint-megabin convention — 1M/2M/3M are taken by the
-    // text corpora; m05/m06's tighter +40000/+20000 offsets are safe
+    // text corpora; m05/m06/m24's tighter +10000/+20000 offsets are safe
     // only because their asset streams never mix with doc-id-keyed
     // frames, while m07 joins caption hashes BY asset_id, where a
     // doc_id >= 40000 fixture would alias two images under one key).
@@ -2102,7 +2106,7 @@ object Multimodal {
         s"""WITH ids AS (
            |  SELECT doc_id AS asset_id, doc_id AS src FROM documents
            |  UNION ALL
-           |  SELECT doc_id + 10000, doc_id FROM documents
+           |  SELECT doc_id + 20000, doc_id FROM documents
            |  WHERE doc_id % 11 = 0),
            |px AS (
            |  $px),
@@ -2124,8 +2128,8 @@ object Multimodal {
            |    CAST(SUM(CASE WHEN a.w = b.w AND a.h = b.h
            |      AND a.ahash = b.ahash THEN 1 ELSE 0 END) AS BIGINT)
            |      AS n_true_cokeyed
-           |  FROM bits a JOIN bits b ON b.asset_id = a.asset_id + 10000
-           |  WHERE a.asset_id < 10000 AND a.asset_id % 11 = 0)
+           |  FROM bits a JOIN bits b ON b.asset_id = a.asset_id + 20000
+           |  WHERE a.asset_id < 20000 AND a.asset_id % 11 = 0)
            |SELECT CAST($k AS INT) AS level,
            |  CAST(n_assets AS BIGINT) AS n_assets,
            |  CAST(n_keys AS BIGINT) AS n_keys,

@@ -308,14 +308,13 @@ object Relational {
     // q101: both formulations stated literally; the two methods must
     // return the identical page.
     "q101_pagination" ->
-      """WITH sorted AS (
-        |  SELECT o_orderkey, o_totalprice, o_custkey FROM orders
-        |  ORDER BY o_totalprice DESC, o_orderkey),
-        |ofs AS (
-        |  SELECT 'offset' AS method, * FROM sorted LIMIT 20 OFFSET 40),
+      """WITH ofs AS (
+        |  SELECT 'offset' AS method, o_orderkey, o_totalprice, o_custkey
+        |  FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40),
         |bnd AS (
-        |  SELECT o_totalprice AS bp, o_orderkey AS bk FROM sorted
-        |  LIMIT 1 OFFSET 39),
+        |  SELECT o_totalprice AS bp, o_orderkey AS bk FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 39),
         |ks AS (
         |  SELECT 'keyset' AS method, o.o_orderkey, o.o_totalprice,
         |    o.o_custkey

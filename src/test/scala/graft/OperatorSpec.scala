@@ -4387,8 +4387,13 @@ class OperatorSpec extends SparkSpec {
   test("m24: both dedup levels replay from the pixel formula; the level knob genuinely costs") {
     val docIds = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id").as[Long].collect()
+    // the plant-offset invariant (round-16 advice): a fixture whose
+    // doc_ids reach the offset would alias plants onto real ids on BOTH
+    // engines at once — oracle agreement would mask the mis-measure
+    assert(docIds.max < 20000L,
+      s"m24 plant offset 20000 no longer clears max doc_id ${docIds.max}")
     val ids = docIds.map(id => (id, id)) ++
-      docIds.filter(_ % 11 == 0).map(id => (id + 10000L, id))
+      docIds.filter(_ % 11 == 0).map(id => (id + 20000L, id))
     def v0(src: Long, x: Int, y: Int) = ((x * 7L + y * 13L + src) % 256L)
     def keyAt(src: Long, k: Int): (Int, Int, Long) = {
       val (w0, h0) = ((4 + src % 5).toInt, (3 + src % 4).toInt)
@@ -4409,9 +4414,9 @@ class OperatorSpec extends SparkSpec {
       val nKeys = keys.map(_._2).distinct.length.toLong
       val km = keys.toMap
       val pairs = ids.collect { case (aid, src)
-        if aid < 10000L && aid % 11 == 0 => (aid, src) }
+        if aid < 20000L && aid % 11 == 0 => (aid, src) }
       val cokeyed = pairs.count { case (aid, _) =>
-        km(aid) == km(aid + 10000L) }.toLong
+        km(aid) == km(aid + 20000L) }.toLong
       (k.toLong, nAssets, nKeys, nAssets - nKeys,
         pairs.length.toLong, cokeyed,
         (nAssets - nKeys - cokeyed) * 1000000L / nAssets)
