@@ -724,9 +724,10 @@ object Similarity {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
-      val subs = pqSubs(emb)
-      val cb = pqCodebook(subs).localCheckpoint() // M×K rows, trained once
-      val codes = pqEncode(subs, cb).select($"vec_id", $"j", $"code")
+      // codebook + codes off the persisted PQ artifact (trained once
+      // per fixture generation, shared with s11/s12/s35)
+      val cb = pqFrame(s, d, "codebook")
+      val codes = pqFrame(s, d, "codes").select($"vec_id", $"j", $"code")
       val qs0 = emb
         .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
         .limit(NQ)
@@ -1555,8 +1556,9 @@ object Similarity {
     // embedding payload itself is never shuffled.
     "s11_product_quantization" -> { (s, d) =>
       import s.implicits._
-      val subs = pqSubs(T.embeddings(s, d))
-      pqEncode(subs, pqCodebook(subs))
+      // the full (vec_id, j, code, d2) encode off the persisted PQ
+      // artifact — one training per fixture generation, not per query
+      pqFrame(s, d, "codes")
         .groupBy($"vec_id")
         .agg(max(when($"j" === 0, $"code")).as("c0"),
              max(when($"j" === 1, $"code")).as("c1"),
@@ -1576,16 +1578,12 @@ object Similarity {
     "s12_pq_adc" -> { (s, d) =>
       import s.implicits._
       val emb = T.embeddings(s, d)
-      val subs = pqSubs(emb)
-      // trained ONCE and MATERIALIZED once: two consumers (encode + the
-      // distance table) broadcast this frame, and without the checkpoint
-      // each broadcast re-runs the whole training shuffle — the plan shows
-      // two separate BroadcastExchanges, and canonical-subtree reuse can't
-      // collapse them because the downstream projections differ. M×K = 32
-      // rows, so the eager materialization job is free at any corpus size
-      // while the saved re-training shuffle grows with the corpus.
-      val cb = pqCodebook(subs).localCheckpoint()
-      val codes = pqEncode(subs, cb).select($"vec_id", $"j", $"code")
+      // codebook + codes off the persisted PQ artifact: one training
+      // per fixture generation (shared with s11/s16/s35), and the
+      // session-checkpointed codebook still broadcasts as a
+      // materialized M×K = 32-row leaf to both consumers below
+      val cb = pqFrame(s, d, "codebook")
+      val codes = pqFrame(s, d, "codes").select($"vec_id", $"j", $"code")
       // distance table: query subvectors × codebook, integer L2
       val dt = pqSubs(emb.filter($"vec_id" === QID)).select($"j", $"sv")
         .withColumn("lsv", roundFx("sv"))
@@ -2089,15 +2087,19 @@ object Similarity {
     * in seeding and traversal scoring. */
   private case class BeamFixture(edges: DataFrame, qs: DataFrame,
                                  scoredAll: DataFrame, truth: DataFrame)
-  /** `baseWhere` (s38) restricts the GRAPH BUILD to the already-indexed
-    * vectors; queries, exact scores, and truth always cover the whole
-    * corpus — that asymmetry IS the freshness problem. */
-  private def beamFixture(s: SparkSession, d: String,
-                          baseWhere: Option[org.apache.spark.sql.Column]
-                            = None): BeamFixture = {
+
+  /** s38's freshness split, shared with the artifact build: the graph
+    * is FROZEN over the already-indexed 3/4 (vec_id % 4 ≠ 3); the
+    * fresh tail is unindexed. */
+  private[graft] def beamIndexedOnly = col("vec_id") % 4 =!= 3
+
+  /** One variant's coarse-blocked symmetrized search graph: LSH-block
+    * within label, exact-cosine top-4 out-edges, symmetrized.
+    * `emb0` is the indexed subset the graph may see (s38's `old`
+    * variant freezes it to [[beamIndexedOnly]]). */
+  private def beamGraphEdges(s: SparkSession, emb0: DataFrame): DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val emb0 = baseWhere.foldLeft(T.embeddings(s, d))(_ filter _)
       val nbdf = emb0.agg(expr(
         "greatest(3, length(bin(greatest((count(1) + 255) DIV 256 - 1, 1))))")
         .cast("int").as("nb"))
@@ -2119,9 +2121,163 @@ object Similarity {
         .withColumn("rnk", row_number().over(wsrc))
         .filter($"rnk" <= 4)
         .select($"src", $"dst")
-      val edges = e0
-        .unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().localCheckpoint()
+      e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+  }
+
+  /** The beam family's persisted fixture artifact (round-16 advice #1
+    * — the q82–84 `_GRAFT_FINGERPRINT` discipline applied to the
+    * family's largest shared cost): s32/s34/s35/s36/s37/s38 all ride
+    * the SAME graph build + NQ-sample brute-force truth pass, which
+    * was paid per query. One build per fixture generation now
+    * persists, under the session warehouse keyed by a source
+    * fingerprint of `embeddings.parquet` (marker written LAST so a
+    * crashed build rebuilds):
+    *   - `qs`:         the NQ phash-spread query sample
+    *   - `scoredAll`:  the brute-force same-label exact-score pass
+    *   - `truth`:      exact top-10 per query
+    *   - `edges_full`: the full-corpus search graph
+    *   - `edges_old`:  the graph frozen to [[beamIndexedOnly]] (s38)
+    * Every build step is deterministic (row_number ties break on ids;
+    * cosine is the same codegen expression on identical rows), so the
+    * persisted frames are value-identical to a re-derivation and every
+    * reader's oracle hash is unchanged — OperatorSpec pins artifact ==
+    * direct recompute per frame. */
+  private val beamReady = scala.collection.mutable.Set[String]()
+  private[graft] def beamArtifact(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.SaveMode
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val dir = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/graft_beam_$tag"
+    val fp = graft.operators.Extras.sourceFingerprint(
+      s, s"$d/embeddings.parquet")
+    beamReady.synchronized {
+      val memoKey = s"$dir#$fp"
+      if (!beamReady.contains(memoKey)) {
+        if (!graft.operators.Extras.markerMatches(s, dir, fp)) {
+          val loc = new org.apache.hadoop.fs.Path(dir)
+          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+          val BeamFixture(edges, qs, scoredAll, truth) =
+            beamFixtureDirect(s, d)
+          // the direct frames are localCheckpointed — each write
+          // streams from the materialized leaf, nothing recomputes
+          qs.write.mode(SaveMode.Overwrite).parquet(s"$dir/qs")
+          scoredAll.write.mode(SaveMode.Overwrite).parquet(s"$dir/scoredAll")
+          truth.write.mode(SaveMode.Overwrite).parquet(s"$dir/truth")
+          edges.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_full")
+          beamGraphEdges(s, T.embeddings(s, d).filter(beamIndexedOnly))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_old")
+          graft.operators.Extras.writeMarker(s, dir, fp)
+        }
+        beamReady += memoKey
+      }
+    }
+    dir
+  }
+
+  /** Artifact frames re-checkpointed per session: the walk references
+    * `edges`/`scoredAll` once per round (6×), and a raw parquet read
+    * would re-scan the file each time where the pre-artifact code had
+    * an in-memory checkpointed leaf. One localCheckpoint per (session,
+    * artifact generation, frame) restores that — six queries share ONE
+    * materialized copy instead of each paying the build. Keyed on the
+    * source fingerprint so a regenerated fixture drops through to
+    * [[beamArtifact]]'s rebuild AND a fresh checkpoint. */
+  private val frameCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private def cachedFrame(s: SparkSession, key: String,
+                          path: String): DataFrame =
+      frameCache.synchronized {
+        frameCache.getOrElseUpdate((s, key),
+          s.read.parquet(path).localCheckpoint())
+      }
+  private def beamFrame(s: SparkSession, d: String, name: String): DataFrame = {
+      val dir = beamArtifact(s, d)
+      val fp = graft.operators.Extras.sourceFingerprint(
+        s, s"$d/embeddings.parquet")
+      cachedFrame(s, s"$dir#$fp#$name", s"$dir/$name")
+  }
+
+  /** The PQ store as a persisted artifact — the same discipline as
+    * [[beamArtifact]] for the OTHER shared similarity cost: the %K-
+    * seeded codebook (one Lloyd step, M×K rows) and the full encode
+    * (vec_id, j, code, d2) are deterministic functions of the
+    * embeddings alone, and were re-trained inside each of s11, s12,
+    * s16, and s35. One build per fixture generation persists
+    * `codebook` + `codes`; readers get session-checkpointed frames.
+    * Every step is exact (fixed-point integer L2, exact-decimal means,
+    * ties to the smallest code), so the persisted frames are value-
+    * identical to a re-derivation — the four readers' oracle hashes
+    * are unchanged, and OperatorSpec pins artifact == direct. */
+  private val pqReady = scala.collection.mutable.Set[String]()
+  private[graft] def pqArtifact(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.SaveMode
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val dir = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/graft_pq_$tag"
+    val fp = graft.operators.Extras.sourceFingerprint(
+      s, s"$d/embeddings.parquet")
+    pqReady.synchronized {
+      val memoKey = s"$dir#$fp"
+      if (!pqReady.contains(memoKey)) {
+        if (!graft.operators.Extras.markerMatches(s, dir, fp)) {
+          val loc = new org.apache.hadoop.fs.Path(dir)
+          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+          val subs = pqSubs(T.embeddings(s, d))
+          val cb = pqCodebook(subs).localCheckpoint()
+          cb.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
+          pqEncode(subs, cb)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+          graft.operators.Extras.writeMarker(s, dir, fp)
+        }
+        pqReady += memoKey
+      }
+    }
+    dir
+  }
+
+  /** Session-checkpointed PQ artifact frame (`codebook` | `codes`). */
+  private def pqFrame(s: SparkSession, d: String, name: String): DataFrame = {
+      val dir = pqArtifact(s, d)
+      val fp = graft.operators.Extras.sourceFingerprint(
+        s, s"$d/embeddings.parquet")
+      cachedFrame(s, s"$dir#$fp#$name", s"$dir/$name")
+  }
+
+  /** Artifact + direct twins for the spec's PQ pin. */
+  private[graft] def pqArtifactFrames(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val dir = pqArtifact(s, d)
+    Seq("codebook", "codes").map(n => s.read.parquet(s"$dir/$n"))
+  }
+  private[graft] def pqDirectFrames(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val subs = pqSubs(T.embeddings(s, d))
+    val cb = pqCodebook(subs).localCheckpoint()
+    Seq(cb, pqEncode(subs, cb))
+  }
+
+  /** The fixture off the persisted artifact (session-checkpointed).
+    * `oldGraph` (s38) swaps in the frozen-graph edges; queries, exact
+    * scores, and truth always cover the whole corpus — that asymmetry
+    * IS the freshness problem. */
+  private def beamFixture(s: SparkSession, d: String,
+                          oldGraph: Boolean = false): BeamFixture =
+      BeamFixture(
+        beamFrame(s, d, if (oldGraph) "edges_old" else "edges_full"),
+        beamFrame(s, d, "qs"),
+        beamFrame(s, d, "scoredAll"),
+        beamFrame(s, d, "truth"))
+
+  /** The un-memoized derivation (full-corpus variant) — the artifact
+    * build's source of record, and what OperatorSpec compares the
+    * persisted frames against. */
+  private def beamFixtureDirect(s: SparkSession, d: String): BeamFixture = {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val edges = beamGraphEdges(s, T.embeddings(s, d)).localCheckpoint()
       val emb = T.embeddings(s, d).filter(size($"embedding") > 0)
       val qs = emb
         .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
@@ -2141,6 +2297,23 @@ object Similarity {
         .filter($"rn" <= 10).select($"q_id", $"vec_id")
         .localCheckpoint()
       BeamFixture(edges, qs, scoredAll, truth)
+  }
+
+  /** Artifact frames for the spec's artifact == direct-recompute pin
+    * (edges_full, qs, scoredAll, truth, edges_old in that order). */
+  private[graft] def beamArtifactFrames(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val dir = beamArtifact(s, d)
+    Seq("edges_full", "qs", "scoredAll", "truth", "edges_old")
+      .map(n => s.read.parquet(s"$dir/$n"))
+  }
+
+  /** Direct (un-memoized) twins of [[beamArtifactFrames]]. */
+  private[graft] def beamDirectFrames(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val BeamFixture(edges, qs, scoredAll, truth) = beamFixtureDirect(s, d)
+    Seq(edges, qs, scoredAll, truth,
+      beamGraphEdges(s, T.embeddings(s, d).filter(beamIndexedOnly)))
   }
 
   /** The deterministic per-query seeds: 1 = min-id (s32); k > 1 = k
@@ -2164,11 +2337,10 @@ object Similarity {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val BeamFixture(edges, qs, scoredAll, truth) = beamFixture(s, d)
-      val subs = pqSubs(T.embeddings(s, d))
-      val cb = pqCodebook(subs).localCheckpoint()
-      // the serving-time PQ store: (vec_id, j, code) longs, O(n*M)
-      val codes = pqEncode(subs, cb)
-        .select($"vec_id", $"j", $"code").localCheckpoint()
+      // codebook + serving-time PQ store ((vec_id, j, code) longs,
+      // O(n*M)) off the persisted artifact, shared with s11/s12/s16
+      val cb = pqFrame(s, d, "codebook")
+      val codes = pqFrame(s, d, "codes").select($"vec_id", $"j", $"code")
       // per-query codeword distance tables: NQ*M*K rows, broadcast
       val dt = pqSubs(qs.select($"q_id".as("vec_id"),
           $"q_emb".as("embedding")))
@@ -2305,12 +2477,14 @@ object Similarity {
     * frozen graph alone; `hybrid` adds the exact side-scan of the
     * unindexed tail at rank time (the FAISS/SPANN freshness buffer);
     * `rebuilt` is the full-graph walk — the upper bound a re-index
-    * would restore. */
+    * would restore. `stale` and `hybrid` differ only at RANK time, so
+    * they share ONE frozen-graph walk ranked twice (round-16 advice
+    * #2 — the walk used to run twice on identical inputs). */
   private def freshnessBeamRecall(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val indexed = col("vec_id") % 4 =!= 3
-      val fxOld = beamFixture(s, d, baseWhere = Some(indexed))
+      val indexed = beamIndexedOnly
+      val fxOld = beamFixture(s, d, oldGraph = true)
       val fxFull = beamFixture(s, d)
       val beams = Seq(2, 4, 8)
       def seed(scored: DataFrame,
@@ -2331,9 +2505,9 @@ object Similarity {
       val tailRanked = beams.map(b => tail.withColumn("beam", lit(b)))
         .reduce(_ unionByName _)
         .select($"beam", $"q_id", $"vec_id", $"cosine")
-      val stale = beamLoopReport(s, fxOld, v0o, f0o)
-      val hybrid = beamLoopReport(s, fxOld, v0o, f0o,
-        extraRanked = Some(tailRanked))
+      val walked = beamWalk(s, fxOld, v0o, f0o)
+      val stale = beamRank(fxOld, walked)
+      val hybrid = beamRank(fxOld, walked, extraRanked = Some(tailRanked))
       val (v0f, f0f) = seed(fxFull.scoredAll, None)
       val rebuilt = beamLoopReport(s, fxFull, v0f, f0f)
       stale.select(lit("stale").as("policy"), col("*"))
@@ -2352,10 +2526,20 @@ object Similarity {
                              rankFilter: Option[org.apache.spark.sql.Column]
                                = None,
                              extraRanked: Option[DataFrame]
-                               = None): DataFrame = {
+                               = None): DataFrame =
+      beamRank(fx, beamWalk(s, fx, visited0, frontier0),
+        rankFilter, extraRanked)
+
+  /** The 6-round walk alone, returning the visited set — a flat union
+    * over per-round checkpointed frames, so a caller can rank it more
+    * than once (s38's stale/hybrid) without re-running a round. */
+  private def beamWalk(s: SparkSession, fx: BeamFixture,
+                       visited0: DataFrame,
+                       frontier0: DataFrame): DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val BeamFixture(edges, qs, scoredAll, truth) = fx
+      val edges = fx.edges
+      val scoredAll = fx.scoredAll
       val wb = Window.partitionBy($"beam", $"q_id")
         .orderBy($"cosine".desc, $"vec_id")
       // ONE checkpoint per round (the fresh frame); `visited` stays a
@@ -2375,6 +2559,21 @@ object Similarity {
         frontier = fresh.withColumn("rn", row_number().over(wb))
           .filter($"rn" <= $"beam").select($"beam", $"q_id", $"vec_id")
       }
+      visited
+  }
+
+  /** Rank a walked visited set against the fixture's truth. */
+  private def beamRank(fx: BeamFixture, visited: DataFrame,
+                       rankFilter: Option[org.apache.spark.sql.Column]
+                         = None,
+                       extraRanked: Option[DataFrame]
+                         = None): DataFrame = {
+      import visited.sparkSession.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val qs = fx.qs
+      val truth = fx.truth
+      val wb = Window.partitionBy($"beam", $"q_id")
+        .orderBy($"cosine".desc, $"vec_id")
       val nq = qs.agg(count(lit(1)).as("n_q"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       // extraRanked (s38's hybrid freshness buffer) adds scored rows

@@ -4459,6 +4459,58 @@ class OperatorSpec extends SparkSpec {
     assert(out.exists(_._5.isEmpty) && out.exists(_._5.nonEmpty))
   }
 
+  test("beam fixture artifact: persisted frames equal direct recompute; a regenerated source rebuilds") {
+    // artifact == direct: every beam query (s32/s34/s35/s36/s37/s38)
+    // now serves off the persisted fixture — each frame must be
+    // value-identical to a from-scratch derivation, or the memoization
+    // would change an oracle hash
+    val art = datapipe.Similarity.beamArtifactFrames(spark, sf)
+    val direct = datapipe.Similarity.beamDirectFrames(spark, sf)
+    val names = Seq("edges_full", "qs", "scoredAll", "truth", "edges_old")
+    art.zip(direct).zip(names).foreach { case ((a, d0), n) =>
+      val ka = a.collect().map(_.toString).sorted.toSeq
+      val kd = d0.collect().map(_.toString).sorted.toSeq
+      assert(ka === kd, s"artifact frame $n drifted from direct recompute")
+    }
+    // same pin for the PQ artifact (codebook + codes, shared by
+    // s11/s12/s16/s35)
+    datapipe.Similarity.pqArtifactFrames(spark, sf)
+      .zip(datapipe.Similarity.pqDirectFrames(spark, sf))
+      .zip(Seq("codebook", "codes")).foreach { case ((a, d0), n) =>
+        val ka = a.collect().map(_.toString).sorted.toSeq
+        val kd = d0.collect().map(_.toString).sorted.toSeq
+        assert(ka === kd, s"PQ artifact frame $n drifted from direct recompute")
+      }
+    // staleness: a regenerated embeddings.parquet (same bytes, new
+    // mtime -> new source fingerprint) must REBUILD the artifact —
+    // the marker flips to the new fingerprint, never serves stale
+    val tmp = java.nio.file.Files.createTempDirectory("graft_beam_stale")
+    val src = java.nio.file.Paths.get(s"$sf/embeddings.parquet")
+    val cp = tmp.resolve("embeddings.parquet")
+    java.nio.file.Files.copy(src, cp)
+    def marker(dir: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir.stripPrefix("file:"),
+          "_GRAFT_FINGERPRINT")), "UTF-8")
+    val dir1 = datapipe.Similarity.beamArtifact(spark, tmp.toString)
+    val fp1 = marker(dir1)
+    java.nio.file.Files.setLastModifiedTime(cp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(cp).toMillis + 2000))
+    val dir2 = datapipe.Similarity.beamArtifact(spark, tmp.toString)
+    assert(dir1 === dir2, "artifact dir must be stable per source dir")
+    assert(marker(dir2) !== fp1,
+      "regenerated source did not rebuild the beam artifact")
+    // the rebuilt artifact still equals the one built off the original
+    // fixture (same bytes -> same frames)
+    val t1 = spark.read.parquet(s"$dir2/truth").collect()
+      .map(_.toString).sorted.toSeq
+    val t0 = spark.read.parquet(
+        s"${datapipe.Similarity.beamArtifact(spark, sf)}/truth")
+      .collect().map(_.toString).sorted.toSeq
+    assert(t1 === t0, "rebuilt artifact truth drifted")
+  }
+
   test("q98: every variant extraction equals the column it was assembled from") {
     val out = operators.Scalars.queries("q98_variant")(spark, sf)
       .as[(Long, String, Long, Long, Long, Option[Long], Double)].collect()
