@@ -876,12 +876,18 @@ object Extras {
 
   /** The three-clause arbitration over one full-outer join; `status`
     * is the per-row provenance the batch oracle pins. */
+  /** The three-clause arbitration, plus the 'replace' action the
+    * sequential within-batch collapse emits (see [[mergeApplyBatch]]):
+    * a delete-then-reinsert batch must RESTART the balance from the
+    * post-delete amounts instead of accumulating onto the pre-delete
+    * state, which no combination of the three plain clauses states. */
   private[graft] def mergeArbitrate(target: DataFrame,
                                     source: DataFrame): DataFrame =
     target.join(source, Seq("key"), "full_outer")
       .filter(col("action").isNull || col("action") =!= "delete")
       .select(col("key"),
         when(col("action").isNull, col("bal"))
+          .when(col("action") === "replace", col("amt"))
           .when(col("bal").isNotNull, col("bal") + col("amt"))
           .otherwise(col("amt")).as("bal"),
         when(col("action").isNull, lit("kept"))
@@ -915,10 +921,40 @@ object Extras {
     target.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storePath/state/batch=-1")
 
+  /** Within-batch collapse contract (round-16 advice #3): WITHOUT an
+    * event-sequence column there is no order to honor, so the collapse
+    * is delete-wins (`min(action)`: 'delete' < 'upsert') with amounts
+    * decimal-summed — right for feeds carrying at most one event per
+    * key per trigger (q100's). WITH a `seq` column the collapse is the
+    * standard CDC sequential apply: a delete RESETS the key, so the
+    * batch's net effect per key is the sum of upsert amounts strictly
+    * AFTER the last delete — emitted as 'replace' when a delete
+    * preceded them (balance restarts from that sum instead of
+    * accumulating onto the pre-delete state), as 'delete' when nothing
+    * followed the last delete, and as a plain summed 'upsert' when no
+    * delete occurred. A delete-then-reinsert micro-batch therefore
+    * keeps the reinsert. */
   private[graft] def mergeApplyBatch(batch: DataFrame, batchId: Long,
                                      storePath: String): Unit = {
     val s = batch.sparkSession
-    val delta = batch.groupBy(col("key")).agg(
+    val delta = if (batch.columns.contains("seq")) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+      // last_del hashes by key, as does the groupBy — one exchange,
+      // reused by AQE for the second aggregate
+      batch.withColumn("last_del",
+          max(when(col("action") === "delete", col("seq"))).over(w))
+        .groupBy(col("key")).agg(
+          sum(when(col("action") === "upsert" &&
+                (col("last_del").isNull || col("seq") > col("last_del")),
+              col("amt").cast("decimal(18,4)")))
+            .cast("double").as("amt"),
+          max(col("last_del")).as("last_del"))
+        .select(col("key"), col("amt"),
+          when(col("amt").isNull, lit("delete"))
+            .when(col("last_del").isNotNull, lit("replace"))
+            .otherwise(lit("upsert")).as("action"))
+    } else batch.groupBy(col("key")).agg(
       sum(col("amt").cast("decimal(18,4)")).cast("double").as("amt"),
       min(col("action")).as("action")) // 'delete' < 'upsert': delete wins
     import org.apache.hadoop.fs.Path

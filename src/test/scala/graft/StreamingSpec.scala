@@ -470,6 +470,40 @@ class StreamingSpec extends SparkSpec {
       assert(!streamed.exists(_._1 == k), s"deleted key $k resurfaced"))
   }
 
+  test("CDC merge with event sequence: sequential apply — a delete-then-reinsert batch keeps the reinsert") {
+    // the round-16 advice case: a real CDC feed can land delete and
+    // reinsert for one key in ONE micro-batch; the seq-less delete-wins
+    // collapse would drop the reinsert. With a `seq` column the
+    // collapse must be the sequential apply: a delete RESETS the key,
+    // later upserts restart the balance from their own sum.
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_seq")
+    val target = Seq((1L, 10.0), (3L, 10.0)).toDF("key", "bal")
+    operators.Extras.mergeSeed(target, s"$root/store")
+    val batch = Seq(
+      // key 1 (exists, bal 10): upsert +5, delete, reinsert 7 -> 7
+      (1L, 5.0, "upsert", 1L), (1L, 0.0, "delete", 2L),
+      (1L, 7.0, "upsert", 3L),
+      // key 2 (new): upsert then delete -> absent
+      (2L, 5.0, "upsert", 1L), (2L, 0.0, "delete", 2L),
+      // key 3 (exists, bal 10): delete then reinsert 4 -> 4, NOT 14
+      (3L, 0.0, "delete", 1L), (3L, 4.0, "upsert", 2L),
+      // key 4 (new): two upserts accumulate -> 5
+      (4L, 2.0, "upsert", 1L), (4L, 3.0, "upsert", 2L)
+    ).toDF("key", "amt", "action", "seq")
+    operators.Extras.mergeApplyBatch(batch, 0L, s"$root/store")
+    val st = operators.Extras.mergeState(spark, s"$root/store")
+      .as[(Long, Double)].collect().toMap
+    assert(st === Map(1L -> 7.0, 3L -> 4.0, 4L -> 5.0), s"got $st")
+    // the seq-LESS path on the same events is the documented
+    // delete-wins contract: every deleted-at-any-point key stays out
+    val root2 = java.nio.file.Files.createTempDirectory("graft_merge_seq2")
+    operators.Extras.mergeSeed(target, s"$root2/store")
+    operators.Extras.mergeApplyBatch(batch.drop("seq"), 0L, s"$root2/store")
+    val st2 = operators.Extras.mergeState(spark, s"$root2/store")
+      .as[(Long, Double)].collect().toMap
+    assert(st2 === Map(4L -> 5.0), s"got $st2")
+  }
+
   test("streamed vocabulary growth: totals equal t37's quartile-4 row; per-batch attribution exact") {
     // first-seen is a pure function of arrival ORDER, so the streamed
     // store must reproduce the batch totals for any split AND charge
