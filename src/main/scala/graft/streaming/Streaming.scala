@@ -49,21 +49,46 @@ object Streaming {
     * join shape. Returns the started query (memory sink, AvailableNow
     * processes the whole input then stops — deterministic for tests).
     */
+  /** One footer sniff + schema read for both sides (a stream-stream
+    * self-join off the same source frame is the supported shape). */
+  private def attrSide(ev: org.apache.spark.sql.DataFrame,
+                       tpe: String, pfx: String) =
+    ev.filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
+              col("value").as(s"${pfx}_value"))
+      .withWatermark(s"${pfx}_ts", "1 hour")
+
   def attributionStream(s: SparkSession, path: String, sinkName: String) = {
-    // one footer sniff + schema read for both sides (a stream-stream
-    // self-join off the same source frame is the supported shape)
     val ev = T.eventsStreamAt(s, path)
-    def side(tpe: String, pfx: String) =
-      ev.filter(col("event_type") === tpe)
-        .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
-                col("value").as(s"${pfx}_value"))
-        .withWatermark(s"${pfx}_ts", "1 hour")
-    side("click", "c")
-      .join(side("purchase", "p"),
+    attrSide(ev, "click", "c")
+      .join(attrSide(ev, "purchase", "p"),
         expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
       .writeStream.outputMode("append")
       .format("memory").queryName(sinkName)
       .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** LEFT OUTER stream-stream interval join — the attribution shape a
+    * real pipeline actually ships: a click that never converts inside
+    * its hour must still come out (NULL purchase columns), and may be
+    * emitted ONLY once the watermark proves no in-window purchase can
+    * still arrive — emitting earlier would be wrong (a match could
+    * land), never emitting would leak the click. That state-eviction
+    * timing is exactly what StreamingSpec pins: before the watermark
+    * passes c_ts + 1 hour the orphan is held back; after, it appears
+    * with NULLs, and the full result equals the batch left join
+    * (q103's row-level twin). Default micro-batch trigger so a test
+    * can feed files across triggers and watch the watermark gate. */
+  def attributionOuterStream(s: SparkSession, path: String,
+                             sinkName: String) = {
+    val ev = T.eventsStreamAt(s, path)
+    attrSide(ev, "click", "c")
+      .join(attrSide(ev, "purchase", "p"),
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "leftOuter")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sinkName)
       .start()
   }
 
@@ -83,6 +108,32 @@ object Streaming {
           expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
         .groupBy($"c_user".as("user_id"))
         .agg(count(lit(1)).as("n_attr"), dsum($"p_value").as("attr_value"))
+        .orderBy($"user_id")
+    },
+
+    // Batch statement of [[attributionOuterStream]]'s LEFT OUTER
+    // interval join, aggregated per user: every click keeps a row —
+    // matched pairs carry the purchase, orphans (no purchase within
+    // the hour) carry NULLs and are counted separately. The row-level
+    // streamed twin (incl. watermark-gated NULL emission) is asserted
+    // in StreamingSpec; this is the shape the DuckDB oracle can check.
+    "q103_interval_join_outer" -> { (s, d) =>
+      import s.implicits._
+      val ev = T.events(s, d).withColumn("ts", date_trunc("second", $"ts"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+                $"value".as("p_value"))
+      clicks.join(purchases,
+          expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+          "left_outer")
+        .groupBy($"c_user".as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+             count($"p_ts").as("n_attr"),
+             sum(when($"p_ts".isNull, 1L).otherwise(0L))
+               .as("n_orphan_clicks"),
+             dsum(coalesce($"p_value", lit(0.0))).as("attr_value"))
         .orderBy($"user_id")
     },
 
@@ -133,6 +184,28 @@ object Streaming {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
+
+    "q103_interval_join_outer" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts
+        |  FROM events),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.c_user, c.c_ts, p.p_ts, p.p_value
+        |  FROM c LEFT JOIN p ON c.c_user = p.p_user
+        |    AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)
+        |SELECT c_user AS user_id,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(p_ts) AS n_attr,
+        |  CAST(SUM(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_orphan_clicks,
+        |  CAST(SUM(CAST(COALESCE(p_value, 0.0) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS attr_value
+        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q40_tumbling_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start, event_type,

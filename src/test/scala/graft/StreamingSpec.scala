@@ -56,6 +56,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: orphan clicks emit NULLs only after the watermark passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_outer")
+    def ts(t: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $t")
+    def write(chunk: Int,
+              rows: Seq[(Long, java.sql.Timestamp, Long, String, Double,
+                         String)]): Unit = {
+      val tmp = dir.resolve(s"tmp$chunk")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.toString)
+      val st = java.nio.file.Files.list(tmp)
+      val part =
+        try st.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally st.close()
+      java.nio.file.Files.move(part, dir.resolve(f"chunk$chunk%03d.parquet"))
+    }
+    // chunk 1: u1 click->purchase (in-window match), u2 click that
+    // never converts. Watermark after this batch = min-side max - 1h
+    // = 09:05, far before u2's window closes (11:05) — the orphan's
+    // NULL row must be HELD BACK: emitting it now would be wrong (a
+    // u2 purchase could still arrive at, say, 10:50).
+    write(1, Seq(
+      (1L, ts("10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("10:30:00"), 1L, "purchase", 5.0, "{}"),
+      (3L, ts("10:05:00"), 2L, "click", 0.0, "{}")))
+    val q = streaming.Streaming.attributionOuterStream(
+      spark, dir.toString, "outer_sink")
+    try {
+      q.processAllAvailable()
+      val early = spark.table("outer_sink")
+        .select($"c_user", $"p_ts").collect()
+      assert(early.map(_.getLong(0)).toSeq === Seq(1L),
+        s"expected only the matched pair early, got ${early.toSeq}")
+      assert(!early.exists(_.isNullAt(1)),
+        "orphan NULL row emitted before the watermark closed its window")
+      // chunk 2: a far-future non-matching pair on BOTH sides pushes
+      // the watermark to 19:00 — u2's window is now provably closed,
+      // so its click must come out with NULL purchase columns; u9's
+      // own window (ends 21:00) is still open, so u9 stays held.
+      write(2, Seq(
+        (10L, ts("20:00:00"), 9L, "click", 0.0, "{}"),
+        (11L, ts("20:00:00"), 9L, "purchase", 1.0, "{}")))
+      q.processAllAvailable()
+      val streamed = spark.table("outer_sink")
+        .filter($"c_user" =!= 9L)
+        .select($"c_user", $"c_ts", $"p_ts", $"p_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)), Option(r.get(3))))
+        .sortBy(t => (t._1, t._2.getTime))
+      assert(streamed.exists(r => r._1 == 2L && r._3.isEmpty),
+        "never-matched click u2 did not surface with NULLs")
+      assert(!spark.table("outer_sink").filter($"c_user" === 9L)
+          .collect().exists(_ => true),
+        "u9's still-open window leaked an early NULL row")
+      // full equality with the batch LEFT join over the same events
+      val ev = Seq(
+        (1L, ts("10:00:00"), 1L, "click", 0.0),
+        (2L, ts("10:30:00"), 1L, "purchase", 5.0),
+        (3L, ts("10:05:00"), 2L, "click", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+                $"value".as("p_value"))
+      val batch = clicks.join(purchases,
+          expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+          "left_outer")
+        .select($"c_user", $"c_ts", $"p_ts", $"p_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          Option(r.getTimestamp(2)), Option(r.get(3))))
+        .sortBy(t => (t._1, t._2.getTime))
+      assert(streamed.toSeq === batch.toSeq,
+        "streamed outer join diverged from the batch left join")
+    } finally q.stop()
+  }
+
   test("session_window end = last event + gap (streaming construct, batch run)") {
     val out = streaming.Streaming.queries("q42_session_window")(spark, sf)
     val bad = out.filter($"sess_end" < $"sess_start" + expr("INTERVAL 30 MINUTES"))
