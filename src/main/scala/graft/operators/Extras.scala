@@ -70,6 +70,33 @@ object Extras {
         .orderBy($"key")
     },
 
+    // SNAPSHOT (time-travel) reads over the ParquetBatchSink +
+    // SnapshotLog manifest layer — the lakehouse read primitive the
+    // sink's two-phase commit was missing: three appends build
+    // versions 1..3 (orders sliced o_orderkey % 3 = 0 / 1 / 2,
+    // cumulative), version 4 is a snapshot COMPACTION of v3 (fewer
+    // files, same rows — replaced originals stay on disk, which is
+    // what keeps v1..v3 readable after the rewrite). The query reads
+    // all four versions and reports per-version row count / exact
+    // total / max key; the oracle restates each version's known
+    // cumulative slice straight off `orders` — so the store build,
+    // the manifest layer, AND compaction's snapshot-preservation are
+    // all pinned by the hash match. Store built once per fixture
+    // generation (fingerprint marker, q82-84 discipline); the query
+    // itself is four manifest-scoped parquet scans.
+    "q102_time_travel" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStore(s, d)
+      (1 to 4).map { v =>
+        graft.sources.SnapshotLog.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"),
+               graft.Dets.dsum($"o_totalprice").as("total_price"),
+               max($"o_orderkey").as("max_key"))
+          .select(lit(v).as("version"), $"n_rows", $"total_price",
+                  $"max_key")
+      }.reduce(_ unionByName _).orderBy($"version")
+    },
+
     // Funnel analysis — per-user stage progression (view → click →
     // purchase) from the event stream: one pass collects each user's
     // FIRST timestamp per stage (pivot-style conditional min — no joins,
@@ -601,6 +628,42 @@ object Extras {
       }
     }
     (tl, to)
+  }
+
+  /** q102's versioned store: three ParquetBatchSink appends (the
+    * o_orderkey % 3 slices of orders, so each version's row set is
+    * stateable in SQL) then one snapshot compaction — built ONCE per
+    * fixture generation under the warehouse, fingerprint marker
+    * written LAST (a crashed build rebuilds), so the timed query is
+    * just four manifest-scoped reads. */
+  private val ttReady = scala.collection.mutable.Set[String]()
+  private[graft] def timeTravelStore(s: SparkSession, d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    // SnapshotLog + the sink drive java.nio directly — local path form
+    val dir = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/").stripPrefix("file:") + s"/graft_tt_$tag"
+    val fp = sourceFingerprint(s, s"$d/orders.parquet")
+    ttReady.synchronized {
+      val memoKey = s"$dir#$fp"
+      if (!ttReady.contains(memoKey)) {
+        if (!markerMatches(s, dir, fp)) {
+          val loc = new org.apache.hadoop.fs.Path(dir)
+          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          val base = T.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          (0L to 2L).foreach { i =>
+            graft.sources.SnapshotLog.appendVersion(
+              base.filter(col("o_orderkey") % 3 === i), dir)
+          }
+          graft.sources.SnapshotLog.compactVersion(s, dir)
+          writeMarker(s, dir, fp)
+        }
+        ttReady += memoKey
+      }
+    }
+    dir
   }
 
   /** q91's deliberately mis-ordered 3-way join on a derived CBO-enabled
@@ -1157,6 +1220,22 @@ object Extras {
         |       ELSE 'inserted' END AS status
         |FROM m WHERE action IS NULL OR action <> 'delete'
         |ORDER BY key""".stripMargin,
+
+    // q102: each version's cumulative slice stated straight off orders
+    // (v1 = keys ≡ 0 mod 3, v2 adds ≡ 1, v3 adds ≡ 2, v4 = the
+    // compacted twin of v3) — the hash match pins that the sink
+    // appends, the manifest layer, and the compaction rewrite all
+    // preserve exactly these row sets.
+    "q102_time_travel" ->
+      """WITH v AS (SELECT unnest([1, 2, 3, 4]) AS version)
+        |SELECT version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price,
+        |  MAX(o_orderkey) AS max_key
+        |FROM v JOIN orders
+        |  ON (v.version >= 3 OR o_orderkey % 3 < v.version)
+        |GROUP BY version ORDER BY version""".stripMargin,
 
     "q67_funnel" ->
       """WITH s AS (

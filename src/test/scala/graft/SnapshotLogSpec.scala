@@ -1,0 +1,95 @@
+package graft
+
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+
+/** The snapshot/time-travel layer over ParquetBatchSink: version
+  * isolation, compaction's history preservation, crash-mid-compaction
+  * safety, and vacuum's retention contract.
+  */
+class SnapshotLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_snap").toString
+
+  private def rows(dir: String, v: Int): Set[Long] =
+    SnapshotLog.readVersion(spark, dir, v)
+      .select($"k").as[Long].collect().toSet
+
+  private def frame(ks: Seq[Long]) =
+    ks.map(k => (k, k * 10.0)).toDF("k", "x")
+
+  test("appends accumulate; every version reads its own snapshot") {
+    val dir = freshDir()
+    assert(SnapshotLog.versions(dir).isEmpty)
+    assert(SnapshotLog.appendVersion(frame(Seq(1L, 2L)), dir) === 1)
+    assert(SnapshotLog.appendVersion(frame(Seq(3L)), dir) === 2)
+    assert(SnapshotLog.appendVersion(frame(Seq(4L, 5L)), dir) === 3)
+    assert(rows(dir, 1) === Set(1L, 2L))
+    assert(rows(dir, 2) === Set(1L, 2L, 3L))
+    assert(rows(dir, 3) === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("compaction is a NEW version with fewer files; every prior snapshot still reads") {
+    val dir = freshDir()
+    (1 to 3).foreach(i => SnapshotLog.appendVersion(
+      frame(Seq(i.toLong * 2 - 1, i.toLong * 2)), dir))
+    val filesBefore = SnapshotLog.manifest(dir, 3).size
+    val v4 = SnapshotLog.compactVersion(spark, dir)
+    assert(v4 === 4)
+    assert(SnapshotLog.manifest(dir, 4).size < filesBefore,
+      "compaction did not shrink the file count")
+    // the compacted snapshot is row-identical to its source version...
+    assert(rows(dir, 4) === rows(dir, 3))
+    // ...and compaction preserved EVERY earlier snapshot byte-for-row
+    assert(rows(dir, 1) === Set(1L, 2L))
+    assert(rows(dir, 2) === Set(1L, 2L, 3L, 4L))
+    // an append after compaction builds on the compacted file set
+    val v5 = SnapshotLog.appendVersion(frame(Seq(99L)), dir)
+    assert(rows(dir, v5) === Set(1L, 2L, 3L, 4L, 5L, 6L, 99L))
+  }
+
+  test("crash mid-compaction (data files in, manifest never committed) changes no committed version") {
+    val dir = freshDir()
+    (1 to 2).foreach(i => SnapshotLog.appendVersion(
+      frame(Seq(i.toLong)), dir))
+    val before = (1 to 2).map(v => rows(dir, v))
+    // the crash point: writeCompacted moves the rewritten files into
+    // the table dir and stops BEFORE commitManifest — exactly what a
+    // died driver leaves behind
+    val orphans = SnapshotLog.writeCompacted(spark, dir, 128L * 1024 * 1024)
+    assert(orphans.nonEmpty)
+    assert(SnapshotLog.latestVersion(dir) === 2,
+      "a crashed compaction must not advance the version")
+    assert((1 to 2).map(v => rows(dir, v)) === before,
+      "a crashed compaction changed a committed snapshot")
+    // recovery is just running the compaction again to completion
+    val v3 = SnapshotLog.compactVersion(spark, dir)
+    assert(v3 === 3 && rows(dir, 3) === rows(dir, 2))
+    // vacuum retaining only v3 sweeps the crash orphans AND the
+    // replaced originals; the retained snapshot still reads
+    SnapshotLog.vacuum(dir, retainFrom = 3)
+    val left = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(left === SnapshotLog.manifest(dir, 3).toSet,
+      s"vacuum left unreferenced files: $left")
+    assert(rows(dir, 3) === Set(1L, 2L))
+    // vacuumed history fails loud, not wrong
+    val e = intercept[IllegalArgumentException] { rows(dir, 1) }
+    assert(e.getMessage.contains("vacuumed or never committed"))
+  }
+
+  test("q102's store replays: per-version sets equal the cumulative orders slices") {
+    val dir = operators.Extras.timeTravelStore(spark, sf)
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderkey").as[Long].collect().toSet
+    def expect(v: Int): Set[Long] =
+      if (v >= 3) orders else orders.filter(_ % 3 < v)
+    (1 to 4).foreach { v =>
+      val got = SnapshotLog.readVersion(spark, dir, v)
+        .select($"o_orderkey").as[Long].collect().toSet
+      assert(got === expect(math.min(v, 3)), s"version $v row set")
+    }
+  }
+}
