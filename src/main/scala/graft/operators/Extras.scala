@@ -97,6 +97,36 @@ object Extras {
       }.reduce(_ unionByName _).orderBy($"version")
     },
 
+    // CHANGE DATA FEED off the snapshot manifests — "what changed
+    // between version N-1 and N" answered WITHOUT diffing table
+    // contents: the manifest diff names exactly the files each commit
+    // added/removed, so an append version's feed is a scan of ONLY its
+    // added files (the O(delta) read a 100 TB CDC consumer needs — a
+    // content diff would re-scan the whole table), and a rewrite
+    // version (v4, the compaction) anti-joins its added against its
+    // removed files to prove the feed is EMPTY — compaction moves
+    // bytes, not rows. The oracle states each version's true insert
+    // slice straight off orders, with v4 pinned to zero.
+    "q104_snapshot_cdf" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStore(s, d)
+      (2 to 4).map { v =>
+        val prev = graft.sources.SnapshotLog.manifest(dir, v - 1).toSet
+        val cur = graft.sources.SnapshotLog.manifest(dir, v).toSet
+        val added = (cur -- prev).toSeq.sorted.map(f => s"$dir/$f")
+        val removed = (prev -- cur).toSeq.sorted.map(f => s"$dir/$f")
+        val af = s.read.parquet(added: _*)
+        val inserted =
+          if (removed.isEmpty) af
+          else af.join(s.read.parquet(removed: _*).select($"o_orderkey"),
+            Seq("o_orderkey"), "left_anti")
+        inserted.agg(count($"o_orderkey").as("n_inserted"),
+            coalesce(graft.Dets.dsum($"o_totalprice"), lit(0.0))
+              .as("inserted_total"))
+          .select(lit(v).as("version"), $"n_inserted", $"inserted_total")
+      }.reduce(_ unionByName _).orderBy($"version")
+    },
+
     // Funnel analysis — per-user stage progression (view → click →
     // purchase) from the event stream: one pass collects each user's
     // FIRST timestamp per stage (pivot-style conditional min — no joins,
@@ -1235,6 +1265,18 @@ object Extras {
         |  MAX(o_orderkey) AS max_key
         |FROM v JOIN orders
         |  ON (v.version >= 3 OR o_orderkey % 3 < v.version)
+        |GROUP BY version ORDER BY version""".stripMargin,
+
+    // q104: the per-version insert slice off orders; v4 (compaction)
+    // must feed zero changes.
+    "q104_snapshot_cdf" ->
+      """WITH v AS (SELECT unnest([2, 3, 4]) AS version)
+        |SELECT version,
+        |  COUNT(o_orderkey) AS n_inserted,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |       AS DOUBLE) AS inserted_total
+        |FROM v LEFT JOIN orders
+        |  ON v.version <= 3 AND o_orderkey % 3 = v.version - 1
         |GROUP BY version ORDER BY version""".stripMargin,
 
     "q67_funnel" ->

@@ -162,6 +162,18 @@ object SnapshotLog {
     v
   }
 
+  /** Roll the table back to version `v` — committed as a NEW version
+    * whose manifest is a copy of `v`'s (the Delta RESTORE shape):
+    * history stays linear and intact, nothing is deleted, and the
+    * files are shared, so the rollback is O(manifest) metadata. The
+    * restored version must still be on disk (not vacuumed). */
+  def restoreVersion(dir: String, v: Int): Int = {
+    val files = manifest(dir, v) // fails loud if vacuumed
+    val next = latestVersion(dir) + 1
+    commitManifest(dir, next, files)
+    next
+  }
+
   /** Drop history below `retainFrom`: delete manifests of older
     * versions and every data file no RETAINED manifest references —
     * incl. orphans from a crashed compaction (data files moved in, no

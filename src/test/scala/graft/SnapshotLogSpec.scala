@@ -80,6 +80,26 @@ class SnapshotLogSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed or never committed"))
   }
 
+  test("restore commits an old snapshot as a new version; history stays linear and shared") {
+    val dir = freshDir()
+    (1 to 3).foreach(i => SnapshotLog.appendVersion(
+      frame(Seq(i.toLong)), dir))
+    SnapshotLog.compactVersion(spark, dir) // v4
+    val v5 = SnapshotLog.restoreVersion(dir, 1)
+    assert(v5 === 5)
+    // the restored head reads exactly like v1; nothing was deleted
+    assert(rows(dir, 5) === Set(1L))
+    assert(rows(dir, 4) === Set(1L, 2L, 3L))
+    // restore is metadata-only: v5 shares v1's files verbatim
+    assert(SnapshotLog.manifest(dir, 5) === SnapshotLog.manifest(dir, 1))
+    // work continues on top of the rollback
+    val v6 = SnapshotLog.appendVersion(frame(Seq(7L)), dir)
+    assert(rows(dir, v6) === Set(1L, 7L))
+    // vacuum retaining the restore keeps the shared v1 files alive
+    SnapshotLog.vacuum(dir, retainFrom = 5)
+    assert(rows(dir, 5) === Set(1L) && rows(dir, 6) === Set(1L, 7L))
+  }
+
   test("q102's store replays: per-version sets equal the cumulative orders slices") {
     val dir = operators.Extras.timeTravelStore(spark, sf)
     val orders = Tables.orders(spark, sf)
