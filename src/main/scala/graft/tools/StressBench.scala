@@ -426,7 +426,15 @@ object StressBench {
       "m24_thumb_dedup_audit," +
       // q101: two bounded per-partition heaps — flat at any depth for
       // keyset, O(depth) heap for offset (the point of the pairing)
-      "q101_pagination"
+      "q101_pagination," +
+      // round-17: q102 bills the versioned-store build (three sink
+      // appends + one compaction rewrite — two linear passes over the
+      // scaled orders) ONCE per scale dir, then four manifest-scoped
+      // scans; q104 reads only each version's ADDED files (the
+      // O(delta) CDF claim priced directly — the v4 anti-join is
+      // bounded by the rewrite size); q103 is one shuffled left join +
+      // keyed agg — linear in events like q57
+      "q102_time_travel,q104_snapshot_cdf,q103_interval_join_outer"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
