@@ -127,6 +127,33 @@ object Extras {
       }.reduce(_ unionByName _).orderBy($"version")
     },
 
+    // MANIFEST-LEVEL DATA SKIPPING — the read-side payoff of a
+    // range-clustered layout under the snapshot log (Delta/Iceberg
+    // file pruning): the store's three data files each own one
+    // contiguous o_orderkey third (one file per append), and
+    // readVersionWhere plans the scan from per-file FOOTER [min,max]
+    // alone — a range predicate inside the middle third hands Spark
+    // exactly ONE of the three files. The n_files_read/n_files_total
+    // literals ride the oracle row, so a pruning regression (3 files
+    // read instead of 1) fails the driver's hash gate, not just a
+    // spec. Boundaries derive from the persisted _MAXKEY control
+    // value (integer thirds), stated identically in the oracle via
+    // MAX(o_orderkey) integer division — rows + exact total pin the
+    // pruned scan's correctness.
+    "q105_snapshot_skipping" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreClustered(s, d)
+      val m = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
+      val (df, kept, total) = graft.sources.SnapshotLog.readVersionWhere(
+        s, dir, 3, "o_orderkey", m / 3 + 1, m / 2)
+      df.agg(count(lit(1)).as("n_rows"),
+             graft.Dets.dsum($"o_totalprice").as("total_price"))
+        .select($"n_rows", $"total_price",
+                lit(kept).as("n_files_read"),
+                lit(total).as("n_files_total"))
+    },
+
     // Funnel analysis — per-user stage progression (view → click →
     // purchase) from the event stream: one pass collects each user's
     // FIRST timestamp per stage (pivot-style conditional min — no joins,
@@ -691,6 +718,48 @@ object Extras {
           writeMarker(s, dir, fp)
         }
         ttReady += memoKey
+      }
+    }
+    dir
+  }
+
+  /** q105's RANGE-CLUSTERED versioned store: three appends of
+    * contiguous o_orderkey thirds, one file each (coalesce(1)), so
+    * every data file owns a tight key range and footer-stats file
+    * pruning can actually bite. The slice boundary (max key) is an
+    * O(1) build-time control read persisted to `_MAXKEY`, so the query
+    * re-derives nothing. Memoized per fixture generation like
+    * [[timeTravelStore]]. */
+  private val ttcReady = scala.collection.mutable.Set[String]()
+  private[graft] def timeTravelStoreClustered(s: SparkSession,
+                                              d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val dir = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/").stripPrefix("file:") + s"/graft_ttc_$tag"
+    val fp = sourceFingerprint(s, s"$d/orders.parquet")
+    ttcReady.synchronized {
+      val memoKey = s"$dir#$fp"
+      if (!ttcReady.contains(memoKey)) {
+        if (!markerMatches(s, dir, fp)) {
+          val loc = new org.apache.hadoop.fs.Path(dir)
+          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          val base = T.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          val m = base.agg(max(col("o_orderkey"))).head.getLong(0)
+          Seq((0L, m / 3), (m / 3 + 1, 2 * m / 3), (2 * m / 3 + 1, m))
+            .foreach { case (lo, hi) =>
+              graft.sources.SnapshotLog.appendVersion(
+                base.filter(col("o_orderkey").between(lo, hi)).coalesce(1),
+                dir)
+            }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, "_MAXKEY"),
+            m.toString.getBytes("UTF-8"))
+          writeMarker(s, dir, fp)
+        }
+        ttcReady += memoKey
       }
     }
     dir
@@ -1278,6 +1347,18 @@ object Extras {
         |FROM v LEFT JOIN orders
         |  ON v.version <= 3 AND o_orderkey % 3 = v.version - 1
         |GROUP BY version ORDER BY version""".stripMargin,
+
+    // q105: the same range predicate straight off orders (integer
+    // thirds of the max key); the file-count literals pin the pruning.
+    "q105_snapshot_skipping" ->
+      """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(1 AS INT) AS n_files_read,
+        |  CAST(3 AS INT) AS n_files_total
+        |FROM orders, m
+        |WHERE o_orderkey > mx // 3 AND o_orderkey <= mx // 2""".stripMargin,
 
     "q67_funnel" ->
       """WITH s AS (

@@ -38,23 +38,43 @@ object SnapshotLog {
 
   private def logDir(dir: String) = java.nio.file.Paths.get(dir, "_graft_log")
 
-  private def manifestPath(dir: String, v: Int) =
-    logDir(dir).resolve(f"v$v%05d.manifest")
+  /** Manifest name: `v00001.manifest`, or `v00001-b000000.manifest`
+    * for a version committed by a streaming micro-batch — the batchId
+    * rides the SAME atomic rename as the version commit, which is what
+    * makes the streamed append exactly-once (a separate batch marker
+    * would open a crash window between the two writes). */
+  private val ManifestName = """v(\d+)(?:-b(\d+))?\.manifest""".r
 
-  /** All committed versions, ascending (empty if none). */
-  def versions(dir: String): Seq[Int] = {
+  private def manifestNames(dir: String): Seq[String] = {
     val ld = logDir(dir)
     if (!java.nio.file.Files.isDirectory(ld)) Seq.empty
     else {
       val st = java.nio.file.Files.list(ld)
       try st.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-        .map(_.stripPrefix("v").stripSuffix(".manifest").toInt)
-        .toSeq.sorted
+        .filter(n => ManifestName.pattern.matcher(n).matches())
+        .toSeq
       finally st.close()
     }
   }
+
+  private def manifestPath(dir: String, v: Int): java.nio.file.Path = {
+    val name = manifestNames(dir).collectFirst {
+      case n @ ManifestName(vv, _) if vv.toInt == v => n
+    }.getOrElse(f"v$v%05d.manifest")
+    logDir(dir).resolve(name)
+  }
+
+  /** All committed versions, ascending (empty if none). */
+  def versions(dir: String): Seq[Int] =
+    manifestNames(dir)
+      .collect { case ManifestName(v, _) => v.toInt }.sorted
+
+  /** The (batchId, version) pairs committed by streamed appends. */
+  private def batchVersions(dir: String): Map[Long, Int] =
+    manifestNames(dir).collect {
+      case ManifestName(v, b) if b != null => b.toLong -> v.toInt
+    }.toMap
 
   def latestVersion(dir: String): Int = {
     val vs = versions(dir)
@@ -75,15 +95,19 @@ object SnapshotLog {
   /** Commit `files` as version `v` — tmp write + atomic move, the LAST
     * step of any append/compaction so a crash before it leaves every
     * committed version intact. */
-  private def commitManifest(dir: String, v: Int,
-                             files: Seq[String]): Unit = {
+  private def commitManifest(dir: String, v: Int, files: Seq[String],
+                             batchId: Option[Long] = None): Unit = {
     require(v == versions(dir).lastOption.getOrElse(0) + 1,
       s"version $v is not the next version at $dir")
     java.nio.file.Files.createDirectories(logDir(dir))
+    val name = batchId match {
+      case Some(b) => f"v$v%05d-b$b%06d.manifest"
+      case None    => f"v$v%05d.manifest"
+    }
     val tmp = logDir(dir).resolve(f"v$v%05d.tmp")
     java.nio.file.Files.write(tmp,
       (files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, manifestPath(dir, v),
+    java.nio.file.Files.move(tmp, logDir(dir).resolve(name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
@@ -108,6 +132,60 @@ object SnapshotLog {
     val v = versions(dir).lastOption.getOrElse(0) + 1
     commitManifest(dir, v, prev ++ added)
     v
+  }
+
+  /** EXACTLY-ONCE streamed appends: one committed version per
+    * micro-batch, `foreachBatch` over the sink + manifest layer. The
+    * crash matrix the batch-tagged manifests close:
+    *  - crash after the sink's job commit but BEFORE the manifest
+    *    commit → the moved data files are referenced by nothing; the
+    *    replayed trigger appends afresh and commits, the first
+    *    attempt's files stay invisible orphans until [[vacuum]];
+    *  - crash AFTER the manifest commit but before the checkpoint
+    *    commit → the replayed trigger finds its own batchId already
+    *    committed (the id rides the manifest's atomic rename) and
+    *    no-ops — never a duplicate append;
+    *  - a fresh checkpoint over an old store restarts batch numbering
+    *    below the committed high-water mark → fail loud (the
+    *    mergeApplyStream stale-generation discipline). */
+  def appendStream(stream: DataFrame, dir: String,
+                   checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendVersionForBatch(batch, dir, batchId); ()
+      }
+      .start()
+
+  /** One streamed-append trigger (factored for the replay spec).
+    * Returns the version serving this batch — freshly committed, or
+    * the already-committed one on a post-commit replay. */
+  private[graft] def appendVersionForBatch(batch: DataFrame, dir: String,
+                                           batchId: Long): Int = {
+    val committed = batchVersions(dir)
+    val maxB = committed.keys.foldLeft(-1L)(math.max)
+    // a crashed trigger replays only the LAST batch, so the no-op
+    // branch is exactly batchId == the committed high-water mark; any
+    // batchId BELOW it (committed or not) means a fresh checkpoint is
+    // running over an old store — fail loud, never fork the history
+    // (the mergeApplyStream generation discipline)
+    if (batchId == maxB) committed(batchId)
+    else {
+      require(batchId > maxB,
+        s"snapshot log at $dir already holds batch > $batchId " +
+          "— stale generation; clear the store or keep the original " +
+          "checkpoint")
+      val before = dataFiles(dir)
+      batch.write.format("graft.sources.ParquetBatchSink")
+        .option("path", dir).mode(SaveMode.Append).save()
+      val added = (dataFiles(dir) -- before).toSeq
+      val prev = versions(dir).lastOption
+        .map(manifest(dir, _)).getOrElse(Seq())
+      val v = versions(dir).lastOption.getOrElse(0) + 1
+      commitManifest(dir, v, prev ++ added, Some(batchId))
+      v
+    }
   }
 
   /** Read the table exactly as of version `v`: a plain multi-file
@@ -160,6 +238,66 @@ object SnapshotLog {
     val v = latestVersion(dir) + 1
     commitManifest(dir, v, moved)
     v
+  }
+
+  /** Per-file (min, max) of a LONG column straight off the parquet
+    * FOOTER — O(1) metadata per file, no data IO: the row-group
+    * statistics the writer already embedded, folded across blocks. */
+  private def footerRange(s: SparkSession, dir: String, file: String,
+                          column: String): Option[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$dir/$file"),
+      s.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try {
+      val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                Some((lo.longValue, hi.longValue))
+              case _ => None
+            }
+          }
+      }
+      if (ranges.isEmpty) None
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally r.close()
+  }
+
+  /** MANIFEST-LEVEL DATA SKIPPING — the Delta/Iceberg file-pruning
+    * read: plan the snapshot scan from per-file footer [min, max] of
+    * `column` and hand Spark ONLY the files that can intersect
+    * [lo, hi]; files whose stats are unavailable are read
+    * (conservative), and the predicate is still applied to the scanned
+    * rows, so pruning is semantically invisible — row-group pruning
+    * inside the surviving files then proceeds as usual. At 100 TB this
+    * is the difference between the driver planning against O(files)
+    * footer metadata and a scan that opens every file of the snapshot:
+    * a range-clustered table answers a narrow range from the one file
+    * group that owns it. Returns (frame, filesRead, filesTotal) so a
+    * caller/spec can pin that the pruning actually bit. */
+  def readVersionWhere(s: SparkSession, dir: String, v: Int,
+                       column: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val files = manifest(dir, v)
+    val kept = files.filter { f =>
+      footerRange(s, dir, f, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+    val df =
+      if (kept.isEmpty)
+        readVersion(s, dir, v).limit(0)
+      else s.read.parquet(kept.map(f => s"$dir/$f"): _*)
+    (df.filter(org.apache.spark.sql.functions.col(column).between(lo, hi)),
+      kept.size, files.size)
   }
 
   /** Roll the table back to version `v` — committed as a NEW version

@@ -100,6 +100,85 @@ class SnapshotLogSpec extends SparkSpec {
     assert(rows(dir, 5) === Set(1L) && rows(dir, 6) === Set(1L, 7L))
   }
 
+  test("streamed appends are exactly-once: one version per micro-batch, replay no-ops, crash orphans stay invisible") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapstream")
+    val inDir = root.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val dir = root.resolve("table").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // three one-file micro-batches of disjoint keys
+    (0 until 3).foreach { i =>
+      val tmp = root.resolve(s"tmp$i")
+      frame(Seq(i * 2L + 1, i * 2L + 2)).coalesce(1)
+        .write.parquet(tmp.toString)
+      val st = java.nio.file.Files.list(tmp)
+      val part =
+        try st.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally st.close()
+      java.nio.file.Files.move(part, inDir.resolve(f"chunk$i%03d.parquet"))
+    }
+    val schema = spark.read.parquet(inDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val q = SnapshotLog.appendStream(stream, dir, s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(SnapshotLog.versions(dir) === Seq(1, 2, 3))
+    assert(rows(dir, 3) === (1L to 6L).toSet)
+    assert(rows(dir, 1).size === 2 && rows(dir, 2).size === 4)
+    // post-commit replay (crash between manifest commit and checkpoint
+    // commit): the trigger re-runs with the SAME batchId — must no-op
+    val lastChunk = spark.read.parquet(
+      inDir.resolve("chunk002.parquet").toString)
+    val v = SnapshotLog.appendVersionForBatch(lastChunk, dir, 2L)
+    assert(v === 3 && SnapshotLog.versions(dir) === Seq(1, 2, 3),
+      "replayed batch appended a duplicate version")
+    assert(rows(dir, 3) === (1L to 6L).toSet, "replay duplicated rows")
+    // pre-commit crash (sink files moved in, no manifest): the next
+    // batch's append must neither see nor resurrect the orphans
+    lastChunk.write.format("graft.sources.ParquetBatchSink")
+      .option("path", dir).mode("append").save()
+    val v4 = SnapshotLog.appendVersionForBatch(frame(Seq(9L)), dir, 3L)
+    assert(rows(dir, v4) === (1L to 6L).toSet + 9L,
+      "crash orphans leaked into a committed snapshot")
+    // stale generation: a fresh checkpoint restarting batch numbering
+    // below the committed high-water mark fails loud
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.appendVersionForBatch(frame(Seq(11L)), dir, 1L)
+    }
+    assert(e.getMessage.contains("stale generation"))
+    // vacuum sweeps the orphans; the retained snapshot is intact
+    SnapshotLog.vacuum(dir, retainFrom = 4)
+    val left = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(left === SnapshotLog.manifest(dir, 4).toSet)
+    assert(rows(dir, 4) === (1L to 6L).toSet + 9L)
+  }
+
+  test("manifest-level data skipping: footer-stats pruning reads fewer files, identical rows") {
+    val dir = operators.Extras.timeTravelStoreClustered(spark, sf)
+    val m = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
+    // a range inside the middle third touches exactly one of the three
+    // range-clustered files
+    val (pruned, kept, total) = SnapshotLog.readVersionWhere(
+      spark, dir, 3, "o_orderkey", m / 3 + 1, m / 2)
+    assert(total === 3 && kept === 1,
+      s"expected 1 of 3 files kept, got $kept of $total")
+    val full = SnapshotLog.readVersion(spark, dir, 3)
+      .filter($"o_orderkey".between(m / 3 + 1, m / 2))
+    val a = pruned.select($"o_orderkey").as[Long].collect().sorted.toSeq
+    val b = full.select($"o_orderkey").as[Long].collect().sorted.toSeq
+    assert(a === b && a.nonEmpty, "pruned read diverged from full scan")
+    // a predicate spanning two thirds keeps two files; one outside all
+    // ranges keeps none and yields an empty (not failing) frame
+    val (_, kept2, _) = SnapshotLog.readVersionWhere(
+      spark, dir, 3, "o_orderkey", m / 3, 2 * m / 3 + 1)
+    assert(kept2 === 3 || kept2 === 2, s"spanning range kept $kept2")
+    val (empty, kept0, _) = SnapshotLog.readVersionWhere(
+      spark, dir, 3, "o_orderkey", m + 1000, m + 2000)
+    assert(kept0 === 0 && empty.count() === 0)
+  }
+
   test("q102's store replays: per-version sets equal the cumulative orders slices") {
     val dir = operators.Extras.timeTravelStore(spark, sf)
     val orders = Tables.orders(spark, sf)
