@@ -154,6 +154,32 @@ object Extras {
                 lit(total).as("n_files_total"))
     },
 
+    // SCHEMA EVOLUTION under the snapshot log — the column-add read a
+    // long-lived 100 TB table cannot avoid (producers upgrade; nobody
+    // rewrites history): v1's files predate o_custkey, v2's carry it,
+    // and the mergeSchema read unions the file schemas with NULLs
+    // where a file predates the column — the Delta/Iceberg column-add
+    // semantics over plain parquet, exercised through the manifest
+    // layer. The report splits the evolved column's population by
+    // origin half: pre-evolution rows MUST read NULL (n_with_cust
+    // counts only odd keys) and the evolved column's sum must equal
+    // the odd-key custkey sum — the oracle states both straight off
+    // orders, so a merge that dropped, reordered, or backfilled the
+    // column fails the hash gate.
+    "q106_schema_evolution" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreEvolved(s, d)
+      graft.sources.SnapshotLog.readVersion(s, dir, 2, mergeSchema = true)
+        .agg(count(lit(1)).as("n_rows"),
+             count($"o_custkey").as("n_with_cust"),
+             sum(when($"o_orderkey" % 2 === 0 && $"o_custkey".isNotNull,
+               1L).otherwise(0L)).as("n_backfilled"),
+             sum($"o_custkey").as("cust_sum"),
+             graft.Dets.dsum($"o_totalprice").as("total_price"))
+        .select($"n_rows", $"n_with_cust", $"n_backfilled",
+                $"cust_sum", $"total_price")
+    },
+
     // Funnel analysis — per-user stage progression (view → click →
     // purchase) from the event stream: one pass collects each user's
     // FIRST timestamp per stage (pivot-style conditional min — no joins,
@@ -765,6 +791,41 @@ object Extras {
     dir
   }
 
+  /** q106's SCHEMA-EVOLVED versioned store: v1 appends the even
+    * o_orderkeys WITHOUT o_custkey (the original producer schema), v2
+    * appends the odd keys WITH it (a producer upgrade) — the memoized
+    * build behind the mergeSchema read. */
+  private val tteReady = scala.collection.mutable.Set[String]()
+  private[graft] def timeTravelStoreEvolved(s: SparkSession,
+                                            d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val dir = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/").stripPrefix("file:") + s"/graft_tte_$tag"
+    val fp = sourceFingerprint(s, s"$d/orders.parquet")
+    tteReady.synchronized {
+      val memoKey = s"$dir#$fp"
+      if (!tteReady.contains(memoKey)) {
+        if (!markerMatches(s, dir, fp)) {
+          val loc = new org.apache.hadoop.fs.Path(dir)
+          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          val base = T.orders(s, d)
+          graft.sources.SnapshotLog.appendVersion(
+            base.filter(col("o_orderkey") % 2 === 0)
+              .select(col("o_orderkey"), col("o_totalprice")), dir)
+          graft.sources.SnapshotLog.appendVersion(
+            base.filter(col("o_orderkey") % 2 === 1)
+              .select(col("o_orderkey"), col("o_totalprice"),
+                      col("o_custkey")), dir)
+          writeMarker(s, dir, fp)
+        }
+        tteReady += memoKey
+      }
+    }
+    dir
+  }
+
   /** q91's deliberately mis-ordered 3-way join on a derived CBO-enabled
     * session over ANALYZEd catalog tables — factored out so
     * PlanShapeSpec can pin the reordered join tree in isolation. The
@@ -1359,6 +1420,18 @@ object Extras {
         |  CAST(3 AS INT) AS n_files_total
         |FROM orders, m
         |WHERE o_orderkey > mx // 3 AND o_orderkey <= mx // 2""".stripMargin,
+
+    // q106: the evolved column exists only on odd keys; zero backfill.
+    "q106_schema_evolution" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_with_cust,
+        |  CAST(0 AS BIGINT) AS n_backfilled,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END)
+        |       AS BIGINT) AS cust_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders""".stripMargin,
 
     "q67_funnel" ->
       """WITH s AS (

@@ -189,10 +189,19 @@ object SnapshotLog {
   }
 
   /** Read the table exactly as of version `v`: a plain multi-file
-    * parquet scan over the manifest's files. */
-  def readVersion(s: SparkSession, dir: String, v: Int): DataFrame = {
+    * parquet scan over the manifest's files. `mergeSchema` is the
+    * SCHEMA-EVOLUTION read: appends may carry new columns (the sink
+    * writes whatever schema each batch has), and the merged read
+    * unions the file schemas with NULLs where an older file predates a
+    * column — the Delta/Iceberg column-add semantics over plain
+    * parquet. Off by default: schema merging reads every file's
+    * footer at planning time, the usual Spark trade. */
+  def readVersion(s: SparkSession, dir: String, v: Int,
+                  mergeSchema: Boolean = false): DataFrame = {
     val files = manifest(dir, v).map(f => s"$dir/$f")
-    s.read.parquet(files: _*)
+    if (mergeSchema)
+      s.read.option("mergeSchema", "true").parquet(files: _*)
+    else s.read.parquet(files: _*)
   }
 
   /** The data-file rewrite HALF of a compaction: read the latest
@@ -203,7 +212,9 @@ object SnapshotLog {
     * place, no manifest — and prove every committed version still
     * reads identically. */
   private[graft] def writeCompacted(s: SparkSession, dir: String,
-                                    targetBytes: Long): Seq[String] = {
+                                    targetBytes: Long,
+                                    clusterBy: Option[String] = None)
+      : Seq[String] = {
     val cur = latestVersion(dir)
     val files = manifest(dir, cur)
     val totalBytes = files.map(f =>
@@ -211,8 +222,20 @@ object SnapshotLog {
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = dir + s"_snapcompact_tmp"
-    readVersion(s, dir, cur).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val src = readVersion(s, dir, cur)
+    val shaped = clusterBy match {
+      // range-partition THEN sort within (Maintenance.compact's
+      // clustering): each compacted file owns a contiguous key range,
+      // so [[readVersionWhere]]'s footer-stats pruning keeps biting
+      // AFTER the rewrite — an unclustered repartition would smear
+      // every key range across every file and silently turn the
+      // skipping read into a full scan
+      case Some(k) => src
+        .repartitionByRange(nFiles, org.apache.spark.sql.functions.col(k))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col(k))
+      case None => src.repartition(nFiles)
+    }
+    shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
     val parts = Option(new java.io.File(tmp).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") &&
@@ -231,10 +254,12 @@ object SnapshotLog {
 
   /** Compact the latest snapshot into ~targetBytes files as a NEW
     * version (replaced originals stay on disk so every prior version
-    * keeps reading). Returns the new version number. */
+    * keeps reading); `clusterBy` keeps the rewrite range-clustered so
+    * data skipping survives it. Returns the new version number. */
   def compactVersion(s: SparkSession, dir: String,
-                     targetBytes: Long = 128L * 1024 * 1024): Int = {
-    val moved = writeCompacted(s, dir, targetBytes)
+                     targetBytes: Long = 128L * 1024 * 1024,
+                     clusterBy: Option[String] = None): Int = {
+    val moved = writeCompacted(s, dir, targetBytes, clusterBy)
     val v = latestVersion(dir) + 1
     commitManifest(dir, v, moved)
     v

@@ -179,6 +179,28 @@ class SnapshotLogSpec extends SparkSpec {
     assert(kept0 === 0 && empty.count() === 0)
   }
 
+  test("clustered compaction keeps data skipping alive; unclustered would smear the ranges") {
+    val dir = freshDir()
+    // interleaved appends: every file spans the whole key range, so
+    // pre-compaction pruning can keep nothing
+    (0 until 3).foreach(i => SnapshotLog.appendVersion(
+      frame(Seq(i.toLong, 100L + i, 200L + i)).coalesce(1), dir))
+    val (_, keptBefore, totBefore) = SnapshotLog.readVersionWhere(
+      spark, dir, 3, "k", 100L, 105L)
+    assert(totBefore === 3 && keptBefore === 3,
+      "interleaved files should defeat pruning pre-compaction")
+    // clusterBy re-sorts the rewrite into contiguous key ranges; a
+    // tiny targetBytes forces multiple output files so pruning can bite
+    val v4 = SnapshotLog.compactVersion(spark, dir,
+      targetBytes = 1L, clusterBy = Some("k"))
+    val (pruned, keptAfter, totAfter) = SnapshotLog.readVersionWhere(
+      spark, dir, v4, "k", 100L, 105L)
+    assert(keptAfter < totAfter,
+      s"clustered compaction did not restore pruning ($keptAfter/$totAfter)")
+    assert(pruned.select($"k").as[Long].collect().toSet ===
+      Set(100L, 101L, 102L))
+  }
+
   test("q102's store replays: per-version sets equal the cumulative orders slices") {
     val dir = operators.Extras.timeTravelStore(spark, sf)
     val orders = Tables.orders(spark, sf)
