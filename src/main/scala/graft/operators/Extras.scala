@@ -180,6 +180,54 @@ object Extras {
                 $"cust_sum", $"total_price")
     },
 
+    // COPY-ON-WRITE DELETE — the row-delete a plain-parquet lake needs
+    // MERGE's delete clause to become a standalone operation: delete
+    // the middle-sixth key range from the range-clustered store and
+    // the footer-stats planner rewrites exactly ONE of the three files
+    // (the middle third that owns the range) while the other two are
+    // SHARED verbatim into the new manifest — zero IO on untouched
+    // data, the granularity that makes deletes affordable at 100 TB.
+    // The rewritten/kept file counts ride the oracle row (q105's
+    // trick: a COW regression that rewrote everything fails the hash
+    // gate); post-delete count/exact total and the pre-delete version
+    // still reading EVERYTHING pin both halves of the contract —
+    // deletion applied, history intact (time travel is the undo). The
+    // delete runs once per fixture generation (version 4 of the
+    // clustered store, idempotent behind the versions check).
+    "q107_cow_delete" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreClustered(s, d)
+      val m = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
+      val (lo, hi) = (m / 3 + 1, m / 2)
+      cowLock.synchronized {
+        if (graft.sources.SnapshotLog.versions(dir).max < 4)
+          graft.sources.SnapshotLog.deleteWhere(s, dir, "o_orderkey", lo, hi)
+      }
+      // the COW stats replay from the manifests themselves (a fresh
+      // JVM over an already-deleted store derives the same counts):
+      // files shared between v3 and v4 were untouched, files of v3
+      // absent from v4 were the rewrite's inputs
+      val m3 = graft.sources.SnapshotLog.manifest(dir, 3).toSet
+      val m4 = graft.sources.SnapshotLog.manifest(dir, 4).toSet
+      val kept = (m3 & m4).size
+      val rewritten = (m3 -- m4).size
+      val after = graft.sources.SnapshotLog.readVersion(s, dir, 4)
+      val before = graft.sources.SnapshotLog.readVersion(s, dir, 3)
+      after.agg(count(lit(1)).as("n_rows_after"),
+          graft.Dets.dsum($"o_totalprice").as("total_after"),
+          sum(when($"o_orderkey".between(lo, hi), 1L).otherwise(0L))
+            .as("n_in_range_after"))
+        .crossJoin(broadcast(before.agg(
+          count(lit(1)).as("n_rows_before"),
+          sum(when($"o_orderkey".between(lo, hi), 1L).otherwise(0L))
+            .as("n_in_range_before"))))
+        .select($"n_rows_after", $"total_after", $"n_in_range_after",
+          $"n_rows_before", $"n_in_range_before",
+          lit(rewritten).as("n_files_rewritten"),
+          lit(kept).as("n_files_kept"))
+    },
+
     // Funnel analysis — per-user stage progression (view → click →
     // purchase) from the event stream: one pass collects each user's
     // FIRST timestamp per stage (pivot-style conditional min — no joins,
@@ -795,6 +843,8 @@ object Extras {
     * o_orderkeys WITHOUT o_custkey (the original producer schema), v2
     * appends the odd keys WITH it (a producer upgrade) — the memoized
     * build behind the mergeSchema read. */
+  /** Serializes q107's once-per-store delete (version 4). */
+  private val cowLock = new Object
   private val tteReady = scala.collection.mutable.Set[String]()
   private[graft] def timeTravelStoreEvolved(s: SparkSession,
                                             d: String): String = {
@@ -1420,6 +1470,25 @@ object Extras {
         |  CAST(3 AS INT) AS n_files_total
         |FROM orders, m
         |WHERE o_orderkey > mx // 3 AND o_orderkey <= mx // 2""".stripMargin,
+
+    // q107: the post-delete set stated as the range's complement; the
+    // file-count literals pin the copy-on-write granularity.
+    "q107_cow_delete" ->
+      """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+        |SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey > mx // 3 AND o_orderkey <= mx // 2
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_rows_after,
+        |  CAST(SUM(CASE WHEN o_orderkey > mx // 3 AND o_orderkey <= mx // 2
+        |           THEN CAST(0 AS DECIMAL(18,4))
+        |           ELSE CAST(o_totalprice AS DECIMAL(18,4)) END)
+        |       AS DOUBLE) AS total_after,
+        |  CAST(0 AS BIGINT) AS n_in_range_after,
+        |  COUNT(*) AS n_rows_before,
+        |  CAST(SUM(CASE WHEN o_orderkey > mx // 3 AND o_orderkey <= mx // 2
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range_before,
+        |  CAST(1 AS INT) AS n_files_rewritten,
+        |  CAST(2 AS INT) AS n_files_kept
+        |FROM orders, m""".stripMargin,
 
     // q106: the evolved column exists only on odd keys; zero backfill.
     "q106_schema_evolution" ->

@@ -325,6 +325,70 @@ object SnapshotLog {
       kept.size, files.size)
   }
 
+  /** Footer row count — used to drop zero-row rewrite outputs: an
+    * empty parquet file carries no column stats, so committing one
+    * would make every later stats-planned operation conservatively
+    * rewrite/scan it forever. */
+  private def footerRowCount(s: SparkSession, path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), s.sessionState.newHadoopConf()))
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally r.close()
+  }
+
+  /** COPY-ON-WRITE DELETE of a key range — the lakehouse row-delete
+    * over immutable parquet: footer stats split the live file set into
+    * TOUCHED (range intersects — rewritten without the deleted rows)
+    * and UNTOUCHED (shared verbatim into the new manifest, zero IO);
+    * the commit is the usual atomic manifest rename, so a crash
+    * mid-rewrite leaves orphans and an intact table, and every prior
+    * version still reads the deleted rows (time travel is the undo).
+    * At 100 TB this is the difference between rewriting the table and
+    * rewriting the handful of files a range predicate touches — the
+    * same planning metadata [[readVersionWhere]] scans by. Returns
+    * (newVersion, filesRewritten, filesKept). */
+  def deleteWhere(s: SparkSession, dir: String, column: String,
+                  lo: Long, hi: Long): (Int, Int, Int) = {
+    val cur = latestVersion(dir)
+    val files = manifest(dir, cur)
+    val (touched, untouched) = files.partition { f =>
+      footerRange(s, dir, f, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // no stats: conservatively rewrite
+      }
+    }
+    val v = cur + 1
+    val rewritten =
+      if (touched.isEmpty) Seq.empty[String]
+      else {
+        val tmp = dir + "_snapdelete_tmp"
+        s.read.parquet(touched.map(f => s"$dir/$f"): _*)
+          .filter(!org.apache.spark.sql.functions.col(column)
+            .between(lo, hi))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val parts = Option(new java.io.File(tmp).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".") &&
+            footerRowCount(s, f.getAbsolutePath) > 0)
+        val moved = parts.zipWithIndex.map { case (f, i) =>
+          val name = f"delete-v$v%05d-p$i%05d.parquet"
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(dir, name),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          name
+        }.toSeq
+        Option(new java.io.File(tmp).listFiles())
+          .foreach(_.foreach(_.delete()))
+        new java.io.File(tmp).delete()
+        moved
+      }
+    commitManifest(dir, v, untouched ++ rewritten)
+    (v, touched.size, untouched.size)
+  }
+
   /** Roll the table back to version `v` — committed as a NEW version
     * whose manifest is a copy of `v`'s (the Delta RESTORE shape):
     * history stays linear and intact, nothing is deleted, and the

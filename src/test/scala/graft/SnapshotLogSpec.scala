@@ -201,6 +201,29 @@ class SnapshotLogSpec extends SparkSpec {
       Set(100L, 101L, 102L))
   }
 
+  test("copy-on-write delete rewrites only the touched files; history keeps the rows") {
+    val dir = freshDir()
+    // three single-file appends with disjoint key ranges
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(101L, 102L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(201L, 202L)).coalesce(1), dir)
+    val (v, rewritten, kept) =
+      SnapshotLog.deleteWhere(spark, dir, "k", 100L, 150L)
+    assert(v === 4 && rewritten === 1 && kept === 2,
+      s"COW granularity: rewrote $rewritten, kept $kept")
+    // the delete landed; untouched ranges intact
+    assert(rows(dir, 4) === Set(1L, 2L, 3L, 201L, 202L))
+    // history is the undo: the pre-delete version still reads the rows
+    assert(rows(dir, 3) === Set(1L, 2L, 3L, 101L, 102L, 201L, 202L))
+    // the two untouched files are SHARED verbatim (same names)
+    val m3 = SnapshotLog.manifest(dir, 3).toSet
+    val m4 = SnapshotLog.manifest(dir, 4).toSet
+    assert((m3 & m4).size === 2)
+    // a partial-file delete keeps the survivors of the touched file
+    val (v5, rw5, _) = SnapshotLog.deleteWhere(spark, dir, "k", 2L, 2L)
+    assert(rw5 === 1 && rows(dir, v5) === Set(1L, 3L, 201L, 202L))
+  }
+
   test("q102's store replays: per-version sets equal the cumulative orders slices") {
     val dir = operators.Extras.timeTravelStore(spark, sf)
     val orders = Tables.orders(spark, sf)
