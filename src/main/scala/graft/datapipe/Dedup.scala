@@ -546,6 +546,81 @@ object Dedup {
       .select($"doc_id", $"sig")
   }
 
+  /** The dedup-eval family's shared fixture as a persisted artifact —
+    * the beam/PQ/BPE `_GRAFT_FINGERPRINT` discipline applied to its
+    * LAST rebuilt-per-query cost: d21/d23/d24/d32/d35 each re-ran the
+    * eval-corpus signature pass and the df-capped exact-Jaccard truth
+    * enumeration (the two expensive passes; everything downstream is
+    * O(true pairs)). One build per fixture generation persists, keyed
+    * on `documents.parquet`:
+    *   - `sigs`:        (doc_id, sig, hset) over [[evalCorpus]]
+    *   - `capped_sh`:   the df-capped (doc_id, h) shingle frame
+    *   - `truth`:       exact capped-Jaccard pairs, J >= 0.5
+    *   - `capped_sigs`: K=16 signatures over the capped space (d24/d35)
+    * All four are deterministic (sorted-distinct shingle hashes,
+    * order-free MinHash minima, integer inter/uni with one IEEE
+    * division), so the persisted frames are value-identical to a
+    * re-derivation — OperatorSpec pins artifact == direct per frame
+    * and every consumer's oracle hash is unchanged. */
+  private val evalReady = scala.collection.mutable.Set[String]()
+  private[graft] def dedupEvalArtifact(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.SaveMode
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val dir = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/graft_dedupeval_$tag"
+    val fp = graft.operators.Extras.sourceFingerprint(
+      s, s"$d/documents.parquet")
+    evalReady.synchronized {
+      val memoKey = s"$dir#$fp"
+      if (!evalReady.contains(memoKey)) {
+        if (!graft.operators.Extras.markerMatches(s, dir, fp)) {
+          val loc = new org.apache.hadoop.fs.Path(dir)
+          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+          val sig = signaturesOf(evalCorpus(s, d)).localCheckpoint()
+          sig.write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
+          val sh = cappedShingles(sig).localCheckpoint()
+          sh.write.mode(SaveMode.Overwrite).parquet(s"$dir/capped_sh")
+          cappedTruthOf(sh)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/truth")
+          cappedSigsOf(sh)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/capped_sigs")
+          graft.operators.Extras.writeMarker(s, dir, fp)
+        }
+        evalReady += memoKey
+      }
+    }
+    dir
+  }
+
+  /** Session-checkpointed artifact frame — one materialized copy per
+    * (session, artifact generation, frame), shared by the family. */
+  private val evalFrameCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private def evalFrame(s: SparkSession, d: String, name: String): DataFrame = {
+    val dir = dedupEvalArtifact(s, d)
+    val fp = graft.operators.Extras.sourceFingerprint(
+      s, s"$d/documents.parquet")
+    evalFrameCache.synchronized {
+      evalFrameCache.getOrElseUpdate((s, s"$dir#$fp#$name"),
+        s.read.parquet(s"$dir/$name").localCheckpoint())
+    }
+  }
+
+  /** Artifact + direct twins for the spec's pin. */
+  private[graft] def dedupEvalArtifactFrames(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val dir = dedupEvalArtifact(s, d)
+    Seq("sigs", "capped_sh", "truth", "capped_sigs")
+      .map(n => s.read.parquet(s"$dir/$n"))
+  }
+  private[graft] def dedupEvalDirectFrames(s: SparkSession, d: String)
+      : Seq[DataFrame] = {
+    val sig = signaturesOf(evalCorpus(s, d)).localCheckpoint()
+    val sh = cappedShingles(sig).localCheckpoint()
+    Seq(sig, sh, cappedTruthOf(sh), cappedSigsOf(sh))
+  }
+
   /** [[cappedTruth]] from a precomputed [[cappedShingles]] frame. */
   private def cappedTruthOf(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
@@ -858,7 +933,10 @@ object Dedup {
     // sets, so neither pass runs twice.
     "d21_lsh_recall" -> { (s, d) =>
       import s.implicits._
-      val sig = signaturesOf(evalCorpus(s, d)).cache()
+      // signatures + capped truth off the persisted dedup-eval
+      // artifact (one build per fixture generation, shared with
+      // d23/d24/d32/d35)
+      val sig = evalFrame(s, d, "sigs")
       val bands = sig.select(col("doc_id"), explode(bandKeyArray).as("band_key"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_key") === col("y.band_key") &&
@@ -866,7 +944,7 @@ object Dedup {
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
         .localCheckpoint()
-      val truth = cappedTruth(sig)
+      val truth = evalFrame(s, d, "truth")
       val nCand = cand.agg(count(lit(1)).as("n_cand"))
       def row(tau: Double): DataFrame = {
         val tr = truth.filter($"jaccard" >= tau)
@@ -898,8 +976,8 @@ object Dedup {
     // fraction is one IEEE division.
     "d23_dedup_rate_curve" -> { (s, d) =>
       import s.implicits._
-      val sig = signaturesOf(evalCorpus(s, d)).cache()
-      val truth = cappedTruth(sig)
+      val sig = evalFrame(s, d, "sigs")
+      val truth = evalFrame(s, d, "truth")
       val nDocs = sig.agg(count(lit(1)).as("n_docs"))
       def row(tau: Double): DataFrame =
         truth.filter($"jaccard" >= tau)
@@ -940,10 +1018,8 @@ object Dedup {
     // O(true pairs) everything after.
     "d24_minhash_estimator_error" -> { (s, d) =>
       import s.implicits._
-      val sig = signaturesOf(evalCorpus(s, d)).cache()
-      val sh = cappedShingles(sig).cache()
-      val truth = cappedTruthOf(sh)
-      val sigC = cappedSigsOf(sh)
+      val truth = evalFrame(s, d, "truth")
+      val sigC = evalFrame(s, d, "capped_sigs")
       val sigs1 = sigC.select($"doc_id".as("d1"), $"sig".as("sig1"))
       val sigs2 = sigC.select($"doc_id".as("d2"), $"sig".as("sig2"))
       truth.join(sigs1, Seq("d1")).join(sigs2, Seq("d2"))
@@ -984,10 +1060,8 @@ object Dedup {
     // expression per estimate at the end.
     "d35_bbit_minhash" -> { (s, d) =>
       import s.implicits._
-      val sig = signaturesOf(evalCorpus(s, d)).cache()
-      val sh = cappedShingles(sig).cache()
-      val truth = cappedTruthOf(sh)
-      val sigC = cappedSigsOf(sh)
+      val truth = evalFrame(s, d, "truth")
+      val sigC = evalFrame(s, d, "capped_sigs")
       truth
         .join(sigC.select($"doc_id".as("d1"), $"sig".as("sig1")), Seq("d1"))
         .join(sigC.select($"doc_id".as("d2"), $"sig".as("sig2")), Seq("d2"))
@@ -1044,8 +1118,8 @@ object Dedup {
     // frame. Counts integer; each recall is one IEEE division.
     "d32_band_plan" -> { (s, d) =>
       import s.implicits._
-      val sig = signaturesOf(evalCorpus(s, d)).cache()
-      val truth = cappedTruth(sig)
+      val sig = evalFrame(s, d, "sigs")
+      val truth = evalFrame(s, d, "truth")
       val tsig = truth
         .join(sig.select($"doc_id".as("d1"), $"sig".as("sig1")), Seq("d1"))
         .join(sig.select($"doc_id".as("d2"), $"sig".as("sig2")), Seq("d2"))

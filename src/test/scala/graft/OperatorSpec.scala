@@ -4481,6 +4481,17 @@ class OperatorSpec extends SparkSpec {
         val kd = d0.collect().map(_.toString).sorted.toSeq
         assert(ka === kd, s"PQ artifact frame $n drifted from direct recompute")
       }
+    // and for the dedup-eval artifact (signatures + capped truth,
+    // shared by d21/d23/d24/d32/d35)
+    datapipe.Dedup.dedupEvalArtifactFrames(spark, sf)
+      .zip(datapipe.Dedup.dedupEvalDirectFrames(spark, sf))
+      .zip(Seq("sigs", "capped_sh", "truth", "capped_sigs"))
+      .foreach { case ((a, d0), n) =>
+        val ka = a.collect().map(_.toString).sorted.toSeq
+        val kd = d0.collect().map(_.toString).sorted.toSeq
+        assert(ka === kd,
+          s"dedup-eval artifact frame $n drifted from direct recompute")
+      }
     // staleness: a regenerated embeddings.parquet (same bytes, new
     // mtime -> new source fingerprint) must REBUILD the artifact —
     // the marker flips to the new fingerprint, never serves stale
