@@ -224,6 +224,69 @@ class SnapshotLogSpec extends SparkSpec {
     assert(rw5 === 1 && rows(dir, v5) === Set(1L, 3L, 201L, 202L))
   }
 
+  test("model property: random append/compact/restore/delete sequences match an in-memory model at EVERY version") {
+    // seeded-Gen sampling (the PropertySpec discipline — Spark jobs are
+    // too slow for large example counts): each sequence drives the real
+    // store and a Vector[Set[Long]] model through the same ops; the
+    // invariant is total — every committed version equals its model
+    // snapshot, not just the head
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    sealed trait Op
+    case class Append(ks: Seq[Long]) extends Op
+    case object Compact extends Op
+    case class Restore(frac: Double) extends Op
+    case class Delete(loFrac: Double, hiFrac: Double) extends Op
+    def opGen(i: Int): Gen[Op] = Gen.frequency(
+      5 -> Gen.choose(1, 4).map(n =>
+        Append((1 to n).map(j => i * 100L + j))), // globally unique keys
+      2 -> Gen.const(Compact),
+      1 -> Gen.choose(0.0, 1.0).map(Restore.apply),
+      2 -> Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)).map {
+        case (a, b) => Delete(math.min(a, b), math.max(a, b)) })
+    (1 to 2).foreach { seq =>
+      val dir = freshDir()
+      var model = Vector.empty[Set[Long]]
+      val ops = (1 to 8).map(i =>
+        opGen(i).pureApply(Gen.Parameters.default, Seed(seq * 1000L + i)))
+      // ensure the store opens with an append
+      (Append(Seq(1L)) +: ops).zipWithIndex.foreach { case (op, idx) =>
+        op match {
+          case Append(ks) =>
+            SnapshotLog.appendVersion(frame(ks).coalesce(1), dir)
+            model :+= model.lastOption.getOrElse(Set.empty) ++ ks
+          case Compact =>
+            SnapshotLog.compactVersion(spark, dir, targetBytes = 1L,
+              clusterBy = Some("k"))
+            model :+= model.last
+          case Restore(frac) =>
+            val v = 1 + (frac * (model.size - 1)).toInt.min(model.size - 1)
+            SnapshotLog.restoreVersion(dir, v)
+            model :+= model(v - 1)
+          case Delete(lf, hf) =>
+            val keys = model.last.toSeq.sorted
+            if (keys.isEmpty) {
+              // deleting from empty is a no-op version in the model too
+              SnapshotLog.appendVersion(frame(Seq(9999L + idx)), dir)
+              model :+= model.last + (9999L + idx)
+            } else {
+              val lo = keys((lf * (keys.size - 1)).toInt)
+              val hi = keys((hf * (keys.size - 1)).toInt)
+              SnapshotLog.deleteWhere(spark, dir, "k", lo, hi)
+              model :+= model.last.filterNot(k => k >= lo && k <= hi)
+            }
+        }
+        assert(SnapshotLog.versions(dir).max === model.size,
+          s"seq $seq op $idx: version count diverged")
+      }
+      // the total invariant: EVERY version equals its model snapshot
+      model.zipWithIndex.foreach { case (exp, i) =>
+        assert(rows(dir, i + 1) === exp,
+          s"seq $seq: version ${i + 1} diverged from the model")
+      }
+    }
+  }
+
   test("q102's store replays: per-version sets equal the cumulative orders slices") {
     val dir = operators.Extras.timeTravelStore(spark, sf)
     val orders = Tables.orders(spark, sf)
