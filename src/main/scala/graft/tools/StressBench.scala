@@ -434,7 +434,13 @@ object StressBench {
       // O(delta) CDF claim priced directly — the v4 anti-join is
       // bounded by the rewrite size); q103 is one shuffled left join +
       // keyed agg — linear in events like q57
-      "q102_time_travel,q104_snapshot_cdf,q103_interval_join_outer"
+      "q102_time_travel,q104_snapshot_cdf,q103_interval_join_outer," +
+      // q105/q107 bill the clustered-store build once per scale dir,
+      // then footer-stats planning: q105's pruned scan reads 1/3 of
+      // the data at every K, q107's COW delete rewrites only the file
+      // owning the range. q106 is the two-append evolved store + one
+      // mergeSchema scan — linear in orders
+      "q105_snapshot_skipping,q106_schema_evolution,q107_cow_delete"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
