@@ -562,49 +562,28 @@ object Dedup {
     * division), so the persisted frames are value-identical to a
     * re-derivation — OperatorSpec pins artifact == direct per frame
     * and every consumer's oracle hash is unchanged. */
-  private val evalReady = scala.collection.mutable.Set[String]()
   private[graft] def dedupEvalArtifact(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.SaveMode
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val dir = s.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/") + s"/graft_dedupeval_$tag"
-    val fp = graft.operators.Extras.sourceFingerprint(
-      s, s"$d/documents.parquet")
-    evalReady.synchronized {
-      val memoKey = s"$dir#$fp"
-      if (!evalReady.contains(memoKey)) {
-        if (!graft.operators.Extras.markerMatches(s, dir, fp)) {
-          val loc = new org.apache.hadoop.fs.Path(dir)
-          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-          val sig = signaturesOf(evalCorpus(s, d)).localCheckpoint()
-          sig.write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
-          val sh = cappedShingles(sig).localCheckpoint()
-          sh.write.mode(SaveMode.Overwrite).parquet(s"$dir/capped_sh")
-          cappedTruthOf(sh)
-            .write.mode(SaveMode.Overwrite).parquet(s"$dir/truth")
-          cappedSigsOf(sh)
-            .write.mode(SaveMode.Overwrite).parquet(s"$dir/capped_sigs")
-          graft.operators.Extras.writeMarker(s, dir, fp)
-        }
-        evalReady += memoKey
-      }
+    graft.operators.Extras.memoizedArtifact(
+        s, "graft_dedupeval", d, Seq("documents.parquet")) { dir =>
+      val sig = signaturesOf(evalCorpus(s, d)).localCheckpoint()
+      sig.write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
+      val sh = cappedShingles(sig).localCheckpoint()
+      sh.write.mode(SaveMode.Overwrite).parquet(s"$dir/capped_sh")
+      cappedTruthOf(sh)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/truth")
+      cappedSigsOf(sh)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/capped_sigs")
     }
-    dir
   }
 
   /** Session-checkpointed artifact frame — one materialized copy per
     * (session, artifact generation, frame), shared by the family. */
-  private val evalFrameCache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
   private def evalFrame(s: SparkSession, d: String, name: String): DataFrame = {
     val dir = dedupEvalArtifact(s, d)
     val fp = graft.operators.Extras.sourceFingerprint(
       s, s"$d/documents.parquet")
-    evalFrameCache.synchronized {
-      evalFrameCache.getOrElseUpdate((s, s"$dir#$fp#$name"),
-        s.read.parquet(s"$dir/$name").localCheckpoint())
-    }
+    graft.operators.Extras.sessionArtifactFrame(s, dir, fp, name)
   }
 
   /** Artifact + direct twins for the spec's pin. */

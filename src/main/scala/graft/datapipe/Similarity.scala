@@ -2143,37 +2143,21 @@ object Similarity {
     * persisted frames are value-identical to a re-derivation and every
     * reader's oracle hash is unchanged — OperatorSpec pins artifact ==
     * direct recompute per frame. */
-  private val beamReady = scala.collection.mutable.Set[String]()
   private[graft] def beamArtifact(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.SaveMode
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val dir = s.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/") + s"/graft_beam_$tag"
-    val fp = graft.operators.Extras.sourceFingerprint(
-      s, s"$d/embeddings.parquet")
-    beamReady.synchronized {
-      val memoKey = s"$dir#$fp"
-      if (!beamReady.contains(memoKey)) {
-        if (!graft.operators.Extras.markerMatches(s, dir, fp)) {
-          val loc = new org.apache.hadoop.fs.Path(dir)
-          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-          val BeamFixture(edges, qs, scoredAll, truth) =
-            beamFixtureDirect(s, d)
-          // the direct frames are localCheckpointed — each write
-          // streams from the materialized leaf, nothing recomputes
-          qs.write.mode(SaveMode.Overwrite).parquet(s"$dir/qs")
-          scoredAll.write.mode(SaveMode.Overwrite).parquet(s"$dir/scoredAll")
-          truth.write.mode(SaveMode.Overwrite).parquet(s"$dir/truth")
-          edges.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_full")
-          beamGraphEdges(s, T.embeddings(s, d).filter(beamIndexedOnly))
-            .write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_old")
-          graft.operators.Extras.writeMarker(s, dir, fp)
-        }
-        beamReady += memoKey
-      }
+    graft.operators.Extras.memoizedArtifact(
+        s, "graft_beam", d, Seq("embeddings.parquet")) { dir =>
+      val BeamFixture(edges, qs, scoredAll, truth) =
+        beamFixtureDirect(s, d)
+      // the direct frames are localCheckpointed — each write
+      // streams from the materialized leaf, nothing recomputes
+      qs.write.mode(SaveMode.Overwrite).parquet(s"$dir/qs")
+      scoredAll.write.mode(SaveMode.Overwrite).parquet(s"$dir/scoredAll")
+      truth.write.mode(SaveMode.Overwrite).parquet(s"$dir/truth")
+      edges.write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_full")
+      beamGraphEdges(s, T.embeddings(s, d).filter(beamIndexedOnly))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/edges_old")
     }
-    dir
   }
 
   /** Artifact frames re-checkpointed per session: the walk references
@@ -2184,19 +2168,11 @@ object Similarity {
     * materialized copy instead of each paying the build. Keyed on the
     * source fingerprint so a regenerated fixture drops through to
     * [[beamArtifact]]'s rebuild AND a fresh checkpoint. */
-  private val frameCache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
-  private def cachedFrame(s: SparkSession, key: String,
-                          path: String): DataFrame =
-      frameCache.synchronized {
-        frameCache.getOrElseUpdate((s, key),
-          s.read.parquet(path).localCheckpoint())
-      }
   private def beamFrame(s: SparkSession, d: String, name: String): DataFrame = {
       val dir = beamArtifact(s, d)
       val fp = graft.operators.Extras.sourceFingerprint(
         s, s"$d/embeddings.parquet")
-      cachedFrame(s, s"$dir#$fp#$name", s"$dir/$name")
+      graft.operators.Extras.sessionArtifactFrame(s, dir, fp, name)
   }
 
   /** The PQ store as a persisted artifact — the same discipline as
@@ -2210,32 +2186,16 @@ object Similarity {
     * ties to the smallest code), so the persisted frames are value-
     * identical to a re-derivation — the four readers' oracle hashes
     * are unchanged, and OperatorSpec pins artifact == direct. */
-  private val pqReady = scala.collection.mutable.Set[String]()
   private[graft] def pqArtifact(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.SaveMode
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val dir = s.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/") + s"/graft_pq_$tag"
-    val fp = graft.operators.Extras.sourceFingerprint(
-      s, s"$d/embeddings.parquet")
-    pqReady.synchronized {
-      val memoKey = s"$dir#$fp"
-      if (!pqReady.contains(memoKey)) {
-        if (!graft.operators.Extras.markerMatches(s, dir, fp)) {
-          val loc = new org.apache.hadoop.fs.Path(dir)
-          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-          val subs = pqSubs(T.embeddings(s, d))
-          val cb = pqCodebook(subs).localCheckpoint()
-          cb.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
-          pqEncode(subs, cb)
-            .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
-          graft.operators.Extras.writeMarker(s, dir, fp)
-        }
-        pqReady += memoKey
-      }
+    graft.operators.Extras.memoizedArtifact(
+        s, "graft_pq", d, Seq("embeddings.parquet")) { dir =>
+      val subs = pqSubs(T.embeddings(s, d))
+      val cb = pqCodebook(subs).localCheckpoint()
+      cb.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
+      pqEncode(subs, cb)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
     }
-    dir
   }
 
   /** Session-checkpointed PQ artifact frame (`codebook` | `codes`). */
@@ -2243,7 +2203,7 @@ object Similarity {
       val dir = pqArtifact(s, d)
       val fp = graft.operators.Extras.sourceFingerprint(
         s, s"$d/embeddings.parquet")
-      cachedFrame(s, s"$dir#$fp#$name", s"$dir/$name")
+      graft.operators.Extras.sessionArtifactFrame(s, dir, fp, name)
   }
 
   /** Artifact + direct twins for the spec's PQ pin. */

@@ -298,51 +298,34 @@ object TextAnalysis {
     * so the artifact is byte-stable and every reader's oracle hash is
     * unchanged vs re-deriving — OperatorSpec pins artifact == direct
     * recompute at every published depth. */
-  private val bpeArtifactsReady = scala.collection.mutable.Set[String]()
   private[graft] val BpeArtifactDepth = 8
   private[graft] val BpeSnapshotRounds = Set(2, 4, 8)
-  private[graft] def bpeArtifact(s: SparkSession, d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val dir = s.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/") + s"/graft_bpe_$tag"
-    val fp = graft.operators.Extras.sourceFingerprint(
-      s, s"$d/documents.parquet")
-    bpeArtifactsReady.synchronized {
-      val memoKey = s"$dir#$fp"
-      if (!bpeArtifactsReady.contains(memoKey)) {
-        if (!graft.operators.Extras.markerMatches(s, dir, fp)) {
-          val loc = new org.apache.hadoop.fs.Path(dir)
-          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-          var wf = bpeInitWordFreq(T.documents(s, d))
-          val roundRows = (1 to BpeArtifactDepth).map { r =>
-            val top = bpePairCounts(wf)
-              .orderBy(col("n").desc, col("pair")).limit(1).localCheckpoint()
-            wf = bpeApplyMerge(wf, top)
-            // snapshot BEFORE the next round mutates wf; checkpoint at
-            // the snapshot rounds too — the write already materialized it
-            if (BpeSnapshotRounds.contains(r)) {
-              wf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-                .parquet(s"$dir/words/round=$r")
-              wf = s.read.parquet(s"$dir/words/round=$r")
-            }
-            val stats = wf
-              .select(col("freq"), explode(split(col("seq"), " ")).as("sym"))
-              .agg(countDistinct(col("sym")).as("vocab"),
-                   sum(col("freq")).as("total_tokens"))
-            top.select(lit(r).as("round"), col("pair"), col("n"))
-              .crossJoin(broadcast(stats))
-          }
-          roundRows.reduce(_ unionByName _)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$dir/merges")
-          graft.operators.Extras.writeMarker(s, dir, fp)
+  private[graft] def bpeArtifact(s: SparkSession, d: String): String =
+    graft.operators.Extras.memoizedArtifact(
+        s, "graft_bpe", d, Seq("documents.parquet")) { dir =>
+      var wf = bpeInitWordFreq(T.documents(s, d))
+      val roundRows = (1 to BpeArtifactDepth).map { r =>
+        val top = bpePairCounts(wf)
+          .orderBy(col("n").desc, col("pair")).limit(1).localCheckpoint()
+        wf = bpeApplyMerge(wf, top)
+        // snapshot BEFORE the next round mutates wf; checkpoint at
+        // the snapshot rounds too — the write already materialized it
+        if (BpeSnapshotRounds.contains(r)) {
+          wf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$dir/words/round=$r")
+          wf = s.read.parquet(s"$dir/words/round=$r")
         }
-        bpeArtifactsReady += memoKey
+        val stats = wf
+          .select(col("freq"), explode(split(col("seq"), " ")).as("sym"))
+          .agg(countDistinct(col("sym")).as("vocab"),
+               sum(col("freq")).as("total_tokens"))
+        top.select(lit(r).as("round"), col("pair"), col("n"))
+          .crossJoin(broadcast(stats))
       }
+      roundRows.reduce(_ unionByName _)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/merges")
     }
-    dir
-  }
 
   /** The artifact's trained merge table, truncated to `rounds` — what
     * t15/t15b/t15c serve (the oracle re-derives the same rows from raw

@@ -767,35 +767,19 @@ object Extras {
     * fixture generation under the warehouse, fingerprint marker
     * written LAST (a crashed build rebuilds), so the timed query is
     * just four manifest-scoped reads. */
-  private val ttReady = scala.collection.mutable.Set[String]()
-  private[graft] def timeTravelStore(s: SparkSession, d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  private[graft] def timeTravelStore(s: SparkSession, d: String): String =
     // SnapshotLog + the sink drive java.nio directly — local path form
-    val dir = s.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/").stripPrefix("file:") + s"/graft_tt_$tag"
-    val fp = sourceFingerprint(s, s"$d/orders.parquet")
-    ttReady.synchronized {
-      val memoKey = s"$dir#$fp"
-      if (!ttReady.contains(memoKey)) {
-        if (!markerMatches(s, dir, fp)) {
-          val loc = new org.apache.hadoop.fs.Path(dir)
-          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          val base = T.orders(s, d)
-            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-          (0L to 2L).foreach { i =>
-            graft.sources.SnapshotLog.appendVersion(
-              base.filter(col("o_orderkey") % 3 === i), dir)
-          }
-          graft.sources.SnapshotLog.compactVersion(s, dir)
-          writeMarker(s, dir, fp)
-        }
-        ttReady += memoKey
+    memoizedArtifact(s, "graft_tt", d, Seq("orders.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val base = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      (0L to 2L).foreach { i =>
+        graft.sources.SnapshotLog.appendVersion(
+          base.filter(col("o_orderkey") % 3 === i), dir)
       }
+      graft.sources.SnapshotLog.compactVersion(s, dir)
     }
-    dir
-  }
 
   /** q105's RANGE-CLUSTERED versioned store: three appends of
     * contiguous o_orderkey thirds, one file each (coalesce(1)), so
@@ -804,77 +788,46 @@ object Extras {
     * O(1) build-time control read persisted to `_MAXKEY`, so the query
     * re-derives nothing. Memoized per fixture generation like
     * [[timeTravelStore]]. */
-  private val ttcReady = scala.collection.mutable.Set[String]()
   private[graft] def timeTravelStoreClustered(s: SparkSession,
-                                              d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val dir = s.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/").stripPrefix("file:") + s"/graft_ttc_$tag"
-    val fp = sourceFingerprint(s, s"$d/orders.parquet")
-    ttcReady.synchronized {
-      val memoKey = s"$dir#$fp"
-      if (!ttcReady.contains(memoKey)) {
-        if (!markerMatches(s, dir, fp)) {
-          val loc = new org.apache.hadoop.fs.Path(dir)
-          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          val base = T.orders(s, d)
-            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-          val m = base.agg(max(col("o_orderkey"))).head.getLong(0)
-          Seq((0L, m / 3), (m / 3 + 1, 2 * m / 3), (2 * m / 3 + 1, m))
-            .foreach { case (lo, hi) =>
-              graft.sources.SnapshotLog.appendVersion(
-                base.filter(col("o_orderkey").between(lo, hi)).coalesce(1),
-                dir)
-            }
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, "_MAXKEY"),
-            m.toString.getBytes("UTF-8"))
-          writeMarker(s, dir, fp)
+                                              d: String): String =
+    memoizedArtifact(s, "graft_ttc", d, Seq("orders.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val base = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val m = base.agg(max(col("o_orderkey"))).head.getLong(0)
+      Seq((0L, m / 3), (m / 3 + 1, 2 * m / 3), (2 * m / 3 + 1, m))
+        .foreach { case (lo, hi) =>
+          graft.sources.SnapshotLog.appendVersion(
+            base.filter(col("o_orderkey").between(lo, hi)).coalesce(1),
+            dir)
         }
-        ttcReady += memoKey
-      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_MAXKEY"),
+        m.toString.getBytes("UTF-8"))
     }
-    dir
-  }
+
+  /** Serializes q107's once-per-store delete (version 4). */
+  private val cowLock = new Object
 
   /** q106's SCHEMA-EVOLVED versioned store: v1 appends the even
     * o_orderkeys WITHOUT o_custkey (the original producer schema), v2
     * appends the odd keys WITH it (a producer upgrade) — the memoized
     * build behind the mergeSchema read. */
-  /** Serializes q107's once-per-store delete (version 4). */
-  private val cowLock = new Object
-  private val tteReady = scala.collection.mutable.Set[String]()
   private[graft] def timeTravelStoreEvolved(s: SparkSession,
-                                            d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val dir = s.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/").stripPrefix("file:") + s"/graft_tte_$tag"
-    val fp = sourceFingerprint(s, s"$d/orders.parquet")
-    tteReady.synchronized {
-      val memoKey = s"$dir#$fp"
-      if (!tteReady.contains(memoKey)) {
-        if (!markerMatches(s, dir, fp)) {
-          val loc = new org.apache.hadoop.fs.Path(dir)
-          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          val base = T.orders(s, d)
-          graft.sources.SnapshotLog.appendVersion(
-            base.filter(col("o_orderkey") % 2 === 0)
-              .select(col("o_orderkey"), col("o_totalprice")), dir)
-          graft.sources.SnapshotLog.appendVersion(
-            base.filter(col("o_orderkey") % 2 === 1)
-              .select(col("o_orderkey"), col("o_totalprice"),
-                      col("o_custkey")), dir)
-          writeMarker(s, dir, fp)
-        }
-        tteReady += memoKey
-      }
+                                            d: String): String =
+    memoizedArtifact(s, "graft_tte", d, Seq("orders.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val base = T.orders(s, d)
+      graft.sources.SnapshotLog.appendVersion(
+        base.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")), dir)
+      graft.sources.SnapshotLog.appendVersion(
+        base.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+                  col("o_custkey")), dir)
     }
-    dir
-  }
 
   /** q91's deliberately mis-ordered 3-way join on a derived CBO-enabled
     * session over ANALYZEd catalog tables — factored out so
@@ -1015,6 +968,66 @@ object Extras {
     * sorted (name, length, mtime) triples of every visible file,
     * digested. Detects a fixture regeneration without reading a byte of
     * data — the invalidation key for the memoized ingest layouts. */
+  /** THE shared fingerprint-memoized artifact-build discipline (one
+    * implementation for what were six near-identical copies across
+    * beam/PQ/dedup-eval/time-travel, round-17 review): dir =
+    * warehouse/`<prefix>_<md5(d)>`; if the `_GRAFT_FINGERPRINT` marker
+    * doesn't match the current source fingerprint, the dir is wiped,
+    * `build(dir)` runs, and the marker is written LAST (a crashed
+    * build rebuilds); an in-JVM set skips the marker read on repeat
+    * calls. `localPath` strips the `file:` scheme for builds that
+    * drive java.nio directly (the SnapshotLog stores). */
+  private val artifactReady = scala.collection.mutable.Set[String]()
+  private[graft] def memoizedArtifact(s: SparkSession, prefix: String,
+                                      d: String, srcFiles: Seq[String],
+                                      localPath: Boolean = false)
+                                     (build: String => Unit): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val dir = (if (localPath) wh.stripPrefix("file:") else wh) +
+      s"/${prefix}_$tag"
+    val fp = sourceFingerprint(s, srcFiles.map(f => s"$d/$f"): _*)
+    artifactReady.synchronized {
+      val memoKey = s"$dir#$fp"
+      if (!artifactReady.contains(memoKey)) {
+        if (!markerMatches(s, dir, fp)) {
+          val loc = new org.apache.hadoop.fs.Path(dir)
+          loc.getFileSystem(s.sessionState.newHadoopConf()).delete(loc, true)
+          build(dir)
+          writeMarker(s, dir, fp)
+        }
+        artifactReady += memoKey
+      }
+    }
+    dir
+  }
+
+  /** Session-checkpointed artifact frame, shared by every artifact
+    * reader: ONE materialized copy per (session, artifact dir, frame)
+    * per source generation. A regenerated fixture (new fingerprint)
+    * EVICTS and unpersists the stale generation's entry, so a
+    * long-lived session cycling fixtures doesn't pin dead checkpoint
+    * blocks (round-17 review). */
+  private val frameCache = scala.collection.mutable.Map[
+    (SparkSession, String, String), (String, DataFrame)]()
+  private[graft] def sessionArtifactFrame(s: SparkSession, dir: String,
+                                          fp: String,
+                                          name: String): DataFrame =
+    frameCache.synchronized {
+      frameCache.get((s, dir, name)) match {
+        case Some((oldFp, df)) if oldFp == fp => df
+        case old =>
+          old.foreach { case (_, stale) =>
+            try stale.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+          }
+          val df = s.read.parquet(s"$dir/$name").localCheckpoint()
+          frameCache((s, dir, name)) = (fp, df)
+          df
+      }
+    }
+
   private[graft] def sourceFingerprint(s: SparkSession, paths: String*): String = {
     import org.apache.hadoop.fs.Path
     val conf = s.sessionState.newHadoopConf()

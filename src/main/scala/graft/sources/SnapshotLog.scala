@@ -242,8 +242,12 @@ object SnapshotLog {
         !f.getName.startsWith("."))
     val moved = parts.zipWithIndex.map { case (f, i) =>
       val name = f"compact-v${cur + 1}%05d-p$i%05d.parquet"
-      java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(dir, name),
+      val target = java.nio.file.Paths.get(dir, name)
+      // clear a crashed prior attempt's same-named orphan (referenced
+      // by no manifest) — ATOMIC_MOVE onto an existing target is
+      // implementation-specific (round-17 review)
+      java.nio.file.Files.deleteIfExists(target)
+      java.nio.file.Files.move(f.toPath, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       name
     }.toSeq
@@ -364,19 +368,39 @@ object SnapshotLog {
       if (touched.isEmpty) Seq.empty[String]
       else {
         val tmp = dir + "_snapdelete_tmp"
+        // a NULL key is NOT in [lo, hi]: the predicate must be
+        // not-TRUE (Delta/Iceberg DELETE WHERE semantics), or the
+        // three-valued filter would silently erase NULL-key rows from
+        // every rewritten file (round-17 review)
         s.read.parquet(touched.map(f => s"$dir/$f"): _*)
-          .filter(!org.apache.spark.sql.functions.col(column)
-            .between(lo, hi))
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col(column).between(lo, hi),
+            org.apache.spark.sql.functions.lit(false)))
           .write.mode(SaveMode.Overwrite).parquet(tmp)
-        val parts = Option(new java.io.File(tmp).listFiles())
+        val allParts = Option(new java.io.File(tmp).listFiles())
           .getOrElse(Array.empty)
           .filter(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith(".") &&
-            footerRowCount(s, f.getAbsolutePath) > 0)
+            !f.getName.startsWith("."))
+        // drop zero-row outputs (no stats -> conservatively rewritten
+        // forever) — but if the delete emptied EVERYTHING and nothing
+        // was untouched, keep ONE empty file so the committed version
+        // stays readable (schema-carrying) instead of an uninferrable
+        // zero-path scan (round-17 review)
+        val nonEmpty = allParts
+          .filter(f => footerRowCount(s, f.getAbsolutePath) > 0)
+        val parts =
+          if (nonEmpty.isEmpty && untouched.isEmpty) allParts.take(1)
+          else nonEmpty
         val moved = parts.zipWithIndex.map { case (f, i) =>
           val name = f"delete-v$v%05d-p$i%05d.parquet"
-          java.nio.file.Files.move(f.toPath,
-            java.nio.file.Paths.get(dir, name),
+          val target = java.nio.file.Paths.get(dir, name)
+          // a crashed prior attempt may have left an orphan under this
+          // exact name; it is referenced by no manifest (v was never
+          // committed), so replacing it is safe — and ATOMIC_MOVE onto
+          // an existing target is implementation-specific, so clear it
+          // explicitly (round-17 review)
+          java.nio.file.Files.deleteIfExists(target)
+          java.nio.file.Files.move(f.toPath, target,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           name
         }.toSeq

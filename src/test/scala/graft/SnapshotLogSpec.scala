@@ -224,6 +224,35 @@ class SnapshotLogSpec extends SparkSpec {
     assert(rw5 === 1 && rows(dir, v5) === Set(1L, 3L, 201L, 202L))
   }
 
+  test("delete-everything keeps the version readable; NULL-key rows survive a range delete") {
+    // deleting every row used to commit an empty manifest (all
+    // zero-row rewrite outputs dropped) whose read failed with an
+    // uninferrable schema — round-17 review finding #1
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L)).coalesce(1), dir)
+    val (v, _, _) = SnapshotLog.deleteWhere(spark, dir, "k", 0L, 10L)
+    val emptied = SnapshotLog.readVersion(spark, dir, v)
+    assert(emptied.count() === 0 &&
+      emptied.columns.toSeq === Seq("k", "x"),
+      "delete-everything must stay readable with the original schema")
+    // ...and the table keeps working after
+    val v3 = SnapshotLog.appendVersion(frame(Seq(5L)), dir)
+    assert(rows(dir, v3) === Set(5L))
+    // NULL-key rows are NOT in [lo, hi]: the rewrite keeps them —
+    // round-17 review finding #2 (three-valued filter erased them)
+    val dir3 = freshDir()
+    val src = Seq((Option(1L), 10.0), (Option.empty[Long], 20.0),
+      (Option(9L), 90.0)).toDF("k", "x").coalesce(1)
+    SnapshotLog.appendVersion(src, dir3)
+    val (v2, _, _) = SnapshotLog.deleteWhere(spark, dir3, "k", 0L, 5L)
+    val left = SnapshotLog.readVersion(spark, dir3, v2)
+      .select($"k", $"x").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getDouble(1))).toSet
+    assert(left === Set((None, 20.0), (Some(9L), 90.0)),
+      s"NULL-key row must survive a range delete, got $left")
+  }
+
   test("model property: random append/compact/restore/delete sequences match an in-memory model at EVERY version") {
     // seeded-Gen sampling (the PropertySpec discipline — Spark jobs are
     // too slow for large example counts): each sequence drives the real
