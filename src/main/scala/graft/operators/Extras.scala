@@ -154,6 +154,48 @@ object Extras {
                 lit(total).as("n_files_total"))
     },
 
+    // MERGE-ON-READ DELETE — q107's copy-on-write twin, the OTHER half
+    // of the lakehouse delete trade (Delta deletion vectors / Iceberg
+    // equality deletes): the matched keys are written as one tiny
+    // deletion-vector file and the manifest appends a dv: entry — NO
+    // data file is rewritten (write cost O(matched keys), the choice
+    // for small deletes on huge files), and every read anti-joins the
+    // vector against the files committed before it, so a later append
+    // can re-insert a key and a compaction materializes the vector
+    // away. Applied as version 5 over q107's v4: the report pins the
+    // post-delete complement (rows + exact total), the MoR range still
+    // alive at v4 (history intact), ZERO data files rewritten and
+    // exactly one vector — both file-count literals on the oracle row,
+    // so a MoR regression that fell back to rewriting fails the hash
+    // gate.
+    "q108_mor_delete" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreClustered(s, d)
+      val m = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
+      ensureTtcVersion(s, dir, m, upTo = 5)
+      val m4 = graft.sources.SnapshotLog.manifest(dir, 4)
+      val m5 = graft.sources.SnapshotLog.manifest(dir, 5)
+      val rewritten = (graft.sources.SnapshotLog.dataEntries(m4).toSet --
+        graft.sources.SnapshotLog.dataEntries(m5).toSet).size
+      val nDvs = graft.sources.SnapshotLog.dvEntries(m5).size
+      val (lo1, hi2) = (m / 3 + 1, 2 * m / 3)
+      val (lo2, _) = (m / 2 + 1, 2 * m / 3)
+      val after = graft.sources.SnapshotLog.readVersion(s, dir, 5)
+      val before = graft.sources.SnapshotLog.readVersion(s, dir, 4)
+      after.agg(count(lit(1)).as("n_rows_after"),
+          graft.Dets.dsum($"o_totalprice").as("total_after"),
+          sum(when($"o_orderkey".between(lo1, hi2), 1L).otherwise(0L))
+            .as("n_deleted_visible"))
+        .crossJoin(broadcast(before.agg(
+          sum(when($"o_orderkey".between(lo2, hi2), 1L).otherwise(0L))
+            .as("n_mor_range_before"))))
+        .select($"n_rows_after", $"total_after", $"n_deleted_visible",
+          $"n_mor_range_before",
+          lit(rewritten).as("n_files_rewritten"),
+          lit(nDvs).as("n_dvs"))
+    },
+
     // SCHEMA EVOLUTION under the snapshot log — the column-add read a
     // long-lived 100 TB table cannot avoid (producers upgrade; nobody
     // rewrites history): v1's files predate o_custkey, v2's carry it,
@@ -200,10 +242,7 @@ object Extras {
       val m = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
       val (lo, hi) = (m / 3 + 1, m / 2)
-      cowLock.synchronized {
-        if (graft.sources.SnapshotLog.versions(dir).max < 4)
-          graft.sources.SnapshotLog.deleteWhere(s, dir, "o_orderkey", lo, hi)
-      }
+      ensureTtcVersion(s, dir, m, upTo = 4)
       // the COW stats replay from the manifests themselves (a fresh
       // JVM over an already-deleted store derives the same counts):
       // files shared between v3 and v4 were untouched, files of v3
@@ -807,8 +846,21 @@ object Extras {
         m.toString.getBytes("UTF-8"))
     }
 
-  /** Serializes q107's once-per-store delete (version 4). */
+  /** Serializes the once-per-store delete versions of the clustered
+    * store (q107's COW v4, q108's MoR v5): each is applied exactly
+    * once per fixture generation, idempotent behind the version
+    * check, and v5 transitively ensures v4. */
   private val cowLock = new Object
+  private[graft] def ensureTtcVersion(s: SparkSession, dir: String,
+                                      m: Long, upTo: Int): Unit =
+    cowLock.synchronized {
+      if (upTo >= 4 && graft.sources.SnapshotLog.versions(dir).max < 4)
+        graft.sources.SnapshotLog.deleteWhere(
+          s, dir, "o_orderkey", m / 3 + 1, m / 2)
+      if (upTo >= 5 && graft.sources.SnapshotLog.versions(dir).max < 5)
+        graft.sources.SnapshotLog.deleteWhereMoR(
+          s, dir, "o_orderkey", m / 2 + 1, 2 * m / 3)
+    }
 
   /** q106's SCHEMA-EVOLVED versioned store: v1 appends the even
     * o_orderkeys WITHOUT o_custkey (the original producer schema), v2
@@ -1501,6 +1553,27 @@ object Extras {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range_before,
         |  CAST(1 AS INT) AS n_files_rewritten,
         |  CAST(2 AS INT) AS n_files_kept
+        |FROM orders, m""".stripMargin,
+
+    // q108: the post-delete set is the complement of BOTH deleted
+    // thirds; the file counts pin zero rewrites and one vector.
+    "q108_mor_delete" ->
+      """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+        |SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey > mx // 3
+        |                 AND o_orderkey <= 2 * mx // 3
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_rows_after,
+        |  CAST(SUM(CASE WHEN o_orderkey > mx // 3
+        |                 AND o_orderkey <= 2 * mx // 3
+        |           THEN CAST(0 AS DECIMAL(18,4))
+        |           ELSE CAST(o_totalprice AS DECIMAL(18,4)) END)
+        |       AS DOUBLE) AS total_after,
+        |  CAST(0 AS BIGINT) AS n_deleted_visible,
+        |  CAST(SUM(CASE WHEN o_orderkey > mx // 2
+        |                 AND o_orderkey <= 2 * mx // 3
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_mor_range_before,
+        |  CAST(0 AS INT) AS n_files_rewritten,
+        |  CAST(1 AS INT) AS n_dvs
         |FROM orders, m""".stripMargin,
 
     // q106: the evolved column exists only on odd keys; zero backfill.

@@ -82,7 +82,9 @@ object SnapshotLog {
     vs.max
   }
 
-  /** The data files of version `v` (names relative to `dir`). */
+  /** The manifest entries of version `v`: plain data-file names, plus
+    * `dv:<column>:<file>` deletion-vector entries (merge-on-read
+    * deletes — see [[deleteWhereMoR]]). */
   def manifest(dir: String, v: Int): Seq[String] = {
     val p = manifestPath(dir, v)
     require(java.nio.file.Files.exists(p),
@@ -92,10 +94,29 @@ object SnapshotLog {
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Commit `files` as version `v` — tmp write + atomic move, the LAST
+  /** A manifest's plain data-file names (deletion vectors excluded). */
+  private[graft] def dataEntries(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("dv:"))
+
+  /** A manifest's (column, dvFile) deletion-vector entries. */
+  private[graft] def dvEntries(lines: Seq[String]): Seq[(String, String)] =
+    lines.collect { case l if l.startsWith("dv:") =>
+      val rest = l.stripPrefix("dv:")
+      val i = rest.indexOf(':')
+      (rest.substring(0, i), rest.substring(i + 1))
+    }
+
+  /** Every file name a manifest references (data + deletion vectors) —
+    * what [[vacuum]] must retain. */
+  private def referencedFiles(lines: Seq[String]): Seq[String] =
+    dataEntries(lines) ++ dvEntries(lines).map(_._2)
+
+  /** Commit `lines` as version `v` — tmp write + atomic move, the LAST
     * step of any append/compaction so a crash before it leaves every
-    * committed version intact. */
-  private def commitManifest(dir: String, v: Int, files: Seq[String],
+    * committed version intact. Line ORDER is semantic and preserved:
+    * a `dv:` deletion-vector entry masks only the data files listed
+    * BEFORE it, so rows re-inserted by a later append stay visible. */
+  private def commitManifest(dir: String, v: Int, lines: Seq[String],
                              batchId: Option[Long] = None): Unit = {
     require(v == versions(dir).lastOption.getOrElse(0) + 1,
       s"version $v is not the next version at $dir")
@@ -106,9 +127,45 @@ object SnapshotLog {
     }
     val tmp = logDir(dir).resolve(f"v$v%05d.tmp")
     java.nio.file.Files.write(tmp,
-      (files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, logDir(dir).resolve(name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Evaluate an ordered manifest-line sequence into a DataFrame:
+    * data-file runs are scanned and unioned; each `dv:` entry
+    * anti-joins its deleted-key file against everything accumulated
+    * SO FAR — files appended after the deletion vector are outside its
+    * scope (the Iceberg sequence-number rule), so a re-inserted key is
+    * visible again without waiting for a compaction. */
+  private def readLines(s: SparkSession, dir: String, lines: Seq[String],
+                        mergeSchema: Boolean): DataFrame = {
+    var acc: DataFrame = null
+    var pending = Vector.empty[String]
+    def read(fs: Seq[String]): DataFrame = {
+      val paths = fs.map(f => s"$dir/$f")
+      if (mergeSchema) s.read.option("mergeSchema", "true").parquet(paths: _*)
+      else s.read.parquet(paths: _*)
+    }
+    def flush(): Unit = if (pending.nonEmpty) {
+      val g = read(pending)
+      acc = if (acc == null) g
+            else acc.unionByName(g, allowMissingColumns = true)
+      pending = Vector.empty
+    }
+    lines.foreach {
+      case l if l.startsWith("dv:") =>
+        flush()
+        if (acc != null) {
+          val Seq((column, file)) = dvEntries(Seq(l))
+          val keys = s.read.parquet(s"$dir/$file")
+          acc = acc.join(keys, acc(column) === keys("dk"), "left_anti")
+        }
+      case f => pending :+= f
+    }
+    flush()
+    require(acc != null, s"manifest at $dir has no data files")
+    acc
   }
 
   private def dataFiles(dir: String): Set[String] = {
@@ -197,12 +254,8 @@ object SnapshotLog {
     * parquet. Off by default: schema merging reads every file's
     * footer at planning time, the usual Spark trade. */
   def readVersion(s: SparkSession, dir: String, v: Int,
-                  mergeSchema: Boolean = false): DataFrame = {
-    val files = manifest(dir, v).map(f => s"$dir/$f")
-    if (mergeSchema)
-      s.read.option("mergeSchema", "true").parquet(files: _*)
-    else s.read.parquet(files: _*)
-  }
+                  mergeSchema: Boolean = false): DataFrame =
+    readLines(s, dir, manifest(dir, v), mergeSchema)
 
   /** The data-file rewrite HALF of a compaction: read the latest
     * snapshot, rewrite it into ~targetBytes files under distinct
@@ -216,7 +269,7 @@ object SnapshotLog {
                                     clusterBy: Option[String] = None)
       : Seq[String] = {
     val cur = latestVersion(dir)
-    val files = manifest(dir, cur)
+    val files = dataEntries(manifest(dir, cur))
     val totalBytes = files.map(f =>
       new java.io.File(dir, f).length()).sum
     val nFiles = math.max(1,
@@ -314,17 +367,23 @@ object SnapshotLog {
   def readVersionWhere(s: SparkSession, dir: String, v: Int,
                        column: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
-    val files = manifest(dir, v)
-    val kept = files.filter { f =>
+    val lines = manifest(dir, v)
+    val files = dataEntries(lines)
+    val keptSet = files.filter { f =>
       footerRange(s, dir, f, column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true
       }
-    }
+    }.toSet
+    val kept = keptSet.toSeq
     val df =
       if (kept.isEmpty)
         readVersion(s, dir, v).limit(0)
-      else s.read.parquet(kept.map(f => s"$dir/$f"): _*)
+      // the pruned read keeps manifest ORDER (dv entries still mask
+      // exactly the pruned files committed before them)
+      else readLines(s, dir,
+        lines.filter(l => l.startsWith("dv:") || keptSet.contains(l)),
+        mergeSchema = false)
     (df.filter(org.apache.spark.sql.functions.col(column).between(lo, hi)),
       kept.size, files.size)
   }
@@ -356,13 +415,14 @@ object SnapshotLog {
   def deleteWhere(s: SparkSession, dir: String, column: String,
                   lo: Long, hi: Long): (Int, Int, Int) = {
     val cur = latestVersion(dir)
-    val files = manifest(dir, cur)
-    val (touched, untouched) = files.partition { f =>
+    val lines = manifest(dir, cur)
+    val (touched, untouched) = dataEntries(lines).partition { f =>
       footerRange(s, dir, f, column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true // no stats: conservatively rewrite
       }
     }
+    val touchedSet = touched.toSet
     val v = cur + 1
     val rewritten =
       if (touched.isEmpty) Seq.empty[String]
@@ -371,8 +431,13 @@ object SnapshotLog {
         // a NULL key is NOT in [lo, hi]: the predicate must be
         // not-TRUE (Delta/Iceberg DELETE WHERE semantics), or the
         // three-valued filter would silently erase NULL-key rows from
-        // every rewritten file (round-17 review)
-        s.read.parquet(touched.map(f => s"$dir/$f"): _*)
+        // every rewritten file (round-17 review). The touched files
+        // are read with their applicable deletion vectors (the ordered
+        // subsequence), so a COW rewrite after a MoR delete never
+        // resurrects MoR-deleted rows.
+        readLines(s, dir,
+            lines.filter(l => l.startsWith("dv:") || touchedSet.contains(l)),
+            mergeSchema = false)
           .filter(!org.apache.spark.sql.functions.coalesce(
             org.apache.spark.sql.functions.col(column).between(lo, hi),
             org.apache.spark.sql.functions.lit(false)))
@@ -409,8 +474,76 @@ object SnapshotLog {
         new java.io.File(tmp).delete()
         moved
       }
-    commitManifest(dir, v, untouched ++ rewritten)
+    // untouched lines keep their order (and their masking dv entries);
+    // the rewritten files append at the END — after every dv, since
+    // their rows already have all deletions applied
+    commitManifest(dir, v,
+      lines.filterNot(touchedSet.contains) ++ rewritten)
     (v, touched.size, untouched.size)
+  }
+
+  /** MERGE-ON-READ DELETE of a key range — the deletion-vector
+    * alternative to [[deleteWhere]]'s copy-on-write (Delta deletion
+    * vectors / Iceberg equality deletes): NO data file is rewritten;
+    * the matched keys (computed from the stats-pruned files only, with
+    * prior deletions applied) are written as one tiny key file and the
+    * new manifest appends a `dv:<column>:<file>` entry — every read
+    * from then on anti-joins it against the files committed BEFORE it,
+    * so a later append can re-insert a key and stay visible, and a
+    * compaction materializes the vector away. Write cost O(matched
+    * keys) instead of O(touched files); read cost one broadcast-sized
+    * anti-join per vector — the COW/MoR trade, selectable per
+    * workload. Returns (newVersion, filesScanned). */
+  def deleteWhereMoR(s: SparkSession, dir: String, column: String,
+                     lo: Long, hi: Long): (Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cur = latestVersion(dir)
+    val lines = manifest(dir, cur)
+    val touched = dataEntries(lines).filter { f =>
+      footerRange(s, dir, f, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+    val v = cur + 1
+    if (touched.isEmpty) {
+      commitManifest(dir, v, lines) // nothing matches: a no-op version
+      (v, 0)
+    } else {
+      val touchedSet = touched.toSet
+      val keys = readLines(s, dir,
+          lines.filter(l => l.startsWith("dv:") || touchedSet.contains(l)),
+          mergeSchema = false)
+        .filter(coalesce(col(column).between(lo, hi), lit(false)))
+        .select(col(column).as("dk")).distinct()
+      val tmp = dir + "_snapdv_tmp"
+      keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val part = Option(new java.io.File(tmp).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+        .headOption
+      val nKeys = part.map(f => footerRowCount(s, f.getAbsolutePath))
+        .getOrElse(0L)
+      if (nKeys == 0) {
+        Option(new java.io.File(tmp).listFiles())
+          .foreach(_.foreach(_.delete()))
+        new java.io.File(tmp).delete()
+        commitManifest(dir, v, lines) // stats intersected, no row matched
+        (v, touched.size)
+      } else {
+        val name = f"dv-v$v%05d.parquet"
+        val target = java.nio.file.Paths.get(dir, name)
+        java.nio.file.Files.deleteIfExists(target) // crashed prior attempt
+        java.nio.file.Files.move(part.get.toPath, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Option(new java.io.File(tmp).listFiles())
+          .foreach(_.foreach(_.delete()))
+        new java.io.File(tmp).delete()
+        commitManifest(dir, v, lines :+ s"dv:$column:$name")
+        (v, touched.size)
+      }
+    }
   }
 
   /** Roll the table back to version `v` — committed as a NEW version
@@ -435,7 +568,7 @@ object SnapshotLog {
     require(vs.contains(retainFrom),
       s"retainFrom=$retainFrom is not a committed version at $dir")
     val keep = vs.filter(_ >= retainFrom)
-    val referenced = keep.flatMap(manifest(dir, _)).toSet
+    val referenced = keep.flatMap(v => referencedFiles(manifest(dir, v))).toSet
     (dataFiles(dir) -- referenced).foreach { f =>
       java.nio.file.Files.delete(java.nio.file.Paths.get(dir, f))
     }

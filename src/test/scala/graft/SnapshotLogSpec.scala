@@ -224,6 +224,43 @@ class SnapshotLogSpec extends SparkSpec {
     assert(rw5 === 1 && rows(dir, v5) === Set(1L, 3L, 201L, 202L))
   }
 
+  test("merge-on-read delete: zero rewrites, vector-scoped reads, reinsert visible, compaction materializes") {
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(101L, 102L)).coalesce(1), dir)
+    val (v3, scanned) = SnapshotLog.deleteWhereMoR(spark, dir, "k", 100L, 150L)
+    assert(v3 === 3 && scanned === 1)
+    // ZERO data files rewritten: v3's data entries are v2's, verbatim
+    assert(SnapshotLog.dataEntries(SnapshotLog.manifest(dir, 3)) ===
+      SnapshotLog.dataEntries(SnapshotLog.manifest(dir, 2)))
+    assert(SnapshotLog.dvEntries(SnapshotLog.manifest(dir, 3)).size === 1)
+    assert(rows(dir, 3) === Set(1L, 2L, 3L))
+    assert(rows(dir, 2) === Set(1L, 2L, 3L, 101L, 102L), "history intact")
+    // the pruned read applies the vector too
+    val (pruned, keptN, _) = SnapshotLog.readVersionWhere(
+      spark, dir, 3, "k", 90L, 200L)
+    assert(keptN === 1 && pruned.count() === 0,
+      "vector must mask the pruned read")
+    // REINSERT: an append lands AFTER the vector and is outside its
+    // scope — the key returns without waiting for a compaction
+    val v4 = SnapshotLog.appendVersion(frame(Seq(101L)).coalesce(1), dir)
+    assert(rows(dir, v4) === Set(1L, 2L, 3L, 101L),
+      "reinserted key swallowed by an older deletion vector")
+    // COW after MoR reads touched files WITH the vector applied —
+    // never resurrects MoR-deleted rows
+    val (v5, rw5, _) = SnapshotLog.deleteWhere(spark, dir, "k", 2L, 2L)
+    assert(rw5 === 1 && rows(dir, v5) === Set(1L, 3L, 101L))
+    // compaction materializes the vector away
+    val v6 = SnapshotLog.compactVersion(spark, dir)
+    assert(SnapshotLog.dvEntries(SnapshotLog.manifest(dir, v6)).isEmpty)
+    assert(rows(dir, v6) === Set(1L, 3L, 101L))
+    // vacuum keeps the vector file while a dv-bearing version is
+    // retained, and the retained versions still read correctly
+    SnapshotLog.vacuum(dir, retainFrom = 3)
+    assert(rows(dir, 3) === Set(1L, 2L, 3L))
+    assert(rows(dir, v6) === Set(1L, 3L, 101L))
+  }
+
   test("delete-everything keeps the version readable; NULL-key rows survive a range delete") {
     // deleting every row used to commit an empty manifest (all
     // zero-row rewrite outputs dropped) whose read failed with an
@@ -265,14 +302,16 @@ class SnapshotLogSpec extends SparkSpec {
     case class Append(ks: Seq[Long]) extends Op
     case object Compact extends Op
     case class Restore(frac: Double) extends Op
-    case class Delete(loFrac: Double, hiFrac: Double) extends Op
+    case class Delete(loFrac: Double, hiFrac: Double, mor: Boolean)
+      extends Op
     def opGen(i: Int): Gen[Op] = Gen.frequency(
       5 -> Gen.choose(1, 4).map(n =>
         Append((1 to n).map(j => i * 100L + j))), // globally unique keys
       2 -> Gen.const(Compact),
       1 -> Gen.choose(0.0, 1.0).map(Restore.apply),
-      2 -> Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)).map {
-        case (a, b) => Delete(math.min(a, b), math.max(a, b)) })
+      3 -> Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0),
+        Gen.oneOf(true, false)).map {
+        case (a, b, mor) => Delete(math.min(a, b), math.max(a, b), mor) })
     (1 to 2).foreach { seq =>
       val dir = freshDir()
       var model = Vector.empty[Set[Long]]
@@ -292,7 +331,7 @@ class SnapshotLogSpec extends SparkSpec {
             val v = 1 + (frac * (model.size - 1)).toInt.min(model.size - 1)
             SnapshotLog.restoreVersion(dir, v)
             model :+= model(v - 1)
-          case Delete(lf, hf) =>
+          case Delete(lf, hf, mor) =>
             val keys = model.last.toSeq.sorted
             if (keys.isEmpty) {
               // deleting from empty is a no-op version in the model too
@@ -301,7 +340,9 @@ class SnapshotLogSpec extends SparkSpec {
             } else {
               val lo = keys((lf * (keys.size - 1)).toInt)
               val hi = keys((hf * (keys.size - 1)).toInt)
-              SnapshotLog.deleteWhere(spark, dir, "k", lo, hi)
+              // COW and MoR must be observationally identical
+              if (mor) SnapshotLog.deleteWhereMoR(spark, dir, "k", lo, hi)
+              else SnapshotLog.deleteWhere(spark, dir, "k", lo, hi)
               model :+= model.last.filterNot(k => k >= lo && k <= hi)
             }
         }
