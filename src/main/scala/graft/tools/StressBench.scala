@@ -440,7 +440,11 @@ object StressBench {
       // the data at every K, q107's COW delete rewrites only the file
       // owning the range. q106 is the two-append evolved store + one
       // mergeSchema scan — linear in orders
-      "q105_snapshot_skipping,q106_schema_evolution,q107_cow_delete"
+      "q105_snapshot_skipping,q106_schema_evolution,q107_cow_delete," +
+      // q108: the MoR delete writes O(matched keys) and rewrites
+      // nothing; the read adds one broadcast-sized anti-join — both
+      // independent of table size past the pruned key scan
+      "q108_mor_delete"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
