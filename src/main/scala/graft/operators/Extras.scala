@@ -143,10 +143,10 @@ object Extras {
     "q105_snapshot_skipping" -> { (s, d) =>
       import s.implicits._
       val dir = timeTravelStoreClustered(s, d)
-      val m = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
+      val m = ttcMaxKey(dir)
+      val (lo, hi) = ttcCowRange(m)
       val (df, kept, total) = graft.sources.SnapshotLog.readVersionWhere(
-        s, dir, 3, "o_orderkey", m / 3 + 1, m / 2)
+        s, dir, 3, "o_orderkey", lo, hi)
       df.agg(count(lit(1)).as("n_rows"),
              graft.Dets.dsum($"o_totalprice").as("total_price"))
         .select($"n_rows", $"total_price",
@@ -171,16 +171,15 @@ object Extras {
     "q108_mor_delete" -> { (s, d) =>
       import s.implicits._
       val dir = timeTravelStoreClustered(s, d)
-      val m = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
+      val m = ttcMaxKey(dir)
       ensureTtcVersion(s, dir, m, upTo = 5)
       val m4 = graft.sources.SnapshotLog.manifest(dir, 4)
       val m5 = graft.sources.SnapshotLog.manifest(dir, 5)
       val rewritten = (graft.sources.SnapshotLog.dataEntries(m4).toSet --
         graft.sources.SnapshotLog.dataEntries(m5).toSet).size
       val nDvs = graft.sources.SnapshotLog.dvEntries(m5).size
-      val (lo1, hi2) = (m / 3 + 1, 2 * m / 3)
-      val (lo2, _) = (m / 2 + 1, 2 * m / 3)
+      val lo1 = ttcCowRange(m)._1
+      val (lo2, hi2) = ttcMorRange(m)
       val after = graft.sources.SnapshotLog.readVersion(s, dir, 5)
       val before = graft.sources.SnapshotLog.readVersion(s, dir, 4)
       after.agg(count(lit(1)).as("n_rows_after"),
@@ -239,9 +238,8 @@ object Extras {
     "q107_cow_delete" -> { (s, d) =>
       import s.implicits._
       val dir = timeTravelStoreClustered(s, d)
-      val m = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
-      val (lo, hi) = (m / 3 + 1, m / 2)
+      val m = ttcMaxKey(dir)
+      val (lo, hi) = ttcCowRange(m)
       ensureTtcVersion(s, dir, m, upTo = 4)
       // the COW stats replay from the manifests themselves (a fresh
       // JVM over an already-deleted store derives the same counts):
@@ -851,15 +849,30 @@ object Extras {
     * once per fixture generation, idempotent behind the version
     * check, and v5 transitively ensures v4. */
   private val cowLock = new Object
+
+  /** The clustered store's persisted slice boundary (written once at
+    * build time — no scan at query time). */
+  private[graft] def ttcMaxKey(dir: String): Long =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MAXKEY")), "UTF-8").trim.toLong
+
+  /** The two delete ranges, stated ONCE in lockstep with the oracle
+    * SQL's integer thirds (q105 also reads the COW range — it sits
+    * strictly inside the middle slice, the 1-of-3-files pin). */
+  private[graft] def ttcCowRange(m: Long): (Long, Long) =
+    (m / 3 + 1, m / 2)
+  private[graft] def ttcMorRange(m: Long): (Long, Long) =
+    (m / 2 + 1, 2 * m / 3)
+
   private[graft] def ensureTtcVersion(s: SparkSession, dir: String,
                                       m: Long, upTo: Int): Unit =
     cowLock.synchronized {
+      val (cl, ch) = ttcCowRange(m)
+      val (ml, mh) = ttcMorRange(m)
       if (upTo >= 4 && graft.sources.SnapshotLog.versions(dir).max < 4)
-        graft.sources.SnapshotLog.deleteWhere(
-          s, dir, "o_orderkey", m / 3 + 1, m / 2)
+        graft.sources.SnapshotLog.deleteWhere(s, dir, "o_orderkey", cl, ch)
       if (upTo >= 5 && graft.sources.SnapshotLog.versions(dir).max < 5)
-        graft.sources.SnapshotLog.deleteWhereMoR(
-          s, dir, "o_orderkey", m / 2 + 1, 2 * m / 3)
+        graft.sources.SnapshotLog.deleteWhereMoR(s, dir, "o_orderkey", ml, mh)
     }
 
   /** q106's SCHEMA-EVOLVED versioned store: v1 appends the even
@@ -1029,7 +1042,10 @@ object Extras {
     * build rebuilds); an in-JVM set skips the marker read on repeat
     * calls. `localPath` strips the `file:` scheme for builds that
     * drive java.nio directly (the SnapshotLog stores). */
-  private val artifactReady = scala.collection.mutable.Set[String]()
+  private val artifactReady =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[graft] def memoizedArtifact(s: SparkSession, prefix: String,
                                       d: String, srcFiles: Seq[String],
                                       localPath: Boolean = false)
@@ -1040,7 +1056,11 @@ object Extras {
     val dir = (if (localPath) wh.stripPrefix("file:") else wh) +
       s"/${prefix}_$tag"
     val fp = sourceFingerprint(s, srcFiles.map(f => s"$d/$f"): _*)
-    artifactReady.synchronized {
+    // one lock PER ARTIFACT DIR, not one global monitor: a minutes-long
+    // build must not serialize unrelated families' builds or even their
+    // fast marker-check paths (round-17 review)
+    val lock = artifactLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
       val memoKey = s"$dir#$fp"
       if (!artifactReady.contains(memoKey)) {
         if (!markerMatches(s, dir, fp)) {
@@ -1049,7 +1069,7 @@ object Extras {
           build(dir)
           writeMarker(s, dir, fp)
         }
-        artifactReady += memoKey
+        artifactReady.add(memoKey)
       }
     }
     dir

@@ -221,13 +221,19 @@ object SnapshotLog {
   private[graft] def appendVersionForBatch(batch: DataFrame, dir: String,
                                            batchId: Long): Int = {
     val committed = batchVersions(dir)
-    val maxB = committed.keys.foldLeft(-1L)(math.max)
+    // the high-water mark is max(tagged manifests, the vacuum-persisted
+    // BATCH_HWM) — retention may have deleted old tagged manifests, and
+    // without the persisted mark a replayed batch would re-append
+    val maxB = math.max(committed.keys.foldLeft(-1L)(math.max),
+      batchHighWater(dir))
     // a crashed trigger replays only the LAST batch, so the no-op
     // branch is exactly batchId == the committed high-water mark; any
     // batchId BELOW it (committed or not) means a fresh checkpoint is
     // running over an old store — fail loud, never fork the history
-    // (the mergeApplyStream generation discipline)
-    if (batchId == maxB) committed(batchId)
+    // (the mergeApplyStream generation discipline). A vacuumed tagged
+    // manifest leaves no version to return; the latest version already
+    // CONTAINS the replayed batch's rows, so it serves.
+    if (batchId == maxB) committed.getOrElse(batchId, latestVersion(dir))
     else {
       require(batchId > maxB,
         s"snapshot log at $dir already holds batch > $batchId " +
@@ -289,10 +295,18 @@ object SnapshotLog {
       case None => src.repartition(nFiles)
     }
     shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val parts = Option(new java.io.File(tmp).listFiles())
+    val allParts = Option(new java.io.File(tmp).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") &&
         !f.getName.startsWith("."))
+    // drop zero-row outputs (rangepartition can emit empty tasks; an
+    // empty file has no stats and would be conservatively scanned /
+    // rewritten by every later stats-planned operation) — keep one if
+    // EVERYTHING is empty so the version stays schema-readable
+    // (deleteWhere's discipline, round-17 review)
+    val nonEmpty = allParts
+      .filter(f => footerRowCount(s, f.getAbsolutePath) > 0)
+    val parts = if (nonEmpty.isEmpty) allParts.take(1) else nonEmpty
     val moved = parts.zipWithIndex.map { case (f, i) =>
       val name = f"compact-v${cur + 1}%05d-p$i%05d.parquet"
       val target = java.nio.file.Paths.get(dir, name)
@@ -567,6 +581,22 @@ object SnapshotLog {
     val vs = versions(dir)
     require(vs.contains(retainFrom),
       s"retainFrom=$retainFrom is not a committed version at $dir")
+    // PERSIST the streamed-batch high-water mark BEFORE deleting any
+    // batch-tagged manifest: the exactly-once no-op/stale checks in
+    // [[appendVersionForBatch]] read the mark from the tagged
+    // manifests, and vacuuming them away would let a replayed
+    // micro-batch re-append its rows (round-17 review). Written
+    // tmp + atomic move; a crash after the write and before the
+    // deletions just leaves both sources agreeing.
+    val bvs = batchVersions(dir)
+    if (bvs.nonEmpty) {
+      val hwm = math.max(bvs.keys.max, batchHighWater(dir))
+      val tmp = logDir(dir).resolve("BATCH_HWM.tmp")
+      java.nio.file.Files.write(tmp, hwm.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, logDir(dir).resolve("BATCH_HWM"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val keep = vs.filter(_ >= retainFrom)
     val referenced = keep.flatMap(v => referencedFiles(manifest(dir, v))).toSet
     (dataFiles(dir) -- referenced).foreach { f =>
@@ -575,5 +605,15 @@ object SnapshotLog {
     vs.filter(_ < retainFrom).foreach { v =>
       java.nio.file.Files.delete(manifestPath(dir, v))
     }
+  }
+
+  /** The persisted streamed-batch high-water mark (−1 if never
+    * written) — survives [[vacuum]] where the batch-tagged manifests
+    * may not. */
+  private def batchHighWater(dir: String): Long = {
+    val p = logDir(dir).resolve("BATCH_HWM")
+    if (!java.nio.file.Files.exists(p)) -1L
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.toLong
   }
 }

@@ -152,6 +152,18 @@ class SnapshotLogSpec extends SparkSpec {
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(left === SnapshotLog.manifest(dir, 4).toSet)
     assert(rows(dir, 4) === (1L to 6L).toSet + 9L)
+    // vacuum deleted every batch-tagged manifest (v1..v3) — the
+    // exactly-once guarantees must SURVIVE retention via the persisted
+    // high-water mark (round-17 review): a replay of the high-water
+    // batch still no-ops, and an older batch still fails loud
+    val v2 = SnapshotLog.appendVersionForBatch(lastChunk, dir, 3L)
+    assert(v2 === SnapshotLog.latestVersion(dir) &&
+      rows(dir, SnapshotLog.latestVersion(dir)) === (1L to 6L).toSet + 9L,
+      "post-vacuum replay of the high-water batch re-appended rows")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.appendVersionForBatch(lastChunk, dir, 0L)
+    }
+    assert(e2.getMessage.contains("stale generation"))
   }
 
   test("manifest-level data skipping: footer-stats pruning reads fewer files, identical rows") {
