@@ -195,6 +195,40 @@ object Extras {
           lit(nDvs).as("n_dvs"))
     },
 
+    // MERGE INTO, PERSISTED — q100 computes the three-clause merge,
+    // this one WRITES it through the snapshot log at file granularity:
+    // the feed's updates and deletes live in the middle key third, its
+    // %9 re-keys land at +1e6 as pure inserts, and the per-key footer
+    // probe (not the interval hull — the inserts sit far outside every
+    // file, the hull would have dragged the last file in) rewrites
+    // exactly ONE of the three files while two share verbatim; the
+    // inserts ride the rewrite output. File counts on the oracle row
+    // (the q105/q107/q108 discipline); the merged state itself —
+    // count, exact balance total, insert count — is the same
+    // full-outer arbitration stated straight off customer/orders, so
+    // the persisted write and the relational algebra are pinned to
+    // agree. Pre-merge v3 stays readable (history is the undo).
+    "q109_merge_persisted" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreMerge(s, d)
+      val m = ttcMaxKey(dir)
+      ensureTtmVersion4(s, dir, d, m)
+      val m3 = graft.sources.SnapshotLog.dataEntries(
+        graft.sources.SnapshotLog.manifest(dir, 3))
+      val m4 = graft.sources.SnapshotLog.dataEntries(
+        graft.sources.SnapshotLog.manifest(dir, 4))
+      val rewritten = (m3.toSet -- m4.toSet).size
+      val kept = (m3.toSet & m4.toSet).size
+      graft.sources.SnapshotLog.readVersion(s, dir, 4)
+        .agg(count(lit(1)).as("n_rows"),
+             graft.Dets.dsum($"bal").as("total_bal"),
+             sum(when($"key" > 1000000L, 1L).otherwise(0L))
+               .as("n_inserted"))
+        .select($"n_rows", $"total_bal", $"n_inserted",
+          lit(rewritten).as("n_files_rewritten"),
+          lit(kept).as("n_files_kept"))
+    },
+
     // SCHEMA EVOLUTION under the snapshot log — the column-add read a
     // long-lived 100 TB table cannot avoid (producers upgrade; nobody
     // rewrites history): v1's files predate o_custkey, v2's carry it,
@@ -1219,6 +1253,56 @@ object Extras {
     T.customer(s, d).select(col("c_custkey").as("key"),
                             col("c_acctbal").as("bal"))
 
+  /** [[mergeFeed]] restricted to base custkeys in [lo, hi] — q109's
+    * feed: updates and deletes stay inside the middle slice, the %9
+    * re-keys land at +1e6 (beyond every file's range) as pure inserts,
+    * so the persisted merge's file-granularity claim is testable. */
+  private[graft] def mergeFeedRanged(s: SparkSession, d: String,
+                                     lo: Long, hi: Long): DataFrame = {
+    val src0 = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .filter(col("o_custkey").between(lo, hi))
+      .groupBy(col("o_custkey"))
+      .agg(graft.Dets.dsum(col("o_totalprice")).as("amt"))
+    src0.select(
+      when(col("o_custkey") % 9 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("key"),
+      col("amt"),
+      when(col("o_custkey") % 13 === 0 && col("o_custkey") % 9 =!= 0,
+        lit("delete")).otherwise(lit("upsert")).as("action"))
+  }
+
+  /** q109's MERGE-target store: the (key, bal) dimension range-
+    * clustered into three single-file thirds by max key (_MAXKEY
+    * persisted, the q105 discipline) — the layout that lets the
+    * persisted merge prove it rewrote ONE file. */
+  private[graft] def timeTravelStoreMerge(s: SparkSession,
+                                          d: String): String =
+    memoizedArtifact(s, "graft_ttm", d, Seq("customer.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val base = mergeTarget(s, d)
+      val m = base.agg(max(col("key"))).head.getLong(0)
+      Seq((0L, m / 3), (m / 3 + 1, 2 * m / 3), (2 * m / 3 + 1, m))
+        .foreach { case (lo, hi) =>
+          graft.sources.SnapshotLog.appendVersion(
+            base.filter(col("key").between(lo, hi)).coalesce(1), dir)
+        }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "_MAXKEY"),
+        m.toString.getBytes("UTF-8"))
+    }
+
+  /** Applies q109's persisted merge exactly once per store generation
+    * (version 4), serialized like the clustered store's deletes. */
+  private[graft] def ensureTtmVersion4(s: SparkSession, dir: String,
+                                       d: String, m: Long): Unit =
+    cowLock.synchronized {
+      if (graft.sources.SnapshotLog.versions(dir).max < 4)
+        graft.sources.SnapshotLog.mergeInto(s, dir,
+          mergeFeedRanged(s, d, m / 3 + 1, 2 * m / 3), "key", "bal")
+    }
+
   private[graft] def mergeFeed(s: SparkSession, d: String): DataFrame = {
     val src0 = T.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
@@ -1595,6 +1679,39 @@ object Extras {
         |  CAST(0 AS INT) AS n_files_rewritten,
         |  CAST(1 AS INT) AS n_dvs
         |FROM orders, m""".stripMargin,
+
+    // q109: the same arbitration stated relationally over the ranged
+    // feed; the file counts pin the persisted merge's granularity.
+    "q109_merge_persisted" ->
+      """WITH m AS (SELECT MAX(c_custkey) AS mx FROM customer),
+        |src0 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amt
+        |  FROM orders, m
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_custkey > mx // 3 AND o_custkey <= 2 * mx // 3
+        |  GROUP BY o_custkey),
+        |src AS (
+        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS key, amt,
+        |    CASE WHEN o_custkey % 13 = 0 AND o_custkey % 9 <> 0
+        |         THEN 'delete' ELSE 'upsert' END AS action
+        |  FROM src0),
+        |tgt AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+        |mg AS (
+        |  SELECT COALESCE(t.key, s.key) AS key,
+        |    CASE WHEN s.action IS NULL THEN t.bal
+        |         WHEN t.bal IS NOT NULL THEN t.bal + s.amt
+        |         ELSE s.amt END AS bal,
+        |    s.action
+        |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key)
+        |SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+        |  CAST(SUM(CASE WHEN key > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  CAST(1 AS INT) AS n_files_rewritten,
+        |  CAST(2 AS INT) AS n_files_kept
+        |FROM mg WHERE action IS NULL OR action <> 'delete'""".stripMargin,
 
     // q106: the evolved column exists only on odd keys; zero backfill.
     "q106_schema_evolution" ->

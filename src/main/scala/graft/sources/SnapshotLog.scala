@@ -295,32 +295,7 @@ object SnapshotLog {
       case None => src.repartition(nFiles)
     }
     shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val allParts = Option(new java.io.File(tmp).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith("."))
-    // drop zero-row outputs (rangepartition can emit empty tasks; an
-    // empty file has no stats and would be conservatively scanned /
-    // rewritten by every later stats-planned operation) — keep one if
-    // EVERYTHING is empty so the version stays schema-readable
-    // (deleteWhere's discipline, round-17 review)
-    val nonEmpty = allParts
-      .filter(f => footerRowCount(s, f.getAbsolutePath) > 0)
-    val parts = if (nonEmpty.isEmpty) allParts.take(1) else nonEmpty
-    val moved = parts.zipWithIndex.map { case (f, i) =>
-      val name = f"compact-v${cur + 1}%05d-p$i%05d.parquet"
-      val target = java.nio.file.Paths.get(dir, name)
-      // clear a crashed prior attempt's same-named orphan (referenced
-      // by no manifest) — ATOMIC_MOVE onto an existing target is
-      // implementation-specific (round-17 review)
-      java.nio.file.Files.deleteIfExists(target)
-      java.nio.file.Files.move(f.toPath, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      name
-    }.toSeq
-    Option(new java.io.File(tmp).listFiles()).foreach(_.foreach(_.delete()))
-    new java.io.File(tmp).delete()
-    moved
+    moveRewrite(s, dir, tmp, "compact", cur + 1, keepOneIfAllEmpty = true)
   }
 
   /** Compact the latest snapshot into ~targetBytes files as a NEW
@@ -415,6 +390,98 @@ object SnapshotLog {
     finally r.close()
   }
 
+  /** The shared rewrite-commit tail of compaction / COW delete /
+    * merge: collect the tmp write's part files, drop zero-row outputs
+    * (no stats — every later stats-planned operation would
+    * conservatively scan/rewrite them forever), keep one if EVERYTHING
+    * is empty and nothing else carries the schema, and move each under
+    * a distinct versioned name (clearing a crashed prior attempt's
+    * same-named orphans — ATOMIC_MOVE onto an existing target is
+    * implementation-specific). */
+  private def moveRewrite(s: SparkSession, dir: String, tmp: String,
+                          prefix: String, v: Int,
+                          keepOneIfAllEmpty: Boolean): Seq[String] = {
+    val allParts = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("."))
+    val nonEmpty = allParts
+      .filter(f => footerRowCount(s, f.getAbsolutePath) > 0)
+    val parts =
+      if (nonEmpty.isEmpty && keepOneIfAllEmpty) allParts.take(1)
+      else nonEmpty
+    val moved = parts.zipWithIndex.map { case (f, i) =>
+      val name = f"$prefix-v$v%05d-p$i%05d.parquet"
+      val target = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.deleteIfExists(target)
+      java.nio.file.Files.move(f.toPath, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      name
+    }.toSeq
+    Option(new java.io.File(tmp).listFiles())
+      .foreach(_.foreach(_.delete()))
+    new java.io.File(tmp).delete()
+    moved
+  }
+
+  /** MERGE INTO at file granularity — q100's three-clause arbitration
+    * PERSISTED through the snapshot log (the write half the batch
+    * merge operator computes but never stores): a file is touched iff
+    * its footer [min, max] can contain a SOURCE key (per-key range
+    * probe, not the interval hull — inserts far outside the table
+    * touch nothing); touched files rewrite through a full-outer
+    * arbitration with the source (matched-update / matched-delete /
+    * not-matched-insert), untouched files share verbatim into the new
+    * manifest as the implicit 'kept' clause. Target shape (keyCol:
+    * long, balCol: double); source shape (key, amt, action). Returns
+    * (newVersion, filesRewritten, filesKept). */
+  def mergeInto(s: SparkSession, dir: String, source: DataFrame,
+                keyCol: String, balCol: String): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cur = latestVersion(dir)
+    val lines = manifest(dir, cur)
+    val ranged = dataEntries(lines)
+      .map(f => f -> footerRange(s, dir, f, keyCol))
+    // per-key probe of the O(files) footer ranges: an O(files) control
+    // read, the same planning metadata every stats-driven op here uses
+    val rangesDf = ranged.collect { case (f, Some((mn, mx))) =>
+      (f, mn, mx) }.toDF("f", "mn", "mx")
+    val probed = source.select(col("key")).distinct()
+      .join(broadcast(rangesDf),
+        col("key") >= col("mn") && col("key") <= col("mx"))
+      .select($"f").distinct().as[String].collect().toSet
+    val touchedSet = ranged.collect {
+      case (f, None) => f                    // no stats: conservative
+      case (f, Some(_)) if probed.contains(f) => f
+    }.toSet
+    val untouched = dataEntries(lines).filterNot(touchedSet.contains)
+    val v = cur + 1
+    val slice =
+      if (touchedSet.isEmpty) readVersion(s, dir, cur).limit(0)
+      else readLines(s, dir,
+        lines.filter(l => l.startsWith("dv:") || touchedSet.contains(l)),
+        mergeSchema = false)
+    // the three-clause arbitration (operators.Extras.mergeArbitrate's
+    // algebra, restated over the touched slice): unmatched target rows
+    // pass, matched upserts accumulate, deletes drop, unmatched source
+    // upserts insert
+    val tmp = dir + "_snapmerge_tmp"
+    slice.select(col(keyCol).as("key"), col(balCol).as("bal"))
+      .join(source, Seq("key"), "full_outer")
+      .filter(col("action").isNull || col("action") =!= "delete")
+      .select(col("key").as(keyCol),
+        when(col("action").isNull, col("bal"))
+          .when(col("bal").isNotNull, col("bal") + col("amt"))
+          .otherwise(col("amt")).as(balCol))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val moved = moveRewrite(s, dir, tmp, "merge", v,
+      keepOneIfAllEmpty = untouched.isEmpty)
+    commitManifest(dir, v,
+      lines.filterNot(touchedSet.contains) ++ moved)
+    (v, touchedSet.size, untouched.size)
+  }
+
   /** COPY-ON-WRITE DELETE of a key range — the lakehouse row-delete
     * over immutable parquet: footer stats split the live file set into
     * TOUCHED (range intersects — rewritten without the deleted rows)
@@ -456,37 +523,10 @@ object SnapshotLog {
             org.apache.spark.sql.functions.col(column).between(lo, hi),
             org.apache.spark.sql.functions.lit(false)))
           .write.mode(SaveMode.Overwrite).parquet(tmp)
-        val allParts = Option(new java.io.File(tmp).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.getName.endsWith(".parquet") &&
-            !f.getName.startsWith("."))
-        // drop zero-row outputs (no stats -> conservatively rewritten
-        // forever) — but if the delete emptied EVERYTHING and nothing
-        // was untouched, keep ONE empty file so the committed version
-        // stays readable (schema-carrying) instead of an uninferrable
-        // zero-path scan (round-17 review)
-        val nonEmpty = allParts
-          .filter(f => footerRowCount(s, f.getAbsolutePath) > 0)
-        val parts =
-          if (nonEmpty.isEmpty && untouched.isEmpty) allParts.take(1)
-          else nonEmpty
-        val moved = parts.zipWithIndex.map { case (f, i) =>
-          val name = f"delete-v$v%05d-p$i%05d.parquet"
-          val target = java.nio.file.Paths.get(dir, name)
-          // a crashed prior attempt may have left an orphan under this
-          // exact name; it is referenced by no manifest (v was never
-          // committed), so replacing it is safe — and ATOMIC_MOVE onto
-          // an existing target is implementation-specific, so clear it
-          // explicitly (round-17 review)
-          java.nio.file.Files.deleteIfExists(target)
-          java.nio.file.Files.move(f.toPath, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          name
-        }.toSeq
-        Option(new java.io.File(tmp).listFiles())
-          .foreach(_.foreach(_.delete()))
-        new java.io.File(tmp).delete()
-        moved
+        // keep one empty file only when the delete emptied EVERYTHING
+        // and nothing untouched carries the schema (round-17 review)
+        moveRewrite(s, dir, tmp, "delete", v,
+          keepOneIfAllEmpty = untouched.isEmpty)
       }
     // untouched lines keep their order (and their masking dv entries);
     // the rewritten files append at the END — after every dv, since

@@ -273,6 +273,33 @@ class SnapshotLogSpec extends SparkSpec {
     assert(rows(dir, v6) === Set(1L, 3L, 101L))
   }
 
+  test("persisted merge: per-key probe rewrites only the owning file; inserts ride the rewrite; history intact") {
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(101L, 102L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(201L, 202L)).coalesce(1), dir)
+    // update 101 (+5), delete 102, insert 9999 (matches no file range
+    // — the per-key probe must NOT drag file 3 in the way an interval
+    // hull [101, 9999] would)
+    val src = Seq((101L, 5.0, "upsert"), (102L, 0.0, "delete"),
+      (9999L, 77.0, "upsert")).toDF("key", "amt", "action")
+    val (v, rewritten, kept) = SnapshotLog.mergeInto(spark, dir, src, "k", "x")
+    assert(v === 4 && rewritten === 1 && kept === 2,
+      s"merge granularity: rewrote $rewritten, kept $kept")
+    val merged = SnapshotLog.readVersion(spark, dir, 4)
+      .select($"k", $"x").as[(Long, Double)].collect().toMap
+    assert(merged === Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0,
+      101L -> 1015.0, 201L -> 2010.0, 202L -> 2020.0, 9999L -> 77.0),
+      s"got $merged")
+    // pre-merge version still reads the deleted/pre-update rows
+    assert(rows(dir, 3) === Set(1L, 2L, 3L, 101L, 102L, 201L, 202L))
+    // a merge whose source matches nothing rewrites nothing
+    val far = Seq((55555L, 1.0, "upsert")).toDF("key", "amt", "action")
+    val (v5, rw5, kp5) = SnapshotLog.mergeInto(spark, dir, far, "k", "x")
+    assert(rw5 === 0 && kp5 === 3 &&
+      rows(dir, v5).contains(55555L), s"insert-only merge rw=$rw5 kp=$kp5")
+  }
+
   test("delete-everything keeps the version readable; NULL-key rows survive a range delete") {
     // deleting every row used to commit an empty manifest (all
     // zero-row rewrite outputs dropped) whose read failed with an
