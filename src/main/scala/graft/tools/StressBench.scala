@@ -444,7 +444,11 @@ object StressBench {
       // q108: the MoR delete writes O(matched keys) and rewrites
       // nothing; the read adds one broadcast-sized anti-join — both
       // independent of table size past the pruned key scan
-      "q108_mor_delete"
+      "q108_mor_delete," +
+      // q109: the persisted merge rewrites the one file owning the
+      // feed's key range + appends the inserts; the probe is O(files)
+      // footer metadata — near-flat like the delete pair
+      "q109_merge_persisted"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()
