@@ -1278,7 +1278,12 @@ object Extras {
     * persisted merge prove it rewrote ONE file. */
   private[graft] def timeTravelStoreMerge(s: SparkSession,
                                           d: String): String =
-    memoizedArtifact(s, "graft_ttm", d, Seq("customer.parquet"),
+    // BOTH source tables fingerprint the artifact: the base build reads
+    // customer, but the committed v4 (ensureTtmVersion4's merge) derives
+    // from orders — declaring only one would freeze q109 on a stale
+    // feed after a partial fixture refresh (round-17 review)
+    memoizedArtifact(s, "graft_ttm", d,
+        Seq("customer.parquet", "orders.parquet"),
         localPath = true) { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       val base = mergeTarget(s, d)

@@ -441,13 +441,18 @@ object SnapshotLog {
     import s.implicits._
     val cur = latestVersion(dir)
     val lines = manifest(dir, cur)
+    // ONE materialization of the source feed: the probe and the
+    // rewrite join both consume it, and without the checkpoint the
+    // whole feed pipeline would compute twice — and a nondeterministic
+    // feed could even disagree with its own probe (round-17 review)
+    val src = source.localCheckpoint()
     val ranged = dataEntries(lines)
       .map(f => f -> footerRange(s, dir, f, keyCol))
     // per-key probe of the O(files) footer ranges: an O(files) control
     // read, the same planning metadata every stats-driven op here uses
     val rangesDf = ranged.collect { case (f, Some((mn, mx))) =>
       (f, mn, mx) }.toDF("f", "mn", "mx")
-    val probed = source.select(col("key")).distinct()
+    val probed = src.select(col("key")).distinct()
       .join(broadcast(rangesDf),
         col("key") >= col("mn") && col("key") <= col("mx"))
       .select($"f").distinct().as[String].collect().toSet
@@ -462,16 +467,20 @@ object SnapshotLog {
       else readLines(s, dir,
         lines.filter(l => l.startsWith("dv:") || touchedSet.contains(l)),
         mergeSchema = false)
-    // the three-clause arbitration (operators.Extras.mergeArbitrate's
-    // algebra, restated over the touched slice): unmatched target rows
-    // pass, matched upserts accumulate, deletes drop, unmatched source
+    // the arbitration (operators.Extras.mergeArbitrate's algebra,
+    // restated over the touched slice — ALL FOUR actions, incl. the
+    // 'replace' the CDC sequential-apply collapse emits, so persisting
+    // that feed through mergeInto stays correct, round-17 review):
+    // unmatched target rows pass, 'replace' restarts the balance,
+    // matched upserts accumulate, deletes drop, unmatched source
     // upserts insert
     val tmp = dir + "_snapmerge_tmp"
     slice.select(col(keyCol).as("key"), col(balCol).as("bal"))
-      .join(source, Seq("key"), "full_outer")
+      .join(src, Seq("key"), "full_outer")
       .filter(col("action").isNull || col("action") =!= "delete")
       .select(col("key").as(keyCol),
         when(col("action").isNull, col("bal"))
+          .when(col("action") === "replace", col("amt"))
           .when(col("bal").isNotNull, col("bal") + col("amt"))
           .otherwise(col("amt")).as(balCol))
       .write.mode(SaveMode.Overwrite).parquet(tmp)

@@ -293,11 +293,22 @@ class SnapshotLogSpec extends SparkSpec {
       s"got $merged")
     // pre-merge version still reads the deleted/pre-update rows
     assert(rows(dir, 3) === Set(1L, 2L, 3L, 101L, 102L, 201L, 202L))
-    // a merge whose source matches nothing rewrites nothing
+    // a merge whose source matches nothing rewrites nothing; the kept
+    // count is whatever v4 committed (the rewrite's part-file count is
+    // an engine detail, not a contract)
+    val v4files = SnapshotLog.dataEntries(SnapshotLog.manifest(dir, 4)).size
     val far = Seq((55555L, 1.0, "upsert")).toDF("key", "amt", "action")
     val (v5, rw5, kp5) = SnapshotLog.mergeInto(spark, dir, far, "k", "x")
-    assert(rw5 === 0 && kp5 === 3 &&
+    assert(rw5 === 0 && kp5 === v4files &&
       rows(dir, v5).contains(55555L), s"insert-only merge rw=$rw5 kp=$kp5")
+    // the 'replace' action (the CDC sequential-apply collapse's output)
+    // RESTARTS the balance instead of accumulating onto it
+    val rep = Seq((101L, 7.0, "replace")).toDF("key", "amt", "action")
+    val (v6, _, _) = SnapshotLog.mergeInto(spark, dir, rep, "k", "x")
+    val after = SnapshotLog.readVersion(spark, dir, v6)
+      .select($"k", $"x").as[(Long, Double)].collect().toMap
+    assert(after(101L) === 7.0,
+      s"replace accumulated instead of restarting: ${after(101L)}")
   }
 
   test("delete-everything keeps the version readable; NULL-key rows survive a range delete") {
