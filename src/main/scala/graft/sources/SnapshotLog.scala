@@ -9,40 +9,69 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Design (the Delta/Iceberg metadata layer in miniature, file-list
   * manifests instead of JSON actions):
   *  - every committed version is a manifest under `_graft_log/`
-  *    (`v00001.manifest`, ...) listing EXACTLY the data files that make
-  *    up that snapshot, one name per line;
-  *  - an APPEND commit writes manifest N+1 = manifest N's files + the
-  *    files the append added (the sink's job commit names them);
+  *    (`v00001.manifest`, ...); a FULL manifest lists EXACTLY the data
+  *    files that make up that snapshot, one name per line; a DELTA
+  *    manifest (header `#delta`) lists only `+name`/`-name` edits
+  *    against version N−1, and a full CHECKPOINT manifest is forced
+  *    every [[CheckpointEvery]] versions so resolving any version costs
+  *    one O(files) read plus at most K−1 O(edit) reads — without the
+  *    checkpoints the log itself would grow O(versions × files), the
+  *    scale bottleneck of a naive file-list log (Delta's checkpoint /
+  *    Iceberg's manifest-list idea, in miniature);
+  *  - an APPEND commit's delta is `+` lines for the files the sink's
+  *    job commit added;
   *  - a COMPACTION commit rewrites the live set into fewer files and
-  *    writes manifest N+1 = the compacted files ONLY — the replaced
-  *    originals stay on disk untouched, which is precisely what keeps
-  *    versions 1..N readable after the rewrite (contrast
+  *    commits a full manifest of the compacted files ONLY — the
+  *    replaced originals stay on disk untouched, which is precisely
+  *    what keeps versions 1..N readable after the rewrite (contrast
   *    `Maintenance.compact`, which swaps in place and keeps no history);
-  *  - a manifest is written tmp-then-ATOMIC_MOVE, and always LAST — a
-  *    crash mid-compaction leaves data files with no manifest pointing
-  *    at them: every committed version still reads exactly as before,
-  *    and [[vacuum]] sweeps the orphans (same marker-last discipline as
-  *    the ingest-layout fingerprints);
+  *  - the version commit is a tmp write + atomic hard-link CLAIM of the
+  *    bare `vNNNNN.manifest` name (create-if-absent — the putIfAbsent
+  *    protocol Delta requires of its log store), and always LAST: of
+  *    two racing writers committing the same version exactly ONE wins
+  *    and the loser fails loud with a conflict, cross-process, because
+  *    link creation is atomic on the filesystem — a streamed append's
+  *    batchId rides the manifest BODY (`#batch=` header), never the
+  *    name, so differently-tagged commits of one version still collide
+  *    on the claim (the round-17 duplicate-version hole);
+  *  - every rewrite (compaction / COW delete / merge / deletion
+  *    vector) writes its output under names carrying a per-attempt
+  *    random token, so two concurrent rewriters can NEVER overwrite
+  *    each other's data files — the loser of the manifest claim leaves
+  *    unreferenced orphans, exactly what a crashed attempt leaves, and
+  *    [[vacuum]] sweeps both (immutable uniquely-named data + one
+  *    atomic metadata commit: the lakehouse concurrency discipline);
+  *  - a crash mid-compaction leaves data files with no manifest
+  *    pointing at them: every committed version still reads exactly as
+  *    before, and [[vacuum]] sweeps the orphans (same marker-last
+  *    discipline as the ingest-layout fingerprints);
   *  - [[vacuum]] deletes data files referenced ONLY by versions below
   *    `retainFrom` (and their manifests) — the storage-cost knob that
-  *    bounds history, run explicitly like Delta's VACUUM.
+  *    bounds history, run explicitly like Delta's VACUUM. If the
+  *    retention boundary is a delta manifest, vacuum first MATERIALIZES
+  *    it to a full manifest so every retained chain still resolves.
   *
-  * Scale shape: manifests are O(files) metadata text; no data is ever
-  * copied at commit time; a snapshot read plans a plain multi-file
-  * parquet scan (pushdown/pruning intact). Local-FS atomic moves stand
-  * in for the object-store rename a cluster deployment routes through
-  * its committer, as with ParquetBatchSink itself.
+  * Scale shape: manifests are O(files) metadata text at checkpoints and
+  * O(edits) between; no data is ever copied at commit time; a snapshot
+  * read plans a plain multi-file parquet scan (pushdown/pruning
+  * intact). Local-FS atomic link/rename stands in for the object-store
+  * putIfAbsent a cluster deployment routes through its committer, as
+  * with ParquetBatchSink itself.
   */
 object SnapshotLog {
   import scala.jdk.CollectionConverters._
 
+  /** A full checkpoint manifest is forced once every this many
+    * versions; between checkpoints commits may be O(edit) deltas. */
+  private val CheckpointEvery = 10
+
   private def logDir(dir: String) = java.nio.file.Paths.get(dir, "_graft_log")
 
-  /** Manifest name: `v00001.manifest`, or `v00001-b000000.manifest`
-    * for a version committed by a streaming micro-batch — the batchId
-    * rides the SAME atomic rename as the version commit, which is what
-    * makes the streamed append exactly-once (a separate batch marker
-    * would open a crash window between the two writes). */
+  /** Manifest name: `v00001.manifest`. The legacy `-b000000` batchId
+    * suffix is still READ (stores written before the header format),
+    * but never written: the batchId now rides the `#batch=` body
+    * header so racing commits of one version collide on the bare
+    * name's atomic claim regardless of their batch tags. */
   private val ManifestName = """v(\d+)(?:-b(\d+))?\.manifest""".r
 
   private def manifestNames(dir: String): Seq[String] = {
@@ -70,10 +99,31 @@ object SnapshotLog {
     manifestNames(dir)
       .collect { case ManifestName(v, _) => v.toInt }.sorted
 
+  /** One manifest file, parsed: (batchId header, isDelta, body lines). */
+  private def readManifestFile(dir: String, v: Int)
+      : (Option[Long], Boolean, Seq[String]) = {
+    val p = manifestPath(dir, v)
+    require(java.nio.file.Files.exists(p),
+      s"no version $v at $dir (have ${versions(dir).mkString(",")})" +
+        " — vacuumed or never committed")
+    val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val (headers, body) = raw.partition(_.startsWith("#"))
+    val headerBatch = headers.collectFirst {
+      case h if h.startsWith("#batch=") => h.stripPrefix("#batch=").toLong
+    }
+    // legacy stores carried the batchId in the file NAME
+    val nameBatch = p.getFileName.toString match {
+      case ManifestName(_, b) if b != null => Some(b.toLong)
+      case _                               => None
+    }
+    (headerBatch.orElse(nameBatch), headers.contains("#delta"), body)
+  }
+
   /** The (batchId, version) pairs committed by streamed appends. */
   private def batchVersions(dir: String): Map[Long, Int] =
-    manifestNames(dir).collect {
-      case ManifestName(v, b) if b != null => b.toLong -> v.toInt
+    versions(dir).flatMap { v =>
+      readManifestFile(dir, v)._1.map(_ -> v)
     }.toMap
 
   def latestVersion(dir: String): Int = {
@@ -82,17 +132,40 @@ object SnapshotLog {
     vs.max
   }
 
-  /** The manifest entries of version `v`: plain data-file names, plus
-    * `dv:<column>:<file>` deletion-vector entries (merge-on-read
-    * deletes — see [[deleteWhereMoR]]). */
-  def manifest(dir: String, v: Int): Seq[String] = {
-    val p = manifestPath(dir, v)
-    require(java.nio.file.Files.exists(p),
-      s"no version $v at $dir (have ${versions(dir).mkString(",")})" +
-        " — vacuumed or never committed")
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  /** Apply a delta manifest's `+name`/`-name` edits to the previous
+    * version's resolved line list: removals drop their lines wherever
+    * they sit (order of the kept lines is preserved — a `dv:` entry
+    * keeps masking exactly the files committed before it), additions
+    * append at the END in delta order (exactly where every commit here
+    * appends, after every existing dv). */
+  private def applyDelta(prev: Seq[String], edits: Seq[String]): Seq[String] = {
+    val removed = edits.collect {
+      case e if e.startsWith("-") => e.substring(1) }.toSet
+    val added = edits.collect { case e if e.startsWith("+") => e.substring(1) }
+    require(removed.size + added.size == edits.size,
+      s"malformed delta edits: ${edits.filterNot(e =>
+        e.startsWith("+") || e.startsWith("-"))}")
+    prev.filterNot(removed.contains) ++ added
   }
+
+  /** The manifest entries of version `v`, RESOLVED (delta chains are
+    * applied onto their checkpoint base): plain data-file names, plus
+    * `dv:<column>:<file>` deletion-vector entries (merge-on-read
+    * deletes — see [[deleteWhereMoR]]). Cost: one O(files) checkpoint
+    * read + at most [[CheckpointEvery]]−1 O(edit) delta reads. */
+  def manifest(dir: String, v: Int): Seq[String] = {
+    val (_, isDelta, body) = readManifestFile(dir, v)
+    if (!isDelta) body
+    else applyDelta(manifest(dir, v - 1), body)
+  }
+
+  /** Delta-chain length ending at version `v` (0 if `v` is a full
+    * checkpoint manifest) — what the commit path consults to force a
+    * checkpoint every [[CheckpointEvery]] versions. */
+  private def deltaDepth(dir: String, v: Int): Int =
+    if (v < 1) 0
+    else if (!readManifestFile(dir, v)._2) 0
+    else 1 + deltaDepth(dir, v - 1)
 
   /** A manifest's plain data-file names (deletion vectors excluded). */
   private[graft] def dataEntries(lines: Seq[String]): Seq[String] =
@@ -111,25 +184,53 @@ object SnapshotLog {
   private def referencedFiles(lines: Seq[String]): Seq[String] =
     dataEntries(lines) ++ dvEntries(lines).map(_._2)
 
-  /** Commit `lines` as version `v` — tmp write + atomic move, the LAST
-    * step of any append/compaction so a crash before it leaves every
-    * committed version intact. Line ORDER is semantic and preserved:
-    * a `dv:` deletion-vector entry masks only the data files listed
-    * BEFORE it, so rows re-inserted by a later append stay visible. */
-  private def commitManifest(dir: String, v: Int, lines: Seq[String],
-                             batchId: Option[Long] = None): Unit = {
+  /** Commit version `v` — tmp write + ATOMIC CLAIM of the bare
+    * manifest name, the LAST step of any append/compaction so a crash
+    * before it leaves every committed version intact. The claim is a
+    * hard-link creation (create-if-absent): of two writers racing the
+    * same version — in-process or CROSS-PROCESS — exactly one wins;
+    * the loser gets a conflict error and its data files stay
+    * unreferenced orphans for [[vacuum]].
+    *
+    * `lines` is always the FULL resolved list; when `delta` is given
+    * and the chain since the last checkpoint is short enough, only the
+    * O(edit) delta body is written (the full list is still what
+    * [[manifest]] resolves to — asserted here at commit time, so a
+    * divergent delta can never be committed). Line ORDER is semantic
+    * and preserved: a `dv:` deletion-vector entry masks only the data
+    * files listed BEFORE it, so rows re-inserted by a later append
+    * stay visible. */
+  private[graft] def commitManifest(dir: String, v: Int, lines: Seq[String],
+                                    batchId: Option[Long] = None,
+                                    delta: Option[Seq[String]] = None): Unit = {
     require(v == versions(dir).lastOption.getOrElse(0) + 1,
       s"version $v is not the next version at $dir")
     java.nio.file.Files.createDirectories(logDir(dir))
-    val name = batchId match {
-      case Some(b) => f"v$v%05d-b$b%06d.manifest"
-      case None    => f"v$v%05d.manifest"
+    val asDelta = delta.isDefined && v > 1 &&
+      deltaDepth(dir, v - 1) + 1 < CheckpointEvery
+    if (asDelta) {
+      val check = applyDelta(manifest(dir, v - 1), delta.get)
+      require(check == lines,
+        s"delta for version $v does not resolve to its full line list")
     }
-    val tmp = logDir(dir).resolve(f"v$v%05d.tmp")
+    val headers = batchId.map(b => s"#batch=$b").toSeq ++
+      (if (asDelta) Seq("#delta") else Seq.empty)
+    val body = headers ++ (if (asDelta) delta.get else lines)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = logDir(dir).resolve(f"v$v%05d.$token.tmp")
     java.nio.file.Files.write(tmp,
-      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, logDir(dir).resolve(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      (body.mkString("\n") + "\n").getBytes("UTF-8"))
+    val target = logDir(dir).resolve(f"v$v%05d.manifest")
+    try java.nio.file.Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"version $v at $dir was concurrently committed by another " +
+            "writer — this commit lost the claim; its files are " +
+            "unreferenced orphans (vacuum sweeps them)")
+    }
+    java.nio.file.Files.deleteIfExists(tmp)
   }
 
   /** Evaluate an ordered manifest-line sequence into a DataFrame:
@@ -178,16 +279,17 @@ object SnapshotLog {
 
   /** Append `df` through the sink's two-phase commit and commit the
     * next version = previous files + exactly the files this append
-    * moved in. Returns the new version number. */
+    * moved in (an O(edit) delta manifest between checkpoints).
+    * Returns the new version number. */
   def appendVersion(df: DataFrame, dir: String): Int = {
     val before = dataFiles(dir)
     df.write.format("graft.sources.ParquetBatchSink")
       .option("path", dir).mode(SaveMode.Append).save()
-    val added = (dataFiles(dir) -- before).toSeq
+    val added = (dataFiles(dir) -- before).toSeq.sorted
     require(added.nonEmpty, "append committed no files")
     val prev = versions(dir).lastOption.map(manifest(dir, _)).getOrElse(Seq())
     val v = versions(dir).lastOption.getOrElse(0) + 1
-    commitManifest(dir, v, prev ++ added)
+    commitManifest(dir, v, prev ++ added, delta = Some(added.map("+" + _)))
     v
   }
 
@@ -200,8 +302,8 @@ object SnapshotLog {
     *    attempt's files stay invisible orphans until [[vacuum]];
     *  - crash AFTER the manifest commit but before the checkpoint
     *    commit → the replayed trigger finds its own batchId already
-    *    committed (the id rides the manifest's atomic rename) and
-    *    no-ops — never a duplicate append;
+    *    committed (the id rides the manifest's atomic claim, as a
+    *    `#batch=` body header) and no-ops — never a duplicate append;
     *  - a fresh checkpoint over an old store restarts batch numbering
     *    below the committed high-water mark → fail loud (the
     *    mergeApplyStream stale-generation discipline). */
@@ -242,11 +344,12 @@ object SnapshotLog {
       val before = dataFiles(dir)
       batch.write.format("graft.sources.ParquetBatchSink")
         .option("path", dir).mode(SaveMode.Append).save()
-      val added = (dataFiles(dir) -- before).toSeq
+      val added = (dataFiles(dir) -- before).toSeq.sorted
       val prev = versions(dir).lastOption
         .map(manifest(dir, _)).getOrElse(Seq())
       val v = versions(dir).lastOption.getOrElse(0) + 1
-      commitManifest(dir, v, prev ++ added, Some(batchId))
+      commitManifest(dir, v, prev ++ added, Some(batchId),
+        delta = Some(added.map("+" + _)))
       v
     }
   }
@@ -265,11 +368,14 @@ object SnapshotLog {
 
   /** The data-file rewrite HALF of a compaction: read the latest
     * snapshot, rewrite it into ~targetBytes files under distinct
-    * `compact-v<next>-` names, move them into the table directory, and
+    * per-attempt names, move them into the table directory, and
     * return their names WITHOUT committing. Factored out so the
     * crash-mid-compaction spec can stop exactly here — data files in
     * place, no manifest — and prove every committed version still
-    * reads identically. */
+    * reads identically. The read MERGES file schemas: on a
+    * schema-evolved store the compacted output materializes the
+    * evolved column (NULLs where a file predated it) instead of
+    * nondeterministically dropping it (round-17 advice #1). */
   private[graft] def writeCompacted(s: SparkSession, dir: String,
                                     targetBytes: Long,
                                     clusterBy: Option[String] = None)
@@ -280,8 +386,8 @@ object SnapshotLog {
       new java.io.File(dir, f).length()).sum
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = dir + s"_snapcompact_tmp"
-    val src = readVersion(s, dir, cur)
+    val tmp = dir + s"_snapcompact_tmp" + rewriteToken()
+    val src = readVersion(s, dir, cur, mergeSchema = true)
     val shaped = clusterBy match {
       // range-partition THEN sort within (Maintenance.compact's
       // clustering): each compacted file owns a contiguous key range,
@@ -301,7 +407,9 @@ object SnapshotLog {
   /** Compact the latest snapshot into ~targetBytes files as a NEW
     * version (replaced originals stay on disk so every prior version
     * keeps reading); `clusterBy` keeps the rewrite range-clustered so
-    * data skipping survives it. Returns the new version number. */
+    * data skipping survives it. Commits a full checkpoint manifest
+    * (its content is the whole live set anyway). Returns the new
+    * version number. */
   def compactVersion(s: SparkSession, dir: String,
                      targetBytes: Long = 128L * 1024 * 1024,
                      clusterBy: Option[String] = None): Int = {
@@ -390,14 +498,23 @@ object SnapshotLog {
     finally r.close()
   }
 
+  /** Per-attempt random token for rewrite outputs: data files are
+    * IMMUTABLE and uniquely named, so two concurrent rewriters (or a
+    * crashed attempt and its retry) can never overwrite each other —
+    * the round-17 advice #2 hole, where `deleteIfExists` on a
+    * deterministic target name let the loser of a commit race destroy
+    * the winner's just-committed data. Losers/crashes leave orphans;
+    * [[vacuum]] sweeps them. */
+  private def rewriteToken(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   /** The shared rewrite-commit tail of compaction / COW delete /
     * merge: collect the tmp write's part files, drop zero-row outputs
     * (no stats — every later stats-planned operation would
     * conservatively scan/rewrite them forever), keep one if EVERYTHING
     * is empty and nothing else carries the schema, and move each under
-    * a distinct versioned name (clearing a crashed prior attempt's
-    * same-named orphans — ATOMIC_MOVE onto an existing target is
-    * implementation-specific). */
+    * a distinct per-attempt name (never overwriting: committed data is
+    * immutable). */
   private def moveRewrite(s: SparkSession, dir: String, tmp: String,
                           prefix: String, v: Int,
                           keepOneIfAllEmpty: Boolean): Seq[String] = {
@@ -410,10 +527,10 @@ object SnapshotLog {
     val parts =
       if (nonEmpty.isEmpty && keepOneIfAllEmpty) allParts.take(1)
       else nonEmpty
-    val moved = parts.zipWithIndex.map { case (f, i) =>
-      val name = f"$prefix-v$v%05d-p$i%05d.parquet"
+    val token = rewriteToken()
+    val moved = parts.sortBy(_.getName).zipWithIndex.map { case (f, i) =>
+      val name = f"$prefix-v$v%05d-$token-p$i%05d.parquet"
       val target = java.nio.file.Paths.get(dir, name)
-      java.nio.file.Files.deleteIfExists(target)
       java.nio.file.Files.move(f.toPath, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       name
@@ -432,11 +549,70 @@ object SnapshotLog {
     * touch nothing); touched files rewrite through a full-outer
     * arbitration with the source (matched-update / matched-delete /
     * not-matched-insert), untouched files share verbatim into the new
-    * manifest as the implicit 'kept' clause. Target shape (keyCol:
-    * long, balCol: double); source shape (key, amt, action). Returns
-    * (newVersion, filesRewritten, filesKept). */
+    * manifest as the implicit 'kept' clause. Target shape: `keyCol`
+    * long, `balCol` double; any OTHER columns the touched files carry
+    * ride the rewrite untouched (mergeSchema read — an evolved column
+    * is never dropped; inserts get NULLs for it). Source shape (key,
+    * amt, action). Returns (newVersion, filesRewritten, filesKept). */
   def mergeInto(s: SparkSession, dir: String, source: DataFrame,
-                keyCol: String, balCol: String): (Int, Int, Int) = {
+                keyCol: String, balCol: String): (Int, Int, Int) =
+    mergeIntoArbitrated(s, dir, source, keyCol, balCol) { (tgt, src) =>
+      import org.apache.spark.sql.functions._
+      // the arbitration (operators.Extras.mergeArbitrate's algebra,
+      // restated over the touched slice — ALL FOUR actions, incl. the
+      // 'replace' the CDC sequential-apply collapse emits, so
+      // persisting that feed through mergeInto stays correct):
+      // unmatched target rows pass, 'replace' restarts the balance,
+      // matched upserts accumulate, deletes drop, unmatched source
+      // upserts insert
+      tgt.join(src, Seq("key"), "full_outer")
+        .filter(col("action").isNull || col("action") =!= "delete")
+        .withColumn("bal",
+          when(col("action").isNull, col("bal"))
+            .when(col("action") === "replace", col("amt"))
+            .when(col("bal").isNotNull, col("bal") + col("amt"))
+            .otherwise(col("amt")))
+    }
+
+  /** [[mergeInto]] with CONDITIONAL matched clauses — the
+    * `WHEN MATCHED AND <predicate> THEN ...` surface of a real MERGE
+    * INTO, with first-match-wins clause ordering (q110's batch
+    * algebra, persisted):
+    *   1. WHEN MATCHED AND action = 'delete'  THEN DELETE
+    *   2. WHEN MATCHED AND bal < 0            THEN UPDATE SET bal = amt
+    *   3. WHEN MATCHED                        THEN UPDATE SET bal = bal + amt
+    *   4. WHEN NOT MATCHED AND action <> 'delete' THEN INSERT (amt)
+    * Clause 2 SHADOWS clause 3 for delinquent balances — the ordering
+    * semantics a single-CASE arbitration can't fake. Same file
+    * granularity and column preservation as [[mergeInto]]. */
+  def mergeIntoConditional(s: SparkSession, dir: String, source: DataFrame,
+                           keyCol: String, balCol: String): (Int, Int, Int) =
+    mergeIntoArbitrated(s, dir, source, keyCol, balCol) { (tgt, src) =>
+      import org.apache.spark.sql.functions._
+      // every 'delete' action drops its row — matched ones by clause 1,
+      // unmatched ones by clause 4's AND-predicate — so the filter is
+      // one expression; the CLAUSE ORDERING lives in the bal ladder
+      // (first-match-wins, clause 2 shadowing clause 3). A NULL target
+      // balance reads as unmatched (the mergeArbitrate convention).
+      tgt.join(src, Seq("key"), "full_outer")
+        .filter(col("action").isNull || col("action") =!= "delete")
+        .withColumn("bal",
+          when(col("action").isNull, col("bal"))           // kept
+            .when(col("bal").isNull, col("amt"))           // 4: INSERT
+            .when(col("bal") < 0, col("amt"))              // 2: reset
+            .otherwise(col("bal") + col("amt")))           // 3: accumulate
+    }
+
+  /** The shared file-granularity machinery of the merge family: the
+    * per-key footer probe picks the touched files, `arbitrate` (over a
+    * slice whose columns are `key`, `bal`, then any extra columns the
+    * files carry) produces the rewritten rows, untouched files share
+    * verbatim, and the commit is an O(edit) delta manifest. */
+  private def mergeIntoArbitrated(s: SparkSession, dir: String,
+                                  source: DataFrame,
+                                  keyCol: String, balCol: String)
+                                 (arbitrate: (DataFrame, DataFrame) => DataFrame)
+      : (Int, Int, Int) = {
     import org.apache.spark.sql.functions._
     import s.implicits._
     val cur = latestVersion(dir)
@@ -462,32 +638,32 @@ object SnapshotLog {
     }.toSet
     val untouched = dataEntries(lines).filterNot(touchedSet.contains)
     val v = cur + 1
+    // the slice MERGES file schemas (round-17 advice #1): an evolved
+    // column some touched files carry must survive the rewrite, not be
+    // dropped because schema inference sampled a pre-evolution file
     val slice =
       if (touchedSet.isEmpty) readVersion(s, dir, cur).limit(0)
       else readLines(s, dir,
         lines.filter(l => l.startsWith("dv:") || touchedSet.contains(l)),
-        mergeSchema = false)
-    // the arbitration (operators.Extras.mergeArbitrate's algebra,
-    // restated over the touched slice — ALL FOUR actions, incl. the
-    // 'replace' the CDC sequential-apply collapse emits, so persisting
-    // that feed through mergeInto stays correct, round-17 review):
-    // unmatched target rows pass, 'replace' restarts the balance,
-    // matched upserts accumulate, deletes drop, unmatched source
-    // upserts insert
-    val tmp = dir + "_snapmerge_tmp"
-    slice.select(col(keyCol).as("key"), col(balCol).as("bal"))
-      .join(src, Seq("key"), "full_outer")
-      .filter(col("action").isNull || col("action") =!= "delete")
-      .select(col("key").as(keyCol),
-        when(col("action").isNull, col("bal"))
-          .when(col("action") === "replace", col("amt"))
-          .when(col("bal").isNotNull, col("bal") + col("amt"))
-          .otherwise(col("amt")).as(balCol))
+        mergeSchema = true)
+    val extras = slice.columns.toSeq
+      .filterNot(c => c == keyCol || c == balCol)
+    require(!extras.exists(Set("key", "bal", "amt", "action")),
+      s"target columns collide with the merge-source shape: $extras")
+    val shaped = slice.select(
+      (Seq(col(keyCol).as("key"), col(balCol).as("bal")) ++
+        extras.map(col)): _*)
+    val tmp = dir + "_snapmerge_tmp" + rewriteToken()
+    arbitrate(shaped, src)
+      .select((Seq(col("key").as(keyCol), col("bal").as(balCol)) ++
+        extras.map(col)): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val moved = moveRewrite(s, dir, tmp, "merge", v,
       keepOneIfAllEmpty = untouched.isEmpty)
     commitManifest(dir, v,
-      lines.filterNot(touchedSet.contains) ++ moved)
+      lines.filterNot(touchedSet.contains) ++ moved,
+      delta = Some(touchedSet.toSeq.sorted.map("-" + _) ++
+        moved.map("+" + _)))
     (v, touchedSet.size, untouched.size)
   }
 
@@ -495,7 +671,7 @@ object SnapshotLog {
     * over immutable parquet: footer stats split the live file set into
     * TOUCHED (range intersects — rewritten without the deleted rows)
     * and UNTOUCHED (shared verbatim into the new manifest, zero IO);
-    * the commit is the usual atomic manifest rename, so a crash
+    * the commit is the usual atomic manifest claim, so a crash
     * mid-rewrite leaves orphans and an intact table, and every prior
     * version still reads the deleted rows (time travel is the undo).
     * At 100 TB this is the difference between rewriting the table and
@@ -517,17 +693,19 @@ object SnapshotLog {
     val rewritten =
       if (touched.isEmpty) Seq.empty[String]
       else {
-        val tmp = dir + "_snapdelete_tmp"
+        val tmp = dir + "_snapdelete_tmp" + rewriteToken()
         // a NULL key is NOT in [lo, hi]: the predicate must be
         // not-TRUE (Delta/Iceberg DELETE WHERE semantics), or the
         // three-valued filter would silently erase NULL-key rows from
         // every rewritten file (round-17 review). The touched files
         // are read with their applicable deletion vectors (the ordered
         // subsequence), so a COW rewrite after a MoR delete never
-        // resurrects MoR-deleted rows.
+        // resurrects MoR-deleted rows. The read MERGES file schemas
+        // (round-17 advice #1): an evolved column is preserved through
+        // the rewrite, never silently dropped.
         readLines(s, dir,
             lines.filter(l => l.startsWith("dv:") || touchedSet.contains(l)),
-            mergeSchema = false)
+            mergeSchema = true)
           .filter(!org.apache.spark.sql.functions.coalesce(
             org.apache.spark.sql.functions.col(column).between(lo, hi),
             org.apache.spark.sql.functions.lit(false)))
@@ -541,7 +719,8 @@ object SnapshotLog {
     // the rewritten files append at the END — after every dv, since
     // their rows already have all deletions applied
     commitManifest(dir, v,
-      lines.filterNot(touchedSet.contains) ++ rewritten)
+      lines.filterNot(touchedSet.contains) ++ rewritten,
+      delta = Some(touched.map("-" + _) ++ rewritten.map("+" + _)))
     (v, touched.size, untouched.size)
   }
 
@@ -570,7 +749,8 @@ object SnapshotLog {
     }
     val v = cur + 1
     if (touched.isEmpty) {
-      commitManifest(dir, v, lines) // nothing matches: a no-op version
+      // nothing matches: a no-op version (an EMPTY delta — O(1) log text)
+      commitManifest(dir, v, lines, delta = Some(Seq.empty))
       (v, 0)
     } else {
       val touchedSet = touched.toSet
@@ -579,7 +759,7 @@ object SnapshotLog {
           mergeSchema = false)
         .filter(coalesce(col(column).between(lo, hi), lit(false)))
         .select(col(column).as("dk")).distinct()
-      val tmp = dir + "_snapdv_tmp"
+      val tmp = dir + "_snapdv_tmp" + rewriteToken()
       keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       val part = Option(new java.io.File(tmp).listFiles())
         .getOrElse(Array.empty)
@@ -592,18 +772,19 @@ object SnapshotLog {
         Option(new java.io.File(tmp).listFiles())
           .foreach(_.foreach(_.delete()))
         new java.io.File(tmp).delete()
-        commitManifest(dir, v, lines) // stats intersected, no row matched
+        // stats intersected, no row matched: a no-op version
+        commitManifest(dir, v, lines, delta = Some(Seq.empty))
         (v, touched.size)
       } else {
-        val name = f"dv-v$v%05d.parquet"
+        val name = f"dv-v$v%05d-${rewriteToken()}.parquet"
         val target = java.nio.file.Paths.get(dir, name)
-        java.nio.file.Files.deleteIfExists(target) // crashed prior attempt
         java.nio.file.Files.move(part.get.toPath, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         Option(new java.io.File(tmp).listFiles())
           .foreach(_.foreach(_.delete()))
         new java.io.File(tmp).delete()
-        commitManifest(dir, v, lines :+ s"dv:$column:$name")
+        commitManifest(dir, v, lines :+ s"dv:$column:$name",
+          delta = Some(Seq(s"+dv:$column:$name")))
         (v, touched.size)
       }
     }
@@ -612,8 +793,10 @@ object SnapshotLog {
   /** Roll the table back to version `v` — committed as a NEW version
     * whose manifest is a copy of `v`'s (the Delta RESTORE shape):
     * history stays linear and intact, nothing is deleted, and the
-    * files are shared, so the rollback is O(manifest) metadata. The
-    * restored version must still be on disk (not vacuumed). */
+    * files are shared, so the rollback is O(manifest) metadata
+    * (committed as a full checkpoint: a restore's content has no
+    * relation to its predecessor's, so a delta would be degenerate).
+    * The restored version must still be on disk (not vacuumed). */
   def restoreVersion(dir: String, v: Int): Int = {
     val files = manifest(dir, v) // fails loud if vacuumed
     val next = latestVersion(dir) + 1
@@ -625,7 +808,11 @@ object SnapshotLog {
     * versions and every data file no RETAINED manifest references —
     * incl. orphans from a crashed compaction (data files moved in, no
     * manifest committed). Reads of vacuumed versions then fail loud in
-    * [[manifest]]. */
+    * [[manifest]]. If `retainFrom` is a delta manifest, it is first
+    * MATERIALIZED to a full checkpoint (its chain is about to be
+    * deleted); every retained delta chains down through it, so all
+    * retained versions keep resolving. Vacuum is a single-writer
+    * maintenance operation (like Delta's). */
   def vacuum(dir: String, retainFrom: Int): Unit = {
     val vs = versions(dir)
     require(vs.contains(retainFrom),
@@ -643,6 +830,20 @@ object SnapshotLog {
       val tmp = logDir(dir).resolve("BATCH_HWM.tmp")
       java.nio.file.Files.write(tmp, hwm.toString.getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, logDir(dir).resolve("BATCH_HWM"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // materialize the retention boundary BEFORE deleting its chain: a
+    // delta at retainFrom resolves through manifests below it
+    val (boundaryBatch, boundaryIsDelta, _) = readManifestFile(dir, retainFrom)
+    if (boundaryIsDelta) {
+      val full = manifest(dir, retainFrom)
+      val headers = boundaryBatch.map(b => s"#batch=$b").toSeq
+      val tmp = logDir(dir).resolve(
+        f"v$retainFrom%05d.${rewriteToken()}.tmp")
+      java.nio.file.Files.write(tmp,
+        ((headers ++ full).mkString("\n") + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, manifestPath(dir, retainFrom),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
