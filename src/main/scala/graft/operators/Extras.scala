@@ -70,6 +70,29 @@ object Extras {
         .orderBy($"key")
     },
 
+    // CONDITIONAL MERGE CLAUSES — the `WHEN MATCHED AND <predicate>
+    // THEN ...` surface real MERGE INTO ships beyond q100's three
+    // plain clauses, with FIRST-MATCH-WINS ordering:
+    //   1. WHEN MATCHED AND action='delete'      THEN DELETE
+    //   2. WHEN MATCHED AND bal < 0              THEN UPDATE SET bal = amt
+    //   3. WHEN MATCHED                          THEN UPDATE SET bal = bal+amt
+    //   4. WHEN NOT MATCHED AND action<>'delete' THEN INSERT (amt)
+    // Clause 2 SHADOWS clause 3 for delinquent balances (the reset a
+    // plain single-CASE arbitration can't state), and clause 4's AND
+    // gates inserts — an unmatched delete marker vanishes. Same plan
+    // shape as q100: ONE full-outer shuffle join + per-row CASE ladder
+    // (bucket the target on the key and even that exchange deletes);
+    // per-row `clause` provenance rides the output so the oracle pins
+    // every clause's arbitration AND the ordering. The persisted twin
+    // (SnapshotLog.mergeIntoConditional — same ladder at file
+    // granularity through the manifest layer) is pinned equal to this
+    // algebra in SnapshotLogSpec.
+    "q110_merge_conditional" -> { (s, d) =>
+      import s.implicits._
+      mergeArbitrateConditional(mergeTarget(s, d), mergeFeed(s, d))
+        .orderBy($"key")
+    },
+
     // SNAPSHOT (time-travel) reads over the ParquetBatchSink +
     // SnapshotLog manifest layer — the lakehouse read primitive the
     // sink's two-phase commit was missing: three appends build
@@ -111,8 +134,15 @@ object Extras {
       import s.implicits._
       val dir = timeTravelStore(s, d)
       (2 to 4).map { v =>
-        val prev = graft.sources.SnapshotLog.manifest(dir, v - 1).toSet
-        val cur = graft.sources.SnapshotLog.manifest(dir, v).toSet
+        // diff the DATA entries, not raw manifest lines: a version
+        // committed by a MoR delete adds a dv:<col>:<file> line, which
+        // as a raw path would crash the read (round-17 advice #3);
+        // deletion vectors are a delete feed, outside this insert-only
+        // CDF's scope by definition
+        val prev = graft.sources.SnapshotLog.dataEntries(
+          graft.sources.SnapshotLog.manifest(dir, v - 1)).toSet
+        val cur = graft.sources.SnapshotLog.dataEntries(
+          graft.sources.SnapshotLog.manifest(dir, v)).toSet
         val added = (cur -- prev).toSeq.sorted.map(f => s"$dir/$f")
         val removed = (prev -- cur).toSeq.sorted.map(f => s"$dir/$f")
         val af = s.read.parquet(added: _*)
@@ -222,7 +252,7 @@ object Extras {
       graft.sources.SnapshotLog.readVersion(s, dir, 4)
         .agg(count(lit(1)).as("n_rows"),
              graft.Dets.dsum($"bal").as("total_bal"),
-             sum(when($"key" > 1000000L, 1L).otherwise(0L))
+             sum(when($"key" > ttmInsertOffset(m), 1L).otherwise(0L))
                .as("n_inserted"))
         .select($"n_rows", $"total_bal", $"n_inserted",
           lit(rewritten).as("n_files_rewritten"),
@@ -1255,17 +1285,24 @@ object Extras {
 
   /** [[mergeFeed]] restricted to base custkeys in [lo, hi] — q109's
     * feed: updates and deletes stay inside the middle slice, the %9
-    * re-keys land at +1e6 (beyond every file's range) as pure inserts,
-    * so the persisted merge's file-granularity claim is testable. */
+    * re-keys land at `insertOffset` + key as pure inserts, so the
+    * persisted merge's file-granularity claim is testable. The offset
+    * DERIVES from the store's max key (round-17 advice #4: a
+    * hard-coded +1e6 aliases live keys above ~sf7, silently dragging
+    * extra files into the probe and voiding the insert-count pin) —
+    * [[ttmInsertOffset]] states it once for the feed, the query, and
+    * the oracle. */
+  private[graft] def ttmInsertOffset(m: Long): Long = m * 10
   private[graft] def mergeFeedRanged(s: SparkSession, d: String,
-                                     lo: Long, hi: Long): DataFrame = {
+                                     lo: Long, hi: Long,
+                                     insertOffset: Long): DataFrame = {
     val src0 = T.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .filter(col("o_custkey").between(lo, hi))
       .groupBy(col("o_custkey"))
       .agg(graft.Dets.dsum(col("o_totalprice")).as("amt"))
     src0.select(
-      when(col("o_custkey") % 9 === 0, col("o_custkey") + 1000000L)
+      when(col("o_custkey") % 9 === 0, col("o_custkey") + insertOffset)
         .otherwise(col("o_custkey")).as("key"),
       col("amt"),
       when(col("o_custkey") % 13 === 0 && col("o_custkey") % 9 =!= 0,
@@ -1281,8 +1318,10 @@ object Extras {
     // BOTH source tables fingerprint the artifact: the base build reads
     // customer, but the committed v4 (ensureTtmVersion4's merge) derives
     // from orders — declaring only one would freeze q109 on a stale
-    // feed after a partial fixture refresh (round-17 review)
-    memoizedArtifact(s, "graft_ttm", d,
+    // feed after a partial fixture refresh (round-17 review). Prefix
+    // bumped (ttm -> ttm2) when the insert offset moved to max-key
+    // derivation: v4's contents changed without the sources changing.
+    memoizedArtifact(s, "graft_ttm2", d,
         Seq("customer.parquet", "orders.parquet"),
         localPath = true) { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -1305,7 +1344,8 @@ object Extras {
     cowLock.synchronized {
       if (graft.sources.SnapshotLog.versions(dir).max < 4)
         graft.sources.SnapshotLog.mergeInto(s, dir,
-          mergeFeedRanged(s, d, m / 3 + 1, 2 * m / 3), "key", "bal")
+          mergeFeedRanged(s, d, m / 3 + 1, 2 * m / 3, ttmInsertOffset(m)),
+          "key", "bal")
     }
 
   private[graft] def mergeFeed(s: SparkSession, d: String): DataFrame = {
@@ -1340,6 +1380,28 @@ object Extras {
         when(col("action").isNull, lit("kept"))
           .when(col("bal").isNotNull, lit("updated"))
           .otherwise(lit("inserted")).as("status"))
+
+  /** q110's ordered clause ladder (see the registry entry for the
+    * clause list): every 'delete' row drops — matched by clause 1,
+    * unmatched by clause 4's AND-predicate — and the bal CASE encodes
+    * the first-match-wins ordering, clause 2 (reset on negative
+    * balance) shadowing clause 3 (accumulate). A NULL target balance
+    * reads as unmatched, the [[mergeArbitrate]] convention. Restated
+    * at file granularity in `SnapshotLog.mergeIntoConditional`
+    * (SnapshotLogSpec pins the two agree). */
+  private[graft] def mergeArbitrateConditional(target: DataFrame,
+                                               source: DataFrame): DataFrame =
+    target.join(source, Seq("key"), "full_outer")
+      .filter(col("action").isNull || col("action") =!= "delete")
+      .select(col("key"),
+        when(col("action").isNull, col("bal"))
+          .when(col("bal").isNull, col("amt"))
+          .when(col("bal") < 0, col("amt"))
+          .otherwise(col("bal") + col("amt")).as("bal"),
+        when(col("action").isNull, lit("kept"))
+          .when(col("bal").isNull, lit("inserted"))
+          .when(col("bal") < 0, lit("reset"))
+          .otherwise(lit("updated")).as("clause"))
 
   /** q100's streamed twin — the CDC APPLY loop (the canonical
     * foreachBatch-merge deployment: a change feed lands in
@@ -1605,6 +1667,38 @@ object Extras {
         |FROM m WHERE action IS NULL OR action <> 'delete'
         |ORDER BY key""".stripMargin,
 
+    // q110: the ordered clause ladder stated as one CASE whose branch
+    // order IS the clause order — both engines must agree on every
+    // row's surviving clause, incl. clause 2 shadowing clause 3.
+    "q110_merge_conditional" ->
+      """WITH tgt AS (SELECT c_custkey AS key, c_acctbal AS bal
+        |             FROM customer),
+        |src0 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amt
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |src AS (
+        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS key,
+        |    amt,
+        |    CASE WHEN o_custkey % 13 = 0 AND o_custkey % 9 <> 0
+        |         THEN 'delete' ELSE 'upsert' END AS action
+        |  FROM src0),
+        |m AS (
+        |  SELECT COALESCE(t.key, s.key) AS key, t.bal, s.amt, s.action
+        |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key)
+        |SELECT key,
+        |  CASE WHEN action IS NULL THEN bal
+        |       WHEN bal IS NULL THEN amt
+        |       WHEN bal < 0 THEN amt
+        |       ELSE bal + amt END AS bal,
+        |  CASE WHEN action IS NULL THEN 'kept'
+        |       WHEN bal IS NULL THEN 'inserted'
+        |       WHEN bal < 0 THEN 'reset'
+        |       ELSE 'updated' END AS clause
+        |FROM m WHERE action IS NULL OR action <> 'delete'
+        |ORDER BY key""".stripMargin,
+
     // q102: each version's cumulative slice stated straight off orders
     // (v1 = keys ≡ 0 mod 3, v2 adds ≡ 1, v3 adds ≡ 2, v4 = the
     // compacted twin of v3) — the hash match pins that the sink
@@ -1687,6 +1781,9 @@ object Extras {
 
     // q109: the same arbitration stated relationally over the ranged
     // feed; the file counts pin the persisted merge's granularity.
+    // the insert offset is mx*10 on BOTH engines (ttmInsertOffset —
+    // round-17 advice #4: a hard-coded constant aliases live keys at
+    // high sf)
     "q109_merge_persisted" ->
       """WITH m AS (SELECT MAX(c_custkey) AS mx FROM customer),
         |src0 AS (
@@ -1697,11 +1794,11 @@ object Extras {
         |    AND o_custkey > mx // 3 AND o_custkey <= 2 * mx // 3
         |  GROUP BY o_custkey),
         |src AS (
-        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + 1000000
+        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + mx * 10
         |         ELSE o_custkey END AS key, amt,
         |    CASE WHEN o_custkey % 13 = 0 AND o_custkey % 9 <> 0
         |         THEN 'delete' ELSE 'upsert' END AS action
-        |  FROM src0),
+        |  FROM src0, m),
         |tgt AS (SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
         |mg AS (
         |  SELECT COALESCE(t.key, s.key) AS key,
@@ -1712,8 +1809,8 @@ object Extras {
         |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key)
         |SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
-        |  CAST(SUM(CASE WHEN key > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_inserted,
+        |  CAST(SUM(CASE WHEN key > (SELECT mx * 10 FROM m) THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_inserted,
         |  CAST(1 AS INT) AS n_files_rewritten,
         |  CAST(2 AS INT) AS n_files_kept
         |FROM mg WHERE action IS NULL OR action <> 'delete'""".stripMargin,

@@ -576,6 +576,14 @@ class SnapshotLogSpec extends SparkSpec {
       101L -> 1000.0, 102L -> 2000.0), s"clause arbitration: $got")
     // pre-merge version still reads everything (history is the undo)
     assert(rows(dir, 2) === Set(1L, 2L, 3L, 101L, 102L))
+    // the persisted ladder and q110's BATCH algebra are the same
+    // function: applying mergeArbitrateConditional to the same target
+    // state and feed reproduces the committed version row-for-row
+    val batch = operators.Extras.mergeArbitrateConditional(
+      SnapshotLog.readVersion(spark, dir, 2)
+        .select($"k".as("key"), $"x".as("bal")), src)
+      .select($"key", $"bal").as[(Long, Double)].collect().toMap
+    assert(batch === got, "persisted twin diverged from the batch algebra")
   }
 
   test("q102's store replays: per-version sets equal the cumulative orders slices") {
