@@ -157,6 +157,35 @@ object Extras {
       }.reduce(_ unionByName _).orderBy($"version")
     },
 
+    // CHANGE DATA FEED AS A SOURCE — q104's manifest diff made
+    // TAILABLE: graft.sources.ChangeFeedSource is a DSv2 table over
+    // the snapshot log whose batch read returns every version's
+    // inserted rows tagged `_change_version`, planned from the
+    // manifest diff (O(delta) files per version, never a table scan),
+    // and whose micro-batch stream applies ONE committed version per
+    // trigger (admission control) — the form a 100 TB CDC consumer
+    // actually tails. This query drives the BATCH path end-to-end —
+    // including the source's own parquet row decoding — through the
+    // same per-version aggregate as q104, so the DuckDB hash pins the
+    // source against the relational statement; the streamed path
+    // (AvailableNow drain, one-batch-per-version, O(delta) planning)
+    // is pinned row-identical in StreamingSpec. The rewrite version
+    // (v4, compaction) must feed ZERO rows: dataChange=false.
+    "q111_change_feed" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStore(s, d)
+      val feed = graft.sources.ChangeFeed.readBatch(s, dir, fromVersion = 1)
+        .select($"_change_version".cast("int").as("version"),
+          $"o_orderkey", $"o_totalprice")
+      broadcast(Seq(2, 3, 4).toDF("version"))
+        .join(feed, Seq("version"), "left_outer")
+        .groupBy($"version")
+        .agg(count($"o_orderkey").as("n_inserted"),
+             coalesce(graft.Dets.dsum($"o_totalprice"), lit(0.0))
+               .as("inserted_total"))
+        .orderBy($"version")
+    },
+
     // MANIFEST-LEVEL DATA SKIPPING — the read-side payoff of a
     // range-clustered layout under the snapshot log (Delta/Iceberg
     // file pruning): the store's three data files each own one
@@ -1718,6 +1747,18 @@ object Extras {
     // q104: the per-version insert slice off orders; v4 (compaction)
     // must feed zero changes.
     "q104_snapshot_cdf" ->
+      """WITH v AS (SELECT unnest([2, 3, 4]) AS version)
+        |SELECT version,
+        |  COUNT(o_orderkey) AS n_inserted,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |       AS DOUBLE) AS inserted_total
+        |FROM v LEFT JOIN orders
+        |  ON v.version <= 3 AND o_orderkey % 3 = v.version - 1
+        |GROUP BY version ORDER BY version""".stripMargin,
+
+    // q111: the same per-version insert slices, now read THROUGH the
+    // ChangeFeedSource (its row decoding included in the hash).
+    "q111_change_feed" ->
       """WITH v AS (SELECT unnest([2, 3, 4]) AS version)
         |SELECT version,
         |  COUNT(o_orderkey) AS n_inserted,

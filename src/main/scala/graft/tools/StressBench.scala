@@ -448,7 +448,13 @@ object StressBench {
       // q109: the persisted merge rewrites the one file owning the
       // feed's key range + appends the inserts; the probe is O(files)
       // footer metadata — near-flat like the delete pair
-      "q109_merge_persisted"
+      "q109_merge_persisted," +
+      // round-18: q110 is q100's plan (one full-outer shuffle + CASE
+      // ladder) — linear; q111 reads each version's added files via
+      // the ChangeFeedSource (O(delta) planning off the manifest
+      // diff) — linear in the appended data, zero cost for the
+      // compaction version
+      "q110_merge_conditional,q111_change_feed"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

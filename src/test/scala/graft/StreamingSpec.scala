@@ -1142,4 +1142,78 @@ class StreamingSpec extends SparkSpec {
     }
     assert(emptyEx.getMessage.contains("no committed heavy-hitter state"))
   }
+
+  test("change feed source: streamed tail equals batch read, one version per batch, O(delta) planning, resume") {
+    import graft.sources.{ChangeFeed, SnapshotLog}
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf")
+    val dir = root.resolve("table").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def frame(ks: Seq[Long]) = ks.map(k => (k, k * 10.0)).toDF("k", "x")
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L)).coalesce(1), dir)   // v1
+    SnapshotLog.appendVersion(frame(Seq(3L)).coalesce(1), dir)       // v2
+    SnapshotLog.compactVersion(spark, dir)                           // v3
+    SnapshotLog.appendVersion(frame(Seq(4L, 5L)).coalesce(1), dir)   // v4
+    // O(delta) planning unit: an append version plans exactly its
+    // added files; a rewrite version plans NOTHING (dataChange=false)
+    assert(ChangeFeed.addedDataFiles(dir, 2).size === 1)
+    assert(ChangeFeed.addedDataFiles(dir, 3).isEmpty,
+      "compaction must feed zero files")
+    // batch read decodes rows with their version tags
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select($"_change_version", $"k", $"x")
+        .as[(Long, Long, Double)].collect().toSet
+    val batch = canon(ChangeFeed.readBatch(spark, dir, fromVersion = 0))
+    assert(batch === Set((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 3L, 30.0),
+      (4L, 4L, 40.0), (4L, 5L, 50.0)), s"batch feed: $batch")
+    // column pruning survives the parquet-layer projection
+    val pruned = ChangeFeed.readBatch(spark, dir, fromVersion = 0)
+      .groupBy($"_change_version").count()
+      .as[(Long, Long)].collect().toMap
+    assert(pruned === Map(1L -> 2L, 2L -> 1L, 4L -> 2L))
+    // streamed tail: AvailableNow drains to the head, ONE VERSION PER
+    // BATCH (admission control), then stops. foreachBatch sink — the
+    // deployment shape AND the only local sink that supports
+    // checkpoint recovery for the resume leg below.
+    val ckpt = s"$root/ckpt"
+    def drain(): Seq[(Long, Set[(Long, Long, Double)])] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, (Long, Long, Double))]()
+      val q = ChangeFeed.readStream(spark, dir, fromVersion = 0)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.select(col("_change_version"), col("k"), col("x")).collect()
+            .foreach(r => buf.add(
+              (id, (r.getLong(0), r.getLong(1), r.getDouble(2)))))
+          ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (id, rs) => id -> rs.map(_._2).toSet }
+    }
+    val batches = drain()
+    assert(batches.flatMap(_._2).toSet === batch,
+      "streamed feed diverged from the batch read")
+    // one committed VERSION per micro-batch, in commit order
+    assert(batches.map(_._2.map(_._1)).forall(_.size == 1),
+      s"a micro-batch mixed versions: $batches")
+    assert(batches.map(_._2.head._1) === Seq(1L, 2L, 4L),
+      s"version-per-batch order: $batches")
+    // RESUME: a new commit after the drain; the same checkpoint picks
+    // up ONLY the new version (the offset log is the cursor)
+    SnapshotLog.appendVersion(frame(Seq(9L)).coalesce(1), dir)       // v5
+    val batches2 = drain()
+    assert(batches2.flatMap(_._2).toSet === Set((5L, 9L, 90.0)),
+      s"resume re-emitted already-consumed versions: $batches2")
+    // and the streamed feed concatenated over versions equals the
+    // q104-style batch statement on the same store: per-version
+    // aggregates agree (the registry q111 pin, restated locally)
+    val perVersion = batches.flatMap(_._2) ++ batches2.flatMap(_._2)
+    val agg = perVersion.groupBy(_._1).view
+      .mapValues(rs => (rs.size, rs.map(_._3).sum)).toMap
+    assert(agg === Map(1L -> ((2, 30.0)), 2L -> ((1, 30.0)),
+      4L -> ((2, 90.0)), 5L -> ((1, 90.0))))
+  }
 }
