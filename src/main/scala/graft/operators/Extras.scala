@@ -213,6 +213,37 @@ object Extras {
                 lit(total).as("n_files_total"))
     },
 
+    // Z-ORDER DATA SKIPPING — the multi-dimensional half of q105's
+    // story: a table clustered linearly on ONE column answers only
+    // that column's ranges from few files (q105) and smears every
+    // other column across all of them; Z-ORDERING (16-bit normalize +
+    // bit-interleave, range-partitioned rewrite — Delta's OPTIMIZE
+    // ZORDER BY, stated with builtin codegen'd expressions) bounds
+    // every file's footer [min,max] in BOTH dimensions, so
+    // readVersionWhere prunes on EITHER key. The store z-orders
+    // orders on (o_orderkey, o_custkey) into ~8 files; the query
+    // prunes a quarter-range on EACH column and pins `both_pruned`
+    // (kept < total twice) as a literal on the oracle row — a rewrite
+    // that silently lost the curve (plain repartition) fails the hash
+    // gate, and the rows/exact totals pin pruning's invisibility. The
+    // one-column counter-case (linear clustering: b keeps ALL files)
+    // is spec-pinned in SnapshotLogSpec.
+    "q112_zorder_skipping" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreZOrder(s, d)
+      val (mo, mc) = ttzMaxKeys(dir)
+      val (dfo, ko, to) = graft.sources.SnapshotLog.readVersionWhere(
+        s, dir, 2, "o_orderkey", mo / 4 + 1, mo / 2)
+      val (dfc, kc, tc) = graft.sources.SnapshotLog.readVersionWhere(
+        s, dir, 2, "o_custkey", mc / 4 + 1, mc / 2)
+      dfo.agg(count(lit(1)).as("n_rows_key"),
+          graft.Dets.dsum($"o_totalprice").as("total_key"))
+        .crossJoin(broadcast(dfc.agg(count(lit(1)).as("n_rows_cust"),
+          graft.Dets.dsum($"o_totalprice").as("total_cust"))))
+        .select($"n_rows_key", $"total_key", $"n_rows_cust", $"total_cust",
+          lit(ko < to && kc < tc).as("both_pruned"))
+    },
+
     // MERGE-ON-READ DELETE — q107's copy-on-write twin, the OTHER half
     // of the lakehouse delete trade (Delta deletion vectors / Iceberg
     // equality deletes): the matched keys are written as one tiny
@@ -967,6 +998,36 @@ object Extras {
       if (upTo >= 5 && graft.sources.SnapshotLog.versions(dir).max < 5)
         graft.sources.SnapshotLog.deleteWhereMoR(s, dir, "o_orderkey", ml, mh)
     }
+
+  /** q112's Z-ORDERED store: one append of orders then a z-order
+    * compaction on (o_orderkey, o_custkey) into ~8 files; both max
+    * keys persist as control values (the _MAXKEY discipline). */
+  private[graft] def timeTravelStoreZOrder(s: SparkSession,
+                                           d: String): String =
+    memoizedArtifact(s, "graft_ttzo", d, Seq("orders.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val base = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.SnapshotLog.appendVersion(base, dir)
+      val total = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+        .map(_.length()).sum
+      graft.sources.SnapshotLog.compactVersionZOrder(s, dir,
+        "o_orderkey", "o_custkey",
+        targetBytes = math.max(1L, total / 8))
+      val r = base.agg(max(col("o_orderkey")), max(col("o_custkey"))).head
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_MAXKEYS"),
+        s"${r.getLong(0)} ${r.getLong(1)}".getBytes("UTF-8"))
+    }
+
+  private[graft] def ttzMaxKeys(dir: String): (Long, Long) = {
+    val Array(mo, mc) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MAXKEYS")), "UTF-8").trim.split(" ")
+    (mo.toLong, mc.toLong)
+  }
 
   /** q106's SCHEMA-EVOLVED versioned store: v1 appends the even
     * o_orderkeys WITHOUT o_custkey (the original producer schema), v2
@@ -1779,6 +1840,28 @@ object Extras {
         |  CAST(3 AS INT) AS n_files_total
         |FROM orders, m
         |WHERE o_orderkey > mx // 3 AND o_orderkey <= mx // 2""".stripMargin,
+
+    // q112: quarter-range counts/totals on each z-ordered dimension
+    // stated straight off orders; both_pruned pins the curve.
+    "q112_zorder_skipping" ->
+      """WITH m AS (SELECT MAX(o_orderkey) AS mo, MAX(o_custkey) AS mc
+        |           FROM orders)
+        |SELECT
+        |  (SELECT COUNT(*) FROM orders, m
+        |   WHERE o_orderkey > mo // 4 AND o_orderkey <= mo // 2)
+        |    AS n_rows_key,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM orders, m
+        |   WHERE o_orderkey > mo // 4 AND o_orderkey <= mo // 2)
+        |    AS total_key,
+        |  (SELECT COUNT(*) FROM orders, m
+        |   WHERE o_custkey > mc // 4 AND o_custkey <= mc // 2)
+        |    AS n_rows_cust,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM orders, m
+        |   WHERE o_custkey > mc // 4 AND o_custkey <= mc // 2)
+        |    AS total_cust,
+        |  TRUE AS both_pruned""".stripMargin,
 
     // q107: the post-delete set stated as the range's complement; the
     // file-count literals pin the copy-on-write granularity.

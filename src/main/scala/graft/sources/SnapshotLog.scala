@@ -99,9 +99,11 @@ object SnapshotLog {
     manifestNames(dir)
       .collect { case ManifestName(v, _) => v.toInt }.sorted
 
-  /** One manifest file, parsed: (batchId header, isDelta, body lines). */
+  /** One manifest file, parsed:
+    * (batchId header, isDelta, body lines, per-(file,column) ranges). */
   private def readManifestFile(dir: String, v: Int)
-      : (Option[Long], Boolean, Seq[String]) = {
+      : (Option[Long], Boolean, Seq[String],
+         Map[(String, String), (Long, Long)]) = {
     val p = manifestPath(dir, v)
     require(java.nio.file.Files.exists(p),
       s"no version $v at $dir (have ${versions(dir).mkString(",")})" +
@@ -117,7 +119,12 @@ object SnapshotLog {
       case ManifestName(_, b) if b != null => Some(b.toLong)
       case _                               => None
     }
-    (headerBatch.orElse(nameBatch), headers.contains("#delta"), body)
+    val ranges = headers.collect {
+      case h if h.startsWith("#range:") =>
+        val Array(f, c, mn, mx) = h.stripPrefix("#range:").split(":")
+        (f, c) -> (mn.toLong, mx.toLong)
+    }.toMap
+    (headerBatch.orElse(nameBatch), headers.contains("#delta"), body, ranges)
   }
 
   /** The (batchId, version) pairs committed by streamed appends. */
@@ -154,9 +161,26 @@ object SnapshotLog {
     * deletes — see [[deleteWhereMoR]]). Cost: one O(files) checkpoint
     * read + at most [[CheckpointEvery]]−1 O(edit) delta reads. */
   def manifest(dir: String, v: Int): Seq[String] = {
-    val (_, isDelta, body) = readManifestFile(dir, v)
+    val (_, isDelta, body, _) = readManifestFile(dir, v)
     if (!isDelta) body
     else applyDelta(manifest(dir, v - 1), body)
+  }
+
+  /** Per-(file, column) [min, max] ranges as of version `v`, resolved
+    * like [[manifest]] (a checkpoint carries the full live map, a
+    * delta adds its new files' entries) — the LOG-EMBEDDED statistics
+    * every stats-planned operation here consults BEFORE falling back
+    * to a parquet footer: at 100 TB the difference between the driver
+    * planning a delete/merge/skipping read from O(files) log TEXT and
+    * opening O(files) remote footers per operation (the Delta
+    * stats-in-log idea). Entries for files no longer live are simply
+    * never consulted. Legacy stores (no `#range:` headers) resolve to
+    * an empty map and every probe falls back to the footer. */
+  private[graft] def fileRanges(dir: String, v: Int)
+      : Map[(String, String), (Long, Long)] = {
+    val (_, isDelta, _, ranges) = readManifestFile(dir, v)
+    if (!isDelta || v <= 1) ranges
+    else fileRanges(dir, v - 1) ++ ranges
   }
 
   /** Delta-chain length ending at version `v` (0 if `v` is a full
@@ -164,7 +188,7 @@ object SnapshotLog {
     * checkpoint every [[CheckpointEvery]] versions. */
   private def deltaDepth(dir: String, v: Int): Int =
     if (v < 1) 0
-    else if (!readManifestFile(dir, v)._2) 0
+    else if (!readManifestFile(dir, v)._2) 0 // full manifest: chain ends
     else 1 + deltaDepth(dir, v - 1)
 
   /** A manifest's plain data-file names (deletion vectors excluded). */
@@ -202,7 +226,9 @@ object SnapshotLog {
     * stay visible. */
   private[graft] def commitManifest(dir: String, v: Int, lines: Seq[String],
                                     batchId: Option[Long] = None,
-                                    delta: Option[Seq[String]] = None): Unit = {
+                                    delta: Option[Seq[String]] = None,
+                                    ranges: Map[(String, String), (Long, Long)]
+                                      = Map.empty): Unit = {
     require(v == versions(dir).lastOption.getOrElse(0) + 1,
       s"version $v is not the next version at $dir")
     java.nio.file.Files.createDirectories(logDir(dir))
@@ -213,8 +239,21 @@ object SnapshotLog {
       require(check == lines,
         s"delta for version $v does not resolve to its full line list")
     }
+    // a delta records only ITS files' ranges; a checkpoint carries the
+    // whole live map forward (restricted to this version's files), so
+    // range resolution never has to walk past a checkpoint — mirroring
+    // the file-list contract exactly
+    val live = dataEntries(lines).toSet
+    val allRanges =
+      if (asDelta) ranges
+      else (if (v > 1) fileRanges(dir, v - 1) else
+        Map.empty[(String, String), (Long, Long)]) ++ ranges
+    val rangeHeaders = allRanges.toSeq
+      .filter { case ((f, _), _) => live.contains(f) }
+      .sortBy(_._1)
+      .map { case ((f, c), (mn, mx)) => s"#range:$f:$c:$mn:$mx" }
     val headers = batchId.map(b => s"#batch=$b").toSeq ++
-      (if (asDelta) Seq("#delta") else Seq.empty)
+      (if (asDelta) Seq("#delta") else Seq.empty) ++ rangeHeaders
     val body = headers ++ (if (asDelta) delta.get else lines)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = logDir(dir).resolve(f"v$v%05d.$token.tmp")
@@ -289,7 +328,8 @@ object SnapshotLog {
     require(added.nonEmpty, "append committed no files")
     val prev = versions(dir).lastOption.map(manifest(dir, _)).getOrElse(Seq())
     val v = versions(dir).lastOption.getOrElse(0) + 1
-    commitManifest(dir, v, prev ++ added, delta = Some(added.map("+" + _)))
+    commitManifest(dir, v, prev ++ added, delta = Some(added.map("+" + _)),
+      ranges = collectRanges(df.sparkSession, dir, added))
     v
   }
 
@@ -349,7 +389,8 @@ object SnapshotLog {
         .map(manifest(dir, _)).getOrElse(Seq())
       val v = versions(dir).lastOption.getOrElse(0) + 1
       commitManifest(dir, v, prev ++ added, Some(batchId),
-        delta = Some(added.map("+" + _)))
+        delta = Some(added.map("+" + _)),
+        ranges = collectRanges(batch.sparkSession, dir, added))
       v
     }
   }
@@ -415,15 +456,91 @@ object SnapshotLog {
                      clusterBy: Option[String] = None): Int = {
     val moved = writeCompacted(s, dir, targetBytes, clusterBy)
     val v = latestVersion(dir) + 1
-    commitManifest(dir, v, moved)
+    commitManifest(dir, v, moved, ranges = collectRanges(s, dir, moved))
     v
   }
 
+  /** Z-ORDER key of two LONG columns: each value min-max-normalizes to
+    * 16 bits and the bits INTERLEAVE (a15 b15 a14 b14 ...), so sorting
+    * by the key walks the Z space-filling curve — a range-partitioned
+    * rewrite then gives every file a bounded footer [min, max] in BOTH
+    * dimensions, and [[readVersionWhere]] prunes on EITHER column
+    * (linear clustering buys pruning on one column by smearing the
+    * other across every file; the multi-dimensional trade Delta's
+    * OPTIMIZE ZORDER BY makes). Stated entirely with builtin
+    * expressions (normalize, shift, mask, or) — stays inside
+    * whole-stage codegen, no UDF. NULLs normalize to 0 (first curve
+    * cell): conservative for pruning, invisible for correctness (the
+    * read-side predicate still applies). */
+  private def zorderKey(a: org.apache.spark.sql.Column, aMin: Long, aMax: Long,
+                        b: org.apache.spark.sql.Column, bMin: Long, bMax: Long)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      val span = math.max(1L, hi - lo)
+      // double-scaled (a raw (v-lo)*65535 overflows LONG on wide keys),
+      // clamped to the 16-bit lattice
+      least(greatest(
+        ((coalesce(c, lit(lo)) - lit(lo)).cast("double") / lit(span.toDouble)
+          * lit(65535.0)).cast("long"), lit(0L)), lit(65535L))
+    }
+    val ra = norm(a, aMin, aMax)
+    val rb = norm(b, bMin, bMax)
+    (0 until 16).map { i =>
+      shiftleft(shiftright(ra, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(rb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Compact the latest snapshot Z-ORDERED on two LONG columns: the
+    * rewrite range-partitions + sorts by [[zorderKey]], so data
+    * skipping bites on BOTH columns after the rewrite. Same commit
+    * shape as [[compactVersion]] (full checkpoint manifest, replaced
+    * originals stay on disk for time travel). Returns the new
+    * version. */
+  def compactVersionZOrder(s: SparkSession, dir: String,
+                           colA: String, colB: String,
+                           targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.spark.sql.functions._
+    val cur = latestVersion(dir)
+    val files = dataEntries(manifest(dir, cur))
+    val totalBytes = files.map(f => new java.io.File(dir, f).length()).sum
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val src = readVersion(s, dir, cur, mergeSchema = true)
+    // column bounds: one tiny agg — O(1) driver-side control values
+    val r = src.agg(min(col(colA)), max(col(colA)),
+                    min(col(colB)), max(col(colB))).head
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"z-order needs non-null stats for $colA/$colB")
+    val z = zorderKey(col(colA), r.getLong(0), r.getLong(1),
+                      col(colB), r.getLong(2), r.getLong(3))
+    val tmp = dir + "_snapzorder_tmp" + rewriteToken()
+    src.withColumn("_graft_z", z)
+      .repartitionByRange(nFiles, col("_graft_z"))
+      .sortWithinPartitions(col("_graft_z"))
+      .drop("_graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val moved = moveRewrite(s, dir, tmp, "zorder", cur + 1,
+      keepOneIfAllEmpty = true)
+    val v = latestVersion(dir) + 1
+    commitManifest(dir, v, moved, ranges = collectRanges(s, dir, moved))
+    v
+  }
+
+  /** Footer-open counter — spec observability for the stats-in-log
+    * claim: a probe that finds its range in the manifest headers never
+    * opens a footer, and the spec pins the count at zero. */
+  private[graft] val footerProbes = new java.util.concurrent.atomic.AtomicLong
+
   /** Per-file (min, max) of a LONG column straight off the parquet
     * FOOTER — O(1) metadata per file, no data IO: the row-group
-    * statistics the writer already embedded, folded across blocks. */
+    * statistics the writer already embedded, folded across blocks.
+    * The FALLBACK path: stores written since the ranges landed in the
+    * manifest headers resolve from log text instead ([[fileRanges]]). */
   private def footerRange(s: SparkSession, dir: String, file: String,
                           column: String): Option[(Long, Long)] = {
+    footerProbes.incrementAndGet()
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val in = HadoopInputFile.fromPath(
@@ -449,6 +566,46 @@ object SnapshotLog {
     } finally r.close()
   }
 
+  /** The log-first range probe every stats-planned operation routes
+    * through: manifest-header ranges (log text, zero file IO) first,
+    * parquet footer as the legacy fallback. */
+  private def rangeOf(s: SparkSession, dir: String,
+                      known: Map[(String, String), (Long, Long)],
+                      file: String, column: String): Option[(Long, Long)] =
+    known.get((file, column)).orElse(footerRange(s, dir, file, column))
+
+  /** ALL long-column [min, max] ranges of freshly WRITTEN files — one
+    * footer open per file, paid ONCE at commit time (locally, next to
+    * the write), so every later skipping read / delete / merge probe
+    * plans from the log without touching storage. */
+  private def collectRanges(s: SparkSession, dir: String,
+                            files: Seq[String])
+      : Map[(String, String), (Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    files.flatMap { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$f"),
+        s.sessionState.newHadoopConf()))
+      try {
+        r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                Some(c.getPath.toDotString ->
+                  (lo.longValue, hi.longValue))
+              case _ => None
+            }
+          }
+        }.groupBy(_._1).map { case (col, vs) =>
+          (f, col) -> (vs.map(_._2._1).min, vs.map(_._2._2).max)
+        }
+      } finally r.close()
+    }.toMap
+  }
+
   /** MANIFEST-LEVEL DATA SKIPPING — the Delta/Iceberg file-pruning
     * read: plan the snapshot scan from per-file footer [min, max] of
     * `column` and hand Spark ONLY the files that can intersect
@@ -465,9 +622,10 @@ object SnapshotLog {
                        column: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
     val lines = manifest(dir, v)
+    val known = fileRanges(dir, v)
     val files = dataEntries(lines)
     val keptSet = files.filter { f =>
-      footerRange(s, dir, f, column) match {
+      rangeOf(s, dir, known, f, column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true
       }
@@ -622,8 +780,9 @@ object SnapshotLog {
     // whole feed pipeline would compute twice — and a nondeterministic
     // feed could even disagree with its own probe (round-17 review)
     val src = source.localCheckpoint()
+    val known = fileRanges(dir, cur)
     val ranged = dataEntries(lines)
-      .map(f => f -> footerRange(s, dir, f, keyCol))
+      .map(f => f -> rangeOf(s, dir, known, f, keyCol))
     // per-key probe of the O(files) footer ranges: an O(files) control
     // read, the same planning metadata every stats-driven op here uses
     val rangesDf = ranged.collect { case (f, Some((mn, mx))) =>
@@ -663,7 +822,8 @@ object SnapshotLog {
     commitManifest(dir, v,
       lines.filterNot(touchedSet.contains) ++ moved,
       delta = Some(touchedSet.toSeq.sorted.map("-" + _) ++
-        moved.map("+" + _)))
+        moved.map("+" + _)),
+      ranges = collectRanges(s, dir, moved))
     (v, touchedSet.size, untouched.size)
   }
 
@@ -682,8 +842,9 @@ object SnapshotLog {
                   lo: Long, hi: Long): (Int, Int, Int) = {
     val cur = latestVersion(dir)
     val lines = manifest(dir, cur)
+    val known = fileRanges(dir, cur)
     val (touched, untouched) = dataEntries(lines).partition { f =>
-      footerRange(s, dir, f, column) match {
+      rangeOf(s, dir, known, f, column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true // no stats: conservatively rewrite
       }
@@ -720,7 +881,8 @@ object SnapshotLog {
     // their rows already have all deletions applied
     commitManifest(dir, v,
       lines.filterNot(touchedSet.contains) ++ rewritten,
-      delta = Some(touched.map("-" + _) ++ rewritten.map("+" + _)))
+      delta = Some(touched.map("-" + _) ++ rewritten.map("+" + _)),
+      ranges = collectRanges(s, dir, rewritten))
     (v, touched.size, untouched.size)
   }
 
@@ -741,8 +903,9 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val cur = latestVersion(dir)
     val lines = manifest(dir, cur)
+    val known = fileRanges(dir, cur)
     val touched = dataEntries(lines).filter { f =>
-      footerRange(s, dir, f, column) match {
+      rangeOf(s, dir, known, f, column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true
       }
@@ -800,7 +963,9 @@ object SnapshotLog {
   def restoreVersion(dir: String, v: Int): Int = {
     val files = manifest(dir, v) // fails loud if vacuumed
     val next = latestVersion(dir) + 1
-    commitManifest(dir, next, files)
+    // ranges travel with the restore from the RESTORED version's
+    // resolution (the head's map may have dropped files replaced since)
+    commitManifest(dir, next, files, ranges = fileRanges(dir, v))
     next
   }
 
@@ -834,11 +999,18 @@ object SnapshotLog {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     // materialize the retention boundary BEFORE deleting its chain: a
-    // delta at retainFrom resolves through manifests below it
-    val (boundaryBatch, boundaryIsDelta, _) = readManifestFile(dir, retainFrom)
+    // delta at retainFrom resolves through manifests below it — its
+    // file list AND its range map both flatten into the checkpoint
+    val (boundaryBatch, boundaryIsDelta, _, _) =
+      readManifestFile(dir, retainFrom)
     if (boundaryIsDelta) {
       val full = manifest(dir, retainFrom)
-      val headers = boundaryBatch.map(b => s"#batch=$b").toSeq
+      val live = dataEntries(full).toSet
+      val rangeHeaders = fileRanges(dir, retainFrom).toSeq
+        .filter { case ((f, _), _) => live.contains(f) }
+        .sortBy(_._1)
+        .map { case ((f, c), (mn, mx)) => s"#range:$f:$c:$mn:$mx" }
+      val headers = boundaryBatch.map(b => s"#batch=$b").toSeq ++ rangeHeaders
       val tmp = logDir(dir).resolve(
         f"v$retainFrom%05d.${rewriteToken()}.tmp")
       java.nio.file.Files.write(tmp,

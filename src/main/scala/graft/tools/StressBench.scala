@@ -454,7 +454,11 @@ object StressBench {
       // the ChangeFeedSource (O(delta) planning off the manifest
       // diff) — linear in the appended data, zero cost for the
       // compaction version
-      "q110_merge_conditional,q111_change_feed"
+      "q110_merge_conditional,q111_change_feed," +
+      // q112: store build bills one z-order rewrite (two linear
+      // passes) per scale dir; the query itself is two footer-planned
+      // pruned scans — sublinear once the curve bounds both dims
+      "q112_zorder_skipping"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

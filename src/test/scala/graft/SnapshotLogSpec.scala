@@ -586,6 +586,104 @@ class SnapshotLogSpec extends SparkSpec {
     assert(batch === got, "persisted twin diverged from the batch algebra")
   }
 
+  test("z-order compaction: data skipping bites on BOTH columns; linear clustering only on one") {
+    import spark.implicits._
+    // a 32x32 uniform grid of independent (a, b) keys — the workload
+    // where one-column clustering must choose which queries to serve
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L)
+      yield (a * 100, b * 100, a * 32 + b)
+    def build(): String = {
+      val dir = freshDir()
+      // interleaved appends: every file spans both full ranges
+      (0 until 4).foreach(i => SnapshotLog.appendVersion(
+        grid.filter(_._3 % 4 == i).map(t => (t._1, t._2))
+          .toDF("a", "b").coalesce(1), dir))
+      dir
+    }
+    def prune(dir: String, v: Int, c: String): (Int, Int, Set[(Long, Long)]) = {
+      val (df, kept, total) = SnapshotLog.readVersionWhere(
+        spark, dir, v, c, 0L, 700L) // first quarter of either dimension
+      (kept, total, df.select($"a", $"b").as[(Long, Long)].collect().toSet)
+    }
+    val expectA = grid.collect { case (a, b, _) if a <= 700 => (a, b) }.toSet
+    val expectB = grid.collect { case (a, b, _) if b <= 700 => (a, b) }.toSet
+    // Z-ORDER: both dimensions prune below a full scan, rows exact
+    val zdir = build()
+    val vz = SnapshotLog.compactVersionZOrder(spark, zdir, "a", "b",
+      targetBytes = 512L) // force several output files
+    val (ka, ta, rowsA) = prune(zdir, vz, "a")
+    val (kb, tb, rowsB) = prune(zdir, vz, "b")
+    assert(ta >= 4 && tb >= 4, s"rewrite produced too few files ($ta)")
+    assert(ka < ta, s"z-order did not prune on a: $ka/$ta")
+    assert(kb < tb, s"z-order did not prune on b: $kb/$tb")
+    assert(rowsA === expectA && rowsB === expectB,
+      "z-ordered pruned reads diverged from the full scan")
+    // LINEAR clusterBy(a): a prunes, b keeps EVERY file — the
+    // counter-case that makes z-order worth its rewrite
+    val ldir = build()
+    val vl = SnapshotLog.compactVersion(spark, ldir,
+      targetBytes = 512L, clusterBy = Some("a"))
+    val (la, lta, lrowsA) = prune(ldir, vl, "a")
+    val (lb, ltb, lrowsB) = prune(ldir, vl, "b")
+    assert(la < lta, s"linear clustering must prune its own column: $la/$lta")
+    assert(lb === ltb,
+      s"linear clustering unexpectedly pruned the other column: $lb/$ltb")
+    assert(lrowsA === expectA && lrowsB === expectB)
+  }
+
+  test("stats-planned ops read ranges from the LOG: zero footer opens; stripped headers fall back") {
+    // the Delta stats-in-log idea: every commit records its added
+    // files' long-column [min,max] as #range: manifest headers
+    // (checkpoints carry the live map forward), so skipping reads,
+    // COW/MoR deletes, and the merge probe plan from O(files) log TEXT
+    // — at 100 TB, no per-operation storm of remote footer opens.
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(101L, 102L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(201L, 202L)).coalesce(1), dir)
+    val before = SnapshotLog.footerProbes.get()
+    val (pruned, kept, total) = SnapshotLog.readVersionWhere(
+      spark, dir, 3, "k", 100L, 150L)
+    assert(kept === 1 && total === 3)
+    assert(pruned.count() === 2)
+    val (_, rw, _) = SnapshotLog.deleteWhere(spark, dir, "k", 201L, 201L)
+    assert(rw === 1)
+    SnapshotLog.deleteWhereMoR(spark, dir, "k", 1L, 1L)
+    val src = Seq((102L, 5.0, "upsert"), (9999L, 7.0, "upsert"))
+      .toDF("key", "amt", "action")
+    val (v6, mrw, _) = SnapshotLog.mergeInto(spark, dir, src, "k", "x")
+    assert(mrw === 1, s"merge probe touched $mrw files")
+    assert(SnapshotLog.footerProbes.get() === before,
+      "a stats probe opened a parquet footer despite log-embedded ranges")
+    assert(rows(dir, v6) === Set(2L, 3L, 101L, 102L, 202L, 9999L))
+    // a restore carries the restored version's ranges forward
+    val v7 = SnapshotLog.restoreVersion(dir, 3)
+    val (_, kept7, total7) = SnapshotLog.readVersionWhere(
+      spark, dir, v7, "k", 100L, 150L)
+    assert(kept7 === 1 && total7 === 3)
+    assert(SnapshotLog.footerProbes.get() === before,
+      "post-restore probe fell back to footers")
+    // LEGACY stores (no #range headers) keep working: strip the
+    // headers and the SAME pruning decision comes from the footers
+    import scala.jdk.CollectionConverters._
+    val ld = java.nio.file.Paths.get(dir, "_graft_log")
+    val st = java.nio.file.Files.list(ld)
+    try st.iterator().asScala
+      .filter(_.toString.endsWith(".manifest")).foreach { p =>
+        val kept = java.nio.file.Files.readAllLines(p).asScala
+          .filterNot(_.startsWith("#range:"))
+        java.nio.file.Files.write(p,
+          (kept.mkString("\n") + "\n").getBytes("UTF-8"))
+      }
+    finally st.close()
+    val (_, keptL, totalL) = SnapshotLog.readVersionWhere(
+      spark, dir, 3, "k", 100L, 150L)
+    assert(keptL === 1 && totalL === 3,
+      "footer fallback diverged from the log-range decision")
+    assert(SnapshotLog.footerProbes.get() > before,
+      "stripped store should have probed footers")
+  }
+
   test("q102's store replays: per-version sets equal the cumulative orders slices") {
     val dir = operators.Extras.timeTravelStore(spark, sf)
     val orders = Tables.orders(spark, sf)
