@@ -316,21 +316,46 @@ object SnapshotLog {
       .map(_.getName).toSet
   }
 
-  /** Append `df` through the sink's two-phase commit and commit the
-    * next version = previous files + exactly the files this append
-    * moved in (an O(edit) delta manifest between checkpoints).
-    * Returns the new version number. */
+  /** Append `df` and commit the next version = previous files +
+    * exactly the files this append staged in (an O(edit) delta
+    * manifest between checkpoints). Returns the new version number.
+    *
+    * MULTI-WRITER SAFE end to end: the data files stage under a
+    * per-attempt unique token (each writer attributes exactly its own
+    * files — a directory-diff attribution would swallow a concurrent
+    * writer's files), and the commit AUTO-RETRIES on a lost claim: an
+    * append only ADDS files, so it commutes with whatever claimed the
+    * contested version (another append, a compaction, a delete — none
+    * of them reference the not-yet-committed files); losing just
+    * means recompute against the new head and re-claim (Delta's
+    * append conflict resolution). Rewrites (compaction/delete/merge)
+    * deliberately do NOT retry: their touched set was planned against
+    * the old head and must be re-planned by the caller. */
   def appendVersion(df: DataFrame, dir: String): Int = {
-    val before = dataFiles(dir)
-    df.write.format("graft.sources.ParquetBatchSink")
-      .option("path", dir).mode(SaveMode.Append).save()
-    val added = (dataFiles(dir) -- before).toSeq.sorted
+    val s = df.sparkSession
+    val tmp = dir + "_snapappend_tmp" + rewriteToken()
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val nominal = versions(dir).lastOption.getOrElse(0) + 1
+    val added = moveRewrite(s, dir, tmp, "append", nominal,
+      keepOneIfAllEmpty = true)
     require(added.nonEmpty, "append committed no files")
-    val prev = versions(dir).lastOption.map(manifest(dir, _)).getOrElse(Seq())
-    val v = versions(dir).lastOption.getOrElse(0) + 1
-    commitManifest(dir, v, prev ++ added, delta = Some(added.map("+" + _)),
-      ranges = collectRanges(df.sparkSession, dir, added))
-    v
+    val ranges = collectRanges(s, dir, added)
+    var attempt = 0
+    while (true) {
+      val prev = versions(dir).lastOption.map(manifest(dir, _)).getOrElse(Seq())
+      val v = versions(dir).lastOption.getOrElse(0) + 1
+      try {
+        commitManifest(dir, v, prev ++ added,
+          delta = Some(added.map("+" + _)), ranges = ranges)
+        return v
+      } catch {
+        case e: Exception if attempt < 10 && e.getMessage != null && (
+            e.getMessage.contains("concurrently committed") ||
+            e.getMessage.contains("not the next version")) =>
+          attempt += 1 // lost the race: re-read the head and re-claim
+      }
+    }
+    -1 // unreachable
   }
 
   /** EXACTLY-ONCE streamed appends: one committed version per
@@ -394,6 +419,28 @@ object SnapshotLog {
       v
     }
   }
+
+  /** TIMESTAMP AS OF resolution: the largest version whose manifest
+    * was committed at or before `tsMillis` (commit time = the manifest
+    * file's mtime, stamped by the atomic claim itself — no separate
+    * clock to drift). Fails loud for a timestamp before the first
+    * commit, like Delta's. */
+  def versionAsOf(dir: String, tsMillis: Long): Int = {
+    val vs = versions(dir).filter { v =>
+      java.nio.file.Files.getLastModifiedTime(manifestPath(dir, v))
+        .toMillis <= tsMillis
+    }
+    require(vs.nonEmpty,
+      s"no version at $dir committed at or before $tsMillis " +
+        s"(earliest: ${versions(dir).headOption.getOrElse(-1)})")
+    vs.max
+  }
+
+  /** Read the table as of a wall-clock instant — [[versionAsOf]] +
+    * [[readVersion]]. */
+  def readVersionAsOf(s: SparkSession, dir: String, tsMillis: Long,
+                      mergeSchema: Boolean = false): DataFrame =
+    readVersion(s, dir, versionAsOf(dir, tsMillis), mergeSchema)
 
   /** Read the table exactly as of version `v`: a plain multi-file
     * parquet scan over the manifest's files. `mergeSchema` is the

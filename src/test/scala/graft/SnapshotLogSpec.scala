@@ -684,6 +684,65 @@ class SnapshotLogSpec extends SparkSpec {
       "stripped store should have probed footers")
   }
 
+  test("concurrent appends both land: unique staging + claim retry, no lost rows, no cross-attribution") {
+    // appends commute (pure file additions), so a lost claim retries
+    // against the new head instead of failing — 8 writers racing
+    // pairwise; every append must land exactly once, in SOME order
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(0L)).coalesce(1), dir)
+    (0 until 4).foreach { round =>
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 2).map { t =>
+        val ks = Seq(100L * round + 10 + t)
+        val th = new Thread(() => {
+          start.await()
+          try SnapshotLog.appendVersion(frame(ks).coalesce(1), dir)
+          catch { case e: Throwable => errs.add(e) }
+        })
+        th.start(); th
+      }
+      start.countDown(); threads.foreach(_.join())
+      assert(errs.isEmpty, s"round $round: a concurrent append failed: " +
+        Option(errs.peek()).map(_.getMessage).getOrElse(""))
+    }
+    // 1 seed + 8 appends = 9 versions; every key present exactly once
+    assert(SnapshotLog.versions(dir).size === 9)
+    val expect = Set(0L) ++
+      (for (r <- 0 until 4; t <- 0 until 2) yield 100L * r + 10 + t)
+    assert(rows(dir, 9) === expect, "a concurrent append lost rows")
+    // no cross-attribution: every version adds EXACTLY one file
+    (2 to 9).foreach { v =>
+      val prev = SnapshotLog.manifest(dir, v - 1).toSet
+      val cur = SnapshotLog.manifest(dir, v).toSet
+      assert((cur -- prev).size === 1 && (prev -- cur).isEmpty,
+        s"version $v attribution: ${(cur -- prev).size} added")
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves by commit time; pre-history timestamps fail loud") {
+    val dir = freshDir()
+    (1 to 3).foreach(i =>
+      SnapshotLog.appendVersion(frame(Seq(i.toLong)).coalesce(1), dir))
+    // pin commit times explicitly (the resolver reads manifest mtimes,
+    // stamped by the atomic claim — the test just makes them exact)
+    val ld = java.nio.file.Paths.get(dir, "_graft_log")
+    (1 to 3).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        ld.resolve(f"v$v%05d.manifest"),
+        java.nio.file.attribute.FileTime.fromMillis(v * 1000L))
+    }
+    assert(SnapshotLog.versionAsOf(dir, 1000L) === 1)
+    assert(SnapshotLog.versionAsOf(dir, 2999L) === 2)
+    assert(SnapshotLog.versionAsOf(dir, 999999L) === 3)
+    assert(SnapshotLog.readVersionAsOf(spark, dir, 2999L)
+      .select($"k").as[Long].collect().toSet === Set(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.versionAsOf(dir, 500L)
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+
   test("q102's store replays: per-version sets equal the cumulative orders slices") {
     val dir = operators.Extras.timeTravelStore(spark, sf)
     val orders = Tables.orders(spark, sf)
