@@ -49,9 +49,12 @@ import scala.jdk.CollectionConverters._
 class ChangeFeedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChangeFeed.feedSchema(options.get("path"))
+  // the schema Spark hands back IS inferSchema's result — reuse it so
+  // the log walk + footer open happen once per read, not once per
+  // table/scan-builder call (round-18 review #8)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new ChangeFeedTable(new CaseInsensitiveStringMap(properties))
+    new ChangeFeedTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
 object ChangeFeed {
@@ -136,16 +139,17 @@ object ChangeFeed {
   }
 }
 
-class ChangeFeedTable(options: CaseInsensitiveStringMap)
+class ChangeFeedTable(schema0: StructType,
+                      options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val dir = options.get("path")
   override def name(): String = s"change_feed($dir)"
-  override def schema(): StructType = ChangeFeed.feedSchema(dir)
+  override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ChangeFeedScanBuilder(dir,
-      options.getOrDefault("fromVersion", "0").toInt, schema())
+      options.getOrDefault("fromVersion", "0").toInt, schema0)
 }
 
 /** Column pruning reaches the parquet readers (the projection is
@@ -267,12 +271,22 @@ class ChangeFeedReader(path: String, version: Int, schema: StructType)
   private val wanted = schema.fieldNames.filter(_ != "_change_version").toSet
   // project the requested columns that EXIST in this file; if none do
   // (count-only reads, or a file predating every requested column),
-  // read the narrowest single column just to drive row iteration
+  // read the narrowest primitive just to drive row iteration
   private val projected = {
     val fields = fileSchema.getFields.asScala.filter(f =>
       wanted.contains(f.getName))
+    def width(t: org.apache.parquet.schema.Type): Int = {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      if (!t.isPrimitive) 64
+      else t.asPrimitiveType().getPrimitiveTypeName match {
+        case BOOLEAN        => 1
+        case INT32 | FLOAT  => 4
+        case INT64 | DOUBLE => 8
+        case _              => 32 // binary/string: width unknown, avoid
+      }
+    }
     val eff = if (fields.nonEmpty) fields
-              else fileSchema.getFields.asScala.take(1)
+              else Seq(fileSchema.getFields.asScala.minBy(width))
     new org.apache.parquet.schema.MessageType(fileSchema.getName, eff.asJava)
   }
   conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)

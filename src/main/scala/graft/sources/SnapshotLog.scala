@@ -88,10 +88,17 @@ object SnapshotLog {
   }
 
   private def manifestPath(dir: String, v: Int): java.nio.file.Path = {
-    val name = manifestNames(dir).collectFirst {
-      case n @ ManifestName(vv, _) if vv.toInt == v => n
-    }.getOrElse(f"v$v%05d.manifest")
-    logDir(dir).resolve(name)
+    // fast path: every post-header-format commit claims the bare name —
+    // one stat instead of a directory listing (the listing fallback
+    // covers legacy batch-suffixed names only)
+    val bare = logDir(dir).resolve(f"v$v%05d.manifest")
+    if (java.nio.file.Files.exists(bare)) bare
+    else {
+      val name = manifestNames(dir).collectFirst {
+        case n @ ManifestName(vv, _) if vv.toInt == v => n
+      }.getOrElse(f"v$v%05d.manifest")
+      logDir(dir).resolve(name)
+    }
   }
 
   /** All committed versions, ascending (empty if none). */
@@ -127,11 +134,25 @@ object SnapshotLog {
     (headerBatch.orElse(nameBatch), headers.contains("#delta"), body, ranges)
   }
 
-  /** The (batchId, version) pairs committed by streamed appends. */
+  /** The (batchId, version) pairs committed by streamed appends —
+    * O(versions) manifest reads; used by [[vacuum]] (rare), NOT by the
+    * per-trigger path. */
   private def batchVersions(dir: String): Map[Long, Int] =
     versions(dir).flatMap { v =>
       readManifestFile(dir, v)._1.map(_ -> v)
     }.toMap
+
+  /** The NEWEST batch-tagged manifest's (batchId, version) — batchIds
+    * rise with versions (each trigger commits a later version), so
+    * the high-water batch is on the newest tagged manifest: scan
+    * versions DESCENDING and stop at the first tag. O(untagged tail)
+    * per trigger instead of O(versions) full-log reads (review:
+    * batchVersions per trigger went quadratic on a long-lived
+    * stream). */
+  private def latestBatch(dir: String): Option[(Long, Int)] =
+    versions(dir).reverseIterator
+      .map(v => readManifestFile(dir, v)._1.map(_ -> v))
+      .collectFirst { case Some(bv) => bv }
 
   def latestVersion(dir: String): Int = {
     val vs = versions(dir)
@@ -333,6 +354,9 @@ object SnapshotLog {
     * the old head and must be re-planned by the caller. */
   def appendVersion(df: DataFrame, dir: String): Int = {
     val s = df.sparkSession
+    // first append into a fresh table: the staged move needs the
+    // directory (the sink used to create it implicitly — review #6)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val tmp = dir + "_snapappend_tmp" + rewriteToken()
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val nominal = versions(dir).lastOption.getOrElse(0) + 1
@@ -359,9 +383,9 @@ object SnapshotLog {
   }
 
   /** EXACTLY-ONCE streamed appends: one committed version per
-    * micro-batch, `foreachBatch` over the sink + manifest layer. The
-    * crash matrix the batch-tagged manifests close:
-    *  - crash after the sink's job commit but BEFORE the manifest
+    * micro-batch, `foreachBatch` over the staged-append + manifest
+    * layer. The crash matrix the batch-tagged manifests close:
+    *  - crash after the staged files move in but BEFORE the manifest
     *    commit → the moved data files are referenced by nothing; the
     *    replayed trigger appends afresh and commits, the first
     *    attempt's files stay invisible orphans until [[vacuum]];
@@ -387,11 +411,12 @@ object SnapshotLog {
     * the already-committed one on a post-commit replay. */
   private[graft] def appendVersionForBatch(batch: DataFrame, dir: String,
                                            batchId: Long): Int = {
-    val committed = batchVersions(dir)
-    // the high-water mark is max(tagged manifests, the vacuum-persisted
-    // BATCH_HWM) — retention may have deleted old tagged manifests, and
-    // without the persisted mark a replayed batch would re-append
-    val maxB = math.max(committed.keys.foldLeft(-1L)(math.max),
+    val newest = latestBatch(dir)
+    // the high-water mark is max(newest tagged manifest, the vacuum-
+    // persisted BATCH_HWM) — retention may have deleted old tagged
+    // manifests, and without the persisted mark a replayed batch would
+    // re-append
+    val maxB = math.max(newest.map(_._1).getOrElse(-1L),
       batchHighWater(dir))
     // a crashed trigger replays only the LAST batch, so the no-op
     // branch is exactly batchId == the committed high-water mark; any
@@ -400,22 +425,31 @@ object SnapshotLog {
     // (the mergeApplyStream generation discipline). A vacuumed tagged
     // manifest leaves no version to return; the latest version already
     // CONTAINS the replayed batch's rows, so it serves.
-    if (batchId == maxB) committed.getOrElse(batchId, latestVersion(dir))
+    if (batchId == maxB)
+      newest.collect { case (b, v) if b == batchId => v }
+        .getOrElse(latestVersion(dir))
     else {
       require(batchId > maxB,
         s"snapshot log at $dir already holds batch > $batchId " +
           "— stale generation; clear the store or keep the original " +
           "checkpoint")
-      val before = dataFiles(dir)
-      batch.write.format("graft.sources.ParquetBatchSink")
-        .option("path", dir).mode(SaveMode.Append).save()
-      val added = (dataFiles(dir) -- before).toSeq.sorted
+      // unique-token staging, like appendVersion: a directory-diff
+      // attribution would swallow a CONCURRENT batch appender's files
+      // into this version's manifest and then double-commit them on
+      // its retry (round-18 review #1)
+      val s = batch.sparkSession
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tmp = dir + "_snapappend_tmp" + rewriteToken()
+      batch.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val nominal = versions(dir).lastOption.getOrElse(0) + 1
+      val added = moveRewrite(s, dir, tmp, "append", nominal,
+        keepOneIfAllEmpty = true)
       val prev = versions(dir).lastOption
         .map(manifest(dir, _)).getOrElse(Seq())
       val v = versions(dir).lastOption.getOrElse(0) + 1
       commitManifest(dir, v, prev ++ added, Some(batchId),
         delta = Some(added.map("+" + _)),
-        ranges = collectRanges(batch.sparkSession, dir, added))
+        ranges = collectRanges(s, dir, added))
       v
     }
   }
@@ -1022,10 +1056,21 @@ object SnapshotLog {
     * manifest committed). Reads of vacuumed versions then fail loud in
     * [[manifest]]. If `retainFrom` is a delta manifest, it is first
     * MATERIALIZED to a full checkpoint (its chain is about to be
-    * deleted); every retained delta chains down through it, so all
-    * retained versions keep resolving. Vacuum is a single-writer
+    * deleted) with its ORIGINAL commit mtime preserved (the
+    * [[versionAsOf]] clock — review #3); every retained delta chains
+    * down through it, so all retained versions keep resolving.
+    *
+    * `graceMillis` protects IN-FLIGHT writers (review #2, Delta's
+    * VACUUM retention threshold): an unreferenced data file younger
+    * than the grace may be a concurrent append's staged-but-not-yet-
+    * committed output — deleting it would let the append's commit
+    * succeed and point a committed version at missing files. Default
+    * 10 minutes; pass 0 only when no writer can be live (tests,
+    * offline maintenance). Stale commit tmp litter in `_graft_log/`
+    * is swept under the same grace. Vacuum is a single-writer
     * maintenance operation (like Delta's). */
-  def vacuum(dir: String, retainFrom: Int): Unit = {
+  def vacuum(dir: String, retainFrom: Int,
+             graceMillis: Long = 10L * 60 * 1000): Unit = {
     val vs = versions(dir)
     require(vs.contains(retainFrom),
       s"retainFrom=$retainFrom is not a committed version at $dir")
@@ -1058,22 +1103,41 @@ object SnapshotLog {
         .sortBy(_._1)
         .map { case ((f, c), (mn, mx)) => s"#range:$f:$c:$mn:$mx" }
       val headers = boundaryBatch.map(b => s"#batch=$b").toSeq ++ rangeHeaders
+      val target = manifestPath(dir, retainFrom)
+      // the manifest's mtime IS its commit time (versionAsOf's clock):
+      // the materialized checkpoint must keep it, or the retention
+      // boundary becomes unreachable by timestamp (review #3)
+      val commitTime = java.nio.file.Files.getLastModifiedTime(target)
       val tmp = logDir(dir).resolve(
         f"v$retainFrom%05d.${rewriteToken()}.tmp")
       java.nio.file.Files.write(tmp,
         ((headers ++ full).mkString("\n") + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, manifestPath(dir, retainFrom),
+      java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(target, commitTime)
     }
     val keep = vs.filter(_ >= retainFrom)
     val referenced = keep.flatMap(v => referencedFiles(manifest(dir, v))).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
     (dataFiles(dir) -- referenced).foreach { f =>
-      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, f))
+      val p = java.nio.file.Paths.get(dir, f)
+      if (oldEnough(p)) java.nio.file.Files.delete(p)
     }
     vs.filter(_ < retainFrom).foreach { v =>
       java.nio.file.Files.delete(manifestPath(dir, v))
     }
+    // crashed commit attempts leave uniquely-named tmp files in the
+    // log dir that retries no longer overwrite — sweep the stale ones
+    // under the same grace (review #7)
+    val st = java.nio.file.Files.list(logDir(dir))
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".tmp"))
+      .filter(oldEnough)
+      .foreach(java.nio.file.Files.delete)
+    finally st.close()
   }
 
   /** The persisted streamed-batch high-water mark (−1 if never

@@ -69,7 +69,7 @@ class SnapshotLogSpec extends SparkSpec {
     assert(v3 === 3 && rows(dir, 3) === rows(dir, 2))
     // vacuum retaining only v3 sweeps the crash orphans AND the
     // replaced originals; the retained snapshot still reads
-    SnapshotLog.vacuum(dir, retainFrom = 3)
+    SnapshotLog.vacuum(dir, retainFrom = 3, graceMillis = 0)
     val left = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(left === SnapshotLog.manifest(dir, 3).toSet,
@@ -96,7 +96,7 @@ class SnapshotLogSpec extends SparkSpec {
     val v6 = SnapshotLog.appendVersion(frame(Seq(7L)), dir)
     assert(rows(dir, v6) === Set(1L, 7L))
     // vacuum retaining the restore keeps the shared v1 files alive
-    SnapshotLog.vacuum(dir, retainFrom = 5)
+    SnapshotLog.vacuum(dir, retainFrom = 5, graceMillis = 0)
     assert(rows(dir, 5) === Set(1L) && rows(dir, 6) === Set(1L, 7L))
   }
 
@@ -147,7 +147,7 @@ class SnapshotLogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("stale generation"))
     // vacuum sweeps the orphans; the retained snapshot is intact
-    SnapshotLog.vacuum(dir, retainFrom = 4)
+    SnapshotLog.vacuum(dir, retainFrom = 4, graceMillis = 0)
     val left = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(left === SnapshotLog.manifest(dir, 4).toSet)
@@ -268,7 +268,7 @@ class SnapshotLogSpec extends SparkSpec {
     assert(rows(dir, v6) === Set(1L, 3L, 101L))
     // vacuum keeps the vector file while a dv-bearing version is
     // retained, and the retained versions still read correctly
-    SnapshotLog.vacuum(dir, retainFrom = 3)
+    SnapshotLog.vacuum(dir, retainFrom = 3, graceMillis = 0)
     assert(rows(dir, 3) === Set(1L, 2L, 3L))
     assert(rows(dir, v6) === Set(1L, 3L, 101L))
   }
@@ -490,7 +490,7 @@ class SnapshotLogSpec extends SparkSpec {
     assert(rows(dir, 30) === (1L to 30L).toSet)
     // vacuum at a DELTA boundary: v15's chain (v11 full + deltas) is
     // about to be deleted, so vacuum materializes v15 as a checkpoint
-    SnapshotLog.vacuum(dir, retainFrom = 15)
+    SnapshotLog.vacuum(dir, retainFrom = 15, graceMillis = 0)
     assert(!isDelta(15), "retention boundary was not materialized")
     assert(rows(dir, 15) === (1L to 15L).toSet)
     assert(rows(dir, 16) === (1L to 16L).toSet, "chain through boundary")
@@ -718,6 +718,43 @@ class SnapshotLogSpec extends SparkSpec {
       assert((cur -- prev).size === 1 && (prev -- cur).isEmpty,
         s"version $v attribution: ${(cur -- prev).size} added")
     }
+  }
+
+  test("vacuum grace protects in-flight staged files; boundary materialization keeps its commit time") {
+    // review #2: an unreferenced data file younger than the grace may
+    // be a concurrent append's staged-but-uncommitted output — the
+    // default grace must NOT delete it (the append's later commit
+    // would point a committed version at missing files)
+    val dir = freshDir()
+    (1 to 12).foreach(i =>
+      SnapshotLog.appendVersion(frame(Seq(i.toLong)).coalesce(1), dir))
+    val staged = java.nio.file.Paths.get(dir, "append-v00013-ffff-p00000.parquet")
+    java.nio.file.Files.write(staged, Array[Byte](1, 2, 3)) // fresh mtime
+    SnapshotLog.vacuum(dir, retainFrom = 12) // default grace
+    assert(java.nio.file.Files.exists(staged),
+      "default-grace vacuum deleted a freshly staged file")
+    // an OLD orphan (mtime beyond the grace) is swept
+    java.nio.file.Files.setLastModifiedTime(staged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
+    SnapshotLog.vacuum(dir, retainFrom = 12)
+    assert(!java.nio.file.Files.exists(staged),
+      "vacuum left an orphan older than the grace")
+    // review #3: materializing a delta retention boundary must keep
+    // the manifest's ORIGINAL mtime — it IS versionAsOf's clock
+    val dir2 = freshDir()
+    (1 to 15).foreach(i =>
+      SnapshotLog.appendVersion(frame(Seq(i.toLong)).coalesce(1), dir2))
+    val ld = java.nio.file.Paths.get(dir2, "_graft_log")
+    (1 to 15).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        ld.resolve(f"v$v%05d.manifest"),
+        java.nio.file.attribute.FileTime.fromMillis(v * 1000L))
+    }
+    SnapshotLog.vacuum(dir2, retainFrom = 14, graceMillis = 0) // delta boundary
+    assert(SnapshotLog.versionAsOf(dir2, 14500L) === 14,
+      "materialized boundary lost its commit time")
+    assert(SnapshotLog.versionAsOf(dir2, 15000L) === 15)
   }
 
   test("TIMESTAMP AS OF resolves by commit time; pre-history timestamps fail loud") {

@@ -1225,7 +1225,10 @@ class StreamingSpec extends SparkSpec {
     // exactly-once streamed-append path (the batchId rides the
     // replica's manifest claim, so a replayed trigger no-ops) — a
     // second table stays row-identical to the primary without ever
-    // scanning it.
+    // scanning it. SCOPE: an APPEND-ONLY primary (+ compactions, which
+    // move bytes not rows) — the insert feed by design carries nothing
+    // for delete/merge rewrites (those need explicit change files, the
+    // Delta CDC-file mechanism; the ChangeFeedSource doc says so).
     import graft.sources.{ChangeFeed, SnapshotLog}
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft_cdcrep")
