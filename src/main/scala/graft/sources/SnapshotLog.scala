@@ -589,19 +589,24 @@ object SnapshotLog {
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val src = readVersion(s, dir, cur, mergeSchema = true)
-    // column bounds: one tiny agg — O(1) driver-side control values
+    // column bounds: one tiny agg — O(1) driver-side control values.
+    // An empty (or all-null) snapshot has no curve to order by: the
+    // rewrite degrades to a plain repartition so the compaction still
+    // commits (delete-everything then z-order must not fail).
     val r = src.agg(min(col(colA)), max(col(colA)),
                     min(col(colB)), max(col(colB))).head
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"z-order needs non-null stats for $colA/$colB")
-    val z = zorderKey(col(colA), r.getLong(0), r.getLong(1),
-                      col(colB), r.getLong(2), r.getLong(3))
+    val shaped =
+      if (r.isNullAt(0) || r.isNullAt(2)) src.repartition(nFiles)
+      else {
+        val z = zorderKey(col(colA), r.getLong(0), r.getLong(1),
+                          col(colB), r.getLong(2), r.getLong(3))
+        src.withColumn("_graft_z", z)
+          .repartitionByRange(nFiles, col("_graft_z"))
+          .sortWithinPartitions(col("_graft_z"))
+          .drop("_graft_z")
+      }
     val tmp = dir + "_snapzorder_tmp" + rewriteToken()
-    src.withColumn("_graft_z", z)
-      .repartitionByRange(nFiles, col("_graft_z"))
-      .sortWithinPartitions(col("_graft_z"))
-      .drop("_graft_z")
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
     val moved = moveRewrite(s, dir, tmp, "zorder", cur + 1,
       keepOneIfAllEmpty = true)
     val v = latestVersion(dir) + 1

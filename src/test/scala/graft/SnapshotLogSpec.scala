@@ -350,14 +350,14 @@ class SnapshotLogSpec extends SparkSpec {
     import org.scalacheck.rng.Seed
     sealed trait Op
     case class Append(ks: Seq[Long]) extends Op
-    case object Compact extends Op
+    case class Compact(zorder: Boolean) extends Op
     case class Restore(frac: Double) extends Op
     case class Delete(loFrac: Double, hiFrac: Double, mor: Boolean)
       extends Op
     def opGen(i: Int): Gen[Op] = Gen.frequency(
       5 -> Gen.choose(1, 4).map(n =>
         Append((1 to n).map(j => i * 100L + j))), // globally unique keys
-      2 -> Gen.const(Compact),
+      2 -> Gen.oneOf(true, false).map(Compact.apply), // linear OR z-order
       1 -> Gen.choose(0.0, 1.0).map(Restore.apply),
       3 -> Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0),
         Gen.oneOf(true, false)).map {
@@ -373,8 +373,12 @@ class SnapshotLogSpec extends SparkSpec {
           case Append(ks) =>
             SnapshotLog.appendVersion(frame(ks).coalesce(1), dir)
             model :+= model.lastOption.getOrElse(Set.empty) ++ ks
-          case Compact =>
-            SnapshotLog.compactVersion(spark, dir, targetBytes = 1L,
+          case Compact(z) =>
+            // both rewrite flavors must be row-preserving no-ops to
+            // the model: linear clustering AND the z-order curve
+            if (z) SnapshotLog.compactVersionZOrder(spark, dir, "k", "k",
+              targetBytes = 1L)
+            else SnapshotLog.compactVersion(spark, dir, targetBytes = 1L,
               clusterBy = Some("k"))
             model :+= model.last
           case Restore(frac) =>
