@@ -61,7 +61,7 @@ object Extras {
     // q95's runtime broadcast switch instead. The feed plants all
     // three clauses deterministically: urgent-order revenue upserts
     // matched customers, %13 keys are delete markers, %9 keys re-key
-    // to +1000000 — the not-matched insert stream. Output is the
+    // past the max custkey — the not-matched insert stream. Output is the
     // merged state with per-row provenance (kept/updated/inserted;
     // deletes absent), so the oracle pins every clause's arbitration.
     "q100_merge_into" -> { (s, d) =>
@@ -1018,6 +1018,15 @@ object Extras {
       graft.sources.SnapshotLog.compactVersionZOrder(s, dir,
         "o_orderkey", "o_custkey",
         targetBytes = math.max(1L, total / 8))
+      // q112's oracle pins both_pruned = TRUE as a literal; that holds
+      // structurally only if the z-order rewrite produced enough files
+      // for a quarter-range to prune on each axis — fail LOUD at build
+      // time instead of a spurious hash mismatch at a scale where the
+      // rewrite collapsed to too few non-empty parts (round-18 advice #5)
+      val nZ = graft.sources.SnapshotLog.dataEntries(
+        graft.sources.SnapshotLog.manifest(dir, 2)).size
+      require(nZ >= 4,
+        s"z-order fixture needs >= 4 data files for the pruning pin, got $nZ")
       val r = base.agg(max(col("o_orderkey")), max(col("o_custkey"))).head
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_MAXKEYS"),
         s"${r.getLong(0)} ${r.getLong(1)}".getBytes("UTF-8"))
@@ -1438,13 +1447,20 @@ object Extras {
           "key", "bal")
     }
 
+  /** q100/q110's change feed. The not-matched re-key offset DERIVES
+    * from the target's max key via [[ttmInsertOffset]], exactly as
+    * q109's ranged feed does (round-18 advice: the old hard-coded
+    * +1e6 aliases live custkeys above ~sf7, silently turning the
+    * insert stream into updates and voiding the not-matched clause).
+    * The max is one O(1) driver-side agg over the small dimension. */
   private[graft] def mergeFeed(s: SparkSession, d: String): DataFrame = {
+    val m = T.customer(s, d).agg(max(col("c_custkey"))).head.getLong(0)
     val src0 = T.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .groupBy(col("o_custkey"))
       .agg(graft.Dets.dsum(col("o_totalprice")).as("amt"))
     src0.select(
-      when(col("o_custkey") % 9 === 0, col("o_custkey") + 1000000L)
+      when(col("o_custkey") % 9 === 0, col("o_custkey") + ttmInsertOffset(m))
         .otherwise(col("o_custkey")).as("key"),
       col("amt"),
       when(col("o_custkey") % 13 === 0 && col("o_custkey") % 9 =!= 0,
@@ -1729,21 +1745,25 @@ object Extras {
         |ORDER BY c_custkey, valid_from""".stripMargin,
 
     // q100: the same three-clause arbitration stated over a full outer
-    // join — both engines must agree row-for-row on every clause.
+    // join — both engines must agree row-for-row on every clause. The
+    // insert offset is MAX(c_custkey)*10 on BOTH engines
+    // (ttmInsertOffset — a hard-coded constant aliases live keys at
+    // high sf, q109's round-17 lesson shared here).
     "q100_merge_into" ->
-      """WITH tgt AS (SELECT c_custkey AS key, c_acctbal AS bal
+      """WITH mm AS (SELECT MAX(c_custkey) AS mx FROM customer),
+        |tgt AS (SELECT c_custkey AS key, c_acctbal AS bal
         |             FROM customer),
         |src0 AS (
         |  SELECT o_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amt
         |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
         |src AS (
-        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + 1000000
+        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + mx * 10
         |              ELSE o_custkey END AS key,
         |    amt,
         |    CASE WHEN o_custkey % 13 = 0 AND o_custkey % 9 <> 0
         |         THEN 'delete' ELSE 'upsert' END AS action
-        |  FROM src0),
+        |  FROM src0, mm),
         |m AS (
         |  SELECT COALESCE(t.key, s.key) AS key, t.bal, s.amt, s.action
         |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key)
@@ -1760,20 +1780,22 @@ object Extras {
     // q110: the ordered clause ladder stated as one CASE whose branch
     // order IS the clause order — both engines must agree on every
     // row's surviving clause, incl. clause 2 shadowing clause 3.
+    // Insert offset = MAX(c_custkey)*10, as q100/q109.
     "q110_merge_conditional" ->
-      """WITH tgt AS (SELECT c_custkey AS key, c_acctbal AS bal
+      """WITH mm AS (SELECT MAX(c_custkey) AS mx FROM customer),
+        |tgt AS (SELECT c_custkey AS key, c_acctbal AS bal
         |             FROM customer),
         |src0 AS (
         |  SELECT o_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amt
         |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
         |src AS (
-        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + 1000000
+        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + mx * 10
         |              ELSE o_custkey END AS key,
         |    amt,
         |    CASE WHEN o_custkey % 13 = 0 AND o_custkey % 9 <> 0
         |         THEN 'delete' ELSE 'upsert' END AS action
-        |  FROM src0),
+        |  FROM src0, mm),
         |m AS (
         |  SELECT COALESCE(t.key, s.key) AS key, t.bal, s.amt, s.action
         |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key)
