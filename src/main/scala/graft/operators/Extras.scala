@@ -93,6 +93,44 @@ object Extras {
         .orderBy($"key")
     },
 
+    // GENERAL MERGE CLAUSE LADDER — q100/q110 restated as
+    // configurations of ONE general operator (Merge.mergeClauses:
+    // caller-supplied WHEN [NOT] MATCHED AND <cond> THEN
+    // DELETE/UPDATE SET/INSERT, first-match-wins); this query runs a
+    // ladder NEITHER of them covers, pinning the combinations:
+    //   1. MATCHED AND action='delete' AND bal < 5000 → DELETE
+    //      (a CONDITIONAL delete — q110's was unconditional)
+    //   2. MATCHED AND action='delete'               → SET bal = 0
+    //      (soft-delete fallback, shadowed by 1 for low balances)
+    //   3. MATCHED AND amt > 600000                  → SET bal = bal + amt/10
+    //   4. MATCHED                                   → SET bal = bal + amt
+    //   5. NOT MATCHED AND action<>'delete' AND amt > 300000
+    //                                                → INSERT bal = amt
+    //      (a GATED insert: small-amt source rows enter NOTHING —
+    //       the no-clause-matched drop path, unexercised before)
+    // Per-row clause labels ride the output so the oracle pins every
+    // branch AND the ordering. Same plan shape as q100: one full-outer
+    // shuffle join + per-column CASE ladder, all codegen'd builtins.
+    "q114_merge_clauses" -> { (s, d) =>
+      import s.implicits._
+      Merge.mergeClauses(mergeTarget(s, d), mergeFeed(s, d), "key",
+        matched = Seq(
+          Merge.delete("hard_delete",
+            $"action" === "delete" && $"bal" < 5000),
+          Merge.update("soft_delete", $"action" === "delete",
+            "bal" -> lit(0.0)),
+          Merge.update("bonus", $"amt" > 600000,
+            "bal" -> ($"bal" + $"amt" / 10)),
+          Merge.update("plain", lit(true),
+            "bal" -> ($"bal" + $"amt"))),
+        notMatched = Seq(
+          Merge.insert("inserted",
+            $"action" =!= "delete" && $"amt" > 300000,
+            "bal" -> $"amt")),
+        provenance = Some("clause"))
+        .orderBy($"key")
+    },
+
     // SNAPSHOT (time-travel) reads over the ParquetBatchSink +
     // SnapshotLog manifest layer — the lakehouse read primitive the
     // sink's two-phase commit was missing: three appends build
@@ -242,6 +280,35 @@ object Extras {
           graft.Dets.dsum($"o_totalprice").as("total_cust"))))
         .select($"n_rows_key", $"total_key", $"n_rows_cust", $"total_cust",
           lit(ko < to && kc < tc).as("both_pruned"))
+    },
+
+    // ROW-LEVEL CDC OVER THE FULL DML SURFACE — the half of the change
+    // feed q111's insert-only convention left open (round-18 verdict
+    // #1): a COW delete and a MERGE are REWRITE versions (manifest
+    // removes files), so the manifest diff alone feeds zero rows and a
+    // replica tailing the store silently diverges. Since r19 every DML
+    // commit writes explicit per-version change files (Delta's
+    // `_change_data/` idea: full-row delete preimages, update pre/post
+    // images, merge inserts) as `#cdc:` manifest headers, and the feed
+    // emits them. History here: v1-3 append the (key,bal) dimension in
+    // clustered thirds, v4 COW-deletes the lower-middle slice, v5
+    // MERGEs the ranged q109 feed (updates + deletes + far-key
+    // inserts). The query tails versions 4-5 and aggregates per
+    // (version, change_type); the oracle states every change row
+    // relationally off customer/orders — so the DML-time CDC writers,
+    // the manifest headers, AND the feed's decoding are all pinned by
+    // one hash. O(changed rows) extra write per DML commit, zero cost
+    // on the read-the-table path, O(delta) feed IO per version.
+    "q113_cdc_dml_feed" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreCdc(s, d)
+      graft.sources.ChangeFeed.readBatch(s, dir, fromVersion = 3)
+        .groupBy($"_change_version".cast("int").as("version"),
+          $"_change_type".as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum($"key").as("key_sum"),
+             graft.Dets.dsum($"bal").as("bal_total"))
+        .orderBy($"version", $"change_type")
     },
 
     // MERGE-ON-READ DELETE — q107's copy-on-write twin, the OTHER half
@@ -1436,6 +1503,34 @@ object Extras {
         m.toString.getBytes("UTF-8"))
     }
 
+  /** q113's DML-history store: v1-3 append the (key, bal) dimension in
+    * clustered single-file thirds (the ttm layout), v4 COW-deletes the
+    * lower-middle key slice, v5 merges the ranged feed — each DML
+    * commit writing its row-level change files. Built ONCE per fixture
+    * generation; both source tables fingerprint it (v5 derives from
+    * orders). */
+  private[graft] def timeTravelStoreCdc(s: SparkSession,
+                                        d: String): String =
+    memoizedArtifact(s, "graft_ttcdc", d,
+        Seq("customer.parquet", "orders.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val base = mergeTarget(s, d)
+      val m = base.agg(max(col("key"))).head.getLong(0)
+      Seq((0L, m / 3), (m / 3 + 1, 2 * m / 3), (2 * m / 3 + 1, m))
+        .foreach { case (lo, hi) =>
+          graft.sources.SnapshotLog.appendVersion(
+            base.filter(col("key").between(lo, hi)).coalesce(1), dir)
+        }
+      graft.sources.SnapshotLog.deleteWhere(s, dir, "key",
+        m / 3 + 1, m / 2)
+      graft.sources.SnapshotLog.mergeInto(s, dir,
+        mergeFeedRanged(s, d, m / 2 + 1, 2 * m / 3, ttmInsertOffset(m)),
+        "key", "bal")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_MAXKEY"),
+        m.toString.getBytes("UTF-8"))
+    }
+
   /** Applies q109's persisted merge exactly once per store generation
     * (version 4), serialized like the clustered store's deletes. */
   private[graft] def ensureTtmVersion4(s: SparkSession, dir: String,
@@ -1467,47 +1562,47 @@ object Extras {
         lit("delete")).otherwise(lit("upsert")).as("action"))
   }
 
-  /** The three-clause arbitration over one full-outer join; `status`
-    * is the per-row provenance the batch oracle pins. */
-  /** The three-clause arbitration, plus the 'replace' action the
-    * sequential within-batch collapse emits (see [[mergeApplyBatch]]):
-    * a delete-then-reinsert batch must RESTART the balance from the
-    * post-delete amounts instead of accumulating onto the pre-delete
-    * state, which no combination of the three plain clauses states. */
+  /** q100's three plain clauses (+ the 'replace' action the sequential
+    * within-batch collapse emits, see [[mergeApplyBatch]]: a
+    * delete-then-reinsert batch must RESTART the balance from the
+    * post-delete amounts) — stated as a CONFIGURATION of the general
+    * [[Merge.mergeClauses]] ladder (round-18 verdict #3: one machinery,
+    * not a hard-coded CASE per merge flavor). `status` is the per-row
+    * provenance the batch oracle pins. */
   private[graft] def mergeArbitrate(target: DataFrame,
                                     source: DataFrame): DataFrame =
-    target.join(source, Seq("key"), "full_outer")
-      .filter(col("action").isNull || col("action") =!= "delete")
-      .select(col("key"),
-        when(col("action").isNull, col("bal"))
-          .when(col("action") === "replace", col("amt"))
-          .when(col("bal").isNotNull, col("bal") + col("amt"))
-          .otherwise(col("amt")).as("bal"),
-        when(col("action").isNull, lit("kept"))
-          .when(col("bal").isNotNull, lit("updated"))
-          .otherwise(lit("inserted")).as("status"))
+    Merge.mergeClauses(target, source, "key",
+      matched = Seq(
+        Merge.delete("deleted", col("action") === "delete"),
+        Merge.update("updated", col("action") === "replace",
+          "bal" -> col("amt")),
+        Merge.update("updated", lit(true),
+          "bal" -> (col("bal") + col("amt")))),
+      notMatched = Seq(
+        Merge.insert("inserted", col("action") =!= "delete",
+          "bal" -> col("amt"))),
+      provenance = Some("status"))
 
   /** q110's ordered clause ladder (see the registry entry for the
-    * clause list): every 'delete' row drops — matched by clause 1,
-    * unmatched by clause 4's AND-predicate — and the bal CASE encodes
-    * the first-match-wins ordering, clause 2 (reset on negative
-    * balance) shadowing clause 3 (accumulate). A NULL target balance
-    * reads as unmatched, the [[mergeArbitrate]] convention. Restated
-    * at file granularity in `SnapshotLog.mergeIntoConditional`
-    * (SnapshotLogSpec pins the two agree). */
+    * clause list) as a [[Merge.mergeClauses]] configuration: every
+    * 'delete' row drops — matched by clause 1, unmatched by the
+    * insert clause's AND-predicate — and first-match-wins puts clause
+    * 2 (reset on negative balance) in front of clause 3 (accumulate).
+    * Restated at file granularity in
+    * `SnapshotLog.mergeIntoConditional` (SnapshotLogSpec pins the two
+    * agree). */
   private[graft] def mergeArbitrateConditional(target: DataFrame,
                                                source: DataFrame): DataFrame =
-    target.join(source, Seq("key"), "full_outer")
-      .filter(col("action").isNull || col("action") =!= "delete")
-      .select(col("key"),
-        when(col("action").isNull, col("bal"))
-          .when(col("bal").isNull, col("amt"))
-          .when(col("bal") < 0, col("amt"))
-          .otherwise(col("bal") + col("amt")).as("bal"),
-        when(col("action").isNull, lit("kept"))
-          .when(col("bal").isNull, lit("inserted"))
-          .when(col("bal") < 0, lit("reset"))
-          .otherwise(lit("updated")).as("clause"))
+    Merge.mergeClauses(target, source, "key",
+      matched = Seq(
+        Merge.delete("deleted", col("action") === "delete"),
+        Merge.update("reset", col("bal") < 0, "bal" -> col("amt")),
+        Merge.update("updated", lit(true),
+          "bal" -> (col("bal") + col("amt")))),
+      notMatched = Seq(
+        Merge.insert("inserted", col("action") =!= "delete",
+          "bal" -> col("amt"))),
+      provenance = Some("clause"))
 
   /** q100's streamed twin — the CDC APPLY loop (the canonical
     * foreachBatch-merge deployment: a change feed lands in
@@ -1811,6 +1906,45 @@ object Extras {
         |FROM m WHERE action IS NULL OR action <> 'delete'
         |ORDER BY key""".stripMargin,
 
+    // q114: the five-clause ladder as one CASE whose branch order IS
+    // the clause order; the WHERE states the two drop paths (the
+    // conditional hard delete and the failed insert gate).
+    "q114_merge_clauses" ->
+      """WITH mm AS (SELECT MAX(c_custkey) AS mx FROM customer),
+        |tgt AS (SELECT c_custkey AS key, c_acctbal AS bal
+        |             FROM customer),
+        |src0 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amt
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |src AS (
+        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + mx * 10
+        |              ELSE o_custkey END AS key,
+        |    amt,
+        |    CASE WHEN o_custkey % 13 = 0 AND o_custkey % 9 <> 0
+        |         THEN 'delete' ELSE 'upsert' END AS action
+        |  FROM src0, mm),
+        |m AS (
+        |  SELECT COALESCE(t.key, s.key) AS key, t.bal, s.amt, s.action,
+        |    t.key IS NOT NULL AS m_t, s.key IS NOT NULL AS m_s
+        |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key)
+        |SELECT key,
+        |  CASE WHEN NOT m_s THEN bal
+        |       WHEN m_t AND action = 'delete' THEN 0.0
+        |       WHEN m_t AND amt > 600000 THEN bal + amt / 10
+        |       WHEN m_t THEN bal + amt
+        |       ELSE amt END AS bal,
+        |  CASE WHEN NOT m_s THEN 'kept'
+        |       WHEN m_t AND action = 'delete' THEN 'soft_delete'
+        |       WHEN m_t AND amt > 600000 THEN 'bonus'
+        |       WHEN m_t THEN 'plain'
+        |       ELSE 'inserted' END AS clause
+        |FROM m
+        |WHERE NOT m_s
+        |   OR (m_t AND NOT (action = 'delete' AND bal < 5000))
+        |   OR (NOT m_t AND action <> 'delete' AND amt > 300000)
+        |ORDER BY key""".stripMargin,
+
     // q102: each version's cumulative slice stated straight off orders
     // (v1 = keys ≡ 0 mod 3, v2 adds ≡ 1, v3 adds ≡ 2, v4 = the
     // compacted twin of v3) — the hash match pins that the sink
@@ -1850,6 +1984,50 @@ object Extras {
         |FROM v LEFT JOIN orders
         |  ON v.version <= 3 AND o_orderkey % 3 = v.version - 1
         |GROUP BY version ORDER BY version""".stripMargin,
+
+    // q113: every DML change row stated relationally — v4's deletes
+    // are the COW range off customer, v5's updates/deletes/inserts are
+    // the q109 merge algebra's per-clause effects (pre/post images for
+    // matched upserts, preimages for matched deletes, far-key inserts).
+    "q113_cdc_dml_feed" ->
+      """WITH m AS (SELECT MAX(c_custkey) AS mx FROM customer),
+        |src0 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amt
+        |  FROM orders, m
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_custkey > mx // 2 AND o_custkey <= 2 * mx // 3
+        |  GROUP BY o_custkey),
+        |src AS (
+        |  SELECT CASE WHEN o_custkey % 9 = 0 THEN o_custkey + mx * 10
+        |         ELSE o_custkey END AS key, amt,
+        |    CASE WHEN o_custkey % 13 = 0 AND o_custkey % 9 <> 0
+        |         THEN 'delete' ELSE 'upsert' END AS action
+        |  FROM src0, m),
+        |ch AS (
+        |  SELECT 4 AS version, 'delete' AS change_type,
+        |         c_custkey AS key, c_acctbal AS bal
+        |  FROM customer, m
+        |  WHERE c_custkey > mx // 3 AND c_custkey <= mx // 2
+        |  UNION ALL
+        |  SELECT 5, 'delete', key, c_acctbal
+        |  FROM src JOIN customer ON key = c_custkey
+        |  WHERE action = 'delete'
+        |  UNION ALL
+        |  SELECT 5, 'update_preimage', key, c_acctbal
+        |  FROM src JOIN customer ON key = c_custkey
+        |  WHERE action <> 'delete'
+        |  UNION ALL
+        |  SELECT 5, 'update_postimage', key, c_acctbal + amt
+        |  FROM src JOIN customer ON key = c_custkey
+        |  WHERE action <> 'delete'
+        |  UNION ALL
+        |  SELECT 5, 'insert', key, amt FROM src, m WHERE key > mx)
+        |SELECT version, change_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(key) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS bal_total
+        |FROM ch GROUP BY version, change_type
+        |ORDER BY version, change_type""".stripMargin,
 
     // q105: the same range predicate straight off orders (integer
     // thirds of the max key); the file-count literals pin the pruning.

@@ -9,49 +9,54 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 import scala.jdk.CollectionConverters._
 
 /** CHANGE DATA FEED over a [[SnapshotLog]] store — the incremental-read
   * half of the manifest layer (Delta's `readChangeFeed` in miniature):
-  * each committed version's inserted rows, tagged `_change_version`,
-  * WITHOUT diffing table contents. The manifest diff names exactly the
-  * files a commit added, so a version's feed is a scan of ONLY those
-  * files — O(delta) IO per version, the property that lets a 100 TB
-  * CDC consumer tail the table instead of re-scanning it (q104 states
-  * the same diff batch-side; this source is its tailable form).
+  * each committed version's ROW-LEVEL changes, tagged `_change_type` ∈
+  * insert | delete | update_preimage | update_postimage and
+  * `_change_version`, WITHOUT diffing table contents:
   *
-  * Surfaces (one Scan, both read paths):
-  *  - BATCH: all changes in versions (fromVersion, latest] — what the
-  *    q111 oracle hash-checks end-to-end, incl. this source's own
-  *    parquet row decoding;
-  *  - MICRO-BATCH: one committed version per trigger (admission
-  *    control caps each batch at the next version), so a long-running
-  *    stream applies versions in commit order with O(delta) reads —
-  *    and Trigger.AvailableNow drains exactly to the version captured
-  *    at start ([[SupportsTriggerAvailableNow]]), one batch per
-  *    version, then stops.
+  *  - an APPEND version's changes are its added files' rows (manifest
+  *    diff names exactly those files — O(delta) IO per version, the
+  *    property that lets a 100 TB CDC consumer tail the table instead
+  *    of re-scanning it), `_change_type = 'insert'` stamped by the
+  *    reader;
+  *  - a DML version (COW/MoR delete, MERGE) emits the explicit change
+  *    files its commit wrote (`#cdc:` manifest headers — Delta's
+  *    `_change_data/` idea): full-row delete preimages and update
+  *    pre/post images, so a replica tailing the feed stays byte-equal
+  *    through the FULL DML surface instead of silently diverging
+  *    (round-18 verdict #1);
+  *  - a pure byte-moving rewrite (compaction / z-order) emits NOTHING
+  *    (Delta's dataChange=false), which q104 pins.
   *
-  * Semantics: APPEND versions emit their added files' rows. REWRITE
-  * versions (compaction / COW delete / merge — the manifest removed
-  * files) and deletion-vector versions emit NOTHING: a rewrite moves
-  * bytes, not logical rows (Delta's dataChange=false), and row-level
-  * delete/update feeds need explicit change files, out of this
-  * insert-feed's scope — the same convention q104 pins (its compaction
-  * version must feed zero).
+  * Surfaces (one Scan, both read paths): BATCH = all changes in
+  * versions (fromVersion, latest] (q111/q113 hash-check it end-to-end,
+  * incl. this source's own parquet row decoding); MICRO-BATCH = one
+  * committed version per trigger (admission control), AvailableNow
+  * drains exactly to the head captured at start.
   *
-  * The per-file readers decode parquet straight off the footer schema
-  * (primitive columns: long/int/double/float/boolean/string), with
-  * column projection pushed to the parquet reader — the feed never
-  * routes through a table-wide scan, so Spark's file-source machinery
-  * (which plans whole directories, not manifest-diff slices) is
-  * bypassed on purpose.
+  * The feed schema resolves from the manifests' `#schema=` headers
+  * UNIONED across the tailed range — O(range) log text, zero footer
+  * opens, and correct on schema-evolved stores where the old
+  * first-file-of-head inference was file-order-dependent (round-18
+  * review #1); stores written before the header fall back to a footer
+  * union of the range's contributed files. Per-file readers decode
+  * parquet straight off the footer schema with column projection
+  * pushed into the parquet read schema; a column a file predates reads
+  * as NULL (the mergeSchema convention). Spark's file-source machinery
+  * is bypassed on purpose: it plans whole directories, not
+  * manifest-diff slices.
   */
 class ChangeFeedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ChangeFeed.feedSchema(options.get("path"))
+    ChangeFeed.feedSchema(options.get("path"),
+      options.getOrDefault("fromVersion", "0").toInt)
   // the schema Spark hands back IS inferSchema's result — reuse it so
-  // the log walk + footer open happen once per read, not once per
-  // table/scan-builder call (round-18 review #8)
+  // the log walk happens once per read, not once per table/scan-builder
+  // call (round-18 review #8)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new ChangeFeedTable(schema, new CaseInsensitiveStringMap(properties))
@@ -71,8 +76,16 @@ object ChangeFeed {
     s.readStream.format("graft.sources.ChangeFeedSource")
       .option("path", dir).option("fromVersion", fromVersion).load()
 
+  /** The session Hadoop conf on the driver (the DSv2 entry points run
+    * there) — NOT a bare `new Configuration()`, so non-default
+    * filesystem/credential settings reach the feed's planning and,
+    * serialized through the reader factory, its row decoding
+    * (round-18 advice #4). */
+  private[graft] def driverHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   /** The data files version `v` ADDED, empty for rewrite versions —
-    * the O(delta) planning unit of both read paths (and the spec's
+    * the O(delta) planning unit of an append's feed (and the spec's
     * direct pin that a feed batch touches only these files). */
   private[graft] def addedDataFiles(dir: String, v: Int): Seq[String] = {
     val cur = SnapshotLog.dataEntries(SnapshotLog.manifest(dir, v))
@@ -84,14 +97,24 @@ object ChangeFeed {
     else (cur.toSet -- prev.toSet).toSeq.sorted
   }
 
-  private def hadoopConf = new org.apache.hadoop.conf.Configuration()
+  /** What version `v` contributes to the feed: its explicit CDC change
+    * files when the commit wrote them (DML versions; `isChange=true` —
+    * `_change_type` is a real file column), else its appended data
+    * files (insert-only), else nothing (byte-moving rewrites). */
+  private[graft] def feedEntries(dir: String, v: Int)
+      : Seq[(String, Boolean)] = {
+    val cdc = SnapshotLog.cdcFiles(dir, v)
+    if (cdc.nonEmpty) cdc.sorted.map((_, true))
+    else addedDataFiles(dir, v).map((_, false))
+  }
 
-  private[graft] def footerSchema(path: String)
+  private[graft] def footerSchema(path: String,
+                                  conf: org.apache.hadoop.conf.Configuration)
       : org.apache.parquet.schema.MessageType = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path), hadoopConf))
+      new org.apache.hadoop.fs.Path(path), conf))
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
 
@@ -124,17 +147,50 @@ object ChangeFeed {
     }
   }
 
-  /** Feed schema = the store's latest-version file schema (first data
-    * file's footer — the feed assumes a stable producer schema across
-    * the tailed range) + the `_change_version` tag. */
-  private[graft] def feedSchema(dir: String): StructType = {
+  /** First-seen-order field union (the evolvedSchema rule: an existing
+    * name keeps its first type). */
+  private def unionFields(schemas: Seq[StructType]): Seq[StructField] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    schemas.foreach(_.fields.foreach(f =>
+      if (!out.contains(f.name)) out(f.name) = f))
+    out.values.toSeq
+  }
+
+  /** Feed schema over the TAILED RANGE (fromVersion, latest]: the
+    * union of each range version's table schema from its manifest's
+    * `#schema=` header (O(range) log text), falling back per version
+    * to a footer union of the files it contributes (legacy stores),
+    * plus the `_change_type` / `_change_version` tags. Union — not
+    * head-version — because a pre-evolution batch must still NULL-fill
+    * the evolved column and a post-evolution batch must carry it,
+    * independent of file order (round-18 review #1). */
+  private[graft] def feedSchema(dir: String, fromVersion: Int): StructType = {
     require(dir != null, "change feed requires a 'path' option")
-    val v = SnapshotLog.latestVersion(dir)
-    val files = SnapshotLog.dataEntries(SnapshotLog.manifest(dir, v))
-    require(files.nonEmpty, s"store at $dir has no data files")
-    val mt = footerSchema(s"$dir/${files.head}")
-    StructType(mt.getFields.asScala.toSeq.map(f =>
-      StructField(f.getName, sparkTypeOf(f), nullable = true)) :+
+    val conf = driverHadoopConf()
+    val to = SnapshotLog.latestVersion(dir)
+    def fromFooters(files: Seq[String]): Seq[StructType] = files.map { f =>
+      val mt = footerSchema(s"$dir/$f", conf)
+      StructType(mt.getFields.asScala.toSeq.map(g =>
+        StructField(g.getName, sparkTypeOf(g), nullable = true)))
+    }
+    val perVersion = ((fromVersion + 1) to to).flatMap { v =>
+      SnapshotLog.tableSchema(dir, v).map(Seq(_)).getOrElse(
+        fromFooters(feedEntries(dir, v).map(_._1)))
+    }
+    // an empty tailed range (stream started at head) still needs a
+    // schema: the head version's, by header or legacy head-file footer
+    val schemas =
+      if (perVersion.nonEmpty) perVersion
+      else SnapshotLog.tableSchema(dir, to).map(Seq(_)).getOrElse {
+        val files = SnapshotLog.dataEntries(SnapshotLog.manifest(dir, to))
+        require(files.nonEmpty, s"store at $dir has no data files")
+        fromFooters(files.take(1))
+      }
+    val dataFields = unionFields(schemas)
+      .filterNot(f => f.name == "_change_type" || f.name == "_change_version")
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    StructType(dataFields :+
+      StructField("_change_type", StringType, nullable = false) :+
       StructField("_change_version", LongType, nullable = false))
   }
 }
@@ -166,6 +222,11 @@ class ChangeFeedScanBuilder(dir: String, fromVersion: Int,
 
 class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType)
     extends Scan with Batch {
+  // captured ONCE on the driver, shipped serialized to every reader —
+  // the feed honors session filesystem/credential settings end to end
+  private val conf =
+    new SerializableConfiguration(ChangeFeed.driverHadoopConf())
+
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -175,18 +236,20 @@ class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val to = SnapshotLog.versions(dir).lastOption.getOrElse(0)
     ((fromVersion + 1) to to).flatMap(v =>
-      ChangeFeed.addedDataFiles(dir, v).map(f =>
-        ChangeFeedPartition(s"$dir/$f", v): InputPartition)).toArray
+      ChangeFeed.feedEntries(dir, v).map { case (f, isChange) =>
+        ChangeFeedPartition(s"$dir/$f", v, isChange): InputPartition
+      }).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFeedReaderFactory(schema)
+    new ChangeFeedReaderFactory(schema, conf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedMicroBatchStream(dir, fromVersion, schema)
+    new ChangeFeedMicroBatchStream(dir, fromVersion, schema, conf)
 }
 
-case class ChangeFeedPartition(path: String, version: Int)
+case class ChangeFeedPartition(path: String, version: Int,
+                               isChange: Boolean)
     extends InputPartition
 
 /** One committed version per micro-batch: admission control caps each
@@ -195,7 +258,8 @@ case class ChangeFeedPartition(path: String, version: Int)
   * boundaries (the foreachBatch-apply contract). AvailableNow captures
   * the head version at start and drains exactly to it. */
 class ChangeFeedMicroBatchStream(dir: String, fromVersion: Int,
-                                 schema: StructType)
+                                 schema: StructType,
+                                 conf: SerializableConfiguration)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -234,41 +298,53 @@ class ChangeFeedMicroBatchStream(dir: String, fromVersion: Int,
     val from = s.asInstanceOf[VersionOffset].v
     val to = e.asInstanceOf[VersionOffset].v
     ((from + 1) to to).flatMap(v =>
-      ChangeFeed.addedDataFiles(dir, v).map(f =>
-        ChangeFeedPartition(s"$dir/$f", v): InputPartition)).toArray
+      ChangeFeed.feedEntries(dir, v).map { case (f, isChange) =>
+        ChangeFeedPartition(s"$dir/$f", v, isChange): InputPartition
+      }).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFeedReaderFactory(schema)
+    new ChangeFeedReaderFactory(schema, conf)
 
   override def commit(offset: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Reads ONE added file through parquet-hadoop's Group API with the
-  * requested columns projected into the read schema (column pruning at
-  * the parquet layer, not post-hoc), converting rows straight to
-  * InternalRow; `_change_version` is stamped from the partition. A
-  * column the file predates reads as NULL (the mergeSchema
-  * convention). */
-class ChangeFeedReaderFactory(schema: StructType)
+/** Reads ONE contributed file through parquet-hadoop's Group API with
+  * the requested columns projected into the read schema (column
+  * pruning at the parquet layer, not post-hoc), converting rows
+  * straight to InternalRow; `_change_version` is stamped from the
+  * partition, `_change_type` is a real column of a CDC change file and
+  * the literal 'insert' for an appended data file. A column the file
+  * predates reads as NULL (the mergeSchema convention). */
+class ChangeFeedReaderFactory(schema: StructType,
+                              conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ChangeFeedPartition]
-    new ChangeFeedReader(part.path, part.version, schema)
+    new ChangeFeedReader(part.path, part.version, part.isChange, schema,
+      conf.value)
   }
 }
 
-class ChangeFeedReader(path: String, version: Int, schema: StructType)
+class ChangeFeedReader(path: String, version: Int, isChange: Boolean,
+                       schema: StructType,
+                       baseConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
   import org.apache.parquet.hadoop.api.ReadSupport
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
-  private val fileSchema = ChangeFeed.footerSchema(path)
-  private val wanted = schema.fieldNames.filter(_ != "_change_version").toSet
+  // per-reader copy: Configuration is mutable and the factory's base
+  // is shared across an executor's readers
+  private val conf = new org.apache.hadoop.conf.Configuration(baseConf)
+  private val fileSchema = ChangeFeed.footerSchema(path, conf)
+  // `_change_type` is a REAL column of a change file; for a plain
+  // appended data file it's synthesized as 'insert'
+  private val wanted = schema.fieldNames
+    .filter(n => n != "_change_version" && (isChange || n != "_change_type"))
+    .toSet
   // project the requested columns that EXIST in this file; if none do
   // (count-only reads, or a file predating every requested column),
   // read the narrowest primitive just to drive row iteration
@@ -298,12 +374,17 @@ class ChangeFeedReader(path: String, version: Int, schema: StructType)
   // per output field: extraction plan (projected-group index or tag)
   private val FieldVersion = -1
   private val FieldNull = -2
+  private val FieldInsertTag = -3
   private val plan: Array[(Int, DataType)] = schema.fields.map { f =>
     if (f.name == "_change_version") (FieldVersion, f.dataType)
+    else if (f.name == "_change_type" && !isChange)
+      (FieldInsertTag, f.dataType)
     else if (projected.containsField(f.name))
       (projected.getFieldIndex(f.name), f.dataType)
     else (FieldNull, f.dataType)
   }
+
+  private val InsertTag = UTF8String.fromString("insert")
 
   private var cur: Group = _
   override def next(): Boolean = { cur = reader.read(); cur != null }
@@ -313,8 +394,9 @@ class ChangeFeedReader(path: String, version: Int, schema: StructType)
     var i = 0
     while (i < plan.length) {
       vals(i) = plan(i) match {
-        case (FieldVersion, _) => version.toLong
-        case (FieldNull, _)    => null
+        case (FieldVersion, _)   => version.toLong
+        case (FieldNull, _)      => null
+        case (FieldInsertTag, _) => InsertTag
         case (idx, dt) =>
           if (cur.getFieldRepetitionCount(idx) == 0) null
           else dt match {

@@ -458,7 +458,12 @@ object StressBench {
       // q112: store build bills one z-order rewrite (two linear
       // passes) per scale dir; the query itself is two footer-planned
       // pruned scans — sublinear once the curve bounds both dims
-      "q112_zorder_skipping"
+      "q112_zorder_skipping," +
+      // round-19: q113 bills the DML-history store build (3 appends +
+      // COW delete + merge, each writing O(changed rows) change files)
+      // once per scale dir, then reads O(changes) through the feed;
+      // q114 is q100's plan with a deeper CASE ladder — linear
+      "q113_cdc_dml_feed,q114_merge_clauses"
     val qs = args.lift(2).getOrElse(defaultQs).split(",").map(_.trim)
 
     val spark = SparkSession.builder()

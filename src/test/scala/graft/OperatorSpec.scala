@@ -4323,6 +4323,10 @@ class OperatorSpec extends SparkSpec {
   test("q100: every merge clause replays exactly; deletes leave no trace") {
     val target = spark.read.parquet(s"$sf/customer.parquet")
       .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    // the not-matched re-key offset derives from the target's max key
+    // (ttmInsertOffset — r18 advice: a hard-coded +1e6 aliases live
+    // custkeys at high sf)
+    val off = target.keys.max * 10
     val amt = spark.read.parquet(s"$sf/orders.parquet")
       .filter($"o_orderpriority" === "1-URGENT")
       .groupBy($"o_custkey").agg(graft.Dets.dsum($"o_totalprice").as("a"))
@@ -4335,7 +4339,7 @@ class OperatorSpec extends SparkSpec {
       amt.collect { case (k, a) if k % 9 != 0 && k % 13 != 0 =>
         (k, target(k) + a, "updated") } ++
       // inserted: the re-keyed stream (never matches the target)
-      amt.collect { case (k, a) if k % 9 == 0 => (k + 1000000L, a, "inserted") }
+      amt.collect { case (k, a) if k % 9 == 0 => (k + off, a, "inserted") }
     ).toSeq.sortBy(_._1)
     val out = operators.Extras.queries("q100_merge_into")(spark, sf)
       .as[(Long, Double, String)].collect().toSeq

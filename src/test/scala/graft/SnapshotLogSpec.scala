@@ -477,17 +477,21 @@ class SnapshotLogSpec extends SparkSpec {
       ld.resolve(f"v$v%05d.manifest")), "UTF-8").startsWith("#delta")
     val fulls = (1 to 30).filterNot(isDelta)
     assert(fulls === Seq(1, 11, 21), s"checkpoints at $fulls")
+    // a delta is one edit line + its file's range header + the
+    // O(columns) #schema header — CONSTANT for a fixed schema, never
+    // O(files) (the r19 schema-in-log header rides every manifest)
     (1 to 30).filter(isDelta).foreach(v =>
-      assert(sizes(f"v$v%05d.manifest") < 200L,
+      assert(sizes(f"v$v%05d.manifest") < 500L,
         s"delta v$v is ${sizes(f"v$v%05d.manifest")} bytes"))
     // the whole log is a small fraction of what all-full manifests
-    // would cost (the O(versions x files) growth this bounds)
+    // would cost (the O(versions x files) growth this bounds) —
+    // estimated from the REAL v21 checkpoint, which carries the same
+    // per-file line + range and per-manifest schema overhead
     val actualBytes = sizes.values.sum
-    val allFullBytes = (1 to 30).map(v =>
-      (SnapshotLog.manifest(dir, v).mkString("\n") + "\n")
-        .getBytes("UTF-8").length.toLong).sum
+    val s21 = sizes("v00021.manifest")
+    val allFullBytes = (1 to 30).map(v => s21 * v / 21).sum
     assert(actualBytes < allFullBytes / 2,
-      s"log is $actualBytes bytes vs $allFullBytes all-full")
+      s"log is $actualBytes bytes vs ~$allFullBytes all-full")
     // resolution is correct at checkpoint, mid-chain, and head
     assert(rows(dir, 17) === (1L to 17L).toSet)
     assert(rows(dir, 11) === (1L to 11L).toSet)
@@ -737,13 +741,30 @@ class SnapshotLogSpec extends SparkSpec {
     SnapshotLog.vacuum(dir, retainFrom = 12) // default grace
     assert(java.nio.file.Files.exists(staged),
       "default-grace vacuum deleted a freshly staged file")
-    // an OLD orphan (mtime beyond the grace) is swept
-    java.nio.file.Files.setLastModifiedTime(staged,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 3600L * 1000))
+    // an old orphan at an ALREADY-COMMITTED version (a lost-claim
+    // attempt's leftovers) is swept once past the grace
+    val lost = java.nio.file.Paths.get(dir, "append-v00012-eeee-p00000.parquet")
+    java.nio.file.Files.write(lost, Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600L * 1000)
+    java.nio.file.Files.setLastModifiedTime(lost, old)
+    java.nio.file.Files.setLastModifiedTime(staged, old)
     SnapshotLog.vacuum(dir, retainFrom = 12)
+    assert(!java.nio.file.Files.exists(lost),
+      "vacuum left a committed-version orphan older than the grace")
+    // but a file whose embedded version is ABOVE the newest committed
+    // version is NEVER swept, however old — it can only belong to an
+    // in-flight writer, and vacuum(grace = 0) racing a live append
+    // must not make the append's later commit reference missing files
+    // (round-18 advice #3)
+    assert(java.nio.file.Files.exists(staged),
+      "vacuum deleted a possibly-in-flight future-version file")
+    // once a later commit passes that version, the stale attempt is a
+    // plain orphan and sweeps normally
+    SnapshotLog.appendVersion(frame(Seq(99L)).coalesce(1), dir) // v13
+    SnapshotLog.vacuum(dir, retainFrom = 12, graceMillis = 0)
     assert(!java.nio.file.Files.exists(staged),
-      "vacuum left an orphan older than the grace")
+      "vacuum left a stale attempt behind a committed version")
     // review #3: materializing a delta retention boundary must keep
     // the manifest's ORIGINAL mtime — it IS versionAsOf's clock
     val dir2 = freshDir()
@@ -795,5 +816,155 @@ class SnapshotLogSpec extends SparkSpec {
         .select($"o_orderkey").as[Long].collect().toSet
       assert(got === expect(math.min(v, 3)), s"version $v row set")
     }
+  }
+
+  test("row-level CDC: DML commits write change files; the feed covers COW, MoR, and MERGE; vacuum keeps retained ones") {
+    import graft.sources.ChangeFeed
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir)   // v1
+    SnapshotLog.appendVersion(frame(Seq(101L, 102L)).coalesce(1), dir)   // v2
+    SnapshotLog.deleteWhere(spark, dir, "k", 2L, 2L)                     // v3 COW
+    SnapshotLog.deleteWhereMoR(spark, dir, "k", 102L, 102L)              // v4 MoR
+    SnapshotLog.mergeInto(spark, dir,
+      Seq((3L, 7.0, "upsert"), (101L, 0.0, "delete"), (9L, 90.0, "upsert"))
+        .toDF("key", "amt", "action"), "k", "x")                         // v5
+    // append versions carry no change files; every DML version does
+    assert(SnapshotLog.cdcFiles(dir, 1).isEmpty &&
+      SnapshotLog.cdcFiles(dir, 2).isEmpty)
+    assert((3 to 5).forall(SnapshotLog.cdcFiles(dir, _).nonEmpty),
+      "a DML commit wrote no change files")
+    val feed = ChangeFeed.readBatch(spark, dir, fromVersion = 0)
+      .select($"_change_version", $"_change_type", $"k", $"x")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(feed === Set(
+      (1L, "insert", 1L, 10.0), (1L, "insert", 2L, 20.0),
+      (1L, "insert", 3L, 30.0),
+      (2L, "insert", 101L, 1010.0), (2L, "insert", 102L, 1020.0),
+      (3L, "delete", 2L, 20.0),
+      (4L, "delete", 102L, 1020.0),
+      (5L, "update_preimage", 3L, 30.0),
+      (5L, "update_postimage", 3L, 37.0),
+      (5L, "delete", 101L, 1010.0),
+      (5L, "insert", 9L, 90.0)), s"feed: $feed")
+    // a byte-moving rewrite still feeds NOTHING (dataChange = false)
+    SnapshotLog.compactVersion(spark, dir)                               // v6
+    assert(ChangeFeed.readBatch(spark, dir, fromVersion = 5).isEmpty)
+    // vacuum keeps the retained versions' change files and sweeps the
+    // dropped versions' (they ride the manifest as per-version refs)
+    SnapshotLog.vacuum(dir, retainFrom = 5, graceMillis = 0)
+    val afterVac = ChangeFeed.readBatch(spark, dir, fromVersion = 4)
+      .select($"_change_version", $"_change_type", $"k")
+      .as[(Long, String, Long)].collect().toSet
+    assert(afterVac === Set((5L, "update_preimage", 3L),
+      (5L, "update_postimage", 3L), (5L, "delete", 101L),
+      (5L, "insert", 9L)))
+    val leftover = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("cdc-"))
+    assert(leftover.forall(_.startsWith("cdc-v00005")),
+      s"vacuum left dropped versions' change files: ${leftover.toSeq}")
+  }
+
+  test("change feed schema on an evolved store: union across the tailed range; pre-evolution batches NULL-fill") {
+    import graft.sources.ChangeFeed
+    val dir = freshDir()
+    SnapshotLog.appendVersion(
+      Seq((1L, 10.0)).toDF("k", "x").coalesce(1), dir)                 // v1
+    SnapshotLog.appendVersion(
+      Seq((2L, 20.0, "b")).toDF("k", "x", "y").coalesce(1), dir)       // v2
+    // the schema rides the LOG (#schema header, O(1) text): v1 pins
+    // the producer schema, v2 the evolved one
+    assert(SnapshotLog.tableSchema(dir, 1).get.fieldNames.toSeq ===
+      Seq("k", "x"))
+    assert(SnapshotLog.tableSchema(dir, 2).get.fieldNames.toSeq ===
+      Seq("k", "x", "y"))
+    // the feed schema is the RANGE UNION, not whichever file sorts
+    // first: the evolved column is always present, and a pre-evolution
+    // batch reads NULL for it
+    val feed = ChangeFeed.readBatch(spark, dir, fromVersion = 0)
+    assert(feed.columns.toSeq ===
+      Seq("k", "x", "y", "_change_type", "_change_version"))
+    val rows = feed.select($"_change_version", $"k", $"y")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(rows === Set((1L, 1L, None), (2L, 2L, Some("b"))))
+    // a range that starts past the evolution still carries the column
+    assert(ChangeFeed.readBatch(spark, dir, fromVersion = 1)
+      .columns.contains("y"))
+  }
+
+  test("log maintenance is bounded: head read and vacuum pay O(checkpoint window) manifest reads on a 100-version store") {
+    val dir = freshDir()
+    (0 until 100).foreach(i => SnapshotLog.appendVersionForBatch(
+      frame(Seq(i.toLong)).coalesce(1), dir, i.toLong))
+    // FRESH-PROCESS cost: drop the parsed-manifest cache, then count
+    // actual manifest FILE READS (not bytes — the r18 verdict ask)
+    SnapshotLog.dropCachedManifests(dir)
+    val r0 = SnapshotLog.manifestFileReads.get()
+    assert(SnapshotLog.readVersion(spark, dir, 100).count() === 100L)
+    val headReads = SnapshotLog.manifestFileReads.get() - r0
+    assert(headReads <= 12,
+      s"head read cost $headReads manifest reads on 100 versions " +
+        "(must be <= the checkpoint window)")
+    SnapshotLog.dropCachedManifests(dir)
+    val r1 = SnapshotLog.manifestFileReads.get()
+    SnapshotLog.vacuum(dir, retainFrom = 95, graceMillis = 0)
+    val vacReads = SnapshotLog.manifestFileReads.get() - r1
+    assert(vacReads <= 30,
+      s"vacuum cost $vacReads manifest reads on 100 versions " +
+        "(the BATCH_HWM persisted at commit time must spare the full walk)")
+    assert(rows(dir, 100) === (0L until 100L).toSet)
+    // the exactly-once no-op branch survives retention: the replayed
+    // high-water batch serves the committed head, appends nothing
+    val nv = SnapshotLog.versions(dir).max
+    assert(SnapshotLog.appendVersionForBatch(
+      frame(Seq(999L)).coalesce(1), dir, 99L) === nv)
+    assert(SnapshotLog.versions(dir).max === nv)
+  }
+
+  test("rewrite re-plan: a delete racing a disjoint append retries and lands; conflicting histories fail loud") {
+    // appends already auto-retry a lost claim; this pins the other
+    // half (r18 verdict #5): a rewrite whose rival COMMUTES re-plans
+    // and lands, anything else fails loud for a caller-level re-plan.
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir)   // [1,3]
+    SnapshotLog.appendVersion(frame(Seq(101L, 102L)).coalesce(1), dir)   // [101,102]
+    // rival 1: a DISJOINT append wins the claim inside the commit
+    // window -> the delete re-plans onto the new head and lands
+    SnapshotLog.onBeforeRewriteCommit = () => {
+      SnapshotLog.onBeforeRewriteCommit = () => ()
+      SnapshotLog.appendVersion(frame(Seq(201L, 202L)).coalesce(1), dir)
+    }
+    try {
+      val (v, rewritten, _) = SnapshotLog.deleteWhere(spark, dir, "k", 2L, 2L)
+      assert(v === 4 && rewritten === 1,
+        "delete racing a disjoint append must land after one re-plan")
+    } finally SnapshotLog.onBeforeRewriteCommit = () => ()
+    assert(rows(dir, 4) === Set(1L, 3L, 101L, 102L, 201L, 202L),
+      "the re-planned delete lost the interleaved append or a row")
+    // rival 2: an OVERLAPPING append (rows inside the delete range)
+    // does NOT commute -> fail loud, nothing committed
+    SnapshotLog.onBeforeRewriteCommit = () => {
+      SnapshotLog.onBeforeRewriteCommit = () => ()
+      SnapshotLog.appendVersion(frame(Seq(102L)).coalesce(1), dir)
+    }
+    val e1 = try intercept[IllegalArgumentException] {
+      SnapshotLog.deleteWhere(spark, dir, "k", 101L, 105L)
+    } finally SnapshotLog.onBeforeRewriteCommit = () => ()
+    assert(e1.getMessage.contains("may contain rows matching"))
+    val headAfter = SnapshotLog.latestVersion(dir)
+    assert(rows(dir, headAfter).contains(102L),
+      "the failed delete must leave the winner's append intact")
+    // rival 3: a racing DELETE that rewrote this delete's touched
+    // file -> write-write conflict, fail loud
+    SnapshotLog.onBeforeRewriteCommit = () => {
+      SnapshotLog.onBeforeRewriteCommit = () => ()
+      SnapshotLog.deleteWhere(spark, dir, "k", 101L, 101L)
+    }
+    val e2 = try intercept[IllegalArgumentException] {
+      SnapshotLog.deleteWhere(spark, dir, "k", 102L, 102L)
+    } finally SnapshotLog.onBeforeRewriteCommit = () => ()
+    assert(e2.getMessage.contains("rewrote files"))
+    // the inner rival committed; the loser changed nothing
+    val head = SnapshotLog.latestVersion(dir)
+    assert(!rows(dir, head).contains(101L) && rows(dir, head).contains(102L))
   }
 }

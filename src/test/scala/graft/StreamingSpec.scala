@@ -1225,10 +1225,11 @@ class StreamingSpec extends SparkSpec {
     // exactly-once streamed-append path (the batchId rides the
     // replica's manifest claim, so a replayed trigger no-ops) — a
     // second table stays row-identical to the primary without ever
-    // scanning it. SCOPE: an APPEND-ONLY primary (+ compactions, which
-    // move bytes not rows) — the insert feed by design carries nothing
-    // for delete/merge rewrites (those need explicit change files, the
-    // Delta CDC-file mechanism; the ChangeFeedSource doc says so).
+    // scanning it. SCOPE here: an APPEND-ONLY primary (+ compactions,
+    // which move bytes not rows and feed nothing) applied through the
+    // exactly-once streamed-append path; the DML surface (deletes,
+    // merges — explicit change files since r19) is replicated by the
+    // next spec through a keyed apply.
     import graft.sources.{ChangeFeed, SnapshotLog}
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft_cdcrep")
@@ -1245,7 +1246,7 @@ class StreamingSpec extends SparkSpec {
         .writeStream.option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          val rows = b.drop("_change_version")
+          val rows = b.drop("_change_version", "_change_type")
           if (!rows.isEmpty)
             SnapshotLog.appendVersionForBatch(rows.coalesce(1), replica, id)
           ()
@@ -1268,7 +1269,7 @@ class StreamingSpec extends SparkSpec {
     // the checkpoint commit): the same batchId no-ops on the replica
     val last = ChangeFeed.readBatch(spark, primary, fromVersion = 0)
       .filter($"_change_version" === SnapshotLog.latestVersion(primary))
-      .drop("_change_version")
+      .drop("_change_version", "_change_type")
     val before = keys(replica)
     // micro-batch ids are 0-based over the primary's change versions,
     // so the batch that shipped primary vN carried id N-1
@@ -1277,5 +1278,86 @@ class StreamingSpec extends SparkSpec {
     assert(keys(replica) === before &&
       SnapshotLog.versions(replica).size === replicaVersions + 1,
       "replayed CDC batch re-appended rows into the replica")
+  }
+
+  test("end-to-end CDC over DML: deletes and merges replicate through the feed; replica equals primary at head") {
+    // the round-18 gap closed: a COW delete, a MoR delete, and a MERGE
+    // each write explicit row-level change files at commit time, the
+    // feed emits them one version per micro-batch, and a keyed apply
+    // (remove delete/update_preimage keys, add insert/update_postimage
+    // rows) keeps a replica row-identical to the primary through the
+    // FULL DML surface — the replication a byte-level rewrite feed
+    // cannot do. Replica state is batch-keyed deterministic overwrite
+    // (the mergeApplyBatch discipline), so a replayed trigger rewrites
+    // its own version identically: exactly-once end to end.
+    import graft.sources.{ChangeFeed, SnapshotLog}
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcdml")
+    val primary = root.resolve("primary").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(primary))
+    def frame(ks: Seq[Long]) = ks.map(k => (k, k * 10.0)).toDF("k", "x")
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), primary) // v1
+    SnapshotLog.appendVersion(frame(Seq(4L, 5L, 6L)).coalesce(1), primary) // v2
+    SnapshotLog.deleteWhere(spark, primary, "k", 2L, 2L)                   // v3
+    SnapshotLog.deleteWhereMoR(spark, primary, "k", 5L, 5L)                // v4
+    SnapshotLog.mergeInto(spark, primary,
+      Seq((3L, 7.0, "upsert"), (4L, 0.0, "delete"), (9L, 90.0, "upsert"))
+        .toDF("key", "amt", "action"), "k", "x")                           // v5
+    val stateDir = root.resolve("state").toString
+    // seed (batch = -1, below every real trigger): the empty table
+    frame(Seq.empty).write.parquet(s"$stateDir/batch=-1")
+    def applyCdc(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val vs = new java.io.File(stateDir).listFiles.toSeq
+        .map(_.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+      require(!vs.exists(_ > id), "stale generation")
+      val prev = spark.read.parquet(
+        s"$stateDir/batch=${vs.filter(_ < id).max}")
+      val dels = b.filter(
+          $"_change_type".isin("delete", "update_preimage"))
+        .select($"k")
+      val adds = b.filter(
+          $"_change_type".isin("insert", "update_postimage"))
+        .select($"k", $"x")
+      prev.join(dels, Seq("k"), "left_anti").unionByName(adds)
+        .write.mode("overwrite").parquet(s"$stateDir/batch=$id")
+    }
+    def replicate(): Unit = {
+      val q = ChangeFeed.readStream(spark, primary, fromVersion = 0)
+        .writeStream.option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          applyCdc(b, id); ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+    }
+    replicate()
+    def state(): Set[(Long, Double)] = {
+      val last = new java.io.File(stateDir).listFiles.toSeq
+        .map(_.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).max
+      spark.read.parquet(s"$stateDir/batch=$last")
+        .as[(Long, Double)].collect().toSet
+    }
+    def primaryHead(): Set[(Long, Double)] =
+      SnapshotLog.readVersion(spark, primary,
+          SnapshotLog.latestVersion(primary))
+        .select($"k", $"x").as[(Long, Double)].collect().toSet
+    assert(state() === Set((1L, 10.0), (3L, 37.0), (6L, 60.0), (9L, 90.0)))
+    assert(state() === primaryHead(),
+      "replica diverged from the primary through DML")
+    // replayed trigger (crash before checkpoint commit): deterministic
+    // overwrite of its own state version — byte-identical state
+    val lastBatch = ChangeFeed.readBatch(spark, primary, fromVersion = 4)
+    applyCdc(lastBatch, 4L)
+    assert(state() === primaryHead(), "replayed DML batch diverged")
+    // the primary keeps moving: append + another delete; same
+    // checkpoint ships only the delta
+    SnapshotLog.appendVersion(frame(Seq(20L, 21L)).coalesce(1), primary) // v6
+    SnapshotLog.deleteWhere(spark, primary, "k", 21L, 21L)               // v7
+    replicate()
+    assert(state() === primaryHead(),
+      "catch-up through append + delete diverged")
   }
 }
