@@ -30,7 +30,10 @@ import scala.jdk.CollectionConverters._
   *    through the FULL DML surface instead of silently diverging
   *    (round-18 verdict #1);
   *  - a pure byte-moving rewrite (compaction / z-order) emits NOTHING
-  *    (Delta's dataChange=false), which q104 pins.
+  *    (Delta's dataChange=false), which q104 pins;
+  *  - a RESTORE through `restoreVersion(s, dir, v)` emits its rollback
+  *    as file-diff deletes + inserts (the 2-arg metadata-only restore
+  *    stays silent — prefer the CDC overload on a tailed store).
   *
   * Surfaces (one Scan, both read paths): BATCH = all changes in
   * versions (fromVersion, latest] (q111/q113 hash-check it end-to-end,

@@ -1345,6 +1345,64 @@ object SnapshotLog {
     next
   }
 
+  /** [[restoreVersion]] WITH row-level CDC — a restore CHANGES the
+    * logical table (unlike a compaction), so a tailed store should
+    * prefer this overload: the change record derives from the
+    * manifest FILE DIFF (files are immutable, so a head-only file's
+    * visible rows are exactly the restore's deletes and a
+    * restored-only file's its inserts) — O(differing files) IO, never
+    * a table diff. Guard: a file SHARED by both manifests must sit
+    * under the same applicable deletion vectors on both sides;
+    * diverging dv contexts would need a per-row content diff, so this
+    * fails loud with the escape hatch (compact first — compaction
+    * materializes vectors away). */
+  def restoreVersion(s: SparkSession, dir: String, v: Int): Int = {
+    import org.apache.spark.sql.functions.lit
+    val head = latestVersion(dir)
+    val restored = manifest(dir, v)
+    val headLines = manifest(dir, head)
+    // the dv context of a plain file = the dv entries AFTER it in its
+    // manifest (a vector masks only files committed before it)
+    def dvContext(lines: Seq[String]): Map[String, Set[String]] = {
+      var pending = Vector.empty[String]
+      val out = scala.collection.mutable.Map[String, Set[String]]()
+      lines.reverse.foreach {
+        case l if l.startsWith("dv:") => pending :+= l
+        case f                        => out(f) = pending.toSet
+      }
+      out.toMap
+    }
+    val hCtx = dvContext(headLines)
+    val rCtx = dvContext(restored)
+    val shared = hCtx.keySet & rCtx.keySet
+    val diverged = shared.filter(f => hCtx(f) != rCtx(f))
+    require(diverged.isEmpty,
+      s"restore CDC at $dir: files ${diverged.take(3).mkString(",")} sit " +
+        "under different deletion vectors at the head and the restored " +
+        "version — a file diff can't state their row changes; compact " +
+        "the head first (vectors materialize away), then restore")
+    val next = head + 1
+    def visible(lines: Seq[String], keep: Set[String]): Option[DataFrame] =
+      if (keep.isEmpty) None
+      else Some(readLines(s, dir,
+        lines.filter(l => l.startsWith("dv:") || keep.contains(l)),
+        mergeSchema = true))
+    val dels = visible(headLines, hCtx.keySet -- rCtx.keySet)
+      .map(_.withColumn("_change_type", lit("delete")))
+    val ins = visible(restored, rCtx.keySet -- hCtx.keySet)
+      .map(_.withColumn("_change_type", lit("insert")))
+    val changes = (dels, ins) match {
+      case (Some(d), Some(i)) =>
+        Some(d.unionByName(i, allowMissingColumns = true))
+      case (d, i) => d.orElse(i)
+    }
+    val cdcF = changes.map(writeChangeFiles(s, dir, next, _))
+      .getOrElse(Seq.empty)
+    commitManifest(dir, next, restored, ranges = fileRanges(dir, v),
+      schema = tableSchema(dir, v), cdc = cdcF)
+    next
+  }
+
   /** Drop history below `retainFrom`: delete manifests of older
     * versions and every data file no RETAINED manifest references —
     * incl. orphans from a crashed compaction (data files moved in, no

@@ -920,6 +920,43 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.versions(dir).max === nv)
   }
 
+  test("restore with CDC: the rollback feeds as file-diff deletes + inserts; dv divergence fails loud with the compact escape hatch") {
+    import graft.sources.ChangeFeed
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L)).coalesce(1), dir)   // v1: fileA {1,2}
+    SnapshotLog.appendVersion(frame(Seq(3L)).coalesce(1), dir)       // v2: +fileB {3}
+    SnapshotLog.deleteWhere(spark, dir, "k", 2L, 2L)                 // v3: fileA -> fileA' {1}
+    val v4 = SnapshotLog.restoreVersion(spark, dir, 1)
+    assert(v4 === 4 && rows(dir, 4) === Set(1L, 2L))
+    // file-granularity diff (files are immutable): head-only files'
+    // visible rows delete, restored-only files' insert — a row living
+    // in a rewritten file (k=1) legitimately appears on both sides,
+    // and the keyed apply (remove deletes, add inserts) converges
+    val feed = ChangeFeed.readBatch(spark, dir, fromVersion = 3)
+      .select($"_change_type", $"k").as[(String, Long)].collect().toSet
+    assert(feed === Set(("delete", 1L), ("delete", 3L),
+      ("insert", 1L), ("insert", 2L)), s"restore feed: $feed")
+    // the metadata-only 2-arg restore stays silent (documented)
+    SnapshotLog.restoreVersion(dir, 4)                               // v5
+    assert(ChangeFeed.readBatch(spark, dir, fromVersion = 4).isEmpty)
+    // dv divergence: a shared file under different vector contexts
+    // cannot be stated by a file diff — fail loud, compact, retry
+    val dir2 = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir2) // v1
+    SnapshotLog.deleteWhereMoR(spark, dir2, "k", 2L, 2L)                // v2: dv
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.restoreVersion(spark, dir2, 1)
+    }
+    assert(e.getMessage.contains("compact the head first"))
+    SnapshotLog.compactVersion(spark, dir2)                             // v3: dv gone
+    val r = SnapshotLog.restoreVersion(spark, dir2, 1)                  // v4
+    assert(rows(dir2, r) === Set(1L, 2L, 3L))
+    val feed2 = ChangeFeed.readBatch(spark, dir2, fromVersion = 3)
+      .select($"_change_type", $"k").as[(String, Long)].collect().toSet
+    assert(feed2 === Set(("delete", 1L), ("delete", 3L),
+      ("insert", 1L), ("insert", 2L), ("insert", 3L)))
+  }
+
   test("rewrite re-plan: a delete racing a disjoint append retries and lands; conflicting histories fail loud") {
     // appends already auto-retry a lost claim; this pins the other
     // half (r18 verdict #5): a rewrite whose rival COMMUTES re-plans

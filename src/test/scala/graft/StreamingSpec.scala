@@ -1359,5 +1359,12 @@ class StreamingSpec extends SparkSpec {
     replicate()
     assert(state() === primaryHead(),
       "catch-up through append + delete diverged")
+    // and a ROLLBACK: the CDC restore states its file-diff deletes +
+    // inserts, so the same keyed apply converges the replica onto the
+    // restored snapshot — the feed is total over row-changing ops
+    SnapshotLog.restoreVersion(spark, primary, 5)                        // v8
+    replicate()
+    assert(state() === primaryHead(),
+      "restore did not replicate through the feed")
   }
 }
