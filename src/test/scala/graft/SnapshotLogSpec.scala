@@ -340,7 +340,7 @@ class SnapshotLogSpec extends SparkSpec {
       s"NULL-key row must survive a range delete, got $left")
   }
 
-  test("model property: random append/compact/restore/delete sequences match an in-memory model at EVERY version") {
+  test("model property: random append/compact/restore/delete sequences match an in-memory model at EVERY version; a feed-built replica matches too") {
     // seeded-Gen sampling (the PropertySpec discipline — Spark jobs are
     // too slow for large example counts): each sequence drives the real
     // store and a Vector[Set[Long]] model through the same ops; the
@@ -383,8 +383,22 @@ class SnapshotLogSpec extends SparkSpec {
             model :+= model.last
           case Restore(frac) =>
             val v = 1 + (frac * (model.size - 1)).toInt.min(model.size - 1)
-            SnapshotLog.restoreVersion(dir, v)
-            model :+= model(v - 1)
+            // the CDC overload, so the feed-replay invariant below
+            // stays total; a dv-divergence refusal takes its own
+            // documented escape hatch (compact — a model no-op — then
+            // restore)
+            try {
+              SnapshotLog.restoreVersion(spark, dir, v)
+              model :+= model(v - 1)
+            } catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("compact the head first") =>
+                SnapshotLog.compactVersion(spark, dir, targetBytes = 1L,
+                  clusterBy = Some("k"))
+                model :+= model.last
+                SnapshotLog.restoreVersion(spark, dir, v)
+                model :+= model(v - 1)
+            }
           case Delete(lf, hf, mor) =>
             val keys = model.last.toSeq.sorted
             if (keys.isEmpty) {
@@ -407,6 +421,27 @@ class SnapshotLogSpec extends SparkSpec {
       model.zipWithIndex.foreach { case (exp, i) =>
         assert(rows(dir, i + 1) === exp,
           s"seq $seq: version ${i + 1} diverged from the model")
+      }
+      // CDC TOTALITY under the same random history: a replica built
+      // ONLY from the change feed (appends feed inserts, both delete
+      // flavors feed preimages, CDC restores feed their file diff,
+      // compactions feed nothing) must match the model at EVERY
+      // version — the replication loop's correctness, property-tested
+      val byVersion = graft.sources.ChangeFeed
+        .readBatch(spark, dir, fromVersion = 0)
+        .select($"_change_version".cast("int"), $"_change_type", $"k")
+        .as[(Int, String, Long)].collect().toSeq
+        .groupBy(_._1)
+      var replica = Set.empty[Long]
+      (1 to model.size).foreach { v =>
+        val ch = byVersion.getOrElse(v, Seq.empty)
+        val dels = ch.collect {
+          case (_, t, k) if t == "delete" || t == "update_preimage" => k }
+        val ins = ch.collect {
+          case (_, t, k) if t == "insert" || t == "update_postimage" => k }
+        replica = replica -- dels ++ ins
+        assert(replica === model(v - 1),
+          s"seq $seq: feed-built replica diverged at version $v")
       }
     }
   }
