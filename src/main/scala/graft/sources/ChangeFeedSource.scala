@@ -56,7 +56,7 @@ import scala.jdk.CollectionConverters._
 class ChangeFeedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ChangeFeed.feedSchema(options.get("path"),
-      options.getOrDefault("fromVersion", "0").toInt)
+      ChangeFeed.resolveFrom(options.get("path"), options))
   // the schema Spark hands back IS inferSchema's result — reuse it so
   // the log walk happens once per read, not once per table/scan-builder
   // call (round-18 review #8)
@@ -78,6 +78,36 @@ object ChangeFeed {
   def readStream(s: SparkSession, dir: String, fromVersion: Int): DataFrame =
     s.readStream.format("graft.sources.ChangeFeedSource")
       .option("path", dir).option("fromVersion", fromVersion).load()
+
+  /** Batch read of all changes committed strictly AFTER the wall-clock
+    * instant (Delta's `startingTimestamp`): resolves against the
+    * manifests' commit mtimes — the versionAsOf clock — so "what
+    * changed since last night's sync" needs no version bookkeeping. */
+  def readBatchSince(s: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    s.read.format("graft.sources.ChangeFeedSource")
+      .option("path", dir).option("fromTimestamp", tsMillis).load()
+
+  /** Streaming tail starting strictly after the wall-clock instant. */
+  def readStreamSince(s: SparkSession, dir: String,
+                      tsMillis: Long): DataFrame =
+    s.readStream.format("graft.sources.ChangeFeedSource")
+      .option("path", dir).option("fromTimestamp", tsMillis).load()
+
+  /** The exclusive starting version: an explicit `fromVersion` wins;
+    * else `fromTimestamp` (epoch millis) resolves to the largest
+    * version committed at or before it — versions committed strictly
+    * after the instant feed (an instant before the first commit feeds
+    * everything); else 0. */
+  private[graft] def resolveFrom(dir: String,
+                                 options: CaseInsensitiveStringMap): Int =
+    Option(options.get("fromVersion")).map(_.toInt).getOrElse {
+      Option(options.get("fromTimestamp")).map { t =>
+        val ts = t.toLong
+        SnapshotLog.versions(dir)
+          .filter(v => SnapshotLog.commitTimeMillis(dir, v) <= ts)
+          .maxOption.getOrElse(0)
+      }.getOrElse(0)
+    }
 
   /** The session Hadoop conf on the driver (the DSv2 entry points run
     * there) — NOT a bare `new Configuration()`, so non-default
@@ -194,7 +224,8 @@ object ChangeFeed {
       .map(f => StructField(f.name, f.dataType, nullable = true))
     StructType(dataFields :+
       StructField("_change_type", StringType, nullable = false) :+
-      StructField("_change_version", LongType, nullable = false))
+      StructField("_change_version", LongType, nullable = false) :+
+      StructField("_change_timestamp", TimestampType, nullable = false))
   }
 }
 
@@ -208,7 +239,7 @@ class ChangeFeedTable(schema0: StructType,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ChangeFeedScanBuilder(dir,
-      options.getOrDefault("fromVersion", "0").toInt, schema0)
+      ChangeFeed.resolveFrom(dir, options), schema0)
 }
 
 /** Column pruning reaches the parquet readers (the projection is
@@ -238,10 +269,12 @@ class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType)
   // batch: every change version committed so far, O(delta) files each
   override def planInputPartitions(): Array[InputPartition] = {
     val to = SnapshotLog.versions(dir).lastOption.getOrElse(0)
-    ((fromVersion + 1) to to).flatMap(v =>
+    ((fromVersion + 1) to to).flatMap { v =>
+      val ts = SnapshotLog.commitTimeMillis(dir, v)
       ChangeFeed.feedEntries(dir, v).map { case (f, isChange) =>
-        ChangeFeedPartition(s"$dir/$f", v, isChange): InputPartition
-      }).toArray
+        ChangeFeedPartition(s"$dir/$f", v, isChange, ts): InputPartition
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -252,7 +285,7 @@ class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType)
 }
 
 case class ChangeFeedPartition(path: String, version: Int,
-                               isChange: Boolean)
+                               isChange: Boolean, commitMs: Long)
     extends InputPartition
 
 /** One committed version per micro-batch: admission control caps each
@@ -300,10 +333,12 @@ class ChangeFeedMicroBatchStream(dir: String, fromVersion: Int,
   override def planInputPartitions(s: Offset, e: Offset): Array[InputPartition] = {
     val from = s.asInstanceOf[VersionOffset].v
     val to = e.asInstanceOf[VersionOffset].v
-    ((from + 1) to to).flatMap(v =>
+    ((from + 1) to to).flatMap { v =>
+      val ts = SnapshotLog.commitTimeMillis(dir, v)
       ChangeFeed.feedEntries(dir, v).map { case (f, isChange) =>
-        ChangeFeedPartition(s"$dir/$f", v, isChange): InputPartition
-      }).toArray
+        ChangeFeedPartition(s"$dir/$f", v, isChange, ts): InputPartition
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -325,13 +360,13 @@ class ChangeFeedReaderFactory(schema: StructType,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ChangeFeedPartition]
-    new ChangeFeedReader(part.path, part.version, part.isChange, schema,
-      conf.value)
+    new ChangeFeedReader(part.path, part.version, part.isChange,
+      part.commitMs, schema, conf.value)
   }
 }
 
 class ChangeFeedReader(path: String, version: Int, isChange: Boolean,
-                       schema: StructType,
+                       commitMs: Long, schema: StructType,
                        baseConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
@@ -346,7 +381,8 @@ class ChangeFeedReader(path: String, version: Int, isChange: Boolean,
   // `_change_type` is a REAL column of a change file; for a plain
   // appended data file it's synthesized as 'insert'
   private val wanted = schema.fieldNames
-    .filter(n => n != "_change_version" && (isChange || n != "_change_type"))
+    .filter(n => n != "_change_version" && n != "_change_timestamp" &&
+      (isChange || n != "_change_type"))
     .toSet
   // project the requested columns that EXIST in this file; if none do
   // (count-only reads, or a file predating every requested column),
@@ -378,8 +414,10 @@ class ChangeFeedReader(path: String, version: Int, isChange: Boolean,
   private val FieldVersion = -1
   private val FieldNull = -2
   private val FieldInsertTag = -3
+  private val FieldCommitTs = -4
   private val plan: Array[(Int, DataType)] = schema.fields.map { f =>
     if (f.name == "_change_version") (FieldVersion, f.dataType)
+    else if (f.name == "_change_timestamp") (FieldCommitTs, f.dataType)
     else if (f.name == "_change_type" && !isChange)
       (FieldInsertTag, f.dataType)
     else if (projected.containsField(f.name))
@@ -400,6 +438,7 @@ class ChangeFeedReader(path: String, version: Int, isChange: Boolean,
         case (FieldVersion, _)   => version.toLong
         case (FieldNull, _)      => null
         case (FieldInsertTag, _) => InsertTag
+        case (FieldCommitTs, _)  => commitMs * 1000L // micros (TimestampType)
         case (idx, dt) =>
           if (cur.getFieldRepetitionCount(idx) == 0) null
           else dt match {

@@ -225,6 +225,12 @@ object SnapshotLog {
     vs.max
   }
 
+  /** A version's commit time = its manifest's mtime (stamped by the
+    * atomic claim; [[versionAsOf]]'s clock) — what the change feed
+    * stamps on `_change_timestamp`. */
+  private[graft] def commitTimeMillis(dir: String, v: Int): Long =
+    java.nio.file.Files.getLastModifiedTime(manifestPath(dir, v)).toMillis
+
   /** Apply a delta manifest's `+name`/`-name` edits to the previous
     * version's resolved line list: removals drop their lines wherever
     * they sit (order of the kept lines is preserved — a `dv:` entry
@@ -574,9 +580,14 @@ object SnapshotLog {
     }
   }
 
-  /** Atomically raise the persisted batch high-water mark (monotone —
-    * never lowered; a concurrent writer racing the move just re-lands
-    * an equal-or-higher value). */
+  /** Persist the batch high-water mark if it raises the stored value.
+    * The read-then-move is NOT atomic: two racing writers can
+    * interleave so the lower value lands last. That is safe here —
+    * the mark is an advisory MAX layered under two authoritative
+    * fallbacks: [[appendVersionForBatch]] takes max(mark, newest
+    * tagged manifest), and [[vacuum]] re-captures any tag about to be
+    * deleted via [[maxBatchBelow]] before persisting — so a
+    * momentarily-lowered mark can never admit a replayed batch. */
   private def persistBatchHighWater(dir: String, batchId: Long): Unit = {
     if (batchId > batchHighWater(dir)) {
       val tmp = logDir(dir).resolve(s"BATCH_HWM.${rewriteToken()}.tmp")

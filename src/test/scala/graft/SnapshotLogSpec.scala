@@ -881,6 +881,22 @@ class SnapshotLogSpec extends SparkSpec {
       (5L, "update_postimage", 3L, 37.0),
       (5L, "delete", 101L, 1010.0),
       (5L, "insert", 9L, 90.0)), s"feed: $feed")
+    // _change_timestamp rides every row = its version's commit mtime
+    // (the versionAsOf clock), and fromTimestamp resolves the feed's
+    // start against the same clock — pin both on synthetic mtimes
+    val ld = java.nio.file.Paths.get(dir, "_graft_log")
+    (1 to 5).foreach(v => java.nio.file.Files.setLastModifiedTime(
+      ld.resolve(f"v$v%05d.manifest"),
+      java.nio.file.attribute.FileTime.fromMillis(v * 1000000L)))
+    val stamped = ChangeFeed.readBatch(spark, dir, fromVersion = 0)
+      .select($"_change_version", $"_change_timestamp".cast("long"))
+      .distinct().as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(v => stamped(v) === v * 1000L),
+      s"commit stamps: $stamped")
+    val since = ChangeFeed.readBatchSince(spark, dir, 3 * 1000000L)
+      .select($"_change_version").distinct().as[Long].collect().toSet
+    assert(since === Set(4L, 5L),
+      "fromTimestamp must feed strictly-after versions only")
     // a byte-moving rewrite still feeds NOTHING (dataChange = false)
     SnapshotLog.compactVersion(spark, dir)                               // v6
     assert(ChangeFeed.readBatch(spark, dir, fromVersion = 5).isEmpty)
@@ -917,7 +933,8 @@ class SnapshotLogSpec extends SparkSpec {
     // batch reads NULL for it
     val feed = ChangeFeed.readBatch(spark, dir, fromVersion = 0)
     assert(feed.columns.toSeq ===
-      Seq("k", "x", "y", "_change_type", "_change_version"))
+      Seq("k", "x", "y", "_change_type", "_change_version",
+        "_change_timestamp"))
     val rows = feed.select($"_change_version", $"k", $"y")
       .as[(Long, Long, Option[String])].collect().toSet
     assert(rows === Set((1L, 1L, None), (2L, 2L, Some("b"))))

@@ -1246,7 +1246,7 @@ class StreamingSpec extends SparkSpec {
         .writeStream.option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          val rows = b.drop("_change_version", "_change_type")
+          val rows = b.drop("_change_version", "_change_type", "_change_timestamp")
           if (!rows.isEmpty)
             SnapshotLog.appendVersionForBatch(rows.coalesce(1), replica, id)
           ()
@@ -1269,7 +1269,7 @@ class StreamingSpec extends SparkSpec {
     // the checkpoint commit): the same batchId no-ops on the replica
     val last = ChangeFeed.readBatch(spark, primary, fromVersion = 0)
       .filter($"_change_version" === SnapshotLog.latestVersion(primary))
-      .drop("_change_version", "_change_type")
+      .drop("_change_version", "_change_type", "_change_timestamp")
     val before = keys(replica)
     // micro-batch ids are 0-based over the primary's change versions,
     // so the batch that shipped primary vN carried id N-1
