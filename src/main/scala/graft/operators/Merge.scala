@@ -69,6 +69,12 @@ object Merge {
     val collide = targetVals.toSet & sourceVals.toSet
     require(collide.isEmpty,
       s"target/source value columns collide: ${collide.mkString(",")}")
+    require(matched.size < 100,
+      "mergeClauses supports at most 99 matched clauses (not-matched " +
+        "clause indexes start at 100)")
+    provenance.foreach(p => require(
+      !(target.columns ++ source.columns).contains(p),
+      s"provenance column '$p' collides with an input column"))
     require(!(target.columns ++ source.columns)
         .exists(c => c == "_t_ex" || c == "_s_ex"),
       "column names _t_ex/_s_ex are reserved by mergeClauses")

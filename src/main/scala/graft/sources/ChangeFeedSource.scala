@@ -219,8 +219,12 @@ object ChangeFeed {
         require(files.nonEmpty, s"store at $dir has no data files")
         fromFooters(files.take(1))
       }
+    // ALL THREE tag names shadow same-named user columns uniformly
+    // (review: _change_timestamp was missing here, so a user column of
+    // that name duplicated the field and the reader overwrote it)
     val dataFields = unionFields(schemas)
-      .filterNot(f => f.name == "_change_type" || f.name == "_change_version")
+      .filterNot(f => f.name == "_change_type" ||
+        f.name == "_change_version" || f.name == "_change_timestamp")
       .map(f => StructField(f.name, f.dataType, nullable = true))
     StructType(dataFields :+
       StructField("_change_type", StringType, nullable = false) :+

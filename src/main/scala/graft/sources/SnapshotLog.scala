@@ -189,15 +189,21 @@ object SnapshotLog {
   }
 
   /** The max batchId tagged on manifests of versions BELOW `belowV` —
-    * the LEGACY fallback [[vacuum]] pays only on stores with no
-    * persisted BATCH_HWM (streamed appends persist it at commit time
-    * since r19): the versions about to lose their manifests are the
-    * only ones whose tags need capturing; tags on RETAINED manifests
-    * stay readable by [[latestBatch]]. */
+    * what [[vacuum]] must capture before deleting those manifests
+    * (tags on RETAINED manifests stay readable by [[latestBatch]]).
+    * ALWAYS consulted, never skipped on a persisted BATCH_HWM: the
+    * mark is written after the claim, so a crash (or a racing-writer
+    * interleave) can leave it one batch LOW — trusting it alone would
+    * delete the tagged manifest and let a replayed trigger re-append
+    * (review finding, r19). Cost: batchIds rise with versions, so the
+    * max tag among the deleted versions is on the NEWEST tagged one —
+    * scan DESCENDING and stop at the first tag, O(untagged suffix)
+    * reads on a streamed store (one, in the common all-tagged case). */
   private def maxBatchBelow(dir: String, belowV: Int): Long =
-    versions(dir).filter(_ < belowV).flatMap { v =>
-      readManifestFile(dir, v).batch
-    }.foldLeft(-1L)(math.max)
+    versions(dir).filter(_ < belowV).reverseIterator
+      .map(v => readManifestFile(dir, v).batch)
+      .collectFirst { case Some(b) => b }
+      .getOrElse(-1L)
 
   /** Test hook: evict a store's parsed manifests so a spec can measure
     * the FRESH-PROCESS manifest-read cost of an operation. */
@@ -483,6 +489,15 @@ object SnapshotLog {
       val prevV = versions(dir).lastOption
       val prev = prevV.map(manifest(dir, _)).getOrElse(Seq())
       val v = prevV.getOrElse(0) + 1
+      // on a RETRY the staged files' embedded nominal version may now
+      // be <= the committed head, which drops them out of vacuum's
+      // in-flight guard — a zero-grace vacuum racing this window can
+      // sweep them; verify before claiming so the failure is a loud
+      // re-run, never a committed version pointing at missing files
+      require(added.forall(f => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, f))),
+        s"staged append files at $dir were swept (a zero-grace vacuum " +
+          "raced this writer's claim retry) — re-run the append")
       try {
         commitManifest(dir, v, prev ++ added,
           delta = Some(added.map("+" + _)), ranges = ranges,
@@ -1152,12 +1167,24 @@ object SnapshotLog {
     var attempt = 0
     var base = plannedBase
     var baseV = basedOn
+    val stagedNames = appended.map {
+      case l if l.startsWith("dv:") => dvEntries(Seq(l)).head._2
+      case f                        => f
+    } ++ cdc
     while (true) {
       // the claim is pinned to the version the CURRENT base was read
       // at — never a freshly-read head number over a stale base, which
       // would let a rival that committed inside the planning window be
       // silently dropped from the new manifest
       val v = baseV + 1
+      // a retry's outputs carry a nominal version a rival has already
+      // claimed, which drops them out of vacuum's in-flight guard —
+      // verify they survived before claiming (loud re-plan beats a
+      // committed version pointing at swept files)
+      require(stagedNames.forall(f => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, f))),
+        s"staged rewrite outputs at $dir were swept (a zero-grace " +
+          "vacuum raced this writer's claim retry) — re-run the operation")
       try {
         commitManifest(dir, v,
           base.filterNot(touchedSet.contains) ++ appended,
@@ -1294,10 +1321,17 @@ object SnapshotLog {
         column, lo, hi, Map.empty, Seq.empty), 0)
     } else {
       val touchedSet = touched.toSet
+      // mergeSchema, like every other DML slice read (round-17 advice
+      // #1): the CDC delete PREIMAGES below must carry an evolved
+      // column's real values, not lose it to whichever footer schema
+      // inference sampled. ONE materialization feeds both the dv-keys
+      // write and the change-file write (review: two jobs re-scanned
+      // the touched files).
       val matched = readLines(s, dir,
           lines.filter(l => l.startsWith("dv:") || touchedSet.contains(l)),
-          mergeSchema = false)
+          mergeSchema = true)
         .filter(coalesce(col(column).between(lo, hi), lit(false)))
+        .localCheckpoint()
       val keys = matched.select(col(column).as("dk")).distinct()
       val tmp = dir + "_snapdv_tmp" + rewriteToken()
       keys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -1442,16 +1476,16 @@ object SnapshotLog {
     // batch-tagged manifest: the exactly-once no-op/stale checks in
     // [[appendVersionForBatch]] read the mark from the tagged
     // manifests, and vacuuming them away would let a replayed
-    // micro-batch re-append its rows (round-17 review). Streamed
-    // appends persist the mark at COMMIT time since r19, so this is
-    // one O(1) file read; stores written before the mark pay a legacy
-    // walk bounded to the versions being DELETED — tags on retained
-    // manifests stay readable by latestBatch, so only the tags about
-    // to vanish need capturing (keeps vacuum sublinear in versions).
-    val hwm = {
-      val persisted = batchHighWater(dir)
-      if (persisted >= 0) persisted else maxBatchBelow(dir, retainFrom)
-    }
+    // micro-batch re-append its rows (round-17 review). The persisted
+    // mark (written at commit time since r19) is combined with — never
+    // trusted over — the deleted range's own newest tag: the mark
+    // lands AFTER the claim, so a crash in that window leaves it one
+    // batch low, and deleting the tagged manifest on the mark's word
+    // alone would let the replayed trigger re-append (r19 review).
+    // maxBatchBelow stops at the first tag scanning down, so the
+    // combined read cost stays O(1) on a streamed store.
+    val hwm = math.max(batchHighWater(dir),
+      maxBatchBelow(dir, retainFrom))
     if (hwm >= 0) persistBatchHighWater(dir, hwm)
     // materialize the retention boundary BEFORE deleting its chain: a
     // delta at retainFrom resolves through manifests below it — its
@@ -1503,6 +1537,12 @@ object SnapshotLog {
     // append's subsequent commit reference deleted files (round-18
     // advice #3). A crashed future-version orphan stays until some
     // later commit passes its version, which is the safe direction.
+    // RESIDUAL: a writer RETRYING a lost claim carries a nominal
+    // version a rival already committed, so this guard no longer
+    // covers it — the retry paths re-verify their staged files exist
+    // before claiming (loud re-run), and the default grace remains the
+    // real live-writer protection; graceMillis = 0 stays a
+    // no-live-writers contract.
     val latestCommitted = vs.max
     val VersionedName = """.*-v(\d+)-.*""".r
     def maybeInFlight(f: String): Boolean = f match {
