@@ -113,21 +113,9 @@ object Extras {
     // shuffle join + per-column CASE ladder, all codegen'd builtins.
     "q114_merge_clauses" -> { (s, d) =>
       import s.implicits._
+      val (m, nm) = q114Ladder
       Merge.mergeClauses(mergeTarget(s, d), mergeFeed(s, d), "key",
-        matched = Seq(
-          Merge.delete("hard_delete",
-            $"action" === "delete" && $"bal" < 5000),
-          Merge.update("soft_delete", $"action" === "delete",
-            "bal" -> lit(0.0)),
-          Merge.update("bonus", $"amt" > 600000,
-            "bal" -> ($"bal" + $"amt" / 10)),
-          Merge.update("plain", lit(true),
-            "bal" -> ($"bal" + $"amt"))),
-        notMatched = Seq(
-          Merge.insert("inserted",
-            $"action" =!= "delete" && $"amt" > 300000,
-            "bal" -> $"amt")),
-        provenance = Some("clause"))
+        m, nm, provenance = Some("clause"))
         .orderBy($"key")
     },
 
@@ -309,6 +297,76 @@ object Extras {
              sum($"key").as("key_sum"),
              graft.Dets.dsum($"bal").as("bal_total"))
         .orderBy($"version", $"change_type")
+    },
+
+    // TYPED DATA SKIPPING — q105's long-key pruning extended to the
+    // column types a real 100 TB table prunes on FIRST (round-19
+    // verdict #1): the store's nine files form a (priority-group ×
+    // order-date-third) grid, each file range-tight in BOTH the
+    // TIMESTAMP and the STRING dimension, and the typed `#tstat:`
+    // manifest stats (timestamps as epoch micros; strings Delta-style
+    // truncated with a bumped upper bound) let readVersionWhereTs /
+    // readVersionWhereStr hand Spark 3-of-9 resp. 6-of-9 files with
+    // zero footer opens. All four kept/total counts ride the oracle
+    // row, so a stats regression that fell back to reading everything
+    // fails the driver's hash gate; rows + exact totals pin that
+    // pruning stayed semantically invisible.
+    "q115_typed_skipping" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreTyped(s, d)
+      val (tmin, tmax) = tttTsRange(dir)
+      val span = tmax - tmin
+      val (cut1, cut2) = (tmin + span / 3, tmin + 2 * span / 3)
+      val (dfT, kT, tT) = graft.sources.SnapshotLog.readVersionWhereTs(
+        s, dir, 9, "o_orderdate", cut1 + 1, cut2)
+      val (dfS, kS, tS) = graft.sources.SnapshotLog.readVersionWhereStr(
+        s, dir, 9, "o_orderpriority", "2", "3z")
+      dfT.agg(count(lit(1)).as("n_rows_ts"),
+          graft.Dets.dsum($"o_totalprice").as("total_ts"))
+        .crossJoin(broadcast(dfS.agg(count(lit(1)).as("n_rows_pri"),
+          graft.Dets.dsum($"o_totalprice").as("total_pri"))))
+        .select($"n_rows_ts", $"total_ts", $"n_rows_pri", $"total_pri",
+          lit(kT).as("ts_files_read"), lit(tT).as("ts_files_total"),
+          lit(kS).as("pri_files_read"), lit(tS).as("pri_files_total"))
+    },
+
+    // PREDICATE SKIPPING INSIDE THE CHANGE FEED — a range-scoped sync
+    // of a tailed store ("replicate only this key slice") should open
+    // the few change files that can own the slice, not every file of
+    // the delta (round-19 verdict #5): the manifests carry `#range:`
+    // stats for each version's appended data files AND its CDC change
+    // files, and readBatchWhere skips the files whose stats cannot
+    // intersect. Over the q113 DML history, a middle-lower key range
+    // plans 1-of-3 append files, keeps v4's delete-preimage change
+    // file, and proves every v5 merge change file pruned (the merge
+    // touched only keys above the range) — pinned as literals on the
+    // oracle row; the per-(version, change_type) aggregates pin the
+    // surviving rows exactly.
+    "q117_cdc_range_prune" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreCdc(s, d)
+      val m = ttcMaxKey(dir)
+      val (lo, hi) = (m / 3 + 1, m / 2)
+      val planned = graft.sources.ChangeFeed.plannedEntries(dir, 0,
+        graft.sources.SnapshotLog.latestVersion(dir),
+        Some(("key", lo, hi)))
+      val appends = planned.filter(e => !e._3)
+      val nAppendRead = appends.count(_._4)
+      val cdcKeptVs = planned.collect { case (v, _, true, true) => v }.toSet
+      val cdcPrunedVs = planned.collect { case (v, _, true, false) => v }.toSet
+      val pruneOk = cdcKeptVs == Set(4) && cdcPrunedVs == Set(5)
+      graft.sources.ChangeFeed.readBatchWhere(s, dir, 0, "key", lo, hi)
+        .groupBy($"_change_version".cast("int").as("version"),
+          $"_change_type".as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum($"key").as("key_sum"),
+             graft.Dets.dsum($"bal").as("bal_total"))
+        .select($"version", $"change_type", $"n_rows", $"key_sum",
+          $"bal_total",
+          lit(nAppendRead).as("n_append_read"),
+          lit(appends.size).as("n_append_total"),
+          lit(pruneOk).as("cdc_prune_ok"))
+        .orderBy($"version")
     },
 
     // MERGE-ON-READ DELETE — q107's copy-on-write twin, the OTHER half
@@ -1124,6 +1182,82 @@ object Extras {
                   col("o_custkey")), dir)
     }
 
+  /** q115's TYPED-GRID store: NINE single-file appends — one per
+    * (o_orderpriority group × o_orderdate third) cell of orders — so
+    * every data file owns a tight range in BOTH the TIMESTAMP and the
+    * STRING dimension and the typed stats-in-log can prove pruning on
+    * either (round-19 verdict #1: long-only stats silently degraded
+    * every timestamp/string predicate to a full read). Timestamps are
+    * forced to INT64 micros at write time (INT96 carries no usable
+    * footer stats); the date cuts persist as `_TSCUTS` control values
+    * (the _MAXKEY discipline). Build fails LOUD unless all nine files
+    * carry typed stats for both columns AND each low-priority-group
+    * file contains a '2-*' row — the structural facts behind q115's
+    * pinned kept/total file counts (the q112 discipline). */
+  private[graft] def timeTravelStoreTyped(s: SparkSession,
+                                          d: String): String =
+    memoizedArtifact(s, "graft_tts", d, Seq("orders.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val prevTs = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try {
+        // NTZ-encoded fixture timestamps cast to TIMESTAMP (identity
+        // under the UTC session timezone, the Tables.normalizeTs rule)
+        val base = T.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate")
+            .cast(org.apache.spark.sql.types.TimestampType)
+            .as("o_orderdate"),
+          col("o_orderpriority"), col("o_totalprice"))
+        val r = base.agg(min(unix_micros(col("o_orderdate"))),
+                         max(unix_micros(col("o_orderdate")))).head
+        val (tmin, tmax) = (r.getLong(0), r.getLong(1))
+        val span = tmax - tmin
+        val (cut1, cut2) = (tmin + span / 3, tmin + 2 * span / 3)
+        val mic = unix_micros(col("o_orderdate"))
+        val priGroups = Seq(
+          col("o_orderpriority") < "3",
+          col("o_orderpriority") >= "3" && col("o_orderpriority") < "4",
+          col("o_orderpriority") >= "4")
+        val dateThirds = Seq(
+          mic <= cut1, mic > cut1 && mic <= cut2, mic > cut2)
+        for (pg <- priGroups; tt <- dateThirds)
+          graft.sources.SnapshotLog.appendVersion(
+            base.filter(pg && tt).coalesce(1), dir)
+        val files = graft.sources.SnapshotLog.dataEntries(
+          graft.sources.SnapshotLog.manifest(dir, 9))
+        require(files.size == 9,
+          s"typed-grid fixture needs 9 non-empty cells, got ${files.size}")
+        val typed = graft.sources.SnapshotLog.fileTypedRanges(dir, 9)
+        val missing = files.flatMap(f =>
+          Seq("o_orderdate", "o_orderpriority").collect {
+            case c if !typed.contains((f, c)) => s"$f/$c" })
+        require(missing.isEmpty,
+          s"typed-grid fixture: files without typed stats: $missing")
+        // the pinned pri_files_read = 6 needs every low-group file's
+        // stat MAX to reach the '2' lower bound
+        val lowGroupOk = priGroups.head
+        val perThird = dateThirds.map(tt => base.filter(lowGroupOk && tt)
+          .filter(col("o_orderpriority") >= "2").limit(1).count())
+        require(perThird.forall(_ > 0),
+          "typed-grid fixture: a low-priority cell has no '2-*' row — " +
+            "the pri-pruning pin would not hold at this scale")
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_TSCUTS"),
+          s"$tmin $tmax".getBytes("UTF-8"))
+      } finally {
+        prevTs match {
+          case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+          case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+        }
+      }
+    }
+
+  private[graft] def tttTsRange(dir: String): (Long, Long) = {
+    val Array(a, b) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_TSCUTS")), "UTF-8").trim.split(" ")
+    (a.toLong, b.toLong)
+  }
+
   /** q91's deliberately mis-ordered 3-way join on a derived CBO-enabled
     * session over ANALYZEd catalog tables — factored out so
     * PlanShapeSpec can pin the reordered join tree in isolation. The
@@ -1443,6 +1577,25 @@ object Extras {
     * makes the final version equal q86's one-shot rollup for ANY batch
     * split — StreamingSpec pins it.
     */
+  /** q114's five-clause ladder, stated ONCE for the registry entry,
+    * the streamed general apply, and the specs (see the q114 entry's
+    * comment for the clause semantics). */
+  private[graft] def q114Ladder
+      : (Seq[Merge.MergeClause], Seq[Merge.MergeClause]) = (
+    Seq(
+      Merge.delete("hard_delete",
+        col("action") === "delete" && col("bal") < 5000),
+      Merge.update("soft_delete", col("action") === "delete",
+        "bal" -> lit(0.0)),
+      Merge.update("bonus", col("amt") > 600000,
+        "bal" -> (col("bal") + col("amt") / 10)),
+      Merge.update("plain", lit(true),
+        "bal" -> (col("bal") + col("amt")))),
+    Seq(
+      Merge.insert("inserted",
+        col("action") =!= "delete" && col("amt") > 300000,
+        "bal" -> col("amt"))))
+
   /** q100's target and change feed, factored out so the batch query,
     * the CDC stream, and the specs state the SAME rules once. */
   private[graft] def mergeTarget(s: SparkSession, d: String): DataFrame =
@@ -1511,7 +1664,11 @@ object Extras {
     * orders). */
   private[graft] def timeTravelStoreCdc(s: SparkSession,
                                         d: String): String =
-    memoizedArtifact(s, "graft_ttcdc", d,
+    // prefix bumped (ttcdc -> ttcdc2) when the manifests gained
+    // CDC-file stats headers: q117's feed pruning plans off them, and
+    // a store memoized before the headers existed would silently read
+    // conservative (content and q113's hash are unchanged)
+    memoizedArtifact(s, "graft_ttcdc2", d,
         Seq("customer.parquet", "orders.parquet"),
         localPath = true) { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -1667,6 +1824,19 @@ object Extras {
     } else batch.groupBy(col("key")).agg(
       sum(col("amt").cast("decimal(18,4)")).cast("double").as("amt"),
       min(col("action")).as("action")) // 'delete' < 'upsert': delete wins
+    applyVersioned(s, storePath, batchId)(prev =>
+      mergeArbitrate(prev, delta).select(col("key"), col("bal")))
+  }
+
+  /** The versioned-overwrite trigger machinery SHARED by the q100
+    * apply and the general clause-ladder apply: seed required, stale
+    * generations fail loud, the predecessor is the newest version
+    * STRICTLY below batchId (a replayed trigger deterministically
+    * rewrites its own version — never merges onto itself), and the
+    * write is an idempotent overwrite of `state/batch=N`. */
+  private def applyVersioned(s: SparkSession, storePath: String,
+                             batchId: Long)
+                            (step: DataFrame => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val stateDir = new Path(s"$storePath/state")
     val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
@@ -1681,9 +1851,74 @@ object Extras {
       "— stale generation; clear the store or keep the original checkpoint")
     val p = vs.filter(_ < batchId).max // at least the −1 seed
     val prev = s.read.parquet(s"$storePath/state/batch=$p")
-    mergeArbitrate(prev, delta).select(col("key"), col("bal"))
+    step(prev)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storePath/state/batch=$batchId")
+  }
+
+  /** GENERAL STREAMED CDC APPLY — the foreachBatch-merge deployment
+    * for an ARBITRARY clause ladder (round-19 verdict #2:
+    * [[mergeApplyBatch]] hard-codes q100's (key, bal, amt, action)
+    * arbitration while batch q114 and the persisted
+    * `SnapshotLog.mergeIntoClauses` take any [[Merge.MergeClause]]
+    * ladder — a streaming consumer of those ladders had no path).
+    * Per trigger: the batch optionally collapses to its LAST event
+    * per key (`seqCol` — the general CDC convention for feeds whose
+    * events carry the full new state or a delete marker, so a
+    * delete-then-reinsert micro-batch keeps the reinsert; q100's
+    * DELTA-summing sequential collapse stays with its specialized
+    * entry point, the two feed conventions are not interchangeable),
+    * then the ladder applies against the persisted state through the
+    * same versioned-overwrite machinery: replay-idempotent, stale
+    * generations fail loud. Scale shape: one window + one full-outer
+    * shuffle per trigger, state O(keys) parquet. */
+  def mergeApplyStreamClauses(stream: DataFrame, storePath: String,
+                              checkpointDir: String,
+                              matched: Seq[Merge.MergeClause],
+                              notMatched: Seq[Merge.MergeClause],
+                              seqCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeApplyBatchClauses(batch, batchId, storePath,
+          matched, notMatched, seqCol)
+      }
+      .start()
+
+  /** One general-ladder trigger (factored for the replay spec). */
+  private[graft] def mergeApplyBatchClauses(batch: DataFrame,
+                                            batchId: Long,
+                                            storePath: String,
+                                            matched: Seq[Merge.MergeClause],
+                                            notMatched: Seq[Merge.MergeClause],
+                                            seqCol: Option[String] = None)
+      : Unit = {
+    val s = batch.sparkSession
+    val delta = seqCol match {
+      case Some(sc) =>
+        import org.apache.spark.sql.expressions.Window
+        // last event per key: hashes by key, the same exchange the
+        // ladder's full-outer join needs
+        val w = Window.partitionBy(col("key")).orderBy(col(sc).desc)
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", sc)
+      case None => batch
+    }
+    applyVersioned(s, storePath, batchId)(prev =>
+      Merge.mergeClauses(prev, delta, "key", matched, notMatched))
+  }
+
+  /** The general-ladder store's state at its latest version — ALL
+    * target columns, keyed order (the (key, bal)-shaped [[mergeState]]
+    * stays with the q100 pipeline). */
+  def mergeStateClauses(s: SparkSession, storePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val stateDir = new Path(s"$storePath/state")
+    val fs = stateDir.getFileSystem(s.sessionState.newHadoopConf())
+    val last = fs.listStatus(stateDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong).max
+    s.read.parquet(s"$storePath/state/batch=$last").orderBy(col("key"))
   }
 
   /** The merged table at its latest version. */
@@ -2040,6 +2275,56 @@ object Extras {
         |  CAST(3 AS INT) AS n_files_total
         |FROM orders, m
         |WHERE o_orderkey > mx // 3 AND o_orderkey <= mx // 2""".stripMargin,
+
+    // q115: the middle date third and the ['2','3z'] priority band
+    // stated straight off orders (epoch-micros integer thirds — the
+    // same floor division the store build uses); the four file-count
+    // literals pin the typed pruning.
+    "q115_typed_skipping" ->
+      """WITH b AS (SELECT epoch_us(MIN(o_orderdate)) AS tmin,
+        |                  epoch_us(MAX(o_orderdate)) AS tmax FROM orders),
+        |c AS (SELECT tmin + (tmax - tmin) // 3 AS cut1,
+        |             tmin + 2 * (tmax - tmin) // 3 AS cut2 FROM b)
+        |SELECT
+        |  (SELECT COUNT(*) FROM orders, c
+        |   WHERE epoch_us(o_orderdate) > cut1
+        |     AND epoch_us(o_orderdate) <= cut2) AS n_rows_ts,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM orders, c
+        |   WHERE epoch_us(o_orderdate) > cut1
+        |     AND epoch_us(o_orderdate) <= cut2) AS total_ts,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderpriority BETWEEN '2' AND '3z') AS n_rows_pri,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM orders
+        |   WHERE o_orderpriority BETWEEN '2' AND '3z') AS total_pri,
+        |  CAST(3 AS INT) AS ts_files_read,
+        |  CAST(9 AS INT) AS ts_files_total,
+        |  CAST(6 AS INT) AS pri_files_read,
+        |  CAST(9 AS INT) AS pri_files_total""".stripMargin,
+
+    // q117: the range-scoped feed stated off customer (v2 inserted the
+    // middle third's keys with bal = acctbal; v4's delete preimages
+    // are the same untouched rows); the literals pin the feed's file
+    // pruning (1-of-3 appends read, v4's change file kept, v5's all
+    // pruned).
+    "q117_cdc_range_prune" ->
+      """WITH m AS (SELECT MAX(c_custkey) AS mx FROM customer),
+        |r AS (SELECT c_custkey AS key, c_acctbal AS bal
+        |      FROM customer, m
+        |      WHERE c_custkey > mx // 3 AND c_custkey <= mx // 2),
+        |ch AS (
+        |  SELECT 2 AS version, 'insert' AS change_type, key, bal FROM r
+        |  UNION ALL
+        |  SELECT 4, 'delete', key, bal FROM r)
+        |SELECT version, change_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(key) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(bal AS DECIMAL(18,4))) AS DOUBLE) AS bal_total,
+        |  CAST(1 AS INT) AS n_append_read,
+        |  CAST(3 AS INT) AS n_append_total,
+        |  TRUE AS cdc_prune_ok
+        |FROM ch GROUP BY version, change_type
+        |ORDER BY version""".stripMargin,
 
     // q112: quarter-range counts/totals on each z-ordered dimension
     // stated straight off orders; both_pruned pins the curve.

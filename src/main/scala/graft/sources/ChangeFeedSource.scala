@@ -54,15 +54,33 @@ import scala.jdk.CollectionConverters._
   * manifest-diff slices.
   */
 class ChangeFeedSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ChangeFeed.feedSchema(options.get("path"),
-      ChangeFeed.resolveFrom(options.get("path"), options))
+  // the end version CAPTURED when the schema was resolved: a batch
+  // scan must plan EXACTLY the range its schema was unioned over — a
+  // commit landing (and evolving the schema) between inferSchema and
+  // plan time would otherwise be fed with the older schema, silently
+  // dropping its new column instead of the documented union semantics
+  // (round-19 advice #3). Spark calls inferSchema then getTable on
+  // this same provider instance.
+  @volatile private var resolvedTo: Option[(String, Int)] = None
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = options.get("path")
+    val (schema, to) = ChangeFeed.feedSchemaAt(dir,
+      ChangeFeed.resolveFrom(dir, options))
+    resolvedTo = Some((dir, to))
+    schema
+  }
   // the schema Spark hands back IS inferSchema's result — reuse it so
   // the log walk happens once per read, not once per table/scan-builder
   // call (round-18 review #8)
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new ChangeFeedTable(schema, new CaseInsensitiveStringMap(properties))
+                        properties: util.Map[String, String]): Table = {
+    val o = new CaseInsensitiveStringMap(properties)
+    val captured = resolvedTo.collect {
+      case (d, to) if d == o.get("path") => to
+    }
+    new ChangeFeedTable(schema, o, captured)
+  }
 }
 
 object ChangeFeed {
@@ -72,6 +90,23 @@ object ChangeFeed {
   def readBatch(s: SparkSession, dir: String, fromVersion: Int): DataFrame =
     s.read.format("graft.sources.ChangeFeedSource")
       .option("path", dir).option("fromVersion", fromVersion).load()
+
+  /** Batch read of the changes in (fromVersion, latest] whose `column`
+    * falls in [lo, hi] — PREDICATE SKIPPING inside the feed (round-19
+    * verdict #5): the manifests already carry `#range:` stats for each
+    * version's appended data files AND its CDC change files, so the
+    * scan plans only the change files whose stats can intersect the
+    * range (a range-scoped sync of a 100 TB tailed store opens the few
+    * files that own the range, not the whole delta). Files without
+    * stats are read (conservative), and the row predicate still
+    * applies — pruning is semantically invisible. */
+  def readBatchWhere(s: SparkSession, dir: String, fromVersion: Int,
+                     column: String, lo: Long, hi: Long): DataFrame =
+    s.read.format("graft.sources.ChangeFeedSource")
+      .option("path", dir).option("fromVersion", fromVersion)
+      .option("pruneColumn", column)
+      .option("pruneLo", lo).option("pruneHi", hi).load()
+      .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
 
   /** Streaming read: tails the store one committed version per
     * micro-batch, starting after `fromVersion`. */
@@ -197,7 +232,13 @@ object ChangeFeed {
     * head-version — because a pre-evolution batch must still NULL-fill
     * the evolved column and a post-evolution batch must carry it,
     * independent of file order (round-18 review #1). */
-  private[graft] def feedSchema(dir: String, fromVersion: Int): StructType = {
+  private[graft] def feedSchema(dir: String, fromVersion: Int): StructType =
+    feedSchemaAt(dir, fromVersion)._1
+
+  /** [[feedSchema]] plus the END VERSION the union covered — captured
+    * so a batch scan plans exactly this range (round-19 advice #3). */
+  private[graft] def feedSchemaAt(dir: String, fromVersion: Int)
+      : (StructType, Int) = {
     require(dir != null, "change feed requires a 'path' option")
     val conf = driverHadoopConf()
     val to = SnapshotLog.latestVersion(dir)
@@ -226,39 +267,72 @@ object ChangeFeed {
       .filterNot(f => f.name == "_change_type" ||
         f.name == "_change_version" || f.name == "_change_timestamp")
       .map(f => StructField(f.name, f.dataType, nullable = true))
-    StructType(dataFields :+
+    (StructType(dataFields :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_change_version", LongType, nullable = false) :+
-      StructField("_change_timestamp", TimestampType, nullable = false))
+      StructField("_change_timestamp", TimestampType, nullable = false)),
+      to)
   }
+
+  /** The feed's file plan over (from, to], each entry flagged KEPT
+    * under the optional prune range: a file is skipped only when its
+    * version's own manifest stats PROVE `column` cannot intersect
+    * [lo, hi] (no stat = kept, conservative). Factored out so the
+    * spec pins kept/total counts directly against what
+    * planInputPartitions reads. */
+  private[graft] def plannedEntries(dir: String, from: Int, to: Int,
+                                    prune: Option[(String, Long, Long)])
+      : Seq[(Int, String, Boolean, Boolean)] =
+    ((from + 1) to to).flatMap { v =>
+      lazy val stats = SnapshotLog.versionStats(dir, v)
+      feedEntries(dir, v).map { case (f, isChange) =>
+        val kept = prune match {
+          case None => true
+          case Some((c, lo, hi)) => stats.get((f, c)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None           => true
+          }
+        }
+        (v, f, isChange, kept)
+      }
+    }
 }
 
 class ChangeFeedTable(schema0: StructType,
-                      options: CaseInsensitiveStringMap)
+                      options: CaseInsensitiveStringMap,
+                      capturedTo: Option[Int])
     extends Table with SupportsRead {
   private val dir = options.get("path")
+  private val prune = Option(options.get("pruneColumn")).map(c =>
+    (c, options.get("pruneLo").toLong, options.get("pruneHi").toLong))
   override def name(): String = s"change_feed($dir)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ChangeFeedScanBuilder(dir,
-      ChangeFeed.resolveFrom(dir, options), schema0)
+      ChangeFeed.resolveFrom(dir, options), schema0, capturedTo, prune)
 }
 
 /** Column pruning reaches the parquet readers (the projection is
-  * pushed into each file's read schema); filters stay Spark-side —
-  * a CDC feed is consumed whole by definition. */
+  * pushed into each file's read schema); row filters stay Spark-side
+  * (a CDC feed is consumed whole by definition) — but the OPTIONAL
+  * key-range prune option skips whole change files off the manifest
+  * stats. */
 class ChangeFeedScanBuilder(dir: String, fromVersion: Int,
-                            full: StructType)
+                            full: StructType, capturedTo: Option[Int],
+                            prune: Option[(String, Long, Long)])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var readSchema: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
-  override def build(): Scan = new ChangeFeedScan(dir, fromVersion, readSchema)
+  override def build(): Scan =
+    new ChangeFeedScan(dir, fromVersion, readSchema, capturedTo, prune)
 }
 
-class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType)
+class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType,
+                     capturedTo: Option[Int] = None,
+                     prune: Option[(String, Long, Long)] = None)
     extends Scan with Batch {
   // captured ONCE on the driver, shipped serialized to every reader —
   // the feed honors session filesystem/credential settings end to end
@@ -270,15 +344,18 @@ class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType)
   override def description(): String =
     s"change_feed $dir from=v$fromVersion cols=${schema.fieldNames.mkString(",")}"
 
-  // batch: every change version committed so far, O(delta) files each
+  // batch: every change version in the CAPTURED range (the range the
+  // schema was unioned over — never past it, round-19 advice #3),
+  // O(delta) files each, minus the files the prune range's stats
+  // exclude
   override def planInputPartitions(): Array[InputPartition] = {
-    val to = SnapshotLog.versions(dir).lastOption.getOrElse(0)
-    ((fromVersion + 1) to to).flatMap { v =>
-      val ts = SnapshotLog.commitTimeMillis(dir, v)
-      ChangeFeed.feedEntries(dir, v).map { case (f, isChange) =>
-        ChangeFeedPartition(s"$dir/$f", v, isChange, ts): InputPartition
-      }
-    }.toArray
+    val to = capturedTo.getOrElse(
+      SnapshotLog.versions(dir).lastOption.getOrElse(0))
+    ChangeFeed.plannedEntries(dir, fromVersion, to, prune)
+      .collect { case (v, f, isChange, true) =>
+        ChangeFeedPartition(s"$dir/$f", v, isChange,
+          SnapshotLog.commitTimeMillis(dir, v)): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -106,15 +106,59 @@ object SnapshotLog {
     manifestNames(dir)
       .collect { case ManifestName(v, _) => v.toInt }.sorted
 
+  /** A TYPED per-file column statistic — the stats-in-log currency for
+    * the column types a plain long range can't carry (round-19 verdict
+    * #1: a real 100 TB table prunes on event-TIME first, and before
+    * this every timestamp/string/double predicate fell to a
+    * conservative full read on stats-planned paths). `min`/`max` are
+    * ENCODED text:
+    *  - `ts`  — epoch MICROS as decimal text (exact; MILLIS/NANOS
+    *    footer stats normalize conservatively: floor(min), ceil(max));
+    *  - `dbl` — `java.lang.Double.toString` (exact round-trip; floats
+    *    widen; columns whose footer min/max is NaN carry no stat);
+    *  - `str` — Delta-style truncation: min = 32-char prefix (a prefix
+    *    is <= the full string, a sound lower bound), max = 32-char
+    *    prefix with the last char BUMPED (>= every string under the
+    *    prefix, a sound upper bound). Only kept when the footer
+    *    min/max are pure ASCII: parquet orders binary stats by
+    *    UNSIGNED BYTE, probes compare Java strings by UTF-16 char, and
+    *    the two agree on bounds exactly when the stored bounds are
+    *    ASCII (any file value beyond a differing ASCII byte stays on
+    *    the same side in both orders) — non-ASCII bounds drop to the
+    *    conservative read instead of risking a wrong prune.
+    * Bounds may be conservative (truncation), never tighter than the
+    * data — pruning on them is semantically invisible, like the long
+    * ranges. */
+  private[graft] final case class TypedRange(tag: String,
+                                             min: String, max: String) {
+    def canIntersectTs(lo: Long, hi: Long): Boolean =
+      max.toLong >= lo && min.toLong <= hi
+    def canIntersectDbl(lo: Double, hi: Double): Boolean =
+      max.toDouble >= lo && min.toDouble <= hi
+    def canIntersectStr(lo: String, hi: String): Boolean =
+      max >= lo && min <= hi
+  }
+
+  /** One commit's freshly-collected per-file stats: the LONG ranges
+    * (`#range:` headers — ints widen) and the typed ranges (`#tstat:`
+    * headers), both from ONE footer pass at commit time. */
+  private[graft] final case class FileStats(
+      ranges: Map[(String, String), (Long, Long)],
+      typed: Map[(String, String), TypedRange])
+  private[graft] object FileStats {
+    val empty: FileStats = FileStats(Map.empty, Map.empty)
+  }
+
   /** One parsed manifest: batch tag, delta flag, body lines, stats
-    * ranges, this version's CDC change files, and the table schema as
-    * of this version (JSON; every post-r19 commit carries it, so
-    * schema resolution is O(1) log text — the Delta schema-in-log
-    * idea; legacy manifests resolve None and readers fall back to
-    * parquet footers). */
+    * ranges (long + typed), this version's CDC change files, and the
+    * table schema as of this version (JSON; every post-r19 commit
+    * carries it, so schema resolution is O(1) log text — the Delta
+    * schema-in-log idea; legacy manifests resolve None and readers
+    * fall back to parquet footers). */
   private[graft] final case class Manifest(
       batch: Option[Long], isDelta: Boolean, body: Seq[String],
       ranges: Map[(String, String), (Long, Long)],
+      tranges: Map[(String, String), TypedRange],
       cdc: Seq[String], schemaJson: Option[String])
 
   /** Manifest-file READ counter — spec observability for the
@@ -174,6 +218,20 @@ object SnapshotLog {
         (toks.head, toks.slice(1, toks.length - 2).mkString(":")) ->
           (toks(toks.length - 2).toLong, toks(toks.length - 1).toLong)
     }.toMap
+    // typed stats: fixed 5-token layout after the prefix — tag, then
+    // base64url(file/col/min/max), so a ':' or newline in a column
+    // name or a STRING bound can never corrupt the parse (the
+    // positional-rejoin trick above doesn't extend to bounds that are
+    // themselves arbitrary text)
+    val tranges = headers.collect {
+      case h if h.startsWith("#tstat:") =>
+        val toks = h.stripPrefix("#tstat:").split(":")
+        require(toks.length == 5, s"malformed tstat header: $h")
+        def dec(x: String) = new String(
+          java.util.Base64.getUrlDecoder.decode(x), "UTF-8")
+        (dec(toks(1)), dec(toks(2))) ->
+          TypedRange(toks(0), dec(toks(3)), dec(toks(4)))
+    }.toMap
     val cdc = headers.collect {
       case h if h.startsWith("#cdc:") => h.stripPrefix("#cdc:")
     }
@@ -181,7 +239,7 @@ object SnapshotLog {
       case h if h.startsWith("#schema=") => h.stripPrefix("#schema=")
     }
     val m = Manifest(headerBatch.orElse(nameBatch),
-      headers.contains("#delta"), body, ranges, cdc, schemaJson)
+      headers.contains("#delta"), body, ranges, tranges, cdc, schemaJson)
     manifestCache.synchronized {
       manifestCache.put((dir, v), (mtime, size, m))
     }
@@ -281,6 +339,16 @@ object SnapshotLog {
     else fileRanges(dir, v - 1) ++ m.ranges
   }
 
+  /** Typed sibling of [[fileRanges]]: per-(file, column) [[TypedRange]]
+    * stats as of version `v`, resolved through the same
+    * checkpoint/delta chain. */
+  private[graft] def fileTypedRanges(dir: String, v: Int)
+      : Map[(String, String), TypedRange] = {
+    val m = readManifestFile(dir, v)
+    if (!m.isDelta || v <= 1) m.tranges
+    else fileTypedRanges(dir, v - 1) ++ m.tranges
+  }
+
   /** The table schema as of version `v`, straight off the manifest's
     * `#schema=` header (O(1) log text — no footer opens); None on
     * stores written before the header existed (readers fall back to
@@ -296,6 +364,16 @@ object SnapshotLog {
     * manifest; empty for appends/compactions/legacy versions. */
   private[graft] def cdcFiles(dir: String, v: Int): Seq[String] =
     readManifestFile(dir, v).cdc
+
+  /** A version's OWN manifest-header LONG ranges — covers exactly the
+    * files that version contributes to the change feed (its appended
+    * data files ride its delta's headers, its CDC change files are
+    * kept live for this purpose; a checkpoint's map contains them
+    * too). The feed's file-pruning source: O(1) log text per file,
+    * zero footer IO. */
+  private[sources] def versionStats(dir: String, v: Int)
+      : Map[(String, String), (Long, Long)] =
+    readManifestFile(dir, v).ranges
 
   /** Delta-chain length ending at version `v` (0 if `v` is a full
     * checkpoint manifest) — what the commit path consults to force a
@@ -341,8 +419,7 @@ object SnapshotLog {
   private[graft] def commitManifest(dir: String, v: Int, lines: Seq[String],
                                     batchId: Option[Long] = None,
                                     delta: Option[Seq[String]] = None,
-                                    ranges: Map[(String, String), (Long, Long)]
-                                      = Map.empty,
+                                    stats: FileStats = FileStats.empty,
                                     cdc: Seq[String] = Seq.empty,
                                     schema: Option[
                                       org.apache.spark.sql.types.StructType]
@@ -360,16 +437,24 @@ object SnapshotLog {
     // a delta records only ITS files' ranges; a checkpoint carries the
     // whole live map forward (restricted to this version's files), so
     // range resolution never has to walk past a checkpoint — mirroring
-    // the file-list contract exactly
-    val live = dataEntries(lines).toSet
+    // the file-list contract exactly. A version's OWN CDC change files
+    // keep their stats too: the change feed prunes its file list by
+    // key range off these headers (a tailed 100 TB store serves a
+    // range-scoped sync from the few change files that can intersect).
+    val live = dataEntries(lines).toSet ++ cdc
     val allRanges =
-      if (asDelta) ranges
+      if (asDelta) stats.ranges
       else (if (v > 1) fileRanges(dir, v - 1) else
-        Map.empty[(String, String), (Long, Long)]) ++ ranges
+        Map.empty[(String, String), (Long, Long)]) ++ stats.ranges
     val rangeHeaders = allRanges.toSeq
       .filter { case ((f, _), _) => live.contains(f) }
       .sortBy(_._1)
       .map { case ((f, c), (mn, mx)) => s"#range:$f:$c:$mn:$mx" }
+    val allTyped =
+      if (asDelta) stats.typed
+      else (if (v > 1) fileTypedRanges(dir, v - 1) else
+        Map.empty[(String, String), TypedRange]) ++ stats.typed
+    val tstatHeaders = typedHeaders(allTyped, live)
     // the table schema rides EVERY manifest (an O(columns) JSON line):
     // an explicit schema (appends merge theirs in) or the previous
     // version's, carried forward — so schema resolution at any version
@@ -379,7 +464,8 @@ object SnapshotLog {
     val headers = batchId.map(b => s"#batch=$b").toSeq ++
       (if (asDelta) Seq("#delta") else Seq.empty) ++
       cdc.map(f => s"#cdc:$f") ++
-      schemaJson.map(j => s"#schema=$j").toSeq ++ rangeHeaders
+      schemaJson.map(j => s"#schema=$j").toSeq ++
+      rangeHeaders ++ tstatHeaders
     val body = headers ++ (if (asDelta) delta.get else lines)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = logDir(dir).resolve(f"v$v%05d.$token.tmp")
@@ -483,7 +569,7 @@ object SnapshotLog {
     val added = moveRewrite(s, dir, tmp, "append", nominal,
       keepOneIfAllEmpty = true)
     require(added.nonEmpty, "append committed no files")
-    val ranges = collectRanges(s, dir, added)
+    val stats = collectStats(s, dir, added)
     var attempt = 0
     while (true) {
       val prevV = versions(dir).lastOption
@@ -500,9 +586,10 @@ object SnapshotLog {
           "raced this writer's claim retry) — re-run the append")
       try {
         commitManifest(dir, v, prev ++ added,
-          delta = Some(added.map("+" + _)), ranges = ranges,
+          delta = Some(added.map("+" + _)), stats = stats,
           schema = Some(evolvedSchema(
             prevV.flatMap(tableSchema(dir, _)), df.schema)))
+        verifyClaimOrRollback(dir, v, added)
         return v
       } catch {
         case e: Exception if attempt < 10 && e.getMessage != null && (
@@ -581,7 +668,7 @@ object SnapshotLog {
       val v = prevV.getOrElse(0) + 1
       commitManifest(dir, v, prev ++ added, Some(batchId),
         delta = Some(added.map("+" + _)),
-        ranges = collectRanges(s, dir, added),
+        stats = collectStats(s, dir, added),
         schema = Some(evolvedSchema(
           prevV.flatMap(tableSchema(dir, _)), batch.schema)))
       // persist the streamed-batch high-water mark AT COMMIT TIME (not
@@ -603,15 +690,22 @@ object SnapshotLog {
     * tagged manifest), and [[vacuum]] re-captures any tag about to be
     * deleted via [[maxBatchBelow]] before persisting — so a
     * momentarily-lowered mark can never admit a replayed batch. */
-  private def persistBatchHighWater(dir: String, batchId: Long): Unit = {
-    if (batchId > batchHighWater(dir)) {
-      val tmp = logDir(dir).resolve(s"BATCH_HWM.${rewriteToken()}.tmp")
-      java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, logDir(dir).resolve("BATCH_HWM"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private val hwmLock = new Object
+  private def persistBatchHighWater(dir: String, batchId: Long): Unit =
+    // in-process writers serialize on the lock and RE-READ inside it,
+    // so two same-JVM streamed writers can never regress the mark
+    // (round-19 advice #4); cross-process the read-then-move stays
+    // racy but monotone-in-practice, under the two authoritative
+    // fallbacks documented above
+    hwmLock.synchronized {
+      if (batchId > batchHighWater(dir)) {
+        val tmp = logDir(dir).resolve(s"BATCH_HWM.${rewriteToken()}.tmp")
+        java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, logDir(dir).resolve("BATCH_HWM"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
-  }
 
   /** TIMESTAMP AS OF resolution: the largest version whose manifest
     * was committed at or before `tsMillis` (commit time = the manifest
@@ -659,9 +753,10 @@ object SnapshotLog {
     * nondeterministically dropping it (round-17 advice #1). */
   private[graft] def writeCompacted(s: SparkSession, dir: String,
                                     targetBytes: Long,
-                                    clusterBy: Option[String] = None)
+                                    clusterBy: Option[String] = None,
+                                    atVersion: Option[Int] = None)
       : Seq[String] = {
-    val cur = latestVersion(dir)
+    val cur = atVersion.getOrElse(latestVersion(dir))
     val files = dataEntries(manifest(dir, cur))
     val totalBytes = files.map(f =>
       new java.io.File(dir, f).length()).sum
@@ -694,10 +789,18 @@ object SnapshotLog {
   def compactVersion(s: SparkSession, dir: String,
                      targetBytes: Long = 128L * 1024 * 1024,
                      clusterBy: Option[String] = None): Int = {
-    val moved = writeCompacted(s, dir, targetBytes, clusterBy)
-    val v = latestVersion(dir) + 1
-    commitManifest(dir, v, moved, ranges = collectRanges(s, dir, moved))
-    v
+    val cur = latestVersion(dir)
+    val lines = manifest(dir, cur)
+    val moved = writeCompacted(s, dir, targetBytes, clusterBy, Some(cur))
+    // commit with RE-PLAN on a lost claim: an interleaved APPEND
+    // always commutes with a compaction (no predicate scope — the
+    // compacted set plus the appended file equals either serial
+    // order); an interleaved rewrite or MoR delete fails loud for a
+    // caller re-plan (its effect is not in the compacted output).
+    commitRewriteGeneral(s, dir, cur, lines,
+      dataEntries(lines).toSet, moved, appendScope = None,
+      stats = collectStats(s, dir, moved), cdc = Seq.empty,
+      dropBaseDvs = true, forceFull = true)
   }
 
   /** Z-ORDER key of two LONG columns: each value min-max-normalizes to
@@ -768,9 +871,13 @@ object SnapshotLog {
     shaped.write.mode(SaveMode.Overwrite).parquet(tmp)
     val moved = moveRewrite(s, dir, tmp, "zorder", cur + 1,
       keepOneIfAllEmpty = true)
-    val v = latestVersion(dir) + 1
-    commitManifest(dir, v, moved, ranges = collectRanges(s, dir, moved))
-    v
+    // same re-plan contract as compactVersion: interleaved appends
+    // commute, anything else fails loud
+    val lines = manifest(dir, cur)
+    commitRewriteGeneral(s, dir, cur, lines,
+      dataEntries(lines).toSet, moved, appendScope = None,
+      stats = collectStats(s, dir, moved), cdc = Seq.empty,
+      dropBaseDvs = true, forceFull = true)
   }
 
   /** Footer-open counter — spec observability for the stats-in-log
@@ -778,13 +885,138 @@ object SnapshotLog {
     * opens a footer, and the spec pins the count at zero. */
   private[graft] val footerProbes = new java.util.concurrent.atomic.AtomicLong
 
-  /** Per-file (min, max) of a LONG column straight off the parquet
-    * FOOTER — O(1) metadata per file, no data IO: the row-group
-    * statistics the writer already embedded, folded across blocks.
-    * The FALLBACK path: stores written since the ranges landed in the
-    * manifest headers resolve from log text instead ([[fileRanges]]). */
-  private def footerRange(s: SparkSession, dir: String, file: String,
-                          column: String): Option[(Long, Long)] = {
+  /** Render a typed-range map as sorted `#tstat:` headers. Layout:
+    * `#tstat:<tag>:<b64(file)>:<b64(col)>:<b64(min)>:<b64(max)>` —
+    * base64url keeps arbitrary column names and STRING bounds (which
+    * may contain ':' or newlines) from corrupting the line format. */
+  private def typedHeaders(typed: Map[(String, String), TypedRange],
+                           live: Set[String]): Seq[String] = {
+    def enc(x: String) = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(x.getBytes("UTF-8"))
+    typed.toSeq
+      .filter { case ((f, _), _) => live.contains(f) }
+      .sortBy(_._1)
+      .map { case ((f, c), r) =>
+        s"#tstat:${r.tag}:${enc(f)}:${enc(c)}:${enc(r.min)}:${enc(r.max)}"
+      }
+  }
+
+  /** Raw per-row-group stat, pre-encoding — folded across a file's
+    * blocks, then encoded once into the header currency. */
+  private sealed trait RawStat
+  private final case class RawLong(lo: Long, hi: Long) extends RawStat
+  private final case class RawTs(lo: Long, hi: Long) extends RawStat
+  private final case class RawDbl(lo: Double, hi: Double) extends RawStat
+  private final case class RawStr(lo: String, hi: String) extends RawStat
+
+  /** Extract one column chunk's raw stat by PHYSICAL + LOGICAL type:
+    * INT64/INT32 (plain or int-annotated) → long; INT64 timestamps →
+    * epoch micros (unit-normalized conservatively); DOUBLE/FLOAT →
+    * double (NaN bounds dropped — parquet NaN stats are unreliable);
+    * BINARY strings → raw UTF-8 text, ASCII-gated at encode time.
+    * Anything else (INT96, decimals, nested) → None: conservative
+    * read, never a wrong prune. */
+  private def rawStatOf(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[RawStat] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val st = c.getStatistics
+    if (st == null || !st.hasNonNullValue) return None
+    val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+    (st.genericGetMin, st.genericGetMax) match {
+      case (lo: java.lang.Long, hi: java.lang.Long) =>
+        ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case TimeUnit.MICROS => Some(RawTs(lo, hi))
+              case TimeUnit.MILLIS =>
+                Some(RawTs(lo * 1000L, hi * 1000L))
+              case TimeUnit.NANOS => // floor min, ceil max: conservative
+                Some(RawTs(Math.floorDiv(lo, 1000L),
+                  Math.floorDiv(hi + 999L, 1000L)))
+            }
+          case null => Some(RawLong(lo, hi))
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            Some(RawLong(lo, hi))
+          case _ => None
+        }
+      case (lo: java.lang.Integer, hi: java.lang.Integer)
+          if ann == null ||
+            ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        Some(RawLong(lo.longValue, hi.longValue))
+      case (lo: java.lang.Double, hi: java.lang.Double) =>
+        if (lo.isNaN || hi.isNaN) None
+        else Some(RawDbl(lo, hi))
+      case (lo: java.lang.Float, hi: java.lang.Float) =>
+        if (lo.isNaN || hi.isNaN) None
+        else Some(RawDbl(lo.doubleValue, hi.doubleValue))
+      case (lo: org.apache.parquet.io.api.Binary,
+            hi: org.apache.parquet.io.api.Binary)
+          if ann != null &&
+            ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(RawStr(new String(lo.getBytes, "UTF-8"),
+          new String(hi.getBytes, "UTF-8")))
+      case _ => None
+    }
+  }
+
+  private def foldRaw(a: RawStat, b: RawStat): Option[RawStat] = (a, b) match {
+    case (RawLong(l1, h1), RawLong(l2, h2)) =>
+      Some(RawLong(math.min(l1, l2), math.max(h1, h2)))
+    case (RawTs(l1, h1), RawTs(l2, h2)) =>
+      Some(RawTs(math.min(l1, l2), math.max(h1, h2)))
+    case (RawDbl(l1, h1), RawDbl(l2, h2)) =>
+      Some(RawDbl(math.min(l1, l2), math.max(h1, h2)))
+    case (RawStr(l1, h1), RawStr(l2, h2)) =>
+      Some(RawStr(if (l1 <= l2) l1 else l2, if (h1 >= h2) h1 else h2))
+    case _ => None // mixed physical types across blocks: no stat
+  }
+
+  /** Fold a block list's raw stats into one, None on any mismatch. */
+  private def foldRaws(raws: Seq[RawStat]): Option[RawStat] =
+    raws.headOption.flatMap(h =>
+      raws.tail.foldLeft(Option(h)) { (acc, r) =>
+        acc.flatMap(foldRaw(_, r))
+      })
+
+  /** Delta-style string-bound truncation length. */
+  private val StrStatLen = 32
+
+  /** Smallest string `>= every string with this prefix`: truncate,
+    * then BUMP the rightmost bumpable char and drop what follows; a
+    * prefix of all-U+FFFF chars has no bump — no stat. */
+  private[graft] def bumpedUpperBound(s: String): Option[String] = {
+    if (s.length <= StrStatLen) return Some(s)
+    val p = s.substring(0, StrStatLen).toCharArray
+    var i = p.length - 1
+    while (i >= 0 && p(i) == '\uffff') i -= 1
+    if (i < 0) None
+    else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+  }
+
+  /** Encode a folded raw stat into the header currency; None = not
+    * encodable (non-ASCII string bounds, unbumpable prefix). */
+  private def encodeRaw(r: RawStat): Option[Either[(Long, Long), TypedRange]] =
+    r match {
+      case RawLong(lo, hi) => Some(Left((lo, hi)))
+      case RawTs(lo, hi) =>
+        Some(Right(TypedRange("ts", lo.toString, hi.toString)))
+      case RawDbl(lo, hi) =>
+        Some(Right(TypedRange("dbl", lo.toString, hi.toString)))
+      case RawStr(lo, hi) =>
+        if (!lo.forall(_ < 0x80) || !hi.forall(_ < 0x80)) None
+        else bumpedUpperBound(hi).map(up =>
+          Right(TypedRange("str",
+            lo.substring(0, math.min(lo.length, StrStatLen)), up)))
+    }
+
+  /** Per-file footer stat of ONE column (any supported type) — the
+    * FALLBACK path for legacy stores whose manifests predate the stat
+    * headers; O(1) metadata per file. */
+  private def footerStat(s: SparkSession, dir: String, file: String,
+                         column: String)
+      : Option[Either[(Long, Long), TypedRange]] = {
     footerProbes.incrementAndGet()
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -793,62 +1025,70 @@ object SnapshotLog {
       s.sessionState.newHadoopConf())
     val r = ParquetFileReader.open(in)
     try {
-      val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
+      val blocks = r.getFooter.getBlocks.asScala
+      val raws = blocks.flatMap(b =>
         b.getColumns.asScala
           .find(_.getPath.toDotString == column)
-          .flatMap { c =>
-            val st = c.getStatistics
-            if (st == null || !st.hasNonNullValue) None
-            else (st.genericGetMin, st.genericGetMax) match {
-              case (lo: java.lang.Long, hi: java.lang.Long) =>
-                Some((lo.longValue, hi.longValue))
-              case _ => None
-            }
-          }
-      }
-      if (ranges.isEmpty) None
-      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+          .flatMap(rawStatOf))
+      // a block without a stat for the column leaves the file's bound
+      // unknowable — no stat (the all-blocks rule collectStats applies)
+      if (raws.size != blocks.size) None
+      else foldRaws(raws.toSeq).flatMap(encodeRaw)
     } finally r.close()
   }
 
-  /** The log-first range probe every stats-planned operation routes
-    * through: manifest-header ranges (log text, zero file IO) first,
-    * parquet footer as the legacy fallback. */
+  /** The log-first LONG range probe every stats-planned operation
+    * routes through: manifest-header ranges (log text, zero file IO)
+    * first, parquet footer as the legacy fallback. */
   private def rangeOf(s: SparkSession, dir: String,
                       known: Map[(String, String), (Long, Long)],
                       file: String, column: String): Option[(Long, Long)] =
-    known.get((file, column)).orElse(footerRange(s, dir, file, column))
+    known.get((file, column)).orElse(
+      footerStat(s, dir, file, column).collect { case Left(r) => r })
 
-  /** ALL long-column [min, max] ranges of freshly WRITTEN files — one
-    * footer open per file, paid ONCE at commit time (locally, next to
-    * the write), so every later skipping read / delete / merge probe
-    * plans from the log without touching storage. */
-  private def collectRanges(s: SparkSession, dir: String,
-                            files: Seq[String])
-      : Map[(String, String), (Long, Long)] = {
+  /** Log-first TYPED probe (timestamp/double/string), footer fallback;
+    * a stat of the wrong tag resolves None (conservative). */
+  private def typedRangeOf(s: SparkSession, dir: String,
+                           known: Map[(String, String), TypedRange],
+                           file: String, column: String,
+                           tag: String): Option[TypedRange] =
+    known.get((file, column)).orElse(
+        footerStat(s, dir, file, column).collect { case Right(r) => r })
+      .filter(_.tag == tag)
+
+  /** ALL stat-bearing column [min, max] ranges of freshly WRITTEN
+    * files — long AND typed, one footer open per file, paid ONCE at
+    * commit time (locally, next to the write), so every later skipping
+    * read / delete / merge probe plans from the log without touching
+    * storage. */
+  private def collectStats(s: SparkSession, dir: String,
+                           files: Seq[String]): FileStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    files.flatMap { f =>
+    val longs = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    val typed = scala.collection.mutable.Map[(String, String), TypedRange]()
+    files.foreach { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"$dir/$f"),
         s.sessionState.newHadoopConf()))
       try {
-        r.getFooter.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala.flatMap { c =>
-            val st = c.getStatistics
-            if (st == null || !st.hasNonNullValue) None
-            else (st.genericGetMin, st.genericGetMax) match {
-              case (lo: java.lang.Long, hi: java.lang.Long) =>
-                Some(c.getPath.toDotString ->
-                  (lo.longValue, hi.longValue))
-              case _ => None
-            }
+        val nBlocks = r.getFooter.getBlocks.size()
+        r.getFooter.getBlocks.asScala
+          .flatMap(b => b.getColumns.asScala.flatMap(c =>
+            rawStatOf(c).map(c.getPath.toDotString -> _)))
+          .groupBy(_._1)
+          .foreach { case (col, raws) =>
+            // a column missing a stat in ANY block has no sound file
+            // bound; a fold across mixed types yields none
+            if (raws.size == nBlocks)
+              foldRaws(raws.map(_._2).toSeq).flatMap(encodeRaw).foreach {
+                case Left(lr)  => longs((f, col)) = lr
+                case Right(tr) => typed((f, col)) = tr
+              }
           }
-        }.groupBy(_._1).map { case (col, vs) =>
-          (f, col) -> (vs.map(_._2._1).min, vs.map(_._2._2).max)
-        }
       } finally r.close()
-    }.toMap
+    }
+    FileStats(longs.toMap, typed.toMap)
   }
 
   /** MANIFEST-LEVEL DATA SKIPPING — the Delta/Iceberg file-pruning
@@ -866,26 +1106,78 @@ object SnapshotLog {
   def readVersionWhere(s: SparkSession, dir: String, v: Int,
                        column: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
-    val lines = manifest(dir, v)
     val known = fileRanges(dir, v)
+    prunedVersionRead(s, dir, v,
+      f => rangeOf(s, dir, known, f, column)
+        .forall { case (mn, mx) => mx >= lo && mn <= hi },
+      org.apache.spark.sql.functions.col(column).between(lo, hi))
+  }
+
+  /** [[readVersionWhere]] for a TIMESTAMP column, bounds in epoch
+    * MICROS (inclusive) — prunes off the `ts` typed stats; the row
+    * predicate compares against `timestamp_micros` literals, so the
+    * pruned read stays semantically invisible. */
+  def readVersionWhereTs(s: SparkSession, dir: String, v: Int,
+                         column: String, loMicros: Long, hiMicros: Long)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    val known = fileTypedRanges(dir, v)
+    prunedVersionRead(s, dir, v,
+      f => typedRangeOf(s, dir, known, f, column, "ts")
+        .forall(_.canIntersectTs(loMicros, hiMicros)),
+      col(column).between(timestamp_micros(lit(loMicros)),
+        timestamp_micros(lit(hiMicros))))
+  }
+
+  /** [[readVersionWhere]] for a STRING column (inclusive bounds) —
+    * prunes off the `str` typed stats (truncated/bumped: conservative,
+    * never tighter than the data). */
+  def readVersionWhereStr(s: SparkSession, dir: String, v: Int,
+                          column: String, lo: String, hi: String)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    val known = fileTypedRanges(dir, v)
+    prunedVersionRead(s, dir, v,
+      f => typedRangeOf(s, dir, known, f, column, "str")
+        .forall(_.canIntersectStr(lo, hi)),
+      col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** [[readVersionWhere]] for a DOUBLE/FLOAT column (inclusive
+    * bounds) — prunes off the `dbl` typed stats. */
+  def readVersionWhereDbl(s: SparkSession, dir: String, v: Int,
+                          column: String, lo: Double, hi: Double)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    val known = fileTypedRanges(dir, v)
+    prunedVersionRead(s, dir, v,
+      f => typedRangeOf(s, dir, known, f, column, "dbl")
+        .forall(_.canIntersectDbl(lo, hi)),
+      col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** The shared pruned-read core: `keepFile` decides per data file off
+    * the stats (a file with NO resolvable stat must come back true —
+    * conservative read); the row predicate is still applied to the
+    * scanned rows, so pruning is semantically invisible. Returns
+    * (frame, filesRead, filesTotal) so a caller/spec can pin that the
+    * pruning actually bit. */
+  private def prunedVersionRead(s: SparkSession, dir: String, v: Int,
+                                keepFile: String => Boolean,
+                                rowPred: org.apache.spark.sql.Column)
+      : (DataFrame, Int, Int) = {
+    val lines = manifest(dir, v)
     val files = dataEntries(lines)
-    val keptSet = files.filter { f =>
-      rangeOf(s, dir, known, f, column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => true
-      }
-    }.toSet
-    val kept = keptSet.toSeq
+    val keptSet = files.filter(keepFile).toSet
     val df =
-      if (kept.isEmpty)
+      if (keptSet.isEmpty)
         readVersion(s, dir, v).limit(0)
       // the pruned read keeps manifest ORDER (dv entries still mask
       // exactly the pruned files committed before them)
       else readLines(s, dir,
         lines.filter(l => l.startsWith("dv:") || keptSet.contains(l)),
         mergeSchema = false)
-    (df.filter(org.apache.spark.sql.functions.col(column).between(lo, hi)),
-      kept.size, files.size)
+    (df.filter(rowPred), keptSet.size, files.size)
   }
 
   /** Footer row count — used to drop zero-row rewrite outputs: an
@@ -910,6 +1202,33 @@ object SnapshotLog {
     * [[vacuum]] sweeps them. */
   private def rewriteToken(): String =
     java.util.UUID.randomUUID().toString.take(8)
+
+  /** Close (best-effort) the check-then-claim window against a
+    * zero-grace vacuum (round-19 advice #2): the pre-claim existence
+    * check can still race a sweep, so RE-VERIFY after the claim; on a
+    * miss, roll the claim back — delete this writer's own just-claimed
+    * manifest (it is necessarily the head: the claim just won) — and
+    * fail loud. Safe because a concurrent zero-grace vacuum already
+    * violates the no-live-writers contract documented at [[vacuum]];
+    * a loud rolled-back re-run beats a committed version referencing
+    * missing files. Residual: a reader observing the manifest in the
+    * instants before rollback — graceMillis = 0 REMAINS a
+    * no-live-writers contract; this guard only makes its violation
+    * detected-and-undone instead of silent corruption. */
+  private def verifyClaimOrRollback(dir: String, v: Int,
+                                    staged: Seq[String]): Unit = {
+    val missing = staged.filterNot(f => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, f)))
+    if (missing.nonEmpty) {
+      java.nio.file.Files.deleteIfExists(manifestPath(dir, v))
+      manifestCache.synchronized { manifestCache.remove((dir, v)); () }
+      throw new IllegalStateException(
+        s"claimed version $v at $dir references swept files " +
+          s"${missing.take(3).mkString(",")} — a zero-grace vacuum " +
+          "raced this writer; the claim was rolled back, re-run the " +
+          "operation")
+    }
+  }
 
   /** The shared rewrite-commit tail of compaction / COW delete /
     * merge: collect the tmp write's part files, drop zero-row outputs
@@ -1126,13 +1445,27 @@ object SnapshotLog {
         .unionByName(image("_o", "update_preimage")(changed))
         .unionByName(image("_n", "update_postimage")(changed))
     val cdcF = writeChangeFiles(s, dir, v, changes)
-    commitManifest(dir, v,
-      lines.filterNot(touchedSet.contains) ++ moved,
-      delta = Some(touchedSet.toSeq.sorted.map("-" + _) ++
-        moved.map("+" + _)),
-      ranges = collectRanges(s, dir, moved),
-      cdc = cdcF)
-    (v, touchedSet.size, untouched.size)
+    // commit with RE-PLAN on a lost claim (round-19 verdict #3 —
+    // deletes already re-planned; a merge racing a DISJOINT append
+    // now lands too): an interleaved append commutes iff its file's
+    // key range is disjoint from the SOURCE-KEY HULL — outside it no
+    // appended row can match any source key, so the merge's rewritten
+    // slice, its inserts, and its CDC diff are all unchanged by the
+    // interleave (the hull is conservative: an in-hull append between
+    // source keys fails loud even though it might commute). One O(1)
+    // agg on the already-checkpointed source.
+    val hull = src.agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("key")),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("key"))).head
+    val (hLo, hHi) =
+      if (hull.isNullAt(0)) (0L, -1L) // empty source: all appends commute
+      else (hull.getLong(0), hull.getLong(1))
+    val committed = commitRewriteGeneral(s, dir, cur, lines, touchedSet,
+      moved, appendScope = Some((keyCol, hLo, hHi)),
+      stats = collectStats(s, dir, moved ++ cdcF), cdc = cdcF,
+      dropBaseDvs = false, forceFull = false)
+    (committed, touchedSet.size, untouched.size)
   }
 
   /** Commit a predicate-scoped REWRITE with RE-PLAN on a lost claim —
@@ -1160,9 +1493,31 @@ object SnapshotLog {
                                     touchedSet: Set[String],
                                     appended: Seq[String],
                                     column: String, lo: Long, hi: Long,
-                                    ranges: Map[(String, String),
-                                                (Long, Long)],
-                                    cdc: Seq[String]): Int = {
+                                    stats: FileStats,
+                                    cdc: Seq[String]): Int =
+    commitRewriteGeneral(s, dir, basedOn, plannedBase, touchedSet,
+      appended, Some((column, lo, hi)), stats, cdc,
+      dropBaseDvs = false, forceFull = false)
+
+  /** The general re-plan core. `appendScope` = the predicate scope an
+    * interleaved APPEND must be range-disjoint from to commute —
+    * None means EVERY append commutes (a compaction has no predicate:
+    * its output plus the interleaved file equals either serial
+    * order). `dropBaseDvs` removes the base's deletion-vector lines
+    * from the committed manifest (a compaction materializes them into
+    * its output — the dv-unchanged conflict check still guarantees no
+    * NEW vector slipped in). `forceFull` commits a checkpoint manifest
+    * (compaction's convention — its delta would be O(files) anyway). */
+  private def commitRewriteGeneral(s: SparkSession, dir: String,
+                                   basedOn: Int,
+                                   plannedBase: Seq[String],
+                                   touchedSet: Set[String],
+                                   appended: Seq[String],
+                                   appendScope: Option[(String, Long, Long)],
+                                   stats: FileStats,
+                                   cdc: Seq[String],
+                                   dropBaseDvs: Boolean,
+                                   forceFull: Boolean): Int = {
     onBeforeRewriteCommit()
     var attempt = 0
     var base = plannedBase
@@ -1185,12 +1540,16 @@ object SnapshotLog {
           java.nio.file.Paths.get(dir, f))),
         s"staged rewrite outputs at $dir were swept (a zero-grace " +
           "vacuum raced this writer's claim retry) — re-run the operation")
+      val dropped = base.filter(l => touchedSet.contains(l) ||
+        (dropBaseDvs && l.startsWith("dv:")))
       try {
         commitManifest(dir, v,
-          base.filterNot(touchedSet.contains) ++ appended,
-          delta = Some(touchedSet.toSeq.sorted.map("-" + _) ++
-            appended.map("+" + _)),
-          ranges = ranges, cdc = cdc)
+          base.filterNot(dropped.contains) ++ appended,
+          delta = if (forceFull) None
+                  else Some(dropped.sorted.map("-" + _) ++
+                    appended.map("+" + _)),
+          stats = stats, cdc = cdc)
+        verifyClaimOrRollback(dir, v, stagedNames)
         return v
       } catch {
         case e: Exception if attempt < 10 && e.getMessage != null && (
@@ -1208,13 +1567,15 @@ object SnapshotLog {
             s"concurrent MoR delete at $dir conflicts with this " +
               "rewrite — re-plan it")
           val newFiles = headData -- dataEntries(plannedBase).toSet
-          val known = fileRanges(dir, head)
-          newFiles.foreach { f =>
-            val disjoint = rangeOf(s, dir, known, f, column)
-              .exists { case (mn, mx) => mx < lo || mn > hi }
-            require(disjoint,
-              s"concurrent append at $dir may contain rows matching " +
-                "this rewrite's predicate — re-plan it")
+          appendScope.foreach { case (column, lo, hi) =>
+            val known = fileRanges(dir, head)
+            newFiles.foreach { f =>
+              val disjoint = rangeOf(s, dir, known, f, column)
+                .exists { case (mn, mx) => mx < lo || mn > hi }
+              require(disjoint,
+                s"concurrent append at $dir may contain rows matching " +
+                  "this rewrite's predicate — re-plan it")
+            }
           }
           base = headLines
           baseV = head
@@ -1286,7 +1647,7 @@ object SnapshotLog {
     // loud for a caller-level re-plan.
     val committed = commitRewriteOrReplan(s, dir, cur, lines, touchedSet,
       rewritten, column, lo, hi,
-      ranges = collectRanges(s, dir, rewritten), cdc = cdc)
+      stats = collectStats(s, dir, rewritten ++ cdc), cdc = cdc)
     (committed, touched.size, untouched.size)
   }
 
@@ -1318,7 +1679,7 @@ object SnapshotLog {
     if (touched.isEmpty) {
       // nothing matches: a no-op version (an EMPTY delta — O(1) log text)
       (commitRewriteOrReplan(s, dir, cur, lines, Set.empty, Seq.empty,
-        column, lo, hi, Map.empty, Seq.empty), 0)
+        column, lo, hi, FileStats.empty, Seq.empty), 0)
     } else {
       val touchedSet = touched.toSet
       // mergeSchema, like every other DML slice read (round-17 advice
@@ -1348,7 +1709,7 @@ object SnapshotLog {
         new java.io.File(tmp).delete()
         // stats intersected, no row matched: a no-op version
         (commitRewriteOrReplan(s, dir, cur, lines, Set.empty, Seq.empty,
-          column, lo, hi, Map.empty, Seq.empty), touched.size)
+          column, lo, hi, FileStats.empty, Seq.empty), touched.size)
       } else {
         val name = f"dv-v$v%05d-${rewriteToken()}.parquet"
         val target = java.nio.file.Paths.get(dir, name)
@@ -1367,7 +1728,7 @@ object SnapshotLog {
         // because its rows cannot match the vector's key range
         (commitRewriteOrReplan(s, dir, cur, lines, Set.empty,
           Seq(s"dv:$column:$name"), column, lo, hi,
-          Map.empty, cdcF), touched.size)
+          collectStats(s, dir, cdcF), cdcF), touched.size)
       }
     }
   }
@@ -1385,7 +1746,8 @@ object SnapshotLog {
     // ranges AND schema travel with the restore from the RESTORED
     // version's resolution (the head's map may have dropped files
     // replaced since; the head's schema may have evolved past v's)
-    commitManifest(dir, next, files, ranges = fileRanges(dir, v),
+    commitManifest(dir, next, files,
+      stats = FileStats(fileRanges(dir, v), fileTypedRanges(dir, v)),
       schema = tableSchema(dir, v))
     next
   }
@@ -1443,7 +1805,8 @@ object SnapshotLog {
     }
     val cdcF = changes.map(writeChangeFiles(s, dir, next, _))
       .getOrElse(Seq.empty)
-    commitManifest(dir, next, restored, ranges = fileRanges(dir, v),
+    commitManifest(dir, next, restored,
+      stats = FileStats(fileRanges(dir, v), fileTypedRanges(dir, v)),
       schema = tableSchema(dir, v), cdc = cdcF)
     next
   }
@@ -1495,14 +1858,17 @@ object SnapshotLog {
     val boundary = readManifestFile(dir, retainFrom)
     if (boundary.isDelta) {
       val full = manifest(dir, retainFrom)
-      val live = dataEntries(full).toSet
+      val live = dataEntries(full).toSet ++ boundary.cdc
       val rangeHeaders = fileRanges(dir, retainFrom).toSeq
         .filter { case ((f, _), _) => live.contains(f) }
         .sortBy(_._1)
         .map { case ((f, c), (mn, mx)) => s"#range:$f:$c:$mn:$mx" }
+      val tstatHeaders =
+        typedHeaders(fileTypedRanges(dir, retainFrom), live)
       val headers = boundary.batch.map(b => s"#batch=$b").toSeq ++
         boundary.cdc.map(f => s"#cdc:$f") ++
-        boundary.schemaJson.map(j => s"#schema=$j").toSeq ++ rangeHeaders
+        boundary.schemaJson.map(j => s"#schema=$j").toSeq ++
+        rangeHeaders ++ tstatHeaders
       val target = manifestPath(dir, retainFrom)
       // the manifest's mtime IS its commit time (versionAsOf's clock):
       // the materialized checkpoint must keep it, or the retention
@@ -1514,12 +1880,26 @@ object SnapshotLog {
       val commitTime = java.nio.file.Files.getLastModifiedTime(target)
       val tmp = logDir(dir).resolve(
         f"v$retainFrom%05d.${rewriteToken()}.tmp")
-      java.nio.file.Files.write(tmp,
-        ((headers ++ full).mkString("\n") + "\n").getBytes("UTF-8"))
+      // the parsed-manifest cache validates by (mtime, size) and this
+      // rewrite deliberately PRESERVES mtime (the versionAsOf clock):
+      // if the materialized FULL form happened to hit the delta's
+      // exact byte length, a warm process would keep serving the
+      // stale delta parse and resolve through base manifests this
+      // vacuum is deleting — pad with a comment line until the sizes
+      // provably differ, and evict this process's own entry outright
+      // (round-19 advice #1)
+      val oldSize = java.nio.file.Files.size(target)
+      var body = (headers ++ full).mkString("\n") + "\n"
+      while (body.getBytes("UTF-8").length.toLong == oldSize)
+        body += "#materialized\n"
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
       java.nio.file.Files.setLastModifiedTime(tmp, commitTime)
       java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      manifestCache.synchronized {
+        manifestCache.remove((dir, retainFrom)); ()
+      }
     }
     val keep = vs.filter(_ >= retainFrom)
     // retained references = every kept version's resolved data + dv

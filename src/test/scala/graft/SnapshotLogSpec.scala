@@ -1056,4 +1056,197 @@ class SnapshotLogSpec extends SparkSpec {
     val head = SnapshotLog.latestVersion(dir)
     assert(!rows(dir, head).contains(101L) && rows(dir, head).contains(102L))
   }
+
+  test("typed stats-in-log: timestamp/string/double probes prune with zero footer opens; stripped headers fall back; truncated string bounds stay sound") {
+    // round-19 verdict #1: long-only stats silently degraded every
+    // timestamp/string/double predicate to a conservative full read.
+    // Now #tstat: headers carry them (ts = epoch micros, dbl = exact
+    // text, str = 32-char truncation with a bumped upper bound).
+    val dir = freshDir()
+    val prevTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try {
+      def tf(rs: Seq[(Long, Long, String, Double)]) =
+        rs.toDF("k", "tm", "s", "d")
+          .withColumn("t", timestamp_micros($"tm")).drop("tm")
+      SnapshotLog.appendVersion(tf(Seq(
+        (1L, 1000000L, "apple", 1.0),
+        (2L, 2000000L, "banana", 2.0))).coalesce(1), dir)
+      SnapshotLog.appendVersion(tf(Seq(
+        (3L, 10000000L, "melon", 10.0),
+        (4L, 11000000L, "peach", 11.0))).coalesce(1), dir)
+      SnapshotLog.appendVersion(tf(Seq(
+        (5L, 20000000L, "watermelon", 20.0),
+        (6L, 21000000L, "zucchini", 21.0))).coalesce(1), dir)
+      // a file of LONG strings sharing a 40-char prefix: its stored
+      // bounds are truncated/bumped, still sound
+      val longStr = "a" * 40
+      SnapshotLog.appendVersion(tf(Seq(
+        (7L, 30000000L, longStr, 30.0))).coalesce(1), dir)
+      val before = SnapshotLog.footerProbes.get()
+      val (dt, kt, tt) = SnapshotLog.readVersionWhereTs(
+        spark, dir, 4, "t", 10000000L, 12000000L)
+      assert(kt === 1 && tt === 4)
+      assert(dt.select($"k").as[Long].collect().toSet === Set(3L, 4L))
+      val (ds, ks, ts) = SnapshotLog.readVersionWhereStr(
+        spark, dir, 4, "s", "m", "q")
+      assert(ks === 1 && ts === 4)
+      assert(ds.select($"k").as[Long].collect().toSet === Set(3L, 4L))
+      val (dd, kd, td) = SnapshotLog.readVersionWhereDbl(
+        spark, dir, 4, "d", 9.5, 11.5)
+      assert(kd === 1 && td === 4)
+      assert(dd.select($"k").as[Long].collect().toSet === Set(3L, 4L))
+      // truncated bounds: ["b","c"] must PRUNE the long-string file
+      // (its bumped max "a"*31+"b" < "b"), a range crossing the real
+      // values must KEEP it and read the right rows
+      val (_, kp, _) = SnapshotLog.readVersionWhereStr(
+        spark, dir, 4, "s", "b", "c")
+      assert(kp === 1, "banana's file only") // file A has banana
+      val (dl, kl, _) = SnapshotLog.readVersionWhereStr(
+        spark, dir, 4, "s", "a" * 33, "a" * 45)
+      assert(kl === 1)
+      assert(dl.select($"k").as[Long].collect().toSet === Set(7L))
+      assert(SnapshotLog.footerProbes.get() === before,
+        "a typed probe opened a parquet footer despite log-embedded stats")
+      assert(SnapshotLog.bumpedUpperBound("a" * 40) === Some("a" * 31 + "b"))
+      assert(SnapshotLog.bumpedUpperBound("\uffff" * 40) === None)
+      // LEGACY fallback: strip #tstat: headers -> same decisions off
+      // the footers
+      import scala.jdk.CollectionConverters._
+      val ld = java.nio.file.Paths.get(dir, "_graft_log")
+      val st = java.nio.file.Files.list(ld)
+      try st.iterator().asScala
+        .filter(_.toString.endsWith(".manifest")).foreach { p =>
+          val kept = java.nio.file.Files.readAllLines(p).asScala
+            .filterNot(_.startsWith("#tstat:"))
+          java.nio.file.Files.write(p,
+            (kept.mkString("\n") + "\n").getBytes("UTF-8"))
+        }
+      finally st.close()
+      val (dtl, ktl, _) = SnapshotLog.readVersionWhereTs(
+        spark, dir, 4, "t", 10000000L, 12000000L)
+      val (_, ksl, _) = SnapshotLog.readVersionWhereStr(
+        spark, dir, 4, "s", "m", "q")
+      val (_, kdl, _) = SnapshotLog.readVersionWhereDbl(
+        spark, dir, 4, "d", 9.5, 11.5)
+      assert(ktl === 1 && ksl === 1 && kdl === 1,
+        "footer fallback diverged from the log-stat decision")
+      assert(dtl.select($"k").as[Long].collect().toSet === Set(3L, 4L))
+      assert(SnapshotLog.footerProbes.get() > before,
+        "stripped store should have probed footers")
+    } finally prevTs match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  test("merge re-plan: racing a disjoint append lands; an in-hull append or racing delete fails loud") {
+    // round-19 verdict #3: deletes already re-planned; a merge losing
+    // its claim to an append DISJOINT from the source-key hull now
+    // lands too, and everything else still fails loud.
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(101L, 102L)).coalesce(1), dir)
+    SnapshotLog.onBeforeRewriteCommit = () => {
+      SnapshotLog.onBeforeRewriteCommit = () => ()
+      SnapshotLog.appendVersion(frame(Seq(201L, 202L)).coalesce(1), dir)
+    }
+    try {
+      val src = Seq((102L, 5.0, "upsert"), (105L, 7.0, "upsert"))
+        .toDF("key", "amt", "action") // hull [102,105]: 201+ disjoint
+      val (v, rw, _) = SnapshotLog.mergeInto(spark, dir, src, "k", "x")
+      assert(v === 4 && rw === 1,
+        "merge racing a disjoint append must land after one re-plan")
+    } finally SnapshotLog.onBeforeRewriteCommit = () => ()
+    assert(rows(dir, 4) === Set(1L, 2L, 3L, 101L, 102L, 105L, 201L, 202L),
+      "the re-planned merge lost the interleaved append or a row")
+    val bal102 = SnapshotLog.readVersion(spark, dir, 4)
+      .filter($"k" === 102L).select($"x").as[Double].head()
+    assert(bal102 === 102L * 10.0 + 5.0, "merge update lost on re-plan")
+    // rival INSIDE the hull: fail loud, nothing committed by the loser
+    SnapshotLog.onBeforeRewriteCommit = () => {
+      SnapshotLog.onBeforeRewriteCommit = () => ()
+      SnapshotLog.appendVersion(frame(Seq(103L)).coalesce(1), dir)
+    }
+    val e = try intercept[IllegalArgumentException] {
+      SnapshotLog.mergeInto(spark, dir,
+        Seq((102L, 1.0, "upsert"), (105L, 1.0, "upsert"))
+          .toDF("key", "amt", "action"), "k", "x")
+    } finally SnapshotLog.onBeforeRewriteCommit = () => ()
+    assert(e.getMessage.contains("may contain rows matching"))
+    assert(rows(dir, SnapshotLog.latestVersion(dir)).contains(103L))
+    // rival DELETE rewrote a touched file: write-write conflict
+    SnapshotLog.onBeforeRewriteCommit = () => {
+      SnapshotLog.onBeforeRewriteCommit = () => ()
+      SnapshotLog.deleteWhere(spark, dir, "k", 101L, 101L)
+    }
+    val e2 = try intercept[IllegalArgumentException] {
+      SnapshotLog.mergeInto(spark, dir,
+        Seq((102L, 1.0, "upsert")).toDF("key", "amt", "action"), "k", "x")
+    } finally SnapshotLog.onBeforeRewriteCommit = () => ()
+    assert(e2.getMessage.contains("rewrote files"))
+  }
+
+  test("compaction re-plan: racing an append lands (appends always commute); a racing MoR delete fails loud") {
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L)).coalesce(1), dir)
+    SnapshotLog.appendVersion(frame(Seq(3L, 4L)).coalesce(1), dir)
+    SnapshotLog.onBeforeRewriteCommit = () => {
+      SnapshotLog.onBeforeRewriteCommit = () => ()
+      SnapshotLog.appendVersion(frame(Seq(99L)).coalesce(1), dir)
+    }
+    val v = try SnapshotLog.compactVersion(spark, dir)
+            finally SnapshotLog.onBeforeRewriteCommit = () => ()
+    assert(v === 4, "compaction racing an append must land after one re-plan")
+    assert(rows(dir, 4) === Set(1L, 2L, 3L, 4L, 99L),
+      "the re-planned compaction lost the interleaved append or a row")
+    // every pre-race version still reads (history intact through the
+    // re-planned rewrite)
+    assert(rows(dir, 2) === Set(1L, 2L, 3L, 4L))
+    // racing MoR delete: the compacted output predates the vector ->
+    // committing would resurrect the deleted row; fail loud
+    SnapshotLog.onBeforeRewriteCommit = () => {
+      SnapshotLog.onBeforeRewriteCommit = () => ()
+      SnapshotLog.deleteWhereMoR(spark, dir, "k", 99L, 99L)
+    }
+    val e = try intercept[IllegalArgumentException] {
+      SnapshotLog.compactVersion(spark, dir)
+    } finally SnapshotLog.onBeforeRewriteCommit = () => ()
+    assert(e.getMessage.contains("MoR delete"))
+    assert(!rows(dir, SnapshotLog.latestVersion(dir)).contains(99L),
+      "the rival MoR delete must stand; the loser changed nothing")
+  }
+
+  test("change-feed predicate skipping: range-disjoint change files are never planned; rows match the filtered full feed") {
+    import graft.sources.ChangeFeed
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L, 3L)).coalesce(1), dir)   // v1
+    SnapshotLog.appendVersion(frame(Seq(101L, 102L)).coalesce(1), dir)   // v2
+    SnapshotLog.appendVersion(frame(Seq(201L, 202L)).coalesce(1), dir)   // v3
+    SnapshotLog.deleteWhere(spark, dir, "k", 101L, 101L)                 // v4 cdc
+    SnapshotLog.mergeInto(spark, dir,                                    // v5 cdc
+      Seq((201L, 5.0, "upsert")).toDF("key", "amt", "action"), "k", "x")
+    val head = SnapshotLog.latestVersion(dir)
+    val planned = ChangeFeed.plannedEntries(dir, 0, head,
+      Some(("k", 100L, 150L)))
+    val keptAppends = planned.collect { case (v, _, false, true) => v }
+    val keptCdc = planned.collect { case (v, _, true, true) => v }.toSet
+    val prunedCdc = planned.collect { case (v, _, true, false) => v }.toSet
+    assert(keptAppends === Seq(2), s"planned appends: $planned")
+    assert(keptCdc === Set(4) && prunedCdc === Set(5),
+      s"cdc pruning off the manifest stats failed: $planned")
+    // the pruned ranged read equals the full feed filtered to the range
+    val pruned = ChangeFeed.readBatchWhere(spark, dir, 0, "k", 100L, 150L)
+      .select($"_change_version", $"_change_type", $"k")
+      .as[(Long, String, Long)].collect().toSet
+    val full = ChangeFeed.readBatch(spark, dir, 0)
+      .filter($"k".between(100L, 150L))
+      .select($"_change_version", $"_change_type", $"k")
+      .as[(Long, String, Long)].collect().toSet
+    assert(pruned === full && pruned.nonEmpty,
+      "feed pruning changed the ranged result")
+  }
 }
