@@ -369,6 +369,35 @@ object Extras {
         .orderBy($"version")
     },
 
+    // COLUMN-MAPPING SCHEMA EVOLUTION — the rename/drop half q106's
+    // column-add left open (round-19 verdict #4, Delta's
+    // column-mapping idea): the schema-in-log fields carry a STABLE
+    // physical name, so a RENAME is a metadata-only commit and every
+    // pre-rename file reads through the new name with data intact —
+    // no rewrite, no NULLed history — while a DROP projects the
+    // physical column away (files keep it; time travel still reads
+    // it). The store renames o_totalprice→price between its two
+    // appends and then drops o_custkey; the query reads the HEAD and
+    // must see EVERY row's price populated (n_priced = n_rows — a
+    // drop+add fallback would NULL the pre-rename half), the exact
+    // total off both physical generations, the even-key (pre-rename)
+    // half's total, and exactly two columns surviving the drop. All
+    // stated straight off orders, so the mapped read path is pinned by
+    // the hash gate.
+    "q116_column_mapping" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreMapped(s, d)
+      val head = graft.sources.SnapshotLog.readVersion(s, dir, 4)
+      val nCols = head.columns.length
+      head.agg(count(lit(1)).as("n_rows"),
+          count($"price").as("n_priced"),
+          graft.Dets.dsum($"price").as("total_price"),
+          sum(when($"o_orderkey" % 2 === 0, graft.Dets.dec($"price")))
+            .cast("double").as("even_total"))
+        .select($"n_rows", $"n_priced", $"total_price", $"even_total",
+          lit(nCols).as("n_cols"))
+    },
+
     // MERGE-ON-READ DELETE — q107's copy-on-write twin, the OTHER half
     // of the lakehouse delete trade (Delta deletion vectors / Iceberg
     // equality deletes): the matched keys are written as one tiny
@@ -1257,6 +1286,31 @@ object Extras {
       java.nio.file.Paths.get(dir, "_TSCUTS")), "UTF-8").trim.split(" ")
     (a.toLong, b.toLong)
   }
+
+  /** q116's COLUMN-MAPPED store: v1 appends the even o_orderkeys as
+    * (o_orderkey, o_totalprice, o_custkey); v2 RENAMES o_totalprice →
+    * price (metadata-only — the physical column in the files is
+    * unchanged); v3 appends the odd keys under the new name (written
+    * physical by the mapped append path); v4 DROPS o_custkey. The
+    * memoized build behind q116's rename/drop read. */
+  private[graft] def timeTravelStoreMapped(s: SparkSession,
+                                           d: String): String =
+    memoizedArtifact(s, "graft_ttcm", d, Seq("orders.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val base = T.orders(s, d)
+      graft.sources.SnapshotLog.appendVersion(
+        base.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+                  col("o_custkey")), dir)
+      graft.sources.SnapshotLog.renameColumn(s, dir,
+        "o_totalprice", "price")
+      graft.sources.SnapshotLog.appendVersion(
+        base.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+                  col("o_custkey")), dir)
+      graft.sources.SnapshotLog.dropColumn(s, dir, "o_custkey")
+    }
 
   /** q91's deliberately mis-ordered 3-way join on a derived CBO-enabled
     * session over ANALYZEd catalog tables — factored out so
@@ -2325,6 +2379,19 @@ object Extras {
         |  TRUE AS cdc_prune_ok
         |FROM ch GROUP BY version, change_type
         |ORDER BY version""".stripMargin,
+
+    // q116: the mapped head stated off orders — every row priced, two
+    // columns after the drop.
+    "q116_column_mapping" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(*) AS n_priced,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+        |           THEN CAST(o_totalprice AS DECIMAL(18,4)) END)
+        |       AS DOUBLE) AS even_total,
+        |  CAST(2 AS INT) AS n_cols
+        |FROM orders""".stripMargin,
 
     // q112: quarter-range counts/totals on each z-ordered dimension
     // stated straight off orders; both_pruned pins the curve.

@@ -215,12 +215,23 @@ object ChangeFeed {
     }
   }
 
-  /** First-seen-order field union (the evolvedSchema rule: an existing
-    * name keeps its first type). */
+  /** First-seen-order field union, keyed by PHYSICAL name (column
+    * mapping: a rename changes only the logical name, so the same
+    * physical column must union to ONE field — surfaced under its
+    * LATEST logical name, the r20 rename contract — while a re-added
+    * dropped column has a fresh physical and unions separately).
+    * An existing physical keeps its first type (the evolvedSchema
+    * rule); on unmapped stores physical == name and this is exactly
+    * the old name-keyed union. */
   private def unionFields(schemas: Seq[StructType]): Seq[StructField] = {
     val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
-    schemas.foreach(_.fields.foreach(f =>
-      if (!out.contains(f.name)) out(f.name) = f))
+    schemas.foreach(_.fields.foreach { f =>
+      val p = SnapshotLog.physicalName(f)
+      out.get(p) match {
+        case None       => out(p) = f
+        case Some(prev) => out(p) = f.copy(dataType = prev.dataType)
+      }
+    })
     out.values.toSeq
   }
 
@@ -266,7 +277,18 @@ object ChangeFeed {
     val dataFields = unionFields(schemas)
       .filterNot(f => f.name == "_change_type" ||
         f.name == "_change_version" || f.name == "_change_timestamp")
-      .map(f => StructField(f.name, f.dataType, nullable = true))
+      // field METADATA survives: it carries the column-mapping
+      // physical name the per-file readers project by
+      .map(f => StructField(f.name, f.dataType, nullable = true,
+        metadata = f.metadata))
+    // a range spanning a DROP + RE-ADD of one logical name holds two
+    // distinct physical columns under that name — one feed schema
+    // cannot carry both; fail loud with the split escape hatch
+    val dup = dataFields.groupBy(_.name).filter(_._2.size > 1).keys.toSeq
+    require(dup.isEmpty,
+      s"change feed range at $dir spans conflicting schema generations " +
+        s"for column(s) ${dup.sorted.mkString(",")} (drop + re-add) — " +
+        "tail the ranges on either side of the re-add separately")
     (StructType(dataFields :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_change_version", LongType, nullable = false) :+
@@ -338,6 +360,11 @@ class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType,
   // the feed honors session filesystem/credential settings end to end
   private val conf =
     new SerializableConfiguration(ChangeFeed.driverHadoopConf())
+  // logical -> physical (column mapping): derived from the scan's
+  // schema metadata here on the driver, because Spark's column pruning
+  // may hand the reader a metadata-stripped requiredSchema
+  private val physMap: Map[String, String] = schema.fields
+    .map(f => f.name -> SnapshotLog.physicalName(f)).toMap
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -359,10 +386,10 @@ class ChangeFeedScan(dir: String, fromVersion: Int, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFeedReaderFactory(schema, conf)
+    new ChangeFeedReaderFactory(schema, physMap, conf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangeFeedMicroBatchStream(dir, fromVersion, schema, conf)
+    new ChangeFeedMicroBatchStream(dir, fromVersion, schema, physMap, conf)
 }
 
 case class ChangeFeedPartition(path: String, version: Int,
@@ -376,6 +403,7 @@ case class ChangeFeedPartition(path: String, version: Int,
   * the head version at start and drains exactly to it. */
 class ChangeFeedMicroBatchStream(dir: String, fromVersion: Int,
                                  schema: StructType,
+                                 physMap: Map[String, String],
                                  conf: SerializableConfiguration)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -423,7 +451,7 @@ class ChangeFeedMicroBatchStream(dir: String, fromVersion: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFeedReaderFactory(schema, conf)
+    new ChangeFeedReaderFactory(schema, physMap, conf)
 
   override def commit(offset: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -437,17 +465,19 @@ class ChangeFeedMicroBatchStream(dir: String, fromVersion: Int,
   * the literal 'insert' for an appended data file. A column the file
   * predates reads as NULL (the mergeSchema convention). */
 class ChangeFeedReaderFactory(schema: StructType,
+                              physMap: Map[String, String],
                               conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ChangeFeedPartition]
     new ChangeFeedReader(part.path, part.version, part.isChange,
-      part.commitMs, schema, conf.value)
+      part.commitMs, schema, physMap, conf.value)
   }
 }
 
 class ChangeFeedReader(path: String, version: Int, isChange: Boolean,
                        commitMs: Long, schema: StructType,
+                       physMap: Map[String, String],
                        baseConf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
@@ -461,9 +491,11 @@ class ChangeFeedReader(path: String, version: Int, isChange: Boolean,
   private val fileSchema = ChangeFeed.footerSchema(path, conf)
   // `_change_type` is a REAL column of a change file; for a plain
   // appended data file it's synthesized as 'insert'
+  private def phys(n: String): String = physMap.getOrElse(n, n)
   private val wanted = schema.fieldNames
     .filter(n => n != "_change_version" && n != "_change_timestamp" &&
       (isChange || n != "_change_type"))
+    .map(phys)
     .toSet
   // project the requested columns that EXIST in this file; if none do
   // (count-only reads, or a file predating every requested column),
@@ -501,8 +533,8 @@ class ChangeFeedReader(path: String, version: Int, isChange: Boolean,
     else if (f.name == "_change_timestamp") (FieldCommitTs, f.dataType)
     else if (f.name == "_change_type" && !isChange)
       (FieldInsertTag, f.dataType)
-    else if (projected.containsField(f.name))
-      (projected.getFieldIndex(f.name), f.dataType)
+    else if (projected.containsField(phys(f.name)))
+      (projected.getFieldIndex(phys(f.name)), f.dataType)
     else (FieldNull, f.dataType)
   }
 

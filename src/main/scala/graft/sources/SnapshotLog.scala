@@ -535,6 +535,177 @@ object SnapshotLog {
           p.fields ++ df.fields.filterNot(f => have.contains(f.name)))
     }
 
+  // ---- COLUMN MAPPING (rename/drop schema evolution) ----------------
+  //
+  // Delta's column-mapping idea in miniature: the schema-in-log fields
+  // carry a STABLE PHYSICAL name (StructField metadata key
+  // "graft.physical") naming the column as written in the parquet
+  // files; the field's own name is the LOGICAL, user-visible one.
+  // RENAME changes only the logical name (history reads through the
+  // new name with data intact — no file is rewritten); DROP removes
+  // the field (reads project the physical column away); a column ADDED
+  // in mapped mode gets a fresh version-suffixed physical, so reusing
+  // a dropped column's NAME can never resurrect the dropped data.
+  // Stores start UNMAPPED (physical == logical, no metadata — the
+  // pre-r20 behavior, byte-identical schemas); the first rename/drop
+  // upgrades every field to an explicit physical.
+
+  private val PhysicalKey = "graft.physical"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField)
+      : String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private[graft] def isMapped(sc: org.apache.spark.sql.types.StructType)
+      : Boolean = sc.fields.exists(_.metadata.contains(PhysicalKey))
+
+  private def withPhysical(f: org.apache.spark.sql.types.StructField,
+                           phys: String)
+      : org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
+
+  /** Every field with an EXPLICIT physical (the mapped-mode upgrade;
+    * idempotent). */
+  private def upgradeToMapped(sc: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      sc.fields.map(f => withPhysical(f, physicalName(f))))
+
+  /** The head schema, REQUIRED (rename/drop need schema-in-log). */
+  private def headSchemaRequired(dir: String, v: Int)
+      : org.apache.spark.sql.types.StructType =
+    tableSchema(dir, v).getOrElse(throw new IllegalStateException(
+      s"store at $dir carries no #schema= header at version $v — " +
+        "column mapping needs schema-in-log (commit one append first)"))
+
+  /** Translate a caller's LOGICAL column name to the PHYSICAL one the
+    * files (and the stats headers) use — identity on unmapped stores
+    * and unknown names. */
+  private def toPhysical(dir: String, v: Int, column: String): String =
+    tableSchema(dir, v) match {
+      case Some(sc) if isMapped(sc) =>
+        sc.fields.find(_.name == column).map(physicalName).getOrElse(column)
+      case _ => column
+    }
+
+  /** RENAME a column — a METADATA-ONLY commit (empty delta, same file
+    * list): the field keeps its physical name, so every retained
+    * version's data reads through the new logical name with zero file
+    * IO, stats keep resolving (they are keyed physical), and the
+    * change feed surfaces the column under the new name across the
+    * whole tailed range. Returns the new version. */
+  def renameColumn(s: SparkSession, dir: String,
+                   oldName: String, newName: String): Int = {
+    val cur = latestVersion(dir)
+    val sc = upgradeToMapped(headSchemaRequired(dir, cur))
+    require(sc.fieldNames.contains(oldName),
+      s"no column '$oldName' at $dir (have ${sc.fieldNames.mkString(",")})")
+    require(!sc.fieldNames.contains(newName),
+      s"column '$newName' already exists at $dir")
+    val renamed = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val v = cur + 1
+    commitManifest(dir, v, manifest(dir, cur), delta = Some(Seq.empty),
+      schema = Some(renamed))
+    v
+  }
+
+  /** DROP a column — metadata-only, like [[renameColumn]]: the
+    * physical column stays in the files (history is intact; time
+    * travel to a pre-drop version still reads it) and every read at or
+    * after this version projects it away. A column ADDED later under
+    * the same logical name gets a FRESH physical, so the dropped data
+    * can never silently resurrect. Returns the new version. */
+  def dropColumn(s: SparkSession, dir: String, name: String): Int = {
+    val cur = latestVersion(dir)
+    val sc = upgradeToMapped(headSchemaRequired(dir, cur))
+    require(sc.fieldNames.contains(name),
+      s"no column '$name' at $dir (have ${sc.fieldNames.mkString(",")})")
+    require(sc.fields.length > 1,
+      s"cannot drop the last column of $dir")
+    val dropped = org.apache.spark.sql.types.StructType(
+      sc.fields.filterNot(_.name == name))
+    val v = cur + 1
+    commitManifest(dir, v, manifest(dir, cur), delta = Some(Seq.empty),
+      schema = Some(dropped))
+    v
+  }
+
+  /** Mapped-mode read projection: the version's schema decides the
+    * columns — each logical field reads its physical column (NULL
+    * where every kept file predates it), dropped physicals project
+    * away. Identity on unmapped stores. */
+  private def projectLogical(dir: String, v: Int, df: DataFrame): DataFrame =
+    tableSchema(dir, v) match {
+      case Some(sc) if isMapped(sc) =>
+        val have = df.columns.toSet
+        df.select(sc.fields.toSeq.map { f =>
+          val p = physicalName(f)
+          if (have.contains(p)) org.apache.spark.sql.functions.col(p).as(f.name)
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        }: _*)
+      case _ => df
+    }
+
+  private def headIsMapped(dir: String, v: Int): Boolean =
+    tableSchema(dir, v).exists(isMapped)
+
+  /** Mapped-mode WRITE translation: each logical df column writes
+    * under its schema physical; a NEW column gets a fresh
+    * version-suffixed physical (`<name>_g<version>`), so re-adding a
+    * dropped column's name can never resurrect the dropped files'
+    * data. Identity (and no assignments) on unmapped stores. */
+  private def translateForWrite(df: DataFrame,
+                                prev: Option[org.apache.spark.sql.types.StructType],
+                                nominal: Int)
+      : (DataFrame, Map[String, String]) =
+    prev match {
+      case Some(p) if isMapped(p) =>
+        val physBy = p.fields.map(f => f.name -> physicalName(f)).toMap
+        val newPhys = df.schema.fieldNames.filterNot(physBy.contains)
+          .map(n => n -> s"${n}_g$nominal").toMap
+        (df.select(df.columns.toSeq.map(c => org.apache.spark.sql.functions
+           .col(c).as(physBy.getOrElse(c, newPhys(c)))): _*), newPhys)
+      case _ => (df, Map.empty)
+    }
+
+  /** The evolved logical schema of an append on a possibly-mapped
+    * head. `newPhys` is what the staged files were written with; if a
+    * RACING commit mapped/evolved the schema incompatibly since
+    * staging (same logical under a different physical), committing
+    * would silently NULL this append's column — fail loud for a
+    * re-run instead. */
+  private def evolvedForAppend(prev: Option[org.apache.spark.sql.types.StructType],
+                               df: org.apache.spark.sql.types.StructType,
+                               newPhys: Map[String, String],
+                               dir: String)
+      : org.apache.spark.sql.types.StructType =
+    prev match {
+      case Some(p) if isMapped(p) =>
+        val physBy = p.fields.map(f => f.name -> physicalName(f)).toMap
+        df.fields.filter(f => physBy.contains(f.name)).foreach { f =>
+          val staged = newPhys.getOrElse(f.name, physBy(f.name))
+          require(physBy(f.name) == staged,
+            s"concurrent schema evolution at $dir: column '${f.name}' " +
+              s"now maps to physical '${physBy(f.name)}' but this append " +
+              s"staged it as '$staged' — re-run the append")
+        }
+        org.apache.spark.sql.types.StructType(
+          p.fields ++ df.fields.filterNot(f => physBy.contains(f.name))
+            .map { f =>
+              val phys = newPhys.getOrElse(f.name, f.name)
+              require(!p.fields.exists(g => physicalName(g) == phys),
+                s"concurrent schema evolution at $dir: physical '$phys' " +
+                  "is already taken — re-run the append")
+              withPhysical(f, phys)
+            })
+      case _ => evolvedSchema(prev, df)
+    }
+  // -------------------------------------------------------------------
+
   private def dataFiles(dir: String): Set[String] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).getOrElse(Array.empty)
@@ -564,8 +735,11 @@ object SnapshotLog {
     // directory (the sink used to create it implicitly — review #6)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val tmp = dir + "_snapappend_tmp" + rewriteToken()
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val nominal = versions(dir).lastOption.getOrElse(0) + 1
+    // mapped stores write PHYSICAL column names (identity otherwise)
+    val (toWrite, newPhys) = translateForWrite(df,
+      versions(dir).lastOption.flatMap(tableSchema(dir, _)), nominal)
+    toWrite.write.mode(SaveMode.Overwrite).parquet(tmp)
     val added = moveRewrite(s, dir, tmp, "append", nominal,
       keepOneIfAllEmpty = true)
     require(added.nonEmpty, "append committed no files")
@@ -587,8 +761,8 @@ object SnapshotLog {
       try {
         commitManifest(dir, v, prev ++ added,
           delta = Some(added.map("+" + _)), stats = stats,
-          schema = Some(evolvedSchema(
-            prevV.flatMap(tableSchema(dir, _)), df.schema)))
+          schema = Some(evolvedForAppend(
+            prevV.flatMap(tableSchema(dir, _)), df.schema, newPhys, dir)))
         verifyClaimOrRollback(dir, v, added)
         return v
       } catch {
@@ -659,8 +833,10 @@ object SnapshotLog {
       val s = batch.sparkSession
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       val tmp = dir + "_snapappend_tmp" + rewriteToken()
-      batch.write.mode(SaveMode.Overwrite).parquet(tmp)
       val nominal = versions(dir).lastOption.getOrElse(0) + 1
+      val (toWrite, newPhys) = translateForWrite(batch,
+        versions(dir).lastOption.flatMap(tableSchema(dir, _)), nominal)
+      toWrite.write.mode(SaveMode.Overwrite).parquet(tmp)
       val added = moveRewrite(s, dir, tmp, "append", nominal,
         keepOneIfAllEmpty = true)
       val prevV = versions(dir).lastOption
@@ -669,8 +845,8 @@ object SnapshotLog {
       commitManifest(dir, v, prev ++ added, Some(batchId),
         delta = Some(added.map("+" + _)),
         stats = collectStats(s, dir, added),
-        schema = Some(evolvedSchema(
-          prevV.flatMap(tableSchema(dir, _)), batch.schema)))
+        schema = Some(evolvedForAppend(
+          prevV.flatMap(tableSchema(dir, _)), batch.schema, newPhys, dir)))
       // persist the streamed-batch high-water mark AT COMMIT TIME (not
       // just at vacuum): with it, vacuum never has to walk every
       // manifest for the max tag — O(1) instead of O(versions) log
@@ -739,7 +915,14 @@ object SnapshotLog {
     * footer at planning time, the usual Spark trade. */
   def readVersion(s: SparkSession, dir: String, v: Int,
                   mergeSchema: Boolean = false): DataFrame =
-    readLines(s, dir, manifest(dir, v), mergeSchema)
+    // a MAPPED store's read always merges file schemas (files span
+    // physical generations by construction) and projects through the
+    // version's logical schema; unmapped stores keep the exact
+    // pre-mapping path
+    if (headIsMapped(dir, v))
+      projectLogical(dir, v,
+        readLines(s, dir, manifest(dir, v), mergeSchema = true))
+    else readLines(s, dir, manifest(dir, v), mergeSchema)
 
   /** The data-file rewrite HALF of a compaction: read the latest
     * snapshot, rewrite it into ~targetBytes files under distinct
@@ -1106,11 +1289,12 @@ object SnapshotLog {
   def readVersionWhere(s: SparkSession, dir: String, v: Int,
                        column: String, lo: Long, hi: Long)
       : (DataFrame, Int, Int) = {
+    val phys = toPhysical(dir, v, column)
     val known = fileRanges(dir, v)
     prunedVersionRead(s, dir, v,
-      f => rangeOf(s, dir, known, f, column)
+      f => rangeOf(s, dir, known, f, phys)
         .forall { case (mn, mx) => mx >= lo && mn <= hi },
-      org.apache.spark.sql.functions.col(column).between(lo, hi))
+      org.apache.spark.sql.functions.col(phys).between(lo, hi))
   }
 
   /** [[readVersionWhere]] for a TIMESTAMP column, bounds in epoch
@@ -1121,11 +1305,12 @@ object SnapshotLog {
                          column: String, loMicros: Long, hiMicros: Long)
       : (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    val phys = toPhysical(dir, v, column)
     val known = fileTypedRanges(dir, v)
     prunedVersionRead(s, dir, v,
-      f => typedRangeOf(s, dir, known, f, column, "ts")
+      f => typedRangeOf(s, dir, known, f, phys, "ts")
         .forall(_.canIntersectTs(loMicros, hiMicros)),
-      col(column).between(timestamp_micros(lit(loMicros)),
+      col(phys).between(timestamp_micros(lit(loMicros)),
         timestamp_micros(lit(hiMicros))))
   }
 
@@ -1135,12 +1320,13 @@ object SnapshotLog {
   def readVersionWhereStr(s: SparkSession, dir: String, v: Int,
                           column: String, lo: String, hi: String)
       : (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, lit}
+    val phys = toPhysical(dir, v, column)
     val known = fileTypedRanges(dir, v)
     prunedVersionRead(s, dir, v,
-      f => typedRangeOf(s, dir, known, f, column, "str")
+      f => typedRangeOf(s, dir, known, f, phys, "str")
         .forall(_.canIntersectStr(lo, hi)),
-      col(column).between(lit(lo), lit(hi)))
+      col(phys).between(lit(lo), lit(hi)))
   }
 
   /** [[readVersionWhere]] for a DOUBLE/FLOAT column (inclusive
@@ -1148,12 +1334,13 @@ object SnapshotLog {
   def readVersionWhereDbl(s: SparkSession, dir: String, v: Int,
                           column: String, lo: Double, hi: Double)
       : (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, lit}
+    val phys = toPhysical(dir, v, column)
     val known = fileTypedRanges(dir, v)
     prunedVersionRead(s, dir, v,
-      f => typedRangeOf(s, dir, known, f, column, "dbl")
+      f => typedRangeOf(s, dir, known, f, phys, "dbl")
         .forall(_.canIntersectDbl(lo, hi)),
-      col(column).between(lit(lo), lit(hi)))
+      col(phys).between(lit(lo), lit(hi)))
   }
 
   /** The shared pruned-read core: `keepFile` decides per data file off
@@ -1169,15 +1356,23 @@ object SnapshotLog {
     val lines = manifest(dir, v)
     val files = dataEntries(lines)
     val keptSet = files.filter(keepFile).toSet
+    val mapped = headIsMapped(dir, v)
     val df =
       if (keptSet.isEmpty)
         readVersion(s, dir, v).limit(0)
       // the pruned read keeps manifest ORDER (dv entries still mask
-      // exactly the pruned files committed before them)
-      else readLines(s, dir,
-        lines.filter(l => l.startsWith("dv:") || keptSet.contains(l)),
-        mergeSchema = false)
-    (df.filter(rowPred), keptSet.size, files.size)
+      // exactly the pruned files committed before them); on a mapped
+      // store the row predicate binds to the PHYSICAL column, so it
+      // applies BEFORE the logical projection
+      else {
+        val raw = readLines(s, dir,
+          lines.filter(l => l.startsWith("dv:") || keptSet.contains(l)),
+          mergeSchema = mapped)
+        if (mapped) projectLogical(dir, v, raw.filter(rowPred))
+        else raw
+      }
+    if (mapped) (df, keptSet.size, files.size)
+    else (df.filter(rowPred), keptSet.size, files.size)
   }
 
   /** Footer row count — used to drop zero-row rewrite outputs: an
@@ -1367,12 +1562,14 @@ object SnapshotLog {
     * verbatim, and the commit is an O(edit) delta manifest. */
   private def mergeIntoArbitrated(s: SparkSession, dir: String,
                                   source: DataFrame,
-                                  keyCol: String, balCol: String)
+                                  keyCol0: String, balCol0: String)
                                  (arbitrate: (DataFrame, DataFrame) => DataFrame)
       : (Int, Int, Int) = {
     import org.apache.spark.sql.functions._
     import s.implicits._
     val cur = latestVersion(dir)
+    val keyCol = toPhysical(dir, cur, keyCol0)
+    val balCol = toPhysical(dir, cur, balCol0)
     val lines = manifest(dir, cur)
     // ONE materialization of the source feed: the probe and the
     // rewrite join both consume it, and without the checkpoint the
@@ -1595,9 +1792,10 @@ object SnapshotLog {
     * rewriting the handful of files a range predicate touches — the
     * same planning metadata [[readVersionWhere]] scans by. Returns
     * (newVersion, filesRewritten, filesKept). */
-  def deleteWhere(s: SparkSession, dir: String, column: String,
+  def deleteWhere(s: SparkSession, dir: String, column0: String,
                   lo: Long, hi: Long): (Int, Int, Int) = {
     val cur = latestVersion(dir)
+    val column = toPhysical(dir, cur, column0) // mapped stores: files/stats key physical
     val lines = manifest(dir, cur)
     val known = fileRanges(dir, cur)
     val (touched, untouched) = dataEntries(lines).partition { f =>
@@ -1663,10 +1861,11 @@ object SnapshotLog {
     * keys) instead of O(touched files); read cost one broadcast-sized
     * anti-join per vector — the COW/MoR trade, selectable per
     * workload. Returns (newVersion, filesScanned). */
-  def deleteWhereMoR(s: SparkSession, dir: String, column: String,
+  def deleteWhereMoR(s: SparkSession, dir: String, column0: String,
                      lo: Long, hi: Long): (Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val cur = latestVersion(dir)
+    val column = toPhysical(dir, cur, column0)
     val lines = manifest(dir, cur)
     val known = fileRanges(dir, cur)
     val touched = dataEntries(lines).filter { f =>

@@ -1220,6 +1220,71 @@ class SnapshotLogSpec extends SparkSpec {
       "the rival MoR delete must stand; the loser changed nothing")
   }
 
+  test("column mapping: rename reads history through the new name; drop hides; re-add cannot resurrect; feed carries the latest names") {
+    import graft.sources.ChangeFeed
+    val dir = freshDir()
+    SnapshotLog.appendVersion(frame(Seq(1L, 2L)).coalesce(1), dir)      // v1 (k, x)
+    assert(SnapshotLog.renameColumn(spark, dir, "x", "y") === 2)        // v2
+    SnapshotLog.appendVersion(
+      Seq((3L, 30.0)).toDF("k", "y").coalesce(1), dir)                  // v3 (physical x)
+    val head = SnapshotLog.readVersion(spark, dir, 3)
+    assert(head.columns.toSeq === Seq("k", "y"))
+    assert(head.select($"k", $"y").as[(Long, Double)].collect().toSet
+      === Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "pre-rename data must read through the new name with data intact")
+    // time travel reads each version under its OWN schema
+    assert(SnapshotLog.readVersion(spark, dir, 1).columns.toSeq
+      === Seq("k", "x"))
+    // stats keep biting through the rename (they key the PHYSICAL)
+    val before = SnapshotLog.footerProbes.get()
+    val (dw, kept, total) = SnapshotLog.readVersionWhereDbl(
+      spark, dir, 3, "y", 25.0, 35.0)
+    assert(kept === 1 && total === 2)
+    assert(dw.select($"k").as[Long].collect().toSet === Set(3L))
+    assert(SnapshotLog.footerProbes.get() === before,
+      "renamed-column probe fell back to footers")
+    // DML keeps working after the rename, and its CDC rides the feed
+    SnapshotLog.deleteWhere(spark, dir, "k", 2L, 2L)                    // v4
+    // DROP hides the column; files keep it (v3 still reads it)
+    assert(SnapshotLog.dropColumn(spark, dir, "y") === 5)               // v5
+    assert(SnapshotLog.readVersion(spark, dir, 5).columns.toSeq === Seq("k"))
+    assert(SnapshotLog.readVersion(spark, dir, 3).columns.toSeq
+      === Seq("k", "y"), "time travel must still read the dropped column")
+    // the feed over (0, 5] surfaces EVERY generation's files under the
+    // LATEST logical name: v1's physical-x rows AND v4's CDC delete
+    // preimage come back as 'y'
+    val feed = ChangeFeed.readBatch(spark, dir, fromVersion = 0)
+    assert(feed.columns.contains("y") && !feed.columns.contains("x"))
+    val ev = feed.select($"_change_version", $"_change_type", $"k", $"y")
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    assert(ev === Set(
+      (1L, "insert", 1L, Some(10.0)), (1L, "insert", 2L, Some(20.0)),
+      (3L, "insert", 3L, Some(30.0)),
+      (4L, "delete", 2L, Some(20.0))),
+      s"feed rows under the renamed column diverged: $ev")
+    // RE-ADD under the same name: a fresh physical — dropped data can
+    // never resurrect
+    SnapshotLog.appendVersion(
+      Seq((9L, 99.5)).toDF("k", "y").coalesce(1), dir)                  // v6
+    val re = SnapshotLog.readVersion(spark, dir, 6)
+    assert(re.columns.toSeq === Seq("k", "y"))
+    assert(re.select($"k", $"y").as[(Long, Option[Double])].collect().toMap
+      === Map(1L -> None, 3L -> None, 9L -> Some(99.5)),
+      "re-added column must NOT resurrect dropped values")
+    // a feed range SPANNING the drop + re-add holds two physicals
+    // under one name — fail loud with the split escape hatch
+    val e = intercept[Exception] {
+      ChangeFeed.readBatch(spark, dir, fromVersion = 0).schema
+    }
+    assert(e.getMessage != null && e.getMessage.contains("drop + re-add"),
+      s"conflicting generations must fail loud, got: ${e.getMessage}")
+    // ...and the post-re-add range reads cleanly under the new physical
+    val feed6 = ChangeFeed.readBatch(spark, dir, fromVersion = 5)
+      .select($"_change_version", $"_change_type", $"k", $"y")
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    assert(feed6 === Set((6L, "insert", 9L, Some(99.5))))
+  }
+
   test("change-feed predicate skipping: range-disjoint change files are never planned; rows match the filtered full feed") {
     import graft.sources.ChangeFeed
     val dir = freshDir()
