@@ -369,6 +369,27 @@ object Extras {
         .orderBy($"version")
     },
 
+    // DECIMAL DATA SKIPPING — the fourth typed-stats dimension
+    // (round-19 verdict #1 named timestamp, string, double, AND
+    // decimal): money-typed predicates are the other thing a real
+    // table prunes on, and parquet stores precision<=18 decimals as
+    // INT64 unscaled with exact footer stats. The store's three files
+    // own fixed price bands; a predicate strictly inside the middle
+    // band keeps 1-of-3 files (literals on the oracle row), with the
+    // exact decimal total pinning that pruning stayed invisible.
+    "q118_decimal_skipping" -> { (s, d) =>
+      import s.implicits._
+      val dir = timeTravelStoreDecimal(s, d)
+      val (df, kept, total) = graft.sources.SnapshotLog.readVersionWhereDec(
+        s, dir, 3, "price",
+        new java.math.BigDecimal("60000.00"),
+        new java.math.BigDecimal("140000.00"))
+      df.agg(count(lit(1)).as("n_rows"),
+          sum($"price").cast("double").as("total_price"))
+        .select($"n_rows", $"total_price",
+          lit(kept).as("n_files_read"), lit(total).as("n_files_total"))
+    },
+
     // COLUMN-MAPPING SCHEMA EVOLUTION — the rename/drop half q106's
     // column-add left open (round-19 verdict #4, Delta's
     // column-mapping idea): the schema-in-log fields carry a STABLE
@@ -1286,6 +1307,36 @@ object Extras {
       java.nio.file.Paths.get(dir, "_TSCUTS")), "UTF-8").trim.split(" ")
     (a.toLong, b.toLong)
   }
+
+  /** q118's DECIMAL-CLUSTERED store: three single-file appends of
+    * (o_orderkey, price DECIMAL(12,2)) sliced by FIXED price
+    * boundaries (50k / 150k — o_totalprice's distribution is
+    * scale-free, so the slices are non-empty at every sf; the build
+    * fails loud otherwise), so each file owns a tight decimal range
+    * and the `dec` typed stats can prove pruning. Spark writes
+    * precision-12 decimals as INT64 unscaled — exactly the stats the
+    * collector reads. */
+  private[graft] def timeTravelStoreDecimal(s: SparkSession,
+                                            d: String): String =
+    memoizedArtifact(s, "graft_ttdec", d, Seq("orders.parquet"),
+        localPath = true) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      Seq(col("price") < 50000.00,
+          col("price") >= 50000.00 && col("price") < 150000.00,
+          col("price") >= 150000.00)
+        .foreach { slice =>
+          graft.sources.SnapshotLog.appendVersion(
+            base.filter(slice).coalesce(1), dir)
+        }
+      val typed = graft.sources.SnapshotLog.fileTypedRanges(dir, 3)
+      val files = graft.sources.SnapshotLog.dataEntries(
+        graft.sources.SnapshotLog.manifest(dir, 3))
+      require(files.size == 3 &&
+          files.forall(f => typed.get((f, "price")).exists(_.tag == "dec")),
+        s"decimal fixture needs 3 stat-bearing files, got $files / $typed")
+    }
 
   /** q116's COLUMN-MAPPED store: v1 appends the even o_orderkeys as
     * (o_orderkey, o_totalprice, o_custkey); v2 RENAMES o_totalprice →
@@ -2379,6 +2430,18 @@ object Extras {
         |  TRUE AS cdc_prune_ok
         |FROM ch GROUP BY version, change_type
         |ORDER BY version""".stripMargin,
+
+    // q118: the middle price band off orders; literals pin the
+    // decimal pruning.
+    "q118_decimal_skipping" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(1 AS INT) AS n_files_read,
+        |  CAST(3 AS INT) AS n_files_total
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2))
+        |      BETWEEN 60000.00 AND 140000.00""".stripMargin,
 
     // q116: the mapped head stated off orders — every row priced, two
     // columns after the drop.

@@ -137,6 +137,10 @@ object SnapshotLog {
       max.toDouble >= lo && min.toDouble <= hi
     def canIntersectStr(lo: String, hi: String): Boolean =
       max >= lo && min <= hi
+    def canIntersectDec(lo: java.math.BigDecimal,
+                        hi: java.math.BigDecimal): Boolean =
+      new java.math.BigDecimal(max).compareTo(lo) >= 0 &&
+        new java.math.BigDecimal(min).compareTo(hi) <= 0
   }
 
   /** One commit's freshly-collected per-file stats: the LONG ranges
@@ -1091,6 +1095,8 @@ object SnapshotLog {
   private final case class RawTs(lo: Long, hi: Long) extends RawStat
   private final case class RawDbl(lo: Double, hi: Double) extends RawStat
   private final case class RawStr(lo: String, hi: String) extends RawStat
+  private final case class RawDec(lo: java.math.BigDecimal,
+                                  hi: java.math.BigDecimal) extends RawStat
 
   /** Extract one column chunk's raw stat by PHYSICAL + LOGICAL type:
     * INT64/INT32 (plain or int-annotated) → long; INT64 timestamps →
@@ -1122,12 +1128,21 @@ object SnapshotLog {
           case null => Some(RawLong(lo, hi))
           case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
             Some(RawLong(lo, hi))
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            Some(RawDec(java.math.BigDecimal.valueOf(lo, d.getScale),
+              java.math.BigDecimal.valueOf(hi, d.getScale)))
           case _ => None
         }
       case (lo: java.lang.Integer, hi: java.lang.Integer)
           if ann == null ||
             ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
         Some(RawLong(lo.longValue, hi.longValue))
+      case (lo: java.lang.Integer, hi: java.lang.Integer)
+          if ann.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+        val sc = ann.asInstanceOf[
+          LogicalTypeAnnotation.DecimalLogicalTypeAnnotation].getScale
+        Some(RawDec(java.math.BigDecimal.valueOf(lo.longValue, sc),
+          java.math.BigDecimal.valueOf(hi.longValue, sc)))
       case (lo: java.lang.Double, hi: java.lang.Double) =>
         if (lo.isNaN || hi.isNaN) None
         else Some(RawDbl(lo, hi))
@@ -1153,6 +1168,9 @@ object SnapshotLog {
       Some(RawDbl(math.min(l1, l2), math.max(h1, h2)))
     case (RawStr(l1, h1), RawStr(l2, h2)) =>
       Some(RawStr(if (l1 <= l2) l1 else l2, if (h1 >= h2) h1 else h2))
+    case (RawDec(l1, h1), RawDec(l2, h2)) =>
+      Some(RawDec(if (l1.compareTo(l2) <= 0) l1 else l2,
+        if (h1.compareTo(h2) >= 0) h1 else h2))
     case _ => None // mixed physical types across blocks: no stat
   }
 
@@ -1187,6 +1205,8 @@ object SnapshotLog {
         Some(Right(TypedRange("ts", lo.toString, hi.toString)))
       case RawDbl(lo, hi) =>
         Some(Right(TypedRange("dbl", lo.toString, hi.toString)))
+      case RawDec(lo, hi) =>
+        Some(Right(TypedRange("dec", lo.toPlainString, hi.toPlainString)))
       case RawStr(lo, hi) =>
         if (!lo.forall(_ < 0x80) || !hi.forall(_ < 0x80)) None
         else bumpedUpperBound(hi).map(up =>
@@ -1340,6 +1360,23 @@ object SnapshotLog {
     prunedVersionRead(s, dir, v,
       f => typedRangeOf(s, dir, known, f, phys, "dbl")
         .forall(_.canIntersectDbl(lo, hi)),
+      col(phys).between(lit(lo), lit(hi)))
+  }
+
+  /** [[readVersionWhere]] for a DECIMAL column (inclusive bounds;
+    * INT32/INT64-backed decimals — precision <= 18; wider decimals
+    * carry no stat and read conservatively) — prunes off the `dec`
+    * typed stats, exact unscaled comparison. */
+  def readVersionWhereDec(s: SparkSession, dir: String, v: Int,
+                          column: String, lo: java.math.BigDecimal,
+                          hi: java.math.BigDecimal)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val phys = toPhysical(dir, v, column)
+    val known = fileTypedRanges(dir, v)
+    prunedVersionRead(s, dir, v,
+      f => typedRangeOf(s, dir, known, f, phys, "dec")
+        .forall(_.canIntersectDec(lo, hi)),
       col(phys).between(lit(lo), lit(hi)))
   }
 

@@ -1070,6 +1070,7 @@ class SnapshotLogSpec extends SparkSpec {
       def tf(rs: Seq[(Long, Long, String, Double)]) =
         rs.toDF("k", "tm", "s", "d")
           .withColumn("t", timestamp_micros($"tm")).drop("tm")
+          .withColumn("m", $"d".cast("decimal(10,2)"))
       SnapshotLog.appendVersion(tf(Seq(
         (1L, 1000000L, "apple", 1.0),
         (2L, 2000000L, "banana", 2.0))).coalesce(1), dir)
@@ -1097,6 +1098,11 @@ class SnapshotLogSpec extends SparkSpec {
         spark, dir, 4, "d", 9.5, 11.5)
       assert(kd === 1 && td === 4)
       assert(dd.select($"k").as[Long].collect().toSet === Set(3L, 4L))
+      val (dm, km, tm) = SnapshotLog.readVersionWhereDec(
+        spark, dir, 4, "m",
+        new java.math.BigDecimal("9.50"), new java.math.BigDecimal("11.50"))
+      assert(km === 1 && tm === 4)
+      assert(dm.select($"k").as[Long].collect().toSet === Set(3L, 4L))
       // truncated bounds: ["b","c"] must PRUNE the long-string file
       // (its bumped max "a"*31+"b" < "b"), a range crossing the real
       // values must KEEP it and read the right rows
@@ -1130,7 +1136,10 @@ class SnapshotLogSpec extends SparkSpec {
         spark, dir, 4, "s", "m", "q")
       val (_, kdl, _) = SnapshotLog.readVersionWhereDbl(
         spark, dir, 4, "d", 9.5, 11.5)
-      assert(ktl === 1 && ksl === 1 && kdl === 1,
+      val (_, kml, _) = SnapshotLog.readVersionWhereDec(
+        spark, dir, 4, "m",
+        new java.math.BigDecimal("9.50"), new java.math.BigDecimal("11.50"))
+      assert(ktl === 1 && ksl === 1 && kdl === 1 && kml === 1,
         "footer fallback diverged from the log-stat decision")
       assert(dtl.select($"k").as[Long].collect().toSet === Set(3L, 4L))
       assert(SnapshotLog.footerProbes.get() > before,
