@@ -1043,14 +1043,41 @@ object Multimodal {
     }
   }
 
+  /** Narrow id feed for the per-asset codec kernels, spread to the
+    * session's full parallelism. The fixture corpus is ONE sub-128 MB,
+    * single-row-group parquet file, so every scan plans exactly one
+    * input split and a map-only codec kernel runs ONE-wide on a 32-core
+    * box (measured: m08's encode+decode kernel 3.0 s one-wide vs 0.45 s
+    * spread — the kernel was never the cost, the idle cores were). Only
+    * the 8-byte ids are hash-repartitioned (a ~40 KB exchange; the
+    * payloads are synthesized AFTER the spread, so this is §8's
+    * "shuffle keys, not payloads" — at 100 TB the payload scan's own
+    * file splits provide the parallelism and this exchange is the
+    * fixture-scale stand-in for them). Width is `defaultParallelism`,
+    * never a constant, so the driver's lower-core scaling runs keep
+    * their meaning.
+    */
+  private def assetIds(s: SparkSession, d: String): Dataset[Long] = {
+    import s.implicits._
+    T.documents(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+  }
+
   /** Real PNG payloads, one per document id — encoded on the executors
     * (map-only; at 100 TB the payloads would already sit in Parquet
     * binary columns and this stage is just the scan).
     */
-  def imageAssets(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+  def imageAssets(s: SparkSession, d: String,
+                  spread: Boolean = true): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    T.documents(s, d).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, ImageCodec.synthPng(id))))
+    val ids =
+      if (spread) assetIds(s, d)
+      else {
+        import s.implicits._
+        T.documents(s, d).select(col("doc_id")).as[Long]
+      }
+    ids.mapPartitions(_.map(id => (id, ImageCodec.synthPng(id))))
   }
 
   /** The real decode kernel through the same mapPartitions harness as
@@ -1246,7 +1273,7 @@ object Multimodal {
     // rows do.
     "m04_video_frames" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           VideoCodec.features(id, VideoCodec.synthVideo(id))
         })
@@ -1267,7 +1294,7 @@ object Multimodal {
     // per video is (id, int, 3 longs) ~28 B regardless of clip length.
     "m08_scene_cuts" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           VideoCodec.sceneCuts(id, VideoCodec.synthVideoScenes(id))
         })
@@ -1311,7 +1338,7 @@ object Multimodal {
     // shuffles for the final sort, payloads never move.
     "m10_border_detect" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           ImageCodec.borderFeatures(id, ImageCodec.synthBorderedPng(id))
         })
@@ -1334,7 +1361,7 @@ object Multimodal {
     // never shuffle, ~56 B/image of level stats move to the final sort.
     "m11_image_pyramid" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           val l0 = ImageCodec.decode(ImageCodec.synthPyrPng(id))
           val l1 = ImageCodec.boxHalve(l0)
@@ -1369,7 +1396,7 @@ object Multimodal {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val B = 64L
-      val dims = T.documents(s, d).select($"doc_id").as[Long]
+      val dims = assetIds(s, d)
         .mapPartitions(_.map { id =>
           val png = PngChunks.withTextChunk(
             ImageCodec.synthPyrPng(id), "Source", s"src${id % 20}")
@@ -1411,7 +1438,7 @@ object Multimodal {
     // touching the bytes. Map-only like every m-op, ~56 B/asset.
     "m15_image_rotate" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           val img = ImageCodec.decode(ImageCodec.synthPyrPng(id))
           val rot = ImageCodec.decode(
@@ -1439,7 +1466,7 @@ object Multimodal {
     // Map-only like every m-op, ~48 B/asset.
     "m16_hist_equalize" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           val img = ImageCodec.decode(ImageCodec.synthPyrPng(id))
           val eq = ImageCodec.decode(
@@ -1518,7 +1545,7 @@ object Multimodal {
     // bytes. Map-only like every m-op, ~56 B/clip shuffles.
     "m19_gif_timing" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           GifWalk.walk(id, VideoCodec.synthVideoTimed(id))
         })
@@ -1566,7 +1593,7 @@ object Multimodal {
     // every m-op, ~64 B/asset shuffles.
     "m17_patch_tiles" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           val img = ImageCodec.decode(ImageCodec.synthPyrPng(id))
           val P = 4
@@ -1618,7 +1645,7 @@ object Multimodal {
     // non-vacuously. Map-only like every m-op; ~30 B/asset shuffles.
     "m13_png_metadata" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           val png = PngChunks.withTextChunk(
             ImageCodec.synthPyrPng(id), "Source", s"src${id % 20}")
@@ -1647,7 +1674,7 @@ object Multimodal {
     // every m-op; ~45 B/asset shuffles.
     "m21_metadata_strip" -> { (s, d) =>
       import s.implicits._
-      T.documents(s, d).select($"doc_id").as[Long]
+      assetIds(s, d)
         .mapPartitions(_.map { id =>
           var png = PngChunks.withTextChunk(
             ImageCodec.synthPyrPng(id), "Source", s"src${id % 20}")
@@ -1817,7 +1844,11 @@ object Multimodal {
     // can never alias a plant onto a real id on both engines at once.
     "m24_thumb_dedup_audit" -> { (s, d) =>
       import s.implicits._
-      val base = imageAssets(s, d)
+      // unspread feed: m24 unions two corpus branches and re-decodes
+      // them once PER LEVEL, so the spread exchange re-executes per
+      // level and the union doubles to 64 thin partitions whose task
+      // overhead exceeds the kernel win (measured 1.7 -> 2.3 s spread)
+      val base = imageAssets(s, d, spread = false)
       val corpus = base.union(
         base.filter(_._1 % 11 == 0).map { case (id, p) => (id + 20000L, p) })
       def level(k: Int): DataFrame = {
