@@ -766,7 +766,13 @@ object Dedup {
     // with exact shingle Jaccard.
     "d02_minhash_lsh" -> { (s, d) =>
       import s.implicits._
-      val sig = signatures(s, d).cache()
+      // eager, not .cache(): sig feeds FOUR branches of one job (the
+      // band self-join's x/y + the two verify joins), and a lazy cache
+      // is racy inside a single job — concurrent branches each compute
+      // uncached partitions (measured: 12 parquet scans in the final
+      // plan, the signature kernel ran ~4x). localCheckpoint runs it
+      // once, before the join job plans.
+      val sig = signatures(s, d).localCheckpoint()
       val bands = sig.select(col("doc_id"),
           explode(bandKeyArray).as("band_key"))
       val pairs = bands.as("x").join(bands.as("y"),
@@ -837,7 +843,8 @@ object Dedup {
     // log-round star algorithm exists for.
     "d16_simhash_clusters" -> { (s, d) =>
       import s.implicits._
-      val pairs = d03Pairs(s, d).select($"d1", $"d2").distinct().cache()
+      val pairs = d03Pairs(s, d).select($"d1", $"d2").distinct()
+        .localCheckpoint()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
       // seed only the edge endpoints: an isolated node keeps its own
       // unique label forever and the >1-member filter drops it, so the
@@ -846,7 +853,6 @@ object Dedup {
         .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
         .select($"doc_id", $"doc_id".as("lbl"))
       val converged = connectedComponents(seed, edges, CC_STAR_BUDGET)
-      pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
       // semi join, NOT an explicit broadcast: >1-member clusters grow
@@ -1177,8 +1183,15 @@ object Dedup {
         .select($"doc_id", explode($"hset").as("h"))
       val rare = hs.groupBy($"h").agg(count(lit(1)).as("df"))
         .filter($"df" <= D21_DF_CAP).select($"h")
-      val sh = hs.join(rare, Seq("h"), "left_semi")
+      // materialized ONCE: sh feeds four differently-aliased branches
+      // (pair join x/y + the two size joins) and the executed plan
+      // showed NO runtime exchange reuse across them, so the corpus
+      // shingle pass re-ran per branch (the checkpointed frame is
+      // O(docs x shingles) longs, ~12 MB here; measured ~11% — the
+      // pair join itself, not the recompute, owns most of this query)
+      val sh = hs.join(rare, Seq("h"), "left_semi").localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+        .localCheckpoint()
       sh.as("x").join(sh.as("y"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -1256,6 +1269,10 @@ object Dedup {
             ", x -> CAST(x.pp AS STRING)), ',')")).as("fp"),
           max($"pp").as("max_pp"))
         .filter($"max_pp" > 0).drop("max_pp")
+        // materialized once: the x/y sides of the fp self-join don't
+        // reuse each other's exchange at runtime, so the per-(doc,word)
+        // window + structure-fingerprint pass ran twice
+        .localCheckpoint()
       fps.as("x").join(fps.as("y"),
           col("x.fp") === col("y.fp") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -1356,8 +1373,13 @@ object Dedup {
         .select($"doc_id", explode($"hset").as("h"))
       val rare = hs.groupBy($"h").agg(count(lit(1)).as("df"))
         .filter($"df" <= D21_DF_CAP).select($"h")
-      val sh = hs.join(rare, Seq("h"), "left_semi")
+      // d33's lesson applied to the cascade's stage 3: sh feeds four
+      // differently-aliased branches and exchange reuse does not fire
+      // across them, so the explode + df-cap semi-join re-ran 4x —
+      // materialize the narrow (doc_id, h) frame once
+      val sh = hs.join(rare, Seq("h"), "left_semi").localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+        .localCheckpoint()
       val rm3 = sh.as("x").join(sh.as("y"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -1468,7 +1490,6 @@ object Dedup {
         .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
         .select($"doc_id", $"doc_id".as("lbl"))
       val converged = connectedComponents(seed, edges, CC_STAR_BUDGET)
-      pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
       // semi join, NOT an explicit broadcast: >1-member clusters grow
@@ -3691,7 +3712,10 @@ object Dedup {
     val base = corpus(s, d)
     val bwRow = base.agg(count(lit(1)).as("n"))
       .select(expr(bwExpr("n")).as("bw"))
-    val bands = simhashBands(simhashFps(base, bwRow))
+    // materialized once: the x/y sides of the band self-join do NOT
+    // reuse each other's exchange at runtime (0 ReusedExchange in the
+    // executed plan), so the fused fingerprint kernel ran twice
+    val bands = simhashBands(simhashFps(base, bwRow)).localCheckpoint()
     bands.as("x").join(bands.as("y"),
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -3783,7 +3807,9 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"),
               (col("n_chars").cast("long") / 64L).cast("long").as("lenb"),
               col("grams"))
-      .cache() // self-joined below: compute the gram sets once
+      // eager, not .cache(): the self-join's two branches race a lazy
+      // cache inside one job and each computed the gram kernel
+      .localCheckpoint()
     grams.as("x").join(grams.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
         col("x.lenb") === col("y.lenb") && col("x.doc_id") < col("y.doc_id"))
