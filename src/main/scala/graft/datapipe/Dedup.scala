@@ -1359,7 +1359,9 @@ object Dedup {
       val surv1 = cascade.join(keep1, Seq("doc_id"), "left_semi")
         .localCheckpoint()
       // stage 2: capped-Jaccard >= 0.8 lower-id domination
-      val sig1 = signaturesOf(surv1).cache()
+      // eager: cappedTruth's first job branches sig1 twice (explode +
+      // df-cap), and a lazy cache races inside that job
+      val sig1 = signaturesOf(surv1).localCheckpoint()
       val rm2 = cappedTruth(sig1)
         .filter($"jaccard" >= 0.8)
         .select($"d2".as("doc_id")).distinct().localCheckpoint()
@@ -1481,7 +1483,9 @@ object Dedup {
     // intermediate that never leaves the shuffle.
     "d11_editdist_clusters" -> { (s, d) =>
       import s.implicits._
-      val pairs = d07Pairs(s, d).select($"d1", $"d2").cache()
+      // eager: the seed job unions two branches of pairs, and a lazy
+      // cache races inside it — the banded-DP pair pass ran twice
+      val pairs = d07Pairs(s, d).select($"d1", $"d2").localCheckpoint()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
       // seed only the edge endpoints: an isolated node keeps its own
       // unique label forever and the >1-member filter drops it, so the
@@ -1517,9 +1521,11 @@ object Dedup {
     // otherwise-geometric lineage.
     "d06_dedup_clusters" -> { (s, d) =>
       import s.implicits._
-      // pre-orderBy pairs: caching d04's sorted output would materialize
-      // a global sort the propagation immediately destroys
-      val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
+      // pre-orderBy pairs: materializing d04's sorted output would pay
+      // a global sort the propagation immediately destroys. Eager, not
+      // .cache(): the seed job unions two branches of pairs and a lazy
+      // cache races inside it — the gram kernel + DP verify ran twice
+      val pairs = d04Pairs(s, d).select($"d1", $"d2").localCheckpoint()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
       // seed only the edge endpoints: an isolated node keeps its own
       // unique label forever and the >1-member filter drops it, so the
@@ -1528,9 +1534,6 @@ object Dedup {
         .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
         .select($"doc_id", $"doc_id".as("lbl"))
       val converged = connectedComponents(seed, edges, CC_STAR_BUDGET)
-      // converged is checkpointed (lineage truncated), so the pair
-      // pipeline's cache can be dropped before the consumer materializes
-      pairs.unpersist()
       val clustered = converged.groupBy($"lbl")
         .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"lbl")
       // semi join, NOT an explicit broadcast: >1-member clusters grow
@@ -1845,13 +1848,12 @@ object Dedup {
     "d20_cluster_representatives" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
+      val pairs = d04Pairs(s, d).select($"d1", $"d2").localCheckpoint()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
       val seed = pairs.select($"d1".as("doc_id"))
         .unionByName(pairs.select($"d2".as("doc_id"))).distinct()
         .select($"doc_id", $"doc_id".as("lbl"))
       val labels = connectedComponents(seed, edges, CC_STAR_BUDGET)
-      pairs.unpersist()
       val q = corpus(s, d)
         .withColumn("ws", graft.functions.WordStats.word_stats($"text"))
         .withColumn("n_words", graft.functions.WordStats.nWords($"ws"))
@@ -2038,9 +2040,10 @@ object Dedup {
           s"transform(sequence(0, size(ws) - $K), i -> " +
           s"graft_phash(concat_ws(' ', slice(ws, i + 1, $K))))")))
         .toDF("doc_id", "pos", "g")
-        .cache() // gram hashing is the dominant cost — computed once,
-                 // read by both the dup aggregate and the probe side
-                 // (Verify clears per-query caches)
+        // gram hashing is the dominant cost — eagerly computed ONCE
+        // (a lazy cache raced between the dup-count and join branches,
+        // which both read this frame)
+        .localCheckpoint()
       val dup = grams.groupBy($"g")
         .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
         .select($"g")
@@ -2098,8 +2101,10 @@ object Dedup {
         .join(old.groupBy(md5($"text").as("h"))
                 .agg(min($"doc_id").as("exact_match")), Seq("h"))
         .select($"doc_id", $"exact_match")
-      val sigO = signaturesOf(old).cache()
-      val sigN = signaturesOf(nw).cache()
+      // eager: the candidate+verify job reads each signature frame
+      // twice (band explode + hset re-join) and a lazy cache races
+      val sigO = signaturesOf(old).localCheckpoint()
+      val sigN = signaturesOf(nw).localCheckpoint()
       val bandsO = sigO.select($"doc_id".as("old_id"),
         explode(bandKeyArray).as("band_key"))
       val bandsN = sigN.select($"doc_id", explode(bandKeyArray).as("band_key"))
@@ -2196,7 +2201,7 @@ object Dedup {
     // key.
     "d28_cluster_split" -> { (s, d) =>
       import s.implicits._
-      val pairs = d04Pairs(s, d).select($"d1", $"d2").cache()
+      val pairs = d04Pairs(s, d).select($"d1", $"d2").localCheckpoint()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
       val seed = pairs.select($"d1".as("doc_id"))
         .unionByName(pairs.select($"d2".as("doc_id"))).distinct()

@@ -105,7 +105,9 @@ object TextAnalysis {
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(capRow))
       .filter(col("df") <= col("cap")).select(col("fp"))
-    val kept = fps.join(rare, Seq("fp"))
+    // materialized once: the x/y sides of the self-join don't reuse
+    // each other's exchange at runtime, so the winnow kernel ran twice
+    val kept = fps.join(rare, Seq("fp")).localCheckpoint()
     kept.as("x").join(kept.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))

@@ -362,14 +362,17 @@ object AdvancedAggs {
       val B = 64
       val ev = T.events(s, d).withColumn("day", date_trunc("day", $"ts"))
       val bounds = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
-      // ONE fact scan: daily partials cached, then every rollup below is
-      // arithmetic on the (day × 64) frame; both quantiles come from a
-      // single conditional aggregate over the cumulative frame
+      // ONE fact scan: daily partials eagerly materialized (the qb and
+      // nd branches both read this frame in one job, and a lazy cache
+      // races there — each branch re-scanned the facts), then every
+      // rollup below is arithmetic on the (day × 64) frame; both
+      // quantiles come from a single conditional aggregate over the
+      // cumulative frame
       val daily = ev.crossJoin(broadcast(bounds))
         .withColumn("bin", least(lit(B - 1),
           floor(($"value" - $"lo") * B / ($"hi" - $"lo"))).cast("int"))
         .groupBy($"day", $"bin").agg(count(lit(1)).as("n"))
-        .cache()
+        .localCheckpoint()
       val weekly = daily
         .withColumn("week", date_trunc("week", $"day"))
         .groupBy($"week", $"bin")
