@@ -1565,13 +1565,19 @@ object Dedup {
       val c = corpus(s, d).select($"doc_id", md5($"text").as("ch"))
       val ek = c.groupBy($"ch")
         .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_group"))
+      // exactRemoved is read three ways (the survivors anti-join, the
+      // union, d39's consumers) and surv twice (nk + the member join):
+      // materialize both small frames so d06's tail and the md5 pass
+      // run once each
       val exactRemoved = c.join(ek, Seq("ch"))
         .filter($"doc_id" =!= $"keeper_id")
         .select($"doc_id", $"keeper_id", lit("exact").as("rule"),
                 $"n_group")
+        .localCheckpoint()
       val clusters = queries("d06_dedup_clusters")(s, d)
       val surv = clusters.join(
         exactRemoved.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val nk = surv.groupBy($"cluster_id")
         .agg(min($"doc_id").as("keeper_id"), count(lit(1)).as("n_group"))
       val nearRemoved = surv.join(nk, Seq("cluster_id"))
@@ -2246,7 +2252,10 @@ object Dedup {
     // aggregate; weights never materialize per-pair.
     "d29_soft_dedup" -> { (s, d) =>
       import s.implicits._
-      val pairs = d04Pairs(s, d).select($"d1", $"d2")
+      // eager: the seed job unions two branches of pairs (and round 1
+      // of the CC loop reads it a third time) — unmaterialized, the
+      // gram kernel + DP verify ran ~3x
+      val pairs = d04Pairs(s, d).select($"d1", $"d2").localCheckpoint()
       val edges = pairs.select($"d1".as("a"), $"d2".as("b"))
       val seed = pairs.select($"d1".as("doc_id"))
         .unionByName(pairs.select($"d2".as("doc_id"))).distinct()

@@ -1423,6 +1423,9 @@ object TextAnalysis {
             (lit(1.0) - WordStats.nStop($"ws") / $"n_words") * 0.3 +
             least($"n_words" / 100.0, lit(1.0)) * 0.3) * 1e6)
             .cast("long").as("qm"))
+        // read twice (stats + the outlier recount join) — the
+        // word-stats kernel ran 2x unmaterialized
+        .localCheckpoint()
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val stats = q.groupBy($"source").agg(
         count(lit(1)).as("n_docs"),
@@ -1474,9 +1477,14 @@ object TextAnalysis {
           when($"p" === 0, lit("<s>"))
             .otherwise(element_at($"toks", $"p")).as("pw"),
           $"w")
+      // tf feeds the count cascade AND the final score join, and c2s
+      // feeds three aggregates — runtime exchange reuse does not fire
+      // across those branches, so the tokenize + bigram-count pass ran
+      // multiply; both frames are narrow fixed-width rows
       val tf = big.groupBy($"doc_id", $"source", $"pw", $"w")
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf")).localCheckpoint()
       val c2s = tf.groupBy($"source", $"pw", $"w").agg(sum($"tf").as("c2s"))
+        .localCheckpoint()
       val c2  = c2s.groupBy($"pw", $"w").agg(sum($"c2s").as("c2"))
       val c1s = c2s.groupBy($"source", $"pw").agg(sum($"c2s").as("c1s"))
       val c1  = c1s.groupBy($"pw").agg(sum($"c1s").as("c1"))
@@ -1530,6 +1538,9 @@ object TextAnalysis {
             "i -> concat_ws(' ', slice(toks, i, 5)))")).as("gram"))
         .select($"doc_id", graft.Dets.phash($"gram").as("gh"))
         .distinct()
+        // read twice (doc-frequency + the score join) with no runtime
+        // exchange reuse — the shingle hash pass ran 2x unmaterialized
+        .localCheckpoint()
       val dfreq = grams.groupBy($"gh").agg(count(lit(1)).as("df"))
       grams.join(dfreq, Seq("gh"))
         .groupBy($"doc_id")
@@ -1946,8 +1957,13 @@ object TextAnalysis {
     // the plan canonically identical (tf feeds both the LM build and
     // the probe side), so AQE reuses its exchange instead of
     // re-reading the corpus three times (same-boot warm A/B: 3.4 → 1.7 s)
+    // tf feeds the LM counts AND the final score join; c2 feeds three
+    // aggregates — materialize both so the tokenize + count pass runs
+    // once (no runtime exchange reuse across the branches)
     val tf = big.groupBy($"doc_id", $"pw", $"w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val c2 = tf.groupBy($"pw", $"w").agg(sum($"tf").as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy($"pw").agg(sum($"c2").as("c1"))
     val v  = c2.agg(countDistinct($"w").as("v"))
     val lm = c2.join(c1, Seq("pw")).crossJoin(broadcast(v))
