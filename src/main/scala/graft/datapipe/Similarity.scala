@@ -672,7 +672,12 @@ object Similarity {
         .withColumn("rn", row_number().over(Window.partitionBy($"q_id")
           .orderBy(isnan($"cos").asc, $"cos".desc, $"c.cell".asc)))
         .select($"q_id", $"c.cell".as("pcell"), $"rn")
-      val base = assigned.select($"vec_id", $"home_cell")
+        // NQ x 8 control rows, read per probe depth — unmaterialized it
+        // re-ran the centroid aggregation behind centsRow each time
+        .localCheckpoint()
+      // two longs per vector, read by both probe depths and both report
+      // sides — the assignment + centroid pipeline ran ~4x without it
+      val base = assigned.select($"vec_id", $"home_cell").localCheckpoint()
       def cand(maxProbe: Int): DataFrame =
         base.join(broadcast(qcells.filter($"rn" <= maxProbe)),
             $"home_cell" === $"pcell" && $"vec_id" =!= $"q_id")
@@ -1163,6 +1168,11 @@ object Similarity {
       val centsRow = centroidRow(centroids)
       val assigned = assignCells(emb, centsRow, "home_cell")
         .select($"vec_id", $"home_cell")
+        // read by three branches (pr_star, cell sizes, query homes) with
+        // no runtime exchange reuse — the centroid aggregation + the
+        // assignment pass ran 3x unmaterialized; the frame is two longs
+        // per vector
+        .localCheckpoint()
       val qs0 = emb
         .orderBy(graft.Dets.phash($"vec_id".cast("string")), $"vec_id")
         .limit(NQ)
@@ -1306,14 +1316,18 @@ object Similarity {
         // (cand, k) window's within-cand tie-break cannot change any
         // min(cand | cum >= q) answer, so grouping by cand first is
         // value-identical to the old running total.
-        val byCand = counts.select(($"n" - 1L).as("cand"), $"n")
+        // O(buckets) rows, read by both the mass grouping and the
+        // totals — unmaterialized, the bucket-count pipeline (incl.
+        // the ivf centroid aggregation) ran twice
+        val countsM = counts.localCheckpoint()
+        val byCand = countsM.select(($"n" - 1L).as("cand"), $"n")
           .groupBy($"cand").agg(sum($"n").as("mass"))
         val cc = byCand.as("a")
           .join(broadcast(byCand.select($"cand".as("bcand"),
             $"mass".as("bmass"))), $"bcand" <= $"cand")
           .groupBy($"cand")
           .agg(sum($"bmass").as("cum"))
-        val tot = counts.agg(sum($"n").as("n_vecs"),
+        val tot = countsM.agg(sum($"n").as("n_vecs"),
           count(lit(1)).as("n_buckets"), max($"n").as("max_n"))
         cc.crossJoin(broadcast(tot))
           .groupBy($"n_buckets", $"n_vecs", $"max_n")
@@ -1447,7 +1461,11 @@ object Similarity {
         .groupBy($"cell")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
           .as("centroid"))
+      // materialized once: the x/y sides of the cell self-join don't
+      // reuse each other's exchange, so the k-sizing + centroid
+      // aggregation + assignment pipeline ran twice
       val assigned = assignCells(emb, centroidRow(centroids), "cell")
+        .localCheckpoint()
       assigned.as("x").join(assigned.as("y"),
           col("x.cell") === col("y.cell") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -1478,8 +1496,12 @@ object Similarity {
           .groupBy($"cell")
           .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
             .as("centroid"))
-      // map-only nearest-centroid assignment vs ONE broadcast centroid row
+      // map-only nearest-centroid assignment vs ONE broadcast centroid
+      // row; materialized once — the query-row broadcast and the
+      // posting-list scan both read it, and the centroid aggregation
+      // re-ran per branch unmaterialized
       val assigned = assignCells(emb, centroidRow(centroids), "home_cell")
+        .localCheckpoint()
       val q = broadcast(assigned.filter($"vec_id" === QID)
         .select($"embedding".as("q_emb"), $"home_cell".as("q_cell")))
       assigned.filter($"vec_id" =!= QID)
