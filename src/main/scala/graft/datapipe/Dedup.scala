@@ -1301,7 +1301,10 @@ object Dedup {
     // after is O(clusters) narrow aggregates + two 1-row broadcasts.
     "d36_cluster_profile" -> { (s, d) =>
       import s.implicits._
-      val clusters = queries("d06_dedup_clusters")(s, d)
+      // d06's post-checkpoint tail (cluster filter + semi join + sort)
+      // is read by both the bucket histogram and the clustered count —
+      // materialize it once
+      val clusters = queries("d06_dedup_clusters")(s, d).localCheckpoint()
       val nDocs = corpus(s, d).agg(count(lit(1)).as("n_corpus"))
       val nClustered = clusters.agg(count(lit(1)).as("n_clustered"))
       val buckets = clusters.groupBy($"cluster_id")
@@ -1824,7 +1827,10 @@ object Dedup {
       val (bench, train) = contaminationCorpus(s, d, D12_FIX)
       val nTrain = train.agg(count(lit(1)).as("n_train_docs"))
       Seq(8, 13, 20).map { n =>
+        // read by the broadcast join AND the count — the bench gram
+        // kernel ran twice per sweep point unmaterialized
         val bfps = gramFpsN(bench, n).select($"fp").distinct()
+          .localCheckpoint()
         val nb = bfps.agg(count(lit(1)).as("n_bench_grams"))
         gramFpsN(train, n).join(broadcast(bfps), Seq("fp"))
           .groupBy($"doc_id").agg(count(lit(1)).as("h"))
@@ -2011,6 +2017,9 @@ object Dedup {
         .select($"doc_id", explode(expr(
           "transform(sequence(0, size(ws) div 10 - 1), i -> " +
           "graft_phash(concat_ws('_', slice(ws, i * 10 + 1, 10))))")).as("fp"))
+        // read by the dup count AND the score join — the chunk-hash
+        // kernel ran twice unmaterialized
+        .localCheckpoint()
       val dup = chunks.groupBy($"fp").agg(count(lit(1)).as("df"))
         .filter($"df" > 1)
       chunks.join(dup, Seq("fp"), "left")

@@ -225,8 +225,13 @@ object IncrementalDedup {
     // buildStore/ingestBatch, pinned by IncrementalDedupSpec
     // (run-twice-inserts-zero).
     "d08_incremental_dedup" -> { (s, d) =>
-      decisions(Dedup.signaturesOf(storeBatch(s, d)),
-                Dedup.signaturesOf(incomingBatch(s, d)),
+      // the decision plan reads each signature frame through several
+      // branches (self-band join, store-band join, two verify joins) —
+      // unmaterialized, the signature kernels ran ~5x (23 parquet scans
+      // in the executed plan). The PHYSICAL path (ingestBatch) keeps
+      // its own checkpoint discipline — see the comment there.
+      decisions(Dedup.signaturesOf(storeBatch(s, d)).localCheckpoint(),
+                Dedup.signaturesOf(incomingBatch(s, d)).localCheckpoint(),
                 incomingBatch(s, d))
         .orderBy(col("doc_id"))
     }

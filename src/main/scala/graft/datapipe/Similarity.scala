@@ -337,7 +337,9 @@ object Similarity {
     */
   private[graft] def multiProbePairs(emb0: DataFrame, p: Int,
                                      threshold: Double): DataFrame = {
-    val emb = emb0.withColumn("bucket", signBucket)
+    // read 4x (probes, bases, both verify joins) with no runtime
+    // exchange reuse — materialize the bucketed corpus once
+    val emb = emb0.withColumn("bucket", signBucket).localCheckpoint()
     val probes = emb.select(col("vec_id"), col("label"),
       explode(probeBuckets("embedding", "bucket", p)).as("bkey"))
     val bases = emb.select(col("vec_id").as("y_id"),
@@ -1734,6 +1736,9 @@ object Similarity {
           graft.Dets.phash(
             expr("array_join(transform(fp, v -> CAST(v AS STRING)), ',')"))
             .as("h"))
+        // read by the dup count AND the score join — the fingerprint
+        // kernel over the 4-branch union ran twice unmaterialized
+        .localCheckpoint()
       val dupCounts = stats.groupBy($"h").agg(count(lit(1)).as("nh"))
       stats.join(dupCounts, Seq("h"))
         .groupBy($"label")
@@ -1847,7 +1852,11 @@ object Similarity {
           .as("cell"))
       def profile(name: String, cells: DataFrame, params: Int)
           : DataFrame = {
+        // O(cells) rows, read by the histogram and the totals — without
+        // this the trainer + assignment pipeline behind `cells` ran
+        // twice per layout (15 parquet scans in the executed plan)
         val occ = cells.groupBy($"cell").agg(count(lit(1)).as("occ"))
+          .localCheckpoint()
         val byOcc = occ.groupBy($"occ").agg(count(lit(1)).as("nc"))
         val cum = byOcc.as("a")
           .join(broadcast(byOcc.select($"occ".as("bocc"), $"nc".as("bnc"))),
@@ -2057,8 +2066,13 @@ object Similarity {
         .select($"q_id", $"vec_id").localCheckpoint()
       val nTruth = truth4.agg(count(lit(1)).as("n_truth"))
       Seq(3, 4, 5, 6).map { nb =>
+        // per config: the bucket frame is read by the cell counts AND
+        // the candidate join, and the cell counts by two aggregates —
+        // unmaterialized, the LSH bucket kernel re-ran per branch (the
+        // sweep's executed plan carried 20 parquet scans)
         val b = emb0.select($"vec_id", $"label",
           lshBucketExpr("embedding", nb.toString).as("bucket"))
+          .localCheckpoint()
         val probes = emb0
           .select($"vec_id", $"label", $"embedding",
             lshBucketExpr("embedding", nb.toString).as("bkt"))
@@ -2068,6 +2082,7 @@ object Similarity {
         val pc = probes.groupBy($"bkey", $"label").agg(count(lit(1)).as("np"))
         val bcnt = b.groupBy($"bucket".as("bkey"), $"label")
           .agg(count(lit(1)).as("nbc"))
+          .localCheckpoint()
         val cells = bcnt.agg(count(lit(1)).as("n_cells"),
           max($"nbc").as("max_cell"))
         val pairs = pc.join(bcnt, Seq("bkey", "label"))

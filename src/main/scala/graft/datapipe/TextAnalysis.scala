@@ -1074,10 +1074,16 @@ object TextAnalysis {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       graft.GraftExtensions.register(s)
-      val docs = Dedup.corpus(s, d)
+      // every stage frame is read twice (its own stat row + the next
+      // stage), and the stage-N stat re-derived the WHOLE chain — the
+      // executed plan carried 51 parquet scans and the word-stats
+      // kernel ran 3x. Checkpoint each stage once, like a production
+      // curation pipeline persists its inter-stage datasets.
+      val docs = Dedup.corpus(s, d).localCheckpoint()
       val keep1 = docs.groupBy(md5($"text").as("h"))
         .agg(min($"doc_id").as("doc_id")).select($"doc_id")
       val s1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
       val s2 = s1
         .withColumn("ws", graft.functions.WordStats.word_stats($"text"))
         .withColumn("n_words", graft.functions.WordStats.nWords($"ws"))
@@ -1088,10 +1094,12 @@ object TextAnalysis {
             graft.functions.WordStats.nStop($"ws") / $"n_words") * 0.3 +
           least($"n_words" / 100.0, lit(1.0)) * 0.3)
         .filter($"quality" >= 0.64)
+        .localCheckpoint()
       val w3 = Window.partitionBy($"source").orderBy(
         graft.Dets.phash(concat(lit("cur:"), $"doc_id".cast("string"))),
         $"doc_id")
       val s3 = s2.withColumn("rn", row_number().over(w3)).filter($"rn" <= 40)
+        .localCheckpoint()
       val w4 = Window.orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val s4 = s3

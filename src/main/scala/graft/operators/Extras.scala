@@ -814,6 +814,9 @@ object Extras {
             .when(col("b.h").isNull, "added")
             .when(col("b.h") =!= col("c.h"), "changed")
             .otherwise("unchanged").as("status"))
+        // read by the status counts AND the changed-key filter — the
+        // full-outer key-hash diff ran twice unmaterialized
+        .localCheckpoint()
       val counts = statuses.groupBy($"status").agg(count(lit(1)).as("n"))
       val changedKeys = statuses.filter($"status" === "changed").select($"k")
       val attribution = base.as("b")
