@@ -1098,8 +1098,11 @@ object TextAnalysis {
       val w3 = Window.partitionBy($"source").orderBy(
         graft.Dets.phash(concat(lit("cur:"), $"doc_id".cast("string"))),
         $"doc_id")
+      // s3 is NOT checkpointed: the stage-3 ranking window and the
+      // stage-4 rewritten global cumsum are spec-pinned to appear in
+      // THIS query's plan (PlanShapeSpec) — the window re-runs once
+      // over the checkpointed s2, which is O(survivors) and cheap
       val s3 = s2.withColumn("rn", row_number().over(w3)).filter($"rn" <= 40)
-        .localCheckpoint()
       val w4 = Window.orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val s4 = s3

@@ -814,9 +814,10 @@ object Extras {
             .when(col("b.h").isNull, "added")
             .when(col("b.h") =!= col("c.h"), "changed")
             .otherwise("unchanged").as("status"))
-        // read by the status counts AND the changed-key filter — the
-        // full-outer key-hash diff ran twice unmaterialized
-        .localCheckpoint()
+      // NOT checkpointed: the narrow full-outer diff join is spec-pinned
+      // to appear in this query's executed plan (PlanShapeSpec) — the
+      // counts and changed-keys branches re-run the (key, hash) diff,
+      // which is the narrow shape the pin protects
       val counts = statuses.groupBy($"status").agg(count(lit(1)).as("n"))
       val changedKeys = statuses.filter($"status" === "changed").select($"k")
       val attribution = base.as("b")
