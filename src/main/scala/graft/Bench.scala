@@ -95,7 +95,15 @@ object Bench {
         }
       // failed queries are reported as -1, never as a (fast) elapsed time
       val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      spark.catalog.clearCache() // untimed: queries may cache() internally
+      // untimed hygiene: drops any SQL-cached relations. Note the
+      // registry now materializes via localCheckpoint, whose
+      // MEMORY_AND_DISK blocks this call does NOT release — they free
+      // when the ContextCleaner GCs the backing RDDs. At sf0.1 the
+      // checkpointed frames are narrow numeric proxies (KBs–MBs), so
+      // accumulation between GCs is harmless; revisit (explicit
+      // sc.getPersistentRDDs unpersist) if larger fixtures show
+      // memory pressure.
+      spark.catalog.clearCache()
       if ((i + 1) % 30 == 0) sentinels += sentinelRun()
       name -> elapsed
     }

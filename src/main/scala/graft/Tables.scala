@@ -136,6 +136,56 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** [[documents]] with the fixture-scale ONE-SPLIT SCAN FLOOR broken
+    * (guide §2.6 idle capacity / §6 input splits): the fixture corpus is
+    * one sub-128 MB single-row-group parquet file, so every scan plans
+    * exactly ONE input split and the per-doc text kernels (shingling,
+    * winnowing, minhash, word stats, BPE) that run BEFORE the first
+    * exchange ran one-wide on a 32-core session. Text must never cross
+    * a shuffle (d09/t28 plan pins; §2.3 "shuffle keys, not payloads"),
+    * so the spread moves NO rows: [[graft.FanOutRDD]] re-exposes the
+    * scan as `fan` narrow partitions, each re-decoding the (page-
+    * cached) file and keeping every fan-th row. A union of per-range
+    * filtered scans was measured first and REJECTED: every branch is
+    * its own codegen fragment, and the per-query driver bill (~28 ms x
+    * branches, serial) exceeded the whole kernel saving (numbers in
+    * OPTIMIZATION_r21.md).
+    *
+    * Gated on OBSERVED scan width: when the scan already plans at
+    * least `defaultParallelism` splits (any production multi-file
+    * dataset — at 100 TB the file count provides the parallelism), the
+    * plain frame returns untouched, so the production plan is by
+    * construction the un-spread one.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spreadScan(s, load(s, d, "documents"))
+
+  /** [[embeddings]] under the same gated fan-out as
+    * [[documentsSpread]] — the brute-force scoring / quantization
+    * kernels of the similarity family are pre-exchange map work with
+    * the same one-split floor. */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    spreadScan(s, load(s, d, "embeddings"))
+
+  /** The gated fan-out itself (see [[documentsSpread]]). The fan cap
+    * defaults to 8: each child partition re-decodes its whole parent
+    * split, so the aggregate decode bill grows linearly with fan while
+    * the kernel saving flattens once the kernel is spread wide enough —
+    * the measured shingle-pass sweep (OPTIMIZATION_r21.md) read 0.52 s
+    * plain, 0.32 s at fan 4–8, and WORSE than plain at fan 32. Env-
+    * overridable for A/Bs and non-fixture deployments (0 disables); the
+    * observed-scan-width gate above it remains the production guard. */
+  private[graft] lazy val spreadFanCap: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SPREAD_FAN", "8").toInt
+
+  private[graft] def spreadScan(s: SparkSession, df: DataFrame): DataFrame = {
+    val width = s.sparkContext.defaultParallelism
+    val planned = df.queryExecution.toRdd.getNumPartitions
+    if (spreadFanCap <= 1 || width <= 1 || planned >= width) df
+    else org.apache.spark.sql.graft.DatasetBridge.fanOutScan(
+      df, math.min(spreadFanCap, (width + planned - 1) / planned))
+  }
 }
 
 object Dets {

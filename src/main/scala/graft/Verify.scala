@@ -28,7 +28,10 @@ object Verify {
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // queries may cache() internally; don't leak
+      // drops SQL-cached relations between queries; localCheckpoint
+      // blocks are NOT covered (they free via the ContextCleaner) —
+      // see the matching Bench.scala note
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

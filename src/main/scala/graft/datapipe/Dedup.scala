@@ -64,7 +64,7 @@ object Dedup {
   private[graft] def fuzzyContaminationCorpus(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     import s.implicits._
-    val docs = T.documents(s, d).select($"doc_id", $"text")
+    val docs = T.documentsSpread(s, d).select($"doc_id", $"text")
     val bench = docs.filter($"doc_id" % 50 === 0)
     val para = bench
       .withColumn("ws", split($"text", " "))
@@ -124,7 +124,7 @@ object Dedup {
   private[graft] def contaminationCorpus(s: SparkSession, d: String,
       fix: ContaminationFixture = D12_FIX): (DataFrame, DataFrame) = {
     import s.implicits._
-    val docs = T.documents(s, d).select($"doc_id", $"text")
+    val docs = T.documentsSpread(s, d).select($"doc_id", $"text")
     val bench = docs.filter($"doc_id" % fix.modulus === 0)
     val leaked = bench.select(($"doc_id" + fix.offset).as("doc_id"),
       concat(
@@ -458,9 +458,11 @@ object Dedup {
     * graft-visible so dev tooling (graft.tools.Profile) profiles the
     * exact corpus the queries run on.
     */
-  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, d: String,
+      spread: Boolean = true): DataFrame = {
     import s.implicits._
-    val docs = T.documents(s, d).select($"doc_id", $"text", $"lang", $"source")
+    val base = if (spread) T.documentsSpread(s, d) else T.documents(s, d)
+    val docs = base.select($"doc_id", $"text", $"lang", $"source")
     docs
       .unionByName(docs.filter($"doc_id" % 10 === 0)
         .select(($"doc_id" + 1000000L).as("doc_id"),
@@ -486,9 +488,11 @@ object Dedup {
     * are both uninformative; the partials put mass exactly where the
     * curves bend.
     */
-  private def evalCorpus(s: SparkSession, d: String): DataFrame = {
+  private def evalCorpus(s: SparkSession, d: String,
+      spread: Boolean = true): DataFrame = {
     import s.implicits._
-    val docs = T.documents(s, d).select($"doc_id", $"text", $"lang", $"source")
+    val base = if (spread) T.documentsSpread(s, d) else T.documents(s, d)
+    val docs = base.select($"doc_id", $"text", $"lang", $"source")
     val partial = docs.filter($"doc_id" % 13 === 0)
       .withColumn("w", split($"text", " "))
       .filter(size($"w") >= 6)
@@ -497,7 +501,7 @@ object Dedup {
             expr("slice(w, 1, greatest(3, (size(w) * 6) div 10))"), " "),
           lit(" mid sim tail pad")).as("text"),
         $"lang", $"source")
-    corpus(s, d).unionByName(partial)
+    corpus(s, d, spread).unionByName(partial)
   }
 
   /** Exact-Jaccard ground-truth pairs (d1 < d2, J >= 0.5) over the
@@ -600,14 +604,37 @@ object Dedup {
     Seq(sig, sh, cappedTruthOf(sh), cappedSigsOf(sh))
   }
 
+  /** Shared-key pair counts (id1 < id2, inter) of a DISTINCT (id, key)
+    * frame — d22's sorted-group combination emitter replacing the key-
+    * equi self-join every truth/containment pass used (guide §3.3 /
+    * §2.3): the join shuffled the frame TWICE (x and y exchanges), ran
+    * join machinery whose fan-out output immediately re-shuffled into
+    * the pair count; the emitter shuffles the frame ONCE into per-key
+    * sorted id sets and emits the same C(group, 2) pairs in-operator.
+    * Requires (id, key) distinct and a bounded per-key group — exactly
+    * what every caller guarantees via its df cap (fan-out ≤ C(cap, 2)
+    * per key). One emitted row per shared key per pair, so the grouped
+    * count equals the self-join's COUNT(*) bit for bit.
+    */
+  private[datapipe] def sharedKeyPairCounts(df: DataFrame, idCol: String,
+      keyCol: String, out1: String, out2: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size($"ids") >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+        "transform(slice(ids, i + 2, size(ids)), " +
+        "b -> named_struct('d1', a, 'd2', b))))")).as("p"))
+      .groupBy($"p.d1".as(out1), $"p.d2".as(out2))
+      .agg(count(lit(1)).as("inter"))
+  }
+
   /** [[cappedTruth]] from a precomputed [[cappedShingles]] frame. */
   private def cappedTruthOf(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    sh.as("x").join(sh.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
+    sharedKeyPairCounts(sh, "doc_id", "h", "d1", "d2")
       .join(sizes.select($"doc_id".as("d1"), $"sz".as("s1")), Seq("d1"))
       .join(sizes.select($"doc_id".as("d2"), $"sz".as("s2")), Seq("d2"))
       .withColumn("uni", expr("s1 + s2 - inter"))
@@ -754,7 +781,9 @@ object Dedup {
     // Exact dedup: group by full-content hash, keep canonical min id.
     "d01_exact_dedup" -> { (s, d) =>
       import s.implicits._
-      corpus(s, d)
+      // spread = false: the kernel is one md5 per doc — the fan-out's
+      // duplicated decode costs more than the hash saves (A/B 1.26x)
+      corpus(s, d, spread = false)
         .groupBy(md5($"text").as("content_hash"))
         .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
         .filter($"n_copies" > 1)
@@ -1183,19 +1212,18 @@ object Dedup {
         .select($"doc_id", explode($"hset").as("h"))
       val rare = hs.groupBy($"h").agg(count(lit(1)).as("df"))
         .filter($"df" <= D21_DF_CAP).select($"h")
-      // materialized ONCE: sh feeds four differently-aliased branches
-      // (pair join x/y + the two size joins) and the executed plan
-      // showed NO runtime exchange reuse across them, so the corpus
-      // shingle pass re-ran per branch (the checkpointed frame is
-      // O(docs x shingles) longs, ~12 MB here; measured ~11% — the
-      // pair join itself, not the recompute, owns most of this query)
+      // materialized ONCE: sh feeds the pair emitter + the two size
+      // joins and the executed plan showed NO runtime exchange reuse
+      // across them, so the corpus shingle pass re-ran per branch (the
+      // checkpointed frame is O(docs x shingles) longs, ~12 MB here)
       val sh = hs.join(rare, Seq("h"), "left_semi").localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
         .localCheckpoint()
-      sh.as("x").join(sh.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
+      // pair generation via the sorted-group emitter (one shuffle of
+      // sh + in-group C(n,2) emission) instead of the h-equi self-join
+      // that shuffled sh twice and re-shuffled the join's fan-out —
+      // see sharedKeyPairCounts; identical pair multiset by the df cap
+      sharedKeyPairCounts(sh, "doc_id", "h", "da", "db")
         .join(sizes.select($"doc_id".as("da"), $"sz".as("sza")), Seq("da"))
         .join(sizes.select($"doc_id".as("db"), $"sz".as("szb")), Seq("db"))
         .withColumn("aIsSub",
@@ -1305,7 +1333,9 @@ object Dedup {
       // is read by both the bucket histogram and the clustered count —
       // materialize it once
       val clusters = queries("d06_dedup_clusters")(s, d).localCheckpoint()
-      val nDocs = corpus(s, d).agg(count(lit(1)).as("n_corpus"))
+      // spread = false: a bare count has no kernel to parallelize
+      val nDocs = corpus(s, d, spread = false)
+        .agg(count(lit(1)).as("n_corpus"))
       val nClustered = clusters.agg(count(lit(1)).as("n_clustered"))
       val buckets = clusters.groupBy($"cluster_id")
         .agg(count(lit(1)).as("sz"))
@@ -1346,6 +1376,8 @@ object Dedup {
     "d38_cascade_report" -> { (s, d) =>
       import s.implicits._
       graft.GraftExtensions.register(s)
+      // spread = false everywhere in the cascade: it re-reads the corpus
+      // per stage, so the fan-out's duplicated decode compounds (A/B 1.10x)
       val docs0 = T.documents(s, d)
         .select($"doc_id", $"text", $"lang", $"source")
       val quotes = docs0.filter($"doc_id" % 11 === 0)
@@ -1355,7 +1387,8 @@ object Dedup {
           array_join(expr("slice(w, 1, greatest(5, (size(w) * 3) div 10))"),
             " ").as("text"),
           $"lang", $"source")
-      val cascade = evalCorpus(s, d).unionByName(quotes).localCheckpoint()
+      val cascade = evalCorpus(s, d, spread = false)
+        .unionByName(quotes).localCheckpoint()
       // stage 1: exact
       val keep1 = cascade.select($"doc_id", md5($"text").as("h"))
         .groupBy($"h").agg(min($"doc_id").as("doc_id")).select($"doc_id")
@@ -1378,17 +1411,16 @@ object Dedup {
         .select($"doc_id", explode($"hset").as("h"))
       val rare = hs.groupBy($"h").agg(count(lit(1)).as("df"))
         .filter($"df" <= D21_DF_CAP).select($"h")
-      // d33's lesson applied to the cascade's stage 3: sh feeds four
-      // differently-aliased branches and exchange reuse does not fire
-      // across them, so the explode + df-cap semi-join re-ran 4x —
-      // materialize the narrow (doc_id, h) frame once
+      // d33's lesson applied to the cascade's stage 3: sh feeds the
+      // pair emitter + the two size joins and exchange reuse does not
+      // fire across them, so the explode + df-cap semi-join re-ran —
+      // materialize the narrow (doc_id, h) frame once. Pair generation
+      // rides the sorted-group emitter (one shuffle, no self-join),
+      // like d33.
       val sh = hs.join(rare, Seq("h"), "left_semi").localCheckpoint()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
         .localCheckpoint()
-      val rm3 = sh.as("x").join(sh.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
+      val rm3 = sharedKeyPairCounts(sh, "doc_id", "h", "da", "db")
         .join(sizes.select($"doc_id".as("da"), $"sz".as("sza")), Seq("da"))
         .join(sizes.select($"doc_id".as("db"), $"sz".as("szb")), Seq("db"))
         .withColumn("aIsSub",
@@ -1434,7 +1466,7 @@ object Dedup {
       import s.implicits._
       import graft.functions.WordShinglePHashes.word_shingle_phashes
       graft.GraftExtensions.register(s)
-      val hs = T.documents(s, d)
+      val hs = T.documentsSpread(s, d)
         .withColumn("hset", word_shingle_phashes($"text", 3))
         .filter(size($"hset") >= 1)
         .select($"source", explode($"hset").as("h"))
@@ -1450,7 +1482,10 @@ object Dedup {
         .groupBy($"p.a".as("sa"), $"p.b".as("sb"))
         .agg(count(lit(1)).as("inter"))
       val nsrc = hs.groupBy($"source").agg(count(lit(1)).as("n"))
-      val allPairs = nsrc.as("x").join(nsrc.as("y"),
+      // k-row marginal: broadcast EXPLICITLY — behind the fan-out the
+      // plan roots at a LogicalRDD with no size stats, so the planner
+      // would otherwise fall back to CartesianProductExec here
+      val allPairs = nsrc.as("x").join(broadcast(nsrc.as("y")),
           col("x.source") < col("y.source")) // k×k, broadcast nested loop
         .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
                 col("x.n").as("n_a"), col("y.n").as("n_b"))
@@ -1604,7 +1639,8 @@ object Dedup {
     // text is never touched twice.
     "d39_token_budget" -> { (s, d) =>
       import s.implicits._
-      val tk = corpus(s, d).select($"source", $"doc_id",
+      // spread = false: measured neutral (1.01x) — skip the extra decodes
+      val tk = corpus(s, d, spread = false).select($"source", $"doc_id",
         size(expr("filter(split(text, ' '), x -> x <> '')"))
           .cast("long").as("ntok"))
       val removed = queries("d30_dedup_manifest")(s, d)
@@ -1650,7 +1686,7 @@ object Dedup {
       import graft.functions.WordShinglePHashes.word_shingle_phashes
       graft.GraftExtensions.register(s)
       val SCALE = 1000000000L
-      val hs = T.documents(s, d)
+      val hs = T.documentsSpread(s, d)
         .withColumn("hset", word_shingle_phashes($"text", 3))
         .filter(size($"hset") >= 1)
         .select($"source", explode($"hset").as("h"))
@@ -1756,7 +1792,9 @@ object Dedup {
       val hexShard = (c: org.apache.spark.sql.Column) =>
         conv(substring(md5(c.cast("string")), 1, 1), 16, 10)
           .cast("long") % 8
-      val h = corpus(s, d).select($"doc_id", md5($"text").as("h"))
+      // spread = false: md5-only kernel, same reasoning as d01
+      val h = corpus(s, d, spread = false)
+        .select($"doc_id", md5($"text").as("h"))
         .localCheckpoint()
       val tot = h.agg(count(lit(1)).as("n_docs"),
                       countDistinct($"h").as("n_kept_g"))
@@ -1828,7 +1866,12 @@ object Dedup {
       val nTrain = train.agg(count(lit(1)).as("n_train_docs"))
       Seq(8, 13, 20).map { n =>
         // read by the broadcast join AND the count — the bench gram
-        // kernel ran twice per sweep point unmaterialized
+        // kernel ran twice per sweep point unmaterialized. NOTE: the
+        // eager localCheckpoint makes CONSTRUCTION of this query run
+        // Spark jobs (one per sweep point) before any action — true of
+        // every eagerly-materialized query in the registry; plan
+        // inspection of registry functions therefore executes partial
+        // pipelines (accepted: the bench/verify drivers always execute)
         val bfps = gramFpsN(bench, n).select($"fp").distinct()
           .localCheckpoint()
         val nb = bfps.agg(count(lit(1)).as("n_bench_grams"))
@@ -2011,7 +2054,8 @@ object Dedup {
     "d13_chunk_dedup" -> { (s, d) =>
       import s.implicits._
       graft.GraftExtensions.register(s)
-      val chunks = corpus(s, d)
+      // spread = false: chunk hashing is cheap per doc (A/B 1.15x with)
+      val chunks = corpus(s, d, spread = false)
         .withColumn("ws", split($"text", " "))
         .filter(size($"ws") >= 10)
         .select($"doc_id", explode(expr(
@@ -2169,7 +2213,7 @@ object Dedup {
     // is per-pair linear in tokens within collision buckets only.
     "d27_prefix_dedup" -> { (s, d) =>
       import s.implicits._
-      val base = T.documents(s, d)
+      val base = T.documentsSpread(s, d)
         .select($"doc_id", split($"text", " ").as("ws"))
         .filter(size($"ws") >= 8)
       val variants = base.filter($"doc_id" % 7 === 3)
@@ -2235,7 +2279,6 @@ object Dedup {
         .agg(coalesce(sum(when($"s1" =!= $"s2", 1L).otherwise(0L)), lit(0L))
           .as("cross_split_pairs"))
         .localCheckpoint()
-      pairs.unpersist()
       assigned.groupBy($"split")
         .agg(count(lit(1)).as("n_docs"),
              countDistinct($"grp").as("n_groups"))
@@ -3732,7 +3775,9 @@ object Dedup {
     * the pairs to connected components).
     */
   private def d03Pairs(s: SparkSession, d: String): DataFrame = {
-    val base = corpus(s, d)
+    // spread = false: d03/d16 measured 1.05x/1.13x WITH the fan-out —
+    // the simhash kernel is one fused pass and the band join dominates
+    val base = corpus(s, d, spread = false)
     val bwRow = base.agg(count(lit(1)).as("n"))
       .select(expr(bwExpr("n")).as("bw"))
     // materialized once: the x/y sides of the band self-join do NOT
@@ -3785,7 +3830,9 @@ object Dedup {
   private def d07Pairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.BandedLevenshtein.banded_levenshtein
-    val docs = corpus(s, d)
+    // spread = false: the Levenshtein cost sits in the PAIR join, not
+    // the per-doc prep — d07/d11 measured 1.03x/1.13x with the fan-out
+    val docs = corpus(s, d, spread = false)
       .withColumn("n_chars", length($"text").cast("long"))
       .withColumn("lenb", ($"n_chars" / 64L).cast("long"))
       .select($"doc_id", $"lang", $"source", $"lenb", $"n_chars", $"text")

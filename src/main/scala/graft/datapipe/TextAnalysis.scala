@@ -105,13 +105,15 @@ object TextAnalysis {
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(capRow))
       .filter(col("df") <= col("cap")).select(col("fp"))
-    // materialized once: the x/y sides of the self-join don't reuse
-    // each other's exchange at runtime, so the winnow kernel ran twice
-    val kept = fps.join(rare, Seq("fp")).localCheckpoint()
-    kept.as("x").join(kept.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_shared"))
+    // pair generation via the sorted-group emitter (one shuffle of the
+    // kept (doc_id, fp) frame + in-group C(n,2) emission) instead of
+    // the fp-equi self-join that shuffled it twice — winnow fps are
+    // distinct per doc, the df cap bounds every group, so the pair
+    // multiset is identical (see Dedup.sharedKeyPairCounts). With one
+    // consumer the r20 checkpoint on `kept` is pure overhead — dropped.
+    val kept = fps.join(rare, Seq("fp"))
+    Dedup.sharedKeyPairCounts(kept, "doc_id", "fp", "d1", "d2")
+      .select(col("d1"), col("d2"), col("inter").as("n_shared"))
   }
 
   /** DuckDB CTE chain computing winnow fingerprint sets
@@ -1077,15 +1079,22 @@ object TextAnalysis {
       // every stage frame is read twice (its own stat row + the next
       // stage), and the stage-N stat re-derived the WHOLE chain — the
       // executed plan carried 51 parquet scans and the word-stats
-      // kernel ran 3x. Checkpoint each stage once, like a production
-      // curation pipeline persists its inter-stage datasets.
-      val docs = Dedup.corpus(s, d).localCheckpoint()
-      val keep1 = docs.groupBy(md5($"text").as("h"))
+      // kernel ran 3x (r20). r21: ONE corpus pass derives every fixed-
+      // width column the rest of the pipeline consumes (content hash,
+      // byte length, word stats), so the checkpoints carry NO text —
+      // the r20 shape checkpointed the full corpus text twice, which a
+      // 100 TB run cannot afford (r20 verdict item 3); every stage
+      // decision and stat below only ever read derived numbers anyway.
+      val docs = Dedup.corpus(s, d)
+        .select($"doc_id", $"source", md5($"text").as("h"),
+          length($"text").cast("long").as("n_chars"),
+          graft.functions.WordStats.word_stats($"text").as("ws"))
+        .localCheckpoint()
+      val keep1 = docs.groupBy($"h")
         .agg(min($"doc_id").as("doc_id")).select($"doc_id")
       val s1 = docs.join(keep1, Seq("doc_id"), "left_semi")
         .localCheckpoint()
       val s2 = s1
-        .withColumn("ws", graft.functions.WordStats.word_stats($"text"))
         .withColumn("n_words", graft.functions.WordStats.nWords($"ws"))
         .filter($"n_words" >= 1)
         .withColumn("quality",
@@ -1107,12 +1116,12 @@ object TextAnalysis {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val s4 = s3
         .select($"doc_id",
-          coalesce((length($"text") + 1).cast("long"), lit(0L)).as("nb"))
+          coalesce($"n_chars" + 1L, lit(0L)).as("nb"))
         .withColumn("cum", sum($"nb").over(w4)) // rule re-plans this
         .withColumn("shard", expr("(cum - nb) div 16384"))
       def stat(df: DataFrame, id: Int, name: String) = df
         .agg(count(lit(1)).as("n_docs"),
-             sum(length($"text")).cast("long").as("sum_chars"))
+             sum($"n_chars").cast("long").as("sum_chars"))
         .select(lit(id).as("stage_id"), lit(name).as("stage"),
                 $"n_docs", $"sum_chars")
       val packed = s4

@@ -618,6 +618,12 @@ object Extras {
         .agg(min($"event_id").as("event_id"),
              expr("min_by(value, event_id)").as("value"))
         .select($"user_id", $"tsec", $"event_id", $"value")
+      // NOTE (r21): ev feeds both the grid aggregate and the union's
+      // event branch with no runtime exchange reuse (2 scans in the
+      // executed plan), but a localCheckpoint here measured 1.27x
+      // SLOWER — the duplicated work (one 2 MB scan + a map-side-
+      // combined dedup shuffle) is cheaper than the materialization
+      // barrier. Left duplicated on that measurement.
       val grid = ev.groupBy($"user_id")
         .agg(min($"tsec").as("lo"), max($"tsec").as("hi"))
         // Spark sequence(start, stop) THROWS on start > stop (DuckDB's
