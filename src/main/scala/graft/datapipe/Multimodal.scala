@@ -1277,7 +1277,15 @@ object Multimodal {
         .mapPartitions(_.map { id =>
           VideoCodec.features(id, VideoCodec.synthVideo(id))
         })
-        .toDF().orderBy($"asset_id")
+        .toDF()
+        // materialized before the sort: the orderBy's range exchange
+        // SAMPLES its child at runtime (RangePartitioner runs a full
+        // extra pass over the subtree — invisible in plan dumps), so
+        // the decode kernel executed 2x per run; the checkpoint pays
+        // one narrow materialization instead (M19Probe: full query
+        // 2.4 s vs 0.6 s kernel-only at 32 cores)
+        .localCheckpoint()
+        .orderBy($"asset_id")
     },
 
     // Scene-cut detection — the shot-segmentation step a video-curation
@@ -1298,7 +1306,15 @@ object Multimodal {
         .mapPartitions(_.map { id =>
           VideoCodec.sceneCuts(id, VideoCodec.synthVideoScenes(id))
         })
-        .toDF().orderBy($"asset_id")
+        .toDF()
+        // materialized before the sort: the orderBy's range exchange
+        // SAMPLES its child at runtime (RangePartitioner runs a full
+        // extra pass over the subtree — invisible in plan dumps), so
+        // the decode kernel executed 2x per run; the checkpoint pays
+        // one narrow materialization instead (M19Probe: full query
+        // 2.4 s vs 0.6 s kernel-only at 32 cores)
+        .localCheckpoint()
+        .orderBy($"asset_id")
     },
 
     // Voice-activity segmentation — m08's audio twin and the step an
@@ -1550,6 +1566,13 @@ object Multimodal {
           GifWalk.walk(id, VideoCodec.synthVideoTimed(id))
         })
         .toDF()
+        // materialized before the sort: the orderBy's range exchange
+        // SAMPLES its child at runtime (RangePartitioner runs a full
+        // extra pass over the subtree — invisible in plan dumps), so
+        // the decode kernel executed 2x per run; the checkpoint pays
+        // one narrow materialization instead (M19Probe: full query
+        // 2.4 s vs 0.6 s kernel-only at 32 cores)
+        .localCheckpoint()
         .orderBy($"asset_id")
     },
 
