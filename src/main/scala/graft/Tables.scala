@@ -168,21 +168,30 @@ object Tables {
   def embeddingsSpread(s: SparkSession, d: String): DataFrame =
     spreadScan(s, load(s, d, "embeddings"))
 
-  /** The gated fan-out itself (see [[documentsSpread]]). The fan cap
-    * defaults to 8: each child partition re-decodes its whole parent
-    * split, so the aggregate decode bill grows linearly with fan while
-    * the kernel saving flattens once the kernel is spread wide enough —
-    * the measured shingle-pass sweep (OPTIMIZATION_r21.md) read 0.52 s
-    * plain, 0.32 s at fan 4–8, and WORSE than plain at fan 32. Env-
-    * overridable for A/Bs and non-fixture deployments (0 disables); the
-    * observed-scan-width gate above it remains the production guard. */
+  /** The gated fan-out itself (see [[documentsSpread]]). DISABLED BY
+    * DEFAULT (`SPARK_GRAFT_SPREAD_FAN`, 0 = off) on a round-21
+    * measurement: the fan-out wins at the OPERATOR level — the fan
+    * sweep read 0.52 s shingle pass plain vs 0.32 s at fan 4–8 (worse
+    * than plain at fan 32 from the fan-linear duplicated decode), and
+    * the contamination-corpus queries read 0.66–0.85x in isolation
+    * A/Bs — but executing ANY fan-out query measurably degrades the
+    * REST of the session: in knob-isolated same-subset A/Bs, queries
+    * running after a fan-out query (including ones that never touch
+    * it) read 1.2–1.7x, costing ~10 s across the d-subset against
+    * ~2.7 s of direct wins (full numbers in OPTIMIZATION_r21.md). The
+    * damage is JVM-session-mediated (the row-copying fan-out iterator
+    * enters the scan hot path shared by every subsequent pipeline);
+    * until that is understood and fixed, the honest default is off.
+    * The call sites keep their measured per-site flags so a future
+    * round (or the knob) can re-enable the winners only. */
   private[graft] lazy val spreadFanCap: Int =
-    sys.env.getOrElse("SPARK_GRAFT_SPREAD_FAN", "8").toInt
+    sys.env.getOrElse("SPARK_GRAFT_SPREAD_FAN", "0").toInt
 
   private[graft] def spreadScan(s: SparkSession, df: DataFrame): DataFrame = {
     val width = s.sparkContext.defaultParallelism
+    if (spreadFanCap <= 1 || width <= 1) return df
     val planned = df.queryExecution.toRdd.getNumPartitions
-    if (spreadFanCap <= 1 || width <= 1 || planned >= width) df
+    if (planned >= width) df
     else org.apache.spark.sql.graft.DatasetBridge.fanOutScan(
       df, math.min(spreadFanCap, (width + planned - 1) / planned))
   }

@@ -459,7 +459,7 @@ object Dedup {
     * exact corpus the queries run on.
     */
   private[graft] def corpus(s: SparkSession, d: String,
-      spread: Boolean = true): DataFrame = {
+      spread: Boolean = false): DataFrame = {
     import s.implicits._
     val base = if (spread) T.documentsSpread(s, d) else T.documents(s, d)
     val docs = base.select($"doc_id", $"text", $"lang", $"source")
@@ -489,7 +489,7 @@ object Dedup {
     * curves bend.
     */
   private def evalCorpus(s: SparkSession, d: String,
-      spread: Boolean = true): DataFrame = {
+      spread: Boolean = false): DataFrame = {
     import s.implicits._
     val base = if (spread) T.documentsSpread(s, d) else T.documents(s, d)
     val docs = base.select($"doc_id", $"text", $"lang", $"source")
@@ -1466,6 +1466,8 @@ object Dedup {
       import s.implicits._
       import graft.functions.WordShinglePHashes.word_shingle_phashes
       graft.GraftExtensions.register(s)
+      // spread kept: the shingle kernel dominates and the fan-out
+      // measured 0.55x/0.88x across the round's isolation A/Bs
       val hs = T.documentsSpread(s, d)
         .withColumn("hset", word_shingle_phashes($"text", 3))
         .filter(size($"hset") >= 1)
@@ -1686,7 +1688,7 @@ object Dedup {
       import graft.functions.WordShinglePHashes.word_shingle_phashes
       graft.GraftExtensions.register(s)
       val SCALE = 1000000000L
-      val hs = T.documentsSpread(s, d)
+      val hs = T.documents(s, d)
         .withColumn("hset", word_shingle_phashes($"text", 3))
         .filter(size($"hset") >= 1)
         .select($"source", explode($"hset").as("h"))
@@ -2213,7 +2215,7 @@ object Dedup {
     // is per-pair linear in tokens within collision buckets only.
     "d27_prefix_dedup" -> { (s, d) =>
       import s.implicits._
-      val base = T.documentsSpread(s, d)
+      val base = T.documents(s, d)
         .select($"doc_id", split($"text", " ").as("ws"))
         .filter(size($"ws") >= 8)
       val variants = base.filter($"doc_id" % 7 === 3)

@@ -99,9 +99,15 @@ object TextAnalysis {
     import graft.functions.WinnowFingerprints.winnow_fps
     val capRow = capRowOpt.getOrElse(
       docs.agg(count(lit(1)).as("n")).select(expr(d09CapExpr("n")).as("cap")))
+    // materialized once: fps feeds BOTH the df aggregate (rare) and the
+    // semi-join (kept), and without a barrier the winnow kernel ran
+    // twice per execution (the r20 checkpoint sat one step too late, on
+    // `kept`, where the emitter's single consumer no longer needs one).
+    // The frame is (doc_id, fp) longs — narrow, never text.
     val fps = docs
       .filter(length(col("text")) >= 39) // need >= k + w - 1 bytes
       .select(col("doc_id"), explode(winnow_fps(col("text"), 32, 8)).as("fp"))
+      .localCheckpoint()
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(capRow))
       .filter(col("df") <= col("cap")).select(col("fp"))
@@ -109,8 +115,7 @@ object TextAnalysis {
     // kept (doc_id, fp) frame + in-group C(n,2) emission) instead of
     // the fp-equi self-join that shuffled it twice — winnow fps are
     // distinct per doc, the df cap bounds every group, so the pair
-    // multiset is identical (see Dedup.sharedKeyPairCounts). With one
-    // consumer the r20 checkpoint on `kept` is pure overhead — dropped.
+    // multiset is identical (see Dedup.sharedKeyPairCounts).
     val kept = fps.join(rare, Seq("fp"))
     Dedup.sharedKeyPairCounts(kept, "doc_id", "fp", "d1", "d2")
       .select(col("d1"), col("d2"), col("inter").as("n_shared"))
@@ -1085,7 +1090,7 @@ object TextAnalysis {
       // the r20 shape checkpointed the full corpus text twice, which a
       // 100 TB run cannot afford (r20 verdict item 3); every stage
       // decision and stat below only ever read derived numbers anyway.
-      val docs = Dedup.corpus(s, d)
+      val docs = Dedup.corpus(s, d, spread = false)
         .select($"doc_id", $"source", md5($"text").as("h"),
           length($"text").cast("long").as("n_chars"),
           graft.functions.WordStats.word_stats($"text").as("ws"))
@@ -1277,7 +1282,7 @@ object TextAnalysis {
       val byH = Window.partitionBy($"h")
       // the dedup family's corpus view (planted exact copies) — the
       // operator's reason to exist is those groups
-      Dedup.corpus(s, d)
+      Dedup.corpus(s, d, spread = false)
         .select($"doc_id", graft.Dets.phash($"text").as("h"))
         .withColumn("rep", min($"doc_id").over(byH))
         .withColumn("cnt", count(lit(1)).over(byH))
@@ -1549,7 +1554,7 @@ object TextAnalysis {
     // doc repeating its own shingle never inflates its score.
     "t28_crossdoc_grams" -> { (s, d) =>
       import s.implicits._
-      val grams = Dedup.corpus(s, d)
+      val grams = Dedup.corpus(s, d, spread = false)
         .select($"doc_id",
           expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
         .filter(size($"toks") >= 5)

@@ -12,10 +12,10 @@ package graft
   * The caps are measured counts at the TEST config (local[4],
   * sf0.001) plus slack; a breach means a shared frame lost its
   * materialization barrier (or a scan-wrapping helper was bypassed),
-  * not ordinary plan drift. Queries whose corpus rides the r21
-  * fan-out spread show 0 scans for the wrapped scan (it roots at a
-  * LogicalRDD) — the pin still catches a lost checkpoint, because the
-  * re-executed branch re-plans the raw parquet read.
+  * not ordinary plan drift. (If the r21 fan-out spread is re-enabled
+  * via SPARK_GRAFT_SPREAD_FAN, wrapped scans root at a LogicalRDD and
+  * count 0 — the pins still catch a lost checkpoint, because the
+  * re-executed branch re-plans its upstream read.)
   */
 class ScanCountSpec extends SparkSpec {
 
